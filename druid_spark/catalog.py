@@ -1,0 +1,102 @@
+"""Table + lookup registry.
+
+Druid datasources are time-series tables with a mandatory `__time`
+column (processing/.../segment/column/ColumnHolder.java:32). We map any
+registered table's time column to `__time` (kept alongside the
+original name) at registration; tables without a time axis (pure
+dimension tables used for joins/lookups) are allowed — Spark has no
+mandatory-time constraint and queries that don't touch `__time` work
+fine.
+
+Lookups mirror processing/.../query/lookup/LookupExtractor.java:36 —
+small key→value maps broadcast to every node. Here: a dict registered
+by name; applied either as a map-literal expression (LOOKUP() function,
+tiny maps) or as a broadcast-join DataFrame (lookup datasource).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# default time-column mapping for the driver's tables
+DEFAULT_TIME_COLUMNS = {
+    "events": "ts",
+    "orders": "o_orderdate",
+    "lineitem": "l_shipdate",
+}
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _fix_nanos(df: DataFrame, path: str) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) columns are read as long
+    (spark.sql.legacy.parquet.nanosAsLong) — convert to TimestampType
+    (micros) here so the engine sees real timestamps."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        schema = pq.read_schema(path)
+    except Exception:
+        return df
+    for field in schema:
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros((F.col(field.name) / 1000).cast("long")))
+    return df
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+        self._lookups: dict[str, dict] = {}
+
+    def register_dir(self, data_dir: str,
+                     time_columns: dict[str, str] | None = None) -> None:
+        """Register every *.parquet table in a directory (lazy: scans are
+        planned, not executed)."""
+        tcols = {**DEFAULT_TIME_COLUMNS, **(time_columns or {})}
+        for fn in sorted(os.listdir(data_dir)):
+            if fn.endswith(".parquet"):
+                name = fn[: -len(".parquet")]
+                self.register_table(name, os.path.join(data_dir, fn),
+                                    time_column=tcols.get(name))
+
+    def register_table(self, name: str, source: str | DataFrame,
+                       time_column: str | None = None) -> None:
+        if isinstance(source, str):
+            df = self.spark.read.parquet(source)
+            df = _fix_nanos(df, source)
+        else:
+            df = source
+        if time_column and time_column in df.columns and "__time" not in df.columns:
+            df = df.withColumn("__time", F.col(time_column))
+        self._tables[name] = df
+
+    def register_lookup(self, name: str, mapping: dict[str, Any]) -> None:
+        self._lookups[name] = mapping
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise KeyError(f"unknown datasource {name!r}; have {sorted(self._tables)}")
+        return self._tables[name]
+
+    def lookup(self, name: str) -> dict:
+        return self._lookups[name]
+
+    def lookup_df(self, name: str) -> DataFrame:
+        rows = [(str(k), str(v)) for k, v in self._lookups[name].items()]
+        return self.spark.createDataFrame(rows, ["k", "v"])
+
+    @property
+    def lookups(self) -> dict[str, dict]:
+        return self._lookups
+
+    def tables(self) -> list[str]:
+        return sorted(self._tables)

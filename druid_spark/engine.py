@@ -1,0 +1,205 @@
+"""DruidSparkEngine — the native-JSON query compiler.
+
+This is the analog of the reference's query entry point
+(server/.../server/QueryResource.java:74 deserializing the polymorphic
+Query, processing/.../query/Query.java:62-72 for the registered types).
+Each query type compiles to a declarative DataFrame program; Catalyst
+supplies pushdown/pruning/broadcast/AQE (SURVEY §4 — "built-in").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from druid_spark.catalog import Catalog
+from druid_spark.expr import compile_expr, parse, Compiler, Bin, Ref
+from druid_spark.filters import FilterCompiler
+from druid_spark.dimensions import virtual_columns
+
+
+def qcol(name: str) -> Column:
+    """Column ref that tolerates dots in names (join rightPrefix 'j0.')."""
+    if "." in name or "`" in name:
+        return F.col("`" + name.replace("`", "") + "`")
+    return F.col(name)
+
+
+class QueryContext:
+    """Per-query compile context: the base DataFrame, virtual columns,
+    and a resolver closing over both."""
+
+    def __init__(self, df: DataFrame, vcols: dict[str, Column], lookups: dict):
+        self.df = df
+        self.vcols = vcols
+        self.lookups = lookups
+
+    def resolver(self) -> Callable[[str], Column]:
+        vcols = self.vcols
+
+        def res(name: str) -> Column:
+            if name in vcols:
+                return vcols[name]
+            return qcol(name)
+
+        return res
+
+    def filter_compiler(self) -> FilterCompiler:
+        return FilterCompiler(self.df, self.resolver(), self.lookups)
+
+
+class DruidSparkEngine:
+    def __init__(self, spark: SparkSession, data_dir: str | None = None,
+                 exact_approx: bool = False):
+        """exact_approx: rewrite approximate aggregators (HLL etc.) to
+        exact forms — used by the correctness harness vs the DuckDB
+        oracle (SURVEY §7.3.5)."""
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        self.exact_approx = exact_approx
+        if data_dir:
+            self.catalog.register_dir(data_dir)
+
+    # -------------------------------------------------------- public API
+    def query(self, q: dict[str, Any]) -> DataFrame:
+        qt = q["queryType"]
+        from druid_spark.queries import (groupby, metadata, scan, search,
+                                         timeboundary, timeseries, topn,
+                                         union_q, windowing)
+        dispatch = {
+            "timeseries": timeseries.compile_query,
+            "topN": topn.compile_query,
+            "groupBy": groupby.compile_query,
+            "scan": scan.compile_query,
+            "search": search.compile_query,
+            "timeBoundary": timeboundary.compile_query,
+            "dataSourceMetadata": timeboundary.compile_dsmeta,
+            "segmentMetadata": metadata.compile_query,
+            "windowOperator": windowing.compile_query,
+            "union": union_q.compile_query,
+        }
+        if qt not in dispatch:
+            raise NotImplementedError(f"queryType {qt}")
+        return dispatch[qt](self, q)
+
+    def sql(self, text: str) -> DataFrame:
+        """Druid-flavoured SQL: register tables as views + druid function
+        names, then let Spark SQL run it (SURVEY §3.1 — steps 2-8 are
+        Catalyst built-ins)."""
+        from druid_spark.functions.sqlshim import rewrite_druid_sql
+        for name in self.catalog.tables():
+            self.catalog.table(name).createOrReplaceTempView(name)
+        return self.spark.sql(rewrite_druid_sql(text))
+
+    # ---------------------------------------------------- datasources
+    def resolve(self, ds: Any) -> DataFrame:
+        """Datasource composition — processing/.../query/DataSource.java:41-53
+        (table | union | query | join | lookup | inline | unnest | filter |
+        restrict | globalTable)."""
+        if isinstance(ds, str):
+            return self.catalog.table(ds)
+        t = ds["type"]
+        if t in ("table", "globalTable"):
+            return self.catalog.table(ds["name"])
+        if t == "union":
+            dfs = [self.resolve(d) for d in ds["dataSources"]]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+        if t == "query":
+            return self.query(ds["query"])
+        if t == "lookup":
+            return self.catalog.lookup_df(ds["lookup"])
+        if t == "inline":
+            names = ds["columnNames"]
+            rows = [tuple(r) for r in ds["rows"]]
+            return self.spark.createDataFrame(rows, names)
+        if t == "filter":
+            base = self.resolve(ds["base"])
+            fc = FilterCompiler(base, qcol, self.catalog.lookups)
+            return base.where(fc.compile(ds["filter"]))
+        if t == "restrict":
+            return self.resolve(ds["base"])
+        if t == "unnest":
+            base = self.resolve(ds["base"])
+            vc = ds["virtualColumn"]
+            src = compile_expr(vc["expression"], qcol, self.catalog.lookups)
+            out = base.withColumn(vc["name"], F.explode(src))
+            if ds.get("unnestFilter"):
+                fc = FilterCompiler(out, qcol, self.catalog.lookups)
+                out = out.where(fc.compile(ds["unnestFilter"]))
+            return out
+        if t == "join":
+            return self._join(ds)
+        raise NotImplementedError(f"datasource type {t}")
+
+    def _join(self, ds: dict) -> DataFrame:
+        """Join datasource (processing/.../query/JoinDataSource.java:91).
+        The right side is broadcast in the reference (lookup/inline/
+        subquery); we hint broadcast() for those shapes and let AQE
+        handle the rest. Condition is a Druid expression whose
+        right-side refs carry rightPrefix (JoinConditionAnalysis.java:53
+        — equi-conditions on the right)."""
+        left = self.resolve(ds["left"])
+        right = self.resolve(ds["right"])
+        prefix = ds.get("rightPrefix", "j0.")
+        for c in right.columns:
+            right = right.withColumnRenamed(c, prefix + c)
+        rtype = ds["right"]["type"] if isinstance(ds["right"], dict) else "table"
+        if rtype in ("lookup", "inline", "query", "globalTable"):
+            right = F.broadcast(right)
+        cond = self._join_condition(ds["condition"], left, right)
+        how = ds.get("joinType", "INNER").lower()
+        return left.join(right, cond, how)
+
+    def _join_condition(self, condition: str, left: DataFrame,
+                        right: DataFrame) -> Column:
+        ast = parse(condition)
+
+        def res(name: str) -> Column:
+            if name in right.columns:
+                return right["`" + name + "`"] if "." in name else right[name]
+            return left["`" + name + "`"] if "." in name else left[name]
+
+        return Compiler(res, self.catalog.lookups).compile(ast).cast("boolean")
+
+    # ---------------------------------------------------- shared compile steps
+    def prepare(self, q: dict) -> QueryContext:
+        """Resolve datasource, compile virtual columns, apply intervals +
+        filter. Interval predicates on `__time` reach the Parquet scan as
+        PushedFilters — the Spark analog of Druid's segment interval
+        pruning (CachingClusteredClient.computeSegmentsToQuery:430)."""
+        df = self.resolve(q["dataSource"])
+        vcols = virtual_columns(q.get("virtualColumns"), qcol, self.catalog.lookups)
+        ctx = QueryContext(df, vcols, self.catalog.lookups)
+        pred = self.intervals_predicate(q.get("intervals"))
+        if pred is not None:
+            df = df.where(pred)
+        if q.get("filter"):
+            fc = FilterCompiler(df, ctx.resolver(), self.catalog.lookups)
+            df = df.where(fc.compile(q["filter"]))
+        ctx.df = df
+        return ctx
+
+    @staticmethod
+    def intervals_predicate(intervals) -> Column | None:
+        if not intervals:
+            return None
+        if isinstance(intervals, dict):  # {"type":"intervals","intervals":[...]}
+            intervals = intervals["intervals"]
+        out = None
+        for iv in intervals:
+            a, b = iv.split("/")
+            p = (
+                (F.col("__time") >= F.to_timestamp(F.lit(_isots(a))))
+                & (F.col("__time") < F.to_timestamp(F.lit(_isots(b))))
+            )
+            out = p if out is None else (out | p)
+        return out
+
+
+def _isots(s: str) -> str:
+    return s.replace("T", " ").rstrip("Z")

@@ -1,0 +1,241 @@
+"""Druid DimFilter JSON → Spark Column predicates.
+
+Covers the full registered filter surface
+(processing/.../query/filter/DimFilter.java:36-59). Spark-first: every
+filter compiles to a boolean Column expression so Catalyst can push it
+into the Parquet scan (PushedFilters) and prune partitions; no Python
+evaluation in the data path.
+
+Semantics shims (SURVEY §7.3):
+- `selector` is legacy null-as-empty equality: null and '' match each
+  other (reference SelectorDimFilter + legacy null handling).
+- `equals`/`range`/`null` are the modern SQL-compliant typed filters.
+- On a multi-value (array) column, scalar match filters apply
+  "any value matches" semantics → array_contains
+  (docs/querying/multi-value-dimensions.md:355).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from druid_spark.expr import compile_expr
+
+
+def _is_mv(df: DataFrame | None, col: str) -> bool:
+    if df is None:
+        return False
+    try:
+        return isinstance(df.schema[col].dataType, T.ArrayType)
+    except Exception:
+        return False
+
+
+class FilterCompiler:
+    """df is optional and only used for schema introspection (MVD
+    detection); resolver injects virtual columns."""
+
+    def __init__(self, df: DataFrame | None = None,
+                 resolver: Callable[[str], Column] | None = None, lookups=None):
+        self.df = df
+        self.resolver = resolver or F.col
+        self.lookups = lookups or {}
+
+    def compile(self, f: dict[str, Any] | None) -> Column:
+        if f is None:
+            return F.lit(True)
+        t = f["type"]
+        fn = getattr(self, f"_f_{t.lower()}", None)
+        if fn is None:
+            raise NotImplementedError(f"filter type: {t}")
+        return fn(f)
+
+    def _col(self, name: str) -> Column:
+        return self.resolver(name)
+
+    def _match(self, name: str, pred: Callable[[Column], Column]) -> Column:
+        """apply a scalar predicate with MVD any-match semantics"""
+        c = self._col(name)
+        if _is_mv(self.df, name):
+            return F.exists(c, pred)
+        return pred(c)
+
+    # -- logical
+    def _f_and(self, f):
+        out = F.lit(True)
+        for sub in f["fields"]:
+            out = out & self.compile(sub)
+        return out
+
+    def _f_or(self, f):
+        out = F.lit(False)
+        for sub in f["fields"]:
+            out = out | self.compile(sub)
+        return out
+
+    def _f_not(self, f):
+        return ~self.compile(f["field"])
+
+    def _f_true(self, f):
+        return F.lit(True)
+
+    def _f_false(self, f):
+        return F.lit(False)
+
+    # -- equality
+    def _f_selector(self, f):
+        v = f.get("value")
+        if v is None or v == "":
+            # legacy: null and '' are the same
+            return self._match(f["dimension"],
+                               lambda c: c.isNull() | (c.cast("string") == ""))
+        return self._match(f["dimension"], lambda c: c == F.lit(v))
+
+    def _f_equals(self, f):
+        v = f["matchValue"]
+        return self._match(f["column"], lambda c: c == F.lit(v))
+
+    def _f_null(self, f):
+        return self._col(f["column"]).isNull()
+
+    def _f_in(self, f):
+        vals = f["values"]
+        has_null = any(v is None for v in vals)
+        non_null = [v for v in vals if v is not None]
+        def pred(c):
+            p = c.isin(*non_null) if non_null else F.lit(False)
+            if has_null:
+                p = p | c.isNull()
+            return p
+        return self._match(f["dimension"], pred)
+
+    def _f_intype(self, f):  # typed `inType` filter (InTypeDimFilter)
+        vals = f["values"]
+        return self._match(f.get("column", f.get("dimension")),
+                           lambda c: c.isin(*vals))
+
+    # -- ranges
+    def _f_bound(self, f):
+        # legacy bound filter with ordering comparator
+        # (query/filter/BoundDimFilter.java); "numeric" ordering casts.
+        ordering = f.get("ordering", "lexicographic")
+        lower, upper = f.get("lower"), f.get("upper")
+        ls, us = f.get("lowerStrict", False), f.get("upperStrict", False)
+        def pred(c):
+            cc = c.cast("double") if ordering == "numeric" else c.cast("string")
+            p = F.lit(True)
+            if lower is not None:
+                lv = F.lit(float(lower) if ordering == "numeric" else str(lower))
+                p = p & ((cc > lv) if ls else (cc >= lv))
+            if upper is not None:
+                uv = F.lit(float(upper) if ordering == "numeric" else str(upper))
+                p = p & ((cc < uv) if us else (cc <= uv))
+            return p
+        return self._match(f["dimension"], pred)
+
+    def _f_range(self, f):
+        lower, upper = f.get("lower"), f.get("upper")
+        lo, uo = f.get("lowerOpen", False), f.get("upperOpen", False)
+        def pred(c):
+            p = F.lit(True)
+            if lower is not None:
+                p = p & ((c > F.lit(lower)) if lo else (c >= F.lit(lower)))
+            if upper is not None:
+                p = p & ((c < F.lit(upper)) if uo else (c <= F.lit(upper)))
+            return p
+        return self._match(f["column"], pred)
+
+    def _f_interval(self, f):
+        # ISO interval(s) on a time column (query/filter/IntervalDimFilter)
+        col = self._col(f.get("dimension", "__time"))
+        out = F.lit(False)
+        for iv in f["intervals"]:
+            a, b = iv.split("/")
+            out = out | (
+                (col >= F.to_timestamp(F.lit(a.replace("T", " ").rstrip("Z"))))
+                & (col < F.to_timestamp(F.lit(b.replace("T", " ").rstrip("Z"))))
+            )
+        return out
+
+    # -- string matching
+    def _f_like(self, f):
+        esc = f.get("escape")
+        if esc:
+            return self._match(f["dimension"],
+                               lambda c: c.like(f["pattern"], escapeChar=esc))
+        return self._match(f["dimension"], lambda c: c.like(f["pattern"]))
+
+    def _f_regex(self, f):
+        return self._match(f["dimension"], lambda c: c.rlike(f["pattern"]))
+
+    def _f_search(self, f):
+        q = f["query"]
+        qt = q["type"]
+        if qt == "contains":
+            needle, sensitive = q["value"], q.get("caseSensitive", True)
+        elif qt == "insensitive_contains":
+            needle, sensitive = q["value"], False
+        elif qt == "fragment":
+            sensitive = q.get("caseSensitive", True)
+            def fragpred(c):
+                p = F.lit(True)
+                for frag in q["values"]:
+                    p = p & (c.contains(frag) if sensitive
+                             else F.lower(c).contains(frag.lower()))
+                return p
+            return self._match(f["dimension"], fragpred)
+        else:
+            raise NotImplementedError(f"search query type {qt}")
+        if sensitive:
+            return self._match(f["dimension"], lambda c: c.contains(needle))
+        return self._match(f["dimension"],
+                           lambda c: F.lower(c).contains(needle.lower()))
+
+    # -- misc
+    def _f_columncomparison(self, f):
+        d0, d1 = f["dimensions"]
+        c0, c1 = self._col(_dimname(d0)), self._col(_dimname(d1))
+        if _is_mv(self.df, _dimname(d0)) or _is_mv(self.df, _dimname(d1)):
+            a0 = c0 if _is_mv(self.df, _dimname(d0)) else F.array(c0)
+            a1 = c1 if _is_mv(self.df, _dimname(d1)) else F.array(c1)
+            return F.arrays_overlap(a0, a1)
+        return c0.cast("string") == c1.cast("string")
+
+    def _f_expression(self, f):
+        return compile_expr(f["expression"], self.resolver,
+                            self.lookups).cast("boolean")
+
+    def _f_istrue(self, f):
+        return self._col(f["column"]).cast("boolean").eqNullSafe(F.lit(True))
+
+    def _f_isfalse(self, f):
+        return self._col(f["column"]).cast("boolean").eqNullSafe(F.lit(False))
+
+    def _f_arraycontainselement(self, f):
+        return F.array_contains(self._col(f["column"]),
+                                F.lit(f["elementMatchValueType"] and f["elementMatchValue"]))
+
+    def _f_spatial(self, f):
+        # rectangular bound on a "lat,lon" encoded dimension
+        # (reference: spatial filter over spatial-indexed dims)
+        bound = f["bound"]
+        c = self._col(f["dimension"])
+        lat = F.split(c, ",").getItem(0).cast("double")
+        lon = F.split(c, ",").getItem(1).cast("double")
+        if bound["type"] == "rectangular":
+            mins, maxs = bound["minCoords"], bound["maxCoords"]
+            return ((lat >= mins[0]) & (lat <= maxs[0])
+                    & (lon >= mins[1]) & (lon <= maxs[1]))
+        if bound["type"] == "radius":
+            cx, cy = bound["coords"]
+            r = bound["radius"]
+            return ((lat - cx) ** 2 + (lon - cy) ** 2) <= r * r
+        raise NotImplementedError(f"spatial bound {bound['type']}")
+
+
+def _dimname(d) -> str:
+    return d if isinstance(d, str) else d["dimension"]

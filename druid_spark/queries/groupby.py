@@ -1,0 +1,164 @@
+"""groupBy query → hash aggregation over N dims.
+
+Reference: processing/.../query/groupby/GroupByQuery.java:89,
+GroupingEngine.java:113. Druid's ByteBuffer hash tables, spill,
+parallel combine (epinephelinae/*) are all Spark's HashAggregateExec +
+Tungsten spill — the compile just declares groupBy(dims).agg(...).
+
+having → post-agg filter; limitSpec → orderBy+limit (Spark plans
+TakeOrderedAndProject, the analog of Druid's limit pushdown
+GroupByQuery.java:462); subtotalsSpec → grouping sets.
+
+MVD semantics: grouping on a multi-value (array) dim explodes rows per
+value (docs/querying/multi-value-dimensions.md:355) — applied here as a
+pre-explode of array-typed group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from druid_spark import granularity as G
+from druid_spark.aggregations import AggCompiler, PostAggCompiler
+from druid_spark.dimensions import dimension
+from druid_spark.engine import qcol
+from druid_spark.filters import FilterCompiler
+
+
+def compile_query(engine, q: dict) -> DataFrame:
+    ctx = engine.prepare(q)
+    res = ctx.resolver()
+    df = ctx.df
+
+    # dimensions (+ MVD explode)
+    dim_cols: list[tuple[str, Column]] = []
+    for spec in q.get("dimensions") or []:
+        name, col = dimension(spec, res)
+        dim_cols.append((name, col))
+
+    # explode array-typed keys (multi-value group semantics)
+    exploded = {}
+    probe = df.select(*[c.alias(n) for n, c in dim_cols]) if dim_cols else None
+    if probe is not None:
+        for f in probe.schema.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                exploded[f.name] = True
+    for name, col in dim_cols:
+        if name in exploded:
+            df = df.withColumn(f"__mv_{name}", F.explode_outer(col))
+    dim_exprs = [
+        (F.col(f"__mv_{n}") if n in exploded else c).alias(n) for n, c in dim_cols
+    ]
+
+    gran = q.get("granularity", "all")
+    grain_all = gran in (None, "all") or (
+        isinstance(gran, dict) and gran.get("type") == "all")
+    keys = list(dim_exprs)
+    if not grain_all:
+        keys = [G.bucket(res("__time"), gran).alias("__time")] + keys
+
+    ac = AggCompiler(res, FilterCompiler(df, res, ctx.lookups), engine.exact_approx)
+    aggs = ac.compile_all(q.get("aggregations"))
+
+    subtotals = q.get("subtotalsSpec")
+    if subtotals:
+        out = _subtotals(df, keys, aggs, subtotals, [n for n, _ in dim_cols])
+    else:
+        out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    post = PostAggCompiler().compile_all(q.get("postAggregations"))
+    if post:
+        out = out.select("*", *post)
+
+    having = q.get("having")
+    if having:
+        out = out.where(_having(having, out))
+
+    limit_spec = q.get("limitSpec")
+    if limit_spec and limit_spec.get("type", "default") == "default":
+        cols = limit_spec.get("columns") or []
+        order = [_order_col(c) for c in cols]
+        if order:
+            out = out.orderBy(*order)
+        if limit_spec.get("limit") is not None:
+            out = out.limit(int(limit_spec["limit"]))
+        if limit_spec.get("offset"):
+            out = out.offset(int(limit_spec["offset"]))
+    return out
+
+
+def _order_col(c) -> Column:
+    if isinstance(c, str):
+        return qcol(c)
+    name, direction = c["dimension"], c.get("direction", "ascending")
+    comparator = c.get("dimensionOrder", "lexicographic")
+    col = qcol(name)
+    # string comparators — query/ordering/StringComparators.java:34-39.
+    # numeric: cast; alphanumeric/version: zero-pad digit runs so the
+    # lexicographic order matches numeric-aware comparison (pure expr,
+    # no UDF).
+    if comparator == "numeric":
+        col = col.cast("double")
+    elif comparator in ("alphanumeric", "version"):
+        col = F.regexp_replace(col.cast("string"), r"(\d+)",
+                               r"0000000000$1")  # pad, then trim to fixed width
+        col = F.regexp_replace(col, r"0*(\d{10})", r"$1")
+    elif comparator == "strlen":
+        col = F.struct(F.length(qcol(name)), qcol(name))
+    return col.desc() if direction.lower().startswith("desc") else col.asc()
+
+
+def _having(h: dict, df: DataFrame) -> Column:
+    t = h["type"]
+    if t == "and":
+        out = F.lit(True)
+        for s in h["havingSpecs"]:
+            out = out & _having(s, df)
+        return out
+    if t == "or":
+        out = F.lit(False)
+        for s in h["havingSpecs"]:
+            out = out | _having(s, df)
+        return out
+    if t == "not":
+        return ~_having(h["havingSpec"], df)
+    if t == "greaterThan":
+        return qcol(h["aggregation"]) > F.lit(h["value"])
+    if t == "lessThan":
+        return qcol(h["aggregation"]) < F.lit(h["value"])
+    if t == "equalTo":
+        return qcol(h["aggregation"]) == F.lit(h["value"])
+    if t == "dimSelector":
+        return qcol(h["dimension"]) == F.lit(h["value"])
+    if t == "filter":
+        return FilterCompiler(df, qcol).compile(h["filter"])
+    if t == "always":
+        return F.lit(True)
+    raise NotImplementedError(f"having {t}")
+
+
+def _subtotals(df: DataFrame, keys: list[Column], aggs: list[Column],
+               subtotals: list[list[str]], dim_names: list[str]) -> DataFrame:
+    """subtotalsSpec (GroupByQuery.java:124) → GROUPING SETS. Spark 4 has
+    DataFrame.groupingSets — one pass, partial-agg reuse; fall back to a
+    union of groupBys (still correct, one scan per set)."""
+    key_names = [df.select(k).columns[0] for k in keys]
+    named = {n: k for n, k in zip(key_names, keys)}
+    if hasattr(df, "groupingSets"):
+        sets = [[named[n] for n in st] for st in subtotals]
+        return df.groupingSets(sets, *keys).agg(*aggs)
+    parts = []
+    for st in subtotals:
+        gb = [named[n] for n in st]
+        part = df.groupBy(*gb).agg(*aggs)
+        for missing in key_names:
+            if missing not in st:
+                part = part.withColumn(missing, F.lit(None))
+        parts.append(part.select(*key_names,
+                                 *[c for c in part.columns if c not in key_names]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,74 @@
+"""timeseries query → time-bucketed aggregation.
+
+Reference: processing/.../query/timeseries/TimeseriesQuery.java:59,
+engine TimeseriesQueryEngine.java:64. Spark plan:
+filter(time range) → groupBy(date_trunc(__time)) → agg — a partial/final
+HashAggregate pair with the time filter pushed to the Parquet scan.
+
+Zero-filling of empty buckets (the toolchest's behavior unless
+context.skipEmptyBuckets) is a left join against a generated `sequence()`
+spine — negligible cost (single-task generated relation) vs the scan.
+Empty buckets get count-like aggregators coalesced to 0, others null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from druid_spark import granularity as G
+from druid_spark.aggregations import AggCompiler, PostAggCompiler
+
+
+def compile_query(engine, q: dict) -> DataFrame:
+    ctx = engine.prepare(q)
+    res = ctx.resolver()
+    ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx)
+    aggs = ac.compile_all(q.get("aggregations"))
+    gran = q.get("granularity", "all")
+    grain_all = gran in (None, "all") or (
+        isinstance(gran, dict) and gran.get("type") == "all")
+
+    if grain_all:
+        out = ctx.df.agg(*aggs) if aggs else ctx.df.agg(F.count(F.lit(1)).alias("rows"))
+    else:
+        bucket = G.bucket(res("__time"), gran).alias("__time")
+        out = ctx.df.groupBy(bucket).agg(*aggs)
+        if not q.get("context", {}).get("skipEmptyBuckets", False):
+            out = _zero_fill(engine, q, gran, out)
+
+    pac = PostAggCompiler()
+    post = pac.compile_all(q.get("postAggregations"))
+    if post:
+        out = out.select("*", *post)
+    if not grain_all:
+        out = out.orderBy(F.col("__time").desc() if q.get("descending")
+                          else F.col("__time").asc())
+    return out
+
+
+def _zero_fill(engine, q, gran, out: DataFrame) -> DataFrame:
+    intervals = q.get("intervals")
+    if not intervals:
+        return out
+    if isinstance(intervals, dict):
+        intervals = intervals["intervals"]
+    if len(intervals) != 1:
+        return out
+    a, b = intervals[0].split("/")
+    try:
+        spine = G.spine(engine.spark, gran, a.replace("T", " ").rstrip("Z"),
+                        b.replace("T", " ").rstrip("Z"))
+    except ValueError:
+        return out
+    joined = spine.join(out, "__time", "left")
+    # count-ish aggregators are 0 on empty buckets, others stay null
+    fills = {}
+    for agg in q.get("aggregations") or []:
+        if agg["type"] in ("count", "longSum", "hyperUnique", "cardinality"):
+            name = agg.get("name", agg["type"])
+            fills[name] = F.coalesce(F.col("`" + name + "`"), F.lit(0)).alias(name)
+    if fills:
+        joined = joined.select(
+            *[fills.get(c, F.col("`" + c + "`")).alias(c) for c in joined.columns])
+    return joined
