@@ -1,0 +1,229 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact dedup is one hash-groupBy shuffle on a fingerprint key —
+  map-side partial aggregation keeps the shuffle tiny.
+- n-gram Jaccard uses an inverted-index self-join (explode shingles →
+  join on shingle) — never an O(n²) cross join; the join key is the
+  shingle hash, so skew concentrates only on genuinely common shingles
+  (cap via frequency filter).
+- MinHash+LSH banding turns near-dup search into an equi-join on
+  (band_id, band_hash) — the classic sub-quadratic path; candidates are
+  verified with exact Jaccard to kill false positives.
+- SimHash buckets on signature chunks (pigeonhole: hamming ≤ k pairs
+  share at least one of k+1 chunks) → equi-join, verify with bit_count.
+All stages are built-in Column expressions; no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Groups of identical (normalized) text: canonical id = min id.
+    Returns one row per duplicate-group with size > 1 plus uniques —
+    i.e., the keep-list with group sizes."""
+    key = F.md5(normalize(F.col(text_col))).alias("fp")
+    return (df.select(key, F.col(id_col))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("group_size"))
+            )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle set (distinct), joined by single spaces."""
+    toks = F.filter(F.split(normalize(text), " "), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index join.
+
+    At scale, pass max_shingle_freq to drop ultra-common shingles from
+    the index (they generate quadratic candidates but only ever connect
+    boilerplate); the verification step keeps results exact w.r.t. the
+    remaining shingle space.
+    """
+    docs = (df.select(F.col(id_col).alias("id"),
+                      word_shingles(F.col(text_col), k).alias("sh"))
+            .where(F.size("sh") > 0)
+            .select("id", "sh", F.size("sh").alias("n_sh")))
+    inv = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_shingle_freq:
+        freq = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") <= max_shingle_freq))
+        inv = inv.join(F.broadcast(freq.select("shingle")), "shingle")
+    a = inv.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = inv.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    pairs = (a.join(b, "shingle")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jac = (F.col("inter") /
+           (F.col("n_a") + F.col("n_b") - F.col("inter")))
+    return (pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+# ------------------------------------------------------------- MinHash LSH
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """num_hashes min-hashes; hash_i(s) = xxhash64(s, seed=i) — k
+    independent JVM-side hash families, no UDF."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingles, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    bands=16 × rows=4 at threshold 0.8 → candidate-capture probability
+    1-(1-t^4)^16 ≈ 0.986 at t=0.8, ≈0.9996 at t=0.9. Join key is
+    (band, band_hash) → pure equi-join shuffle, sub-quadratic.
+    """
+    rows_per_band = num_hashes // bands
+    docs = (df.select(F.col(id_col).alias("id"),
+                      word_shingles(F.col(text_col), k).alias("sh"))
+            .where(F.size("sh") > 0)
+            .select("id", "sh",
+                    minhash_signature(F.col("sh"), num_hashes).alias("sig")))
+    banded = docs.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.array_join(
+                         F.transform(
+                             F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                             lambda x: x.cast("string")), ",")).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bh")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                      "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                      "band", "bh")
+    cand = (a.join(b, ["band", "bh"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (cand.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash64(tokens_col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash: per-token xxhash64; signature bit j = sign of the
+    sum over tokens of ±1 for bit j. Pure higher-order-function
+    aggregation over the token array — stays in codegen (shift amounts
+    must be Python ints for shiftleft/shiftright, hence the per-bit
+    loop)."""
+    def _bit_merge(j):
+        # bound via factory: F.aggregate requires an exactly-2-arg lambda
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
+    pieces = []
+    for j in range(bits):
+        bit_sum = F.aggregate(tokens_col, F.lit(0), _bit_merge(j))
+        mask = -(1 << 63) if j == 63 else (1 << j)
+        pieces.append(F.when(bit_sum > 0, F.lit(mask).cast("long"))
+                      .otherwise(F.lit(0).cast("long")))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Pigeonhole
+    banding: split 64 bits into (max_hamming+1) chunks; any pair within
+    distance k shares at least one exact chunk → equi-join on
+    (chunk_id, chunk_value), verify with bit_count(xor)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    toks = F.split(normalize(F.col(text_col)), " ")
+    docs = df.select(F.col(id_col).alias("id"),
+                     simhash64(toks).alias("sim"))
+    banded = docs.select(
+        "id", "sim",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("sim", c * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("cv"))
+            for c in range(chunks)])).alias("bb"),
+    ).select("id", "sim", "bb.chunk", "bb.cv")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
+                      "chunk", "cv")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),
+                      "chunk", "cv")
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (a.join(b, ["chunk", "cv"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sim_a", "sim_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .orderBy("id_a", "id_b"))
+
+
+# ------------------------------------------------- embedding near-dup
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Brute self-join baseline —
+    correct at any SF; at 100 TB swap the join for the LSH bucketing in
+    similarity.random_hyperplane_buckets (same verify step)."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    return (a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .orderBy("id_a", "id_b"))

@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k — Catalyst plans the scoring as
+  a single scan + TakeOrderedAndProject (per-partition heap + merge),
+  so even the "brute force" baseline is shuffle-light and scales
+  linearly with executors.
+- lsh_topk: random-hyperplane LSH — probe only vectors whose sign
+  signature is within `probe_hamming` of the query's, cutting the
+  scored fraction; hyperplanes are pseudo-random but fully
+  deterministic (components derived from xxhash64(dim, plane)), so no
+  driver-side randomness and the same plan runs identically on any
+  cluster.
+- ivf_topk: IVF-style two-stage search with KMeans coarse centroids
+  (pyspark.ml): score only vectors in the nprobe nearest cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from druid_spark.datapipe.dedup import cosine
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(_as_double(F.col(vec_col)), q)
+    return (df.select(F.col(id_col), F.round(sim, 4).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 16) -> Column:
+    """Sign signature as a long bitmap. Hyperplane p component j =
+    ±1 from the parity of xxhash64(j, p) — deterministic, data-independent."""
+    def _component(p):
+        # factory keeps the transform lambda 1-arg (a default arg would
+        # make PySpark pass the array index into it)
+        return lambda j: F.when(
+            F.xxhash64(j.cast("string"), F.lit(p)).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    bits = []
+    for p in range(planes):
+        comps = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _component(p))
+        dot = F.aggregate(F.zip_with(vec, comps, lambda x, c: x * c),
+                          F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p))
+                    .otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             planes: int = 16, probe_hamming: int = 4) -> DataFrame:
+    """ANN top-k: prefilter by signature hamming distance, then exact
+    cosine on the survivors. Recall rises with probe_hamming → planes
+    tradeoff; the signature computation is one scan and can be
+    precomputed/persisted as a column at ingest."""
+    dim = len(query_vec)
+    qv = [float(x) for x in query_vec]
+    # xxhash64 is JVM-side; compute the query's signature with a one-row
+    # DataFrame rather than reimplementing the hash in Python.
+    sig_col = hyperplane_signature(_as_double(F.col(vec_col)), dim, planes)
+    scored = df.select(F.col(id_col), F.col(vec_col), sig_col.alias("sig"))
+    qdf = df.sparkSession.range(1).select(
+        F.array(*[F.lit(x) for x in qv]).alias("qv"))
+    qsig = qdf.select(hyperplane_signature(F.col("qv"), dim, planes)
+                      .alias("sig")).collect()[0]["sig"]
+    q = F.array(*[F.lit(x) for x in qv])
+    cand = scored.where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
+    sim = cosine(_as_double(F.col(vec_col)), q)
+    return (cand.select(F.col(id_col), F.round(sim, 4).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, nprobe: int = 3, seed: int = 42) -> DataFrame:
+    """IVF: KMeans coarse quantizer → probe nprobe nearest cells.
+    Centroid fit is a one-time index build (persist the cell id as a
+    partition column at 100 TB); the query path scans only ~nprobe/n_cells
+    of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.select(F.col(id_col), F.col(vec_col),
+                     array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+
+    import numpy as np
+    centers = model.clusterCenters()
+    qv = np.array(query_vec, dtype=float)
+    dists = [float(np.linalg.norm(c - qv)) for c in centers]
+    probe = sorted(range(len(dists)), key=lambda i: dists[i])[:nprobe]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(_as_double(F.col(vec_col)), q)
+    return (assigned.where(F.col("cell").isin(probe))
+            .select(F.col(id_col), F.round(sim, 4).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k))

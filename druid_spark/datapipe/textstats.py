@@ -1,0 +1,123 @@
+"""Text analysis operators over a documents table.
+
+All pure Column expressions (JVM-side, codegen'd) — at 100 TB these run
+as a single scan with no shuffle; every function is also expressible in
+ANSI SQL so the DuckDB oracle can verify them exactly.
+
+Tokenization convention shared with the oracle: split on whitespace
+runs after trim; lowercase for stopword matching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword lists for the n-gram/stopword lang-id
+# heuristic; deliberately tiny + deterministic so the SQL oracle matches.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "que", "con"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish estimate: word-piece regex — runs of letters, digits, or
+    single non-space symbols (≈ GPT-style pre-tokenizer granularity)."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: F.length(t) > 0,
+        )
+    ).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    nopunct = F.regexp_replace(text, r"[^\w\s]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        (F.length(text) - F.length(nopunct)).cast("double") / F.length(text))
+
+
+def upper_ratio(text: Column) -> Column:
+    noupper = F.regexp_replace(text, r"[A-Z]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        (F.length(text) - F.length(noupper)).cast("double") / F.length(text))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n = token_count(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length sweet-spot, low punctuation
+    noise, presence of stopwords (prose-ness)."""
+    n = token_count(text)
+    len_score = F.least(n.cast("double") / 20.0, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return F.round((len_score + punct_score + sw_score) / 3.0, 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when no
+    hits. Deterministic tie-break: en > de > fr > es (dict order)."""
+    scores = lang_scores(text)
+    e, d, f_, s = (scores[x] for x in ("en", "de", "fr", "es"))
+    m = F.greatest(e, d, f_, s)
+    return (F.when(m == 0, F.lit("und"))
+             .when(e == m, F.lit("en"))
+             .when(d == m, F.lit("de"))
+             .when(f_ == m, F.lit("fr"))
+             .otherwise(F.lit("es")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — md5 exists in both Spark and DuckDB, so the oracle matches
+    bit-for-bit (a rolling/Rabin hash would be engine-specific)."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document text profile."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

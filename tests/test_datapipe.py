@@ -1,0 +1,156 @@
+"""Tests for dedup / similarity / textstats / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_spark.datapipe import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    total = sum(r["group_size"] for r in out)
+    assert total == docs.count()
+    assert all(r["keep_id"] is not None for r in out)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], ["text"])
+    rows = df.select(dedup.word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["a b"]
+    assert rows[2]["s"] == []
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap at all"),
+    ], ["doc_id", "text"])
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
+    assert 0.5 <= out[0]["jaccard"] < 1.0
+
+
+def test_minhash_vs_exact(spark):
+    rows = [(i, f"common prefix words shared by docs number {i % 3} "
+             f"tail {'x' if i % 3 else 'y'}") for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_lsh_pairs(df, threshold=0.9).collect()}
+    # verification step removes false positives; recall should be perfect
+    # on identical docs (jaccard 1.0 → all bands match)
+    assert lsh == exact
+
+
+def test_simhash_identical_docs(spark):
+    df = spark.createDataFrame([
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "unrelated totally separate content here"),
+    ], ["doc_id", "text"])
+    out = dedup.simhash_pairs(df, max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_embedding_neardup(spark, emb):
+    out = dedup.embedding_neardup_pairs(emb, threshold=0.99).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos"] >= 0.99
+
+
+def test_brute_force_topk(spark, emb):
+    qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+    out = similarity.brute_force_topk(emb, qv, k=5).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0  # self-similarity = 1.0
+    assert out[0]["cos"] == pytest.approx(1.0, abs=1e-3)
+    sims = [r["cos"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall(spark, emb):
+    qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, qv, k=10).collect()]
+    ann = [r["vec_id"] for r in similarity.lsh_topk(emb, qv, k=10,
+                                                    probe_hamming=8).collect()]
+    # generous probe → decent recall; self must be found
+    assert 0 in ann
+    assert len(set(exact) & set(ann)) >= 5
+
+
+def test_ivf_topk(spark, emb):
+    qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+    out = similarity.ivf_topk(emb, qv, k=5, n_cells=4, nprobe=2).collect()
+    assert out and out[0]["vec_id"] == 0
+
+
+def test_textstats_profile(spark, docs):
+    out = textstats.profile(docs.limit(50))
+    rows = out.collect()
+    for r in rows:
+        assert r["n_tokens"] >= 0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in ("en", "de", "fr", "es", "und")
+        assert len(r["fingerprint"]) == 32
+
+
+def test_lang_id_basics(spark):
+    df = spark.createDataFrame([
+        ("the cat and the dog in the house",),
+        ("der Hund und die Katze ist nicht hier",),
+        ("le chat est dans la maison pour les amis",),
+        ("el perro y el gato es una mascota",),
+        ("zzz qqq www",),
+    ], ["text"])
+    out = [r[0] for r in df.select(textstats.lang_id(F.col("text"))).collect()]
+    assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_token_count_empty(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("one two",)], ["text"])
+    out = [r[0] for r in df.select(textstats.token_count(F.col("text"))).collect()]
+    assert out == [0, 0, 2]
+
+
+def test_multimodal_features(spark):
+    media = multimodal.demo_media_df(spark, 12)
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+    # deterministic: same payload → same feature
+    f0 = [r for r in feats if r["media_id"] == 0][0]
+    feats2 = multimodal.extract_features(media, dim=8).collect()
+    f0b = [r for r in feats2 if r["media_id"] == 0][0]
+    assert f0["feature"] == f0b["feature"]
+
+
+def test_multimodal_frames_and_resize(spark):
+    media = multimodal.demo_media_df(spark, 12)
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert all(r["frame_ts"] % 1000 == 0 for r in frames)
+    resized = multimodal.resize_images(media, 32, 32).collect()
+    assert all(r["width"] == 32 for r in resized)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, decode_stub=False)
