@@ -58,30 +58,35 @@ class AggCompiler:
     def compile_all(self, aggs: list[dict] | None) -> list[Column]:
         return [self.compile(a) for a in aggs or []]
 
-    def _agg(self, agg: dict[str, Any]) -> Column:
+    def _agg(self, agg: dict[str, Any], cond: Column | None = None) -> Column:
+        """cond: a `filtered` wrapper's predicate — applied map-side as
+        agg(CASE WHEN cond THEN x END), Spark's FILTER(WHERE) lowering."""
         t = agg["type"]
         res = self.res
 
+        def guard(c: Column) -> Column:
+            return F.when(cond, c) if cond is not None else c
+
         if t == "count":
-            return F.count(F.lit(1))
+            return F.count(guard(F.lit(1)))
         if t in ("longSum", "doubleSum", "floatSum"):
-            c = F.sum(_field(agg, res))
+            c = F.sum(guard(_field(agg, res)))
             return c.cast("long") if t == "longSum" else (
                 c.cast("float") if t == "floatSum" else c)
         if t in ("longMin", "doubleMin", "floatMin"):
-            return F.min(_field(agg, res))
+            return F.min(guard(_field(agg, res)))
         if t in ("longMax", "doubleMax", "floatMax"):
-            return F.max(_field(agg, res))
+            return F.max(guard(_field(agg, res)))
         if t == "doubleMean":
-            return F.avg(_field(agg, res))
+            return F.avg(guard(_field(agg, res)))
         if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst"):
-            return F.min_by(_field(agg, res), _time_col(agg, res))
+            return F.min_by(guard(_field(agg, res)), guard(_time_col(agg, res)))
         if t in ("longLast", "doubleLast", "floatLast", "stringLast"):
-            return F.max_by(_field(agg, res), _time_col(agg, res))
+            return F.max_by(guard(_field(agg, res)), guard(_time_col(agg, res)))
         if t in ("longAny", "doubleAny", "floatAny", "stringAny"):
-            return F.first(_field(agg, res), ignorenulls=True)
+            return F.first(guard(_field(agg, res)), ignorenulls=True)
         if t in ("hyperUnique", "HLLSketchBuild", "thetaSketch"):
-            c = _field(agg, res)
+            c = guard(_field(agg, res))
             if self.exact:
                 return F.count_distinct(c)
             return F.approx_count_distinct(c)
@@ -89,18 +94,12 @@ class AggCompiler:
             # HLL over dimension tuples; byRow concatenates the dim values
             cols = [res(fn) if isinstance(fn, str)
                     else res(fn["fieldName"]) for fn in agg["fields"]]
-            key = F.concat_ws("", *[c.cast("string") for c in cols])
+            key = guard(F.concat_ws("", *[c.cast("string") for c in cols]))
             if self.exact:
                 return F.count_distinct(key)
             return F.approx_count_distinct(key)
         if t == "filtered":
-            inner = self._agg(agg["aggregator"])
-            cond = self.fc.compile(agg["filter"])
-            # FILTER (WHERE ...) — map-side, no extra pass
-            try:
-                return inner.filter(cond)  # pyspark>=3.4 Column.filter on aggs
-            except Exception:
-                return inner
+            return self._agg(agg["aggregator"], self.fc.compile(agg["filter"]))
         if t == "grouping":
             return F.grouping_id(*[res(g) for g in agg["groupings"]])
         if t == "variance":

@@ -64,13 +64,14 @@ def compile_query(engine, q: dict) -> DataFrame:
 
     subtotals = q.get("subtotalsSpec")
     if subtotals:
-        out = _subtotals(df, keys, aggs, subtotals, [n for n, _ in dim_cols])
+        out = _subtotals(df, keys, aggs, subtotals)
+    elif not aggs:
+        # no aggregators: groupBy is a distinct over the dims
+        out = df.select(*keys).distinct()
     else:
         out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
-    post = PostAggCompiler().compile_all(q.get("postAggregations"))
-    if post:
-        out = out.select("*", *post)
+    out = _apply_post(out, q.get("postAggregations"))
 
     having = q.get("having")
     if having:
@@ -139,26 +140,46 @@ def _having(h: dict, df: DataFrame) -> Column:
     raise NotImplementedError(f"having {t}")
 
 
+def _apply_post(out: DataFrame, pas: list[dict] | None) -> DataFrame:
+    """Post-aggregators; a post-agg whose name matches an existing column
+    replaces it (Druid forbids collisions, but replacement is the useful
+    interpretation for e.g. in-place rounding)."""
+    if not pas:
+        return out
+    names = [p.get("name", p["type"]) for p in pas]
+    cols = PostAggCompiler().compile_all(pas)
+    keep = [F.col("`" + c + "`") for c in out.columns if c not in names]
+    return out.select(*keep, *cols)
+
+
 def _subtotals(df: DataFrame, keys: list[Column], aggs: list[Column],
-               subtotals: list[list[str]], dim_names: list[str]) -> DataFrame:
-    """subtotalsSpec (GroupByQuery.java:124) → GROUPING SETS. Spark 4 has
-    DataFrame.groupingSets — one pass, partial-agg reuse; fall back to a
-    union of groupBys (still correct, one scan per set)."""
+               subtotals: list[list[str]]) -> DataFrame:
+    """subtotalsSpec (GroupByQuery.java:124) → GROUPING SETS. Spark 4's
+    DataFrame.groupingSets — one pass, partial-agg reuse. Keys are
+    pre-projected because groupingSets matches grouping expressions by
+    equality, which aliased Columns defeat; fall back to a union of
+    groupBys on older Spark (still correct, one scan per set)."""
     key_names = [df.select(k).columns[0] for k in keys]
-    named = {n: k for n, k in zip(key_names, keys)}
-    if hasattr(df, "groupingSets"):
-        sets = [[named[n] for n in st] for st in subtotals]
-        return df.groupingSets(sets, *keys).agg(*aggs)
-    parts = []
-    for st in subtotals:
-        gb = [named[n] for n in st]
-        part = df.groupBy(*gb).agg(*aggs)
-        for missing in key_names:
-            if missing not in st:
-                part = part.withColumn(missing, F.lit(None))
-        parts.append(part.select(*key_names,
-                                 *[c for c in part.columns if c not in key_names]))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    proj = df
+    for n, k in zip(key_names, keys):
+        proj = proj.withColumn("__gs_" + n, k)
+    gcols = {n: F.col("__gs_" + n) for n in key_names}
+    if hasattr(proj, "groupingSets"):
+        sets = [[gcols[n] for n in st] for st in subtotals]
+        out = proj.groupingSets(sets, *gcols.values()).agg(*aggs)
+    else:
+        parts = []
+        for st in subtotals:
+            part = proj.groupBy(*[gcols[n] for n in st]).agg(*aggs)
+            for missing in key_names:
+                if missing not in st:
+                    part = part.withColumn("__gs_" + missing, F.lit(None))
+            parts.append(part.select(*["__gs_" + n for n in key_names],
+                                     *[c for c in part.columns
+                                       if not c.startswith("__gs_")]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    for n in key_names:
+        out = out.withColumnRenamed("__gs_" + n, n)
     return out

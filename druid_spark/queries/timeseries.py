@@ -37,10 +37,8 @@ def compile_query(engine, q: dict) -> DataFrame:
         if not q.get("context", {}).get("skipEmptyBuckets", False):
             out = _zero_fill(engine, q, gran, out)
 
-    pac = PostAggCompiler()
-    post = pac.compile_all(q.get("postAggregations"))
-    if post:
-        out = out.select("*", *post)
+    from druid_spark.queries.groupby import _apply_post
+    out = _apply_post(out, q.get("postAggregations"))
     if not grain_all:
         out = out.orderBy(F.col("__time").desc() if q.get("descending")
                           else F.col("__time").asc())

@@ -40,10 +40,9 @@ def compile_query(engine, q: dict) -> DataFrame:
     if not grain_all:
         keys = [G.bucket(res("__time"), gran).alias("__time")] + keys
 
+    from druid_spark.queries.groupby import _apply_post
     out = ctx.df.groupBy(*keys).agg(*aggs)
-    post = PostAggCompiler().compile_all(q.get("postAggregations"))
-    if post:
-        out = out.select("*", *post)
+    out = _apply_post(out, q.get("postAggregations"))
 
     order = _metric_order(q.get("metric"), dim_name)
     if grain_all:
