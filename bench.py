@@ -1,0 +1,260 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Query shapes mirror the reference's JMH SQL macro-benchmarks
+(benchmarks/.../query/SqlBenchmark.java:41-120 — filtered sums, LIKE
+filters, FILTER-ed aggs, 1/2-dim groupBys, ordered groupBys, union
+matrix; SqlWindowFunctionsBenchmark; JoinAndLookupBenchmark) plus the
+datapipe operators (minhash dedup, text profile, ANN top-k).
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf", plus derived rows/s figures for the two
+whitepaper scan-rate metrics}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_queries(engine):
+    """name -> zero-arg callable returning a DataFrame (collected by
+    the timer)."""
+    E = engine
+
+    def q(spec):
+        return lambda: E.query(spec)
+
+    out = {
+        # whitepaper scan-rate shapes (BASELINE.md rows 1-2)
+        "count_star": q({
+            "queryType": "timeseries", "dataSource": "lineitem",
+            "granularity": "all",
+            "aggregations": [{"type": "count", "name": "n"}]}),
+        "sum_double": q({
+            "queryType": "timeseries", "dataSource": "lineitem",
+            "granularity": "all",
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"}]}),
+        # SqlBenchmark: filtered sum + LIKE + FILTER-ed aggregates
+        "filtered_sum": q({
+            "queryType": "timeseries", "dataSource": "lineitem",
+            "granularity": "all",
+            "filter": {"type": "selector", "dimension": "l_returnflag",
+                       "value": "R"},
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"}]}),
+        "like_filter_count": q({
+            "queryType": "timeseries", "dataSource": "part",
+            "granularity": "all",
+            "filter": {"type": "like", "dimension": "p_type",
+                       "pattern": "%BRASS%"},
+            "aggregations": [{"type": "count", "name": "n"}]}),
+        "filtered_aggs": q({
+            "queryType": "timeseries", "dataSource": "lineitem",
+            "granularity": "all",
+            "aggregations": [
+                {"type": "filtered", "name": "hi",
+                 "filter": {"type": "range", "column": "l_quantity",
+                            "lower": 25.0},
+                 "aggregator": {"type": "doubleSum", "name": "hi",
+                                "fieldName": "l_extendedprice"}},
+                {"type": "filtered", "name": "lo",
+                 "filter": {"type": "range", "column": "l_quantity",
+                            "upper": 25.0},
+                 "aggregator": {"type": "doubleSum", "name": "lo",
+                                "fieldName": "l_extendedprice"}}]}),
+        "timeseries_month": q({
+            "queryType": "timeseries", "dataSource": "lineitem",
+            "granularity": "month",
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"}],
+            "context": {"skipEmptyBuckets": True}}),
+        "groupby_1dim": q({
+            "queryType": "groupBy", "dataSource": "lineitem",
+            "granularity": "all", "dimensions": ["l_returnflag"],
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"}]}),
+        "groupby_2dim": q({
+            "queryType": "groupBy", "dataSource": "lineitem",
+            "granularity": "all",
+            "dimensions": ["l_returnflag", "l_linestatus"],
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"},
+                             {"type": "count", "name": "n"}]}),
+        "groupby_long_ordered": q({
+            "queryType": "groupBy", "dataSource": "lineitem",
+            "granularity": "all", "dimensions": ["l_partkey"],
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"}],
+            "limitSpec": {"type": "default", "limit": 10, "columns": [
+                {"dimension": "s", "direction": "descending",
+                 "dimensionOrder": "numeric"}]}}),
+        "topn": q({
+            "queryType": "topN", "dataSource": "lineitem",
+            "dimension": "l_suppkey", "metric": "s", "threshold": 10,
+            "granularity": "all",
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"}]}),
+        "approx_distinct": q({
+            "queryType": "timeseries", "dataSource": "lineitem",
+            "granularity": "all",
+            "aggregations": [{"type": "hyperUnique", "name": "parts",
+                              "fieldName": "l_partkey"}]}),
+        "join_broadcast": q({
+            "queryType": "groupBy",
+            "dataSource": {
+                "type": "join", "left": "lineitem",
+                "right": {"type": "query", "query": {
+                    "queryType": "scan", "dataSource": "part",
+                    "columns": ["p_partkey", "p_brand"]}},
+                "rightPrefix": "j0.",
+                "condition": 'l_partkey == "j0.p_partkey"',
+                "joinType": "INNER"},
+            "granularity": "all",
+            "dimensions": [{"type": "default", "dimension": "j0.p_brand",
+                            "outputName": "brand"}],
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"}]}),
+        "join_shuffle": q({
+            "queryType": "groupBy",
+            "dataSource": {
+                "type": "join", "left": "lineitem",
+                "right": {"type": "table", "name": "orders"},
+                "rightPrefix": "j0.",
+                "condition": 'l_orderkey == "j0.o_orderkey"',
+                "joinType": "INNER"},
+            "granularity": "all",
+            "dimensions": [{"type": "default",
+                            "dimension": "j0.o_orderpriority",
+                            "outputName": "priority"}],
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"}]}),
+        "scan_filter_limit": q({
+            "queryType": "scan", "dataSource": "lineitem",
+            "columns": ["l_orderkey", "l_quantity", "l_extendedprice"],
+            "filter": {"type": "range", "column": "l_quantity", "lower": 45.0},
+            "orderBy": [{"columnName": "l_orderkey", "order": "ascending"}],
+            "limit": 1000}),
+        "window_rank": q({
+            "queryType": "windowOperator",
+            "dataSource": {"type": "query", "query": {
+                "queryType": "groupBy", "dataSource": "lineitem",
+                "granularity": "all",
+                "dimensions": ["l_suppkey", "l_returnflag"],
+                "aggregations": [{"type": "doubleSum", "name": "s",
+                                  "fieldName": "l_extendedprice"}]}},
+            "operators": [
+                {"type": "naivePartition",
+                 "partitionColumns": ["l_returnflag"]},
+                {"type": "naiveSort", "columns": [
+                    {"column": "s", "direction": "DESC"}]},
+                {"type": "window", "processors": [
+                    {"type": "rowNumber", "outputColumn": "rn"}]}]}),
+        "union_matrix": q({
+            "queryType": "union",
+            "queries": [
+                {"queryType": "timeseries", "dataSource": "lineitem",
+                 "granularity": "all",
+                 "aggregations": [{"type": "count", "name": "n"}]},
+                {"queryType": "timeseries", "dataSource": "orders",
+                 "granularity": "all",
+                 "aggregations": [{"type": "count", "name": "n"}]},
+                {"queryType": "timeseries", "dataSource": "events",
+                 "granularity": "all",
+                 "aggregations": [{"type": "count", "name": "n"}]}]}),
+        "events_hourly_rollup": q({
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "hour",
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "v", "fieldName": "value"}],
+            "context": {"skipEmptyBuckets": True}}),
+    }
+
+    # datapipe operators
+    def dedup_minhash():
+        from druid_spark.datapipe.dedup import minhash_lsh_pairs
+        return minhash_lsh_pairs(E.catalog.table("documents"), threshold=0.8)
+
+    def text_profile_agg():
+        from druid_spark.datapipe import textstats
+        docs = E.catalog.table("documents")
+        t = F.col("text")
+        return (docs.select(textstats.quality_score(t).alias("q"),
+                            textstats.token_count(t).alias("nt"),
+                            textstats.lang_id(t).alias("lang"))
+                .groupBy("lang").agg(F.count(F.lit(1)).alias("n"),
+                                     F.avg("q").alias("avg_q"),
+                                     F.sum("nt").alias("tokens")))
+
+    def sim_topk():
+        from druid_spark.datapipe.similarity import brute_force_topk
+        emb = E.catalog.table("embeddings")
+        qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+        return brute_force_topk(emb, qv, k=10)
+
+    out["dedup_minhash"] = dedup_minhash
+    out["text_profile_agg"] = text_profile_agg
+    out["sim_topk"] = sim_topk
+    return out
+
+
+def main():
+    from druid_spark import DruidSparkEngine
+    from druid_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS)
+    engine = DruidSparkEngine(spark, data_dir=SF_DIR)
+    queries = build_queries(engine)
+
+    # warmup: touch all tables once (footer reads, JVM JIT)
+    for t in ("lineitem", "orders", "events"):
+        engine.catalog.table(t).count()
+
+    lineitem_rows = engine.catalog.table("lineitem").count()
+    times: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name, fn in queries.items():
+        # JMH-style: one warmup iteration (codegen compile, page cache),
+        # then measure steady state — mirrors the reference's benchmark
+        # methodology (benchmarks/.../SqlBenchmark.java runs under JMH
+        # warmups). Cold time is reported alongside.
+        t0 = time.time()
+        fn().count()
+        cold[name] = round(time.time() - t0, 4)
+        t0 = time.time()
+        df = fn()
+        n = df.count() if name != "scan_filter_limit" else len(df.collect())
+        times[name] = round(time.time() - t0, 4)
+        _ = n
+    total = round(sum(times.values()), 4)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "cold_total_sec": round(sum(cold.values()), 4),
+        "derived": {
+            "count_star_rows_per_sec_per_core": round(
+                lineitem_rows / max(times["count_star"], 1e-9) / CPUS),
+            "sum_double_rows_per_sec_per_core": round(
+                lineitem_rows / max(times["sum_double"], 1e-9) / CPUS),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input to full parallelism before CPU-heavy
+    per-row compute. Small tables often arrive as a single parquet file
+    (1 scan partition); the shuffle moves only (id, text) and unlocks
+    every core. At real scale inputs are already many-partitioned and
+    this is a cheap round-robin rebalance."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingle set (distinct), joined by single spaces."""
     toks = F.filter(F.split(normalize(text), " "), lambda t: F.length(t) > 0)
@@ -62,8 +72,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     boilerplate); the verification step keeps results exact w.r.t. the
     remaining shingle space.
     """
-    docs = (df.select(F.col(id_col).alias("id"),
-                      word_shingles(F.col(text_col), k).alias("sh"))
+    docs = (_spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+            .select("id", word_shingles(F.col(text_col), k).alias("sh"))
             .where(F.size("sh") > 0)
             .select("id", "sh", F.size("sh").alias("n_sh")))
     inv = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
@@ -87,13 +97,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # ------------------------------------------------------------- MinHash LSH
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """num_hashes min-hashes; hash_i(s) = xxhash64(s, seed=i) — k
-    independent JVM-side hash families, no UDF."""
-    return F.array(*[
-        F.array_min(F.transform(
-            shingles, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    """num_hashes min-hashes via the Kirsch-Mitzenmacher construction:
+    h_i(s) = h1(s) + i*h2(s) over two xxhash64 bases — 2 real hashes per
+    shingle instead of num_hashes, all JVM-side, no UDF. Single pass
+    over the shingle array (element-wise running min via zip_with)."""
+    long_max = (1 << 63) - 1
+    init = F.array_repeat(F.lit(long_max).cast("long"), num_hashes)
+    idx = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
+
+    def merge(acc, s):
+        h1 = F.xxhash64(s)
+        h2 = F.xxhash64(s, F.lit(1))
+        hs = F.transform(idx, lambda i: h1 + i * h2)
+        return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+
+    return F.aggregate(shingles, init, merge)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -105,15 +123,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     bands=16 × rows=4 at threshold 0.8 → candidate-capture probability
     1-(1-t^4)^16 ≈ 0.986 at t=0.8, ≈0.9996 at t=0.9. Join key is
     (band, band_hash) → pure equi-join shuffle, sub-quadratic.
+
+    Scale shape: signatures are computed ONCE and persisted (the
+    self-join would otherwise recompute them per side); the band join
+    carries only (id, band, bh) — shingle arrays are re-attached only to
+    the few surviving candidate pairs for verification.
     """
     rows_per_band = num_hashes // bands
-    docs = (df.select(F.col(id_col).alias("id"),
-                      word_shingles(F.col(text_col), k).alias("sh"))
+    sigs = (_spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+            .select("id", word_shingles(F.col(text_col), k).alias("sh"))
             .where(F.size("sh") > 0)
             .select("id", "sh",
-                    minhash_signature(F.col("sh"), num_hashes).alias("sig")))
-    banded = docs.select(
-        "id", "sh",
+                    minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+            .persist())
+    banded = sigs.select(
+        "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(F.array_join(
@@ -122,19 +146,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                              lambda x: x.cast("string")), ",")).alias("bh"))
             for b in range(bands)
         ])).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bh")
-    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                      "band", "bh")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                      "band", "bh")
+    ).select("id", "bb.band", "bb.bh")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (a.join(b, ["band", "bh"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
+    sh_a = sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
-    return (cand.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    return (verified.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .orderBy("id_a", "id_b"))
 
@@ -147,17 +172,27 @@ def simhash64(tokens_col: Column, bits: int = 64) -> Column:
     aggregation over the token array — stays in codegen (shift amounts
     must be Python ints for shiftleft/shiftright, hence the per-bit
     loop)."""
-    def _bit_merge(j):
-        # bound via factory: F.aggregate requires an exactly-2-arg lambda
-        return lambda acc, t: acc + F.when(
-            F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1))
+    return _bits_to_long(_simhash_bitsums(tokens_col, bits), bits)
 
+
+def _simhash_bitsums(tokens_col: Column, bits: int = 64) -> Column:
+    def merge(acc, t):
+        # per-token ±1 vector for all bits at once; element-wise add —
+        # single pass over the token array
+        tok_bits = F.array(*[
+            F.when(F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+            for j in range(bits)])
+        return F.zip_with(acc, tok_bits, lambda a, b: a + b)
+
+    return F.aggregate(tokens_col, F.array_repeat(F.lit(0), bits), merge)
+
+
+def _bits_to_long(bit_sums: Column, bits: int = 64) -> Column:
     pieces = []
     for j in range(bits):
-        bit_sum = F.aggregate(tokens_col, F.lit(0), _bit_merge(j))
         mask = -(1 << 63) if j == 63 else (1 << j)
-        pieces.append(F.when(bit_sum > 0, F.lit(mask).cast("long"))
+        pieces.append(F.when(F.get(bit_sums, j) > 0, F.lit(mask).cast("long"))
                       .otherwise(F.lit(0).cast("long")))
     out = pieces[0]
     for p in pieces[1:]:
@@ -174,8 +209,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     chunks = max_hamming + 1
     width = 64 // chunks
     toks = F.split(normalize(F.col(text_col)), " ")
-    docs = df.select(F.col(id_col).alias("id"),
-                     simhash64(toks).alias("sim"))
+    # two projections so the bit-sum aggregate is computed once, not
+    # once per signature bit
+    docs = (_spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+            .select("id", _simhash_bitsums(toks).alias("bs"))
+            .select("id", _bits_to_long(F.col("bs")).alias("sim")))
     banded = docs.select(
         "id", "sim",
         F.explode(F.array(*[

@@ -31,6 +31,9 @@ def get_spark(app_name: str = "druid_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # read parquet TIMESTAMP(NANOS) as long; Catalog converts to timestamp
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Druid expression semantics: integer arithmetic wraps, bad casts
+        # yield null — Java/legacy behavior, not ANSI errors
+        .config("spark.sql.ansi.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
