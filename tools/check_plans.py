@@ -1,0 +1,130 @@
+"""Plan assertions: verify that compiled queries produce the physical
+plans we want at scale — filters pushed into the Parquet scan
+(PushedFilters), column pruning (ReadSchema), broadcast joins for small
+dims, whole-stage codegen coverage.
+
+Usage: python tools/check_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from druid_spark import DruidSparkEngine
+from druid_spark.session import get_spark
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("plans", cpus=8)
+    engine = DruidSparkEngine(spark, data_dir=sf_dir)
+    failures = []
+
+    def check(name, df, must_contain, must_not=()):
+        p = formatted(df)
+        for s in must_contain:
+            if s not in p:
+                failures.append(f"{name}: missing {s!r}")
+                print(f"FAIL {name}: plan missing {s!r}")
+                return
+        for s in must_not:
+            if s in p:
+                failures.append(f"{name}: unwanted {s!r}")
+                print(f"FAIL {name}: plan contains unwanted {s!r}")
+                return
+        print(f"PASS {name}")
+
+    # 1. filter pushdown reaches parquet
+    df = engine.query({
+        "queryType": "timeseries", "dataSource": "lineitem",
+        "granularity": "all",
+        "filter": {"type": "selector", "dimension": "l_returnflag",
+                   "value": "R"},
+        "aggregations": [{"type": "doubleSum", "name": "s",
+                          "fieldName": "l_extendedprice"}]})
+    check("filter_pushdown", df,
+          ["PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"])
+
+    # 2. column pruning: scan reads only needed columns
+    df = engine.query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "aggregations": [{"type": "doubleSum", "name": "s",
+                          "fieldName": "l_extendedprice"}]})
+    p = formatted(df)
+    if "l_extendedprice" in p and "l_partkey" not in p.split("ReadSchema")[1][:400]:
+        print("PASS column_pruning")
+    else:
+        failures.append("column_pruning")
+        print("FAIL column_pruning: scan reads unneeded columns")
+
+    # 3. interval filter → pushed time predicates
+    df = engine.query({
+        "queryType": "scan", "dataSource": "lineitem",
+        "columns": ["l_orderkey"],
+        "intervals": ["1996-01-01T00:00:00Z/1997-01-01T00:00:00Z"]})
+    # Catalyst rewrites the __time alias back to the physical l_shipdate
+    # column — the interval reaches the scan as a pushed range predicate
+    check("interval_pushdown", df, ["GreaterThanOrEqual(l_shipdate,1996-01-01",
+                                    "LessThan(l_shipdate,1997-01-01"])
+
+    # 4. small dim join goes broadcast
+    df = engine.query({
+        "queryType": "groupBy",
+        "dataSource": {"type": "join", "left": "lineitem",
+                       "right": {"type": "table", "name": "supplier"},
+                       "rightPrefix": "j0.",
+                       "condition": 'l_suppkey == "j0.s_suppkey"',
+                       "joinType": "INNER"},
+        "granularity": "all",
+        "dimensions": [{"type": "default", "dimension": "j0.s_name",
+                        "outputName": "s_name"}],
+        "aggregations": [{"type": "count", "name": "n"}]})
+    check("broadcast_join", df, ["BroadcastHashJoin"], ["SortMergeJoin"])
+
+    # 5. partial aggregation before shuffle (map-side combine)
+    df = engine.query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "aggregations": [{"type": "count", "name": "n"}]})
+    p = plan_of(df)
+    if p.count("HashAggregate") >= 2:
+        print("PASS partial_agg")
+    else:
+        failures.append("partial_agg")
+        print("FAIL partial_agg")
+
+    # 6. order+limit → TakeOrderedAndProject (no global sort)
+    df = engine.query({
+        "queryType": "topN", "dataSource": "lineitem",
+        "dimension": "l_suppkey", "metric": "s", "threshold": 10,
+        "granularity": "all",
+        "aggregations": [{"type": "doubleSum", "name": "s",
+                          "fieldName": "l_extendedprice"}]})
+    check("topn_take_ordered", df, ["TakeOrderedAndProject"])
+
+    # 7. whole-stage codegen present on the agg path
+    df = engine.query({
+        "queryType": "timeseries", "dataSource": "lineitem",
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "n"}]})
+    check("codegen", df, ["codegen id"])
+
+    print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
