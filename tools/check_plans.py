@@ -120,7 +120,12 @@ def main():
         "queryType": "timeseries", "dataSource": "lineitem",
         "granularity": "all",
         "aggregations": [{"type": "count", "name": "n"}]})
-    check("codegen", df, ["codegen id"])
+    df.count()  # AQE finalizes the plan (and codegen ids) at execution
+    if "WholeStageCodegen" in plan_of(df):
+        print("PASS codegen")
+    else:
+        failures.append("codegen")
+        print("FAIL codegen")
 
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
