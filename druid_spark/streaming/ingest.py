@@ -1,0 +1,178 @@
+"""Streaming ingestion: continuous append into a queryable table.
+
+Druid's streaming model (SURVEY §2.10) is supervised consumer tasks
+appending to an in-memory queryable buffer, periodically persisted and
+handed off to historical storage
+(idx/seekablestream/supervisor/SeekableStreamSupervisor.java:159,
+server/.../realtime/appenderator/StreamAppenderator.java:119).
+
+Spark mapping (SURVEY §7.3.7 design):
+- the supervisor = a Structured Streaming query + checkpoint dir
+  (offsets tracked by the engine — Druid keeps them in its metadata
+  store, SeekableStreamStartSequenceNumbers.java)
+- exactly-once = checkpoint + file-sink transactional commit log
+  (Druid: SegmentTransactionalInsertAction.java:56)
+- queryable tail + historical = `tail/` parquet appended per
+  micro-batch, `history/` owned by the compactor; reads see
+  history ∪ tail (the handoff state machine without custom machinery)
+- late-message rejection (SeekableStreamSupervisorIOConfig.java:60
+  lateMessageRejectionPeriod) = withWatermark + an explicit filter
+  (rejection is a filter, not just state GC)
+- ingest-time rollup = windowed groupBy with watermark, append mode.
+
+Kafka: `source={"type": "kafka", ...}` compiles to
+readStream.format("kafka") with the usual options; tests use file and
+rate sources since no broker ships in this container.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from druid_spark import granularity as G
+from druid_spark.aggregations import AggCompiler
+from druid_spark.ingest.batch import apply_transform_spec
+
+
+def read_stream(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
+    st = source["type"]
+    if st == "kafka":
+        reader = (spark.readStream.format("kafka")
+                  .option("kafka.bootstrap.servers",
+                          source["consumerProperties"]["bootstrap.servers"])
+                  .option("subscribe", source["topic"])
+                  .option("startingOffsets",
+                          source.get("startingOffsets", "latest")))
+        raw = reader.load()
+        # value bytes → json columns via the provided schema
+        schema = source.get("valueSchema")
+        if schema:
+            return raw.select(
+                F.from_json(F.col("value").cast("string"), schema).alias("v")
+            ).select("v.*")
+        return raw
+    if st == "file":
+        fmt = source.get("format", "json")
+        reader = spark.readStream.schema(source["schema"])
+        if fmt == "json":
+            return reader.json(source["path"])
+        if fmt == "csv":
+            return reader.option("header", "true").csv(source["path"])
+        if fmt == "parquet":
+            return reader.parquet(source["path"])
+        raise NotImplementedError(fmt)
+    if st == "rate":
+        return (spark.readStream.format("rate")
+                .option("rowsPerSecond", source.get("rowsPerSecond", 100))
+                .load())
+    raise NotImplementedError(f"stream source {st}")
+
+
+class StreamingIngest:
+    def __init__(self, spark: SparkSession, base_dir: str, datasource: str):
+        self.spark = spark
+        self.base = os.path.join(base_dir, datasource)
+        self.tail = os.path.join(self.base, "tail")
+        self.history = os.path.join(self.base, "history")
+        self.checkpoint = os.path.join(self.base, "_checkpoint")
+        os.makedirs(self.tail, exist_ok=True)
+        os.makedirs(self.history, exist_ok=True)
+
+    def start(self, stream: DataFrame, time_column: str = "timestamp",
+              transform_spec: dict | None = None,
+              late_rejection: str | None = None,
+              trigger: dict | None = None):
+        """Append raw (non-rollup) events to the tail area."""
+        df = stream.withColumn("__time", F.col(time_column))
+        df = apply_transform_spec(df, transform_spec)
+        if late_rejection:
+            df = df.withWatermark("__time", late_rejection)
+            # rejection, not just state GC: drop rows older than the
+            # period relative to processing time
+            df = df.where(
+                F.col("__time") >=
+                F.current_timestamp() - F.expr(f"INTERVAL {late_rejection}"))
+        writer = (df.writeStream
+                  .foreachBatch(self._batch_writer())
+                  .option("checkpointLocation", self.checkpoint)
+                  .outputMode("append"))
+        writer = _with_trigger(writer, trigger)
+        return writer.start()
+
+    def _batch_writer(self):
+        """foreachBatch sink: each micro-batch lands in its own
+        batch=<id> dir with overwrite mode → idempotent on retry
+        (exactly-once = checkpoint offsets + idempotent write; the
+        analog of Druid's transactional segment publish with offsets,
+        SegmentTransactionalInsertAction.java:56). Plain parquet dirs —
+        no sink commit log — so handoff can move files freely."""
+        tail = self.tail
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(tail, f"batch={batch_id}"))
+
+        return write_batch
+
+    def start_rollup(self, stream: DataFrame, dims: list[str],
+                     metrics: list[dict], query_granularity: Any = "minute",
+                     time_column: str = "timestamp",
+                     watermark: str = "10 minutes",
+                     trigger: dict | None = None):
+        """Ingest-time rollup: watermarked window groupBy, append-mode
+        (buckets emit once the watermark passes — the micro-persist of
+        IncrementalIndex rollup)."""
+        df = (stream.withColumn("__time", F.col(time_column))
+              .withWatermark("__time", watermark))
+        gran_ms = {"second": "1 second", "minute": "1 minute",
+                   "hour": "1 hour", "day": "1 day"}[query_granularity]
+        keys = [F.window("__time", gran_ms).alias("__w")] + \
+            [F.col(d) for d in dims]
+        aggs = AggCompiler(F.col).compile_all(metrics) or \
+            [F.count(F.lit(1)).alias("count")]
+        rolled = (df.groupBy(*keys).agg(*aggs)
+                  .withColumn("__time", F.col("__w.start")).drop("__w"))
+        writer = (rolled.writeStream
+                  .foreachBatch(self._batch_writer())
+                  .option("checkpointLocation", self.checkpoint)
+                  .outputMode("append"))
+        writer = _with_trigger(writer, trigger)
+        return writer.start()
+
+    def view(self) -> DataFrame:
+        """Queryable union of historical ∪ tail (Druid: broker merging
+        historical + realtime segments for one datasource)."""
+        parts = []
+        for p in (self.history, self.tail):
+            if any(f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs):
+                parts.append(self.spark.read
+                             .option("recursiveFileLookup", "true").parquet(p))
+        if not parts:
+            raise ValueError("no data ingested yet")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def handoff(self) -> None:
+        """Promote tail files into history (compaction/handoff:
+        StreamAppenderator.java persist→merge→push cycle). Idempotent:
+        a file is moved exactly once; the streaming checkpoint keeps
+        exactly-once on the write side."""
+        import shutil
+        for fn in os.listdir(self.tail):
+            if fn.startswith("batch="):
+                dest = os.path.join(self.history, fn)
+                if os.path.exists(dest):
+                    shutil.rmtree(dest)
+                shutil.move(os.path.join(self.tail, fn), dest)
+
+
+def _with_trigger(writer, trigger: dict | None):
+    if trigger:
+        return writer.trigger(**trigger)
+    return writer.trigger(availableNow=True)

@@ -1,0 +1,183 @@
+"""Batch + streaming ingestion tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from druid_spark.ingest.batch import (TableService, apply_timestamp_spec,
+                                      run_ingestion)
+
+
+@pytest.fixture()
+def warehouse(tmp_path, spark):
+    return TableService(spark, str(tmp_path / "wh"))
+
+
+def _inline_json_spec(rollup=False, intervals=None):
+    rows = [
+        {"timestamp": "2024-03-01T00:05:00Z", "page": "a", "user": "u1", "n": 1},
+        {"timestamp": "2024-03-01T10:00:00Z", "page": "a", "user": "u2", "n": 2},
+        {"timestamp": "2024-03-02T00:00:00Z", "page": "b", "user": "u1", "n": 3},
+        {"timestamp": "2024-03-05T00:00:00Z", "page": "b", "user": "u3", "n": 4},
+    ]
+    gran = {"segmentGranularity": "day", "queryGranularity": "day",
+            "rollup": rollup}
+    if intervals:
+        gran["intervals"] = intervals
+    return {
+        "type": "index_parallel",
+        "spec": {
+            "ioConfig": {
+                "inputSource": {"type": "inline",
+                                "data": "\n".join(json.dumps(r) for r in rows)},
+                "inputFormat": {"type": "json"},
+            },
+            "dataSchema": {
+                "dataSource": "wiki",
+                "timestampSpec": {"column": "timestamp", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["page"]},
+                "metricsSpec": [
+                    {"type": "count", "name": "count"},
+                    {"type": "longSum", "name": "n_sum", "fieldName": "n"}],
+                "granularitySpec": gran,
+                "transformSpec": {
+                    "transforms": [{"type": "expression", "name": "page_up",
+                                    "expression": "upper(page)"}]},
+            },
+        },
+    }
+
+
+def test_batch_ingestion_no_rollup(spark, warehouse):
+    name = run_ingestion(spark, _inline_json_spec(rollup=False), warehouse)
+    df = warehouse.table(name)
+    assert df.count() == 4
+    assert "__time" in df.columns
+    # partitioned by day → 3 partitions on disk
+    dirs = [d for d in os.listdir(warehouse.path("wiki")) if d.startswith("__dt=")]
+    assert len(dirs) == 3
+
+
+def test_batch_ingestion_rollup(spark, warehouse):
+    name = run_ingestion(spark, _inline_json_spec(rollup=True), warehouse)
+    df = warehouse.table(name)
+    rows = {(r["page"], str(r["__time"])[:10]): r for r in df.collect()}
+    # 2024-03-01 page a: two events rolled into one row
+    r = rows[("a", "2024-03-01")]
+    assert r["count"] == 2 and r["n_sum"] == 3
+
+
+def test_replace_by_interval(spark, warehouse):
+    """REPLACE: second ingest overwrites only the partitions it covers."""
+    run_ingestion(spark, _inline_json_spec(), warehouse)
+    before = warehouse.table("wiki").count()
+    assert before == 4
+    # re-ingest only 2024-03-02 data with different rows
+    spec = _inline_json_spec()
+    spec["spec"]["ioConfig"]["inputSource"]["data"] = json.dumps(
+        {"timestamp": "2024-03-02T12:00:00Z", "page": "z", "user": "u9", "n": 9})
+    run_ingestion(spark, spec, warehouse)
+    df = warehouse.table("wiki")
+    assert df.count() == 4  # 3 untouched + 1 replaced partition row
+    pages = {r["page"] for r in df.collect()}
+    assert "z" in pages and "b" in pages  # 03-05 'b' survives; 03-02 'b' gone
+
+
+def test_timestamp_spec_millis(spark):
+    df = spark.createDataFrame([(1700000000000,)], ["t"])
+    out = apply_timestamp_spec(df, {"column": "t", "format": "millis"})
+    assert str(out.collect()[0]["__time"]).startswith("2023-11-14")
+
+
+def test_csv_input(spark, warehouse, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("ts,dim,val\n2024-01-01T00:00:00Z,x,5\n2024-01-01T01:00:00Z,y,6\n")
+    spec = {
+        "ioConfig": {
+            "inputSource": {"type": "local", "files": [str(p)]},
+            "inputFormat": {"type": "csv", "findColumnsFromHeader": True}},
+        "dataSchema": {
+            "dataSource": "csvsrc",
+            "timestampSpec": {"column": "ts", "format": "iso"},
+            "dimensionsSpec": {"dimensions": ["dim"]},
+            "metricsSpec": [{"type": "count", "name": "count"}],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "hour", "rollup": True}},
+    }
+    run_ingestion(spark, spec, warehouse)
+    assert warehouse.table("csvsrc").count() == 2
+
+
+def test_streaming_file_ingest(spark, tmp_path):
+    from druid_spark.streaming.ingest import StreamingIngest, read_stream
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType())])
+    (src_dir / "batch1.json").write_text("\n".join(
+        json.dumps({"timestamp": f"2024-05-01T00:0{i}:00.000Z",
+                    "k": "a" if i % 2 else "b", "v": i})
+        for i in range(6)))
+
+    stream = read_stream(spark, {"type": "file", "format": "json",
+                                 "path": str(src_dir), "schema": schema})
+    ing = StreamingIngest(spark, str(tmp_path / "swh"), "clicks")
+    q = ing.start(stream, time_column="timestamp")
+    q.awaitTermination(60)
+    view = ing.view()
+    assert view.count() == 6
+
+    # handoff moves tail → history; union view unchanged
+    ing.handoff()
+    assert ing.view().count() == 6
+
+    # second micro-batch lands only new files (exactly-once via checkpoint)
+    (src_dir / "batch2.json").write_text(
+        json.dumps({"timestamp": "2024-05-01T01:00:00.000Z", "k": "a", "v": 10}))
+    q = ing.start(stream, time_column="timestamp")
+    q.awaitTermination(60)
+    assert ing.view().count() == 7
+
+
+def test_streaming_rollup(spark, tmp_path):
+    from druid_spark.streaming.ingest import StreamingIngest, read_stream
+
+    src_dir = tmp_path / "stream_in2"
+    src_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType())])
+    (src_dir / "b1.json").write_text("\n".join(
+        json.dumps({"timestamp": f"2024-05-01T00:00:{s:02d}.000Z",
+                    "k": "a", "v": 1}) for s in range(10)))
+
+    stream = read_stream(spark, {"type": "file", "format": "json",
+                                 "path": str(src_dir), "schema": schema})
+    ing = StreamingIngest(spark, str(tmp_path / "swh2"), "rolled")
+    q = ing.start_rollup(stream, dims=["k"],
+                         metrics=[{"type": "count", "name": "count"},
+                                  {"type": "longSum", "name": "v_sum",
+                                   "fieldName": "v"}],
+                         query_granularity="minute")
+    q.awaitTermination(120)
+    # append-mode emits only watermark-closed windows; with availableNow
+    # + a single batch the window may still be open → a second batch
+    # with later data closes it
+    (src_dir / "b2.json").write_text(
+        json.dumps({"timestamp": "2024-05-01T01:00:00.000Z", "k": "a", "v": 1}))
+    q = ing.start_rollup(stream, dims=["k"],
+                         metrics=[{"type": "count", "name": "count"},
+                                  {"type": "longSum", "name": "v_sum",
+                                   "fieldName": "v"}],
+                         query_granularity="minute")
+    q.awaitTermination(120)
+    rows = {str(r["__time"]): r for r in ing.view().collect()}
+    first = rows.get("2024-05-01 00:00:00")
+    assert first is not None and first["count"] == 10 and first["v_sum"] == 10
