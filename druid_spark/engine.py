@@ -85,13 +85,39 @@ class DruidSparkEngine:
         return dispatch[qt](self, q)
 
     def sql(self, text: str) -> DataFrame:
-        """Druid-flavoured SQL: register tables as views + druid function
-        names, then let Spark SQL run it (SURVEY §3.1 — steps 2-8 are
-        Catalyst built-ins)."""
+        """Druid-flavoured SQL: register tables as views + the Druid
+        function surface (SQL UDFs, Catalyst-inlined), rewrite the
+        aggregate-layer names, then let Spark SQL run it (SURVEY §3.1 —
+        steps 2-8 are Catalyst built-ins)."""
+        from druid_spark.functions.register import register_druid_functions
         from druid_spark.functions.sqlshim import rewrite_druid_sql
+        if not getattr(self, "_fns_registered", False):
+            register_druid_functions(self.spark)
+            self._fns_registered = True
         for name in self.catalog.tables():
             self.catalog.table(name).createOrReplaceTempView(name)
         return self.spark.sql(rewrite_druid_sql(text))
+
+    def create_system_views(self) -> None:
+        """INFORMATION_SCHEMA / sys analogs
+        (sql/calcite/schema/InformationSchema.java, SystemSchema.java:105)."""
+        rows_t, rows_c = [], []
+        for t in self.catalog.tables():
+            df = self.catalog.table(t)
+            rows_t.append(("druid", "druid", t, "TABLE"))
+            for i, f in enumerate(df.schema.fields):
+                rows_c.append(("druid", "druid", t, f.name, i + 1,
+                               f.dataType.simpleString().upper(),
+                               "YES" if f.nullable else "NO"))
+        self.spark.createDataFrame(
+            rows_t, ["TABLE_CATALOG", "TABLE_SCHEMA", "TABLE_NAME",
+                     "TABLE_TYPE"]).createOrReplaceTempView(
+            "information_schema_tables")
+        self.spark.createDataFrame(
+            rows_c, ["TABLE_CATALOG", "TABLE_SCHEMA", "TABLE_NAME",
+                     "COLUMN_NAME", "ORDINAL_POSITION", "DATA_TYPE",
+                     "IS_NULLABLE"]).createOrReplaceTempView(
+            "information_schema_columns")
 
     # ---------------------------------------------------- datasources
     def resolve(self, ds: Any) -> DataFrame:

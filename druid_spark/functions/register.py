@@ -1,0 +1,177 @@
+"""Register Druid's SQL function surface as Spark SQL-defined UDFs.
+
+Reference: sql/calcite/planner/DruidOperatorTable.java (operator
+registrations, lines 190-423). SQL UDFs (CREATE TEMPORARY FUNCTION ...
+RETURN expr) are inlined by Catalyst — zero runtime overhead, full
+codegen, no Python in the data path.
+
+Names that collide with Spark builtins of identical semantics (ABS,
+CONCAT, LOWER, ROUND, ARRAY_CONTAINS, ...) need nothing. Collisions
+with *different* semantics (REGEXP_EXTRACT's default group, Druid
+ARRAY_PREPEND's (value, arr) arg order) cannot be shadowed — the text
+rewriter in sqlshim.py handles those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# period → (date_trunc unit); the fixed-width fallback handles PT<n>X/P<n>D
+_TRUNC_CASE = """
+  CASE p
+    WHEN 'PT1S' THEN date_trunc('second', ts)
+    WHEN 'PT1M' THEN date_trunc('minute', ts)
+    WHEN 'PT1H' THEN date_trunc('hour', ts)
+    WHEN 'P1D' THEN date_trunc('day', ts)
+    WHEN 'P1W' THEN date_trunc('week', ts)
+    WHEN 'P1M' THEN date_trunc('month', ts)
+    WHEN 'P3M' THEN date_trunc('quarter', ts)
+    WHEN 'P1Y' THEN date_trunc('year', ts)
+    ELSE timestamp_millis(cast(floor(unix_millis(ts) / {dur}) * {dur} AS BIGINT))
+  END
+"""
+
+_DUR_MS = """
+  CASE
+    WHEN p RLIKE '^PT[0-9]+S$' THEN cast(regexp_extract(p, 'PT([0-9]+)S', 1) AS BIGINT) * 1000
+    WHEN p RLIKE '^PT[0-9]+M$' THEN cast(regexp_extract(p, 'PT([0-9]+)M', 1) AS BIGINT) * 60000
+    WHEN p RLIKE '^PT[0-9]+H$' THEN cast(regexp_extract(p, 'PT([0-9]+)H', 1) AS BIGINT) * 3600000
+    WHEN p RLIKE '^P[0-9]+D$' THEN cast(regexp_extract(p, 'P([0-9]+)D', 1) AS BIGINT) * 86400000
+    ELSE 86400000
+  END
+"""
+
+_TIME_FLOOR_BODY = _TRUNC_CASE.format(dur=f"({_DUR_MS})")
+
+_FUNCS: list[tuple[str, str, str, str]] = [
+    # (name, args, return type, body)
+    ("TIME_FLOOR", "ts TIMESTAMP, p STRING", "TIMESTAMP", _TIME_FLOOR_BODY),
+    ("TIME_CEIL", "ts TIMESTAMP, p STRING", "TIMESTAMP",
+     f"CASE WHEN ({_TIME_FLOOR_BODY}) = ts THEN ts ELSE "
+     f"timestamp_millis(unix_millis({_TIME_FLOOR_BODY}) + ({_DUR_MS})) END"),
+    ("TIME_SHIFT", "ts TIMESTAMP, p STRING, n INT", "TIMESTAMP",
+     f"timestamp_millis(unix_millis(ts) + n * ({_DUR_MS}))"),
+    ("TIME_EXTRACT", "ts TIMESTAMP, unit STRING", "BIGINT", """
+      CASE upper(unit)
+        WHEN 'EPOCH' THEN unix_timestamp(ts)
+        WHEN 'MILLISECOND' THEN unix_millis(ts) % 1000
+        WHEN 'SECOND' THEN second(ts) WHEN 'MINUTE' THEN minute(ts)
+        WHEN 'HOUR' THEN hour(ts) WHEN 'DAY' THEN day(ts)
+        WHEN 'DOW' THEN dayofweek(ts) WHEN 'DOY' THEN dayofyear(ts)
+        WHEN 'WEEK' THEN weekofyear(ts) WHEN 'MONTH' THEN month(ts)
+        WHEN 'QUARTER' THEN quarter(ts) WHEN 'YEAR' THEN year(ts)
+      END"""),
+    ("TIME_FORMAT", "ts TIMESTAMP, pat STRING", "STRING",
+     "date_format(ts, pat)"),
+    ("TIME_PARSE", "s STRING", "TIMESTAMP",
+     "to_timestamp(replace(s, 'T', ' '))"),
+    ("TIME_IN_INTERVAL", "ts TIMESTAMP, iv STRING", "BOOLEAN", """
+      ts >= to_timestamp(replace(split_part(iv, '/', 1), 'T', ' '))
+      AND ts < to_timestamp(replace(split_part(iv, '/', 2), 'T', ' '))"""),
+    ("TIMESTAMP_TO_MILLIS", "ts TIMESTAMP", "BIGINT", "unix_millis(ts)"),
+    ("MILLIS_TO_TIMESTAMP", "ms BIGINT", "TIMESTAMP", "timestamp_millis(ms)"),
+    ("SAFE_DIVIDE", "a DOUBLE, b DOUBLE", "DOUBLE",
+     "CASE WHEN b = 0 THEN NULL ELSE a / b END"),
+    ("STRPOS", "h STRING, n STRING", "INT", "instr(h, n)"),
+    ("TEXTCAT", "a STRING, b STRING", "STRING", "concat(a, b)"),
+    ("CONTAINS_STRING", "s STRING, sub STRING", "BOOLEAN",
+     "contains(s, sub)"),
+    ("ICONTAINS_STRING", "s STRING, sub STRING", "BOOLEAN",
+     "contains(lower(s), lower(sub))"),
+    ("STRING_FORMAT", "pat STRING, a STRING", "STRING",
+     "format_string(pat, a)"),
+    ("PARSE_LONG", "s STRING", "BIGINT", "cast(s AS BIGINT)"),
+    ("DECODE_BASE64_UTF8", "s STRING", "STRING",
+     "cast(unbase64(s) AS STRING)"),
+    ("HUMAN_READABLE_BINARY_BYTE_FORMAT", "n BIGINT", "STRING", """
+      CASE WHEN abs(n) < 1024 THEN concat(n, ' B')
+           WHEN abs(n) < 1048576 THEN concat(round(n / 1024.0, 2), ' KiB')
+           WHEN abs(n) < 1073741824 THEN concat(round(n / 1048576.0, 2), ' MiB')
+           ELSE concat(round(n / 1073741824.0, 2), ' GiB') END"""),
+    ("HUMAN_READABLE_DECIMAL_BYTE_FORMAT", "n BIGINT", "STRING", """
+      CASE WHEN abs(n) < 1000 THEN concat(n, ' B')
+           WHEN abs(n) < 1000000 THEN concat(round(n / 1000.0, 2), ' KB')
+           WHEN abs(n) < 1000000000 THEN concat(round(n / 1000000.0, 2), ' MB')
+           ELSE concat(round(n / 1000000000.0, 2), ' GB') END"""),
+    ("HUMAN_READABLE_DECIMAL_FORMAT", "n BIGINT", "STRING", """
+      CASE WHEN abs(n) < 1000 THEN cast(n AS STRING)
+           WHEN abs(n) < 1000000 THEN concat(round(n / 1000.0, 2), ' K')
+           WHEN abs(n) < 1000000000 THEN concat(round(n / 1000000.0, 2), ' M')
+           ELSE concat(round(n / 1000000000.0, 2), ' B') END"""),
+    # arrays / MVDs (Druid names; Spark-colliding identical ones omitted)
+    ("ARRAY_LENGTH", "arr ARRAY<STRING>", "INT", "size(arr)"),
+    ("MV_LENGTH", "arr ARRAY<STRING>", "INT", "size(arr)"),
+    ("ARRAY_OFFSET", "arr ARRAY<STRING>, i INT", "STRING", "get(arr, i)"),
+    ("MV_OFFSET", "arr ARRAY<STRING>, i INT", "STRING", "get(arr, i)"),
+    ("ARRAY_ORDINAL", "arr ARRAY<STRING>, i INT", "STRING",
+     "get(arr, i - 1)"),
+    ("MV_ORDINAL", "arr ARRAY<STRING>, i INT", "STRING", "get(arr, i - 1)"),
+    ("ARRAY_OFFSET_OF", "arr ARRAY<STRING>, v STRING", "INT",
+     "CASE WHEN array_position(arr, v) > 0 THEN cast(array_position(arr, v) - 1 AS INT) END"),
+    ("ARRAY_ORDINAL_OF", "arr ARRAY<STRING>, v STRING", "INT",
+     "CASE WHEN array_position(arr, v) > 0 THEN cast(array_position(arr, v) AS INT) END"),
+    ("ARRAY_OVERLAP", "a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN",
+     "arrays_overlap(a, b)"),
+    ("MV_OVERLAP", "a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN",
+     "arrays_overlap(a, b)"),
+    ("MV_CONTAINS", "arr ARRAY<STRING>, v STRING", "BOOLEAN",
+     "array_contains(arr, v)"),
+    ("ARRAY_SLICE", "arr ARRAY<STRING>, s INT, e INT", "ARRAY<STRING>",
+     "slice(arr, s + 1, e - s)"),
+    ("MV_SLICE", "arr ARRAY<STRING>, s INT, e INT", "ARRAY<STRING>",
+     "slice(arr, s + 1, e - s)"),
+    ("ARRAY_TO_STRING", "arr ARRAY<STRING>, sep STRING", "STRING",
+     "array_join(arr, sep)"),
+    ("MV_TO_STRING", "arr ARRAY<STRING>, sep STRING", "STRING",
+     "array_join(arr, sep)"),
+    ("STRING_TO_ARRAY", "s STRING, sep STRING", "ARRAY<STRING>",
+     "split(s, concat('\\\\Q', sep, '\\\\E'))"),
+    ("STRING_TO_MV", "s STRING, sep STRING", "ARRAY<STRING>",
+     "split(s, concat('\\\\Q', sep, '\\\\E'))"),
+    ("MV_TO_ARRAY", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
+    ("ARRAY_TO_MV", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
+    ("SCALAR_IN_ARRAY", "v STRING, arr ARRAY<STRING>", "BOOLEAN",
+     "array_contains(arr, v)"),
+    ("ARRAY_QUANTILE", "arr ARRAY<DOUBLE>, q DOUBLE", "DOUBLE", """
+      CASE WHEN size(arr) > 0 THEN
+        get(array_sort(arr), cast(floor(q * (size(arr) - 1)) AS INT))
+      END"""),
+    # json
+    ("JSON_VALUE", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
+    ("JSON_QUERY", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
+    ("JSON_KEYS", "j STRING, p STRING", "ARRAY<STRING>",
+     "json_object_keys(get_json_object(j, p))"),
+    # (TRY_PARSE_JSON / PARSE_JSON are Spark builtins — variant-typed)
+    ("TO_JSON_STRING", "j STRING", "STRING", "j"),
+    # bitwise (Druid SQL names)
+    ("BITWISE_AND", "a BIGINT, b BIGINT", "BIGINT", "a & b"),
+    ("BITWISE_OR", "a BIGINT, b BIGINT", "BIGINT", "a | b"),
+    ("BITWISE_XOR", "a BIGINT, b BIGINT", "BIGINT", "a ^ b"),
+    ("BITWISE_COMPLEMENT", "a BIGINT", "BIGINT", "~a"),
+    ("BITWISE_SHIFT_LEFT", "a BIGINT, n INT", "BIGINT", "shiftleft(a, n)"),
+    ("BITWISE_SHIFT_RIGHT", "a BIGINT, n INT", "BIGINT", "shiftright(a, n)"),
+    ("BITWISE_CONVERT_DOUBLE_TO_LONG_BITS", "a DOUBLE", "BIGINT",
+     "cast(a AS BIGINT)"),
+    # ipv4
+    ("IPV4_PARSE", "s STRING", "BIGINT", """
+      cast(split_part(s, '.', 1) AS BIGINT) * 16777216 +
+      cast(split_part(s, '.', 2) AS BIGINT) * 65536 +
+      cast(split_part(s, '.', 3) AS BIGINT) * 256 +
+      cast(split_part(s, '.', 4) AS BIGINT)"""),
+    ("IPV4_STRINGIFY", "n BIGINT", "STRING", """
+      concat(cast((n div 16777216) % 256 AS STRING), '.',
+             cast((n div 65536) % 256 AS STRING), '.',
+             cast((n div 256) % 256 AS STRING), '.',
+             cast(n % 256 AS STRING))"""),
+]
+
+
+def register_druid_functions(spark: SparkSession) -> int:
+    """Idempotently register the surface; returns count registered."""
+    n = 0
+    for name, args, ret, body in _FUNCS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS {ret} RETURN {body}")
+        n += 1
+    return n

@@ -1,0 +1,109 @@
+"""Druid SQL surface on Spark SQL (M5): function registry + rewriter +
+information schema."""
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(engine):
+    from druid_spark.functions.register import register_druid_functions
+    assert register_druid_functions(engine.spark) > 40
+    engine.create_system_views()
+
+
+def one(engine, expr, **kw):
+    return engine.sql(f"SELECT {expr} AS x").collect()[0]["x"]
+
+
+def test_time_functions(engine):
+    assert str(one(engine, "TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'P1D')")) \
+        == "2024-03-15 00:00:00"
+    assert str(one(engine, "TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'PT15M')")) \
+        == "2024-03-15 13:45:00"
+    assert str(one(engine, "TIME_CEIL(TIMESTAMP '2024-03-15 13:00:00', 'PT1H')")) \
+        == "2024-03-15 13:00:00"
+    assert str(one(engine, "TIME_CEIL(TIMESTAMP '2024-03-15 13:00:01', 'PT1H')")) \
+        == "2024-03-15 14:00:00"
+    assert str(one(engine, "TIME_SHIFT(TIMESTAMP '2024-03-15 00:00:00', 'P1D', -2)")) \
+        == "2024-03-13 00:00:00"
+    assert one(engine, "TIME_EXTRACT(TIMESTAMP '2024-03-15 13:47:21', 'HOUR')") == 13
+    assert one(engine, "TIME_IN_INTERVAL(TIMESTAMP '2024-03-15 00:00:00', "
+               "'2024-03-01T00:00:00/2024-04-01T00:00:00')") is True
+    assert one(engine, "TIMESTAMP_TO_MILLIS(MILLIS_TO_TIMESTAMP(1700000000000))") \
+        == 1700000000000
+
+
+def test_string_functions(engine):
+    assert one(engine, "STRPOS('abcdef', 'cd')") == 3
+    assert one(engine, "TEXTCAT('a', 'b')") == "ab"
+    assert one(engine, "CONTAINS_STRING('hello', 'ell')") is True
+    assert one(engine, "ICONTAINS_STRING('HeLLo', 'hell')") is True
+    assert one(engine, "PARSE_LONG('42')") == 42
+    assert one(engine, "SAFE_DIVIDE(10.0, 0.0)") is None
+    assert one(engine, "DECODE_BASE64_UTF8('aGVsbG8=')") == "hello"
+    assert one(engine, "HUMAN_READABLE_BINARY_BYTE_FORMAT(1536)") == "1.50 KiB"
+
+
+def test_array_mv_functions(engine):
+    assert one(engine, "ARRAY_LENGTH(ARRAY('a','b','c'))") == 3
+    assert one(engine, "MV_OFFSET(ARRAY('a','b','c'), 1)") == "b"
+    assert one(engine, "ARRAY_ORDINAL(ARRAY('a','b','c'), 1)") == "a"
+    assert one(engine, "ARRAY_OFFSET_OF(ARRAY('a','b','c'), 'b')") == 1
+    assert one(engine, "ARRAY_OFFSET_OF(ARRAY('a'), 'z')") is None
+    assert one(engine, "MV_CONTAINS(ARRAY('a','b'), 'a')") is True
+    assert one(engine, "ARRAY_OVERLAP(ARRAY('a'), ARRAY('a','z'))") is True
+    assert one(engine, "ARRAY_SLICE(ARRAY('a','b','c','d'), 1, 3)") == ["b", "c"]
+    assert one(engine, "ARRAY_TO_STRING(ARRAY('a','b'), '-')") == "a-b"
+    assert one(engine, "STRING_TO_ARRAY('a.b.c', '.')") == ["a", "b", "c"]
+    assert one(engine, "ARRAY_QUANTILE(ARRAY(1.0d, 2.0d, 3.0d, 4.0d), 0.5)") == 2.0
+    assert one(engine, "SCALAR_IN_ARRAY('x', ARRAY('x','y'))") is True
+
+
+def test_json_bitwise_ip(engine):
+    assert one(engine, """JSON_VALUE('{"k": 69}', '$.k')""") == "69"
+    assert one(engine, "BITWISE_AND(12, 10)") == 8
+    assert one(engine, "BITWISE_SHIFT_LEFT(1, 4)") == 16
+    assert one(engine, "IPV4_PARSE('192.168.0.1')") == 3232235521
+    assert one(engine, "IPV4_STRINGIFY(3232235521)") == "192.168.0.1"
+
+
+def test_aggregate_rewrites(engine):
+    rows = engine.sql("""
+        SELECT event_type,
+               EARLIEST(value) AS first_v,
+               LATEST(value) AS last_v,
+               APPROX_COUNT_DISTINCT_DS_HLL(user_id) AS approx_users
+        FROM events GROUP BY event_type ORDER BY event_type LIMIT 2
+    """).collect()
+    assert len(rows) == 2
+    assert rows[0]["approx_users"] > 0
+
+
+def test_regexp_extract_druid_semantics(engine):
+    assert one(engine, "REGEXP_EXTRACT('abc123', '[0-9]+')") == "123"
+    assert one(engine, "REGEXP_EXTRACT('abcdef', '[0-9]+')") is None
+
+
+def test_full_druid_sql_query(engine):
+    rows = engine.sql("""
+        SELECT TIME_FLOOR(__time, 'P1D') AS d,
+               event_type,
+               COUNT(*) AS n,
+               SAFE_DIVIDE(SUM(value), COUNT(*)) AS avg_v
+        FROM events
+        WHERE TIME_IN_INTERVAL(__time,
+              '2024-01-01T00:00:00/2024-01-08T00:00:00')
+          AND ICONTAINS_STRING(event_type, 'C')
+        GROUP BY 1, 2 ORDER BY d, event_type
+    """).collect()
+    assert rows
+    assert all("c" in r["event_type"] for r in rows)
+
+
+def test_information_schema(engine):
+    rows = engine.sql("""
+        SELECT COLUMN_NAME, DATA_TYPE FROM information_schema_columns
+        WHERE TABLE_NAME = 'events' ORDER BY ORDINAL_POSITION
+    """).collect()
+    names = [r["COLUMN_NAME"] for r in rows]
+    assert "event_type" in names and "__time" in names
