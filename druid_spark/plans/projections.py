@@ -1,0 +1,222 @@
+"""Aggregate projections: segment-level materialized rollups matched at
+query time.
+
+Reference: processing/.../data/input/impl/AggregateProjectionSpec.java:61,
+processing/.../segment/AggregateProjectionMetadata.java, and
+docs/querying/projections.md — Druid stores pre-aggregated projections
+inside segments and routes eligible queries to them transparently.
+
+Spark-first: a projection is a materialized aggregate table (rollup of
+base on (time grain, dims) with metric aggregators). The router
+rewrites an incoming native query to hit the projection when:
+- every query dimension ⊆ projection dimensions
+- the query granularity is coarser than or equal to the projection's
+- every aggregator is derivable from a projection metric (sum→sum of
+  partial sums, count→sum of partial counts, min/max→min/max)
+- the filter references only projection dimensions (+ __time)
+
+This is a pre-Catalyst rewrite in our compiler (SURVEY §4.2 verdict:
+no Catalyst rule needed for v1). The scan drops from raw-row scale to
+rollup scale — the same reason Druid ships the feature.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from druid_spark import granularity as G
+from pyspark.sql import functions as F
+
+# grain fineness ordering for coarser-or-equal checks
+_GRAIN_ORDER = ["second", "minute", "fifteen_minute", "thirty_minute",
+                "hour", "six_hour", "eight_hour", "day", "week", "month",
+                "quarter", "year", "all"]
+
+# aggregator type → (re-aggregation type over partial results)
+_REAGG = {
+    "count": "longSum",      # partial counts re-combine by summing
+    "longSum": "longSum", "doubleSum": "doubleSum", "floatSum": "floatSum",
+    "longMin": "longMin", "doubleMin": "doubleMin", "floatMin": "floatMin",
+    "longMax": "longMax", "doubleMax": "doubleMax", "floatMax": "floatMax",
+}
+
+
+class Projection:
+    def __init__(self, name: str, base_table: str, dimensions: list[str],
+                 metrics: list[dict], granularity: str = "hour"):
+        self.name = name
+        self.base_table = base_table
+        self.dimensions = dimensions
+        self.metrics = metrics
+        self.granularity = granularity
+        self.df: DataFrame | None = None
+
+    def build(self, engine) -> DataFrame:
+        """Materialize the rollup (at ingest time in a real deployment;
+        persisted parquet or cached DF here)."""
+        q = {
+            "queryType": "groupBy",
+            "dataSource": self.base_table,
+            "granularity": self.granularity,
+            "dimensions": self.dimensions,
+            "aggregations": self.metrics,
+        }
+        self.df = engine.query(q)
+        return self.df
+
+
+class ProjectionRouter:
+    def __init__(self, engine):
+        self.engine = engine
+        self.projections: dict[str, Projection] = {}
+
+    def register(self, proj: Projection, materialize: bool = True,
+                 persist: bool = True) -> None:
+        if materialize:
+            proj.build(self.engine)
+            if persist:
+                proj.df = proj.df.persist()
+                proj.df.count()
+        self.projections[proj.name] = proj
+        # expose as a queryable datasource too
+        self.engine.catalog.register_table(f"__proj_{proj.name}", proj.df)
+
+    # ---------------------------------------------------------- routing
+    def route(self, q: dict[str, Any]) -> dict[str, Any] | None:
+        """Return a rewritten query against a projection, or None."""
+        if q.get("queryType") not in ("timeseries", "groupBy", "topN"):
+            return None
+        ds = q.get("dataSource")
+        if not isinstance(ds, str):
+            return None
+        for proj in self.projections.values():
+            if proj.base_table != ds:
+                continue
+            rewritten = self._try_rewrite(q, proj)
+            if rewritten is not None:
+                return rewritten
+        return None
+
+    def query(self, q: dict[str, Any]) -> DataFrame:
+        """Route-or-fallthrough entry point."""
+        routed = self.route(q)
+        return self.engine.query(routed if routed is not None else q)
+
+    def _try_rewrite(self, q: dict, proj: Projection) -> dict | None:
+        # dimension subset check
+        qdims = []
+        for d in q.get("dimensions") or []:
+            if isinstance(d, str):
+                qdims.append(d)
+            elif d.get("type") == "default":
+                qdims.append(d["dimension"])
+            else:
+                return None  # extraction dims: route only on exact cols
+        if q.get("queryType") == "topN":
+            dim = q["dimension"]
+            qdims.append(dim if isinstance(dim, str) else dim["dimension"])
+        if not set(qdims) <= set(proj.dimensions):
+            return None
+        # granularity coarser-or-equal
+        qg = q.get("granularity", "all")
+        if not _coarser_or_equal(qg, proj.granularity):
+            return None
+        # filter columns ⊆ projection dims (+ __time)
+        fcols = _filter_columns(q.get("filter"))
+        if not fcols <= set(proj.dimensions) | {"__time"}:
+            return None
+        if q.get("virtualColumns"):
+            return None
+        # aggregator derivability
+        metric_names = {m.get("name", m["type"]): m for m in proj.metrics}
+        new_aggs = []
+        for agg in q.get("aggregations") or []:
+            t = agg["type"]
+            if t == "count":
+                # need a count metric in the projection
+                cnt = next((n for n, m in metric_names.items()
+                            if m["type"] == "count"), None)
+                if cnt is None:
+                    return None
+                new_aggs.append({"type": "longSum",
+                                 "name": agg.get("name", "count"),
+                                 "fieldName": cnt})
+                continue
+            if t not in _REAGG:
+                return None
+            src = next((n for n, m in metric_names.items()
+                        if m["type"] == t
+                        and m.get("fieldName") == agg.get("fieldName")), None)
+            if src is None:
+                return None
+            new_aggs.append({"type": _REAGG[t],
+                             "name": agg.get("name", t), "fieldName": src})
+        out = dict(q)
+        out["dataSource"] = f"__proj_{proj.name}"
+        out["aggregations"] = new_aggs
+        return out
+
+
+def _coarser_or_equal(qg, pg) -> bool:
+    def norm(g):
+        if isinstance(g, dict):
+            if g.get("type") == "all":
+                return "all"
+            period = g.get("period")
+            rev = {"PT1S": "second", "PT1M": "minute", "PT1H": "hour",
+                   "P1D": "day", "P1W": "week", "P1M": "month",
+                   "P3M": "quarter", "P1Y": "year"}
+            return rev.get(period)
+        return g
+    qn, pn = norm(qg), norm(pg)
+    if qn is None or pn is None:
+        return False
+    if qn == "all":
+        return True
+    if qn not in _GRAIN_ORDER or pn not in _GRAIN_ORDER:
+        return False
+    # calendar grains only compose cleanly when qn is a multiple; the
+    # _GRAIN_ORDER index check is correct for the standard tower
+    # second<minute<hour<day<month... (week does not divide month/year)
+    if qn in ("week",) and pn not in ("second", "minute", "hour", "day"):
+        return False
+    return _GRAIN_ORDER.index(qn) >= _GRAIN_ORDER.index(pn)
+
+
+def _filter_columns(f: dict | None) -> set[str]:
+    if not f:
+        return set()
+    t = f.get("type")
+    if t in ("and", "or"):
+        out = set()
+        for sub in f.get("fields", []):
+            out |= _filter_columns(sub)
+        return out
+    if t == "not":
+        return _filter_columns(f.get("field"))
+    cols = set()
+    for key in ("dimension", "column"):
+        if f.get(key):
+            cols.add(f[key])
+    if t == "columnComparison":
+        for d in f.get("dimensions", []):
+            cols.add(d if isinstance(d, str) else d["dimension"])
+    if t == "expression":
+        # conservative: unknown columns → refuse routing
+        from druid_spark.expr import parse, Ref, Bin, Un, Call, Lambda
+        def walk(n):
+            if isinstance(n, Ref):
+                cols.add(n.name)
+            elif isinstance(n, Bin):
+                walk(n.l); walk(n.r)
+            elif isinstance(n, Un):
+                walk(n.x)
+            elif isinstance(n, Call):
+                for a in n.args:
+                    walk(a)
+            elif isinstance(n, Lambda):
+                walk(n.body)
+        walk(parse(f["expression"]))
+    return cols

@@ -1,0 +1,77 @@
+"""Aggregate projection routing tests (AggregateProjectionSpec analog)."""
+
+import pytest
+
+from druid_spark.plans.projections import Projection, ProjectionRouter
+
+
+@pytest.fixture(scope="module")
+def router(engine):
+    r = ProjectionRouter(engine)
+    r.register(Projection(
+        name="events_hourly",
+        base_table="events",
+        dimensions=["event_type"],
+        metrics=[{"type": "count", "name": "cnt"},
+                 {"type": "doubleSum", "name": "v_sum", "fieldName": "value"}],
+        granularity="hour"))
+    return r
+
+
+def _q(granularity="day", dims=None, filt=None, aggs=None):
+    q = {
+        "queryType": "groupBy" if dims else "timeseries",
+        "dataSource": "events",
+        "granularity": granularity,
+        "aggregations": aggs or [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+        "context": {"skipEmptyBuckets": True},
+    }
+    if dims:
+        q["dimensions"] = dims
+    if filt:
+        q["filter"] = filt
+    return q
+
+
+def test_routes_coarser_granularity(router):
+    q = _q(granularity="day")
+    assert router.route(q)["dataSource"] == "__proj_events_hourly"
+
+
+def test_no_route_finer_granularity(router):
+    assert router.route(_q(granularity="minute")) is None
+
+
+def test_no_route_unknown_dim(router):
+    assert router.route(_q(dims=["user_id"])) is None
+
+
+def test_no_route_unknown_filter_col(router):
+    q = _q(filt={"type": "range", "column": "value", "lower": 50.0})
+    assert router.route(q) is None
+
+
+def test_routed_results_match_base(router, engine):
+    """The projection-routed answer must equal the base-table answer."""
+    q = _q(granularity="day", dims=["event_type"],
+           filt={"type": "selector", "dimension": "event_type",
+                 "value": "click"})
+    routed = router.route(q)
+    assert routed is not None and routed["dataSource"] == "__proj_events_hourly"
+    base_rows = {(str(r["__time"]), r["event_type"]): (r["n"], round(r["total"], 3))
+                 for r in engine.query(q).collect()}
+    proj_rows = {(str(r["__time"]), r["event_type"]): (r["n"], round(r["total"], 3))
+                 for r in engine.query(routed).collect()}
+    assert base_rows == proj_rows and len(base_rows) > 0
+
+
+def test_routed_timeseries_all(router, engine):
+    q = _q(granularity="all")
+    routed = router.route(q)
+    assert routed is not None
+    b = engine.query(q).collect()[0]
+    p = engine.query(routed).collect()[0]
+    assert b["n"] == p["n"]
+    assert round(b["total"], 3) == round(p["total"], 3)
