@@ -549,7 +549,7 @@ _FUNCS: dict[str, Callable] = {
     "array_set_add_all": _f(lambda a, b: F.array_sort(F.array_union(a, b))),
     "array_slice": lambda cols, nodes: F.slice(
         cols[0], _lit_of(nodes[1]) + 1, _lit_of(nodes[2]) - _lit_of(nodes[1])),
-    "array_to_string": _f(lambda arr, sep: F.array_join(arr, sep)),
+    "array_to_string": _f(lambda arr, sep: F.call_function("array_join", arr, sep)),
     "string_format": lambda cols, nodes: F.format_string(_lit_of(nodes[0]), *cols[1:]),
     "array_to_mv": _f(lambda x: x), "mv_to_array": _f(lambda x: x),
     "mv_contains": _f(lambda arr, v: F.array_contains(arr, v)),
@@ -577,8 +577,10 @@ _FUNCS: dict[str, Callable] = {
     "bitwiseand": _f(lambda a, b: a.cast("long").bitwiseAND(b.cast("long"))),
     "bitwiseor": _f(lambda a, b: a.cast("long").bitwiseOR(b.cast("long"))),
     "bitwisexor": _f(lambda a, b: a.cast("long").bitwiseXOR(b.cast("long"))),
-    "bitwiseshiftleft": _f(lambda a, b: F.shiftleft(a.cast("long"), b.cast("int"))),
-    "bitwiseshiftright": _f(lambda a, b: F.shiftright(a.cast("long"), b.cast("int"))),
+    "bitwiseshiftleft": _f(lambda a, b: F.call_function(
+        "shiftleft", a.cast("long"), b.cast("int"))),
+    "bitwiseshiftright": _f(lambda a, b: F.call_function(
+        "shiftright", a.cast("long"), b.cast("int"))),
     "bitwisecomplement": _f(lambda a: F.bitwise_not(a.cast("long"))),
     # json — query/expression/NestedDataExpressions.java
     "json_value": lambda cols, nodes: F.get_json_object(cols[0], _lit_of(nodes[1])),

@@ -1,0 +1,251 @@
+"""Hard-part semantics tests (SURVEY §7.3) on the reference's canonical
+`foo` fixture (TestDataBuilder.java:116): multi-value dimension
+filter/group behavior, legacy vs SQL null handling, and the Druid
+expression language.
+
+Mirrors the reference's per-operator unit test strategy
+(GroupByQueryRunnerTest / BaseFilterTest shapes).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_spark import DruidSparkEngine
+from druid_spark.expr import compile_expr
+
+
+@pytest.fixture(scope="module")
+def fooeng(spark, foo):
+    e = DruidSparkEngine(spark, exact_approx=True)
+    e.catalog.register_table("foo", foo)
+    return e
+
+
+# ------------------------------------------------------------------ MVD
+
+def test_mvd_filter_any_match(fooeng):
+    """selector on MVD matches when ANY value matches
+    (docs/querying/multi-value-dimensions.md:355)."""
+    df = fooeng.query({
+        "queryType": "scan", "dataSource": "foo",
+        "columns": ["dim1", "dim3"],
+        "filter": {"type": "selector", "dimension": "dim3", "value": "b"}})
+    rows = df.collect()
+    assert len(rows) == 2  # ["a","b"] and ["b","c"]
+
+
+def test_mvd_groupby_explodes(fooeng):
+    """groupBy on an MVD emits one row per value."""
+    df = fooeng.query({
+        "queryType": "groupBy", "dataSource": "foo",
+        "granularity": "all", "dimensions": ["dim3"],
+        "aggregations": [{"type": "count", "name": "n"}]})
+    rows = {r["dim3"]: r["n"] for r in df.collect()}
+    assert rows["b"] == 2      # appears in two rows' arrays
+    assert rows["a"] == 1
+    assert rows[""] == 1       # [""] row
+    assert rows[None] == 2     # two null rows (explode_outer)
+
+
+def test_mvd_filter_and_group_interaction(fooeng):
+    """filter dim3='b' then group by dim3: Druid keeps ALL values of
+    matching rows (famous MVD surprise: groups a,b,c appear)."""
+    df = fooeng.query({
+        "queryType": "groupBy", "dataSource": "foo",
+        "granularity": "all", "dimensions": ["dim3"],
+        "filter": {"type": "selector", "dimension": "dim3", "value": "b"},
+        "aggregations": [{"type": "count", "name": "n"}]})
+    rows = {r["dim3"]: r["n"] for r in df.collect()}
+    assert rows == {"a": 1, "b": 2, "c": 1}
+
+
+def test_mvd_filtered_dimension_spec(fooeng):
+    """listFiltered dimension spec trims values before grouping."""
+    df = fooeng.query({
+        "queryType": "groupBy", "dataSource": "foo",
+        "granularity": "all",
+        "dimensions": [{"type": "listFiltered", "dimension": "dim3",
+                        "outputName": "d", "values": ["b"]}],
+        "filter": {"type": "selector", "dimension": "dim3", "value": "b"},
+        "aggregations": [{"type": "count", "name": "n"}]})
+    rows = {r["d"]: r["n"] for r in df.collect()}
+    assert rows == {"b": 2}
+
+
+def test_mvd_columncomparison_overlap(fooeng):
+    df = fooeng.query({
+        "queryType": "scan", "dataSource": "foo",
+        "columns": ["dim2", "dim3"],
+        "filter": {"type": "columnComparison", "dimensions": ["dim2", "dim3"]}})
+    # overlap semantics: dim2 ∩ dim3 non-empty → row 1 (a∈both)
+    rows = df.collect()
+    assert len(rows) == 1
+
+
+# ----------------------------------------------------------------- nulls
+
+def test_selector_legacy_null_empty(fooeng):
+    """legacy selector: null and '' match each other."""
+    df = fooeng.query({
+        "queryType": "timeseries", "dataSource": "foo",
+        "granularity": "all",
+        "filter": {"type": "selector", "dimension": "dim1", "value": None},
+        "aggregations": [{"type": "count", "name": "n"}]})
+    assert df.collect()[0]["n"] == 1  # the '' row
+
+
+def test_equals_is_typed_strict(fooeng):
+    """modern equals: '' matches only '', null matches nothing."""
+    df = fooeng.query({
+        "queryType": "timeseries", "dataSource": "foo",
+        "granularity": "all",
+        "filter": {"type": "equals", "column": "dim1", "matchValue": ""},
+        "aggregations": [{"type": "count", "name": "n"}]})
+    assert df.collect()[0]["n"] == 1
+
+
+def test_null_filter(fooeng):
+    df = fooeng.query({
+        "queryType": "timeseries", "dataSource": "foo",
+        "granularity": "all",
+        "filter": {"type": "null", "column": "dim3"},
+        "aggregations": [{"type": "count", "name": "n"}]})
+    assert df.collect()[0]["n"] == 2
+
+
+def test_in_filter_with_null(fooeng):
+    df = fooeng.query({
+        "queryType": "timeseries", "dataSource": "foo",
+        "granularity": "all",
+        "filter": {"type": "in", "dimension": "dim1", "values": [None, "abc"]},
+        "aggregations": [{"type": "count", "name": "n"}]})
+    assert df.collect()[0]["n"] == 1  # 'abc' only; dim1 has no true null
+
+
+# ------------------------------------------------------- expression language
+
+@pytest.mark.parametrize("expr,expected", [
+    ("1 + 2 * 3", 7),
+    ("2 ^ 10", 1024.0),
+    ("(1 + 2) * 3", 9),
+    ("-5 + 3", -2),
+    ("10 % 3", 1),
+    ("'a' == 'a' && 'b' != 'c'", True),
+    ("1 < 2 || 0 > 1", True),
+    ("!(1 == 1)", False),
+    ("if(3 > 2, 'yes', 'no')", "yes"),
+    ("nvl(null, 'fallback')", "fallback"),
+    ("coalesce(null, null, 7)", 7),
+    ("case_searched(1 == 2, 'a', 1 == 1, 'b', 'z')", "b"),
+    ("case_simple(3, 1, 'one', 3, 'three', 'other')", "three"),
+    ("concat('a', 'b', 'c')", "abc"),
+    ("upper('abc')", "ABC"),
+    ("strlen('hello')", 5),
+    ("strpos('hello', 'll')", 2),
+    ("substring('hello', 1, 3)", "ell"),
+    ("replace('aXbX', 'X', '-')", "a-b-"),
+    ("parse_long('42')", 42),
+    ("abs(-3)", 3),
+    ("floor(3.7)", 3),
+    ("ceil(3.2)", 4),
+    ("round(3.14159, 2)", 3.14),
+    ("safe_divide(10, 0)", None),
+    ("greatest(1, 5, 3)", 5),
+    ("pow(2, 8)", 256.0),
+    ("sqrt(16.0)", 4.0),
+    ("bitwiseAnd(12, 10)", 8),
+    ("bitwiseShiftLeft(1, 6)", 64),
+    ("array_length(array(1, 2, 3))", 3),
+    ("array_contains(array('a','b'), 'a')", True),
+    ("array_offset(array('x','y'), 1)", "y"),
+    ("array_ordinal(array('x','y'), 1)", "x"),
+    ("array_to_string(array('a','b'), ',')", "a,b"),
+    ("array_slice(array(1,2,3,4), 1, 3)", [2, 3]),
+    ("map(x -> x * 2, array(1, 2, 3))", [2, 4, 6]),
+    ("filter(x -> x > 1, array(1, 2, 3))", [2, 3]),
+    ("fold((x, acc) -> x + acc, array(1, 2, 3), 0)", 6),
+    ("any(x -> x > 2, array(1, 2, 3))", True),
+    ("all(x -> x > 0, array(1, 2, 3))", True),
+    ("regexp_extract('abc123', '[0-9]+')", "123"),
+    ("regexp_like('abc', '^a')", True),
+    ("contains_string('hello', 'ell')", True),
+    ("like('hello', 'he%')", True),
+    ("isnull(null)", True),
+    ("notdistinctfrom(null, null)", True),
+    ("json_value('{\\'k\\': 5}', '$.k')", "5"),
+])
+def test_expression_scalars(spark, expr, expected):
+    expr = expr.replace("\\'", '"')  # json test quoting
+    out = spark.range(1).select(compile_expr(expr).alias("x")).collect()[0]["x"]
+    if isinstance(expected, float):
+        assert out == pytest.approx(expected)
+    else:
+        assert out == expected
+
+
+def test_expression_timestamp_functions(spark):
+    df = spark.sql("SELECT TIMESTAMP '2024-03-15 13:47:21' AS t")
+    cases = {
+        "timestamp_floor(t, 'P1D')": "2024-03-15 00:00:00",
+        "timestamp_floor(t, 'PT15M')": "2024-03-15 13:45:00",
+        "timestamp_shift(t, 'P1D', 2)": "2024-03-17 13:47:21",
+        "timestamp_format(t, 'yyyy-MM-dd')": "2024-03-15",
+    }
+    for expr, expected in cases.items():
+        out = df.select(compile_expr(expr).alias("x")).collect()[0]["x"]
+        assert str(out) == expected, expr
+    assert df.select(compile_expr("timestamp_extract(t, 'HOUR')")
+                     .alias("x")).collect()[0]["x"] == 13
+
+
+def test_virtual_column_chain(fooeng):
+    """virtual columns may reference earlier virtual columns."""
+    df = fooeng.query({
+        "queryType": "scan", "dataSource": "foo",
+        "virtualColumns": [
+            {"type": "expression", "name": "v1", "expression": "m1 * 2"},
+            {"type": "expression", "name": "v2", "expression": "v1 + 1"}],
+        "columns": ["m1", "v2"],
+        "filter": {"type": "expression", "expression": "v2 > 10"}})
+    rows = df.collect()
+    assert all(r["v2"] == r["m1"] * 2 + 1 for r in rows)
+    assert all(r["v2"] > 10 for r in rows)
+
+
+def test_extraction_fns(fooeng):
+    df = fooeng.query({
+        "queryType": "groupBy", "dataSource": "foo",
+        "granularity": "all",
+        "dimensions": [{"type": "extraction", "dimension": "dim1",
+                        "outputName": "c",
+                        "extractionFn": {"type": "substring", "index": 0,
+                                         "length": 1}}],
+        "aggregations": [{"type": "count", "name": "n"}]})
+    vals = {r["c"] for r in df.collect()}
+    assert "1" in vals and "d" in vals and "a" in vals
+
+
+def test_first_last_string(fooeng):
+    df = fooeng.query({
+        "queryType": "timeseries", "dataSource": "foo",
+        "granularity": "all",
+        "aggregations": [
+            {"type": "stringFirst", "name": "first_d", "fieldName": "dim1"},
+            {"type": "stringLast", "name": "last_d", "fieldName": "dim1"}]})
+    r = df.collect()[0]
+    assert r["first_d"] == "" and r["last_d"] == "abc"
+
+
+def test_unnest_datasource_mvd(fooeng):
+    df = fooeng.query({
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "unnest", "base": "foo",
+            "virtualColumn": {"type": "expression", "name": "d3",
+                              "expression": "dim3"}},
+        "granularity": "all", "dimensions": ["d3"],
+        "aggregations": [{"type": "count", "name": "n"}]})
+    rows = {r["d3"]: r["n"] for r in df.collect()}
+    assert rows["b"] == 2 and "" in rows
