@@ -595,6 +595,178 @@ def q_segment_metadata(spark, sf):
         "queryType": "segmentMetadata", "dataSource": "events"})
 
 
+def q_gb_quantile_sketch(spark, sf):
+    """datasketches quantiles surface: DS sketch + ToQuantile(s)/
+    ToHistogram/ToRank finalizer post-aggs (DoublesSketchAggregatorFactory
+    + its post-aggs). Exact mode compiles to percentile/filtered counts."""
+    df = _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "aggregations": [{"type": "quantilesDoublesSketch", "name": "qs",
+                          "fieldName": "l_quantity", "k": 128}],
+        "postAggregations": [
+            {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "fraction": 0.5},
+            {"type": "quantilesDoublesSketchToQuantiles", "name": "iqr",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "fractions": [0.25, 0.75]},
+            {"type": "quantilesDoublesSketchToHistogram", "name": "hist",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "splitPoints": [10.0, 25.0, 40.0]},
+            {"type": "quantilesDoublesSketchToRank", "name": "rank25",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "value": 25.0},
+        ]})
+    return df.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50"),
+        F.round(F.element_at("iqr", 1), 4).alias("q25"),
+        F.round(F.element_at("iqr", 2), 4).alias("q75"),
+        F.element_at("hist", 1).alias("h0"),
+        F.element_at("hist", 2).alias("h1"),
+        F.element_at("hist", 3).alias("h2"),
+        F.element_at("hist", 4).alias("h3"),
+        F.round("rank25", 6).alias("rank25"))
+
+
+def q_theta_setops(spark, sf):
+    """theta-sketch set operations (SketchSetPostAggregator): INTERSECT/
+    UNION/NOT over per-filter user sets, estimated exactly in oracle mode."""
+    return _engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "all",
+        "aggregations": [
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "click"},
+             "aggregator": {"type": "thetaSketch", "name": "ua",
+                            "fieldName": "user_id"}},
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "purchase"},
+             "aggregator": {"type": "thetaSketch", "name": "ub",
+                            "fieldName": "user_id"}},
+        ],
+        "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "both",
+             "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                       "fields": [{"type": "fieldAccess", "fieldName": "ua"},
+                                  {"type": "fieldAccess", "fieldName": "ub"}]}},
+            {"type": "thetaSketchEstimate", "name": "either",
+             "field": {"type": "thetaSketchSetOp", "func": "UNION",
+                       "fields": [{"type": "fieldAccess", "fieldName": "ua"},
+                                  {"type": "fieldAccess", "fieldName": "ub"}]}},
+            {"type": "thetaSketchEstimate", "name": "click_only",
+             "field": {"type": "thetaSketchSetOp", "func": "NOT",
+                       "fields": [{"type": "fieldAccess", "fieldName": "ua"},
+                                  {"type": "fieldAccess", "fieldName": "ub"}]}},
+            {"type": "thetaSketchEstimate", "name": "clickers",
+             "field": {"type": "fieldAccess", "fieldName": "ua"}},
+        ]})
+
+
+def q_gb_fixed_histogram(spark, sf):
+    """fixedBucketsHistogram (clip mode) over events.value per type."""
+    df = _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [{"type": "fixedBucketsHistogram", "name": "h",
+                          "fieldName": "value", "lowerLimit": 0.0,
+                          "upperLimit": 500.0, "numBuckets": 5,
+                          "outlierHandlingMode": "clip"}]})
+    return df.select("event_type",
+                     *[F.element_at("h", i + 1).alias(f"b{i}")
+                       for i in range(5)])
+
+
+def q_gb_variance(spark, sf):
+    """stats extension aggregators (VarianceAggregatorFactory):
+    variance (sample), variancePop, stddev."""
+    df = _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "aggregations": [
+            {"type": "variance", "name": "var_q", "fieldName": "l_quantity"},
+            {"type": "variancePop", "name": "varp_q", "fieldName": "l_quantity"},
+            {"type": "stddev", "name": "sd_q", "fieldName": "l_quantity"},
+        ]})
+    return _round(df, {"var_q": 4, "varp_q": 4, "sd_q": 4})
+
+
+def q_lookup_join(spark, sf):
+    """LOOKUP surface (LookupExtractor / lookup extraction fn): map
+    broadcast as a plan-time literal, applied while grouping."""
+    region_names = {0: "AFRICA", 1: "AMERICA", 2: "ASIA", 3: "EUROPE",
+                    4: "MIDDLE EAST"}
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "nation",
+        "granularity": "all",
+        "dimensions": [{"type": "extraction", "dimension": "n_regionkey",
+                        "outputName": "region_name",
+                        "extractionFn": {"type": "lookup",
+                                         "lookup": {"type": "map",
+                                                    "map": region_names}}}],
+        "aggregations": [{"type": "count", "name": "nations"}]})
+
+
+def q_gb_order_alphanumeric(spark, sf):
+    """alphanumeric string comparator (StringComparators.java:34-39) in a
+    limitSpec: '9' sorts before '10' and '100'."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "part",
+        "granularity": "all",
+        "virtualColumns": [{"type": "expression", "name": "sz",
+                            "expression": "concat('s', cast(p_size, 'STRING'))"}],
+        "dimensions": ["sz"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "limitSpec": {"type": "default", "limit": 12, "columns": [
+            {"dimension": "sz", "direction": "ascending",
+             "dimensionOrder": "alphanumeric"}]}})
+
+
+def q_scan_offset(spark, sf):
+    return _engine(spark, sf).query({
+        "queryType": "scan", "dataSource": "orders",
+        "columns": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "orderBy": [{"columnName": "o_orderkey", "order": "ascending"}],
+        "offset": 10, "limit": 20})
+
+
+def q_sql_druid_functions(spark, sf):
+    """Druid-flavoured SQL through the SQL layer: Druid function names
+    (TIME_FLOOR, SAFE_DIVIDE, TIME_IN_INTERVAL) and the EARLIEST/LATEST
+    aggregate rewrite, all Catalyst-inlined."""
+    eng = _engine(spark, sf)
+    # note: round(SAFE_DIVIDE(...)) directly inside the aggregate trips a
+    # Spark SQL-UDF-inlining foldability check, so finalize in an outer
+    # select — same plan after Catalyst collapses the projections
+    return eng.sql("""
+        SELECT d, n, last_type, round(SAFE_DIVIDE(sv, n), 4) AS avg_v
+        FROM (
+          SELECT TIME_FLOOR(__time, 'P1D') AS d,
+                 count(*) AS n,
+                 LATEST(event_type) AS last_type,
+                 sum(value) AS sv
+          FROM events
+          WHERE TIME_IN_INTERVAL(__time, '2024-01-05T00:00:00/2024-01-12T00:00:00')
+          GROUP BY 1
+        )
+    """)
+
+
+def q_sql_array_agg(spark, sf):
+    """ARRAY_AGG / STRING_AGG SQL aggregates (sorted for determinism)."""
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT o_orderpriority,
+               array_join(array_sort(ARRAY_AGG(DISTINCT o_orderstatus)), ',')
+                 AS statuses,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    """)
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -645,6 +817,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_by_source": q_text_quality_by_source,
         "mm_features": q_mm_features,
         "segment_metadata": q_segment_metadata,
+        "gb_quantile_sketch": q_gb_quantile_sketch,
+        "theta_setops": q_theta_setops,
+        "gb_fixed_histogram": q_gb_fixed_histogram,
+        "gb_variance": q_gb_variance,
+        "lookup_join": q_lookup_join,
+        "gb_order_alphanumeric": q_gb_order_alphanumeric,
+        "scan_offset": q_scan_offset,
+        "sql_druid_functions": q_sql_druid_functions,
+        "sql_array_agg": q_sql_array_agg,
     }
 
 
@@ -931,6 +1112,78 @@ def oracle_sql() -> dict[str, str]:
                    round(sum({_QUALITY}), 3) AS quality_sum,
                    sum({_NTOK}) AS tokens
             FROM documents GROUP BY 1""",
+        "gb_quantile_sketch": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+                   round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+                   count(*) FILTER (l_quantity < 10) AS h0,
+                   count(*) FILTER (l_quantity >= 10 AND l_quantity < 25) AS h1,
+                   count(*) FILTER (l_quantity >= 25 AND l_quantity < 40) AS h2,
+                   count(*) FILTER (l_quantity >= 40) AS h3,
+                   round(CAST(count(*) FILTER (l_quantity < 25) AS DOUBLE)
+                         / count(*), 6) AS rank25
+            FROM lineitem GROUP BY 1""",
+        "theta_setops": """
+            SELECT
+              CAST((SELECT count(*) FROM
+                    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                     INTERSECT
+                     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+                   AS DOUBLE) AS "both",
+              CAST((SELECT count(*) FROM
+                    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                     UNION
+                     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+                   AS DOUBLE) AS either,
+              CAST((SELECT count(*) FROM
+                    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                     EXCEPT
+                     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+                   AS DOUBLE) AS click_only,
+              CAST((SELECT count(DISTINCT user_id) FROM events
+                    WHERE event_type = 'click') AS DOUBLE) AS clickers""",
+        "gb_fixed_histogram": """
+            SELECT event_type,
+                   count(*) FILTER (value >= 0 AND value < 100) AS b0,
+                   count(*) FILTER (value >= 100 AND value < 200) AS b1,
+                   count(*) FILTER (value >= 200 AND value < 300) AS b2,
+                   count(*) FILTER (value >= 300 AND value < 400) AS b3,
+                   count(*) FILTER (value >= 400) AS b4
+            FROM events GROUP BY 1""",
+        "gb_variance": """
+            SELECT l_returnflag,
+                   round(var_samp(l_quantity), 4) AS var_q,
+                   round(var_pop(l_quantity), 4) AS varp_q,
+                   round(stddev_samp(l_quantity), 4) AS sd_q
+            FROM lineitem GROUP BY 1""",
+        "lookup_join": """
+            SELECT CASE n_regionkey
+                     WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA'
+                     WHEN 2 THEN 'ASIA' WHEN 3 THEN 'EUROPE'
+                     WHEN 4 THEN 'MIDDLE EAST' END AS region_name,
+                   count(*) AS nations
+            FROM nation GROUP BY 1""",
+        "gb_order_alphanumeric": """
+            SELECT concat('s', CAST(p_size AS VARCHAR)) AS sz, count(*) AS n
+            FROM part GROUP BY 1
+            ORDER BY CAST(regexp_extract(sz, '[0-9]+') AS INT) LIMIT 12""",
+        "scan_offset": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 20 OFFSET 10""",
+        "sql_druid_functions": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS d, count(*) AS n,
+                   max_by(event_type, ts) AS last_type,
+                   round(sum(value) / count(*), 4) AS avg_v
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+            GROUP BY 1""",
+        "sql_array_agg": """
+            SELECT o_orderpriority,
+                   array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                     AS statuses,
+                   count(*) AS n
+            FROM orders GROUP BY 1""",
         # rows-only (engine-specific hashing / ML / schema profiling):
         # dedup_minhash, dedup_simhash, sim_lsh, sim_ivf, mm_features,
         # segment_metadata

@@ -27,6 +27,122 @@ from druid_spark.filters import FilterCompiler
 
 Resolver = Callable[[str], Column]
 
+# Quantile-sketch aggregator types (datasketches extension:
+# DoublesSketchAggregatorFactory.java, KLL variants) and their SQL/post-agg
+# finalizers. Spark-first design: a pre-pass (SketchPlan) scans the query's
+# post-aggregators for finalizers referencing each sketch aggregator, and the
+# "sketch" compiles to a STRUCT of real aggregate expressions — percentile /
+# filtered counts — instead of a sketch blob. Every finalizer is then a cheap
+# struct-field access. No collect-to-driver, no UDFs, fully partial-aggregable
+# (Spark computes percentile/count with map-side partials), so the plan holds
+# at 100 TB. A standalone sketch with no finalizer finalizes to the stream
+# length N, matching DoublesSketchAggregatorFactory.finalizeComputation.
+QUANTILE_SKETCH_AGGS = {"quantilesDoublesSketch", "kllDoublesSketch",
+                        "KllDoublesSketch", "DDSketch", "momentSketch"}
+_QS_FINALIZERS = {
+    "quantilesDoublesSketchToQuantile": "quantile",
+    "quantilesDoublesSketchToQuantiles": "quantiles",
+    "quantilesDoublesSketchToHistogram": "histogram",
+    "quantilesDoublesSketchToCDF": "cdf",
+    "quantilesDoublesSketchToRank": "rank",
+    "kllDoublesSketchToQuantile": "quantile",
+    "kllDoublesSketchToQuantiles": "quantiles",
+    "kllDoublesSketchToHistogram": "histogram",
+    "kllDoublesSketchToCDF": "cdf",
+    "kllDoublesSketchToRank": "rank",
+}
+THETA_SETOP_TYPES = {"thetaSketchSetOp"}
+
+
+def _pa_target(pa: dict) -> str | None:
+    """agg name referenced by a finalizer's `field` (a fieldAccess post-agg)."""
+    f = pa.get("field")
+    if isinstance(f, dict) and f.get("type") in (
+            "fieldAccess", "finalizingFieldAccess"):
+        return f.get("fieldName")
+    return None
+
+
+class SketchPlan:
+    """Coordinates sketch aggregators with their finalizer post-aggs.
+
+    quant: agg name -> {"fractions": [...], "splits": [...],
+                        "cdf_splits": [...], "ranks": [...]}
+    theta_sets: agg names that must compile to a distinct-set (exact theta
+    sketch) because a thetaSketchSetOp references them. On a real cluster
+    at 100 TB the approximate path would swap in a datasketches UDAF
+    (library not available in this container); the set-op *semantics* and
+    query surface are identical.
+    """
+
+    def __init__(self, aggs: list[dict] | None, postaggs: list[dict] | None):
+        self.quant: dict[str, dict] = {}
+        self.theta_sets: set[str] = set()
+        for pa in postaggs or []:
+            self._walk(pa)
+        # only keep entries whose agg really is a quantile sketch
+        sketch_names = {a.get("name") for a in aggs or []
+                        if a.get("type") in QUANTILE_SKETCH_AGGS}
+        self.quant = {k: v for k, v in self.quant.items() if k in sketch_names}
+        theta_names = set()
+        for a in aggs or []:
+            inner = a
+            while inner.get("type") == "filtered":
+                inner = inner["aggregator"]
+            if inner.get("type") in ("thetaSketch", "HLLSketchBuild"):
+                theta_names.add(a.get("name", inner.get("name")))
+        self.theta_sets &= theta_names
+
+    def _need(self, name: str) -> dict:
+        return self.quant.setdefault(
+            name, {"fractions": [], "splits": None, "cdf_splits": None,
+                   "ranks": []})
+
+    def _walk(self, pa: dict) -> None:
+        t = pa.get("type")
+        if t == "arithmetic":
+            for f in pa.get("fields", []):
+                self._walk(f)
+            return
+        kind = _QS_FINALIZERS.get(t)
+        if kind:
+            name = _pa_target(pa)
+            if not name:
+                return
+            need = self._need(name)
+            if kind == "quantile":
+                fr = float(pa["fraction"])
+                if fr not in need["fractions"]:
+                    need["fractions"].append(fr)
+            elif kind == "quantiles":
+                for fr in pa.get("fractions", []):
+                    if float(fr) not in need["fractions"]:
+                        need["fractions"].append(float(fr))
+            elif kind == "histogram":
+                need["splits"] = [float(s) for s in pa["splitPoints"]]
+            elif kind == "cdf":
+                need["cdf_splits"] = [float(s) for s in pa["splitPoints"]]
+            elif kind == "rank":
+                v = float(pa["value"])
+                if v not in need["ranks"]:
+                    need["ranks"].append(v)
+            return
+        if t == "thetaSketchEstimate":
+            f = pa.get("field", {})
+            if isinstance(f, dict) and f.get("type") in THETA_SETOP_TYPES:
+                self._mark_setop(f)
+        elif t in THETA_SETOP_TYPES:
+            self._mark_setop(pa)
+
+    def _mark_setop(self, pa: dict) -> None:
+        for f in pa.get("fields", []):
+            if f.get("type") in THETA_SETOP_TYPES:
+                self._mark_setop(f)
+            else:
+                name = f.get("fieldName")
+                if name:
+                    self.theta_sets.add(name)
+
 
 def _field(agg: dict, res: Resolver) -> Column:
     if "fieldName" in agg and agg["fieldName"] is not None:
@@ -40,29 +156,46 @@ def _time_col(agg: dict, res: Resolver) -> Column:
     return res(agg.get("timeColumn", "__time"))
 
 
+def agg_name(agg: dict) -> str:
+    """output name; a `filtered` wrapper may carry the name on the inner
+    aggregator (both spellings appear in the reference's test corpus)."""
+    if "name" in agg:
+        return agg["name"]
+    if agg["type"] == "filtered":
+        return agg_name(agg["aggregator"])
+    return agg["type"]
+
+
 class AggCompiler:
     def __init__(self, resolver: Resolver | None = None,
                  filter_compiler: FilterCompiler | None = None,
-                 exact_approx: bool = False):
+                 exact_approx: bool = False,
+                 sketch_plan: "SketchPlan | None" = None):
         """exact_approx=True rewrites approximate aggregators to exact
         forms (count distinct) so results are oracle-checkable
-        (SURVEY §7.3.5)."""
+        (SURVEY §7.3.5). sketch_plan coordinates sketch aggregators with
+        their finalizer post-aggs (see SketchPlan)."""
         self.res = resolver or F.col
         self.fc = filter_compiler or FilterCompiler(resolver=self.res)
         self.exact = exact_approx
+        self.plan = sketch_plan
 
     def compile(self, agg: dict[str, Any]) -> Column:
         """One aggregator spec → aliased aggregate Column."""
-        return self._agg(agg).alias(agg.get("name", agg["type"]))
+        return self._agg(agg, outer_name=agg_name(agg)).alias(agg_name(agg))
 
     def compile_all(self, aggs: list[dict] | None) -> list[Column]:
         return [self.compile(a) for a in aggs or []]
 
-    def _agg(self, agg: dict[str, Any], cond: Column | None = None) -> Column:
+    def _agg(self, agg: dict[str, Any], cond: Column | None = None,
+             outer_name: str | None = None) -> Column:
         """cond: a `filtered` wrapper's predicate — applied map-side as
-        agg(CASE WHEN cond THEN x END), Spark's FILTER(WHERE) lowering."""
+        agg(CASE WHEN cond THEN x END), Spark's FILTER(WHERE) lowering.
+        outer_name: output name for sketch-plan lookups (survives
+        `filtered` nesting)."""
         t = agg["type"]
         res = self.res
+        name = outer_name or agg_name(agg)
 
         def guard(c: Column) -> Column:
             return F.when(cond, c) if cond is not None else c
@@ -79,14 +212,23 @@ class AggCompiler:
             return F.max(guard(_field(agg, res)))
         if t == "doubleMean":
             return F.avg(guard(_field(agg, res)))
-        if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst"):
+        if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst",
+                 "stringFirstFold", "longFirstFold", "doubleFirstFold",
+                 "floatFirstFold"):
             return F.min_by(guard(_field(agg, res)), guard(_time_col(agg, res)))
-        if t in ("longLast", "doubleLast", "floatLast", "stringLast"):
+        if t in ("longLast", "doubleLast", "floatLast", "stringLast",
+                 "stringLastFold", "longLastFold", "doubleLastFold",
+                 "floatLastFold"):
             return F.max_by(guard(_field(agg, res)), guard(_time_col(agg, res)))
         if t in ("longAny", "doubleAny", "floatAny", "stringAny"):
             return F.first(guard(_field(agg, res)), ignorenulls=True)
         if t in ("hyperUnique", "HLLSketchBuild", "thetaSketch"):
             c = guard(_field(agg, res))
+            if self.plan and name in self.plan.theta_sets:
+                # referenced by a thetaSketchSetOp post-agg: keep the
+                # distinct set (exact theta sketch); set-op estimates
+                # become array_intersect/union/except + size
+                return F.collect_set(c)
             if self.exact:
                 return F.count_distinct(c)
             return F.approx_count_distinct(c)
@@ -99,7 +241,8 @@ class AggCompiler:
                 return F.count_distinct(key)
             return F.approx_count_distinct(key)
         if t == "filtered":
-            return self._agg(agg["aggregator"], self.fc.compile(agg["filter"]))
+            return self._agg(agg["aggregator"], self.fc.compile(agg["filter"]),
+                             outer_name=name)
         if t == "grouping":
             return F.grouping_id(*[res(g) for g in agg["groupings"]])
         if t == "variance":
@@ -108,12 +251,29 @@ class AggCompiler:
             return F.var_pop(_field(agg, res))
         if t == "stddev":
             return F.stddev_samp(_field(agg, res))
-        if t in ("quantilesDoublesSketch", "DDSketch", "KllDoublesSketch"):
-            # sketch build → keep raw values list? finalize via post-agg;
-            # for direct use return approx_percentile 0.5
-            return F.percentile_approx(_field(agg, res), 0.5)
+        if t in QUANTILE_SKETCH_AGGS:
+            return self._quantile_sketch(agg, name, guard)
         if t == "approxHistogramFold" or t == "approxHistogram":
             return F.percentile_approx(_field(agg, res), [0.25, 0.5, 0.75])
+        if t == "fixedBucketsHistogram":
+            # FixedBucketsHistogramAggregatorFactory: [lowerLimit,
+            # upperLimit) split into numBuckets equal bins; counts per
+            # bin as parallel filtered counts — one pass, partial-aggable.
+            # outlierHandlingMode: ignore (default) | clip (clamp into
+            # edge bins) | overflow (same as clip for counting purposes).
+            x = guard(_field(agg, res)).cast("double")
+            lo, hi = float(agg["lowerLimit"]), float(agg["upperLimit"])
+            n = int(agg["numBuckets"])
+            mode = str(agg.get("outlierHandlingMode", "ignore")).lower()
+            if mode in ("clip", "overflow"):
+                x = F.least(F.greatest(x, F.lit(lo)),
+                            F.lit(hi - (hi - lo) / (2.0 * n)))
+            w = (hi - lo) / n
+            bins = []
+            for i in range(n):
+                a, b = lo + i * w, lo + (i + 1) * w
+                bins.append(F.count(F.when((x >= a) & (x < b), 1)))
+            return F.array(*bins)
         if t == "longStringArray" or t == "arrayOfDoublesSketch":
             raise NotImplementedError(t)
         if t == "expression":
@@ -139,14 +299,51 @@ class AggCompiler:
             raise NotImplementedError("javascript aggregator (disabled in reference)")
         raise NotImplementedError(f"aggregator type {t}")
 
+    def _quantile_sketch(self, agg: dict, name: str, guard) -> Column:
+        """Quantile sketch → STRUCT of the aggregate expressions its
+        finalizers need (see module note at QUANTILE_SKETCH_AGGS).
+        Fields: q (percentiles), hist (bin counts), cdf (cumulative
+        ranks, trailing 1.0 like DoublesSketch.getCDF), rank (normalized
+        ranks), n (stream length). Standalone sketch → just N."""
+        x = guard(_field(agg, self.res)).cast("double")
+        need = (self.plan.quant.get(name) if self.plan else None)
+        if not need:
+            return F.count(x)
+        parts = []
+        fr = need["fractions"]
+        if fr:
+            pctl = F.percentile if self.exact else F.percentile_approx
+            parts.append(pctl(x, F.array(*[F.lit(f) for f in fr])).alias("q"))
+        if need["splits"] is not None:
+            sp = need["splits"]
+            bins = [F.count(F.when(x < sp[0], 1))]
+            for a, b in zip(sp, sp[1:]):
+                bins.append(F.count(F.when((x >= a) & (x < b), 1)))
+            bins.append(F.count(F.when(x >= sp[-1], 1)))
+            parts.append(F.array(*bins).alias("hist"))
+        if need["cdf_splits"] is not None:
+            total = F.count(x)
+            cums = [(F.count(F.when(x < p, 1)) / total).cast("double")
+                    for p in need["cdf_splits"]]
+            parts.append(F.array(*cums, F.lit(1.0)).alias("cdf"))
+        if need["ranks"]:
+            total = F.count(x)
+            parts.append(F.array(
+                *[(F.count(F.when(x < v, 1)) / total).cast("double")
+                  for v in need["ranks"]]).alias("rank"))
+        parts.append(F.count(x).alias("n"))
+        return F.struct(*parts)
+
 
 class PostAggCompiler:
     """Post-aggregators run over the aggregated row
     (AggregatorsModule.java:159-169): plain column expressions after
     .agg() — no extra shuffle."""
 
-    def __init__(self, resolver: Resolver | None = None):
+    def __init__(self, resolver: Resolver | None = None,
+                 sketch_plan: "SketchPlan | None" = None):
         self.res = resolver or F.col
+        self.plan = sketch_plan
 
     def compile(self, pa: dict[str, Any]) -> Column:
         return self._pa(pa).alias(pa.get("name", pa["type"]))
@@ -175,7 +372,13 @@ class PostAggCompiler:
                     raise NotImplementedError(f"arithmetic fn {fn}")
             return out
         if t in ("fieldAccess", "finalizingFieldAccess", "hyperUniqueCardinality"):
-            return self.res(pa["fieldName"])
+            name = pa["fieldName"]
+            if self.plan:
+                if name in self.plan.quant:
+                    return self.res(name).getField("n")  # finalized = N
+                if name in self.plan.theta_sets:
+                    return F.size(self.res(name)).cast("double")
+            return self.res(name)
         if t == "constant":
             return F.lit(pa["value"])
         if t == "expression":
@@ -186,4 +389,61 @@ class PostAggCompiler:
             return F.least(*[self._pa(f) for f in pa["fields"]])
         if t == "javascript":
             raise NotImplementedError("javascript post-aggregator")
+        kind = _QS_FINALIZERS.get(t)
+        if kind:
+            return self._qs_finalize(pa, kind)
+        if t == "thetaSketchEstimate":
+            f = pa["field"]
+            if isinstance(f, dict) and f.get("type") in THETA_SETOP_TYPES:
+                return F.size(self._setop(f)).cast("double")
+            name = _pa_target(pa)
+            if self.plan and name in self.plan.theta_sets:
+                return F.size(self.res(name)).cast("double")
+            return self._pa(f).cast("double")
+        if t == "hllSketchEstimate":
+            return self._pa(pa["field"]).cast("double")
+        if t in THETA_SETOP_TYPES:
+            return self._setop(pa)
         raise NotImplementedError(f"post-aggregator {t}")
+
+    def _setop(self, pa: dict) -> Column:
+        """thetaSketchSetOp (SketchSetPostAggregator): UNION / INTERSECT /
+        NOT over distinct-set columns (see SketchPlan.theta_sets)."""
+        func = pa["func"].upper()
+        cols = [self._setop(f) if f.get("type") in THETA_SETOP_TYPES
+                else self.res(f["fieldName"]) for f in pa["fields"]]
+        out = cols[0]
+        for c in cols[1:]:
+            if func == "UNION":
+                out = F.array_union(out, c)
+            elif func == "INTERSECT":
+                out = F.array_intersect(out, c)
+            elif func == "NOT":
+                out = F.array_except(out, c)
+            else:
+                raise NotImplementedError(f"theta set op {func}")
+        return out
+
+    def _qs_finalize(self, pa: dict, kind: str) -> Column:
+        name = _pa_target(pa)
+        need = (self.plan.quant.get(name) if self.plan else None)
+        if need is None:
+            raise ValueError(
+                f"sketch finalizer {pa['type']} references unknown sketch "
+                f"aggregator {name!r} (no SketchPlan entry)")
+        s = self.res(name)
+        if kind == "quantile":
+            idx = need["fractions"].index(float(pa["fraction"]))
+            return s.getField("q").getItem(idx)
+        if kind == "quantiles":
+            idxs = [need["fractions"].index(float(f))
+                    for f in pa["fractions"]]
+            return F.array(*[s.getField("q").getItem(i) for i in idxs])
+        if kind == "histogram":
+            return s.getField("hist")
+        if kind == "cdf":
+            return s.getField("cdf")
+        if kind == "rank":
+            idx = need["ranks"].index(float(pa["value"]))
+            return s.getField("rank").getItem(idx)
+        raise NotImplementedError(kind)

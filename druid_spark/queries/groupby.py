@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from druid_spark import granularity as G
-from druid_spark.aggregations import AggCompiler, PostAggCompiler
+from druid_spark.aggregations import AggCompiler, PostAggCompiler, SketchPlan
 from druid_spark.dimensions import dimension
 from druid_spark.engine import qcol
 from druid_spark.filters import FilterCompiler
@@ -59,7 +59,9 @@ def compile_query(engine, q: dict) -> DataFrame:
     if not grain_all:
         keys = [G.bucket(res("__time"), gran).alias("__time")] + keys
 
-    ac = AggCompiler(res, FilterCompiler(df, res, ctx.lookups), engine.exact_approx)
+    plan = SketchPlan(q.get("aggregations"), q.get("postAggregations"))
+    ac = AggCompiler(res, FilterCompiler(df, res, ctx.lookups),
+                     engine.exact_approx, plan)
     aggs = ac.compile_all(q.get("aggregations"))
 
     subtotals = q.get("subtotalsSpec")
@@ -71,7 +73,7 @@ def compile_query(engine, q: dict) -> DataFrame:
     else:
         out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
-    out = _apply_post(out, q.get("postAggregations"))
+    out = _apply_post(out, q.get("postAggregations"), plan)
 
     having = q.get("having")
     if having:
@@ -140,15 +142,22 @@ def _having(h: dict, df: DataFrame) -> Column:
     raise NotImplementedError(f"having {t}")
 
 
-def _apply_post(out: DataFrame, pas: list[dict] | None) -> DataFrame:
+def _apply_post(out: DataFrame, pas: list[dict] | None,
+                plan: SketchPlan | None = None) -> DataFrame:
     """Post-aggregators; a post-agg whose name matches an existing column
     replaces it (Druid forbids collisions, but replacement is the useful
-    interpretation for e.g. in-place rounding)."""
+    interpretation for e.g. in-place rounding). Sketch struct columns
+    consumed by finalizers are dropped from the output — the finalized
+    values replace the "sketch blob"."""
     if not pas:
         return out
     names = [p.get("name", p["type"]) for p in pas]
-    cols = PostAggCompiler().compile_all(pas)
-    keep = [F.col("`" + c + "`") for c in out.columns if c not in names]
+    consumed = set()
+    if plan:
+        consumed = set(plan.quant) | plan.theta_sets
+    cols = PostAggCompiler(sketch_plan=plan).compile_all(pas)
+    keep = [F.col("`" + c + "`") for c in out.columns
+            if c not in names and c not in consumed]
     return out.select(*keep, *cols)
 
 

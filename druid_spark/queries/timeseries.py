@@ -17,13 +17,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from druid_spark import granularity as G
-from druid_spark.aggregations import AggCompiler, PostAggCompiler
+from druid_spark.aggregations import AggCompiler, PostAggCompiler, SketchPlan
 
 
 def compile_query(engine, q: dict) -> DataFrame:
     ctx = engine.prepare(q)
     res = ctx.resolver()
-    ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx)
+    plan = SketchPlan(q.get("aggregations"), q.get("postAggregations"))
+    ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx, plan)
     aggs = ac.compile_all(q.get("aggregations"))
     gran = q.get("granularity", "all")
     grain_all = gran in (None, "all") or (
@@ -38,7 +39,7 @@ def compile_query(engine, q: dict) -> DataFrame:
             out = _zero_fill(engine, q, gran, out)
 
     from druid_spark.queries.groupby import _apply_post
-    out = _apply_post(out, q.get("postAggregations"))
+    out = _apply_post(out, q.get("postAggregations"), plan)
     if not grain_all:
         out = out.orderBy(F.col("__time").desc() if q.get("descending")
                           else F.col("__time").asc())

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from druid_spark import granularity as G
-from druid_spark.aggregations import AggCompiler, PostAggCompiler
+from druid_spark.aggregations import AggCompiler, PostAggCompiler, SketchPlan
 from druid_spark.dimensions import dimension
 from druid_spark.engine import qcol
 
@@ -28,7 +28,8 @@ def compile_query(engine, q: dict) -> DataFrame:
     ctx = engine.prepare(q)
     res = ctx.resolver()
     dim_name, dim_col = dimension(q["dimension"], res)
-    ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx)
+    plan = SketchPlan(q.get("aggregations"), q.get("postAggregations"))
+    ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx, plan)
     aggs = ac.compile_all(q.get("aggregations"))
     threshold = int(q["threshold"])
 
@@ -42,7 +43,7 @@ def compile_query(engine, q: dict) -> DataFrame:
 
     from druid_spark.queries.groupby import _apply_post
     out = ctx.df.groupBy(*keys).agg(*aggs)
-    out = _apply_post(out, q.get("postAggregations"))
+    out = _apply_post(out, q.get("postAggregations"), plan)
 
     order = _metric_order(q.get("metric"), dim_name)
     if grain_all:

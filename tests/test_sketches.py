@@ -1,0 +1,138 @@
+"""Datasketches-surface tests: quantile-sketch finalizer post-aggs and
+theta-sketch set ops (extensions-core/datasketches —
+DoublesSketchAggregatorFactory / SketchSetPostAggregator analogs).
+
+The Spark-first design under test: SketchPlan pre-scans post-aggs so the
+"sketch" compiles to a struct of real aggregate expressions (percentile,
+filtered counts) — no sketch blobs, no UDFs, partial-aggregation intact.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_spark import DruidSparkEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = DruidSparkEngine(spark, exact_approx=True)
+    rows = [(i, "a" if i % 2 else "b", float(i), 100 + i % 3) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["id", "grp", "x", "user"]) \
+        .withColumn("__time", F.timestamp_millis(F.col("id") * 1000))
+    e.catalog.register_table("t", df)
+    return e
+
+
+def test_quantile_sketch_finalizers(eng):
+    df = eng.query({
+        "queryType": "groupBy", "dataSource": "t",
+        "granularity": "all", "dimensions": ["grp"],
+        "aggregations": [{"type": "quantilesDoublesSketch", "name": "qs",
+                          "fieldName": "x", "k": 128}],
+        "postAggregations": [
+            {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "fraction": 0.5},
+            {"type": "quantilesDoublesSketchToQuantiles", "name": "iqr",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "fractions": [0.25, 0.75]},
+            {"type": "quantilesDoublesSketchToHistogram", "name": "hist",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "splitPoints": [25.0, 75.0]},
+            {"type": "quantilesDoublesSketchToCDF", "name": "cdf",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "splitPoints": [50.0]},
+            {"type": "quantilesDoublesSketchToRank", "name": "rank50",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "value": 50.0},
+        ]})
+    rows = {r["grp"]: r for r in df.collect()}
+    assert "qs" not in df.columns  # struct consumed by finalizers
+    a = rows["a"]  # odd numbers 1..99, 50 values
+    assert a["p50"] == pytest.approx(49.0, abs=2.0)
+    assert a["iqr"][0] < a["p50"] < a["iqr"][1]
+    # hist: <25 → 12 odds (1..23); 25..74 → 25 odds; >=75 → 13 odds
+    assert a["hist"] == [12, 25, 13]
+    assert a["cdf"] == [pytest.approx(25 / 50), pytest.approx(1.0)]
+    assert a["rank50"] == pytest.approx(25 / 50)
+
+
+def test_quantile_sketch_standalone_is_count(eng):
+    """no finalizer → finalized value is the stream length N
+    (DoublesSketchAggregatorFactory.finalizeComputation)."""
+    df = eng.query({
+        "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+        "aggregations": [{"type": "quantilesDoublesSketch", "name": "qs",
+                          "fieldName": "x"}]})
+    assert df.collect()[0]["qs"] == 100
+
+
+def test_theta_setops(eng):
+    df = eng.query({
+        "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+        "aggregations": [
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "grp", "value": "a"},
+             "aggregator": {"type": "thetaSketch", "name": "ua",
+                            "fieldName": "user"}},
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "grp", "value": "b"},
+             "aggregator": {"type": "thetaSketch", "name": "ub",
+                            "fieldName": "user"}},
+        ],
+        "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "inter",
+             "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                       "fields": [{"type": "fieldAccess", "fieldName": "ua"},
+                                  {"type": "fieldAccess", "fieldName": "ub"}]}},
+            {"type": "thetaSketchEstimate", "name": "uni",
+             "field": {"type": "thetaSketchSetOp", "func": "UNION",
+                       "fields": [{"type": "fieldAccess", "fieldName": "ua"},
+                                  {"type": "fieldAccess", "fieldName": "ub"}]}},
+            {"type": "thetaSketchEstimate", "name": "only_a",
+             "field": {"type": "thetaSketchSetOp", "func": "NOT",
+                       "fields": [{"type": "fieldAccess", "fieldName": "ua"},
+                                  {"type": "fieldAccess", "fieldName": "ub"}]}},
+            {"type": "thetaSketchEstimate", "name": "est_a",
+             "field": {"type": "fieldAccess", "fieldName": "ua"}},
+        ]})
+    r = df.collect()[0]
+    # users are 100,101,102 in both groups → full overlap
+    assert r["inter"] == 3.0 and r["uni"] == 3.0 and r["only_a"] == 0.0
+    assert r["est_a"] == 3.0
+    assert "ua" not in df.columns and "ub" not in df.columns
+
+
+def test_fixed_buckets_histogram(eng):
+    df = eng.query({
+        "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+        "aggregations": [{"type": "fixedBucketsHistogram", "name": "h",
+                          "fieldName": "x", "lowerLimit": 0.0,
+                          "upperLimit": 100.0, "numBuckets": 4}]})
+    # ignore mode: 100.0 is outside [0,100) and dropped
+    assert df.collect()[0]["h"] == [24, 25, 25, 25]
+    df = eng.query({
+        "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+        "aggregations": [{"type": "fixedBucketsHistogram", "name": "h",
+                          "fieldName": "x", "lowerLimit": 0.0,
+                          "upperLimit": 100.0, "numBuckets": 4,
+                          "outlierHandlingMode": "clip"}]})
+    # clip mode: 100.0 clamps into the last bin
+    assert df.collect()[0]["h"] == [24, 25, 25, 26]
+
+
+def test_sketch_partial_agg_plan(eng):
+    """the sketch struct must aggregate with map-side partials — assert
+    the plan contains a partial/final HashAggregate or ObjectHashAggregate
+    pair, not a single-node collect."""
+    df = eng.query({
+        "queryType": "groupBy", "dataSource": "t",
+        "granularity": "all", "dimensions": ["grp"],
+        "aggregations": [{"type": "quantilesDoublesSketch", "name": "qs",
+                          "fieldName": "x"}],
+        "postAggregations": [
+            {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+             "field": {"type": "fieldAccess", "fieldName": "qs"},
+             "fraction": 0.5}]})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_percentile" in plan or "partial" in plan
