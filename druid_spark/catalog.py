@@ -56,6 +56,7 @@ class Catalog:
         self.spark = spark
         self._tables: dict[str, DataFrame] = {}
         self._lookups: dict[str, dict] = {}
+        self._paths: dict[str, str] = {}  # table -> source path (sys.segments)
 
     def register_dir(self, data_dir: str,
                      time_columns: dict[str, str] | None = None) -> None:
@@ -69,12 +70,16 @@ class Catalog:
                                     time_column=tcols.get(name))
 
     def register_table(self, name: str, source: str | DataFrame,
-                       time_column: str | None = None) -> None:
+                       time_column: str | None = None,
+                       source_path: str | None = None) -> None:
         if isinstance(source, str):
             df = self.spark.read.parquet(source)
             df = _fix_nanos(df, source)
+            self._paths[name] = source
         else:
             df = source
+            if source_path:
+                self._paths[name] = source_path
         if time_column and time_column in df.columns and "__time" not in df.columns:
             df = df.withColumn("__time", F.col(time_column))
         self._tables[name] = df
@@ -100,3 +105,26 @@ class Catalog:
 
     def tables(self) -> list[str]:
         return sorted(self._tables)
+
+    def segments(self) -> list[tuple]:
+        """(datasource, segment path, size bytes, num rows) per parquet
+        file — the sys.segments analog (SystemSchema.java:105). Row counts
+        come from parquet footers (no data scan)."""
+        out = []
+        for name, path in sorted(self._paths.items()):
+            files = []
+            if os.path.isdir(path):
+                for root, _, fns in os.walk(path):
+                    files += [os.path.join(root, f) for f in fns
+                              if f.endswith(".parquet")]
+            elif path.endswith(".parquet"):
+                files = [path]
+            for f in sorted(files):
+                rows = -1
+                try:
+                    import pyarrow.parquet as pq
+                    rows = pq.read_metadata(f).num_rows
+                except Exception:
+                    pass
+                out.append((name, f, os.path.getsize(f), rows))
+        return out

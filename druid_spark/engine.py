@@ -59,11 +59,39 @@ class DruidSparkEngine:
         self.spark = spark
         self.catalog = Catalog(spark)
         self.exact_approx = exact_approx
+        self._result_cache: dict[str, DataFrame] = {}
+        self._result_cache_order: list[str] = []
+        self.result_cache_size = 32
         if data_dir:
             self.catalog.register_dir(data_dir)
 
     # -------------------------------------------------------- public API
     def query(self, q: dict[str, Any]) -> DataFrame:
+        """Compile one native-JSON query. context.useResultCache caches
+        the materialized result DataFrame keyed by the canonical query
+        JSON — the analog of the reference's whole-result cache
+        (server/.../query/ResultLevelCachingQueryRunner.java:51,
+        CacheStrategy). LRU-bounded; correct only while the underlying
+        tables are immutable between queries (Druid keys on segment
+        versions for the same reason — our tables are snapshot-registered
+        DataFrames, so identity holds for the engine's lifetime)."""
+        use_cache = bool(q.get("context", {}).get("useResultCache"))
+        if use_cache:
+            import json as _json
+            key = _json.dumps(q, sort_keys=True, default=str)
+            if key in self._result_cache:
+                return self._result_cache[key]
+        out = self._dispatch(q)
+        if use_cache:
+            out = out.persist()
+            self._result_cache[key] = out
+            self._result_cache_order.append(key)
+            if len(self._result_cache_order) > self.result_cache_size:
+                old = self._result_cache_order.pop(0)
+                self._result_cache.pop(old).unpersist()
+        return out
+
+    def _dispatch(self, q: dict[str, Any]) -> DataFrame:
         qt = q["queryType"]
         from druid_spark.queries import (groupby, metadata, scan, search,
                                          timeboundary, timeseries, topn,
@@ -88,15 +116,40 @@ class DruidSparkEngine:
         """Druid-flavoured SQL: register tables as views + the Druid
         function surface (SQL UDFs, Catalyst-inlined), rewrite the
         aggregate-layer names, then let Spark SQL run it (SURVEY §3.1 —
-        steps 2-8 are Catalyst built-ins)."""
+        steps 2-8 are Catalyst built-ins). INSERT INTO / REPLACE INTO ...
+        PARTITIONED BY statements route to the ingestion writer
+        (DruidSqlInsert/DruidSqlReplace — SURVEY §3.3)."""
         from druid_spark.functions.register import register_druid_functions
         from druid_spark.functions.sqlshim import rewrite_druid_sql
+        from druid_spark.ingest.sql_ingest import parse_ingest_sql, run_ingest_sql
+        stmt = parse_ingest_sql(text)
+        if stmt is not None:
+            return run_ingest_sql(self, stmt)
         if not getattr(self, "_fns_registered", False):
             register_druid_functions(self.spark)
             self._fns_registered = True
         for name in self.catalog.tables():
             self.catalog.table(name).createOrReplaceTempView(name)
         return self.spark.sql(rewrite_druid_sql(text))
+
+    def sql_expr(self, text: str) -> Column:
+        """a scalar SQL predicate/expression with Druid functions available."""
+        if not getattr(self, "_fns_registered", False):
+            from druid_spark.functions.register import register_druid_functions
+            register_druid_functions(self.spark)
+            self._fns_registered = True
+        return F.expr(text)
+
+    def table_service(self):
+        """lazily-created warehouse for SQL ingestion (defaults under
+        spark-warehouse/druid)."""
+        if not hasattr(self, "_table_service"):
+            from druid_spark.ingest.batch import TableService
+            import os
+            base = getattr(self, "warehouse_dir", None) or os.path.join(
+                os.getcwd(), "spark-warehouse", "druid")
+            self._table_service = TableService(self.spark, base)
+        return self._table_service
 
     def create_system_views(self) -> None:
         """INFORMATION_SCHEMA / sys analogs
@@ -118,6 +171,11 @@ class DruidSparkEngine:
                      "COLUMN_NAME", "ORDINAL_POSITION", "DATA_TYPE",
                      "IS_NULLABLE"]).createOrReplaceTempView(
             "information_schema_columns")
+        segs = self.catalog.segments()
+        if segs:
+            self.spark.createDataFrame(
+                segs, ["datasource", "segment_path", "size", "num_rows"]
+            ).createOrReplaceTempView("sys_segments")
 
     # ---------------------------------------------------- datasources
     def resolve(self, ds: Any) -> DataFrame:

@@ -163,7 +163,8 @@ class TableService:
 
     def write(self, df: DataFrame, datasource: str,
               segment_granularity: str = "day", mode: str = "overwrite",
-              target_rows_per_file: int = 5_000_000) -> None:
+              target_rows_per_file: int = 5_000_000,
+              cluster_by: list[str] | None = None) -> None:
         fmt = _PART_FMT.get(segment_granularity, "yyyy-MM-dd")
         if fmt is None:
             df.write.mode(mode).parquet(self.path(datasource))
@@ -173,6 +174,11 @@ class TableService:
         # shuffle rows to their partition so each time chunk is written
         # by few tasks (avoids small-file explosion at scale)
         out = out.repartition(F.col("__dt"))
+        if cluster_by:
+            # CLUSTERED BY (range shard-spec analog): sort rows within
+            # each time chunk so parquet min/max stats prune on these
+            # columns (DimensionRangeShardSpec secondary pruning)
+            out = out.sortWithinPartitions("__dt", *cluster_by)
         out.write.mode(mode).partitionBy("__dt").parquet(self.path(datasource))
 
     def table(self, datasource: str) -> DataFrame:

@@ -1,0 +1,97 @@
+"""Druid SQL ingestion statements: INSERT INTO / REPLACE INTO.
+
+Reference: sql/calcite/parser/DruidSqlInsert.java:39,
+DruidSqlReplace.java:42 — the MSQ task engine's SQL surface (SURVEY §3.3):
+
+    INSERT INTO t SELECT ... PARTITIONED BY DAY [CLUSTERED BY c1, c2]
+    REPLACE INTO t OVERWRITE ALL SELECT ... PARTITIONED BY MONTH
+    REPLACE INTO t OVERWRITE WHERE <__time pred> SELECT ... PARTITIONED BY DAY
+
+Spark-first: the statement IS Spark's own DAG — the SELECT plans through
+Catalyst, PARTITIONED BY becomes the time-partitioned Parquet layout,
+REPLACE maps to dynamic partition overwrite (only the time chunks present
+in the new data are swapped — the VersionedIntervalTimeline overshadow
+semantics), CLUSTERED BY becomes a sort within time chunks (the range
+shard-spec analog, giving per-file min/max pruning on those columns).
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+from dataclasses import dataclass
+
+
+_STMT_RE = re.compile(
+    r"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+(?P<table>[A-Za-z_][\w]*)\s+"
+    r"(?:OVERWRITE\s+(?P<overwrite>ALL|WHERE\s+.+?)\s+(?=SELECT|WITH))?"
+    r"(?P<select>(?:SELECT|WITH)\s.+?)\s+"
+    r"PARTITIONED\s+BY\s+(?P<grain>[A-Za-z_]+)"
+    r"(?:\s+CLUSTERED\s+BY\s+(?P<cluster>[\w\s,]+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_GRAIN = {"hour": "hour", "day": "day", "week": "week", "month": "month",
+          "year": "year", "all": "all"}
+
+
+@dataclass
+class IngestStatement:
+    verb: str                 # INSERT | REPLACE
+    table: str
+    select: str
+    granularity: str
+    overwrite_where: str | None   # None => OVERWRITE ALL (replace) / append
+    overwrite_all: bool
+    cluster_by: list[str]
+
+
+def parse_ingest_sql(text: str) -> IngestStatement | None:
+    m = _STMT_RE.match(text)
+    if not m:
+        return None
+    verb = m.group("verb").upper()
+    grain = m.group("grain").lower()
+    if grain not in _GRAIN:
+        raise ValueError(
+            f"PARTITIONED BY {m.group('grain')!r} — supported: "
+            f"{sorted(_GRAIN)}")
+    ow = m.group("overwrite")
+    overwrite_all = bool(ow and ow.upper() == "ALL")
+    where = None
+    if ow and not overwrite_all:
+        where = re.sub(r"^\s*WHERE\s+", "", ow, flags=re.IGNORECASE)
+    if verb == "REPLACE" and not ow:
+        raise ValueError("REPLACE requires OVERWRITE ALL or OVERWRITE WHERE")
+    cluster = [c.strip() for c in (m.group("cluster") or "").split(",")
+               if c.strip()]
+    return IngestStatement(verb, m.group("table"), m.group("select"),
+                           _GRAIN[grain], where, overwrite_all, cluster)
+
+
+def run_ingest_sql(engine, stmt: IngestStatement):
+    """Execute against the engine's TableService; returns the written
+    DataFrame (so the statement composes like a query). The new/updated
+    datasource is (re)registered in the engine catalog."""
+    from druid_spark.ingest.batch import TableService
+
+    df = engine.sql(stmt.select)
+    if "__time" not in df.columns:
+        raise ValueError(
+            "INSERT/REPLACE SELECT must produce a __time column "
+            "(ColumnHolder.TIME_COLUMN_NAME)")
+    if stmt.overwrite_where:
+        # Druid rejects rows outside the OVERWRITE WHERE range; we filter,
+        # and dynamic partition overwrite then swaps exactly the chunks
+        # the surviving rows land in
+        df = df.where(engine.sql_expr(stmt.overwrite_where))
+
+    svc = engine.table_service()
+    if stmt.verb == "REPLACE" and stmt.overwrite_all:
+        shutil.rmtree(svc.path(stmt.table), ignore_errors=True)
+    mode = "append" if stmt.verb == "INSERT" else "overwrite"
+    svc.write(df, stmt.table, stmt.granularity, mode=mode,
+              cluster_by=stmt.cluster_by)
+    engine.catalog.register_table(stmt.table, svc.table(stmt.table),
+                                  source_path=svc.path(stmt.table))
+    return df

@@ -42,7 +42,11 @@ def compile_query(engine, q: dict) -> DataFrame:
         keys = [G.bucket(res("__time"), gran).alias("__time")] + keys
 
     from druid_spark.queries.groupby import _apply_post
-    out = ctx.df.groupBy(*keys).agg(*aggs)
+    approx = bool(q.get("context", {}).get("approximateTopN"))
+    if approx and grain_all and _re_aggregatable(q.get("aggregations")):
+        out = _approx_topn(ctx.df, keys[-1], dim_name, q, aggs, threshold)
+    else:
+        out = ctx.df.groupBy(*keys).agg(*aggs)
     out = _apply_post(out, q.get("postAggregations"), plan)
 
     order = _metric_order(q.get("metric"), dim_name)
@@ -52,6 +56,48 @@ def compile_query(engine, q: dict) -> DataFrame:
     return (out.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= threshold).drop("__rn")
             .orderBy("__time", *order))
+
+
+_RE_AGG_OK = {"count", "longSum", "doubleSum", "floatSum", "longMin",
+              "doubleMin", "floatMin", "longMax", "doubleMax", "floatMax"}
+
+
+def _re_aggregatable(aggs) -> bool:
+    """partial results can be re-merged by summing/min/max-ing — the same
+    condition under which Druid's per-segment topN merge is closed."""
+    return bool(aggs) and all(a["type"] in _RE_AGG_OK for a in aggs)
+
+
+def _approx_topn(df, dim_key, dim_name, q, aggs, threshold):
+    """Druid's approximate topN (TopNQueryEngine.java:200 — per-segment
+    top K' then merge). Spark shape: aggregate per (input partition, dim),
+    keep each partition's top K' = max(1000, 2K) by the metric, then
+    re-aggregate the survivors by dim. For high-cardinality dims this
+    shuffles numPartitions·K' rows instead of |dim| rows; results may
+    miss a true top-K entry exactly like the reference's algorithm.
+    Enabled by context.approximateTopN (default exact — SURVEY §7.3.6)."""
+    kprime = max(1000, 2 * threshold)
+    partial = df.groupBy(F.spark_partition_id().alias("__pid"),
+                         dim_key).agg(*aggs)
+    w = Window.partitionBy("__pid").orderBy(
+        *_metric_order(q.get("metric"), dim_name))
+    trimmed = (partial.withColumn("__rk", F.row_number().over(w))
+               .where(F.col("__rk") <= kprime).drop("__rk", "__pid"))
+    # final merge: re-aggregate survivors (sum/min/max are re-mergeable)
+    remerge = []
+    for a in q.get("aggregations") or []:
+        t, name = a["type"], a.get("name", a["type"])
+        c = F.col("`" + name + "`")
+        if t in ("count", "longSum", "doubleSum", "floatSum"):
+            m = F.sum(c)
+            if t in ("count", "longSum"):
+                m = m.cast("long")
+        elif t.endswith("Min"):
+            m = F.min(c)
+        else:
+            m = F.max(c)
+        remerge.append(m.alias(name))
+    return trimmed.groupBy(qcol(dim_name)).agg(*remerge)
 
 
 def _metric_order(metric, dim_name: str):

@@ -1,0 +1,78 @@
+"""Approximate topN (context.approximateTopN), whole-result cache
+(context.useResultCache), sys.segments view.
+
+Reference anchors: TopNQueryEngine.java:200 (per-segment K then merge),
+ResultLevelCachingQueryRunner.java:51, SystemSchema.java:105.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_spark import DruidSparkEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = DruidSparkEngine(spark)
+    e.catalog.register_dir("/root/testdata/sf0.001")
+    return e
+
+
+def _topn(extra_ctx):
+    return {
+        "queryType": "topN", "dataSource": "lineitem",
+        "dimension": "l_suppkey", "metric": "s", "threshold": 5,
+        "granularity": "all",
+        "aggregations": [{"type": "doubleSum", "name": "s",
+                          "fieldName": "l_extendedprice"}],
+        "context": extra_ctx}
+
+
+def test_approx_topn_matches_exact_here(eng):
+    """at sf0.001 every partition sees (almost) all keys, and K' >> |dim|,
+    so the approximate result equals the exact one — same guarantee the
+    reference's docs give for low-cardinality dims."""
+    exact = [(r["l_suppkey"], round(r["s"], 2))
+             for r in eng.query(_topn({})).collect()]
+    approx = [(r["l_suppkey"], round(r["s"], 2))
+              for r in eng.query(_topn({"approximateTopN": True})).collect()]
+    assert approx == exact
+
+
+def test_approx_topn_plan_has_two_aggregates(eng):
+    plan = eng.query(_topn({"approximateTopN": True}))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # partial+final, twice
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+
+
+def test_result_cache_returns_same_df(eng):
+    q = {"queryType": "timeseries", "dataSource": "orders",
+         "granularity": "all",
+         "aggregations": [{"type": "count", "name": "n"}],
+         "context": {"useResultCache": True}}
+    df1 = eng.query(q)
+    n1 = df1.collect()[0]["n"]
+    df2 = eng.query(dict(q))  # equal-but-not-identical dict
+    assert df2 is df1  # cache hit returns the persisted DataFrame
+    assert df2.collect()[0]["n"] == n1
+    # different query → different entry
+    q3 = {**q, "dataSource": "nation"}
+    assert eng.query(q3) is not df1
+
+
+def test_result_cache_off_by_default(eng):
+    q = {"queryType": "timeseries", "dataSource": "orders",
+         "granularity": "all",
+         "aggregations": [{"type": "count", "name": "n"}]}
+    assert eng.query(q) is not eng.query(q)
+
+
+def test_sys_segments(eng):
+    eng.create_system_views()
+    rows = eng.spark.sql(
+        "SELECT datasource, size, num_rows FROM sys_segments").collect()
+    by_ds = {r["datasource"]: r for r in rows}
+    assert "lineitem" in by_ds and "events" in by_ds
+    assert by_ds["lineitem"]["size"] > 0
+    assert by_ds["events"]["num_rows"] == 1000  # sf0.001 events rows

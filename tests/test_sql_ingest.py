@@ -1,0 +1,98 @@
+"""SQL ingestion statements (DruidSqlInsert.java:39 / DruidSqlReplace.java:42):
+INSERT INTO / REPLACE INTO ... PARTITIONED BY ... [CLUSTERED BY ...] through
+engine.sql(), writing the time-partitioned warehouse with dynamic partition
+overwrite (the VersionedIntervalTimeline overshadow analog).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_spark import DruidSparkEngine
+from druid_spark.ingest.sql_ingest import parse_ingest_sql
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = DruidSparkEngine(spark)
+    e.warehouse_dir = str(tmp_path / "wh")
+    rows = [(f"2024-01-0{d} 0{h}:00:00", f"u{i % 3}", float(i))
+            for i, (d, h) in enumerate((d, h) for d in (1, 2, 3)
+                                       for h in range(3))]
+    df = spark.createDataFrame(rows, ["t", "user", "v"]) \
+        .withColumn("__time", F.to_timestamp("t")).drop("t")
+    e.catalog.register_table("src", df)
+    return e
+
+
+def test_parse_variants():
+    s = parse_ingest_sql(
+        "INSERT INTO t SELECT __time, x FROM s PARTITIONED BY DAY")
+    assert s.verb == "INSERT" and s.granularity == "day" and not s.cluster_by
+    s = parse_ingest_sql(
+        "REPLACE INTO t OVERWRITE ALL SELECT __time, x FROM s "
+        "PARTITIONED BY MONTH CLUSTERED BY x, y")
+    assert s.verb == "REPLACE" and s.overwrite_all and s.cluster_by == ["x", "y"]
+    s = parse_ingest_sql(
+        "REPLACE INTO t OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02' "
+        "SELECT __time, x FROM s PARTITIONED BY DAY")
+    assert s.overwrite_where.startswith("__time >=")
+    assert parse_ingest_sql("SELECT 1") is None
+    with pytest.raises(ValueError):
+        parse_ingest_sql("REPLACE INTO t SELECT __time FROM s PARTITIONED BY DAY")
+
+
+def test_insert_then_query(eng):
+    eng.sql("INSERT INTO tgt SELECT __time, user, v FROM src "
+            "PARTITIONED BY DAY")
+    n = eng.query({"queryType": "timeseries", "dataSource": "tgt",
+                   "granularity": "all",
+                   "aggregations": [{"type": "count", "name": "n"}]}) \
+        .collect()[0]["n"]
+    assert n == 9
+    # partitioned layout on disk (one dir per day)
+    import os
+    dts = [d for d in os.listdir(eng.table_service().path("tgt"))
+           if d.startswith("__dt=")]
+    assert sorted(dts) == ["__dt=2024-01-01", "__dt=2024-01-02",
+                           "__dt=2024-01-03"]
+
+
+def test_replace_overwrite_where_swaps_only_matching_chunks(eng):
+    eng.sql("INSERT INTO tgt SELECT __time, user, v FROM src "
+            "PARTITIONED BY DAY")
+    # replace day 2 with doubled values; days 1 and 3 must survive
+    eng.sql("REPLACE INTO tgt "
+            "OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02' "
+            "AND __time < TIMESTAMP '2024-01-03' "
+            "SELECT __time, user, v * 2 AS v FROM src "
+            "PARTITIONED BY DAY")
+    rows = eng.query({"queryType": "timeseries", "dataSource": "tgt",
+                      "granularity": "day",
+                      "aggregations": [
+                          {"type": "count", "name": "n"},
+                          {"type": "doubleSum", "name": "sv",
+                           "fieldName": "v"}],
+                      "context": {"skipEmptyBuckets": True}}).collect()
+    per_day = {str(r["__time"])[:10]: r for r in rows}
+    assert per_day["2024-01-01"]["n"] == 3 and per_day["2024-01-03"]["n"] == 3
+    assert per_day["2024-01-02"]["n"] == 3
+    assert per_day["2024-01-02"]["sv"] == (3 + 4 + 5) * 2.0
+    assert per_day["2024-01-01"]["sv"] == 0 + 1 + 2
+
+
+def test_replace_overwrite_all(eng):
+    eng.sql("INSERT INTO tgt SELECT __time, user, v FROM src "
+            "PARTITIONED BY DAY")
+    eng.sql("REPLACE INTO tgt OVERWRITE ALL "
+            "SELECT __time, user, v FROM src WHERE user = 'u0' "
+            "PARTITIONED BY DAY CLUSTERED BY user")
+    n = eng.query({"queryType": "timeseries", "dataSource": "tgt",
+                   "granularity": "all",
+                   "aggregations": [{"type": "count", "name": "n"}]}) \
+        .collect()[0]["n"]
+    assert n == 3  # only u0 rows remain
+
+
+def test_insert_requires_time(eng):
+    with pytest.raises(ValueError, match="__time"):
+        eng.sql("INSERT INTO bad SELECT user, v FROM src PARTITIONED BY DAY")
