@@ -557,29 +557,19 @@ def q_sim_ivf(spark, sf):
 def q_text_profile(spark, sf):
     from druid_spark.datapipe import textstats
     docs = _engine(spark, sf).catalog.table("documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        textstats.token_count(t).alias("n_tokens"),
-        F.round(textstats.punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(textstats.stopword_ratio(t), 4).alias("stopword_ratio"),
-        textstats.quality_score(t).alias("quality"),
-        textstats.lang_id(t).alias("lang_pred"),
-        textstats.fingerprint(t).alias("fingerprint"),
-    )
+    return textstats.staged_features(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality",
+        "lang_pred", "fingerprint")
 
 
 def q_text_quality_by_source(spark, sf):
     from druid_spark.datapipe import textstats
     docs = _engine(spark, sf).catalog.table("documents")
-    t = F.col("text")
-    return (docs
-            .select("source", textstats.quality_score(t).alias("q"),
-                    textstats.token_count(t).alias("nt"))
+    return (textstats.staged_features(docs)
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("q"), 3).alias("quality_sum"),
-                 F.sum("nt").alias("tokens")))
+                 F.round(F.sum("quality"), 3).alias("quality_sum"),
+                 F.sum("n_tokens").alias("tokens")))
 
 
 def q_mm_features(spark, sf):

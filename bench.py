@@ -190,13 +190,11 @@ def build_queries(engine):
     def text_profile_agg():
         from druid_spark.datapipe import textstats
         docs = E.catalog.table("documents")
-        t = F.col("text")
-        return (docs.select(textstats.quality_score(t).alias("q"),
-                            textstats.token_count(t).alias("nt"),
-                            textstats.lang_id(t).alias("lang"))
-                .groupBy("lang").agg(F.count(F.lit(1)).alias("n"),
-                                     F.avg("q").alias("avg_q"),
-                                     F.sum("nt").alias("tokens")))
+        return (textstats.staged_features(docs)
+                .groupBy("lang_pred")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("quality").alias("avg_q"),
+                     F.sum("n_tokens").alias("tokens")))
 
     def sim_topk():
         from druid_spark.datapipe.similarity import brute_force_topk
