@@ -592,7 +592,41 @@ _FUNCS: dict[str, Callable] = {
     # misc
     "human_readable_binary_byte_format": _f(
         lambda x: F.format_string("%.2f B", x.cast("double"))),
+    # ipv4 — query/expression/IPv4AddressParseExprMacro.java etc.
+    "ipv4_parse": _f(lambda s: _ipv4_parse(s)),
+    "ipv4_stringify": _f(lambda n: _ipv4_stringify(n)),
+    "ipv4_match": lambda cols, nodes: _ipv4_match(cols[0], _lit_of(nodes[1])),
 }
+
+
+def _ipv4_parse(s: Column) -> Column:
+    parts = F.split(s.cast("string"), r"\.")
+    return (parts.getItem(0).cast("long") * 16777216
+            + parts.getItem(1).cast("long") * 65536
+            + parts.getItem(2).cast("long") * 256
+            + parts.getItem(3).cast("long"))
+
+
+def _ipv4_stringify(n: Column) -> Column:
+    n = n.cast("long")
+    return F.concat_ws(
+        ".", ((n / 16777216).cast("long") % 256).cast("string"),
+        ((n / 65536).cast("long") % 256).cast("string"),
+        ((n / 256).cast("long") % 256).cast("string"),
+        (n % 256).cast("string"))
+
+
+def _ipv4_match(addr: Column, subnet: str) -> Column:
+    """addr (dotted string or long) within 'a.b.c.d/n' CIDR."""
+    base_s, bits_s = subnet.split("/")
+    bits = int(bits_s)
+    base = 0
+    for p in base_s.split("."):
+        base = base * 256 + int(p)
+    mask = ((1 << 32) - 1) ^ ((1 << (32 - bits)) - 1) if bits else 0
+    as_long = F.when(addr.cast("string").rlike(r"^\d+\.\d+\.\d+\.\d+$"),
+                     _ipv4_parse(addr)).otherwise(addr.cast("long"))
+    return as_long.bitwiseAND(F.lit(mask)) == F.lit(base & mask)
 
 
 def compile_expr(expr: str, resolver: Resolver | None = None, lookups=None) -> Column:

@@ -26,6 +26,14 @@ from pyspark.sql import types as T
 from druid_spark.expr import compile_expr
 
 
+def alnum_sort_key(c: Column) -> Column:
+    """zero-pad digit runs to width 10 so lexicographic order of the key
+    equals alphanumeric/version order of the value
+    (StringComparators.java:34-39) — a pure expression, no UDF."""
+    padded = F.regexp_replace(c, r"(\d+)", r"0000000000$1")
+    return F.regexp_replace(padded, r"0*(\d{10})", r"$1")
+
+
 def _is_mv(df: DataFrame | None, col: str) -> bool:
     if df is None:
         return False
@@ -121,18 +129,36 @@ class FilterCompiler:
     # -- ranges
     def _f_bound(self, f):
         # legacy bound filter with ordering comparator
-        # (query/filter/BoundDimFilter.java); "numeric" ordering casts.
+        # (query/filter/BoundDimFilter.java + StringComparators.java:34-39);
+        # "numeric" casts, "alphanumeric"/"version" compare via a zero-pad
+        # sort key so digit runs order numerically — pure expressions.
         ordering = f.get("ordering", "lexicographic")
         lower, upper = f.get("lower"), f.get("upper")
         ls, us = f.get("lowerStrict", False), f.get("upperStrict", False)
+
+        def key(c):
+            if ordering == "numeric":
+                return c.cast("double")
+            c = c.cast("string")
+            if ordering in ("alphanumeric", "version"):
+                return alnum_sort_key(c)
+            return c
+
+        def lit(v):
+            if ordering == "numeric":
+                return F.lit(float(v))
+            if ordering in ("alphanumeric", "version"):
+                return alnum_sort_key(F.lit(str(v)))
+            return F.lit(str(v))
+
         def pred(c):
-            cc = c.cast("double") if ordering == "numeric" else c.cast("string")
+            cc = key(c)
             p = F.lit(True)
             if lower is not None:
-                lv = F.lit(float(lower) if ordering == "numeric" else str(lower))
+                lv = lit(lower)
                 p = p & ((cc > lv) if ls else (cc >= lv))
             if upper is not None:
-                uv = F.lit(float(upper) if ordering == "numeric" else str(upper))
+                uv = lit(upper)
                 p = p & ((cc < uv) if us else (cc <= uv))
             return p
         return self._match(f["dimension"], pred)

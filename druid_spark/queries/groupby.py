@@ -105,9 +105,8 @@ def _order_col(c) -> Column:
     if comparator == "numeric":
         col = col.cast("double")
     elif comparator in ("alphanumeric", "version"):
-        col = F.regexp_replace(col.cast("string"), r"(\d+)",
-                               r"0000000000$1")  # pad, then trim to fixed width
-        col = F.regexp_replace(col, r"0*(\d{10})", r"$1")
+        from druid_spark.filters import alnum_sort_key
+        col = alnum_sort_key(col.cast("string"))
     elif comparator == "strlen":
         col = F.struct(F.length(qcol(name)), qcol(name))
     return col.desc() if direction.lower().startswith("desc") else col.asc()

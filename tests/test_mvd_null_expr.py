@@ -238,6 +238,33 @@ def test_first_last_string(fooeng):
     assert r["first_d"] == "" and r["last_d"] == "abc"
 
 
+@pytest.mark.parametrize("expr,expected", [
+    ("ipv4_parse('192.168.1.1')", 3232235777),
+    ("ipv4_stringify(3232235777)", "192.168.1.1"),
+    ("ipv4_match('192.168.1.77', '192.168.0.0/16')", True),
+    ("ipv4_match('10.0.0.1', '192.168.0.0/16')", False),
+    ("ipv4_match(3232235777, '192.168.1.0/24')", True),
+])
+def test_ipv4_expressions(spark, expr, expected):
+    out = spark.range(1).select(compile_expr(expr).alias("x")).collect()[0]["x"]
+    assert out == expected
+
+
+def test_bound_filter_alphanumeric(spark):
+    """bound with alphanumeric ordering: 'f9' < 'f10' < 'f100'
+    (StringComparators alphanumeric)."""
+    from druid_spark import DruidSparkEngine
+    e = DruidSparkEngine(spark)
+    e.catalog.register_table("vv", spark.createDataFrame(
+        [("f2",), ("f9",), ("f10",), ("f100",)], ["name"]))
+    df = e.query({
+        "queryType": "scan", "dataSource": "vv", "columns": ["name"],
+        "filter": {"type": "bound", "dimension": "name",
+                   "ordering": "alphanumeric", "lower": "f9",
+                   "upper": "f100", "upperStrict": True}})
+    assert {r["name"] for r in df.collect()} == {"f9", "f10"}
+
+
 def test_unnest_datasource_mvd(fooeng):
     df = fooeng.query({
         "queryType": "groupBy",
