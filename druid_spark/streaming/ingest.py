@@ -176,3 +176,69 @@ def _with_trigger(writer, trigger: dict | None):
     if trigger:
         return writer.trigger(**trigger)
     return writer.trigger(availableNow=True)
+
+
+def start_supervisor(spark: SparkSession, spec: dict[str, Any],
+                     base_dir: str, trigger: dict | None = None):
+    """Druid supervisor-spec JSON → a running streaming ingest.
+
+    Accepts the reference's Kafka supervisor spec shape
+    (idx/seekablestream/supervisor/SeekableStreamSupervisor.java;
+    KafkaSupervisorIOConfig: topic/consumerProperties/
+    lateMessageRejectionPeriod; dataSchema: timestampSpec/dimensionsSpec/
+    metricsSpec/granularitySpec.rollup). Returns (StreamingIngest, query).
+    Non-Kafka `stream` sources (file/rate) are accepted for test
+    environments without a broker — the spec shape is identical.
+    """
+    inner = spec.get("spec", spec)
+    schema = inner["dataSchema"]
+    io = inner["ioConfig"]
+    name = schema["dataSource"]
+
+    source = io.get("stream") or {
+        "type": "kafka",
+        "topic": io["topic"],
+        "consumerProperties": io.get("consumerProperties", {}),
+        "startingOffsets": "earliest" if io.get(
+            "useEarliestOffset", io.get("useEarliestSequenceNumber"))
+        else "latest",
+        "valueSchema": io.get("valueSchema"),
+    }
+    stream = read_stream(spark, source)
+
+    ts_spec = schema.get("timestampSpec", {})
+    time_col = ts_spec.get("column", "timestamp")
+    late = io.get("lateMessageRejectionPeriod")
+    if late:  # ISO period → Spark interval string
+        late = _iso_period_to_interval(late)
+
+    ingest = StreamingIngest(spark, base_dir, name)
+    gran_spec = schema.get("granularitySpec", {})
+    if gran_spec.get("rollup", False):
+        dims_spec = schema.get("dimensionsSpec", {})
+        dims = [d if isinstance(d, str) else d["name"]
+                for d in dims_spec.get("dimensions") or []]
+        query = ingest.start_rollup(
+            stream, dims, schema.get("metricsSpec") or [],
+            query_granularity=gran_spec.get("queryGranularity", "minute"),
+            time_column=time_col,
+            watermark=late or "10 minutes", trigger=trigger)
+    else:
+        query = ingest.start(
+            stream, time_column=time_col,
+            transform_spec=schema.get("transformSpec"),
+            late_rejection=late, trigger=trigger)
+    return ingest, query
+
+
+def _iso_period_to_interval(period: str) -> str:
+    """'PT1H' → '1 hours', 'P1D' → '1 days', 'PT30M' → '30 minutes'."""
+    from druid_spark.granularity import period_to_millis
+    ms = period_to_millis(period)
+    if ms % 86_400_000 == 0:
+        return f"{ms // 86_400_000} days"
+    if ms % 3_600_000 == 0:
+        return f"{ms // 3_600_000} hours"
+    if ms % 60_000 == 0:
+        return f"{ms // 60_000} minutes"
+    return f"{ms // 1000} seconds"

@@ -181,3 +181,61 @@ def test_streaming_rollup(spark, tmp_path):
     rows = {str(r["__time"]): r for r in ing.view().collect()}
     first = rows.get("2024-05-01 00:00:00")
     assert first is not None and first["count"] == 10 and first["v_sum"] == 10
+
+
+def test_supervisor_spec(spark, tmp_path):
+    """Druid supervisor-spec JSON shape → running ingest
+    (SeekableStreamSupervisor / KafkaSupervisorIOConfig analog; file
+    source stands in for Kafka — no broker in this container)."""
+    from druid_spark.streaming.ingest import start_supervisor
+
+    src_dir = tmp_path / "sup_in"
+    src_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("page", T.StringType()),
+        T.StructField("n", T.LongType())])
+    (src_dir / "b1.json").write_text("\n".join(
+        json.dumps({"ts": f"2024-06-01T00:00:0{i}.000Z",
+                    "page": "home" if i % 2 else "about", "n": 1})
+        for i in range(4)))
+
+    spec = {
+        "type": "kafka",
+        "spec": {
+            "dataSchema": {
+                "dataSource": "pageviews",
+                "timestampSpec": {"column": "ts", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["page"]},
+                "metricsSpec": [{"type": "longSum", "name": "views",
+                                 "fieldName": "n"}],
+                "granularitySpec": {"rollup": True,
+                                    "queryGranularity": "minute"},
+            },
+            "ioConfig": {
+                # test stand-in for the kafka topic/consumerProperties pair
+                "stream": {"type": "file", "format": "json",
+                           "path": str(src_dir), "schema": schema},
+                "lateMessageRejectionPeriod": "PT1H",
+            },
+        },
+    }
+    ing, q = start_supervisor(spark, spec, str(tmp_path / "wh"))
+    q.awaitTermination(60)
+    # append mode: a later batch beyond the PT1H watermark closes the
+    # first-minute windows (same semantics as test_streaming_rollup)
+    (src_dir / "b2.json").write_text(
+        json.dumps({"ts": "2024-06-01T03:00:00.000Z", "page": "home",
+                    "n": 1}))
+    ing, q = start_supervisor(spark, spec, str(tmp_path / "wh"))
+    q.awaitTermination(60)
+    rows = {r["page"]: r["views"] for r in ing.view().collect()}
+    assert rows == {"home": 2, "about": 2}
+
+
+def test_iso_period_to_interval():
+    from druid_spark.streaming.ingest import _iso_period_to_interval
+    assert _iso_period_to_interval("PT1H") == "1 hours"
+    assert _iso_period_to_interval("P1D") == "1 days"
+    assert _iso_period_to_interval("PT30M") == "30 minutes"
+    assert _iso_period_to_interval("PT90S") == "90 seconds"
