@@ -826,6 +826,44 @@ def q_ts_week(spark, sf):
         "context": {"skipEmptyBuckets": True}})
 
 
+def q_nested_groupby(spark, sf):
+    """query datasource (subquery — ClientQuerySegmentWalker inlining):
+    outer aggregate over an inner groupBy."""
+    return _engine(spark, sf).query({
+        "queryType": "timeseries",
+        "dataSource": {"type": "query", "query": {
+            "queryType": "groupBy", "dataSource": "events",
+            "granularity": "all", "dimensions": ["user_id"],
+            "aggregations": [{"type": "count", "name": "cnt"}]}},
+        "granularity": "all",
+        "aggregations": [
+            {"type": "count", "name": "users"},
+            {"type": "doubleSum", "name": "total", "fieldName": "cnt"},
+            {"type": "longMax", "name": "max_cnt", "fieldName": "cnt"}]})
+
+
+def q_join_outer(spark, sf):
+    """LEFT join keeping unmatched rows (JoinType.LEFT) — customers with
+    and without orders."""
+    df = _engine(spark, sf).query({
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join", "left": "customer",
+            "right": {"type": "query", "query": {
+                "queryType": "groupBy", "dataSource": "orders",
+                "granularity": "all", "dimensions": ["o_custkey"],
+                "aggregations": [{"type": "count", "name": "n_orders"}]}},
+            "rightPrefix": "j0.",
+            "condition": 'c_custkey == "j0.o_custkey"',
+            "joinType": "LEFT"},
+        "granularity": "all",
+        "virtualColumns": [{"type": "expression", "name": "has_orders",
+                            "expression": "if(notnull(\"j0.n_orders\"), 'yes', 'no')"}],
+        "dimensions": ["has_orders"],
+        "aggregations": [{"type": "count", "name": "customers"}]})
+    return df
+
+
 def q_sql_array_agg(spark, sf):
     """ARRAY_AGG / STRING_AGG SQL aggregates (sorted for determinism)."""
     eng = _engine(spark, sf)
@@ -898,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_druid_functions": q_sql_druid_functions,
         "sql_array_agg": q_sql_array_agg,
         "gb_expr_lambda": q_gb_expr_lambda,
+        "nested_groupby": q_nested_groupby,
+        "join_outer": q_join_outer,
         "inline_topn": q_inline_topn,
         "topn_per_day": q_topn_per_day,
         "window_framed_avg": q_window_framed_avg,
@@ -1260,6 +1300,19 @@ def oracle_sql() -> dict[str, str]:
                      AS statuses,
                    count(*) AS n
             FROM orders GROUP BY 1""",
+        "nested_groupby": """
+            SELECT count(*) AS users, CAST(sum(cnt) AS DOUBLE) AS total,
+                   max(cnt) AS max_cnt
+            FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1) t""",
+        "join_outer": """
+            SELECT CASE WHEN o.n_orders IS NOT NULL THEN 'yes' ELSE 'no' END
+                     AS has_orders,
+                   count(*) AS customers
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+                       GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY 1""",
         "gb_expr_lambda": """
             SELECT l_linestatus,
                    round(sum(l_quantity * l_quantity), 2) AS sumsq

@@ -203,9 +203,12 @@ class AggCompiler:
         if t == "count":
             return F.count(guard(F.lit(1)))
         if t in ("longSum", "doubleSum", "floatSum"):
-            c = F.sum(guard(_field(agg, res)))
-            return c.cast("long") if t == "longSum" else (
-                c.cast("float") if t == "floatSum" else c)
+            # cast map-side so the result type matches the aggregator type
+            # regardless of input column type (doubleSum(long col) is
+            # DOUBLE in the reference)
+            cast_to = {"longSum": "long", "doubleSum": "double",
+                       "floatSum": "float"}[t]
+            return F.sum(guard(_field(agg, res)).cast(cast_to))
         if t in ("longMin", "doubleMin", "floatMin"):
             return F.min(guard(_field(agg, res)))
         if t in ("longMax", "doubleMax", "floatMax"):

@@ -57,6 +57,17 @@ class Catalog:
         self._tables: dict[str, DataFrame] = {}
         self._lookups: dict[str, dict] = {}
         self._paths: dict[str, str] = {}  # table -> source path (sys.segments)
+        # table -> (partition column, strftime-style date_format pattern):
+        # lets the engine derive partition predicates from __time intervals
+        # (the segment-timeline interval pruning analog — Catalyst cannot
+        # infer __dt from __time on its own)
+        self._partitioning: dict[str, tuple[str, str]] = {}
+
+    def set_partitioning(self, name: str, column: str, fmt: str) -> None:
+        self._partitioning[name] = (column, fmt)
+
+    def partitioning(self, name: str) -> tuple[str, str] | None:
+        return self._partitioning.get(name)
 
     def register_dir(self, data_dir: str,
                      time_columns: dict[str, str] | None = None) -> None:

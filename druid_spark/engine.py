@@ -261,12 +261,53 @@ class DruidSparkEngine:
         ctx = QueryContext(df, vcols, self.catalog.lookups)
         pred = self.intervals_predicate(q.get("intervals"))
         if pred is not None:
+            ppred = self._partition_predicate(q["dataSource"],
+                                              q.get("intervals"), df)
+            if ppred is not None:
+                df = df.where(ppred)  # prunes __dt partitions at the scan
             df = df.where(pred)
         if q.get("filter"):
             fc = FilterCompiler(df, ctx.resolver(), self.catalog.lookups)
             df = df.where(fc.compile(q["filter"]))
+        # hide the storage partition column from results (it exists only
+        # for pruning; dropped after the predicates bind so Catalyst
+        # still pushes the partition filter to the scan)
+        if isinstance(q["dataSource"], str):
+            part = self.catalog.partitioning(q["dataSource"])
+            if part and part[0] in df.columns:
+                df = df.drop(part[0])
         ctx.df = df
         return ctx
+
+    def _partition_predicate(self, ds, intervals, df) -> Column | None:
+        """Derive a partition-column predicate from the query intervals
+        for time-partitioned warehouse tables — the Spark analog of
+        Druid's segment interval pruning
+        (CachingClusteredClient.computeSegmentsToQuery:430). Partition
+        values are zero-padded date_format strings, so chronological
+        range == lexicographic range."""
+        if not isinstance(ds, str) or not intervals:
+            return None
+        part = self.catalog.partitioning(ds)
+        if part is None:
+            return None
+        col, fmt = part
+        if col not in df.columns:
+            return None
+        import datetime as _dt
+        py_fmt = fmt.replace("yyyy", "%Y").replace("MM", "%m") \
+            .replace("dd", "%d").replace("HH", "%H")
+        if isinstance(intervals, dict):
+            intervals = intervals["intervals"]
+        out = None
+        for iv in intervals:
+            a, b = iv.split("/")
+            lo = _dt.datetime.fromisoformat(_isots(a)).strftime(py_fmt)
+            hi = (_dt.datetime.fromisoformat(_isots(b))
+                  - _dt.timedelta(milliseconds=1)).strftime(py_fmt)
+            p = (qcol(col) >= F.lit(lo)) & (qcol(col) <= F.lit(hi))
+            out = p if out is None else (out | p)
+        return out
 
     @staticmethod
     def intervals_predicate(intervals) -> Column | None:

@@ -124,6 +124,37 @@ def main():
         "filter": {"type": "range", "column": "l_quantity", "lower": 45.0}})
     check("codegen", df, ["codegen id"])
 
+    # 8. time-partitioned warehouse: interval query prunes __dt partitions
+    # (the Spark analog of Druid's segment-timeline interval lookup —
+    # the core 100 TB claim: scans touch only matching time chunks)
+    import shutil
+    import tempfile
+    wh = tempfile.mkdtemp(prefix="planswh_")
+    try:
+        engine.warehouse_dir = wh
+        engine.sql("INSERT INTO evtp SELECT __time, event_type, value "
+                   "FROM events PARTITIONED BY DAY")
+        n_parts = len([d for d in os.listdir(engine.table_service().path("evtp"))
+                       if d.startswith("__dt=")])
+        df = engine.query({
+            "queryType": "timeseries", "dataSource": "evtp",
+            "granularity": "all",
+            "intervals": ["2024-01-05T00:00:00Z/2024-01-08T00:00:00Z"],
+            "aggregations": [{"type": "count", "name": "n"}]})
+        p = formatted(df)
+        seg = p.split("PartitionFilters", 1)
+        read_schema_line = p.split("ReadSchema", 1)[1].splitlines()[0]
+        pruned = (len(seg) > 1 and "__dt" in seg[1].splitlines()[0]
+                  and "__dt" not in read_schema_line)
+        if pruned and df.collect()[0]["n"] > 0 and n_parts > 3:
+            print(f"PASS partition_pruning (interval query on {n_parts} "
+                  f"day-partitions scans only __dt in [2024-01-05, 2024-01-07])")
+        else:
+            failures.append("partition_pruning")
+            print("FAIL partition_pruning")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
