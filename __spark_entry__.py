@@ -864,6 +864,50 @@ def q_join_outer(spark, sf):
     return df
 
 
+def q_json_typed_agg(spark, sf):
+    """typed JSON_VALUE (JSON_VALUE ... RETURNING BIGINT analog —
+    NestedDataExpressions): extract, cast, aggregate JVM-side."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all",
+        "virtualColumns": [{"type": "expression", "name": "kv",
+                            "expression":
+                                "cast(json_value(props, '$.k'), 'LONG')"}],
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "longSum", "name": "k_sum", "fieldName": "kv"},
+            {"type": "longMax", "name": "k_max", "fieldName": "kv"},
+            {"type": "count", "name": "n"}]})
+
+
+def q_projection_routing(spark, sf):
+    """aggregate projections (AggregateProjectionSpec.java:61): the
+    day-granularity query is transparently routed to a materialized
+    HOURLY rollup (count→sum of partial counts, sum→sum of partial
+    sums) — results identical to querying raw, scan is rollup-sized."""
+    from druid_spark.plans.projections import Projection, ProjectionRouter
+    eng = _engine(spark, sf)
+    router = getattr(eng, "_entry_router", None)
+    if router is None:
+        router = ProjectionRouter(eng)
+        router.register(Projection(
+            "evt_hourly", "events", ["event_type"],
+            [{"type": "count", "name": "cnt"},
+             {"type": "doubleSum", "name": "val", "fieldName": "value"}],
+            granularity="hour"))
+        eng._entry_router = router
+    q = {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "day", "dimensions": ["event_type"],
+         "aggregations": [
+             {"type": "count", "name": "n"},
+             {"type": "doubleSum", "name": "total", "fieldName": "value"}]}
+    routed = router.route(q)
+    assert routed is not None and routed["dataSource"] == "__proj_evt_hourly"
+    df = router.query(q)
+    return df.select("__time", "event_type", "n",
+                     F.round("total", 3).alias("total"))
+
+
 def q_sql_array_agg(spark, sf):
     """ARRAY_AGG / STRING_AGG SQL aggregates (sorted for determinism)."""
     eng = _engine(spark, sf)
@@ -938,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_expr_lambda": q_gb_expr_lambda,
         "nested_groupby": q_nested_groupby,
         "join_outer": q_join_outer,
+        "projection_routing": q_projection_routing,
+        "json_typed_agg": q_json_typed_agg,
         "inline_topn": q_inline_topn,
         "topn_per_day": q_topn_per_day,
         "window_framed_avg": q_window_framed_avg,
@@ -1300,6 +1346,16 @@ def oracle_sql() -> dict[str, str]:
                      AS statuses,
                    count(*) AS n
             FROM orders GROUP BY 1""",
+        "json_typed_agg": """
+            SELECT event_type,
+                   sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+                   max(CAST(props->>'k' AS BIGINT)) AS k_max,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
+        "projection_routing": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
+                   count(*) AS n, round(sum(value), 3) AS total
+            FROM events GROUP BY 1, 2""",
         "nested_groupby": """
             SELECT count(*) AS users, CAST(sum(cnt) AS DOUBLE) AS total,
                    max(cnt) AS max_cnt

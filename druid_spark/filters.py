@@ -231,6 +231,19 @@ class FilterCompiler:
             return F.arrays_overlap(a0, a1)
         return c0.cast("string") == c1.cast("string")
 
+    def _f_extraction(self, f):
+        # deprecated ExtractionDimFilter (DimFilter.java): apply the
+        # extraction fn, then legacy-selector match on the result
+        from druid_spark.dimensions import extraction
+        v = f.get("value")
+
+        def pred(c):
+            e = extraction(f.get("extractionFn"), c)
+            if v is None or v == "":
+                return e.isNull() | (e.cast("string") == "")
+            return e == F.lit(v)
+        return self._match(f["dimension"], pred)
+
     def _f_expression(self, f):
         return compile_expr(f["expression"], self.resolver,
                             self.lookups).cast("boolean")

@@ -276,3 +276,17 @@ def test_unnest_datasource_mvd(fooeng):
         "aggregations": [{"type": "count", "name": "n"}]})
     rows = {r["d3"]: r["n"] for r in df.collect()}
     assert rows["b"] == 2 and "" in rows
+
+
+def test_extraction_filter(fooeng):
+    """deprecated extraction filter: fn(dim) == value."""
+    df = fooeng.query({
+        "queryType": "timeseries", "dataSource": "foo",
+        "granularity": "all",
+        "filter": {"type": "extraction", "dimension": "dim1", "value": "A",
+                   "extractionFn": {"type": "cascade", "extractionFns": [
+                       {"type": "substring", "index": 0, "length": 1},
+                       {"type": "upper"}]}},
+        "aggregations": [{"type": "count", "name": "n"}]})
+    # dim1 values: '', '10.1', '2', '1', 'def', 'abc' → first-char upper 'A' → 'abc'
+    assert df.collect()[0]["n"] == 1
