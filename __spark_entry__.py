@@ -908,6 +908,30 @@ def q_projection_routing(spark, sf):
                      F.round("total", 3).alias("total"))
 
 
+def q_projection_count_distinct(spark, sf):
+    """distinct-count over a rollup: the projection stores per-hour
+    distinct user SETS (exact theta sketch); the day query re-merges by
+    set union — Druid's sketch-column-in-rollup workflow, lossless."""
+    from druid_spark.plans.projections import Projection, ProjectionRouter
+    eng = _engine(spark, sf)
+    router = getattr(eng, "_entry_router_cd", None)
+    if router is None:
+        router = ProjectionRouter(eng)
+        router.register(Projection(
+            "evt_hourly_users", "events", ["event_type"],
+            [{"type": "thetaSketch", "name": "user_set",
+              "fieldName": "user_id"}],
+            granularity="hour"))
+        eng._entry_router_cd = router
+    q = {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "day", "dimensions": ["event_type"],
+         "aggregations": [{"type": "hyperUnique", "name": "users",
+                           "fieldName": "user_id"}]}
+    routed = router.route(q)
+    assert routed is not None and routed["aggregations"][0]["type"] == "setUnionSize"
+    return router.query(q)
+
+
 def q_sql_array_agg(spark, sf):
     """ARRAY_AGG / STRING_AGG SQL aggregates (sorted for determinism)."""
     eng = _engine(spark, sf)
@@ -984,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_outer": q_join_outer,
         "projection_routing": q_projection_routing,
         "json_typed_agg": q_json_typed_agg,
+        "projection_count_distinct": q_projection_count_distinct,
         "inline_topn": q_inline_topn,
         "topn_per_day": q_topn_per_day,
         "window_framed_avg": q_window_framed_avg,
@@ -1346,6 +1371,10 @@ def oracle_sql() -> dict[str, str]:
                      AS statuses,
                    count(*) AS n
             FROM orders GROUP BY 1""",
+        "projection_count_distinct": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
+                   count(DISTINCT user_id) AS users
+            FROM events GROUP BY 1, 2""",
         "json_typed_agg": """
             SELECT event_type,
                    sum(CAST(props->>'k' AS BIGINT)) AS k_sum,

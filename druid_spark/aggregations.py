@@ -243,6 +243,15 @@ class AggCompiler:
             if self.exact:
                 return F.count_distinct(key)
             return F.approx_count_distinct(key)
+        # internal re-merge forms used by aggregate projections
+        # (plans/projections.py): a rollup row stores the distinct SET
+        # (exact theta sketch); querying re-merges by set union — the
+        # same merge a real theta sketch does, losslessly
+        if t == "setCollect":
+            return F.collect_set(guard(_field(agg, res)))
+        if t == "setUnionSize":
+            return F.size(F.array_distinct(
+                F.flatten(F.collect_list(guard(_field(agg, res)))))).cast("long")
         if t == "filtered":
             return self._agg(agg["aggregator"], self.fc.compile(agg["filter"]),
                              outer_name=name)

@@ -55,13 +55,23 @@ class Projection:
 
     def build(self, engine) -> DataFrame:
         """Materialize the rollup (at ingest time in a real deployment;
-        persisted parquet or cached DF here)."""
+        persisted parquet or cached DF here). Distinct-count metrics
+        (hyperUnique/thetaSketch) are stored as the distinct SET per
+        rollup row — the exact-mode theta sketch — so queries can
+        re-merge them by set union (DoublesSketch/ThetaSketch columns in
+        Druid rollup segments work the same way, approximately)."""
+        build_metrics = []
+        for m in self.metrics:
+            if m["type"] in ("hyperUnique", "thetaSketch", "HLLSketchBuild"):
+                build_metrics.append({**m, "type": "setCollect"})
+            else:
+                build_metrics.append(m)
         q = {
             "queryType": "groupBy",
             "dataSource": self.base_table,
             "granularity": self.granularity,
             "dimensions": self.dimensions,
-            "aggregations": self.metrics,
+            "aggregations": build_metrics,
         }
         self.df = engine.query(q)
         return self.df
@@ -143,6 +153,20 @@ class ProjectionRouter:
                 new_aggs.append({"type": "longSum",
                                  "name": agg.get("name", "count"),
                                  "fieldName": cnt})
+                continue
+            if t in ("hyperUnique", "thetaSketch", "HLLSketchBuild"):
+                # distinct-count over a stored distinct-set metric:
+                # re-merge by set union (exact theta merge)
+                src = next((n for n, m in metric_names.items()
+                            if m["type"] in ("hyperUnique", "thetaSketch",
+                                             "HLLSketchBuild")
+                            and m.get("fieldName") == agg.get("fieldName")),
+                           None)
+                if src is None:
+                    return None
+                new_aggs.append({"type": "setUnionSize",
+                                 "name": agg.get("name", t),
+                                 "fieldName": src})
                 continue
             if t not in _REAGG:
                 return None

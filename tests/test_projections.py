@@ -75,3 +75,32 @@ def test_routed_timeseries_all(router, engine):
     p = engine.query(routed).collect()[0]
     assert b["n"] == p["n"]
     assert round(b["total"], 3) == round(p["total"], 3)
+
+
+def test_projection_distinct_count_set_merge(spark):
+    """hyperUnique over a rollup: stored distinct sets re-merge by set
+    union — must equal the raw count(DISTINCT) exactly."""
+    from druid_spark import DruidSparkEngine
+    from druid_spark.plans.projections import Projection, ProjectionRouter
+    from pyspark.sql import functions as F
+
+    e = DruidSparkEngine(spark, exact_approx=True)
+    rows = [(i, f"2024-01-0{1 + i % 3} {i % 24:02d}:00:00",
+             "a" if i % 2 else "b", 100 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, ["i", "t", "grp", "user"]) \
+        .withColumn("__time", F.to_timestamp("t"))
+    e.catalog.register_table("ev", df)
+    router = ProjectionRouter(e)
+    router.register(Projection("p", "ev", ["grp"],
+                               [{"type": "thetaSketch", "name": "us",
+                                 "fieldName": "user"}], granularity="hour"))
+    q = {"queryType": "groupBy", "dataSource": "ev", "granularity": "day",
+         "dimensions": ["grp"],
+         "aggregations": [{"type": "hyperUnique", "name": "users",
+                           "fieldName": "user"}]}
+    assert router.route(q)["aggregations"][0]["type"] == "setUnionSize"
+    got = {(str(r["__time"]), r["grp"]): r["users"]
+           for r in router.query(q).collect()}
+    exp = {(str(r["__time"]), r["grp"]): r["users"]
+           for r in e.query(q).collect()}
+    assert got == exp and len(got) == 6
