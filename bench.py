@@ -173,6 +173,35 @@ def build_queries(engine):
                 {"queryType": "timeseries", "dataSource": "events",
                  "granularity": "all",
                  "aggregations": [{"type": "count", "name": "n"}]}]}),
+        "quantile_sketch": q({
+            "queryType": "groupBy", "dataSource": "lineitem",
+            "granularity": "all", "dimensions": ["l_returnflag"],
+            "aggregations": [{"type": "quantilesDoublesSketch",
+                              "name": "qs", "fieldName": "l_quantity"}],
+            "postAggregations": [
+                {"type": "quantilesDoublesSketchToQuantiles", "name": "q",
+                 "field": {"type": "fieldAccess", "fieldName": "qs"},
+                 "fractions": [0.25, 0.5, 0.75, 0.95]}]}),
+        "theta_setops": q({
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "all",
+            "aggregations": [
+                {"type": "filtered",
+                 "filter": {"type": "selector", "dimension": "event_type",
+                            "value": "click"},
+                 "aggregator": {"type": "thetaSketch", "name": "ua",
+                                "fieldName": "user_id"}},
+                {"type": "filtered",
+                 "filter": {"type": "selector", "dimension": "event_type",
+                            "value": "view"},
+                 "aggregator": {"type": "thetaSketch", "name": "ub",
+                                "fieldName": "user_id"}}],
+            "postAggregations": [
+                {"type": "thetaSketchEstimate", "name": "both",
+                 "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                           "fields": [
+                               {"type": "fieldAccess", "fieldName": "ua"},
+                               {"type": "fieldAccess", "fieldName": "ub"}]}}]}),
         "events_hourly_rollup": q({
             "queryType": "timeseries", "dataSource": "events",
             "granularity": "hour",
