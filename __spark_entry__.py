@@ -932,6 +932,40 @@ def q_projection_count_distinct(spark, sf):
     return router.query(q)
 
 
+def q_union_datasource(spark, sf):
+    """union DATASOURCE (UnionDataSource.java:45 — distinct from the
+    top-level union query): same-schema tables unioned under one query."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy",
+        "dataSource": {"type": "union",
+                       "dataSources": ["events", "events"]},
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
+def q_filter_datasource(spark, sf):
+    """filter datasource (FilteredDataSource): pre-filtered base."""
+    return _engine(spark, sf).query({
+        "queryType": "timeseries",
+        "dataSource": {"type": "filter", "base": "events",
+                       "filter": {"type": "in", "dimension": "event_type",
+                                  "values": ["click", "view"]}},
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "n"},
+                         {"type": "doubleSum", "name": "total",
+                          "fieldName": "value"}]})
+
+
+def q_gb_prefix_filtered(spark, sf):
+    """prefixFiltered dimension spec (DimensionSpec.java:41-45)."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "part",
+        "granularity": "all",
+        "dimensions": [{"type": "prefixFiltered", "dimension": "p_brand",
+                        "outputName": "c", "prefix": "Brand#1"}],
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
 def q_sql_array_agg(spark, sf):
     """ARRAY_AGG / STRING_AGG SQL aggregates (sorted for determinism)."""
     eng = _engine(spark, sf)
@@ -1009,6 +1043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_routing": q_projection_routing,
         "json_typed_agg": q_json_typed_agg,
         "projection_count_distinct": q_projection_count_distinct,
+        "union_datasource": q_union_datasource,
+        "filter_datasource": q_filter_datasource,
+        "gb_prefix_filtered": q_gb_prefix_filtered,
         "inline_topn": q_inline_topn,
         "topn_per_day": q_topn_per_day,
         "window_framed_avg": q_window_framed_avg,
@@ -1371,6 +1408,17 @@ def oracle_sql() -> dict[str, str]:
                      AS statuses,
                    count(*) AS n
             FROM orders GROUP BY 1""",
+        "union_datasource": """
+            SELECT event_type, count(*) AS n FROM
+              (SELECT * FROM events UNION ALL SELECT * FROM events) u
+            GROUP BY 1""",
+        "filter_datasource": """
+            SELECT count(*) AS n, round(sum(value), 3) AS total
+            FROM events WHERE event_type IN ('click', 'view')""",
+        "gb_prefix_filtered": """
+            SELECT CASE WHEN p_brand LIKE 'Brand#1%' THEN p_brand END AS c,
+                   count(*) AS n
+            FROM part GROUP BY 1""",
         "projection_count_distinct": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
                    count(DISTINCT user_id) AS users

@@ -124,8 +124,10 @@ def extraction(fn: dict[str, Any] | None, col: Column) -> Column:
 
 
 def dimension(spec: str | dict[str, Any],
-              resolver: Callable[[str], Column] | None = None) -> tuple[str, Column]:
-    """DimensionSpec → (output_name, Column)."""
+              resolver: Callable[[str], Column] | None = None,
+              df=None) -> tuple[str, Column]:
+    """DimensionSpec → (output_name, Column). df (optional) enables
+    schema introspection for the filtered specs' MVD-vs-scalar split."""
     res = resolver or F.col
     if isinstance(spec, str):
         return spec, res(spec)
@@ -140,16 +142,34 @@ def dimension(spec: str | dict[str, Any],
         return name, col
     if t == "extraction":
         return name, extraction(spec["extractionFn"], col)
-    if t == "regexFiltered":
-        # on MVDs: keep only matching values (ListFilteredDimensionSpec family)
-        pat = spec["pattern"]
-        return name, F.filter(col, lambda x: x.rlike(pat))
-    if t == "listFiltered":
-        values = spec["values"]
-        if spec.get("isWhitelist", True):
-            return name, F.filter(col, lambda x: x.isin(*values))
-        return name, F.filter(col, lambda x: ~x.isin(*values))
-    if t == "prefixFiltered":
-        pfx = spec["prefix"]
-        return name, F.filter(col, lambda x: x.startswith(pfx))
+    # filtered specs (ListFilteredDimensionSpec family): on an MVD keep
+    # only matching values; on a single-value column the value survives
+    # or becomes null — polymorphic via schema introspection when a df
+    # is provided (array behavior otherwise)
+    if t in ("regexFiltered", "listFiltered", "prefixFiltered"):
+        if t == "regexFiltered":
+            pat = spec["pattern"]
+            pred = lambda x: x.rlike(pat)  # noqa: E731
+        elif t == "listFiltered":
+            values = spec["values"]
+            if spec.get("isWhitelist", True):
+                pred = lambda x: x.isin(*values)  # noqa: E731
+            else:
+                pred = lambda x: ~x.isin(*values)  # noqa: E731
+        else:
+            pfx = spec["prefix"]
+            pred = lambda x: x.startswith(pfx)  # noqa: E731
+        if _is_array(df, spec.get("dimension")):
+            return name, F.filter(col, pred)
+        return name, F.when(pred(col), col)
     raise NotImplementedError(f"dimension spec {t}")
+
+
+def _is_array(df, colname: str | None) -> bool:
+    if df is None or not colname:
+        return True  # no schema info: preserve historical MVD behavior
+    try:
+        from pyspark.sql import types as T
+        return isinstance(df.schema[colname].dataType, T.ArrayType)
+    except Exception:
+        return True

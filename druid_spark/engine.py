@@ -128,9 +128,33 @@ class DruidSparkEngine:
         if not getattr(self, "_fns_registered", False):
             register_druid_functions(self.spark)
             self._fns_registered = True
+        self._register_sql_lookups()
         for name in self.catalog.tables():
             self.catalog.table(name).createOrReplaceTempView(name)
         return self.spark.sql(rewrite_druid_sql(text))
+
+    def _register_sql_lookups(self) -> None:
+        """SQL LOOKUP(expr, 'name') (QueryLookupOperatorConversion):
+        generated as a Catalyst-inlined SQL UDF dispatching over the
+        registered lookups as map literals — the broadcast-map-literal
+        plan Druid uses for LOOKUP() application. Re-registered when the
+        lookup registry changes."""
+        lookups = self.catalog.lookups
+        key = tuple(sorted((n, len(m)) for n, m in lookups.items()))
+        if getattr(self, "_sql_lookups_key", None) == key:
+            return
+        self._sql_lookups_key = key
+        if not lookups:
+            return
+        arms = []
+        for name, mapping in lookups.items():
+            pairs = ", ".join(
+                f"'{str(k)}', '{str(v)}'" for k, v in mapping.items())
+            arms.append(f"WHEN '{name}' THEN element_at(map({pairs}), v)")
+        body = "CASE lk " + " ".join(arms) + " END"
+        self.spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP(v STRING, lk STRING) "
+            f"RETURNS STRING RETURN {body}")
 
     def sql_expr(self, text: str) -> Column:
         """a scalar SQL predicate/expression with Druid functions available."""

@@ -35,7 +35,7 @@ def compile_query(engine, q: dict) -> DataFrame:
     # dimensions (+ MVD explode)
     dim_cols: list[tuple[str, Column]] = []
     for spec in q.get("dimensions") or []:
-        name, col = dimension(spec, res)
+        name, col = dimension(spec, res, df)
         dim_cols.append((name, col))
 
     # explode array-typed keys (multi-value group semantics)

@@ -27,7 +27,7 @@ from druid_spark.engine import qcol
 def compile_query(engine, q: dict) -> DataFrame:
     ctx = engine.prepare(q)
     res = ctx.resolver()
-    dim_name, dim_col = dimension(q["dimension"], res)
+    dim_name, dim_col = dimension(q["dimension"], res, ctx.df)
     plan = SketchPlan(q.get("aggregations"), q.get("postAggregations"))
     ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx, plan)
     aggs = ac.compile_all(q.get("aggregations"))

@@ -107,3 +107,24 @@ def test_information_schema(engine):
     """).collect()
     names = [r["COLUMN_NAME"] for r in rows]
     assert "event_type" in names and "__time" in names
+
+
+def test_sql_lookup_function(spark):
+    """SQL LOOKUP(col, 'name') over the engine lookup registry
+    (QueryLookupOperatorConversion)."""
+    from druid_spark import DruidSparkEngine
+    from pyspark.sql import functions as F
+
+    e = DruidSparkEngine(spark)
+    e.catalog.register_table("t", spark.createDataFrame(
+        [("0",), ("1",), ("9",)], ["rk"]))
+    e.catalog.register_lookup("region_names", {"0": "AFRICA", "1": "AMERICA"})
+    rows = {r["rk"]: r["nm"] for r in e.sql(
+        "SELECT rk, LOOKUP(rk, 'region_names') AS nm FROM t").collect()}
+    assert rows == {"0": "AFRICA", "1": "AMERICA", "9": None}
+    # registry change is picked up on the next sql() call
+    e.catalog.register_lookup("region_names",
+                              {"0": "AFRICA", "1": "AMERICA", "9": "NOWHERE"})
+    rows = {r["rk"]: r["nm"] for r in e.sql(
+        "SELECT rk, LOOKUP(rk, 'region_names') AS nm FROM t").collect()}
+    assert rows["9"] == "NOWHERE"
