@@ -140,7 +140,8 @@ class DruidSparkEngine:
         plan Druid uses for LOOKUP() application. Re-registered when the
         lookup registry changes."""
         lookups = self.catalog.lookups
-        key = tuple(sorted((n, len(m)) for n, m in lookups.items()))
+        key = hash(tuple(sorted(
+            (n, tuple(sorted(m.items()))) for n, m in lookups.items())))
         if getattr(self, "_sql_lookups_key", None) == key:
             return
         self._sql_lookups_key = key

@@ -112,12 +112,7 @@ def _metric_order(metric, dim_name: str):
     if t == "numeric":
         return [qcol(metric["metric"]).desc(), qcol(dim_name).asc()]
     if t == "inverted":
-        inner = _metric_order(metric["metric"], dim_name)
-        flipped = []
-        for c in inner:
-            s = str(c)
-            flipped.append(c)
-        # invert: rebuild with opposite direction
+        # invert: rebuild the delegate's ordering with opposite direction
         base = metric["metric"]
         if isinstance(base, str):
             return [qcol(base).asc(), qcol(dim_name).asc()]
@@ -125,7 +120,7 @@ def _metric_order(metric, dim_name: str):
             return [qcol(base["metric"]).asc(), qcol(dim_name).asc()]
         if base.get("type") == "dimension":
             return [qcol(dim_name).desc()]
-        return flipped
+        raise NotImplementedError(f"inverted over {base}")
     if t == "dimension":
         ordering = metric.get("ordering", "lexicographic")
         col = qcol(dim_name)
