@@ -966,6 +966,35 @@ def q_gb_prefix_filtered(spark, sf):
         "aggregations": [{"type": "count", "name": "n"}]})
 
 
+def q_spatial_filter(spark, sf):
+    """spatial filter (rectangular bound over a 'lat,lon' dimension) —
+    the reference's spatial-indexed dim filter; coordinates synthesized
+    from part columns via a virtual column."""
+    return _engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "part",
+        "granularity": "all",
+        "virtualColumns": [{"type": "expression", "name": "loc",
+                            "expression":
+                                "concat(cast(p_size, 'STRING'), ',', "
+                                "cast(p_partkey % 100, 'STRING'))"}],
+        "filter": {"type": "spatial", "dimension": "loc",
+                   "bound": {"type": "rectangular",
+                             "minCoords": [10.0, 20.0],
+                             "maxCoords": [30.0, 60.0]}},
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
+def q_search_fragment(spark, sf):
+    """search query with the fragment matcher (all fragments must
+    appear) across two dimensions."""
+    return _engine(spark, sf).query({
+        "queryType": "search", "dataSource": "part",
+        "searchDimensions": ["p_type", "p_brand"],
+        "query": {"type": "fragment", "values": ["Brand", "#1"],
+                  "caseSensitive": True},
+        "granularity": "all"})
+
+
 def q_sql_array_agg(spark, sf):
     """ARRAY_AGG / STRING_AGG SQL aggregates (sorted for determinism)."""
     eng = _engine(spark, sf)
@@ -1046,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_datasource": q_union_datasource,
         "filter_datasource": q_filter_datasource,
         "gb_prefix_filtered": q_gb_prefix_filtered,
+        "spatial_filter": q_spatial_filter,
+        "search_fragment": q_search_fragment,
         "inline_topn": q_inline_topn,
         "topn_per_day": q_topn_per_day,
         "window_framed_avg": q_window_framed_avg,
@@ -1408,6 +1439,17 @@ def oracle_sql() -> dict[str, str]:
                      AS statuses,
                    count(*) AS n
             FROM orders GROUP BY 1""",
+        "spatial_filter": """
+            SELECT count(*) AS n FROM part
+            WHERE p_size BETWEEN 10 AND 30
+              AND (p_partkey % 100) BETWEEN 20 AND 60""",
+        "search_fragment": """
+            SELECT dimension, value, count(*) AS count FROM (
+              SELECT 'p_type' AS dimension, p_type AS value FROM part
+              UNION ALL
+              SELECT 'p_brand', p_brand FROM part) t
+            WHERE value LIKE '%Brand%' AND value LIKE '%#1%'
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "union_datasource": """
             SELECT event_type, count(*) AS n FROM
               (SELECT * FROM events UNION ALL SELECT * FROM events) u
