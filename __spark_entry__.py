@@ -984,6 +984,77 @@ def q_spatial_filter(spark, sf):
         "aggregations": [{"type": "count", "name": "n"}]})
 
 
+def q_spatial_polygon(spark, sf):
+    """spatial filter with a polygon bound (PolygonBound, spatial
+    extension) — PNPOLY ray casting unrolled into one codegen-friendly
+    boolean expression per edge. The diamond polygon equals a manhattan
+    ball, which the DuckDB oracle states in closed form."""
+    return _engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "part",
+        "granularity": "all",
+        "virtualColumns": [{"type": "expression", "name": "loc",
+                            "expression":
+                                "concat(cast(p_size, 'STRING'), ',', "
+                                "cast(p_partkey % 100, 'STRING'))"}],
+        "filter": {"type": "spatial", "dimension": "loc",
+                   "bound": {"type": "polygon",
+                             "abscissa": [45.5, 25.0, 4.5, 25.0],
+                             "ordinate": [50.0, 70.5, 50.0, 29.5]}},
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
+def q_bloom_filter(spark, sf):
+    """bloom-filter extension round trip: a `bloom` aggregator builds a
+    filter over BUILDING-segment customer keys (sparse-bitset
+    struct(m,k,positions), merged distributively); the collected holder
+    then drives a `bloom` dim filter probing orders — the reference's
+    "build in one query, filter a second query" workflow. Sized so the
+    false-positive probability is ~(nk/m)^k ≈ 1e-16: the oracle is the
+    exact semi-join."""
+    eng = _engine(spark, sf)
+    holder = eng.query({
+        "queryType": "timeseries", "dataSource": "customer",
+        "granularity": "all",
+        "filter": {"type": "equals", "column": "c_mktsegment",
+                   "matchValue": "BUILDING"},
+        "aggregations": [{"type": "bloom", "name": "bf",
+                          "fieldName": "c_custkey"}]}).collect()[0]["bf"]
+    return eng.query({
+        "queryType": "timeseries", "dataSource": "orders",
+        "granularity": "all",
+        "filter": {"type": "bloom", "dimension": "o_custkey",
+                   "bloomKFilter": {"m": holder["m"], "k": holder["k"],
+                                    "positions": list(holder["positions"])}},
+        "aggregations": [{"type": "count", "name": "n"},
+                         {"type": "doubleSum", "name": "rev",
+                          "fieldName": "o_totalprice"}]})
+
+
+def q_tuple_sketch(spark, sf):
+    """arrayOfDoublesSketch (tuple sketch) in exact mode: distinct
+    orders per return flag with metric sums carried alongside, read via
+    ToEstimate / ToMetricsSumEstimate finalizer post-aggs."""
+    df = _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "aggregations": [{"type": "arrayOfDoublesSketch", "name": "tup",
+                          "fieldNames": ["l_orderkey"],
+                          "metricColumns": ["l_quantity",
+                                            "l_extendedprice"]}],
+        "postAggregations": [
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "orders_est",
+             "field": {"type": "fieldAccess", "fieldName": "tup"}},
+            {"type": "arrayOfDoublesSketchToMetricsSumEstimate",
+             "name": "msums",
+             "field": {"type": "fieldAccess", "fieldName": "tup"}}],
+        "limitSpec": {"type": "default",
+                      "columns": [{"dimension": "l_returnflag"}]}})
+    # drop the raw sketch struct; round the metric sums (array-typed
+    # doubles hash at full precision in the driver compare)
+    return df.drop("tup").withColumn(
+        "msums", F.transform("msums", lambda x: F.round(x, 2)))
+
+
 def q_search_fragment(spark, sf):
     """search query with the fragment matcher (all fragments must
     appear) across two dimensions."""
@@ -1076,6 +1147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_datasource": q_filter_datasource,
         "gb_prefix_filtered": q_gb_prefix_filtered,
         "spatial_filter": q_spatial_filter,
+        "spatial_polygon": q_spatial_polygon,
+        "bloom_filter": q_bloom_filter,
+        "tuple_sketch": q_tuple_sketch,
         "search_fragment": q_search_fragment,
         "inline_topn": q_inline_topn,
         "topn_per_day": q_topn_per_day,
@@ -1443,6 +1517,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n FROM part
             WHERE p_size BETWEEN 10 AND 30
               AND (p_partkey % 100) BETWEEN 20 AND 60""",
+        "spatial_polygon": """
+            SELECT count(*) AS n FROM part
+            WHERE abs(p_size - 25) + abs(p_partkey % 100 - 50) <= 20""",
+        "bloom_filter": """
+            SELECT count(*) AS n, sum(o_totalprice) AS rev FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')""",
+        "tuple_sketch": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS orders_est,
+                   [round(sum(l_quantity), 2),
+                    round(sum(l_extendedprice), 2)] AS msums
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
         "search_fragment": """
             SELECT dimension, value, count(*) AS count FROM (
               SELECT 'p_type' AS dimension, p_type AS value FROM part

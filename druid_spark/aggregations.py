@@ -52,6 +52,14 @@ _QS_FINALIZERS = {
     "kllDoublesSketchToRank": "rank",
 }
 THETA_SETOP_TYPES = {"thetaSketchSetOp"}
+# arrayOfDoublesSketch (tuple sketch) finalizer post-aggs. Exact mode:
+# the "sketch" is a struct of {n = exact distinct key count, sums =
+# per-metric totals}; each finalizer reads a struct field. On a real
+# cluster the approximate path would swap in a datasketches UDAF — the
+# finalizer surface and query shape are identical.
+_TUPLE_FINALIZERS = {"arrayOfDoublesSketchToEstimate",
+                     "arrayOfDoublesSketchToNumEntries",
+                     "arrayOfDoublesSketchToMetricsSumEstimate"}
 
 
 def _pa_target(pa: dict) -> str | None:
@@ -78,8 +86,11 @@ class SketchPlan:
     def __init__(self, aggs: list[dict] | None, postaggs: list[dict] | None):
         self.quant: dict[str, dict] = {}
         self.theta_sets: set[str] = set()
+        self.tuple_refs: set[str] = set()
         for pa in postaggs or []:
             self._walk(pa)
+        self.tuple_refs &= {a.get("name") for a in aggs or []
+                           if a.get("type") == "arrayOfDoublesSketch"}
         # only keep entries whose agg really is a quantile sketch
         sketch_names = {a.get("name") for a in aggs or []
                         if a.get("type") in QUANTILE_SKETCH_AGGS}
@@ -133,6 +144,10 @@ class SketchPlan:
                 self._mark_setop(f)
         elif t in THETA_SETOP_TYPES:
             self._mark_setop(pa)
+        elif t in _TUPLE_FINALIZERS:
+            name = _pa_target(pa) or pa.get("fieldName")
+            if name:
+                self.tuple_refs.add(name)
 
     def _mark_setop(self, pa: dict) -> None:
         for f in pa.get("fields", []):
@@ -286,7 +301,46 @@ class AggCompiler:
                 a, b = lo + i * w, lo + (i + 1) * w
                 bins.append(F.count(F.when((x >= a) & (x < b), 1)))
             return F.array(*bins)
-        if t == "longStringArray" or t == "arrayOfDoublesSketch":
+        if t == "arrayOfDoublesSketch":
+            # Tuple sketch (ArrayOfDoublesSketchAggregatorFactory): per
+            # distinct key tuple, sum the metric columns. Exact mode:
+            # struct(n = distinct keys, sums = metric totals over rows
+            # with a non-null key) — all partial-aggregable built-ins.
+            keys = [res(fn) for fn in agg["fieldNames"]]
+            key = (keys[0] if len(keys) == 1 else
+                   F.concat_ws("", *[c.cast("string") for c in keys]))
+            key = guard(key)
+            sums = [F.sum(F.when(key.isNotNull(), res(mc)).cast("double"))
+                    for mc in agg.get("metricColumns") or []]
+            n = F.count_distinct(key)
+            if not (self.plan and name in self.plan.tuple_refs):
+                # standalone: finalizeComputation → estimate (double)
+                return n.cast("double")
+            parts = [n.alias("n")]
+            if sums:
+                parts.append(F.array(*sums).alias("sums"))
+            return F.struct(*parts)
+        if t == "bloom":
+            # BloomFilterAggregatorFactory (bloom-filter extension).
+            # Spark-native representation: a sparse bitset — the sorted
+            # set of occupied bit positions in an m-bit filter — as
+            # struct(m, k, positions). Built distributively: per row the
+            # k hash positions (bloom_positions, shared with the probe
+            # side in filters.py), merged with map-side-combining
+            # collect_set + flatten/distinct. The result is a
+            # broadcast-sized value a later query's `bloom` filter takes
+            # as its bloomKFilter holder.
+            from druid_spark.filters import bloom_positions
+            m = int(agg.get("numBits") or
+                    max(1 << 21, 16 * int(agg.get("maxNumEntries") or 0)))
+            k = int(agg.get("numHashes") or 5)
+            x = guard(_field(agg, res))
+            occupied = F.array_sort(F.array_distinct(F.flatten(
+                F.collect_set(F.when(x.isNotNull(),
+                                     bloom_positions(x, m, k))))))
+            return F.struct(F.lit(m).alias("m"), F.lit(k).alias("k"),
+                            occupied.alias("positions"))
+        if t == "longStringArray":
             raise NotImplementedError(t)
         if t == "expression":
             # ExpressionLambdaAggregatorFactory.java:59 — fold/combine
@@ -390,6 +444,9 @@ class PostAggCompiler:
                     return self.res(name).getField("n")  # finalized = N
                 if name in self.plan.theta_sets:
                     return F.size(self.res(name)).cast("double")
+                if (name in self.plan.tuple_refs
+                        and t == "finalizingFieldAccess"):
+                    return self.res(name).getField("n").cast("double")
             return self.res(name)
         if t == "constant":
             return F.lit(pa["value"])
@@ -414,6 +471,14 @@ class PostAggCompiler:
             return self._pa(f).cast("double")
         if t == "hllSketchEstimate":
             return self._pa(pa["field"]).cast("double")
+        if t in _TUPLE_FINALIZERS:
+            name = _pa_target(pa) or pa.get("fieldName")
+            s = self.res(name)
+            if t == "arrayOfDoublesSketchToEstimate":
+                return s.getField("n").cast("double")
+            if t == "arrayOfDoublesSketchToNumEntries":
+                return s.getField("n")  # exact: every entry retained
+            return s.getField("sums")   # ToMetricsSumEstimate
         if t in THETA_SETOP_TYPES:
             return self._setop(pa)
         raise NotImplementedError(f"post-aggregator {t}")

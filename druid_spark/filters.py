@@ -34,6 +34,16 @@ def alnum_sort_key(c: Column) -> Column:
     return F.regexp_replace(padded, r"0*(\d{10})", r"$1")
 
 
+def bloom_positions(c: Column, m: int, k: int) -> Column:
+    """k bit positions of a value in an m-bit bloom filter, as an
+    array<long>. Shared by the `bloom` aggregator (build) and the
+    `bloom` filter (probe) so hashes line up. Seeded double hashing via
+    xxhash64(seed, value) — pure JVM expressions, codegen-friendly."""
+    s = c.cast("string")
+    return F.array(*[F.pmod(F.xxhash64(F.lit(i), s), F.lit(m))
+                     for i in range(k)])
+
+
 def _is_mv(df: DataFrame | None, col: str) -> bool:
     if df is None:
         return False
@@ -273,7 +283,51 @@ class FilterCompiler:
             cx, cy = bound["coords"]
             r = bound["radius"]
             return ((lat - cx) ** 2 + (lon - cy) ** 2) <= r * r
+        if bound["type"] == "polygon":
+            # PolygonBound (spatial extension): abscissa/ordinate vertex
+            # lists. Ray casting (PNPOLY), unrolled at compile time into
+            # one boolean expression per edge — the polygon is a query
+            # literal, so the whole test stays inside codegen.
+            xs = [float(v) for v in bound["abscissa"]]
+            ys = [float(v) for v in bound["ordinate"]]
+            inside = F.lit(False)
+            for i in range(len(xs)):
+                j = i - 1  # previous vertex (wraps via python -1)
+                xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+                crosses = (
+                    ((F.lit(yi) > lon) != (F.lit(yj) > lon))
+                    & (lat < (F.lit(xj) - F.lit(xi)) * (lon - F.lit(yi))
+                       / (F.lit(yj) - F.lit(yi)) + F.lit(xi)))
+                inside = inside != crosses  # boolean XOR
+            return inside
         raise NotImplementedError(f"spatial bound {bound['type']}")
+
+    def _f_bloom(self, f):
+        """BloomDimFilter (bloom-filter extension): membership test
+        against a filter built by the `bloom` aggregator. Engine-native
+        holder form: {"m": bits, "k": hashes, "positions": [sorted bit
+        positions]} — the sparse-bitset struct the aggregator emits.
+        Probe = all k hash positions present; the positions array is a
+        broadcast-sized literal, so the test is a pure JVM expression
+        with no shuffle and no Python in the data path."""
+        holder = f.get("bloomKFilter")
+        if not isinstance(holder, dict) or "positions" not in holder:
+            raise NotImplementedError(
+                "bloom filter: only engine-built {m,k,positions} holders "
+                "(java BloomKFilter blobs are not portable)")
+        m, k = int(holder["m"]), int(holder["k"])
+        pos = F.lit(sorted(int(p) for p in holder["positions"]))
+
+        from druid_spark.dimensions import extraction
+
+        def pred(c):
+            probes = bloom_positions(
+                extraction(f.get("extractionFn"), c), m, k)
+            out = F.lit(True)
+            for i in range(k):
+                out = out & F.array_contains(pos, probes.getItem(i))
+            return out
+        return self._match(f["dimension"], pred)
 
 
 def _dimname(d) -> str:

@@ -136,3 +136,77 @@ def test_sketch_partial_agg_plan(eng):
              "fraction": 0.5}]})
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_percentile" in plan or "partial" in plan
+
+
+def test_tuple_sketch_finalizers(eng):
+    """arrayOfDoublesSketch exact mode: distinct keys + metric sums via
+    ToEstimate / ToNumEntries / ToMetricsSumEstimate finalizers
+    (datasketches ArrayOfDoublesSketchAggregatorFactory analog)."""
+    df = eng.query({
+        "queryType": "groupBy", "dataSource": "t",
+        "granularity": "all", "dimensions": ["grp"],
+        "aggregations": [{"type": "arrayOfDoublesSketch", "name": "tup",
+                          "fieldNames": ["user"],
+                          "metricColumns": ["x"]}],
+        "postAggregations": [
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "est",
+             "field": {"type": "fieldAccess", "fieldName": "tup"}},
+            {"type": "arrayOfDoublesSketchToNumEntries", "name": "ne",
+             "field": {"type": "fieldAccess", "fieldName": "tup"}},
+            {"type": "arrayOfDoublesSketchToMetricsSumEstimate", "name": "ms",
+             "field": {"type": "fieldAccess", "fieldName": "tup"}}]})
+    rows = {r["grp"]: r for r in df.collect()}
+    # users are 100,101,102 in both groups
+    assert rows["a"]["est"] == 3.0 and rows["b"]["ne"] == 3
+    # sum of x over odd ids (grp a) = 1+3+...+99 = 2500
+    assert rows["a"]["ms"] == [2500.0]
+    assert rows["b"]["ms"] == [2550.0]
+
+
+def test_tuple_sketch_standalone_finalizes_to_estimate(eng):
+    df = eng.query({
+        "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+        "aggregations": [{"type": "arrayOfDoublesSketch", "name": "tup",
+                          "fieldNames": ["user"], "metricColumns": ["x"]}]})
+    assert df.collect()[0]["tup"] == 3.0
+
+
+def test_bloom_agg_build_and_probe(eng):
+    """bloom aggregator builds a sparse-bitset holder; bloom filter
+    probes it (bloom-filter extension round trip). Exact membership at
+    this size: no false positives expected."""
+    holder = eng.query({
+        "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+        "filter": {"type": "bound", "dimension": "id", "upper": "10",
+                   "ordering": "numeric"},
+        "aggregations": [{"type": "bloom", "name": "bf",
+                          "fieldName": "id"}]}).collect()[0]["bf"]
+    assert holder["k"] >= 1 and len(holder["positions"]) <= 10 * holder["k"]
+    df = eng.query({
+        "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+        "filter": {"type": "bloom", "dimension": "id",
+                   "bloomKFilter": {"m": holder["m"], "k": holder["k"],
+                                    "positions": list(holder["positions"])}},
+        "aggregations": [{"type": "count", "name": "n"}]})
+    assert df.collect()[0]["n"] == 10  # ids 1..10 (upper inclusive)
+
+
+def test_spatial_polygon_bound(eng):
+    """polygon spatial bound: PNPOLY over a triangle (0,0),(10,0),(0,10)
+    — inside iff x+y < 10 for interior integer points."""
+    df = eng.query({
+        "queryType": "scan", "dataSource": "t",
+        "virtualColumns": [{"type": "expression", "name": "loc",
+                            "expression":
+                                "concat(cast(id % 7, 'STRING'), ',', "
+                                "cast(id % 11, 'STRING'))"}],
+        "columns": ["id"],
+        "filter": {"type": "spatial", "dimension": "loc",
+                   "bound": {"type": "polygon",
+                             "abscissa": [-0.5, 10.5, -0.5],
+                             "ordinate": [-0.5, -0.5, 10.5]}}})
+    got = sorted(r["id"] for r in df.collect())
+    # inside the triangle with legs at x=-0.5 / y=-0.5 and hypotenuse
+    # through (10.5,-0.5),(-0.5,10.5) ⟺ x+y < 10 for integer points
+    want = sorted(i for i in range(1, 101) if (i % 7) + (i % 11) < 10)
+    assert got == want
