@@ -513,6 +513,22 @@ def q_dedup_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
+def q_dedup_clusters(spark, sf):
+    """Duplicate-cluster assignment: n-gram-Jaccard near-dup pairs →
+    connected components (iterative min-label propagation) → every doc
+    labeled with its cluster's min doc_id; singletons label themselves.
+    The keep-list for dedup is `cluster_id = doc_id`."""
+    from druid_spark.datapipe.dedup import (connected_components,
+                                            ngram_jaccard_pairs)
+    docs = _engine(spark, sf).catalog.table("documents")
+    cc = connected_components(ngram_jaccard_pairs(docs, threshold=0.8))
+    return (docs.select("doc_id")
+            .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
 def q_dedup_minhash(spark, sf):
     from druid_spark.datapipe.dedup import minhash_lsh_pairs
     docs = _engine(spark, sf).catalog.table("documents")
@@ -984,6 +1000,25 @@ def q_spatial_filter(spark, sf):
         "aggregations": [{"type": "count", "name": "n"}]})
 
 
+def q_restrict_datasource(spark, sf):
+    """restrict datasource with a row-filter policy
+    (RestrictedDataSource + RowFilterPolicy — row-level security): the
+    policy filter is ANDed under the query's own filter."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy",
+        "dataSource": {"type": "restrict", "base": "orders",
+                       "policy": {"type": "row",
+                                  "rowFilter": {"type": "equals",
+                                                "column": "o_orderpriority",
+                                                "matchValue": "1-URGENT"}}},
+        "granularity": "all", "dimensions": ["o_orderstatus"],
+        "filter": {"type": "bound", "dimension": "o_totalprice",
+                   "lower": "1000", "ordering": "numeric"},
+        "aggregations": [{"type": "count", "name": "n"}],
+        "limitSpec": {"type": "default",
+                      "columns": [{"dimension": "o_orderstatus"}]}})
+
+
 def q_spatial_polygon(spark, sf):
     """spatial filter with a polygon bound (PolygonBound, spatial
     extension) — PNPOLY ray casting unrolled into one codegen-friendly
@@ -1118,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag_rank": q_window_lead_lag_rank,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "neardup_embedding": q_neardup_embedding,
@@ -1148,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_prefix_filtered": q_gb_prefix_filtered,
         "spatial_filter": q_spatial_filter,
         "spatial_polygon": q_spatial_polygon,
+        "restrict_datasource": q_restrict_datasource,
         "bloom_filter": q_bloom_filter,
         "tuple_sketch": q_tuple_sketch,
         "search_fragment": q_search_fragment,
@@ -1413,6 +1450,28 @@ def oracle_sql() -> dict[str, str]:
                    round(inter::DOUBLE / (n_a + n_b - inter), 4) AS jaccard
             FROM pairs
             WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.8""",
+        "dedup_clusters": _SHINGLES.replace(
+            "WITH ", "WITH RECURSIVE ", 1) + """,
+            inv AS (SELECT doc_id, len(shingles) AS n,
+                           unnest(shingles) AS s FROM sh
+                    WHERE len(shingles) > 0),
+            jp AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.n AS n_a, b.n AS n_b, count(*) AS inter
+                FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4)
+              WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.8),
+            edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                      UNION SELECT id_b, id_a FROM jp),
+            reach AS (SELECT a, b FROM edges
+                      UNION SELECT r.a, e.b FROM reach r
+                            JOIN edges e ON r.b = e.a AND r.a <> e.b),
+            comp AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   coalesce(least(d.doc_id, c.mn), d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.a
+            ORDER BY 1""",
         "neardup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -1520,6 +1579,10 @@ def oracle_sql() -> dict[str, str]:
         "spatial_polygon": """
             SELECT count(*) AS n FROM part
             WHERE abs(p_size - 25) + abs(p_partkey % 100 - 50) <= 20""",
+        "restrict_datasource": """
+            SELECT o_orderstatus, count(*) AS n FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 1000
+            GROUP BY 1 ORDER BY 1""",
         "bloom_filter": """
             SELECT count(*) AS n, sum(o_totalprice) AS rev FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer

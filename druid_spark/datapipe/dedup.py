@@ -269,3 +269,45 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                     F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
             .where(F.col("cos") >= threshold)
             .orderBy("id_a", "id_b"))
+
+
+# ------------------------------------------------- cluster assignment
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 15) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    near-dup pair list → (id, cluster_id = min id in the component).
+    Turns any of the pairwise dedup operators into a keep-list (keep
+    id == cluster_id, drop the rest).
+
+    Algorithm: iterative min-label propagation. Each round is one
+    edge↔label equi-join + a min-groupBy — both shuffle on id, so a
+    round costs two hash shuffles of the EDGE list only (labels ride
+    along); near-dup components have tiny diameter (dups of dups), so
+    it converges in a handful of rounds. localCheckpoint() after each
+    round truncates the lineage so the plan doesn't grow with the
+    iteration count; labels only ever decrease, so the per-round
+    changed-count both proves convergence and bounds work. At 100 TB
+    the edge list (pairs) is tiny relative to the corpus — the joins
+    here never touch document text.
+    """
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .union(pairs.select(F.col(dst), F.col(src)))
+             .distinct().persist())
+    lab = (edges.select(F.col("a").alias("id")).distinct()
+           .withColumn("lab", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (edges.join(lab.withColumnRenamed("id", "a"), "a")
+                 .groupBy(F.col("b").alias("id"))
+                 .agg(F.min("lab").alias("nlab")))
+        merged = (lab.join(neigh, "id", "left")
+                  .select("id", "lab",
+                          F.least("lab", F.coalesce("nlab", "lab"))
+                          .alias("new_lab")))
+        changed = merged.where(F.col("new_lab") != F.col("lab")).count()
+        lab = merged.select("id", F.col("new_lab").alias("lab")) \
+                    .localCheckpoint()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return lab.withColumnRenamed("lab", "cluster_id")

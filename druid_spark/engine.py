@@ -231,7 +231,15 @@ class DruidSparkEngine:
             fc = FilterCompiler(base, qcol, self.catalog.lookups)
             return base.where(fc.compile(ds["filter"]))
         if t == "restrict":
-            return self.resolve(ds["base"])
+            # RestrictedDataSource + Policy (policy/Policy.java:36-37):
+            # "row" applies a row-filter (RowFilterPolicy.java:62 ANDs it
+            # into the cursor spec); "noRestriction" is a passthrough.
+            base = self.resolve(ds["base"])
+            pol = ds.get("policy") or {}
+            if pol.get("type") == "row":
+                fc = FilterCompiler(base, qcol, self.catalog.lookups)
+                return base.where(fc.compile(pol["rowFilter"]))
+            return base
         if t == "unnest":
             base = self.resolve(ds["base"])
             vc = ds["virtualColumn"]

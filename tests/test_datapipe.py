@@ -154,3 +154,19 @@ def test_multimodal_frames_and_resize(spark):
     assert all(r["width"] == 32 for r in resized)
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decode_stub=False)
+
+
+def test_connected_components_clusters(spark):
+    """two chains and a singleton-free triangle: labels converge to the
+    component minimum even across multi-hop chains."""
+    from druid_spark.datapipe.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # pair
+        ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
