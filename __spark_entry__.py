@@ -59,6 +59,24 @@ def q_ts_day(spark, sf):
     }), {"total": 3})
 
 
+def q_ts_day_tz(spark, sf):
+    """PeriodGranularity with a timeZone: days bucketed at
+    America/Los_Angeles midnights, bucket starts reported as UTC
+    instants (the engine truncates in local time via from_utc_timestamp
+    and converts back, DST-correct; this January dataset sits entirely
+    in PST, so the oracle states the fixed -8h shift)."""
+    return _round(_engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "events",
+        "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+        "granularity": {"type": "period", "period": "P1D",
+                        "timeZone": "America/Los_Angeles"},
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+        "context": {"skipEmptyBuckets": True},
+    }), {"total": 3})
+
+
 def q_ts_zero_fill(spark, sf):
     return _round(_engine(spark, sf).query({
         "queryType": "timeseries", "dataSource": "events",
@@ -1118,6 +1136,7 @@ def q_sql_array_agg(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_day": q_ts_day,
+        "ts_day_tz": q_ts_day_tz,
         "ts_zero_fill": q_ts_zero_fill,
         "ts_hour_filtered": q_ts_hour_filtered,
         "ts_six_hour": q_ts_six_hour,
@@ -1251,6 +1270,13 @@ def oracle_sql() -> dict[str, str]:
         "ts_day": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, count(*) AS n,
                    round(sum(value), 3) AS total
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+            GROUP BY 1""",
+        "ts_day_tz": """
+            SELECT (date_trunc('day', ts - INTERVAL 8 HOUR)
+                    + INTERVAL 8 HOUR)::TIMESTAMP AS __time,
+                   count(*) AS n, round(sum(value), 3) AS total
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
             GROUP BY 1""",
