@@ -1119,6 +1119,19 @@ def q_search_fragment(spark, sf):
         "granularity": "all"})
 
 
+def q_sql_extern(spark, sf):
+    """TABLE(EXTERN(inputSource, inputFormat, signature)) — MSQ's
+    SQL-side external input (ExternalOperatorConversion): the external
+    source becomes a spark.read DataFrame registered as a view."""
+    return _engine(spark, sf).sql("""
+        SELECT name, sum(x) AS sx FROM TABLE(EXTERN(
+          '{"type": "inline", "data": "a,1\\nb,2\\na,3"}',
+          '{"type": "csv", "columns": ["name", "x"]}',
+          '[{"name": "name", "type": "STRING"},
+            {"name": "x", "type": "LONG"}]'))
+        GROUP BY name ORDER BY name""")
+
+
 def q_sql_array_agg(spark, sf):
     """ARRAY_AGG / STRING_AGG SQL aggregates (sorted for determinism)."""
     eng = _engine(spark, sf)
@@ -1204,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_filter": q_spatial_filter,
         "spatial_polygon": q_spatial_polygon,
         "restrict_datasource": q_restrict_datasource,
+        "sql_extern": q_sql_extern,
         "bloom_filter": q_bloom_filter,
         "tuple_sketch": q_tuple_sketch,
         "search_fragment": q_search_fragment,
@@ -1608,6 +1622,10 @@ def oracle_sql() -> dict[str, str]:
         "restrict_datasource": """
             SELECT o_orderstatus, count(*) AS n FROM orders
             WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 1000
+            GROUP BY 1 ORDER BY 1""",
+        "sql_extern": """
+            SELECT name, CAST(sum(x) AS BIGINT) AS sx
+            FROM (VALUES ('a', 1), ('b', 2), ('a', 3)) t(name, x)
             GROUP BY 1 ORDER BY 1""",
         "bloom_filter": """
             SELECT count(*) AS n, sum(o_totalprice) AS rev FROM orders

@@ -121,7 +121,11 @@ class DruidSparkEngine:
         (DruidSqlInsert/DruidSqlReplace — SURVEY §3.3)."""
         from druid_spark.functions.register import register_druid_functions
         from druid_spark.functions.sqlshim import rewrite_druid_sql
-        from druid_spark.ingest.sql_ingest import parse_ingest_sql, run_ingest_sql
+        from druid_spark.ingest.sql_ingest import (parse_ingest_sql,
+                                                   rewrite_extern,
+                                                   run_ingest_sql)
+        if "EXTERN" in text.upper():
+            text = rewrite_extern(self, text)
         stmt = parse_ingest_sql(text)
         if stmt is not None:
             return run_ingest_sql(self, stmt)

@@ -22,6 +22,57 @@ import shutil
 from dataclasses import dataclass
 
 
+_EXTERN_RE = re.compile(
+    r"TABLE\s*\(\s*EXTERN\s*\(\s*"
+    r"'(?P<src>(?:[^']|'')*)'\s*,\s*"
+    r"'(?P<fmt>(?:[^']|'')*)'\s*"
+    r"(?:,\s*'(?P<sig>(?:[^']|'')*)'\s*)?\)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DRUID_TO_SPARK_TYPE = {
+    "string": "string", "long": "long", "double": "double",
+    "float": "float", "array<string>": "array<string>",
+    "array<long>": "array<long>", "array<double>": "array<double>",
+}
+
+
+def rewrite_extern(engine, text: str) -> str:
+    """TABLE(EXTERN('<inputSource>', '<inputFormat>'[, '<signature>']))
+    → a temp view over the batch reader.
+
+    Reference: sql/calcite/external/ExternalOperatorConversion.java +
+    DruidExternTableMacro.java — MSQ's SQL-side external input. The
+    three arguments are SQL-quoted JSON: an inputSource, an inputFormat,
+    and an optional row-signature array [{"name","type"},...]. Spark-
+    first: the external input becomes a spark.read DataFrame (read_input
+    handles local/http/inline sources and csv/json/parquet/... formats),
+    signature casts applied, registered as a temp view the surrounding
+    query — SELECT or INSERT/REPLACE — references like any table."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from druid_spark.ingest.batch import read_input
+
+    out = text
+    for i, m in enumerate(_EXTERN_RE.finditer(text)):
+        src = json.loads(m.group("src").replace("''", "'"))
+        fmt = json.loads(m.group("fmt").replace("''", "'"))
+        df = read_input(engine.spark,
+                        {"inputSource": src, "inputFormat": fmt})
+        if m.group("sig"):
+            cols = json.loads(m.group("sig").replace("''", "'"))
+            df = df.select(*[
+                F.col(c["name"]).cast(
+                    _DRUID_TO_SPARK_TYPE.get(c["type"].lower(), "string"))
+                .alias(c["name"]) for c in cols])
+        view = f"__extern_{i}"
+        df.createOrReplaceTempView(view)
+        out = out.replace(m.group(0), view)
+    return out
+
+
 _STMT_RE = re.compile(
     r"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+(?P<table>[A-Za-z_][\w]*)\s+"
     r"(?:OVERWRITE\s+(?P<overwrite>ALL|WHERE\s+.+?)\s+(?=SELECT|WITH))?"

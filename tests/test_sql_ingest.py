@@ -96,3 +96,37 @@ def test_replace_overwrite_all(eng):
 def test_insert_requires_time(eng):
     with pytest.raises(ValueError, match="__time"):
         eng.sql("INSERT INTO bad SELECT user, v FROM src PARTITIONED BY DAY")
+
+
+def test_extern_select(eng):
+    """TABLE(EXTERN(inputSource, inputFormat, signature)) readable in a
+    plain SELECT (ExternalOperatorConversion / DruidExternTableMacro)."""
+    df = eng.sql("""
+        SELECT name, sum(x) AS sx FROM TABLE(EXTERN(
+          '{"type": "inline", "data": "a,1\\nb,2\\na,3"}',
+          '{"type": "csv", "columns": ["name", "x"]}',
+          '[{"name": "name", "type": "STRING"}, {"name": "x", "type": "LONG"}]'))
+        GROUP BY name ORDER BY name""")
+    assert [tuple(r) for r in df.collect()] == [("a", 4), ("b", 2)]
+    assert dict(df.dtypes)["sx"] == "bigint"  # signature cast applied
+
+
+def test_extern_insert(eng):
+    """INSERT ... SELECT FROM TABLE(EXTERN(...)) PARTITIONED BY DAY —
+    the MSQ ingestion shape end-to-end."""
+    eng.sql("""
+        INSERT INTO ext_t
+        SELECT TIME_PARSE(ts) AS __time, name, x
+        FROM TABLE(EXTERN(
+          '{"type": "inline",
+            "data": "2024-01-01T01:00:00Z,a,1\\n2024-01-02T01:00:00Z,b,2"}',
+          '{"type": "csv", "columns": ["ts", "name", "x"]}',
+          '[{"name": "ts", "type": "STRING"}, {"name": "name", "type": "STRING"},
+            {"name": "x", "type": "LONG"}]'))
+        PARTITIONED BY DAY""")
+    out = eng.query({"queryType": "timeseries", "dataSource": "ext_t",
+                     "granularity": "all",
+                     "aggregations": [{"type": "count", "name": "n"},
+                                      {"type": "longSum", "name": "sx",
+                                       "fieldName": "x"}]})
+    assert [tuple(r) for r in out.select("n", "sx").collect()] == [(2, 3)]
