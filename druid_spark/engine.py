@@ -123,8 +123,12 @@ class DruidSparkEngine:
         from druid_spark.functions.sqlshim import rewrite_druid_sql
         from druid_spark.ingest.sql_ingest import (parse_ingest_sql,
                                                    rewrite_extern,
+                                                   run_export_sql,
                                                    run_ingest_sql)
         if "EXTERN" in text.upper():
+            exported = run_export_sql(self, text)
+            if exported is not None:
+                return exported
             text = rewrite_extern(self, text)
         stmt = parse_ingest_sql(text)
         if stmt is not None:

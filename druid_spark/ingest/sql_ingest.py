@@ -73,6 +73,43 @@ def rewrite_extern(engine, text: str) -> str:
     return out
 
 
+_EXPORT_RE = re.compile(
+    r"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+EXTERN\s*\(\s*"
+    r"(?P<provider>[A-Za-z_]\w*)\s*\(\s*"
+    r"exportPath\s*=>\s*'(?P<path>[^']+)'\s*\)\s*\)\s*"
+    r"AS\s+(?P<fmt>CSV|PARQUET|JSON)\s+"
+    r"(?:OVERWRITE\s+ALL\s+)?"
+    r"(?P<select>(?:SELECT|WITH)\s.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def run_export_sql(engine, text: str):
+    """INSERT/REPLACE INTO EXTERN(local(exportPath => '...')) AS CSV
+    SELECT ... — the MSQ export destination
+    (CalciteExportTest.java:109-115, msq/.../destination). Spark-first:
+    the SELECT plans through Catalyst and `df.write` streams it out
+    in parallel (one file per partition — the export is distributed,
+    never collected to the driver). Returns the exported DataFrame, or
+    None if the text is not an export statement."""
+    m = _EXPORT_RE.match(text)
+    if m is None:
+        return None
+    if m.group("provider").lower() not in ("local", "localstorage", "s3",
+                                           "google", "azure"):
+        raise ValueError(f"unknown export provider {m.group('provider')!r}")
+    df = engine.sql(m.group("select"))
+    fmt = m.group("fmt").lower()
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(m.group("path"))
+    elif fmt == "json":
+        writer.json(m.group("path"))
+    else:
+        writer.parquet(m.group("path"))
+    return df
+
+
 _STMT_RE = re.compile(
     r"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+(?P<table>[A-Za-z_][\w]*)\s+"
     r"(?:OVERWRITE\s+(?P<overwrite>ALL|WHERE\s+.+?)\s+(?=SELECT|WITH))?"

@@ -130,3 +130,15 @@ def test_extern_insert(eng):
                                       {"type": "longSum", "name": "sx",
                                        "fieldName": "x"}]})
     assert [tuple(r) for r in out.select("n", "sx").collect()] == [(2, 3)]
+
+
+def test_export_extern(eng, tmp_path):
+    """INSERT INTO EXTERN(local(exportPath => ...)) AS CSV — the MSQ
+    export destination; written distributed via df.write."""
+    out = str(tmp_path / "export")
+    df = eng.sql(f"""
+        INSERT INTO EXTERN(local(exportPath => '{out}')) AS CSV
+        SELECT user, SUM(v) AS sv FROM src GROUP BY user""")
+    assert df.count() == 3
+    back = eng.spark.read.option("header", True).csv(out)
+    assert sorted(r["user"] for r in back.collect()) == ["u0", "u1", "u2"]
