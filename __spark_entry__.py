@@ -1132,6 +1132,37 @@ def q_sql_extern(spark, sf):
         GROUP BY name ORDER BY name""")
 
 
+def q_sql_unnest(spark, sf):
+    """Druid SQL CROSS JOIN UNNEST(...) AS t(col) (DruidUnnestRule) —
+    rewritten to LATERAL VIEW EXPLODE with the array-shim inlined
+    (Spark disallows SQL UDFs inside Generate)."""
+    return _engine(spark, sf).sql("""
+        SELECT token, COUNT(*) AS n
+        FROM documents
+          CROSS JOIN UNNEST(STRING_TO_ARRAY(text, ' ')) AS t(token)
+        WHERE token LIKE 's%' GROUP BY token ORDER BY token""")
+
+
+def q_gb_hll_expr(spark, sf):
+    """HLL expression functions (HyperUniqueExpressions.java) driving a
+    fold-lambda aggregator: hyper_unique() / hyper_unique_add build the
+    per-group set, hyper_unique_estimate finalizes — exact mode, so the
+    oracle is COUNT(DISTINCT)."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "orders",
+        "granularity": "all", "dimensions": ["o_orderstatus"],
+        "aggregations": [{"type": "expression", "name": "hll",
+                          "fields": ["o_custkey"],
+                          "initialValue": "hyper_unique()",
+                          "fold": "hyper_unique_add(o_custkey, __acc)",
+                          "accumulatorIdentifier": "__acc"}],
+        "postAggregations": [{"type": "expression", "name": "uniq",
+                              "expression": "hyper_unique_estimate(hll)"}],
+        "limitSpec": {"type": "default",
+                      "columns": [{"dimension": "o_orderstatus"}]}}
+    ).select("o_orderstatus", "uniq")
+
+
 def q_sql_array_agg(spark, sf):
     """ARRAY_AGG / STRING_AGG SQL aggregates (sorted for determinism)."""
     eng = _engine(spark, sf)
@@ -1218,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_polygon": q_spatial_polygon,
         "restrict_datasource": q_restrict_datasource,
         "sql_extern": q_sql_extern,
+        "sql_unnest": q_sql_unnest,
+        "gb_hll_expr": q_gb_hll_expr,
         "bloom_filter": q_bloom_filter,
         "tuple_sketch": q_tuple_sketch,
         "search_fragment": q_search_fragment,
@@ -1627,6 +1660,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT name, CAST(sum(x) AS BIGINT) AS sx
             FROM (VALUES ('a', 1), ('b', 2), ('a', 3)) t(name, x)
             GROUP BY 1 ORDER BY 1""",
+        "sql_unnest": """
+            SELECT token, count(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+            WHERE token LIKE 's%' GROUP BY 1 ORDER BY 1""",
+        "gb_hll_expr": """
+            SELECT o_orderstatus,
+                   CAST(count(DISTINCT o_custkey) AS DOUBLE) AS uniq
+            FROM orders GROUP BY 1 ORDER BY 1""",
         "bloom_filter": """
             SELECT count(*) AS n, sum(o_totalprice) AS rev FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer

@@ -547,6 +547,16 @@ _FUNCS: dict[str, Callable] = {
     "array_prepend": _f(lambda v, arr: F.array_prepend(arr, v)),
     "array_set_add": _f(lambda arr, v: F.array_sort(F.array_union(arr, F.array(v)))),
     "array_set_add_all": _f(lambda a, b: F.array_sort(F.array_union(a, b))),
+    # HLL expression fns (HyperUniqueExpressions.java:43-242) in exact
+    # mode: the "sketch" is a distinct string set, add = set-union,
+    # estimate = size — composes with the fold-lambda aggregator the
+    # same way the reference's HLL collector does.
+    "hyper_unique": _f(lambda: F.array().cast("array<string>")),
+    "hyper_unique_add": _f(lambda v, sk: F.when(
+        v.isNull(), sk).otherwise(
+        F.array_sort(F.array_union(sk, F.array(v.cast("string")))))),
+    "hyper_unique_estimate": _f(lambda sk: F.size(sk).cast("double")),
+    "hyper_unique_round_estimate": _f(lambda sk: F.size(sk).cast("long")),
     "array_slice": lambda cols, nodes: F.slice(
         cols[0], _lit_of(nodes[1]) + 1, _lit_of(nodes[2]) - _lit_of(nodes[1])),
     "array_to_string": _f(lambda arr, sep: F.call_function("array_join", arr, sep)),

@@ -17,6 +17,50 @@ from __future__ import annotations
 import re
 
 
+def _rewrite_unnest(sql: str) -> str:
+    """Druid SQL `CROSS JOIN UNNEST(expr) AS alias(col)` (also
+    `AS col`) → Spark `LATERAL VIEW EXPLODE(expr) alias AS col`
+    (DruidUnnestRule / UnnestDataSource analog at the SQL layer).
+    Balanced-paren scan so nested calls like UNNEST(MV_TO_ARRAY(d))
+    rewrite correctly."""
+    pat = re.compile(r"CROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while depth and i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end():i - 1]
+        # Spark disallows SQL UDFs inside Generate — inline the
+        # array-producing shims (their bodies, from register.py)
+        inner = re.sub(
+            r"\bSTRING_TO_(?:ARRAY|MV)\s*\(\s*([^,]+?)\s*,\s*('[^']*')\s*\)",
+            r"SPLIT(\1, CONCAT('\\\\Q', \2, '\\\\E'))", inner,
+            flags=re.IGNORECASE)
+        inner = re.sub(r"\b(?:MV_TO_ARRAY|ARRAY_TO_MV)\s*\(", "(", inner,
+                       flags=re.IGNORECASE)
+        tail = re.match(r"\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)", sql[i:],
+                        re.IGNORECASE)
+        if tail:
+            alias, col = tail.groups()
+        else:
+            tail = re.match(r"\s+AS\s+(\w+)", sql[i:], re.IGNORECASE)
+            if not tail:
+                pos = i
+                continue
+            alias, col = "__unnest", tail.group(1)
+        sql = (sql[:m.start()]
+               + f"LATERAL VIEW EXPLODE({inner}) {alias} AS {col}"
+               + sql[i + tail.end():])
+        pos = m.start() + 1
+
+
 def rewrite_druid_sql(sql: str) -> str:
     out = sql
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
@@ -44,6 +88,7 @@ def rewrite_druid_sql(sql: str) -> str:
     out = re.sub(r"\bARRAY_CONCAT_AGG\(\s*([^()]+?)\s*\)",
                  lambda m: f"FLATTEN(COLLECT_LIST({m.group(1)}))", out,
                  flags=re.IGNORECASE)
+    out = _rewrite_unnest(out)
     # Druid REGEXP_EXTRACT defaults to group 0 and yields NULL on no
     # match; Spark defaults to group 1 and yields ''. Rewrite only the
     # 2-arg form (3-arg is position-compatible).

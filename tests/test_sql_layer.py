@@ -128,3 +128,15 @@ def test_sql_lookup_function(spark):
     rows = {r["rk"]: r["nm"] for r in e.sql(
         "SELECT rk, LOOKUP(rk, 'region_names') AS nm FROM t").collect()}
     assert rows["9"] == "NOWHERE"
+
+
+def test_unnest_rewrite():
+    from druid_spark.functions.sqlshim import _rewrite_unnest
+    out = _rewrite_unnest(
+        "SELECT v FROM t CROSS JOIN UNNEST(MV_TO_ARRAY(tags)) AS u(v)")
+    assert "LATERAL VIEW EXPLODE((tags)) u AS v" in out
+    out = _rewrite_unnest(
+        "SELECT v FROM t CROSS JOIN UNNEST(arr) AS v WHERE v > 1")
+    assert "LATERAL VIEW EXPLODE(arr) __unnest AS v" in out
+    # untouched when there's no UNNEST
+    assert _rewrite_unnest("SELECT 1") == "SELECT 1"
