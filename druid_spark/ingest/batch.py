@@ -184,6 +184,37 @@ class TableService:
     def table(self, datasource: str) -> DataFrame:
         return self.spark.read.parquet(self.path(datasource)).drop("__dt")
 
+    def drop_interval(self, datasource: str, interval: str) -> list[str]:
+        """Retention: drop the time chunks covered by an ISO interval
+        "start/end" — the coordinator drop-rule + kill-task analog
+        (server/coordinator/rules/IntervalDropRule.java,
+        indexing KillUnusedSegmentsTask). A chunk is dropped whole —
+        the same unit Druid retires (a segment's time chunk), no data
+        rewrite. Returns the dropped partition names."""
+        import shutil
+        from datetime import datetime
+
+        def parse(s: str) -> datetime:
+            return datetime.fromisoformat(
+                s.replace("T", " ").rstrip("Z"))
+
+        start, end = (parse(p) for p in interval.split("/"))
+        strp = {10: "%Y-%m-%d", 13: "%Y-%m-%d-%H", 7: "%Y-%m", 4: "%Y"}
+        p = self.path(datasource)
+        dropped = []
+        for name in sorted(os.listdir(p)):
+            if not name.startswith("__dt="):
+                continue
+            val = name[len("__dt="):]
+            fmt = strp.get(len(val))
+            if fmt is None:
+                continue
+            bucket = datetime.strptime(val, fmt)
+            if start <= bucket < end:
+                shutil.rmtree(os.path.join(p, name))
+                dropped.append(val)
+        return dropped
+
     def compact(self, datasource: str, target_files_per_partition: int = 1) -> None:
         """Rewrite each time partition into target file count (Druid's
         compaction task analog)."""

@@ -65,4 +65,6 @@ def _match(sq: dict, c: Column) -> Column:
         return out
     if t == "regex":
         return c.rlike(sq["pattern"])
+    if t == "all":   # AllSearchQuerySpec — every value matches
+        return F.lit(True)
     raise NotImplementedError(f"search query {t}")

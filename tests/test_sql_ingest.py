@@ -142,3 +142,18 @@ def test_export_extern(eng, tmp_path):
     assert df.count() == 3
     back = eng.spark.read.option("header", True).csv(out)
     assert sorted(r["user"] for r in back.collect()) == ["u0", "u1", "u2"]
+
+
+def test_drop_interval_retention(eng):
+    """drop-rule/kill-task analog: time chunks inside the interval are
+    removed whole; the rest survive."""
+    eng.sql("REPLACE INTO ret_t OVERWRITE ALL SELECT __time, user, v "
+            "FROM src PARTITIONED BY DAY")
+    svc = eng.table_service()
+    dropped = svc.drop_interval(
+        "ret_t", "2024-01-02T00:00:00Z/2024-01-03T00:00:00Z")
+    assert dropped == ["2024-01-02"]
+    left = svc.table("ret_t").select(
+        F.date_format("__time", "yyyy-MM-dd").alias("d")).distinct()
+    assert sorted(r["d"] for r in left.collect()) == \
+        ["2024-01-01", "2024-01-03"]
