@@ -331,8 +331,17 @@ class AggCompiler:
             # broadcast-sized value a later query's `bloom` filter takes
             # as its bloomKFilter holder.
             from druid_spark.filters import bloom_positions
-            m = int(agg.get("numBits") or
-                    max(1 << 21, 16 * int(agg.get("maxNumEntries") or 0)))
+            # default 2^18 bits: the probe side densifies to an m/64-
+            # word literal, so m trades false-positive rate against
+            # literal-transfer cost (~0.15s per 2^16 bits via py4j);
+            # at 2^18 and n=20k keys the per-probe FP is ~1e-7.
+            # maxNumEntries (BloomKFilter's sizing knob) scales it up.
+            n_hint = int(agg.get("maxNumEntries") or 0)
+            m = int(agg.get("numBits") or 0)
+            if not m:
+                m = 1 << 18
+                while m < 64 * n_hint:
+                    m <<= 1
             k = int(agg.get("numHashes") or 5)
             x = guard(_field(agg, res))
             occupied = F.array_sort(F.array_distinct(F.flatten(

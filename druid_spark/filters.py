@@ -316,7 +316,19 @@ class FilterCompiler:
                 "bloom filter: only engine-built {m,k,positions} holders "
                 "(java BloomKFilter blobs are not portable)")
         m, k = int(holder["m"]), int(holder["k"])
-        pos = F.lit(sorted(int(p) for p in holder["positions"]))
+        # densify to an m-bit word array so each probe is one O(1)
+        # element_at + bit test — cost per row is k word lookups
+        # regardless of how full the filter is (the sparse positions
+        # list would make array_contains a linear scan per probe)
+        import numpy as np
+        words = [0] * ((m + 63) // 64)
+        for p in holder["positions"]:
+            words[int(p) >> 6] |= 1 << (int(p) & 63)
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        # numpy array → ONE ArrayData literal; a python list would
+        # expand to a 32k-child CreateArray expression tree and blow up
+        # planning/codegen time ~100x
+        wlit = F.lit(np.array(words, dtype=np.int64))
 
         from druid_spark.dimensions import extraction
 
@@ -325,7 +337,12 @@ class FilterCompiler:
                 extraction(f.get("extractionFn"), c), m, k)
             out = F.lit(True)
             for i in range(k):
-                out = out & F.array_contains(pos, probes.getItem(i))
+                p = probes.getItem(i)
+                word = F.element_at(wlit, (p / 64).cast("int") + F.lit(1))
+                bit = F.call_function(
+                    "shiftleft", F.lit(1).cast("long"),
+                    F.pmod(p, F.lit(64)).cast("int"))
+                out = out & (word.bitwiseAND(bit) != 0)
             return out
         return self._match(f["dimension"], pred)
 
