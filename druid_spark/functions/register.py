@@ -163,6 +163,36 @@ _FUNCS: list[tuple[str, str, str, str]] = [
              cast((n div 65536) % 256 AS STRING), '.',
              cast((n div 256) % 256 AS STRING), '.',
              cast(n % 256 AS STRING))"""),
+    # addr may be a dotted string or a long; subnet is 'a.b.c.d/prefix'
+    ("IPV4_MATCH", "addr STRING, subnet STRING", "BOOLEAN", """
+      floor((CASE WHEN addr RLIKE '^[0-9]+$' THEN cast(addr AS BIGINT)
+            ELSE cast(split_part(addr, '.', 1) AS BIGINT) * 16777216 +
+                 cast(split_part(addr, '.', 2) AS BIGINT) * 65536 +
+                 cast(split_part(addr, '.', 3) AS BIGINT) * 256 +
+                 cast(split_part(addr, '.', 4) AS BIGINT) END)
+       / pow(2, 32 - cast(split_part(subnet, '/', 2) AS INT))) =
+      floor((cast(split_part(split_part(subnet, '/', 1), '.', 1) AS BIGINT) * 16777216 +
+        cast(split_part(split_part(subnet, '/', 1), '.', 2) AS BIGINT) * 65536 +
+        cast(split_part(split_part(subnet, '/', 1), '.', 3) AS BIGINT) * 256 +
+        cast(split_part(split_part(subnet, '/', 1), '.', 4) AS BIGINT))
+       / pow(2, 32 - cast(split_part(subnet, '/', 2) AS INT)))"""),
+    # numeric truncation toward zero (Druid TRUNCATE/TRUNC; the 1-arg
+    # form is rewritten to (x, 0) by sqlshim)
+    ("TRUNCATE", "x DOUBLE, d INT", "DOUBLE",
+     "cast(x * pow(10, d) AS BIGINT) / pow(10, d)"),
+    # (TRUNC is the same op but collides with Spark's date trunc
+    # builtin, which SQL UDFs cannot replace — sqlshim rewrites
+    # TRUNC( → TRUNCATE( instead)
+    # shallow JSON object merge (NestedDataExpressions json_merge):
+    # right-hand keys win; values stay typed via variant
+    # right-hand keys win; overlapping left keys are filtered first so
+    # map_concat never sees duplicates (which throw by default)
+    ("JSON_MERGE", "a STRING, b STRING", "STRING", """
+      to_json(map_concat(
+        map_filter(from_json(a, 'map<string,variant>'),
+                   (k, v) -> NOT map_contains_key(
+                       from_json(b, 'map<string,variant>'), k)),
+        from_json(b, 'map<string,variant>')))"""),
 ]
 
 

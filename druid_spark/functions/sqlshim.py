@@ -88,6 +88,14 @@ def rewrite_druid_sql(sql: str) -> str:
     out = re.sub(r"\bARRAY_CONCAT_AGG\(\s*([^()]+?)\s*\)",
                  lambda m: f"FLATTEN(COLLECT_LIST({m.group(1)}))", out,
                  flags=re.IGNORECASE)
+    # Druid TRUNC (numeric) → TRUNCATE (Spark's trunc builtin is
+    # date-only and can't be replaced); then default digits to 0 for
+    # the 1-arg form
+    out = re.sub(r"\bTRUNC\(", "TRUNCATE(", out, flags=re.IGNORECASE)
+    # 1-arg form (top-level comma-free, one paren nesting level deep)
+    out = re.sub(
+        r"\bTRUNCATE\(\s*([^,()]*(?:\([^()]*\)[^,()]*)*)\s*\)",
+        r"TRUNCATE(\1, 0)", out, flags=re.IGNORECASE)
     out = _rewrite_unnest(out)
     # Druid REGEXP_EXTRACT defaults to group 0 and yields NULL on no
     # match; Spark defaults to group 1 and yields ''. Rewrite only the

@@ -140,3 +140,16 @@ def test_unnest_rewrite():
     assert "LATERAL VIEW EXPLODE(arr) __unnest AS v" in out
     # untouched when there's no UNNEST
     assert _rewrite_unnest("SELECT 1") == "SELECT 1"
+
+
+def test_truncate_ipv4_match_json_merge(engine):
+    r = engine.sql("""SELECT TRUNCATE(3.759, 1) AS a, TRUNCATE(-3.759) AS b,
+                          TRUNC(15.5, -1) AS c,
+                          IPV4_MATCH('192.168.3.4', '192.168.0.0/16') AS m1,
+                          IPV4_MATCH('10.1.2.3', '192.168.0.0/16') AS m2,
+                          JSON_MERGE('{"a": 1, "b": 2}', '{"b": 9, "c": 3}')
+                            AS j""").collect()[0]
+    assert r["a"] == 3.7 and r["b"] == -3.0 and r["c"] == 10.0
+    assert r["m1"] is True and r["m2"] is False
+    import json
+    assert json.loads(r["j"]) == {"a": 1, "b": 9, "c": 3}
