@@ -1018,6 +1018,29 @@ def q_spatial_filter(spark, sf):
         "aggregations": [{"type": "count", "name": "n"}]})
 
 
+def q_gb_array_dim(spark, sf):
+    """grouping on a true ARRAY-typed key (outputType ARRAY<STRING> —
+    arrayIngestMode=array semantics): the whole array is the group key,
+    NOT exploded per value like an MVD."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "documents",
+        "granularity": "all",
+        "virtualColumns": [{"type": "expression", "name": "lead_toks",
+                            "expression":
+                                "array_slice(string_to_array(text, ' '), 0, 2)"}],
+        "dimensions": [{"type": "default", "dimension": "lead_toks",
+                        "outputName": "lead_toks",
+                        "outputType": "ARRAY<STRING>"}],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "having": {"type": "greaterThan", "aggregation": "n", "value": 1},
+        "limitSpec": {"type": "default",
+                      "columns": [{"dimension": "lead_toks"}]}}
+    ).withColumn("lead_toks", F.array_join("lead_toks", " "))
+    # grouping happened on the ARRAY key; the output column is joined to
+    # a string only because the driver compare stringifies string-arrays
+    # differently than DuckDB
+
+
 def q_restrict_datasource(spark, sf):
     """restrict datasource with a row-filter policy
     (RestrictedDataSource + RowFilterPolicy — row-level security): the
@@ -1248,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_filter": q_spatial_filter,
         "spatial_polygon": q_spatial_polygon,
         "restrict_datasource": q_restrict_datasource,
+        "gb_array_dim": q_gb_array_dim,
         "sql_extern": q_sql_extern,
         "sql_unnest": q_sql_unnest,
         "gb_hll_expr": q_gb_hll_expr,
@@ -1660,6 +1684,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT name, CAST(sum(x) AS BIGINT) AS sx
             FROM (VALUES ('a', 1), ('b', 2), ('a', 3)) t(name, x)
             GROUP BY 1 ORDER BY 1""",
+        "gb_array_dim": """
+            SELECT array_to_string(string_split(text, ' ')[1:2], ' ')
+                     AS lead_toks,
+                   count(*) AS n
+            FROM documents GROUP BY string_split(text, ' ')[1:2]
+            HAVING count(*) > 1 ORDER BY string_split(text, ' ')[1:2]""",
         "sql_unnest": """
             SELECT token, count(*) AS n FROM (
               SELECT unnest(string_split(text, ' ')) AS token

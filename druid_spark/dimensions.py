@@ -138,7 +138,12 @@ def dimension(spec: str | dict[str, Any],
         ot = spec.get("outputType")
         if ot:
             col = col.cast({"STRING": "string", "LONG": "long",
-                            "FLOAT": "float", "DOUBLE": "double"}.get(ot.upper(), "string"))
+                            "FLOAT": "float", "DOUBLE": "double",
+                            "ARRAY<STRING>": "array<string>",
+                            "ARRAY<LONG>": "array<long>",
+                            "ARRAY<FLOAT>": "array<float>",
+                            "ARRAY<DOUBLE>": "array<double>"}
+                           .get(ot.upper(), "string"))
         return name, col
     if t == "extraction":
         return name, extraction(spec["extractionFn"], col)

@@ -38,12 +38,22 @@ def compile_query(engine, q: dict) -> DataFrame:
         name, col = dimension(spec, res, df)
         dim_cols.append((name, col))
 
-    # explode array-typed keys (multi-value group semantics)
+    # explode array-typed keys (multi-value group semantics) — unless
+    # the spec declares outputType ARRAY<...>, which is the reference's
+    # group-by-the-whole-array semantics (arrayIngestMode=array /
+    # GroupByQuery on ARRAY columns), not an MVD
+    declared_array = set()
+    for spec in q.get("dimensions") or []:
+        if isinstance(spec, dict) and str(
+                spec.get("outputType", "")).upper().startswith("ARRAY"):
+            declared_array.add(spec.get("outputName")
+                               or spec.get("dimension"))
     exploded = {}
     probe = df.select(*[c.alias(n) for n, c in dim_cols]) if dim_cols else None
     if probe is not None:
         for f in probe.schema.fields:
-            if isinstance(f.dataType, T.ArrayType):
+            if isinstance(f.dataType, T.ArrayType) \
+                    and f.name not in declared_array:
                 exploded[f.name] = True
     for name, col in dim_cols:
         if name in exploded:
