@@ -143,6 +143,15 @@ _FUNCS: list[tuple[str, str, str, str]] = [
      "json_object_keys(get_json_object(j, p))"),
     # (TRY_PARSE_JSON / PARSE_JSON are Spark builtins — variant-typed)
     ("TO_JSON_STRING", "j STRING", "STRING", "j"),
+    ("DECODE_BASE64_UTF8", "s STRING", "STRING",
+     "cast(unbase64(s) AS STRING)"),
+    # radix parse (1-arg form gets ', 10' appended by sqlshim);
+    # negative decimal handled by plain cast (conv is unsigned)
+    ("PARSE_LONG", "s STRING, radix INT", "BIGINT", """
+      CASE WHEN radix = 10 THEN cast(s AS BIGINT)
+           ELSE cast(conv(s, radix, 10) AS BIGINT) END"""),
+    # (STRING_FORMAT is variadic — sqlshim rewrites it to Spark's
+    # format_string, which is the same java.lang.String.format surface)
     # bitwise (Druid SQL names)
     ("BITWISE_AND", "a BIGINT, b BIGINT", "BIGINT", "a & b"),
     ("BITWISE_OR", "a BIGINT, b BIGINT", "BIGINT", "a | b"),

@@ -17,6 +17,32 @@ from __future__ import annotations
 import re
 
 
+def _add_default_arg(sql: str, fname: str, default: str) -> str:
+    """Append `, default` to calls of `fname` that have exactly one
+    top-level argument (SQL UDFs have fixed arity; Druid's 1-arg forms
+    imply a default). Balanced-paren scan, any nesting depth; string
+    literals containing parens/commas are the known blind spot."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        depth, i, commas = 1, m.end(), 0
+        while depth and i < len(sql):
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                commas += 1
+            i += 1
+        if commas == 0:
+            sql = sql[:i - 1] + f", {default})" + sql[i:]
+        pos = i
+
+
 def _rewrite_unnest(sql: str) -> str:
     """Druid SQL `CROSS JOIN UNNEST(expr) AS alias(col)` (also
     `AS col`) → Spark `LATERAL VIEW EXPLODE(expr) alias AS col`
@@ -88,14 +114,16 @@ def rewrite_druid_sql(sql: str) -> str:
     out = re.sub(r"\bARRAY_CONCAT_AGG\(\s*([^()]+?)\s*\)",
                  lambda m: f"FLATTEN(COLLECT_LIST({m.group(1)}))", out,
                  flags=re.IGNORECASE)
+    # variadic STRING_FORMAT → Spark's format_string (same semantics)
+    out = re.sub(r"\bSTRING_FORMAT\(", "FORMAT_STRING(", out,
+                 flags=re.IGNORECASE)
+    # 1-arg PARSE_LONG defaults to radix 10
+    out = _add_default_arg(out, "PARSE_LONG", "10")
     # Druid TRUNC (numeric) → TRUNCATE (Spark's trunc builtin is
     # date-only and can't be replaced); then default digits to 0 for
     # the 1-arg form
     out = re.sub(r"\bTRUNC\(", "TRUNCATE(", out, flags=re.IGNORECASE)
-    # 1-arg form (top-level comma-free, one paren nesting level deep)
-    out = re.sub(
-        r"\bTRUNCATE\(\s*([^,()]*(?:\([^()]*\)[^,()]*)*)\s*\)",
-        r"TRUNCATE(\1, 0)", out, flags=re.IGNORECASE)
+    out = _add_default_arg(out, "TRUNCATE", "0")  # 1-arg → digits 0
     out = _rewrite_unnest(out)
     # Druid REGEXP_EXTRACT defaults to group 0 and yields NULL on no
     # match; Spark defaults to group 1 and yields ''. Rewrite only the

@@ -153,3 +153,12 @@ def test_truncate_ipv4_match_json_merge(engine):
     assert r["m1"] is True and r["m2"] is False
     import json
     assert json.loads(r["j"]) == {"a": 1, "b": 9, "c": 3}
+
+
+def test_parse_long_base64_string_format(engine):
+    r = engine.sql("""SELECT PARSE_LONG('ff', 16) AS h,
+                             PARSE_LONG('-42') AS d,
+                             DECODE_BASE64_UTF8('aGVsbG8=') AS s,
+                             STRING_FORMAT('%s=%d', 'x', 7) AS f""").collect()[0]
+    assert r["h"] == 255 and r["d"] == -42
+    assert r["s"] == "hello" and r["f"] == "x=7"
