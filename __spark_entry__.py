@@ -531,6 +531,19 @@ def q_dedup_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
+def q_sessionize(spark, sf):
+    """Event-time sessionization (session_window — same operator the
+    streaming path uses, here in batch mode): per-user session counts
+    with a 1-hour inactivity gap. Oracle = gaps-and-islands SQL."""
+    from druid_spark.streaming.stateful import sessionize
+    ev = _engine(spark, sf).catalog.table("events").where("user_id < 50")
+    s = sessionize(ev, time_col="ts", key_col="user_id", gap="1 hour")
+    return (s.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.max("events").alias("max_events"))
+            .orderBy("user_id"))
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate-cluster assignment: n-gram-Jaccard near-dup pairs →
     connected components (iterative min-label propagation) → every doc
@@ -1240,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "sessionize": q_sessionize,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "neardup_embedding": q_neardup_embedding,
@@ -1547,6 +1561,22 @@ def oracle_sql() -> dict[str, str]:
                    round(inter::DOUBLE / (n_a + n_b - inter), 4) AS jaccard
             FROM pairs
             WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.8""",
+        "sessionize": """
+            WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
+            g AS (SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM g),
+            per AS (SELECT user_id, sid, count(*) AS cnt
+                    FROM s GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_sessions,
+                   max(cnt) AS max_events
+            FROM per GROUP BY 1 ORDER BY 1""",
         "dedup_clusters": _SHINGLES.replace(
             "WITH ", "WITH RECURSIVE ", 1) + """,
             inv AS (SELECT doc_id, len(shingles) AS n,

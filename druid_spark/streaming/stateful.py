@@ -30,9 +30,12 @@ def sessionize(stream: DataFrame, time_col: str = "timestamp",
                watermark: str = "10 minutes") -> DataFrame:
     """Event-time sessionization: rows with the same key closer than
     `gap` merge into one session; emits one row per closed session with
-    start/end/duration/event count. State is bounded by the watermark."""
+    start/end/duration/event count. State is bounded by the watermark.
+    Works on batch DataFrames too (session_window is a normal
+    aggregation there; the watermark only applies to streams)."""
+    if stream.isStreaming:
+        stream = stream.withWatermark(time_col, watermark)
     return (stream
-            .withWatermark(time_col, watermark)
             .groupBy(F.session_window(F.col(time_col), gap).alias("sw"),
                      F.col(key_col))
             .agg(F.count(F.lit(1)).alias("events"))
