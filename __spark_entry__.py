@@ -531,6 +531,45 @@ def q_dedup_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
+def q_sample_stratified(spark, sf):
+    """Deterministic stratified sampling: first 3 docs per (lang,
+    source) stratum by doc_id — reproducible via window row_number, no
+    driver-side sampling state."""
+    from druid_spark.datapipe.sample import stratified_take
+    docs = _engine(spark, sf).catalog.table("documents") \
+        .withColumn("stratum", F.concat_ws("|", "lang", "source"))
+    return (stratified_take(docs, "stratum", 3, "doc_id")
+            .select("stratum", "doc_id").orderBy("stratum", "doc_id"))
+
+
+def q_split_assign(spark, sf):
+    """Leakage-safe train/val/test assignment: split chosen by hashing
+    the doc's dedup-cluster id (connected components over exact-dup
+    fingerprints), so duplicates always share a split. Hash-specific →
+    rows-only; tests/test_datapipe.py asserts the one-split-per-cluster
+    invariant."""
+    from druid_spark.datapipe.dedup import normalize
+    from druid_spark.datapipe.sample import assign_splits
+    docs = _engine(spark, sf).catalog.table("documents")
+    keyed = docs.withColumn("cluster_key", F.md5(normalize(F.col("text"))))
+    out = assign_splits(keyed, "cluster_key")
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.count_distinct("cluster_key").alias("clusters"))
+            .orderBy("split"))
+
+
+def q_contamination(spark, sf):
+    """Benchmark decontamination: per eval doc (doc_id % 17 == 0), the
+    fraction of its word 8-grams found anywhere in the training corpus
+    (the remaining docs) — inverted-index equi-join on the gram."""
+    from druid_spark.datapipe.sample import contamination
+    docs = _engine(spark, sf).catalog.table("documents")
+    ev = docs.where("doc_id % 17 = 0")
+    tr = docs.where("doc_id % 17 != 0")
+    return contamination(tr, ev, n=8).orderBy("id")
+
+
 def q_sessionize(spark, sf):
     """Event-time sessionization (session_window — same operator the
     streaming path uses, here in batch mode): per-user session counts
@@ -1254,6 +1293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
+        "sample_stratified": q_sample_stratified,
+        "split_assign": q_split_assign,
+        "contamination": q_contamination,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "neardup_embedding": q_neardup_embedding,
@@ -1335,6 +1377,18 @@ _LANG = (f"CASE WHEN greatest({_HITS['en']},{_HITS['de']},{_HITS['fr']},"
          f"{_HITS['fr']},{_HITS['es']}) THEN 'de' "
          f"WHEN {_HITS['fr']} = greatest({_HITS['en']},{_HITS['de']},"
          f"{_HITS['fr']},{_HITS['es']}) THEN 'fr' ELSE 'es' END")
+
+_G8 = """
+WITH d8 AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), g8 AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 8 THEN
+      list_distinct(list_transform(range(len(toks)-7),
+        i -> array_to_string(toks[i+1:i+8], ' ')))
+    ELSE [] END AS grams
+  FROM d8
+)""".replace("{toks}", _TOKS)
 
 _SHINGLES = """
 WITH d0 AS (
@@ -1561,6 +1615,22 @@ def oracle_sql() -> dict[str, str]:
                    round(inter::DOUBLE / (n_a + n_b - inter), 4) AS jaccard
             FROM pairs
             WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.8""",
+        "sample_stratified": """
+            SELECT stratum, doc_id FROM (
+              SELECT lang || '|' || source AS stratum, doc_id,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 3 ORDER BY 1, 2""",
+        "contamination": _G8 + """,
+            tr AS (SELECT DISTINCT unnest(grams) AS g FROM g8
+                   WHERE doc_id % 17 != 0),
+            evg AS (SELECT doc_id AS id, unnest(grams) AS g FROM g8
+                    WHERE doc_id % 17 = 0)
+            SELECT evg.id, count(*) AS n_grams, count(tr.g) AS n_hit,
+                   round(count(tr.g)::DOUBLE / count(*), 4) AS hit_rate
+            FROM evg LEFT JOIN tr ON evg.g = tr.g
+            GROUP BY 1 ORDER BY 1""",
         "sessionize": """
             WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
             g AS (SELECT user_id, ts,

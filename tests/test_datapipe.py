@@ -170,3 +170,45 @@ def test_connected_components_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_stratified_and_hash_sample(spark):
+    from druid_spark.datapipe.sample import hash_sample, stratified_take
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(90)], ["id", "stratum"])
+    took = stratified_take(df, "stratum", 5, "id")
+    per = {r["stratum"]: r["n"] for r in
+           took.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic: first 5 ids of stratum s0 are 0,3,6,9,12
+    assert sorted(r["id"] for r in took.where("stratum='s0'").collect()) \
+        == [0, 3, 6, 9, 12]
+    s1 = set(r["id"] for r in hash_sample(df, "id", 0.3).collect())
+    s2 = set(r["id"] for r in hash_sample(df, "id", 0.3).collect())
+    assert s1 == s2 and 5 < len(s1) < 60  # stable, roughly 30%
+
+
+def test_assign_splits_leakage_safe(spark):
+    from druid_spark.datapipe.sample import assign_splits
+    # 200 docs in 50 clusters of 4 — every cluster must land whole
+    df = spark.createDataFrame(
+        [(i, "c%d" % (i % 50)) for i in range(200)], ["id", "cluster"])
+    out = assign_splits(df, "cluster",
+                        {"train": 0.6, "val": 0.2, "test": 0.2})
+    per_cluster = (out.groupBy("cluster")
+                   .agg(F.count_distinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_cluster)
+    assert set(r["split"] for r in out.collect()) <= {"train", "val", "test"}
+
+
+def test_contamination(spark):
+    from druid_spark.datapipe.sample import contamination
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], ["doc_id", "text"])
+    evalset = spark.createDataFrame(
+        [(2, "a b c d e f g h x y"),    # 1 of 3 8-grams hits
+         (3, "z z z z z z z z")],       # 1 8-gram, no hit
+        ["doc_id", "text"])
+    rows = {r["id"]: r for r in contamination(train, evalset).collect()}
+    assert rows[2]["n_grams"] == 3 and rows[2]["n_hit"] == 1
+    assert rows[3]["n_grams"] == 1 and rows[3]["n_hit"] == 0
