@@ -27,11 +27,30 @@ from druid_spark.expr import compile_expr
 
 
 def alnum_sort_key(c: Column) -> Column:
-    """zero-pad digit runs to width 10 so lexicographic order of the key
-    equals alphanumeric/version order of the value
-    (StringComparators.java:34-39) — a pure expression, no UDF."""
-    padded = F.regexp_replace(c, r"(\d+)", r"0000000000$1")
-    return F.regexp_replace(padded, r"0*(\d{10})", r"$1")
+    """A string key whose lexicographic order equals the reference's
+    alphanumeric comparator (StringComparators.java AlphanumericComparator,
+    the java-alphanum algorithm): chunk into digit / non-digit runs;
+    digit chunks compare numerically — significant-digit length first,
+    then the digits, leading-zero count as the tie-break ("7" < "007")
+    — and sort before letter chunks. Encoding per chunk:
+      digits: '0' + len(sig)[4] + sig + '\\x02' + zeros[4]
+      other:  '1' + chars
+    joined with '\\x01' (below every marker, so a prefix chunk sorts
+    first). Handles arbitrary-length numbers — a fixed-width zero-pad
+    would mis-order past its width. Pure expressions, no UDF; ASCII
+    digits only (the reference also accepts unicode digit ranges)."""
+    chunks = F.regexp_extract_all(c, F.lit(r"(\d+|\D+)"), F.lit(1))
+
+    def key_chunk(ch):
+        sig = F.regexp_replace(ch, r"^0+", "")
+        zeros = F.length(ch) - F.length(sig)
+        num_key = F.concat(
+            F.lit("0"), F.lpad(F.length(sig).cast("string"), 4, "0"),
+            sig, F.lit("\x02"), F.lpad(zeros.cast("string"), 4, "0"))
+        return F.when(ch.rlike(r"^\d"), num_key) \
+                .otherwise(F.concat(F.lit("1"), ch))
+
+    return F.array_join(F.transform(chunks, key_chunk), "\x01")
 
 
 def bloom_positions(c: Column, m: int, k: int) -> Column:
