@@ -359,15 +359,28 @@ class AggCompiler:
             fields = agg.get("fields", [])
             fold_expr = agg.get("fold")
             init = agg.get("initialValue", "0")
-            if len(fields) == 1 and fold_expr:
+            if fields and fold_expr:
                 from druid_spark import expr as E
                 acc_name = agg.get("accumulatorIdentifier", "__acc")
-                arr = F.collect_list(res(fields[0]))
                 ast = E.parse(fold_expr)
                 comp = E.Compiler(self.res)
                 init_col = compile_expr(str(init), self.res)
-                def merge(acc, x):
-                    return comp.compile(ast, {acc_name: acc, fields[0]: x})
+                if len(fields) == 1:
+                    arr = F.collect_list(res(fields[0]))
+
+                    def merge(acc, x):
+                        return comp.compile(ast, {acc_name: acc,
+                                                  fields[0]: x})
+                else:
+                    # multi-field fold: collect the row tuple, bind each
+                    # field name to its struct member in the lambda
+                    arr = F.collect_list(F.struct(
+                        *[res(fn).alias(fn) for fn in fields]))
+
+                    def merge(acc, x):
+                        binds = {fn: x.getField(fn) for fn in fields}
+                        binds[acc_name] = acc
+                        return comp.compile(ast, binds)
                 return F.aggregate(arr, init_col, merge)
             raise NotImplementedError("expression aggregator shape")
         if t == "javascript":

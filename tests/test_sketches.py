@@ -210,3 +210,19 @@ def test_spatial_polygon_bound(eng):
     # through (10.5,-0.5),(-0.5,10.5) ⟺ x+y < 10 for integer points
     want = sorted(i for i in range(1, 101) if (i % 7) + (i % 11) < 10)
     assert got == want
+
+
+def test_expression_lambda_multi_field(eng):
+    """multi-field fold (ExpressionLambdaAggregatorFactory fields list):
+    accumulate sum of x*id across two bound fields."""
+    df = eng.query({
+        "queryType": "groupBy", "dataSource": "t",
+        "granularity": "all", "dimensions": ["grp"],
+        "aggregations": [{"type": "expression", "name": "dot",
+                          "fields": ["x", "id"],
+                          "initialValue": "0.0",
+                          "fold": "__acc + x * id",
+                          "accumulatorIdentifier": "__acc"}]})
+    rows = {r["grp"]: r["dot"] for r in df.collect()}
+    assert rows["a"] == float(sum(i * i for i in range(1, 101, 2)))
+    assert rows["b"] == float(sum(i * i for i in range(2, 101, 2)))
