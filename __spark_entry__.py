@@ -1194,6 +1194,52 @@ def q_search_fragment(spark, sf):
         "granularity": "all"})
 
 
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 (pricing summary) through the Druid SQL layer —
+    SqlBenchmark-style groupBy/agg SQL running unmodified."""
+    return _engine(spark, sf).sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                 AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+
+
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 (shipping priority): 3-way join + top-10 — exercises
+    join planning (customer broadcast under AQE) and TakeOrdered."""
+    return _engine(spark, sf).sql("""
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")
+
+
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 (forecast revenue change): the filtered-sum shape whose
+    predicates must all reach the parquet scan."""
+    return _engine(spark, sf).sql("""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24""")
+
+
 def q_sql_extern(spark, sf):
     """TABLE(EXTERN(inputSource, inputFormat, signature)) — MSQ's
     SQL-side external input (ExternalOperatorConversion): the external
@@ -1329,6 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restrict_datasource": q_restrict_datasource,
         "gb_array_dim": q_gb_array_dim,
         "sql_extern": q_sql_extern,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
         "sql_unnest": q_sql_unnest,
         "gb_hll_expr": q_gb_hll_expr,
         "bloom_filter": q_bloom_filter,
@@ -1780,6 +1829,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n FROM orders
             WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 1000
             GROUP BY 1 ORDER BY 1""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15'
+              AND l_shipdate > TIMESTAMP '1996-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+        "tpch_q6": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24""",
         "sql_extern": """
             SELECT name, CAST(sum(x) AS BIGINT) AS sx
             FROM (VALUES ('a', 1), ('b', 2), ('a', 3)) t(name, x)

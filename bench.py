@@ -234,6 +234,33 @@ def build_queries(engine):
     out["dedup_minhash"] = dedup_minhash
     out["text_profile_agg"] = text_profile_agg
     out["sim_topk"] = sim_topk
+
+    # TPC-H shapes through the SQL layer (BASELINE.md "query comparison"
+    # rows use TPC-H 1 GB / 100 GB)
+    out["tpch_q1"] = lambda: E.sql("""
+        SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               AVG(l_quantity) AS avg_qty, COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    out["tpch_q3"] = lambda: E.sql("""
+        SELECT l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC LIMIT 10""")
+    out["tpch_q6"] = lambda: E.sql("""
+        SELECT SUM(l_extendedprice * l_discount) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")
     return out
 
 
