@@ -53,6 +53,44 @@ def alnum_sort_key(c: Column) -> Column:
     return F.array_join(F.transform(chunks, key_chunk), "\x01")
 
 
+def version_sort_key(c: Column) -> Column:
+    """A string key ordering like the reference's version comparator
+    (StringComparators.java:451 → maven DefaultArtifactVersion /
+    ComparableVersion) for the canonical grammar: dot/dash-separated
+    numeric tokens and qualifiers, case-insensitive, with null padding
+    ("1.0" == "1" == "1.0.ga") and the qualifier ladder
+    alpha < beta < milestone < rc < snapshot < release < sp < other.
+    Numeric tokens (incl. build numbers) sort above all qualifiers.
+    Encoding per slot (separator '\\x01' is below every marker):
+      alpha '1' … snapshot '5', release '6', sp '7', unknown '8'+q,
+      number '9' + len(digits)[4] + digits."""
+    toks = F.split(F.lower(c.cast("string")), r"[.\-]")
+
+    def enc(t):
+        sig = F.regexp_replace(t, r"^0+", "")
+        num = F.concat(F.lit("9"),
+                       F.lpad(F.length(sig).cast("string"), 4, "0"), sig)
+        release = (t.isNull() | (t == "") | (t == "0") | (t == "ga")
+                   | (t == "final") | (t == "release"))
+        return (F.when(release, F.lit("6"))
+                .when(t.rlike(r"^\d+$"), num)
+                .when(t == "alpha", F.lit("1"))
+                .when(t == "beta", F.lit("2"))
+                .when(t == "milestone", F.lit("3"))
+                .when((t == "rc") | (t == "cr"), F.lit("4"))
+                .when(t == "snapshot", F.lit("5"))
+                .when(t == "sp", F.lit("7"))
+                .otherwise(F.concat(F.lit("8"), t)))
+
+    # fixed 8 slots: missing / zero / release-word slots all encode to
+    # the release marker, which is how maven's null padding makes
+    # "1" == "1.0" == "1.0.ga" while "1.0-alpha" (alpha in slot 3)
+    # still sorts below all of them; >8-token versions truncate
+    slots = F.transform(F.sequence(F.lit(0), F.lit(7)),
+                        lambda i: enc(F.get(toks, i)))
+    return F.array_join(slots, "\x01")
+
+
 def bloom_positions(c: Column, m: int, k: int) -> Column:
     """k bit positions of a value in an m-bit bloom filter, as an
     array<long>. Shared by the `bloom` aggregator (build) and the
@@ -169,15 +207,19 @@ class FilterCompiler:
             if ordering == "numeric":
                 return c.cast("double")
             c = c.cast("string")
-            if ordering in ("alphanumeric", "version"):
+            if ordering == "alphanumeric":
                 return alnum_sort_key(c)
+            if ordering == "version":
+                return version_sort_key(c)
             return c
 
         def lit(v):
             if ordering == "numeric":
                 return F.lit(float(v))
-            if ordering in ("alphanumeric", "version"):
+            if ordering == "alphanumeric":
                 return alnum_sort_key(F.lit(str(v)))
+            if ordering == "version":
+                return version_sort_key(F.lit(str(v)))
             return F.lit(str(v))
 
         def pred(c):

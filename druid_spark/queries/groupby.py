@@ -114,9 +114,12 @@ def _order_col(c) -> Column:
     # no UDF).
     if comparator == "numeric":
         col = col.cast("double")
-    elif comparator in ("alphanumeric", "version"):
+    elif comparator == "alphanumeric":
         from druid_spark.filters import alnum_sort_key
         col = alnum_sort_key(col.cast("string"))
+    elif comparator == "version":
+        from druid_spark.filters import version_sort_key
+        col = version_sort_key(col.cast("string"))
     elif comparator == "strlen":
         col = F.struct(F.length(qcol(name)), qcol(name))
     return col.desc() if direction.lower().startswith("desc") else col.asc()

@@ -76,3 +76,25 @@ def test_ipv4_roundtrip_property(spark):
     from druid_spark.expr import compile_expr
     back = compile_expr("ipv4_stringify(ipv4_parse(ip))", F.col)
     assert df.where(back != F.col("ip")).count() == 0
+
+
+def test_version_comparator_ladder(spark):
+    """maven-style version ordering (StringComparators VersionComparator
+    → DefaultArtifactVersion): qualifier ladder, null padding, numeric
+    tokens above qualifiers."""
+    from druid_spark.filters import version_sort_key
+    versions = ["1.0-alpha", "1.0-beta", "1.0-milestone", "1.0-rc",
+                "1.0-snapshot", "1.0", "1.0-sp", "1.0-xyz", "1.0-1",
+                "1.0.1", "1.1", "0.9", "1.2.9", "1.2.10", "2"]
+    df = spark.createDataFrame([(v,) for v in versions], ["v"])
+    got = [r["v"] for r in df.orderBy(version_sort_key(F.col("v"))).collect()]
+    assert got == ["0.9", "1.0-alpha", "1.0-beta", "1.0-milestone",
+                   "1.0-rc", "1.0-snapshot", "1.0", "1.0-sp", "1.0-xyz",
+                   "1.0-1", "1.0.1", "1.1", "1.2.9", "1.2.10", "2"]
+    # null padding: synonymous spellings produce identical keys
+    syn = spark.createDataFrame(
+        [("1",), ("1.0",), ("1.0.0",), ("1.0.ga",), ("1.0.0-FINAL",)],
+        ["v"])
+    keys = set(r["k"] for r in
+               syn.select(version_sort_key(F.col("v")).alias("k")).collect())
+    assert len(keys) == 1
