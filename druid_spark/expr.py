@@ -572,7 +572,11 @@ _FUNCS: dict[str, Callable] = {
         cols[0], _lit_of(nodes[1]) + 1, _lit_of(nodes[2]) - _lit_of(nodes[1])),
     "mv_to_string": _f(lambda arr, sep: F.array_join(arr, sep)),
     "scalar_in_array": _f(lambda v, arr: F.array_contains(arr, v)),
-    "array_quantile": _f(lambda arr, q: F.expr("null")),  # set via sql path
+    # ArrayQuantileExprMacro.java:134 — index = rank*(n-1) over the
+    # sorted array, linear interpolation between neighbors, NaN for an
+    # empty array, out-of-range rank, or null elements
+    "array_quantile": lambda cols, nodes: _array_quantile(
+        cols[0], float(_lit_of(nodes[1]))),
     # regex / search macros — query/expression/RegexpExtractExprMacro.java etc
     "regexp_extract": lambda cols, nodes: F.nullif(
         F.regexp_extract(cols[0], _lit_of(nodes[1]),
@@ -607,6 +611,21 @@ _FUNCS: dict[str, Callable] = {
     "ipv4_stringify": _f(lambda n: _ipv4_stringify(n)),
     "ipv4_match": lambda cols, nodes: _ipv4_match(cols[0], _lit_of(nodes[1])),
 }
+
+
+def _array_quantile(arr: Column, rank: float) -> Column:
+    darr = F.array_sort(F.transform(arr, lambda x: x.cast("double")))
+    n = F.size(darr)
+    idx = F.lit(rank) * (n - 1).cast("double")
+    lo = F.floor(idx).cast("int")
+    a = F.element_at(darr, lo + 1)
+    b = F.element_at(darr, F.least(lo + 2, n))
+    nan = F.lit(float("nan"))
+    if rank < 0 or rank > 1:
+        return nan
+    return (F.when((n == 0)
+                   | F.exists(darr, lambda x: x.isNull()), nan)
+            .otherwise(a + (idx - lo) * (b - a)))
 
 
 def _ipv4_parse(s: Column) -> Column:

@@ -290,3 +290,19 @@ def test_extraction_filter(fooeng):
         "aggregations": [{"type": "count", "name": "n"}]})
     # dim1 values: '', '10.1', '2', '1', 'def', 'abc' → first-char upper 'A' → 'abc'
     assert df.collect()[0]["n"] == 1
+
+
+def test_array_quantile(spark):
+    """ArrayQuantileExprMacro: rank*(n-1) index, linear interpolation,
+    NaN for empty arrays."""
+    import math
+    from druid_spark.expr import compile_expr
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0, 4.0],), ([5.0],), ([],)], "arr: array<double>")
+    rows = df.select(
+        compile_expr("array_quantile(arr, 0.5)", F.col).alias("med"),
+        compile_expr("array_quantile(arr, 0.75)", F.col).alias("p75"),
+    ).collect()
+    assert rows[0]["med"] == 2.5 and rows[0]["p75"] == 3.25
+    assert rows[1]["med"] == 5.0
+    assert math.isnan(rows[2]["med"])
