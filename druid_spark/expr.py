@@ -438,19 +438,24 @@ _EXTRACT_UNIT = {
     "MINUTE": lambda ts: F.minute(ts),
     "HOUR": lambda ts: F.hour(ts),
     "DAY": lambda ts: F.dayofmonth(ts),
-    "DOW": lambda ts: F.dayofweek(ts),
-    "ISODOW": lambda ts: F.expr("null"),  # replaced below
+    # DOW and ISODOW are BOTH joda dayOfWeek (Mon=1..Sun=7) in the
+    # reference (TimestampExtractExprMacro.java:88-90); Spark's
+    # dayofweek is Sun=1, hence the shift
+    "DOW": lambda ts: (F.dayofweek(ts) + 5) % 7 + 1,
+    "ISODOW": lambda ts: (F.dayofweek(ts) + 5) % 7 + 1,
     "DOY": lambda ts: F.dayofyear(ts),
     "WEEK": lambda ts: F.weekofyear(ts),
     "MONTH": lambda ts: F.month(ts),
     "QUARTER": lambda ts: F.quarter(ts),
     "YEAR": lambda ts: F.year(ts),
+    "ISOYEAR": lambda ts: F.year(ts),
+    "DECADE": lambda ts: F.floor(F.year(ts) / 10).cast("long"),
+    "CENTURY": lambda ts: F.ceil(F.year(ts) / 100).cast("long"),
+    "MILLENNIUM": lambda ts: F.ceil(F.year(ts) / 1000).cast("long"),
 }
 
 
 def _extract(unit: str, ts: Column) -> Column:
-    if unit == "ISODOW":
-        return F.expr("null")
     return _EXTRACT_UNIT[unit](ts)
 
 

@@ -57,9 +57,15 @@ _FUNCS: list[tuple[str, str, str, str]] = [
         WHEN 'MILLISECOND' THEN unix_millis(ts) % 1000
         WHEN 'SECOND' THEN second(ts) WHEN 'MINUTE' THEN minute(ts)
         WHEN 'HOUR' THEN hour(ts) WHEN 'DAY' THEN day(ts)
-        WHEN 'DOW' THEN dayofweek(ts) WHEN 'DOY' THEN dayofyear(ts)
+        WHEN 'DOW' THEN (dayofweek(ts) + 5) % 7 + 1
+        WHEN 'ISODOW' THEN (dayofweek(ts) + 5) % 7 + 1
+        WHEN 'DOY' THEN dayofyear(ts)
         WHEN 'WEEK' THEN weekofyear(ts) WHEN 'MONTH' THEN month(ts)
         WHEN 'QUARTER' THEN quarter(ts) WHEN 'YEAR' THEN year(ts)
+        WHEN 'ISOYEAR' THEN year(ts)
+        WHEN 'DECADE' THEN floor(year(ts) / 10)
+        WHEN 'CENTURY' THEN ceil(year(ts) / 100)
+        WHEN 'MILLENNIUM' THEN ceil(year(ts) / 1000)
       END"""),
     ("TIME_FORMAT", "ts TIMESTAMP, pat STRING", "STRING",
      "date_format(ts, pat)"),

@@ -306,3 +306,21 @@ def test_array_quantile(spark):
     assert rows[0]["med"] == 2.5 and rows[0]["p75"] == 3.25
     assert rows[1]["med"] == 5.0
     assert math.isnan(rows[2]["med"])
+
+
+def test_extract_dow_iso_semantics(spark):
+    """DOW and ISODOW are both joda dayOfWeek (Mon=1..Sun=7) in the
+    reference (TimestampExtractExprMacro.java:88-90); 2024-03-15 was a
+    Friday. DECADE/CENTURY/MILLENNIUM follow the postgres formulas."""
+    from druid_spark.expr import compile_expr
+    df = spark.sql("SELECT TIMESTAMP '2024-03-15 13:00:00' AS t, "
+                   "TIMESTAMP '2024-03-17 13:00:00' AS sun")
+    r = df.select(
+        compile_expr("timestamp_extract(t, 'DOW')").alias("fri"),
+        compile_expr("timestamp_extract(sun, 'ISODOW')").alias("sun"),
+        compile_expr("timestamp_extract(t, 'DECADE')").alias("dec"),
+        compile_expr("timestamp_extract(t, 'CENTURY')").alias("cen"),
+        compile_expr("timestamp_extract(t, 'MILLENNIUM')").alias("mil"),
+    ).collect()[0]
+    assert r["fri"] == 5 and r["sun"] == 7
+    assert r["dec"] == 202 and r["cen"] == 21 and r["mil"] == 3
