@@ -17,6 +17,73 @@ from __future__ import annotations
 import re
 
 
+def _rewrite_call(sql: str, fname: str, builder) -> str:
+    """Rewrite calls of `fname` via builder(args)->replacement | None
+    (None = leave untouched). Balanced-paren scan, top-level comma
+    split; string literals with parens/commas are the known blind
+    spot. Lets fixed-arity SQL UDFs serve Druid's optional-argument
+    forms (tz / origin / format overloads)."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        depth, i, args, start = 1, m.end(), [], m.end()
+        while depth and i < len(sql):
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(sql[start:i].strip())
+            elif ch == "," and depth == 1:
+                args.append(sql[start:i].strip())
+                start = i + 1
+            i += 1
+        rep = builder(args)
+        if rep is None:
+            pos = i
+        else:
+            sql = sql[:m.start()] + rep + sql[i:]
+            pos = m.start() + 1
+
+
+def _time_parse(args):
+    if len(args) == 2:
+        return f"TO_TIMESTAMP({args[0]}, {args[1]})"
+    if len(args) == 3:
+        return (f"TO_UTC_TIMESTAMP(TO_TIMESTAMP({args[0]}, {args[1]}), "
+                f"{args[2]})")
+    return None
+
+
+def _time_extract_tz(args):
+    if len(args) == 3:
+        return (f"TIME_EXTRACT(FROM_UTC_TIMESTAMP({args[0]}, {args[2]}), "
+                f"{args[1]})")
+    return None
+
+
+def _time_floor_ceil(name):
+    def build(args):
+        # 4-arg form: (ts, period, origin, tz) — only the null-origin
+        # timezone variant rewrites; a real origin should fail loudly
+        if len(args) == 4 and args[2].upper() in ("NULL", "''"):
+            return (f"TO_UTC_TIMESTAMP({name}(FROM_UTC_TIMESTAMP("
+                    f"{args[0]}, {args[3]}), {args[1]}), {args[3]})")
+        return None
+    return build
+
+
+def _time_shift_tz(args):
+    # timezone does not change a fixed-width shift
+    if len(args) == 4:
+        return f"TIME_SHIFT({args[0]}, {args[1]}, {args[2]})"
+    return None
+
+
 def _add_default_arg(sql: str, fname: str, default: str) -> str:
     """Append `, default` to calls of `fname` that have exactly one
     top-level argument (SQL UDFs have fixed arity; Druid's 1-arg forms
@@ -114,6 +181,12 @@ def rewrite_druid_sql(sql: str) -> str:
     out = re.sub(r"\bARRAY_CONCAT_AGG\(\s*([^()]+?)\s*\)",
                  lambda m: f"FLATTEN(COLLECT_LIST({m.group(1)}))", out,
                  flags=re.IGNORECASE)
+    # Druid TIME_* optional-argument forms → the fixed-arity shims
+    out = _rewrite_call(out, "TIME_PARSE", _time_parse)
+    out = _rewrite_call(out, "TIME_EXTRACT", _time_extract_tz)
+    out = _rewrite_call(out, "TIME_FLOOR", _time_floor_ceil("TIME_FLOOR"))
+    out = _rewrite_call(out, "TIME_CEIL", _time_floor_ceil("TIME_CEIL"))
+    out = _rewrite_call(out, "TIME_SHIFT", _time_shift_tz)
     # variadic STRING_FORMAT → Spark's format_string (same semantics)
     out = re.sub(r"\bSTRING_FORMAT\(", "FORMAT_STRING(", out,
                  flags=re.IGNORECASE)

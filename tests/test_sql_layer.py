@@ -162,3 +162,21 @@ def test_parse_long_base64_string_format(engine):
                              STRING_FORMAT('%s=%d', 'x', 7) AS f""").collect()[0]
     assert r["h"] == 255 and r["d"] == -42
     assert r["s"] == "hello" and r["f"] == "x=7"
+
+
+def test_time_fn_optional_args(engine):
+    r = engine.sql("""SELECT
+        TIME_PARSE('15/03/2024', 'dd/MM/yyyy') AS p2,
+        TIME_PARSE('2024-03-15 01:00:00', 'yyyy-MM-dd HH:mm:ss',
+                   'America/Los_Angeles') AS p3,
+        TIME_EXTRACT(TIMESTAMP '2024-03-15 03:30:00', 'HOUR',
+                     'America/New_York') AS h_ny,
+        TIME_FLOOR(TIMESTAMP '2024-01-15 10:00:00', 'P1D', NULL,
+                   'America/Los_Angeles') AS f_la,
+        TIME_SHIFT(TIMESTAMP '2024-03-15 00:00:00', 'P1D', 2,
+                   'America/Los_Angeles') AS sh""").collect()[0]
+    assert str(r["p2"]).startswith("2024-03-15")
+    assert str(r["p3"]) == "2024-03-15 08:00:00"   # PDT, UTC-7
+    assert r["h_ny"] == 23                          # 03:30 UTC = 23:30 EDT
+    assert str(r["f_la"]) == "2024-01-15 08:00:00"  # LA midnight in UTC
+    assert str(r["sh"]) == "2024-03-17 00:00:00"
