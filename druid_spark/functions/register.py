@@ -46,9 +46,17 @@ _TIME_FLOOR_BODY = _TRUNC_CASE.format(dur=f"({_DUR_MS})")
 _FUNCS: list[tuple[str, str, str, str]] = [
     # (name, args, return type, body)
     ("TIME_FLOOR", "ts TIMESTAMP, p STRING", "TIMESTAMP", _TIME_FLOOR_BODY),
+    # ceil: aligned → ts; calendar periods advance by the period (a
+    # fixed-width add would be wrong for variable-length months/years);
+    # fixed-width periods add their duration to the floor
     ("TIME_CEIL", "ts TIMESTAMP, p STRING", "TIMESTAMP",
-     f"CASE WHEN ({_TIME_FLOOR_BODY}) = ts THEN ts ELSE "
-     f"timestamp_millis(unix_millis({_TIME_FLOOR_BODY}) + ({_DUR_MS})) END"),
+     f"""CASE WHEN ({_TIME_FLOOR_BODY}) = ts THEN ts
+       WHEN p = 'P1W' THEN date_trunc('week', ts) + INTERVAL 1 WEEK
+       WHEN p = 'P1M' THEN date_trunc('month', ts) + INTERVAL 1 MONTH
+       WHEN p = 'P3M' THEN date_trunc('quarter', ts) + INTERVAL 3 MONTH
+       WHEN p = 'P1Y' THEN date_trunc('year', ts) + INTERVAL 1 YEAR
+       ELSE timestamp_millis(unix_millis({_TIME_FLOOR_BODY}) + ({_DUR_MS}))
+     END"""),
     ("TIME_SHIFT", "ts TIMESTAMP, p STRING, n INT", "TIMESTAMP",
      f"timestamp_millis(unix_millis(ts) + n * ({_DUR_MS}))"),
     ("TIME_EXTRACT", "ts TIMESTAMP, unit STRING", "BIGINT", """
@@ -70,7 +78,7 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("TIME_FORMAT", "ts TIMESTAMP, pat STRING", "STRING",
      "date_format(ts, pat)"),
     ("TIME_PARSE", "s STRING", "TIMESTAMP",
-     "to_timestamp(replace(s, 'T', ' '))"),
+     "to_timestamp(rtrim('Z', replace(s, 'T', ' ')))"),
     ("TIME_IN_INTERVAL", "ts TIMESTAMP, iv STRING", "BOOLEAN", """
       ts >= to_timestamp(replace(split_part(iv, '/', 1), 'T', ' '))
       AND ts < to_timestamp(replace(split_part(iv, '/', 2), 'T', ' '))"""),

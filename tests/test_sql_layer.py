@@ -180,3 +180,17 @@ def test_time_fn_optional_args(engine):
     assert r["h_ny"] == 23                          # 03:30 UTC = 23:30 EDT
     assert str(r["f_la"]) == "2024-01-15 08:00:00"  # LA midnight in UTC
     assert str(r["sh"]) == "2024-03-17 00:00:00"
+
+
+def test_time_ceil_calendar_and_parse_iso(engine):
+    r = engine.sql("""SELECT
+        TIME_CEIL(TIMESTAMP '2024-02-15 10:00:00', 'P1M') AS cm,
+        TIME_CEIL(TIMESTAMP '2024-03-01 00:00:00', 'P1M') AS aligned,
+        TIME_CEIL(TIMESTAMP '2024-02-15 10:00:00', 'P1Y') AS cy,
+        TIME_CEIL(TIMESTAMP '2024-02-15 10:20:00', 'PT1H') AS ch,
+        TIME_PARSE('2024-03-15T06:30:00Z') AS pz""").collect()[0]
+    assert str(r["cm"]) == "2024-03-01 00:00:00"
+    assert str(r["aligned"]) == "2024-03-01 00:00:00"
+    assert str(r["cy"]) == "2025-01-01 00:00:00"
+    assert str(r["ch"]) == "2024-02-15 11:00:00"
+    assert str(r["pz"]) == "2024-03-15 06:30:00"
