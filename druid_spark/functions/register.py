@@ -80,8 +80,8 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("TIME_PARSE", "s STRING", "TIMESTAMP",
      "to_timestamp(rtrim('Z', replace(s, 'T', ' ')))"),
     ("TIME_IN_INTERVAL", "ts TIMESTAMP, iv STRING", "BOOLEAN", """
-      ts >= to_timestamp(replace(split_part(iv, '/', 1), 'T', ' '))
-      AND ts < to_timestamp(replace(split_part(iv, '/', 2), 'T', ' '))"""),
+      ts >= to_timestamp(rtrim('Z', replace(split_part(iv, '/', 1), 'T', ' ')))
+      AND ts < to_timestamp(rtrim('Z', replace(split_part(iv, '/', 2), 'T', ' ')))"""),
     ("TIMESTAMP_TO_MILLIS", "ts TIMESTAMP", "BIGINT", "unix_millis(ts)"),
     ("MILLIS_TO_TIMESTAMP", "ms BIGINT", "TIMESTAMP", "timestamp_millis(ms)"),
     ("SAFE_DIVIDE", "a DOUBLE, b DOUBLE", "DOUBLE",

@@ -194,3 +194,13 @@ def test_time_ceil_calendar_and_parse_iso(engine):
     assert str(r["cy"]) == "2025-01-01 00:00:00"
     assert str(r["ch"]) == "2024-02-15 11:00:00"
     assert str(r["pz"]) == "2024-03-15 06:30:00"
+
+
+def test_time_in_interval_iso_z(engine):
+    r = engine.sql("""SELECT
+        TIME_IN_INTERVAL(TIMESTAMP '2024-01-05 00:00:00',
+            '2024-01-01T00:00:00Z/2024-02-01T00:00:00Z') AS inside,
+        TIME_IN_INTERVAL(TIMESTAMP '2024-03-05 00:00:00',
+            '2024-01-01T00:00:00Z/2024-02-01T00:00:00Z') AS outside
+        """).collect()[0]
+    assert r["inside"] is True and r["outside"] is False
