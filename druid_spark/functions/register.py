@@ -37,6 +37,7 @@ _DUR_MS = """
     WHEN p RLIKE '^PT[0-9]+M$' THEN cast(regexp_extract(p, 'PT([0-9]+)M', 1) AS BIGINT) * 60000
     WHEN p RLIKE '^PT[0-9]+H$' THEN cast(regexp_extract(p, 'PT([0-9]+)H', 1) AS BIGINT) * 3600000
     WHEN p RLIKE '^P[0-9]+D$' THEN cast(regexp_extract(p, 'P([0-9]+)D', 1) AS BIGINT) * 86400000
+    WHEN p RLIKE '^P[0-9]+W$' THEN cast(regexp_extract(p, 'P([0-9]+)W', 1) AS BIGINT) * 604800000
     ELSE 86400000
   END
 """
