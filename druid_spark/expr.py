@@ -314,6 +314,27 @@ class Compiler:
                 self._c(args[1], env), self._c(args[2], env),
                 self._hof2(args[0], env, swap=True),
             )
+        if name == "cartesian_map":
+            # cartesian_map((x,y) -> .., xs, ys): lambda over the cross
+            # product — nested transform + flatten
+            fn2 = self._hof2(args[0], env)
+            xs, ys = self._c(args[1], env), self._c(args[2], env)
+            return F.flatten(F.transform(
+                xs, lambda x: F.transform(ys, lambda y: fn2(x, y))))
+        if name == "cartesian_fold":
+            # cartesian_fold((x,y,acc) -> .., xs, ys, init): fold over
+            # the cross product; the 3-arg lambda binds both elements
+            lam = args[0]
+            xs, ys = self._c(args[1], env), self._c(args[2], env)
+            init = self._c(args[3], env)
+
+            def outer(acc, x):
+                def inner(acc2, y):
+                    p = lam.params
+                    return self._c(lam.body, {**env, p[0]: x, p[1]: y,
+                                              p[2]: acc2})
+                return F.aggregate(ys, acc, inner)
+            return F.aggregate(xs, init, outer)
 
         if name == "lookup":
             lk = self.lookups[_lit_of(args[1])]
@@ -577,6 +598,7 @@ _FUNCS: dict[str, Callable] = {
         cols[0], _lit_of(nodes[1]) + 1, _lit_of(nodes[2]) - _lit_of(nodes[1])),
     "mv_to_string": _f(lambda arr, sep: F.array_join(arr, sep)),
     "scalar_in_array": _f(lambda v, arr: F.array_contains(arr, v)),
+    "decode_base64_utf8": _f(lambda s: F.unbase64(s).cast("string")),
     # ArrayQuantileExprMacro.java:134 — index = rank*(n-1) over the
     # sorted array, linear interpolation between neighbors, NaN for an
     # empty array, out-of-range rank, or null elements

@@ -324,3 +324,19 @@ def test_extract_dow_iso_semantics(spark):
     ).collect()[0]
     assert r["fri"] == 5 and r["sun"] == 7
     assert r["dec"] == 202 and r["cen"] == 21 and r["mil"] == 3
+
+
+def test_cartesian_hofs_and_base64(spark):
+    """cartesian_map / cartesian_fold (ApplyFunction.java) and
+    decode_base64_utf8."""
+    from druid_spark.expr import compile_expr
+    r = spark.range(1).select(
+        compile_expr("cartesian_map((x, y) -> concat(x, y), "
+                     "array('a','b'), array('1','2'))").alias("cm"),
+        compile_expr("cartesian_fold((x, y, acc) -> acc + x * y, "
+                     "array(1, 2), array(10, 100), 0)").alias("cf"),
+        compile_expr("decode_base64_utf8('aGVsbG8=')").alias("b64"),
+    ).collect()[0]
+    assert r["cm"] == ["a1", "a2", "b1", "b2"]
+    assert r["cf"] == 330
+    assert r["b64"] == "hello"
