@@ -631,13 +631,38 @@ _FUNCS: dict[str, Callable] = {
     "parse_json": _f(lambda x: x),  # kept as string; json fns accept strings
     "try_parse_json": _f(lambda x: x),
     # misc
-    "human_readable_binary_byte_format": _f(
-        lambda x: F.format_string("%.2f B", x.cast("double"))),
+    # HumanReadableBytes.java:268-325 ladders; optional precision arg
+    "human_readable_binary_byte_format": lambda cols, nodes: _human_readable(
+        cols[0], int(_lit_of(nodes[1])) if len(cols) > 1 else 2,
+        1024, ["B", "KiB", "MiB", "GiB", "TiB", "PiB"]),
+    "human_readable_decimal_byte_format": lambda cols, nodes: _human_readable(
+        cols[0], int(_lit_of(nodes[1])) if len(cols) > 1 else 2,
+        1000, ["B", "KB", "MB", "GB", "TB", "PB"]),
+    "human_readable_decimal_format": lambda cols, nodes: _human_readable(
+        cols[0], int(_lit_of(nodes[1])) if len(cols) > 1 else 2,
+        1000, ["", "K", "M", "G", "T", "P"]),
     # ipv4 — query/expression/IPv4AddressParseExprMacro.java etc.
     "ipv4_parse": _f(lambda s: _ipv4_parse(s)),
     "ipv4_stringify": _f(lambda n: _ipv4_stringify(n)),
     "ipv4_match": lambda cols, nodes: _ipv4_match(cols[0], _lit_of(nodes[1])),
 }
+
+
+def _human_readable(x: Column, precision: int, base: int,
+                    units: list[str]) -> Column:
+    """HumanReadableBytes ladder: integer + first unit below `base`,
+    then fixed-decimal formatting per rung."""
+    n = x.cast("long")
+    suffix = (" " + units[0]) if units[0] else ""
+    out = F.format_string(f"%.{precision}f {units[-1]}".rstrip(),
+                          (n / F.lit(float(base ** (len(units) - 1)))))
+    for i in range(len(units) - 2, 0, -1):
+        out = F.when(
+            F.abs(n) < F.lit(base ** (i + 1)),
+            F.format_string(f"%.{precision}f {units[i]}".rstrip(),
+                            n / F.lit(float(base ** i)))).otherwise(out)
+    return F.when(F.abs(n) < base,
+                  F.concat(n.cast("string"), F.lit(suffix))).otherwise(out)
 
 
 def _array_quantile(arr: Column, rank: float) -> Column:
