@@ -1240,6 +1240,26 @@ def q_tpch_q6(spark, sf):
           AND l_quantity < 24""")
 
 
+def q_sql_semantics(spark, sf):
+    """Semantics matrix over the SQL shims: ISO day-of-week extraction
+    (Mon=1..Sun=7 like the reference), calendar-period TIME_CEIL,
+    TIME_IN_INTERVAL with Z endpoints, radix PARSE_LONG round trip,
+    numeric TRUNCATE, and the binary byte-format ladder."""
+    return _engine(spark, sf).sql("""
+        SELECT TIME_EXTRACT(ts, 'ISODOW') AS isodow,
+               COUNT(*) AS n,
+               TIME_CEIL(MIN(ts), 'P1M') AS ceil_month,
+               PARSE_LONG(FORMAT_STRING('%x', MAX(event_id)), 16)
+                 AS max_id,
+               TRUNCATE(CAST(COUNT(*) AS DOUBLE) / 7, 1) AS n7,
+               HUMAN_READABLE_BINARY_BYTE_FORMAT(COUNT(*) * 1048576)
+                 AS hr
+        FROM events
+        WHERE TIME_IN_INTERVAL(ts,
+              '2024-01-01T00:00:00Z/2024-02-01T00:00:00Z')
+        GROUP BY 1 ORDER BY 1""")
+
+
 def q_sql_extern(spark, sf):
     """TABLE(EXTERN(inputSource, inputFormat, signature)) — MSQ's
     SQL-side external input (ExternalOperatorConversion): the external
@@ -1375,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restrict_datasource": q_restrict_datasource,
         "gb_array_dim": q_gb_array_dim,
         "sql_extern": q_sql_extern,
+        "sql_semantics": q_sql_semantics,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
@@ -1828,6 +1849,21 @@ def oracle_sql() -> dict[str, str]:
         "restrict_datasource": """
             SELECT o_orderstatus, count(*) AS n FROM orders
             WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 1000
+            GROUP BY 1 ORDER BY 1""",
+        "sql_semantics": """
+            SELECT isodow(ts) AS isodow,
+                   count(*) AS n,
+                   date_trunc('month', min(ts)) + INTERVAL 1 MONTH
+                     AS ceil_month,
+                   max(event_id) AS max_id,
+                   floor((count(*) / 7.0) * 10) / 10 AS n7,
+                   CASE WHEN count(*) < 1024
+                        THEN printf('%.2f MiB', count(*) / 1.0)
+                        ELSE printf('%.2f GiB', count(*) / 1024.0) END
+                     AS hr
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-02-01'
             GROUP BY 1 ORDER BY 1""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
