@@ -24,7 +24,12 @@ _ENGINES: dict = {}
 
 def _engine(spark: SparkSession, sf_dir: str):
     from druid_spark import DruidSparkEngine
+    from druid_spark.session import harden_session
 
+    # The driver hands us ITS session: apply the engine's required SQL
+    # confs (parquet nanosAsLong, UTC tz, ANSI off) before any read —
+    # the driver fixtures are TIMESTAMP(NANOS) parquet (round-1 lesson).
+    harden_session(spark)
     key = (id(spark), sf_dir)
     if key not in _ENGINES:
         _ENGINES[key] = DruidSparkEngine(spark, data_dir=sf_dir, exact_approx=True)

@@ -56,7 +56,11 @@ class DruidSparkEngine:
         """exact_approx: rewrite approximate aggregators (HLL etc.) to
         exact forms — used by the correctness harness vs the DuckDB
         oracle (SURVEY §7.3.5)."""
-        self.spark = spark
+        from druid_spark.session import harden_session
+        # The engine must work on a session it did not create (the
+        # correctness driver's). nanosAsLong / UTC / ANSI-off are
+        # semantic requirements, not tuning.
+        self.spark = harden_session(spark)
         self.catalog = Catalog(spark)
         self.exact_approx = exact_approx
         self._result_cache: dict[str, DataFrame] = {}

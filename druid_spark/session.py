@@ -14,6 +14,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+# SQL confs the engine's semantics depend on. All of these are
+# runtime-settable (`spark.conf.set`) so they can be applied to a
+# session the engine did NOT create — e.g. the correctness driver's
+# vanilla `SparkSession` (round-1 lesson: the driver's fixtures use
+# parquet TIMESTAMP(NANOS) and every query errored before execution
+# because nanosAsLong was only set in this factory).
+RUNTIME_CONFS: dict[str, str] = {
+    # read parquet TIMESTAMP(NANOS) as long; Catalog converts to timestamp
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Druid reports instants in UTC; granularity tz is applied per-query
+    "spark.sql.session.timeZone": "UTC",
+    # Druid expression semantics: integer arithmetic wraps, bad casts
+    # yield null — Java/legacy behavior, not ANSI errors
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def harden_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required SQL confs to an externally-created
+    session. Safe to call repeatedly; never throws on a conf the running
+    Spark build doesn't know."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def get_spark(app_name: str = "druid_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -21,20 +55,11 @@ def get_spark(app_name: str = "druid_spark", cpus: int | None = None) -> SparkSe
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # read parquet TIMESTAMP(NANOS) as long; Catalog converts to timestamp
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Druid expression semantics: integer arithmetic wraps, bad casts
-        # yield null — Java/legacy behavior, not ANSI errors
-        .config("spark.sql.ansi.enabled", "false")
     )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    return harden_session(spark)

@@ -47,9 +47,21 @@ def rowset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("correctness", cpus=16)
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if vanilla:
+        # Simulate the driver: a bare session with NONE of our factory
+        # confs — __spark_entry__ must harden it itself (round-1 bug).
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[16]")
+                 .appName("correctness-vanilla")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.driver.memory", "8g")
+                 .getOrCreate())
+    else:
+        spark = get_spark("correctness", cpus=16)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
