@@ -159,11 +159,15 @@ class DruidSparkEngine:
         self._sql_lookups_key = key
         if not lookups:
             return
+        def q(s: str) -> str:
+            # SQL string literal: double embedded single quotes
+            return "'" + str(s).replace("'", "''") + "'"
+
         arms = []
         for name, mapping in lookups.items():
             pairs = ", ".join(
-                f"'{str(k)}', '{str(v)}'" for k, v in mapping.items())
-            arms.append(f"WHEN '{name}' THEN element_at(map({pairs}), v)")
+                f"{q(k)}, {q(v)}" for k, v in mapping.items())
+            arms.append(f"WHEN {q(name)} THEN element_at(map({pairs}), v)")
         body = "CASE lk " + " ".join(arms) + " END"
         self.spark.sql(
             "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP(v STRING, lk STRING) "

@@ -16,18 +16,39 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-# period → (date_trunc unit); the fixed-width fallback handles PT<n>X/P<n>D
-_TRUNC_CASE = """
-  CASE p
-    WHEN 'PT1S' THEN date_trunc('second', ts)
-    WHEN 'PT1M' THEN date_trunc('minute', ts)
-    WHEN 'PT1H' THEN date_trunc('hour', ts)
-    WHEN 'P1D' THEN date_trunc('day', ts)
-    WHEN 'P1W' THEN date_trunc('week', ts)
-    WHEN 'P1M' THEN date_trunc('month', ts)
-    WHEN 'P3M' THEN date_trunc('quarter', ts)
-    WHEN 'P1Y' THEN date_trunc('year', ts)
-    ELSE timestamp_millis(cast(floor(unix_millis(ts) / {dur}) * {dur} AS BIGINT))
+# months-since-epoch floored to multiples of n, rebuilt as a timestamp —
+# the calendar floor PeriodGranularity applies for P<n>M with the
+# default (epoch) origin; {k} is the month count expression
+_MONTH_FLOOR = """
+  make_timestamp(
+    1970 + cast(floor(floor(((year(ts) - 1970) * 12 + month(ts) - 1)
+                            / ({k})) * ({k}) / 12) AS INT),
+    cast(floor(((year(ts) - 1970) * 12 + month(ts) - 1) / ({k})) * ({k})
+         - 12 * floor(floor(((year(ts) - 1970) * 12 + month(ts) - 1)
+                            / ({k})) * ({k}) / 12) AS INT) + 1,
+    1, 0, 0, 0)
+"""
+_N_MONTHS = "cast(regexp_extract(p, 'P([0-9]+)M', 1) AS BIGINT)"
+_N_YEARS = "cast(regexp_extract(p, 'P([0-9]+)Y', 1) AS BIGINT)"
+
+# period → (date_trunc unit); generic P<n>M / P<n>Y floor on the
+# calendar (variable-length months); fixed-width fallback for PT<n>X /
+# P<n>D / P<n>W; unknown periods yield NULL (never a silent 1-day bucket)
+_TRUNC_CASE = f"""
+  CASE
+    WHEN p = 'PT1S' THEN date_trunc('second', ts)
+    WHEN p = 'PT1M' THEN date_trunc('minute', ts)
+    WHEN p = 'PT1H' THEN date_trunc('hour', ts)
+    WHEN p = 'P1D' THEN date_trunc('day', ts)
+    WHEN p = 'P1W' THEN date_trunc('week', ts)
+    WHEN p = 'P1M' THEN date_trunc('month', ts)
+    WHEN p = 'P3M' THEN date_trunc('quarter', ts)
+    WHEN p = 'P1Y' THEN date_trunc('year', ts)
+    WHEN p RLIKE '^P[0-9]+M$' THEN {_MONTH_FLOOR.format(k=_N_MONTHS)}
+    WHEN p RLIKE '^P[0-9]+Y$' THEN make_timestamp(
+      1970 + cast(floor((year(ts) - 1970) / ({_N_YEARS})) * ({_N_YEARS})
+                  AS INT), 1, 1, 0, 0, 0)
+    ELSE timestamp_millis(cast(floor(unix_millis(ts) / {{dur}}) * {{dur}} AS BIGINT))
   END
 """
 
@@ -38,7 +59,7 @@ _DUR_MS = """
     WHEN p RLIKE '^PT[0-9]+H$' THEN cast(regexp_extract(p, 'PT([0-9]+)H', 1) AS BIGINT) * 3600000
     WHEN p RLIKE '^P[0-9]+D$' THEN cast(regexp_extract(p, 'P([0-9]+)D', 1) AS BIGINT) * 86400000
     WHEN p RLIKE '^P[0-9]+W$' THEN cast(regexp_extract(p, 'P([0-9]+)W', 1) AS BIGINT) * 604800000
-    ELSE 86400000
+    ELSE cast(NULL AS BIGINT)
   END
 """
 
@@ -56,10 +77,23 @@ _FUNCS: list[tuple[str, str, str, str]] = [
        WHEN p = 'P1M' THEN date_trunc('month', ts) + INTERVAL 1 MONTH
        WHEN p = 'P3M' THEN date_trunc('quarter', ts) + INTERVAL 3 MONTH
        WHEN p = 'P1Y' THEN date_trunc('year', ts) + INTERVAL 1 YEAR
+       WHEN p RLIKE '^P[0-9]+M$' THEN ({_TIME_FLOOR_BODY})
+         + make_interval(0, cast({_N_MONTHS} AS INT), 0, 0, 0, 0, 0)
+       WHEN p RLIKE '^P[0-9]+Y$' THEN ({_TIME_FLOOR_BODY})
+         + make_interval(cast({_N_YEARS} AS INT), 0, 0, 0, 0, 0, 0)
        ELSE timestamp_millis(unix_millis({_TIME_FLOOR_BODY}) + ({_DUR_MS}))
      END"""),
-    ("TIME_SHIFT", "ts TIMESTAMP, p STRING, n INT", "TIMESTAMP",
-     f"timestamp_millis(unix_millis(ts) + n * ({_DUR_MS}))"),
+    # calendar periods shift by calendar units (P1M ≠ fixed millis —
+    # TimestampShiftExprMacro uses joda Period.plus); fixed-width
+    # periods shift by n*duration; unknown periods yield NULL
+    ("TIME_SHIFT", "ts TIMESTAMP, p STRING, n INT", "TIMESTAMP", f"""
+     CASE
+       WHEN p RLIKE '^P[0-9]+M$' THEN ts
+         + make_interval(0, cast(n * {_N_MONTHS} AS INT), 0, 0, 0, 0, 0)
+       WHEN p RLIKE '^P[0-9]+Y$' THEN ts
+         + make_interval(cast(n * {_N_YEARS} AS INT), 0, 0, 0, 0, 0, 0)
+       ELSE timestamp_millis(unix_millis(ts) + n * ({_DUR_MS}))
+     END"""),
     ("TIME_EXTRACT", "ts TIMESTAMP, unit STRING", "BIGINT", """
       CASE upper(unit)
         WHEN 'EPOCH' THEN unix_timestamp(ts)
@@ -154,9 +188,21 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("ARRAY_TO_MV", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
     ("SCALAR_IN_ARRAY", "v STRING, arr ARRAY<STRING>", "BOOLEAN",
      "array_contains(arr, v)"),
+    # linear interpolation at rank q*(n-1), matching the reference
+    # ArrayQuantileExprMacro and this repo's expr.py _array_quantile:
+    # NaN for out-of-range rank, empty arrays, or arrays holding nulls
     ("ARRAY_QUANTILE", "arr ARRAY<DOUBLE>, q DOUBLE", "DOUBLE", """
-      CASE WHEN size(arr) > 0 THEN
-        get(array_sort(arr), cast(floor(q * (size(arr) - 1)) AS INT))
+      CASE WHEN q < 0 OR q > 1 OR size(arr) <= 0
+                OR exists(arr, x -> x IS NULL)
+           THEN cast('NaN' AS DOUBLE)
+           ELSE get(array_sort(arr),
+                    cast(floor(q * (size(arr) - 1)) AS INT))
+              + (q * (size(arr) - 1) - floor(q * (size(arr) - 1)))
+              * (get(array_sort(arr),
+                     cast(least(floor(q * (size(arr) - 1)) + 1,
+                                size(arr) - 1) AS INT))
+                 - get(array_sort(arr),
+                       cast(floor(q * (size(arr) - 1)) AS INT)))
       END"""),
     # json
     ("JSON_VALUE", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
@@ -181,8 +227,17 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("BITWISE_COMPLEMENT", "a BIGINT", "BIGINT", "~a"),
     ("BITWISE_SHIFT_LEFT", "a BIGINT, n INT", "BIGINT", "shiftleft(a, n)"),
     ("BITWISE_SHIFT_RIGHT", "a BIGINT, n INT", "BIGINT", "shiftright(a, n)"),
+    # IEEE-754 bit reinterpretation (Function.java
+    # BitwiseConvertDoubleToLongBits / BitwiseConvertLongBitsToDouble),
+    # NOT numeric conversion. reflect() runs JVM-side (no Python in the
+    # data path) but outside codegen — acceptable: these are rare,
+    # bit-twiddling scalars, not aggregation hot paths.
     ("BITWISE_CONVERT_DOUBLE_TO_LONG_BITS", "a DOUBLE", "BIGINT",
-     "cast(a AS BIGINT)"),
+     "CASE WHEN a IS NOT NULL THEN cast(reflect("
+     "'java.lang.Double', 'doubleToLongBits', a) AS BIGINT) END"),
+    ("BITWISE_CONVERT_LONG_BITS_TO_DOUBLE", "a BIGINT", "DOUBLE",
+     "CASE WHEN a IS NOT NULL THEN cast(reflect("
+     "'java.lang.Double', 'longBitsToDouble', a) AS DOUBLE) END"),
     # ipv4
     ("IPV4_PARSE", "s STRING", "BIGINT", """
       cast(split_part(s, '.', 1) AS BIGINT) * 16777216 +

@@ -133,6 +133,12 @@ class ProjectionRouter:
         qg = q.get("granularity", "all")
         if not _coarser_or_equal(qg, proj.granularity):
             return None
+        # interval endpoints must sit on projection-grain bucket
+        # boundaries: the rollup's __time is truncated, so a
+        # partial-bucket endpoint would silently include/exclude the
+        # whole bucket
+        if not _intervals_aligned(q.get("intervals"), proj.granularity):
+            return None
         # filter columns ⊆ projection dims (+ __time)
         fcols = _filter_columns(q.get("filter"))
         if not fcols <= set(proj.dimensions) | {"__time"}:
@@ -181,6 +187,52 @@ class ProjectionRouter:
         out["dataSource"] = f"__proj_{proj.name}"
         out["aggregations"] = new_aggs
         return out
+
+
+def _intervals_aligned(intervals, grain: str) -> bool:
+    """True iff every interval endpoint lies on a `grain` bucket
+    boundary (so filtering the truncated rollup __time is exact)."""
+    if not intervals:
+        return True
+    from datetime import datetime, timezone
+
+    def aligned(dt: datetime) -> bool:
+        if dt.microsecond:
+            return False
+        checks = {
+            "second": lambda: True,
+            "minute": lambda: dt.second == 0,
+            "fifteen_minute": lambda: dt.second == 0 and dt.minute % 15 == 0,
+            "thirty_minute": lambda: dt.second == 0 and dt.minute % 30 == 0,
+            "hour": lambda: dt.second == 0 and dt.minute == 0,
+            "six_hour": lambda: dt.second == 0 and dt.minute == 0
+                and dt.hour % 6 == 0,
+            "eight_hour": lambda: dt.second == 0 and dt.minute == 0
+                and dt.hour % 8 == 0,
+            "day": lambda: (dt.hour, dt.minute, dt.second) == (0, 0, 0),
+            "week": lambda: (dt.hour, dt.minute, dt.second) == (0, 0, 0)
+                and dt.isoweekday() == 1,
+            "month": lambda: dt.day == 1
+                and (dt.hour, dt.minute, dt.second) == (0, 0, 0),
+            "quarter": lambda: dt.day == 1 and dt.month in (1, 4, 7, 10)
+                and (dt.hour, dt.minute, dt.second) == (0, 0, 0),
+            "year": lambda: dt.month == 1 and dt.day == 1
+                and (dt.hour, dt.minute, dt.second) == (0, 0, 0),
+        }
+        fn = checks.get(grain)
+        return fn() if fn else False
+
+    for iv in intervals:
+        for endpoint in str(iv).split("/"):
+            try:
+                dt = datetime.fromisoformat(endpoint.replace("Z", "+00:00"))
+            except ValueError:
+                return False
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(timezone.utc)
+            if not aligned(dt):
+                return False
+    return True
 
 
 def _coarser_or_equal(qg, pg) -> bool:

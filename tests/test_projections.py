@@ -53,6 +53,20 @@ def test_no_route_unknown_filter_col(router):
     assert router.route(q) is None
 
 
+def test_no_route_misaligned_interval(router):
+    # a mid-bucket endpoint against an hourly rollup would silently
+    # include/exclude the whole partial hour — routing must refuse
+    q = _q(granularity="day")
+    q["intervals"] = ["2024-01-01T00:30:00Z/2024-01-02T00:00:00Z"]
+    assert router.route(q) is None
+
+
+def test_routes_aligned_interval(router):
+    q = _q(granularity="day")
+    q["intervals"] = ["2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"]
+    assert router.route(q)["dataSource"] == "__proj_events_hourly"
+
+
 def test_routed_results_match_base(router, engine):
     """The projection-routed answer must equal the base-table answer."""
     q = _q(granularity="day", dims=["event_type"],

@@ -26,6 +26,20 @@ def test_time_functions(engine):
         == "2024-03-15 14:00:00"
     assert str(one(engine, "TIME_SHIFT(TIMESTAMP '2024-03-15 00:00:00', 'P1D', -2)")) \
         == "2024-03-13 00:00:00"
+    # calendar-period shifts: P1M is a calendar month, not fixed millis
+    assert str(one(engine, "TIME_SHIFT(TIMESTAMP '2024-01-31 12:00:00', 'P1M', 1)")) \
+        == "2024-02-29 12:00:00"
+    assert str(one(engine, "TIME_SHIFT(TIMESTAMP '2024-02-29 00:00:00', 'P1Y', -1)")) \
+        == "2023-02-28 00:00:00"
+    assert str(one(engine, "TIME_SHIFT(TIMESTAMP '2024-03-15 00:00:00', 'P3M', 2)")) \
+        == "2024-09-15 00:00:00"
+    # generic calendar floors: P2M buckets on even months since epoch
+    assert str(one(engine, "TIME_FLOOR(TIMESTAMP '2024-02-15 13:00:00', 'P2M')")) \
+        == "2024-01-01 00:00:00"
+    assert str(one(engine, "TIME_FLOOR(TIMESTAMP '2024-06-15 00:00:00', 'P2Y')")) \
+        == "2024-01-01 00:00:00"
+    # unknown period -> NULL, never a silent 1-day bucket
+    assert one(engine, "TIME_SHIFT(TIMESTAMP '2024-03-15 00:00:00', 'PXX', 1)") is None
     assert one(engine, "TIME_EXTRACT(TIMESTAMP '2024-03-15 13:47:21', 'HOUR')") == 13
     assert one(engine, "TIME_IN_INTERVAL(TIMESTAMP '2024-03-15 00:00:00', "
                "'2024-03-01T00:00:00/2024-04-01T00:00:00')") is True
@@ -55,7 +69,11 @@ def test_array_mv_functions(engine):
     assert one(engine, "ARRAY_SLICE(ARRAY('a','b','c','d'), 1, 3)") == ["b", "c"]
     assert one(engine, "ARRAY_TO_STRING(ARRAY('a','b'), '-')") == "a-b"
     assert one(engine, "STRING_TO_ARRAY('a.b.c', '.')") == ["a", "b", "c"]
-    assert one(engine, "ARRAY_QUANTILE(ARRAY(1.0d, 2.0d, 3.0d, 4.0d), 0.5)") == 2.0
+    # linear interpolation at rank q*(n-1): 0.5*3=1.5 -> 2 + 0.5*(3-2)
+    assert one(engine, "ARRAY_QUANTILE(ARRAY(1.0d, 2.0d, 3.0d, 4.0d), 0.5)") == 2.5
+    assert one(engine, "ARRAY_QUANTILE(ARRAY(1.0d, 2.0d, 3.0d), 0.5)") == 2.0
+    import math
+    assert math.isnan(one(engine, "ARRAY_QUANTILE(ARRAY(1.0d, 2.0d), 1.5)"))
     assert one(engine, "SCALAR_IN_ARRAY('x', ARRAY('x','y'))") is True
 
 
@@ -63,6 +81,13 @@ def test_json_bitwise_ip(engine):
     assert one(engine, """JSON_VALUE('{"k": 69}', '$.k')""") == "69"
     assert one(engine, "BITWISE_AND(12, 10)") == 8
     assert one(engine, "BITWISE_SHIFT_LEFT(1, 4)") == 16
+    # IEEE-754 reinterpretation, not numeric cast: doubleToLongBits(2.0)
+    assert one(engine, "BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(2.0)") \
+        == 4611686018427387904
+    assert one(engine,
+               "BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(4611686018427387904)") == 2.0
+    assert one(engine, "BITWISE_CONVERT_DOUBLE_TO_LONG_BITS("
+               "CAST(NULL AS DOUBLE))") is None
     assert one(engine, "IPV4_PARSE('192.168.0.1')") == 3232235521
     assert one(engine, "IPV4_STRINGIFY(3232235521)") == "192.168.0.1"
 
