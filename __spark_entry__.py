@@ -617,9 +617,27 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_neardup_embedding(spark, sf):
+    """Banded hyperplane-LSH near-dup (the scale path: equi-join, no
+    cross product). Near-dups are injected deterministically as
+    direction-preserving rescaled copies (cosine exactly 1.0 with the
+    original; positive scaling preserves every hyperplane sign, so LSH
+    capture is guaranteed, not probabilistic — the oracle's exact
+    O(n^2) join must agree bit-for-bit)."""
+    from druid_spark.datapipe.dedup import embedding_neardup_pairs
+    emb = (_engine(spark, sf).catalog.table("embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                     F.transform("embedding", lambda x: x * 0.5)
+                     .alias("embedding"))
+    return embedding_neardup_pairs(emb.unionAll(dup), threshold=0.95)
+
+
+def q_neardup_embedding_exact(spark, sf):
+    """Exact all-pairs cosine (the documented low-threshold fallback)."""
     from druid_spark.datapipe.dedup import embedding_neardup_pairs
     emb = _engine(spark, sf).catalog.table("embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.45)
+    return embedding_neardup_pairs(emb, threshold=0.45, exact=True)
 
 
 def _query_vec(spark, sf):
@@ -1370,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "neardup_embedding": q_neardup_embedding,
+        "neardup_embedding_exact": q_neardup_embedding_exact,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
         "sim_ivf": q_sim_ivf,
@@ -1745,6 +1764,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.a
             ORDER BY 1""",
         "neardup_embedding": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                          FROM embeddings),
+            aug AS (SELECT vec_id, e FROM base
+                    UNION ALL
+                    SELECT vec_id + 100000,
+                           list_transform(e, x -> x * 0.5) FROM base)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.e, b.e), 4) AS cos
+            FROM aug a, aug b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.95""",
+        "neardup_embedding_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                          b.embedding::DOUBLE[]), 4) AS cos

@@ -253,18 +253,88 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _band_signature_udf(bands: int, width: int, seed: int = 42):
+    """Arrow-batched signature: V @ P sign bits packed into `bands`
+    band values of `width` bits. P is a fixed-seed Gaussian hyperplane
+    matrix built per executor from the batch's dimensionality —
+    deterministic on any cluster. One numpy matmul per Arrow batch
+    (~microseconds per thousand rows) versus ~10^4 interpreted
+    higher-order-function lambda evals per ROW for the pure-Column
+    formulation — this is the documented vectorized-UDF exception to
+    the no-Python-in-the-data-path rule. Positive rescaling of a vector
+    preserves every sign of V @ P, so exact-direction duplicates always
+    collide on all bands."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    weights = (2 ** np.arange(width - 1, -1, -1)).astype(np.int64)
+
+    def sig(embs):
+        if not len(embs):
+            return pd.Series([], dtype=object)
+        V = np.stack(embs.to_numpy())
+        P = np.random.default_rng(seed).standard_normal(
+            (V.shape[1], bands * width))
+        bits = (V @ P) > 0
+        vals = (bits.reshape(len(V), bands, width) * weights).sum(axis=2)
+        return pd.Series(list(vals))
+
+    # module has `from __future__ import annotations` (string hints),
+    # which pandas_udf's type-hint inference can't evaluate — attach
+    # real class objects instead
+    sig.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    return pandas_udf("array<bigint>")(sig)
+
+
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Brute self-join baseline —
-    correct at any SF; at 100 TB swap the join for the LSH bucketing in
-    similarity.random_hyperplane_buckets (same verify step)."""
-    a = df.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).cast("array<double>").alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).cast("array<double>").alias("vb"))
-    return (a.crossJoin(b)
+                            threshold: float = 0.95,
+                            exact: bool = False,
+                            bands: int = 16, band_width: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    Default path: random-hyperplane LSH banding — `bands` band values of
+    `band_width` sign bits each; a pair is a candidate iff it collides
+    on at least one (band, value) key, then exact cosine verifies.
+    Candidate generation is a pure equi-join on (band, value): no
+    CartesianProduct / BroadcastNestedLoopJoin in the plan, and the
+    shuffle carries only (id, band, value).
+
+    Recall math (reference regime, threshold >= ~0.8): a pair at cosine
+    t disagrees per plane with p = acos(t)/pi; P(miss) =
+    (1 - (1-p)^width)^bands. Defaults 16x8 give miss ~1.4e-4 at t=0.95
+    and ~7e-7 at t=0.98. Low thresholds (< ~0.7) sit too close to the
+    random-pair angle for any LSH family to separate sub-quadratically —
+    pass exact=True there (documented O(n^2) fallback, correct at any
+    threshold)."""
+    a_ids = F.col(id_col).alias("id_a")
+    b_ids = F.col(id_col).alias("id_b")
+    if exact:
+        a = df.select(a_ids, F.col(vec_col).cast("array<double>").alias("va"))
+        b = df.select(b_ids, F.col(vec_col).cast("array<double>").alias("vb"))
+        return (a.crossJoin(b)
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b",
+                        F.round(cosine(F.col("va"), F.col("vb")), 4)
+                        .alias("cos"))
+                .where(F.col("cos") >= threshold)
+                .orderBy("id_a", "id_b"))
+    sig = _band_signature_udf(bands, band_width)
+    sigs = (_spread(df.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).cast("array<double>").alias("v")))
+            .select("id", "v", sig(F.col("v")).alias("bv"))
+            .persist())
+    banded = sigs.select("id", F.posexplode("bv").alias("band", "bh"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    cand = (a.join(b, ["band", "bh"])
             .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    va = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
                     F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
             .where(F.col("cos") >= threshold)

@@ -77,6 +77,30 @@ def test_embedding_neardup(spark, emb):
         assert r["cos"] >= 0.99
 
 
+def test_embedding_neardup_lsh_plan_and_capture(spark, emb):
+    """The default (LSH) path must plan as equi-joins — no cartesian
+    product — and must capture direction-identical duplicates with
+    probability 1 (positive scaling preserves hyperplane signs)."""
+    from pyspark.sql import functions as F
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("embedding"))
+    dup = base.select((F.col("vec_id") + 100000).alias("vec_id"),
+                      F.transform("embedding", lambda x: x * 0.5)
+                      .alias("embedding"))
+    df = dedup.embedding_neardup_pairs(base.unionAll(dup), threshold=0.95)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    n = base.count()
+    want = {(i, i + 100000) for i in range(n)}
+    assert want <= got  # every injected dup captured
+    # and LSH agrees with the exact path on the same input
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs(
+        base.unionAll(dup), threshold=0.95, exact=True).collect()}
+    assert got == exact
+
+
 def test_brute_force_topk(spark, emb):
     qv = emb.where("vec_id = 0").collect()[0]["embedding"]
     out = similarity.brute_force_topk(emb, qv, k=5).collect()

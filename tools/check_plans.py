@@ -155,6 +155,13 @@ def main():
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
+    # 9. embedding near-dup default path is banded LSH: equi-joins only
+    from druid_spark.datapipe.dedup import embedding_neardup_pairs
+    emb = engine.catalog.table("embeddings")
+    df = embedding_neardup_pairs(emb, threshold=0.95)
+    check("neardup_lsh_equijoin", df, [],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
