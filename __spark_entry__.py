@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 _ENGINES: dict = {}
 
 
-def _engine(spark: SparkSession, sf_dir: str):
+def _engine(spark: SparkSession, sf_dir: str, exact: bool = True):
     from druid_spark import DruidSparkEngine
     from druid_spark.session import harden_session
 
@@ -30,9 +30,10 @@ def _engine(spark: SparkSession, sf_dir: str):
     # confs (parquet nanosAsLong, UTC tz, ANSI off) before any read —
     # the driver fixtures are TIMESTAMP(NANOS) parquet (round-1 lesson).
     harden_session(spark)
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, exact)
     if key not in _ENGINES:
-        _ENGINES[key] = DruidSparkEngine(spark, data_dir=sf_dir, exact_approx=True)
+        _ENGINES[key] = DruidSparkEngine(spark, data_dir=sf_dir,
+                                         exact_approx=exact)
     return _ENGINES[key]
 
 
@@ -1041,6 +1042,67 @@ def q_projection_count_distinct(spark, sf):
     return router.query(q)
 
 
+def q_hll_sketch_vs_exact(spark, sf):
+    """Mergeable Datasketches HLL as the non-exact distinct mode
+    (reference: extensions-core/datasketches/.../hll/sql/
+    HllSketchApproxCountDistinctSqlAggregator.java). Emits the exact
+    per-group distinct (oracle-matched) plus a deterministic tolerance
+    check of the sketch estimate (lgK=12 -> ~1.6% RSE; 5% bound)."""
+    eng = _engine(spark, sf)
+    q = {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all", "dimensions": ["event_type"],
+         "aggregations": [{"type": "HLLSketchBuild", "name": "u",
+                           "fieldName": "user_id"}]}
+    exact = eng.query(q).select(
+        "event_type", F.col("u").cast("long").alias("exact_users"))
+    sk_eng = _engine(spark, sf, exact=False)
+    est = sk_eng.query(q).select(
+        "event_type", F.col("u").cast("double").alias("est"))
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users")).alias("est_ok"))
+            .orderBy("event_type"))
+
+
+def q_projection_hll_sketch(spark, sf):
+    """Rollup whose stored distinct state is a BINARY mergeable HLL
+    sketch column (not a set): per-hour sketches re-merge via
+    hll_union_agg to answer the day query — bounded state at any
+    cardinality, the 100 TB mode. Correctness gate: exact daily
+    distinct (oracle-matched) + deterministic 5% tolerance check on the
+    re-merged estimate."""
+    from druid_spark.plans.projections import Projection, ProjectionRouter
+    eng = _engine(spark, sf)
+    router = getattr(eng, "_entry_router_hll", None)
+    if router is None:
+        router = ProjectionRouter(eng)
+        router.register(Projection(
+            "evt_hourly_users_hll", "events", ["event_type"],
+            [{"type": "HLLSketchBuild", "name": "user_sk",
+              "fieldName": "user_id"}],
+            granularity="hour", sketch=True))
+        eng._entry_router_hll = router
+    q = {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "day", "dimensions": ["event_type"],
+         "aggregations": [{"type": "hyperUnique", "name": "users",
+                           "fieldName": "user_id"}]}
+    routed = router.route(q)
+    assert (routed is not None
+            and routed["aggregations"][0]["type"] == "hllUnionEstimate")
+    est = router.query(q).select(
+        F.col("__time"), "event_type", F.col("users").cast("double").alias("est"))
+    exact = eng.query(q).select(
+        F.col("__time"), "event_type",
+        F.col("users").cast("long").alias("exact_users"))
+    return (exact.join(est, ["__time", "event_type"])
+            .select("__time", "event_type", "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= F.greatest(0.05 * F.col("exact_users"), F.lit(2.0)))
+                    .alias("est_ok"))
+            .orderBy("__time", "event_type"))
+
+
 def q_union_datasource(spark, sf):
     """union DATASOURCE (UnionDataSource.java:45 — distinct from the
     top-level union query): same-schema tables unioned under one query."""
@@ -1411,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_routing": q_projection_routing,
         "json_typed_agg": q_json_typed_agg,
         "projection_count_distinct": q_projection_count_distinct,
+        "hll_sketch_vs_exact": q_hll_sketch_vs_exact,
+        "projection_hll_sketch": q_projection_hll_sketch,
         "union_datasource": q_union_datasource,
         "filter_datasource": q_filter_datasource,
         "gb_prefix_filtered": q_gb_prefix_filtered,
@@ -1983,6 +2047,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY 1, 2""",
+        "hll_sketch_vs_exact": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   true AS est_ok
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "projection_hll_sketch": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
+                   count(DISTINCT user_id) AS exact_users, true AS est_ok
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "json_typed_agg": """
             SELECT event_type,
                    sum(CAST(props->>'k' AS BIGINT)) AS k_sum,

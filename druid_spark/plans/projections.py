@@ -45,25 +45,33 @@ _REAGG = {
 
 class Projection:
     def __init__(self, name: str, base_table: str, dimensions: list[str],
-                 metrics: list[dict], granularity: str = "hour"):
+                 metrics: list[dict], granularity: str = "hour",
+                 sketch: bool = False):
         self.name = name
         self.base_table = base_table
         self.dimensions = dimensions
         self.metrics = metrics
         self.granularity = granularity
+        # sketch=True stores distinct metrics as BINARY Datasketches
+        # HLL state (bounded size, mergeable — the 100 TB mode; exact
+        # sets approach raw-data scale at high cardinality). False
+        # keeps lossless sets for oracle-exact answers.
+        self.sketch = sketch
         self.df: DataFrame | None = None
 
     def build(self, engine) -> DataFrame:
         """Materialize the rollup (at ingest time in a real deployment;
         persisted parquet or cached DF here). Distinct-count metrics
         (hyperUnique/thetaSketch) are stored as the distinct SET per
-        rollup row — the exact-mode theta sketch — so queries can
-        re-merge them by set union (DoublesSketch/ThetaSketch columns in
-        Druid rollup segments work the same way, approximately)."""
+        rollup row (exact mode) or as mergeable HLL sketch state
+        (sketch mode) — the reference's HllSketchBuild column in rollup
+        segments (extensions-core/datasketches/.../hll/
+        HllSketchBuildAggregatorFactory.java)."""
+        distinct_store = "hllState" if self.sketch else "setCollect"
         build_metrics = []
         for m in self.metrics:
             if m["type"] in ("hyperUnique", "thetaSketch", "HLLSketchBuild"):
-                build_metrics.append({**m, "type": "setCollect"})
+                build_metrics.append({**m, "type": distinct_store})
             else:
                 build_metrics.append(m)
         q = {
@@ -170,7 +178,8 @@ class ProjectionRouter:
                            None)
                 if src is None:
                     return None
-                new_aggs.append({"type": "setUnionSize",
+                new_aggs.append({"type": ("hllUnionEstimate" if proj.sketch
+                                          else "setUnionSize"),
                                  "name": agg.get("name", t),
                                  "fieldName": src})
                 continue

@@ -67,6 +67,33 @@ def test_routes_aligned_interval(router):
     assert router.route(q)["dataSource"] == "__proj_events_hourly"
 
 
+def test_projection_sketch_mode_stores_binary_state(engine):
+    """sketch=True rollups hold mergeable Datasketches HLL binary state;
+    routed distinct queries re-merge via hll_union_agg and land within
+    the sketch's error bound of the exact answer."""
+    r = ProjectionRouter(engine)
+    r.register(Projection(
+        name="ev_hll", base_table="events", dimensions=["event_type"],
+        metrics=[{"type": "HLLSketchBuild", "name": "u",
+                  "fieldName": "user_id"}],
+        granularity="hour", sketch=True))
+    proj_df = r.projections["ev_hll"].df
+    assert dict(proj_df.dtypes)["u"] == "binary"
+    q = {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "day", "dimensions": ["event_type"],
+         "aggregations": [{"type": "hyperUnique", "name": "users",
+                           "fieldName": "user_id"}]}
+    routed = r.route(q)
+    assert routed["aggregations"][0]["type"] == "hllUnionEstimate"
+    est = {(row["__time"], row["event_type"]): row["users"]
+           for row in r.query(q).collect()}
+    exact = {(row["__time"], row["event_type"]): row["users"]
+             for row in engine.query(q).collect()}
+    assert est.keys() == exact.keys()
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(0.05 * v, 2)
+
+
 def test_routed_results_match_base(router, engine):
     """The projection-routed answer must equal the base-table answer."""
     q = _q(granularity="day", dims=["event_type"],
