@@ -1103,6 +1103,35 @@ def q_projection_hll_sketch(spark, sf):
             .orderBy("__time", "event_type"))
 
 
+def q_single_value(spark, sf):
+    """singleValue aggregator (SingleValueAggregatorFactory.java):
+    the scalar-subquery guard — exactly one row per group or error."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "region",
+        "granularity": "all", "dimensions": [],
+        "filter": {"type": "equals", "column": "r_regionkey",
+                   "matchValueType": "LONG", "matchValue": 0},
+        "aggregations": [{"type": "singleValue", "name": "v",
+                          "fieldName": "r_name"}]})
+
+
+def q_gb_histogram(spark, sf):
+    """Core equal-width histogram (HistogramAggregatorFactory.java):
+    explicit breaks, (lo, hi] bins, HistogramVisual finalization."""
+    df = _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [{"type": "histogram", "name": "h",
+                          "fieldName": "value",
+                          "breaks": [0.0, 25.0, 50.0, 75.0, 100.0]}]})
+    return df.select(
+        "event_type",
+        F.col("h.counts").cast("array<long>").alias("counts"),
+        F.round(F.col("h.min").cast("double"), 3).alias("vmin"),
+        F.round(F.col("h.max").cast("double"), 3).alias("vmax"),
+    ).orderBy("event_type")
+
+
 def q_union_datasource(spark, sf):
     """union DATASOURCE (UnionDataSource.java:45 — distinct from the
     top-level union query): same-schema tables unioned under one query."""
@@ -1475,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_count_distinct": q_projection_count_distinct,
         "hll_sketch_vs_exact": q_hll_sketch_vs_exact,
         "projection_hll_sketch": q_projection_hll_sketch,
+        "single_value": q_single_value,
+        "gb_histogram": q_gb_histogram,
         "union_datasource": q_union_datasource,
         "filter_datasource": q_filter_datasource,
         "gb_prefix_filtered": q_gb_prefix_filtered,
@@ -2051,6 +2082,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    true AS est_ok
             FROM events GROUP BY 1 ORDER BY 1""",
+        "single_value": """
+            SELECT r_name AS v FROM region WHERE r_regionkey = 0""",
+        "gb_histogram": """
+            SELECT event_type,
+                   [count(*) FILTER (value::FLOAT > 0 AND value::FLOAT <= 25),
+                    count(*) FILTER (value::FLOAT > 25 AND value::FLOAT <= 50),
+                    count(*) FILTER (value::FLOAT > 50 AND value::FLOAT <= 75),
+                    count(*) FILTER (value::FLOAT > 75 AND value::FLOAT <= 100)
+                   ] AS counts,
+                   round(min(value::FLOAT)::DOUBLE, 3) AS vmin,
+                   round(max(value::FLOAT)::DOUBLE, 3) AS vmax
+            FROM events GROUP BY 1 ORDER BY 1""",
         "projection_hll_sketch": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
                    count(DISTINCT user_id) AS exact_users, true AS est_ok
@@ -2113,7 +2156,56 @@ def oracle_sql() -> dict[str, str]:
         "ts_week": """
             SELECT date_trunc('week', ts)::TIMESTAMP AS __time, count(*) AS n
             FROM events GROUP BY 1""",
+        # segmentMetadata column analysis (SegmentMetadataQueryQueryToolChest
+        # .java:77): the stats contract is deterministic (exact distinct,
+        # canonical min/max strings, fixed-width/UTF-8 size model) so the
+        # whole profile is oracle-checkable
+        "segment_metadata": """
+            WITH s AS (SELECT * FROM events)
+            SELECT * FROM (
+              SELECT 'event_id' AS "column", 'bigint' AS "type",
+                     count(DISTINCT event_id)::BIGINT AS cardinality,
+                     count(*) FILTER (event_id IS NULL)::BIGINT AS nullCount,
+                     min(event_id)::VARCHAR AS minValue,
+                     max(event_id)::VARCHAR AS maxValue,
+                     (8 * count(event_id))::BIGINT AS sizeBytes,
+                     count(*)::BIGINT AS numRows FROM s
+              UNION ALL
+              SELECT 'ts', 'timestamp', count(DISTINCT ts)::BIGINT,
+                     count(*) FILTER (ts IS NULL)::BIGINT,
+                     strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+                     strftime(max(ts), '%Y-%m-%d %H:%M:%S'),
+                     (8 * count(ts))::BIGINT, count(*)::BIGINT FROM s
+              UNION ALL
+              SELECT 'user_id', 'bigint', count(DISTINCT user_id)::BIGINT,
+                     count(*) FILTER (user_id IS NULL)::BIGINT,
+                     min(user_id)::VARCHAR, max(user_id)::VARCHAR,
+                     (8 * count(user_id))::BIGINT, count(*)::BIGINT FROM s
+              UNION ALL
+              SELECT 'event_type', 'string', count(DISTINCT event_type)::BIGINT,
+                     count(*) FILTER (event_type IS NULL)::BIGINT,
+                     min(event_type), max(event_type),
+                     coalesce(sum(strlen(event_type)), 0)::BIGINT,
+                     count(*)::BIGINT FROM s
+              UNION ALL
+              SELECT 'value', 'double', count(DISTINCT value)::BIGINT,
+                     count(*) FILTER (value IS NULL)::BIGINT,
+                     printf('%.4f', round(min(value), 4)),
+                     printf('%.4f', round(max(value), 4)),
+                     (8 * count(value))::BIGINT, count(*)::BIGINT FROM s
+              UNION ALL
+              SELECT 'props', 'string', count(DISTINCT props)::BIGINT,
+                     count(*) FILTER (props IS NULL)::BIGINT,
+                     min(props), max(props),
+                     coalesce(sum(strlen(props)), 0)::BIGINT,
+                     count(*)::BIGINT FROM s
+              UNION ALL
+              SELECT '__time', 'timestamp', count(DISTINCT ts)::BIGINT,
+                     count(*) FILTER (ts IS NULL)::BIGINT,
+                     strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+                     strftime(max(ts), '%Y-%m-%d %H:%M:%S'),
+                     (8 * count(ts))::BIGINT, count(*)::BIGINT FROM s
+            ) ORDER BY "column" """,
         # rows-only (engine-specific hashing / ML / schema profiling):
-        # dedup_minhash, dedup_simhash, sim_lsh, sim_ivf, mm_features,
-        # segment_metadata
+        # dedup_minhash, dedup_simhash, sim_lsh, sim_ivf, mm_features
     }

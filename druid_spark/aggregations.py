@@ -301,6 +301,35 @@ class AggCompiler:
             return self._quantile_sketch(agg, name, guard)
         if t == "approxHistogramFold" or t == "approxHistogram":
             return F.percentile_approx(_field(agg, res), [0.25, 0.5, 0.75])
+        if t == "singleValue":
+            # SingleValueAggregatorFactory.java: scalar-subquery guard —
+            # yields the single grouped value, errors on more than one
+            # row (Calcite plans it under scalar subqueries)
+            c = guard(_field(agg, res))
+            return F.when(
+                F.count(c) <= 1, F.max(c)).otherwise(
+                F.raise_error(F.lit(
+                    "singleValue aggregator encountered more than one row")))
+        if t == "histogram":
+            # Core equal-width histogram (AggregatorsModule.java:130,
+            # HistogramAggregatorFactory.java + Histogram.java offer():
+            # binarySearch semantics — bin i counts (breaks[i-1],
+            # breaks[i]]). finalizeComputation -> HistogramVisual: inner
+            # bins only, plus observed min/max. Parallel filtered counts
+            # — one pass, partial-aggregable, no shuffle beyond the
+            # enclosing groupBy.
+            x = _field(agg, res).cast("float")
+            breaks = [float(b) for b in agg["breaks"]]
+            counts = [
+                F.count(F.when((x > breaks[i - 1]) & (x <= breaks[i]),
+                               guard(F.lit(1)))).cast("float")
+                for i in range(1, len(breaks))]
+            return F.struct(
+                F.array(*[F.lit(b).cast("float") for b in breaks])
+                .alias("breaks"),
+                F.array(*counts).alias("counts"),
+                F.min(guard(x)).alias("min"),
+                F.max(guard(x)).alias("max"))
         if t == "fixedBucketsHistogram":
             # FixedBucketsHistogramAggregatorFactory: [lowerLimit,
             # upperLimit) split into numBuckets equal bins; counts per

@@ -36,10 +36,34 @@ def compile_query(engine, q: dict) -> DataFrame:
                     c.get("direction", "ASC")).upper().startswith("DESC")
                 order.append(col.desc() if desc else col.asc())
         elif t == "window":
+            if not partition:
+                _guard_unpartitioned(engine, df)
             df = _apply_processors(engine, df, op, partition, order)
         else:
             raise NotImplementedError(f"window operator {t}")
     return df
+
+
+# An unpartitioned window (naiveSort with no naivePartition) serializes
+# the whole input through ONE task — fine for the reference's contract
+# (windowOperator inputs are grouped inner queries, i.e. post-aggregation
+# and small), catastrophic on a scan-sized input at 100 TB. Enforce the
+# contract with a bounded probe: read at most limit+1 rows (limit is
+# pushed into the scan — no full count) and refuse beyond it.
+UNPARTITIONED_WINDOW_MAX_ROWS = 1_000_000
+
+
+def _guard_unpartitioned(engine, df: DataFrame) -> None:
+    limit = getattr(engine, "window_unpartitioned_max_rows",
+                    UNPARTITIONED_WINDOW_MAX_ROWS)
+    if not limit:
+        return
+    if df.limit(limit + 1).count() > limit:
+        raise ValueError(
+            f"unpartitioned window over more than {limit} input rows "
+            "would sort everything in a single task; add a "
+            "naivePartition operator (or raise "
+            "engine.window_unpartitioned_max_rows)")
 
 
 def _spec(partition, order) -> WindowSpec:

@@ -76,3 +76,36 @@ def test_sys_segments(eng):
     assert "lineitem" in by_ds and "events" in by_ds
     assert by_ds["lineitem"]["size"] > 0
     assert by_ds["events"]["num_rows"] == 1000  # sf0.001 events rows
+
+
+def test_single_value_aggregator(eng):
+    out = eng.query({
+        "queryType": "groupBy", "dataSource": "region",
+        "granularity": "all", "dimensions": [],
+        "filter": {"type": "equals", "column": "r_regionkey",
+                   "matchValueType": "LONG", "matchValue": 1},
+        "aggregations": [{"type": "singleValue", "name": "v",
+                          "fieldName": "r_name"}]}).collect()
+    assert len(out) == 1 and out[0]["v"] is not None
+
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with _pt.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        eng.query({
+            "queryType": "groupBy", "dataSource": "region",
+            "granularity": "all", "dimensions": [],
+            "aggregations": [{"type": "singleValue", "name": "v",
+                              "fieldName": "r_name"}]}).collect()
+
+
+def test_histogram_aggregator_bins(eng):
+    out = eng.query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all", "dimensions": [],
+        "aggregations": [{"type": "histogram", "name": "h",
+                          "fieldName": "value",
+                          "breaks": [0.0, 50.0, 100.0]}]}).collect()[0]["h"]
+    assert list(out["breaks"]) == [0.0, 50.0, 100.0]
+    assert len(out["counts"]) == 2
+    assert out["min"] <= out["max"]

@@ -181,6 +181,31 @@ def test_window_operator(engine):
     assert all(r["prev_v"] is None for r in rows)
 
 
+def test_window_unpartitioned_guard(engine):
+    """An unpartitioned window over a scan-sized input must refuse
+    rather than sort everything in one task (the reference's contract:
+    windowOperator inputs are grouped inner queries)."""
+    import pytest
+    q = {
+        "queryType": "windowOperator",
+        "dataSource": "events",
+        "operators": [
+            {"type": "naiveSort", "columns": [{"column": "value",
+                                               "direction": "DESC"}]},
+            {"type": "window", "processors": [
+                {"type": "rowNumber", "outputColumn": "rn"}]},
+        ],
+    }
+    engine.window_unpartitioned_max_rows = 100  # events has 1000 rows
+    try:
+        with pytest.raises(ValueError, match="unpartitioned window"):
+            engine.query(q)
+    finally:
+        engine.window_unpartitioned_max_rows = None
+    # with the guard lifted the same query runs
+    assert engine.query(q).count() == 1000
+
+
 def test_virtual_column_expression(engine):
     df = engine.query({
         "queryType": "groupBy",
