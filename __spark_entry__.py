@@ -1432,7 +1432,203 @@ def q_sql_array_agg(spark, sf):
 
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# CalciteQueryTest-style SQL case bank
+# --------------------------------------------------------------------------
+# A representative slice of the reference's SQL contract
+# (sql/src/test/.../CalciteQueryTest.java, 400+ testQuery cases, and the
+# quidem .iq corpus), re-expressed over the driver testdata schema:
+# searched CASE, IN/EXISTS/scalar subqueries, UNION ALL (top-level and
+# nested), nested GROUP BY, HAVING on aggregates, ORDER BY expression +
+# OFFSET, nested EXTRACT, INTERVAL arithmetic, ARRAY constructors,
+# string functions, non-ANSI CAST, multiple COUNT(DISTINCT),
+# GROUPING SETS, join-on-aggregated-subquery, anti-join via LEFT+IS
+# NULL, NULLIF/COALESCE, SQL window functions, CTEs, self-joins,
+# modulo arithmetic, BETWEEN+LIKE. Each runs through the engine's SQL
+# layer on Spark AND as a DuckDB oracle (second tuple slot; None =
+# same text runs on both).
+_SQL_CASES: dict[str, tuple[str, str | None]] = {
+    # testGroupByCaseWhen (CalciteQueryTest.java)
+    "sqlc_case_searched": ("""
+        SELECT o_orderstatus,
+               sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""", None),
+    # testInSubquery → semi join
+    "sqlc_in_subquery": ("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = 1)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""", None),
+    # testNotInSubquery analog (null-safe form)
+    "sqlc_not_exists": ("""
+        SELECT count(*) AS n FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)""", None),
+    # testExistsCorrelated
+    "sqlc_exists_correlated": ("""
+        SELECT n_name FROM nation n
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                        AND c.c_acctbal > 9000)
+        ORDER BY n_name""", None),
+    # scalar subquery in the select list (Druid plans singleValue)
+    "sqlc_scalar_subquery": ("""
+        SELECT o_orderstatus, count(*) AS n,
+               round((SELECT avg(c_acctbal) FROM customer), 2) AS global_avg
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""", None),
+    # testUnionAllQueries
+    "sqlc_union_all": ("""
+        SELECT 'cust' AS src, count(*) AS n FROM customer
+        UNION ALL
+        SELECT 'ord' AS src, count(*) AS n FROM orders
+        ORDER BY src""", None),
+    # testNestedGroupBy
+    "sqlc_nested_groupby": ("""
+        SELECT o_orderstatus, count(*) AS n_custs,
+               round(sum(total), 2) AS revenue
+        FROM (SELECT o_orderstatus, o_custkey,
+                     sum(o_totalprice) AS total
+              FROM orders GROUP BY o_orderstatus, o_custkey) t
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""", None),
+    # testHavingOnExpression
+    "sqlc_having": ("""
+        SELECT o_custkey, count(*) AS n FROM orders
+        GROUP BY o_custkey HAVING count(*) >= 30
+        ORDER BY n DESC, o_custkey LIMIT 10""", None),
+    # ORDER BY expression + LIMIT/OFFSET
+    "sqlc_order_expr_offset": ("""
+        SELECT p_partkey, round(p_retailprice, 2) AS price FROM part
+        ORDER BY round(p_retailprice, 0) DESC, p_partkey
+        LIMIT 5 OFFSET 5""", None),
+    # nested EXTRACT forms (the round-1 risk case)
+    "sqlc_extract_nested": ("""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+               sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) <= 6
+                        THEN 1 ELSE 0 END) AS h1,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # INTERVAL literal arithmetic in a filter
+    "sqlc_interval_arith": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderdate + INTERVAL '30' DAY
+              < TIMESTAMP '1995-01-01 00:00:00'""", """
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderdate + INTERVAL 30 DAY
+              < TIMESTAMP '1995-01-01 00:00:00'"""),
+    # testArray* constructor + functions
+    "sqlc_array_construct": ("""
+        SELECT ARRAY_LENGTH(ARRAY['a','b','c']) AS n3,
+               ARRAY_CONTAINS(ARRAY['a','b'], 'a') AS has_a,
+               ARRAY_TO_STRING(ARRAY['x','y'], '-') AS joined""", """
+        SELECT len(['a','b','c']) AS n3,
+               list_contains(['a','b'], 'a') AS has_a,
+               array_to_string(['x','y'], '-') AS joined"""),
+    # testStringFunctions: SUBSTRING/UPPER/POSITION
+    "sqlc_string_fns": ("""
+        SELECT c_mktsegment, count(*) AS n,
+               min(UPPER(SUBSTRING(c_name, 1, 8))) AS mn
+        FROM customer
+        WHERE POSITION('5' IN c_name) > 0
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""", None),
+    # non-ANSI CAST semantics: bad casts yield NULL, never errors
+    "sqlc_cast_matrix": ("""
+        SELECT CAST('42' AS BIGINT) AS i,
+               CAST('abc' AS BIGINT) AS bad,
+               CAST(7 AS STRING) AS s,
+               CAST('1995-03-04 00:00:00' AS TIMESTAMP) AS t""", """
+        SELECT CAST('42' AS BIGINT) AS i,
+               TRY_CAST('abc' AS BIGINT) AS bad,
+               CAST(7 AS VARCHAR) AS s,
+               CAST('1995-03-04 00:00:00' AS TIMESTAMP) AS t"""),
+    # testMultipleExactCountDistinct
+    "sqlc_multi_distinct": ("""
+        SELECT count(DISTINCT o_custkey) AS custs,
+               count(DISTINCT o_orderstatus) AS stats,
+               count(*) AS n
+        FROM orders""", None),
+    # testGroupingSets
+    "sqlc_grouping_sets": ("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS st,
+               coalesce(o_orderpriority, 'ALL') AS pr,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY st, pr""", None),
+    # join against an aggregated subquery
+    "sqlc_join_agg_subquery": ("""
+        SELECT n.n_name, round(sum(c.c_acctbal), 2) AS bal,
+               t.cnt AS nation_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN (SELECT c_nationkey, count(*) AS cnt
+              FROM customer GROUP BY c_nationkey) t
+          ON t.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, t.cnt ORDER BY n.n_name""", None),
+    # anti-join via LEFT JOIN + IS NULL
+    "sqlc_left_join_null": ("""
+        SELECT count(*) AS n
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey IS NULL""", None),
+    # testCoalesce / NULLIF
+    "sqlc_coalesce_nullif": ("""
+        SELECT coalesce(NULLIF(o_orderstatus, 'O'), 'open') AS st,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # SQL window functions over a partition
+    "sqlc_window_sql": ("""
+        SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price
+        FROM (
+          SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_orderstatus, price DESC""", None),
+    # testCommonTableExpression
+    "sqlc_cte": ("""
+        WITH big AS (SELECT * FROM orders WHERE o_totalprice > 300000)
+        SELECT o_orderstatus, count(*) AS n,
+               round(avg(o_totalprice), 2) AS avg_p
+        FROM big GROUP BY o_orderstatus ORDER BY o_orderstatus""", None),
+    # self-join shape (shared dimension key)
+    "sqlc_self_join": ("""
+        SELECT s.s_suppkey, count(*) AS n_cust
+        FROM supplier s JOIN customer c ON c.c_nationkey = s.s_nationkey
+        GROUP BY s.s_suppkey ORDER BY s.s_suppkey LIMIT 10""", None),
+    # UNION ALL nested under an outer sort
+    "sqlc_union_nested": ("""
+        SELECT src, n FROM (
+          SELECT 'pa' AS src, count(*) AS n FROM part
+          UNION ALL SELECT 'su' AS src, count(*) AS n FROM supplier
+          UNION ALL SELECT 'na' AS src, count(*) AS n FROM nation) t
+        ORDER BY n DESC, src""", None),
+    # modulo + division arithmetic
+    "sqlc_arith_mod": ("""
+        SELECT MOD(o_orderkey, 7) AS m, count(*) AS n,
+               round(sum(o_totalprice / 100), 2) AS s
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # BETWEEN + LIKE
+    "sqlc_between_like": ("""
+        SELECT count(*) AS n FROM part
+        WHERE p_size BETWEEN 10 AND 20 AND p_name LIKE '%gre%'""", None),
+}
+
+
+def _sql_case(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark, sf, _q=_SQL_CASES[name][0]):
+        return _engine(spark, sf).sql(_q)
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = {name: _sql_case(name) for name in _SQL_CASES}
+    out.update(_base_queries())
+    return out
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_day": q_ts_day,
         "ts_day_tz": q_ts_day_tz,
@@ -1594,6 +1790,13 @@ WITH d0 AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    out = {name: (oracle if oracle is not None else spark_sql)
+           for name, (spark_sql, oracle) in _SQL_CASES.items()}
+    out.update(_base_oracle_sql())
+    return out
+
+
+def _base_oracle_sql() -> dict[str, str]:
     return {
         "ts_day": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, count(*) AS n,

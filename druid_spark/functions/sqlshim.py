@@ -198,6 +198,12 @@ def rewrite_druid_sql(sql: str) -> str:
     out = re.sub(r"\bTRUNC\(", "TRUNCATE(", out, flags=re.IGNORECASE)
     out = _add_default_arg(out, "TRUNCATE", "0")  # 1-arg → digits 0
     out = _rewrite_unnest(out)
+    # Calcite ARRAY[...] constructor → Spark array(...). Innermost-first
+    # so nested ARRAY[ARRAY[1], ARRAY[2]] rewrites cleanly; the inner
+    # pattern is bracket-free, so repetition terminates.
+    pat = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", flags=re.IGNORECASE)
+    while pat.search(out):
+        out = pat.sub(lambda m: f"array({m.group(1)})", out)
     # Druid REGEXP_EXTRACT defaults to group 0 and yields NULL on no
     # match; Spark defaults to group 1 and yields ''. Rewrite only the
     # 2-arg form (3-arg is position-compatible).
