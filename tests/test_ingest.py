@@ -233,6 +233,87 @@ def test_supervisor_spec(spark, tmp_path):
     assert rows == {"home": 2, "about": 2}
 
 
+def test_streaming_exactly_once_replay(spark, tmp_path):
+    """Exactly-once under replay (VERDICT r1 #9): losing the last epoch's
+    commit marker makes Structured Streaming re-execute that micro-batch
+    on restart; the idempotent batch=<id> overwrite sink must absorb the
+    replay without duplicating rows — the analog of Druid's transactional
+    segment publish keyed on offsets
+    (idx/common/actions/SegmentTransactionalInsertAction.java:56,
+    idx/seekablestream/SeekableStreamIndexTaskRunner.java sequence
+    checkpointing)."""
+    from druid_spark.streaming.ingest import StreamingIngest, read_stream
+
+    src_dir = tmp_path / "eo_in"
+    src_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType())])
+    (src_dir / "b1.json").write_text("\n".join(
+        json.dumps({"timestamp": f"2024-05-01T00:0{i}:00.000Z",
+                    "k": "a", "v": i}) for i in range(5)))
+
+    stream = read_stream(spark, {"type": "file", "format": "json",
+                                 "path": str(src_dir), "schema": schema})
+    def run_to_completion(q):
+        import time as _t
+        q.awaitTermination(60)
+        q.stop()
+        for _ in range(100):          # deregistration is async
+            if not q.isActive:
+                break
+            _t.sleep(0.1)
+
+    ing = StreamingIngest(spark, str(tmp_path / "eowh"), "clicks")
+    q = ing.start(stream, time_column="timestamp")
+    run_to_completion(q)
+    assert ing.view().count() == 5
+
+    # Simulate a crash between sink write and checkpoint commit: drop the
+    # newest commit marker so the engine replays that epoch on restart.
+    commits = os.path.join(ing.checkpoint, "commits")
+    newest = max((f for f in os.listdir(commits) if not f.startswith(".")),
+                 key=int)
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")  # hadoop checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q = ing.start(stream, time_column="timestamp")
+    run_to_completion(q)
+    # replayed batch overwrote its own batch=<id> dir: still exactly 5
+    assert ing.view().count() == 5
+
+    # and the handoff → further-replay path stays duplicate-free too
+    ing.handoff()
+    assert ing.view().count() == 5
+
+
+def test_kafka_source_spec_compiles(spark):
+    """The Kafka arm of read_stream builds the reader from a supervisor
+    ioConfig (KafkaSupervisorIOConfig.java topic/consumerProperties).
+    No broker (or kafka connector jar) ships in this container, so accept
+    either a successfully-built streaming DataFrame or the documented
+    'Failed to find data source' error — anything else (KeyError, bad
+    option wiring) is a real bug."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from druid_spark.streaming.ingest import read_stream
+
+    source = {"type": "kafka", "topic": "events",
+              "consumerProperties": {"bootstrap.servers": "localhost:9092"},
+              "startingOffsets": "earliest",
+              "valueSchema": "ts TIMESTAMP, k STRING, v LONG"}
+    try:
+        df = read_stream(spark, source)
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == ["ts", "k", "v"]
+    except AnalysisException as e:
+        assert "Failed to find data source: kafka" in str(e) or \
+            "KAFKA" in str(e).upper()
+
+
 def test_iso_period_to_interval():
     from druid_spark.streaming.ingest import _iso_period_to_interval
     assert _iso_period_to_interval("PT1H") == "1 hours"
