@@ -1613,6 +1613,156 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     "sqlc_between_like": ("""
         SELECT count(*) AS n FROM part
         WHERE p_size BETWEEN 10 AND 20 AND p_name LIKE '%gre%'""", None),
+    # ---- batch 2 (round 2): simple CASE, set ops, correlated scalar,
+    # FILTER clause, ROLLUP, TIMESTAMPADD/DIFF, REGEXP_LIKE, ARRAY_AGG,
+    # RANGE frames, NTILE/PERCENT_RANK, NULL three-valued logic,
+    # DISTINCT multi-col, LEAST/GREATEST, VARCHAR casts, chained CTEs ----
+    # simple (non-searched) CASE
+    "sqlc_case_simple": ("""
+        SELECT CASE o_orderstatus WHEN 'O' THEN 'open'
+               WHEN 'F' THEN 'done' ELSE 'other' END AS st,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # explicit NULLS FIRST ordering over a nullable expression
+    "sqlc_nulls_first": ("""
+        SELECT NULLIF(o_orderstatus, 'O') AS st, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY st NULLS FIRST""", None),
+    # INTERSECT (left-side column naming)
+    "sqlc_intersect": ("""
+        SELECT o_custkey AS k FROM orders
+        INTERSECT
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9900
+        ORDER BY k LIMIT 10""", None),
+    # EXCEPT with guaranteed-nonempty difference (distinct semantics)
+    "sqlc_except": ("""
+        SELECT p_size AS k FROM part
+        EXCEPT
+        SELECT p_size AS k FROM part WHERE p_size <= 25
+        ORDER BY k LIMIT 10""", None),
+    # correlated scalar subquery in the select list (decorrelation +
+    # the COUNT-over-empty-group guard Druid plans as singleValue)
+    "sqlc_scalar_correlated": ("""
+        SELECT n_name,
+               (SELECT count(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS nc
+        FROM nation n ORDER BY n_name""", None),
+    # SQL-standard FILTER clause on aggregates
+    "sqlc_filter_clause": ("""
+        SELECT count(*) FILTER (WHERE o_orderstatus = 'O') AS open_n,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS big_n,
+               count(*) AS n
+        FROM orders""", None),
+    # GROUP BY ROLLUP hierarchy
+    "sqlc_rollup": ("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS st,
+               coalesce(o_orderpriority, 'ALL') AS pr, count(*) AS n
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY st, pr""", None),
+    # TIMESTAMPADD calendar arithmetic in a filter
+    "sqlc_timestampadd": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE TIMESTAMPADD(MONTH, 3, o_orderdate)
+              < TIMESTAMP '1994-01-01 00:00:00'""", """
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderdate + INTERVAL 3 MONTH
+              < TIMESTAMP '1994-01-01 00:00:00'"""),
+    # TIMESTAMPDIFF whole-day deltas
+    "sqlc_timestampdiff": ("""
+        SELECT CAST(floor(avg(TIMESTAMPDIFF(DAY, o_orderdate,
+               TIMESTAMP '1998-12-31 00:00:00'))) AS BIGINT) AS avg_age
+        FROM orders""", """
+        SELECT CAST(floor(avg(date_diff('day', o_orderdate,
+               TIMESTAMP '1998-12-31 00:00:00'))) AS BIGINT) AS avg_age
+        FROM orders"""),
+    # REGEXP_LIKE filter
+    "sqlc_regexp_like": ("""
+        SELECT count(*) AS n FROM part
+        WHERE REGEXP_LIKE(p_name, '^a.*e$')""", """
+        SELECT count(*) AS n FROM part
+        WHERE regexp_matches(p_name, '^a.*e$')"""),
+    # ARRAY_AGG(DISTINCT) canonicalized to a sorted joined string
+    "sqlc_array_agg": ("""
+        SELECT o_orderstatus,
+               ARRAY_TO_STRING(ARRAY_SORT(ARRAY_AGG(
+                   DISTINCT o_orderpriority)), ',') AS pris
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus,
+               array_to_string(list_sort(array_agg(
+                   DISTINCT o_orderpriority)), ',') AS pris
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    # cumulative window with a RANGE frame (peers included on ties)
+    "sqlc_window_range_frame": ("""
+        SELECT m, round(sum(s) OVER (ORDER BY m
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum
+        FROM (SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+                     sum(o_totalprice) AS s
+              FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+              GROUP BY 1) t
+        ORDER BY m""", None),
+    # NTILE quartiles over a total order
+    "sqlc_ntile": ("""
+        SELECT q, count(*) AS n FROM (
+          SELECT NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
+          FROM orders) t
+        GROUP BY q ORDER BY q""", None),
+    # PERCENT_RANK / CUME_DIST distributions
+    "sqlc_percent_rank": ("""
+        SELECT o_orderstatus, round(avg(pr), 3) AS avg_pr,
+               round(max(cd), 3) AS max_cd
+        FROM (SELECT o_orderstatus,
+                     PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice) AS pr,
+                     CUME_DIST() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY o_totalprice) AS cd
+              FROM orders) t
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""", None),
+    # three-valued logic: NOT IN with a NULL in the list drops all rows
+    "sqlc_not_in_null": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus NOT IN ('X', NULL)""", None),
+    # DISTINCT over multiple columns
+    "sqlc_distinct_multi": ("""
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        ORDER BY o_orderstatus, o_orderpriority LIMIT 10""", None),
+    # LEAST/GREATEST scalars under aggregation
+    "sqlc_least_greatest": ("""
+        SELECT round(sum(LEAST(p_retailprice, 1000.0)), 2) AS s_cap,
+               max(GREATEST(p_size, 25)) AS m_floor
+        FROM part""", None),
+    # Druid/Calcite VARCHAR cast names (shim maps bare VARCHAR → STRING)
+    "sqlc_varchar_cast": ("""
+        SELECT min(LPAD(CAST(n_nationkey AS VARCHAR), 4, '0')) AS mn,
+               REPLACE('a-b-c', '-', '+') AS rep,
+               TRIM('  pad  ') AS trimmed
+        FROM nation""", None),
+    # chained CTEs, the second referencing the first
+    "sqlc_cte_chained": ("""
+        WITH hot AS (SELECT o_custkey, count(*) AS n FROM orders
+                     GROUP BY o_custkey HAVING count(*) >= 2),
+             tiers AS (SELECT o_custkey, n,
+                              CASE WHEN n >= 4 THEN 'hi' ELSE 'mid' END
+                              AS tier
+                       FROM hot)
+        SELECT tier, count(*) AS custs, sum(n) AS total_orders
+        FROM tiers GROUP BY tier ORDER BY tier""", None),
+    # aggregate over a LIMITed ordered subquery
+    "sqlc_limit_inner": ("""
+        SELECT count(*) AS n, round(sum(price), 2) AS s
+        FROM (SELECT o_totalprice AS price FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) t""", None),
+    # CROSS JOIN collapsed to an equi-join by the planner
+    "sqlc_cross_join_filter": ("""
+        SELECT r.r_name, count(*) AS n
+        FROM region r CROSS JOIN nation n
+        WHERE r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name""", None),
+    # ORDER BY a CASE expression then a column
+    "sqlc_order_by_case": ("""
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        GROUP BY 1
+        ORDER BY CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END,
+                 o_orderpriority""", None),
 }
 
 

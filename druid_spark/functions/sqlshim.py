@@ -211,4 +211,10 @@ def rewrite_druid_sql(sql: str) -> str:
         r"\bREGEXP_EXTRACT\(\s*([^,()]+)\s*,\s*('[^']*')\s*\)",
         lambda m: f"NULLIF(REGEXP_EXTRACT({m.group(1)}, {m.group(2)}, 0), '')",
         out, flags=re.IGNORECASE)
+    # Calcite/Druid CAST type names Spark doesn't accept bare: Druid SQL
+    # writes CAST(x AS VARCHAR) (sql/calcite/planner/Calcites.java type
+    # mappings); Spark needs STRING (VARCHAR only with a length). Scoped
+    # to "AS <type>" so identifiers are untouched.
+    out = re.sub(r"(\bAS\s+)VARCHAR\b(?!\s*\()", r"\1STRING", out,
+                 flags=re.IGNORECASE)
     return out
