@@ -348,6 +348,17 @@ def q_dsmeta(spark, sf):
         "queryType": "dataSourceMetadata", "dataSource": "events"})
 
 
+def q_sql_explain(spark, sf):
+    """EXPLAIN PLAN FOR (DruidPlanner explain path): one row of
+    PLAN/RESOURCES/ATTRIBUTES. Rows-only — the PLAN text is engine-
+    specific by definition."""
+    return _engine(spark, sf).sql("""
+        EXPLAIN PLAN FOR
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1""")
+
+
 def q_join_region_nation(spark, sf):
     return _engine(spark, sf).query({
         "queryType": "groupBy",
@@ -1806,6 +1817,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_event_type": q_search_event_type,
         "time_boundary": q_time_boundary,
         "dsmeta": q_dsmeta,
+        "sql_explain": q_sql_explain,
         "join_region_nation": q_join_region_nation,
         "join_orders_lineitem": q_join_orders_lineitem,
         "join_semi": q_join_semi,

@@ -14,10 +14,18 @@ from typing import Any, Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import re as _re
+
 from druid_spark.catalog import Catalog
 from druid_spark.expr import compile_expr, parse, Compiler, Bin, Ref
 from druid_spark.filters import FilterCompiler
 from druid_spark.dimensions import virtual_columns
+
+# Druid SQL: EXPLAIN PLAN [WITH ...] FOR <query>
+# (sql/src/main/codegen — DruidSqlParserImplFactory explain syntax)
+_EXPLAIN_RE = _re.compile(
+    r"^\s*EXPLAIN\s+PLAN\s+(?:WITH\s+\w+\s+)?FOR\s+(?P<q>.*)$",
+    _re.IGNORECASE | _re.DOTALL)
 
 
 def qcol(name: str) -> Column:
@@ -129,6 +137,9 @@ class DruidSparkEngine:
                                                    rewrite_extern,
                                                    run_export_sql,
                                                    run_ingest_sql)
+        m = _EXPLAIN_RE.match(text)
+        if m:
+            return self._explain(m.group("q"))
         if "EXTERN" in text.upper():
             exported = run_export_sql(self, text)
             if exported is not None:
@@ -144,6 +155,29 @@ class DruidSparkEngine:
         for name in self.catalog.tables():
             self.catalog.table(name).createOrReplaceTempView(name)
         return self.spark.sql(rewrite_druid_sql(text))
+
+    @staticmethod
+    def _table_word_re(t: str):
+        return _re.compile(rf"\b{_re.escape(t)}\b", _re.IGNORECASE)
+
+    def _explain(self, inner: str) -> DataFrame:
+        """Druid SQL `EXPLAIN PLAN FOR <query>`
+        (sql/calcite/planner/DruidPlanner.java explain path;
+        CalciteQueryTest testExplain*): one row with the physical PLAN,
+        RESOURCES (tables read, as Druid reports read-resources), and
+        ATTRIBUTES (statement type). The plan text is Spark's formatted
+        physical plan — the honest analog of Druid's native-query JSON."""
+        df = self.sql(inner)
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        tables = sorted(t for t in self.catalog.tables()
+                        if self._table_word_re(t).search(inner))
+        resources = "[" + ", ".join(
+            '{"name": "%s", "type": "DATASOURCE"}' % t for t in tables) + "]"
+        return self.spark.createDataFrame(
+            [(plan, resources, '{"statementType": "SELECT"}')],
+            ["PLAN", "RESOURCES", "ATTRIBUTES"])
 
     def _register_sql_lookups(self) -> None:
         """SQL LOOKUP(expr, 'name') (QueryLookupOperatorConversion):

@@ -229,3 +229,20 @@ def test_time_in_interval_iso_z(engine):
             '2024-01-01T00:00:00Z/2024-02-01T00:00:00Z') AS outside
         """).collect()[0]
     assert r["inside"] is True and r["outside"] is False
+
+
+def test_explain_plan_for(engine):
+    """EXPLAIN PLAN FOR <q> (DruidPlanner explain;
+    CalciteQueryTest testExplain*): PLAN/RESOURCES/ATTRIBUTES row,
+    resources list the referenced datasources."""
+    df = engine.sql("""
+        EXPLAIN PLAN FOR
+        SELECT n_name, count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name""")
+    assert df.columns == ["PLAN", "RESOURCES", "ATTRIBUTES"]
+    r = df.collect()[0]
+    assert "nation" in r["RESOURCES"] and "region" in r["RESOURCES"]
+    assert "customer" not in r["RESOURCES"]
+    assert "Physical Plan" in r["PLAN"]
+    assert "SELECT" in r["ATTRIBUTES"]
