@@ -1768,6 +1768,18 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM region r CROSS JOIN nation n
         WHERE r.r_regionkey = n.n_regionkey
         GROUP BY r.r_name ORDER BY r.r_name""", None),
+    # nested-data constructors (NestedDataExpressions.java): JSON_OBJECT
+    # incl. Calcite KEY/VALUE form, JSON_QUERY_ARRAY, JSON_PATHS,
+    # PARSE_JSON round-trip; oracle states the exact expected strings
+    "sqlc_json_fns": ("""
+        SELECT JSON_OBJECT('a', 1, 'b', 'x') AS jo,
+               JSON_OBJECT(KEY 'k' VALUE 7) AS jo_kv,
+               ARRAY_TO_STRING(
+                   JSON_QUERY_ARRAY('{"xs": [1, 2, 3]}', '$.xs'), ',') AS jqa,
+               ARRAY_TO_STRING(JSON_PATHS('{"a": 1, "b": 2}'), ',') AS jp,
+               TO_JSON_STRING(PARSE_JSON('{"z":  9}')) AS pj""", """
+        SELECT '{"a":1,"b":"x"}' AS jo, '{"k":7}' AS jo_kv,
+               '1,2,3' AS jqa, '$.a,$.b' AS jp, '{"z":9}' AS pj"""),
     # ORDER BY a CASE expression then a column
     "sqlc_order_by_case": ("""
         SELECT o_orderpriority, count(*) AS n FROM orders

@@ -209,6 +209,16 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("JSON_QUERY", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
     ("JSON_KEYS", "j STRING, p STRING", "ARRAY<STRING>",
      "json_object_keys(get_json_object(j, p))"),
+    # json_query_array (NestedDataExpressions.java:651): JSON array at
+    # path → ARRAY of element strings (objects come back as JSON text)
+    ("JSON_QUERY_ARRAY", "j STRING, p STRING", "ARRAY<STRING>",
+     "from_json(get_json_object(j, p), 'ARRAY<STRING>')"),
+    # json_paths (NestedDataExpressions.java:743): '$.'-prefixed paths.
+    # Top-level keys only (the reference walks nested objects too; deep
+    # literal-path enumeration isn't expressible as a Column tree —
+    # documented divergence, same shape for flat objects)
+    ("JSON_PATHS", "j STRING", "ARRAY<STRING>",
+     "transform(json_object_keys(j), k -> concat('$.', k))"),
     # (TRY_PARSE_JSON / PARSE_JSON are Spark builtins — variant-typed)
     ("TO_JSON_STRING", "j STRING", "STRING", "j"),
     ("DECODE_BASE64_UTF8", "s STRING", "STRING",

@@ -211,6 +211,22 @@ def rewrite_druid_sql(sql: str) -> str:
         r"\bREGEXP_EXTRACT\(\s*([^,()]+)\s*,\s*('[^']*')\s*\)",
         lambda m: f"NULLIF(REGEXP_EXTRACT({m.group(1)}, {m.group(2)}, 0), '')",
         out, flags=re.IGNORECASE)
+    # JSON_OBJECT (NestedDataExpressions.java:53): variadic k/v pairs,
+    # Calcite also allows JSON_OBJECT(KEY 'k' VALUE v, ...). Rewrite to
+    # TO_JSON(NAMED_STRUCT('k', v, ...)) — keys must be literals, which
+    # is also the reference's common form.
+    def _json_object(args):
+        flat = []
+        for a in args:
+            m = re.match(r"(?is)^KEY\s+(.+?)\s+VALUE\s+(.+)$", a)
+            if m:
+                flat.extend([m.group(1), m.group(2)])
+            else:
+                flat.append(a)
+        if len(flat) % 2 or not flat:
+            return None
+        return f"TO_JSON(NAMED_STRUCT({', '.join(flat)}))"
+    out = _rewrite_call(out, "JSON_OBJECT", _json_object)
     # Calcite/Druid CAST type names Spark doesn't accept bare: Druid SQL
     # writes CAST(x AS VARCHAR) (sql/calcite/planner/Calcites.java type
     # mappings); Spark needs STRING (VARCHAR only with a length). Scoped
