@@ -548,6 +548,30 @@ def q_dedup_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
+def q_repetition_profile(spark, sf):
+    """Gopher-style repetition signals (dup-word ratio, top-bigram
+    fraction) per document — the repetition-filter inputs of an LLM
+    data pipeline."""
+    from druid_spark.datapipe.textstats import repetition_profile
+    docs = _engine(spark, sf).catalog.table("documents")
+    return (repetition_profile(docs)
+            .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+            .orderBy("doc_id"))
+
+
+def q_boilerplate_removal(spark, sf):
+    """Corpus-level boilerplate-line removal (CCNet-style). The
+    synthetic corpus is single-line so nothing crosses the document-
+    frequency threshold here (identity output — the oracle still
+    checks the whole pipeline); tests/test_datapipe.py exercises real
+    multi-line removal."""
+    from druid_spark.datapipe.dedup import remove_boilerplate_lines
+    docs = _engine(spark, sf).catalog.table("documents")
+    return (remove_boilerplate_lines(docs, min_doc_frac=0.25)
+            .select("doc_id", F.md5("clean_text").alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
 def q_sample_stratified(spark, sf):
     """Deterministic stratified sampling: first 3 docs per (lang,
     source) stratum by doc_id — reproducible via window row_number, no
@@ -1841,6 +1865,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag_rank": q_window_lead_lag_rank,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "repetition_profile": q_repetition_profile,
+        "boilerplate_removal": q_boilerplate_removal,
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
         "sample_stratified": q_sample_stratified,
@@ -2168,6 +2194,54 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id,
                    count(*) AS group_size
             FROM documents GROUP BY 1""",
+        "repetition_profile": """
+            WITH t AS (SELECT doc_id,
+                              string_split(regexp_replace(trim(text),
+                                  '\\s+', ' ', 'g'), ' ') AS ts
+                       FROM documents),
+            dup AS (SELECT doc_id, len(ts) AS n_tokens,
+                           len([i for i in range(2, len(ts) + 1)
+                                if ts[i] = ts[i-1]]) AS n_dup
+                    FROM t),
+            bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+                   FROM t, unnest(range(1, len(ts))) AS r(i)),
+            pd AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi
+                   FROM (SELECT doc_id, bg, count(*) AS c
+                         FROM bi GROUP BY 1, 2)
+                   GROUP BY 1)
+            SELECT d.doc_id, d.n_tokens,
+                   round(n_dup / greatest(d.n_tokens - 1, 1)::DOUBLE, 4)
+                   AS dup_word_ratio,
+                   round(coalesce(top_c / n_bi::DOUBLE, 0), 4)
+                   AS top_bigram_frac
+            FROM dup d LEFT JOIN pd USING (doc_id)
+            ORDER BY doc_id""",
+        "boilerplate_removal": """
+            WITH n AS (SELECT count(*) AS n_docs FROM documents),
+            lines AS (SELECT doc_id,
+                             unnest(string_split(text, chr(10))) AS line,
+                             unnest(range(0, len(string_split(text,
+                                 chr(10))))) AS pos
+                      FROM documents),
+            boiler AS (SELECT lkey FROM (
+                         SELECT DISTINCT doc_id,
+                                md5(lower(trim(line))) AS lkey
+                         FROM lines WHERE trim(line) <> '')
+                       GROUP BY lkey
+                       HAVING count(*) >= greatest(2, CAST(ceil(
+                           0.25 * (SELECT n_docs FROM n)) AS BIGINT))),
+            kept AS (SELECT l.* FROM lines l
+                     LEFT JOIN boiler b
+                       ON md5(lower(trim(l.line))) = b.lkey
+                     WHERE b.lkey IS NULL),
+            clean AS (SELECT doc_id,
+                             string_agg(line, chr(10) ORDER BY pos)
+                             AS clean_text
+                      FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   md5(coalesce(c.clean_text, '')) AS clean_md5
+            FROM documents d LEFT JOIN clean c USING (doc_id)
+            ORDER BY d.doc_id""",
         "dedup_jaccard": _SHINGLES + """,
             inv AS (SELECT doc_id, len(shingles) AS n,
                            unnest(shingles) AS s FROM sh

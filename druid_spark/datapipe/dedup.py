@@ -381,3 +381,47 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             break
     edges.unpersist()
     return lab.withColumnRenamed("lab", "cluster_id")
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_doc_frac: float = 0.25,
+                             min_docs: int = 2) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the CCNet/RefinedWeb
+    pre-dedup step): a line whose normalized form appears in at least
+    `max(min_docs, ceil(min_doc_frac * n_docs))` distinct documents is
+    dropped from every document; blank lines are preserved (they carry
+    formatting, not boilerplate). Returns (id_col, clean_text) for
+    every input document — documents that were all boilerplate come
+    back with clean_text = ''.
+
+    Scale (100 TB): the line explode is a map-only stage; the document-
+    frequency pass shuffles only (line_hash, doc_id) pairs with map-side
+    distinct; the boilerplate set is by construction small (lines above
+    a corpus-wide frequency threshold), so the removal join broadcasts.
+    Reassembly sorts each doc's surviving lines by position inside one
+    hash-aggregate — no global sort, no Python in the data path.
+    """
+    import math
+
+    n_docs = df.count()
+    threshold = max(min_docs, math.ceil(min_doc_frac * n_docs))
+    lkey = F.md5(F.lower(F.trim(F.col("line"))))
+    lines = (df.select(id_col,
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("pos", "line"))
+             .withColumn("lkey", lkey))
+    boiler = (lines.where(F.trim(F.col("line")) != "")
+              .select("lkey", id_col).distinct()
+              .groupBy("lkey").agg(F.count(F.lit(1)).alias("df_docs"))
+              .where(F.col("df_docs") >= threshold))
+    kept = lines.join(F.broadcast(boiler.select("lkey")), "lkey",
+                      "left_anti")
+    clean = (kept.groupBy(id_col)
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                     lambda s: s["line"]), "\n").alias("clean_text")))
+    return (df.select(id_col).join(clean, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))

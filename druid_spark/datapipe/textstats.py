@@ -170,3 +170,46 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return staged_features(df, text_col).withColumn(
         "n_chars_computed", char_count(t))
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 repetition filters): consecutive duplicate-token fraction and
+    the fraction of all bigrams taken by the single most frequent
+    bigram. High values flag low-quality, loopy machine text for
+    removal before LLM training.
+
+    Scale (100 TB): the adjacent-duplicate count is a pure Column
+    higher-order function (no explode); the bigram mode needs a
+    distributed count — explode to (doc, bigram), two hash aggregates
+    with map-side combine, keyed by doc_id so the shuffle is bounded by
+    token volume; no Python, no window over raw rows.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(id_col, toks.alias("ts"))
+    dup = base.select(
+        id_col,
+        F.size("ts").alias("n_tokens"),
+        F.expr("""size(filter(sequence(1, greatest(size(ts) - 1, 1)),
+                   i -> element_at(ts, i + 1) = element_at(ts, i)))""")
+        .alias("n_dup_adj"))
+    bi = (base.select(
+            id_col,
+            F.explode(F.expr(
+                """transform(sequence(1, greatest(size(ts) - 1, 1)),
+                   i -> concat(element_at(ts, i), ' ',
+                               element_at(ts, i + 1)))""")).alias("bg"))
+          .where(F.col("bg").isNotNull()))
+    per_doc = (bi.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+               .groupBy(id_col)
+               .agg(F.max("c").alias("top_c"),
+                    F.sum("c").alias("n_bigrams")))
+    return (dup.join(per_doc, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.round(F.col("n_dup_adj") /
+                            F.greatest(F.col("n_tokens") - 1, F.lit(1)), 4)
+                    .alias("dup_word_ratio"),
+                    F.round(F.coalesce(F.col("top_c") / F.col("n_bigrams"),
+                                       F.lit(0.0)), 4)
+                    .alias("top_bigram_frac")))

@@ -236,3 +236,42 @@ def test_contamination(spark):
     rows = {r["id"]: r for r in contamination(train, evalset).collect()}
     assert rows[2]["n_grams"] == 3 and rows[2]["n_hit"] == 1
     assert rows[3]["n_grams"] == 1 and rows[3]["n_hit"] == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    """The CCNet-style boilerplate pass drops lines above the document-
+    frequency threshold, keeps rare lines and blank lines, and returns
+    every input doc (all-boilerplate docs come back empty)."""
+    hdr, ftr = "SITE NAV | home | about", "copyright 2024 example corp"
+    docs = spark.createDataFrame(
+        [(1, f"{hdr}\nunique alpha text\n\n{ftr}"),
+         (2, f"{hdr}\nanother body line\n{ftr}"),
+         (3, f"{hdr}\nthird doc content here\n{ftr}"),
+         (4, f"{hdr}\n{ftr}")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"]
+           for r in dedup.remove_boilerplate_lines(
+               docs, min_doc_frac=0.5).collect()}
+    assert len(out) == 4
+    assert out[1] == "unique alpha text\n"      # blank line survives
+    assert out[2] == "another body line"
+    assert out[3] == "third doc content here"
+    assert out[4] == ""                          # all boilerplate
+
+
+def test_repetition_profile(spark):
+    """dup_word_ratio counts adjacent repeats; top_bigram_frac is the
+    modal bigram share (Gopher repetition filters)."""
+    docs = spark.createDataFrame(
+        [(1, "a a a a"),                 # 3/3 adjacent dups
+         (2, "x y x y x"),               # 0 dups; bigrams: xy,yx,xy,yx
+         (3, "unique words only here")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_profile(docs).collect()}
+    assert out[1]["dup_word_ratio"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_word_ratio"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.5
+    assert out[3]["dup_word_ratio"] == 0.0
+    assert out[3]["n_tokens"] == 4
