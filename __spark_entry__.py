@@ -1792,6 +1792,16 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM region r CROSS JOIN nation n
         WHERE r.r_regionkey = n.n_regionkey
         GROUP BY r.r_name ORDER BY r.r_name""", None),
+    # ipv6_match prefix semantics (IPv6AddressMatchExprMacro) — oracle
+    # states the expected truth values
+    "sqlc_ipv6_match": ("""
+        SELECT IPV6_MATCH('2001:db8::1', '2001:db8::/32') AS t1,
+               IPV6_MATCH('2001:db9::1', '2001:db8::/32') AS f1,
+               IPV6_MATCH('fe80::aaaa:bbbb', 'fe80::/10') AS t2,
+               IPV6_MATCH('fec0::1', 'fe80::/10') AS f2,
+               IPV6_MATCH('::1', '::1/128') AS t3""", """
+        SELECT true AS t1, false AS f1, true AS t2, false AS f2,
+               true AS t3"""),
     # nested-data constructors (NestedDataExpressions.java): JSON_OBJECT
     # incl. Calcite KEY/VALUE form, JSON_QUERY_ARRAY, JSON_PATHS,
     # PARSE_JSON round-trip; oracle states the exact expected strings

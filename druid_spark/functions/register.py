@@ -272,6 +272,22 @@ _FUNCS: list[tuple[str, str, str, str]] = [
         cast(split_part(split_part(subnet, '/', 1), '.', 3) AS BIGINT) * 256 +
         cast(split_part(split_part(subnet, '/', 1), '.', 4) AS BIGINT))
        / pow(2, 32 - cast(split_part(subnet, '/', 2) AS INT)))"""),
+    # ipv6_match (proc/query/expression/IPv6AddressMatchExprMacro.java):
+    # canonical-expand '::', hex groups → 128-bit string, prefix compare.
+    # Helper first (SQL UDFs may call previously-registered SQL UDFs).
+    ("IPV6_ADDRESS_BITS__", "a STRING", "STRING", """
+      array_join(transform(
+        filter(split(replace(lower(a), '::',
+                 concat(':', repeat('0:',
+                   8 - size(filter(split(lower(a), ':'),
+                                   g -> g <> ''))))), ':'),
+               g -> g <> ''),
+        g -> lpad(bin(cast(conv(g, 16, 10) AS BIGINT)), 16, '0')), '')"""),
+    ("IPV6_MATCH", "addr STRING, subnet STRING", "BOOLEAN", """
+      substr(IPV6_ADDRESS_BITS__(addr), 1,
+             cast(split_part(subnet, '/', 2) AS INT)) =
+      substr(IPV6_ADDRESS_BITS__(split_part(subnet, '/', 1)), 1,
+             cast(split_part(subnet, '/', 2) AS INT))"""),
     # numeric truncation toward zero (Druid TRUNCATE/TRUNC; the 1-arg
     # form is rewritten to (x, 0) by sqlshim)
     ("TRUNCATE", "x DOUBLE, d INT", "DOUBLE",

@@ -246,3 +246,15 @@ def test_explain_plan_for(engine):
     assert "customer" not in r["RESOURCES"]
     assert "Physical Plan" in r["PLAN"]
     assert "SELECT" in r["ATTRIBUTES"]
+
+
+def test_ipv6_match(engine):
+    """IPV6_MATCH (IPv6AddressMatchExprMacro): '::' expansion and
+    non-nibble-aligned prefix lengths."""
+    r = engine.sql("""SELECT
+        IPV6_MATCH('2001:db8:0:0:0:0:0:1', '2001:db8::/32') AS full_form,
+        IPV6_MATCH('fe80::1', 'fe80::/10') AS ten_bits,
+        IPV6_MATCH('fec0::1', 'fe80::/10') AS ten_bits_out,
+        IPV6_MATCH('::', '::/0') AS zero_prefix""").collect()[0]
+    assert r["full_form"] is True and r["ten_bits"] is True
+    assert r["ten_bits_out"] is False and r["zero_prefix"] is True
