@@ -1138,6 +1138,110 @@ def q_projection_hll_sketch(spark, sf):
             .orderBy("__time", "event_type"))
 
 
+def q_theta_kmv_vs_exact(spark, sf):
+    """Mergeable KMV theta sketch (druid_spark/sketch_state.py; same
+    family as extensions-core/datasketches/.../theta/
+    SketchAggregatorFactory.java): per-(flag, status) bottom-k hash
+    states built with the bounded two-shuffle plan, re-merged per flag
+    — bounded state at any cardinality, exact below k. Emits the exact
+    per-flag distinct (oracle-matched) plus a deterministic tolerance
+    check of the merged estimate (k=1024 → ~3.1% RSE; 12% bound)."""
+    from druid_spark import sketch_state as S
+    eng = _engine(spark, sf)
+    li = eng.catalog.table("lineitem")
+    k = 1024
+    states = S.kmv_state(li, ["l_returnflag", "l_linestatus"],
+                         "l_orderkey", k)
+    est = states.groupBy("l_returnflag").agg(
+        S.kmv_union_estimate(F.col("l_orderkey_kmv"), k)
+        .cast("double").alias("est"))
+    exact = (li.groupBy("l_returnflag")
+             .agg(F.count_distinct("l_orderkey").alias("exact_orders")))
+    return (exact.join(est, "l_returnflag")
+            .select("l_returnflag", "exact_orders",
+                    (F.abs(F.col("est") - F.col("exact_orders"))
+                     <= 0.12 * F.col("exact_orders")).alias("est_ok"))
+            .orderBy("l_returnflag"))
+
+
+def q_projection_kmv_sketch(spark, sf):
+    """Rollup whose distinct state is a KMV bottom-k hash array (pure
+    Catalyst, no JVM sketch dependency): per-hour states re-merge by
+    bottom-k union to answer the day query. k=64 keeps the estimator
+    engaged at test scale (~3% observed err at sf0.01); merge
+    exactness below k is unit-tested, so the loose 25% bound here is a
+    smoke check, not the correctness gate."""
+    from druid_spark.plans.projections import Projection, ProjectionRouter
+    eng = _engine(spark, sf)
+    router = getattr(eng, "_entry_router_kmv", None)
+    if router is None:
+        router = ProjectionRouter(eng)
+        router.register(Projection(
+            "evt_hourly_users_kmv", "events", ["event_type"],
+            [{"type": "thetaSketch", "name": "user_kmv",
+              "fieldName": "user_id", "k": 64}],
+            granularity="hour", sketch="kmv"))
+        eng._entry_router_kmv = router
+    q = {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "day", "dimensions": ["event_type"],
+         "aggregations": [{"type": "hyperUnique", "name": "users",
+                           "fieldName": "user_id"}]}
+    routed = router.route(q)
+    assert (routed is not None
+            and routed["aggregations"][0]["type"] == "kmvUnionEstimate")
+    est = router.query(q).select(
+        "__time", "event_type", F.col("users").cast("double").alias("est"))
+    exact = eng.query(q).select(
+        "__time", "event_type", F.col("users").cast("long").alias("exact_users"))
+    return (exact.join(est, ["__time", "event_type"])
+            .select("__time", "event_type", "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= F.greatest(0.25 * F.col("exact_users"), F.lit(3.0)))
+                    .alias("est_ok"))
+            .orderBy("__time", "event_type"))
+
+
+def q_projection_quantile_sample(spark, sf):
+    """Mergeable quantile state in a rollup: per-hour bottom-k uniform
+    row samples (sketch_state.sample_state) re-merge to one uniform
+    sample of the whole group — the reference's
+    quantilesDoublesSketch-in-rollup workflow
+    (extensions-core/datasketches/.../quantiles/
+    DoublesSketchAggregatorFactory.java) with a deterministic Catalyst
+    construction. Emits the exact median (oracle-matched) plus a
+    rank-space check: the fraction of values <= the sampled median
+    must sit within 0.5 +/- 0.10 (k=512 → rank RSE ~2.2%)."""
+    from druid_spark.plans.projections import Projection, ProjectionRouter
+    eng = _engine(spark, sf)
+    router = getattr(eng, "_entry_router_qs", None)
+    if router is None:
+        router = ProjectionRouter(eng)
+        router.register(Projection(
+            "evt_value_sample", "events", ["event_type"],
+            [{"type": "sampleState", "name": "v_sample",
+              "fieldName": "value", "k": 512}],
+            granularity="hour"))
+        eng._entry_router_qs = router
+    est = _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "__proj_evt_value_sample",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [{"type": "sampleQuantile", "name": "med",
+                          "fieldName": "v_sample", "fraction": 0.5,
+                          "k": 512}]})
+    ev = eng.catalog.table("events")
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5d)"), 3).alias("exact_med"),
+        F.count("*").alias("n"))
+    frac = (ev.join(est.select("event_type", "med"), "event_type")
+            .groupBy("event_type")
+            .agg((F.sum(F.when(F.col("value") <= F.col("med"), 1)
+                        .otherwise(0)) / F.count("*")).alias("frac")))
+    return (exact.join(frac, "event_type")
+            .select("event_type", "exact_med",
+                    (F.abs(F.col("frac") - 0.5) <= 0.10).alias("rank_ok"))
+            .orderBy("event_type"))
+
+
 def q_single_value(spark, sf):
     """singleValue aggregator (SingleValueAggregatorFactory.java):
     the scalar-subquery guard — exactly one row per group or error."""
@@ -1910,6 +2014,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_count_distinct": q_projection_count_distinct,
         "hll_sketch_vs_exact": q_hll_sketch_vs_exact,
         "projection_hll_sketch": q_projection_hll_sketch,
+        "theta_kmv_vs_exact": q_theta_kmv_vs_exact,
+        "projection_kmv_sketch": q_projection_kmv_sketch,
+        "projection_quantile_sample": q_projection_quantile_sample,
         "single_value": q_single_value,
         "gb_histogram": q_gb_histogram,
         "union_datasource": q_union_datasource,
@@ -2559,6 +2666,19 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
                    count(DISTINCT user_id) AS exact_users, true AS est_ok
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "theta_kmv_vs_exact": """
+            SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+                   true AS est_ok
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "projection_kmv_sketch": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
+                   count(DISTINCT user_id) AS exact_users, true AS est_ok
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "projection_quantile_sample": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 3) AS exact_med,
+                   true AS rank_ok
+            FROM events GROUP BY 1 ORDER BY 1""",
         "json_typed_agg": """
             SELECT event_type,
                    sum(CAST(props->>'k' AS BIGINT)) AS k_sum,

@@ -286,6 +286,23 @@ class AggCompiler:
         if t == "hllUnionEstimate":
             return F.hll_sketch_estimate(
                 F.hll_union_agg(guard(_field(agg, res)))).cast("long")
+        # KMV theta state (sketch_state.py): rollup rows store the k
+        # smallest distinct hashes; querying re-merges bottom-k and
+        # estimates (k-1)/u_k — exact below k. Same family as the
+        # reference theta sketch (extensions-core/datasketches/.../
+        # theta/SketchAggregatorFactory.java).
+        if t == "kmvUnionEstimate":
+            from druid_spark import sketch_state as S
+            return S.kmv_union_estimate(_field(agg, res),
+                                        agg.get("k", S.DEFAULT_K))
+        # bottom-k uniform sample state → mergeable quantile estimate
+        # (reference quantiles-sketch workflow: DoublesSketch
+        # getQuantile over re-merged rollup state)
+        if t == "sampleQuantile":
+            from druid_spark import sketch_state as S
+            return S.sample_quantile(
+                S.sample_merge(_field(agg, res), agg.get("k", S.DEFAULT_K)),
+                agg.get("fraction", 0.5))
         if t == "filtered":
             return self._agg(agg["aggregator"], self.fc.compile(agg["filter"]),
                              outer_name=name)

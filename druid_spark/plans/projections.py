@@ -52,10 +52,14 @@ class Projection:
         self.dimensions = dimensions
         self.metrics = metrics
         self.granularity = granularity
-        # sketch=True stores distinct metrics as BINARY Datasketches
-        # HLL state (bounded size, mergeable — the 100 TB mode; exact
-        # sets approach raw-data scale at high cardinality). False
-        # keeps lossless sets for oracle-exact answers.
+        # sketch=True|"hll" stores distinct metrics as BINARY
+        # Datasketches HLL state; sketch="kmv" stores KMV bottom-k hash
+        # arrays (sketch_state.py) — both bounded size and mergeable,
+        # the 100 TB mode; exact sets approach raw-data scale at high
+        # cardinality. False keeps lossless sets for oracle-exact
+        # answers. Metrics may also include {"type": "sampleState"}
+        # entries: bottom-k uniform row samples for mergeable quantile
+        # estimates over the rollup.
         self.sketch = sketch
         self.df: DataFrame | None = None
 
@@ -67,22 +71,62 @@ class Projection:
         (sketch mode) — the reference's HllSketchBuild column in rollup
         segments (extensions-core/datasketches/.../hll/
         HllSketchBuildAggregatorFactory.java)."""
-        distinct_store = "hllState" if self.sketch else "setCollect"
-        build_metrics = []
+        if self.sketch == "kmv":
+            distinct_store = "kmvState"
+        elif self.sketch:
+            distinct_store = "hllState"
+        else:
+            distinct_store = "setCollect"
+        build_metrics, bounded = [], []
         for m in self.metrics:
             if m["type"] in ("hyperUnique", "thetaSketch", "HLLSketchBuild"):
-                build_metrics.append({**m, "type": distinct_store})
+                if distinct_store == "kmvState":
+                    bounded.append({**m, "type": "kmvState"})
+                else:
+                    build_metrics.append({**m, "type": distinct_store})
+            elif m["type"] == "sampleState":
+                bounded.append(m)
             else:
                 build_metrics.append(m)
-        q = {
-            "queryType": "groupBy",
-            "dataSource": self.base_table,
-            "granularity": self.granularity,
-            "dimensions": self.dimensions,
-            "aggregations": build_metrics,
-        }
-        self.df = engine.query(q)
+        rollup = None
+        if build_metrics or not bounded:
+            q = {
+                "queryType": "groupBy",
+                "dataSource": self.base_table,
+                "granularity": self.granularity,
+                "dimensions": self.dimensions,
+                "aggregations": build_metrics,
+            }
+            rollup = engine.query(q)
+        for frame in self._bounded_frames(engine, bounded):
+            rollup = frame if rollup is None else rollup.join(
+                frame, ["__time", *self.dimensions], "left")
+        self.df = rollup
         return self.df
+
+    def _bounded_frames(self, engine, bounded: list[dict]):
+        """Build kmvState / sampleState columns with the two-shuffle
+        bounded plan (sketch_state.py): distinct/hash projection →
+        per-group window top-k → collect_list of <= k rows. Never an
+        unbounded in-memory set — the build itself survives 100x."""
+        if not bounded:
+            return
+        from druid_spark import sketch_state as S
+
+        base = engine.catalog.table(self.base_table).withColumn(
+            "__time_raw", F.col("__time")).withColumn(
+            "__time", G.bucket(F.col("__time"), self.granularity))
+        keys = ["__time", *self.dimensions]
+        for m in bounded:
+            k = m.get("k", S.DEFAULT_K)
+            field, name = m["fieldName"], m["name"]
+            if m["type"] == "kmvState":
+                frame = S.kmv_state(base, keys, field, k)
+                yield frame.withColumnRenamed(f"{field}_kmv", name)
+            else:
+                salt = m.get("saltFields", ["__time_raw"])
+                frame = S.sample_state(base, keys, field, salt, k)
+                yield frame.withColumnRenamed(f"{field}_sample", name)
 
 
 class ProjectionRouter:
@@ -178,10 +222,20 @@ class ProjectionRouter:
                            None)
                 if src is None:
                     return None
-                new_aggs.append({"type": ("hllUnionEstimate" if proj.sketch
-                                          else "setUnionSize"),
-                                 "name": agg.get("name", t),
-                                 "fieldName": src})
+                m = metric_names[src]
+                if proj.sketch == "kmv":
+                    new_aggs.append({"type": "kmvUnionEstimate",
+                                     "name": agg.get("name", t),
+                                     "fieldName": src,
+                                     "k": m.get("k", 1024)})
+                elif proj.sketch:
+                    new_aggs.append({"type": "hllUnionEstimate",
+                                     "name": agg.get("name", t),
+                                     "fieldName": src})
+                else:
+                    new_aggs.append({"type": "setUnionSize",
+                                     "name": agg.get("name", t),
+                                     "fieldName": src})
                 continue
             if t not in _REAGG:
                 return None

@@ -226,3 +226,76 @@ def test_expression_lambda_multi_field(eng):
     rows = {r["grp"]: r["dot"] for r in df.collect()}
     assert rows["a"] == float(sum(i * i for i in range(1, 101, 2)))
     assert rows["b"] == float(sum(i * i for i in range(2, 101, 2)))
+
+
+# ---------------------------------------------------- mergeable KMV / sample
+
+def test_kmv_merge_is_exact_bottom_k(spark):
+    """The load-bearing invariant: bottom-k of a union of per-partition
+    bottom-k states EQUALS the global bottom-k — merging loses nothing
+    beyond what a single global build would lose. Deterministic
+    equality, not a tolerance."""
+    from druid_spark import sketch_state as S
+    rows = [(i % 7, f"u{i % 533}") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["part", "uid"]) \
+        .withColumn("all", F.lit(1))
+    k = 64
+    # per-part states, merged
+    parts = S.kmv_state(df, ["part"], "uid", k)
+    merged = parts.withColumn("all", F.lit(1)).groupBy("all").agg(
+        S.kmv_merge(F.col("uid_kmv"), k).alias("m")).first()["m"]
+    # single global state
+    direct = S.kmv_state(df, ["all"], "uid", k).first()["uid_kmv"]
+    assert merged == direct
+
+
+def test_kmv_exact_below_k(spark):
+    from druid_spark import sketch_state as S
+    df = spark.createDataFrame(
+        [(1, f"u{i % 37}") for i in range(500)], ["g", "uid"])
+    st = S.kmv_state(df, ["g"], "uid", k=128)
+    est = st.groupBy("g").agg(
+        S.kmv_union_estimate(F.col("uid_kmv"), 128).alias("e")).first()["e"]
+    assert est == 37
+
+
+def test_kmv_estimate_tolerance(spark):
+    from druid_spark import sketch_state as S
+    n = 20000
+    df = spark.createDataFrame([(1, f"u{i}") for i in range(n)], ["g", "uid"])
+    k = 1024
+    st = S.kmv_state(df, ["g"], "uid", k)
+    est = st.groupBy("g").agg(
+        S.kmv_union_estimate(F.col("uid_kmv"), k).alias("e")).first()["e"]
+    assert abs(est - n) <= 0.12 * n
+
+
+def test_sample_merge_is_exact_bottom_k(spark):
+    from druid_spark import sketch_state as S
+    rows = [(i % 5, float(i % 97)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["part", "v"]) \
+        .withColumn("salt", F.monotonically_increasing_id()) \
+        .withColumn("all", F.lit(1))
+    # hashes must be deterministic across both builds: freeze salt
+    df = df.persist()
+    k = 96
+    parts = S.sample_state(df, ["part"], "v", ["salt"], k)
+    merged = parts.withColumn("all", F.lit(1)).groupBy("all").agg(
+        S.sample_merge(F.col("v_sample"), k).alias("m")).first()["m"]
+    direct = S.sample_state(df, ["all"], "v", ["salt"], k).first()["v_sample"]
+    df.unpersist()
+    assert merged == direct
+
+
+def test_sample_quantile_small_is_exact(spark):
+    """Below k the sample IS the data: nearest-rank quantile of the
+    sample equals the true nearest-rank quantile."""
+    from druid_spark import sketch_state as S
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]]
+    df = spark.createDataFrame(
+        [(1, v, i) for i, v in enumerate(vals)], ["g", "v", "salt"])
+    st = S.sample_state(df, ["g"], "v", ["salt"], k=64)
+    med = st.groupBy("g").agg(
+        S.sample_quantile(S.sample_merge(F.col("v_sample"), 64), 0.5)
+        .alias("m")).first()["m"]
+    assert med == sorted(vals)[round(0.5 * (len(vals) - 1))]
