@@ -1242,6 +1242,28 @@ def q_projection_quantile_sample(spark, sf):
             .orderBy("event_type"))
 
 
+def q_sql_ds_hll(spark, sf):
+    """Druid sketch SQL names, mode-aware (reference:
+    extensions-core/datasketches/.../hll/sql/
+    HllSketchApproxCountDistinctSqlAggregator.java): the exact engine
+    compiles APPROX_COUNT_DISTINCT_DS_HLL to COUNT(DISTINCT) — the
+    oracle-matched column — while the sketch engine builds real
+    Datasketches HLL state (Spark-native hll_sketch_agg, lgK=12) and
+    estimates; the estimate is tolerance-checked (5% or ±2)."""
+    sql = ("SELECT event_type, APPROX_COUNT_DISTINCT_DS_HLL(user_id) AS u "
+           "FROM events GROUP BY 1")
+    exact = _engine(spark, sf).sql(sql).select(
+        "event_type", F.col("u").cast("long").alias("exact_users"))
+    est = _engine(spark, sf, exact=False).sql(sql).select(
+        "event_type", F.col("u").cast("double").alias("est"))
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= F.greatest(0.05 * F.col("exact_users"), F.lit(2.0)))
+                    .alias("est_ok"))
+            .orderBy("event_type"))
+
+
 def q_single_value(spark, sf):
     """singleValue aggregator (SingleValueAggregatorFactory.java):
     the scalar-subquery guard — exactly one row per group or error."""
@@ -1924,6 +1946,70 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         GROUP BY 1
         ORDER BY CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END,
                  o_orderpriority""", None),
+    # --- batch 3: Calcite time-truncation spellings, integer division,
+    # string operator forms, paging — TimeFloorOperatorConversion,
+    # CalciteQueryTest testTimeFloor/testOffsetFetch analogs
+    "sqlc_floor_to_day": ("""
+        SELECT FLOOR(__time TO DAY) AS d, count(*) AS n,
+               round(sum(value), 3) AS total
+        FROM events GROUP BY 1 ORDER BY 1""", """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS d, count(*) AS n,
+               round(sum(value), 3) AS total
+        FROM events GROUP BY 1 ORDER BY 1"""),
+    "sqlc_ceil_to_month": ("""
+        SELECT CEIL(__time TO MONTH) AS m, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""", """
+        SELECT (CASE WHEN date_trunc('month', ts) = ts THEN ts
+                ELSE date_trunc('month', ts) + INTERVAL 1 MONTH
+                END)::TIMESTAMP AS m, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1"""),
+    "sqlc_date_trunc_fn": ("""
+        SELECT DATE_TRUNC('hour', __time) AS h, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 24""", """
+        SELECT date_trunc('hour', ts)::TIMESTAMP AS h, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 24"""),
+    "sqlc_ts_literal_filter": ("""
+        SELECT count(*) AS n, round(sum(value), 3) AS total
+        FROM events
+        WHERE __time >= TIMESTAMP '2024-01-05 00:00:00'
+          AND __time < TIMESTAMP '2024-01-07 00:00:00'""", """
+        SELECT count(*) AS n, round(sum(value), 3) AS total
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts < TIMESTAMP '2024-01-07 00:00:00'"""),
+    "sqlc_div_mod": ("""
+        SELECT DIV(o_orderkey, 1000) AS grp, count(*) AS n,
+               sum(MOD(o_orderkey, 7)) AS msum
+        FROM orders GROUP BY 1 ORDER BY 1 LIMIT 10""", """
+        SELECT o_orderkey // 1000 AS grp, count(*) AS n,
+               sum(o_orderkey % 7) AS msum
+        FROM orders GROUP BY 1 ORDER BY 1 LIMIT 10"""),
+    "sqlc_string_calcite": ("""
+        SELECT SUBSTRING(c_name FROM 10 FOR 4) AS mid,
+               POSITION('#' IN c_name) AS hashpos,
+               c_mktsegment || '/' || CAST(c_nationkey AS VARCHAR) AS tag
+        FROM customer ORDER BY c_custkey LIMIT 15""", None),
+    "sqlc_trim_forms": ("""
+        SELECT TRIM(BOTH '0' FROM SUBSTRING(c_name FROM 10)) AS id_trim,
+               TRIM(LEADING 'C' FROM c_mktsegment) AS seg,
+               REVERSE(c_mktsegment) AS ges,
+               REPEAT(LEFT(c_mktsegment, 2), 2) AS rep
+        FROM customer ORDER BY c_custkey LIMIT 15""", None),
+    "sqlc_offset_fetch": ("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey
+        OFFSET 5 ROWS FETCH NEXT 10 ROWS ONLY""", """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 10 OFFSET 5"""),
+    "sqlc_nvl_forms": ("""
+        SELECT NVL(NULLIF(o_orderstatus, 'O'), 'open') AS st,
+               IFNULL(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS pri,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""", """
+        SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st,
+               COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS pri,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""),
 }
 
 
@@ -2014,6 +2100,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_count_distinct": q_projection_count_distinct,
         "hll_sketch_vs_exact": q_hll_sketch_vs_exact,
         "projection_hll_sketch": q_projection_hll_sketch,
+        "sql_ds_hll": q_sql_ds_hll,
         "theta_kmv_vs_exact": q_theta_kmv_vs_exact,
         "projection_kmv_sketch": q_projection_kmv_sketch,
         "projection_quantile_sample": q_projection_quantile_sample,
@@ -2666,6 +2753,10 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
                    count(DISTINCT user_id) AS exact_users, true AS est_ok
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "sql_ds_hll": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   true AS est_ok
+            FROM events GROUP BY 1 ORDER BY 1""",
         "theta_kmv_vs_exact": """
             SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
                    true AS est_ok

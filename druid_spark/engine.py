@@ -154,7 +154,8 @@ class DruidSparkEngine:
         self._register_sql_lookups()
         for name in self.catalog.tables():
             self.catalog.table(name).createOrReplaceTempView(name)
-        return self.spark.sql(rewrite_druid_sql(text))
+        return self.spark.sql(rewrite_druid_sql(text,
+                                                exact=self.exact_approx))
 
     @staticmethod
     def _table_word_re(t: str):

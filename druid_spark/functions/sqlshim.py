@@ -50,6 +50,27 @@ def _rewrite_call(sql: str, fname: str, builder) -> str:
             pos = m.start() + 1
 
 
+_TO_UNIT_PERIOD = {
+    "SECOND": "PT1S", "MINUTE": "PT1M", "HOUR": "PT1H", "DAY": "P1D",
+    "WEEK": "P1W", "MONTH": "P1M", "QUARTER": "P3M", "YEAR": "P1Y",
+}
+
+
+def _floor_ceil_to(target):
+    def build(args):
+        if len(args) != 1:
+            return None
+        m = re.match(r"^(.*\S)\s+TO\s+(\w+)$", args[0],
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None  # numeric FLOOR/CEIL — leave to Spark
+        period = _TO_UNIT_PERIOD.get(m.group(2).upper())
+        if period is None:
+            return None
+        return f"{target}({m.group(1)}, '{period}')"
+    return build
+
+
 def _time_parse(args):
     if len(args) == 2:
         return f"TO_TIMESTAMP({args[0]}, {args[1]})"
@@ -154,7 +175,7 @@ def _rewrite_unnest(sql: str) -> str:
         pos = m.start() + 1
 
 
-def rewrite_druid_sql(sql: str) -> str:
+def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = sql
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
     out = re.sub(r"\bEARLIEST_BY\(", "MIN_BY(", out, flags=re.IGNORECASE)
@@ -165,22 +186,67 @@ def rewrite_druid_sql(sql: str) -> str:
     out = re.sub(r"\bLATEST\(\s*([^,()]+)\s*\)",
                  lambda m: f"MAX_BY({m.group(1)}, __time)", out,
                  flags=re.IGNORECASE)
-    # approximate aggregates → Spark natives
+    # sketch-state functions ALWAYS compile to real Datasketches state
+    # (Spark 3.5+/4 ships the Apache Datasketches HLL family natively —
+    # the same library the reference extension wraps:
+    # extensions-core/datasketches/.../hll/HllSketchBuildAggregatorFactory.java).
+    # DS_HLL(x) yields mergeable BINARY sketch state; HLL_SKETCH_ESTIMATE
+    # finalizes it (optional round arg dropped — Spark always rounds).
+    out = _rewrite_call(out, "HLL_SKETCH_ESTIMATE",
+                        lambda args: f"hll_sketch_estimate({args[0]})")
+    out = _rewrite_call(
+        out, "DS_HLL",
+        lambda args: "hll_sketch_agg(CAST(" + args[0] + " AS STRING), "
+        + (args[1] if len(args) > 1 else "12") + ")")
+    # approx count-distinct shorthands: exact mode (the oracle contract)
+    # computes the true distinct; sketch mode builds a real Datasketches
+    # HLL and estimates — bounded, mergeable, ~1.6% RSE at lgK=12. The
+    # theta-named form also maps to HLL here (same estimate semantics;
+    # set-op workflows go through the native-query theta path).
     for name in ("APPROX_COUNT_DISTINCT_DS_HLL",
                  "APPROX_COUNT_DISTINCT_DS_THETA",
                  "APPROX_COUNT_DISTINCT_BUILTIN",
-                 "HLL_SKETCH_ESTIMATE", "THETA_SKETCH_ESTIMATE"):
-        out = re.sub(rf"\b{name}\(", "APPROX_COUNT_DISTINCT(", out,
-                     flags=re.IGNORECASE)
+                 "THETA_SKETCH_ESTIMATE"):
+        if exact:
+            out = re.sub(rf"\b{name}\(", "COUNT(DISTINCT ", out,
+                         flags=re.IGNORECASE)
+        else:
+            out = _rewrite_call(
+                out, name,
+                lambda args: "hll_sketch_estimate(hll_sketch_agg(CAST("
+                + args[0] + " AS STRING), 12))")
     for name in ("APPROX_QUANTILE_DS", "APPROX_QUANTILE_FIXED_BUCKETS",
                  "APPROX_QUANTILE", "DS_GET_QUANTILE"):
-        out = re.sub(rf"\b{name}\(", "APPROX_PERCENTILE(", out,
+        # exact mode: true percentile (oracle-matching); sketch mode:
+        # Spark's approx_percentile (mergeable GK sketch)
+        out = re.sub(rf"\b{name}\(",
+                     "PERCENTILE(" if exact else "APPROX_PERCENTILE(", out,
                      flags=re.IGNORECASE)
     # string / array aggregates
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)
     out = re.sub(r"\bARRAY_CONCAT_AGG\(\s*([^()]+?)\s*\)",
                  lambda m: f"FLATTEN(COLLECT_LIST({m.group(1)}))", out,
                  flags=re.IGNORECASE)
+    # Calcite OFFSET n ROWS / FETCH NEXT|FIRST n ROWS ONLY paging →
+    # Spark's LIMIT/OFFSET clauses (Spark accepts LIMIT before OFFSET;
+    # swap when Calcite's OFFSET-first order is used)
+    out = re.sub(
+        r"\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY\b",
+        r"LIMIT \2 OFFSET \1", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bFETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY\b",
+                 r"LIMIT \1", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bOFFSET\s+(\d+)\s+ROWS\b", r"OFFSET \1", out,
+                 flags=re.IGNORECASE)
+    # Calcite FLOOR/CEIL(ts TO unit) time-truncation forms
+    # (reference: sql/.../expression/builtin/TimeFloorOperatorConversion
+    # handles both spellings) → TIME_FLOOR/TIME_CEIL periods; numeric
+    # FLOOR/CEIL calls (no trailing TO unit) pass through untouched.
+    out = _rewrite_call(out, "FLOOR", _floor_ceil_to("TIME_FLOOR"))
+    out = _rewrite_call(out, "CEIL", _floor_ceil_to("TIME_CEIL"))
+    # Calcite DIV(x, y): integer division
+    out = _rewrite_call(
+        out, "DIV", lambda a: f"(CAST({a[0]} AS BIGINT) DIV CAST({a[1]} AS BIGINT))"
+        if len(a) == 2 else None)
     # Druid TIME_* optional-argument forms → the fixed-arity shims
     out = _rewrite_call(out, "TIME_PARSE", _time_parse)
     out = _rewrite_call(out, "TIME_EXTRACT", _time_extract_tz)

@@ -258,3 +258,26 @@ def test_ipv6_match(engine):
         IPV6_MATCH('::', '::/0') AS zero_prefix""").collect()[0]
     assert r["full_form"] is True and r["ten_bits"] is True
     assert r["ten_bits_out"] is False and r["zero_prefix"] is True
+
+
+def test_sketch_sql_names_modes(spark, engine):
+    """Sketch SQL names are mode-aware: exact engines compile
+    APPROX_COUNT_DISTINCT_DS_* to true COUNT(DISTINCT); sketch engines
+    build real Datasketches HLL state (hll_sketch_agg) and estimate.
+    DS_HLL always yields mergeable BINARY state that
+    HLL_SKETCH_ESTIMATE finalizes."""
+    import os
+    from druid_spark import DruidSparkEngine
+
+    sf = os.environ.get("DRUID_SPARK_TEST_SF", "/root/testdata/sf0.001")
+    sk = DruidSparkEngine(spark, data_dir=sf, exact_approx=False)
+    sql = ("SELECT APPROX_COUNT_DISTINCT_DS_HLL(user_id) AS u "
+           "FROM events")
+    exact = engine.sql(sql).first()["u"]
+    est = sk.sql(sql).first()["u"]
+    assert abs(est - exact) <= max(0.1 * exact, 2)
+    # sketch state round trip: DS_HLL -> binary, estimate finalizes
+    row = sk.sql("SELECT HLL_SKETCH_ESTIMATE(DS_HLL(user_id)) AS e, "
+                 "DS_HLL(user_id) AS state FROM events").first()
+    assert isinstance(row["state"], (bytes, bytearray))
+    assert abs(row["e"] - exact) <= max(0.1 * exact, 2)
