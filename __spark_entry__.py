@@ -559,6 +559,40 @@ def q_repetition_profile(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_pii_redact(spark, sf):
+    """PII redaction (datapipe/redact.py): scrub emails, IPs, SSNs,
+    phones, and card-shaped digit runs from corpus text — chained
+    JVM-side regexp_replace, no Python in the data path. The synthetic
+    documents contain no PII, so both sides compose identical
+    deterministic PII-bearing text from doc_id first; the oracle then
+    verifies match counts AND the redacted output byte-for-byte (via
+    total length)."""
+    from druid_spark.datapipe.redact import pii_counts, redact_pii
+    eng = _engine(spark, sf)
+    d = eng.catalog.table("documents")
+    i = F.col("doc_id").cast("long")
+    aug = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact u"), i.cast("string"),
+        F.lit("@example.com ip 10.0."), (i % 256).cast("string"),
+        F.lit("."), ((i * 7) % 256).cast("string"),
+        F.lit(" ssn 123-45-"), F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit(" tel 555-123-4567 card 4111111111111111"))
+    cnts = pii_counts(aug)
+    return (d.select(
+                F.col("lang"), redact_pii(aug).alias("red"),
+                *[c.alias(k) for k, c in cnts.items()])
+            .groupBy("lang")
+            .agg(F.count("*").alias("docs"),
+                 F.sum("email").alias("emails"),
+                 F.sum("ipv4").alias("ips"),
+                 F.sum("ssn").alias("ssns"),
+                 F.sum("phone").alias("phones"),
+                 F.sum("card").alias("cards"),
+                 F.sum(F.length("red")).alias("red_len"))
+            .orderBy("lang"))
+
+
 def q_boilerplate_removal(spark, sf):
     """Corpus-level boilerplate-line removal (CCNet-style). The
     synthetic corpus is single-line so nothing crosses the document-
@@ -2067,6 +2101,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "repetition_profile": q_repetition_profile,
         "boilerplate_removal": q_boilerplate_removal,
+        "pii_redact": q_pii_redact,
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
         "sample_stratified": q_sample_stratified,
@@ -2420,6 +2455,35 @@ def _base_oracle_sql() -> dict[str, str]:
                    AS top_bigram_frac
             FROM dup d LEFT JOIN pd USING (doc_id)
             ORDER BY doc_id""",
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT lang,
+                substr(text, 1, 40) || ' contact u' || doc_id ||
+                '@example.com ip 10.0.' || (doc_id % 256) || '.' ||
+                ((doc_id * 7) % 256) || ' ssn 123-45-' ||
+                lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+                ' tel 555-123-4567 card 4111111111111111' AS t
+              FROM documents)
+            SELECT lang, count(*) AS docs,
+              sum(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS emails,
+              sum(len(regexp_extract_all(t,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS ips,
+              sum(len(regexp_extract_all(t,
+                '\b\d{3}-\d{2}-\d{4}\b'))) AS ssns,
+              sum(len(regexp_extract_all(t,
+                '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))) AS phones,
+              sum(len(regexp_extract_all(t, '\b\d{13,19}\b'))) AS cards,
+              sum(length(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                  '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+                  '\b\d{13,19}\b', '[CARD]', 'g'))) AS red_len
+            FROM aug GROUP BY lang ORDER BY lang""",
         "boilerplate_removal": """
             WITH n AS (SELECT count(*) AS n_docs FROM documents),
             lines AS (SELECT doc_id,

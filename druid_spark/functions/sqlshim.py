@@ -243,6 +243,13 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     # FLOOR/CEIL calls (no trailing TO unit) pass through untouched.
     out = _rewrite_call(out, "FLOOR", _floor_ceil_to("TIME_FLOOR"))
     out = _rewrite_call(out, "CEIL", _floor_ceil_to("TIME_CEIL"))
+    # LOOKUP 3-arg replaceMissingValueWith form
+    # (QueryLookupOperatorConversion.java): missing keys take the
+    # replacement value
+    out = _rewrite_call(
+        out, "LOOKUP",
+        lambda a: f"COALESCE(LOOKUP({a[0]}, {a[1]}), {a[2]})"
+        if len(a) == 3 else None)
     # Calcite DIV(x, y): integer division
     out = _rewrite_call(
         out, "DIV", lambda a: f"(CAST({a[0]} AS BIGINT) DIV CAST({a[1]} AS BIGINT))"

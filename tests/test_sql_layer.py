@@ -281,3 +281,34 @@ def test_sketch_sql_names_modes(spark, engine):
                  "DS_HLL(user_id) AS state FROM events").first()
     assert isinstance(row["state"], (bytes, bytearray))
     assert abs(row["e"] - exact) <= max(0.1 * exact, 2)
+
+
+def test_sql_lookup_replace_missing(spark):
+    """3-arg LOOKUP(expr, name, replaceMissingValueWith)
+    (QueryLookupOperatorConversion.java): missing keys take the
+    replacement instead of NULL."""
+    from druid_spark import DruidSparkEngine
+
+    e = DruidSparkEngine(spark)
+    e.catalog.register_table("t3", spark.createDataFrame(
+        [("0",), ("9",)], ["rk"]))
+    e.catalog.register_lookup("rn3", {"0": "AFRICA"})
+    rows = {r["rk"]: r["nm"] for r in e.sql(
+        "SELECT rk, LOOKUP(rk, 'rn3', 'UNKNOWN') AS nm FROM t3").collect()}
+    assert rows == {"0": "AFRICA", "9": "UNKNOWN"}
+
+
+def test_redact_pii_tokens(spark):
+    from druid_spark.datapipe.redact import redact_pii, pii_counts
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("write to bob@x.io from 10.1.2.3 ssn 123-45-6789 "
+          "tel 555-123-4567 card 4111111111111111 done",)], ["t"])
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"),
+        *[c.alias(k) for k, c in pii_counts(F.col("t")).items()]).first()
+    assert out["r"] == ("write to [EMAIL] from [IP] ssn [SSN] "
+                        "tel [PHONE] card [CARD] done")
+    assert (out["email"], out["ipv4"], out["ssn"],
+            out["phone"], out["card"]) == (1, 1, 1, 1, 1)
