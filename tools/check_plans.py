@@ -162,6 +162,22 @@ def main():
     check("neardup_lsh_equijoin", df, [],
           ["CartesianProduct", "BroadcastNestedLoopJoin"])
 
+    # 10. KMV sketch build is the bounded two-shuffle plan (distinct +
+    # per-group window top-k) — never an unbounded collect_set; the
+    # stored state stays <= k rows per group at any cardinality
+    from druid_spark import sketch_state as S
+    li = engine.catalog.table("lineitem")
+    df = S.kmv_state(li, ["l_returnflag"], "l_orderkey", 1024)
+    check("kmv_bounded_build", df, ["Window"], ["collect_set"])
+
+    # 11. MinHash LSH banding joins are equi-joins (hash-partitioned on
+    # (band, signature) — sub-quadratic at corpus scale)
+    from druid_spark.datapipe.dedup import minhash_lsh_pairs
+    docs = engine.catalog.table("documents")
+    df = minhash_lsh_pairs(docs)
+    check("minhash_equijoin", df, [],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
