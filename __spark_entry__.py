@@ -2035,6 +2035,101 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         OFFSET 5 ROWS FETCH NEXT 10 ROWS ONLY""", """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_orderkey LIMIT 10 OFFSET 5"""),
+    # PIVOT / UNPIVOT (experimental in the reference —
+    # docs/querying/sql.md "PIVOT"; Spark's native clauses carry the
+    # same shape, with value-alias column naming)
+    "sqlc_pivot": ("""
+        SELECT o_orderpriority, ROUND(COALESCE(o, 0), 2) AS open_total,
+               ROUND(COALESCE(f, 0), 2) AS done_total
+        FROM (SELECT o_orderstatus, o_orderpriority, o_totalprice
+              FROM orders)
+        PIVOT (SUM(o_totalprice) FOR o_orderstatus IN ('O' AS o, 'F' AS f))
+        ORDER BY o_orderpriority""", """
+        SELECT o_orderpriority,
+               ROUND(COALESCE(sum(o_totalprice)
+                 FILTER (o_orderstatus = 'O'), 0), 2) AS open_total,
+               ROUND(COALESCE(sum(o_totalprice)
+                 FILTER (o_orderstatus = 'F'), 0), 2) AS done_total
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    "sqlc_unpivot": ("""
+        SELECT n_name, metric, val FROM (
+          SELECT n_name, CAST(n_nationkey AS DOUBLE) AS nkey,
+                 CAST(n_regionkey AS DOUBLE) AS rkey FROM nation)
+        UNPIVOT (val FOR metric IN (nkey, rkey))
+        ORDER BY n_name, metric""", """
+        SELECT n_name, 'nkey' AS metric, CAST(n_nationkey AS DOUBLE) AS val
+        FROM nation
+        UNION ALL
+        SELECT n_name, 'rkey' AS metric, CAST(n_regionkey AS DOUBLE) AS val
+        FROM nation
+        ORDER BY n_name, metric"""),
+    # theta sketch SQL set-op composition (SketchSetPostAggregator;
+    # exact sets in the SQL layer)
+    "sqlc_theta_setops": ("""
+        SELECT
+          THETA_SKETCH_ESTIMATE(THETA_SKETCH_INTERSECT(
+            DS_THETA(CASE WHEN event_type = 'click' THEN user_id END),
+            DS_THETA(CASE WHEN event_type = 'view' THEN user_id END)))
+            AS both_u,
+          THETA_SKETCH_ESTIMATE(THETA_SKETCH_UNION(
+            DS_THETA(CASE WHEN event_type = 'click' THEN user_id END),
+            DS_THETA(CASE WHEN event_type = 'view' THEN user_id END)))
+            AS either_u,
+          THETA_SKETCH_ESTIMATE(THETA_SKETCH_NOT(
+            DS_THETA(CASE WHEN event_type = 'click' THEN user_id END),
+            DS_THETA(CASE WHEN event_type = 'view' THEN user_id END)))
+            AS click_only
+        FROM events""", """
+        SELECT
+          (SELECT count(*) FROM
+            (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+             INTERSECT
+             SELECT DISTINCT user_id FROM events WHERE event_type = 'view') t)
+            AS both_u,
+          (SELECT count(*) FROM
+            (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+             UNION
+             SELECT DISTINCT user_id FROM events WHERE event_type = 'view') t)
+            AS either_u,
+          (SELECT count(*) FROM
+            (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+             EXCEPT
+             SELECT DISTINCT user_id FROM events WHERE event_type = 'view') t)
+            AS click_only"""),
+    # Datasketches quantile finalizer family (DoublesSketchTo* post-aggs)
+    "sqlc_ds_quantile_family": ("""
+        SELECT event_type,
+          ROUND(DS_GET_QUANTILE(DS_QUANTILES_SKETCH(value), 0.5), 3) AS med,
+          ROUND(DS_RANK(DS_QUANTILES_SKETCH(value), 50.0), 4) AS rank50,
+          DS_HISTOGRAM(DS_QUANTILES_SKETCH(value), 25.0, 75.0) AS hist
+        FROM events GROUP BY 1 ORDER BY 1""", """
+        SELECT event_type,
+          ROUND(quantile_cont(value, 0.5), 3) AS med,
+          ROUND(avg(CASE WHEN value <= 50.0 THEN 1.0 ELSE 0.0 END), 4)
+            AS rank50,
+          [sum(CASE WHEN value < 25.0 THEN 1.0 ELSE 0.0 END),
+           sum(CASE WHEN value >= 25.0 AND value < 75.0 THEN 1.0 ELSE 0.0 END),
+           sum(CASE WHEN value >= 75.0 THEN 1.0 ELSE 0.0 END)] AS hist
+        FROM events GROUP BY 1 ORDER BY 1"""),
+    # MV function family over inline arrays
+    # (MultiValueStringOperatorConversions)
+    "sqlc_mv_functions": ("""
+        SELECT c_custkey,
+          ARRAY_TO_STRING(
+            MV_FILTER_PREFIX(MV_APPEND(ARRAY(c_mktsegment), c_name), 'B'),
+            ',') AS b_vals,
+          MV_ORDINAL_OF(ARRAY('AUTOMOBILE', 'BUILDING', 'FURNITURE'),
+                        c_mktsegment) AS seg_ord,
+          STRLEN(c_name) AS ln
+        FROM customer ORDER BY c_custkey LIMIT 20""", """
+        SELECT c_custkey,
+          COALESCE(array_to_string(
+            list_filter(list_append([c_mktsegment], c_name),
+                        x -> starts_with(x, 'B')), ','), '') AS b_vals,
+          CAST(NULLIF(list_position(['AUTOMOBILE', 'BUILDING', 'FURNITURE'],
+                                    c_mktsegment), 0) AS INT) AS seg_ord,
+          length(c_name) AS ln
+        FROM customer ORDER BY c_custkey LIMIT 20"""),
     "sqlc_nvl_forms": ("""
         SELECT NVL(NULLIF(o_orderstatus, 'O'), 'open') AS st,
                IFNULL(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS pri,

@@ -186,6 +186,31 @@ _FUNCS: list[tuple[str, str, str, str]] = [
      "split(s, concat('\\\\Q', sep, '\\\\E'))"),
     ("MV_TO_ARRAY", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
     ("ARRAY_TO_MV", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
+    ("STRLEN", "s STRING", "INT", "length(s)"),
+    ("MV_APPEND", "arr ARRAY<STRING>, v STRING", "ARRAY<STRING>",
+     "array_append(arr, v)"),
+    # Druid MV_PREPEND/ARRAY_PREPEND take (value, arr) — value first
+    # (sql-multivalue-string-functions.md); MV_PREPEND registers in
+    # that order, ARRAY_PREPEND collides with Spark's (arr, value)
+    # builtin and is arg-swapped by the sqlshim rewriter instead
+    ("MV_PREPEND", "v STRING, arr ARRAY<STRING>", "ARRAY<STRING>",
+     "array_prepend(arr, v)"),
+    ("MV_CONCAT", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
+     "concat(a, b)"),
+    ("MV_OFFSET_OF", "arr ARRAY<STRING>, v STRING", "INT",
+     "CASE WHEN array_position(arr, v) > 0 THEN cast(array_position(arr, v) - 1 AS INT) END"),
+    ("MV_ORDINAL_OF", "arr ARRAY<STRING>, v STRING", "INT",
+     "CASE WHEN array_position(arr, v) > 0 THEN cast(array_position(arr, v) AS INT) END"),
+    # MV filter family (MultiValueStringOperatorConversions.java):
+    # keep-only / drop / prefix / regex element filters
+    ("MV_FILTER_ONLY", "arr ARRAY<STRING>, allow ARRAY<STRING>",
+     "ARRAY<STRING>", "filter(arr, x -> array_contains(allow, x))"),
+    ("MV_FILTER_NONE", "arr ARRAY<STRING>, deny ARRAY<STRING>",
+     "ARRAY<STRING>", "filter(arr, x -> NOT array_contains(deny, x))"),
+    ("MV_FILTER_PREFIX", "arr ARRAY<STRING>, p STRING", "ARRAY<STRING>",
+     "filter(arr, x -> startswith(x, p))"),
+    ("MV_FILTER_REGEX", "arr ARRAY<STRING>, r STRING", "ARRAY<STRING>",
+     "filter(arr, x -> x RLIKE r)"),
     ("SCALAR_IN_ARRAY", "v STRING, arr ARRAY<STRING>", "BOOLEAN",
      "array_contains(arr, v)"),
     # linear interpolation at rank q*(n-1), matching the reference

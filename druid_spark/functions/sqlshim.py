@@ -50,6 +50,143 @@ def _rewrite_call(sql: str, fname: str, builder) -> str:
             pos = m.start() + 1
 
 
+# ---------------------------------------------------------------- sketch
+# SQL-layer sketch compositions. Theta state is an exact distinct SET
+# (array set ops mirror SketchSetPostAggregator); quantile finalizers
+# compile to exact aggregate expressions over the unwrapped column.
+
+_SKETCHY = re.compile(
+    r"(?i)\b(DS_THETA|THETA_SKETCH_INTERSECT|THETA_SKETCH_UNION"
+    r"|THETA_SKETCH_NOT|collect_set)\s*\(")
+_QSK = re.compile(r"(?is)^\s*DS_QUANTILES_SKETCH\s*\((.*)\)\s*$")
+
+
+def _top_split(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return parts
+
+
+def _strip_qsk(a: str) -> str | None:
+    """DS_QUANTILES_SKETCH(col[, k]) -> col."""
+    m = _QSK.match(a)
+    return _top_split(m.group(1))[0] if m else None
+
+
+def _quantile_call(qfn: str):
+    def build(args):
+        if len(args) < 2:
+            return None
+        col = _strip_qsk(args[0]) or args[0]
+        return f"{qfn}({col}, {args[1]})"
+    return build
+
+
+def _theta_estimate(exact: bool):
+    def build(args):
+        if len(args) != 1:
+            return None
+        a = args[0]
+        if _SKETCHY.search(a):
+            return f"SIZE({a})"
+        return (f"COUNT(DISTINCT {a})" if exact else
+                f"hll_sketch_estimate(hll_sketch_agg(CAST({a} AS STRING), 12))")
+    return build
+
+
+def _theta_setop(fn: str):
+    def build(args):
+        xs = list(args)
+        if xs and re.fullmatch(r"\d+", xs[0]):
+            xs = xs[1:]  # optional leading sketch-size arg
+        if len(xs) < 2:
+            return None
+        expr = xs[0]
+        for x in xs[1:]:
+            expr = f"{fn}({expr}, {x})"
+        return expr
+    return build
+
+
+def _theta_bounds(args):
+    # exact sets: the bounds collapse onto the estimate
+    sz = f"SIZE({args[0]}) * 1.0d"
+    return f"array({sz}, {sz}, {sz})"
+
+
+def _hll_union(args):
+    xs = list(args)
+    if xs and re.fullmatch(r"\d+", xs[0]):
+        xs = xs[1:]  # optional leading lgK
+    if len(xs) < 2:
+        return None
+    e = xs[0]
+    for x in xs[1:]:
+        e = f"hll_union({e}, {x})"
+    return e
+
+
+def _hll_bounds(args):
+    # analytic bounds at lgK=12 (RSE ~1.63%) around the estimate —
+    # HllSketchToEstimateWithBoundsPostAggregator returns
+    # [estimate, lower, upper]
+    n = args[1] if len(args) > 1 else "1"
+    est = f"hll_sketch_estimate({args[0]})"
+    return (f"array({est} * 1.0d, {est} / (1.0d + {n} * 0.0163d), "
+            f"{est} * (1.0d + {n} * 0.0163d))")
+
+
+def _ds_get_quantiles(args):
+    if len(args) < 2:
+        return None
+    col = _strip_qsk(args[0]) or args[0]
+    qs = ", ".join(f"PERCENTILE({col}, {f})" for f in args[1:])
+    return f"array({qs})"
+
+
+def _ds_rank(args):
+    # fraction of mass <= value (DoublesSketchToRank, inclusive)
+    if len(args) != 2:
+        return None
+    col = _strip_qsk(args[0]) or args[0]
+    return f"avg(CASE WHEN {col} <= {args[1]} THEN 1.0d ELSE 0.0d END)"
+
+
+def _ds_cdf(args):
+    # cumulative mass below each split point, then the total 1.0
+    # (DoublesSketchToCDF; split membership exclusive like ToHistogram)
+    if len(args) < 2:
+        return None
+    col = _strip_qsk(args[0]) or args[0]
+    items = [f"avg(CASE WHEN {col} < {s} THEN 1.0d ELSE 0.0d END)"
+             for s in args[1:]]
+    items.append("1.0d")
+    return f"array({', '.join(items)})"
+
+
+def _ds_histogram(args):
+    # per-bin counts for splits s1..sn -> n+1 bins
+    # (DoublesSketchToHistogram returns double[] masses * n)
+    if len(args) < 2:
+        return None
+    col = _strip_qsk(args[0]) or args[0]
+    splits = args[1:]
+    items = [f"sum(CASE WHEN {col} < {splits[0]} THEN 1.0d ELSE 0.0d END)"]
+    for lo, hi in zip(splits, splits[1:]):
+        items.append(f"sum(CASE WHEN {col} >= {lo} AND {col} < {hi} "
+                     "THEN 1.0d ELSE 0.0d END)")
+    items.append(f"sum(CASE WHEN {col} >= {splits[-1]} THEN 1.0d ELSE 0.0d END)")
+    return f"array({', '.join(items)})"
+
+
 _TO_UNIT_PERIOD = {
     "SECOND": "PT1S", "MINUTE": "PT1M", "HOUR": "PT1H", "DAY": "P1D",
     "WEEK": "P1W", "MONTH": "P1M", "QUARTER": "P3M", "YEAR": "P1Y",
@@ -198,6 +335,43 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
         out, "DS_HLL",
         lambda args: "hll_sketch_agg(CAST(" + args[0] + " AS STRING), "
         + (args[1] if len(args) > 1 else "12") + ")")
+    # HLL sketch-object helpers: pairwise union of sketch states;
+    # analytic error bounds around the estimate (lgK=12 → RSE ~1.63%,
+    # the reference's HllSketchToEstimateWithBoundsPostAggregator
+    # shape: [estimate, lower, upper])
+    out = _rewrite_call(out, "HLL_SKETCH_UNION", _hll_union)
+    out = _rewrite_call(out, "HLL_SKETCH_ESTIMATE_WITH_ERROR_BOUNDS",
+                        _hll_bounds)
+    # theta sketch set-op compositions (SketchSetPostAggregator
+    # analog): exact distinct SETS as the sketch state —
+    # DS_THETA builds, INTERSECT/UNION/NOT are array set ops,
+    # THETA_SKETCH_ESTIMATE over a sketch expression is SIZE. A
+    # THETA_SKETCH_ESTIMATE over a plain column stays a
+    # count-distinct shorthand (handled below with the other
+    # APPROX names).
+    out = _rewrite_call(out, "THETA_SKETCH_ESTIMATE_WITH_ERROR_BOUNDS",
+                        _theta_bounds)
+    out = _rewrite_call(out, "THETA_SKETCH_ESTIMATE", _theta_estimate(exact))
+    for op, fn in (("THETA_SKETCH_INTERSECT", "array_intersect"),
+                   ("THETA_SKETCH_UNION", "array_union"),
+                   ("THETA_SKETCH_NOT", "array_except")):
+        out = _rewrite_call(out, op, _theta_setop(fn))
+    out = _rewrite_call(
+        out, "DS_THETA",
+        lambda a: f"collect_set(CAST({a[0]} AS STRING))")
+    # Datasketches quantiles finalizer family over
+    # DS_QUANTILES_SKETCH(col[, k]) inner builds
+    # (DoublesSketchToQuantile/ToQuantiles/ToHistogram/ToCDF/ToRank
+    # post-aggregator analogs) — exact aggregate expressions
+    out = _rewrite_call(out, "DS_GET_QUANTILES", _ds_get_quantiles)
+    out = _rewrite_call(out, "DS_HISTOGRAM", _ds_histogram)
+    out = _rewrite_call(out, "DS_CDF", _ds_cdf)
+    out = _rewrite_call(out, "DS_RANK", _ds_rank)
+    # Druid ARRAY_PREPEND(value, arr) — Spark's builtin is (arr, value);
+    # swap the args (see register.py module note)
+    out = _rewrite_call(
+        out, "ARRAY_PREPEND",
+        lambda a: f"array_prepend({a[1]}, {a[0]})" if len(a) == 2 else None)
     # approx count-distinct shorthands: exact mode (the oracle contract)
     # computes the true distinct; sketch mode builds a real Datasketches
     # HLL and estimates — bounded, mergeable, ~1.6% RSE at lgK=12. The
@@ -205,8 +379,7 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     # set-op workflows go through the native-query theta path).
     for name in ("APPROX_COUNT_DISTINCT_DS_HLL",
                  "APPROX_COUNT_DISTINCT_DS_THETA",
-                 "APPROX_COUNT_DISTINCT_BUILTIN",
-                 "THETA_SKETCH_ESTIMATE"):
+                 "APPROX_COUNT_DISTINCT_BUILTIN"):
         if exact:
             out = re.sub(rf"\b{name}\(", "COUNT(DISTINCT ", out,
                          flags=re.IGNORECASE)
@@ -218,10 +391,12 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     for name in ("APPROX_QUANTILE_DS", "APPROX_QUANTILE_FIXED_BUCKETS",
                  "APPROX_QUANTILE", "DS_GET_QUANTILE"):
         # exact mode: true percentile (oracle-matching); sketch mode:
-        # Spark's approx_percentile (mergeable GK sketch)
-        out = re.sub(rf"\b{name}\(",
-                     "PERCENTILE(" if exact else "APPROX_PERCENTILE(", out,
-                     flags=re.IGNORECASE)
+        # Spark's approx_percentile (mergeable GK sketch). Strips a
+        # DS_QUANTILES_SKETCH(col[, k]) wrapper and trailing tuning
+        # args (k / bucket bounds) that Spark's percentile lacks.
+        out = _rewrite_call(
+            out, name,
+            _quantile_call("PERCENTILE" if exact else "APPROX_PERCENTILE"))
     # string / array aggregates
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)
     out = re.sub(r"\bARRAY_CONCAT_AGG\(\s*([^()]+?)\s*\)",
