@@ -522,6 +522,23 @@ _FUNCS: dict[str, Callable] = {
     "greatest": _f(F.greatest), "least": _f(F.least),
     "max": _f(F.greatest), "min": _f(F.least),
     "scalb": _f(lambda x, y: x * F.pow(F.lit(2.0), y)),
+    "todegrees": _f(F.degrees), "toradians": _f(F.radians),
+    # exact java.lang.Math semantics (signed zero, IEEE edge cases) via
+    # JVM reflection — same tradeoff as the IEEE bits conversions in
+    # functions/register.py: JVM-side, outside codegen, rare scalars
+    "copysign": _f(lambda x, y: F.reflect(
+        F.lit("java.lang.Math"), F.lit("copySign"),
+        x.cast("double"), y.cast("double")).cast("double")),
+    "nextafter": _f(lambda x, y: F.reflect(
+        F.lit("java.lang.Math"), F.lit("nextAfter"),
+        x.cast("double"), y.cast("double")).cast("double")),
+    "remainder": _f(lambda x, y: F.reflect(
+        F.lit("java.lang.Math"), F.lit("IEEEremainder"),
+        x.cast("double"), y.cast("double")).cast("double")),
+    "ulp": _f(lambda x: F.reflect(
+        F.lit("java.lang.Math"), F.lit("ulp"),
+        x.cast("double")).cast("double")),
+    "now": _f(F.current_timestamp),
     # string
     "concat": _f(F.concat),
     "format": lambda cols, nodes: F.format_string(_lit_of(nodes[0]), *cols[1:]),

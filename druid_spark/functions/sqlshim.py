@@ -58,7 +58,8 @@ def _rewrite_call(sql: str, fname: str, builder) -> str:
 _SKETCHY = re.compile(
     r"(?i)\b(DS_THETA|THETA_SKETCH_INTERSECT|THETA_SKETCH_UNION"
     r"|THETA_SKETCH_NOT|collect_set)\s*\(")
-_QSK = re.compile(r"(?is)^\s*DS_QUANTILES_SKETCH\s*\((.*)\)\s*$")
+_QSK = re.compile(
+    r"(?is)^\s*(?:DS_QUANTILES_SKETCH|TDIGEST_GENERATE_SKETCH)\s*\((.*)\)\s*$")
 
 
 def _top_split(s: str) -> list[str]:
@@ -389,7 +390,12 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
                 lambda args: "hll_sketch_estimate(hll_sketch_agg(CAST("
                 + args[0] + " AS STRING), 12))")
     for name in ("APPROX_QUANTILE_DS", "APPROX_QUANTILE_FIXED_BUCKETS",
-                 "APPROX_QUANTILE", "DS_GET_QUANTILE"):
+                 "APPROX_QUANTILE", "DS_GET_QUANTILE",
+                 # extension quantile families: t-digest
+                 # (extensions-contrib/tdigestsketch) and
+                 # spectator-histogram percentiles — same contract,
+                 # same exact/sketch compilation
+                 "TDIGEST_QUANTILE", "SPECTATOR_PERCENTILE"):
         # exact mode: true percentile (oracle-matching); sketch mode:
         # Spark's approx_percentile (mergeable GK sketch). Strips a
         # DS_QUANTILES_SKETCH(col[, k]) wrapper and trailing tuning

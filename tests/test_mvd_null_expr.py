@@ -340,3 +340,19 @@ def test_cartesian_hofs_and_base64(spark):
     assert r["cm"] == ["a1", "a2", "b1", "b2"]
     assert r["cf"] == 330
     assert r["b64"] == "hello"
+
+
+@pytest.mark.parametrize("expr,expected", [
+    ("todegrees(3.141592653589793)", 180.0),
+    ("toradians(180.0)", 3.141592653589793),
+    ("copysign(3.0, -0.5)", -3.0),
+    ("copysign(-3.0, 2.0)", 3.0),
+    ("remainder(5.0, 3.0)", -1.0),          # IEEE: 5 - 2*3 (round half even)
+    ("nextafter(1.0, 2.0)", 1.0000000000000002),
+    ("ulp(1.0)", 2.220446049250313e-16),
+])
+def test_java_math_expressions(spark, expr, expected):
+    """java.lang.Math parity scalars (Function.java CopySign/NextAfter/
+    Remainder/Ulp/ToDegrees/ToRadians)."""
+    out = spark.range(1).select(compile_expr(expr).alias("x")).collect()[0]["x"]
+    assert out == pytest.approx(expected, rel=1e-12)
