@@ -83,6 +83,21 @@ def q_ts_day_tz(spark, sf):
     }), {"total": 3})
 
 
+def q_ts_grand_total(spark, sf):
+    """context.grandTotal (TimeseriesQueryQueryToolChest.java:172):
+    per-day rows plus one trailing null-timestamp row carrying the
+    combined aggregators."""
+    return _round(_engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "events",
+        "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+        "granularity": "day",
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+        "context": {"skipEmptyBuckets": True, "grandTotal": True},
+    }), {"total": 3})
+
+
 def q_ts_zero_fill(spark, sf):
     return _round(_engine(spark, sf).query({
         "queryType": "timeseries", "dataSource": "events",
@@ -2158,6 +2173,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_day": q_ts_day,
         "ts_day_tz": q_ts_day_tz,
+        "ts_grand_total": q_ts_grand_total,
         "ts_zero_fill": q_ts_zero_fill,
         "ts_hour_filtered": q_ts_hour_filtered,
         "ts_six_hour": q_ts_six_hour,
@@ -2345,6 +2361,15 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
             GROUP BY 1""",
+        "ts_grand_total": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS __time,
+                   count(*) AS n, round(sum(value), 3) AS total
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT NULL AS __time, count(*) AS n,
+                   round(sum(value), 3) AS total
+            FROM events
+            ORDER BY __time NULLS LAST""",
         "ts_zero_fill": """
             WITH spine AS (
               SELECT unnest(generate_series(TIMESTAMP '2023-12-29',

@@ -38,12 +38,47 @@ def compile_query(engine, q: dict) -> DataFrame:
         if not q.get("context", {}).get("skipEmptyBuckets", False):
             out = _zero_fill(engine, q, gran, out)
 
+    # context.grandTotal (TimeseriesQuery.java CTX_GRAND_TOTAL,
+    # toolchest TimeseriesQueryQueryToolChest.java:172): append one
+    # null-timestamp row whose aggregators are the combine() of the
+    # per-bucket values; post-aggs then compute on it like any row
+    total = None
+    if not grain_all and q.get("context", {}).get("grandTotal", False):
+        total = _grand_total(q, out)
+
     from druid_spark.queries.groupby import _apply_post
     out = _apply_post(out, q.get("postAggregations"), plan)
     if not grain_all:
-        out = out.orderBy(F.col("__time").desc() if q.get("descending")
-                          else F.col("__time").asc())
+        out = out.orderBy(F.col("__time").desc_nulls_last()
+                          if q.get("descending")
+                          else F.col("__time").asc_nulls_last())
+    if total is not None:
+        total = _apply_post(total, q.get("postAggregations"), plan)
+        out = out.unionByName(total.select(out.columns))
     return out
+
+
+# finalized-value re-combination, the AggregatorFactory.combine()
+# analog; types whose finalized output cannot be re-combined
+# (means, finalized distinct counts) raise rather than total wrongly
+_COMBINE = {
+    "count": F.sum, "longSum": F.sum, "doubleSum": F.sum, "floatSum": F.sum,
+    "longMin": F.min, "doubleMin": F.min, "floatMin": F.min,
+    "longMax": F.max, "doubleMax": F.max, "floatMax": F.max,
+}
+
+
+def _grand_total(q, out: DataFrame) -> DataFrame:
+    exprs = []
+    for agg in q.get("aggregations") or []:
+        name = agg.get("name", agg["type"])
+        fn = _COMBINE.get(agg["type"])
+        if fn is None:
+            raise NotImplementedError(
+                f"grandTotal cannot re-combine finalized {agg['type']!r}")
+        exprs.append(fn(F.col("`" + name + "`")).alias(name))
+    return out.agg(*exprs).withColumn(
+        "__time", F.lit(None).cast("timestamp"))
 
 
 def _zero_fill(engine, q, gran, out: DataFrame) -> DataFrame:
