@@ -98,6 +98,26 @@ def q_ts_grand_total(spark, sf):
     }), {"total": 3})
 
 
+def q_vc_nested_field(spark, sf):
+    """nested-field virtual column (NestedFieldVirtualColumn.java:132):
+    typed JSON path extraction feeding aggregators, grouped per
+    event_type — structured pathParts form included via the k_max leg."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all", "dimensions": ["event_type"],
+        "virtualColumns": [
+            {"type": "nested-field", "name": "k", "columnName": "props",
+             "path": "$.k", "expectedType": "LONG"},
+            {"type": "nested-field", "name": "k2", "columnName": "props",
+             "pathParts": [{"type": "field", "field": "k"}],
+             "expectedType": "LONG"}],
+        "aggregations": [
+            {"type": "longSum", "name": "k_sum", "fieldName": "k"},
+            {"type": "longMax", "name": "k_max", "fieldName": "k2"}],
+        "limitSpec": {"type": "default",
+                      "columns": [{"dimension": "event_type"}]}})
+
+
 def q_ts_zero_fill(spark, sf):
     return _round(_engine(spark, sf).query({
         "queryType": "timeseries", "dataSource": "events",
@@ -2174,6 +2194,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_day": q_ts_day,
         "ts_day_tz": q_ts_day_tz,
         "ts_grand_total": q_ts_grand_total,
+        "vc_nested_field": q_vc_nested_field,
         "ts_zero_fill": q_ts_zero_fill,
         "ts_hour_filtered": q_ts_hour_filtered,
         "ts_six_hour": q_ts_six_hour,
@@ -2361,6 +2382,11 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
             GROUP BY 1""",
+        "vc_nested_field": """
+            SELECT event_type,
+                   sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+                   max(CAST(props->>'k' AS BIGINT)) AS k_max
+            FROM events GROUP BY 1 ORDER BY 1""",
         "ts_grand_total": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time,
                    count(*) AS n, round(sum(value), 3) AS total

@@ -53,6 +53,25 @@ def virtual_columns(spec: list[dict] | None,
         elif t == "fallback":
             cols = [res(c) for c in vc["columns"]]
             out[vc["name"]] = F.coalesce(*cols)
+        elif t == "nested-field":
+            # NestedFieldVirtualColumn.java:132 — JSON path extraction
+            # with an expected type; accepts 'path' (JSONPath "$.x.y",
+            # or jq ".x.y" with useJqSyntax) or structured 'pathParts'
+            col = res(vc.get("columnName") or vc["fieldName"])
+            path = vc.get("path")
+            if path is None and vc.get("pathParts") is not None:
+                path = "$" + "".join(
+                    f".{p['field']}" if p.get("type") == "field"
+                    else f"[{p['index']}]" for p in vc["pathParts"])
+            elif path and not path.startswith("$"):
+                path = "$" + path  # jq-style ".x.y"
+            typ = (vc.get("expectedType") or "STRING").upper()
+            base_t = {"STRING": "string", "LONG": "long",
+                      "DOUBLE": "double", "FLOAT": "float"}.get(
+                      typ.split("<")[0])
+            got = F.get_json_object(col.cast("string"), path)
+            # COMPLEX<json> / ARRAY types keep the raw JSON text
+            out[vc["name"]] = got.cast(base_t) if base_t else got
         else:
             raise NotImplementedError(f"virtual column type {t}")
     return out
