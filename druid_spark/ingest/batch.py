@@ -250,6 +250,16 @@ def run_ingestion(spark: SparkSession, spec: dict[str, Any],
         dims = [c for c in df.columns
                 if c not in ("__time",) and c not in metric_fields]
 
+    # spatialDimensions (DimensionsSpec.java:120 SpatialDimensionSchema):
+    # source coordinate columns join into one "lat,lon" encoded
+    # dimension — the format the spatial filter decodes
+    for sd in dims_spec.get("spatialDimensions") or []:
+        parts = [F.col(c).cast("string") for c in sd.get("dims") or []]
+        if parts:
+            df = df.withColumn(sd["dimName"], F.concat_ws(",", *parts))
+            if sd["dimName"] not in dims:
+                dims.append(sd["dimName"])
+
     if gran_spec.get("rollup", False):
         df = apply_rollup(df, dims, schema.get("metricsSpec") or [],
                           gran_spec.get("queryGranularity", "none"))

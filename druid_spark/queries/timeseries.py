@@ -52,6 +52,8 @@ def compile_query(engine, q: dict) -> DataFrame:
         out = out.orderBy(F.col("__time").desc_nulls_last()
                           if q.get("descending")
                           else F.col("__time").asc_nulls_last())
+    if not grain_all and q.get("limit"):
+        out = out.limit(int(q["limit"]))
     if total is not None:
         total = _apply_post(total, q.get("postAggregations"), plan)
         out = out.unionByName(total.select(out.columns))

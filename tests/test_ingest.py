@@ -320,3 +320,54 @@ def test_iso_period_to_interval():
     assert _iso_period_to_interval("P1D") == "1 days"
     assert _iso_period_to_interval("PT30M") == "30 minutes"
     assert _iso_period_to_interval("PT90S") == "90 seconds"
+
+
+def test_spatial_dimensions_ingest(spark, warehouse):
+    """spatialDimensions (DimensionsSpec.java SpatialDimensionSchema):
+    coordinate columns join into one 'lat,lon' dimension at ingest;
+    the spatial filter decodes exactly that format — full round trip."""
+    import json as _json
+    from druid_spark import DruidSparkEngine
+    from druid_spark.ingest.batch import run_ingestion
+
+    rows = [
+        {"timestamp": "2024-03-01T00:00:00Z", "city": "a",
+         "lat": 1.0, "lon": 1.0},
+        {"timestamp": "2024-03-01T01:00:00Z", "city": "b",
+         "lat": 5.0, "lon": 5.0},
+        {"timestamp": "2024-03-01T02:00:00Z", "city": "c",
+         "lat": 9.0, "lon": 9.0},
+    ]
+    spec = {
+        "type": "index_parallel",
+        "spec": {
+            "ioConfig": {
+                "inputSource": {"type": "inline",
+                                "data": "\n".join(_json.dumps(r) for r in rows)},
+                "inputFormat": {"type": "json"},
+            },
+            "dataSchema": {
+                "dataSource": "geo",
+                "timestampSpec": {"column": "timestamp", "format": "iso"},
+                "dimensionsSpec": {
+                    "dimensions": ["city"],
+                    "spatialDimensions": [
+                        {"dimName": "coord", "dims": ["lat", "lon"]}],
+                },
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "rollup": False},
+            },
+        },
+    }
+    name = run_ingestion(spark, spec, warehouse)
+    df = warehouse.table(name)
+    assert set(df.select("coord").toPandas()["coord"]) == {
+        "1.0,1.0", "5.0,5.0", "9.0,9.0"}
+    e = DruidSparkEngine(spark)
+    e.catalog.register_table("geo", df)
+    got = e.query({
+        "queryType": "scan", "dataSource": "geo", "columns": ["city"],
+        "filter": {"type": "spatial", "dimension": "coord",
+                   "bound": {"type": "rectangular", "minCoords": [0, 0],
+                             "maxCoords": [6, 6]}}})
+    assert sorted(r["city"] for r in got.collect()) == ["a", "b"]
