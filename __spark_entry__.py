@@ -628,6 +628,48 @@ def q_pii_redact(spark, sf):
             .orderBy("lang"))
 
 
+def q_pipeline_quality_dedup(spark, sf):
+    """End-to-end cleaning pipeline composition: text profiling →
+    quality gate → exact dedup by normalized fingerprint — one
+    declarative DAG (profile exprs fuse into the scan; dedup is a
+    single map-side-combined distinct), per-lang retention report."""
+    from druid_spark.datapipe import textstats
+    docs = _engine(spark, sf).catalog.table("documents")
+    kept = textstats.staged_features(docs).where(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.count_distinct("fingerprint").alias("n_uniq"))
+            .orderBy("lang"))
+
+
+def q_url_extract(spark, sf):
+    """URL parsing / normalization ops (datapipe/urls.py) for
+    web-corpus pipelines. The synthetic documents carry no URLs, so
+    both sides compose deterministic URLs from doc_id first; the
+    oracle verifies host/registrable-domain/path extraction and the
+    normalized-URL dedup count."""
+    from druid_spark.datapipe import urls
+    docs = _engine(spark, sf).catalog.table("documents")
+    i = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("HTTPS://Sub"), (i % 5).cast("string"),
+        F.lit(".Example"), (i % 3).cast("string"),
+        F.lit(".com:443/p/"), (i % 20).cast("string"),
+        F.lit("/#frag"))
+    u = docs.select(
+        urls.url_host(url).alias("host"),
+        urls.registrable_domain(url).alias("domain"),
+        urls.url_path(url).alias("path"),
+        urls.normalize_url(url).alias("norm"))
+    return (u.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct("host").alias("hosts"),
+                 F.count_distinct("path").alias("paths"),
+                 F.count_distinct("norm").alias("uniq_urls"))
+            .orderBy("domain"))
+
+
 def q_boilerplate_removal(spark, sf):
     """Corpus-level boilerplate-line removal (CCNet-style). The
     synthetic corpus is single-line so nothing crosses the document-
@@ -2234,6 +2276,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "boilerplate_removal": q_boilerplate_removal,
         "pii_redact": q_pii_redact,
+        "pipeline_quality_dedup": q_pipeline_quality_dedup,
+        "url_extract": q_url_extract,
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
         "sample_stratified": q_sample_stratified,
@@ -2763,6 +2807,38 @@ def _base_oracle_sql() -> dict[str, str]:
                    round(sum({_QUALITY}), 3) AS quality_sum,
                    sum({_NTOK}) AS tokens
             FROM documents GROUP BY 1""",
+        "pipeline_quality_dedup": f"""
+            SELECT lang, count(*) AS n_kept,
+                   count(DISTINCT md5({_NORM})) AS n_uniq
+            FROM documents
+            WHERE {_QUALITY} >= 0.5 AND {_NTOK} >= 10
+            GROUP BY 1 ORDER BY 1""",
+        "url_extract": r"""
+            WITH u AS (
+              SELECT 'HTTPS://Sub' || (doc_id % 5) || '.Example' ||
+                     (doc_id % 3) || '.com:443/p/' || (doc_id % 20) ||
+                     '/#frag' AS url
+              FROM documents),
+            p AS (
+              SELECT
+                regexp_replace(lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                  ':[0-9]+$', '') AS host,
+                regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+                lower(regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_replace(regexp_replace(url,
+                  '#.*$', ''), ':(80|443)/', '/'), '/+$', '') AS stripped
+              FROM u)
+            SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+                   count(*) AS n, count(DISTINCT host) AS hosts,
+                   count(DISTINCT path) AS paths,
+                   count(DISTINCT scheme || '://' || host ||
+                     regexp_extract(stripped,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$', 1))
+                     AS uniq_urls
+            FROM p GROUP BY 1 ORDER BY 1""",
         "gb_quantile_sketch": """
             SELECT l_returnflag,
                    round(quantile_cont(l_quantity, 0.5), 4) AS p50,
