@@ -2207,6 +2207,26 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                     c_mktsegment), 0) AS INT) AS seg_ord,
           length(c_name) AS ln
         FROM customer ORDER BY c_custkey LIMIT 20"""),
+    # EXTRACT unit matrix incl. units Spark lacks — routed through
+    # TIME_EXTRACT (TimestampExtractExprMacro joda semantics:
+    # DOW/ISODOW Monday=1..Sunday=7)
+    "sqlc_extract_units": ("""
+        SELECT EXTRACT(DOW FROM __time) AS dow,
+               EXTRACT(ISODOW FROM __time) AS isodow,
+               EXTRACT(ISOYEAR FROM __time) AS iy,
+               EXTRACT(DECADE FROM __time) AS dec,
+               EXTRACT(CENTURY FROM __time) AS cen,
+               EXTRACT(MILLENNIUM FROM __time) AS mil,
+               min(EXTRACT(EPOCH FROM __time)) AS first_ep,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""", """
+        SELECT isodow(ts) AS dow, isodow(ts) AS isodow,
+               isoyear(ts) AS iy, CAST(decade(ts) AS BIGINT) AS dec,
+               CAST(century(ts) AS BIGINT) AS cen,
+               CAST(millennium(ts) AS BIGINT) AS mil,
+               CAST(floor(min(epoch(ts))) AS BIGINT) AS first_ep,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1"""),
     "sqlc_nvl_forms": ("""
         SELECT NVL(NULLIF(o_orderstatus, 'O'), 'open') AS st,
                IFNULL(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS pri,

@@ -105,7 +105,7 @@ _FUNCS: list[tuple[str, str, str, str]] = [
         WHEN 'DOY' THEN dayofyear(ts)
         WHEN 'WEEK' THEN weekofyear(ts) WHEN 'MONTH' THEN month(ts)
         WHEN 'QUARTER' THEN quarter(ts) WHEN 'YEAR' THEN year(ts)
-        WHEN 'ISOYEAR' THEN year(ts)
+        WHEN 'ISOYEAR' THEN extract(YEAROFWEEK FROM ts)
         WHEN 'DECADE' THEN floor(year(ts) / 10)
         WHEN 'CENTURY' THEN ceil(year(ts) / 100)
         WHEN 'MILLENNIUM' THEN ceil(year(ts) / 1000)

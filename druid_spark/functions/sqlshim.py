@@ -209,6 +209,22 @@ def _floor_ceil_to(target):
     return build
 
 
+_EXTRACT_SPECIAL = {"DOW", "ISODOW", "EPOCH", "ISOYEAR", "DECADE",
+                    "CENTURY", "MILLENNIUM", "MILLISECOND"}
+
+
+def _extract_special(args):
+    if len(args) != 1:
+        return None
+    m = re.match(r"(?is)^\s*(\w+)\s+FROM\s+(.*)$", args[0])
+    if not m:
+        return None
+    unit = m.group(1).upper()
+    if unit not in _EXTRACT_SPECIAL:
+        return None  # identical semantics in Spark's native EXTRACT
+    return f"TIME_EXTRACT({m.group(2)}, '{unit}')"
+
+
 def _time_parse(args):
     if len(args) == 2:
         return f"TO_TIMESTAMP({args[0]}, {args[1]})"
@@ -435,6 +451,11 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = _rewrite_call(
         out, "DIV", lambda a: f"(CAST({a[0]} AS BIGINT) DIV CAST({a[1]} AS BIGINT))"
         if len(a) == 2 else None)
+    # EXTRACT units Spark lacks (ISODOW/EPOCH/ISOYEAR/DECADE/CENTURY/
+    # MILLENNIUM) or defines differently (DOW: Spark is Sunday=0,
+    # Druid's TimestampExtractExprMacro is joda Monday=1..Sunday=7)
+    # route through the TIME_EXTRACT shim; standard units stay native
+    out = _rewrite_call(out, "EXTRACT", _extract_special)
     # Druid TIME_* optional-argument forms → the fixed-arity shims
     out = _rewrite_call(out, "TIME_PARSE", _time_parse)
     out = _rewrite_call(out, "TIME_EXTRACT", _time_extract_tz)
