@@ -829,9 +829,18 @@ def q_text_quality_by_source(spark, sf):
 
 
 def q_mm_features(spark, sf):
+    """Multimodal feature extraction: REAL decode for PPM images /
+    PCM WAV audio (pure numpy + stdlib — channel means, RMS, ZCR),
+    deterministic stub for compressed video (no media libs in
+    container)."""
     from druid_spark.datapipe import multimodal
     media = multimodal.demo_media_df(spark, 32)
-    feats = multimodal.extract_features(media, dim=8)
+    real = multimodal.extract_features(
+        media.where(F.col("kind").isin("image", "audio")),
+        dim=8, decode_stub=False)
+    stub = multimodal.extract_features(
+        media.where(F.col("kind") == "video"), dim=8)
+    feats = real.unionByName(stub)
     return feats.select("media_id", "kind", "n_bytes",
                         F.round(F.element_at("feature", 1), 6).alias("f0"))
 

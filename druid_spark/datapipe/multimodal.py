@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partition-preserving mapInPandas,
-Arrow batch shapes) is real and tested; the actual decode/resample
-steps are STUBBED (image/audio libs are not in this container) behind
-`decode_stub=True` → a deterministic fake derived from the bytes, or
-NotImplementedError when a real decode is requested.
+Arrow batch shapes) is real and tested. The decode step is REAL for
+formats that need no external libraries — PPM (P6) images parse with
+numpy, PCM WAV audio with the stdlib ``wave`` module — and STUBBED for
+compressed formats (JPEG/PNG/MP4: PIL/librosa/av are not in this
+container): `decode_stub=True` derives a deterministic fake feature
+from the bytes; `decode_stub=False` really decodes supported mimes and
+raises NotImplementedError for unsupported ones.
 
 Pattern for 100 TB: binary payloads ride in their own column so Parquet
 column pruning skips them unless the operator touches them; feature
@@ -16,9 +19,12 @@ decoded frames fits executor memory.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -50,42 +56,151 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [int.from_bytes(h[4 * i: 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
+# ------------------------------------------------------- real decoders
+# Library-free formats: PPM P6 (numpy) and PCM WAV (stdlib wave).
+# Compressed formats need PIL/librosa/av and stay stubbed.
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """P6 binary PPM → (h, w, 3) uint8 array."""
+    if not b or not b.startswith(b"P6"):
+        raise NotImplementedError("only P6 PPM images decode without PIL")
+    toks, i = [], 2
+    while len(toks) < 3:  # width, height, maxval (comments skipped)
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        if b[i:i + 1] == b"#":
+            while i < len(b) and b[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        toks.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, _maxval = toks
+    return np.frombuffer(b, dtype=np.uint8,
+                         count=w * h * 3, offset=i).reshape(h, w, 3)
+
+
+def _encode_ppm(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (float samples in [-1, 1], sample rate)."""
+    with wave.open(io.BytesIO(b)) as wf:
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    return x, rate
+
+
+def _pad(vals: list[float], dim: int) -> list[float]:
+    vals = list(vals)[:dim]
+    return vals + [0.0] * (dim - len(vals))
+
+
+def _image_feature(arr: np.ndarray, dim: int) -> list[float]:
+    r, g, b = (arr[..., c].mean() / 255.0 for c in range(3))
+    luma = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    h, w = arr.shape[:2]
+    return _pad([r, g, b, luma, float(w), float(h),
+                 arr.std() / 255.0], dim)
+
+
+def _audio_feature(x: np.ndarray, rate: int, dim: int) -> list[float]:
+    rms = float(np.sqrt((x ** 2).mean())) if x.size else 0.0
+    zcr = float((np.diff(np.signbit(x)) != 0).mean()) if x.size > 1 else 0.0
+    return _pad([rms, zcr, x.size / rate, float(rate),
+                 float(np.abs(x).max()) if x.size else 0.0], dim)
+
+
+def _real_feature(payload: bytes, mime: str, dim: int) -> list[float]:
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        return _image_feature(_decode_ppm(payload), dim)
+    if mime in ("audio/wav", "audio/x-wav"):
+        return _audio_feature(*_decode_wav(payload), dim)
+    raise NotImplementedError(
+        f"decode for {mime!r} needs PIL/librosa/av (not in container); "
+        "PPM and WAV decode for real")
+
+
 def extract_features(df: DataFrame, dim: int = 8,
                      decode_stub: bool = True) -> DataFrame:
     """payload → feature vector via Arrow-batched mapInPandas.
 
-    With decode_stub=False this is where PIL/librosa/pyav decoding would
-    run per batch; not available in this container →
-    NotImplementedError (clearly-marked stub per the build contract).
+    decode_stub=True: deterministic sha-derived fake (any mime).
+    decode_stub=False: REAL decode — PPM images (channel means, luma,
+    dims, contrast) and PCM WAV audio (RMS, zero-crossing rate,
+    duration, rate, peak) need no external libs; compressed mimes
+    raise NotImplementedError (clearly-marked stub per the contract).
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real media decode requires PIL/librosa/av — not in container; "
-            "use decode_stub=True")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = pd.DataFrame({
+            if decode_stub:
+                feats = [_fake_feature(p, dim) for p in pdf["payload"]]
+            else:
+                feats = [_real_feature(p, m, dim)
+                         for p, m in zip(pdf["payload"], pdf["mime"])]
+            yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "feature": [_fake_feature(p, dim) for p in pdf["payload"]],
+                "feature": feats,
                 "n_bytes": [len(p) if p is not None else 0
                             for p in pdf["payload"]],
             })
-            yield out
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int, height: int,
                   decode_stub: bool = True) -> DataFrame:
-    """Image resize plumbing: metadata columns update JVM-side; payload
-    transform is the stubbed decode step (identity bytes under stub)."""
-    if not decode_stub:
-        raise NotImplementedError("real resize requires PIL — use decode_stub")
-    return (df.where(F.col("kind") == "image")
-            .withColumn("width", F.lit(width))
-            .withColumn("height", F.lit(height)))
+    """Image resize. Stub mode updates metadata only (identity bytes);
+    decode_stub=False really decodes PPM payloads, mean-pools to the
+    target grid, and re-encodes — pure numpy, Arrow-batched."""
+    imgs = df.where(F.col("kind") == "image")
+    if decode_stub:
+        return (imgs.withColumn("width", F.lit(width))
+                .withColumn("height", F.lit(height)))
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                arr = _decode_ppm(p)
+                h, w = arr.shape[:2]
+                # mean-pool into the target grid (area interpolation)
+                ys = np.linspace(0, h, height + 1).astype(int)
+                xs = np.linspace(0, w, width + 1).astype(int)
+                pooled = np.empty((height, width, 3), dtype=np.uint8)
+                for yi in range(height):
+                    for xi in range(width):
+                        cell = arr[ys[yi]:max(ys[yi + 1], ys[yi] + 1),
+                                   xs[xi]:max(xs[xi + 1], xs[xi] + 1)]
+                        pooled[yi, xi] = cell.reshape(-1, 3).mean(axis=0)
+                payloads.append(_encode_ppm(pooled))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "payload": payloads,
+                "width": width, "height": height,
+            })
+
+    return imgs.mapInPandas(batches, schema=out_schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000,
@@ -105,13 +220,31 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
 
 def demo_media_df(spark, n: int = 32) -> DataFrame:
-    """Deterministic synthetic media table for tests."""
+    """Deterministic synthetic media table: REAL P6 PPM images and
+    PCM WAV clips (decodable without any media library), plus opaque
+    fake-video bytes for the stubbed path."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(str(i).encode()).digest() * 4
-        rows.append((i, kind, bytearray(payload), f"x/{kind}",
-                     64 if kind == "image" else None,
-                     48 if kind == "image" else None,
-                     5000 if kind != "image" else None))
+        if kind == "image":
+            rng = np.random.default_rng(i)
+            arr = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+            payload, mime = _encode_ppm(arr), "image/x-portable-pixmap"
+            w, h, dur = 64, 48, None
+        elif kind == "audio":
+            rate = 8000
+            t = np.arange(rate // 2) / rate  # 0.5 s mono sine
+            x = 0.5 * np.sin(2 * np.pi * (220 + 10 * i) * t)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes((x * 32767).astype("<i2").tobytes())
+            payload, mime = buf.getvalue(), "audio/wav"
+            w, h, dur = None, None, 500
+        else:
+            payload = hashlib.sha256(str(i).encode()).digest() * 4
+            mime, w, h, dur = "video/mp4", None, None, 5000
+        rows.append((i, kind, bytearray(payload), mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

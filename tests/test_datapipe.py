@@ -176,8 +176,9 @@ def test_multimodal_frames_and_resize(spark):
     assert all(r["frame_ts"] % 1000 == 0 for r in frames)
     resized = multimodal.resize_images(media, 32, 32).collect()
     assert all(r["width"] == 32 for r in resized)
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, decode_stub=False)
+    # real decode now exists for PPM/WAV (see test_multimodal_real_*);
+    # only lib-requiring mimes raise, covered by
+    # test_multimodal_unsupported_mime_raises
 
 
 def test_connected_components_clusters(spark):
@@ -275,3 +276,46 @@ def test_repetition_profile(spark):
     assert out[2]["top_bigram_frac"] == 0.5
     assert out[3]["dup_word_ratio"] == 0.0
     assert out[3]["n_tokens"] == 4
+
+
+def test_multimodal_real_decode(spark):
+    """Real library-free decode: PPM channel stats and WAV RMS match
+    the known synthetic content (sine at 0.5 amplitude -> RMS ~0.354;
+    uniform-random image -> channel means ~0.5)."""
+    media = multimodal.demo_media_df(spark, 12)
+    real = multimodal.extract_features(
+        media.where(F.col("kind").isin("image", "audio")),
+        dim=8, decode_stub=False).collect()
+    by_kind = {}
+    for r in real:
+        by_kind.setdefault(r["kind"], []).append(r["feature"])
+    for f in by_kind["image"]:
+        r, g, b, luma, w, h, contrast = f[:7]
+        assert (w, h) == (64.0, 48.0)
+        assert 0.4 < r < 0.6 and 0.4 < luma < 0.6 and contrast > 0.1
+    for f in by_kind["audio"]:
+        rms, zcr, dur, rate, peak = f[:5]
+        assert abs(rms - 0.5 / 2 ** 0.5) < 0.01     # sine RMS = A/sqrt(2)
+        assert abs(dur - 0.5) < 1e-6 and rate == 8000.0
+        assert 0.45 <= peak <= 0.5 and zcr > 0.01
+
+
+def test_multimodal_real_resize(spark):
+    media = multimodal.demo_media_df(spark, 6)
+    small = multimodal.resize_images(media, 8, 6, decode_stub=False).collect()
+    assert len(small) == 2  # ids 0 and 3 are images
+    for r in small:
+        arr = multimodal._decode_ppm(bytes(r["payload"]))
+        assert arr.shape == (6, 8, 3)
+    # mean-pooling preserves the global mean (uniform grid divides 48x64)
+    src = multimodal._decode_ppm(bytes(
+        multimodal.demo_media_df(spark, 1).first()["payload"]))
+    pooled = multimodal._decode_ppm(bytes(
+        [r for r in small if r["media_id"] == 0][0]["payload"]))
+    assert abs(float(src.mean()) - float(pooled.mean())) < 2.0
+
+
+def test_multimodal_unsupported_mime_raises(spark):
+    media = multimodal.demo_media_df(spark, 12).where(F.col("kind") == "video")
+    with pytest.raises(Exception, match="PIL|librosa|av"):
+        multimodal.extract_features(media, decode_stub=False).collect()
