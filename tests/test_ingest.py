@@ -371,3 +371,45 @@ def test_spatial_dimensions_ingest(spark, warehouse):
                    "bound": {"type": "rectangular", "minCoords": [0, 0],
                              "maxCoords": [6, 6]}}})
     assert sorted(r["city"] for r in got.collect()) == ["a", "b"]
+
+
+def test_streaming_rollup_sketch_state(spark, tmp_path):
+    """Streaming rollup whose distinct state is a mergeable HLL sketch
+    column (hllState) — bounded per-bucket bytes at any cardinality,
+    re-merged at query time with hllUnionEstimate: the 100 TB
+    streaming-distinct mode."""
+    from druid_spark.aggregations import AggCompiler
+    from druid_spark.streaming.ingest import StreamingIngest, read_stream
+
+    src_dir = tmp_path / "stream_sk"
+    src_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("u", T.LongType())])
+    (src_dir / "b1.json").write_text("\n".join(
+        json.dumps({"timestamp": f"2024-05-01T00:00:{s:02d}.000Z",
+                    "k": "a", "u": s % 7}) for s in range(30)))
+    (src_dir / "b2.json").write_text(
+        json.dumps({"timestamp": "2024-05-01T01:00:00.000Z",
+                    "k": "a", "u": 99}))
+
+    stream = read_stream(spark, {"type": "file", "format": "json",
+                                 "path": str(src_dir), "schema": schema})
+    ing = StreamingIngest(spark, str(tmp_path / "swh_sk"), "rolled_sk")
+    for _ in range(2):  # second pass closes the watermark window
+        q = ing.start_rollup(stream, dims=["k"],
+                             metrics=[{"type": "count", "name": "count"},
+                                      {"type": "hllState", "name": "u_sk",
+                                       "fieldName": "u"}],
+                             query_granularity="minute")
+        q.awaitTermination(120)
+    view = ing.view()
+    closed = view.where(F.col("count") == 30)
+    row = closed.first()
+    assert row is not None and isinstance(row["u_sk"], (bytes, bytearray))
+    est = closed.groupBy("k").agg(
+        AggCompiler(F.col).compile_all(
+            [{"type": "hllUnionEstimate", "name": "users",
+              "fieldName": "u_sk"}])[0]).first()
+    assert est["users"] == 7  # HLL exact at tiny cardinality
