@@ -2236,6 +2236,68 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(floor(min(epoch(ts))) AS BIGINT) AS first_ep,
                count(*) AS n
         FROM events GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1"""),
+    # --- batch 4: CUBE, VALUES, LATERAL, ALL set ops, IGNORE NULLS,
+    # ordinal ORDER BY, FILTERed distinct
+    "sqlc_cube": ("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST""", None),
+    "sqlc_values_list": ("""
+        SELECT t.flag, count(*) AS n
+        FROM lineitem l
+        JOIN (VALUES ('A', 'ret'), ('N', 'ok'), ('R', 'ret'))
+             AS t(code, flag)
+          ON l.l_returnflag = t.code
+        GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_lateral": ("""
+        SELECT n.n_name, top_c.c_name
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_name FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 1) AS top_c
+        ORDER BY n.n_name""", """
+        SELECT n.n_name, top_c.c_name
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_name FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 1) AS top_c ON true
+        ORDER BY n.n_name"""),
+    "sqlc_intersect_except_all": ("""
+        SELECT count(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""", None),
+    "sqlc_ignore_nulls_window": ("""
+        SELECT o_orderkey,
+               LAG(big_price) IGNORE NULLS
+                 OVER (ORDER BY o_orderkey) AS prev_big
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_totalprice > 300000
+                          THEN round(o_totalprice, 2) END AS big_price
+              FROM orders WHERE o_orderkey <= 2000)
+        ORDER BY o_orderkey LIMIT 50""", """
+        SELECT o_orderkey,
+               LAG(big_price IGNORE NULLS)
+                 OVER (ORDER BY o_orderkey) AS prev_big
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_totalprice > 300000
+                          THEN round(o_totalprice, 2) END AS big_price
+              FROM orders WHERE o_orderkey <= 2000)
+        ORDER BY o_orderkey LIMIT 50"""),
+    "sqlc_order_by_ordinal": ("""
+        SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2)
+                 AS total
+        FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 5""", None),
+    "sqlc_count_distinct_filter": ("""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey)
+                 FILTER (WHERE o_totalprice > 200000) AS big_custs,
+               count(DISTINCT o_orderpriority) AS prios
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
     "sqlc_nvl_forms": ("""
         SELECT NVL(NULLIF(o_orderstatus, 'O'), 'open') AS st,
                IFNULL(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS pri,
