@@ -181,6 +181,31 @@ class TableService:
             out = out.sortWithinPartitions("__dt", *cluster_by)
         out.write.mode(mode).partitionBy("__dt").parquet(self.path(datasource))
 
+    def write_bucketed(self, df: DataFrame, datasource: str,
+                       bucket_by: list[str], n_buckets: int = 32,
+                       sort_by: list[str] | None = None,
+                       mode: str = "overwrite") -> str:
+        """Hash-bucketed segment table (the hashed shard-spec /
+        DimensionRangeShardSpec co-location analog,
+        processing/.../timeline/partition/HashBasedNumberedShardSpec.java).
+
+        Two tables bucketed on their join keys with the same bucket
+        count join WITHOUT a shuffle — Spark reads bucket i of both
+        sides into the same task. At 100 TB this converts the nightly
+        fact-to-fact join from a full network shuffle into local
+        merges; the bucket count should be sized so one bucket of the
+        larger table fits an executor core (e.g. 4096 for 100 TB).
+        Requires the session catalog (saveAsTable) — bucket metadata
+        lives there, not in plain parquet paths."""
+        name = f"bucketed_{datasource}"
+        writer = (df.write.mode(mode).format("parquet")
+                  .option("path", self.path(name))
+                  .bucketBy(n_buckets, *bucket_by))
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.saveAsTable(name)
+        return name
+
     def table(self, datasource: str) -> DataFrame:
         return self.spark.read.parquet(self.path(datasource)).drop("__dt")
 

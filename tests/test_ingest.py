@@ -413,3 +413,24 @@ def test_streaming_rollup_sketch_state(spark, tmp_path):
             [{"type": "hllUnionEstimate", "name": "users",
               "fieldName": "u_sk"}])[0]).first()
     assert est["users"] == 7  # HLL exact at tiny cardinality
+
+
+def test_bucketed_join_no_shuffle(spark, warehouse):
+    """Co-bucketed tables (hashed shard-spec analog) join without a
+    shuffle: the physical plan has no Exchange on either join side —
+    the property that turns a 100 TB fact-to-fact join into local
+    per-bucket merges."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    t1 = warehouse.write_bucketed(orders, "ord_b", ["o_custkey"], 8,
+                                  sort_by=["o_custkey"])
+    t2 = warehouse.write_bucketed(cust, "cust_b", ["c_custkey"], 8,
+                                  sort_by=["c_custkey"])
+    a, b = spark.table(t1), spark.table(t2)
+    # merge hint: at test scale Spark would broadcast instead (which
+    # also skips the shuffle); at fact-to-fact scale SMJ is the plan,
+    # and bucketing is what removes its exchanges
+    joined = a.hint("merge").join(b, a["o_custkey"] == b["c_custkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert joined.count() == orders.count()  # every order has a customer
