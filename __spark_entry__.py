@@ -98,6 +98,23 @@ def q_ts_grand_total(spark, sf):
     }), {"total": 3})
 
 
+def q_asof_join(spark, sf):
+    """As-of join (queries/asof.py — beyond-reference operator; the
+    reference's joins are equi-only): each click enriched with the
+    most recent at-or-before purchase value per user. Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from druid_spark.queries.asof import asof_join
+    ev = _engine(spark, sf).catalog.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "__time")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "__time", "value")
+    j = asof_join(clicks, purch, on=["user_id"])
+    return (j.select("event_id",
+                     F.round("r_value", 3).alias("last_purchase_value"))
+            .orderBy("event_id"))
+
+
 def q_vc_nested_field(spark, sf):
     """nested-field virtual column (NestedFieldVirtualColumn.java:132):
     typed JSON path extraction feeding aggregators, grouped per
@@ -2328,6 +2345,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_day_tz": q_ts_day_tz,
         "ts_grand_total": q_ts_grand_total,
         "vc_nested_field": q_vc_nested_field,
+        "asof_join": q_asof_join,
         "ts_zero_fill": q_ts_zero_fill,
         "ts_hour_filtered": q_ts_hour_filtered,
         "ts_six_hour": q_ts_six_hour,
@@ -2517,6 +2535,14 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
             GROUP BY 1""",
+        "asof_join": """
+            SELECT c.event_id, round(p.value, 3) AS last_purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.event_id""",
         "vc_nested_field": """
             SELECT event_type,
                    sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
