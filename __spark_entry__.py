@@ -115,6 +115,26 @@ def q_asof_join(spark, sf):
             .orderBy("event_id"))
 
 
+def q_range_join(spark, sf):
+    """Range join (queries/rangejoin.py): events.value assigned to
+    price bands by interval containment — bucketed equi-join plan, no
+    BroadcastNestedLoopJoin. Oracle: DuckDB inequality join."""
+    from druid_spark.queries.rangejoin import range_join
+    eng = _engine(spark, sf)
+    ev = eng.catalog.table("events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(float(i * 25), float(i * 25 + 24.999), f"band_{i}")
+         for i in range(8)], ["lo", "hi", "band"])
+    j = range_join(ev, bands, point="value", lo="lo", hi="hi",
+                   bucket_width=25.0)
+    assert "BroadcastNestedLoopJoin" not in \
+        j._jdf.queryExecution().executedPlan().toString()
+    return (j.groupBy(F.col("r_band").alias("band"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 3).alias("v_sum"))
+            .orderBy("band"))
+
+
 def q_vc_nested_field(spark, sf):
     """nested-field virtual column (NestedFieldVirtualColumn.java:132):
     typed JSON path extraction feeding aggregators, grouped per
@@ -2346,6 +2366,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_grand_total": q_ts_grand_total,
         "vc_nested_field": q_vc_nested_field,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "ts_zero_fill": q_ts_zero_fill,
         "ts_hour_filtered": q_ts_hour_filtered,
         "ts_six_hour": q_ts_six_hour,
@@ -2535,6 +2556,15 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
             GROUP BY 1""",
+        "range_join": """
+            WITH bands AS (
+              SELECT i * 25.0 AS lo, i * 25.0 + 24.999 AS hi,
+                     'band_' || i AS band
+              FROM range(8) t(i))
+            SELECT b.band, count(*) AS n, round(sum(e.value), 3) AS v_sum
+            FROM events e JOIN bands b
+              ON e.value >= b.lo AND e.value <= b.hi
+            GROUP BY 1 ORDER BY 1""",
         "asof_join": """
             SELECT c.event_id, round(p.value, 3) AS last_purchase_value
             FROM (SELECT event_id, user_id, ts FROM events
