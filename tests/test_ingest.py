@@ -434,3 +434,20 @@ def test_bucketed_join_no_shuffle(spark, warehouse):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert joined.count() == orders.count()  # every order has a customer
+
+
+def test_salted_join_equivalence(spark):
+    """salted_join == plain join row-for-row; hot keys spread across
+    salts (the extreme-skew lever AQE's split can't always reach)."""
+    from druid_spark.skew import salted_join
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .withColumnRenamed("o_custkey", "k")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet") \
+        .withColumnRenamed("c_custkey", "k")
+    plain = orders.join(cust, "k").count()
+    salted = salted_join(orders, cust, on=["k"], n_salts=8)
+    assert salted.count() == plain
+    left_k = {r["k"] for r in orders.select("k").distinct().collect()}
+    out_k = {r["k"] for r in salted.select("k").distinct().collect()}
+    assert out_k == left_k
