@@ -2335,6 +2335,54 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  FILTER (WHERE o_totalprice > 200000) AS big_custs,
                count(DISTINCT o_orderpriority) AS prios
         FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # --- batch 5: HAVING subquery, tuple IN, year-month intervals,
+    # LIKE ESCAPE, OVERLAY, window-over-aggregate, negative SUBSTRING
+    "sqlc_having_subquery": ("""
+        SELECT o_custkey, count(*) AS n
+        FROM orders GROUP BY 1
+        HAVING count(*) > (SELECT count(*) FROM orders)
+                          / (SELECT count(DISTINCT o_custkey) FROM orders)
+        ORDER BY n DESC, o_custkey LIMIT 10""", None),
+    "sqlc_tuple_in_subquery": ("""
+        SELECT count(*) AS n FROM lineitem
+        WHERE (l_returnflag, l_linestatus) IN
+              (SELECT l_returnflag, l_linestatus FROM lineitem
+               GROUP BY 1, 2 HAVING count(*) > 100)""", """
+        SELECT count(*) AS n FROM lineitem l
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem g
+          WHERE g.l_returnflag = l.l_returnflag
+            AND g.l_linestatus = l.l_linestatus
+          GROUP BY g.l_returnflag, g.l_linestatus
+          HAVING count(*) > 100)"""),
+    "sqlc_interval_ym": ("""
+        SELECT count(*) AS n,
+               min(o_orderdate + INTERVAL '1-2' YEAR TO MONTH) AS shifted
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""", """
+        SELECT count(*) AS n,
+               (min(o_orderdate) + INTERVAL 14 MONTH)::TIMESTAMP AS shifted
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'"""),
+    "sqlc_like_escape": ("""
+        SELECT count(*) AS with_urgent,
+               sum(CASE WHEN o_orderpriority LIKE '%!_URGENT' ESCAPE '!'
+                        THEN 1 ELSE 0 END) AS underscore_urgent
+        FROM orders""", None),
+    "sqlc_overlay": ("""
+        SELECT OVERLAY(c_name PLACING 'XXX' FROM 10 FOR 3) AS masked,
+               SUBSTRING(c_name FROM -4) AS tail4
+        FROM customer ORDER BY c_custkey LIMIT 10""", """
+        SELECT substr(c_name, 1, 9) || 'XXX' || substr(c_name, 13) AS masked,
+               substr(c_name, length(c_name) - 3) AS tail4
+        FROM customer ORDER BY c_custkey LIMIT 10"""),
+    "sqlc_window_over_agg": ("""
+        SELECT o_orderpriority, total,
+               RANK() OVER (ORDER BY total DESC) AS rnk,
+               round(total * 100.0 / sum(total) OVER (), 3) AS pct
+        FROM (SELECT o_orderpriority, round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY 1)
+        ORDER BY rnk, o_orderpriority""", None),
     "sqlc_nvl_forms": ("""
         SELECT NVL(NULLIF(o_orderstatus, 'O'), 'open') AS st,
                IFNULL(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS pri,
