@@ -2383,6 +2383,13 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM (SELECT o_orderpriority, round(sum(o_totalprice), 2) AS total
               FROM orders GROUP BY 1)
         ORDER BY rnk, o_orderpriority""", None),
+    "sqlc_is_distinct_from": ("""
+        SELECT count(*) AS diff_pairs,
+               sum(CASE WHEN NULLIF(o_orderstatus, 'P')
+                        IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'P')
+                        THEN 1 ELSE 0 END) AS self_same
+        FROM orders
+        WHERE o_orderstatus IS DISTINCT FROM o_orderpriority""", None),
     "sqlc_nvl_forms": ("""
         SELECT NVL(NULLIF(o_orderstatus, 'O'), 'open') AS st,
                IFNULL(NULLIF(o_orderpriority, '1-URGENT'), 'urgent') AS pri,
