@@ -51,6 +51,23 @@ def _fix_nanos(df: DataFrame, path: str) -> DataFrame:
     return df
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (UTC instant).
+
+    The engine models all time as UTC instants (reference
+    processing/.../column/ColumnHolder.java `__time` is millis-UTC). A
+    session the engine didn't create may have read parquet with
+    `inferTimestampNTZ` on, yielding TIMESTAMP_NTZ columns that break
+    `unix_millis`, `session_window` and oracle type parity — normalize
+    at registration so no downstream operator ever sees NTZ."""
+    from pyspark.sql import types as T
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    for name in ntz:
+        df = df.withColumn(name, F.col(name).cast(T.TimestampType()))
+    return df
+
+
 class Catalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -91,6 +108,7 @@ class Catalog:
             df = source
             if source_path:
                 self._paths[name] = source_path
+        df = _normalize_ntz(df)
         if time_column and time_column in df.columns and "__time" not in df.columns:
             df = df.withColumn("__time", F.col(time_column))
         self._tables[name] = df

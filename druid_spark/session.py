@@ -23,6 +23,10 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     # read parquet TIMESTAMP(NANOS) as long; Catalog converts to timestamp
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # never infer TIMESTAMP_NTZ from parquet isAdjustedToUTC=false columns:
+    # the engine models all instants as TIMESTAMP (UTC), and NTZ breaks
+    # unix_millis()/session_window and type-string parity with the oracle
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Druid reports instants in UTC; granularity tz is applied per-query
     "spark.sql.session.timeZone": "UTC",
     # Druid expression semantics: integer arithmetic wraps, bad casts

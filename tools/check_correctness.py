@@ -24,9 +24,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _isnull(v):
+    if v is None:
+        return True
+    try:
+        return bool(v != v)  # NaN/NaT; raises/False for arrays & values
+    except Exception:
+        return False
+
+
 def canon(v):
     if v is None:
         return "NULL"
+    if hasattr(v, "tolist") and not isinstance(v, (bytes, bytearray)):
+        v = v.tolist()  # numpy array (duckdb LIST via pandas) / numpy scalar
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -44,6 +55,33 @@ def canon(v):
 def rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def dtype_drift(sdf, duck_df):
+    """Driver-hash risk lint: the driver hashes pandas frames, where
+    DuckDB HUGEINT/DECIMAL aggregates surface as float64 ('5.0') while
+    Spark BIGINT gives int64 ('5') — rows+values pass stringly but the
+    hash differs. Flag any column that is integer-kind on one side and
+    float-kind on the other. (CAST the aggregate to BIGINT/DOUBLE in
+    both query and oracle to fix.)"""
+    from pyspark.sql import types as T
+    INT_T = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    FLT_T = (T.FloatType, T.DoubleType)
+    skind = {}
+    for f in sdf.schema.fields:
+        skind[f.name] = ("i" if isinstance(f.dataType, INT_T)
+                         else "f" if isinstance(f.dataType, FLT_T) else "?")
+    bad = []
+    for c in duck_df.columns:
+        k = duck_df[c].dtype.kind  # 'i','u','f','b','M','O',...
+        okind = "i" if k in "iu" else "f" if k == "f" else "?"
+        if okind == "f" and duck_df[c].isna().any():
+            continue  # float64 via NULL-coercion, not a type mismatch
+        sk = skind.get(c, "?")
+        if {sk, okind} == {"i", "f"}:
+            bad.append(f"{c}: spark={'int' if sk=='i' else 'float'} "
+                       f"oracle={'int' if okind=='i' else 'float'}")
+    return bad
 
 
 def main():
@@ -90,13 +128,19 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            duck_df = res.df()
+            ocols = list(duck_df.columns)
+            orows = list(duck_df.itertuples(index=False, name=None))
+            orows = [[None if _isnull(v) else v for v in r]
+                     for r in orows]  # NaN/NaT -> NULL (pandas null-coercion)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
+        drift = dtype_drift(sdf, duck_df)
+        if drift:
+            problems.append("dtype drift (driver hash risk): " + "; ".join(drift))
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
