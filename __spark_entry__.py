@@ -772,6 +772,57 @@ def q_sessionize(spark, sf):
             .orderBy("user_id"))
 
 
+def q_streaming_rollup(spark, sf):
+    """End-to-end streaming ingest through the supervisor's code path
+    (file source stands in for Kafka — no broker in this container;
+    reference idx/seekablestream/supervisor/SeekableStreamSupervisor.java:159,
+    StreamAppenderator.java persist->push): minute-grain watermarked
+    rollup in append mode over a checkpointed micro-batch query, a
+    far-future sentinel row to advance the watermark past every real
+    window, handoff tail->history, then the queryable history∪tail view.
+    Deterministic: the work area is wiped per call so the whole input
+    reprocesses; the sentinel's own (still-open) window never emits."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from druid_spark.streaming.ingest import StreamingIngest, read_stream
+
+    eng = _engine(spark, sf)
+    ev = eng.catalog.table("events").select("ts", "event_type", "value")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ds_stream_entry_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ev.coalesce(4).write.parquet(src)
+
+    def run_once():
+        stream = read_stream(spark, {"type": "file", "format": "parquet",
+                                     "path": src, "schema": ev.schema})
+        ing = StreamingIngest(spark, base, "events_rollup")
+        q = ing.start_rollup(
+            stream, dims=["event_type"],
+            metrics=[{"type": "count", "name": "n"},
+                     {"type": "doubleSum", "name": "v", "fieldName": "value"}],
+            query_granularity="minute", time_column="ts")
+        q.awaitTermination(300)
+        return ing
+
+    run_once()
+    # sentinel 2h past max(ts): closes every real minute window on the
+    # next run; computed distributed (no driver-side value loop)
+    (ev.agg(F.max("ts").alias("ts"))
+       .select((F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+               F.lit("__sentinel__").alias("event_type"),
+               F.lit(0.0).alias("value"))
+       .coalesce(1).write.mode("append").parquet(src))
+    ing = run_once()
+    ing.handoff()
+    return (ing.view().select("__time", "event_type", "n", "v")
+            .orderBy("__time", "event_type"))
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate-cluster assignment: n-gram-Jaccard near-dup pairs →
     connected components (iterative min-label propagation) → every doc
@@ -2470,6 +2521,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_extract": q_url_extract,
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
+        "streaming_rollup": q_streaming_rollup,
         "sample_stratified": q_sample_stratified,
         "split_assign": q_split_assign,
         "contamination": q_contamination,
@@ -2936,6 +2988,10 @@ def _base_oracle_sql() -> dict[str, str]:
                    round(count(tr.g)::DOUBLE / count(*), 4) AS hit_rate
             FROM evg LEFT JOIN tr ON evg.g = tr.g
             GROUP BY 1 ORDER BY 1""",
+        "streaming_rollup": """
+            SELECT date_trunc('minute', ts) AS __time, event_type,
+                   count(*) AS n, sum(value) AS v
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "sessionize": """
             WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
             g AS (SELECT user_id, ts,

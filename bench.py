@@ -268,13 +268,44 @@ def main():
     from druid_spark import DruidSparkEngine
     from druid_spark.session import get_spark
 
+    t0 = time.time()
     spark = get_spark("bench", cpus=CPUS)
+    session_init = round(time.time() - t0, 3)
+    t0 = time.time()
     engine = DruidSparkEngine(spark, data_dir=SF_DIR)
+    engine_init = round(time.time() - t0, 3)
     queries = build_queries(engine)
 
     # warmup: touch all tables once (footer reads, JVM JIT)
     for t in ("lineitem", "orders", "events"):
         engine.catalog.table(t).count()
+
+    # Build BOTH scale caches now, BEFORE any timed section: writing
+    # 4.8 GB mid-run evicts page cache and contaminates whatever is
+    # timed next (round-2 lesson: the driver-recorded asymptotic sum
+    # read 0.285x baseline while an uncontaminated re-run showed 1.34x).
+    cache20 = "/tmp/druid_spark_bench_cache/li20.parquet"
+    cache600 = "/tmp/druid_spark_bench_cache/li_col_600m.parquet"
+    try:
+        import functools
+        li = engine.catalog.table("lineitem")
+        if not os.path.exists(cache20):
+            functools.reduce(lambda a, b: a.union(b), [li] * 20) \
+                .repartition(CPUS).write.mode("overwrite").parquet(cache20)
+        if not os.path.exists(cache600):
+            base = li.select("l_extendedprice")
+            factor = max(1, -(-600_000_000 // base.count()))
+            # repartition BEFORE explode: shuffling the exploded rows
+            # would move 600M rows; shuffling 600k then exploding moves
+            # almost nothing (round-2 lesson).
+            (base.repartition(CPUS)
+                 .select(F.explode(
+                     F.array_repeat(F.col("l_extendedprice"),
+                                    factor)).alias("v"))
+                 .write.mode("overwrite").parquet(cache600))
+        os.sync()
+    except Exception:
+        pass
 
     lineitem_rows = engine.catalog.table("lineitem").count()
     times: dict[str, float] = {}
@@ -307,13 +338,7 @@ def main():
     # actually runs in.
     amortized = {}
     try:
-        import functools
-        cache = "/tmp/druid_spark_bench_cache/li20.parquet"
-        li = engine.catalog.table("lineitem")
-        if not os.path.exists(cache):
-            functools.reduce(lambda a, b: a.union(b), [li] * 20) \
-                .repartition(CPUS).write.mode("overwrite").parquet(cache)
-        big = spark.read.parquet(cache)
+        big = spark.read.parquet(cache20)
         nbig = big.count()
         for key, expr in (("sum_double", F.sum("l_extendedprice")),
                           ("count_star", F.count(F.lit(1)))):
@@ -337,23 +362,9 @@ def main():
     # The file is built once and cached across rounds.
     asymptotic = {}
     try:
-        cache = "/tmp/druid_spark_bench_cache/li_col_600m.parquet"
-        target = 600_000_000
-        if not os.path.exists(cache):
-            li = engine.catalog.table("lineitem")
-            base = li.select("l_extendedprice")
-            nbase = base.count()
-            factor = max(1, -(-target // nbase))
-            # repartition BEFORE explode: shuffling the exploded rows
-            # would move 600M rows; shuffling 600k then exploding moves
-            # almost nothing (round-2 lesson).
-            (base.repartition(CPUS)
-                 .select(F.explode(
-                     F.array_repeat(F.col("l_extendedprice"),
-                                    factor)).alias("v"))
-                 .write.mode("overwrite").parquet(cache))
-        big = spark.read.parquet(cache)
+        big = spark.read.parquet(cache600)
         nbig = big.count()
+        big.agg(F.sum("v")).collect()  # untimed: page-cache + codegen warm
         for key, expr in (("count_star", F.count(F.lit(1))),
                           ("sum_double", F.sum("v"))):
             best = float("inf")
@@ -378,6 +389,8 @@ def main():
         "queries": times,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "cold_total_sec": round(sum(cold.values()), 4),
+        "session_init_sec": session_init,
+        "engine_init_sec": engine_init,
         "derived": {
             "count_star_rows_per_sec_per_core": round(
                 lineitem_rows / max(times["count_star"], 1e-9) / CPUS),

@@ -73,6 +73,10 @@ class Catalog:
         self.spark = spark
         self._tables: dict[str, DataFrame] = {}
         self._lookups: dict[str, dict] = {}
+        # bumped on any registration; lets the SQL layer skip re-creating
+        # temp views when nothing changed (a py4j round trip per table
+        # per sql() call otherwise)
+        self.version = 0
         self._paths: dict[str, str] = {}  # table -> source path (sys.segments)
         # table -> (partition column, strftime-style date_format pattern):
         # lets the engine derive partition predicates from __time intervals
@@ -112,9 +116,11 @@ class Catalog:
         if time_column and time_column in df.columns and "__time" not in df.columns:
             df = df.withColumn("__time", F.col(time_column))
         self._tables[name] = df
+        self.version += 1
 
     def register_lookup(self, name: str, mapping: dict[str, Any]) -> None:
         self._lookups[name] = mapping
+        self.version += 1
 
     def table(self, name: str) -> DataFrame:
         if name not in self._tables:

@@ -27,6 +27,10 @@ _EXPLAIN_RE = _re.compile(
     r"^\s*EXPLAIN\s+PLAN\s+(?:WITH\s+\w+\s+)?FOR\s+(?P<q>.*)$",
     _re.IGNORECASE | _re.DOTALL)
 
+# session-id -> (engine-id, catalog-version) of the last temp-view
+# registration, so sql() skips redundant per-call view churn
+_SQL_VIEWS_STAMP: dict[int, tuple[int, int]] = {}
+
 
 def qcol(name: str) -> Column:
     """Column ref that tolerates dots in names (join rightPrefix 'j0.')."""
@@ -152,8 +156,14 @@ class DruidSparkEngine:
             register_druid_functions(self.spark)
             self._fns_registered = True
         self._register_sql_lookups()
-        for name in self.catalog.tables():
-            self.catalog.table(name).createOrReplaceTempView(name)
+        # Re-create temp views only when the catalog changed OR another
+        # engine on the same session registered views last (several
+        # engines — e.g. one per sf_dir — share the view namespace).
+        stamp = (id(self), self.catalog.version)
+        if _SQL_VIEWS_STAMP.get(id(self.spark)) != stamp:
+            for name in self.catalog.tables():
+                self.catalog.table(name).createOrReplaceTempView(name)
+            _SQL_VIEWS_STAMP[id(self.spark)] = stamp
         return self.spark.sql(rewrite_druid_sql(text,
                                                 exact=self.exact_approx))
 
