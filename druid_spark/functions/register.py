@@ -119,6 +119,10 @@ _FUNCS: list[tuple[str, str, str, str]] = [
       AND ts < to_timestamp(rtrim('Z', replace(split_part(iv, '/', 2), 'T', ' ')))"""),
     ("TIMESTAMP_TO_MILLIS", "ts TIMESTAMP", "BIGINT", "unix_millis(ts)"),
     ("MILLIS_TO_TIMESTAMP", "ms BIGINT", "TIMESTAMP", "timestamp_millis(ms)"),
+    # Deviation from the reference (SafeDivideExprMacro: LONG inputs use
+    # long division): SQL UDFs are monomorphic, so SAFE_DIVIDE always
+    # coerces to DOUBLE — consistent with Spark's own `/` and
+    # try_divide, where int/int is double division.
     ("SAFE_DIVIDE", "a DOUBLE, b DOUBLE", "DOUBLE",
      "CASE WHEN b = 0 THEN NULL ELSE a / b END"),
     ("STRPOS", "h STRING, n STRING", "INT", "instr(h, n)"),
