@@ -1346,6 +1346,86 @@ def q_projection_hll_sketch(spark, sf):
             .orderBy("__time", "event_type"))
 
 
+def q_projection_theta_sketch(spark, sf):
+    """Rollup whose stored distinct state is a BINARY Datasketches
+    THETA sketch column (Spark theta_sketch_agg — standard theta binary
+    format, interoperable with the reference's
+    extensions-core/datasketches theta blobs): per-hour sketches
+    re-merge via theta_union_agg to answer the day query. Correctness
+    gate: exact daily distinct (oracle-matched) + deterministic 5%
+    tolerance on the re-merged estimate (lgK=12 ~ 4096 entries)."""
+    from druid_spark.plans.projections import Projection, ProjectionRouter
+    eng = _engine(spark, sf)
+    router = getattr(eng, "_entry_router_theta", None)
+    if router is None:
+        router = ProjectionRouter(eng)
+        router.register(Projection(
+            "evt_hourly_users_theta", "events", ["event_type"],
+            [{"type": "thetaSketch", "name": "user_sk",
+              "fieldName": "user_id"}],
+            granularity="hour", sketch="theta"))
+        eng._entry_router_theta = router
+    q = {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "day", "dimensions": ["event_type"],
+         "aggregations": [{"type": "hyperUnique", "name": "users",
+                           "fieldName": "user_id"}]}
+    routed = router.route(q)
+    assert (routed is not None
+            and routed["aggregations"][0]["type"] == "thetaUnionEstimate")
+    est = router.query(q).select(
+        F.col("__time"), "event_type",
+        F.col("users").cast("double").alias("est"))
+    exact = eng.query(q).select(
+        F.col("__time"), "event_type",
+        F.col("users").cast("long").alias("exact_users"))
+    return (exact.join(est, ["__time", "event_type"])
+            .select("__time", "event_type", "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= F.greatest(0.05 * F.col("exact_users"), F.lit(2.0)))
+                    .alias("est_ok"))
+            .orderBy("__time", "event_type"))
+
+
+def q_kll_quantile_merge(spark, sf):
+    """Mergeable quantile state across rollup generations with BINARY
+    Datasketches KLL (Spark kll_sketch_agg_double — standard KLL binary
+    format, interoperable with the reference's kllDoublesSketch,
+    extensions-core/datasketches/.../kll/
+    KllDoublesSketchAggregatorFactory.java): generation 1 = per-month
+    kllState rows; generation 2 = per-flag kll_merge_agg over the
+    stored sketch column. Emits the exact per-flag median
+    (oracle-matched) plus a rank-space tolerance check: the true rank
+    of the KLL median estimate must lie in [0.5 - eps, 0.5 + eps]
+    (k=200 -> eps ~ 1.65%; 5% bound checked)."""
+    eng = _engine(spark, sf)
+    li = eng.catalog.table("lineitem")
+    # generation 1: hourly rollup storing KLL sketch state per row
+    gen1 = eng.query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "month", "dimensions": ["l_returnflag"],
+        "aggregations": [{"type": "kllState", "name": "price_kll",
+                          "fieldName": "l_extendedprice"}]})
+    # generation 2: re-merge the stored sketch column per flag
+    est = gen1.groupBy("l_returnflag").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("price_kll", 200), F.lit(0.5))
+        .alias("est_median"))
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"))
+    # rank-space check: fraction of values <= estimate should be ~0.5
+    rank = (li.join(F.broadcast(est), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg((F.sum(F.when(F.col("l_extendedprice")
+                               <= F.col("est_median"), 1).otherwise(0))
+                  / F.count(F.lit(1))).alias("est_rank")))
+    return (exact.join(rank, "l_returnflag")
+            .select("l_returnflag",
+                    F.round("exact_median", 2).alias("exact_median"),
+                    (F.abs(F.col("est_rank") - 0.5) <= 0.05)
+                    .alias("rank_ok"))
+            .orderBy("l_returnflag"))
+
+
 def q_theta_kmv_vs_exact(spark, sf):
     """Mergeable KMV theta sketch (druid_spark/sketch_state.py; same
     family as extensions-core/datasketches/.../theta/
@@ -2836,6 +2916,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_count_distinct": q_projection_count_distinct,
         "hll_sketch_vs_exact": q_hll_sketch_vs_exact,
         "projection_hll_sketch": q_projection_hll_sketch,
+        "projection_theta_sketch": q_projection_theta_sketch,
+        "kll_quantile_merge": q_kll_quantile_merge,
         "sql_ds_hll": q_sql_ds_hll,
         "theta_kmv_vs_exact": q_theta_kmv_vs_exact,
         "projection_kmv_sketch": q_projection_kmv_sketch,
@@ -3585,6 +3667,16 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
                    count(DISTINCT user_id) AS exact_users, true AS est_ok
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "projection_theta_sketch": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
+                   count(DISTINCT user_id) AS exact_users, true AS est_ok
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "kll_quantile_merge": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 2)
+                     AS exact_median,
+                   true AS rank_ok
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
         "sql_ds_hll": """
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    true AS est_ok

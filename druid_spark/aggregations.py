@@ -286,6 +286,33 @@ class AggCompiler:
         if t == "hllUnionEstimate":
             return F.hll_sketch_estimate(
                 F.hll_union_agg(guard(_field(agg, res)))).cast("long")
+        # Datasketches-native theta state (Spark theta_sketch_agg emits
+        # the standard binary theta format — interoperable with sketch
+        # blobs produced by the reference's extensions-core/datasketches
+        # theta aggregators; lgK=12 matches SketchAggregatorFactory's
+        # 4096-entry default). thetaState/thetaUnionEstimate mirror the
+        # reference's SketchMergeAggregatorFactory build/merge pair.
+        if t == "thetaState":
+            return F.theta_sketch_agg(
+                guard(_field(agg, res)).cast("string"), 12)
+        if t == "thetaUnionEstimate":
+            return F.theta_sketch_estimate(
+                F.theta_union_agg(guard(_field(agg, res)), 12)).cast("long")
+        # Datasketches-native KLL quantile state (binary KLL format,
+        # interoperable with the reference's kllDoublesSketch —
+        # extensions-core/datasketches/.../kll/
+        # KllDoublesSketchAggregatorFactory.java). kllState stores the
+        # build per rollup row; kllUnionQuantile re-merges and reads one
+        # quantile (fraction in agg["fraction"], default median).
+        if t == "kllState":
+            return F.kll_sketch_agg_double(
+                guard(_field(agg, res)).cast("double"),
+                agg.get("k", 200))
+        if t == "kllUnionQuantile":
+            return F.kll_sketch_get_quantile_double(
+                F.kll_merge_agg_double(guard(_field(agg, res)),
+                                       agg.get("k", 200)),
+                F.lit(float(agg.get("fraction", 0.5))))
         # KMV theta state (sketch_state.py): rollup rows store the k
         # smallest distinct hashes; querying re-merges bottom-k and
         # estimates (k-1)/u_k — exact below k. Same family as the

@@ -53,13 +53,15 @@ class Projection:
         self.metrics = metrics
         self.granularity = granularity
         # sketch=True|"hll" stores distinct metrics as BINARY
-        # Datasketches HLL state; sketch="kmv" stores KMV bottom-k hash
-        # arrays (sketch_state.py) — both bounded size and mergeable,
-        # the 100 TB mode; exact sets approach raw-data scale at high
-        # cardinality. False keeps lossless sets for oracle-exact
-        # answers. Metrics may also include {"type": "sampleState"}
-        # entries: bottom-k uniform row samples for mergeable quantile
-        # estimates over the rollup.
+        # Datasketches HLL state; sketch="theta" as BINARY Datasketches
+        # theta state (supports set ops downstream); sketch="kmv" as KMV
+        # bottom-k hash arrays (sketch_state.py, engine-internal) — all
+        # bounded size and mergeable, the 100 TB mode; exact sets
+        # approach raw-data scale at high cardinality. False keeps
+        # lossless sets for oracle-exact answers. Metrics may also
+        # include {"type": "sampleState"} (bottom-k uniform row samples,
+        # engine-internal) or {"type": "kllState"} (binary Datasketches
+        # KLL) for mergeable quantile estimates over the rollup.
         self.sketch = sketch
         self.df: DataFrame | None = None
 
@@ -73,6 +75,8 @@ class Projection:
         HllSketchBuildAggregatorFactory.java)."""
         if self.sketch == "kmv":
             distinct_store = "kmvState"
+        elif self.sketch == "theta":
+            distinct_store = "thetaState"
         elif self.sketch:
             distinct_store = "hllState"
         else:
@@ -228,6 +232,10 @@ class ProjectionRouter:
                                      "name": agg.get("name", t),
                                      "fieldName": src,
                                      "k": m.get("k", 1024)})
+                elif proj.sketch == "theta":
+                    new_aggs.append({"type": "thetaUnionEstimate",
+                                     "name": agg.get("name", t),
+                                     "fieldName": src})
                 elif proj.sketch:
                     new_aggs.append({"type": "hllUnionEstimate",
                                      "name": agg.get("name", t),

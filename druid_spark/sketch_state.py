@@ -28,6 +28,24 @@ distinct SET or a raw value list approaches raw-data scale:
   hash identically and collapse to one sample slot; pass a
   high-entropy ``salt_cols`` (e.g. the timestamp) to avoid bias.
 
+**Interop decision (round-3).** Where sketch blobs must interoperate
+with the reference's ecosystem (Druid users exchange Datasketches
+binary images), the engine now uses Spark's NATIVE Datasketches
+functions, which emit the standard binary formats: ``hll_sketch_agg``
+family (HLL, ``hllState``/``hllUnionEstimate`` aggregators),
+``theta_sketch_agg`` family (theta, ``thetaState``/
+``thetaUnionEstimate``), and ``kll_sketch_agg_double`` family (KLL
+quantiles, ``kllState``/``kllUnionQuantile``) — see aggregations.py and
+plans/projections.py (sketch="hll"|"theta", kllState metrics). The KMV
+and bottom-k-sample constructions in THIS module are deliberately kept
+as **engine-internal formats**: their state is a plain
+``array<bigint>`` / ``array<struct>`` column — human-inspectable,
+Catalyst-only (no JVM sketch library on the read path), exact below k,
+and usable from pure SQL — but their bytes are NOT
+Datasketches-compatible and must not be exchanged with Druid
+deployments. Choose the native family for interop, this module for
+transparency/portability.
+
 Scale notes (the part that matters):
 - The BUILD is two-shuffle, never unbounded in memory: a distinct /
   hash projection, then a per-group window ``row_number() <= k`` (sort

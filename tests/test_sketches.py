@@ -299,3 +299,71 @@ def test_sample_quantile_small_is_exact(spark):
         S.sample_quantile(S.sample_merge(F.col("v_sample"), 64), 0.5)
         .alias("m")).first()["m"]
     assert med == sorted(vals)[round(0.5 * (len(vals) - 1))]
+
+
+def test_theta_state_binary_merge(spark):
+    """thetaState stores standard Datasketches theta binary; re-merge via
+    thetaUnionEstimate across rollup rows equals the exact distinct
+    (below lgK=12 capacity the sketch is exact)."""
+    eng = DruidSparkEngine(spark)
+    rows = [(i, i % 7, i % 500) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["id", "part", "u"]) \
+        .withColumn("__time", F.timestamp_millis(F.col("id") * 60_000))
+    eng.catalog.register_table("tt", df)
+    gen1 = eng.query({
+        "queryType": "groupBy", "dataSource": "tt", "granularity": "hour",
+        "dimensions": ["part"],
+        "aggregations": [{"type": "thetaState", "name": "u_sk",
+                          "fieldName": "u"}]})
+    assert dict(gen1.dtypes)["u_sk"] == "binary"
+    merged = gen1.groupBy().agg(
+        F.theta_sketch_estimate(F.theta_union_agg("u_sk", 12))
+        .cast("long").alias("n")).first()["n"]
+    assert merged == 500
+
+
+def test_kll_state_binary_merge(spark):
+    """kllState stores standard Datasketches KLL binary; kllUnionQuantile
+    re-merges across rollup rows; median of uniform 0..999 within KLL
+    k=200 rank error (~1.65%, assert 5%)."""
+    eng = DruidSparkEngine(spark)
+    rows = [(i, i % 3, float(i % 1000)) for i in range(6000)]
+    df = spark.createDataFrame(rows, ["id", "part", "v"]) \
+        .withColumn("__time", F.timestamp_millis(F.col("id") * 60_000))
+    eng.catalog.register_table("tk", df)
+    gen1 = eng.query({
+        "queryType": "groupBy", "dataSource": "tk", "granularity": "hour",
+        "dimensions": ["part"],
+        "aggregations": [{"type": "kllState", "name": "v_kll",
+                          "fieldName": "v"}]})
+    assert dict(gen1.dtypes)["v_kll"] == "binary"
+    med = gen1.groupBy().agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("v_kll", 200), F.lit(0.5))
+        .alias("m")).first()["m"]
+    assert abs(med - 499.5) <= 50
+
+
+def test_projection_theta_routing(spark):
+    """sketch='theta' projection routes hyperUnique to
+    thetaUnionEstimate over the stored binary column."""
+    from druid_spark.plans.projections import Projection, ProjectionRouter
+    eng = DruidSparkEngine(spark)
+    rows = [(i, "a" if i % 2 else "b", i % 40) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "grp", "u"]) \
+        .withColumn("__time", F.timestamp_millis(F.col("id") * 60_000))
+    eng.catalog.register_table("tp", df)
+    router = ProjectionRouter(eng)
+    router.register(Projection(
+        "tp_hourly_theta", "tp", ["grp"],
+        [{"type": "thetaSketch", "name": "u_sk", "fieldName": "u"}],
+        granularity="hour", sketch="theta"))
+    q = {"queryType": "groupBy", "dataSource": "tp", "granularity": "all",
+         "dimensions": ["grp"],
+         "aggregations": [{"type": "hyperUnique", "name": "users",
+                           "fieldName": "u"}]}
+    routed = router.route(q)
+    assert routed["aggregations"][0]["type"] == "thetaUnionEstimate"
+    # grp 'a' = odd ids -> 20 distinct odd (i % 40); 'b' = 20 distinct even
+    got = {r["grp"]: r["users"] for r in router.query(q).collect()}
+    assert got == {"a": 20, "b": 20}
