@@ -1426,6 +1426,37 @@ def q_kll_quantile_merge(spark, sf):
             .orderBy("l_returnflag"))
 
 
+def q_topn_approx_bound(spark, sf):
+    """Approximate-topN disagreement bound (reference
+    processing/.../query/topn/PooledTopNAlgorithm.java:69 — per-segment
+    top-K' then merge, which can undercount but never overcount a
+    survivor's metric): run the per-partition-trimmed topN with an
+    aggressive K'=4K candidate pool against the exact topN and emit,
+    per exact top-K row, (a) membership of the approx result set and
+    (b) the undercount invariant approx_sum <= exact_sum. Deterministic
+    for a fixed input layout, so oracle-checkable with constant-true
+    flags."""
+    eng = _engine(spark, sf)
+    k = 20
+    base = {"queryType": "topN", "dataSource": "lineitem",
+            "dimension": "l_partkey", "metric": "s", "threshold": k,
+            "granularity": "all",
+            "aggregations": [{"type": "doubleSum", "name": "s",
+                              "fieldName": "l_extendedprice"}]}
+    exact = eng.query(base)
+    approx = eng.query({**base,
+                        "context": {"approximateTopN": True,
+                                    "approximateTopNPartitionK": 4 * k}})
+    a = approx.select(F.col("l_partkey").alias("pk"),
+                      F.col("s").alias("s_approx"))
+    return (exact.join(F.broadcast(a), exact.l_partkey == a.pk, "left")
+            .select("l_partkey", F.round("s", 2).alias("s"),
+                    F.col("pk").isNotNull().alias("in_approx"),
+                    F.coalesce(F.col("s_approx") <= F.col("s") + 0.001,
+                               F.lit(True)).alias("undercount_ok"))
+            .orderBy(F.col("s").desc(), "l_partkey"))
+
+
 def q_theta_kmv_vs_exact(spark, sf):
     """Mergeable KMV theta sketch (druid_spark/sketch_state.py; same
     family as extensions-core/datasketches/.../theta/
@@ -2848,6 +2879,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_sum_value": q_topn_sum_value,
         "topn_inverted": q_topn_inverted,
         "topn_user": q_topn_user,
+        "topn_approx_bound": q_topn_approx_bound,
         "gb_flag_status": q_gb_flag_status,
         "gb_having": q_gb_having,
         "gb_order_limit": q_gb_order_limit,
@@ -3100,6 +3132,11 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT event_type, round(sum(value), 2) AS total
             FROM events GROUP BY 1
             ORDER BY sum(value) DESC, event_type ASC LIMIT 3""",
+        "topn_approx_bound": """
+            SELECT l_partkey, round(sum(l_extendedprice), 2) AS s,
+                   true AS in_approx, true AS undercount_ok
+            FROM lineitem GROUP BY 1
+            ORDER BY sum(l_extendedprice) DESC, l_partkey LIMIT 20""",
         "topn_inverted": """
             SELECT event_type, count(*) AS n
             FROM events GROUP BY 1

@@ -76,7 +76,11 @@ def _approx_topn(df, dim_key, dim_name, q, aggs, threshold):
     shuffles numPartitions·K' rows instead of |dim| rows; results may
     miss a true top-K entry exactly like the reference's algorithm.
     Enabled by context.approximateTopN (default exact — SURVEY §7.3.6)."""
-    kprime = max(1000, 2 * threshold)
+    # per-partition K' — the analog of the reference's per-segment
+    # max(1000, threshold) candidate pool (TopNQueryEngine merge);
+    # context.approximateTopNPartitionK overrides for disagreement tests
+    kprime = int(q.get("context", {}).get("approximateTopNPartitionK")
+                 or max(1000, 2 * threshold))
     partial = df.groupBy(F.spark_partition_id().alias("__pid"),
                          dim_key).agg(*aggs)
     w = Window.partitionBy("__pid").orderBy(
