@@ -43,7 +43,8 @@ _PART_FMT = {
 }
 
 
-def read_input(spark: SparkSession, io_config: dict[str, Any]) -> DataFrame:
+def read_input(spark: SparkSession, io_config: dict[str, Any],
+               table_service: "TableService | None" = None) -> DataFrame:
     """ioConfig.inputSource + inputFormat → DataFrame."""
     src = io_config["inputSource"]
     fmt = io_config.get("inputFormat", {"type": "parquet"})
@@ -70,8 +71,21 @@ def read_input(spark: SparkSession, io_config: dict[str, Any]) -> DataFrame:
         uris = src.get("uris") or src.get("paths")
         return _read_files(spark, uris, fmt)
     if stype == "druid":
-        # re-ingest from an existing datasource
-        raise NotImplementedError("use TableService.table() + ingest_df")
+        # re-ingest from an existing datasource's segments
+        # (DruidInputSource — processing/.../input/InputSource.java
+        # registry; used for reindex/compaction specs). Reads the
+        # warehouse parquet for the datasource, optionally interval-
+        # pruned on __time (partition pruning via __dt when present).
+        if table_service is None:
+            raise NotImplementedError(
+                "druid inputSource needs a TableService (re-ingest)")
+        df = table_service.table(src["dataSource"])
+        interval = src.get("interval")
+        if interval:
+            lo, hi = str(interval).split("/")
+            df = df.where((F.col("__time") >= F.to_timestamp(F.lit(lo)))
+                          & (F.col("__time") < F.to_timestamp(F.lit(hi))))
+        return df
     raise NotImplementedError(f"inputSource {stype}")
 
 
@@ -92,6 +106,36 @@ def _read_files(spark: SparkSession, paths, fmt: dict) -> DataFrame:
         return reader.orc(*paths) if isinstance(paths, list) else reader.orc(paths)
     if ftype == "avro":
         return reader.format("avro").load(paths)
+    if ftype == "regex":
+        # RegexInputFormat (processing/.../data/input/impl/
+        # RegexInputFormat.java): one capture group per column. Pure
+        # Column plan — read lines, regexp_extract per group — so the
+        # parse runs JVM-side and distributed.
+        pattern = fmt["pattern"]
+        cols = fmt.get("columns") or []
+        if not cols:
+            raise ValueError("regex inputFormat needs columns")
+        lines = reader.text(paths)
+        out = lines.select(*[
+            F.regexp_extract(F.col("value"), pattern, i + 1).alias(c)
+            for i, c in enumerate(cols)])
+        # rows that don't match the pattern extract all-empty: drop, as
+        # the reference skips unparseable rows
+        keep = None
+        for c in cols:
+            cond = F.col(c) != F.lit("")
+            keep = cond if keep is None else (keep | cond)
+        return out.where(keep)
+    if ftype == "protobuf":
+        # ProtobufInputFormat (extensions-core/protobuf-extensions):
+        # Spark's from_protobuf needs the spark-protobuf jar + a
+        # compiled descriptor set; neither ships in this container, so
+        # the path is gated rather than stubbed silently.
+        raise NotImplementedError(
+            "protobuf inputFormat requires the spark-protobuf package "
+            "and a descriptor set (descriptorFile); add them on a real "
+            "cluster and decode with "
+            "pyspark.sql.protobuf.functions.from_protobuf")
     raise NotImplementedError(f"inputFormat {ftype}")
 
 
@@ -263,7 +307,7 @@ def run_ingestion(spark: SparkSession, spec: dict[str, Any],
     name = schema["dataSource"]
     gran_spec = schema.get("granularitySpec", {})
 
-    df = read_input(spark, io)
+    df = read_input(spark, io, table_service)
     df = apply_timestamp_spec(df, schema.get("timestampSpec", {}))
     df = apply_transform_spec(df, schema.get("transformSpec"))
 

@@ -111,6 +111,76 @@ def test_csv_input(spark, warehouse, tmp_path):
     assert warehouse.table("csvsrc").count() == 2
 
 
+def test_regex_input_format(spark, warehouse, tmp_path):
+    """RegexInputFormat (data/input/impl/RegexInputFormat.java): one
+    capture group per column, unparseable lines skipped; the parse is a
+    regexp_extract Column plan, JVM-side."""
+    p = tmp_path / "in.log"
+    p.write_text(
+        "2024-01-01T00:00:00Z|x|5\n"
+        "garbage line without delimiters\n"
+        "2024-01-01T01:00:00Z|y|6\n")
+    spec = {
+        "ioConfig": {
+            "inputSource": {"type": "local", "files": [str(p)]},
+            "inputFormat": {
+                "type": "regex",
+                "pattern": r"^([^|]+)\|([^|]+)\|(\d+)$",
+                "columns": ["ts", "dim", "val"]}},
+        "dataSchema": {
+            "dataSource": "regexsrc",
+            "timestampSpec": {"column": "ts", "format": "iso"},
+            "dimensionsSpec": {"dimensions": ["dim"]},
+            "metricsSpec": [{"type": "count", "name": "count"}],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "hour", "rollup": True}},
+    }
+    run_ingestion(spark, spec, warehouse)
+    rows = {r["dim"]: r["count"] for r in
+            warehouse.table("regexsrc").collect()}
+    assert rows == {"x": 1, "y": 1}
+
+
+def test_druid_reingest_source(spark, warehouse, tmp_path):
+    """druid inputSource (DruidInputSource): re-ingest an existing
+    datasource's segments, interval-pruned, into a new rollup."""
+    p = tmp_path / "base.csv"
+    p.write_text("ts,dim,val\n"
+                 "2024-01-01T00:10:00Z,x,1\n"
+                 "2024-01-01T05:10:00Z,x,1\n"
+                 "2024-01-02T00:10:00Z,y,1\n")
+    base_spec = {
+        "ioConfig": {
+            "inputSource": {"type": "local", "files": [str(p)]},
+            "inputFormat": {"type": "csv", "findColumnsFromHeader": True}},
+        "dataSchema": {
+            "dataSource": "reingest_base",
+            "timestampSpec": {"column": "ts", "format": "iso"},
+            "dimensionsSpec": {"dimensions": ["dim"]},
+            "metricsSpec": [{"type": "count", "name": "count"}],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "hour", "rollup": True}},
+    }
+    run_ingestion(spark, base_spec, warehouse)
+    re_spec = {
+        "ioConfig": {
+            "inputSource": {"type": "druid",
+                            "dataSource": "reingest_base",
+                            "interval": "2024-01-01/2024-01-02"}},
+        "dataSchema": {
+            "dataSource": "reingest_day",
+            "timestampSpec": {"column": "__time", "format": "auto"},
+            "dimensionsSpec": {"dimensions": ["dim"]},
+            "metricsSpec": [{"type": "longSum", "name": "count",
+                             "fieldName": "count"}],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "day", "rollup": True}},
+    }
+    run_ingestion(spark, re_spec, warehouse)
+    rows = warehouse.table("reingest_day").collect()
+    assert len(rows) == 1 and rows[0]["dim"] == "x" and rows[0]["count"] == 2
+
+
 def test_streaming_file_ingest(spark, tmp_path):
     from druid_spark.streaming.ingest import StreamingIngest, read_stream
 
