@@ -1418,9 +1418,13 @@ def q_kll_quantile_merge(spark, sf):
             .agg((F.sum(F.when(F.col("l_extendedprice")
                                <= F.col("est_median"), 1).otherwise(0))
                   / F.count(F.lit(1))).alias("est_rank")))
+    # integer-rounded: Spark percentile() and DuckDB quantile_cont()
+    # interpolate with different float summation order (~1e-3 apart),
+    # which flips the 2nd decimal at some SFs
     return (exact.join(rank, "l_returnflag")
             .select("l_returnflag",
-                    F.round("exact_median", 2).alias("exact_median"),
+                    F.round("exact_median", 0).cast("long")
+                    .alias("exact_median"),
                     (F.abs(F.col("est_rank") - 0.5) <= 0.05)
                     .alias("rank_ok"))
             .orderBy("l_returnflag"))
@@ -2300,10 +2304,10 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           AND ts < TIMESTAMP '2024-01-07 00:00:00'"""),
     "sqlc_div_mod": ("""
         SELECT DIV(o_orderkey, 1000) AS grp, count(*) AS n,
-               sum(MOD(o_orderkey, 7)) AS msum
+               CAST(sum(MOD(o_orderkey, 7)) AS BIGINT) AS msum
         FROM orders GROUP BY 1 ORDER BY 1 LIMIT 10""", """
         SELECT o_orderkey // 1000 AS grp, count(*) AS n,
-               sum(o_orderkey % 7) AS msum
+               CAST(sum(o_orderkey % 7) AS BIGINT) AS msum
         FROM orders GROUP BY 1 ORDER BY 1 LIMIT 10"""),
     "sqlc_string_calcite": ("""
         SELECT SUBSTRING(c_name FROM 10 FOR 4) AS mid,
@@ -2549,9 +2553,9 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         ORDER BY rnk, o_orderpriority""", None),
     "sqlc_is_distinct_from": ("""
         SELECT count(*) AS diff_pairs,
-               sum(CASE WHEN NULLIF(o_orderstatus, 'P')
+               CAST(sum(CASE WHEN NULLIF(o_orderstatus, 'P')
                         IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'P')
-                        THEN 1 ELSE 0 END) AS self_same
+                        THEN 1 ELSE 0 END) AS BIGINT) AS self_same
         FROM orders
         WHERE o_orderstatus IS DISTINCT FROM o_orderpriority""", None),
     "sqlc_nvl_forms": ("""
@@ -3084,7 +3088,7 @@ def _base_oracle_sql() -> dict[str, str]:
             ORDER BY c.event_id""",
         "vc_nested_field": """
             SELECT event_type,
-                   sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+                   sum(CAST(props->>'k' AS BIGINT))::BIGINT AS k_sum,
                    max(CAST(props->>'k' AS BIGINT)) AS k_max
             FROM events GROUP BY 1 ORDER BY 1""",
         "ts_grand_total": """
@@ -3317,14 +3321,14 @@ def _base_oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT lang, count(*) AS docs,
               sum(len(regexp_extract_all(t,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS emails,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT AS emails,
               sum(len(regexp_extract_all(t,
-                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS ips,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))::BIGINT AS ips,
               sum(len(regexp_extract_all(t,
-                '\b\d{3}-\d{2}-\d{4}\b'))) AS ssns,
+                '\b\d{3}-\d{2}-\d{4}\b')))::BIGINT AS ssns,
               sum(len(regexp_extract_all(t,
-                '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))) AS phones,
-              sum(len(regexp_extract_all(t, '\b\d{13,19}\b'))) AS cards,
+                '\b\d{3}[-.]\d{3}[-.]\d{4}\b')))::BIGINT AS phones,
+              sum(len(regexp_extract_all(t, '\b\d{13,19}\b')))::BIGINT AS cards,
               sum(length(
                 regexp_replace(regexp_replace(regexp_replace(
                 regexp_replace(regexp_replace(t,
@@ -3333,7 +3337,7 @@ def _base_oracle_sql() -> dict[str, str]:
                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
                   '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
-                  '\b\d{13,19}\b', '[CARD]', 'g'))) AS red_len
+                  '\b\d{13,19}\b', '[CARD]', 'g')))::BIGINT AS red_len
             FROM aug GROUP BY lang ORDER BY lang""",
         "boilerplate_removal": """
             WITH n AS (SELECT count(*) AS n_docs FROM documents),
@@ -3470,7 +3474,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "text_quality_by_source": f"""
             SELECT source, count(*) AS n,
                    round(sum({_QUALITY}), 3) AS quality_sum,
-                   sum({_NTOK}) AS tokens
+                   sum({_NTOK})::BIGINT AS tokens
             FROM documents GROUP BY 1""",
         "pipeline_quality_dedup": f"""
             SELECT lang, count(*) AS n_kept,
@@ -3710,7 +3714,7 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "kll_quantile_merge": """
             SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.5), 2)
+                   round(quantile_cont(l_extendedprice, 0.5), 0)::BIGINT
                      AS exact_median,
                    true AS rank_ok
             FROM lineitem GROUP BY 1 ORDER BY 1""",
@@ -3733,7 +3737,7 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY 1""",
         "json_typed_agg": """
             SELECT event_type,
-                   sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+                   sum(CAST(props->>'k' AS BIGINT))::BIGINT AS k_sum,
                    max(CAST(props->>'k' AS BIGINT)) AS k_max,
                    count(*) AS n
             FROM events GROUP BY 1""",

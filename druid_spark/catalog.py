@@ -72,6 +72,8 @@ class Catalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, DataFrame] = {}
+        # name -> (path, time_column): registered but not yet read
+        self._pending: dict[str, tuple[str, str | None]] = {}
         self._lookups: dict[str, dict] = {}
         # bumped on any registration; lets the SQL layer skip re-creating
         # temp views when nothing changed (a py4j round trip per table
@@ -105,26 +107,45 @@ class Catalog:
                        time_column: str | None = None,
                        source_path: str | None = None) -> None:
         if isinstance(source, str):
-            df = self.spark.read.parquet(source)
-            df = _fix_nanos(df, source)
+            # Lazy: defer the parquet read (schema/footer fetch + nanos/
+            # NTZ normalization) until first access. Registering a whole
+            # directory costs 10 py4j scan plans otherwise — ~3-4 s of
+            # engine init for tables a query may never touch.
+            self._pending[name] = (source, time_column)
             self._paths[name] = source
+            self._tables.pop(name, None)
         else:
             df = source
             if source_path:
                 self._paths[name] = source_path
-        df = _normalize_ntz(df)
-        if time_column and time_column in df.columns and "__time" not in df.columns:
-            df = df.withColumn("__time", F.col(time_column))
-        self._tables[name] = df
+            df = _normalize_ntz(df)
+            if (time_column and time_column in df.columns
+                    and "__time" not in df.columns):
+                df = df.withColumn("__time", F.col(time_column))
+            self._pending.pop(name, None)
+            self._tables[name] = df
         self.version += 1
 
     def register_lookup(self, name: str, mapping: dict[str, Any]) -> None:
         self._lookups[name] = mapping
         self.version += 1
 
+    def _materialize(self, name: str) -> DataFrame:
+        path, time_column = self._pending.pop(name)
+        df = _fix_nanos(self.spark.read.parquet(path), path)
+        df = _normalize_ntz(df)
+        if (time_column and time_column in df.columns
+                and "__time" not in df.columns):
+            df = df.withColumn("__time", F.col(time_column))
+        self._tables[name] = df
+        return df
+
     def table(self, name: str) -> DataFrame:
+        if name in self._pending:
+            return self._materialize(name)
         if name not in self._tables:
-            raise KeyError(f"unknown datasource {name!r}; have {sorted(self._tables)}")
+            raise KeyError(f"unknown datasource {name!r}; "
+                           f"have {self.tables()}")
         return self._tables[name]
 
     def lookup(self, name: str) -> dict:
@@ -139,7 +160,7 @@ class Catalog:
         return self._lookups
 
     def tables(self) -> list[str]:
-        return sorted(self._tables)
+        return sorted(set(self._tables) | set(self._pending))
 
     def segments(self) -> list[tuple]:
         """(datasource, segment path, size bytes, num rows) per parquet

@@ -41,6 +41,13 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # Integral floats render as ints: pandas NULL-coerces a BIGINT
+        # column containing NULLs to float64, so oracle 100.0 must equal
+        # spark 100 (the driver sees the same coercion on BOTH sides via
+        # toPandas, so this is parity, not laxity — genuine type drift
+        # is flagged separately by dtype_drift).
+        if v.is_integer() and abs(v) < 2**53:
+            return str(int(v))
         # queries round explicitly; repr of equal doubles is equal
         return repr(round(v, 9))
     if isinstance(v, dt.datetime):
