@@ -2850,6 +2850,176 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                      NULLIF(count(CASE WHEN o_orderpriority = '1-URGENT'
                                        THEN 1 END), 0), 2) AS per_urgent
         FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # --- batch 7: function-surface matrix (math/string/regexp/MV/
+    # TIME_*), UNNEST SQL, sorted ARRAY_AGG, window NULL ordering —
+    # CalciteQueryTest testExpressions* / quidem expression files.
+    "sqlc_math_matrix": ("""
+        SELECT round(LN(EXP(2.0)), 9) AS ln_exp,
+               round(LOG10(1000.0), 9) AS lg,
+               round(POWER(2, 10), 1) AS pw,
+               round(SQRT(2.0), 9) AS sq,
+               ABS(-7) AS ab, CAST(SIGN(-3.5) AS BIGINT) AS sg,
+               MOD(17, 5) AS md""", None),
+    "sqlc_trig_matrix": ("""
+        SELECT round(SIN(0.5), 9) AS s, round(COS(0.5), 9) AS c,
+               round(TAN(0.5), 9) AS t,
+               round(ATAN2(1.0, 1.0), 9) AS a2,
+               round(DEGREES(PI()), 6) AS dg,
+               round(RADIANS(180.0), 9) AS rd""", None),
+    "sqlc_round_negative_digits": ("""
+        SELECT ROUND(12345.678, -2) AS r_neg,
+               ROUND(12345.678, 1) AS r_pos,
+               FLOOR(-2.5) AS fl, CEIL(-2.5) AS ce,
+               TRUNCATE(12345.678, -2) AS tr""", """
+        SELECT 12300.0 AS r_neg, 12345.7 AS r_pos,
+               -3.0 AS fl, -2.0 AS ce, 12300.0 AS tr"""),
+    "sqlc_string_matrix": ("""
+        SELECT LPAD(CAST(o_custkey AS VARCHAR), 8, '*') AS padded,
+               RPAD('ab', 5, 'xy') AS rpadded,
+               LEFT(o_orderpriority, 1) AS lft,
+               RIGHT(o_orderpriority, 3) AS rgt,
+               CHAR_LENGTH(o_orderpriority) AS cl
+        FROM orders ORDER BY o_orderkey LIMIT 5""", """
+        SELECT LPAD(CAST(o_custkey AS VARCHAR), 8, '*') AS padded,
+               RPAD('ab', 5, 'xy') AS rpadded,
+               LEFT(o_orderpriority, 1) AS lft,
+               RIGHT(o_orderpriority, 3) AS rgt,
+               length(o_orderpriority) AS cl
+        FROM orders ORDER BY o_orderkey LIMIT 5"""),
+    "sqlc_regexp_replace_extract": ("""
+        SELECT REGEXP_REPLACE(c_name, '[0-9]+', '#') AS anon,
+               REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits
+        FROM customer ORDER BY c_custkey LIMIT 10""", """
+        SELECT regexp_replace(c_name, '[0-9]+', '#', 'g') AS anon,
+               regexp_extract(c_name, '([0-9]+)', 1) AS digits
+        FROM customer ORDER BY c_custkey LIMIT 10"""),
+    "sqlc_mv_slice_family": ("""
+        SELECT MV_TO_STRING(MV_SLICE(STRING_TO_MV('a,b,c,d', ','), 1, 3),
+                            '-') AS sliced,
+               MV_TO_STRING(MV_APPEND(STRING_TO_MV('a,b', ','), 'z'),
+                            '-') AS appended,
+               MV_TO_STRING(MV_PREPEND('z', STRING_TO_MV('a,b', ',')),
+                            '-') AS prepended,
+               MV_TO_STRING(MV_CONCAT(STRING_TO_MV('a', ','),
+                                      STRING_TO_MV('b', ',')),
+                            '-') AS concatted,
+               MV_OFFSET(STRING_TO_MV('a,b,c', ','), 2) AS off2""", """
+        SELECT 'b-c' AS sliced, 'a-b-z' AS appended, 'z-a-b' AS prepended,
+               'a-b' AS concatted, 'c' AS off2"""),
+    "sqlc_ipv4_fns": ("""
+        SELECT IPV4_MATCH('192.168.1.7', '192.168.0.0/16') AS t1,
+               IPV4_MATCH('10.0.0.1', '192.168.0.0/16') AS f1,
+               IPV4_PARSE('0.0.1.0') AS parsed,
+               IPV4_STRINGIFY(256) AS strd""", """
+        SELECT true AS t1, false AS f1, 256 AS parsed,
+               '0.0.1.0' AS strd"""),
+    "sqlc_time_ceil_shift": ("""
+        SELECT TIME_CEIL(TIMESTAMP '2024-01-05 10:30:00', 'PT1H') AS ceil_h,
+               TIME_SHIFT(TIMESTAMP '2024-01-05 10:30:00', 'P1M', 2)
+                 AS shift_2mo,
+               TIME_FLOOR(TIMESTAMP '2024-01-05 10:30:00', 'P1W') AS floor_w
+        """, """
+        SELECT TIMESTAMP '2024-01-05 11:00:00' AS ceil_h,
+               TIMESTAMP '2024-03-05 10:30:00' AS shift_2mo,
+               TIMESTAMP '2024-01-01 00:00:00' AS floor_w"""),
+    "sqlc_time_parse_millis": ("""
+        SELECT TIMESTAMP_TO_MILLIS(TIME_PARSE('2024-01-05T10:30:00Z'))
+                 AS ms,
+               MILLIS_TO_TIMESTAMP(1704450600000) AS ts_back""", """
+        SELECT 1704450600000 AS ms,
+               TIMESTAMP '2024-01-05 10:30:00' AS ts_back"""),
+    "sqlc_array_agg_sorted": ("""
+        SELECT n_regionkey,
+               ARRAY_TO_STRING(ARRAY_SORT(ARRAY_AGG(n_name)), '|') AS names
+        FROM nation WHERE n_nationkey < 10
+        GROUP BY n_regionkey ORDER BY n_regionkey""", """
+        SELECT n_regionkey,
+               array_to_string(list_sort(list(n_name)), '|') AS names
+        FROM nation WHERE n_nationkey < 10
+        GROUP BY n_regionkey ORDER BY n_regionkey"""),
+    "sqlc_unnest_sql": ("""
+        SELECT u.tok, count(*) AS n
+        FROM customer CROSS JOIN UNNEST(STRING_TO_MV(c_name, '#')) AS u(tok)
+        WHERE c_custkey <= 20
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 5""", """
+        SELECT u.tok, count(*) AS n
+        FROM customer, unnest(string_split(c_name, '#')) AS u(tok)
+        WHERE c_custkey <= 20
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 5"""),
+    "sqlc_window_nulls_order": ("""
+        SELECT st, n,
+               RANK() OVER (ORDER BY st NULLS FIRST) AS rnk_nf,
+               RANK() OVER (ORDER BY st DESC NULLS LAST) AS rnk_dnl
+        FROM (SELECT NULLIF(o_orderstatus, 'P') AS st, count(*) AS n
+              FROM orders GROUP BY 1)
+        ORDER BY rnk_nf""", """
+        SELECT st, n,
+               RANK() OVER (ORDER BY st NULLS FIRST) AS rnk_nf,
+               RANK() OVER (ORDER BY st DESC NULLS LAST) AS rnk_dnl
+        FROM (SELECT NULLIF(o_orderstatus, 'P') AS st, count(*) AS n
+              FROM orders GROUP BY 1) t
+        ORDER BY rnk_nf"""),
+    "sqlc_concat_null_prop": ("""
+        SELECT CONCAT('a', CAST(NULL AS VARCHAR), 'b') AS c_null,
+               'x' || CAST(NULL AS VARCHAR) AS pipe_null,
+               CONCAT('p', 'q', 'r') AS c_ok""", """
+        SELECT CAST(NULL AS VARCHAR) AS c_null,
+               CAST(NULL AS VARCHAR) AS pipe_null, 'pqr' AS c_ok"""),
+    "sqlc_substring_edge": ("""
+        SELECT SUBSTRING('abcdef', 2) AS tail_from_2,
+               SUBSTRING('abcdef', 2, 3) AS mid,
+               SUBSTRING('abcdef', -2) AS last_two,
+               SUBSTRING('abc', 10) AS past_end""", """
+        SELECT 'bcdef' AS tail_from_2, 'bcd' AS mid,
+               'ef' AS last_two, '' AS past_end"""),
+    "sqlc_position_from": ("""
+        SELECT POSITION('c' IN 'abcabc') AS p1,
+               POSITION('c' IN 'abcabc' FROM 4) AS p2,
+               POSITION('z' IN 'abcabc') AS p0""", """
+        SELECT 3 AS p1, 6 AS p2, 0 AS p0"""),
+    "sqlc_agg_expr_combo": ("""
+        SELECT o_orderstatus,
+               round(sum(o_totalprice) / count(*), 2) AS manual_avg,
+               round(avg(o_totalprice), 2) AS builtin_avg,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS pri_card
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_correlated_agg_coalesce": ("""
+        SELECT r_name,
+               COALESCE((SELECT CAST(count(*) AS BIGINT) FROM nation n
+                         WHERE n.n_regionkey = r.r_regionkey
+                           AND n.n_nationkey > 20), 0) AS big_nations
+        FROM region r ORDER BY r_name""", None),
+    "sqlc_nested_case_agg": ("""
+        SELECT CASE WHEN grp = 'big' THEN 'B' ELSE 'S' END AS g2,
+               CAST(sum(n) AS BIGINT) AS total
+        FROM (SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+                     ELSE 'small' END AS grp, count(*) AS n
+              FROM orders GROUP BY 1) t
+        GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_having_multi_cond": ("""
+        SELECT o_custkey, count(*) AS n,
+               round(sum(o_totalprice), 2) AS tot
+        FROM orders GROUP BY 1
+        HAVING count(*) >= 20 AND sum(o_totalprice) > 2000000
+        ORDER BY n DESC, o_custkey LIMIT 10""", None),
+    "sqlc_distinct_in_expr": ("""
+        SELECT CAST(count(DISTINCT EXTRACT(YEAR FROM o_orderdate))
+                    AS BIGINT) AS years,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS sts
+        FROM orders""", None),
+    "sqlc_cast_decimal_round": ("""
+        SELECT CAST(ROUND(o_totalprice, 0) AS BIGINT) AS p_round,
+               count(*) AS n
+        FROM orders WHERE o_orderkey <= 40
+        GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_boolean_agg_expr": ("""
+        SELECT CAST(sum(CASE WHEN o_totalprice > 150000 AND
+                                  o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_n,
+               CAST(sum(CASE WHEN o_totalprice > 150000 OR
+                                  o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS either_n
+        FROM orders""", None),
 }
 
 

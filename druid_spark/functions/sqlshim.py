@@ -479,6 +479,13 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     pat = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", flags=re.IGNORECASE)
     while pat.search(out):
         out = pat.sub(lambda m: f"array({m.group(1)})", out)
+    # Calcite POSITION(needle IN haystack FROM start) — Spark only
+    # parses the 2-arg form; the FROM variant maps to LOCATE
+    out = re.sub(
+        r"\bPOSITION\(\s*([^,()]+?)\s+IN\s+([^,()]+?)\s+FROM\s+"
+        r"([^,()]+?)\s*\)",
+        lambda m: f"LOCATE({m.group(1)}, {m.group(2)}, {m.group(3)})",
+        out, flags=re.IGNORECASE)
     # Druid REGEXP_EXTRACT defaults to group 0 and yields NULL on no
     # match; Spark defaults to group 1 and yields ''. Rewrite only the
     # 2-arg form (3-arg is position-compatible).
