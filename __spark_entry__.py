@@ -3053,6 +3053,89 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                   o_orderstatus = 'O' THEN 1 ELSE 0 END)
                     AS BIGINT) AS either_n
         FROM orders""", None),
+    # --- batch 8: aggregate SQL spellings (EARLIEST/LATEST, stats,
+    # bit aggs, APPROX_* exact-mode contracts), TRY_CAST, interval
+    # arithmetic forms, NULL-element IN lists.
+    # LATEST_BY over the time column itself: ties in __time make a
+    # value-column LATEST_BY nondeterministic (both engines pick an
+    # arbitrary winner), but max_by(ts, ts) is the deterministic max —
+    # still exercises the EARLIEST_BY/LATEST_BY -> MIN_BY/MAX_BY rewrite
+    "sqlc_earliest_latest": ("""
+        SELECT l_returnflag,
+               EARLIEST(l_shipdate) AS first_ship,
+               LATEST(l_shipdate) AS last_ship,
+               EARLIEST_BY(l_shipdate, __time) AS first_by,
+               LATEST_BY(l_shipdate, __time) AS last_by
+        FROM lineitem GROUP BY 1 ORDER BY 1""", """
+        SELECT l_returnflag,
+               min(l_shipdate) AS first_ship,
+               max(l_shipdate) AS last_ship,
+               min(l_shipdate) AS first_by,
+               max(l_shipdate) AS last_by
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+    "sqlc_stats_aggs": ("""
+        SELECT o_orderstatus,
+               round(STDDEV_POP(o_totalprice), 4) AS sd_pop,
+               round(STDDEV_SAMP(o_totalprice), 4) AS sd_samp,
+               round(VAR_POP(o_totalprice), 2) AS v_pop,
+               round(VAR_SAMP(o_totalprice), 2) AS v_samp
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_bit_aggs": ("""
+        SELECT BIT_AND(n_nationkey) AS ba, BIT_OR(n_nationkey) AS bo,
+               BIT_XOR(n_nationkey) AS bx
+        FROM nation WHERE n_nationkey IN (12, 13, 14)""", """
+        SELECT 12 AS ba, 15 AS bo, 15 AS bx"""),
+    "sqlc_approx_count_exact_mode": ("""
+        SELECT o_orderstatus,
+               APPROX_COUNT_DISTINCT(o_orderpriority) AS pri_card
+        FROM orders GROUP BY 1 ORDER BY 1""", """
+        SELECT o_orderstatus,
+               count(DISTINCT o_orderpriority) AS pri_card
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    "sqlc_approx_quantile_exact_mode": ("""
+        SELECT l_returnflag,
+               round(APPROX_QUANTILE(l_quantity, 0.5), 1) AS med_qty
+        FROM lineitem GROUP BY 1 ORDER BY 1""", """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 1) AS med_qty
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+    "sqlc_try_cast": ("""
+        SELECT TRY_CAST('42' AS BIGINT) AS ok,
+               TRY_CAST('nope' AS BIGINT) AS bad,
+               TRY_CAST('2024-02-30' AS DATE) AS bad_date""", None),
+    "sqlc_interval_multiply": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              - INTERVAL '1' DAY * 90""", """
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              - INTERVAL 1 DAY * 90"""),
+    "sqlc_in_list_null_element": ("""
+        SELECT count(*) AS matched,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('Z', 'Y')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS not_in_ok
+        FROM orders WHERE o_orderstatus IN ('O', 'F')""", None),
+    "sqlc_div_negative_trunc": ("""
+        SELECT DIV(-7, 2) AS d1, DIV(7, -2) AS d2, MOD(-7, 2) AS m1""", """
+        SELECT -3 AS d1, -3 AS d2, -1 AS m1"""),
+    "sqlc_least_greatest_types": ("""
+        SELECT LEAST(CAST(3 AS DOUBLE), 2.5) AS l,
+               GREATEST(CAST(1 AS DOUBLE), 4.5, 2.0) AS g""", None),
+    "sqlc_between_not_between": ("""
+        SELECT CAST(sum(CASE WHEN o_totalprice BETWEEN 100000 AND 200000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS in_band,
+               CAST(sum(CASE WHEN o_totalprice NOT BETWEEN 100000
+                                  AND 200000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS out_band,
+               count(*) AS n
+        FROM orders""", None),
+    "sqlc_group_by_all_dims": ("""
+        SELECT o_orderstatus, o_orderpriority,
+               EXTRACT(YEAR FROM o_orderdate) AS y, count(*) AS n
+        FROM orders
+        WHERE o_orderkey <= 500
+        GROUP BY o_orderstatus, o_orderpriority, 3
+        ORDER BY 1, 2, 3""", None),
 }
 
 

@@ -396,7 +396,9 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     # set-op workflows go through the native-query theta path).
     for name in ("APPROX_COUNT_DISTINCT_DS_HLL",
                  "APPROX_COUNT_DISTINCT_DS_THETA",
-                 "APPROX_COUNT_DISTINCT_BUILTIN"):
+                 "APPROX_COUNT_DISTINCT_BUILTIN",
+                 # plain Calcite spelling (AggregatorsModule HLL default)
+                 "APPROX_COUNT_DISTINCT"):
         if exact:
             out = re.sub(rf"\b{name}\(", "COUNT(DISTINCT ", out,
                          flags=re.IGNORECASE)
