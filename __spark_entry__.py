@@ -931,6 +931,19 @@ def q_sim_ivf_recall(spark, sf):
         (F.lit(hit) >= 4).alias("recall_ok"))
 
 
+def q_sys_schema(spark, sf):
+    """INFORMATION_SCHEMA.COLUMNS analog
+    (sql/calcite/schema/InformationSchema.java; SystemSchema.java:105
+    for sys.*): engine-published metadata views queryable through SQL.
+    Oracle: the nation table's known column catalog."""
+    eng = _engine(spark, sf)
+    eng.create_system_views()
+    return eng.spark.sql("""
+        SELECT TABLE_NAME, COLUMN_NAME, ORDINAL_POSITION, DATA_TYPE
+        FROM information_schema_columns
+        WHERE TABLE_NAME = 'nation' ORDER BY ORDINAL_POSITION""")
+
+
 def q_text_profile(spark, sf):
     from druid_spark.datapipe import textstats
     docs = _engine(spark, sf).catalog.table("documents")
@@ -3253,6 +3266,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_exact": q_neardup_embedding_exact,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
+        "sys_schema": q_sys_schema,
         "sim_lsh_recall": q_sim_lsh_recall,
         "sim_ivf_recall": q_sim_ivf_recall,
         "sim_ivf": q_sim_ivf,
@@ -3781,6 +3795,14 @@ def _base_oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                         b.embedding::DOUBLE[]), 4) >= 0.45""",
+        "sys_schema": """
+            SELECT * FROM (VALUES
+              ('nation', 'n_nationkey', 1, 'INT'),
+              ('nation', 'n_name', 2, 'STRING'),
+              ('nation', 'n_regionkey', 3, 'INT'))
+              AS t("TABLE_NAME", "COLUMN_NAME", "ORDINAL_POSITION",
+                   "DATA_TYPE")
+            ORDER BY "ORDINAL_POSITION" """,
         "sim_lsh_recall": "SELECT 10 AS k, true AS recall_ok",
         "sim_ivf_recall": "SELECT 10 AS k, true AS recall_ok",
         "sim_topk": """
