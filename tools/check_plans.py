@@ -178,6 +178,52 @@ def main():
     check("minhash_equijoin", df, [],
           ["CartesianProduct", "BroadcastNestedLoopJoin"])
 
+    # 12. as-of join compiles to union + window (single shuffle), never
+    # a nested-loop/cartesian product (queries/asof.py design)
+    from pyspark.sql import functions as F
+    from druid_spark.queries.asof import asof_join
+    ev = engine.catalog.table("events")
+    left = ev.select("user_id", "ts", "event_id").limit(5000)
+    right = (ev.select("user_id", "ts",
+                       F.col("value").alias("rv")).limit(5000))
+    df = asof_join(left, right, on=["user_id"], left_ts="ts",
+                   right_ts="ts")
+    check("asof_no_nested_loop", df, ["Window"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+    # 13. range join is interval-bucketed equi-join — no nested loop
+    from druid_spark.queries.rangejoin import range_join
+    pts = ev.select("event_id", F.col("value").alias("v")).limit(2000)
+    iv = spark.range(20).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * 5.0).alias("lo"), (F.col("id") * 5.0 + 7).alias("hi"))
+    df = range_join(pts, iv, point="v", lo="lo", hi="hi", bucket_width=5.0)
+    check("range_join_equijoin", df, [],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+    # 14. Datasketches theta/KLL rollup states keep partial aggregation
+    # (the build merges map-side before the shuffle — sketch-in-rollup
+    # is what survives 100 TB, and partial agg is what makes the build
+    # itself scale)
+    df = engine.query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "month", "dimensions": ["l_returnflag"],
+        "aggregations": [
+            {"type": "thetaState", "name": "ok_sk",
+             "fieldName": "l_orderkey"},
+            {"type": "kllState", "name": "price_kll",
+             "fieldName": "l_extendedprice"}]})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "partial_theta_sketch_agg" in plan and "partial_kll_sketch_agg" in plan:
+        print("PASS sketch_partial_agg_binary")
+    elif plan.count("ObjectHashAggregate") >= 2 or plan.count("HashAggregate") >= 2:
+        # two-phase agg present even if the partial_ prefix spelling
+        # differs across Spark versions
+        print("PASS sketch_partial_agg_binary (two-phase)")
+    else:
+        failures.append("sketch_partial_agg_binary")
+        print("FAIL sketch_partial_agg_binary")
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
