@@ -3149,6 +3149,105 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         WHERE o_orderkey <= 500
         GROUP BY o_orderstatus, o_orderpriority, 3
         ORDER BY 1, 2, 3""", None),
+    # --- batch 9: query-shape patterns (CalciteSubQueryTest /
+    # CalciteJoinQueryTest analogs): correlated HAVING, rank-filter
+    # (QUALIFY pattern), expression joins, quantified-ish predicates,
+    # empty-group and LIMIT 0 edges.
+    "sqlc_having_correlated": ("""
+        SELECT o_custkey, count(*) AS n FROM orders o
+        GROUP BY o_custkey
+        HAVING count(*) > (SELECT avg(cnt) * 2 FROM
+                           (SELECT count(*) AS cnt FROM orders
+                            GROUP BY o_custkey) t)
+        ORDER BY n DESC, o_custkey LIMIT 10""", None),
+    "sqlc_rank_filter_pattern": ("""
+        SELECT o_orderstatus, o_orderpriority, n FROM (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY count(*) DESC,
+                                             o_orderpriority) AS rn
+          FROM orders GROUP BY 1, 2) t
+        WHERE rn = 1 ORDER BY o_orderstatus""", None),
+    "sqlc_join_on_expression": ("""
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS y,
+               count(*) AS n
+        FROM orders o JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+         AND EXTRACT(YEAR FROM l.l_shipdate) =
+             EXTRACT(YEAR FROM o.o_orderdate)
+        GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_exists_not_exists_combo": ("""
+        SELECT count(*) AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)""", None),
+    "sqlc_in_expression_key": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE MOD(o_orderkey, 100) IN
+              (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)""",
+     None),
+    "sqlc_union_order_overall": ("""
+        SELECT * FROM (
+          SELECT 'lo' AS band, count(*) AS n FROM orders
+          WHERE o_totalprice < 100000
+          UNION ALL
+          SELECT 'mid' AS band, count(*) AS n FROM orders
+          WHERE o_totalprice >= 100000 AND o_totalprice < 250000
+          UNION ALL
+          SELECT 'hi' AS band, count(*) AS n FROM orders
+          WHERE o_totalprice >= 250000) u
+        ORDER BY n DESC, band""", None),
+    "sqlc_count_col_vs_star": ("""
+        SELECT count(*) AS n_star,
+               count(NULLIF(o_orderstatus, 'P')) AS n_col,
+               count(DISTINCT NULLIF(o_orderstatus, 'P')) AS n_dist
+        FROM orders""", None),
+    "sqlc_date_literal_cast": ("""
+        SELECT count(*) AS n,
+               CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_d
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-02-01'""", None),
+    "sqlc_group_by_empty": ("""
+        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+        FROM orders GROUP BY GROUPING SETS (())""", """
+        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+        FROM orders"""),
+    "sqlc_scalar_compare_where": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5
+                              FROM orders)""", None),
+    "sqlc_limit_zero": ("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 0""", None),
+    "sqlc_where_false_schema": ("""
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE 1 = 0""", None),
+    "sqlc_cte_window_chain": ("""
+        WITH pri AS (SELECT o_orderpriority, count(*) AS n
+                     FROM orders GROUP BY 1),
+             ranked AS (SELECT o_orderpriority, n,
+                               RANK() OVER (ORDER BY n DESC,
+                                            o_orderpriority) AS r
+                        FROM pri)
+        SELECT o_orderpriority, n, r FROM ranked
+        WHERE r <= 3 ORDER BY r""", None),
+    "sqlc_union_in_subquery": ("""
+        SELECT count(*) AS n FROM nation
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                              WHERE r_name = 'ASIA'
+                              UNION
+                              SELECT r_regionkey FROM region
+                              WHERE r_name = 'EUROPE')""", None),
+    "sqlc_order_by_alias_expr": ("""
+        SELECT o_orderpriority, count(*) AS total
+        FROM orders GROUP BY 1
+        ORDER BY total DESC, o_orderpriority LIMIT 4""", None),
+    "sqlc_avg_int_is_double": ("""
+        SELECT o_orderstatus,
+               round(avg(CAST(o_custkey AS DOUBLE)), 4) AS avg_cust
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
 }
 
 
