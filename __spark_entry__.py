@@ -3248,6 +3248,48 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT o_orderstatus,
                round(avg(CAST(o_custkey AS DOUBLE)), 4) AS avg_cust
         FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # --- batch 10: time-range window frames, pattern TIME_PARSE,
+    # non-ANSI cast truncation, literal/operator edges.
+    "sqlc_window_time_range": ("""
+        SELECT d, n,
+               CAST(sum(n) OVER (ORDER BY d
+                    RANGE BETWEEN INTERVAL '2' DAY PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS moving_3d
+        FROM (SELECT FLOOR(__time TO DAY) AS d, count(*) AS n
+              FROM events GROUP BY 1)
+        ORDER BY d""", """
+        SELECT d, n,
+               CAST(sum(n) OVER (ORDER BY d
+                    RANGE BETWEEN INTERVAL 2 DAY PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS moving_3d
+        FROM (SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+                     count(*) AS n
+              FROM events GROUP BY 1) t
+        ORDER BY d"""),
+    "sqlc_time_parse_pattern": ("""
+        SELECT TIME_PARSE('05/20/2024 13:45', 'MM/dd/yyyy HH:mm') AS t1,
+               TIME_PARSE('2024-05-20T08:00:00Z') AS t2""", """
+        SELECT TIMESTAMP '2024-05-20 13:45:00' AS t1,
+               TIMESTAMP '2024-05-20 08:00:00' AS t2"""),
+    "sqlc_cast_truncates_not_rounds": ("""
+        SELECT CAST(1.9 AS BIGINT) AS t1, CAST(-1.9 AS BIGINT) AS t2,
+               CAST('3.7' AS DOUBLE) AS t3""", """
+        SELECT 1 AS t1, -1 AS t2, 3.7 AS t3"""),
+    "sqlc_scientific_literals": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_totalprice > 1e5 AND o_totalprice < 4.5e5""", None),
+    "sqlc_unary_minus_abs": ("""
+        SELECT CAST(sum(-o_custkey) AS BIGINT) AS neg_sum,
+               CAST(sum(ABS(-o_custkey)) AS BIGINT) AS abs_sum
+        FROM orders WHERE o_orderkey <= 100""", None),
+    "sqlc_double_mod": ("""
+        SELECT round(MOD(7.5, 2.25), 9) AS m1,
+               round(MOD(o_totalprice, 1000.0), 2) AS m2
+        FROM orders ORDER BY o_orderkey LIMIT 3""", None),
+    "sqlc_string_range_compare": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderpriority BETWEEN '2-HIGH' AND '4-NOT SPECIFIED'""",
+     None),
 }
 
 

@@ -481,6 +481,15 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     pat = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", flags=re.IGNORECASE)
     while pat.search(out):
         out = pat.sub(lambda m: f"array({m.group(1)})", out)
+    # TIME_PARSE(expr, 'pattern') — the reference's 2-arg Joda-pattern
+    # form (TimeParseOperatorConversion); the registered 1-arg UDF
+    # handles ISO strings, the 2-arg literal-pattern form maps to
+    # Spark's TO_TIMESTAMP (JDK patterns match Joda for the common
+    # y/M/d/H/m/s letters)
+    out = re.sub(
+        r"\bTIME_PARSE\(\s*([^,()]+?)\s*,\s*('[^']*')\s*\)",
+        lambda m: f"TO_TIMESTAMP({m.group(1)}, {m.group(2)})",
+        out, flags=re.IGNORECASE)
     # Calcite POSITION(needle IN haystack FROM start) — Spark only
     # parses the 2-arg form; the FROM variant maps to LOCATE
     out = re.sub(
