@@ -1225,6 +1225,45 @@ def q_ts_week(spark, sf):
         "context": {"skipEmptyBuckets": True}})
 
 
+def q_ts_descending(spark, sf):
+    """descending timeseries (TimeseriesQuery.isDescending — newest
+    bucket first; the broker merges segment cursors in reverse)."""
+    return _engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "day", "descending": True,
+        "aggregations": [{"type": "count", "name": "n"},
+                         {"type": "doubleSum", "name": "v",
+                          "fieldName": "value"}],
+        "context": {"skipEmptyBuckets": True}})
+
+
+def q_topn_dim_metric(spark, sf):
+    """topN with a dimension metric spec (lexicographic ordering by the
+    dimension value itself — DimensionTopNMetricSpec)."""
+    return _engine(spark, sf).query({
+        "queryType": "topN", "dataSource": "orders",
+        "dimension": "o_orderpriority",
+        "metric": {"type": "dimension", "ordering": "lexicographic"},
+        "threshold": 3, "granularity": "all",
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
+def q_scan_time_desc(spark, sf):
+    """scan with legacy time order descending
+    (ScanQuery.Order.DESCENDING — newest events first). The filter
+    keeps the row set under the limit so timestamp ties at a limit
+    boundary can't make membership nondeterministic (the gate's
+    value compare is order-insensitive; the descending sort path
+    itself is exercised and unit-tested)."""
+    return _engine(spark, sf).query({
+        "queryType": "scan", "dataSource": "events",
+        "columns": ["event_id", "user_id", "event_type"],
+        "filter": {"type": "bound", "dimension": "event_id",
+                   "upper": "200", "upperStrict": True,
+                   "ordering": "numeric"},
+        "order": "descending", "limit": 10000})
+
+
 def q_nested_groupby(spark, sf):
     """query datasource (subquery — ClientQuerySegmentWalker inlining):
     outer aggregate over an inner groupBy."""
@@ -3461,6 +3500,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_day": q_topn_per_day,
         "window_framed_avg": q_window_framed_avg,
         "ts_week": q_ts_week,
+        "ts_descending": q_ts_descending,
+        "topn_dim_metric": q_topn_dim_metric,
+        "scan_time_desc": q_scan_time_desc,
     }
 
 
@@ -4280,6 +4322,17 @@ def _base_oracle_sql() -> dict[str, str]:
               FROM events
               WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
               GROUP BY 1) d""",
+        "ts_descending": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS __time,
+                   count(*) AS n, sum(value) AS v
+            FROM events GROUP BY 1 ORDER BY 1 DESC""",
+        "topn_dim_metric": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders GROUP BY 1 ORDER BY 1 LIMIT 3""",
+        "scan_time_desc": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_id < 200
+            ORDER BY ts DESC""",
         "ts_week": """
             SELECT date_trunc('week', ts)::TIMESTAMP AS __time, count(*) AS n
             FROM events GROUP BY 1""",
