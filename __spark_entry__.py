@@ -1225,6 +1225,35 @@ def q_ts_week(spark, sf):
         "context": {"skipEmptyBuckets": True}})
 
 
+def q_search_strlen_sort(spark, sf):
+    """search with strlen SearchSortSpec (shortest values first,
+    SearchSortSpec.java) over the event_type dimension."""
+    return _engine(spark, sf).query({
+        "queryType": "search", "dataSource": "events",
+        "searchDimensions": ["event_type"],
+        "query": {"type": "insensitive_contains", "value": "i"},
+        "sort": {"type": "strlen"}})
+
+
+def q_gb_having_compound(spark, sf):
+    """compound having specs (HavingSpec and/or/not + dimSelector +
+    equalTo — query/groupby/having/*.java): AND(total > 1000,
+    NOT(dimSelector event_type = 'view'))."""
+    return _round(_engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [{"type": "doubleSum", "name": "total",
+                          "fieldName": "value"},
+                         {"type": "count", "name": "n"}],
+        "having": {"type": "and", "havingSpecs": [
+            {"type": "greaterThan", "aggregation": "total",
+             "value": 1000.0},
+            {"type": "not", "havingSpec": {
+                "type": "dimSelector", "dimension": "event_type",
+                "value": "view"}}]},
+    }), {"total": 2})
+
+
 def q_ts_descending(spark, sf):
     """descending timeseries (TimeseriesQuery.isDescending — newest
     bucket first; the broker merges segment cursors in reverse)."""
@@ -3501,6 +3530,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_framed_avg": q_window_framed_avg,
         "ts_week": q_ts_week,
         "ts_descending": q_ts_descending,
+        "search_strlen_sort": q_search_strlen_sort,
+        "gb_having_compound": q_gb_having_compound,
         "topn_dim_metric": q_topn_dim_metric,
         "scan_time_desc": q_scan_time_desc,
     }
@@ -4322,6 +4353,17 @@ def _base_oracle_sql() -> dict[str, str]:
               FROM events
               WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
               GROUP BY 1) d""",
+        "search_strlen_sort": """
+            SELECT 'event_type' AS dimension, event_type AS value,
+                   count(*) AS count
+            FROM events WHERE lower(event_type) LIKE '%i%'
+            GROUP BY 2 ORDER BY length(event_type), event_type""",
+        "gb_having_compound": """
+            SELECT event_type, round(sum(value), 2) AS total,
+                   count(*) AS n
+            FROM events GROUP BY 1
+            HAVING sum(value) > 1000 AND event_type <> 'view'
+            ORDER BY 1""",
         "ts_descending": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time,
                    count(*) AS n, sum(value) AS v

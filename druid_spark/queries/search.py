@@ -40,7 +40,18 @@ def compile_query(engine, q: dict) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = out.orderBy("dimension", "value")
+    # SearchSortSpec (search/SearchSortSpec.java): lexicographic
+    # (default), strlen (by value length then value), alphanumeric
+    # (numeric-aware sort key)
+    sort = (q.get("sort") or {}).get("type", "lexicographic")
+    if sort == "strlen":
+        out = out.orderBy("dimension", F.length("value"), "value")
+    elif sort == "alphanumeric":
+        from druid_spark.filters import alnum_sort_key
+        out = out.orderBy("dimension", alnum_sort_key(F.col("value")),
+                          "value")
+    else:
+        out = out.orderBy("dimension", "value")
     limit = q.get("limit")
     if limit:
         out = out.limit(int(limit))
