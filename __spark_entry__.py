@@ -1225,6 +1225,20 @@ def q_ts_week(spark, sf):
         "context": {"skipEmptyBuckets": True}})
 
 
+def q_gb_limit_offset(spark, sf):
+    """DefaultLimitSpec limit+offset combined: skip `offset` rows, then
+    return `limit` rows (DefaultLimitSpec.java — limit counts
+    post-offset rows; round-3 fix for the reversed application)."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "orders",
+        "granularity": "all", "dimensions": ["o_custkey"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "limitSpec": {"type": "default", "limit": 7, "offset": 3,
+                      "columns": [{"dimension": "o_custkey",
+                                   "direction": "ascending",
+                                   "dimensionOrder": "numeric"}]}})
+
+
 def q_search_strlen_sort(spark, sf):
     """search with strlen SearchSortSpec (shortest values first,
     SearchSortSpec.java) over the event_type dimension."""
@@ -3531,6 +3545,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_week": q_ts_week,
         "ts_descending": q_ts_descending,
         "search_strlen_sort": q_search_strlen_sort,
+        "gb_limit_offset": q_gb_limit_offset,
         "gb_having_compound": q_gb_having_compound,
         "topn_dim_metric": q_topn_dim_metric,
         "scan_time_desc": q_scan_time_desc,
@@ -4353,6 +4368,9 @@ def _base_oracle_sql() -> dict[str, str]:
               FROM events
               WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
               GROUP BY 1) d""",
+        "gb_limit_offset": """
+            SELECT o_custkey, count(*) AS n FROM orders
+            GROUP BY 1 ORDER BY o_custkey LIMIT 7 OFFSET 3""",
         "search_strlen_sort": """
             SELECT 'event_type' AS dimension, event_type AS value,
                    count(*) AS count

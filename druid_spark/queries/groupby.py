@@ -95,10 +95,14 @@ def compile_query(engine, q: dict) -> DataFrame:
         order = [_order_col(c) for c in cols]
         if order:
             out = out.orderBy(*order)
-        if limit_spec.get("limit") is not None:
-            out = out.limit(int(limit_spec["limit"]))
+        # DefaultLimitSpec semantics: skip `offset` rows FIRST, then
+        # return at most `limit` rows (DefaultLimitSpec.java — limit
+        # counts post-offset rows; the reverse order would return
+        # limit-offset rows)
         if limit_spec.get("offset"):
             out = out.offset(int(limit_spec["offset"]))
+        if limit_spec.get("limit") is not None:
+            out = out.limit(int(limit_spec["limit"]))
     return out
 
 
