@@ -3372,6 +3372,35 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT count(*) AS n FROM orders
         WHERE o_orderpriority BETWEEN '2-HIGH' AND '4-NOT SPECIFIED'""",
      None),
+    # --- batch 11: nested-JSON path surface over the events.props
+    # column (quidem nested-columns class; NestedDataExpressions.java)
+    "sqlc_json_value_paths": ("""
+        SELECT event_type,
+               CAST(sum(CAST(JSON_VALUE(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               count(JSON_VALUE(props, '$.missing')) AS n_missing
+        FROM events GROUP BY 1 ORDER BY 1""", """
+        SELECT event_type,
+               CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+               count(props->>'missing') AS n_missing
+        FROM events GROUP BY 1 ORDER BY 1"""),
+    "sqlc_json_value_filter": ("""
+        SELECT count(*) AS n FROM events
+        WHERE CAST(JSON_VALUE(props, '$.k') AS BIGINT) > 50""", """
+        SELECT count(*) AS n FROM events
+        WHERE CAST(props->>'k' AS BIGINT) > 50"""),
+    "sqlc_json_keys_merge": ("""
+        SELECT ARRAY_TO_STRING(JSON_KEYS('{"b": 1, "a": 2}', '$'), ',')
+                 AS ks,
+               TO_JSON_STRING(JSON_MERGE('{"a": 1}', '{"b": 2}')) AS merged
+        """, """
+        SELECT 'b,a' AS ks, '{"a":1,"b":2}' AS merged"""),
+    "sqlc_json_nested_group": ("""
+        SELECT MOD(CAST(JSON_VALUE(props, '$.k') AS BIGINT), 10) AS kmod,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""", """
+        SELECT CAST(props->>'k' AS BIGINT) % 10 AS kmod, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1"""),
 }
 
 
