@@ -290,6 +290,49 @@ def q_gb_extraction(spark, sf):
     })
 
 
+def q_gb_time_format_extraction(spark, sf):
+    """timeFormat extraction fn as a groupBy dimension
+    (extraction/TimeFormatExtractionFn.java — format the __time value
+    while grouping; tz defaults to UTC)."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all",
+        "dimensions": [{"type": "extraction", "dimension": "__time",
+                        "outputName": "ym",
+                        "extractionFn": {"type": "timeFormat",
+                                         "format": "yyyy-MM"}}],
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
+def q_gb_bucket_extraction(spark, sf):
+    """bucket extraction fn (BucketExtractionFn.java — floor to buckets
+    of `size` starting at `offset`) over a numeric dimension."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "part",
+        "granularity": "all",
+        "dimensions": [{"type": "extraction", "dimension": "p_size",
+                        "outputName": "size_bucket",
+                        "extractionFn": {"type": "bucket", "size": 10,
+                                         "offset": 0}}],
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
+def q_gb_cascade_extraction(spark, sf):
+    """cascade extraction fn (CascadeExtractionFn.java — apply a chain
+    of extraction fns left-to-right): substring then upper."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "customer",
+        "granularity": "all",
+        "dimensions": [{"type": "extraction", "dimension": "c_mktsegment",
+                        "outputName": "seg3",
+                        "extractionFn": {"type": "cascade",
+                                         "extractionFns": [
+                                             {"type": "substring",
+                                              "index": 0, "length": 3},
+                                             {"type": "lower"}]}}],
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
 def q_gb_virtual_revenue(spark, sf):
     return _round(_engine(spark, sf).query({
         "queryType": "groupBy", "dataSource": "lineitem",
@@ -3477,6 +3520,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_order_limit": q_gb_order_limit,
         "gb_subtotals": q_gb_subtotals,
         "gb_extraction": q_gb_extraction,
+        "gb_time_format_extraction": q_gb_time_format_extraction,
+        "gb_bucket_extraction": q_gb_bucket_extraction,
+        "gb_cascade_extraction": q_gb_cascade_extraction,
         "gb_virtual_revenue": q_gb_virtual_revenue,
         "gb_count_distinct": q_gb_count_distinct,
         "gb_cardinality": q_gb_cardinality,
@@ -3765,6 +3811,16 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag),
                                     (l_returnflag, l_linestatus), ())""",
+        "gb_time_format_extraction": """
+            SELECT strftime(ts, '%Y-%m') AS ym, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "gb_bucket_extraction": """
+            SELECT (p_size // 10) * 10 AS size_bucket, count(*) AS n
+            FROM part GROUP BY 1 ORDER BY 1""",
+        "gb_cascade_extraction": """
+            SELECT lower(substring(c_mktsegment, 1, 3)) AS seg3,
+                   count(*) AS n
+            FROM customer GROUP BY 1 ORDER BY 1""",
         "gb_extraction": """
             SELECT substr(p_type, 1, 5) AS pt5, count(*) AS n
             FROM part GROUP BY 1""",
