@@ -321,8 +321,8 @@ def main():
         len(fn().collect())
         cold[name] = round(time.time() - t0, 4)
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
+        for _ in range(3):  # best-of-3: the min is robust to a
+            t0 = time.time()  # transient contention spike on the host
             len(fn().collect())
             best = min(best, time.time() - t0)
         times[name] = round(best, 4)
