@@ -290,6 +290,21 @@ def q_gb_extraction(spark, sf):
     })
 
 
+def q_sql_lookup_fn(spark, sf):
+    """SQL LOOKUP(expr, 'name') function
+    (QueryLookupOperatorConversion — registered lookup applied as a
+    broadcast map literal in SQL)."""
+    eng = _engine(spark, sf)
+    eng.catalog.register_lookup(
+        "region_names", {"0": "AFRICA", "1": "AMERICA", "2": "ASIA",
+                         "3": "EUROPE", "4": "MIDDLE EAST"})
+    return eng.sql("""
+        SELECT LOOKUP(CAST(n_regionkey AS VARCHAR), 'region_names')
+                 AS region,
+               count(*) AS n
+        FROM nation GROUP BY 1 ORDER BY 1""")
+
+
 def q_gb_time_format_extraction(spark, sf):
     """timeFormat extraction fn as a groupBy dimension
     (extraction/TimeFormatExtractionFn.java — format the __time value
@@ -3520,6 +3535,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_order_limit": q_gb_order_limit,
         "gb_subtotals": q_gb_subtotals,
         "gb_extraction": q_gb_extraction,
+        "sql_lookup_fn": q_sql_lookup_fn,
         "gb_time_format_extraction": q_gb_time_format_extraction,
         "gb_bucket_extraction": q_gb_bucket_extraction,
         "gb_cascade_extraction": q_gb_cascade_extraction,
@@ -3811,6 +3827,12 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag),
                                     (l_returnflag, l_linestatus), ())""",
+        "sql_lookup_fn": """
+            SELECT CASE n_regionkey WHEN 0 THEN 'AFRICA'
+                   WHEN 1 THEN 'AMERICA' WHEN 2 THEN 'ASIA'
+                   WHEN 3 THEN 'EUROPE' ELSE 'MIDDLE EAST' END AS region,
+                   count(*) AS n
+            FROM nation GROUP BY 1 ORDER BY 1""",
         "gb_time_format_extraction": """
             SELECT strftime(ts, '%Y-%m') AS ym, count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1""",
