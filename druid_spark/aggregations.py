@@ -202,6 +202,33 @@ class AggCompiler:
     def compile_all(self, aggs: list[dict] | None) -> list[Column]:
         return [self.compile(a) for a in aggs or []]
 
+    def _sketch_input(self, agg: dict, c: Column, allow_double: bool) -> Column:
+        """Per-type sketch update dispatch, mirroring the reference's
+        SketchAggregator.updateUnion (extensions-core/datasketches/.../
+        theta/SketchAggregator.java): Integer/Long hash via update(long),
+        Double via update(double), String via update(String). Spark's
+        theta_sketch_agg takes the same per-type Datasketches path, so a
+        sketch built here unions correctly with a reference-built blob on
+        a column of the same type. Types the Spark agg can't ingest
+        natively (double for HLL; complex types) fall back to a string
+        cast — engine-internally consistent, but such sketches are not
+        blob-interoperable with reference numeric sketches (documented)."""
+        df = getattr(self.fc, "df", None)
+        fname = agg.get("fieldName")
+        dt = None
+        if df is not None and isinstance(fname, str):
+            try:
+                dt = dict(df.dtypes).get(fname)
+            except Exception:
+                dt = None
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return c.cast("long")
+        if dt in ("float", "double") and allow_double:
+            return c.cast("double")
+        if dt == "string":
+            return c
+        return c.cast("string")
+
     def _agg(self, agg: dict[str, Any], cond: Column | None = None,
              outer_name: str | None = None) -> Column:
         """cond: a `filtered` wrapper's predicate — applied map-side as
@@ -282,7 +309,8 @@ class AggCompiler:
         # HllSketchBuild / HllSketchMerge factory pair.
         if t == "hllState":
             return F.hll_sketch_agg(
-                guard(_field(agg, res)).cast("string"), 12)
+                self._sketch_input(agg, guard(_field(agg, res)),
+                                   allow_double=False), 12)
         if t == "hllUnionEstimate":
             return F.hll_sketch_estimate(
                 F.hll_union_agg(guard(_field(agg, res)))).cast("long")
@@ -292,9 +320,14 @@ class AggCompiler:
         # theta aggregators; lgK=12 matches SketchAggregatorFactory's
         # 4096-entry default). thetaState/thetaUnionEstimate mirror the
         # reference's SketchMergeAggregatorFactory build/merge pair.
+        # Input dispatch mirrors SketchAggregator.updateUnion's per-type
+        # hashing (long via update(long), double via update(double),
+        # string via update(String)) so a sketch built here unions
+        # correctly with a reference-built blob on the same column type.
         if t == "thetaState":
             return F.theta_sketch_agg(
-                guard(_field(agg, res)).cast("string"), 12)
+                self._sketch_input(agg, guard(_field(agg, res)),
+                                   allow_double=True), 12)
         if t == "thetaUnionEstimate":
             return F.theta_sketch_estimate(
                 F.theta_union_agg(guard(_field(agg, res)), 12)).cast("long")

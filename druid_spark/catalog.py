@@ -131,12 +131,17 @@ class Catalog:
         self.version += 1
 
     def _materialize(self, name: str) -> DataFrame:
-        path, time_column = self._pending.pop(name)
+        # read + normalize BEFORE popping _pending: if the read raises
+        # (bad/missing path) the registration must survive so the next
+        # table() call re-raises the real error instead of a misleading
+        # "unknown datasource".
+        path, time_column = self._pending[name]
         df = _fix_nanos(self.spark.read.parquet(path), path)
         df = _normalize_ntz(df)
         if (time_column and time_column in df.columns
                 and "__time" not in df.columns):
             df = df.withColumn("__time", F.col(time_column))
+        self._pending.pop(name, None)
         self._tables[name] = df
         return df
 

@@ -27,9 +27,17 @@ _EXPLAIN_RE = _re.compile(
     r"^\s*EXPLAIN\s+PLAN\s+(?:WITH\s+\w+\s+)?FOR\s+(?P<q>.*)$",
     _re.IGNORECASE | _re.DOTALL)
 
-# session-id -> (engine-id, catalog-version) of the last temp-view
-# registration, so sql() skips redundant per-call view churn
-_SQL_VIEWS_STAMP: dict[int, tuple[int, int]] = {}
+# SparkSession -> (engine-serial, catalog-version) of the last temp-view
+# registration, so sql() skips redundant per-call view churn. Weakly
+# keyed by the session object itself (not id(): Python reuses ids after
+# GC, so an id-keyed stamp could let a new engine at a freed engine's
+# address skip registration and resolve stale views); the serial is a
+# process-wide monotonic counter, never reused.
+import itertools as _it
+import weakref as _weakref
+_ENGINE_SERIAL = _it.count(1)
+_SQL_VIEWS_STAMP: "_weakref.WeakKeyDictionary[SparkSession, tuple[int, int]]" \
+    = _weakref.WeakKeyDictionary()
 
 
 def qcol(name: str) -> Column:
@@ -75,6 +83,7 @@ class DruidSparkEngine:
         self.spark = harden_session(spark)
         self.catalog = Catalog(spark)
         self.exact_approx = exact_approx
+        self._serial = next(_ENGINE_SERIAL)
         self._result_cache: dict[str, DataFrame] = {}
         self._result_cache_order: list[str] = []
         self.result_cache_size = 32
@@ -106,6 +115,31 @@ class DruidSparkEngine:
                 old = self._result_cache_order.pop(0)
                 self._result_cache.pop(old).unpersist()
         return out
+
+    def clear_cache(self) -> None:
+        """Unpersist and drop every cached result (context.useResultCache)."""
+        for key in list(self._result_cache):
+            df = self._result_cache.pop(key, None)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        self._result_cache_order.clear()
+
+    def close(self) -> None:
+        """Release engine-held session resources. The engine does not own
+        the SparkSession (it may be the caller's) and never stops it —
+        but discarding an engine with a warm result cache would otherwise
+        strand up to result_cache_size persisted DataFrames in the
+        session until it dies."""
+        self.clear_cache()
+
+    def __enter__(self) -> "DruidSparkEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def _dispatch(self, q: dict[str, Any]) -> DataFrame:
         qt = q["queryType"]
@@ -159,11 +193,11 @@ class DruidSparkEngine:
         # Re-create temp views only when the catalog changed OR another
         # engine on the same session registered views last (several
         # engines — e.g. one per sf_dir — share the view namespace).
-        stamp = (id(self), self.catalog.version)
-        if _SQL_VIEWS_STAMP.get(id(self.spark)) != stamp:
+        stamp = (self._serial, self.catalog.version)
+        if _SQL_VIEWS_STAMP.get(self.spark) != stamp:
             for name in self.catalog.tables():
                 self.catalog.table(name).createOrReplaceTempView(name)
-            _SQL_VIEWS_STAMP[id(self.spark)] = stamp
+            _SQL_VIEWS_STAMP[self.spark] = stamp
         return self.spark.sql(rewrite_druid_sql(text,
                                                 exact=self.exact_approx))
 

@@ -64,13 +64,18 @@ def rowset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
-def dtype_drift(sdf, duck_df):
+def dtype_drift(sdf, duck_df, ducktypes=None):
     """Driver-hash risk lint: the driver hashes pandas frames, where
     DuckDB HUGEINT/DECIMAL aggregates surface as float64 ('5.0') while
     Spark BIGINT gives int64 ('5') — rows+values pass stringly but the
     hash differs. Flag any column that is integer-kind on one side and
     float-kind on the other. (CAST the aggregate to BIGINT/DOUBLE in
-    both query and oracle to fix.)"""
+    both query and oracle to fix.)
+
+    ducktypes: {column -> declared DuckDB type string} from
+    `DESCRIBE <query>` — distinguishes a float64 that exists only
+    because pandas NULL-coerced an integral column (suppress) from a
+    genuinely float-declared nullable column (still compare)."""
     from pyspark.sql import types as T
     INT_T = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     FLT_T = (T.FloatType, T.DoubleType)
@@ -83,7 +88,14 @@ def dtype_drift(sdf, duck_df):
         k = duck_df[c].dtype.kind  # 'i','u','f','b','M','O',...
         okind = "i" if k in "iu" else "f" if k == "f" else "?"
         if okind == "f" and duck_df[c].isna().any():
-            continue  # float64 via NULL-coercion, not a type mismatch
+            dt = (ducktypes or {}).get(c, "").upper()
+            if not dt or not any(t in dt for t in
+                                 ("DOUBLE", "FLOAT", "REAL", "DECIMAL")):
+                # integral declared type (or unknown): float64 is pure
+                # NULL-coercion, both sides coerce identically via
+                # toPandas — no hash risk
+                continue
+            # declared float type with NULLs: genuine float — compare
         sk = skind.get(c, "?")
         if {sk, okind} == {"i", "f"}:
             bad.append(f"{c}: spark={'int' if sk=='i' else 'float'} "
@@ -145,7 +157,12 @@ def main():
             n_fail += 1
             continue
         problems = []
-        drift = dtype_drift(sdf, duck_df)
+        try:
+            tdesc = {r[0]: str(r[1]) for r in con.execute(
+                "DESCRIBE " + oracles[name]).fetchall()}
+        except Exception:
+            tdesc = {}
+        drift = dtype_drift(sdf, duck_df, tdesc)
         if drift:
             problems.append("dtype drift (driver hash risk): " + "; ".join(drift))
         if sorted(scols) != sorted(ocols):
