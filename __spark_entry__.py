@@ -53,6 +53,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # query implementations
 # --------------------------------------------------------------------------
 
+def q_http_api(spark, sf):
+    """Network entry point round-trip (server/.../server/
+    QueryResource.java:74, sql/.../http/SqlResource.java:124): start the
+    stdlib HTTP server in-process, POST a native timeseries JSON, parse
+    the Druid-shaped {"timestamp","result"} envelope back into a
+    DataFrame. Verifies the full serialization path a migrating
+    reference user hits first."""
+    import datetime as _dt
+    import json as _json
+    import urllib.request as _rq
+
+    from druid_spark.server import DruidHttpServer
+
+    eng = _engine(spark, sf)
+    srv = DruidHttpServer(eng).start()
+    try:
+        req = _rq.Request(
+            f"http://127.0.0.1:{srv.port}/druid/v2/",
+            data=_json.dumps({
+                "queryType": "timeseries", "dataSource": "events",
+                "intervals": ["2024-01-01T00:00:00Z/2024-01-08T00:00:00Z"],
+                "granularity": "day",
+                "aggregations": [
+                    {"type": "count", "name": "n"},
+                    {"type": "longSum", "name": "s",
+                     "fieldName": "user_id"}],
+                "context": {"skipEmptyBuckets": True}}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with _rq.urlopen(req, timeout=120) as r:
+            payload = _json.loads(r.read())
+    finally:
+        srv.stop()
+    rows = [( _dt.datetime.strptime(e["timestamp"],
+                                    "%Y-%m-%dT%H:%M:%S.%fZ"),
+              int(e["result"]["n"]), int(e["result"]["s"]))
+            for e in payload]
+    return spark.createDataFrame(rows, "__time timestamp, n long, s long")
+
+
 def q_ts_day(spark, sf):
     return _round(_engine(spark, sf).query({
         "queryType": "timeseries", "dataSource": "events",
@@ -3473,8 +3512,9 @@ def _sql_case(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # joins, sketches/projections, streaming, SQL layer, datapipe. The
 # remaining base entries follow, then the sqlc_* conformance bank.
 _SAMPLE_FIRST = [
-    # query types
-    "ts_day", "ts_zero_fill", "ts_six_hour", "ts_grand_total",
+    # network API + query types
+    "http_api",
+    "ts_day", "ts_zero_fill", "ts_grand_total",
     "topn_sum_value", "topn_inverted", "topn_approx_bound",
     "gb_flag_status", "gb_having", "gb_subtotals", "gb_postagg",
     "gb_count_distinct", "gb_first_last", "gb_extraction",
@@ -3516,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "http_api": q_http_api,
         "ts_day": q_ts_day,
         "ts_day_tz": q_ts_day_tz,
         "ts_grand_total": q_ts_grand_total,
@@ -3715,6 +3756,12 @@ def oracle_sql() -> dict[str, str]:
 
 def _base_oracle_sql() -> dict[str, str]:
     return {
+        "http_api": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS __time,
+                   count(*) AS n, CAST(sum(user_id) AS BIGINT) AS s
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+            GROUP BY 1""",
         "ts_day": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, count(*) AS n,
                    round(sum(value), 3) AS total

@@ -1,0 +1,329 @@
+"""HTTP entry point — the network API a reference user hits first.
+
+Endpoints mirror the reference's two top-level resources:
+  POST /druid/v2/        native JSON query
+                         (server/.../server/QueryResource.java:74)
+  POST /druid/v2/sql     Druid SQL, resultFormat object|array|
+                         objectLines|arrayLines|csv + header
+                         (sql/.../sql/http/SqlResource.java:124,
+                         ResultFormat.java)
+  GET  /druid/v2/datasources   registered table names
+                         (QueryResource.java getDataSources)
+  GET  /status, /status/health (server/.../server/StatusResource.java)
+
+Error bodies carry the reference's QueryException JSON shape
+(processing/.../query/QueryException.java:159-175):
+  {"error": <code>, "errorMessage": <msg>, "errorClass": <class>, "host": null}
+
+Design: a stdlib ThreadingHTTPServer over a DruidSparkEngine — no
+extra dependencies, one thread per request, the SparkSession shared
+across handler threads (py4j is thread-safe; Spark schedules concurrent
+jobs FIFO/fair per its scheduler config). Result sets are collected on
+the driver, which matches the reference's broker behavior: every Druid
+response funnels through the broker as JSON; queries are
+aggregations/limited scans by contract, so results are small even when
+inputs are 100 TB. Line formats (objectLines/arrayLines) stream via
+toLocalIterator so a large scan export never materializes driver-side.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import decimal
+import io
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from druid_spark import __version__
+
+
+# ------------------------------------------------------------- JSON safety
+def json_safe(v: Any) -> Any:
+    """Row values → JSON-serializable, Druid conventions: timestamps as
+    ISO-8601 UTC millis ('2024-01-02T03:04:05.000Z'), binary as base64."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.") + f"{v.microsecond // 1000:03d}Z"
+    if isinstance(v, dt.date):
+        return v.strftime("%Y-%m-%dT00:00:00.000Z")
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, dict):
+        return {k: json_safe(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [json_safe(x) for x in v]
+    if hasattr(v, "asDict"):  # nested Row
+        return {k: json_safe(x) for k, x in v.asDict(recursive=False).items()}
+    return str(v)
+
+
+def _row_dicts(rows) -> list[dict]:
+    return [{k: json_safe(x) for k, x in r.asDict(recursive=True).items()}
+            for r in rows]
+
+
+def _interval_start(q: dict) -> str | None:
+    ivs = q.get("intervals")
+    if isinstance(ivs, dict):
+        ivs = ivs.get("intervals")
+    if not ivs:
+        return None
+    start = str(ivs[0]).split("/")[0]
+    if "T" not in start:
+        start += "T00:00:00.000Z"
+    elif not start.endswith("Z"):
+        start += "Z"
+    return start
+
+
+# ----------------------------------------------- native response envelopes
+def shape_native(q: dict, rows: list[dict]) -> Any:
+    """Per-queryType result envelopes, matching the reference's result
+    classes (timeseries Result<TimeseriesResultValue>, topN
+    Result<TopNResultValue>, groupBy ResultRow serialized v1-style,
+    scan ScanResultValue — processing/.../query/Result.java and each
+    query's *ResultValue). Query types without a legacy envelope
+    (segmentMetadata, windowOperator, union, scan events themselves)
+    serialize as plain object rows, matching their reference JSON."""
+    qt = q.get("queryType")
+    t0 = _interval_start(q)
+    if qt == "timeseries":
+        out = []
+        for r in rows:
+            ts = r.pop("__time", None)
+            out.append({"timestamp": ts if ts is not None else t0,
+                        "result": r})
+        return out
+    if qt == "topN":
+        buckets: dict[Any, list] = {}
+        order: list = []
+        for r in rows:
+            ts = r.pop("__time", None) if "__time" in r else t0
+            if ts not in buckets:
+                buckets[ts] = []
+                order.append(ts)
+            buckets[ts].append(r)
+        return [{"timestamp": ts, "result": buckets[ts]} for ts in order]
+    if qt == "groupBy":
+        out = []
+        for r in rows:
+            ts = r.pop("__time", None) if "__time" in r else t0
+            out.append({"version": "v1",
+                        "timestamp": ts if ts is not None else t0,
+                        "event": r})
+        return out
+    if qt == "search":
+        return [{"timestamp": t0, "result": rows}]
+    if qt == "timeBoundary":
+        if not rows:
+            return []
+        r = rows[0]
+        return [{"timestamp": r.get("minTime") or r.get("maxTime"),
+                 "result": r}]
+    if qt == "dataSourceMetadata":
+        return [{"timestamp": rows[0].get("maxIngestedEventTime"),
+                 "result": rows[0]}] if rows else []
+    if qt == "scan":
+        fmt = q.get("resultFormat", "list")
+        cols = list(rows[0].keys()) if rows else q.get("columns", [])
+        events: Any = rows
+        if fmt == "compactedList":
+            events = [[r.get(c) for c in cols] for r in rows]
+        return [{"segmentId": None, "columns": cols, "events": events}]
+    return rows
+
+
+def error_body(code: str, e: Exception) -> dict:
+    return {"error": code,
+            "errorMessage": str(e),
+            "errorClass": type(e).__name__,
+            "host": None}
+
+
+# --------------------------------------------------------------- handler
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    # silence per-request stderr logging
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    @property
+    def engine(self):
+        return self.server.engine  # type: ignore[attr-defined]
+
+    def _send(self, status: int, body: bytes,
+              ctype: str = "application/json", qid: str | None = None) -> None:
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        if qid:
+            self.send_header("X-Druid-Query-Id", qid)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, status: int, obj: Any, qid: str | None = None) -> None:
+        self._send(status, json.dumps(obj).encode(), qid=qid)
+
+    def do_GET(self):  # noqa: N802
+        path = self.path.rstrip("/")
+        if path == "/status":
+            self._send_json(200, {"version": __version__})
+        elif path == "/status/health":
+            self._send_json(200, True)
+        elif path == "/druid/v2/datasources":
+            self._send_json(200, self.engine.catalog.tables())
+        else:
+            self._send_json(404, {"error": "Not found",
+                                  "errorMessage": self.path,
+                                  "errorClass": None, "host": None})
+
+    def do_POST(self):  # noqa: N802
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            body = json.loads(raw) if raw else {}
+        except (ValueError, TypeError) as e:
+            self._send_json(400, error_body("Unable to parse query", e))
+            return
+        path = self.path.rstrip("/")
+        if path == "/druid/v2":
+            self._native(body)
+        elif path == "/druid/v2/sql":
+            self._sql(body)
+        else:
+            self._send_json(404, {"error": "Not found",
+                                  "errorMessage": self.path,
+                                  "errorClass": None, "host": None})
+
+    def _native(self, q: dict) -> None:
+        qid = (q.get("context") or {}).get("queryId") or str(uuid.uuid4())
+        try:
+            df = self.engine.query(q)
+            rows = _row_dicts(df.collect())
+        except NotImplementedError as e:
+            self._send_json(400, error_body("Unknown query type", e), qid)
+            return
+        except KeyError as e:
+            self._send_json(400, error_body("Unknown datasource", e), qid)
+            return
+        except Exception as e:  # analysis/runtime
+            self._send_json(500, error_body("Unknown exception", e), qid)
+            return
+        self._send_json(200, shape_native(q, rows), qid)
+
+    def _sql(self, body: dict) -> None:
+        qid = (body.get("context") or {}).get("sqlQueryId") or str(uuid.uuid4())
+        text = body.get("query")
+        if not text:
+            self._send_json(
+                400, {"error": "SQL parse failed",
+                      "errorMessage": "missing 'query'",
+                      "errorClass": None, "host": None}, qid)
+            return
+        fmt = body.get("resultFormat", "object")
+        header = bool(body.get("header", False))
+        try:
+            text = _bind_parameters(text, body.get("parameters"))
+            df = self.engine.sql(text)
+            cols = df.columns
+            if fmt in ("objectLines", "arrayLines"):
+                # stream: never materialize a big export driver-side
+                buf = io.BytesIO()
+                if header and fmt == "arrayLines":
+                    buf.write(json.dumps(cols).encode() + b"\n")
+                for r in df.toLocalIterator():
+                    d = {k: json_safe(v)
+                         for k, v in r.asDict(recursive=True).items()}
+                    line = (json.dumps(d) if fmt == "objectLines"
+                            else json.dumps([d[c] for c in cols]))
+                    buf.write(line.encode() + b"\n")
+                buf.write(b"\n")  # trailing blank line = complete (ResultFormat)
+                self._send(200, buf.getvalue(),
+                           "text/plain; charset=utf-8", qid)
+                return
+            rows = _row_dicts(df.collect())
+            if fmt == "array":
+                out: Any = [[r[c] for c in cols] for r in rows]
+                if header:
+                    out.insert(0, cols)
+                self._send_json(200, out, qid)
+            elif fmt == "csv":
+                import csv as _csv
+                sbuf = io.StringIO()
+                w = _csv.writer(sbuf)
+                if header:
+                    w.writerow(cols)
+                for r in rows:
+                    w.writerow(["" if r[c] is None else r[c] for c in cols])
+                self._send(200, sbuf.getvalue().encode(),
+                           "text/csv; charset=utf-8", qid)
+            else:  # object (default)
+                self._send_json(200, rows, qid)
+        except Exception as e:
+            code = ("SQL parse failed"
+                    if "PARSE_SYNTAX_ERROR" in str(e) else "Unknown exception")
+            self._send_json(400 if code == "SQL parse failed" else 500,
+                            error_body(code, e), qid)
+
+
+def _bind_parameters(text: str, params) -> str:
+    """Positional '?' binding (SqlResource SqlParameter.java): values are
+    spliced as SQL literals — strings escaped, numerics verbatim."""
+    if not params:
+        return text
+    out, it = [], iter(params)
+    for chunk in text.split("?"):
+        out.append(chunk)
+        p = next(it, None)
+        if p is None:
+            continue
+        v = p.get("value") if isinstance(p, dict) else p
+        if v is None:
+            out.append("NULL")
+        elif isinstance(v, (int, float)):
+            out.append(repr(v))
+        else:
+            out.append("'" + str(v).replace("'", "''") + "'")
+    return "".join(out)
+
+
+# --------------------------------------------------------------- server
+class DruidHttpServer:
+    """In-process HTTP server over one engine.
+
+        srv = DruidHttpServer(engine).start()   # ephemeral port
+        ... requests against http://127.0.0.1:{srv.port} ...
+        srv.stop()
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.engine = engine  # type: ignore[attr-defined]
+        self._httpd.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "DruidHttpServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True,
+            name="druid-spark-http")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

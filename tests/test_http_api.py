@@ -1,0 +1,195 @@
+"""HTTP entry-point tests: in-process server, real POSTs, DuckDB oracle.
+
+Reference contracts: server/.../server/QueryResource.java:74 (native),
+sql/.../sql/http/SqlResource.java:124 (SQL + resultFormats), error shape
+processing/.../query/QueryException.java:159-175.
+"""
+
+import json
+import os
+import urllib.request
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    from druid_spark.server import DruidHttpServer
+    srv = DruidHttpServer(engine).start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, path, obj, expect_error=False):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read()), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        if not expect_error:
+            raise
+        return e.code, json.loads(e.read()), dict(e.headers)
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def test_status_and_datasources(server):
+    status, body = _get(server, "/status")
+    assert status == 200 and "version" in body
+    status, tables = _get(server, "/druid/v2/datasources")
+    assert status == 200 and "lineitem" in tables and "events" in tables
+
+
+def test_native_timeseries_oracle(server):
+    """POST /druid/v2 timeseries == DuckDB day-bucketed counts."""
+    status, body, headers = _post(server, "/druid/v2/", {
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "day", "intervals": ["2024-01-01/2024-01-08"],
+        "aggregations": [{"type": "count", "name": "n"},
+                         {"type": "longSum", "name": "v",
+                          "fieldName": "user_id"}],
+        "context": {"skipEmptyBuckets": True, "queryId": "ts-q1"}})
+    assert status == 200
+    assert headers.get("X-Druid-Query-Id") == "ts-q1"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{os.path.join(SF_DIR, 'events.parquet')}'")
+    oracle = con.execute("""
+        SELECT date_trunc('day', ts) AS d, COUNT(*) AS n,
+               CAST(SUM(user_id) AS BIGINT) AS v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        GROUP BY 1 ORDER BY 1""").fetchall()
+    assert len(body) == len(oracle)
+    for row, (d, n, v) in zip(body, oracle):
+        assert row["timestamp"] == d.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+        assert row["result"]["n"] == n
+        assert row["result"]["v"] == v
+
+
+def test_native_groupby_envelope(server):
+    status, body, _ = _post(server, "/druid/v2", {
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "aggregations": [{"type": "count", "name": "cnt"}]})
+    assert status == 200
+    assert all(set(r) == {"version", "timestamp", "event"} for r in body)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * "
+                f"FROM '{os.path.join(SF_DIR, 'lineitem.parquet')}'")
+    oracle = dict(con.execute(
+        "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY 1").fetchall())
+    got = {r["event"]["l_returnflag"]: r["event"]["cnt"] for r in body}
+    assert got == oracle
+
+
+def test_native_scan_compacted(server):
+    status, body, _ = _post(server, "/druid/v2", {
+        "queryType": "scan", "dataSource": "nation",
+        "columns": ["n_nationkey", "n_name"], "limit": 5,
+        "resultFormat": "compactedList"})
+    assert status == 200 and len(body) == 1
+    assert body[0]["columns"] == ["n_nationkey", "n_name"]
+    assert len(body[0]["events"]) == 5
+    assert all(isinstance(e, list) and len(e) == 2
+               for e in body[0]["events"])
+
+
+def test_sql_object_oracle(server):
+    status, body, _ = _post(server, "/druid/v2/sql", {
+        "query": "SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) "
+                 "AS sum_qty FROM lineitem "
+                 "GROUP BY l_returnflag ORDER BY l_returnflag"})
+    assert status == 200
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * "
+                f"FROM '{os.path.join(SF_DIR, 'lineitem.parquet')}'")
+    oracle = con.execute(
+        "SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag").fetchall()
+    assert [(r["l_returnflag"], r["sum_qty"]) for r in body] == oracle
+
+
+def test_sql_array_header_and_csv(server):
+    q = ("SELECT n_name FROM nation ORDER BY n_nationkey "
+         "OFFSET 0 ROWS FETCH NEXT 3 ROWS ONLY")
+    status, body, _ = _post(server, "/druid/v2/sql",
+                            {"query": q, "resultFormat": "array",
+                             "header": True})
+    assert status == 200 and body[0] == ["n_name"] and len(body) == 4
+
+
+def test_sql_csv(server):
+    status_lines = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/druid/v2/sql",
+        data=json.dumps({"query": "SELECT n_nationkey, n_name FROM nation "
+                                  "ORDER BY n_nationkey LIMIT 2",
+                         "resultFormat": "csv", "header": True}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(status_lines) as r:
+        text = r.read().decode()
+        assert r.headers["Content-Type"].startswith("text/csv")
+    lines = [ln for ln in text.strip().splitlines() if ln]
+    assert lines[0] == "n_nationkey,n_name" and len(lines) == 3
+
+
+def test_sql_object_lines_stream(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/druid/v2/sql",
+        data=json.dumps({"query": "SELECT n_nationkey FROM nation "
+                                  "ORDER BY n_nationkey",
+                         "resultFormat": "objectLines"}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req) as r:
+        raw = r.read().decode()
+    # trailing blank line marks a complete result (ResultFormat contract)
+    assert raw.endswith("\n\n")
+    rows = [json.loads(ln) for ln in raw.strip().splitlines()]
+    assert rows[0] == {"n_nationkey": 0} and len(rows) == 25
+
+
+def test_sql_parameters(server):
+    status, body, _ = _post(server, "/druid/v2/sql", {
+        "query": "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey = ?",
+        "parameters": [{"type": "BIGINT", "value": 1}]})
+    assert status == 200 and body[0]["n"] == 5
+
+
+def test_error_shapes(server):
+    # unknown query type -> 400, QueryException JSON shape
+    status, body, _ = _post(server, "/druid/v2",
+                            {"queryType": "nope", "dataSource": "nation"},
+                            expect_error=True)
+    assert status == 400
+    assert set(body) == {"error", "errorMessage", "errorClass", "host"}
+    assert body["error"] == "Unknown query type"
+    # unknown datasource -> 400
+    status, body, _ = _post(server, "/druid/v2",
+                            {"queryType": "scan", "dataSource": "ghost",
+                             "columns": ["x"]},
+                            expect_error=True)
+    assert status == 400 and body["error"] == "Unknown datasource"
+    # SQL syntax error -> 400 "SQL parse failed"
+    status, body, _ = _post(server, "/druid/v2/sql",
+                            {"query": "SELEKT 1"}, expect_error=True)
+    assert status == 400 and body["error"] == "SQL parse failed"
+    # malformed JSON body -> 400
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/druid/v2",
+        data=b"{not json", headers={"Content-Type": "application/json"},
+        method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"] == "Unable to parse query"
