@@ -85,30 +85,60 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
-def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             n_cells: int = 16, nprobe: int = 3, seed: int = 42) -> DataFrame:
-    """IVF: KMeans coarse quantizer → probe nprobe nearest cells.
-    Centroid fit is a one-time index build (persist the cell id as a
-    partition column at 100 TB); the query path scans only ~nprobe/n_cells
-    of the data."""
+def ivf_build(df: DataFrame, n_cells: int = 16,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              seed: int = 42) -> tuple[list[list[float]], DataFrame]:
+    """IVF index build — the ONE-TIME ingest-side step, separated from
+    the query path (a per-query KMeans fit is a non-starter at 100 TB).
+
+    Fits KMeans coarse centroids and assigns every vector its nearest
+    cell. Returns (centers, assigned) where `centers` is the driver-side
+    coarse codebook (n_cells × dim floats — tiny) and `assigned` is the
+    input plus a `cell` column. At scale, write `assigned` partitioned
+    (or bucketed) by `cell` so partition pruning makes a probe touch
+    only ~nprobe/n_cells of the files; here callers persist() it."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = df.select(F.col(id_col), F.col(vec_col),
-                     array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+                     array_to_vector(_as_double(F.col(vec_col)))
+                     .alias("features"))
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(vecs)
-    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    assigned = (model.transform(vecs)
+                .withColumnRenamed("prediction", "cell").drop("features"))
+    return centers, assigned
 
-    import numpy as np
-    centers = model.clusterCenters()
-    qv = np.array(query_vec, dtype=float)
-    dists = [float(np.linalg.norm(c - qv)) for c in centers]
+
+def ivf_probe(assigned: DataFrame, centers: list[list[float]],
+              query_vec: list[float], k: int = 10, nprobe: int = 3,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """IVF query path: rank cells by centroid distance driver-side
+    (n_cells floats — no Spark job), filter to the nprobe nearest, exact
+    cosine + TakeOrderedAndProject on the survivors. No .fit(), no
+    collect; with `assigned` partitioned by `cell` the IN-filter prunes
+    at the scan."""
+    qv = [float(x) for x in query_vec]
+    dists = [sum((c[j] - qv[j]) ** 2 for j in range(len(qv)))
+             for c in centers]
     probe = sorted(range(len(dists)), key=lambda i: dists[i])[:nprobe]
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.array(*[F.lit(x) for x in qv])
     sim = cosine(_as_double(F.col(vec_col)), q)
     return (assigned.where(F.col("cell").isin(probe))
             .select(F.col(id_col), F.round(sim, 4).alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, nprobe: int = 3, seed: int = 42) -> DataFrame:
+    """Build + probe in one call — a DEMO convenience for ad-hoc use.
+    Real deployments call ivf_build once at ingest and ivf_probe per
+    query (see those docstrings)."""
+    centers, assigned = ivf_build(df, n_cells=n_cells, vec_col=vec_col,
+                                  id_col=id_col, seed=seed)
+    return ivf_probe(assigned, centers, query_vec, k=k, nprobe=nprobe,
+                     vec_col=vec_col, id_col=id_col)

@@ -127,6 +127,27 @@ def test_ivf_topk(spark, emb):
     assert out and out[0]["vec_id"] == 0
 
 
+def test_ivf_build_probe_split(spark, emb):
+    """The index builds ONCE; probes are fit-free plan-only operations.
+    Two different query vectors probe the same assigned DataFrame, and
+    the probe plan filters on the cell column (prunes to nprobe cells)."""
+    centers, assigned = similarity.ivf_build(emb, n_cells=4)
+    assigned = assigned.persist()
+    assert assigned.columns[-1] == "cell"
+    assert len(centers) == 4 and assigned.count() == emb.count()
+    # cells partition the data: every vector lands in exactly one cell
+    assert assigned.select("cell").distinct().count() <= 4
+
+    for probe_id in (0, 7):
+        qv = emb.where(f"vec_id = {probe_id}").collect()[0]["embedding"]
+        out = similarity.ivf_probe(assigned, centers, qv, k=5, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "cell" in plan  # cell IN (...) filter reached the plan
+        rows = out.collect()
+        assert rows and rows[0]["vec_id"] == probe_id  # self found
+    assigned.unpersist()
+
+
 def test_textstats_profile(spark, docs):
     out = textstats.profile(docs.limit(50))
     rows = out.collect()
