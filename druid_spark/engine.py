@@ -224,15 +224,26 @@ class DruidSparkEngine:
             [(plan, resources, '{"statementType": "SELECT"}')],
             ["PLAN", "RESOURCES", "ATTRIBUTES"])
 
+    # Above this many entries, a lookup's map-literal arm would bloat the
+    # generated function text linearly (a 100k-entry lookup is a multi-MB
+    # SQL definition plus a driver-side parse) — that lookup's arm becomes
+    # a MAX() correlated subquery over a temp view instead, which Catalyst
+    # de-correlates into a broadcast hash join (asserted in
+    # tests/test_sql_layer.py): the per-row hash-map probe Druid's
+    # broadcast LookupExtractor does natively.
+    SQL_LOOKUP_INLINE_MAX = 10_000
+
     def _register_sql_lookups(self) -> None:
         """SQL LOOKUP(expr, 'name') (QueryLookupOperatorConversion):
         generated as a Catalyst-inlined SQL UDF dispatching over the
-        registered lookups as map literals — the broadcast-map-literal
-        plan Druid uses for LOOKUP() application. Re-registered when the
-        lookup registry changes."""
+        registered lookups — small maps as map literals (the
+        broadcast-map-literal plan Druid uses), large maps as
+        broadcast-joined temp views (see SQL_LOOKUP_INLINE_MAX).
+        Re-registered when the lookup registry changes."""
         lookups = self.catalog.lookups
         key = hash(tuple(sorted(
-            (n, tuple(sorted(m.items()))) for n, m in lookups.items())))
+            (n, len(m), hash(tuple(sorted(m.items()))))
+            for n, m in lookups.items())))
         if getattr(self, "_sql_lookups_key", None) == key:
             return
         self._sql_lookups_key = key
@@ -244,13 +255,33 @@ class DruidSparkEngine:
 
         arms = []
         for name, mapping in lookups.items():
-            pairs = ", ".join(
-                f"{q(k)}, {q(v)}" for k, v in mapping.items())
-            arms.append(f"WHEN {q(name)} THEN element_at(map({pairs}), v)")
+            if len(mapping) > self.SQL_LOOKUP_INLINE_MAX:
+                view = self._lookup_view(name)
+                # MAX over <=1 matched row == the value (registry keys are
+                # unique); the aggregate form is what lets Catalyst plan
+                # an equi LeftOuter join (a plain scalar subquery plans a
+                # LeftSingle BroadcastNestedLoopJoin — quadratic)
+                arms.append(f"WHEN {q(name)} THEN (SELECT MAX(l.v) "
+                            f"FROM {view} l WHERE l.k = x)")
+            else:
+                pairs = ", ".join(
+                    f"{q(k)}, {q(v)}" for k, v in mapping.items())
+                arms.append(
+                    f"WHEN {q(name)} THEN element_at(map({pairs}), x)")
         body = "CASE lk " + " ".join(arms) + " END"
         self.spark.sql(
-            "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP(v STRING, lk STRING) "
+            "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP(x STRING, lk STRING) "
             f"RETURNS STRING RETURN {body}")
+
+    def _lookup_view(self, name: str) -> str:
+        """Register lookup `name` as a (k, v) temp view; deterministic
+        sanitized view name."""
+        import hashlib
+        safe = _re.sub(r"[^A-Za-z0-9_]", "_", name)
+        view = (f"__druid_lookup_{safe}_"
+                f"{hashlib.md5(name.encode()).hexdigest()[:6]}")
+        self.catalog.lookup_df(name).createOrReplaceTempView(view)
+        return view
 
     def sql_expr(self, text: str) -> Column:
         """a scalar SQL predicate/expression with Druid functions available."""

@@ -155,6 +155,35 @@ def test_sql_lookup_function(spark):
     assert rows["9"] == "NOWHERE"
 
 
+def test_sql_lookup_large_broadcast_join(spark):
+    """A 50k-entry lookup exceeds SQL_LOOKUP_INLINE_MAX: its LOOKUP()
+    arm must plan as a broadcast hash join against the lookup view (the
+    reference's broadcast LookupExtractor probe), not a multi-megabyte
+    inlined map literal, and still return correct values — including a
+    mixed query touching a small (inlined) lookup too."""
+    from druid_spark import DruidSparkEngine
+
+    e = DruidSparkEngine(spark)
+    e.catalog.register_table("tbig", spark.createDataFrame(
+        [(str(i),) for i in range(0, 2000, 7)], ["rk"]))
+    e.catalog.register_lookup("big", {str(i): f"val{i}" for i in range(50_000)})
+    e.catalog.register_lookup("small", {"0": "zero"})
+    df = e.sql("SELECT rk, LOOKUP(rk, 'big') AS nm, "
+               "LOOKUP(rk, 'small') AS sm FROM tbig")
+    rows = df.collect()  # run first: AQE finalizes the join strategy
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(rows) == len(range(0, 2000, 7))
+    assert all(r["nm"] == f"val{r['rk']}" for r in rows)
+    assert {r["sm"] for r in rows} == {"zero", None}
+    # miss path: keys outside the lookup produce NULL
+    e.catalog.register_table("tmiss", spark.createDataFrame(
+        [("999999",)], ["rk"]))
+    assert e.sql("SELECT LOOKUP(rk, 'big') AS nm FROM tmiss"
+                 ).collect()[0]["nm"] is None
+
+
 def test_unnest_rewrite():
     from druid_spark.functions.sqlshim import _rewrite_unnest
     out = _rewrite_unnest(
