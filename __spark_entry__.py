@@ -1676,6 +1676,29 @@ def q_kll_quantile_merge(spark, sf):
             .orderBy("l_returnflag"))
 
 
+def q_tuple_state_merge(spark, sf):
+    """Stored tuple-sketch re-merge (the reference's
+    arrayOfDoublesSketch workflow over rollup rows,
+    extensions-core/datasketches/.../tuple/
+    ArrayOfDoublesSketchAggregatorFactory.java): rollup rows per
+    (day, event_type) store engine-internal mergeable tuple state
+    (bottom-k KMV key hashes + metric sums, sketch_state.tuple_state —
+    bounded O(k) per row at any cardinality); the query re-merges
+    states per event_type for distinct-user estimates
+    (ToEstimate; exact below k) and metric-sum re-aggregation
+    (ToMetricsSumEstimate) without touching raw rows."""
+    from druid_spark import sketch_state as S
+    eng = _engine(spark, sf)
+    ev = eng.catalog.table("events").withColumn(
+        "day", F.to_date(F.col("__time")))
+    state = S.tuple_state(ev, ["day", "event_type"], "user_id", ["value"])
+    return (state.groupBy("event_type")
+            .agg(S.tuple_union_estimate(F.col("tuple_state")).alias("users"),
+                 F.round(S.tuple_union_metric_sum(F.col("tuple_state"), 1), 2)
+                 .alias("value_sum"))
+            .orderBy("event_type"))
+
+
 def q_topn_approx_bound(spark, sf):
     """Approximate-topN disagreement bound (reference
     processing/.../query/topn/PooledTopNAlgorithm.java:69 — per-segment
@@ -3671,6 +3694,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantile_merge": q_kll_quantile_merge,
         "sql_ds_hll": q_sql_ds_hll,
         "theta_kmv_vs_exact": q_theta_kmv_vs_exact,
+        "tuple_state_merge": q_tuple_state_merge,
         "projection_kmv_sketch": q_projection_kmv_sketch,
         "projection_quantile_sample": q_projection_quantile_sample,
         "single_value": q_single_value,
@@ -4483,6 +4507,11 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, event_type,
                    count(DISTINCT user_id) AS exact_users, true AS est_ok
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "tuple_state_merge": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS users,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1 ORDER BY 1""",
         "projection_quantile_sample": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 3) AS exact_med,

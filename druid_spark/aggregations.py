@@ -431,6 +431,20 @@ class AggCompiler:
             # distinct key tuple, sum the metric columns. Exact mode:
             # struct(n = distinct keys, sums = metric totals over rows
             # with a non-null key) — all partial-aggregable built-ins.
+            #
+            # INTEROP DECISION (mirrors sketch_state.py's paragraph):
+            # unlike HLL/theta/KLL — where Spark's native Datasketches
+            # functions emit the standard binary formats and the
+            # *State/*Union aggregators are blob-interoperable with
+            # reference deployments — Spark ships NO arrayOfDoubles
+            # (tuple) sketch function, so this aggregator's state is an
+            # ENGINE-INTERNAL struct, not exchangeable with blobs from
+            # extensions-core/datasketches/.../ArrayOfDoublesSketch-
+            # AggregatorFactory.java. The struct is partial-aggregable
+            # (re-mergeable across rollup rows: n re-merges via the
+            # distinct set, sums add), human-inspectable, and exact;
+            # finalizer surface and query shapes are identical to the
+            # reference, so only stored-blob exchange is out of scope.
             keys = [res(fn) for fn in agg["fieldNames"]]
             key = (keys[0] if len(keys) == 1 else
                    F.concat_ws("", *[c.cast("string") for c in keys]))

@@ -146,6 +146,47 @@ def sample_merge(state_col: Column, k: int = DEFAULT_K) -> Column:
         1, k)
 
 
+# ------------------------------------------------------- tuple (KMV keys)
+
+def tuple_state(df: DataFrame, keys: list[str], key_field: str,
+                metric_fields: list[str], k: int = DEFAULT_K) -> DataFrame:
+    """Per-`keys` stored TUPLE sketch state — the engine-internal
+    mergeable analog of the reference's arrayOfDoublesSketch
+    (extensions-core/datasketches/.../ArrayOfDoublesSketchAggregator-
+    Factory.java): struct(kmv = bottom-k distinct hashes of key_field,
+    sums = per-metric totals over non-null-key rows). Re-merge across
+    rollup rows: kmv unions (tuple_union_estimate), sums add
+    (tuple_union_metric_sum) — both bounded-size aggregate expressions,
+    so a rollup row stays O(k) at any cardinality. Spark ships no native
+    arrayOfDoubles function, so the state is deliberately NOT
+    Datasketches-binary (see the module interop paragraph above);
+    estimates are exact below k."""
+    kmv = kmv_state(df, keys, key_field, k)
+    key_ok = F.col(key_field).isNotNull()
+    sums = df.groupBy(*keys).agg(
+        *[F.sum(F.when(key_ok, F.col(m)).cast("double")).alias(f"__s{i}")
+          for i, m in enumerate(metric_fields)])
+    return kmv.join(sums, keys).select(
+        *keys,
+        F.struct(F.col(f"{key_field}_kmv").alias("kmv"),
+                 F.array(*[F.col(f"__s{i}")
+                           for i in range(len(metric_fields))])
+                 .alias("sums")).alias("tuple_state"))
+
+
+def tuple_union_estimate(state_col: Column, k: int = DEFAULT_K) -> Column:
+    """Aggregate: re-merge stored tuple states, estimate distinct keys
+    (arrayOfDoublesSketchToEstimate over merged stored sketches)."""
+    return kmv_union_estimate(state_col["kmv"], k)
+
+
+def tuple_union_metric_sum(state_col: Column, i: int) -> Column:
+    """Aggregate: re-merged sum of metric i (1-based)
+    (arrayOfDoublesSketchToMetricsSumEstimate; exact — sums add, and in
+    the exact regime theta == 1 so no scaling applies)."""
+    return F.sum(F.element_at(state_col["sums"], i))
+
+
 def sample_quantile(merged: Column, fraction: float) -> Column:
     """Empirical quantile of the sample values (nearest-rank, the
     reference's DoublesSketch getQuantile convention)."""

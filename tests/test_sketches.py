@@ -367,3 +367,24 @@ def test_projection_theta_routing(spark):
     # grp 'a' = odd ids -> 20 distinct odd (i % 40); 'b' = 20 distinct even
     got = {r["grp"]: r["users"] for r in router.query(q).collect()}
     assert got == {"a": 20, "b": 20}
+
+
+def test_tuple_state_build_merge(spark):
+    """Engine-internal stored tuple sketch (arrayOfDoublesSketch analog):
+    per-day states re-merge to exact distinct keys (below k) + exact
+    metric sums; state stays O(k) regardless of cardinality."""
+    from druid_spark import sketch_state as S
+    rows = [(d, u % 7, float(u)) for d in ("d1", "d2", "d3")
+            for u in range(30)]
+    df = spark.createDataFrame(rows, ["day", "uid", "v"])
+    state = S.tuple_state(df, ["day"], "uid", ["v"], k=16)
+    per_day = state.collect()
+    assert len(per_day) == 3
+    for r in per_day:
+        assert len(r["tuple_state"]["kmv"]) <= 16  # bounded state
+        assert r["tuple_state"]["sums"][0] == sum(float(u) for u in range(30))
+    merged = state.agg(
+        S.tuple_union_estimate(F.col("tuple_state"), 16).alias("n"),
+        S.tuple_union_metric_sum(F.col("tuple_state"), 1).alias("s")).first()
+    assert merged["n"] == 7  # distinct uids, exact below k
+    assert merged["s"] == 3 * sum(float(u) for u in range(30))
