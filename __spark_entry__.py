@@ -3542,6 +3542,341 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM events GROUP BY 1 ORDER BY 1""", """
         SELECT CAST(props->>'k' AS BIGINT) % 10 AS kmod, count(*) AS n
         FROM events GROUP BY 1 ORDER BY 1"""),
+    # --- batch 8 (round 4): arrays + nested-data corpora —
+    # CalciteArraysQueryTest.java (ARRAY_AGG matrices, append/prepend/
+    # concat, offset/ordinal/overlap/slice, UNNEST+filter, whole-array
+    # grouping vs MVD explode) and CalciteNestedDataQueryTest.java
+    # (JSON_VALUE RETURNING arms, JSON_QUERY/_ARRAY, PATHS/KEYS/OBJECT,
+    # PARSE_JSON round-trips) ---
+    "sqlc_arr_append_prepend_concat": ("""
+        SELECT ARRAY_TO_STRING(ARRAY_APPEND(ARRAY['a','b'], 'c'), ',') AS ap,
+               ARRAY_TO_STRING(ARRAY_PREPEND('z', ARRAY['a','b']), ',') AS pp,
+               ARRAY_TO_STRING(ARRAY_CONCAT(ARRAY['x'], ARRAY['y','z']), ',')
+                 AS cc""", """
+        SELECT 'a,b,c' AS ap, 'z,a,b' AS pp, 'x,y,z' AS cc"""),
+    "sqlc_arr_offset_ordinal": ("""
+        SELECT ARRAY_OFFSET(ARRAY['a','b','c'], 1) AS o1,
+               ARRAY_ORDINAL(ARRAY['a','b','c'], 1) AS ord1,
+               ARRAY_OFFSET(ARRAY['a'], 5) AS oob,
+               ARRAY_OFFSET_OF(ARRAY['a','b'], 'b') AS off_of,
+               ARRAY_ORDINAL_OF(ARRAY['a','b'], 'b') AS ord_of,
+               ARRAY_OFFSET_OF(ARRAY['a'], 'q') AS missing""", """
+        SELECT 'b' AS o1, 'a' AS ord1, NULL AS oob,
+               1 AS off_of, 2 AS ord_of, NULL AS missing"""),
+    "sqlc_arr_overlap_slice": ("""
+        SELECT ARRAY_OVERLAP(ARRAY['a','b'], ARRAY['b','c']) AS ov,
+               ARRAY_OVERLAP(ARRAY['a'], ARRAY['x']) AS nov,
+               ARRAY_TO_STRING(ARRAY_SLICE(ARRAY['a','b','c','d'], 1, 3),
+                               ',') AS sl""", """
+        SELECT true AS ov, false AS nov, 'b,c' AS sl"""),
+    "sqlc_arr_contains_filter": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE ARRAY_CONTAINS(ARRAY['F','P'], o_orderstatus)""", """
+        SELECT count(*) AS n FROM orders WHERE o_orderstatus IN ('F','P')"""),
+    "sqlc_arr_quantile": ("""
+        SELECT round(ARRAY_QUANTILE(ARRAY[3.0, 1.0, 2.0], 0.5), 2) AS med,
+               round(ARRAY_QUANTILE(ARRAY[1.0, 2.0], 1.0), 2) AS mx""", """
+        SELECT 2.0 AS med, 2.0 AS mx"""),
+    "sqlc_arr_agg_filter": ("""
+        SELECT o_orderstatus,
+               ARRAY_TO_STRING(ARRAY_SORT(ARRAY_AGG(DISTINCT o_orderpriority)
+                 FILTER (WHERE o_orderpriority LIKE '1%'
+                            OR o_orderpriority LIKE '2%')), ',') AS pris,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", """
+        SELECT o_orderstatus,
+               array_to_string(list_sort(array_agg(DISTINCT o_orderpriority)
+                 FILTER (WHERE o_orderpriority LIKE '1%'
+                            OR o_orderpriority LIKE '2%')), ',') AS pris,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    "sqlc_arr_agg_expr": ("""
+        SELECT ARRAY_TO_STRING(ARRAY_SORT(ARRAY_AGG(
+                 DISTINCT UPPER(SUBSTRING(o_orderpriority, 1, 1)))), '')
+               AS firsts
+        FROM orders""", """
+        SELECT array_to_string(list_sort(array_agg(
+                 DISTINCT upper(substring(o_orderpriority, 1, 1)))), '')
+               AS firsts
+        FROM orders"""),
+    "sqlc_arr_concat_agg": ("""
+        SELECT ARRAY_TO_STRING(ARRAY_SORT(ARRAY_DISTINCT(
+                 ARRAY_CONCAT_AGG(arr))), ',') AS vals
+        FROM (SELECT ARRAY[o_orderstatus, o_orderpriority] AS arr
+              FROM orders) t""", """
+        SELECT array_to_string(list_sort(list_distinct(
+                 flatten(array_agg(arr)))), ',') AS vals
+        FROM (SELECT [o_orderstatus, o_orderpriority] AS arr
+              FROM orders) t"""),
+    "sqlc_arr_agg_length": ("""
+        SELECT ARRAY_LENGTH(ARRAY_AGG(DISTINCT o_orderstatus)) AS n
+        FROM orders""", """
+        SELECT CAST(len(array_agg(DISTINCT o_orderstatus)) AS INTEGER) AS n
+        FROM orders"""),
+    "sqlc_arr_group_by_array": ("""
+        SELECT ARRAY_TO_STRING(a, ',') AS k, count(*) AS n
+        FROM (SELECT ARRAY[o_orderstatus,
+                           CASE WHEN o_totalprice > 150000
+                                THEN 'hi' ELSE 'lo' END] AS a
+              FROM orders) t
+        GROUP BY a ORDER BY k""", """
+        SELECT array_to_string(a, ',') AS k, count(*) AS n
+        FROM (SELECT [o_orderstatus,
+                      CASE WHEN o_totalprice > 150000
+                           THEN 'hi' ELSE 'lo' END] AS a
+              FROM orders) t
+        GROUP BY a ORDER BY k"""),
+    "sqlc_arr_unnest_filter": ("""
+        SELECT v, count(*) AS n
+        FROM orders CROSS JOIN
+             UNNEST(ARRAY[o_orderstatus, o_orderpriority]) AS u(v)
+        WHERE v LIKE '%1%' OR v IN ('F','O','P')
+        GROUP BY v ORDER BY v""", """
+        SELECT v, count(*) AS n
+        FROM (SELECT o_orderstatus AS v FROM orders
+              UNION ALL SELECT o_orderpriority FROM orders) t
+        WHERE v LIKE '%1%' OR v IN ('F','O','P')
+        GROUP BY v ORDER BY v"""),
+    "sqlc_arr_unnest_agg_total": ("""
+        SELECT CAST(sum(cnt) AS BIGINT) AS total FROM (
+          SELECT count(*) AS cnt
+          FROM orders CROSS JOIN
+               UNNEST(ARRAY[o_orderstatus, o_orderpriority]) AS u(v)
+          GROUP BY v) t""", """
+        SELECT CAST(2 * count(*) AS BIGINT) AS total FROM orders"""),
+    "sqlc_arr_unnest_join": ("""
+        SELECT r_name, count(*) AS n
+        FROM (SELECT r_name, k
+              FROM region CROSS JOIN
+                   UNNEST(ARRAY[r_regionkey, r_regionkey]) AS u(k)) t
+        JOIN nation ON n_regionkey = k
+        GROUP BY r_name ORDER BY r_name""", """
+        SELECT r_name, CAST(2 * count(*) AS BIGINT) AS n
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name"""),
+    "sqlc_arr_to_mv_roundtrip": ("""
+        SELECT MV_LENGTH(ARRAY_TO_MV(STRING_TO_ARRAY('a|b|c', '|'))) AS n,
+               MV_TO_STRING(MV_SLICE(STRING_TO_MV('a,b,c,d', ','), 1, 3),
+                            '-') AS mid,
+               MV_CONTAINS(STRING_TO_MV('x,y', ','), 'x') AS has_x""", """
+        SELECT 3 AS n, 'b-c' AS mid, true AS has_x"""),
+    "sqlc_arr_string_roundtrip": ("""
+        SELECT ARRAY_TO_STRING(STRING_TO_ARRAY(
+                 ARRAY_TO_STRING(ARRAY['p','q','r'], '|'), '|'), '-')
+               AS rt""", """
+        SELECT 'p-q-r' AS rt"""),
+    "sqlc_arr_numeric_cast": ("""
+        SELECT CAST(ARRAY_OFFSET(STRING_TO_ARRAY('10,20,30', ','), 2)
+                    AS BIGINT) AS v30""", """
+        SELECT CAST(30 AS BIGINT) AS v30"""),
+    "sqlc_arr_equality": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE ARRAY[o_orderstatus] = ARRAY['F']""", """
+        SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'"""),
+    "sqlc_arr_case_branch": ("""
+        SELECT ARRAY_TO_STRING(CASE WHEN 1 = 0 THEN ARRAY['x']
+                                    ELSE ARRAY['f','g'] END, ',') AS c""", """
+        SELECT 'f,g' AS c"""),
+    "sqlc_arr_group_vs_explode": ("""
+        SELECT (SELECT count(*) FROM (
+                  SELECT a FROM (SELECT ARRAY[o_orderstatus] AS a
+                                 FROM orders) s GROUP BY a) g) AS arr_groups,
+               (SELECT count(DISTINCT o_orderstatus) FROM orders)
+               AS mv_groups""", """
+        SELECT (SELECT count(*) FROM (
+                  SELECT a FROM (SELECT [o_orderstatus] AS a
+                                 FROM orders) s GROUP BY a) g) AS arr_groups,
+               (SELECT count(DISTINCT o_orderstatus) FROM orders)
+               AS mv_groups"""),
+    "sqlc_arr_cardinality_filter": ("""
+        SELECT count(*) AS n FROM events
+        WHERE ARRAY_LENGTH(STRING_TO_ARRAY(event_type, '_')) >= 2""", """
+        SELECT count(*) AS n FROM events
+        WHERE len(string_split(event_type, '_')) >= 2"""),
+    "sqlc_mv_filter_only_regex": ("""
+        SELECT ARRAY_TO_STRING(MV_FILTER_ONLY(
+                 STRING_TO_MV('apple,banana,avocado', ','),
+                 ARRAY['apple','avocado']), ',') AS only_a,
+               ARRAY_TO_STRING(MV_FILTER_REGEX(
+                 STRING_TO_MV('a1,b2,a3', ','), '^a.*'), ',') AS regex_a""",
+     """
+        SELECT 'apple,avocado' AS only_a, 'a1,a3' AS regex_a"""),
+    "sqlc_arr_agg_join": ("""
+        SELECT r_name,
+               ARRAY_TO_STRING(ARRAY_SORT(ARRAY_AGG(
+                 DISTINCT SUBSTRING(n_name, 1, 1))), '') AS initials
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""", """
+        SELECT r_name,
+               array_to_string(list_sort(array_agg(
+                 DISTINCT substring(n_name, 1, 1))), '') AS initials
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name"""),
+    "sqlc_json_value_returning": ("""
+        SELECT CAST(sum(JSON_VALUE(props, '$.k' RETURNING BIGINT))
+                    AS BIGINT) AS ksum,
+               round(avg(JSON_VALUE(props, '$.k' RETURNING DOUBLE)), 3)
+                 AS kavg
+        FROM events""", """
+        SELECT CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS ksum,
+               round(avg(CAST(props->>'k' AS DOUBLE)), 3) AS kavg
+        FROM events"""),
+    "sqlc_json_returning_filter": ("""
+        SELECT count(*) AS n FROM events
+        WHERE JSON_VALUE(props, '$.k' RETURNING BIGINT) > 50""", """
+        SELECT count(*) AS n FROM events
+        WHERE CAST(props->>'k' AS BIGINT) > 50"""),
+    "sqlc_json_returning_group": ("""
+        SELECT MOD(JSON_VALUE(props, '$.k' RETURNING BIGINT), 5) AS b,
+               count(*) AS n,
+               CAST(max(JSON_VALUE(props, '$.k' RETURNING BIGINT))
+                    AS BIGINT) AS mx
+        FROM events GROUP BY 1 ORDER BY 1""", """
+        SELECT CAST(props->>'k' AS BIGINT) % 5 AS b, count(*) AS n,
+               CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS mx
+        FROM events GROUP BY 1 ORDER BY 1"""),
+    "sqlc_json_value_types": ("""
+        SELECT JSON_VALUE('{"s": "x", "i": 5, "f": 1.5, "b": true}',
+                          '$.s') AS s,
+               JSON_VALUE('{"s": "x", "i": 5, "f": 1.5, "b": true}',
+                          '$.i' RETURNING BIGINT) AS i,
+               JSON_VALUE('{"s": "x", "i": 5, "f": 1.5, "b": true}',
+                          '$.f' RETURNING DOUBLE) AS f,
+               JSON_VALUE('{"s": "x", "i": 5, "f": 1.5, "b": true}',
+                          '$.b') AS b""", """
+        SELECT 'x' AS s, CAST(5 AS BIGINT) AS i, 1.5 AS f,
+               'true' AS b"""),
+    "sqlc_json_value_nested_path": ("""
+        SELECT JSON_VALUE('{"a": {"b": {"c": "deep"}}}', '$.a.b.c') AS v,
+               JSON_VALUE('{"arr": [10, 20]}', '$.arr[1]') AS second""", """
+        SELECT 'deep' AS v, '20' AS second"""),
+    "sqlc_json_value_missing": ("""
+        SELECT count(*) AS n FROM events
+        WHERE JSON_VALUE(props, '$.zzz') IS NULL""", """
+        SELECT count(*) AS n FROM events WHERE props->>'zzz' IS NULL"""),
+    "sqlc_json_query_nested": ("""
+        SELECT JSON_QUERY('{"a": {"b": [1,2,3]}}', '$.a') AS obj""", """
+        SELECT '{"b":[1,2,3]}' AS obj"""),
+    "sqlc_json_query_array": ("""
+        SELECT ARRAY_LENGTH(JSON_QUERY_ARRAY('{"a": [5,6,7]}', '$.a'))
+               AS n""", """
+        SELECT 3 AS n"""),
+    "sqlc_json_paths": ("""
+        SELECT ARRAY_TO_STRING(ARRAY_SORT(
+                 JSON_PATHS('{"a": 1, "b": {"c": 2}}')), ',') AS ps""", """
+        SELECT '$.a,$.b.c' AS ps"""),
+    "sqlc_json_merge_overwrite": ("""
+        SELECT TO_JSON_STRING(JSON_MERGE('{"a": 1, "b": 1}',
+                                         '{"b": 2, "c": 3}')) AS m""", """
+        SELECT '{"a":1,"b":2,"c":3}' AS m"""),
+    "sqlc_parse_json_roundtrip": ("""
+        SELECT TO_JSON_STRING(PARSE_JSON('{"b": 2, "a": 1}')) AS rt""", """
+        SELECT '{"a":1,"b":2}' AS rt"""),
+    "sqlc_json_object_from_cols": ("""
+        SELECT TO_JSON_STRING(JSON_OBJECT(KEY 'pr' VALUE o_orderpriority,
+                                          KEY 'st' VALUE o_orderstatus))
+                 AS j,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", """
+        SELECT to_json({'pr': o_orderpriority, 'st': o_orderstatus}) AS j,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    "sqlc_arr_agg_window": ("""
+        SELECT DISTINCT o_orderpriority,
+               ARRAY_LENGTH(ARRAY_AGG(o_orderstatus) OVER (
+                 PARTITION BY o_orderpriority
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)) AS n
+        FROM orders ORDER BY 1""", """
+        SELECT o_orderpriority, CAST(count(*) AS INTEGER) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    "sqlc_mv_filter_none": ("""
+        SELECT ARRAY_TO_STRING(MV_FILTER_NONE(
+                 STRING_TO_MV('a,b,c', ','), ARRAY['b']), ',') AS rest""", """
+        SELECT 'a,c' AS rest"""),
+    "sqlc_json_object_nested_value": ("""
+        SELECT JSON_VALUE(TO_JSON_STRING(JSON_OBJECT(
+                 KEY 'outer' VALUE JSON_OBJECT(KEY 'in' VALUE 7))),
+                 '$.outer.in' RETURNING BIGINT) AS v""", """
+        SELECT CAST(7 AS BIGINT) AS v"""),
+    "sqlc_json_keys_col": ("""
+        SELECT ARRAY_TO_STRING(JSON_KEYS(props, '$'), ',') AS ks,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""", """
+        SELECT 'k' AS ks, count(*) AS n FROM events GROUP BY 1 ORDER BY 1"""),
+    "sqlc_arr_overlap_column": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE ARRAY_OVERLAP(ARRAY[o_orderstatus], ARRAY['F','O'])""", """
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus IN ('F','O')"""),
+    "sqlc_arr_having_length": ("""
+        SELECT o_orderstatus,
+               ARRAY_LENGTH(ARRAY_AGG(DISTINCT o_orderpriority)) AS pris
+        FROM orders GROUP BY 1
+        HAVING ARRAY_LENGTH(ARRAY_AGG(DISTINCT o_orderpriority)) >= 5
+        ORDER BY 1""", """
+        SELECT o_orderstatus,
+               CAST(len(array_agg(DISTINCT o_orderpriority)) AS INTEGER)
+                 AS pris
+        FROM orders GROUP BY 1
+        HAVING len(array_agg(DISTINCT o_orderpriority)) >= 5
+        ORDER BY 1"""),
+    "sqlc_mv_unnest_real_col": ("""
+        SELECT v, count(*) AS n
+        FROM events CROSS JOIN
+             UNNEST(STRING_TO_MV(event_type, '_')) AS u(v)
+        GROUP BY v ORDER BY v""", """
+        SELECT v, count(*) AS n
+        FROM (SELECT unnest(string_split(event_type, '_')) AS v
+              FROM events) t
+        GROUP BY v ORDER BY v"""),
+    "sqlc_mv_ordinal_of_missing": ("""
+        SELECT MV_OFFSET_OF(STRING_TO_MV('p,q', ','), 'q') AS off_q,
+               MV_ORDINAL_OF(STRING_TO_MV('p,q', ','), 'z') AS none_z""", """
+        SELECT 1 AS off_q, NULL AS none_z"""),
+    "sqlc_arr_prepend_col": ("""
+        SELECT ARRAY_TO_STRING(ARRAY_PREPEND(o_orderstatus, ARRAY['X']),
+                               ',') AS pc,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", """
+        SELECT o_orderstatus || ',X' AS pc, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    "sqlc_json_value_arr_elem_col": ("""
+        SELECT JSON_VALUE(CONCAT('{"a": ["', o_orderstatus, '"]}'),
+                          '$.a[0]') AS s,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", """
+        SELECT o_orderstatus AS s, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    "sqlc_parse_json_deep_path": ("""
+        SELECT JSON_VALUE(TO_JSON_STRING(
+                 PARSE_JSON('{"q": [1, {"r": "s"}]}')), '$.q[1].r')
+               AS v""", """
+        SELECT 's' AS v"""),
+    "sqlc_arr_agg_distinct_numeric": ("""
+        SELECT ARRAY_TO_STRING(ARRAY_SORT(ARRAY_AGG(
+                 DISTINCT CAST(n_regionkey AS VARCHAR))), ',') AS rs
+        FROM nation""", """
+        SELECT array_to_string(list_sort(array_agg(
+                 DISTINCT CAST(n_regionkey AS VARCHAR))), ',') AS rs
+        FROM nation"""),
+    "sqlc_mv_filter_prefix_group": ("""
+        SELECT MV_TO_STRING(MV_FILTER_PREFIX(
+                 STRING_TO_MV(event_type, '_'), 'p'), ',') AS pv,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""", """
+        SELECT coalesce(array_to_string(
+                 list_filter(string_split(event_type, '_'),
+                             x -> starts_with(x, 'p')), ','), '') AS pv,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1"""),
+    "sqlc_json_returning_real_sum": ("""
+        SELECT round(sum(JSON_VALUE(CONCAT('{"v": ',
+                 CAST(o_totalprice AS VARCHAR), '}'),
+                 '$.v' RETURNING DOUBLE)), 2) AS s
+        FROM orders WHERE o_orderkey <= 100""", """
+        SELECT round(sum(o_totalprice), 2) AS s
+        FROM orders WHERE o_orderkey <= 100"""),
 }
 
 

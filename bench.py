@@ -363,6 +363,51 @@ def main():
     except Exception as e:  # bench must always print its JSON line
         amortized["error"] = str(e)[:200]
 
+    # Skewed-key join at 20x: one key holds ~50% of the 12M fact rows
+    # (extreme skew — the regime where a hot key serializes one reducer
+    # at 100 TB). Three-way comparison: uniform keys, skewed under AQE's
+    # skew-split, and skew.py's pre-salted join. Broadcast is disabled
+    # for the section so the join actually shuffles (a fact-to-fact dim
+    # side isn't broadcastable at scale) and restored after.
+    skew = {}
+    try:
+        from druid_spark.skew import salted_join
+        n_keys = 20_000
+        thresh0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        base = spark.read.parquet(cache20)
+        h = F.abs(F.xxhash64("l_orderkey", "l_linenumber",
+                             "l_extendedprice"))
+        fact_s = base.select(
+            F.when(h % 2 == 0, F.lit(0).cast("long"))
+            .otherwise(h % n_keys).alias("key"),
+            F.col("l_extendedprice").alias("v"))
+        fact_u = base.select((h % n_keys).alias("key"),
+                             F.col("l_extendedprice").alias("v"))
+        dim = spark.range(n_keys).select(
+            F.col("id").alias("key"), (F.col("id") % 97).alias("w"))
+
+        def run_join(df):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                df.agg(F.sum(F.col("v") * F.col("w"))).collect()
+                best = min(best, time.time() - t0)
+            return round(best, 3)
+
+        skew["uniform_join_sec"] = run_join(fact_u.join(dim, "key"))
+        skew["skewed_aqe_sec"] = run_join(fact_s.join(dim, "key"))
+        skew["skewed_salted_sec"] = run_join(
+            salted_join(fact_s, dim, ["key"], n_salts=32))
+        skew["aqe_vs_uniform"] = round(
+            skew["skewed_aqe_sec"] / max(skew["uniform_join_sec"], 1e-9), 2)
+        skew["salted_vs_uniform"] = round(
+            skew["skewed_salted_sec"] / max(skew["uniform_join_sec"], 1e-9),
+            2)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh0)
+    except Exception as e:
+        skew["error"] = str(e)[:200]
+
     # Asymptotic scan rate: the whitepaper baseline (53.5M count / 36.2M
     # sum rows/s/core, TPC-H 100 GB) measures steady-state columnar scan
     # throughput on dictionary-encoded segments. The Spark analog is a
@@ -408,6 +453,7 @@ def main():
             "sum_double_rows_per_sec_per_core": round(
                 lineitem_rows / max(times["sum_double"], 1e-9) / CPUS),
             "amortized_20x": amortized,
+            "skew_join_20x": skew,
             "asymptotic_1000x": asymptotic,
         },
     }

@@ -201,6 +201,8 @@ _FUNCS: list[tuple[str, str, str, str]] = [
      "array_prepend(arr, v)"),
     ("MV_CONCAT", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
      "concat(a, b)"),
+    ("ARRAY_CONCAT", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
+     "concat(a, b)"),
     ("MV_OFFSET_OF", "arr ARRAY<STRING>, v STRING", "INT",
      "CASE WHEN array_position(arr, v) > 0 THEN cast(array_position(arr, v) - 1 AS INT) END"),
     ("MV_ORDINAL_OF", "arr ARRAY<STRING>, v STRING", "INT",
@@ -246,8 +248,17 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # Top-level keys only (the reference walks nested objects too; deep
     # literal-path enumeration isn't expressible as a Column tree —
     # documented divergence, same shape for flat objects)
-    ("JSON_PATHS", "j STRING", "ARRAY<STRING>",
-     "transform(json_object_keys(j), k -> concat('$.', k))"),
+    # leaf paths (NestedPathFinder): descends nested objects to depth 2
+    # (documented limit of the SQL-UDF form; deeper levels report the
+    # depth-2 prefix)
+    ("JSON_PATHS", "j STRING", "ARRAY<STRING>", """
+      flatten(transform(json_object_keys(j), k ->
+        CASE WHEN json_object_keys(get_json_object(j, concat('$.', k)))
+                  IS NOT NULL
+             THEN transform(
+                    json_object_keys(get_json_object(j, concat('$.', k))),
+                    k2 -> concat('$.', k, '.', k2))
+             ELSE array(concat('$.', k)) END))"""),
     # (TRY_PARSE_JSON / PARSE_JSON are Spark builtins — variant-typed)
     ("TO_JSON_STRING", "j STRING", "STRING", "j"),
     ("DECODE_BASE64_UTF8", "s STRING", "STRING",

@@ -32,8 +32,10 @@ def _rewrite_call(sql: str, fname: str, builder) -> str:
         depth, i, args, start = 1, m.end(), [], m.end()
         while depth and i < len(sql):
             ch = sql[i]
-            if ch == "(":
+            if ch in "([":  # brackets nest too: ARRAY['a','b'] args
                 depth += 1
+            elif ch == "]":
+                depth -= 1
             elif ch == ")":
                 depth -= 1
                 if depth == 0:
@@ -329,8 +331,47 @@ def _rewrite_unnest(sql: str) -> str:
         pos = m.start() + 1
 
 
+_JSON_RETURNING_TYPES = {
+    "BIGINT": "BIGINT", "INTEGER": "BIGINT", "DOUBLE": "DOUBLE",
+    "FLOAT": "DOUBLE", "DECIMAL": "DOUBLE", "VARCHAR": "STRING",
+    "BOOLEAN": "BOOLEAN",
+}
+
+
+def _rewrite_json_returning(sql: str) -> str:
+    """JSON_VALUE(expr, path RETURNING type) → CAST(JSON_VALUE(expr,
+    path) AS type) (SqlJsonValueFunction RETURNING arms —
+    CalciteNestedDataQueryTest testJsonValue* RETURNING matrices).
+    Balanced-paren scan, so arbitrarily nested argument expressions
+    rewrite correctly."""
+    pat = re.compile(r"JSON_VALUE\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while depth and i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end():i - 1]
+        m2 = re.search(r"\s+RETURNING\s+([A-Za-z]+)\s*$", inner,
+                       re.IGNORECASE)
+        if m2:
+            t = _JSON_RETURNING_TYPES.get(m2.group(1).upper(), "STRING")
+            rep = f"CAST(JSON_VALUE({inner[:m2.start()]}) AS {t})"
+            sql = sql[:m.start()] + rep + sql[i:]
+            pos = m.start() + len(rep)
+        else:
+            pos = i
+
+
 def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = sql
+    out = _rewrite_json_returning(out)
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
     out = re.sub(r"\bEARLIEST_BY\(", "MIN_BY(", out, flags=re.IGNORECASE)
     out = re.sub(r"\bLATEST_BY\(", "MAX_BY(", out, flags=re.IGNORECASE)
@@ -508,7 +549,20 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     # Calcite also allows JSON_OBJECT(KEY 'k' VALUE v, ...). Rewrite to
     # TO_JSON(NAMED_STRUCT('k', v, ...)) — keys must be literals, which
     # is also the reference's common form.
-    def _json_object(args):
+    def _split_top_args(s):
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(s):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(s[start:i].strip())
+                start = i + 1
+        parts.append(s[start:].strip())
+        return parts
+
+    def _json_object_flat(args):
         flat = []
         for a in args:
             m = re.match(r"(?is)^KEY\s+(.+?)\s+VALUE\s+(.+)$", a)
@@ -518,8 +572,19 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
                 flat.append(a)
         if len(flat) % 2 or not flat:
             return None
+        # a nested JSON_OBJECT value becomes a nested NAMED_STRUCT (not
+        # a to_json'd string) so the outer serialization yields a real
+        # nested JSON object, matching the reference's variant nesting
+        for j in range(1, len(flat), 2):
+            v = flat[j]
+            if re.match(r"(?is)^JSON_OBJECT\s*\(.*\)$", v):
+                nested = _json_object_flat(
+                    _split_top_args(v[v.index("(") + 1:v.rindex(")")]))
+                if nested is not None:
+                    flat[j] = nested[len("TO_JSON("):-1]  # strip TO_JSON(..)
         return f"TO_JSON(NAMED_STRUCT({', '.join(flat)}))"
-    out = _rewrite_call(out, "JSON_OBJECT", _json_object)
+
+    out = _rewrite_call(out, "JSON_OBJECT", _json_object_flat)
     # Calcite/Druid CAST type names Spark doesn't accept bare: Druid SQL
     # writes CAST(x AS VARCHAR) (sql/calcite/planner/Calcites.java type
     # mappings); Spark needs STRING (VARCHAR only with a length). Scoped
