@@ -224,6 +224,40 @@ def main():
         failures.append("sketch_partial_agg_binary")
         print("FAIL sketch_partial_agg_binary")
 
+    # 15. big SQL LOOKUP() plans a broadcast hash join, never the
+    # quadratic LeftSingle nested-loop (engine.SQL_LOOKUP_INLINE_MAX
+    # guard — round 4)
+    engine.catalog.register_lookup(
+        "plans_big_lk", {str(i): f"v{i}" for i in range(20_001)})
+    df = engine.sql(
+        "SELECT LOOKUP(CAST(o_custkey AS VARCHAR), 'plans_big_lk') AS nm, "
+        "count(*) AS n FROM orders GROUP BY 1 ORDER BY n DESC LIMIT 5")
+    df.collect()  # AQE finalizes the join strategy
+    plan = plan_of(df)
+    if "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" not in plan:
+        print("PASS lookup_broadcast_join")
+    else:
+        failures.append("lookup_broadcast_join")
+        print("FAIL lookup_broadcast_join")
+
+    # 16. IVF probe: no KMeans fit in the query path (build/probe split
+    # — round 4); the probe filters on the prebuilt cell column
+    from druid_spark.datapipe.similarity import ivf_build, ivf_probe
+    emb = engine.catalog.table("embeddings")
+    centers, assigned = ivf_build(emb.limit(2000), n_cells=4)
+    assigned = assigned.persist()
+    assigned.count()  # materialize: probe must hit the stored cell
+    # column (production writes it partitioned by cell), not re-run the
+    # assignment UDF per probe
+    qv = emb.limit(1).collect()[0]["embedding"]
+    df = ivf_probe(assigned, centers, qv, k=5, nprobe=2)
+    plan = plan_of(df)
+    if "cell" in plan and "TakeOrderedAndProject" in plan:
+        print("PASS ivf_probe_cell_filter")
+    else:
+        failures.append("ivf_probe_cell_filter")
+        print("FAIL ivf_probe_cell_filter")
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
