@@ -341,3 +341,43 @@ def test_redact_pii_tokens(spark):
                         "tel [PHONE] card [CARD] done")
     assert (out["email"], out["ipv4"], out["ssn"],
             out["phone"], out["card"]) == (1, 1, 1, 1, 1)
+
+
+def test_lookup_namespace_uri_load_and_poll(spark, tmp_path):
+    """URI extraction namespace (UriExtractionNamespace.java:65): load
+    csv/simpleJson lookups from files, version-gated reload, poller
+    swap visible through SQL LOOKUP() on the next sql() call."""
+    from druid_spark import DruidSparkEngine
+    from druid_spark.lookups import LookupPoller, load_lookup
+
+    e = DruidSparkEngine(spark)
+    e.catalog.register_table("tl", spark.createDataFrame(
+        [("0",), ("1",)], ["rk"]))
+
+    csv = tmp_path / "regions.csv"
+    csv.write_text("k,v\n0,AFRICA\n1,AMERICA\n")
+    m = load_lookup(e, "regions_uri", str(csv), fmt="csv")
+    assert m == {"0": "AFRICA", "1": "AMERICA"}
+    # unchanged source -> no reload (version-gated cache swap)
+    assert load_lookup(e, "regions_uri", str(csv), fmt="csv") is None
+    rows = {r["rk"]: r["nm"] for r in e.sql(
+        "SELECT rk, LOOKUP(rk, 'regions_uri') AS nm FROM tl").collect()}
+    assert rows == {"0": "AFRICA", "1": "AMERICA"}
+
+    # source change -> poll_once reloads and SQL sees the new map
+    import os
+    csv.write_text("k,v\n0,AFRIQUE\n1,AMERICA\n")
+    os.utime(csv, ns=(1, 1))  # force a distinct mtime stamp
+    p = LookupPoller(e, "regions_uri", str(csv), period_sec=3600,
+                     fmt="csv")
+    assert p.poll_once() is True and p.loads == 1
+    assert p.poll_once() is False  # unchanged again
+    rows = {r["rk"]: r["nm"] for r in e.sql(
+        "SELECT rk, LOOKUP(rk, 'regions_uri') AS nm FROM tl").collect()}
+    assert rows["0"] == "AFRIQUE"
+
+    # simpleJson parse spec: one {"key": "value"} object per line
+    sj = tmp_path / "names.json"
+    sj.write_text('{"a": "x"}\n{"b": "y"}\n')
+    m = load_lookup(e, "names_sj", str(sj), fmt="simpleJson")
+    assert m == {"a": "x", "b": "y"}
