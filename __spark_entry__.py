@@ -3877,6 +3877,126 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM orders WHERE o_orderkey <= 100""", """
         SELECT round(sum(o_totalprice), 2) AS s
         FROM orders WHERE o_orderkey <= 100"""),
+    # --- batch 9 (round 4): general conformance — string/numeric/null
+    # edges, set-op ALL, window value fns, old-style joins
+    # (CalciteQueryTest testExpressions* / quidem misc) ---
+    "sqlc_trim_variants": ("""
+        SELECT TRIM('  pad  ') AS t, TRIM(BOTH 'x' FROM 'xxaxx') AS b,
+               TRIM(LEADING 'x' FROM 'xxa') AS l,
+               TRIM(TRAILING 'x' FROM 'axx') AS r""", """
+        SELECT 'pad' AS t, 'a' AS b, 'a' AS l, 'a' AS r"""),
+    "sqlc_pad_repeat_reverse": ("""
+        SELECT LPAD('7', 3, '0') AS lp, RPAD('7', 3, '*') AS rp,
+               REPEAT('ab', 3) AS rep, REVERSE('abc') AS rev""", """
+        SELECT '007' AS lp, '7**' AS rp, 'ababab' AS rep, 'cba' AS rev"""),
+    "sqlc_replace_strpos": ("""
+        SELECT REPLACE('banana', 'na', 'NA') AS rp,
+               STRPOS('banana', 'na') AS sp""", """
+        SELECT 'baNANA' AS rp, 3 AS sp"""),
+    "sqlc_like_escape": ("""
+        SELECT count(*) AS n
+        FROM (SELECT CONCAT(o_orderpriority, '%') AS s FROM orders) t
+        WHERE s LIKE '%URGENT#%' ESCAPE '#'""", """
+        SELECT count(*) AS n
+        FROM (SELECT o_orderpriority || '%' AS s FROM orders) t
+        WHERE s LIKE '%URGENT#%' ESCAPE '#'"""),
+    "sqlc_concat_null_prop": ("""
+        SELECT CONCAT('a', CAST(NULL AS VARCHAR)) AS c,
+               'a' || CAST(NULL AS VARCHAR) AS p""", """
+        SELECT CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS p"""),
+    "sqlc_substring_edges": ("""
+        SELECT SUBSTRING('hello', 2, 100) AS mid,
+               SUBSTRING('hello', 6) AS off_end,
+               SUBSTRING('hello', 1, 0) AS zero_len""", """
+        SELECT 'ello' AS mid, '' AS off_end, '' AS zero_len"""),
+    "sqlc_mod_div_signs": ("""
+        SELECT MOD(-7, 3) AS m1, MOD(7, -3) AS m2,
+               DIV(17, 5) AS d, DIV(-17, 5) AS dn""", """
+        SELECT -1 AS m1, 1 AS m2, CAST(3 AS BIGINT) AS d,
+               CAST(-3 AS BIGINT) AS dn"""),
+    "sqlc_round_truncate_matrix": ("""
+        SELECT round(123.456, -1) AS r_neg,
+               TRUNCATE(123.456, 1) AS tr,
+               TRUNCATE(-123.456, 1) AS tr_neg,
+               CAST(CEIL(1.1) AS BIGINT) AS c,
+               CAST(FLOOR(-1.1) AS BIGINT) AS f""", """
+        SELECT 120.0 AS r_neg, 123.4 AS tr, -123.4 AS tr_neg,
+               CAST(2 AS BIGINT) AS c, CAST(-2 AS BIGINT) AS f"""),
+    "sqlc_is_distinct_from": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus IS DISTINCT FROM 'F'""", None),
+    "sqlc_union_type_coercion": ("""
+        SELECT CAST(x AS DOUBLE) AS x
+        FROM (SELECT 1 AS x UNION ALL SELECT 2.5 AS x) t
+        ORDER BY x""", None),
+    "sqlc_implicit_join": ("""
+        SELECT count(*) AS n FROM nation, region
+        WHERE n_regionkey = r_regionkey AND r_name = 'ASIA'""", None),
+    "sqlc_self_join": ("""
+        SELECT count(*) AS n
+        FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey""",
+     None),
+    "sqlc_window_first_last_value": ("""
+        SELECT DISTINCT
+               FIRST_VALUE(o_orderkey) OVER (ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS first_k,
+               LAST_VALUE(o_orderkey) OVER (ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS last_k
+        FROM orders""", """
+        SELECT min(o_orderkey) AS first_k, max(o_orderkey) AS last_k
+        FROM orders"""),
+    "sqlc_cume_dist_dense_rank": ("""
+        SELECT o_orderstatus,
+               DENSE_RANK() OVER (ORDER BY o_orderstatus) AS dr,
+               round(CUME_DIST() OVER (ORDER BY o_orderstatus), 4) AS cd
+        FROM (SELECT DISTINCT o_orderstatus FROM orders) t
+        ORDER BY 1""", None),
+    "sqlc_except_all": ("""
+        SELECT s, count(*) AS n FROM (
+          SELECT o_orderstatus AS s FROM orders
+          WHERE o_totalprice > 100000
+          EXCEPT ALL
+          SELECT o_orderstatus AS s FROM orders
+          WHERE o_totalprice > 300000) t
+        GROUP BY s ORDER BY s""", None),
+    "sqlc_extract_quarter_doy": ("""
+        SELECT CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_floor_to_unit": ("""
+        SELECT CAST(CAST(FLOOR(o_orderdate TO MONTH) AS DATE) AS VARCHAR)
+                 AS m,
+               count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS m,
+               count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY 1 ORDER BY 1"""),
+    "sqlc_nullif_coalesce_matrix": ("""
+        SELECT NULLIF(1, 1) IS NULL AS a, NULLIF(2, 1) AS b,
+               COALESCE(NULL, NULL, 7) AS c""", None),
+    "sqlc_not_in_null_empty": ("""
+        SELECT count(*) AS n FROM nation
+        WHERE n_nationkey NOT IN
+              (SELECT CASE WHEN n_nationkey = 3 THEN NULL
+                           ELSE n_nationkey END
+               FROM nation)""", None),
+    "sqlc_char_octet_length": ("""
+        SELECT CHAR_LENGTH('héllo') AS cl,
+               OCTET_LENGTH('héllo') AS ol""", """
+        SELECT 5 AS cl, 6 AS ol"""),
+    "sqlc_agg_in_case": ("""
+        SELECT CASE WHEN count(*) > 100 THEN 'big' ELSE 'small' END
+                 AS size_class,
+               count(*) AS n
+        FROM orders""", None),
 }
 
 
