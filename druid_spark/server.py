@@ -34,6 +34,7 @@ import decimal
 import io
 import json
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
@@ -147,6 +148,90 @@ def error_body(code: str, e: Exception) -> dict:
             "host": None}
 
 
+# ------------------------------------------------- async SQL statements
+class _Statements:
+    """Async SQL statement registry — the MSQ task-style surface
+    (sql/.../sql/http/SqlStatementResource.java: POST
+    /druid/v2/sql/statements → {queryId, state}, GET …/{id} polls
+    state, GET …/{id}/results pages results, DELETE cancels). States
+    mirror SqlStatementState: ACCEPTED → RUNNING → SUCCESS | FAILED |
+    CANCELED. Execution runs on a daemon thread per statement; results
+    hold driver-side (statement results are final query output —
+    broker-sized by the same contract as the sync path)."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self._lock = threading.Lock()
+        self._st: dict[str, dict] = {}
+
+    def submit(self, text: str, params=None) -> dict:
+        qid = str(uuid.uuid4())
+        rec = {"queryId": qid, "state": "ACCEPTED",
+               "createdAt": time.time(), "rows": None, "cols": None,
+               "error": None, "cancel": False}
+        with self._lock:
+            self._st[qid] = rec
+
+        def run():
+            rec["state"] = "RUNNING"
+            try:
+                df = self.engine.sql(_bind_parameters(text, params))
+                rows = _row_dicts(df.collect())
+                with self._lock:
+                    if rec["cancel"]:
+                        rec["state"] = "CANCELED"
+                    else:
+                        rec["cols"] = df.columns
+                        rec["rows"] = rows
+                        rec["state"] = "SUCCESS"
+            except Exception as e:
+                with self._lock:
+                    rec["error"] = error_body(
+                        "CANCELED" if rec["cancel"] else "Unknown exception",
+                        e)
+                    rec["state"] = ("CANCELED" if rec["cancel"]
+                                    else "FAILED")
+
+        threading.Thread(target=run, daemon=True,
+                         name=f"sql-statement-{qid[:8]}").start()
+        return {"queryId": qid, "state": rec["state"]}
+
+    def status(self, qid: str) -> dict | None:
+        rec = self._st.get(qid)
+        if rec is None:
+            return None
+        out = {"queryId": qid, "state": rec["state"]}
+        if rec["state"] == "SUCCESS":
+            out["result"] = {"numTotalRows": len(rec["rows"]),
+                             "dataSource": "__query_select"}
+        if rec["error"] is not None:
+            out["errorDetails"] = rec["error"]
+        return out
+
+    def results(self, qid: str, page: int = 0,
+                page_size: int = 100_000) -> tuple[int, Any]:
+        rec = self._st.get(qid)
+        if rec is None:
+            return 404, {"error": "Not found", "errorMessage": qid,
+                         "errorClass": None, "host": None}
+        if rec["state"] != "SUCCESS":
+            return 400, {"error": "Statement not successful",
+                         "errorMessage": f"state is {rec['state']}",
+                         "errorClass": None, "host": None}
+        lo = page * page_size
+        return 200, rec["rows"][lo:lo + page_size]
+
+    def cancel(self, qid: str) -> bool:
+        with self._lock:
+            rec = self._st.get(qid)
+            if rec is None:
+                return False
+            rec["cancel"] = True
+            if rec["state"] in ("ACCEPTED", "RUNNING"):
+                rec["state"] = "CANCELED"
+            return True
+
+
 # --------------------------------------------------------------- handler
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
@@ -173,13 +258,62 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(status, json.dumps(obj).encode(), qid=qid)
 
     def do_GET(self):  # noqa: N802
-        path = self.path.rstrip("/")
+        from urllib.parse import parse_qs, urlparse
+        u = urlparse(self.path)
+        path = u.path.rstrip("/")
         if path == "/status":
             self._send_json(200, {"version": __version__})
         elif path == "/status/health":
             self._send_json(200, True)
         elif path == "/druid/v2/datasources":
             self._send_json(200, self.engine.catalog.tables())
+        elif path.startswith("/druid/v2/datasources/"):
+            # GET /druid/v2/datasources/{name}: dimensions/metrics shape
+            # (QueryResource getDatasource?full analog — column schema)
+            name = path.split("/")[-1]
+            try:
+                df = self.engine.catalog.table(name)
+            except KeyError as e:
+                self._send_json(404, error_body("Unknown datasource", e))
+                return
+            self._send_json(200, {
+                "name": name,
+                "columns": [{"name": f.name,
+                             "type": f.dataType.simpleString().upper(),
+                             "nullable": f.nullable}
+                            for f in df.schema.fields]})
+        elif path.startswith("/druid/v2/sql/statements/"):
+            parts = path.split("/")
+            st = self.server.statements  # type: ignore[attr-defined]
+            if parts[-1] == "results":
+                q = parse_qs(u.query)
+                code, body = st.results(
+                    parts[-2], page=int(q.get("page", ["0"])[0]))
+                self._send_json(code, body)
+            else:
+                out = st.status(parts[-1])
+                if out is None:
+                    self._send_json(404, {"error": "Not found",
+                                          "errorMessage": parts[-1],
+                                          "errorClass": None, "host": None})
+                else:
+                    self._send_json(200, out)
+        else:
+            self._send_json(404, {"error": "Not found",
+                                  "errorMessage": self.path,
+                                  "errorClass": None, "host": None})
+
+    def do_DELETE(self):  # noqa: N802
+        path = self.path.rstrip("/")
+        if path.startswith("/druid/v2/sql/statements/"):
+            qid = path.split("/")[-1]
+            ok = self.server.statements.cancel(qid)  # type: ignore
+            if ok:
+                self._send(202, b"")
+            else:
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": qid,
+                                      "errorClass": None, "host": None})
         else:
             self._send_json(404, {"error": "Not found",
                                   "errorMessage": self.path,
@@ -198,6 +332,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._native(body)
         elif path == "/druid/v2/sql":
             self._sql(body)
+        elif path == "/druid/v2/sql/statements":
+            text = body.get("query")
+            if not text:
+                self._send_json(
+                    400, {"error": "SQL parse failed",
+                          "errorMessage": "missing 'query'",
+                          "errorClass": None, "host": None})
+                return
+            out = self.server.statements.submit(  # type: ignore
+                text, body.get("parameters"))
+            self._send_json(202, out)
         else:
             self._send_json(404, {"error": "Not found",
                                   "errorMessage": self.path,
@@ -308,6 +453,7 @@ class DruidHttpServer:
         self.engine = engine
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.engine = engine  # type: ignore[attr-defined]
+        self._httpd.statements = _Statements(engine)  # type: ignore
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
 

@@ -193,3 +193,59 @@ def test_error_shapes(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert json.loads(e.read())["error"] == "Unable to parse query"
+
+
+def test_datasource_metadata_endpoint(server):
+    status, body = _get(server, "/druid/v2/datasources/nation")
+    assert status == 200 and body["name"] == "nation"
+    cols = {c["name"]: c["type"] for c in body["columns"]}
+    assert cols["n_nationkey"] in ("INT", "BIGINT") and "n_name" in cols
+    try:
+        _get(server, "/druid/v2/datasources/ghost")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_sql_statements_async(server):
+    """SqlStatementResource lifecycle: submit -> poll -> results ->
+    cancel/404 arms (sql/.../http/SqlStatementResource.java)."""
+    import time as _t
+    status, sub, _ = _post(server, "/druid/v2/sql/statements", {
+        "query": "SELECT n_regionkey, count(*) AS n FROM nation "
+                 "GROUP BY 1 ORDER BY 1"})
+    assert status == 202 and sub["state"] in ("ACCEPTED", "RUNNING")
+    qid = sub["queryId"]
+    for _ in range(120):
+        status, st = _get(server, f"/druid/v2/sql/statements/{qid}")
+        if st["state"] in ("SUCCESS", "FAILED"):
+            break
+        _t.sleep(0.5)
+    assert st["state"] == "SUCCESS", st
+    assert st["result"]["numTotalRows"] == 5
+    status, rows = _get(server,
+                        f"/druid/v2/sql/statements/{qid}/results")
+    assert status == 200 and len(rows) == 5
+    assert rows[0] == {"n_regionkey": 0, "n": 5}
+    # paging beyond the result is an empty page
+    status, empty = _get(server,
+                         f"/druid/v2/sql/statements/{qid}/results?page=9")
+    assert status == 200 and empty == []
+    # unknown id arms
+    try:
+        _get(server, "/druid/v2/sql/statements/nope")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    # cancel an in-flight statement
+    status, sub2, _ = _post(server, "/druid/v2/sql/statements", {
+        "query": "SELECT count(*) AS n FROM lineitem l1 "
+                 "JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey"})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/druid/v2/sql/statements/"
+        f"{sub2['queryId']}", method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 202
+    status, st2 = _get(server,
+                       f"/druid/v2/sql/statements/{sub2['queryId']}")
+    assert st2["state"] == "CANCELED"
