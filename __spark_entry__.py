@@ -3997,6 +3997,106 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  AS size_class,
                count(*) AS n
         FROM orders""", None),
+    # --- batch 10 (round 4): CalciteQueryTest shapes — EARLIEST/LATEST
+    # matrices, HAVING-on-ratio/distinct, GROUP BY ordinal/alias edges,
+    # null-equality semantics, union-all matrices, limit wrapping ---
+    "sqlc_earliest_latest_group": ("""
+        SELECT event_type, round(EARLIEST(value), 3) AS first_v,
+               round(LATEST(value), 3) AS last_v
+        FROM events GROUP BY 1 ORDER BY 1""", """
+        SELECT event_type, round(arg_min(value, ts), 3) AS first_v,
+               round(arg_max(value, ts), 3) AS last_v
+        FROM events GROUP BY 1 ORDER BY 1"""),
+    "sqlc_latest_in_subquery": ("""
+        SELECT round(sum(lv), 3) AS s FROM (
+          SELECT event_type, LATEST(value) AS lv
+          FROM events GROUP BY 1) t""", """
+        SELECT round(sum(lv), 3) AS s FROM (
+          SELECT event_type, arg_max(value, ts) AS lv
+          FROM events GROUP BY 1) t"""),
+    "sqlc_order_by_latest": ("""
+        SELECT event_type, round(LATEST(value), 3) AS lv
+        FROM events GROUP BY 1 ORDER BY lv DESC, event_type LIMIT 3""", """
+        SELECT event_type, round(arg_max(value, ts), 3) AS lv
+        FROM events GROUP BY 1 ORDER BY lv DESC, event_type LIMIT 3"""),
+    "sqlc_having_ratio": ("""
+        SELECT o_orderstatus,
+               round(sum(o_totalprice) / count(*), 2) AS avg_p
+        FROM orders GROUP BY 1
+        HAVING sum(o_totalprice) / count(*) > 150000
+        ORDER BY 1""", None),
+    "sqlc_having_count_distinct": ("""
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS c
+        FROM orders GROUP BY 1
+        HAVING count(DISTINCT o_custkey) > 50 ORDER BY 1""", None),
+    "sqlc_group_by_ordinal_alias": ("""
+        SELECT UPPER(o_orderstatus) AS st, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 2 DESC, 1""", None),
+    "sqlc_group_by_expr_shadow": ("""
+        SELECT CONCAT(o_orderstatus, '!') AS o_orderstatus, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", """
+        SELECT o_orderstatus || '!' AS o_orderstatus, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    "sqlc_coalesce_columns_group": ("""
+        SELECT COALESCE(NULLIF(o_orderstatus, 'O'), o_orderpriority) AS c,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_coalesce_filter_equality": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE COALESCE(NULLIF(o_orderstatus, 'O'), 'X') = 'X'""", None),
+    "sqlc_impossible_time_filter": ("""
+        SELECT count(*) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS s
+        FROM orders
+        WHERE o_orderdate > TIMESTAMP '2999-01-01 00:00:00'""", None),
+    "sqlc_union_same_table_3x": ("""
+        SELECT o_orderstatus, count(*) AS n FROM (
+          SELECT o_orderstatus FROM orders
+          UNION ALL SELECT o_orderstatus FROM orders
+          UNION ALL SELECT o_orderstatus FROM orders) t
+        GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_count_distinct_union_subquery": ("""
+        SELECT count(DISTINCT k) AS c FROM (
+          SELECT o_custkey AS k FROM orders
+          UNION ALL
+          SELECT c_custkey AS k FROM customer) t""", None),
+    "sqlc_null_compare_matrix": ("""
+        SELECT (NULL = NULL) IS NULL AS a,
+               (NULL <> 1) IS NULL AS b,
+               (1 = 1) AS c""", None),
+    "sqlc_filtered_count_distinct": ("""
+        SELECT count(DISTINCT o_custkey)
+                 FILTER (WHERE o_orderstatus = 'F') AS cf,
+               count(*) AS n
+        FROM orders""", None),
+    "sqlc_case_triple_and": ("""
+        SELECT CAST(sum(CASE WHEN o_orderstatus = 'F'
+                              AND o_totalprice > 100000
+                              AND o_orderpriority LIKE '1%'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n
+        FROM orders""", None),
+    "sqlc_case_two_arg_null": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 'Z'
+                   ELSE o_orderstatus END = 'Z'""", None),
+    "sqlc_topn_order_by_agg": ("""
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS s
+        FROM orders GROUP BY 1
+        ORDER BY s DESC, o_custkey LIMIT 7""", None),
+    "sqlc_safe_divide_matrix": ("""
+        SELECT SAFE_DIVIDE(10.0, 0.0) IS NULL AS z,
+               SAFE_DIVIDE(0.0, 0.0) IS NULL AS zz,
+               round(SAFE_DIVIDE(10.0, 4.0), 2) AS q""", """
+        SELECT true AS z, true AS zz, 2.5 AS q"""),
+    "sqlc_any_value_group": ("""
+        SELECT o_orderstatus, ANY_VALUE(o_orderstatus) AS av,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", """
+        SELECT o_orderstatus, any_value(o_orderstatus) AS av,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    "sqlc_group_limit_two_dim": ("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 6""", None),
 }
 
 
