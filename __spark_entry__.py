@@ -4097,6 +4097,131 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     "sqlc_group_limit_two_dim": ("""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n
         FROM orders GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 6""", None),
+    # --- batch 11 (round 4): filter simplification, time-filter
+    # matrices, count-distinct variants, nesting collapse
+    # (CalciteQueryTest CountStarWith* / *CountDistinct* families) ---
+    "sqlc_in_is_not_true": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE (o_orderstatus IN ('F', 'O')) IS NOT TRUE""", None),
+    "sqlc_not_in_or_is_null": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus NOT IN ('F') OR o_orderstatus IS NULL""", None),
+    "sqlc_in_23_elements": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_custkey IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
+                            14, 15, 16, 17, 18, 19, 20, 21, 22, 23)""",
+     None),
+    "sqlc_degenerate_filters": ("""
+        SELECT count(*) FILTER (WHERE 'a' = 'a') AS all_rows,
+               count(*) FILTER (WHERE NOT ('a' = 'b')) AS also_all,
+               count(*) FILTER (WHERE 'a' = 'b') AS none_rows
+        FROM orders""", None),
+    "sqlc_bound_simplify_or": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_totalprice > 100000 OR o_totalprice > 200000""", None),
+    "sqlc_filter_casted_string_key": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE CAST(o_custkey AS VARCHAR) = '42'""", None),
+    "sqlc_time_filter_millis": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderdate >= MILLIS_TO_TIMESTAMP(820454400000)
+          AND o_orderdate < MILLIS_TO_TIMESTAMP(852076800000)""", """
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"""),
+    "sqlc_two_points_in_time": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderdate = TIMESTAMP '1996-03-04 00:00:00'
+           OR o_orderdate = TIMESTAMP '1996-03-05 00:00:00'""", None),
+    "sqlc_disjoint_time_filter": ("""
+        SELECT count(*) FILTER (
+                 WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+                    OR o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+                 AS outside,
+               count(*) FILTER (
+                 WHERE NOT (o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+                         OR o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'))
+                 AS inside
+        FROM orders""", None),
+    "sqlc_time_and_or_dim_filter": ("""
+        SELECT count(*) FILTER (
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND o_orderstatus = 'O') AS t_and_d,
+               count(*) FILTER (
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    OR o_orderstatus = 'O') AS t_or_d
+        FROM orders""", None),
+    "sqlc_sum_of_string_cast": ("""
+        SELECT CAST(sum(CAST(CAST(o_custkey AS VARCHAR) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders""", None),
+    "sqlc_count_distinct_of_case": ("""
+        SELECT count(DISTINCT CASE WHEN o_totalprice > 200000
+                                   THEN o_custkey END) AS c
+        FROM orders""", None),
+    "sqlc_count_distinct_substring": ("""
+        SELECT count(DISTINCT SUBSTRING(o_orderpriority, 1, 1)) AS c
+        FROM orders""", None),
+    "sqlc_count_distinct_arithmetic": ("""
+        SELECT count(DISTINCT o_orderstatus) * 2 AS c2,
+               count(DISTINCT o_orderstatus) + count(*) AS cpn
+        FROM orders""", None),
+    "sqlc_avg_daily_count_distinct": ("""
+        SELECT round(avg(c), 3) AS avg_daily FROM (
+          SELECT TIME_FLOOR(ts, 'P1D') AS d,
+                 count(DISTINCT user_id) AS c
+          FROM events GROUP BY 1) t""", """
+        SELECT round(avg(c), 3) AS avg_daily FROM (
+          SELECT date_trunc('day', ts) AS d,
+                 count(DISTINCT user_id) AS c
+          FROM events GROUP BY 1) t"""),
+    "sqlc_double_nested_groupby": ("""
+        SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS groups
+        FROM (SELECT k, count(*) AS cnt
+              FROM (SELECT o_orderstatus AS k, o_orderpriority,
+                           count(*) AS n0
+                    FROM orders GROUP BY 1, 2) i
+              GROUP BY k) t""", None),
+    "sqlc_histogram_subquery": ("""
+        SELECT bucket, count(*) AS n FROM (
+          SELECT o_custkey, CAST(FLOOR(count(*) / 5) AS BIGINT) AS bucket
+          FROM orders GROUP BY 1) t
+        GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_regexp_extract_group": ("""
+        SELECT REGEXP_EXTRACT('Customer#0001', '#([0-9]+)', 1) AS g""", """
+        SELECT '0001' AS g"""),
+    "sqlc_regexp_filter_not_null": ("""
+        SELECT count(*) AS n FROM part
+        WHERE REGEXP_EXTRACT(p_name, '^gre') IS NOT NULL""", """
+        SELECT count(*) AS n FROM part
+        WHERE regexp_matches(p_name, '^gre')"""),
+    "sqlc_filter_on_time_floor": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE TIME_FLOOR(o_orderdate, 'P1M')
+              = TIMESTAMP '1996-03-01 00:00:00'""", """
+        SELECT count(*) AS n FROM orders
+        WHERE date_trunc('month', o_orderdate)
+              = TIMESTAMP '1996-03-01 00:00:00'"""),
+    "sqlc_remove_useless_case": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE CASE WHEN 1 = 1 THEN true ELSE false END""", """
+        SELECT count(*) AS n FROM orders"""),
+    "sqlc_collapsible_nested_select": ("""
+        SELECT o_orderstatus, count(*) AS n
+        FROM (SELECT o_orderstatus
+              FROM (SELECT * FROM orders) a) b
+        GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_exact_vs_approx_distinct": ("""
+        SELECT e = a AS same FROM (
+          SELECT count(DISTINCT o_custkey) AS e,
+                 APPROX_COUNT_DISTINCT(o_custkey) AS a
+          FROM orders) t""", """
+        SELECT true AS same"""),
+    "sqlc_count_distinct_of_trim": ("""
+        SELECT count(DISTINCT TRIM(CONCAT(' ', o_orderstatus, ' '))) AS c
+        FROM orders""", """
+        SELECT count(DISTINCT trim(' ' || o_orderstatus || ' ')) AS c
+        FROM orders"""),
 }
 
 
