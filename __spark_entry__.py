@@ -4222,6 +4222,89 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM orders""", """
         SELECT count(DISTINCT trim(' ' || o_orderstatus || ' ')) AS c
         FROM orders"""),
+    # --- batch 12 (round 4): join matrix, CUBE/GROUPING(), VALUES,
+    # window NTH_VALUE/LAG defaults, subquery limits
+    # (CalciteJoinQueryTest / remaining CalciteQueryTest families) ---
+    "sqlc_cube_grouping_fn": ("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS st,
+               coalesce(o_orderpriority, 'ALL') AS pr,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY st, pr""", None),
+    "sqlc_timestampdiff_units": ("""
+        SELECT TIMESTAMPDIFF(DAY, TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-03-01 12:00:00') AS d,
+               TIMESTAMPDIFF(HOUR, TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-03 06:00:00') AS h""", """
+        SELECT 60 AS d, 54 AS h"""),
+    "sqlc_timestamp_to_millis": ("""
+        SELECT TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-01-01 00:00:00')
+               AS ms""", """
+        SELECT CAST(1704067200000 AS BIGINT) AS ms"""),
+    "sqlc_current_timestamp_sane": ("""
+        SELECT CURRENT_TIMESTAMP > TIMESTAMP '2020-01-01 00:00:00'
+               AS ok""", """
+        SELECT true AS ok"""),
+    "sqlc_left_join_null_side_count": ("""
+        SELECT r_name, CAST(count(c_custkey) AS BIGINT) AS n
+        FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
+        LEFT JOIN customer ON c_nationkey = n_nationkey
+                          AND c_acctbal > 9999
+        GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_full_outer_join": ("""
+        SELECT count(*) AS n FROM
+          (SELECT n_nationkey FROM nation WHERE n_nationkey < 5) a
+        FULL OUTER JOIN
+          (SELECT n_nationkey AS k FROM nation
+           WHERE n_nationkey >= 3 AND n_nationkey < 8) b
+        ON a.n_nationkey = b.k""", None),
+    "sqlc_right_join": ("""
+        SELECT count(*) AS n FROM
+          (SELECT n_nationkey FROM nation WHERE n_nationkey < 3) a
+        RIGHT JOIN nation b ON a.n_nationkey = b.n_nationkey""", None),
+    "sqlc_cross_join_count": ("""
+        SELECT count(*) AS n FROM region a CROSS JOIN region b""", None),
+    "sqlc_inequality_join": ("""
+        SELECT count(*) AS n FROM region a
+        JOIN region b ON a.r_regionkey < b.r_regionkey""", None),
+    "sqlc_intersect_subquery_count": ("""
+        SELECT count(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t""",
+     None),
+    "sqlc_values_inline": ("""
+        SELECT v, n FROM (VALUES ('a', 1), ('b', 2)) AS t(v, n)
+        ORDER BY v""", None),
+    "sqlc_order_nulls_first_expr": ("""
+        SELECT NULLIF(o_orderstatus, 'O') AS s, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY s NULLS FIRST""", None),
+    "sqlc_limit_in_subquery_agg": ("""
+        SELECT round(sum(o_totalprice), 2) AS s FROM (
+          SELECT o_totalprice FROM orders
+          ORDER BY o_totalprice DESC LIMIT 10) t""", None),
+    "sqlc_distinct_order_limit": ("""
+        SELECT DISTINCT o_orderpriority FROM orders
+        ORDER BY 1 LIMIT 3""", None),
+    "sqlc_nth_value_lag_default": ("""
+        SELECT s, NTH_VALUE(s, 2) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS second_s,
+               LAG(s, 2, 'none') OVER (ORDER BY s) AS lag2
+        FROM (SELECT DISTINCT o_orderstatus AS s FROM orders) t
+        ORDER BY s""", None),
+    "sqlc_window_partition_filter": ("""
+        SELECT o_orderstatus, pr, n FROM (
+          SELECT o_orderstatus, o_orderpriority AS pr, count(*) AS n,
+                 RANK() OVER (PARTITION BY o_orderstatus
+                              ORDER BY count(*) DESC,
+                                       o_orderpriority) AS r
+          FROM orders
+          WHERE o_orderpriority NOT LIKE '3%'
+          GROUP BY 1, 2) t
+        WHERE r <= 2 ORDER BY o_orderstatus, pr""", None),
 }
 
 
