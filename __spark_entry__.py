@@ -2803,8 +2803,9 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'"""),
     "sqlc_like_escape": ("""
         SELECT count(*) AS with_urgent,
-               sum(CASE WHEN o_orderpriority LIKE '%!_URGENT' ESCAPE '!'
-                        THEN 1 ELSE 0 END) AS underscore_urgent
+               CAST(sum(CASE WHEN o_orderpriority LIKE '%!_URGENT'
+                             ESCAPE '!' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS underscore_urgent
         FROM orders""", None),
     "sqlc_overlay": ("""
         SELECT OVERLAY(c_name PLACING 'XXX' FROM 10 FOR 3) AS masked,
@@ -2840,7 +2841,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # to the round-2 fragile classes — result-type canonicalization,
     # EXTRACT/INTERVAL variants, window frames, NOT IN + NULL three-
     # valued logic, set-op ALL forms, Druid scalar-fn surface.
-    "sqlc_extract_units": ("""
+    "sqlc_extract_quarter_first_doy": ("""
         SELECT CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
                CAST(min(EXTRACT(DOY FROM o_orderdate)) AS BIGINT) AS first_doy,
                count(*) AS n
@@ -2859,7 +2860,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT CAST(min(epoch(o_orderdate)) AS BIGINT) AS mn,
                CAST(max(epoch(o_orderdate)) AS BIGINT) AS mx
         FROM orders"""),
-    "sqlc_interval_ym": ("""
+    "sqlc_interval_year_to_month": ("""
         SELECT count(*) AS n FROM orders
         WHERE o_orderdate + INTERVAL '1-6' YEAR TO MONTH
               < TIMESTAMP '1996-07-01 00:00:00'""", """
@@ -2917,7 +2918,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                count(*) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey
                     RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS near
         FROM nation ORDER BY n_regionkey, n_nationkey""", None),
-    "sqlc_window_over_agg": ("""
+    "sqlc_rank_over_agg": ("""
         SELECT o_orderstatus, RANK() OVER (ORDER BY count(*) DESC) AS rnk,
                count(*) AS n
         FROM orders GROUP BY o_orderstatus ORDER BY rnk, o_orderstatus""",
@@ -3002,7 +3003,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
      None),
-    "sqlc_like_escape": ("""
+    "sqlc_not_like_escape": ("""
         SELECT count(*) AS n FROM part
         WHERE p_type LIKE '%BRASS' AND p_name NOT LIKE '%!%%' ESCAPE '!'""",
      None),
@@ -3044,7 +3045,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                     AS BIGINT) AS hits,
                count(CASE WHEN o_totalprice > 250000 THEN 1 END) AS nn
         FROM orders GROUP BY 1 ORDER BY 1""", None),
-    "sqlc_order_by_ordinal": ("""
+    "sqlc_order_by_ordinal_limit": ("""
         SELECT o_orderpriority, count(*) AS n
         FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3""", None),
     "sqlc_distinct_order": ("""
@@ -3893,14 +3894,14 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT REPLACE('banana', 'na', 'NA') AS rp,
                STRPOS('banana', 'na') AS sp""", """
         SELECT 'baNANA' AS rp, 3 AS sp"""),
-    "sqlc_like_escape": ("""
+    "sqlc_like_escape_concat": ("""
         SELECT count(*) AS n
         FROM (SELECT CONCAT(o_orderpriority, '%') AS s FROM orders) t
         WHERE s LIKE '%URGENT#%' ESCAPE '#'""", """
         SELECT count(*) AS n
         FROM (SELECT o_orderpriority || '%' AS s FROM orders) t
         WHERE s LIKE '%URGENT#%' ESCAPE '#'"""),
-    "sqlc_concat_null_prop": ("""
+    "sqlc_concat_pipe_null": ("""
         SELECT CONCAT('a', CAST(NULL AS VARCHAR)) AS c,
                'a' || CAST(NULL AS VARCHAR) AS p""", """
         SELECT CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS p"""),
@@ -3922,7 +3923,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(FLOOR(-1.1) AS BIGINT) AS f""", """
         SELECT 120.0 AS r_neg, 123.4 AS tr, -123.4 AS tr_neg,
                CAST(2 AS BIGINT) AS c, CAST(-2 AS BIGINT) AS f"""),
-    "sqlc_is_distinct_from": ("""
+    "sqlc_is_distinct_from_filter": ("""
         SELECT count(*) AS n FROM orders
         WHERE o_orderstatus IS DISTINCT FROM 'F'""", None),
     "sqlc_union_type_coercion": ("""
@@ -3932,7 +3933,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     "sqlc_implicit_join": ("""
         SELECT count(*) AS n FROM nation, region
         WHERE n_regionkey = r_regionkey AND r_name = 'ASIA'""", None),
-    "sqlc_self_join": ("""
+    "sqlc_self_join_regionkey": ("""
         SELECT count(*) AS n
         FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey""",
      None),
@@ -3953,7 +3954,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                round(CUME_DIST() OVER (ORDER BY o_orderstatus), 4) AS cd
         FROM (SELECT DISTINCT o_orderstatus FROM orders) t
         ORDER BY 1""", None),
-    "sqlc_except_all": ("""
+    "sqlc_except_all_counts": ("""
         SELECT s, count(*) AS n FROM (
           SELECT o_orderstatus AS s FROM orders
           WHERE o_totalprice > 100000
@@ -4233,7 +4234,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY st, pr""", None),
-    "sqlc_timestampdiff_units": ("""
+    "sqlc_timestampdiff_day_hour": ("""
         SELECT TIMESTAMPDIFF(DAY, TIMESTAMP '2024-01-01 00:00:00',
                              TIMESTAMP '2024-03-01 12:00:00') AS d,
                TIMESTAMPDIFF(HOUR, TIMESTAMP '2024-01-01 00:00:00',
