@@ -4306,6 +4306,230 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           WHERE o_orderpriority NOT LIKE '3%'
           GROUP BY 1, 2) t
         WHERE r <= 2 ORDER BY o_orderstatus, pr""", None),
+    # ---- batch 13: CalciteSubqueryTest / CalciteCorrelatedQueryTest /
+    # CalciteMultiValueStringQueryTest / CalciteJoinQueryTest shapes ----
+    # testExactCountDistinctUsingSubqueryWithWhereToOuterFilter
+    "sqlc_cd_subquery_outer_filter": ("""
+        SELECT count(*) AS n_segs FROM (
+          SELECT DISTINCT c_mktsegment FROM customer
+          WHERE c_nationkey < 10) t""", None),
+    # testExactCountDistinctOfSemiJoinResult (CalciteSubqueryTest.java:340)
+    "sqlc_cd_semijoin": ("""
+        SELECT count(DISTINCT o_custkey) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')""", None),
+    # testUsingSubqueryAsFilterWithInnerSort (CalciteSubqueryTest.java:496;
+    # inner ORDER BY is semantically a no-op under IN)
+    "sqlc_subquery_filter_inner_sort": ("""
+        SELECT n_name FROM nation
+        WHERE n_regionkey IN (
+          SELECT r_regionkey FROM region
+          WHERE r_name LIKE 'A%' ORDER BY r_name)
+        ORDER BY n_name""", None),
+    # testUsingSubqueryAsFilterOnTwoColumns (CalciteSubqueryTest.java:545)
+    "sqlc_subquery_filter_two_cols": ("""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        WHERE (o_orderstatus, o_orderpriority) IN (
+          SELECT o_orderstatus, o_orderpriority FROM (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_orderstatus, o_orderpriority
+            HAVING count(*) > 980) t)
+        ORDER BY o_orderkey LIMIT 15""", """
+        SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM (
+            SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                   count(*) AS n
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY 1, 2 HAVING count(*) > 980) t
+          WHERE t.st = o.o_orderstatus AND t.pr = o.o_orderpriority)
+        ORDER BY o_orderkey LIMIT 15"""),
+    # testMinMaxAvgDailyCountWithLimit (CalciteSubqueryTest.java:606)
+    "sqlc_min_max_avg_daily_count": ("""
+        SELECT max(cnt) AS mx, min(cnt) AS mn,
+               CAST(round(avg(cnt), 2) AS DOUBLE) AS av,
+               TIME_EXTRACT(max(t), 'EPOCH') AS last_time,
+               count(1) AS num_days
+        FROM (SELECT TIME_FLOOR(ts, 'P1D') AS t, count(1) AS cnt
+              FROM events GROUP BY 1) tt""", """
+        SELECT max(cnt) AS mx, min(cnt) AS mn,
+               round(avg(cnt), 2) AS av,
+               CAST(epoch(max(t)) AS BIGINT) AS last_time,
+               count(1) AS num_days
+        FROM (SELECT date_trunc('day', ts)::TIMESTAMP AS t,
+                     count(1) AS cnt
+              FROM events GROUP BY 1) tt"""),
+    # testUsingSubqueryWithLimit (CalciteSubqueryTest.java)
+    "sqlc_subquery_with_limit": ("""
+        SELECT o_orderstatus, count(*) AS cnt FROM (
+          SELECT * FROM orders ORDER BY o_orderkey LIMIT 10) t
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""", None),
+    # testSelfJoin (CalciteSubqueryTest.java; comma-join count)
+    "sqlc_self_join_count": ("""
+        SELECT count(*) AS n FROM nation x, nation y""", None),
+    # testGroupBySubqueryWithEarliestAggregator (CalciteSubqueryTest.java)
+    # (date-grain __time ties broken by the unique key so both engines
+    # pick the same row, as the reference does with segment row order)
+    "sqlc_earliest_subquery": ("""
+        SELECT first_status, count(*) AS n_cust FROM (
+          SELECT o_custkey,
+                 EARLIEST_BY(o_orderstatus,
+                   TIME_EXTRACT(o_orderdate, 'EPOCH') * 1000000000
+                     + o_orderkey) AS first_status
+          FROM orders GROUP BY o_custkey) t
+        GROUP BY first_status ORDER BY first_status""", """
+        SELECT first_status, count(*) AS n_cust FROM (
+          SELECT o_custkey,
+                 min_by(o_orderstatus,
+                   CAST(epoch(o_orderdate) AS BIGINT) * 1000000000
+                     + o_orderkey) AS first_status
+          FROM orders GROUP BY o_custkey) t
+        GROUP BY first_status ORDER BY first_status"""),
+    # testScalarInArrayToUseHavingFilter (CalciteSubqueryTest.java:1576)
+    "sqlc_scalar_in_array_having": ("""
+        SELECT seg FROM (
+          SELECT c_mktsegment AS seg, STRLEN(c_mktsegment) AS ln
+          FROM customer GROUP BY c_mktsegment) t
+        WHERE SCALAR_IN_ARRAY(ln, ARRAY[8, 9])
+        ORDER BY seg""", """
+        SELECT seg FROM (
+          SELECT c_mktsegment AS seg, length(c_mktsegment) AS ln
+          FROM customer GROUP BY c_mktsegment) t
+        WHERE list_contains([8, 9], ln)
+        ORDER BY seg"""),
+    # CalciteCorrelatedQueryTest.testCorrelatedSubquery (correlated
+    # scalar aggregate in the select list)
+    "sqlc_correlated_scalar_agg": ("""
+        SELECT n_name,
+               (SELECT count(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+        FROM nation n ORDER BY n_name""", None),
+    # testMultiValueStringOverlapFilter (CalciteMultiValueStringQueryTest)
+    "sqlc_mv_overlap_filter": ("""
+        SELECT p_type, count(*) AS n FROM part
+        WHERE MV_OVERLAP(STRING_TO_MV(p_type, ' '),
+                         ARRAY['ECONOMY', 'PROMO'])
+        GROUP BY p_type ORDER BY p_type""", """
+        SELECT p_type, count(*) AS n FROM part
+        WHERE len(list_intersect(string_split(p_type, ' '),
+                                 ['ECONOMY', 'PROMO'])) > 0
+        GROUP BY p_type ORDER BY p_type"""),
+    # testMultiValueStringContainsFilter + NOT composition (real
+    # multi-word MVD: tokenized document text)
+    "sqlc_mv_contains_filter": ("""
+        SELECT lang, count(*) AS n FROM documents
+        WHERE MV_CONTAINS(STRING_TO_MV(LOWER(text), ' '), 'the')
+          AND NOT MV_CONTAINS(STRING_TO_MV(LOWER(text), ' '), 'zzz')
+        GROUP BY lang ORDER BY lang""", """
+        SELECT lang, count(*) AS n FROM documents
+        WHERE list_contains(string_split(lower(text), ' '), 'the')
+          AND NOT list_contains(string_split(lower(text), ' '), 'zzz')
+        GROUP BY lang ORDER BY lang"""),
+    # testMultiValueStringSelfConcatScan
+    "sqlc_mv_self_concat": ("""
+        SELECT r_name,
+               MV_TO_STRING(MV_CONCAT(STRING_TO_MV(r_name, ' '),
+                                      STRING_TO_MV(r_name, ' ')),
+                            ',') AS doubled
+        FROM region ORDER BY r_name""", """
+        SELECT r_name,
+               array_to_string(list_concat(string_split(r_name, ' '),
+                                           string_split(r_name, ' ')),
+                               ',') AS doubled
+        FROM region ORDER BY r_name"""),
+    # testMultiValueToArrayGroupAsArrayWithMultiValueDimension — whole-
+    # array grouping via MV_TO_ARRAY (vs implicit MVD explode)
+    "sqlc_mv_to_array_groupby": ("""
+        SELECT MV_TO_STRING(MV_TO_ARRAY(
+                 STRING_TO_MV(o_orderpriority, '-')), '|') AS pri_arr,
+               count(*) AS n
+        FROM orders GROUP BY MV_TO_ARRAY(STRING_TO_MV(o_orderpriority, '-'))
+        ORDER BY pri_arr""", """
+        SELECT array_to_string(string_split(o_orderpriority, '-'), '|')
+                 AS pri_arr,
+               count(*) AS n
+        FROM orders GROUP BY string_split(o_orderpriority, '-')
+        ORDER BY pri_arr"""),
+    # testMultiValueListFilterComposedMultipleExpressions (projection +
+    # aggregate over a filtered MV)
+    "sqlc_mv_filter_composed_expr": ("""
+        SELECT MV_LENGTH(MV_FILTER_ONLY(STRING_TO_MV(LOWER(text), ' '),
+                 ARRAY['the', 'a', 'of', 'and'])) AS n_stop,
+               count(*) AS n
+        FROM documents GROUP BY 1 ORDER BY 1""", """
+        SELECT len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['the', 'a', 'of', 'and'], x)))
+                 AS n_stop,
+               count(*) AS n
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+    # testMvContainsOnMvConcat
+    "sqlc_mv_contains_concat": ("""
+        SELECT count(*) AS n FROM supplier
+        WHERE MV_CONTAINS(MV_CONCAT(STRING_TO_MV(s_name, '#'),
+                                    ARRAY['sentinel']), 'sentinel')""", """
+        SELECT count(*) AS n FROM supplier
+        WHERE list_contains(list_concat(string_split(s_name, '#'),
+                                        ['sentinel']), 'sentinel')"""),
+    # testStringToMVOfStringAgg (STRING_TO_MV over an aggregate result)
+    "sqlc_string_to_mv_of_agg": ("""
+        SELECT MV_LENGTH(STRING_TO_MV(
+                 STRING_AGG(DISTINCT r_name, ','), ',')) AS n_regions
+        FROM region""", """
+        SELECT CAST(len(string_split(
+                 string_agg(DISTINCT r_name, ','), ',')) AS INT)
+                 AS n_regions
+        FROM region"""),
+    # CalciteJoinQueryTest: join condition on an expression of the key
+    "sqlc_join_on_expression": ("""
+        SELECT n.n_name, r.r_name FROM nation n
+        JOIN region r ON n.n_regionkey + 1 = r.r_regionkey + 1
+        WHERE r.r_name LIKE '%A%'
+        ORDER BY n.n_name""", None),
+    # CalciteJoinQueryTest: aggregate-then-limit over a join (topN on join)
+    "sqlc_topn_on_join": ("""
+        SELECT r.r_name, count(*) AS n_nations FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY n_nations DESC, r.r_name LIMIT 3""",
+        None),
+    # CalciteJoinQueryTest: three-way join, filters on each side
+    "sqlc_three_way_join_filtered": ("""
+        SELECT r.r_name, n.n_name, count(*) AS n_cust
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_acctbal > 5000 AND r.r_name <> 'AFRICA'
+          AND n.n_name LIKE '%A%'
+        GROUP BY r.r_name, n.n_name
+        ORDER BY r.r_name, n.n_name""", None),
+    # CalciteJoinQueryTest: LEFT JOIN against an aggregated subquery,
+    # COALESCE over the null-extended agg
+    "sqlc_left_join_agg_subquery": ("""
+        SELECT n.n_name, COALESCE(t.n_cust, 0) AS n_cust
+        FROM nation n
+        LEFT JOIN (SELECT c_nationkey, count(*) AS n_cust
+                   FROM customer WHERE c_acctbal > 9000
+                   GROUP BY c_nationkey) t
+          ON n.n_nationkey = t.c_nationkey
+        ORDER BY n.n_name""", None),
+    # CalciteJoinQueryTest: IN-subquery whose body is itself a join
+    "sqlc_in_subquery_over_join": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_custkey IN (
+          SELECT c.c_custkey FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_name = 'CHINA')""", None),
+    # CalciteSelectQueryTest: constant expression select (no table refs
+    # beyond a 1-row anchor)
+    "sqlc_select_constants": ("""
+        SELECT 1 + 1 AS two, 'a' || 'b' AS ab,
+               CEIL(1.5) AS c, FLOOR(-1.5) AS f,
+               MOD(10, 3) AS m, POWER(2, 10) AS p
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT 2 AS two, 'ab' AS ab,
+               CAST(2 AS DOUBLE) AS c, CAST(-2 AS DOUBLE) AS f,
+               10 % 3 AS m, CAST(1024 AS DOUBLE) AS p
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
 }
 
 
