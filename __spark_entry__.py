@@ -344,6 +344,106 @@ def q_sql_lookup_fn(spark, sf):
         FROM nation GROUP BY 1 ORDER BY 1""")
 
 
+def _lookup_engine(spark, sf):
+    """Engine with the CalciteLookupFunctionQueryTest-style fixtures: a
+    PARTIAL map (keys 0-2 only, so misses produce NULL) and a second
+    layer for chained lookups."""
+    eng = _engine(spark, sf)
+    eng.catalog.register_lookup(
+        "region_part", {"0": "AFRICA", "1": "AMERICA", "2": "ASIA"})
+    eng.catalog.register_lookup(
+        "continent_code", {"AFRICA": "AF", "AMERICA": "AM", "ASIA": "AS"})
+    return eng
+
+
+# DuckDB-side rendering of the same partial lookup (misses → NULL),
+# shared by the lookup-filter oracle SQL below.
+_LK_PART = ("CASE CAST(n_regionkey AS VARCHAR) "
+            "WHEN '0' THEN 'AFRICA' WHEN '1' THEN 'AMERICA' "
+            "WHEN '2' THEN 'ASIA' END")
+
+
+def q_lookup_filter_equals(spark, sf):
+    """LOOKUP(dim,'lyr') = literal in WHERE — the reference reverses the
+    lookup into an IN filter on the key
+    (CalciteLookupFunctionQueryTest.testFilterEquals,
+    ReverseLookupRule.java); here Catalyst folds the inlined map."""
+    return _lookup_engine(spark, sf).sql("""
+        SELECT n_name FROM nation
+        WHERE LOOKUP(CAST(n_regionkey AS VARCHAR), 'region_part') = 'ASIA'
+        ORDER BY n_name""")
+
+
+def q_lookup_filter_in(spark, sf):
+    """LOOKUP IN (...) filter (testFilterIn)."""
+    return _lookup_engine(spark, sf).sql("""
+        SELECT count(*) AS n FROM nation
+        WHERE LOOKUP(CAST(n_regionkey AS VARCHAR), 'region_part')
+              IN ('AFRICA', 'ASIA')""")
+
+
+def q_lookup_filter_is_null(spark, sf):
+    """Lookup miss → NULL; IS NULL matches unmapped keys
+    (testFilterIsNull — partial map, keys 3/4 unmapped)."""
+    return _lookup_engine(spark, sf).sql("""
+        SELECT n_name FROM nation
+        WHERE LOOKUP(CAST(n_regionkey AS VARCHAR), 'region_part') IS NULL
+        ORDER BY n_name""")
+
+
+def q_lookup_filter_not_in(spark, sf):
+    """NOT IN + IS NOT NULL compose (testFilterNotInAndIsNotNull —
+    Druid's NOT IN keeps NULL-safe semantics via the explicit guard)."""
+    return _lookup_engine(spark, sf).sql("""
+        SELECT count(*) AS n FROM nation
+        WHERE LOOKUP(CAST(n_regionkey AS VARCHAR), 'region_part')
+                NOT IN ('AFRICA')
+          AND LOOKUP(CAST(n_regionkey AS VARCHAR), 'region_part')
+                IS NOT NULL""")
+
+
+def q_lookup_coalesce_missing(spark, sf):
+    """COALESCE(LOOKUP(...), 'UNKNOWN') — the 'replaceMissingValueWith'
+    SQL spelling (testFilterCoalesce / 3-arg LOOKUP parity)."""
+    return _lookup_engine(spark, sf).sql("""
+        SELECT COALESCE(LOOKUP(CAST(n_regionkey AS VARCHAR),
+                               'region_part'), 'UNKNOWN') AS region,
+               count(*) AS n
+        FROM nation GROUP BY 1 ORDER BY 1""")
+
+
+def q_lookup_of_concat(spark, sf):
+    """LOOKUP over an expression key (testFilterLookupOfConcat —
+    lookup applied to CONCAT of columns/literals)."""
+    eng = _engine(spark, sf)
+    eng.catalog.register_lookup(
+        "rk_names", {"rk_0": "africa", "rk_1": "america", "rk_2": "asia",
+                     "rk_3": "europe", "rk_4": "middle east"})
+    return eng.sql("""
+        SELECT LOOKUP('rk_' || CAST(n_regionkey AS VARCHAR), 'rk_names')
+                 AS region, count(*) AS n
+        FROM nation GROUP BY 1 ORDER BY 1""")
+
+
+def q_lookup_chained(spark, sf):
+    """LOOKUP(LOOKUP(k,'a'),'b') chains (testFilterChainedEquals)."""
+    return _lookup_engine(spark, sf).sql("""
+        SELECT LOOKUP(LOOKUP(CAST(n_regionkey AS VARCHAR), 'region_part'),
+                      'continent_code') AS cc,
+               count(*) AS n
+        FROM nation GROUP BY 1 ORDER BY 1""")
+
+
+def q_lookup_function_of_lookup(spark, sf):
+    """Scalar function over a lookup result in a filter
+    (testFilterFunctionOfLookup: LOWER(LOOKUP(...)) = ...)."""
+    return _lookup_engine(spark, sf).sql("""
+        SELECT n_name FROM nation
+        WHERE LOWER(LOOKUP(CAST(n_regionkey AS VARCHAR), 'region_part'))
+              = 'america'
+        ORDER BY n_name""")
+
+
 def q_gb_time_format_extraction(spark, sf):
     """timeFormat extraction fn as a groupBy dimension
     (extraction/TimeFormatExtractionFn.java — format the __time value
@@ -4609,6 +4709,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_subtotals": q_gb_subtotals,
         "gb_extraction": q_gb_extraction,
         "sql_lookup_fn": q_sql_lookup_fn,
+        "lookup_filter_equals": q_lookup_filter_equals,
+        "lookup_filter_in": q_lookup_filter_in,
+        "lookup_filter_is_null": q_lookup_filter_is_null,
+        "lookup_filter_not_in": q_lookup_filter_not_in,
+        "lookup_coalesce_missing": q_lookup_coalesce_missing,
+        "lookup_of_concat": q_lookup_of_concat,
+        "lookup_chained": q_lookup_chained,
+        "lookup_function_of_lookup": q_lookup_function_of_lookup,
         "gb_time_format_extraction": q_gb_time_format_extraction,
         "gb_bucket_extraction": q_gb_bucket_extraction,
         "gb_cascade_extraction": q_gb_cascade_extraction,
@@ -4913,6 +5021,39 @@ def _base_oracle_sql() -> dict[str, str]:
                    WHEN 3 THEN 'EUROPE' ELSE 'MIDDLE EAST' END AS region,
                    count(*) AS n
             FROM nation GROUP BY 1 ORDER BY 1""",
+        "lookup_filter_equals": f"""
+            SELECT n_name FROM nation
+            WHERE {_LK_PART} = 'ASIA' ORDER BY n_name""",
+        "lookup_filter_in": f"""
+            SELECT count(*) AS n FROM nation
+            WHERE {_LK_PART} IN ('AFRICA', 'ASIA')""",
+        "lookup_filter_is_null": f"""
+            SELECT n_name FROM nation
+            WHERE {_LK_PART} IS NULL ORDER BY n_name""",
+        "lookup_filter_not_in": f"""
+            SELECT count(*) AS n FROM nation
+            WHERE {_LK_PART} NOT IN ('AFRICA')
+              AND {_LK_PART} IS NOT NULL""",
+        "lookup_coalesce_missing": f"""
+            SELECT COALESCE({_LK_PART}, 'UNKNOWN') AS region,
+                   count(*) AS n
+            FROM nation GROUP BY 1 ORDER BY 1""",
+        "lookup_of_concat": """
+            SELECT CASE 'rk_' || CAST(n_regionkey AS VARCHAR)
+                   WHEN 'rk_0' THEN 'africa' WHEN 'rk_1' THEN 'america'
+                   WHEN 'rk_2' THEN 'asia' WHEN 'rk_3' THEN 'europe'
+                   WHEN 'rk_4' THEN 'middle east' END AS region,
+                   count(*) AS n
+            FROM nation GROUP BY 1 ORDER BY 1""",
+        "lookup_chained": f"""
+            SELECT CASE {_LK_PART}
+                   WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                   WHEN 'ASIA' THEN 'AS' END AS cc,
+                   count(*) AS n
+            FROM nation GROUP BY 1 ORDER BY 1""",
+        "lookup_function_of_lookup": f"""
+            SELECT n_name FROM nation
+            WHERE lower({_LK_PART}) = 'america' ORDER BY n_name""",
         "gb_time_format_extraction": """
             SELECT strftime(ts, '%Y-%m') AS ym, count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1""",
