@@ -4619,6 +4619,148 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           SELECT c.c_custkey FROM customer c
           JOIN nation n ON c.c_nationkey = n.n_nationkey
           WHERE n.n_name = 'CHINA')""", None),
+    # ---- batch 14: window corpus (sql/src/test/resources/calcite/
+    # tests/window/*.sqlTest) ----
+    # wikipediaFramedAggregations.sqlTest: window over a GROUP BY
+    # result, SUM(SUM(x)) with an asymmetric ROWS frame
+    "sqlc_window_over_groupby_framed": ("""
+        SELECT event_type,
+               TIME_FLOOR(ts, 'P1D') AS d,
+               CAST(round(SUM(value), 2) AS DOUBLE) AS delta,
+               CAST(round(SUM(SUM(value)) OVER (
+                 PARTITION BY event_type ORDER BY TIME_FLOOR(ts, 'P1D')
+                 ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING), 2) AS DOUBLE)
+                 AS windowed_delta
+        FROM events GROUP BY 1, 2
+        ORDER BY event_type, d LIMIT 40""", """
+        SELECT event_type,
+               date_trunc('day', ts)::TIMESTAMP AS d,
+               round(SUM(value), 2) AS delta,
+               round(SUM(SUM(value)) OVER (
+                 PARTITION BY event_type
+                 ORDER BY date_trunc('day', ts)::TIMESTAMP
+                 ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING), 2)
+                 AS windowed_delta
+        FROM events GROUP BY 1, 2
+        ORDER BY event_type, d LIMIT 40"""),
+    # allBoundsCombination.sqlTest: every ROWS bound pairing
+    "sqlc_window_all_bounds": ("""
+        SELECT r_name,
+          count(*) OVER (ORDER BY r_name
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c1,
+          count(*) OVER (ORDER BY r_name
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+          count(*) OVER (ORDER BY r_name
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS c3,
+          count(*) OVER (ORDER BY r_name
+            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS c5,
+          count(*) OVER (ORDER BY r_name
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c7,
+          count(*) OVER (ORDER BY r_name
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS c9,
+          count(*) OVER (ORDER BY r_name
+            ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS c10,
+          count(*) OVER (ORDER BY r_name
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS c12
+        FROM region ORDER BY r_name""", None),
+    # range_handling.sqlTest: ROWS vs RANGE cumulative counts over a
+    # tied ordering key (peers counted by RANGE, not by ROWS)
+    "sqlc_window_rows_vs_range": ("""
+        SELECT CAST(FLOOR(p_size / 10) AS DOUBLE) AS bucket,
+          DENSE_RANK() OVER (ORDER BY FLOOR(p_size / 10)) AS dr,
+          count(1) OVER (ORDER BY FLOOR(p_size / 10)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_rows,
+          count(1) OVER (ORDER BY FLOOR(p_size / 10)
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_range,
+          count(1) OVER (ORDER BY FLOOR(p_size / 10)
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_rows,
+          count(1) OVER (ORDER BY FLOOR(p_size / 10)
+            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_range
+        FROM (SELECT p_size FROM part ORDER BY p_partkey LIMIT 50) t
+        ORDER BY bucket, c_rows""", """
+        SELECT CAST(FLOOR(p_size / 10) AS DOUBLE) AS bucket,
+          DENSE_RANK() OVER (ORDER BY FLOOR(p_size / 10)) AS dr,
+          count(1) OVER (ORDER BY FLOOR(p_size / 10)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_rows,
+          count(1) OVER (ORDER BY FLOOR(p_size / 10)
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_range,
+          count(1) OVER (ORDER BY FLOOR(p_size / 10)
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_rows,
+          count(1) OVER (ORDER BY FLOOR(p_size / 10)
+            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_range
+        FROM (SELECT p_size FROM part ORDER BY p_partkey LIMIT 50) t
+        ORDER BY bucket, c_rows"""),
+    # orderByDescNulls.sqlTest: DESC NULLS LAST vs NULLS FIRST in
+    # window ordering (NULLs synthesized via NULLIF)
+    "sqlc_window_desc_nulls": ("""
+        SELECT o_orderkey,
+          ROW_NUMBER() OVER (
+            ORDER BY NULLIF(o_orderstatus, 'O') DESC NULLS LAST,
+                     o_orderkey) AS rn_desc_nl,
+          ROW_NUMBER() OVER (
+            ORDER BY NULLIF(o_orderstatus, 'O') NULLS FIRST,
+                     o_orderkey) AS rn_asc_nf
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 30) t
+        ORDER BY o_orderkey""", None),
+    # WindowOpReorder.sqlTest: two windows needing different
+    # partition/sort orders in one projection
+    "sqlc_window_reorder": ("""
+        SELECT l_linenumber, l_returnflag,
+          CAST(round(SUM(l_quantity) OVER (PARTITION BY l_returnflag), 2)
+               AS DOUBLE) AS sum1,
+          CAST(round(SUM(l_linenumber) OVER (), 2) AS DOUBLE) AS sum2
+        FROM (SELECT DISTINCT l_linenumber, l_returnflag,
+                     CAST(l_quantity AS DOUBLE) AS l_quantity
+              FROM lineitem WHERE l_orderkey < 100) t
+        ORDER BY l_linenumber, l_returnflag""", """
+        SELECT l_linenumber, l_returnflag,
+          round(SUM(l_quantity) OVER (PARTITION BY l_returnflag), 2)
+            AS sum1,
+          round(SUM(l_linenumber) OVER (), 2) AS sum2
+        FROM (SELECT DISTINCT l_linenumber, l_returnflag,
+                     CAST(l_quantity AS DOUBLE) AS l_quantity
+              FROM lineitem WHERE l_orderkey < 100) t
+        ORDER BY l_linenumber, l_returnflag"""),
+    # windowInsideSubquery.sqlTest: rank computed in a subquery,
+    # filtered outside
+    "sqlc_window_inside_subquery": ("""
+        SELECT n_name, rk FROM (
+          SELECT n_name,
+                 RANK() OVER (PARTITION BY n_regionkey
+                              ORDER BY n_name) AS rk
+          FROM nation) t
+        WHERE rk = 1 ORDER BY n_name""", None),
+    # duplicateAggregation.sqlTest: identical aggregate under two frames
+    "sqlc_window_duplicate_agg": ("""
+        SELECT r_regionkey,
+          count(*) OVER (ORDER BY r_regionkey) AS a,
+          count(*) OVER (ORDER BY r_regionkey
+            ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS b
+        FROM region ORDER BY r_regionkey""", None),
+    # virtualColumns.sqlTest: window keyed on an expression
+    "sqlc_window_virtual_col": ("""
+        SELECT UPPER(n_name) AS uname,
+          LAG(UPPER(n_name)) OVER (ORDER BY UPPER(n_name)) AS prev_name
+        FROM nation ORDER BY uname LIMIT 10""", None),
+    # aggregateConstant.sqlTest: SUM over a constant operand
+    "sqlc_window_aggregate_constant": ("""
+        SELECT r_name,
+          CAST(SUM(2) OVER (ORDER BY r_name
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS running_two
+        FROM region ORDER BY r_name""", None),
+    # arrayAggWithOrderBy.sqlTest: ARRAY_AGG as a window function over
+    # a running frame
+    "sqlc_window_array_agg": ("""
+        SELECT r_name,
+          ARRAY_TO_STRING(ARRAY_AGG(r_name) OVER (ORDER BY r_name
+            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), ',') AS trail
+        FROM region ORDER BY r_name""", """
+        SELECT r_name,
+          array_to_string(array_agg(r_name) OVER (ORDER BY r_name
+            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), ',') AS trail
+        FROM region ORDER BY r_name"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
