@@ -40,6 +40,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
 from druid_spark import __version__
+from druid_spark.scheduler import (
+    QueryCanceledError,
+    QueryCapacityExceededError,
+    QueryScheduler,
+    QueryTimeoutError,
+)
 
 
 # ------------------------------------------------------------- JSON safety
@@ -159,8 +165,9 @@ class _Statements:
     hold driver-side (statement results are final query output —
     broker-sized by the same contract as the sync path)."""
 
-    def __init__(self, engine):
+    def __init__(self, engine, scheduler: QueryScheduler | None = None):
         self.engine = engine
+        self.scheduler = scheduler
         self._lock = threading.Lock()
         self._st: dict[str, dict] = {}
 
@@ -176,7 +183,11 @@ class _Statements:
             rec["state"] = "RUNNING"
             try:
                 df = self.engine.sql(_bind_parameters(text, params))
-                rows = _row_dicts(df.collect())
+                if self.scheduler is not None:
+                    rows = _row_dicts(
+                        self.scheduler.submit(qid, df.collect))
+                else:
+                    rows = _row_dicts(df.collect())
                 with self._lock:
                     if rec["cancel"]:
                         rec["state"] = "CANCELED"
@@ -229,7 +240,11 @@ class _Statements:
             rec["cancel"] = True
             if rec["state"] in ("ACCEPTED", "RUNNING"):
                 rec["state"] = "CANCELED"
-            return True
+        # Actually stop the Spark jobs, not just the bookkeeping
+        # (QueryScheduler.cancelQuery semantics).
+        if self.scheduler is not None:
+            self.scheduler.cancel(qid)
+        return True
 
 
 # --------------------------------------------------------------- handler
@@ -314,6 +329,18 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(404, {"error": "Not found",
                                       "errorMessage": qid,
                                       "errorClass": None, "host": None})
+        elif path.startswith("/druid/v2/sql/") or path.startswith("/druid/v2/"):
+            # DELETE /druid/v2/{queryId} (QueryResource.cancelQuery) and
+            # DELETE /druid/v2/sql/{sqlQueryId} (SqlResource.cancelQuery):
+            # 202 if the id was running, 404 otherwise.
+            qid = path.split("/")[-1]
+            sched = self.server.scheduler  # type: ignore[attr-defined]
+            if sched.cancel(qid):
+                self._send(202, b"")
+            else:
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": qid,
+                                      "errorClass": None, "host": None})
         else:
             self._send_json(404, {"error": "Not found",
                                   "errorMessage": self.path,
@@ -349,15 +376,30 @@ class _Handler(BaseHTTPRequestHandler):
                                   "errorClass": None, "host": None})
 
     def _native(self, q: dict) -> None:
-        qid = (q.get("context") or {}).get("queryId") or str(uuid.uuid4())
+        ctx = q.get("context") or {}
+        qid = ctx.get("queryId") or str(uuid.uuid4())
+        sched = self.server.scheduler  # type: ignore[attr-defined]
         try:
             df = self.engine.query(q)
-            rows = _row_dicts(df.collect())
+            rows = sched.submit(
+                qid, df.collect,
+                lane=QueryScheduler.compute_lane(ctx),
+                timeout_ms=_timeout_ms(ctx))
+            rows = _row_dicts(rows)
         except NotImplementedError as e:
             self._send_json(400, error_body("Unknown query type", e), qid)
             return
         except KeyError as e:
             self._send_json(400, error_body("Unknown datasource", e), qid)
+            return
+        except QueryCapacityExceededError as e:
+            self._send_json(429, error_body("Query capacity exceeded", e), qid)
+            return
+        except QueryTimeoutError as e:
+            self._send_json(504, error_body("Query timeout", e), qid)
+            return
+        except QueryCanceledError as e:
+            self._send_json(500, error_body("Query cancelled", e), qid)
             return
         except Exception as e:  # analysis/runtime
             self._send_json(500, error_body("Unknown exception", e), qid)
@@ -375,26 +417,37 @@ class _Handler(BaseHTTPRequestHandler):
             return
         fmt = body.get("resultFormat", "object")
         header = bool(body.get("header", False))
+        ctx = body.get("context") or {}
+        sched = self.server.scheduler  # type: ignore[attr-defined]
         try:
             text = _bind_parameters(text, body.get("parameters"))
             df = self.engine.sql(text)
             cols = df.columns
             if fmt in ("objectLines", "arrayLines"):
                 # stream: never materialize a big export driver-side
-                buf = io.BytesIO()
-                if header and fmt == "arrayLines":
-                    buf.write(json.dumps(cols).encode() + b"\n")
-                for r in df.toLocalIterator():
-                    d = {k: json_safe(v)
-                         for k, v in r.asDict(recursive=True).items()}
-                    line = (json.dumps(d) if fmt == "objectLines"
-                            else json.dumps([d[c] for c in cols]))
-                    buf.write(line.encode() + b"\n")
-                buf.write(b"\n")  # trailing blank line = complete (ResultFormat)
-                self._send(200, buf.getvalue(),
-                           "text/plain; charset=utf-8", qid)
+                def stream() -> bytes:
+                    buf = io.BytesIO()
+                    if header and fmt == "arrayLines":
+                        buf.write(json.dumps(cols).encode() + b"\n")
+                    for r in df.toLocalIterator():
+                        d = {k: json_safe(v)
+                             for k, v in r.asDict(recursive=True).items()}
+                        line = (json.dumps(d) if fmt == "objectLines"
+                                else json.dumps([d[c] for c in cols]))
+                        buf.write(line.encode() + b"\n")
+                    # trailing blank line = complete (ResultFormat)
+                    buf.write(b"\n")
+                    return buf.getvalue()
+
+                payload = sched.submit(
+                    qid, stream, lane=QueryScheduler.compute_lane(ctx),
+                    timeout_ms=_timeout_ms(ctx))
+                self._send(200, payload, "text/plain; charset=utf-8", qid)
                 return
-            rows = _row_dicts(df.collect())
+            rows = sched.submit(
+                qid, df.collect, lane=QueryScheduler.compute_lane(ctx),
+                timeout_ms=_timeout_ms(ctx))
+            rows = _row_dicts(rows)
             if fmt == "array":
                 out: Any = [[r[c] for c in cols] for r in rows]
                 if header:
@@ -412,11 +465,27 @@ class _Handler(BaseHTTPRequestHandler):
                            "text/csv; charset=utf-8", qid)
             else:  # object (default)
                 self._send_json(200, rows, qid)
+        except QueryCapacityExceededError as e:
+            self._send_json(429, error_body("Query capacity exceeded", e), qid)
+        except QueryTimeoutError as e:
+            self._send_json(504, error_body("Query timeout", e), qid)
+        except QueryCanceledError as e:
+            self._send_json(500, error_body("Query cancelled", e), qid)
         except Exception as e:
             code = ("SQL parse failed"
                     if "PARSE_SYNTAX_ERROR" in str(e) else "Unknown exception")
             self._send_json(400 if code == "SQL parse failed" else 500,
                             error_body(code, e), qid)
+
+
+def _timeout_ms(ctx: dict) -> int | None:
+    """context.timeout in millis (QueryContexts.getTimeout; 0/absent =
+    no timeout)."""
+    try:
+        t = int(ctx.get("timeout", 0))
+        return t if t > 0 else None
+    except (TypeError, ValueError):
+        return None
 
 
 def _bind_parameters(text: str, params) -> str:
@@ -449,11 +518,17 @@ class DruidHttpServer:
         srv.stop()
     """
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 total_slots: int | None = None,
+                 lane_limits: dict[str, int] | None = None):
         self.engine = engine
+        self.scheduler = QueryScheduler(engine.spark, total=total_slots,
+                                        lane_limits=lane_limits)
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.engine = engine  # type: ignore[attr-defined]
-        self._httpd.statements = _Statements(engine)  # type: ignore
+        self._httpd.scheduler = self.scheduler  # type: ignore[attr-defined]
+        self._httpd.statements = _Statements(  # type: ignore[attr-defined]
+            engine, scheduler=self.scheduler)
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
 
