@@ -4761,6 +4761,192 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           array_to_string(array_agg(r_name) OVER (ORDER BY r_name
             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), ',') AS trail
         FROM region ORDER BY r_name"""),
+    # ---- batch 15: CalciteQueryTest general shapes ----
+    # testCountDistinctOfCaseWhen
+    "sqlc_count_distinct_case": ("""
+        SELECT COUNT(DISTINCT CASE WHEN o_totalprice > 100000
+                                   THEN o_custkey END) AS big_cust,
+               COUNT(DISTINCT CASE WHEN o_orderstatus = 'F'
+                                   THEN o_orderpriority END) AS f_pri
+        FROM orders""", None),
+    # testCountDistinctOfSubstring / testCountDistinctOfTrim
+    "sqlc_count_distinct_substring": ("""
+        SELECT COUNT(DISTINCT SUBSTRING(c_name, 1, 10)) AS pfx,
+               COUNT(DISTINCT TRIM(c_mktsegment)) AS segs
+        FROM customer""", None),
+    # testCoalesceColumnsFilterWithEquality (COALESCE of two nullable
+    # columns grouped + filtered; NULLs synthesized via NULLIF)
+    "sqlc_coalesce_columns_filter": ("""
+        SELECT COALESCE(NULLIF(o_orderstatus, 'O'),
+                        o_orderpriority) AS k, count(*) AS n
+        FROM orders
+        WHERE COALESCE(NULLIF(o_orderstatus, 'O'), o_orderpriority)
+              IN ('F', '1-URGENT')
+        GROUP BY 1 ORDER BY 1""", None),
+    # testDecomposeCaseWhenThreeArg + testNvlColumns
+    "sqlc_decompose_case_nvl": ("""
+        SELECT CASE WHEN NULLIF(l_returnflag, 'N') IS NULL
+                    THEN 'none' ELSE l_returnflag END AS flag3,
+               NVL(NULLIF(l_linestatus, 'O'), 'open') AS st,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""", """
+        SELECT CASE WHEN NULLIF(l_returnflag, 'N') IS NULL
+                    THEN 'none' ELSE l_returnflag END AS flag3,
+               COALESCE(NULLIF(l_linestatus, 'O'), 'open') AS st,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""),
+    # testTimeseriesUsingTimeFloorWithOrigin (origin-anchored buckets)
+    "sqlc_time_floor_origin": ("""
+        SELECT TIME_FLOOR(ts, 'PT6H',
+                          TIMESTAMP '2024-01-01 02:30:00') AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 20""", """
+        SELECT make_timestamp(CAST(
+                 (epoch_ms(TIMESTAMP '2024-01-01 02:30:00')
+                  + floor((epoch_ms(ts)
+                           - epoch_ms(TIMESTAMP '2024-01-01 02:30:00'))
+                          / 21600000.0) * 21600000) * 1000 AS BIGINT))
+                 AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 20"""),
+    # testTimeseriesUsingTimeFloorWithTimeShift
+    "sqlc_time_floor_timeshift": ("""
+        SELECT TIME_FLOOR(TIME_SHIFT(ts, 'PT1H', -1), 'P1D') AS d,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 10""", """
+        SELECT date_trunc('day', ts - INTERVAL 1 HOUR)::TIMESTAMP AS d,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 10"""),
+    # testSillyQuarters (TIMESTAMPADD QUARTER round trip)
+    "sqlc_silly_quarters": ("""
+        SELECT TIMESTAMPADD(QUARTER, 3,
+                 TIMESTAMP '2024-01-15 00:00:00') AS plus3q,
+               TIMESTAMPDIFF(QUARTER, TIMESTAMP '2024-01-15 00:00:00',
+                 TIMESTAMP '2024-10-15 00:00:00') AS qdiff
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT (TIMESTAMP '2024-01-15 00:00:00'
+                + INTERVAL 9 MONTH)::TIMESTAMP AS plus3q,
+               3 AS qdiff
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # testInFilterWith23Elements (IN lists above the scalar threshold)
+    "sqlc_in_filter_23": ("""
+        SELECT count(*) AS n FROM part
+        WHERE p_size IN (1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,
+                         18,19,20,21,22,23)""", None),
+    # testLeftRightStringOperators
+    "sqlc_left_right": ("""
+        SELECT r_name, LEFT(r_name, 3) AS l3, RIGHT(r_name, 3) AS r3
+        FROM region ORDER BY r_name""", None),
+    # testGroupByStringLength
+    "sqlc_groupby_string_length": ("""
+        SELECT CHAR_LENGTH(c_mktsegment) AS ln, count(*) AS n
+        FROM customer GROUP BY 1 ORDER BY 1""", """
+        SELECT CAST(length(c_mktsegment) AS INT) AS ln, count(*) AS n
+        FROM customer GROUP BY 1 ORDER BY 1"""),
+    # testProjectAfterSort (projection narrows a sorted subquery)
+    "sqlc_project_after_sort": ("""
+        SELECT o_orderpriority FROM (
+          SELECT o_orderkey, o_orderpriority FROM orders
+          ORDER BY o_orderkey LIMIT 8) t""", """
+        SELECT o_orderpriority FROM (
+          SELECT o_orderkey, o_orderpriority FROM orders
+          ORDER BY o_orderkey LIMIT 8) t ORDER BY o_orderkey"""),
+    # testSortProjectAfterNestedGroupBy
+    "sqlc_sort_project_nested_groupby": ("""
+        SELECT st, n_pri FROM (
+          SELECT o_orderstatus AS st, count(DISTINCT o_orderpriority)
+                   AS n_pri
+          FROM (SELECT o_orderstatus, o_orderpriority FROM orders
+                GROUP BY o_orderstatus, o_orderpriority) g
+          GROUP BY o_orderstatus) t
+        ORDER BY st""", None),
+    # testUnionAllSameTableThreeTimes
+    "sqlc_union_all_three_times": ("""
+        SELECT sum(cnt) AS total FROM (
+          SELECT count(*) AS cnt FROM region
+          UNION ALL SELECT count(*) AS cnt FROM region
+          UNION ALL SELECT count(*) AS cnt FROM region) t""", """
+        SELECT CAST(sum(cnt) AS BIGINT) AS total FROM (
+          SELECT count(*) AS cnt FROM region
+          UNION ALL SELECT count(*) AS cnt FROM region
+          UNION ALL SELECT count(*) AS cnt FROM region) t"""),
+    # testGroupingSetsWithDummyDimension (constant in grouping sets)
+    "sqlc_grouping_sets_dummy": ("""
+        SELECT o_orderstatus, 'dummy' AS d, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, 'dummy'), ())
+        ORDER BY o_orderstatus NULLS LAST""", """
+        SELECT o_orderstatus,
+               CASE WHEN o_orderstatus IS NULL THEN NULL
+                    ELSE 'dummy' END AS d,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS LAST"""),
+    # testStringAggNumeric
+    "sqlc_string_agg_numeric": ("""
+        SELECT STRING_AGG(r_regionkey, ',') AS keys
+        FROM (SELECT r_regionkey FROM region ORDER BY r_regionkey) t""",
+        """
+        SELECT string_agg(r_regionkey, ',' ORDER BY r_regionkey) AS keys
+        FROM region"""),
+    # testTrigonometricFunction + testRadiansAndDegrees
+    "sqlc_trig_matrix": ("""
+        SELECT CAST(round(SIN(p_size / 10.0), 6) AS DOUBLE) AS s,
+               CAST(round(COS(p_size / 10.0), 6) AS DOUBLE) AS c,
+               CAST(round(ATAN2(p_size, 7), 6) AS DOUBLE) AS a2,
+               CAST(round(DEGREES(RADIANS(p_size)), 6) AS DOUBLE) AS rt
+        FROM part ORDER BY p_partkey LIMIT 10""", """
+        SELECT round(SIN(p_size / 10.0), 6) AS s,
+               round(COS(p_size / 10.0), 6) AS c,
+               round(ATAN2(p_size, 7), 6) AS a2,
+               round(DEGREES(RADIANS(p_size)), 6) AS rt
+        FROM part ORDER BY p_partkey LIMIT 10"""),
+    # testRoundFunc (negative digits, 1-arg form)
+    "sqlc_round_matrix": ("""
+        SELECT CAST(ROUND(o_totalprice) AS DOUBLE) AS r0,
+               CAST(ROUND(o_totalprice, -2) AS DOUBLE) AS rneg,
+               CAST(ROUND(o_totalprice, 1) AS DOUBLE) AS r1
+        FROM orders ORDER BY o_orderkey LIMIT 12""", """
+        SELECT ROUND(o_totalprice) AS r0,
+               ROUND(o_totalprice, -2) AS rneg,
+               ROUND(o_totalprice, 1) AS r1
+        FROM orders ORDER BY o_orderkey LIMIT 12"""),
+    # testIsNotDistinctFromLiteral — column-vs-column null-safe compare
+    "sqlc_is_not_distinct_cols": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE NULLIF(o_orderstatus, 'O')
+              IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'O')""", None),
+    # testRegexpExtractFilterViaNotNullCheck
+    "sqlc_regexp_extract_notnull": ("""
+        SELECT count(*) AS n FROM customer
+        WHERE REGEXP_EXTRACT(c_name, '(#0000000[0-9])') IS NOT NULL""",
+        """
+        SELECT count(*) AS n FROM customer
+        WHERE regexp_extract(c_name, '(#0000000[0-9])', 1) <> ''"""),
+    # testGroupingAggregatorWithPostAggregator
+    "sqlc_grouping_postagg": ("""
+        SELECT o_orderstatus,
+               GROUPING(o_orderstatus) + 1 AS g1,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS LAST""", """
+        SELECT o_orderstatus,
+               CAST(GROUPING(o_orderstatus) + 1 AS BIGINT) AS g1,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS LAST"""),
+    # testHavingOnRatio (ratio of filtered to total count)
+    "sqlc_having_ratio": ("""
+        SELECT c_mktsegment,
+               CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS rich_ratio
+        FROM customer GROUP BY c_mktsegment
+        HAVING CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) > 0.4
+        ORDER BY c_mktsegment""", None),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""

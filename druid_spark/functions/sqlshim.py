@@ -243,10 +243,41 @@ def _time_extract_tz(args):
     return None
 
 
+_FIXED_PERIOD_MS = {"S": 1000, "M": 60_000, "H": 3_600_000}
+
+
+def _period_millis(lit: str) -> int | None:
+    """Fixed-width ISO-8601 period literal → millis (None for calendar
+    periods like P1M/P1Y whose width varies)."""
+    s = lit.strip().strip("'")
+    m = re.fullmatch(r"PT(\d+)([SMH])", s, re.IGNORECASE)
+    if m:
+        return int(m.group(1)) * _FIXED_PERIOD_MS[m.group(2).upper()]
+    m = re.fullmatch(r"P(\d+)D", s, re.IGNORECASE)
+    if m:
+        return int(m.group(1)) * 86_400_000
+    m = re.fullmatch(r"P(\d+)W", s, re.IGNORECASE)
+    if m:
+        return int(m.group(1)) * 7 * 86_400_000
+    return None
+
+
 def _time_floor_ceil(name):
     def build(args):
-        # 4-arg form: (ts, period, origin, tz) — only the null-origin
-        # timezone variant rewrites; a real origin should fail loudly
+        # 3/4-arg forms: (ts, period, origin[, tz]). A non-null origin
+        # anchors the bucket grid at the origin instead of the epoch
+        # (TimestampFloorExprMacro origin semantics). Fixed-width
+        # periods only — a calendar period with origin fails loudly.
+        if len(args) in (3, 4) and args[2].upper() not in ("NULL", "''"):
+            ms = _period_millis(args[1])
+            if ms is None:
+                return None
+            o = f"unix_millis(CAST({args[2]} AS TIMESTAMP))"
+            t = f"unix_millis(CAST({args[0]} AS TIMESTAMP))"
+            fn = "FLOOR" if name == "TIME_FLOOR" else "CEILING"
+            return (f"TIMESTAMP_MILLIS(CAST({o} + "
+                    f"{fn}(({t} - {o}) / {ms}.0) * {ms} AS BIGINT))")
+        # 4-arg null-origin timezone variant: floor in the local frame
         if len(args) == 4 and args[2].upper() in ("NULL", "''"):
             return (f"TO_UTC_TIMESTAMP({name}(FROM_UTC_TIMESTAMP("
                     f"{args[0]}, {args[3]}), {args[1]}), {args[3]})")
