@@ -327,6 +327,16 @@ class DruidSparkEngine:
             self.spark.createDataFrame(
                 segs, ["datasource", "segment_path", "size", "num_rows"]
             ).createOrReplaceTempView("sys_segments")
+        # sys.servers (SystemSchema.java SERVERS_SIGNATURE): this
+        # process plays every role — in Spark terms the driver is the
+        # broker and the executors are the data servers.
+        sc = self.spark.sparkContext
+        self.spark.createDataFrame(
+            [(f"local:{sc.applicationId}", "localhost", -1, -1,
+              "broker_historical", "_default_tier", 0, 0)],
+            ["server", "host", "plaintext_port", "tls_port", "server_type",
+             "tier", "curr_size", "max_size"]
+        ).createOrReplaceTempView("sys_servers")
 
     # ---------------------------------------------------- datasources
     def resolve(self, ds: Any) -> DataFrame:

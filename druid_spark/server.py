@@ -359,7 +359,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._native(body)
         elif path == "/druid/v2/sql":
             self._sql(body)
-        elif path == "/druid/v2/sql/statements":
+        elif path in ("/druid/v2/sql/statements", "/druid/v2/sql/task"):
+            # /sql/task is the MSQ entry (sql/.../sql/http/SqlTaskResource
+            # analog, SURVEY §3.3): same async machinery, task-shaped
+            # response. INSERT/REPLACE route through the engine's SQL
+            # ingestion writer like any engine.sql() call.
             text = body.get("query")
             if not text:
                 self._send_json(
@@ -369,6 +373,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             out = self.server.statements.submit(  # type: ignore
                 text, body.get("parameters"))
+            if path.endswith("/task"):
+                out = {"taskId": out["queryId"], "state": out["state"]}
             self._send_json(202, out)
         else:
             self._send_json(404, {"error": "Not found",

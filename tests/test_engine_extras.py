@@ -78,6 +78,17 @@ def test_sys_segments(eng):
     assert by_ds["events"]["num_rows"] == 1000  # sf0.001 events rows
 
 
+def test_sys_servers(eng):
+    """sys.servers analog (SystemSchema.java SERVERS_SIGNATURE): one
+    row for this process, broker+historical roles."""
+    eng.create_system_views()
+    rows = eng.spark.sql(
+        "SELECT server, server_type, tier FROM sys_servers").collect()
+    assert len(rows) == 1
+    assert rows[0]["server_type"] == "broker_historical"
+    assert rows[0]["tier"] == "_default_tier"
+
+
 def test_single_value_aggregator(eng):
     out = eng.query({
         "queryType": "groupBy", "dataSource": "region",

@@ -207,6 +207,28 @@ def test_datasource_metadata_endpoint(server):
         assert e.code == 404
 
 
+def test_sql_task_endpoint_insert(server, tmp_path):
+    """POST /druid/v2/sql/task (MSQ SqlTaskResource analog): async
+    INSERT ... PARTITIONED BY runs through the statements machinery and
+    the ingested table is queryable afterwards."""
+    import time as _t
+    status, sub, _ = _post(server, "/druid/v2/sql/task", {
+        "query": "INSERT INTO tgt_http_task "
+                 "SELECT ts AS __time, event_type, value FROM events "
+                 "PARTITIONED BY DAY"})
+    assert status == 202 and "taskId" in sub
+    tid = sub["taskId"]
+    for _ in range(120):
+        status, st = _get(server, f"/druid/v2/sql/statements/{tid}")
+        if st["state"] in ("SUCCESS", "FAILED"):
+            break
+        _t.sleep(0.5)
+    assert st["state"] == "SUCCESS", st
+    status, rows, _ = _post(server, "/druid/v2/sql", {
+        "query": "SELECT count(*) AS n FROM tgt_http_task"})
+    assert status == 200 and rows[0]["n"] == 1000  # sf0.001 events rows
+
+
 def test_sql_statements_async(server):
     """SqlStatementResource lifecycle: submit -> poll -> results ->
     cancel/404 arms (sql/.../http/SqlStatementResource.java)."""
