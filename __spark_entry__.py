@@ -4947,6 +4947,165 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         HAVING CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*) > 0.4
         ORDER BY c_mktsegment""", None),
+    # ---- batch 16: quidem-ut dashboard + RANGE-window + scalar
+    # matrices (quidem-ut/src/test/quidem/.../kttm_*.iq,
+    # orderby_range_*.iq, scalar_*.iq) ----
+    # kttm_Overall.iq: GROUP BY () grand-total with MAX(__time)
+    "sqlc_dash_overall": ("""
+        SELECT MAX(ts) AS "__VALUE__" FROM events GROUP BY ()""", """
+        SELECT MAX(ts) AS "__VALUE__" FROM events"""),
+    # kttm_Overall.iq: period-over-period FILTER counts under one
+    # covering WHERE (the Pivot compare-period panel)
+    "sqlc_dash_compare_periods": ("""
+        SELECT
+          COUNT(*) FILTER (WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+                             AND ts < TIMESTAMP '2024-01-06 00:00:00')
+            AS v0,
+          CAST(round(SUM(value) FILTER (
+                 WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+                   AND ts < TIMESTAMP '2024-01-06 00:00:00'), 2)
+               AS DOUBLE) AS v1,
+          COUNT(*) FILTER (WHERE TIMESTAMP '2024-01-04 00:00:00' <= ts
+                             AND ts < TIMESTAMP '2024-01-05 00:00:00')
+            AS v2,
+          CAST(round(SUM(value) FILTER (
+                 WHERE TIMESTAMP '2024-01-04 00:00:00' <= ts
+                   AND ts < TIMESTAMP '2024-01-05 00:00:00'), 2)
+               AS DOUBLE) AS v3
+        FROM events
+        WHERE TIMESTAMP '2024-01-04 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        GROUP BY ()""", """
+        SELECT
+          COUNT(*) FILTER (WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+                             AND ts < TIMESTAMP '2024-01-06 00:00:00')
+            AS v0,
+          round(SUM(value) FILTER (
+                 WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+                   AND ts < TIMESTAMP '2024-01-06 00:00:00'), 2) AS v1,
+          COUNT(*) FILTER (WHERE TIMESTAMP '2024-01-04 00:00:00' <= ts
+                             AND ts < TIMESTAMP '2024-01-05 00:00:00')
+            AS v2,
+          round(SUM(value) FILTER (
+                 WHERE TIMESTAMP '2024-01-04 00:00:00' <= ts
+                   AND ts < TIMESTAMP '2024-01-05 00:00:00'), 2) AS v3
+        FROM events
+        WHERE TIMESTAMP '2024-01-04 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-06 00:00:00'"""),
+    # kttm_sunburst/Stackarea: FLOOR(x/10)*10 histogram buckets
+    "sqlc_dash_histogram_buckets": ("""
+        SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 10) * 10 AS DOUBLE)
+                 AS bucket
+        FROM events
+        WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        GROUP BY 1 ORDER BY bucket ASC LIMIT 101""", """
+        SELECT FLOOR(CAST(value AS DOUBLE) / 10) * 10 AS bucket
+        FROM events
+        WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        GROUP BY 1 ORDER BY bucket ASC LIMIT 101"""),
+    # kttm_Spotmatrix: JSON_VALUE dim + hourly TIME_FLOOR (4-arg tz
+    # form) + IN filter, two-dim grid
+    "sqlc_dash_spotmatrix": ("""
+        SELECT CAST(JSON_VALUE(props, '$.k') AS BIGINT) AS k,
+               TIME_FLOOR(ts, 'PT1H', NULL, 'Etc/UTC') AS h,
+               COUNT(*) AS n
+        FROM events
+        WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-05 06:00:00'
+          AND event_type IN ('view', 'click', 'purchase')
+          AND CAST(JSON_VALUE(props, '$.k') AS BIGINT) < 10
+        GROUP BY 1, 2 ORDER BY 1, 2""", """
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               date_trunc('hour', ts)::TIMESTAMP AS h,
+               COUNT(*) AS n
+        FROM events
+        WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-05 06:00:00'
+          AND event_type IN ('view', 'click', 'purchase')
+          AND CAST(json_extract(props, '$.k') AS BIGINT) < 10
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+    # kttm_Table: top-N panel, count DESC LIMIT 101
+    "sqlc_dash_table_topn": ("""
+        SELECT event_type AS "Category", COUNT(*) AS "count"
+        FROM events
+        WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        GROUP BY 1 ORDER BY "count" DESC, "Category" LIMIT 101""",
+        None),
+    # kttm_Sparkline / Line-chart: hourly series with count + sum
+    "sqlc_dash_line_chart": ("""
+        SELECT TIME_FLOOR(ts, 'PT1H') AS h, COUNT(*) AS n,
+               CAST(round(SUM(value), 2) AS DOUBLE) AS total
+        FROM events
+        WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT date_trunc('hour', ts)::TIMESTAMP AS h, COUNT(*) AS n,
+               round(SUM(value), 2) AS total
+        FROM events
+        WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        GROUP BY 1 ORDER BY 1"""),
+    # orderby_range_1_preceding_sum_count.iq: RANGE frame with a
+    # numeric offset (peers + value distance, not row distance)
+    "sqlc_window_range_numeric_offset": ("""
+        SELECT p_size,
+          COUNT(*) OVER (ORDER BY p_size
+            RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS c10,
+          CAST(round(SUM(p_retailprice) OVER (ORDER BY p_size
+            RANGE BETWEEN 10 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+            AS s10
+        FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 40) t
+        ORDER BY p_size, c10""", """
+        SELECT p_size,
+          COUNT(*) OVER (ORDER BY p_size
+            RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS c10,
+          round(SUM(p_retailprice) OVER (ORDER BY p_size
+            RANGE BETWEEN 10 PRECEDING AND CURRENT ROW), 2) AS s10
+        FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 40) t
+        ORDER BY p_size, c10"""),
+    # orderby_range_ub_following_first_last.iq: FIRST/LAST_VALUE over
+    # RANGE frames to the partition edge
+    "sqlc_window_range_first_last": ("""
+        SELECT r_regionkey,
+          FIRST_VALUE(r_name) OVER (ORDER BY r_regionkey
+            RANGE BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS fv,
+          LAST_VALUE(r_name) OVER (ORDER BY r_regionkey
+            RANGE BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS lv
+        FROM region ORDER BY r_regionkey""", None),
+    # scalar_reduction.iq: GREATEST/LEAST with NULL arms and mixed types
+    "sqlc_scalar_reduction": ("""
+        SELECT r_regionkey,
+          GREATEST(r_regionkey, 2) AS g,
+          LEAST(r_regionkey, 2) AS l,
+          GREATEST(NULLIF(r_name, 'ASIA'), 'AAA') AS gs
+        FROM region ORDER BY r_regionkey""", """
+        SELECT r_regionkey,
+          GREATEST(r_regionkey, 2) AS g,
+          LEAST(r_regionkey, 2) AS l,
+          CASE WHEN r_name = 'ASIA' THEN 'AAA'
+               ELSE GREATEST(r_name, 'AAA') END AS gs
+        FROM region ORDER BY r_regionkey"""),
+    # scalar_string.iq: REPEAT/REVERSE/LPAD/RPAD/POSITION matrix
+    "sqlc_scalar_string_matrix": ("""
+        SELECT r_name,
+          REPEAT(LEFT(r_name, 2), 3) AS rep,
+          REVERSE(r_name) AS rev,
+          LPAD(r_name, 12, '*') AS lp,
+          RPAD(r_name, 12, '-') AS rp,
+          POSITION('A' IN r_name) AS pos
+        FROM region ORDER BY r_name""", """
+        SELECT r_name,
+          REPEAT(r_name[1:2], 3) AS rep,
+          REVERSE(r_name) AS rev,
+          LPAD(r_name, 12, '*') AS lp,
+          RPAD(r_name, 12, '-') AS rp,
+          CAST(POSITION('A' IN r_name) AS INT) AS pos
+        FROM region ORDER BY r_name"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""

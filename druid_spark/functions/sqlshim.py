@@ -400,8 +400,56 @@ def _rewrite_json_returning(sql: str) -> str:
             pos = i
 
 
+def _dq_idents_to_backticks(sql: str) -> str:
+    """Calcite double-quoted identifiers → Spark backticks. Druid SQL
+    (like ANSI) quotes identifiers with double quotes and strings with
+    single quotes (sql/calcite/planner/DruidPlanner lexing); Spark uses
+    backticks and reserves double quotes for strings unless ANSI
+    doubleQuotedIdentifiers is on (it isn't — we run ANSI off). Scans
+    character-wise so double quotes inside single-quoted string
+    literals survive; "" inside an identifier is an escaped quote."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # string literal: copy through, '' escapes
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = i + 1
+            ident = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        ident.append('"')
+                        j += 2
+                        continue
+                    break
+                ident.append(sql[j])
+                j += 1
+            out.append("`" + "".join(ident).replace("`", "``") + "`")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = sql
+    if '"' in out:
+        out = _dq_idents_to_backticks(out)
+    # GROUP BY () — Calcite's empty grouping (global aggregate); Spark
+    # wants the clause dropped entirely
+    out = re.sub(r"\bGROUP\s+BY\s+\(\s*\)", "", out, flags=re.IGNORECASE)
     out = _rewrite_json_returning(out)
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
     out = re.sub(r"\bEARLIEST_BY\(", "MIN_BY(", out, flags=re.IGNORECASE)

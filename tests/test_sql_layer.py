@@ -381,3 +381,22 @@ def test_lookup_namespace_uri_load_and_poll(spark, tmp_path):
     sj.write_text('{"a": "x"}\n{"b": "y"}\n')
     m = load_lookup(e, "names_sj", str(sj), fmt="simpleJson")
     assert m == {"a": "x", "b": "y"}
+
+
+def test_double_quoted_identifiers(engine):
+    """Calcite-style double-quoted identifiers (the reference's SQL
+    dialect) map to Spark backticks; literals with double quotes inside
+    single-quoted strings survive (sqlshim._dq_idents_to_backticks)."""
+    rows = engine.sql(
+        'SELECT "r_name" AS "Region Name", \'say "hi"\' AS q '
+        'FROM "region" ORDER BY "r_name" LIMIT 2').collect()
+    assert rows[0]["Region Name"] == "AFRICA"
+    assert rows[0]["q"] == 'say "hi"'
+
+
+def test_group_by_empty_parens(engine):
+    """GROUP BY () (Calcite empty grouping = global aggregate)."""
+    rows = engine.sql(
+        "SELECT count(*) AS n, max(r_regionkey) AS mx "
+        "FROM region GROUP BY ()").collect()
+    assert rows[0]["n"] == 5 and rows[0]["mx"] == 4
