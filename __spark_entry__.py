@@ -5106,6 +5106,89 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           RPAD(r_name, 12, '-') AS rp,
           CAST(POSITION('A' IN r_name) AS INT) AS pos
         FROM region ORDER BY r_name"""),
+    # ---- batch 17: multi-unnest / multi-window / JSON edges
+    # (quidem-ut array_sql_multi_unnests.iq, basics_multi_windows.iq,
+    # funcs_and_sql_func_json_*.iq) ----
+    # test_multi_unnests A6_B6_D1: two UNNESTs cross-product per row
+    "sqlc_multi_unnest_cross": ("""
+        SELECT t.r_regionkey, u1.c1, u2.c2
+        FROM region t
+        CROSS JOIN UNNEST(STRING_TO_MV(r_name, ' ')) AS u1(c1)
+        CROSS JOIN UNNEST(ARRAY['x', 'y']) AS u2(c2)
+        ORDER BY t.r_regionkey, u1.c1, u2.c2""", """
+        SELECT t.r_regionkey, u1.c1, u2.c2
+        FROM region t,
+             unnest(string_split(r_name, ' ')) AS u1(c1),
+             unnest(['x', 'y']) AS u2(c2)
+        ORDER BY t.r_regionkey, u1.c1, u2.c2"""),
+    # unnest → aggregate → join back (array_sql_multi_unnests composed)
+    "sqlc_unnest_join_agg": ("""
+        SELECT tok, count(*) AS n
+        FROM (SELECT n.n_name FROM nation n
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name <> 'AFRICA') j
+        CROSS JOIN UNNEST(STRING_TO_MV(j.n_name, '_')) AS u(tok)
+        GROUP BY tok HAVING count(*) > 1
+        ORDER BY n DESC, tok""", """
+        SELECT tok, count(*) AS n
+        FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey,
+        unnest(string_split(n_name, '_')) AS u(tok)
+        WHERE r.r_name <> 'AFRICA'
+        GROUP BY tok HAVING count(*) > 1
+        ORDER BY n DESC, tok"""),
+    # basics_multi_windows A1_Q1: several windows over different
+    # partitions in one projection
+    "sqlc_multi_windows": ("""
+        SELECT user_id, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY event_id) AS rn_user,
+          RANK() OVER (ORDER BY event_id) AS rk_all,
+          COUNT(*) OVER (PARTITION BY event_type) AS n_type
+        FROM (SELECT * FROM events ORDER BY event_id LIMIT 50) t
+        ORDER BY event_id""", None),
+    # funcs_and_sql_func_try_parse_json.iq: malformed input → NULL,
+    # valid round-trips through TO_JSON_STRING
+    "sqlc_try_parse_json": ("""
+        SELECT TO_JSON_STRING(TRY_PARSE_JSON(props)) AS ok,
+               TRY_PARSE_JSON('{bad json') IS NULL AS bad_is_null
+        FROM events ORDER BY event_id LIMIT 5""", """
+        SELECT replace(props, ' ', '') AS ok, true AS bad_is_null
+        FROM events ORDER BY event_id LIMIT 5"""),
+    # funcs_and_sql_func_json_value.iq: JSON_VALUE RETURNING arms over
+    # a constructed nested object, used in WHERE and GROUP BY
+    "sqlc_json_value_returning_arms": ("""
+        SELECT JSON_VALUE(doc, '$.a.b' RETURNING BIGINT) AS b,
+               count(*) AS n
+        FROM (SELECT JSON_OBJECT(KEY 'a' VALUE
+                       JSON_OBJECT(KEY 'b' VALUE n_regionkey)) AS doc
+              FROM nation) t
+        WHERE JSON_VALUE(doc, '$.a.b' RETURNING BIGINT) >= 2
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT CAST(n_regionkey AS BIGINT) AS b, count(*) AS n
+        FROM nation WHERE n_regionkey >= 2
+        GROUP BY 1 ORDER BY 1"""),
+    # funcs_and_sql_func_json_query.iq: JSON_QUERY subtree extraction
+    # serialized back to text
+    "sqlc_json_query_subtree": ("""
+        SELECT TO_JSON_STRING(JSON_QUERY(doc, '$.a')) AS sub
+        FROM (SELECT JSON_OBJECT(KEY 'a' VALUE
+                       JSON_OBJECT(KEY 'k' VALUE r_regionkey)) AS doc
+              FROM region) t
+        ORDER BY sub""", """
+        SELECT '{"k":' || r_regionkey || '}' AS sub
+        FROM region ORDER BY sub"""),
+    # funcs_and_sql_func_json_keys.iq: JSON_KEYS at root and nested
+    "sqlc_json_keys_matrix": ("""
+        SELECT ARRAY_TO_STRING(JSON_KEYS(doc, '$.'), ',') AS root_keys,
+               ARRAY_TO_STRING(JSON_KEYS(doc, '$.a'), ',') AS a_keys
+        FROM (SELECT JSON_OBJECT(
+                KEY 'a' VALUE JSON_OBJECT(KEY 'x' VALUE 1,
+                                          KEY 'y' VALUE 2),
+                KEY 'b' VALUE 3) AS doc
+              FROM region LIMIT 1) t""", """
+        SELECT 'a,b' AS root_keys, 'x,y' AS a_keys
+        FROM region LIMIT 1"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""

@@ -238,8 +238,11 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # json
     ("JSON_VALUE", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
     ("JSON_QUERY", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
+    # root path is spelled '$' or '$.' in the reference's tests
+    # (NestedDataExpressions.java json_keys)
     ("JSON_KEYS", "j STRING, p STRING", "ARRAY<STRING>",
-     "json_object_keys(get_json_object(j, p))"),
+     "json_object_keys(CASE WHEN p IN ('$', '$.') THEN j "
+     "ELSE get_json_object(j, p) END)"),
     # json_query_array (NestedDataExpressions.java:651): JSON array at
     # path → ARRAY of element strings (objects come back as JSON text)
     ("JSON_QUERY_ARRAY", "j STRING, p STRING", "ARRAY<STRING>",
