@@ -617,6 +617,77 @@ def q_dsmeta(spark, sf):
         "queryType": "dataSourceMetadata", "dataSource": "events"})
 
 
+def q_time_boundary_max_only(spark, sf):
+    """timeBoundary with bound=maxTime + a filter
+    (TimeBoundaryQuery.java:47 MAX_TIME bound — only maxTime returned,
+    computed over the filtered rows)."""
+    return _engine(spark, sf).query({
+        "queryType": "timeBoundary", "dataSource": "events",
+        "bound": "maxTime",
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "purchase"}})
+
+
+def q_search_regex_spec(spark, sf):
+    """search with the regex SearchQuerySpec
+    (search/RegexSearchQuerySpec.java — pattern match, not contains)."""
+    return _engine(spark, sf).query({
+        "queryType": "search", "dataSource": "part",
+        "searchDimensions": ["p_brand"],
+        "query": {"type": "regex", "pattern": "Brand#[12]$"},
+        "granularity": "all"})
+
+
+def q_ts_postagg_ratio(spark, sf):
+    """timeseries with an arithmetic post-aggregator over two sums
+    (TimeseriesQueryRunnerTest addRowsIndexConstant-style ratio)."""
+    return _round(_engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "events",
+        "intervals": ["2024-01-01T00:00:00Z/2024-01-08T00:00:00Z"],
+        "granularity": "day",
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+        "postAggregations": [
+            {"type": "arithmetic", "name": "avg_value", "fn": "/",
+             "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                        {"type": "fieldAccess", "fieldName": "n"}]}],
+        "context": {"skipEmptyBuckets": True},
+    }), {"total": 2, "avg_value": 4})
+
+
+def q_topn_postagg_metric(spark, sf):
+    """topN ordered BY a post-aggregator metric
+    (TopNQueryQueryToolChest — numeric metric naming a postAgg)."""
+    return _round(_engine(spark, sf).query({
+        "queryType": "topN", "dataSource": "events",
+        "dimension": "event_type", "metric": "avg_value",
+        "threshold": 3, "granularity": "all",
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+        "postAggregations": [
+            {"type": "arithmetic", "name": "avg_value", "fn": "/",
+             "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                        {"type": "fieldAccess", "fieldName": "n"}]}],
+    }), {"total": 2, "avg_value": 4})
+
+
+def q_scan_virtual_column(spark, sf):
+    """scan projecting a virtual column (ScanQuery.virtualColumns —
+    expression evaluated during the scan, pruned to the two source
+    columns)."""
+    return _engine(spark, sf).query({
+        "queryType": "scan", "dataSource": "lineitem",
+        "virtualColumns": [{"type": "expression", "name": "rev",
+                            "expression":
+                            "l_extendedprice * (1 - l_discount)"}],
+        "columns": ["l_orderkey", "l_linenumber", "rev"],
+        "orderBy": [{"columnName": "l_orderkey", "order": "ascending"},
+                    {"columnName": "l_linenumber", "order": "ascending"}],
+        "limit": 10})
+
+
 def q_sql_explain(spark, sf):
     """EXPLAIN PLAN FOR (DruidPlanner explain path): one row of
     PLAN/RESOURCES/ATTRIBUTES. Rows-only — the PLAN text is engine-
@@ -5279,6 +5350,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_subtotals": q_gb_subtotals,
         "gb_extraction": q_gb_extraction,
         "sql_lookup_fn": q_sql_lookup_fn,
+        "time_boundary_max_only": q_time_boundary_max_only,
+        "search_regex_spec": q_search_regex_spec,
+        "ts_postagg_ratio": q_ts_postagg_ratio,
+        "topn_postagg_metric": q_topn_postagg_metric,
+        "scan_virtual_column": q_scan_virtual_column,
         "lookup_filter_equals": q_lookup_filter_equals,
         "lookup_filter_in": q_lookup_filter_in,
         "lookup_filter_is_null": q_lookup_filter_is_null,
@@ -5591,6 +5667,34 @@ def _base_oracle_sql() -> dict[str, str]:
                    WHEN 3 THEN 'EUROPE' ELSE 'MIDDLE EAST' END AS region,
                    count(*) AS n
             FROM nation GROUP BY 1 ORDER BY 1""",
+        "time_boundary_max_only": """
+            SELECT max(ts) AS maxTime FROM events
+            WHERE event_type = 'purchase'""",
+        "search_regex_spec": """
+            SELECT 'p_brand' AS dimension, p_brand AS value,
+                   count(*) AS count
+            FROM part WHERE regexp_matches(p_brand, 'Brand#[12]$')
+            GROUP BY p_brand ORDER BY value""",
+        "ts_postagg_ratio": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS __time,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total,
+                   round(sum(value) / count(*), 4) AS avg_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-08'
+            GROUP BY 1""",
+        "topn_postagg_metric": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS total,
+                   round(sum(value) / count(*), 4) AS avg_value
+            FROM events GROUP BY event_type
+            ORDER BY sum(value) / count(*) DESC LIMIT 3""",
+        "scan_virtual_column": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS rev
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 10""",
         "lookup_filter_equals": f"""
             SELECT n_name FROM nation
             WHERE {_LK_PART} = 'ASIA' ORDER BY n_name""",
