@@ -5260,6 +5260,143 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
               FROM region LIMIT 1) t""", """
         SELECT 'a,b' AS root_keys, 'x,y' AS a_keys
         FROM region LIMIT 1"""),
+    # ---- batch 18: CalciteQueryTest remainder A ----
+    # testBitwiseAggregatorsGroupBy (BIT_AND/BIT_OR/BIT_XOR aggs)
+    "sqlc_bitwise_aggs_groupby": ("""
+        SELECT l_linenumber,
+               BIT_AND(l_orderkey) AS ba, BIT_OR(l_orderkey) AS bo,
+               BIT_XOR(l_orderkey) AS bx
+        FROM lineitem WHERE l_orderkey < 64
+        GROUP BY l_linenumber ORDER BY l_linenumber""", """
+        SELECT l_linenumber,
+               BIT_AND(l_orderkey) AS ba, BIT_OR(l_orderkey) AS bo,
+               BIT_XOR(l_orderkey) AS bx
+        FROM lineitem WHERE l_orderkey < 64
+        GROUP BY l_linenumber ORDER BY l_linenumber"""),
+    # testAvgDailyCountDistinct
+    "sqlc_avg_daily_count_distinct": ("""
+        SELECT CAST(round(AVG(u), 2) AS DOUBLE) AS avg_daily_users
+        FROM (SELECT TIME_FLOOR(ts, 'P1D') AS d,
+                     COUNT(DISTINCT user_id) AS u
+              FROM events GROUP BY 1) t""", """
+        SELECT round(AVG(u), 2) AS avg_daily_users
+        FROM (SELECT date_trunc('day', ts) AS d,
+                     COUNT(DISTINCT user_id) AS u
+              FROM events GROUP BY 1) t"""),
+    # testCaseFilteredAggregationWithGroupBy (CASE→filtered-agg rewrite)
+    "sqlc_case_filtered_agg": ("""
+        SELECT o_orderstatus,
+               SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                 AS cnt_big,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                 AS n_urgent
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """
+        SELECT o_orderstatus,
+               CAST(SUM(CASE WHEN o_totalprice > 150000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cnt_big,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                 AS n_urgent
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    # testColumnComparison (two-column equality incl. cast)
+    "sqlc_column_comparison": ("""
+        SELECT count(*) AS n FROM lineitem
+        WHERE l_linenumber = l_suppkey % 7 + 1""", None),
+    # testCompareExactAndApproximateCountDistinctUsingSubquery
+    "sqlc_exact_vs_approx_cd": ("""
+        SELECT exact_cnt,
+               CASE WHEN ABS(approx_cnt - exact_cnt)
+                         <= exact_cnt * 0.1 THEN 1 ELSE 0 END AS close
+        FROM (SELECT COUNT(DISTINCT o_custkey) AS exact_cnt,
+                     APPROX_COUNT_DISTINCT(o_custkey) AS approx_cnt
+              FROM orders) t""", """
+        SELECT COUNT(DISTINCT o_custkey) AS exact_cnt, 1 AS close
+        FROM orders"""),
+    # testEmptyResultsAggregatorWithHavingFalse / True
+    "sqlc_having_const_false_true": ("""
+        SELECT sum(a) AS total FROM (
+          SELECT count(*) AS a FROM orders HAVING 1 = 0
+          UNION ALL
+          SELECT count(*) AS a FROM orders HAVING 1 = 1) t""", """
+        SELECT CAST(sum(a) AS BIGINT) AS total FROM (
+          SELECT count(*) AS a FROM orders HAVING 1 = 0
+          UNION ALL
+          SELECT count(*) AS a FROM orders HAVING 1 = 1) t"""),
+    # testEmptyStringEquality (''-vs-NULL is the reference's classic
+    # null-handling edge; synthesize '' via a CASE)
+    "sqlc_empty_string_equality": ("""
+        SELECT count(*) AS n_empty,
+               COUNT(*) FILTER (WHERE CASE WHEN o_orderstatus = 'O'
+                                      THEN '' ELSE o_orderstatus END = '')
+                 AS n_eq
+        FROM orders""", """
+        SELECT count(*) AS n_empty,
+               COUNT(*) FILTER (WHERE CASE WHEN o_orderstatus = 'O'
+                                      THEN '' ELSE o_orderstatus END = '')
+                 AS n_eq
+        FROM orders"""),
+    # testFilteredAggregationWithNotIn
+    "sqlc_filtered_agg_not_in": ("""
+        SELECT COUNT(*) FILTER (WHERE o_orderpriority
+                                NOT IN ('5-LOW', '4-NOT SPECIFIED'))
+                 AS n_hi,
+               COUNT(DISTINCT o_custkey) FILTER (
+                 WHERE o_orderstatus NOT IN ('P')) AS cust_np
+        FROM orders""", None),
+    # testGroupByAndOrderByAlias + testGroupByOrdinal
+    "sqlc_groupby_ordinal_alias": ("""
+        SELECT o_orderstatus AS st, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY st DESC""", None),
+    # testGroupByFloat / testGroupByDouble (numeric-typed group keys)
+    "sqlc_groupby_double_key": ("""
+        SELECT l_discount, count(*) AS n
+        FROM lineitem GROUP BY l_discount
+        ORDER BY l_discount""", None),
+    # testGroupByNothingWithLiterallyFalseFilter (WHERE FALSE global
+    # aggregate still returns one row: count 0, null max)
+    "sqlc_false_filter_global_agg": ("""
+        SELECT count(*) AS n, max(o_totalprice) AS mx
+        FROM orders WHERE 1 = 0""", None),
+    # testInGroupByLimitOutGroupByOrderBy (inner limit, outer reorder)
+    "sqlc_in_limit_out_order": ("""
+        SELECT st, n FROM (
+          SELECT o_orderstatus AS st, count(*) AS n
+          FROM orders GROUP BY 1 ORDER BY n DESC LIMIT 2) t
+        ORDER BY st ASC""", None),
+    # testSumOfExtractionFn (aggregate over a string extraction)
+    "sqlc_sum_of_extraction": ("""
+        SELECT CAST(SUM(CHAR_LENGTH(o_orderpriority)) AS BIGINT)
+                 AS total_len,
+               CAST(round(AVG(CHAR_LENGTH(o_orderpriority)), 3)
+                    AS DOUBLE) AS avg_len
+        FROM orders""", """
+        SELECT CAST(SUM(length(o_orderpriority)) AS BIGINT)
+                 AS total_len,
+               round(AVG(length(o_orderpriority)), 3) AS avg_len
+        FROM orders"""),
+    # testUnicodeFilterAndGroupBy (non-ASCII literals round-trip)
+    "sqlc_unicode_literals": ("""
+        SELECT CASE WHEN r_name = 'ASIA' THEN 'アジア'
+                    WHEN r_name = 'EUROPE' THEN 'Европа'
+                    ELSE r_name END AS localized,
+               count(*) AS n
+        FROM region GROUP BY 1 ORDER BY 1""", None),
+    # testCountNullableExpression
+    "sqlc_count_nullable_expr": ("""
+        SELECT COUNT(NULLIF(o_orderstatus, 'O')) AS n_not_open,
+               COUNT(*) AS n_all
+        FROM orders""", None),
+    # testSqlIsNullToInFilter (IS NULL OR IN (...) composition)
+    "sqlc_is_null_or_in": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE NULLIF(o_orderstatus, 'O') IS NULL
+           OR NULLIF(o_orderstatus, 'O') IN ('F')""", None),
+    # testGroupByLimitWrapping (ORDER BY dim DESC LIMIT, not a topN)
+    "sqlc_groupby_limit_wrapping": ("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders GROUP BY 1, 2
+        ORDER BY o_orderpriority DESC, o_orderstatus DESC LIMIT 4""",
+        None),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
