@@ -5397,6 +5397,117 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM orders GROUP BY 1, 2
         ORDER BY o_orderpriority DESC, o_orderstatus DESC LIMIT 4""",
         None),
+    # ---- batch 19: CalciteQueryTest remainder B ----
+    # testCountStarWithBoundFilterSimplifyOr (overlapping bounds fold)
+    "sqlc_bound_simplify_or": ("""
+        SELECT count(*) AS n FROM part
+        WHERE (p_size > 10 AND p_size < 30) OR (p_size > 20 AND p_size < 40)
+        """, None),
+    # testCountStarWithDegenerateFilter (tautological OR arm)
+    "sqlc_degenerate_filter": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus = 'F'
+          AND (o_orderpriority = '1-URGENT' OR o_orderpriority IS NOT NULL)
+        """, None),
+    # testCountStarWithComplexDisjointTimeFilter (two disjoint windows)
+    "sqlc_disjoint_time_filter": ("""
+        SELECT count(*) AS n FROM events
+        WHERE (ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-04')
+           OR (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12')
+        """, None),
+    # testCountStarWithNotTimeFilter (negated interval)
+    "sqlc_not_time_filter": ("""
+        SELECT count(*) AS n FROM events
+        WHERE NOT (ts >= TIMESTAMP '2024-01-02'
+                   AND ts < TIMESTAMP '2024-01-20')""", None),
+    # testCountStarWithSinglePointInTime / TwoPointsInTime
+    "sqlc_point_in_time": ("""
+        SELECT count(*) AS one_pt FROM events
+        WHERE ts = (SELECT MIN(ts) FROM events)""", None),
+    # testCountStarWithTimeInIntervalFilter (TIME_IN_INTERVAL fn)
+    "sqlc_time_in_interval": ("""
+        SELECT count(*) AS n FROM events
+        WHERE TIME_IN_INTERVAL(ts, '2024-01-03/2024-01-05')""", """
+        SELECT count(*) AS n FROM events
+        WHERE ts >= TIMESTAMP '2024-01-03'
+          AND ts < TIMESTAMP '2024-01-05'"""),
+    # testCountStarWithTimeFilterUsingStringLiterals (string-typed
+    # timestamp comparisons)
+    "sqlc_time_filter_string_literals": ("""
+        SELECT count(*) AS n FROM events
+        WHERE ts >= '2024-01-03 00:00:00'
+          AND ts < '2024-01-05 00:00:00'""", """
+        SELECT count(*) AS n FROM events
+        WHERE ts >= TIMESTAMP '2024-01-03'
+          AND ts < TIMESTAMP '2024-01-05'"""),
+    # testCountStarWithTimeFilterOnLongColumnUsingTimestampToMillis
+    "sqlc_timestamp_to_millis_filter": ("""
+        SELECT count(*) AS n FROM events
+        WHERE TIMESTAMP_TO_MILLIS(ts)
+              >= TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-01-03 00:00:00')
+          AND TIMESTAMP_TO_MILLIS(ts)
+              < TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-01-05 00:00:00')""",
+        """
+        SELECT count(*) AS n FROM events
+        WHERE epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-03')
+          AND epoch_ms(ts) < epoch_ms(TIMESTAMP '2024-01-05')"""),
+    # testGroupByExtractYear / testGroupByFormatYearAndMonth
+    "sqlc_groupby_extract_year_month": ("""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+               TIME_FORMAT(o_orderdate, 'yyyy-MM') AS ym,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 12""", """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 12"""),
+    # testGroupByWithSelectAndOrderByProjections (projected expressions
+    # of group keys, ordered by another projection)
+    "sqlc_groupby_select_order_projections": ("""
+        SELECT UPPER(o_orderstatus) AS ust,
+               CHAR_LENGTH(o_orderpriority) AS plen,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY plen DESC, ust, n LIMIT 10""", """
+        SELECT UPPER(o_orderstatus) AS ust,
+               CAST(length(o_orderpriority) AS INT) AS plen,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY plen DESC, ust, n LIMIT 10"""),
+    # testTimeseriesWithLimitAndOffset
+    "sqlc_timeseries_limit_offset": ("""
+        SELECT TIME_FLOOR(ts, 'P1D') AS d, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+        LIMIT 5 OFFSET 3""", """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS d, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+        LIMIT 5 OFFSET 3"""),
+    # testSubqueryTypeMismatchWithLiterals (int col vs double literal)
+    "sqlc_subquery_type_mismatch": ("""
+        SELECT count(*) AS n FROM (
+          SELECT o_custkey, count(*) AS c FROM orders
+          GROUP BY o_custkey) t
+        WHERE c > 9.5""", None),
+    # testCastCharToVarcharInFlattenConcat (CHAR casts inside CONCAT)
+    "sqlc_cast_char_concat": ("""
+        SELECT CONCAT(CAST(r_regionkey AS CHAR), ':',
+                      CAST(r_name AS VARCHAR)) AS tag
+        FROM region ORDER BY tag""", """
+        SELECT CAST(r_regionkey AS VARCHAR) || ':' || r_name AS tag
+        FROM region ORDER BY tag"""),
+    # testGreatestFunctionForNumberWithIsNull
+    "sqlc_greatest_is_null": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE GREATEST(NULLIF(o_totalprice, o_totalprice),
+                       NULLIF(o_totalprice, o_totalprice)) IS NULL""",
+        None),
+    # testDiv (integer division operator semantics)
+    "sqlc_div_operator": ("""
+        SELECT p_partkey, DIV(p_size, 7) AS d7,
+               MOD(p_size, 7) AS m7
+        FROM part ORDER BY p_partkey LIMIT 10""", """
+        SELECT p_partkey, p_size // 7 AS d7, p_size % 7 AS m7
+        FROM part ORDER BY p_partkey LIMIT 10"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""

@@ -450,6 +450,10 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     # GROUP BY () — Calcite's empty grouping (global aggregate); Spark
     # wants the clause dropped entirely
     out = re.sub(r"\bGROUP\s+BY\s+\(\s*\)", "", out, flags=re.IGNORECASE)
+    # CAST(x AS CHAR) — Calcite's bare CHAR (length 1 default); Spark
+    # requires a length, and Druid treats it as STRING anyway
+    out = re.sub(r"\bAS\s+CHAR\s*\)", "AS STRING)", out,
+                 flags=re.IGNORECASE)
     out = _rewrite_json_returning(out)
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
     out = re.sub(r"\bEARLIEST_BY\(", "MIN_BY(", out, flags=re.IGNORECASE)
