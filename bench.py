@@ -408,6 +408,47 @@ def main():
     except Exception as e:
         skew["error"] = str(e)[:200]
 
+    # Ingest rate: batch rollup ingestion of the 12M-row 20x fact —
+    # read → time-truncate → groupBy(rollup) → parquet segment write,
+    # the IncrementalIndex+IndexMerger pipeline as one Spark job.
+    # Whitepaper baselines: 800k events/s/core for a trivial
+    # (timestamp-only) schema, 22.9k events/s/core for the 30-dim
+    # production schema (BASELINE.md; druid.tex:930-966). The rollup
+    # probe here (3 dims + 4 metrics) sits between those shapes.
+    ingest = {}
+    try:
+        src = spark.read.parquet(cache20)
+        n_src = src.count()
+        base_dir = "/tmp/druid_spark_bench_cache"
+        # trivial schema at 60M (5x re-read of the cached 20x file —
+        # page-cached, so this times truncate+rollup+write, not disk):
+        # at 12M the ~1.5s fixed job cost is half the wall time
+        src5 = src
+        for _ in range(4):
+            src5 = src5.union(src)
+        t0 = time.time()
+        (src5.groupBy(F.date_trunc("hour", "l_shipdate").alias("__time"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .write.mode("overwrite").parquet(f"{base_dir}/ing_trivial"))
+        ingest["trivial_rows_per_sec_per_core"] = round(
+            5 * n_src / (time.time() - t0) / CPUS)
+        t0 = time.time()
+        (src.groupBy(F.date_trunc("day", "l_shipdate").alias("__time"),
+                     "l_returnflag", "l_linestatus", "l_linenumber")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("l_quantity").alias("qty"),
+                 F.sum("l_extendedprice").alias("rev"),
+                 F.avg("l_discount").alias("disc"))
+            .write.mode("overwrite").parquet(f"{base_dir}/ing_rollup"))
+        ingest["rollup_rows_per_sec_per_core"] = round(
+            n_src / (time.time() - t0) / CPUS)
+        ingest["vs_baseline_trivial"] = round(
+            ingest["trivial_rows_per_sec_per_core"] / 800_000, 3)
+        ingest["vs_baseline_production_30dim"] = round(
+            ingest["rollup_rows_per_sec_per_core"] / 22_914, 1)
+    except Exception as e:
+        ingest["error"] = str(e)[:200]
+
     # Asymptotic scan rate: the whitepaper baseline (53.5M count / 36.2M
     # sum rows/s/core, TPC-H 100 GB) measures steady-state columnar scan
     # throughput on dictionary-encoded segments. The Spark analog is a
@@ -424,9 +465,9 @@ def main():
         for key, expr in (("count_star", F.count(F.lit(1))),
                           ("sum_double", F.sum("v"))):
             best = float("inf")
-            for _ in range(3):
-                t0 = time.time()
-                big.agg(expr).collect()
+            for _ in range(5):  # best-of-5: this section is the
+                t0 = time.time()  # headline vs-baseline number and the
+                big.agg(expr).collect()  # host is periodically contended
                 best = min(best, time.time() - t0)
             asymptotic[f"{key}_rows_per_sec_per_core"] = round(
                 nbig / best / CPUS)
@@ -454,6 +495,7 @@ def main():
                 lineitem_rows / max(times["sum_double"], 1e-9) / CPUS),
             "amortized_20x": amortized,
             "skew_join_20x": skew,
+            "ingest_rate_20x": ingest,
             "asymptotic_1000x": asymptotic,
         },
     }
