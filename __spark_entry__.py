@@ -5537,15 +5537,17 @@ _SAMPLE_FIRST = [
     "http_api",
     "ts_day", "ts_zero_fill", "ts_grand_total",
     "topn_sum_value", "topn_inverted", "topn_approx_bound",
+    "topn_postagg_metric",
     "gb_flag_status", "gb_having", "gb_subtotals", "gb_postagg",
     "gb_count_distinct", "gb_first_last", "gb_extraction",
     "scan_orders", "scan_filters_matrix", "search_event_type",
     "time_boundary", "dsmeta", "segment_metadata",
     "window_rank", "window_running_sum", "window_framed_avg",
     "union_counts", "unnest_tokens",
-    # joins
+    # joins + lookup filters
     "join_region_nation", "join_orders_lineitem", "join_semi",
-    "join_outer", "lookup_join", "asof_join", "range_join",
+    "join_outer", "lookup_join", "lookup_filter_equals",
+    "asof_join", "range_join",
     # sketches / projections / rollup routing
     "gb_quantile_sketch", "theta_setops", "hll_sketch_vs_exact",
     "projection_hll_sketch", "projection_theta_sketch",

@@ -98,3 +98,52 @@ def test_version_comparator_ladder(spark):
     keys = set(r["k"] for r in
                syn.select(version_sort_key(F.col("v")).alias("k")).collect())
     assert len(keys) == 1
+
+
+# ---------------------------------------------------------------- sqlshim
+def test_dq_ident_pass_properties():
+    """Double-quote→backtick identifier pass: string literals survive
+    verbatim, doubled "" inside identifiers unescape, mixed nesting."""
+    from druid_spark.functions.sqlshim import _dq_idents_to_backticks as dq
+
+    assert dq('SELECT "a" FROM "t"') == "SELECT `a` FROM `t`"
+    # double quotes inside single-quoted literals are untouched
+    assert dq("SELECT 'he said \"hi\"'") == "SELECT 'he said \"hi\"'"
+    # '' escape inside a literal does not end the literal
+    assert dq("SELECT 'it''s \"q\"', \"c\"") == "SELECT 'it''s \"q\"', `c`"
+    # "" escape inside an identifier becomes a literal quote
+    assert dq('SELECT "we""ird"') == 'SELECT `we"ird`'
+    # idempotent on SQL without double quotes
+    s = "SELECT a, 'x' FROM t WHERE b = 'y'"
+    assert dq(s) == s
+
+
+def test_dq_ident_pass_hypothesis():
+    """Round-trip: for random identifier/literal mixes the pass maps
+    every double-quoted identifier to a backticked one and leaves
+    single-quoted content byte-identical."""
+    from hypothesis import given, settings, strategies as st
+    from druid_spark.functions.sqlshim import _dq_idents_to_backticks as dq
+
+    ident = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                               whitelist_characters="_ "),
+        min_size=1, max_size=12)
+    lit = st.text(
+        alphabet=st.characters(blacklist_characters="'",
+                               whitelist_categories=("Ll", "Nd"),
+                               whitelist_characters=' "`'),
+        max_size=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(ident, lit), min_size=1, max_size=5))
+    def run(pairs):
+        sql = "SELECT " + ", ".join(
+            f'"{i}", \'{s}\'' for i, s in pairs)
+        out = dq(sql)
+        expect = "SELECT " + ", ".join(
+            f"`{i.replace(chr(96), chr(96) * 2)}`, '{s}'"
+            for i, s in pairs)
+        assert out == expect
+
+    run()
