@@ -282,6 +282,25 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, True)
         elif path == "/druid/v2/datasources":
             self._send_json(200, self.engine.catalog.tables())
+        elif path == "/druid/coordinator/v1/metadata/datasources":
+            # coordinator metadata API (server/.../http/MetadataResource
+            # .java getDataSources)
+            self._send_json(200, self.engine.catalog.tables())
+        elif (path.startswith("/druid/coordinator/v1/metadata/datasources/")
+              and path.endswith("/segments")):
+            # MetadataResource.getAllUsedSegmentsForDatasource: the
+            # engine's segments are the warehouse parquet partitions
+            name = path.split("/")[-2]
+            segs = [{"dataSource": ds, "segmentPath": p, "size": sz,
+                     "numRows": nr}
+                    for ds, p, sz, nr in self.engine.catalog.segments()
+                    if ds == name]
+            if not segs and name not in self.engine.catalog.tables():
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": name,
+                                      "errorClass": None, "host": None})
+                return
+            self._send_json(200, segs)
         elif path.startswith("/druid/v2/datasources/"):
             # GET /druid/v2/datasources/{name}: dimensions/metrics shape
             # (QueryResource getDatasource?full analog — column schema)

@@ -271,3 +271,22 @@ def test_sql_statements_async(server):
     status, st2 = _get(server,
                        f"/druid/v2/sql/statements/{sub2['queryId']}")
     assert st2["state"] == "CANCELED"
+
+
+def test_coordinator_metadata_endpoints(server):
+    """Coordinator metadata API (server/.../http/MetadataResource.java):
+    datasource list + per-datasource segments from parquet footers."""
+    status, names = _get(server, "/druid/coordinator/v1/metadata/datasources")
+    assert status == 200 and "events" in names
+    status, segs = _get(
+        server, "/druid/coordinator/v1/metadata/datasources/events/segments")
+    assert status == 200 and len(segs) >= 1
+    assert segs[0]["dataSource"] == "events"
+    assert segs[0]["numRows"] == 1000  # sf0.001
+    assert segs[0]["size"] > 0
+    try:
+        _get(server,
+             "/druid/coordinator/v1/metadata/datasources/nope/segments")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
