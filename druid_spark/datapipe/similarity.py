@@ -142,3 +142,47 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                                   id_col=id_col, seed=seed)
     return ivf_probe(assigned, centers, query_vec, k=k, nprobe=nprobe,
                      vec_col=vec_col, id_col=id_col)
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the 100 TB
+    storage/scan lever: symmetric per-vector max-abs scaling to
+    tinyint cuts the candidate-scan bytes ~4x (float32→int8) while the
+    coarse ranking stays within ~1/127 relative error per component.
+    Returns (id, q8 array<tinyint>, q8_scale double); write THIS slim
+    table as the ANN index and keep full-precision vectors only in the
+    main table for rescoring.
+    """
+    v = _as_double(F.col(vec_col))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12))
+    q8 = F.transform(v, lambda x: F.round(x / scale * 127).cast("tinyint"))
+    return df.select(F.col(id_col), q8.alias("q8"),
+                     scale.alias("q8_scale"))
+
+
+def quantized_topk(qdf: DataFrame, full: DataFrame,
+                   query_vec: list[float], k: int = 10, rescore: int = 4,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Two-stage search over the int8 index: (1) coarse cosine over
+    dequantized int8 rows (scans only the slim q8 table) takes the top
+    k*rescore candidates via TakeOrderedAndProject; (2) the candidate
+    id-list (tiny) broadcast-joins back to the full-precision table for
+    exact cosine rescoring. No cross join, no full-precision scan in
+    stage 1 — at 100 TB stage 1 reads ~25% of the bytes of a float scan
+    and stage 2 touches only k*rescore rows."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    deq = F.transform(
+        F.col("q8"),
+        lambda x: x.cast("double") * F.col("q8_scale") / F.lit(127.0))
+    coarse = (qdf.select(F.col(id_col),
+                         F.round(cosine(deq, q), 6).alias("cos8"))
+              .orderBy(F.col("cos8").desc(), F.col(id_col).asc())
+              .limit(k * rescore))
+    sim = cosine(_as_double(F.col(vec_col)), q)
+    return (full.join(F.broadcast(coarse.select(id_col)), id_col)
+            .select(F.col(id_col), F.round(sim, 4).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k))

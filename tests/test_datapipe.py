@@ -340,3 +340,30 @@ def test_multimodal_unsupported_mime_raises(spark):
     media = multimodal.demo_media_df(spark, 12).where(F.col("kind") == "video")
     with pytest.raises(Exception, match="PIL|librosa|av"):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_quantized_topk_recall(spark, emb):
+    """int8 scalar quantization: q8 values bounded to [-127,127], scale
+    positive, and two-stage search recovers the exact top-10 (rescore
+    stage reads full precision, so quantization only reorders the
+    candidate frontier)."""
+    qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+    qdf = similarity.quantize_embeddings(emb)
+    row = qdf.where("vec_id = 0").collect()[0]
+    assert row["q8_scale"] > 0
+    assert all(-127 <= v <= 127 for v in row["q8"])
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(emb, qv, k=10).collect()]
+    ann = [r["vec_id"] for r in
+           similarity.quantized_topk(qdf, emb, qv, k=10,
+                                     rescore=4).collect()]
+    assert ann[0] == 0  # self-similarity survives quantization
+    assert len(set(exact) & set(ann)) >= 9
+    # rescored scores are exact-cosine: the common prefix must agree
+    got = {r["vec_id"]: r["cos"] for r in
+           similarity.quantized_topk(qdf, emb, qv, k=10,
+                                     rescore=4).collect()}
+    ex = {r["vec_id"]: r["cos"] for r in
+          similarity.brute_force_topk(emb, qv, k=10).collect()}
+    for vid in set(got) & set(ex):
+        assert got[vid] == pytest.approx(ex[vid], abs=1e-6)
