@@ -404,6 +404,27 @@ class _Handler(BaseHTTPRequestHandler):
         ctx = q.get("context") or {}
         qid = ctx.get("queryId") or str(uuid.uuid4())
         sched = self.server.scheduler  # type: ignore[attr-defined]
+        # ETag handshake (QueryResource.java HDR_IF_NONE_MATCH /
+        # HDR_ETAG): the tag hashes the query body + catalog version,
+        # so an unchanged datasource re-serves from the client's cache
+        # with 304 and never touches Spark.
+        etag = None
+        try:
+            import hashlib
+            cat = self.engine.catalog
+            stamp = f"{getattr(cat, 'version', 0)}:{getattr(cat, 'data_dir', '')}"
+            etag = '"' + hashlib.sha1(
+                (json.dumps(q, sort_keys=True) + stamp).encode()
+            ).hexdigest() + '"'
+            if self.headers.get("If-None-Match") == etag:
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.send_header("X-Druid-Query-Id", qid)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+        except Exception:
+            etag = None
         try:
             df = self.engine.query(q)
             rows = sched.submit(
@@ -429,7 +450,15 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # analysis/runtime
             self._send_json(500, error_body("Unknown exception", e), qid)
             return
-        self._send_json(200, shape_native(q, rows), qid)
+        body = json.dumps(shape_native(q, rows)).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-Druid-Query-Id", qid)
+        if etag:
+            self.send_header("ETag", etag)
+        self.end_headers()
+        self.wfile.write(body)
 
     def _sql(self, body: dict) -> None:
         qid = (body.get("context") or {}).get("sqlQueryId") or str(uuid.uuid4())

@@ -213,7 +213,7 @@ def test_sql_task_endpoint_insert(server, tmp_path):
     the ingested table is queryable afterwards."""
     import time as _t
     status, sub, _ = _post(server, "/druid/v2/sql/task", {
-        "query": "INSERT INTO tgt_http_task "
+        "query": "REPLACE INTO tgt_http_task OVERWRITE ALL "
                  "SELECT ts AS __time, event_type, value FROM events "
                  "PARTITIONED BY DAY"})
     assert status == 202 and "taskId" in sub
@@ -290,3 +290,31 @@ def test_coordinator_metadata_endpoints(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_native_etag_304(server):
+    """ETag handshake (QueryResource HDR_ETAG/HDR_IF_NONE_MATCH): same
+    query + unchanged catalog → 304 with no body; changed query → new
+    tag."""
+    q = {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "aggregations": [{"type": "count", "name": "n"}]}
+    status, body, headers = _post(server, "/druid/v2", q)
+    assert status == 200
+    etag = headers.get("ETag")
+    assert etag and etag.startswith('"')
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/druid/v2",
+        data=json.dumps(q).encode(),
+        headers={"Content-Type": "application/json",
+                 "If-None-Match": etag}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            code, payload, hdrs = r.status, r.read(), r.headers
+    except urllib.error.HTTPError as e:  # urllib treats 304 as an error
+        code, payload, hdrs = e.code, e.read(), e.headers
+    assert code == 304 and payload == b"" and hdrs["ETag"] == etag
+    # a different query gets a different tag
+    q2 = dict(q, dataSource="orders")
+    status, _, headers2 = _post(server, "/druid/v2", q2)
+    assert status == 200 and headers2.get("ETag") != etag
