@@ -5528,6 +5528,128 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM part ORDER BY p_partkey LIMIT 10""", """
         SELECT p_partkey, p_size // 7 AS d7, p_size % 7 AS m7
         FROM part ORDER BY p_partkey LIMIT 10"""),
+    # ---- batch 20: nesting / latest-earliest ops / datatype edges ----
+    # testDoubleNestedGroupBy (3 levels of aggregation)
+    "sqlc_double_nested_groupby": ("""
+        SELECT CAST(round(AVG(cust_total), 2) AS DOUBLE) AS avg_total,
+               count(*) AS n_status
+        FROM (SELECT st, SUM(o_cnt) AS cust_total
+              FROM (SELECT o_orderstatus AS st, o_custkey,
+                           count(*) AS o_cnt
+                    FROM orders GROUP BY 1, 2) inner1
+              GROUP BY st) mid""", """
+        SELECT round(AVG(cust_total), 2) AS avg_total,
+               count(*) AS n_status
+        FROM (SELECT st, SUM(o_cnt) AS cust_total
+              FROM (SELECT o_orderstatus AS st, o_custkey,
+                           count(*) AS o_cnt
+                    FROM orders GROUP BY 1, 2) inner1
+              GROUP BY st) mid"""),
+    # testCollapsibleNestedGroupBy (outer groups on the inner's key —
+    # the planner may collapse the two)
+    "sqlc_collapsible_nested_groupby": ("""
+        SELECT st, SUM(n) AS total FROM (
+          SELECT o_orderstatus AS st, o_orderpriority, count(*) AS n
+          FROM orders GROUP BY 1, 2) t
+        GROUP BY st ORDER BY st""", """
+        SELECT st, CAST(SUM(n) AS BIGINT) AS total FROM (
+          SELECT o_orderstatus AS st, o_orderpriority, count(*) AS n
+          FROM orders GROUP BY 1, 2) t
+        GROUP BY st ORDER BY st"""),
+    # testOrderByEarliestLong (sort by a time-ordered first-value agg)
+    "sqlc_order_by_earliest": ("""
+        SELECT o_custkey,
+               EARLIEST_BY(o_orderkey,
+                 TIME_EXTRACT(o_orderdate, 'EPOCH') * 1000000000
+                   + o_orderkey) AS first_order
+        FROM orders GROUP BY o_custkey
+        ORDER BY first_order ASC LIMIT 10""", """
+        SELECT o_custkey,
+               min_by(o_orderkey,
+                 CAST(epoch(o_orderdate) AS BIGINT) * 1000000000
+                   + o_orderkey) AS first_order
+        FROM orders GROUP BY o_custkey
+        ORDER BY first_order ASC LIMIT 10"""),
+    # testHavingOnApproximateCountDistinct (HAVING filters on the
+    # approx agg; projected columns stay exact so the oracle holds)
+    "sqlc_having_approx_cd": ("""
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+        HAVING APPROX_COUNT_DISTINCT(o_custkey) > 100
+        ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+        HAVING COUNT(DISTINCT o_custkey) > 100
+        ORDER BY o_orderstatus"""),
+    # testPostAggWithTopN (SQL spelling: order by a ratio of aggregates)
+    "sqlc_postagg_topn_sql": ("""
+        SELECT o_orderpriority,
+               CAST(round(SUM(o_totalprice) / count(*), 2) AS DOUBLE)
+                 AS avg_price
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY avg_price DESC LIMIT 3""", """
+        SELECT o_orderpriority,
+               round(SUM(o_totalprice) / count(*), 2) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY avg_price DESC LIMIT 3"""),
+    # testStringAggMultiValue (STRING_AGG over exploded MV values)
+    "sqlc_string_agg_multi_value": ("""
+        SELECT ARRAY_TO_STRING(ARRAY_SORT(STRING_TO_MV(
+                 STRING_AGG(DISTINCT tok, '|'), '|')), '|') AS toks
+        FROM (SELECT * FROM region
+              CROSS JOIN UNNEST(STRING_TO_MV(r_name, ' ')) AS u(tok)) t
+        """, """
+        SELECT string_agg(DISTINCT tok, '|' ORDER BY tok) AS toks
+        FROM (SELECT tok FROM region,
+              unnest(string_split(r_name, ' ')) AS u(tok)) t"""),
+    # testGroupByCaseWhenOfTripleAnd
+    "sqlc_case_triple_and": ("""
+        SELECT CASE WHEN l_quantity > 10 AND l_discount > 0.02
+                         AND l_returnflag = 'N'
+                    THEN 'hot' ELSE 'cold' END AS seg,
+               count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1""", None),
+    # testFilterWithNvlishCaseAndNotIn
+    "sqlc_nvlish_case_not_in": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE CASE WHEN o_orderstatus IS NULL THEN 'x'
+                   ELSE o_orderstatus END NOT IN ('O', 'P')""", None),
+    # testInOrGreaterThanExpression
+    "sqlc_in_or_greater": ("""
+        SELECT count(*) AS n FROM part
+        WHERE p_size IN (1, 2, 3) OR p_size > 47""", None),
+    # testNotInOrEqualToOneOfThemExpression
+    "sqlc_not_in_or_equal": ("""
+        SELECT count(*) AS n FROM part
+        WHERE p_brand NOT IN ('Brand#1', 'Brand#2') OR p_brand = 'Brand#1'
+        """, None),
+    # testNumericLatestEarliestWithOpratorsGroupBy (arithmetic over
+    # first/last aggregates)
+    "sqlc_latest_earliest_ops": ("""
+        SELECT o_orderstatus,
+               LATEST_BY(o_totalprice,
+                 TIME_EXTRACT(o_orderdate, 'EPOCH') * 1000000000
+                   + o_orderkey)
+               - EARLIEST_BY(o_totalprice,
+                 TIME_EXTRACT(o_orderdate, 'EPOCH') * 1000000000
+                   + o_orderkey) AS price_drift
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus,
+               max_by(o_totalprice,
+                 CAST(epoch(o_orderdate) AS BIGINT) * 1000000000
+                   + o_orderkey)
+               - min_by(o_totalprice,
+                 CAST(epoch(o_orderdate) AS BIGINT) * 1000000000
+                   + o_orderkey) AS price_drift
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    # funcs_and_sql_datatype_comp_ops.iq: cross-type comparisons
+    "sqlc_cross_type_compare": ("""
+        SELECT count(*) AS a FROM part WHERE p_size = 7.0""", None),
+    # numeric string compared as number (Druid coerces; explicit CAST
+    # keeps both engines honest)
+    "sqlc_string_as_number_filter": ("""
+        SELECT count(*) AS n FROM part
+        WHERE CAST(CAST(p_size AS VARCHAR) AS BIGINT) >= 40""", None),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
