@@ -5593,11 +5593,19 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM orders GROUP BY o_orderpriority
         ORDER BY avg_price DESC LIMIT 3"""),
     # testStringAggMultiValue (STRING_AGG over exploded MV values)
+    # NOTE: the sort lives ABOVE the aggregating subquery — Spark's
+    # SQL-UDF inlining mangles array_sort's default comparator when a
+    # UDF argument is an aggregate in the same SELECT (the analyzer
+    # hoists UDF args into the Aggregate and double-wraps the
+    # comparator lambda); sorting the aggregated column one level up
+    # avoids the mangle
     "sqlc_string_agg_multi_value": ("""
-        SELECT ARRAY_TO_STRING(ARRAY_SORT(STRING_TO_MV(
-                 STRING_AGG(DISTINCT tok, '|'), '|')), '|') AS toks
-        FROM (SELECT * FROM region
-              CROSS JOIN UNNEST(STRING_TO_MV(r_name, ' ')) AS u(tok)) t
+        SELECT ARRAY_TO_STRING(ARRAY_SORT(STRING_TO_MV(aggstr, '|')),
+                               '|') AS toks
+        FROM (SELECT STRING_AGG(DISTINCT tok, '|') AS aggstr
+              FROM (SELECT * FROM region
+                    CROSS JOIN UNNEST(STRING_TO_MV(r_name, ' '))
+                      AS u(tok)) x) t
         """, """
         SELECT string_agg(DISTINCT tok, '|' ORDER BY tok) AS toks
         FROM (SELECT tok FROM region,
