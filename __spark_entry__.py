@@ -5658,6 +5658,71 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     "sqlc_string_as_number_filter": ("""
         SELECT count(*) AS n FROM part
         WHERE CAST(CAST(p_size AS VARCHAR) AS BIGINT) >= 40""", None),
+    # ---- batch 21: aggr_general / select-distinct / offset / window
+    # null-handling (quidem-ut aggr_general.iq, sql_select_distinct.iq,
+    # sql_limit_offset.iq; DrillWindowQueryTest null frames) ----
+    # aggr_general.iq: COUNT(DISTINCT TIME_FLOOR(...)) — distinct over
+    # a computed time bucket
+    "sqlc_cd_of_time_floor": ("""
+        SELECT COUNT(DISTINCT TIME_FLOOR(ts, 'PT1H')) AS n_hours,
+               COUNT(DISTINCT TIME_FLOOR(ts, 'P1D')) AS n_days
+        FROM events""", """
+        SELECT COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
+               COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+        FROM events"""),
+    # aggr_general.iq: ANY_VALUE over single-valued groups (the only
+    # deterministic ANY_VALUE contract)
+    "sqlc_any_value_single": ("""
+        SELECT n_regionkey, ANY_VALUE(r_name) AS rname, count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_regionkey ORDER BY n_regionkey""", """
+        SELECT n_regionkey, ANY_VALUE(r_name) AS rname, count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_regionkey ORDER BY n_regionkey"""),
+    # sql_select_distinct.iq: multi-column DISTINCT + ORDER + paging
+    "sqlc_select_distinct_paged": ("""
+        SELECT DISTINCT o_orderstatus, o_orderpriority
+        FROM orders ORDER BY o_orderstatus, o_orderpriority
+        LIMIT 6 OFFSET 2""", None),
+    # sql_limit_offset.iq: OFFSET without LIMIT
+    "sqlc_offset_no_limit": ("""
+        SELECT r_name FROM region ORDER BY r_name OFFSET 2""", None),
+    # sql_subquery_with_where.iq: scalar subquery in WHERE
+    "sqlc_scalar_subquery_where": ("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders)""",
+        None),
+    # join-algorithm parity (denorm_broadcast/sortMerge.iq run the SAME
+    # SQL under both algorithms; Spark spells the choice as a hint and
+    # must return identical rows)
+    "sqlc_join_hint_merge": ("""
+        SELECT /*+ MERGE(r) */ r.r_name, count(*) AS n
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name""", """
+        SELECT r.r_name, count(*) AS n
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name"""),
+    # DrillWindowQueryTest: LAST_VALUE/LAG IGNORE NULLS across a
+    # null-bearing frame
+    "sqlc_window_ignore_nulls": ("""
+        SELECT o_orderkey,
+          LAST_VALUE(NULLIF(o_orderstatus, 'O')) IGNORE NULLS OVER (
+            ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS last_closed,
+          LAG(NULLIF(o_orderstatus, 'O')) IGNORE NULLS OVER (
+            ORDER BY o_orderkey) AS prev_closed
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 25) t
+        ORDER BY o_orderkey""", """
+        SELECT o_orderkey,
+          LAST_VALUE(NULLIF(o_orderstatus, 'O') IGNORE NULLS) OVER (
+            ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS last_closed,
+          LAG(NULLIF(o_orderstatus, 'O') IGNORE NULLS) OVER (
+            ORDER BY o_orderkey) AS prev_closed
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 25) t
+        ORDER BY o_orderkey"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
