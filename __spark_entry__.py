@@ -5723,6 +5723,139 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
             ORDER BY o_orderkey) AS prev_closed
         FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 25) t
         ORDER BY o_orderkey"""),
+    # ---- batch 22: CalciteJoinQueryTest depth ----
+    # testJoinWithLimitBeforeJoining
+    "sqlc_join_limit_before_joining": ("""
+        SELECT t.o_orderkey, c.c_mktsegment
+        FROM (SELECT o_orderkey, o_custkey FROM orders
+              ORDER BY o_orderkey LIMIT 10) t
+        JOIN customer c ON t.o_custkey = c.c_custkey
+        ORDER BY t.o_orderkey""", None),
+    # testExactTopNOnInnerJoinWithLimit
+    "sqlc_exact_topn_inner_join": ("""
+        SELECT r.r_name, count(*) AS cnt
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY cnt DESC, r.r_name LIMIT 2""", None),
+    # testJoinOuterGroupByAndSubqueryHasLimit
+    "sqlc_join_outer_groupby_inner_limit": ("""
+        SELECT c_mktsegment, CAST(round(AVG(o_totalprice), 2) AS DOUBLE)
+                 AS avg_price
+        FROM (SELECT o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC LIMIT 100) t
+        JOIN customer ON t.o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""", """
+        SELECT c_mktsegment, round(AVG(o_totalprice), 2) AS avg_price
+        FROM (SELECT o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC LIMIT 100) t
+        JOIN customer ON t.o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    # testJoinOnTimeseriesWithFloorOnTime (join of two time-bucketed
+    # aggregates on the bucket)
+    "sqlc_join_on_timeseries_floor": ("""
+        SELECT a.d, a.n_views, b.n_purchases
+        FROM (SELECT TIME_FLOOR(ts, 'P1D') AS d, count(*) AS n_views
+              FROM events WHERE event_type = 'view' GROUP BY 1) a
+        JOIN (SELECT TIME_FLOOR(ts, 'P1D') AS d,
+                     count(*) AS n_purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY 1) b
+          ON a.d = b.d
+        ORDER BY a.d LIMIT 10""", """
+        SELECT a.d, a.n_views, b.n_purchases
+        FROM (SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+                     count(*) AS n_views FROM events
+              WHERE event_type = 'view' GROUP BY 1) a
+        JOIN (SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+                     count(*) AS n_purchases FROM events
+              WHERE event_type = 'purchase' GROUP BY 1) b
+          ON a.d = b.d
+        ORDER BY a.d LIMIT 10"""),
+    # testCommaJoinLeftFunction (comma join + function condition)
+    "sqlc_comma_join_function": ("""
+        SELECT count(*) AS n
+        FROM nation n, region r
+        WHERE UPPER(SUBSTRING(n.n_name, 1, 6)) = UPPER('NATION')
+          AND n.n_regionkey = r.r_regionkey AND r.r_name LIKE 'A%'""",
+        None),
+    # testInnerJoinCastLeft (key cast to match the other side's type)
+    "sqlc_inner_join_cast_key": ("""
+        SELECT count(*) AS n
+        FROM nation n
+        JOIN region r
+          ON CAST(n.n_regionkey AS VARCHAR)
+             = CAST(r.r_regionkey AS VARCHAR)""", None),
+    # testJoinOfTwoJoinsWithSubQueries
+    "sqlc_join_of_two_joins": ("""
+        SELECT x.r_name, CAST(round(SUM(x.bal), 2) AS DOUBLE) AS bal,
+               y.n_sup
+        FROM (SELECT r.r_name, c.c_acctbal AS bal
+              FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey) x
+        JOIN (SELECT r.r_name, count(*) AS n_sup
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name) y
+          ON x.r_name = y.r_name
+        GROUP BY x.r_name, y.n_sup ORDER BY x.r_name""", """
+        SELECT x.r_name, round(SUM(x.bal), 2) AS bal, y.n_sup
+        FROM (SELECT r.r_name, c.c_acctbal AS bal
+              FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey) x
+        JOIN (SELECT r.r_name, count(*) AS n_sup
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name) y
+          ON x.r_name = y.r_name
+        GROUP BY x.r_name, y.n_sup ORDER BY x.r_name"""),
+    # testInAggregationSubquery (IN over an aggregated/HAVING subquery)
+    "sqlc_in_aggregation_subquery": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_custkey IN (
+          SELECT o_custkey FROM orders
+          GROUP BY o_custkey HAVING count(*) >= 30)""", None),
+    # testNotInAggregationSubquery
+    "sqlc_not_in_aggregation_subquery": ("""
+        SELECT count(*) AS n FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          GROUP BY o_custkey HAVING count(*) >= 30)""", None),
+    # testInnerJoinWithIsNullFilter (left join + right-side null test
+    # = anti-join semantics)
+    "sqlc_left_join_is_null": ("""
+        SELECT count(*) AS n
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON c.c_custkey = o.o_custkey
+        WHERE o.o_custkey IS NULL""", None),
+    # testInnerJoinOnMultiValueColumn (join keyed on exploded MV value)
+    "sqlc_join_on_mv_column": ("""
+        SELECT u.tok, count(*) AS n
+        FROM (SELECT tok FROM region
+              CROSS JOIN UNNEST(STRING_TO_MV(r_name, ' ')) AS v(tok)) u
+        JOIN (SELECT DISTINCT SUBSTRING(r_name, 1, 4) AS pfx
+              FROM region) p
+          ON SUBSTRING(u.tok, 1, 4) = p.pfx
+        GROUP BY u.tok ORDER BY u.tok""", """
+        SELECT u.tok, count(*) AS n
+        FROM (SELECT tok FROM region,
+              unnest(string_split(r_name, ' ')) AS v(tok)) u
+        JOIN (SELECT DISTINCT r_name[1:4] AS pfx FROM region) p
+          ON u.tok[1:4] = p.pfx
+        GROUP BY u.tok ORDER BY u.tok"""),
+    # testLeftJoinOnTwoInlineDataSources (VALUES ⋈ VALUES)
+    "sqlc_left_join_inline_values": ("""
+        SELECT a.k, a.v, b.w FROM
+          (SELECT * FROM (VALUES (1, 'one'), (2, 'two'),
+                                 (3, 'three')) AS t(k, v)) a
+        LEFT JOIN
+          (SELECT * FROM (VALUES (1, 'uno'), (3, 'tres')) AS s(k, w)) b
+          ON a.k = b.k
+        ORDER BY a.k""", None),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
