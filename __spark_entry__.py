@@ -5856,6 +5856,98 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           (SELECT * FROM (VALUES (1, 'uno'), (3, 'tres')) AS s(k, w)) b
           ON a.k = b.k
         ORDER BY a.k""", None),
+    # ---- batch 23: CalciteNestedDataQueryTest depth (nested-path
+    # group/filter matrices over constructed JSON docs) ----
+    # testGroupByPathSelectorFilter: group + filter on the same path
+    "sqlc_nested_path_selector_filter": ("""
+        SELECT JSON_VALUE(doc, '$.x.a') AS a, count(*) AS n
+        FROM (SELECT JSON_OBJECT(KEY 'x' VALUE JSON_OBJECT(
+                       KEY 'a' VALUE event_type,
+                       KEY 'k' VALUE CAST(JSON_VALUE(props, '$.k')
+                                          AS BIGINT))) AS doc
+              FROM events) t
+        WHERE JSON_VALUE(doc, '$.x.a') IN ('view', 'click')
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT event_type AS a, count(*) AS n
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY 1 ORDER BY 1"""),
+    # testGroupByPathBoundFilterLong (+ NoUpper/NoLower arms)
+    "sqlc_nested_path_bound_filter": ("""
+        SELECT COUNT(*) FILTER (WHERE
+                 JSON_VALUE(doc, '$.x.k' RETURNING BIGINT)
+                   BETWEEN 10 AND 50) AS mid,
+               COUNT(*) FILTER (WHERE
+                 JSON_VALUE(doc, '$.x.k' RETURNING BIGINT) >= 80)
+                 AS no_upper,
+               COUNT(*) FILTER (WHERE
+                 JSON_VALUE(doc, '$.x.k' RETURNING BIGINT) < 20)
+                 AS no_lower
+        FROM (SELECT JSON_OBJECT(KEY 'x' VALUE JSON_OBJECT(
+                       KEY 'k' VALUE CAST(JSON_VALUE(props, '$.k')
+                                          AS BIGINT))) AS doc
+              FROM events) t""", """
+        SELECT COUNT(*) FILTER (WHERE
+                 CAST(json_extract(props, '$.k') AS BIGINT)
+                   BETWEEN 10 AND 50) AS mid,
+               COUNT(*) FILTER (WHERE
+                 CAST(json_extract(props, '$.k') AS BIGINT) >= 80)
+                 AS no_upper,
+               COUNT(*) FILTER (WHERE
+                 CAST(json_extract(props, '$.k') AS BIGINT) < 20)
+                 AS no_lower
+        FROM events"""),
+    # testGroupByPathSelectorFilterNonExistent (missing path → NULL)
+    "sqlc_nested_nonexistent_path": ("""
+        SELECT JSON_VALUE(props, '$.nope') AS missing, count(*) AS n
+        FROM events GROUP BY 1""", """
+        SELECT CAST(NULL AS VARCHAR) AS missing, count(*) AS n
+        FROM events GROUP BY 1"""),
+    # testGroupByCoalesceJsonValue
+    "sqlc_nested_coalesce_json_value": ("""
+        SELECT COALESCE(JSON_VALUE(props, '$.absent'),
+                        JSON_VALUE(props, '$.k'), 'none') AS v,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY CAST(v AS BIGINT) LIMIT 8""", """
+        SELECT CAST(json_extract(props, '$.k') AS VARCHAR) AS v,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY CAST(v AS BIGINT) LIMIT 8"""),
+    # testJsonAndArrayAgg (ARRAY_AGG over JSON_VALUE results)
+    "sqlc_json_and_array_agg": ("""
+        SELECT event_type,
+          ARRAY_TO_STRING(ARRAY_SORT(arrv), ',') AS ks
+        FROM (SELECT event_type,
+                     ARRAY_AGG(DISTINCT JSON_VALUE(props, '$.k')) AS arrv
+              FROM events
+              WHERE CAST(JSON_VALUE(props, '$.k') AS BIGINT) < 5
+              GROUP BY event_type) g
+        ORDER BY event_type""", """
+        SELECT event_type,
+          array_to_string(list_sort(
+            array_agg(DISTINCT CAST(json_extract(props, '$.k')
+                                    AS VARCHAR))), ',') AS ks
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS BIGINT) < 5
+        GROUP BY event_type ORDER BY event_type"""),
+    # testGroupByPathSelectorFilterUpperEqualsColumn
+    "sqlc_nested_filter_fn_equals_column": ("""
+        SELECT count(*) AS n FROM events
+        WHERE UPPER(JSON_VALUE(
+                JSON_OBJECT(KEY 'e' VALUE event_type), '$.e'))
+              = UPPER(event_type)""", """
+        SELECT count(*) AS n FROM events"""),
+    # testUnnestRootSingleTypeArrayLongNulls (UNNEST of a JSON array
+    # with null elements)
+    "sqlc_unnest_json_array_nulls": ("""
+        SELECT elem, count(*) AS n
+        FROM (SELECT JSON_QUERY_ARRAY(
+                '[1, null, 2, 2, null]', '$') AS arr
+              FROM region LIMIT 1) t
+        CROSS JOIN UNNEST(t.arr) AS u(elem)
+        GROUP BY elem ORDER BY elem NULLS FIRST""", """
+        SELECT elem, count(*) AS n
+        FROM (SELECT ['1', NULL, '2', '2', NULL] AS arr) t,
+             unnest(t.arr) AS u(elem)
+        GROUP BY elem ORDER BY elem NULLS FIRST"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
