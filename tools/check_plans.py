@@ -258,6 +258,17 @@ def main():
         failures.append("ivf_probe_cell_filter")
         print("FAIL ivf_probe_cell_filter")
 
+    # 17. quantized ANN: stage-1 coarse scan is TakeOrdered over the
+    # slim q8 table; stage-2 rescoring joins the tiny candidate list
+    # via BroadcastHashJoin — never a cartesian/nested-loop product
+    from druid_spark.datapipe.similarity import (quantize_embeddings,
+                                                 quantized_topk)
+    qdf = quantize_embeddings(emb)
+    df = quantized_topk(qdf, emb, qv, k=5, rescore=4)
+    check("quantized_ann_broadcast_rescore", df,
+          ["BroadcastHashJoin", "TakeOrderedAndProject"],
+          must_not=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
