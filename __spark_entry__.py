@@ -1240,6 +1240,19 @@ def q_sim_quantized_recall(spark, sf):
         (F.lit(hit) >= 9).alias("recall_ok"))
 
 
+def q_sys_segments_sql(spark, sf):
+    """sys.segments through SQL (SystemSchema.java:105 SEGMENTS table;
+    CalciteSysQueryTest shapes): per-datasource row counts read from
+    parquet footers, verified against the tables themselves."""
+    eng = _engine(spark, sf)
+    eng.create_system_views()
+    return eng.spark.sql("""
+        SELECT datasource, CAST(SUM(num_rows) AS BIGINT) AS num_rows
+        FROM sys_segments
+        WHERE datasource IN ('region', 'nation', 'customer', 'orders')
+        GROUP BY datasource ORDER BY datasource""")
+
+
 def q_sys_schema(spark, sf):
     """INFORMATION_SCHEMA.COLUMNS analog
     (sql/calcite/schema/InformationSchema.java; SystemSchema.java:105
@@ -5948,6 +5961,37 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM (SELECT ['1', NULL, '2', '2', NULL] AS arr) t,
              unnest(t.arr) AS u(elem)
         GROUP BY elem ORDER BY elem NULLS FIRST"""),
+    # ---- batch 24: formatting / tz / safe-divide function edges ----
+    # testHumanReadableFormatFunction
+    "sqlc_human_readable_formats": ("""
+        SELECT HUMAN_READABLE_BINARY_BYTE_FORMAT(1536) AS kib,
+               HUMAN_READABLE_BINARY_BYTE_FORMAT(1048576 * 3) AS mib,
+               HUMAN_READABLE_DECIMAL_BYTE_FORMAT(2500) AS kb,
+               HUMAN_READABLE_DECIMAL_FORMAT(1234567) AS m
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT '1.50 KiB' AS kib, '3.00 MiB' AS mib,
+               '2.50 KB' AS kb, '1.23 M' AS m
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # TIME_FORMAT with an explicit timezone argument
+    # (TimeFormatOperatorConversion 3-arg form)
+    "sqlc_time_format_tz": ("""
+        SELECT TIME_FORMAT(TIMESTAMP '2024-01-15 23:30:00',
+                           'yyyy-MM-dd HH:mm',
+                           'America/Los_Angeles') AS la,
+               TIME_FORMAT(TIMESTAMP '2024-01-15 23:30:00',
+                           'yyyy-MM-dd HH:mm') AS utc
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT '2024-01-15 15:30' AS la, '2024-01-15 23:30' AS utc
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # testSafeDivide (0-denominator → NULL, not error/Inf)
+    "sqlc_safe_divide_matrix": ("""
+        SELECT CAST(SAFE_DIVIDE(10, 4) AS DOUBLE) AS q,
+               SAFE_DIVIDE(10, 0) IS NULL AS div0_null,
+               CAST(SAFE_DIVIDE(0, 10) AS DOUBLE) AS zero_num
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT 2.5 AS q, true AS div0_null,
+               CAST(0 AS DOUBLE) AS zero_num
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
@@ -6041,6 +6085,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_extraction": q_gb_extraction,
         "sql_lookup_fn": q_sql_lookup_fn,
         "time_boundary_max_only": q_time_boundary_max_only,
+        "sys_segments_sql": q_sys_segments_sql,
         "search_regex_spec": q_search_regex_spec,
         "ts_postagg_ratio": q_ts_postagg_ratio,
         "topn_postagg_metric": q_topn_postagg_metric,
@@ -6361,6 +6406,13 @@ def _base_oracle_sql() -> dict[str, str]:
         "time_boundary_max_only": """
             SELECT max(ts) AS maxTime FROM events
             WHERE event_type = 'purchase'""",
+        "sys_segments_sql": """
+            SELECT 'customer' AS datasource, count(*) AS num_rows
+              FROM customer
+            UNION ALL SELECT 'nation', count(*) FROM nation
+            UNION ALL SELECT 'orders', count(*) FROM orders
+            UNION ALL SELECT 'region', count(*) FROM region
+            ORDER BY datasource""",
         "search_regex_spec": """
             SELECT 'p_brand' AS dimension, p_brand AS value,
                    count(*) AS count

@@ -588,6 +588,13 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = _rewrite_call(out, "TIME_FLOOR", _time_floor_ceil("TIME_FLOOR"))
     out = _rewrite_call(out, "TIME_CEIL", _time_floor_ceil("TIME_CEIL"))
     out = _rewrite_call(out, "TIME_SHIFT", _time_shift_tz)
+    # 3-arg TIME_FORMAT(ts, pattern, tz) — format in the given zone
+    # (TimeFormatOperatorConversion)
+    out = _rewrite_call(
+        out, "TIME_FORMAT",
+        lambda args: (f"TIME_FORMAT(FROM_UTC_TIMESTAMP({args[0]}, "
+                      f"{args[2]}), {args[1]})"
+                      if len(args) == 3 else None))
     # variadic STRING_FORMAT → Spark's format_string (same semantics)
     out = re.sub(r"\bSTRING_FORMAT\(", "FORMAT_STRING(", out,
                  flags=re.IGNORECASE)
