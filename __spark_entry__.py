@@ -6042,7 +6042,7 @@ _SAMPLE_FIRST = [
     "vc_nested_field", "json_groupby", "spatial_filter", "bloom_filter",
     # datapipe
     "dedup_exact", "dedup_jaccard", "neardup_embedding",
-    "sim_topk", "sim_lsh_recall", "text_profile",
+    "sim_topk", "sim_lsh_recall", "sim_quantized_recall", "text_profile",
     "pii_redact", "sample_stratified",
 ]
 
