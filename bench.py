@@ -426,22 +426,34 @@ def main():
         src5 = src
         for _ in range(4):
             src5 = src5.union(src)
-        t0 = time.time()
-        (src5.groupBy(F.date_trunc("hour", "l_shipdate").alias("__time"))
-             .agg(F.count(F.lit(1)).alias("n"))
-             .write.mode("overwrite").parquet(f"{base_dir}/ing_trivial"))
+
+        def best_of(n_iter, fn):
+            # best-of-N: the ingest sections are single heavyweight
+            # jobs, so one contention spike would otherwise swing the
+            # recorded rate by 3-5x between rounds
+            best = float("inf")
+            for _ in range(n_iter):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            return best
+
+        t_triv = best_of(2, lambda: (
+            src5.groupBy(F.date_trunc("hour", "l_shipdate").alias("__time"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite").parquet(f"{base_dir}/ing_trivial")))
         ingest["trivial_rows_per_sec_per_core"] = round(
-            5 * n_src / (time.time() - t0) / CPUS)
-        t0 = time.time()
-        (src.groupBy(F.date_trunc("day", "l_shipdate").alias("__time"),
-                     "l_returnflag", "l_linestatus", "l_linenumber")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("l_quantity").alias("qty"),
-                 F.sum("l_extendedprice").alias("rev"),
-                 F.avg("l_discount").alias("disc"))
-            .write.mode("overwrite").parquet(f"{base_dir}/ing_rollup"))
+            5 * n_src / t_triv / CPUS)
+        t_roll = best_of(2, lambda: (
+            src.groupBy(F.date_trunc("day", "l_shipdate").alias("__time"),
+                        "l_returnflag", "l_linestatus", "l_linenumber")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("l_quantity").alias("qty"),
+                    F.sum("l_extendedprice").alias("rev"),
+                    F.avg("l_discount").alias("disc"))
+               .write.mode("overwrite").parquet(f"{base_dir}/ing_rollup")))
         ingest["rollup_rows_per_sec_per_core"] = round(
-            n_src / (time.time() - t0) / CPUS)
+            n_src / t_roll / CPUS)
         ingest["vs_baseline_trivial"] = round(
             ingest["trivial_rows_per_sec_per_core"] / 800_000, 3)
         ingest["vs_baseline_production_30dim"] = round(
