@@ -5992,6 +5992,51 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT 2.5 AS q, true AS div0_null,
                CAST(0 AS DOUBLE) AS zero_num
         FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # ---- batch 25: CalciteSelectQueryTest select/literal edges ----
+    # constant select with no FROM clause (Calcite's VALUES plan)
+    "sqlc_select_no_from": ("""
+        SELECT 1 + 1 AS two, UPPER('ab') AS ab,
+               CAST(NULL AS VARCHAR) AS nul""", None),
+    # star projection + order + limit
+    "sqlc_select_star_limit": ("""
+        SELECT * FROM region ORDER BY r_regionkey LIMIT 3""", None),
+    # standalone VALUES with projection and order
+    "sqlc_values_standalone": ("""
+        SELECT k, v * 10 AS v10
+        FROM (VALUES (1, 5), (2, 7), (3, 9)) AS t(k, v)
+        ORDER BY k DESC""", None),
+    # mixed-case keywords + quoted reserved words as aliases
+    "sqlc_reserved_word_aliases": ("""
+        select r_name as "group", r_regionkey as "order"
+        From region Where r_regionkey < 3 Order By "order" """, None),
+    # arithmetic precedence + unary minus + modulo chain
+    "sqlc_arithmetic_precedence": ("""
+        SELECT 2 + 3 * 4 - 1 AS a, -5 + 2 AS b,
+               17 % 5 % 3 AS c, -(3 - 7) AS d
+        FROM region ORDER BY r_regionkey LIMIT 1""", None),
+    # || concatenation incl. implicit numeric casts
+    "sqlc_concat_pipe_numeric": ("""
+        SELECT r_name || '#' || CAST(r_regionkey AS VARCHAR) AS tag
+        FROM region ORDER BY tag""", None),
+    # LIKE with ESCAPE
+    "sqlc_like_escape": ("""
+        SELECT count(*) AS n FROM part
+        WHERE p_brand LIKE 'Brand#1!%' ESCAPE '!'
+           OR p_brand LIKE 'Brand#1_' ESCAPE '!'""", None),
+    # numeric literal forms (scientific, leading-dot, integer-vs-float)
+    "sqlc_numeric_literal_forms": ("""
+        SELECT CAST(1e3 AS DOUBLE) AS sci, CAST(.5 AS DOUBLE) AS half,
+               CAST(2.0 AS DOUBLE) / 4 AS q
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT CAST(1000 AS DOUBLE) AS sci, 0.5 AS half, 0.5 AS q
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # INTERVAL DAY TO SECOND arithmetic
+    "sqlc_interval_day_second": ("""
+        SELECT TIMESTAMP '2024-01-01 00:00:00'
+                 + INTERVAL '1 02:03:04' DAY TO SECOND AS shifted
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT TIMESTAMP '2024-01-02 02:03:04' AS shifted
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
