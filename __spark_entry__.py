@@ -6037,6 +6037,70 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM region ORDER BY r_regionkey LIMIT 1""", """
         SELECT TIMESTAMP '2024-01-02 02:03:04' AS shifted
         FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # ---- batch 26: GroupBy corpus remainder ----
+    # testGroupByOrderByBoolean (boolean-typed group key)
+    "sqlc_groupby_boolean_key": ("""
+        SELECT o_totalprice > 150000 AS big, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY big""", None),
+    # testGroupByNullType (NULL literal as a group key)
+    "sqlc_groupby_null_type": ("""
+        SELECT CAST(NULL AS VARCHAR) AS k, count(*) AS n
+        FROM orders GROUP BY 1""", None),
+    # testGroupByWithLiteralInSubqueryGrouping
+    "sqlc_literal_in_subquery_grouping": ("""
+        SELECT tag, n FROM (
+          SELECT 'all' AS tag, count(*) AS n
+          FROM orders GROUP BY 'all') t""", """
+        SELECT 'all' AS tag, count(*) AS n FROM orders"""),
+    # testRepeatedIdenticalVirtualExpressionGrouping (same expression
+    # in SELECT, WHERE and GROUP BY — planned once)
+    "sqlc_repeated_virtual_expression": ("""
+        SELECT UPPER(SUBSTRING(o_orderpriority, 3)) AS pri,
+               count(*) AS n
+        FROM orders
+        WHERE UPPER(SUBSTRING(o_orderpriority, 3)) <> 'LOW'
+        GROUP BY UPPER(SUBSTRING(o_orderpriority, 3))
+        ORDER BY pri""", None),
+    # testCommonVirtualExpressionWithDifferentValueType (one base
+    # expression consumed at two types)
+    "sqlc_common_vexpr_two_types": ("""
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS pnum,
+               SUBSTRING(o_orderpriority, 1, 1) AS pstr,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY 1""", None),
+    # testPruneDeadAggregators (outer projects a subset of inner aggs)
+    "sqlc_prune_dead_aggregators": ("""
+        SELECT keep1, keep3 FROM (
+          SELECT count(*) AS keep1,
+                 CAST(SUM(o_totalprice) AS DOUBLE) AS dead2,
+                 COUNT(DISTINCT o_orderstatus) AS keep3,
+                 MAX(o_orderkey) AS dead4
+          FROM orders) t""", """
+        SELECT count(*) AS keep1,
+               COUNT(DISTINCT o_orderstatus) AS keep3
+        FROM orders"""),
+    # testFilteredTimeAggregators (FILTER with time predicates in a
+    # time-grouped aggregate)
+    "sqlc_filtered_time_aggregators": ("""
+        SELECT TIME_FLOOR(ts, 'P1D') AS d,
+          COUNT(*) FILTER (WHERE TIME_EXTRACT(ts, 'HOUR') < 12)
+            AS morning,
+          COUNT(*) FILTER (WHERE TIME_EXTRACT(ts, 'HOUR') >= 12)
+            AS evening
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 7""", """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+          COUNT(*) FILTER (WHERE EXTRACT(HOUR FROM ts) < 12)
+            AS morning,
+          COUNT(*) FILTER (WHERE EXTRACT(HOUR FROM ts) >= 12)
+            AS evening
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 7"""),
+    # testGroupByFloorWithOrderBy (numeric FLOOR key, ordered desc)
+    "sqlc_groupby_floor_order": ("""
+        SELECT CAST(FLOOR(o_totalprice / 100000) AS DOUBLE) AS bucket,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY bucket DESC""", """
+        SELECT FLOOR(o_totalprice / 100000) AS bucket, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY bucket DESC"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
