@@ -6101,6 +6101,68 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM orders GROUP BY 1 ORDER BY bucket DESC""", """
         SELECT FLOOR(o_totalprice / 100000) AS bucket, count(*) AS n
         FROM orders GROUP BY 1 ORDER BY bucket DESC"""),
+    # ---- batch 27: union variants / time units / scalar edges ----
+    # CalciteUnionQueryTest: branches project in different column
+    # orders (union is by name through the SQL layer)
+    "sqlc_union_mismatched_order": ("""
+        SELECT src, k, nm FROM (
+          SELECT 'r' AS src, r_regionkey AS k, r_name AS nm FROM region
+          UNION ALL
+          SELECT 'n' AS src, n_nationkey AS k, n_name AS nm
+          FROM nation WHERE n_nationkey < 3) t
+        ORDER BY src, k""", None),
+    # union with a filter inside each branch (pushdown per-branch)
+    "sqlc_union_filter_per_branch": ("""
+        SELECT count(*) AS n FROM (
+          SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+            AND o_totalprice > 200000) t""", None),
+    # TIMESTAMPDIFF unit matrix
+    "sqlc_timestampdiff_units": ("""
+        SELECT TIMESTAMPDIFF(DAY, TIMESTAMP '2024-01-01',
+                             TIMESTAMP '2024-03-15') AS dd,
+               TIMESTAMPDIFF(HOUR, TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-02 06:00:00') AS hh,
+               TIMESTAMPDIFF(WEEK, TIMESTAMP '2024-01-01',
+                             TIMESTAMP '2024-02-12') AS ww,
+               TIMESTAMPDIFF(MONTH, TIMESTAMP '2024-01-31',
+                             TIMESTAMP '2024-03-01') AS mm
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT 74 AS dd, 30 AS hh, 6 AS ww, 1 AS mm
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # FLOOR/CEIL(ts TO unit) calendar arms
+    "sqlc_floor_ceil_ts_units": ("""
+        SELECT FLOOR(TIMESTAMP '2024-05-17 10:30:00' TO QUARTER) AS q,
+               CEIL(TIMESTAMP '2024-05-17 10:30:00' TO WEEK) AS w,
+               FLOOR(TIMESTAMP '2024-05-17 10:30:00' TO YEAR) AS y
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT TIMESTAMP '2024-04-01' AS q,
+               TIMESTAMP '2024-05-20' AS w,
+               TIMESTAMP '2024-01-01' AS y
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # testCoalesceMoreColumns (4-arm coalesce chain)
+    "sqlc_coalesce_more_columns": ("""
+        SELECT COALESCE(NULLIF(o_orderstatus, 'O'),
+                        NULLIF(o_orderpriority, '5-LOW'),
+                        CAST(NULL AS VARCHAR),
+                        'fallback') AS v,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # testGreatestLeastTypes (mixed numeric widths)
+    "sqlc_greatest_least_mixed": ("""
+        SELECT CAST(GREATEST(p_size, 25.5) AS DOUBLE) AS g,
+               CAST(LEAST(p_size, 25.5) AS DOUBLE) AS l
+        FROM part ORDER BY p_partkey LIMIT 8""", """
+        SELECT GREATEST(CAST(p_size AS DOUBLE), 25.5) AS g,
+               LEAST(CAST(p_size AS DOUBLE), 25.5) AS l
+        FROM part ORDER BY p_partkey LIMIT 8"""),
+    # MOD sign semantics with negative operands
+    "sqlc_mod_negative": ("""
+        SELECT MOD(-7, 3) AS a, MOD(7, -3) AS b, MOD(-7, -3) AS c
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT -1 AS a, 1 AS b, -1 AS c
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
