@@ -6163,6 +6163,71 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM region ORDER BY r_regionkey LIMIT 1""", """
         SELECT -1 AS a, 1 AS b, -1 AS c
         FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # ---- batch 28: typed-array shapes (CalciteArraysQueryTest
+    # long/double-array arms + real array<float> column) ----
+    # testGroupByArrayFromCase
+    "sqlc_array_from_case": ("""
+        SELECT MV_TO_STRING(CASE WHEN o_orderstatus = 'F'
+                   THEN ARRAY['done', 'final']
+                   ELSE ARRAY['open'] END, ',') AS tags,
+               count(*) AS n
+        FROM orders GROUP BY CASE WHEN o_orderstatus = 'F'
+                   THEN ARRAY['done', 'final']
+                   ELSE ARRAY['open'] END
+        ORDER BY tags""", """
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 'done,final'
+                    ELSE 'open' END AS tags,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY tags"""),
+    # testArrayGroupAsLongArray (whole long-array group key)
+    "sqlc_long_array_group": ("""
+        SELECT ARRAY_TO_STRING(ARRAY[l_linenumber,
+                                     CAST(l_suppkey % 3 AS INT)], '-')
+                 AS key_arr,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ARRAY[l_linenumber, CAST(l_suppkey % 3 AS INT)]
+        ORDER BY key_arr LIMIT 10""", """
+        SELECT l_linenumber || '-' || (l_suppkey % 3) AS key_arr,
+               count(*) AS n
+        FROM lineitem GROUP BY l_linenumber, l_suppkey % 3
+        ORDER BY key_arr LIMIT 10"""),
+    # testArrayOverlapFilterLongArrayColumn (long-array overlap)
+    "sqlc_long_array_overlap": ("""
+        SELECT count(*) AS n FROM part
+        WHERE ARRAY_OVERLAP(ARRAY[p_size, p_size + 1],
+                            ARRAY[10, 20, 30])""", """
+        SELECT count(*) AS n FROM part
+        WHERE len(list_intersect([p_size, p_size + 1],
+                                 [10, 20, 30])) > 0"""),
+    # testArrayLengthArrayColumn over the REAL array<float> column
+    "sqlc_array_length_real_column": ("""
+        SELECT ARRAY_LENGTH(embedding) AS dim, count(*) AS n
+        FROM embeddings GROUP BY 1 ORDER BY 1""", """
+        SELECT CAST(len(embedding) AS INT) AS dim, count(*) AS n
+        FROM embeddings GROUP BY 1 ORDER BY 1"""),
+    # testArraySliceArrayColumns over the real array column
+    "sqlc_array_slice_real_column": ("""
+        SELECT vec_id,
+               ARRAY_LENGTH(ARRAY_SLICE(embedding, 2, 6)) AS slice_len
+        FROM embeddings ORDER BY vec_id LIMIT 5""", """
+        SELECT vec_id, 4 AS slice_len
+        FROM embeddings ORDER BY vec_id LIMIT 5"""),
+    # testArrayContainsFilterArrayLongColumn
+    "sqlc_array_contains_long": ("""
+        SELECT count(*) AS n FROM lineitem
+        WHERE ARRAY_CONTAINS(ARRAY[1, 3, 5], l_linenumber)""", """
+        SELECT count(*) AS n FROM lineitem
+        WHERE list_contains([1, 3, 5], l_linenumber)"""),
+    # testScalarInArrayFilter (WHERE-position SCALAR_IN_ARRAY)
+    "sqlc_scalar_in_array_where": ("""
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE SCALAR_IN_ARRAY(o_orderpriority,
+                              ARRAY['1-URGENT', '5-LOW'])
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE list_contains(['1-URGENT', '5-LOW'], o_orderpriority)
+        GROUP BY 1 ORDER BY 1"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
