@@ -6228,6 +6228,83 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT o_orderpriority, count(*) AS n FROM orders
         WHERE list_contains(['1-URGENT', '5-LOW'], o_orderpriority)
         GROUP BY 1 ORDER BY 1"""),
+    # ---- batch 29: scalar function matrices (quidem-ut
+    # scalar_datetime / ops_funcs / scalar_numeric families) ----
+    # datetime matrix: negative TIME_SHIFT, multi-unit TIME_EXTRACT
+    "sqlc_datetime_fn_matrix": ("""
+        SELECT TIME_SHIFT(TIMESTAMP '2024-03-15 12:00:00', 'P1M', -2)
+                 AS back2mo,
+               TIME_EXTRACT(TIMESTAMP '2024-03-15 12:34:56', 'MINUTE')
+                 AS mi,
+               TIME_EXTRACT(TIMESTAMP '2024-03-15 12:34:56', 'DOY')
+                 AS doy
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT TIMESTAMP '2024-01-15 12:00:00' AS back2mo,
+               CAST(34 AS BIGINT) AS mi, CAST(75 AS BIGINT) AS doy
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # CASE WHEN x IN (...) THEN — predicate inside CASE
+    "sqlc_case_with_in": ("""
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'rush'
+                    WHEN o_orderpriority IN ('5-LOW') THEN 'slow'
+                    ELSE 'normal' END AS speed,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # nested CASE expressions
+    "sqlc_nested_case": ("""
+        SELECT CASE WHEN o_orderstatus = 'F'
+                    THEN CASE WHEN o_totalprice > 200000
+                              THEN 'big-final' ELSE 'small-final' END
+                    ELSE 'other' END AS seg,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # bitwise scalar operator matrix
+    "sqlc_bitwise_scalar_ops": ("""
+        SELECT BITWISE_AND(12, 10) AS ba, BITWISE_OR(12, 10) AS bo,
+               BITWISE_XOR(12, 10) AS bx,
+               BITWISE_SHIFT_LEFT(3, 4) AS bsl,
+               BITWISE_SHIFT_RIGHT(256, 4) AS bsr,
+               BITWISE_COMPLEMENT(0) AS bc
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT CAST(8 AS BIGINT) AS ba, CAST(14 AS BIGINT) AS bo,
+               CAST(6 AS BIGINT) AS bx, CAST(48 AS BIGINT) AS bsl,
+               CAST(16 AS BIGINT) AS bsr, CAST(-1 AS BIGINT) AS bc
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # IPv4 CIDR edges (/32 exact, /0 match-all)
+    "sqlc_ipv4_cidr_edges": ("""
+        SELECT IPV4_MATCH('10.1.2.3', '10.1.2.3/32') AS exact32,
+               IPV4_MATCH('200.1.1.1', '0.0.0.0/0') AS all0,
+               IPV4_MATCH('10.1.2.4', '10.1.2.3/32') AS miss32,
+               IPV4_STRINGIFY(IPV4_PARSE('192.168.1.1')) AS rt
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT true AS exact32, true AS all0, false AS miss32,
+               '192.168.1.1' AS rt
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # trim family with explicit trim characters
+    "sqlc_trim_chars_matrix": ("""
+        SELECT BTRIM('xxhixx', 'x') AS b, LTRIM('xxhixx', 'x') AS l,
+               RTRIM('xxhixx', 'x') AS r, TRIM('  hi  ') AS t
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT 'hi' AS b, 'hixx' AS l, 'xxhi' AS r, 'hi' AS t
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # log/power family
+    "sqlc_power_log_matrix": ("""
+        SELECT CAST(round(LN(EXP(2)), 6) AS DOUBLE) AS ln_exp,
+               CAST(round(LOG10(1000), 6) AS DOUBLE) AS l10,
+               CAST(round(SQRT(POWER(7, 2)), 6) AS DOUBLE) AS sq,
+               CAST(round(CBRT(27), 6) AS DOUBLE) AS cb
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT 2.0 AS ln_exp, 3.0 AS l10, 7.0 AS sq, 3.0 AS cb
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # sign/abs/truncate with negative digits
+    "sqlc_sign_abs_truncate": ("""
+        SELECT SIGN(-12.5) AS sn, SIGN(0) AS sz, ABS(-42) AS ab,
+               CAST(TRUNCATE(1234.5678, 2) AS DOUBLE) AS t2,
+               CAST(TRUNCATE(1234.5678, -2) AS DOUBLE) AS tneg
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT -1.0 AS sn, 0.0 AS sz, 42 AS ab,
+               1234.56 AS t2, 1200.0 AS tneg
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""

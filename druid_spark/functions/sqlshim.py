@@ -588,6 +588,18 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = _rewrite_call(out, "TIME_FLOOR", _time_floor_ceil("TIME_FLOOR"))
     out = _rewrite_call(out, "TIME_CEIL", _time_floor_ceil("TIME_CEIL"))
     out = _rewrite_call(out, "TIME_SHIFT", _time_shift_tz)
+    # Druid LTRIM/RTRIM(expr, chars) vs Spark's deprecated 2-arg
+    # (trimStr, str) REVERSED argument order — rewrite to the
+    # unambiguous TRIM(LEADING/TRAILING chars FROM expr) form
+    # (sql-functions.md LTRIM/RTRIM)
+    out = _rewrite_call(
+        out, "LTRIM",
+        lambda args: (f"TRIM(LEADING {args[1]} FROM {args[0]})"
+                      if len(args) == 2 else None))
+    out = _rewrite_call(
+        out, "RTRIM",
+        lambda args: (f"TRIM(TRAILING {args[1]} FROM {args[0]})"
+                      if len(args) == 2 else None))
     # 3-arg TIME_FORMAT(ts, pattern, tz) — format in the given zone
     # (TimeFormatOperatorConversion)
     out = _rewrite_call(
