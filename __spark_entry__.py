@@ -6305,6 +6305,51 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT -1.0 AS sn, 0.0 AS sz, 42 AS ab,
                1234.56 AS t2, 1200.0 AS tneg
         FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # ---- batch 30: Druid-specific string functions ----
+    # CONTAINS_STRING / ICONTAINS_STRING (ContainsOperatorConversion)
+    "sqlc_contains_string_fns": ("""
+        SELECT COUNT(*) FILTER (WHERE CONTAINS_STRING(p_type, 'ECO'))
+                 AS has_eco,
+               COUNT(*) FILTER (WHERE ICONTAINS_STRING(p_type, 'eco'))
+                 AS has_eco_i,
+               COUNT(*) FILTER (WHERE CONTAINS_STRING(p_type, 'eco'))
+                 AS has_eco_cs
+        FROM part""", """
+        SELECT COUNT(*) FILTER (WHERE contains(p_type, 'ECO'))
+                 AS has_eco,
+               COUNT(*) FILTER (WHERE contains(lower(p_type), 'eco'))
+                 AS has_eco_i,
+               COUNT(*) FILTER (WHERE contains(p_type, 'eco'))
+                 AS has_eco_cs
+        FROM part"""),
+    # STRING_FORMAT (variadic printf — StringFormatOperatorConversion)
+    "sqlc_string_format": ("""
+        SELECT STRING_FORMAT('%s has %d nations', r_name, 5) AS msg
+        FROM region ORDER BY r_name LIMIT 3""", """
+        SELECT r_name || ' has 5 nations' AS msg
+        FROM region ORDER BY r_name LIMIT 3"""),
+    # PARSE_LONG with radix (hex) + DECODE_BASE64_UTF8 round trip
+    "sqlc_parse_long_radix": ("""
+        SELECT PARSE_LONG('ff', 16) AS hex_ff,
+               PARSE_LONG('-10', 16) AS hex_neg,
+               PARSE_LONG('42') AS dec42,
+               DECODE_BASE64_UTF8('aGVsbG8=') AS hello
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT CAST(255 AS BIGINT) AS hex_ff,
+               CAST(-16 AS BIGINT) AS hex_neg,
+               CAST(42 AS BIGINT) AS dec42,
+               'hello' AS hello
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # REGEXP_REPLACE matrix (groups + global replacement)
+    "sqlc_regexp_replace_matrix": ("""
+        SELECT REGEXP_REPLACE(c_name, '[0-9]+', '#') AS masked,
+               REGEXP_REPLACE('a-b-c', '-', '+') AS plus,
+               REGEXP_REPLACE('Customer#42', '([A-Za-z]+)#([0-9]+)',
+                              '$2:$1') AS swapped
+        FROM customer ORDER BY c_custkey LIMIT 3""", """
+        SELECT regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+               'a+b+c' AS plus, '42:Customer' AS swapped
+        FROM customer ORDER BY c_custkey LIMIT 3"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""

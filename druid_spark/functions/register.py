@@ -267,9 +267,13 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("DECODE_BASE64_UTF8", "s STRING", "STRING",
      "cast(unbase64(s) AS STRING)"),
     # radix parse (1-arg form gets ', 10' appended by sqlshim);
-    # negative decimal handled by plain cast (conv is unsigned)
+    # negative decimal via plain cast; conv() is unsigned, so a signed
+    # non-decimal parses magnitude and reapplies the sign
+    # (java.lang.Long.parseLong(s, radix) semantics)
     ("PARSE_LONG", "s STRING, radix INT", "BIGINT", """
       CASE WHEN radix = 10 THEN cast(s AS BIGINT)
+           WHEN s LIKE '-%' THEN
+             -cast(conv(substring(s, 2), radix, 10) AS BIGINT)
            ELSE cast(conv(s, radix, 10) AS BIGINT) END"""),
     # (STRING_FORMAT is variadic — sqlshim rewrites it to Spark's
     # format_string, which is the same java.lang.String.format surface)
