@@ -4685,7 +4685,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  AS n_regions
         FROM region"""),
     # CalciteJoinQueryTest: join condition on an expression of the key
-    "sqlc_join_on_expression": ("""
+    "sqlc_join_on_key_expression": ("""
         SELECT n.n_name, r.r_name FROM nation n
         JOIN region r ON n.n_regionkey + 1 = r.r_regionkey + 1
         WHERE r.r_name LIKE '%A%'
@@ -4874,7 +4874,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                    THEN o_orderpriority END) AS f_pri
         FROM orders""", None),
     # testCountDistinctOfSubstring / testCountDistinctOfTrim
-    "sqlc_count_distinct_substring": ("""
+    "sqlc_cd_substring_trim": ("""
         SELECT COUNT(DISTINCT SUBSTRING(c_name, 1, 10)) AS pfx,
                COUNT(DISTINCT TRIM(c_mktsegment)) AS segs
         FROM customer""", None),
@@ -4995,7 +4995,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT string_agg(r_regionkey, ',' ORDER BY r_regionkey) AS keys
         FROM region"""),
     # testTrigonometricFunction + testRadiansAndDegrees
-    "sqlc_trig_matrix": ("""
+    "sqlc_trig_on_column": ("""
         SELECT CAST(round(SIN(p_size / 10.0), 6) AS DOUBLE) AS s,
                CAST(round(COS(p_size / 10.0), 6) AS DOUBLE) AS c,
                CAST(round(ATAN2(p_size, 7), 6) AS DOUBLE) AS a2,
@@ -5043,7 +5043,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         GROUP BY GROUPING SETS ((o_orderstatus), ())
         ORDER BY o_orderstatus NULLS LAST"""),
     # testHavingOnRatio (ratio of filtered to total count)
-    "sqlc_having_ratio": ("""
+    "sqlc_having_rich_ratio": ("""
         SELECT c_mktsegment,
                CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*) AS rich_ratio
@@ -5307,7 +5307,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM lineitem WHERE l_orderkey < 64
         GROUP BY l_linenumber ORDER BY l_linenumber"""),
     # testAvgDailyCountDistinct
-    "sqlc_avg_daily_count_distinct": ("""
+    "sqlc_avg_daily_cd_users": ("""
         SELECT CAST(round(AVG(u), 2) AS DOUBLE) AS avg_daily_users
         FROM (SELECT TIME_FLOOR(ts, 'P1D') AS d,
                      COUNT(DISTINCT user_id) AS u
@@ -5432,7 +5432,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         None),
     # ---- batch 19: CalciteQueryTest remainder B ----
     # testCountStarWithBoundFilterSimplifyOr (overlapping bounds fold)
-    "sqlc_bound_simplify_or": ("""
+    "sqlc_bound_overlap_or": ("""
         SELECT count(*) AS n FROM part
         WHERE (p_size > 10 AND p_size < 30) OR (p_size > 20 AND p_size < 40)
         """, None),
@@ -5443,7 +5443,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           AND (o_orderpriority = '1-URGENT' OR o_orderpriority IS NOT NULL)
         """, None),
     # testCountStarWithComplexDisjointTimeFilter (two disjoint windows)
-    "sqlc_disjoint_time_filter": ("""
+    "sqlc_disjoint_time_windows": ("""
         SELECT count(*) AS n FROM events
         WHERE (ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-04')
            OR (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12')
@@ -5458,7 +5458,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT count(*) AS one_pt FROM events
         WHERE ts = (SELECT MIN(ts) FROM events)""", None),
     # testCountStarWithTimeInIntervalFilter (TIME_IN_INTERVAL fn)
-    "sqlc_time_in_interval": ("""
+    "sqlc_time_in_interval_filter": ("""
         SELECT count(*) AS n FROM events
         WHERE TIME_IN_INTERVAL(ts, '2024-01-03/2024-01-05')""", """
         SELECT count(*) AS n FROM events
@@ -5543,7 +5543,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM part ORDER BY p_partkey LIMIT 10"""),
     # ---- batch 20: nesting / latest-earliest ops / datatype edges ----
     # testDoubleNestedGroupBy (3 levels of aggregation)
-    "sqlc_double_nested_groupby": ("""
+    "sqlc_triple_nested_agg": ("""
         SELECT CAST(round(AVG(cust_total), 2) AS DOUBLE) AS avg_total,
                count(*) AS n_status
         FROM (SELECT st, SUM(o_cnt) AS cust_total
@@ -5624,7 +5624,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM (SELECT tok FROM region,
               unnest(string_split(r_name, ' ')) AS u(tok)) t"""),
     # testGroupByCaseWhenOfTripleAnd
-    "sqlc_case_triple_and": ("""
+    "sqlc_case_triple_and_pred": ("""
         SELECT CASE WHEN l_quantity > 10 AND l_discount > 0.02
                          AND l_returnflag = 'N'
                     THEN 'hot' ELSE 'cold' END AS seg,
@@ -5984,7 +5984,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT '2024-01-15 15:30' AS la, '2024-01-15 23:30' AS utc
         FROM region ORDER BY r_regionkey LIMIT 1"""),
     # testSafeDivide (0-denominator → NULL, not error/Inf)
-    "sqlc_safe_divide_matrix": ("""
+    "sqlc_safe_divide_zero_arms": ("""
         SELECT CAST(SAFE_DIVIDE(10, 4) AS DOUBLE) AS q,
                SAFE_DIVIDE(10, 0) IS NULL AS div0_null,
                CAST(SAFE_DIVIDE(0, 10) AS DOUBLE) AS zero_num
@@ -6019,7 +6019,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT r_name || '#' || CAST(r_regionkey AS VARCHAR) AS tag
         FROM region ORDER BY tag""", None),
     # LIKE with ESCAPE
-    "sqlc_like_escape": ("""
+    "sqlc_like_escape_brand": ("""
         SELECT count(*) AS n FROM part
         WHERE p_brand LIKE 'Brand#1!%' ESCAPE '!'
            OR p_brand LIKE 'Brand#1_' ESCAPE '!'""", None),
@@ -6119,7 +6119,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
             AND o_totalprice > 200000) t""", None),
     # TIMESTAMPDIFF unit matrix
-    "sqlc_timestampdiff_units": ("""
+    "sqlc_timestampdiff_unit_matrix": ("""
         SELECT TIMESTAMPDIFF(DAY, TIMESTAMP '2024-01-01',
                              TIMESTAMP '2024-03-15') AS dd,
                TIMESTAMPDIFF(HOUR, TIMESTAMP '2024-01-01 00:00:00',
@@ -6328,8 +6328,8 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM region ORDER BY r_name LIMIT 3""", """
         SELECT r_name || ' has 5 nations' AS msg
         FROM region ORDER BY r_name LIMIT 3"""),
-    # PARSE_LONG with radix (hex) + DECODE_BASE64_UTF8 round trip
-    "sqlc_parse_long_radix": ("""
+    # PARSE_LONG signed radix + DECODE_BASE64_UTF8 round trip
+    "sqlc_parse_long_signed_radix": ("""
         SELECT PARSE_LONG('ff', 16) AS hex_ff,
                PARSE_LONG('-10', 16) AS hex_neg,
                PARSE_LONG('42') AS dec42,
