@@ -6350,6 +6350,35 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
                'a+b+c' AS plus, '42:Customer' AS swapped
         FROM customer ORDER BY c_custkey LIMIT 3"""),
+    # ---- batch 31: rounding out ----
+    # ARRAY_OVERLAP inside HAVING (post-aggregate array predicate)
+    "sqlc_array_overlap_having": ("""
+        SELECT o_orderstatus,
+               ARRAY_TO_STRING(ARRAY_SORT(
+                 ARRAY_AGG(DISTINCT o_orderpriority)), ',') AS pris
+        FROM (SELECT * FROM orders WHERE o_orderpriority
+                IN ('1-URGENT', '2-HIGH') ) t
+        GROUP BY o_orderstatus
+        HAVING ARRAY_OVERLAP(ARRAY_AGG(DISTINCT o_orderpriority),
+                             ARRAY['1-URGENT'])
+        ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus,
+               array_to_string(list_sort(
+                 array_agg(DISTINCT o_orderpriority)), ',') AS pris
+        FROM (SELECT * FROM orders WHERE o_orderpriority
+                IN ('1-URGENT', '2-HIGH')) t
+        GROUP BY o_orderstatus
+        HAVING len(list_intersect(array_agg(DISTINCT o_orderpriority),
+                                  ['1-URGENT'])) > 0
+        ORDER BY o_orderstatus"""),
+    # LPAD/RPAD zero/shrink edges (PadOperatorConversion)
+    "sqlc_pad_edges": ("""
+        SELECT LPAD('abc', 0, 'x') AS zero,
+               LPAD('abcdef', 3, 'x') AS shrink,
+               RPAD('ab', 5, 'xy') AS grow
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT '' AS zero, 'abc' AS shrink, 'abxyx' AS grow
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
