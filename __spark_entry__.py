@@ -1253,6 +1253,32 @@ def q_sys_segments_sql(spark, sf):
         GROUP BY datasource ORDER BY datasource""")
 
 
+def q_information_schema_tables(spark, sf):
+    """INFORMATION_SCHEMA.TABLES analog (InformationSchema.java
+    TablesTable; testInformationSchemaTables): the registered
+    datasource catalog as a queryable view."""
+    eng = _engine(spark, sf)
+    eng.create_system_views()
+    return eng.spark.sql("""
+        SELECT TABLE_NAME, TABLE_TYPE
+        FROM information_schema_tables
+        WHERE TABLE_NAME IN ('region', 'nation', 'events', 'documents')
+        ORDER BY TABLE_NAME""")
+
+
+def q_agg_on_information_schema(spark, sf):
+    """Aggregators over INFORMATION_SCHEMA.COLUMNS
+    (testAggregatorsOnInformationSchemaColumns): count columns per
+    table through plain SQL aggregation of the metadata view."""
+    eng = _engine(spark, sf)
+    eng.create_system_views()
+    return eng.spark.sql("""
+        SELECT TABLE_NAME, count(*) AS n_cols
+        FROM information_schema_columns
+        WHERE TABLE_NAME IN ('region', 'nation', 'customer')
+        GROUP BY TABLE_NAME ORDER BY TABLE_NAME""")
+
+
 def q_sys_schema(spark, sf):
     """INFORMATION_SCHEMA.COLUMNS analog
     (sql/calcite/schema/InformationSchema.java; SystemSchema.java:105
@@ -6379,6 +6405,45 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM region ORDER BY r_regionkey LIMIT 1""", """
         SELECT '' AS zero, 'abc' AS shrink, 'abxyx' AS grow
         FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # ---- batch 32: time-extract filters / numeric-literal filters ----
+    # testFilterOnTimeExtractWithMultipleDays
+    "sqlc_time_extract_multi_days": ("""
+        SELECT count(*) AS n FROM events
+        WHERE TIME_EXTRACT(ts, 'DAY') IN (2, 3, 5)""", """
+        SELECT count(*) AS n FROM events
+        WHERE EXTRACT(DAY FROM ts) IN (2, 3, 5)"""),
+    # testGroupByExtractFloorTime (EXTRACT of a floored time)
+    "sqlc_extract_of_floor_time": ("""
+        SELECT EXTRACT(YEAR FROM FLOOR(o_orderdate TO YEAR)) AS y,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", """
+        SELECT CAST(EXTRACT(YEAR FROM date_trunc('year', o_orderdate))
+                    AS BIGINT) AS y,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    # testTimeseriesDescending
+    "sqlc_timeseries_descending": ("""
+        SELECT TIME_FLOOR(ts, 'P1D') AS d, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY d DESC LIMIT 5""", """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS d, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY d DESC LIMIT 5"""),
+    # testCountStarWithLongColumnFiltersOnFloatLiterals (long col
+    # compared to fractional literal — no row matches x = 7.5)
+    "sqlc_long_col_float_literal": ("""
+        SELECT COUNT(*) FILTER (WHERE p_size = 7.0) AS eq7,
+               COUNT(*) FILTER (WHERE p_size = 7.5) AS eq75,
+               COUNT(*) FILTER (WHERE p_size > 7.5) AS gt75
+        FROM part""", None),
+    # testRemoveUselessCaseWhen (constant-true branch folds away)
+    "sqlc_useless_case_when": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE CASE WHEN 1 = 1 THEN o_orderstatus = 'F' ELSE FALSE END""",
+        """
+        SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'"""),
+    # testCountStarWithLongColumnFiltersForceRange (closed long range)
+    "sqlc_long_range_filter": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderkey >= 100 AND o_orderkey <= 200""", None),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
@@ -6473,6 +6538,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_lookup_fn": q_sql_lookup_fn,
         "time_boundary_max_only": q_time_boundary_max_only,
         "sys_segments_sql": q_sys_segments_sql,
+        "information_schema_tables": q_information_schema_tables,
+        "agg_on_information_schema": q_agg_on_information_schema,
         "search_regex_spec": q_search_regex_spec,
         "ts_postagg_ratio": q_ts_postagg_ratio,
         "topn_postagg_metric": q_topn_postagg_metric,
@@ -6793,6 +6860,16 @@ def _base_oracle_sql() -> dict[str, str]:
         "time_boundary_max_only": """
             SELECT max(ts) AS maxTime FROM events
             WHERE event_type = 'purchase'""",
+        "information_schema_tables": """
+            SELECT t AS TABLE_NAME, 'TABLE' AS TABLE_TYPE FROM (
+              SELECT 'documents' AS t UNION ALL SELECT 'events'
+              UNION ALL SELECT 'nation' UNION ALL SELECT 'region') x
+            ORDER BY TABLE_NAME""",
+        "agg_on_information_schema": """
+            SELECT 'customer' AS TABLE_NAME, 5 AS n_cols
+            UNION ALL SELECT 'nation', 3
+            UNION ALL SELECT 'region', 2
+            ORDER BY TABLE_NAME""",
         "sys_segments_sql": """
             SELECT 'customer' AS datasource, count(*) AS num_rows
               FROM customer
