@@ -1253,6 +1253,41 @@ def q_sys_segments_sql(spark, sf):
         GROUP BY datasource ORDER BY datasource""")
 
 
+def q_gb_having_dim_selector(spark, sf):
+    """dimSelector + filter having specs composed under OR
+    (DimensionSelectorHavingSpec.java / DimFilterHavingSpec.java —
+    having on a dimension value, not just aggregates)."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "orders",
+        "granularity": "all",
+        "dimensions": ["o_orderstatus", "o_orderpriority"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "having": {"type": "or", "havingSpecs": [
+            {"type": "dimSelector", "dimension": "o_orderstatus",
+             "value": "P"},
+            {"type": "and", "havingSpecs": [
+                {"type": "dimSelector", "dimension": "o_orderpriority",
+                 "value": "1-URGENT"},
+                {"type": "greaterThan", "aggregation": "n",
+                 "value": 900}]}]},
+        "limitSpec": {"type": "default",
+                      "columns": [{"dimension": "o_orderstatus"},
+                                  {"dimension": "o_orderpriority"}]}})
+
+
+def q_gb_month_grain(spark, sf):
+    """groupBy with a calendar granularity: time bucket joins the
+    dimension keys (GroupByQuery per-grain semantics)."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "week",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "limitSpec": {"type": "default",
+                      "columns": [{"dimension": "__time"},
+                                  {"dimension": "event_type"}]}})
+
+
 def q_information_schema_tables(spark, sf):
     """INFORMATION_SCHEMA.TABLES analog (InformationSchema.java
     TablesTable; testInformationSchemaTables): the registered
@@ -6539,6 +6574,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_boundary_max_only": q_time_boundary_max_only,
         "sys_segments_sql": q_sys_segments_sql,
         "information_schema_tables": q_information_schema_tables,
+        "gb_having_dim_selector": q_gb_having_dim_selector,
+        "gb_month_grain": q_gb_month_grain,
         "agg_on_information_schema": q_agg_on_information_schema,
         "search_regex_spec": q_search_regex_spec,
         "ts_postagg_ratio": q_ts_postagg_ratio,
@@ -6860,6 +6897,17 @@ def _base_oracle_sql() -> dict[str, str]:
         "time_boundary_max_only": """
             SELECT max(ts) AS maxTime FROM events
             WHERE event_type = 'purchase'""",
+        "gb_having_dim_selector": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders
+            GROUP BY 1, 2
+            HAVING o_orderstatus = 'P'
+                OR (o_orderpriority = '1-URGENT' AND count(*) > 900)
+            ORDER BY o_orderstatus, o_orderpriority""",
+        "gb_month_grain": """
+            SELECT date_trunc('week', ts)::TIMESTAMP AS __time,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "information_schema_tables": """
             SELECT t AS TABLE_NAME, 'TABLE' AS TABLE_TYPE FROM (
               SELECT 'documents' AS t UNION ALL SELECT 'events'
