@@ -6479,6 +6479,43 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     "sqlc_long_range_filter": ("""
         SELECT count(*) AS n FROM orders
         WHERE o_orderkey >= 100 AND o_orderkey <= 200""", None),
+    # ---- batch 33: window-in-function / null-order shapes
+    # (quidem-ut basics_window_func_in_func.iq,
+    # basics_order_by_nulls_first_last.iq) ----
+    # scalar functions wrapping window results
+    "sqlc_window_func_in_func": ("""
+        SELECT r_regionkey,
+          ABS(r_regionkey - LAG(r_regionkey, 1, 0)
+                OVER (ORDER BY r_name)) AS jump,
+          CAST(round(AVG(r_regionkey) OVER (
+                 ORDER BY r_name
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 2)
+               AS DOUBLE) AS ravg
+        FROM region ORDER BY r_name""", """
+        SELECT r_regionkey,
+          ABS(r_regionkey - LAG(r_regionkey, 1, 0)
+                OVER (ORDER BY r_name)) AS jump,
+          round(AVG(r_regionkey) OVER (
+                 ORDER BY r_name
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS ravg
+        FROM region ORDER BY r_name"""),
+    # window over a FILTER-ed aggregate (two layers of qualification)
+    "sqlc_window_over_filtered_agg": ("""
+        SELECT o_orderstatus,
+          n_urgent,
+          CAST(SUM(n_urgent) OVER (ORDER BY o_orderstatus) AS BIGINT)
+            AS running_urgent
+        FROM (SELECT o_orderstatus,
+                     COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                       AS n_urgent
+              FROM orders GROUP BY o_orderstatus) t
+        ORDER BY o_orderstatus""", None),
+    # plain ORDER BY ... NULLS FIRST / LAST arms on a nullable key
+    "sqlc_order_by_nulls_arms": ("""
+        SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 12) t
+        ORDER BY NULLIF(o_orderstatus, 'O') ASC NULLS FIRST,
+                 o_orderkey""", None),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
