@@ -6516,6 +6516,41 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 12) t
         ORDER BY NULLIF(o_orderstatus, 'O') ASC NULLS FIRST,
                  o_orderkey""", None),
+    # ---- batch 34: deep JSON path shapes (funcs_and_sql_func_json_*
+    # array-index and multi-level arms) ----
+    # path through an array index into an object
+    "sqlc_json_array_object_path": ("""
+        SELECT JSON_VALUE(doc, '$.arr[1].k') AS second_k,
+               JSON_VALUE(doc, '$.arr[0].k') AS first_k
+        FROM (SELECT '{"arr": [{"k": "a"}, {"k": "b"}]}' AS doc
+              FROM region LIMIT 1) t""", """
+        SELECT 'b' AS second_k, 'a' AS first_k
+        FROM region LIMIT 1"""),
+    # three-level object descent
+    "sqlc_json_three_levels": ("""
+        SELECT JSON_VALUE(doc, '$.a.b.c' RETURNING BIGINT) AS deep,
+               count(*) AS n
+        FROM (SELECT JSON_OBJECT(KEY 'a' VALUE JSON_OBJECT(
+                KEY 'b' VALUE JSON_OBJECT(
+                  KEY 'c' VALUE n_regionkey))) AS doc
+              FROM nation) t
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT CAST(n_regionkey AS BIGINT) AS deep, count(*) AS n
+        FROM nation GROUP BY 1 ORDER BY 1"""),
+    # JSON_VALUE over a JSON_QUERY-extracted subtree
+    "sqlc_json_value_of_query": ("""
+        SELECT JSON_VALUE(JSON_QUERY(doc, '$.inner'), '$.v') AS v
+        FROM (SELECT '{"inner": {"v": "42"}, "other": 1}' AS doc
+              FROM region LIMIT 1) t""", """
+        SELECT '42' AS v FROM region LIMIT 1"""),
+    # array-index path into scalars + negative/missing index → NULL
+    "sqlc_json_array_index_edges": ("""
+        SELECT JSON_VALUE(doc, '$.xs[2]' RETURNING BIGINT) AS third,
+               JSON_VALUE(doc, '$.xs[9]') IS NULL AS missing
+        FROM (SELECT '{"xs": [10, 20, 30]}' AS doc
+              FROM region LIMIT 1) t""", """
+        SELECT CAST(30 AS BIGINT) AS third, true AS missing
+        FROM region LIMIT 1"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
