@@ -1327,6 +1327,34 @@ def q_sys_schema(spark, sf):
         WHERE TABLE_NAME = 'nation' ORDER BY ORDINAL_POSITION""")
 
 
+def q_doc_length_profile(spark, sf):
+    """Per-language document-length profile (the curation dashboard a
+    training-data pipeline runs before filtering): count, mean, exact
+    median and p90 of n_chars by lang — pure Column aggregation, one
+    scan."""
+    docs = _engine(spark, sf).catalog.table("documents")
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+                 F.expr("percentile(n_chars, 0.5)").alias("p50"),
+                 F.expr("percentile(n_chars, 0.9)").alias("p90"))
+            .orderBy("lang"))
+
+
+def q_dedup_rate_by_source(spark, sf):
+    """Exact-duplicate rate per source (dedup planning stat): docs
+    whose full text appears more than once, as a share of the source's
+    corpus — two-level aggregation over a text-hash groupBy."""
+    docs = _engine(spark, sf).catalog.table("documents")
+    per_text = (docs.groupBy("source", F.xxhash64("text").alias("h"))
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_text.groupBy("source")
+            .agg(F.sum("c").alias("n_docs"),
+                 F.sum(F.when(F.col("c") > 1, F.col("c"))
+                       .otherwise(F.lit(0))).alias("n_duped"))
+            .orderBy("source"))
+
+
 def q_text_profile(spark, sf):
     from druid_spark.datapipe import textstats
     docs = _engine(spark, sf).catalog.table("documents")
@@ -6711,6 +6739,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_recall": q_sim_quantized_recall,
         "sim_ivf": q_sim_ivf,
         "text_profile": q_text_profile,
+        "doc_length_profile": q_doc_length_profile,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
         "text_quality_by_source": q_text_quality_by_source,
         "mm_features": q_mm_features,
         "segment_metadata": q_segment_metadata,
@@ -7371,6 +7401,19 @@ def _base_oracle_sql() -> dict[str, str]:
                           WHERE vec_id = 0)), 4) AS cos
             FROM embeddings
             ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+        "doc_length_profile": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 2) AS mean_chars,
+                   quantile_cont(n_chars, 0.5) AS p50,
+                   quantile_cont(n_chars, 0.9) AS p90
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "dedup_rate_by_source": """
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                        AS BIGINT) AS n_duped
+            FROM (SELECT source, text, count(*) AS c
+                  FROM documents GROUP BY source, text) t
+            GROUP BY source ORDER BY source""",
         "text_profile": f"""
             SELECT doc_id, {_NTOK} AS n_tokens,
                    round({_PUNCT}, 4) AS punct_ratio,
