@@ -6579,6 +6579,58 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
               FROM region LIMIT 1) t""", """
         SELECT CAST(30 AS BIGINT) AS third, true AS missing
         FROM region LIMIT 1"""),
+    # ---- batch 35: cast/datatype edges (funcs_and_sql_datatype_sql,
+    # array_sql_union_all) ----
+    # invalid cast → NULL (ANSI-off semantics, matches Druid's lenient
+    # CAST)
+    "sqlc_cast_invalid_to_null": ("""
+        SELECT CAST('abc' AS BIGINT) IS NULL AS bad_int,
+               CAST('12x' AS DOUBLE) IS NULL AS bad_dbl,
+               CAST('42' AS BIGINT) AS good
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT true AS bad_int, true AS bad_dbl,
+               CAST(42 AS BIGINT) AS good
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # boolean ↔ string casts
+    "sqlc_cast_bool_string": ("""
+        SELECT CAST(TRUE AS VARCHAR) AS t, CAST(FALSE AS VARCHAR) AS f,
+               CAST('true' AS BOOLEAN) AS bt
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT 'true' AS t, 'false' AS f, true AS bt
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # CAST(ts AS DATE) as a group key
+    "sqlc_cast_ts_to_date": ("""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 6""", """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 6"""),
+    # implicit numeric-string comparison coercion
+    "sqlc_implicit_cast_compare": ("""
+        SELECT COUNT(*) FILTER (WHERE '7' = p_size) AS s_eq,
+               COUNT(*) FILTER (WHERE p_size > '40') AS s_gt
+        FROM part""", """
+        SELECT COUNT(*) FILTER (WHERE 7 = p_size) AS s_eq,
+               COUNT(*) FILTER (WHERE p_size > 40) AS s_gt
+        FROM part"""),
+    # UNION ALL of array-producing branches, unnested and counted
+    "sqlc_array_union_all": ("""
+        SELECT tok, count(*) AS n FROM (
+          SELECT STRING_TO_MV(r_name, ' ') AS arr FROM region
+          UNION ALL
+          SELECT ARRAY['EXTRA', 'ASIA'] AS arr FROM region
+          WHERE r_regionkey = 0) t
+        CROSS JOIN UNNEST(t.arr) AS u(tok)
+        WHERE tok IN ('ASIA', 'EXTRA', 'EAST')
+        GROUP BY tok ORDER BY tok""", """
+        SELECT tok, count(*) AS n FROM (
+          SELECT string_split(r_name, ' ') AS arr FROM region
+          UNION ALL
+          SELECT ['EXTRA', 'ASIA'] AS arr FROM region
+          WHERE r_regionkey = 0) t,
+        unnest(t.arr) AS u(tok)
+        WHERE tok IN ('ASIA', 'EXTRA', 'EAST')
+        GROUP BY tok ORDER BY tok"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
