@@ -6631,6 +6631,43 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         unnest(t.arr) AS u(tok)
         WHERE tok IN ('ASIA', 'EXTRA', 'EAST')
         GROUP BY tok ORDER BY tok"""),
+    # ---- batch 36: grouping/ordering remainder ----
+    # HAVING on the GROUPING() indicator itself
+    "sqlc_grouping_sets_having_grouping": ("""
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), ())
+        HAVING GROUPING(o_orderstatus) = 0
+        ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""),
+    # ORDER BY an aggregate that is not projected
+    "sqlc_order_by_unprojected_agg": ("""
+        SELECT o_orderpriority
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY count(*) DESC, o_orderpriority LIMIT 3""", None),
+    # COUNT(*) vs COUNT(1) vs COUNT(col) vs COUNT(nullable col)
+    "sqlc_count_forms_matrix": ("""
+        SELECT count(*) AS c_star, count(1) AS c_one,
+               count(o_orderstatus) AS c_col,
+               count(NULLIF(o_orderstatus, 'O')) AS c_nullable
+        FROM orders""", None),
+    # INTERSECT/EXCEPT against aggregated branches
+    "sqlc_setops_on_aggregates": ("""
+        SELECT count(*) AS n FROM (
+          SELECT o_custkey FROM orders GROUP BY o_custkey
+            HAVING count(*) >= 25
+          INTERSECT
+          SELECT c_custkey FROM customer WHERE c_acctbal > 0) t""",
+        None),
+    # EXCEPT ALL (multiset difference)
+    "sqlc_except_all": ("""
+        SELECT count(*) AS n FROM (
+          SELECT l_linenumber FROM lineitem WHERE l_orderkey < 100
+          EXCEPT ALL
+          SELECT l_linenumber FROM lineitem WHERE l_orderkey < 50) t""",
+        None),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
