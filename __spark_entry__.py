@@ -6668,6 +6668,41 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           EXCEPT ALL
           SELECT l_linenumber FROM lineitem WHERE l_orderkey < 50) t""",
         None),
+    # ---- batch 37: analytical composition patterns ----
+    # month-over-month delta via LAG over an aggregated series
+    "sqlc_lag_month_over_month": ("""
+        SELECT m, n,
+               n - LAG(n) OVER (ORDER BY m) AS delta
+        FROM (SELECT TIME_FLOOR(o_orderdate, 'P1M') AS m,
+                     count(*) AS n
+              FROM orders GROUP BY 1) t
+        ORDER BY m LIMIT 12""", """
+        SELECT m, n, n - LAG(n) OVER (ORDER BY m) AS delta
+        FROM (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS m,
+                     count(*) AS n
+              FROM orders GROUP BY 1) t
+        ORDER BY m LIMIT 12"""),
+    # ratio-to-report: share of total via window over aggregate
+    "sqlc_pct_of_total": ("""
+        SELECT c_mktsegment,
+               CAST(round(100.0 * SUM(c_acctbal)
+                 / SUM(SUM(c_acctbal)) OVER (), 3) AS DOUBLE) AS pct
+        FROM customer GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""", """
+        SELECT c_mktsegment,
+               round(100.0 * SUM(c_acctbal)
+                 / SUM(SUM(c_acctbal)) OVER (), 3) AS pct
+        FROM customer GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""),
+    # latest-row-per-key dedup via ROW_NUMBER = 1
+    "sqlc_latest_per_key_dedup": ("""
+        SELECT user_id, event_id FROM (
+          SELECT user_id, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rn
+          FROM events WHERE user_id < 20) t
+        WHERE rn = 1 ORDER BY user_id""", None),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
