@@ -6703,6 +6703,53 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                    AS rn
           FROM events WHERE user_id < 20) t
         WHERE rn = 1 ORDER BY user_id""", None),
+    # ---- batch 38: CalciteSimpleQueryTest time+dim ordering matrix ----
+    # testGroupByDimAndTimeOrderByTimeAndDim
+    "sqlc_dim_time_order_time_dim": ("""
+        SELECT event_type, TIME_FLOOR(ts, 'P1D') AS d, count(*) AS n
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-04'
+        GROUP BY 1, 2 ORDER BY d, event_type""", """
+        SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS d,
+               count(*) AS n
+        FROM events WHERE ts < TIMESTAMP '2024-01-04'
+        GROUP BY 1, 2 ORDER BY d, event_type"""),
+    # testGroupByTimeAndDimOrderByDimDesc
+    "sqlc_time_dim_order_dim_desc": ("""
+        SELECT TIME_FLOOR(ts, 'P1D') AS d, event_type, count(*) AS n
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-03'
+        GROUP BY 1, 2 ORDER BY event_type DESC, d""", """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+               count(*) AS n
+        FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        GROUP BY 1, 2 ORDER BY event_type DESC, d"""),
+    # testGroupByDimAndTimeWhereOnTime (WHERE restricts the time key)
+    "sqlc_dim_time_where_on_time": ("""
+        SELECT event_type, TIME_FLOOR(ts, 'P1D') AS d, count(*) AS n
+        FROM events
+        WHERE TIME_FLOOR(ts, 'P1D') = TIMESTAMP '2024-01-05'
+        GROUP BY 1, 2 ORDER BY 1""", """
+        SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS d,
+               count(*) AS n
+        FROM events
+        WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-05'
+        GROUP BY 1, 2 ORDER BY 1"""),
+    # testEarliestByLatestByWithExpression (agg over computed value,
+    # ordered by a computed time)
+    "sqlc_earliest_latest_expression": ("""
+        SELECT event_type,
+               EARLIEST_BY(UPPER(event_type) || '-' ||
+                           CAST(event_id AS VARCHAR),
+                           TIME_EXTRACT(ts, 'EPOCH') * 1000000
+                             + event_id) AS first_tag
+        FROM events GROUP BY event_type ORDER BY event_type""", """
+        SELECT event_type,
+               min_by(UPPER(event_type) || '-' ||
+                      CAST(event_id AS VARCHAR),
+                      CAST(epoch(ts) AS BIGINT) * 1000000 + event_id)
+                 AS first_tag
+        FROM events GROUP BY event_type ORDER BY event_type"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
