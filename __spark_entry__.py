@@ -1253,6 +1253,23 @@ def q_sys_segments_sql(spark, sf):
         GROUP BY datasource ORDER BY datasource""")
 
 
+def q_vc_hof_expression(spark, sf):
+    """Native expression-language HOFs (ApplyFunction.java map/fold)
+    inside a virtual column: total token length per name computed with
+    fold over map, grouped and aggregated."""
+    return _engine(spark, sf).query({
+        "queryType": "groupBy", "dataSource": "region",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "tok_chars",
+            "expression": ("fold((t, acc) -> acc + strlen(t), "
+                           "string_to_array(r_name, ' '), 0)")}],
+        "dimensions": ["r_name", "tok_chars"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "limitSpec": {"type": "default",
+                      "columns": [{"dimension": "r_name"}]}})
+
+
 def q_gb_having_dim_selector(spark, sf):
     """dimSelector + filter having specs composed under OR
     (DimensionSelectorHavingSpec.java / DimFilterHavingSpec.java —
@@ -6846,6 +6863,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sys_segments_sql": q_sys_segments_sql,
         "information_schema_tables": q_information_schema_tables,
         "gb_having_dim_selector": q_gb_having_dim_selector,
+        "vc_hof_expression": q_vc_hof_expression,
         "gb_month_grain": q_gb_month_grain,
         "agg_on_information_schema": q_agg_on_information_schema,
         "search_regex_spec": q_search_regex_spec,
@@ -7170,6 +7188,12 @@ def _base_oracle_sql() -> dict[str, str]:
         "time_boundary_max_only": """
             SELECT max(ts) AS maxTime FROM events
             WHERE event_type = 'purchase'""",
+        "vc_hof_expression": """
+            SELECT r_name,
+                   CAST(len(replace(r_name, ' ', '')) AS BIGINT)
+                     AS tok_chars,
+                   count(*) AS n
+            FROM region GROUP BY 1, 2 ORDER BY r_name""",
         "gb_having_dim_selector": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n
             FROM orders
