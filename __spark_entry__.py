@@ -6767,6 +6767,42 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                       CAST(epoch(ts) AS BIGINT) * 1000000 + event_id)
                  AS first_tag
         FROM events GROUP BY event_type ORDER BY event_type"""),
+    # ---- batch 39: time-floor comparison arms / grand-total having ----
+    # testHavingOnGrandTotal (HAVING with no GROUP BY)
+    "sqlc_having_on_grand_total": ("""
+        SELECT count(*) AS n, CAST(round(SUM(o_totalprice), 2) AS DOUBLE)
+                 AS total
+        FROM orders HAVING count(*) > 10""", """
+        SELECT count(*) AS n, round(SUM(o_totalprice), 2) AS total
+        FROM orders HAVING count(*) > 10"""),
+    # testFilterOnNotTimeFloor
+    "sqlc_filter_not_time_floor": ("""
+        SELECT count(*) AS n FROM events
+        WHERE TIME_FLOOR(ts, 'P1D') <> TIMESTAMP '2024-01-05'""", """
+        SELECT count(*) AS n FROM events
+        WHERE date_trunc('day', ts) <> TIMESTAMP '2024-01-05'"""),
+    # testFilterOnTimeFloorComparisonMisaligned (bound not on a bucket
+    # boundary — floor(ts) > mid-day instant)
+    "sqlc_time_floor_misaligned_bound": ("""
+        SELECT count(*) AS n FROM events
+        WHERE TIME_FLOOR(ts, 'P1D') > TIMESTAMP '2024-01-05 12:00:00'""",
+        """
+        SELECT count(*) AS n FROM events
+        WHERE date_trunc('day', ts) > TIMESTAMP '2024-01-05 12:00:00'"""),
+    # testCountStarWithBetweenFloorTimeFilter
+    "sqlc_between_floor_time": ("""
+        SELECT count(*) AS n FROM events
+        WHERE FLOOR(ts TO DAY) BETWEEN TIMESTAMP '2024-01-03'
+                                   AND TIMESTAMP '2024-01-06'""", """
+        SELECT count(*) AS n FROM events
+        WHERE date_trunc('day', ts) BETWEEN TIMESTAMP '2024-01-03'
+                                        AND TIMESTAMP '2024-01-06'"""),
+    # testExactCountDistinctUsingSubqueryOnUnionAllTables
+    "sqlc_cd_over_union_all": ("""
+        SELECT COUNT(DISTINCT k) AS n FROM (
+          SELECT o_custkey AS k FROM orders
+          UNION ALL
+          SELECT c_custkey AS k FROM customer) t""", None),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
