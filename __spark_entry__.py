@@ -6803,6 +6803,64 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           SELECT o_custkey AS k FROM orders
           UNION ALL
           SELECT c_custkey AS k FROM customer) t""", None),
+    # ---- batch 40: named WINDOW clause shapes (DrillWindowQueryTest
+    # aggregates/frameclause corpus) ----
+    # WINDOW w AS (...) reused by several functions
+    "sqlc_named_window_clause": ("""
+        SELECT o_orderstatus, o_orderkey,
+          COUNT(*) OVER w AS c,
+          CAST(round(SUM(o_totalprice) OVER w, 2) AS DOUBLE) AS s,
+          FIRST_VALUE(o_orderkey) OVER w AS fv
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 20) t
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey""", """
+        SELECT o_orderstatus, o_orderkey,
+          COUNT(*) OVER w AS c,
+          round(SUM(o_totalprice) OVER w, 2) AS s,
+          FIRST_VALUE(o_orderkey) OVER w AS fv
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 20) t
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey"""),
+    # window in subquery + outer window over its result (aggOWnFn_1.q)
+    "sqlc_window_over_window_subquery": ("""
+        SELECT o_orderkey, nt,
+          LEAD(nt) OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_orderkey) AS next_nt
+        FROM (SELECT o_orderkey, o_orderstatus,
+                     NTILE(3) OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_orderkey) AS nt
+              FROM (SELECT * FROM orders ORDER BY o_orderkey
+                    LIMIT 18) x) sub
+        ORDER BY o_orderkey""", None),
+    # peers-only RANGE CURRENT ROW frame vs running ROWS frame
+    # (mulwind_01.q mixed-frame projection)
+    "sqlc_window_peers_frame": ("""
+        SELECT l_linenumber,
+          CAST(round(MIN(l_quantity) OVER (
+                 ORDER BY l_linenumber
+                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW), 2)
+               AS DOUBLE) AS peer_min,
+          CAST(round(MAX(l_quantity) OVER (
+                 ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS DOUBLE) AS run_max
+        FROM (SELECT l_linenumber, l_quantity FROM lineitem
+              WHERE l_orderkey < 40) t
+        ORDER BY l_linenumber, peer_min, run_max""", """
+        SELECT l_linenumber,
+          round(MIN(l_quantity) OVER (
+                 ORDER BY l_linenumber
+                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW), 2)
+            AS peer_min,
+          round(MAX(l_quantity) OVER (
+                 ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS run_max
+        FROM (SELECT l_linenumber, l_quantity FROM lineitem
+              WHERE l_orderkey < 40) t
+        ORDER BY l_linenumber, peer_min, run_max"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
