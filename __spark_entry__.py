@@ -6861,6 +6861,25 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM (SELECT l_linenumber, l_quantity FROM lineitem
               WHERE l_orderkey < 40) t
         ORDER BY l_linenumber, peer_min, run_max"""),
+    # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
+    # line + block comments inside the statement
+    "sqlc_sql_comments": ("""
+        SELECT /* leading block comment */ r_name, -- trailing line
+               count(*) AS n  /* mid */
+        FROM region -- the dim table
+        GROUP BY r_name ORDER BY r_name /* tail */""", """
+        SELECT r_name, count(*) AS n
+        FROM region GROUP BY r_name ORDER BY r_name"""),
+    # lower-case Druid function spellings resolve identically
+    "sqlc_lowercase_fn_names": ("""
+        select time_floor(ts, 'P1D') as d,
+               mv_to_string(string_to_mv('a|b', '|'), ',') as mv,
+               safe_divide(10, 4) as q,
+               count(*) as n
+        from events group by 1, 2, 3 order by 1 limit 3""", """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+               'a,b' AS mv, 2.5 AS q, count(*) AS n
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1 LIMIT 3"""),
     # CalciteSelectQueryTest: constant expression select (no table refs
     # beyond a 1-row anchor)
     "sqlc_select_constants": ("""
