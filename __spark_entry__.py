@@ -2247,6 +2247,23 @@ def q_spatial_filter(spark, sf):
         "aggregations": [{"type": "count", "name": "n"}]})
 
 
+def q_spatial_radius(spark, sf):
+    """radius spatial bound (spatial/filter/RadiusBound.java):
+    points within euclidean distance of a center, coordinates
+    synthesized like the rectangular entry."""
+    return _engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "part",
+        "granularity": "all",
+        "virtualColumns": [{"type": "expression", "name": "loc",
+                            "expression":
+                                "concat(cast(p_size, 'STRING'), ',', "
+                                "cast(p_partkey % 100, 'STRING'))"}],
+        "filter": {"type": "spatial", "dimension": "loc",
+                   "bound": {"type": "radius",
+                             "coords": [25.0, 50.0], "radius": 15.0}},
+        "aggregations": [{"type": "count", "name": "n"}]})
+
+
 def q_gb_array_dim(spark, sf):
     """grouping on a true ARRAY-typed key (outputType ARRAY<STRING> —
     arrayIngestMode=array semantics): the whole array is the group key,
@@ -6977,6 +6994,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "information_schema_tables": q_information_schema_tables,
         "gb_having_dim_selector": q_gb_having_dim_selector,
         "vc_hof_expression": q_vc_hof_expression,
+        "spatial_radius": q_spatial_radius,
         "gb_month_grain": q_gb_month_grain,
         "agg_on_information_schema": q_agg_on_information_schema,
         "search_regex_spec": q_search_regex_spec,
@@ -7846,6 +7864,11 @@ def _base_oracle_sql() -> dict[str, str]:
         "spatial_polygon": """
             SELECT count(*) AS n FROM part
             WHERE abs(p_size - 25) + abs(p_partkey % 100 - 50) <= 20""",
+        "spatial_radius": """
+            SELECT count(*) AS n FROM part
+            WHERE (p_size - 25.0) * (p_size - 25.0)
+                  + (p_partkey % 100 - 50.0) * (p_partkey % 100 - 50.0)
+                  <= 225.0""",
         "restrict_datasource": """
             SELECT o_orderstatus, count(*) AS n FROM orders
             WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 1000
