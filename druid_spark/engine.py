@@ -175,6 +175,21 @@ class DruidSparkEngine:
                                                    rewrite_extern,
                                                    run_export_sql,
                                                    run_ingest_sql)
+        # Multi-statement SET context (SqlStatementFactory /
+        # testMultiStatementSetsContext): leading `SET k = v;`
+        # statements become query context for the trailing SELECT.
+        # Honored key: useApproximateCountDistinct (flips the
+        # exact/approx compile mode per statement); other keys are
+        # accepted and ignored like unknown context fields. Values must
+        # be literals (the reference errors on non-literal SETs).
+        set_ctx: dict[str, str] = {}
+        sm = _re.match(r"\s*((?:SET\s+[\w.]+\s*=\s*[^;]+;\s*)+)(.*)$",
+                       text, _re.S | _re.I)
+        if sm:
+            for kv in _re.findall(r"SET\s+([\w.]+)\s*=\s*([^;]+);",
+                                  sm.group(1), _re.I):
+                set_ctx[kv[0]] = kv[1].strip().strip("'\"")
+            text = sm.group(2)
         m = _EXPLAIN_RE.match(text)
         if m:
             return self._explain(m.group("q"))
@@ -198,8 +213,10 @@ class DruidSparkEngine:
             for name in self.catalog.tables():
                 self.catalog.table(name).createOrReplaceTempView(name)
             _SQL_VIEWS_STAMP[self.spark] = stamp
-        return self.spark.sql(rewrite_druid_sql(text,
-                                                exact=self.exact_approx))
+        exact = self.exact_approx
+        if "useApproximateCountDistinct" in set_ctx:
+            exact = set_ctx["useApproximateCountDistinct"].lower() != "true"
+        return self.spark.sql(rewrite_druid_sql(text, exact=exact))
 
     @staticmethod
     def _table_word_re(t: str):

@@ -400,3 +400,23 @@ def test_group_by_empty_parens(engine):
         "SELECT count(*) AS n, max(r_regionkey) AS mx "
         "FROM region GROUP BY ()").collect()
     assert rows[0]["n"] == 5 and rows[0]["mx"] == 4
+
+
+def test_multi_statement_set_context(engine):
+    """Leading SET statements become query context
+    (SqlStatementFactory multi-statement form;
+    testMultiStatementSetsContext): useApproximateCountDistinct flips
+    the APPROX_COUNT_DISTINCT compile mode per statement."""
+    exact = engine.sql(
+        "SET useApproximateCountDistinct = false; "
+        "SELECT APPROX_COUNT_DISTINCT(n_nationkey) AS n FROM nation"
+    ).collect()[0]["n"]
+    assert exact == 25  # exact mode: COUNT(DISTINCT)
+    approx = engine.sql(
+        "SET useApproximateCountDistinct = true; "
+        "SET sqlQueryId = 'abc'; "
+        "SELECT APPROX_COUNT_DISTINCT(n_nationkey) AS n FROM nation"
+    ).collect()[0]["n"]
+    assert 20 <= approx <= 30  # HLL estimate
+    # plain statements are unaffected
+    assert engine.sql("SELECT 1 AS x").collect()[0]["x"] == 1
