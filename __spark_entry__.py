@@ -6878,6 +6878,15 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM (SELECT l_linenumber, l_quantity FROM lineitem
               WHERE l_orderkey < 40) t
         ORDER BY l_linenumber, peer_min, run_max"""),
+    # testMultiStatementSetsContext: SET statements ahead of the query
+    "sqlc_multi_statement_set": ("""
+        SET useApproximateCountDistinct = false;
+        SET sqlQueryId = 'bank-set-1';
+        SELECT o_orderstatus,
+               APPROX_COUNT_DISTINCT(o_custkey) AS cd
+        FROM orders GROUP BY 1 ORDER BY 1""", """
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cd
+        FROM orders GROUP BY 1 ORDER BY 1"""),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
