@@ -476,6 +476,14 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             text = _bind_parameters(text, body.get("parameters"))
             df = self.engine.sql(text)
+            # context.sqlOuterLimit (SqlResource/SqlLifecycle: wrap the
+            # statement in an outer LIMIT — the web console's safety cap)
+            try:
+                outer = int(ctx.get("sqlOuterLimit", 0))
+                if outer > 0:
+                    df = df.limit(outer)
+            except (TypeError, ValueError):
+                pass
             cols = df.columns
             if fmt in ("objectLines", "arrayLines"):
                 # stream: never materialize a big export driver-side

@@ -318,3 +318,13 @@ def test_native_etag_304(server):
     q2 = dict(q, dataSource="orders")
     status, _, headers2 = _post(server, "/druid/v2", q2)
     assert status == 200 and headers2.get("ETag") != etag
+
+
+def test_sql_outer_limit(server):
+    """context.sqlOuterLimit caps the result set (SqlLifecycle outer
+    limit — the console's safety cap)."""
+    status, rows, _ = _post(server, "/druid/v2/sql", {
+        "query": "SELECT n_nationkey FROM nation ORDER BY n_nationkey",
+        "context": {"sqlOuterLimit": 4}})
+    assert status == 200 and len(rows) == 4
+    assert rows[-1]["n_nationkey"] == 3
