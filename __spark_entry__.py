@@ -6887,6 +6887,40 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM orders GROUP BY 1 ORDER BY 1""", """
         SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cd
         FROM orders GROUP BY 1 ORDER BY 1"""),
+    # ---- batch 42: CalciteCorrelatedQueryTest remainder ----
+    # testCorrelatedSubqueryWithLeftFilter: correlated max-daily-count
+    # scalar subquery under an outer filter
+    "sqlc_correlated_max_daily": ("""
+        SELECT event_type,
+               (SELECT MAX(users) FROM (
+                  SELECT TIME_FLOOR(f.ts, 'P1D') AS d,
+                         count(*) AS users
+                  FROM events f
+                  WHERE f.event_type = e.event_type
+                  GROUP BY 1) mx) AS peak_daily
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE ts < TIMESTAMP '2024-01-10') e
+        ORDER BY event_type""", """
+        SELECT event_type,
+               (SELECT MAX(users) FROM (
+                  SELECT date_trunc('day', f.ts) AS d,
+                         count(*) AS users
+                  FROM events f
+                  WHERE f.event_type = e.event_type
+                  GROUP BY 1) mx) AS peak_daily
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE ts < TIMESTAMP '2024-01-10') e
+        ORDER BY event_type"""),
+    # testCorrelatedSubqueryWithCorrelatedQueryFilter: correlated
+    # EXISTS whose body itself filters on the outer row
+    "sqlc_correlated_query_filter": ("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > c.c_acctbal * 10)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""", None),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
