@@ -5513,11 +5513,12 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     "sqlc_false_filter_global_agg": ("""
         SELECT count(*) AS n, max(o_totalprice) AS mx
         FROM orders WHERE 1 = 0""", None),
-    # testInGroupByLimitOutGroupByOrderBy (inner limit, outer reorder)
+    # testInGroupByLimitOutGroupByOrderBy (inner limit, outer reorder;
+    # st tiebreak keeps the top-2 deterministic under equal counts)
     "sqlc_in_limit_out_order": ("""
         SELECT st, n FROM (
           SELECT o_orderstatus AS st, count(*) AS n
-          FROM orders GROUP BY 1 ORDER BY n DESC LIMIT 2) t
+          FROM orders GROUP BY 1 ORDER BY n DESC, st LIMIT 2) t
         ORDER BY st ASC""", None),
     # testSumOfExtractionFn (aggregate over a string extraction)
     "sqlc_sum_of_extraction": ("""
