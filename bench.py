@@ -474,15 +474,21 @@ def main():
         big = spark.read.parquet(cache600)
         nbig = big.count()
         big.agg(F.sum("v")).collect()  # untimed: page-cache + codegen warm
-        for key, expr in (("count_star", F.count(F.lit(1))),
-                          ("sum_double", F.sum("v"))):
-            best = float("inf")
-            for _ in range(5):  # best-of-5: this section is the
-                t0 = time.time()  # headline vs-baseline number and the
-                big.agg(expr).collect()  # host is periodically contended
-                best = min(best, time.time() - t0)
+        # Interleaved best-of-7: this section is the headline
+        # vs-baseline number and host contention arrives in bursts —
+        # interleaving the two metrics keeps one burst from poisoning
+        # a whole metric's iterations
+        exprs = {"count_star": F.count(F.lit(1)),
+                 "sum_double": F.sum("v")}
+        best = {k: float("inf") for k in exprs}
+        for _ in range(7):
+            for key, expr in exprs.items():
+                t0 = time.time()
+                big.agg(expr).collect()
+                best[key] = min(best[key], time.time() - t0)
+        for key in exprs:
             asymptotic[f"{key}_rows_per_sec_per_core"] = round(
-                nbig / best / CPUS)
+                nbig / best[key] / CPUS)
         asymptotic["rows"] = nbig
         asymptotic["vs_baseline_count"] = round(
             asymptotic["count_star_rows_per_sec_per_core"] / 53_539_211, 3)
