@@ -6922,6 +6922,30 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           WHERE o.o_custkey = c.c_custkey
             AND o.o_totalprice > c.c_acctbal * 10)
         GROUP BY c_mktsegment ORDER BY c_mktsegment""", None),
+    # ---- batch 43: outer-join arms (sql_join quidem family) ----
+    # FULL OUTER JOIN with COALESCE'd keys and null-extended aggregates
+    "sqlc_full_outer_join_agg": ("""
+        SELECT COALESCE(a.k, b.k) AS k, a.n_cust, b.n_supp
+        FROM (SELECT c_nationkey AS k, count(*) AS n_cust
+              FROM customer WHERE c_nationkey < 5 GROUP BY 1) a
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS k, count(*) AS n_supp
+              FROM supplier WHERE s_nationkey BETWEEN 3 AND 8
+              GROUP BY 1) b
+          ON a.k = b.k
+        ORDER BY k""", None),
+    # RIGHT JOIN with unmatched left side
+    "sqlc_right_join_unmatched": ("""
+        SELECT r.r_name, t.n
+        FROM (SELECT n_regionkey AS k, count(*) AS n
+              FROM nation WHERE n_regionkey < 2 GROUP BY 1) t
+        RIGHT JOIN region r ON t.k = r.r_regionkey
+        ORDER BY r.r_name""", None),
+    # explicit CROSS JOIN, small x small, ordered + limited
+    "sqlc_cross_join_limit": ("""
+        SELECT a.r_name AS ra, b.r_name AS rb
+        FROM region a CROSS JOIN region b
+        ORDER BY ra, rb LIMIT 7""", None),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
