@@ -6946,6 +6946,28 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT a.r_name AS ra, b.r_name AS rb
         FROM region a CROSS JOIN region b
         ORDER BY ra, rb LIMIT 7""", None),
+    # ---- batch 44: ANSI alternate syntaxes + sketch name aliases ----
+    # TDIGEST_QUANTILE alias family (audited to the same percentile
+    # compilation as APPROX_QUANTILE_DS)
+    "sqlc_tdigest_alias": ("""
+        SELECT CAST(round(TDIGEST_QUANTILE(o_totalprice, 0.5), 2)
+                    AS DOUBLE) AS med
+        FROM orders""", """
+        SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS med
+        FROM orders"""),
+    # ANSI SUBSTRING FROM ... FOR ... spelling
+    "sqlc_substring_from_for": ("""
+        SELECT SUBSTRING(r_name FROM 2 FOR 3) AS mid,
+               SUBSTRING(r_name FROM 3) AS tail
+        FROM region ORDER BY r_name""", """
+        SELECT r_name[2:4] AS mid, r_name[3:] AS tail
+        FROM region ORDER BY r_name"""),
+    # OVERLAY ... PLACING ... FROM
+    "sqlc_overlay_placing": ("""
+        SELECT OVERLAY(r_name PLACING '##' FROM 2 FOR 2) AS ov
+        FROM region ORDER BY r_name""", """
+        SELECT r_name[1:1] || '##' || r_name[4:] AS ov
+        FROM region ORDER BY r_name"""),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
