@@ -6968,6 +6968,36 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM region ORDER BY r_name""", """
         SELECT r_name[1:1] || '##' || r_name[4:] AS ov
         FROM region ORDER BY r_name"""),
+    # ---- batch 45: grouping-set limits / expression partitions ----
+    # testGroupingSetsWithLimitOrderByGran (subtotal rows ordered by
+    # grouping level then dim, limited)
+    "sqlc_grouping_sets_limit_gran": ("""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus, o_orderpriority) AS g,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g DESC, o_orderstatus NULLS LAST,
+                 o_orderpriority NULLS LAST
+        LIMIT 6""", """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS g,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g DESC, o_orderstatus NULLS LAST,
+                 o_orderpriority NULLS LAST
+        LIMIT 6"""),
+    # window partitioned by an expression of the column
+    "sqlc_window_expr_partition": ("""
+        SELECT o_orderkey,
+          COUNT(*) OVER (PARTITION BY UPPER(o_orderstatus)
+                         ORDER BY o_orderkey) AS cnt_in_status
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 15) t
+        ORDER BY o_orderkey""", None),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
