@@ -588,6 +588,12 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = _rewrite_call(out, "TIME_FLOOR", _time_floor_ceil("TIME_FLOOR"))
     out = _rewrite_call(out, "TIME_CEIL", _time_floor_ceil("TIME_CEIL"))
     out = _rewrite_call(out, "TIME_SHIFT", _time_shift_tz)
+    # multi-arg GROUPING(a, b, ...) (Calcite/Druid spelling) is Spark's
+    # GROUPING_ID; 1-arg GROUPING stays native
+    out = _rewrite_call(
+        out, "GROUPING",
+        lambda args: (f"GROUPING_ID({', '.join(args)})"
+                      if len(args) > 1 else None))
     # Druid LTRIM/RTRIM(expr, chars) vs Spark's deprecated 2-arg
     # (trimStr, str) REVERSED argument order — rewrite to the
     # unambiguous TRIM(LEADING/TRAILING chars FROM expr) form
