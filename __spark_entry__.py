@@ -6998,6 +6998,26 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                          ORDER BY o_orderkey) AS cnt_in_status
         FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 15) t
         ORDER BY o_orderkey""", None),
+    # ---- batch 46: three-valued predicate operators ----
+    # IS TRUE / IS NOT TRUE over a NULL-able predicate (istrue/isfalse
+    # filter analogs)
+    "sqlc_is_true_forms": ("""
+        SELECT COUNT(*) FILTER (WHERE (NULLIF(o_totalprice, o_totalprice)
+                                       > 0) IS TRUE) AS t,
+               COUNT(*) FILTER (WHERE (NULLIF(o_totalprice, o_totalprice)
+                                       > 0) IS NOT TRUE) AS nt,
+               COUNT(*) FILTER (WHERE (o_totalprice > 0) IS TRUE) AS pt
+        FROM orders""", None),
+    # NOT BETWEEN
+    "sqlc_not_between": ("""
+        SELECT count(*) AS n FROM part
+        WHERE p_size NOT BETWEEN 10 AND 40""", None),
+    # IN list containing NULL (three-valued: never matches via NULL,
+    # NOT IN with NULL matches nothing)
+    "sqlc_in_with_null_element": ("""
+        SELECT COUNT(*) FILTER (WHERE p_size IN (7, NULL)) AS in_n,
+               COUNT(*) FILTER (WHERE p_size NOT IN (7, NULL)) AS notin_n
+        FROM part""", None),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
