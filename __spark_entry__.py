@@ -7018,6 +7018,23 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT COUNT(*) FILTER (WHERE p_size IN (7, NULL)) AS in_n,
                COUNT(*) FILTER (WHERE p_size NOT IN (7, NULL)) AS notin_n
         FROM part""", None),
+    # ---- batch 47: DATE literals / USING joins ----
+    # EXTRACT over DATE literals + DATE arithmetic
+    "sqlc_date_literal_arith": ("""
+        SELECT EXTRACT(YEAR FROM DATE '2024-03-05') AS y,
+               EXTRACT(MONTH FROM DATE '2024-03-05') AS m,
+               CAST(DATE '2024-01-01' + INTERVAL 45 DAY AS VARCHAR)
+                 AS plus45
+        FROM region ORDER BY r_regionkey LIMIT 1""", """
+        SELECT CAST(2024 AS BIGINT) AS y, CAST(3 AS BIGINT) AS m,
+               '2024-02-15' AS plus45
+        FROM region ORDER BY r_regionkey LIMIT 1"""),
+    # JOIN ... USING (shared key name)
+    "sqlc_join_using": ("""
+        SELECT count(*) AS n FROM
+          (SELECT n_regionkey AS rk, n_name FROM nation) a
+        JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
+        USING (rk)""", None),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
