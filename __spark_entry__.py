@@ -7035,6 +7035,27 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           (SELECT n_regionkey AS rk, n_name FROM nation) a
         JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
         USING (rk)""", None),
+    # ---- batch 48: CTE chains + cast ordering ----
+    # chained CTEs where the second builds on the first, UNION'd
+    "sqlc_cte_chain_union": ("""
+        WITH base AS (
+          SELECT o_orderstatus AS st, count(*) AS n
+          FROM orders GROUP BY 1),
+        doubled AS (
+          SELECT st, n * 2 AS n2 FROM base)
+        SELECT st, CAST(n AS BIGINT) AS v, 'raw' AS kind FROM base
+        UNION ALL
+        SELECT st, CAST(n2 AS BIGINT) AS v, 'x2' AS kind FROM doubled
+        ORDER BY st, kind""", None),
+    # ORDER BY a CAST of a string-rendered number (numeric, not
+    # lexicographic: 9 before 10)
+    "sqlc_order_by_cast_string": ("""
+        SELECT CAST(p_partkey AS VARCHAR) AS pk FROM part
+        WHERE p_partkey IN (9, 10, 100, 2)
+        ORDER BY CAST(CAST(p_partkey AS VARCHAR) AS BIGINT)""", """
+        SELECT CAST(p_partkey AS VARCHAR) AS pk FROM part
+        WHERE p_partkey IN (9, 10, 100, 2)
+        ORDER BY p_partkey"""),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
