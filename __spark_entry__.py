@@ -7056,6 +7056,21 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT CAST(p_partkey AS VARCHAR) AS pk FROM part
         WHERE p_partkey IN (9, 10, 100, 2)
         ORDER BY p_partkey"""),
+    # ---- batch 49: millis round-trip / LIMIT 0 ----
+    # MILLIS_TO_TIMESTAMP ∘ TIMESTAMP_TO_MILLIS identity
+    "sqlc_millis_round_trip": ("""
+        SELECT count(*) AS n FROM events
+        WHERE MILLIS_TO_TIMESTAMP(TIMESTAMP_TO_MILLIS(ts))
+              BETWEEN TIMESTAMP '2024-01-02' AND TIMESTAMP '2024-01-04'
+        """, """
+        SELECT count(*) AS n FROM events
+        WHERE make_timestamp(epoch_ms(ts) * 1000)
+              BETWEEN TIMESTAMP '2024-01-02' AND TIMESTAMP '2024-01-04'
+        """),
+    # LIMIT 0: empty result with intact schema
+    "sqlc_limit_zero": ("""
+        SELECT r_name, count(*) AS n FROM region
+        GROUP BY r_name LIMIT 0""", None),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
