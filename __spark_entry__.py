@@ -7071,6 +7071,28 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     "sqlc_limit_zero": ("""
         SELECT r_name, count(*) AS n FROM region
         GROUP BY r_name LIMIT 0""", None),
+    # ---- batch 50: final mixed shapes ----
+    # aggregate of a window result (two query levels)
+    "sqlc_agg_of_window": ("""
+        SELECT CAST(round(AVG(gap), 3) AS DOUBLE) AS avg_gap
+        FROM (SELECT o_orderkey - LAG(o_orderkey) OVER (
+                       ORDER BY o_orderkey) AS gap
+              FROM (SELECT o_orderkey FROM orders
+                    ORDER BY o_orderkey LIMIT 200) t) g
+        WHERE gap IS NOT NULL""", """
+        SELECT round(AVG(gap), 3) AS avg_gap
+        FROM (SELECT o_orderkey - LAG(o_orderkey) OVER (
+                       ORDER BY o_orderkey) AS gap
+              FROM (SELECT o_orderkey FROM orders
+                    ORDER BY o_orderkey LIMIT 200) t) g
+        WHERE gap IS NOT NULL"""),
+    # WHERE on a scalar function of two aggregating subqueries
+    "sqlc_two_scalar_subqueries": ("""
+        SELECT count(*) AS n FROM orders
+        WHERE o_totalprice >
+              (SELECT AVG(o_totalprice) FROM orders)
+          AND o_custkey <= (SELECT MAX(c_custkey) FROM customer)""",
+        None),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
