@@ -7093,6 +7093,28 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
               (SELECT AVG(o_totalprice) FROM orders)
           AND o_custkey <= (SELECT MAX(c_custkey) FROM customer)""",
         None),
+    # ---- batch 51: quantile-name arms + grouped quantiles ----
+    # APPROX_QUANTILE (approxHistogram SQL name) grouped per dimension
+    "sqlc_approx_quantile_grouped": ("""
+        SELECT l_returnflag,
+               CAST(round(APPROX_QUANTILE(l_extendedprice, 0.5), 2)
+                    AS DOUBLE) AS med,
+               CAST(round(APPROX_QUANTILE(l_extendedprice, 0.95), 2)
+                    AS DOUBLE) AS p95
+        FROM lineitem GROUP BY 1 ORDER BY 1""", """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 2) AS med,
+               round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+    # quantile of an expression (not a bare column)
+    "sqlc_quantile_of_expression": ("""
+        SELECT CAST(round(APPROX_QUANTILE_DS(
+                 l_extendedprice * (1 - l_discount), 0.9), 2) AS DOUBLE)
+                 AS p90_rev
+        FROM lineitem""", """
+        SELECT round(quantile_cont(
+                 l_extendedprice * (1 - l_discount), 0.9), 2) AS p90_rev
+        FROM lineitem"""),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
