@@ -7115,6 +7115,24 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT round(quantile_cont(
                  l_extendedprice * (1 - l_discount), 0.9), 2) AS p90_rev
         FROM lineitem"""),
+    # ---- batch 52: variance-family SQL names ----
+    "sqlc_variance_name_matrix": ("""
+        SELECT l_returnflag,
+               CAST(round(VAR_SAMP(l_quantity), 4) AS DOUBLE) AS vs,
+               CAST(round(VAR_POP(l_quantity), 4) AS DOUBLE) AS vp,
+               CAST(round(STDDEV_SAMP(l_quantity), 4) AS DOUBLE) AS ss,
+               CAST(round(STDDEV_POP(l_quantity), 4) AS DOUBLE) AS sp,
+               CAST(round(VARIANCE(l_quantity), 4) AS DOUBLE) AS v,
+               CAST(round(STDDEV(l_quantity), 4) AS DOUBLE) AS s
+        FROM lineitem GROUP BY 1 ORDER BY 1""", """
+        SELECT l_returnflag,
+               round(VAR_SAMP(l_quantity), 4) AS vs,
+               round(VAR_POP(l_quantity), 4) AS vp,
+               round(STDDEV_SAMP(l_quantity), 4) AS ss,
+               round(STDDEV_POP(l_quantity), 4) AS sp,
+               round(VAR_SAMP(l_quantity), 4) AS v,
+               round(STDDEV_SAMP(l_quantity), 4) AS s
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
