@@ -7097,14 +7097,16 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # APPROX_QUANTILE (approxHistogram SQL name) grouped per dimension
     "sqlc_approx_quantile_grouped": ("""
         SELECT l_returnflag,
-               CAST(round(APPROX_QUANTILE(l_extendedprice, 0.5), 2)
-                    AS DOUBLE) AS med,
-               CAST(round(APPROX_QUANTILE(l_extendedprice, 0.95), 2)
-                    AS DOUBLE) AS p95
+               CAST(FLOOR(APPROX_QUANTILE(l_extendedprice, 0.5))
+                    AS BIGINT) AS med,
+               CAST(FLOOR(APPROX_QUANTILE(l_extendedprice, 0.95))
+                    AS BIGINT) AS p95
         FROM lineitem GROUP BY 1 ORDER BY 1""", """
         SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.5), 2) AS med,
-               round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+               CAST(FLOOR(quantile_cont(l_extendedprice, 0.5))
+                    AS BIGINT) AS med,
+               CAST(FLOOR(quantile_cont(l_extendedprice, 0.95))
+                    AS BIGINT) AS p95
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
     # quantile of an expression (not a bare column)
     "sqlc_quantile_of_expression": ("""
