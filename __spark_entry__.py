@@ -7135,6 +7135,31 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                round(VAR_SAMP(l_quantity), 4) AS v,
                round(STDDEV_SAMP(l_quantity), 4) AS s
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
+    # ---- batch 53: residual operator combinations ----
+    # HAVING combining an aggregate and a grouped expression
+    "sqlc_having_agg_and_dim_expr": ("""
+        SELECT o_orderstatus, CHAR_LENGTH(o_orderpriority) AS plen,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+        HAVING count(*) > 500 AND CHAR_LENGTH(o_orderpriority) >= 8
+        ORDER BY 1, 2""", """
+        SELECT o_orderstatus, CAST(length(o_orderpriority) AS INT)
+                 AS plen,
+               count(*) AS n
+        FROM orders GROUP BY 1, length(o_orderpriority)
+        HAVING count(*) > 500 AND length(o_orderpriority) >= 8
+        ORDER BY 1, 2"""),
+    # DISTINCT aggregate + plain aggregate + filtered aggregate in one
+    # SELECT (three rewrite paths at once)
+    "sqlc_mixed_agg_kinds": ("""
+        SELECT COUNT(DISTINCT o_orderpriority) AS d,
+               CAST(round(SUM(o_totalprice), 0) AS BIGINT) AS s,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f
+        FROM orders""", """
+        SELECT COUNT(DISTINCT o_orderpriority) AS d,
+               CAST(round(SUM(o_totalprice), 0) AS BIGINT) AS s,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f
+        FROM orders"""),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
