@@ -7160,6 +7160,25 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(round(SUM(o_totalprice), 0) AS BIGINT) AS s,
                COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f
         FROM orders"""),
+    # ---- batch 54: time-interval RANGE frames ----
+    # sliding 2-day window over a daily series (RANGE INTERVAL frame —
+    # the time-based sliding aggregate a streaming dashboard uses)
+    "sqlc_window_range_interval": ("""
+        SELECT d, n,
+          CAST(SUM(n) OVER (ORDER BY d
+            RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_3day
+        FROM (SELECT TIME_FLOOR(ts, 'P1D') AS d, count(*) AS n
+              FROM events GROUP BY 1) t
+        ORDER BY d LIMIT 12""", """
+        SELECT d, n,
+          CAST(SUM(n) OVER (ORDER BY d
+            RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_3day
+        FROM (SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+                     count(*) AS n
+              FROM events GROUP BY 1) t
+        ORDER BY d LIMIT 12"""),
     # ---- batch 41: syntax robustness (basics_basic_syntax.iq) ----
     # line + block comments inside the statement
     "sqlc_sql_comments": ("""
