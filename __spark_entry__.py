@@ -6697,7 +6697,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           SELECT c_custkey FROM customer WHERE c_acctbal > 0) t""",
         None),
     # EXCEPT ALL (multiset difference)
-    "sqlc_except_all": ("""
+    "sqlc_except_all_multiset": ("""
         SELECT count(*) AS n FROM (
           SELECT l_linenumber FROM lineitem WHERE l_orderkey < 100
           EXCEPT ALL
@@ -7030,7 +7030,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                '2024-02-15' AS plus45
         FROM region ORDER BY r_regionkey LIMIT 1"""),
     # JOIN ... USING (shared key name)
-    "sqlc_join_using": ("""
+    "sqlc_join_using_subqueries": ("""
         SELECT count(*) AS n FROM
           (SELECT n_regionkey AS rk, n_name FROM nation) a
         JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
@@ -7068,7 +7068,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
               BETWEEN TIMESTAMP '2024-01-02' AND TIMESTAMP '2024-01-04'
         """),
     # LIMIT 0: empty result with intact schema
-    "sqlc_limit_zero": ("""
+    "sqlc_limit_zero_groupby": ("""
         SELECT r_name, count(*) AS n FROM region
         GROUP BY r_name LIMIT 0""", None),
     # ---- batch 50: final mixed shapes ----
