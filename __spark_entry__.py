@@ -7502,6 +7502,62 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey ORDER BY cntrycode""", None),
+
+    # ----------------------------------------------------------------
+    # Conformance batch 56: previously-skipped extension SQL forms —
+    # bloom-filter SQL aggregate + probe (BloomFilterSqlAggregator /
+    # BloomFilterOperatorConversion; engine-internal holder, same
+    # hashing as the native `bloom` agg/filter), arrayOfDoubles tuple
+    # SQL finalizers, and the sketch debug-string functions.
+    # ----------------------------------------------------------------
+    # BLOOM_FILTER build in a scalar subquery, BLOOM_FILTER_TEST as a
+    # WHERE probe; oracle is the exact semi-join (at m=2^18 and ~300
+    # inserted keys the false-positive probability per probe is ~6e-12)
+    "sqlc_bloom_filter_agg": ("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE BLOOM_FILTER_TEST(o_custkey,
+              (SELECT BLOOM_FILTER(c_custkey, 2000) FROM customer
+               WHERE c_mktsegment = 'BUILDING'))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""", """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    # DS_TUPLE_DOUBLES + ESTIMATE / METRICS_SUM_ESTIMATE finalizers
+    # (exact mode: estimate = distinct keys, metric totals = SUMs)
+    "sqlc_tuple_doubles_fns": ("""
+        SELECT l_returnflag,
+               DS_TUPLE_DOUBLES_ESTIMATE(
+                 DS_TUPLE_DOUBLES(l_partkey, l_quantity)) AS est,
+               transform(DS_TUPLE_DOUBLES_METRICS_SUM_ESTIMATE(
+                   DS_TUPLE_DOUBLES(l_partkey, l_quantity,
+                                    l_extendedprice)),
+                 v -> round(v, 2)) AS sums
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS est,
+               [ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2),
+                ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2)] AS sums
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
+    # (estimate exact at tiny cardinality; min/max have clean 2-dp
+    # source values so double->string renders identically)
+    "sqlc_sketch_summaries": ("""
+        SELECT HLL_SKETCH_TO_STRING(DS_HLL(c_mktsegment)) AS hll_str,
+               DS_QUANTILE_SUMMARY(
+                 DS_QUANTILES_SKETCH(c_acctbal)) AS q_str
+        FROM customer""", """
+        SELECT '### HLL SKETCH SUMMARY: estimate: '
+                 || CAST(COUNT(DISTINCT c_mktsegment) AS VARCHAR)
+                 AS hll_str,
+               '### Quantiles sketch summary: n: '
+                 || CAST(COUNT(c_acctbal) AS VARCHAR)
+                 || ', min: ' || CAST(MIN(c_acctbal) AS VARCHAR)
+                 || ', max: ' || CAST(MAX(c_acctbal) AS VARCHAR)
+                 AS q_str
+        FROM customer"""),
 }
 
 

@@ -190,6 +190,129 @@ def _ds_histogram(args):
     return f"array({', '.join(items)})"
 
 
+# ------------------------------------------------------- bloom / tuple
+# SQL forms of the bloom-filter and arrayOfDoubles (tuple) sketch
+# extensions. Both compile to the engine-internal representations the
+# native-query paths already use (aggregations.py `bloom` /
+# `arrayOfDoublesSketch`): the bloom holder is a sparse-bitset struct
+# (m, k, positions) — the SAME hashing as filters.bloom_positions, so
+# SQL-built filters interoperate with native `bloom` probes — and the
+# tuple forms are exact-mode aggregate expressions. Neither emits the
+# reference's serialized blob format (documented engine-internal, like
+# sketch_state.py); reference surface:
+# extensions-core/druid-bloom-filter/.../sql/BloomFilterSqlAggregator.java,
+# extensions-core/datasketches/.../tuple/sql/*.java.
+
+_BLOOM_K = 5
+
+
+def _bloom_dims(n_hint: int) -> int:
+    m = 1 << 18
+    while m < 64 * n_hint:
+        m <<= 1
+    return m
+
+
+def _bloom_filter_build(args):
+    # BLOOM_FILTER(expr, maxNumEntries) -> engine bloom holder struct
+    n_hint = 0
+    if len(args) > 1 and re.fullmatch(r"\d+", args[1]):
+        n_hint = int(args[1])
+    m = _bloom_dims(n_hint)
+    s = f"CAST({args[0]} AS STRING)"
+    pos = ", ".join(f"pmod(xxhash64({i}, {s}), {m})"
+                    for i in range(_BLOOM_K))
+    return (f"named_struct('m', {m}, 'k', {_BLOOM_K}, 'positions', "
+            f"array_sort(array_distinct(flatten(collect_set("
+            f"CASE WHEN {args[0]} IS NOT NULL "
+            f"THEN array({pos}) END)))))")
+
+
+def _bloom_filter_test(args):
+    # BLOOM_FILTER_TEST(expr, holder) — holder is an engine bloom
+    # struct (typically a scalar subquery over BLOOM_FILTER(...)).
+    # All k seeded-hash positions must be occupied; identical
+    # double-hashing to the build side / filters.bloom_positions.
+    # Unrolled to _BLOOM_K probe terms (HOF lambdas can't hold
+    # subquery expressions); holders with smaller k are honored via
+    # the per-term k guard, larger-k holders need the native filter.
+    if len(args) != 2:
+        return None
+    x, b = args
+    s = f"CAST({x} AS STRING)"
+    probes = " AND ".join(
+        f"({i} >= ({b}).k OR array_contains(({b}).positions, "
+        f"pmod(xxhash64({i}, {s}), ({b}).m)))"
+        for i in range(_BLOOM_K))
+    return f"({x} IS NOT NULL AND {probes})"
+
+
+_TDW = re.compile(r"(?is)^\s*DS_TUPLE_DOUBLES\s*\((.*)\)\s*$")
+
+
+def _tuple_args(a: str) -> list[str] | None:
+    """DS_TUPLE_DOUBLES(key, m1..mn[, nominalEntries]) -> [key, m1..]."""
+    m = _TDW.match(a)
+    if not m:
+        return None
+    xs = _top_split(m.group(1))
+    if len(xs) > 1 and re.fullmatch(r"\d+", xs[-1]):
+        xs = xs[:-1]
+    return xs
+
+
+def _tuple_metrics_sum(args):
+    # exact mode: every update folds its values into the key's entry,
+    # so the across-entries metric total is the plain column SUM
+    xs = _tuple_args(args[0]) if args else None
+    if not xs or len(xs) < 2:
+        return None
+    sums = ", ".join(f"CAST(SUM({x}) AS DOUBLE)" for x in xs[1:])
+    return f"array({sums})"
+
+
+def _tuple_estimate(args):
+    xs = _tuple_args(args[0]) if args else None
+    if not xs:
+        return None
+    return f"CAST(COUNT(DISTINCT {xs[0]}) AS DOUBLE)"
+
+
+def _tuple_standalone(args):
+    # bare DS_TUPLE_DOUBLES select: finalize like the native path's
+    # standalone arm (distinct-key count as the estimate)
+    if not args:
+        return None
+    return f"CAST(COUNT(DISTINCT {args[0]}) AS DOUBLE)"
+
+
+_HLLY = re.compile(r"(?i)\b(DS_HLL|hll_sketch_agg|hll_union)\s*\(")
+
+
+def _hll_to_string(args):
+    # HLL_SKETCH_TO_STRING — human-readable sketch summary
+    # (HllSketchToStringPostAggregator analog). Engine format: the
+    # estimate line only; exact for cardinalities far below 2^lgK.
+    if len(args) != 1:
+        return None
+    a = args[0]
+    est = (f"hll_sketch_estimate({a})" if _HLLY.search(a) else
+           f"hll_sketch_estimate(hll_sketch_agg(CAST({a} AS STRING), 12))")
+    return f"concat('### HLL SKETCH SUMMARY: estimate: ', CAST({est} AS STRING))"
+
+
+def _ds_quantile_summary(args):
+    # DS_QUANTILE_SUMMARY — quantiles-sketch debug summary
+    # (DoublesSketch#toString analog): n / min / max lines
+    if len(args) != 1:
+        return None
+    col = _strip_qsk(args[0]) or args[0]
+    return (f"concat('### Quantiles sketch summary: n: ', "
+            f"CAST(COUNT({col}) AS STRING), "
+            f"', min: ', CAST(MIN({col}) AS STRING), "
+            f"', max: ', CAST(MAX({col}) AS STRING))")
+
+
 _TO_UNIT_PERIOD = {
     "SECOND": "PT1S", "MINUTE": "PT1M", "HOUR": "PT1H", "DAY": "P1D",
     "WEEK": "P1W", "MONTH": "P1M", "QUARTER": "P3M", "YEAR": "P1Y",
@@ -483,6 +606,18 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = _rewrite_call(out, "HLL_SKETCH_UNION", _hll_union)
     out = _rewrite_call(out, "HLL_SKETCH_ESTIMATE_WITH_ERROR_BOUNDS",
                         _hll_bounds)
+    out = _rewrite_call(out, "HLL_SKETCH_TO_STRING", _hll_to_string)
+    out = _rewrite_call(out, "DS_QUANTILE_SUMMARY", _ds_quantile_summary)
+    # bloom-filter extension SQL forms (engine-internal holder format,
+    # interoperable with the native `bloom` aggregator/filter)
+    out = _rewrite_call(out, "BLOOM_FILTER_TEST", _bloom_filter_test)
+    out = _rewrite_call(out, "BLOOM_FILTER", _bloom_filter_build)
+    # arrayOfDoubles (tuple) sketch SQL forms — finalizers first so the
+    # standalone arm only sees unwrapped builds
+    out = _rewrite_call(out, "DS_TUPLE_DOUBLES_METRICS_SUM_ESTIMATE",
+                        _tuple_metrics_sum)
+    out = _rewrite_call(out, "DS_TUPLE_DOUBLES_ESTIMATE", _tuple_estimate)
+    out = _rewrite_call(out, "DS_TUPLE_DOUBLES", _tuple_standalone)
     # theta sketch set-op compositions (SketchSetPostAggregator
     # analog): exact distinct SETS as the sketch state —
     # DS_THETA builds, INTERSECT/UNION/NOT are array set ops,

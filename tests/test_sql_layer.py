@@ -420,3 +420,56 @@ def test_multi_statement_set_context(engine):
     assert 20 <= approx <= 30  # HLL estimate
     # plain statements are unaffected
     assert engine.sql("SELECT 1 AS x").collect()[0]["x"] == 1
+
+
+def test_bloom_filter_sql_forms(engine):
+    """BLOOM_FILTER SQL aggregate + BLOOM_FILTER_TEST probe
+    (BloomFilterSqlAggregator / BloomFilterOperatorConversion).
+    Engine-internal sparse-bitset holder; same seeded hashing as the
+    native `bloom` aggregator, so SQL builds and native probes line
+    up. The probe must exactly reproduce the semi-join here (m=2^18,
+    few hundred inserted keys -> FP probability ~1e-11)."""
+    got = engine.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        WHERE BLOOM_FILTER_TEST(o_custkey,
+              (SELECT BLOOM_FILTER(c_custkey, 2000) FROM customer
+               WHERE c_mktsegment = 'BUILDING'))""").first()["n"]
+    want = engine.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')""").first()["n"]
+    assert got == want and want > 0
+    # a probe value that was never inserted misses
+    miss = engine.sql("""
+        SELECT BLOOM_FILTER_TEST(-12345,
+              (SELECT BLOOM_FILTER(c_custkey, 2000) FROM customer)) AS hit
+    """).first()["hit"]
+    assert miss is False
+
+
+def test_tuple_doubles_sql_forms(engine):
+    """DS_TUPLE_DOUBLES SQL family (ArrayOfDoublesSketch SQL
+    operators), exact mode: ESTIMATE = distinct keys,
+    METRICS_SUM_ESTIMATE = per-metric totals."""
+    row = engine.sql("""
+        SELECT DS_TUPLE_DOUBLES_ESTIMATE(
+                 DS_TUPLE_DOUBLES(n_regionkey, n_nationkey)) AS est,
+               DS_TUPLE_DOUBLES_METRICS_SUM_ESTIMATE(
+                 DS_TUPLE_DOUBLES(n_regionkey, n_nationkey, 4096)) AS sums,
+               DS_TUPLE_DOUBLES(n_regionkey, n_nationkey) AS bare
+        FROM nation""").first()
+    assert row["est"] == 5.0          # 5 distinct region keys
+    assert row["sums"] == [300.0]     # sum 0..24
+    assert row["bare"] == 5.0         # standalone finalizes to estimate
+
+
+def test_sketch_debug_strings(engine):
+    """HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY summaries."""
+    row = engine.sql("""
+        SELECT HLL_SKETCH_TO_STRING(DS_HLL(r_name)) AS h,
+               DS_QUANTILE_SUMMARY(
+                 DS_QUANTILES_SKETCH(r_regionkey)) AS q
+        FROM region""").first()
+    assert row["h"] == "### HLL SKETCH SUMMARY: estimate: 5"
+    assert row["q"].startswith("### Quantiles sketch summary: n: 5")
+    assert "min: 0" in row["q"] and "max: 4" in row["q"]
