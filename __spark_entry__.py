@@ -1253,6 +1253,25 @@ def q_sys_segments_sql(spark, sf):
         GROUP BY datasource ORDER BY datasource""")
 
 
+def q_sys_tasks_supervisors(spark, sf):
+    """sys.tasks + sys.server_segments (SystemSchema.java TASKS /
+    SERVER_SEGMENTS signatures): the engine task log feeds sys.tasks
+    (recorded here with fixed values so the oracle is exact); every
+    single-file testdata table maps to one served segment."""
+    eng = _engine(spark, sf)
+    eng.record_task("task_a", "query", None, "SUCCESS", 1200.0)
+    eng.record_task("task_b", "query_controller", "orders",
+                    "RUNNING", 0.0)
+    eng.create_system_views()
+    return eng.spark.sql("""
+        SELECT t.task_id, t.type, t.status,
+               CAST(t.duration AS BIGINT) AS duration,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM sys_server_segments
+                WHERE segment_id LIKE 'region:%'
+                   OR segment_id LIKE 'nation:%') AS served_segments
+        FROM sys_tasks t ORDER BY t.task_id""")
+
+
 def q_vc_hof_expression(spark, sf):
     """Native expression-language HOFs (ApplyFunction.java map/fold)
     inside a virtual column: total token length per name computed with
@@ -7641,6 +7660,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_lookup_fn": q_sql_lookup_fn,
         "time_boundary_max_only": q_time_boundary_max_only,
         "sys_segments_sql": q_sys_segments_sql,
+        "sys_tasks_supervisors": q_sys_tasks_supervisors,
         "information_schema_tables": q_information_schema_tables,
         "gb_having_dim_selector": q_gb_having_dim_selector,
         "vc_hof_expression": q_vc_hof_expression,
@@ -8003,6 +8023,14 @@ def _base_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'orders', count(*) FROM orders
             UNION ALL SELECT 'region', count(*) FROM region
             ORDER BY datasource""",
+        "sys_tasks_supervisors": """
+            SELECT * FROM (VALUES
+              ('task_a', 'query', 'SUCCESS',
+               CAST(1200 AS BIGINT), CAST(2 AS BIGINT)),
+              ('task_b', 'query_controller', 'RUNNING',
+               CAST(0 AS BIGINT), CAST(2 AS BIGINT)))
+              t(task_id, type, status, duration, served_segments)
+            ORDER BY task_id""",
         "search_regex_spec": """
             SELECT 'p_brand' AS dimension, p_brand AS value,
                    count(*) AS count

@@ -13,6 +13,7 @@ from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 import re as _re
 
@@ -87,6 +88,10 @@ class DruidSparkEngine:
         self._result_cache: dict[str, DataFrame] = {}
         self._result_cache_order: list[str] = []
         self.result_cache_size = 32
+        # task log feeding the sys.tasks view (SystemSchema TASKS
+        # signature, reduced): async SQL statements (server.py) and
+        # SQL-ingest tasks record themselves here
+        self.tasks: list[dict[str, Any]] = []
         if data_dir:
             self.catalog.register_dir(data_dir)
 
@@ -348,12 +353,71 @@ class DruidSparkEngine:
         # process plays every role — in Spark terms the driver is the
         # broker and the executors are the data servers.
         sc = self.spark.sparkContext
+        server = f"local:{sc.applicationId}"
         self.spark.createDataFrame(
-            [(f"local:{sc.applicationId}", "localhost", -1, -1,
+            [(server, "localhost", -1, -1,
               "broker_historical", "_default_tier", 0, 0)],
             ["server", "host", "plaintext_port", "tls_port", "server_type",
              "tier", "curr_size", "max_size"]
         ).createOrReplaceTempView("sys_servers")
+        # sys.server_segments (SystemSchema SERVER_SEGMENTS): which
+        # server serves which segment — single-process: all of them
+        self.spark.createDataFrame(
+            [(server, f"{s[0]}:{s[1]}") for s in segs],
+            T.StructType([T.StructField("server", T.StringType()),
+                          T.StructField("segment_id", T.StringType())])
+        ).createOrReplaceTempView("sys_server_segments")
+        # sys.tasks (SystemSchema TASKS signature, reduced): the
+        # engine task log — async SQL statements and SQL-ingest runs
+        self.spark.createDataFrame(
+            [(t.get("task_id"), t.get("type"), t.get("datasource"),
+              t.get("created_time"), t.get("status"),
+              int(t.get("duration_ms") or 0), t.get("error_msg"))
+             for t in self.tasks],
+            T.StructType([
+                T.StructField("task_id", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("datasource", T.StringType()),
+                T.StructField("created_time", T.StringType()),
+                T.StructField("status", T.StringType()),
+                T.StructField("duration", T.LongType()),
+                T.StructField("error_msg", T.StringType()),
+            ])).createOrReplaceTempView("sys_tasks")
+        # sys.supervisors (SystemSchema SUPERVISOR_SIGNATURE): live
+        # state from the streaming-query handles
+        from druid_spark.streaming.ingest import SUPERVISORS
+        self.spark.createDataFrame(
+            [(s["supervisor_id"], s["datasource"], s["source"],
+              "RUNNING" if s["query"].isActive else "STOPPED",
+              False)
+             for s in SUPERVISORS],
+            T.StructType([
+                T.StructField("supervisor_id", T.StringType()),
+                T.StructField("datasource", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("state", T.StringType()),
+                T.StructField("suspended", T.BooleanType()),
+            ])).createOrReplaceTempView("sys_supervisors")
+
+    def record_task(self, task_id: str, task_type: str,
+                    datasource: str | None, status: str,
+                    duration_ms: float = 0.0,
+                    error_msg: str | None = None) -> None:
+        """Append/update a sys.tasks row (TaskStorage analog: latest
+        status wins per task_id)."""
+        import datetime as _dt
+        for t in self.tasks:
+            if t["task_id"] == task_id:
+                t.update(status=status, duration_ms=duration_ms,
+                         error_msg=error_msg)
+                return
+        self.tasks.append({
+            "task_id": task_id, "type": task_type,
+            "datasource": datasource,
+            "created_time":
+                _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "status": status, "duration_ms": duration_ms,
+            "error_msg": error_msg})
 
     # ---------------------------------------------------- datasources
     def resolve(self, ds: Any) -> DataFrame:

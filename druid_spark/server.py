@@ -33,6 +33,7 @@ import datetime as dt
 import decimal
 import io
 import json
+import re
 import threading
 import time
 import uuid
@@ -155,6 +156,10 @@ def error_body(code: str, e: Exception) -> dict:
 
 
 # ------------------------------------------------- async SQL statements
+# ingestion statements surface as MSQ controller tasks in sys.tasks
+_re_task = re.compile(r"\s*(INSERT|REPLACE)\b", re.IGNORECASE)
+
+
 class _Statements:
     """Async SQL statement registry — the MSQ task-style surface
     (sql/.../sql/http/SqlStatementResource.java: POST
@@ -178,6 +183,9 @@ class _Statements:
                "error": None, "cancel": False}
         with self._lock:
             self._st[qid] = rec
+        ttype = ("query_controller" if _re_task.match(text or "")
+                 else "query")
+        self.engine.record_task(qid, ttype, None, "ACCEPTED")
 
         def run():
             rec["state"] = "RUNNING"
@@ -202,6 +210,11 @@ class _Statements:
                         e)
                     rec["state"] = ("CANCELED" if rec["cancel"]
                                     else "FAILED")
+            self.engine.record_task(
+                qid, ttype, None, rec["state"],
+                (time.time() - rec["createdAt"]) * 1000.0,
+                (rec["error"] or {}).get("errorMessage")
+                if rec["error"] else None)
 
         threading.Thread(target=run, daemon=True,
                          name=f"sql-statement-{qid[:8]}").start()

@@ -228,7 +228,17 @@ def start_supervisor(spark: SparkSession, spec: dict[str, Any],
             stream, time_column=time_col,
             transform_spec=schema.get("transformSpec"),
             late_rejection=late, trigger=trigger)
+    SUPERVISORS.append({"supervisor_id": name, "datasource": name,
+                        "source": source.get("type", "unknown"),
+                        "query": query})
     return ingest, query
+
+
+# Running-supervisor registry feeding the sys.supervisors view
+# (SystemSchema.java SUPERVISOR_SIGNATURE; state derived live from the
+# streaming query handle). Process-wide like the reference's
+# SupervisorManager map.
+SUPERVISORS: list[dict[str, Any]] = []
 
 
 def _iso_period_to_interval(period: str) -> str:

@@ -120,3 +120,53 @@ def test_histogram_aggregator_bins(eng):
     assert list(out["breaks"]) == [0.0, 50.0, 100.0]
     assert len(out["counts"]) == 2
     assert out["min"] <= out["max"]
+
+
+def test_sys_tasks_and_server_segments(eng):
+    """sys.tasks (engine task log; latest status wins per task_id) and
+    sys.server_segments (single server serves every segment) —
+    SystemSchema.java TASKS / SERVER_SEGMENTS analogs."""
+    eng.record_task("t-1", "query", None, "ACCEPTED")
+    eng.record_task("t-1", "query", None, "SUCCESS", 42.0)
+    eng.record_task("t-2", "query_controller", "orders", "FAILED",
+                    10.0, "boom")
+    eng.create_system_views()
+    rows = {r["task_id"]: r for r in eng.spark.sql(
+        "SELECT * FROM sys_tasks").collect()}
+    assert rows["t-1"]["status"] == "SUCCESS"      # update, not dup
+    assert rows["t-1"]["duration"] == 42
+    assert rows["t-2"]["error_msg"] == "boom"
+    assert rows["t-2"]["type"] == "query_controller"
+    seg = eng.spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT server) AS s "
+        "FROM sys_server_segments").first()
+    n_segs = len(eng.catalog.segments())
+    assert seg["n"] == n_segs > 0 and seg["s"] == 1
+
+
+def test_sys_supervisors_view(eng):
+    """sys.supervisors reflects the streaming supervisor registry with
+    live state from the query handle."""
+    from druid_spark.streaming import ingest as singest
+
+    class _FakeQuery:
+        isActive = True
+
+    singest.SUPERVISORS.append(
+        {"supervisor_id": "sup-events", "datasource": "events_rollup",
+         "source": "file", "query": _FakeQuery()})
+    try:
+        eng.create_system_views()
+        rows = eng.spark.sql(
+            "SELECT * FROM sys_supervisors WHERE supervisor_id = "
+            "'sup-events'").collect()
+        assert len(rows) == 1
+        assert rows[0]["state"] == "RUNNING"
+        assert rows[0]["suspended"] is False
+        _FakeQuery.isActive = False
+        eng.create_system_views()
+        assert eng.spark.sql(
+            "SELECT state FROM sys_supervisors WHERE supervisor_id = "
+            "'sup-events'").first()["state"] == "STOPPED"
+    finally:
+        singest.SUPERVISORS.pop()
