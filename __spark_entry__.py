@@ -7560,6 +7560,98 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                [ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2),
                 ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2)] AS sums
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    # ----------------------------------------------------------------
+    # Conformance batch 57: Star-Schema-Benchmark query shapes
+    # (quidem-ut qaSsb analog: norm_* joins the dims, denorm_* queries
+    # one pre-joined wide CTE; the reference additionally runs each in
+    # broadcast vs sortMerge variants — mirrored here with Spark join
+    # hints, which DuckDB parses as plain block comments, so the same
+    # text runs on both engines). lineorder stand-in = lineitem⋈orders;
+    # date dim = EXTRACT over o_orderdate.
+    # ----------------------------------------------------------------
+    # SSB Q1.1 (flight 1: restricted revenue sum)
+    "sqlc_ssb_q1_norm": ("""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 25""", None),
+    # SSB Q2.1 (flight 2: revenue by year and brand, dim filters)
+    "sqlc_ssb_q2_norm": ("""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS d_year, p_brand,
+               ROUND(SUM(l_extendedprice), 2) AS lo_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'MEDIUM' AND n_regionkey = 1
+        GROUP BY 1, 2 ORDER BY d_year, p_brand LIMIT 40""", None),
+    # SSB Q3.1 (flight 3: volume between nations over years)
+    "sqlc_ssb_q3_norm": ("""
+        SELECT n1.n_name AS c_nation, n2.n_name AS s_nation,
+               EXTRACT(YEAR FROM o_orderdate) AS d_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                 AS lo_revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE n1.n_regionkey = 2 AND n2.n_regionkey = 2
+          AND EXTRACT(YEAR FROM o_orderdate) BETWEEN 1996 AND 1997
+        GROUP BY 1, 2, 3
+        ORDER BY d_year, lo_revenue DESC, c_nation, s_nation
+        LIMIT 50""", None),
+    # SSB Q4.1 (flight 4: profit by year and customer nation)
+    "sqlc_ssb_q4_norm": ("""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS d_year,
+               n_name AS c_nation,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1), 2)
+                 AS profit
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey IN (0, 1) AND p_type IN ('ECONOMY', 'PROMO')
+        GROUP BY 1, 2 ORDER BY d_year, c_nation""", None),
+    # denormalized variant: one wide lineorder CTE, same Q2 rollup
+    "sqlc_ssb_q2_denorm": ("""
+        WITH lineorder AS (
+            SELECT l_extendedprice, l_discount, l_quantity,
+                   EXTRACT(YEAR FROM o_orderdate) AS d_year,
+                   p_brand, p_type, n_regionkey AS s_region
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey)
+        SELECT d_year, p_brand,
+               ROUND(SUM(l_extendedprice), 2) AS lo_revenue
+        FROM lineorder
+        WHERE p_type = 'MEDIUM' AND s_region = 1
+        GROUP BY d_year, p_brand ORDER BY d_year, p_brand
+        LIMIT 40""", None),
+    # join-strategy variants (qaSsb broadcast.msq.iq / sortMerge.msq.iq
+    # analog): Spark reads the hints, DuckDB sees block comments —
+    # results must be identical to each other and to the oracle
+    "sqlc_ssb_q1_broadcast_hint": ("""
+        SELECT /*+ BROADCAST(orders) */
+               ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 25""", None),
+    "sqlc_ssb_q1_merge_hint": ("""
+        SELECT /*+ MERGE(orders) */
+               ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 25""", None),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)
