@@ -7652,6 +7652,59 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
           AND l_discount BETWEEN 0.02 AND 0.04
           AND l_quantity < 25""", None),
+    # ----------------------------------------------------------------
+    # Conformance batch 58: comma-join UNNEST filter-placement matrix
+    # (quidem qaUnnest array_sql/mv_sql_subquery_with_where families:
+    # `FROM t, UNNEST(arr) AS u(c)` with the filter inside the derived
+    # table, outside it, on the base table before the unnest, and in
+    # HAVING after aggregation).
+    # ----------------------------------------------------------------
+    "sqlc_unnest_comma_where_outer": ("""
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT STRING_TO_ARRAY(text, ' ') AS toks
+              FROM documents) d,
+             UNNEST(toks) AS u(c)
+        WHERE c LIKE 'data%'
+        GROUP BY c ORDER BY n DESC, c LIMIT 10""", """
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS c
+              FROM documents) t
+        WHERE c LIKE 'data%'
+        GROUP BY c ORDER BY n DESC, c LIMIT 10"""),
+    "sqlc_unnest_comma_where_inner": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS n_distinct
+        FROM (SELECT c
+              FROM (SELECT STRING_TO_ARRAY(text, ' ') AS toks
+                    FROM documents WHERE lang = 'en') b,
+                   UNNEST(toks) AS u(c)
+              WHERE c <> 'the')""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS n_distinct
+        FROM (SELECT c FROM
+              (SELECT unnest(string_split(text, ' ')) AS c
+               FROM documents WHERE lang = 'en') x
+              WHERE c <> 'the')"""),
+    "sqlc_unnest_comma_base_filter": ("""
+        SELECT c
+        FROM (SELECT r_name FROM region
+              WHERE r_regionkey < 3) r,
+             UNNEST(STRING_TO_ARRAY(r_name, ' ')) AS u(c)
+        ORDER BY c""", """
+        SELECT unnest(string_split(r_name, ' ')) AS c
+        FROM region WHERE r_regionkey < 3 ORDER BY c"""),
+    "sqlc_unnest_comma_having": ("""
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT STRING_TO_ARRAY(text, ' ') AS toks
+              FROM documents) d,
+             UNNEST(toks) AS u(c)
+        GROUP BY c HAVING COUNT(*) > 50
+        ORDER BY c LIMIT 20""", """
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS c
+              FROM documents) t
+        GROUP BY c HAVING COUNT(*) > 50
+        ORDER BY c LIMIT 20"""),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)

@@ -443,11 +443,14 @@ def _add_default_arg(sql: str, fname: str, default: str) -> str:
 
 def _rewrite_unnest(sql: str) -> str:
     """Druid SQL `CROSS JOIN UNNEST(expr) AS alias(col)` (also
-    `AS col`) → Spark `LATERAL VIEW EXPLODE(expr) alias AS col`
+    `AS col`, and the comma-join spelling `FROM t, UNNEST(expr) AS
+    u(c)` the quidem qaUnnest corpus uses) → Spark
+    `LATERAL VIEW EXPLODE(expr) alias AS col`
     (DruidUnnestRule / UnnestDataSource analog at the SQL layer).
     Balanced-paren scan so nested calls like UNNEST(MV_TO_ARRAY(d))
-    rewrite correctly."""
-    pat = re.compile(r"CROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
+    rewrite correctly. The comma form only rewrites when followed by
+    an AS-alias tail, which FROM-position UNNEST always has."""
+    pat = re.compile(r"(?:CROSS\s+JOIN|,)\s*UNNEST\s*\(", re.IGNORECASE)
     pos = 0
     while True:
         m = pat.search(sql, pos)
@@ -480,7 +483,7 @@ def _rewrite_unnest(sql: str) -> str:
                 continue
             alias, col = "__unnest", tail.group(1)
         sql = (sql[:m.start()]
-               + f"LATERAL VIEW EXPLODE({inner}) {alias} AS {col}"
+               + f" LATERAL VIEW EXPLODE({inner}) {alias} AS {col}"
                + sql[i + tail.end():])
         pos = m.start() + 1
 
