@@ -339,6 +339,35 @@ def main():
         times[name] = round(best, 4)
     total = round(sum(times.values()), 4)
 
+    # TPC-H suite: the whitepaper's own query-performance framing is
+    # TPC-H (1 GB / 100 GB figures, druid.tex:878-896). Run the full
+    # 22-query shape suite (q1/q3/q6 standalone + the sqlc_tpch_*
+    # conformance texts, reduced-schema stand-ins documented at the
+    # batch header in __spark_entry__.py) through the SQL layer —
+    # warm once, best-of-2.
+    tpch = {}
+    try:
+        import __spark_entry__ as entrymod
+        texts = {f"q{n:02d}": entrymod.oracle_sql()[f"tpch_q{n}"]
+                 for n in (1, 3, 6)}
+        texts.update({name.rsplit("_", 1)[-1]: sql
+                      for name, (sql, _o) in entrymod._SQL_CASES.items()
+                      if name.startswith("sqlc_tpch_")})
+        per = {}
+        for qn in sorted(texts):
+            fn = lambda: engine.sql(texts[qn])
+            len(fn().collect())
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                len(fn().collect())
+                best = min(best, time.time() - t0)
+            per[qn] = round(best, 4)
+        tpch = {"suite_sec": round(sum(per.values()), 4),
+                "n_queries": len(per), "queries": per}
+    except Exception as e:
+        tpch["error"] = str(e)[:200]
+
     # Amortized scan rate: per-query wall time at sf0.1 is dominated by
     # the fixed Spark job cost (~0.1s), which under-reports throughput by
     # orders of magnitude vs the whitepaper's 100 GB-scale numbers.
@@ -511,6 +540,7 @@ def main():
                 lineitem_rows / max(times["count_star"], 1e-9) / CPUS),
             "sum_double_rows_per_sec_per_core": round(
                 lineitem_rows / max(times["sum_double"], 1e-9) / CPUS),
+            "tpch_suite_sf": tpch,
             "amortized_20x": amortized,
             "skew_join_20x": skew,
             "ingest_rate_20x": ingest,
