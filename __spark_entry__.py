@@ -7652,6 +7652,28 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
           AND l_discount BETWEEN 0.02 AND 0.04
           AND l_quantity < 25""", None),
+    # TABLE(APPEND('ds1','ds2')) — schema-merging union datasource
+    # (TableAppendMacro.java / CalciteTableAppendTest.java: ordered
+    # column union, typed NULL padding for missing columns)
+    "sqlc_table_append": ("""
+        SELECT r_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(n_name) AS BIGINT) AS n_nation,
+               CAST(COUNT(r_name) AS BIGINT) AS n_region
+        FROM TABLE(APPEND('nation', 'region')) u
+        GROUP BY r_regionkey ORDER BY r_regionkey""", """
+        SELECT r_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(n_name) AS BIGINT) AS n_nation,
+               CAST(COUNT(r_name) AS BIGINT) AS n_region
+        FROM (SELECT n_nationkey, n_name, n_regionkey,
+                     CAST(NULL AS INTEGER) AS r_regionkey,
+                     CAST(NULL AS VARCHAR) AS r_name
+              FROM nation
+              UNION ALL
+              SELECT CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+                     CAST(NULL AS INTEGER), r_regionkey, r_name
+              FROM region) u
+        GROUP BY r_regionkey ORDER BY r_regionkey"""),
+
     # ----------------------------------------------------------------
     # Conformance batch 58: comma-join UNNEST filter-placement matrix
     # (quidem qaUnnest array_sql/mv_sql_subquery_with_where families:

@@ -221,7 +221,63 @@ class DruidSparkEngine:
         exact = self.exact_approx
         if "useApproximateCountDistinct" in set_ctx:
             exact = set_ctx["useApproximateCountDistinct"].lower() != "true"
+        if "APPEND" in text.upper():
+            text = self._rewrite_table_append(text)
         return self.spark.sql(rewrite_druid_sql(text, exact=exact))
+
+    def _rewrite_table_append(self, text: str) -> str:
+        """TABLE(APPEND('ds1', 'ds2', ...)) → a UNION ALL subquery
+        over the merged schema (sql/calcite/external/
+        TableAppendMacro.java / CalciteTableAppendTest.java): column
+        set is the ordered union across datasources, first-seen type
+        wins (others cast), missing columns pad with typed NULLs.
+        Catalog datasources only; unknown names raise like the
+        reference's 'no table found' planning error."""
+        pat = _re.compile(r"\bTABLE\s*\(\s*APPEND\s*\(", _re.IGNORECASE)
+        while True:
+            m = pat.search(text)
+            if not m:
+                return text
+            depth, i = 2, m.end()
+            while depth and i < len(text):
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+                i += 1
+            # i is one past TABLE's closer; APPEND's closer is the
+            # last ')' before it (args are quoted names, no parens)
+            inner = text[m.end():text.rindex(")", m.end(), i - 1)]
+            names = [a.strip().strip("'\"")
+                     for a in inner.split(",") if a.strip()]
+            if not names:
+                raise ValueError("APPEND() needs at least one datasource")
+            known = self.catalog.tables()
+            for n in names:
+                if n not in known:
+                    raise KeyError(f"APPEND: unknown datasource {n!r}")
+            merged: dict[str, str] = {}
+            schemas = {}
+            for n in names:
+                fields = {f.name: f.dataType.simpleString()
+                          for f in self.catalog.table(n).schema.fields}
+                schemas[n] = fields
+                for col, t in fields.items():
+                    merged.setdefault(col, t)
+            selects = []
+            for n in names:
+                cols = []
+                for col, t in merged.items():
+                    if col not in schemas[n]:
+                        cols.append(f"CAST(NULL AS {t}) AS `{col}`")
+                    elif schemas[n][col] != t:
+                        cols.append(f"CAST(`{col}` AS {t}) AS `{col}`")
+                    else:
+                        cols.append(f"`{col}`")
+                selects.append(f"SELECT {', '.join(cols)} FROM {n}")
+            text = (text[:m.start()]
+                    + "(" + " UNION ALL ".join(selects) + ")"
+                    + text[i:])
 
     @staticmethod
     def _table_word_re(t: str):

@@ -473,3 +473,24 @@ def test_sketch_debug_strings(engine):
     assert row["h"] == "### HLL SKETCH SUMMARY: estimate: 5"
     assert row["q"].startswith("### Quantiles sketch summary: n: 5")
     assert "min: 0" in row["q"] and "max: 4" in row["q"]
+
+
+def test_table_append(engine):
+    """TABLE(APPEND('a','b')) schema-merging union
+    (TableAppendMacro / CalciteTableAppendTest): ordered column
+    union, typed NULL padding, unknown-name and empty-args errors."""
+    row = engine.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(n_name) AS BIGINT) AS nn,
+               CAST(COUNT(r_name) AS BIGINT) AS nr
+        FROM TABLE(APPEND('nation', 'region')) u""").first()
+    assert (row["n"], row["nn"], row["nr"]) == (30, 25, 5)
+    # single table degenerates to the table itself
+    assert engine.sql(
+        "SELECT COUNT(*) AS n FROM TABLE(APPEND('region')) u"
+    ).first()["n"] == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        engine.sql("SELECT 1 FROM TABLE(APPEND()) u")
+    with _pytest.raises(KeyError):
+        engine.sql("SELECT 1 FROM TABLE(APPEND('region', 'nope')) u")
