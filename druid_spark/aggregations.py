@@ -469,23 +469,20 @@ class AggCompiler:
             # collect_set + flatten/distinct. The result is a
             # broadcast-sized value a later query's `bloom` filter takes
             # as its bloomKFilter holder.
-            from druid_spark.filters import bloom_positions
+            from druid_spark.filters import bloom_positions, bloom_sizing
             # default 2^18 bits: the probe side densifies to an m/64-
             # word literal, so m trades false-positive rate against
             # literal-transfer cost (~0.15s per 2^16 bits via py4j);
             # at 2^18 and n=20k keys the per-probe FP is ~1e-7.
             # maxNumEntries (BloomKFilter's sizing knob) scales it up.
-            n_hint = int(agg.get("maxNumEntries") or 0)
-            m = int(agg.get("numBits") or 0)
-            if not m:
-                m = 1 << 18
-                while m < 64 * n_hint:
-                    m <<= 1
-            k = int(agg.get("numHashes") or 5)
+            # NULLs are recorded (bloom_positions hashes null as ""),
+            # matching BloomKFilter.addBytes(null).
+            m, k = bloom_sizing(int(agg.get("maxNumEntries") or 0),
+                                int(agg.get("numBits") or 0),
+                                int(agg.get("numHashes") or 0))
             x = guard(_field(agg, res))
             occupied = F.array_sort(F.array_distinct(F.flatten(
-                F.collect_set(F.when(x.isNotNull(),
-                                     bloom_positions(x, m, k))))))
+                F.collect_set(bloom_positions(x, m, k)))))
             return F.struct(F.lit(m).alias("m"), F.lit(k).alias("k"),
                             occupied.alias("positions"))
         if t == "longStringArray":

@@ -37,8 +37,34 @@ _EXPLAIN_RE = _re.compile(
 import itertools as _it
 import weakref as _weakref
 _ENGINE_SERIAL = _it.count(1)
+_SYS_DOT_RE = _re.compile(
+    r"\bsys\.(tasks|segments|servers|server_segments|supervisors)\b",
+    _re.IGNORECASE)
+_INFO_DOT_RE = _re.compile(
+    r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS)\b", _re.IGNORECASE)
+_IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _SQL_VIEWS_STAMP: "_weakref.WeakKeyDictionary[SparkSession, tuple[int, int]]" \
     = _weakref.WeakKeyDictionary()
+
+
+# TABLE(APPEND(...)) merges column types with Calcite's
+# least-restrictive rule (TableAppendMacro → SqlTypeUtil
+# leastRestrictive): numeric types widen, date widens to timestamp,
+# anything else falls back to STRING (every Druid column casts to its
+# string form losslessly). First-seen-wins would silently truncate.
+_APPEND_NUM_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                    "float": 4, "double": 5}
+
+
+def _append_widen(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if a in _APPEND_NUM_RANK and b in _APPEND_NUM_RANK:
+        return a if _APPEND_NUM_RANK[a] >= _APPEND_NUM_RANK[b] else b
+    ts = {"date", "timestamp", "timestamp_ntz"}
+    if a in ts and b in ts:
+        return "timestamp_ntz" if "timestamp_ntz" in (a, b) else "timestamp"
+    return "string"
 
 
 def qcol(name: str) -> Column:
@@ -167,7 +193,7 @@ class DruidSparkEngine:
             raise NotImplementedError(f"queryType {qt}")
         return dispatch[qt](self, q)
 
-    def sql(self, text: str) -> DataFrame:
+    def sql(self, text: str, task_id: str | None = None) -> DataFrame:
         """Druid-flavoured SQL: register tables as views + the Druid
         function surface (SQL UDFs, Catalyst-inlined), rewrite the
         aggregate-layer names, then let Spark SQL run it (SURVEY §3.1 —
@@ -195,6 +221,17 @@ class DruidSparkEngine:
                                   sm.group(1), _re.I):
                 set_ctx[kv[0]] = kv[1].strip().strip("'\"")
             text = sm.group(2)
+        # Dotted system-schema names, exactly as a Druid client writes
+        # them (SystemSchema.java / InformationSchema.java): rewrite
+        # sys.<table> / INFORMATION_SCHEMA.<table> to the engine's flat
+        # temp-view names and (re)build the views so they are always
+        # queryable without an explicit create_system_views() call.
+        if _SYS_DOT_RE.search(text) or _INFO_DOT_RE.search(text):
+            self.create_system_views()
+            text = _SYS_DOT_RE.sub(lambda g: "sys_" + g.group(1).lower(),
+                                   text)
+            text = _INFO_DOT_RE.sub(
+                lambda g: "information_schema_" + g.group(1).lower(), text)
         m = _EXPLAIN_RE.match(text)
         if m:
             return self._explain(m.group("q"))
@@ -205,7 +242,7 @@ class DruidSparkEngine:
             text = rewrite_extern(self, text)
         stmt = parse_ingest_sql(text)
         if stmt is not None:
-            return run_ingest_sql(self, stmt)
+            return run_ingest_sql(self, stmt, task_id=task_id)
         if not getattr(self, "_fns_registered", False):
             register_druid_functions(self.spark)
             self._fns_registered = True
@@ -216,7 +253,19 @@ class DruidSparkEngine:
         stamp = (self._serial, self.catalog.version)
         if _SQL_VIEWS_STAMP.get(self.spark) != stamp:
             for name in self.catalog.tables():
-                self.catalog.table(name).createOrReplaceTempView(name)
+                df = self.catalog.table(name)
+                if _IDENT_RE.fullmatch(name):
+                    df.createOrReplaceTempView(name)
+                else:
+                    # Druid datasource names are arbitrary strings
+                    # ('web-events'); createOrReplaceTempView rejects
+                    # non-identifiers, but backticked DDL over a mangled
+                    # alias makes them addressable as `name` in SQL
+                    mangled = "__ds_" + _re.sub(r"\W", "_", name)
+                    df.createOrReplaceTempView(mangled)
+                    self.spark.sql(
+                        f"CREATE OR REPLACE TEMPORARY VIEW "
+                        f"`{name}` AS SELECT * FROM {mangled}")
             _SQL_VIEWS_STAMP[self.spark] = stamp
         exact = self.exact_approx
         if "useApproximateCountDistinct" in set_ctx:
@@ -263,7 +312,8 @@ class DruidSparkEngine:
                           for f in self.catalog.table(n).schema.fields}
                 schemas[n] = fields
                 for col, t in fields.items():
-                    merged.setdefault(col, t)
+                    merged[col] = (_append_widen(merged[col], t)
+                                   if col in merged else t)
             selects = []
             for n in names:
                 cols = []
@@ -274,7 +324,7 @@ class DruidSparkEngine:
                         cols.append(f"CAST(`{col}` AS {t}) AS `{col}`")
                     else:
                         cols.append(f"`{col}`")
-                selects.append(f"SELECT {', '.join(cols)} FROM {n}")
+                selects.append(f"SELECT {', '.join(cols)} FROM `{n}`")
             text = (text[:m.start()]
                     + "(" + " UNION ALL ".join(selects) + ")"
                     + text[i:])
@@ -466,6 +516,8 @@ class DruidSparkEngine:
             if t["task_id"] == task_id:
                 t.update(status=status, duration_ms=duration_ms,
                          error_msg=error_msg)
+                if datasource is not None:
+                    t.update(datasource=datasource, type=task_type)
                 return
         self.tasks.append({
             "task_id": task_id, "type": task_type,

@@ -91,12 +91,33 @@ def version_sort_key(c: Column) -> Column:
     return F.array_join(slots, "\x01")
 
 
+BLOOM_DEFAULT_K = 5
+
+
+def bloom_sizing(n_hint: int = 0, num_bits: int = 0,
+                 num_hashes: int = 0) -> tuple[int, int]:
+    """(m, k) for a bloom holder — ONE sizing rule shared by the native
+    `bloom` aggregator and the SQL BLOOM_FILTER form, so holders built
+    on either layer interoperate with probes on the other. 2^18-bit
+    floor, doubled until >= 64 bits/expected entry (BloomKFilter's
+    maxNumEntries knob)."""
+    m = num_bits
+    if not m:
+        m = 1 << 18
+        while m < 64 * n_hint:
+            m <<= 1
+    return m, (num_hashes or BLOOM_DEFAULT_K)
+
+
 def bloom_positions(c: Column, m: int, k: int) -> Column:
     """k bit positions of a value in an m-bit bloom filter, as an
     array<long>. Shared by the `bloom` aggregator (build) and the
     `bloom` filter (probe) so hashes line up. Seeded double hashing via
-    xxhash64(seed, value) — pure JVM expressions, codegen-friendly."""
-    s = c.cast("string")
+    xxhash64(seed, value) — pure JVM expressions, codegen-friendly.
+    NULL hashes as the empty string, mirroring BloomKFilter.addBytes
+    (null → NULL_HASH_COMPUTED = hash of empty bytes, the same as ""),
+    so null values are recorded and matched rather than dropped."""
+    s = F.coalesce(c.cast("string"), F.lit(""))
     return F.array(*[F.pmod(F.xxhash64(F.lit(i), s), F.lit(m))
                      for i in range(k)])
 

@@ -203,29 +203,23 @@ def _ds_histogram(args):
 # extensions-core/druid-bloom-filter/.../sql/BloomFilterSqlAggregator.java,
 # extensions-core/datasketches/.../tuple/sql/*.java.
 
-_BLOOM_K = 5
-
-
-def _bloom_dims(n_hint: int) -> int:
-    m = 1 << 18
-    while m < 64 * n_hint:
-        m <<= 1
-    return m
-
-
 def _bloom_filter_build(args):
-    # BLOOM_FILTER(expr, maxNumEntries) -> engine bloom holder struct
+    # BLOOM_FILTER(expr, maxNumEntries) -> engine bloom holder struct.
+    # Sizing and hashing come from filters.bloom_sizing/bloom_positions
+    # (single source of truth) so SQL-built holders interoperate with
+    # native `bloom` probes and vice versa. NULLs hash as '' and are
+    # recorded, mirroring BloomKFilter.addBytes(null).
+    from druid_spark.filters import bloom_sizing
     n_hint = 0
     if len(args) > 1 and re.fullmatch(r"\d+", args[1]):
         n_hint = int(args[1])
-    m = _bloom_dims(n_hint)
-    s = f"CAST({args[0]} AS STRING)"
+    m, k = bloom_sizing(n_hint)
+    s = f"coalesce(CAST({args[0]} AS STRING), '')"
     pos = ", ".join(f"pmod(xxhash64({i}, {s}), {m})"
-                    for i in range(_BLOOM_K))
-    return (f"named_struct('m', {m}, 'k', {_BLOOM_K}, 'positions', "
+                    for i in range(k))
+    return (f"named_struct('m', {m}, 'k', {k}, 'positions', "
             f"array_sort(array_distinct(flatten(collect_set("
-            f"CASE WHEN {args[0]} IS NOT NULL "
-            f"THEN array({pos}) END)))))")
+            f"array({pos}))))))")
 
 
 def _bloom_filter_test(args):
@@ -233,18 +227,24 @@ def _bloom_filter_test(args):
     # struct (typically a scalar subquery over BLOOM_FILTER(...)).
     # All k seeded-hash positions must be occupied; identical
     # double-hashing to the build side / filters.bloom_positions.
-    # Unrolled to _BLOOM_K probe terms (HOF lambdas can't hold
-    # subquery expressions); holders with smaller k are honored via
-    # the per-term k guard, larger-k holders need the native filter.
+    # Membership = every probe position survives array_except against
+    # the holder's occupied set. The holder is interpolated 7 times
+    # (one .m per seed term, one .k, one .positions) — Spark rejects
+    # subqueries ANYWHERE inside higher-order functions
+    # (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.HIGHER_ORDER_FUNCTION),
+    # so a bind-once lambda is impossible; ReuseSubquery collapses the
+    # identical scalar-subquery copies at execution. slice(..., 1, k)
+    # honors holders built with smaller k. NULL probes hash as '' and
+    # match iff a null/'' was recorded (BloomKFilter.testBytes(null)).
+    from druid_spark.filters import BLOOM_DEFAULT_K
     if len(args) != 2:
         return None
     x, b = args
-    s = f"CAST({x} AS STRING)"
-    probes = " AND ".join(
-        f"({i} >= ({b}).k OR array_contains(({b}).positions, "
-        f"pmod(xxhash64({i}, {s}), ({b}).m)))"
-        for i in range(_BLOOM_K))
-    return f"({x} IS NOT NULL AND {probes})"
+    s = f"coalesce(CAST({x} AS STRING), '')"
+    probe = ", ".join(f"pmod(xxhash64({i}, {s}), ({b}).m)"
+                      for i in range(BLOOM_DEFAULT_K))
+    return (f"(size(array_except(slice(array({probe}), 1, ({b}).k), "
+            f"({b}).positions)) = 0)")
 
 
 _TDW = re.compile(r"(?is)^\s*DS_TUPLE_DOUBLES\s*\((.*)\)\s*$")

@@ -157,12 +157,35 @@ def parse_ingest_sql(text: str) -> IngestStatement | None:
                            _GRAIN[grain], where, overwrite_all, cluster)
 
 
-def run_ingest_sql(engine, stmt: IngestStatement):
+def run_ingest_sql(engine, stmt: IngestStatement,
+                   task_id: str | None = None):
     """Execute against the engine's TableService; returns the written
     DataFrame (so the statement composes like a query). The new/updated
-    datasource is (re)registered in the engine catalog."""
-    from druid_spark.ingest.batch import TableService
+    datasource is (re)registered in the engine catalog.
 
+    Records itself in sys.tasks as a `query_controller` task with the
+    target datasource (MSQ ControllerImpl / TaskStorage analog) — under
+    the caller-supplied task_id when the async statements API drives it,
+    so the sys.tasks row and the statement id line up like the
+    reference's sqlQueryId == taskId contract."""
+    import time as _time
+    import uuid as _uuid
+
+    tid = task_id or f"query-{_uuid.uuid4()}"
+    engine.record_task(tid, "query_controller", stmt.table, "RUNNING")
+    t0 = _time.time()
+    try:
+        df = _run_ingest_body(engine, stmt)
+    except Exception as e:
+        engine.record_task(tid, "query_controller", stmt.table, "FAILED",
+                           (_time.time() - t0) * 1000.0, str(e))
+        raise
+    engine.record_task(tid, "query_controller", stmt.table, "SUCCESS",
+                       (_time.time() - t0) * 1000.0)
+    return df
+
+
+def _run_ingest_body(engine, stmt: IngestStatement):
     df = engine.sql(stmt.select)
     if "__time" not in df.columns:
         raise ValueError(

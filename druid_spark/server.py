@@ -156,8 +156,11 @@ def error_body(code: str, e: Exception) -> dict:
 
 
 # ------------------------------------------------- async SQL statements
-# ingestion statements surface as MSQ controller tasks in sys.tasks
-_re_task = re.compile(r"\s*(INSERT|REPLACE)\b", re.IGNORECASE)
+# ingestion statements surface as MSQ controller tasks in sys.tasks;
+# leading `SET k = v;` context statements (which engine.sql strips) must
+# not hide the INSERT/REPLACE verb from the classifier
+_re_task = re.compile(r"\s*(?:SET\s+[\w.]+\s*=\s*[^;]+;\s*)*"
+                      r"(INSERT|REPLACE)\b", re.IGNORECASE)
 
 
 class _Statements:
@@ -183,14 +186,22 @@ class _Statements:
                "error": None, "cancel": False}
         with self._lock:
             self._st[qid] = rec
-        ttype = ("query_controller" if _re_task.match(text or "")
-                 else "query")
-        self.engine.record_task(qid, ttype, None, "ACCEPTED")
+        is_task = bool(_re_task.match(text or ""))
+        ttype = "query_controller" if is_task else "query"
+        ds = None
+        if is_task:
+            from druid_spark.ingest.sql_ingest import parse_ingest_sql
+            stripped = re.sub(r"^\s*(?:SET\s+[\w.]+\s*=\s*[^;]+;\s*)*",
+                              "", text, flags=re.IGNORECASE)
+            stmt = parse_ingest_sql(stripped)
+            ds = stmt.table if stmt else None
+        self.engine.record_task(qid, ttype, ds, "ACCEPTED")
 
         def run():
             rec["state"] = "RUNNING"
             try:
-                df = self.engine.sql(_bind_parameters(text, params))
+                df = self.engine.sql(_bind_parameters(text, params),
+                                     task_id=qid)
                 if self.scheduler is not None:
                     rows = _row_dicts(
                         self.scheduler.submit(qid, df.collect))

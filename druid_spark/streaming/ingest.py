@@ -228,6 +228,15 @@ def start_supervisor(spark: SparkSession, spec: dict[str, Any],
             stream, time_column=time_col,
             transform_spec=schema.get("transformSpec"),
             late_rejection=late, trigger=trigger)
+    # Re-submitting a spec for the same dataSource REPLACES the running
+    # supervisor (SupervisorManager keeps an id-keyed map and stops the
+    # prior instance): stop the old query, drop its registry entry.
+    for old in [s for s in SUPERVISORS if s["supervisor_id"] == name]:
+        try:
+            old["query"].stop()
+        except Exception:
+            pass
+        SUPERVISORS.remove(old)
     SUPERVISORS.append({"supervisor_id": name, "datasource": name,
                         "source": source.get("type", "unknown"),
                         "query": query})

@@ -227,6 +227,40 @@ def test_sql_task_endpoint_insert(server, tmp_path):
     status, rows, _ = _post(server, "/druid/v2/sql", {
         "query": "SELECT count(*) AS n FROM tgt_http_task"})
     assert status == 200 and rows[0]["n"] == 1000  # sf0.001 events rows
+    # ONE sys.tasks row, keyed by the statement id (sqlQueryId==taskId
+    # contract), typed query_controller with the target datasource
+    status, trows, _ = _post(server, "/druid/v2/sql", {
+        "query": f"SELECT type, datasource, status FROM sys.tasks "
+                 f"WHERE task_id = '{tid}'"})
+    assert status == 200 and len(trows) == 1
+    assert trows[0]["type"] == "query_controller"
+    assert trows[0]["datasource"] == "tgt_http_task"
+    assert trows[0]["status"] == "SUCCESS"
+
+
+def test_sql_task_set_prefixed_insert_classified(server):
+    """A SET-prefixed INSERT (engine.sql strips the SET context) must
+    still be classified as an ingest task, not a plain query."""
+    import time as _t
+    status, sub, _ = _post(server, "/druid/v2/sql/task", {
+        "query": "SET sqlTimeZone = 'UTC'; "
+                 "REPLACE INTO tgt_http_set OVERWRITE ALL "
+                 "SELECT ts AS __time, value FROM events "
+                 "PARTITIONED BY DAY"})
+    assert status == 202
+    tid = sub["taskId"]
+    for _ in range(120):
+        status, st = _get(server, f"/druid/v2/sql/statements/{tid}")
+        if st["state"] in ("SUCCESS", "FAILED"):
+            break
+        _t.sleep(0.5)
+    assert st["state"] == "SUCCESS", st
+    status, trows, _ = _post(server, "/druid/v2/sql", {
+        "query": f"SELECT type, datasource FROM sys.tasks "
+                 f"WHERE task_id = '{tid}'"})
+    assert len(trows) == 1
+    assert trows[0]["type"] == "query_controller"
+    assert trows[0]["datasource"] == "tgt_http_set"
 
 
 def test_sql_statements_async(server):

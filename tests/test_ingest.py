@@ -301,6 +301,11 @@ def test_supervisor_spec(spark, tmp_path):
     q.awaitTermination(60)
     rows = {r["page"]: r["views"] for r in ing.view().collect()}
     assert rows == {"home": 2, "about": 2}
+    # re-submitting a spec REPLACES the supervisor (SupervisorManager's
+    # id-keyed map): one registry entry, not one per submission
+    from druid_spark.streaming.ingest import SUPERVISORS
+    mine = [s for s in SUPERVISORS if s["supervisor_id"] == "pageviews"]
+    assert len(mine) == 1 and mine[0]["query"] is q
 
 
 def test_streaming_exactly_once_replay(spark, tmp_path):

@@ -55,6 +55,20 @@ def test_insert_then_query(eng):
            if d.startswith("__dt=")]
     assert sorted(dts) == ["__dt=2024-01-01", "__dt=2024-01-02",
                            "__dt=2024-01-03"]
+    # the ingest recorded itself in sys.tasks as an MSQ-style
+    # controller task with the target datasource (TaskStorage analog)
+    tasks = [t for t in eng.tasks if t["datasource"] == "tgt"]
+    assert len(tasks) == 1
+    assert tasks[0]["type"] == "query_controller"
+    assert tasks[0]["status"] == "SUCCESS"
+
+
+def test_failed_ingest_records_failed_task(eng):
+    with pytest.raises(ValueError):
+        eng.sql("INSERT INTO bad SELECT user FROM src PARTITIONED BY DAY")
+    tasks = [t for t in eng.tasks if t["datasource"] == "bad"]
+    assert len(tasks) == 1 and tasks[0]["status"] == "FAILED"
+    assert "__time" in (tasks[0]["error_msg"] or "")
 
 
 def test_replace_overwrite_where_swaps_only_matching_chunks(eng):

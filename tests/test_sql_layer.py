@@ -445,6 +445,17 @@ def test_bloom_filter_sql_forms(engine):
               (SELECT BLOOM_FILTER(c_custkey, 2000) FROM customer)) AS hit
     """).first()["hit"]
     assert miss is False
+    # NULL semantics (BloomKFilter.addBytes/testBytes(null)): a null
+    # is RECORDED by the build and a null probe matches iff one was
+    # recorded — not unconditionally false
+    row = engine.sql("""
+        SELECT BLOOM_FILTER_TEST(CAST(NULL AS STRING),
+                 (SELECT BLOOM_FILTER(x, 10)
+                  FROM (SELECT CAST(NULL AS STRING) AS x))) AS null_hit,
+               BLOOM_FILTER_TEST(CAST(NULL AS STRING),
+                 (SELECT BLOOM_FILTER(x, 10)
+                  FROM (SELECT 'a' AS x))) AS null_miss""").first()
+    assert row["null_hit"] is True and row["null_miss"] is False
 
 
 def test_tuple_doubles_sql_forms(engine):
@@ -494,3 +505,17 @@ def test_table_append(engine):
         engine.sql("SELECT 1 FROM TABLE(APPEND()) u")
     with _pytest.raises(KeyError):
         engine.sql("SELECT 1 FROM TABLE(APPEND('region', 'nope')) u")
+    # least-restrictive type merge (TableAppendMacro): INT + DOUBLE
+    # widens to DOUBLE regardless of argument order — first-seen-wins
+    # would CAST 0.5 to 0 silently. Hyphenated datasource names must
+    # be backtick-quoted in the generated per-table SELECTs.
+    sp = engine.spark
+    engine.catalog.register_table(
+        "ta-int", sp.range(2).selectExpr("CAST(id AS INT) AS x"))
+    engine.catalog.register_table(
+        "ta-dbl", sp.range(2).selectExpr("CAST(id AS DOUBLE)+0.5 AS x"))
+    for order in ("'ta-int','ta-dbl'", "'ta-dbl','ta-int'"):
+        got = engine.sql(
+            f"SELECT x FROM TABLE(APPEND({order})) ORDER BY x")
+        assert got.schema["x"].dataType.simpleString() == "double"
+        assert [r["x"] for r in got.collect()] == [0.0, 0.5, 1.0, 1.5]
