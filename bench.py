@@ -399,10 +399,10 @@ def main():
     # for the section so the join actually shuffles (a fact-to-fact dim
     # side isn't broadcastable at scale) and restored after.
     skew = {}
+    thresh0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         from druid_spark.skew import salted_join
         n_keys = 20_000
-        thresh0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         base = spark.read.parquet(cache20)
         h = F.abs(F.xxhash64("l_orderkey", "l_linenumber",
@@ -433,9 +433,12 @@ def main():
         skew["salted_vs_uniform"] = round(
             skew["skewed_salted_sec"] / max(skew["uniform_join_sec"], 1e-9),
             2)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh0)
     except Exception as e:
         skew["error"] = str(e)[:200]
+    finally:
+        # restore even on failure — leaving broadcast disabled would
+        # silently skew every later join-bearing section
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh0)
 
     # Ingest rate: batch rollup ingestion of the 12M-row 20x fact —
     # read → time-truncate → groupBy(rollup) → parquet segment write,

@@ -45,6 +45,9 @@ _INFO_DOT_RE = _re.compile(
 _IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _SQL_VIEWS_STAMP: "_weakref.WeakKeyDictionary[SparkSession, tuple[int, int]]" \
     = _weakref.WeakKeyDictionary()
+_SQL_LOOKUPS_STAMP: \
+    "_weakref.WeakKeyDictionary[SparkSession, tuple[int, int]]" \
+    = _weakref.WeakKeyDictionary()
 
 
 # TABLE(APPEND(...)) merges column types with Calcite's
@@ -369,12 +372,16 @@ class DruidSparkEngine:
         broadcast-joined temp views (see SQL_LOOKUP_INLINE_MAX).
         Re-registered when the lookup registry changes."""
         lookups = self.catalog.lookups
-        key = hash(tuple(sorted(
+        # The LOOKUP temp function is SESSION-wide: stamp per session
+        # (engine serial + registry content) like _SQL_VIEWS_STAMP, so
+        # a second engine on the same session re-registers instead of
+        # silently serving the other engine's arms.
+        key = (self._serial, hash(tuple(sorted(
             (n, len(m), hash(tuple(sorted(m.items()))))
-            for n, m in lookups.items())))
-        if getattr(self, "_sql_lookups_key", None) == key:
+            for n, m in lookups.items()))))
+        if _SQL_LOOKUPS_STAMP.get(self.spark) == key:
             return
-        self._sql_lookups_key = key
+        _SQL_LOOKUPS_STAMP[self.spark] = key
         if not lookups:
             return
         def q(s: str) -> str:

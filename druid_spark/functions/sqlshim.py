@@ -17,12 +17,28 @@ from __future__ import annotations
 import re
 
 
+def _skip_string(s: str, i: int) -> int:
+    """i points at an opening quote; return the index of its closing
+    quote ('' / \"\" doubling is the SQL escape). len(s) if unclosed."""
+    q = s[i]
+    i += 1
+    while i < len(s):
+        if s[i] == q:
+            if i + 1 < len(s) and s[i + 1] == q:
+                i += 2
+                continue
+            return i
+        i += 1
+    return len(s)
+
+
 def _rewrite_call(sql: str, fname: str, builder) -> str:
     """Rewrite calls of `fname` via builder(args)->replacement | None
     (None = leave untouched). Balanced-paren scan, top-level comma
-    split; string literals with parens/commas are the known blind
-    spot. Lets fixed-arity SQL UDFs serve Druid's optional-argument
-    forms (tz / origin / format overloads)."""
+    split; quote-aware, so parens/commas/brackets inside string
+    literals (LTRIM(col, ']'), LIKE 'a(%') don't derail the scan.
+    Lets fixed-arity SQL UDFs serve Druid's optional-argument forms
+    (tz / origin / format overloads)."""
     pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
     pos = 0
     while True:
@@ -32,7 +48,9 @@ def _rewrite_call(sql: str, fname: str, builder) -> str:
         depth, i, args, start = 1, m.end(), [], m.end()
         while depth and i < len(sql):
             ch = sql[i]
-            if ch in "([":  # brackets nest too: ARRAY['a','b'] args
+            if ch in "'\"":
+                i = _skip_string(sql, i)
+            elif ch in "([":  # brackets nest too: ARRAY['a','b'] args
                 depth += 1
             elif ch == "]":
                 depth -= 1
@@ -65,15 +83,19 @@ _QSK = re.compile(
 
 
 def _top_split(s: str) -> list[str]:
-    parts, depth, start = [], 0, 0
-    for i, ch in enumerate(s):
-        if ch == "(":
+    parts, depth, start, i = [], 0, 0, 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "'\"":
+            i = _skip_string(s, i)
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(s[start:i].strip())
             start = i + 1
+        i += 1
     parts.append(s[start:].strip())
     return parts
 
@@ -391,7 +413,25 @@ def _time_floor_ceil(name):
         # anchors the bucket grid at the origin instead of the epoch
         # (TimestampFloorExprMacro origin semantics). Fixed-width
         # periods only — a calendar period with origin fails loudly.
-        if len(args) in (3, 4) and args[2].upper() not in ("NULL", "''"):
+        null_origin = len(args) >= 3 and args[2].upper() in ("NULL", "''")
+        if len(args) == 3 and null_origin:
+            # legal Druid spelling TIME_FLOOR(ts, period, NULL): same
+            # as the 2-arg form (the fixed-arity UDF would choke on
+            # the extra arg otherwise)
+            return f"{name}({args[0]}, {args[1]})"
+        if len(args) == 4 and not null_origin:
+            # origin + timezone: localize ts AND origin, recurse to the
+            # 3-arg origin arm (rewritten on the next scan pass), shift
+            # back — local-wall-clock grid arithmetic, the
+            # PeriodGranularity(origin, tz) behavior. Dropping tz here
+            # would mis-bucket across DST transitions.
+            tz = args[3].strip().strip("'\"")
+            if tz not in ("UTC", "Etc/UTC", "+00:00", "Z", ""):
+                return (f"TO_UTC_TIMESTAMP({name}(FROM_UTC_TIMESTAMP("
+                        f"{args[0]}, {args[3]}), {args[1]}, "
+                        f"FROM_UTC_TIMESTAMP(CAST({args[2]} AS "
+                        f"TIMESTAMP), {args[3]})), {args[3]})")
+        if len(args) in (3, 4) and not null_origin:
             ms = _period_millis(args[1])
             if ms is None:
                 return None
@@ -401,7 +441,7 @@ def _time_floor_ceil(name):
             return (f"TIMESTAMP_MILLIS(CAST({o} + "
                     f"{fn}(({t} - {o}) / {ms}.0) * {ms} AS BIGINT))")
         # 4-arg null-origin timezone variant: floor in the local frame
-        if len(args) == 4 and args[2].upper() in ("NULL", "''"):
+        if len(args) == 4 and null_origin:
             return (f"TO_UTC_TIMESTAMP({name}(FROM_UTC_TIMESTAMP("
                     f"{args[0]}, {args[3]}), {args[1]}), {args[3]})")
         return None
@@ -418,8 +458,8 @@ def _time_shift_tz(args):
 def _add_default_arg(sql: str, fname: str, default: str) -> str:
     """Append `, default` to calls of `fname` that have exactly one
     top-level argument (SQL UDFs have fixed arity; Druid's 1-arg forms
-    imply a default). Balanced-paren scan, any nesting depth; string
-    literals containing parens/commas are the known blind spot."""
+    imply a default). Balanced-paren scan, any nesting depth,
+    quote-aware (commas/parens inside string literals don't count)."""
     pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
     pos = 0
     while True:
@@ -429,7 +469,9 @@ def _add_default_arg(sql: str, fname: str, default: str) -> str:
         depth, i, commas = 1, m.end(), 0
         while depth and i < len(sql):
             ch = sql[i]
-            if ch == "(":
+            if ch in "'\"":
+                i = _skip_string(sql, i)
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1

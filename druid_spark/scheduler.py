@@ -131,9 +131,23 @@ class QueryScheduler:
                 lane_sem.release()
             raise QueryCapacityExceededError(None, self._total_cap or 0)
 
+        rec = {"lane": lane, "canceled": False}
         with self._lock:
-            self._running[qid] = {"lane": lane, "canceled": False}
+            self._running[qid] = rec
         out: dict[str, Any] = {}
+
+        def release():
+            # Slot + registry release belongs to the WORKER, not the
+            # submitter: on timeout the submitter raises while the
+            # Spark jobs are still draining after cancelJobGroup —
+            # releasing then would admit new queries above the
+            # capacity cap and orphan the still-running id.
+            with self._lock:
+                self._running.pop(qid, None)
+            if self._total is not None:
+                self._total.release()
+            if lane_sem is not None:
+                lane_sem.release()
 
         def work():
             sc = self.spark.sparkContext
@@ -146,30 +160,29 @@ class QueryScheduler:
             finally:
                 # clear the group so a pooled thread doesn't leak it
                 sc.setJobGroup("", "")
+                release()
 
         try:
             from pyspark import InheritableThread
             t = InheritableThread(target=work, daemon=True,
                                   name=f"query-{qid[:8]}")
             t.start()
-            t.join(timeout_ms / 1000.0 if timeout_ms else None)
-            if t.is_alive():
-                self.spark.sparkContext.cancelJobGroup(qid)
-                raise QueryTimeoutError(qid, timeout_ms or 0)
-            if "error" in out:
-                if self.was_canceled(qid):
-                    raise QueryCanceledError(qid) from out["error"]
-                raise out["error"]
-            if self.was_canceled(qid):
-                raise QueryCanceledError(qid)
-            return out["value"]
-        finally:
-            with self._lock:
-                self._running.pop(qid, None)
-            if self._total is not None:
-                self._total.release()
-            if lane_sem is not None:
-                lane_sem.release()
+        except BaseException:
+            release()  # thread never ran; the slot would leak
+            raise
+        t.join(timeout_ms / 1000.0 if timeout_ms else None)
+        if t.is_alive():
+            self.spark.sparkContext.cancelJobGroup(qid)
+            raise QueryTimeoutError(qid, timeout_ms or 0)
+        # rec is read directly (not via the registry) because the
+        # worker's release() has already popped the id by now
+        if "error" in out:
+            if rec["canceled"]:
+                raise QueryCanceledError(qid) from out["error"]
+            raise out["error"]
+        if rec["canceled"]:
+            raise QueryCanceledError(qid)
+        return out["value"]
 
 
 class QueryCanceledError(RuntimeError):

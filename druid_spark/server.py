@@ -173,6 +173,13 @@ class _Statements:
     hold driver-side (statement results are final query output —
     broker-sized by the same contract as the sync path)."""
 
+    # completed statements retained (with their result rows) before the
+    # oldest are evicted — the reference expires statement results too
+    # (SqlStatementResource retention); unbounded retention would pin
+    # every result set in driver memory for the server's lifetime
+    MAX_DONE = 256
+    _TERMINAL = ("SUCCESS", "FAILED", "CANCELED")
+
     def __init__(self, engine, scheduler: QueryScheduler | None = None):
         self.engine = engine
         self.scheduler = scheduler
@@ -186,6 +193,10 @@ class _Statements:
                "error": None, "cancel": False}
         with self._lock:
             self._st[qid] = rec
+            done = [q for q, r in self._st.items()
+                    if r["state"] in self._TERMINAL]
+            for q in done[:max(0, len(done) - self.MAX_DONE)]:
+                del self._st[q]  # insertion order == oldest first
         is_task = bool(_re_task.match(text or ""))
         ttype = "query_controller" if is_task else "query"
         ds = None
@@ -198,7 +209,20 @@ class _Statements:
         self.engine.record_task(qid, ttype, ds, "ACCEPTED")
 
         def run():
-            rec["state"] = "RUNNING"
+            # a cancel can land before the worker starts (no Spark job
+            # group exists yet for scheduler.cancel to kill): honor it
+            # here instead of overwriting CANCELED back to RUNNING and
+            # paying for the whole query
+            with self._lock:
+                if rec["cancel"]:
+                    rec["state"] = "CANCELED"
+                else:
+                    rec["state"] = "RUNNING"
+            if rec["state"] == "CANCELED":
+                self.engine.record_task(
+                    qid, ttype, None, "CANCELED",
+                    (time.time() - rec["createdAt"]) * 1000.0)
+                return
             try:
                 df = self.engine.sql(_bind_parameters(text, params),
                                      task_id=qid)
@@ -510,25 +534,60 @@ class _Handler(BaseHTTPRequestHandler):
                 pass
             cols = df.columns
             if fmt in ("objectLines", "arrayLines"):
-                # stream: never materialize a big export driver-side
-                def stream() -> bytes:
-                    buf = io.BytesIO()
-                    if header and fmt == "arrayLines":
-                        buf.write(json.dumps(cols).encode() + b"\n")
-                    for r in df.toLocalIterator():
+                # Chunked transfer, rows written straight to the socket
+                # as toLocalIterator yields partitions — the full export
+                # is never held driver-side. The first row is pulled
+                # BEFORE headers go out so fast failures still return a
+                # proper error status; after that, an error truncates
+                # the stream without the trailing blank line that marks
+                # completeness (ResultFormat line protocol).
+                _END = object()
+                started = []
+
+                def stream() -> None:
+                    it = df.toLocalIterator()
+                    first = next(it, _END)
+                    started.append(True)
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; charset=utf-8")
+                    self.send_header("X-Druid-Query-Id", qid)
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def chunk(b: bytes) -> None:
+                        self.wfile.write(
+                            f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+                    def line(r) -> bytes:
                         d = {k: json_safe(v)
                              for k, v in r.asDict(recursive=True).items()}
-                        line = (json.dumps(d) if fmt == "objectLines"
-                                else json.dumps([d[c] for c in cols]))
-                        buf.write(line.encode() + b"\n")
-                    # trailing blank line = complete (ResultFormat)
-                    buf.write(b"\n")
-                    return buf.getvalue()
+                        return ((json.dumps(d) if fmt == "objectLines"
+                                 else json.dumps([d[c] for c in cols]))
+                                .encode() + b"\n")
 
-                payload = sched.submit(
-                    qid, stream, lane=QueryScheduler.compute_lane(ctx),
-                    timeout_ms=_timeout_ms(ctx))
-                self._send(200, payload, "text/plain; charset=utf-8", qid)
+                    if header and fmt == "arrayLines":
+                        chunk(json.dumps(cols).encode() + b"\n")
+                    if first is not _END:
+                        chunk(line(first))
+                        for r in it:
+                            chunk(line(r))
+                    # trailing blank line = complete (ResultFormat)
+                    chunk(b"\n")
+                    self.wfile.write(b"0\r\n\r\n")
+
+                try:
+                    sched.submit(
+                        qid, stream,
+                        lane=QueryScheduler.compute_lane(ctx),
+                        timeout_ms=_timeout_ms(ctx))
+                except Exception:
+                    if started:
+                        # headers already sent: the closed connection
+                        # (no completeness marker) is the error signal
+                        self.close_connection = True
+                        return
+                    raise
                 return
             rows = sched.submit(
                 qid, df.collect, lane=QueryScheduler.compute_lane(ctx),
@@ -575,23 +634,48 @@ def _timeout_ms(ctx: dict) -> int | None:
 
 
 def _bind_parameters(text: str, params) -> str:
-    """Positional '?' binding (SqlResource SqlParameter.java): values are
-    spliced as SQL literals — strings escaped, numerics verbatim."""
+    """Positional '?' binding (SqlResource SqlParameter.java): values
+    are spliced as SQL literals — strings escaped, numerics verbatim.
+    Quote-aware: a '?' inside a string literal (LIKE 'a?%') is NOT a
+    placeholder, and running out of parameters raises instead of
+    silently deleting the marker."""
     if not params:
         return text
-    out, it = [], iter(params)
-    for chunk in text.split("?"):
-        out.append(chunk)
-        p = next(it, None)
-        if p is None:
-            continue
+    vals = []
+    for p in params:
         v = p.get("value") if isinstance(p, dict) else p
         if v is None:
-            out.append("NULL")
+            vals.append("NULL")
+        elif isinstance(v, bool):
+            vals.append("TRUE" if v else "FALSE")
         elif isinstance(v, (int, float)):
-            out.append(repr(v))
+            vals.append(repr(v))
         else:
-            out.append("'" + str(v).replace("'", "''") + "'")
+            vals.append("'" + str(v).replace("'", "''") + "'")
+    out, i, pi = [], 0, 0
+    while i < len(text):
+        ch = text[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < len(text):
+                if text[j] == ch:
+                    if j + 1 < len(text) and text[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i:j + 1])
+            i = j + 1
+        elif ch == "?":
+            if pi >= len(vals):
+                raise ValueError(
+                    "too few parameters for '?' placeholders")
+            out.append(vals[pi])
+            pi += 1
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
     return "".join(out)
 
 

@@ -166,10 +166,17 @@ def tuple_state(df: DataFrame, keys: list[str], key_field: str,
     sums = df.groupBy(*keys).agg(
         *[F.sum(F.when(key_ok, F.col(m)).cast("double")).alias(f"__s{i}")
           for i, m in enumerate(metric_fields)])
-    return kmv.join(sums, keys).select(
-        *keys,
-        F.struct(F.col(f"{key_field}_kmv").alias("kmv"),
-                 F.array(*[F.col(f"__s{i}")
+    # null-SAFE equi-join: both sides emit a row for a NULL-valued
+    # grouping key, and plain EqualTo (NULL != NULL) would silently
+    # drop that group's estimate and sums
+    cond = None
+    for c in keys:
+        eq = kmv[c].eqNullSafe(sums[c])
+        cond = eq if cond is None else cond & eq
+    return kmv.join(sums, cond).select(
+        *[kmv[c] for c in keys],
+        F.struct(kmv[f"{key_field}_kmv"].alias("kmv"),
+                 F.array(*[sums[f"__s{i}"]
                            for i in range(len(metric_fields))])
                  .alias("sums")).alias("tuple_state"))
 

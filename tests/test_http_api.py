@@ -162,6 +162,46 @@ def test_sql_parameters(server):
         "query": "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey = ?",
         "parameters": [{"type": "BIGINT", "value": 1}]})
     assert status == 200 and body[0]["n"] == 5
+    # a '?' inside a string literal is NOT a placeholder
+    status, body, _ = _post(server, "/druid/v2/sql", {
+        "query": "SELECT COUNT(*) AS n FROM nation "
+                 "WHERE n_name NOT LIKE 'z?%' AND n_regionkey = ?",
+        "parameters": [{"type": "BIGINT", "value": 1}]})
+    assert status == 200 and body[0]["n"] == 5
+    # too few parameters errors instead of silently deleting the '?'
+    import urllib.error
+    try:
+        _post(server, "/druid/v2/sql", {
+            "query": "SELECT ? + ? AS n", "parameters": [{"value": 1}]})
+        assert False, "expected error"
+    except urllib.error.HTTPError as e:
+        assert e.code in (400, 500)
+
+
+def test_statements_registry_bounded(server):
+    """Completed statements are evicted oldest-first past MAX_DONE so
+    result rows don't accumulate in driver memory forever."""
+    import time
+    st = server._httpd.statements
+    old_max = st.MAX_DONE
+    st.MAX_DONE = 3
+    try:
+        ids = []
+        for i in range(5):
+            status, sub, _ = _post(server, "/druid/v2/sql/statements", {
+                "query": f"SELECT {i} AS x"})
+            ids.append(sub["queryId"])
+            for _ in range(100):
+                _, s = _get(server,
+                            f"/druid/v2/sql/statements/{ids[-1]}")
+                if s["state"] in ("SUCCESS", "FAILED"):
+                    break
+                time.sleep(0.05)
+        live = [q for q in ids if st.status(q) is not None]
+        assert len(live) <= 4  # 3 retained terminal + the in-flight one
+        assert ids[-1] in live  # newest survives
+    finally:
+        st.MAX_DONE = old_max
 
 
 def test_error_shapes(server):

@@ -519,3 +519,57 @@ def test_table_append(engine):
             f"SELECT x FROM TABLE(APPEND({order})) ORDER BY x")
         assert got.schema["x"].dataType.simpleString() == "double"
         assert [r["x"] for r in got.collect()] == [0.0, 0.5, 1.0, 1.5]
+
+
+def test_rewrite_scan_quote_awareness(engine):
+    """Shim scanners must ignore brackets/parens/commas/'?' inside
+    string literals: LTRIM/RTRIM with ']'/')' trim-chars previously
+    terminated the arg scan early and skipped the Druid->Spark
+    argument-order rewrite (silently reversed semantics)."""
+    row = engine.sql(
+        "SELECT LTRIM(']]abc', ']') AS a, RTRIM('abc))', ')') AS b, "
+        "LTRIM('((xy', '(') AS c, TRIM(BOTH ']' FROM ']z]') AS d"
+    ).first()
+    assert (row["a"], row["b"], row["c"], row["d"]) == \
+        ("abc", "abc", "xy", "z")
+
+
+def test_time_floor_null_origin_and_origin_tz(engine):
+    """TIME_FLOOR(ts, period, NULL) equals the 2-arg form (legal Druid
+    spelling), and the 4-arg origin+tz form keeps the grid on local
+    wall-clock boundaries across a DST transition instead of silently
+    dropping the timezone (TimestampFloorExprMacro origin semantics)."""
+    row = engine.sql("""
+        SELECT TIME_FLOOR(TIMESTAMP '2024-03-10 10:30:00', 'PT1H', NULL)
+                 AS null_origin,
+               TIME_FLOOR(TIMESTAMP '2024-03-11 05:30:00', 'P1D',
+                          TIMESTAMP '2024-01-01',
+                          'America/Los_Angeles') AS origin_tz""").first()
+    assert str(row["null_origin"]) == "2024-03-10 10:00:00"
+    # 2024-03-11 05:30 UTC = 2024-03-10 22:30 PDT; the origin maps to
+    # 16:00 local wall time, so the floor lands on 2024-03-10 16:00 PDT
+    # = 23:00 UTC (a fixed-epoch grid that ignored tz would give 00:00)
+    assert str(row["origin_tz"]) == "2024-03-10 23:00:00"
+
+
+def test_sql_lookup_two_engines_same_session(spark):
+    """The LOOKUP temp function is session-wide: a second engine on the
+    same SparkSession must re-register its own arms on use, and the
+    first engine must recover its arms afterwards (stale-shared-state
+    guard, like the temp-view stamp)."""
+    from druid_spark import DruidSparkEngine
+    a = DruidSparkEngine(spark)
+    a.catalog.register_table(
+        "lk_t", spark.createDataFrame([("x",)], ["k"]))
+    a.catalog.register_lookup("lk_a", {"x": "from_a"})
+    assert a.sql("SELECT LOOKUP(k, 'lk_a') AS v FROM lk_t") \
+        .first()["v"] == "from_a"
+    b = DruidSparkEngine(spark)
+    b.catalog.register_table(
+        "lk_t", spark.createDataFrame([("x",)], ["k"]))
+    b.catalog.register_lookup("lk_b", {"x": "from_b"})
+    assert b.sql("SELECT LOOKUP(k, 'lk_b') AS v FROM lk_t") \
+        .first()["v"] == "from_b"
+    # engine A's next sql() must see ITS lookups again, not B's
+    assert a.sql("SELECT LOOKUP(k, 'lk_a') AS v FROM lk_t") \
+        .first()["v"] == "from_a"
