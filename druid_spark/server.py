@@ -163,6 +163,216 @@ _re_task = re.compile(r"\s*(?:SET\s+[\w.]+\s*=\s*[^;]+;\s*)*"
                       r"(INSERT|REPLACE)\b", re.IGNORECASE)
 
 
+# ---------------------------------------------------------------- avatica
+_JDBC_TYPE = {"tinyint": "TINYINT", "smallint": "SMALLINT",
+              "int": "INTEGER", "bigint": "BIGINT", "float": "REAL",
+              "double": "DOUBLE", "boolean": "BOOLEAN",
+              "string": "VARCHAR", "date": "DATE",
+              "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+              "binary": "BINARY"}
+
+
+class _Avatica:
+    """Avatica JSON-RPC service — the reference's JDBC entry point
+    (sql/.../sql/avatica/DruidAvaticaJsonHandler.java mounts Calcite
+    Avatica at POST /druid/v2/sql/avatica; DruidMeta.java implements
+    the remote Meta). Generic Avatica JSON clients (the JDBC thin
+    driver) speak request/response objects: openConnection →
+    createStatement → prepareAndExecute → fetch* → closeStatement →
+    closeConnection, plus prepare/execute for parameterized
+    statements. Results are collected driver-side at execute (the
+    broker-response contract) and paged out via frames.
+
+    Connection/statement caps mirror DruidMeta's config defaults
+    (druid.sql.avatica.maxConnections=25, maxStatementsPerConnection=4)
+    so runaway clients fail the same way."""
+
+    MAX_CONNECTIONS = 25
+    MAX_STATEMENTS_PER_CONNECTION = 4
+
+    def __init__(self, engine, scheduler: QueryScheduler | None = None):
+        self.engine = engine
+        self.scheduler = scheduler
+        self._lock = threading.Lock()
+        self._conns: dict[str, dict[int, dict]] = {}
+        self._next_id = 0
+
+    # -- protocol plumbing ---------------------------------------------
+    def handle(self, req: dict) -> tuple[int, dict]:
+        kind = req.get("request")
+        fn = getattr(self, "_rq_" + str(kind), None)
+        if fn is None:
+            return 400, self._error(f"unsupported request {kind!r}")
+        try:
+            return 200, fn(req)
+        except _AvaticaError as e:
+            return 400, self._error(str(e))
+        except Exception as e:  # surfaced in Avatica error shape
+            return 500, self._error(f"{type(e).__name__}: {e}")
+
+    @staticmethod
+    def _error(msg: str) -> dict:
+        return {"response": "error", "errorMessage": msg,
+                "errorCode": -1, "sqlState": "00000",
+                "severity": "ERROR", "exceptions": [msg]}
+
+    def _conn(self, req: dict) -> dict[int, dict]:
+        cid = req.get("connectionId")
+        with self._lock:
+            if cid not in self._conns:
+                raise _AvaticaError(f"connection {cid!r} not open")
+            return self._conns[cid]
+
+    # -- lifecycle ------------------------------------------------------
+    def _rq_openConnection(self, req: dict) -> dict:  # noqa: N802
+        cid = req.get("connectionId")
+        with self._lock:
+            if len(self._conns) >= self.MAX_CONNECTIONS and \
+                    cid not in self._conns:
+                raise _AvaticaError("too many connections")
+            self._conns.setdefault(cid, {})
+        return {"response": "openConnection"}
+
+    def _rq_closeConnection(self, req: dict) -> dict:  # noqa: N802
+        with self._lock:
+            self._conns.pop(req.get("connectionId"), None)
+        return {"response": "closeConnection"}
+
+    def _rq_createStatement(self, req: dict) -> dict:  # noqa: N802
+        conn = self._conn(req)
+        with self._lock:
+            if len(conn) >= self.MAX_STATEMENTS_PER_CONNECTION:
+                raise _AvaticaError("too many open statements")
+            self._next_id += 1
+            sid = self._next_id
+            conn[sid] = {}
+        return {"response": "createStatement",
+                "connectionId": req.get("connectionId"),
+                "statementId": sid}
+
+    def _rq_closeStatement(self, req: dict) -> dict:  # noqa: N802
+        conn = self._conn(req)
+        with self._lock:
+            conn.pop(req.get("statementId"), None)
+        return {"response": "closeStatement"}
+
+    # -- execution ------------------------------------------------------
+    def _signature(self, df, sql: str) -> dict:
+        cols = []
+        for i, f in enumerate(df.schema.fields):
+            t = _JDBC_TYPE.get(f.dataType.simpleString(), "OTHER")
+            cols.append({"ordinal": i, "columnName": f.name,
+                         "label": f.name,
+                         "type": {"name": t, "rep": "OBJECT"},
+                         "nullable": 1 if f.nullable else 0})
+        return {"columns": cols, "sql": sql,
+                "cursorFactory": {"style": "LIST"}, "parameters": []}
+
+    def _run(self, conn: dict[int, dict], sid: int, sql: str,
+             params=None) -> dict:
+        if sid not in conn:
+            raise _AvaticaError(f"statement {sid} not open")
+        if params:
+            sql = _bind_parameters(sql, params)
+        df = self.engine.sql(sql)
+        qid = f"avatica-{sid}-{uuid.uuid4().hex[:8]}"
+        rows = (self.scheduler.submit(qid, df.collect)
+                if self.scheduler is not None else df.collect())
+        cols = df.columns
+        data = [[json_safe(v) for v in
+                 (r.asDict(recursive=True)[c] for c in cols)]
+                for r in rows]
+        conn[sid] = {"sql": sql, "rows": data,
+                     "signature": self._signature(df, sql)}
+        return conn[sid]
+
+    def _frame(self, st: dict, offset: int, limit: int) -> dict:
+        limit = limit if limit and limit > 0 else len(st["rows"])
+        chunk = st["rows"][offset:offset + limit]
+        return {"offset": offset,
+                "done": offset + len(chunk) >= len(st["rows"]),
+                "rows": chunk}
+
+    def _result_set(self, req: dict, sid: int, st: dict,
+                    first_n: int) -> dict:
+        return {"response": "resultSet",
+                "connectionId": req.get("connectionId"),
+                "statementId": sid, "ownStatement": True,
+                "signature": st["signature"],
+                "firstFrame": self._frame(st, 0, first_n),
+                "updateCount": -1}
+
+    def _rq_prepareAndExecute(self, req: dict) -> dict:  # noqa: N802
+        conn = self._conn(req)
+        sid = req.get("statementId")
+        st = self._run(conn, sid, req.get("sql") or "")
+        first = int(req.get("maxRowsInFirstFrame")
+                    or req.get("maxRowCount") or -1)
+        return {"response": "executeResults",
+                "missingStatement": False,
+                "results": [self._result_set(req, sid, st, first)]}
+
+    def _rq_prepare(self, req: dict) -> dict:  # noqa: N802
+        conn = self._conn(req)
+        with self._lock:
+            if len(conn) >= self.MAX_STATEMENTS_PER_CONNECTION:
+                raise _AvaticaError("too many open statements")
+            self._next_id += 1
+            sid = self._next_id
+        # Avatica prepare returns a signature without executing; the
+        # LIMIT 0 plan gives the schema at Catalyst-analysis cost only.
+        # Placeholders probe as NULL (Spark would reject unbound '?')
+        sql = req.get("sql") or ""
+        probe = _bind_parameters(
+            sql, [{"value": None}] * sql.count("?")) if "?" in sql else sql
+        df = self.engine.sql(probe).limit(0)
+        conn[sid] = {"sql": req.get("sql") or ""}
+        return {"response": "prepare",
+                "statement": {"connectionId": req.get("connectionId"),
+                              "id": sid,
+                              "signature": self._signature(
+                                  df, req.get("sql") or "")}}
+
+    def _rq_execute(self, req: dict) -> dict:  # noqa: N802
+        h = req.get("statementHandle") or {}
+        rq = {"connectionId": h.get("connectionId")}
+        conn = self._conn(rq)
+        sid = h.get("id")
+        params = [p.get("value") if isinstance(p, dict) else p
+                  for p in (req.get("parameterValues") or [])]
+        st = self._run(conn, sid, conn.get(sid, {}).get("sql", ""),
+                       params=params)
+        first = int(req.get("maxRowsInFirstFrame")
+                    or req.get("maxRowCount") or -1)
+        return {"response": "executeResults",
+                "missingStatement": False,
+                "results": [self._result_set(rq, sid, st, first)]}
+
+    def _rq_fetch(self, req: dict) -> dict:  # noqa: N802
+        conn = self._conn(req)
+        sid = req.get("statementId")
+        st = conn.get(sid)
+        if not st or "rows" not in st:
+            raise _AvaticaError(f"no results for statement {sid}")
+        return {"response": "fetch", "missingStatement": False,
+                "frame": self._frame(
+                    st, int(req.get("offset") or 0),
+                    int(req.get("fetchMaxRowCount") or -1))}
+
+    # JDBC drivers issue these housekeeping calls; ack them
+    def _rq_connectionSync(self, req: dict) -> dict:  # noqa: N802
+        return {"response": "connectionSync",
+                "connProps": req.get("connProps") or {}}
+
+    def _rq_syncResults(self, req: dict) -> dict:  # noqa: N802
+        return {"response": "syncResults", "moreResults": False,
+                "missingStatement": False}
+
+
+class _AvaticaError(RuntimeError):
+    pass
+
+
 class _Statements:
     """Async SQL statement registry — the MSQ task-style surface
     (sql/.../sql/http/SqlStatementResource.java: POST
@@ -426,6 +636,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._native(body)
         elif path == "/druid/v2/sql":
             self._sql(body)
+        elif path == "/druid/v2/sql/avatica":
+            status, out = self.server.avatica.handle(body)  # type: ignore
+            self._send_json(status, out)
         elif path in ("/druid/v2/sql/statements", "/druid/v2/sql/task"):
             # /sql/task is the MSQ entry (sql/.../sql/http/SqlTaskResource
             # analog, SURVEY §3.3): same async machinery, task-shaped
@@ -698,6 +911,8 @@ class DruidHttpServer:
         self._httpd.engine = engine  # type: ignore[attr-defined]
         self._httpd.scheduler = self.scheduler  # type: ignore[attr-defined]
         self._httpd.statements = _Statements(  # type: ignore[attr-defined]
+            engine, scheduler=self.scheduler)
+        self._httpd.avatica = _Avatica(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler)
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None

@@ -402,3 +402,71 @@ def test_sql_outer_limit(server):
         "context": {"sqlOuterLimit": 4}})
     assert status == 200 and len(rows) == 4
     assert rows[-1]["n_nationkey"] == 3
+
+
+def test_avatica_jdbc_protocol(server):
+    """Avatica JSON-RPC at POST /druid/v2/sql/avatica — the reference's
+    JDBC entry point (DruidAvaticaJsonHandler / DruidMeta): full
+    openConnection → createStatement → prepareAndExecute → fetch →
+    close lifecycle, frame paging, prepared-statement parameters, and
+    DruidMeta's statement cap."""
+    cid = "conn-test-1"
+
+    def rpc(obj, expect=200):
+        status, body, _ = _post(server, "/druid/v2/sql/avatica", obj,
+                                expect_error=(expect != 200))
+        assert status == expect, (status, body)
+        return body
+
+    assert rpc({"request": "openConnection", "connectionId": cid})[
+        "response"] == "openConnection"
+    sid = rpc({"request": "createStatement",
+               "connectionId": cid})["statementId"]
+
+    # execute with a bounded first frame, page the rest via fetch
+    out = rpc({"request": "prepareAndExecute", "connectionId": cid,
+               "statementId": sid,
+               "sql": "SELECT n_nationkey, n_name FROM nation "
+                      "ORDER BY n_nationkey",
+               "maxRowsInFirstFrame": 10})
+    rs = out["results"][0]
+    assert rs["response"] == "resultSet" and rs["statementId"] == sid
+    names = [c["columnName"] for c in rs["signature"]["columns"]]
+    types = [c["type"]["name"] for c in rs["signature"]["columns"]]
+    assert names == ["n_nationkey", "n_name"]
+    assert types[0] in ("INTEGER", "BIGINT") and types[1] == "VARCHAR"
+    f0 = rs["firstFrame"]
+    assert len(f0["rows"]) == 10 and f0["done"] is False
+    f1 = rpc({"request": "fetch", "connectionId": cid,
+              "statementId": sid, "offset": 10,
+              "fetchMaxRowCount": 100})["frame"]
+    assert len(f1["rows"]) == 15 and f1["done"] is True
+    all_keys = [r[0] for r in f0["rows"]] + [r[0] for r in f1["rows"]]
+    assert all_keys == sorted(all_keys) and len(all_keys) == 25
+
+    # prepared statement with a bound parameter
+    prep = rpc({"request": "prepare", "connectionId": cid,
+                "sql": "SELECT COUNT(*) AS n FROM nation "
+                       "WHERE n_regionkey = ?"})
+    h = prep["statement"]
+    ex = rpc({"request": "execute", "statementHandle":
+              {"connectionId": cid, "id": h["id"]},
+              "parameterValues": [{"type": "LONG", "value": 1}]})
+    assert ex["results"][0]["firstFrame"]["rows"][0][0] == 5
+
+    # statement cap (druid.sql.avatica.maxStatementsPerConnection=4)
+    open_sids = [sid, h["id"]]
+    while len(open_sids) < 4:
+        open_sids.append(rpc({"request": "createStatement",
+                              "connectionId": cid})["statementId"])
+    err = rpc({"request": "createStatement", "connectionId": cid},
+              expect=400)
+    assert err["response"] == "error" and "statements" in err["errorMessage"]
+
+    rpc({"request": "closeStatement", "connectionId": cid,
+         "statementId": sid})
+    rpc({"request": "closeConnection", "connectionId": cid})
+    # closed connection is gone
+    err = rpc({"request": "createStatement", "connectionId": cid},
+              expect=400)
+    assert "not open" in err["errorMessage"]
