@@ -1,0 +1,212 @@
+"""Grammar-based differential SQL fuzzer: engine.sql vs DuckDB.
+
+The hand-written conformance bank (__spark_entry__.py sqlc_* entries)
+covers known Druid shapes; this fuzzer covers the combinatorial space
+BETWEEN those shapes. It generates random queries from a typed grammar
+restricted to the ANSI subset both Spark SQL and DuckDB spell
+identically (arithmetic, CASE, COALESCE/NULLIF, predicates, IN/BETWEEN/
+LIKE, aggregates, GROUP BY/HAVING/ORDER BY/LIMIT, inner joins), runs
+each through DruidSparkEngine.sql() AND DuckDB over the same parquet,
+and compares row sets with float tolerance.
+
+Mirrors the reference's randomized testing culture (e.g.
+sql/src/test/.../CalciteQueryTest + quidem corpora are enumerated;
+druid has no public SQL fuzzer — this is beyond-reference hardening).
+
+Usage:
+    python tools/fuzz_sql.py [n_queries] [seed0] [sf_dir]
+Exit code 1 on any mismatch; prints each failing query + diff head.
+pytest runs a 40-query smoke via tests/test_fuzz_sql.py.
+"""
+from __future__ import annotations
+
+import math
+import random
+import sys
+
+TABLES = {
+    "orders": {
+        "num": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "int": ["o_orderkey", "o_custkey"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+    },
+    "lineitem": {
+        "num": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "str": ["l_returnflag", "l_linestatus"],
+    },
+    "customer": {
+        "num": ["c_custkey", "c_nationkey", "c_acctbal"],
+        "int": ["c_custkey", "c_nationkey"],
+        "str": ["c_name", "c_mktsegment"],
+    },
+}
+
+
+class Gen:
+    def __init__(self, rng: random.Random, table: str):
+        self.r = rng
+        self.t = TABLES[table]
+
+    # -- scalar numeric expression (always CAST-stable across engines)
+    def num(self, depth: int = 0):
+        r = self.r
+        if depth >= 2 or r.random() < 0.45:
+            if r.random() < 0.75:
+                return r.choice(self.t["num"])
+            return str(r.choice([0, 1, 2, 5, 10, 100]))
+        k = r.randrange(5)
+        if k == 0:
+            return f"({self.num(depth+1)} + {self.num(depth+1)})"
+        if k == 1:
+            return f"({self.num(depth+1)} - {self.num(depth+1)})"
+        if k == 2:
+            # multiplication kept shallow to bound magnitudes
+            return f"({self.num(2)} * {str(self.r.choice([2, 3, 7]))})"
+        if k == 3:
+            return (f"(CASE WHEN {self.pred(depth+1)} "
+                    f"THEN {self.num(depth+1)} "
+                    f"ELSE {self.num(depth+1)} END)")
+        return f"COALESCE(NULLIF({self.num(depth+1)}, 0), -1)"
+
+    def strx(self):
+        return self.r.choice(self.t["str"])
+
+    # -- boolean predicate
+    def pred(self, depth: int = 0):
+        r = self.r
+        if depth >= 2 or r.random() < 0.5:
+            k = r.randrange(5)
+            if k == 0:
+                op = r.choice(["<", "<=", ">", ">=", "=", "<>"])
+                return f"({self.num(2)} {op} {self.num(2)})"
+            if k == 1:
+                c = self.strx()
+                # values drawn from the generator's fixed vocabularies
+                vals = ", ".join(
+                    f"'{v}'" for v in r.sample(
+                        ["F", "O", "P", "N", "R", "A", "1-URGENT",
+                         "BUILDING", "AUTOMOBILE"], r.randrange(1, 4)))
+                return f"({c} IN ({vals}))"
+            if k == 2:
+                lo = r.randrange(0, 50)
+                return (f"({r.choice(self.t['int'])} BETWEEN {lo} "
+                        f"AND {lo + r.randrange(1, 2000)})")
+            if k == 3:
+                return f"({self.strx()} LIKE '%{r.choice('AORF1B')}%')"
+            return f"({r.choice(self.t['num'])} IS NOT NULL)"
+        if r.random() < 0.5:
+            return f"({self.pred(depth+1)} AND {self.pred(depth+1)})"
+        return f"({self.pred(depth+1)} OR {self.pred(depth+1)})"
+
+    def agg(self, i: int):
+        r = self.r
+        k = r.randrange(6)
+        e = self.num(1)
+        if k == 0:
+            return f"CAST(COUNT(*) AS BIGINT) AS a{i}"
+        if k == 1:
+            return f"CAST(SUM({e}) AS DOUBLE) AS a{i}"
+        if k == 2:
+            return f"CAST(MIN({e}) AS DOUBLE) AS a{i}"
+        if k == 3:
+            return f"CAST(MAX({e}) AS DOUBLE) AS a{i}"
+        if k == 4:
+            return (f"CAST(COUNT(DISTINCT {r.choice(self.t['int'])}) "
+                    f"AS BIGINT) AS a{i}")
+        return f"CAST(AVG(CAST({e} AS DOUBLE)) AS DOUBLE) AS a{i}"
+
+
+def gen_query(seed: int) -> str:
+    r = random.Random(seed)
+    table = r.choice(list(TABLES))
+    g = Gen(r, table)
+    n_dims = r.randrange(0, 3)
+    dims = r.sample(g.t["str"] + g.t["int"], n_dims) if n_dims else []
+    aggs = [g.agg(i) for i in range(r.randrange(1, 4))]
+    sel = ", ".join(dims + aggs)
+    q = f"SELECT {sel} FROM {table}"
+    if r.random() < 0.8:
+        q += f" WHERE {g.pred()}"
+    if dims:
+        q += " GROUP BY " + ", ".join(dims)
+        if r.random() < 0.4:
+            q += " HAVING CAST(COUNT(*) AS BIGINT) > " \
+                 f"{r.randrange(0, 5)}"
+        # ordering by ALL group keys is total (keys are unique), so a
+        # LIMIT cut is deterministic; NULLS FIRST pins the one spot
+        # where Spark (nulls first) and DuckDB (nulls last) disagree
+        q += " ORDER BY " + ", ".join(f"{d} NULLS FIRST" for d in dims)
+        if r.random() < 0.5:
+            q += f" LIMIT {r.randrange(1, 50)}"
+    return q
+
+
+def canon_rows(cols, rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                elif v == 0:
+                    vals.append("0")
+                else:
+                    vals.append(f"{v:.9g}")
+            else:
+                vals.append(repr(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def run_fuzz(n: int = 100, seed0: int = 0,
+             sf_dir: str = "/root/testdata/sf0.001",
+             engine=None, con=None, verbose: bool = True):
+    """Returns list of (seed, query, detail) mismatches."""
+    import duckdb
+    if engine is None:
+        from druid_spark import DruidSparkEngine
+        from druid_spark.session import get_spark
+        engine = DruidSparkEngine(get_spark(), data_dir=sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+    bad = []
+    for i in range(n):
+        seed = seed0 + i
+        q = gen_query(seed)
+        try:
+            sdf = engine.sql(q)
+            srows = canon_rows(sdf.columns,
+                               [tuple(r) for r in sdf.collect()])
+            res = con.execute(q)
+            orows = canon_rows([d[0] for d in res.description],
+                               res.fetchall())
+        except Exception as e:
+            bad.append((seed, q, f"error: {type(e).__name__}: {e}"))
+            if verbose:
+                print(f"FUZZ ERROR seed={seed}\n  {q}\n  {e}")
+            continue
+        if srows != orows:
+            diff = [p for p in zip(srows, orows) if p[0] != p[1]][:3]
+            bad.append((seed, q, f"rows {len(srows)}/{len(orows)} "
+                                 f"diff={diff}"))
+            if verbose:
+                print(f"FUZZ MISMATCH seed={seed}\n  {q}\n  "
+                      f"spark={len(srows)} duck={len(orows)} {diff}")
+        elif verbose and i % 20 == 0:
+            print(f"  ok {i}/{n} (seed {seed})")
+    return bad
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    bad = run_fuzz(n, s0, sf)
+    print(f"\n{n - len(bad)} ok, {len(bad)} mismatches")
+    sys.exit(1 if bad else 0)
