@@ -118,8 +118,26 @@ class Gen:
         return f"CAST(AVG(CAST({e} AS DOUBLE)) AS DOUBLE) AS a{i}"
 
 
+# unique ordering keys per table (window ORDER BY must be total for
+# ROW_NUMBER determinism across engines)
+# the synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+# pairs, so only orders/customer have usable total-order keys for
+# deterministic window frames
+PKS = {"orders": ["o_orderkey"],
+       "customer": ["c_custkey"]}
+JOINS = [("orders", "customer", "o_custkey", "c_custkey"),
+         ("lineitem", "orders", "l_orderkey", "o_orderkey")]
+
+
 def gen_query(seed: int) -> str:
     r = random.Random(seed)
+    shape = r.random()
+    if shape < 0.20:
+        return _gen_join(r)
+    if shape < 0.32:
+        return _gen_window(r)
+    if shape < 0.42:
+        return _gen_scalar_subquery(r)
     table = r.choice(list(TABLES))
     g = Gen(r, table)
     n_dims = r.randrange(0, 3)
@@ -143,6 +161,62 @@ def gen_query(seed: int) -> str:
     return q
 
 
+def _gen_join(r: random.Random) -> str:
+    left, right, lk, rk = r.choice(JOINS)
+    gl, gr = Gen(r, left), Gen(r, right)
+    dims = []
+    if r.random() < 0.8:
+        dims.append(r.choice(gl.t["str"]))
+    if r.random() < 0.5:
+        dims.append(r.choice(gr.t["str"]))
+    kind = r.choice(["JOIN", "LEFT JOIN"])
+    aggs = [f"CAST(COUNT(*) AS BIGINT) AS a0",
+            f"CAST(SUM({r.choice(gl.t['num'])}) AS DOUBLE) AS a1"]
+    sel = ", ".join(dims + aggs)
+    q = (f"SELECT {sel} FROM {left} {kind} {right} "
+         f"ON {lk} = {rk}")
+    if r.random() < 0.7:
+        # LEFT JOIN + right-side pred must stay in ON to preserve the
+        # outer shape identically in both engines; keep WHERE left-only
+        q += f" WHERE {gl.pred()}"
+    if dims:
+        q += (" GROUP BY " + ", ".join(dims) + " ORDER BY "
+              + ", ".join(f"{d} NULLS FIRST" for d in dims))
+    return q
+
+
+def _gen_window(r: random.Random) -> str:
+    table = r.choice(list(PKS))
+    g = Gen(r, table)
+    part = r.choice(g.t["str"])
+    order = ", ".join(f"{k} NULLS FIRST" for k in PKS[table])
+    fn = r.choice(
+        ["ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+         f"CAST(SUM({r.choice(g.t['num'])}) OVER (PARTITION BY {part} "
+         f"ORDER BY {order} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+         f"CURRENT ROW) AS DOUBLE)"])
+    wf = (fn if fn.startswith("CAST") else
+          f"{fn} OVER (PARTITION BY {part} ORDER BY {order})")
+    pk = ", ".join(PKS[table])
+    q = (f"SELECT {part}, {pk}, {wf} AS w FROM {table} "
+         f"WHERE {g.pred()}")
+    n = r.randrange(2, 6)
+    return (f"SELECT * FROM ({q}) t WHERE w <= {n} "
+            f"ORDER BY {part} NULLS FIRST, {pk}")
+
+
+def _gen_scalar_subquery(r: random.Random) -> str:
+    table = r.choice(list(TABLES))
+    g = Gen(r, table)
+    m = r.choice(g.t["num"])
+    dim = r.choice(g.t["str"])
+    sub = f"(SELECT AVG(CAST({m} AS DOUBLE)) FROM {table})"
+    return (f"SELECT {dim}, CAST(COUNT(*) AS BIGINT) AS a0 "
+            f"FROM {table} WHERE CAST({m} AS DOUBLE) "
+            f"{r.choice(['>', '<='])} {sub} "
+            f"GROUP BY {dim} ORDER BY {dim} NULLS FIRST")
+
+
 def canon_rows(cols, rows):
     out = []
     for row in rows:
@@ -154,7 +228,11 @@ def canon_rows(cols, rows):
                 elif v == 0:
                     vals.append("0")
                 else:
-                    vals.append(f"{v:.9g}")
+                    # 7 sig figs: big float SUMs legitimately differ
+                    # at ~1e-9 relative between engines (summation
+                    # order); anything a user would call a wrong
+                    # answer still trips this
+                    vals.append(f"{v:.7g}")
             else:
                 vals.append(repr(v))
         out.append(tuple(vals))
