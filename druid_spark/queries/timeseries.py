@@ -31,7 +31,22 @@ def compile_query(engine, q: dict) -> DataFrame:
         isinstance(gran, dict) and gran.get("type") == "all")
 
     if grain_all:
-        out = ctx.df.agg(*aggs) if aggs else ctx.df.agg(F.count(F.lit(1)).alias("rows"))
+        # skipEmptyBuckets applies to the ALL bucket too: Druid's
+        # engine skips the empty cursor and returns [] where a global
+        # Spark agg would materialize one default row (count 0 / null
+        # sums) — which is exactly Druid's skipEmptyBuckets=false
+        # behavior (the #6767 default-result contract), so both arms
+        # exist here
+        skip = q.get("context", {}).get("skipEmptyBuckets", False)
+        if aggs:
+            out = ctx.df.agg(*aggs, *([F.count(F.lit(1)).alias("__rows")]
+                                      if skip else []))
+            if skip:
+                out = out.where(F.col("__rows") > 0).drop("__rows")
+        else:
+            out = ctx.df.agg(F.count(F.lit(1)).alias("rows"))
+            if skip:
+                out = out.where(F.col("rows") > 0)
     else:
         bucket = G.bucket(res("__time"), gran).alias("__time")
         out = ctx.df.groupBy(bucket).agg(*aggs)

@@ -24,3 +24,10 @@ def test_fuzz_differential_smoke(engine, duck):
     bad = run_fuzz(40, seed0=1000, engine=engine, con=duck,
                    verbose=False)
     assert not bad, bad[:3]
+
+
+def test_fuzz_native_filter_trees(engine, duck):
+    from tools.fuzz_native import run_fuzz_native
+    bad = run_fuzz_native(30, seed0=500, engine=engine, con=duck,
+                          verbose=False)
+    assert not bad, bad[:3]

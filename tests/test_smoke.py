@@ -29,6 +29,24 @@ def test_timeseries_all_grain(engine):
     assert df.collect()[0]["rows"] == 1000
 
 
+def test_timeseries_all_grain_empty_result(engine):
+    """ALL-granularity timeseries over an empty filtered set: Druid
+    returns [] under skipEmptyBuckets=true (the engine skips the empty
+    cursor) and ONE default row (count 0, null sums) without it (the
+    default-result contract) — not a materialized zero row in both."""
+    q = {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "__no_such_type__"},
+         "aggregations": [{"type": "count", "name": "n"},
+                          {"type": "doubleSum", "name": "s",
+                           "fieldName": "value"}]}
+    assert engine.query(
+        dict(q, context={"skipEmptyBuckets": True})).collect() == []
+    rows = engine.query(q).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 0 and rows[0]["s"] is None
+
+
 def test_groupby(engine):
     df = engine.query({
         "queryType": "groupBy",

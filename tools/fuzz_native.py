@@ -1,0 +1,178 @@
+"""Differential fuzzer for the NATIVE query path: random DimFilter
+trees through DruidSparkEngine.query() vs equivalent SQL in DuckDB.
+
+The conformance bank exercises each filter type pointwise; this
+generates random and/or/not compositions of selector/in/bound/like
+leaves (DimFilter.java:36-59 surface) under groupBy and timeseries
+queries, so the FilterCompiler's tree handling, ordering comparators,
+and null/strictness flags get combinatorial coverage. Generated
+columns are NULL-free in the testdata, so Druid's two-valued NOT and
+SQL's three-valued NOT agree by construction.
+
+Usage:
+    python tools/fuzz_native.py [n_queries] [seed0] [sf_dir]
+pytest runs a seeded smoke via tests/test_fuzz_sql.py.
+"""
+from __future__ import annotations
+
+import random
+import sys
+
+from tools.fuzz_sql import canon_rows
+
+# (table, string dims with vocab, numeric cols with plausible range)
+NTABLES = {
+    "orders": {
+        "strs": {"o_orderstatus": ["F", "O", "P", "X"],
+                 "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                     "4-NOT SPECIFIED", "5-LOW"]},
+        "nums": {"o_custkey": (0, 1500), "o_totalprice": (0.0, 500000.0)},
+        "metric": "o_totalprice",
+    },
+    "lineitem": {
+        "strs": {"l_returnflag": ["A", "N", "R", "Z"],
+                 "l_linestatus": ["F", "O"]},
+        "nums": {"l_quantity": (1, 50), "l_extendedprice": (0.0, 100000.0),
+                 "l_partkey": (0, 2000)},
+        "metric": "l_quantity",
+    },
+    "customer": {
+        "strs": {"c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                  "HOUSEHOLD", "MACHINERY"]},
+        "nums": {"c_nationkey": (0, 24), "c_acctbal": (-1000.0, 10000.0)},
+        "metric": "c_acctbal",
+    },
+}
+
+
+def _sq(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def gen_filter(r: random.Random, t: dict, depth: int = 0):
+    """-> (filter_json, sql_where). Leaves only at depth cap."""
+    if depth >= 3 or r.random() < 0.45:
+        k = r.randrange(4)
+        if k == 0:  # selector (SelectorDimFilter)
+            d = r.choice(list(t["strs"]))
+            v = r.choice(t["strs"][d])
+            return ({"type": "selector", "dimension": d, "value": v},
+                    f"({d} = {_sq(v)})")
+        if k == 1:  # in (InDimFilter)
+            d = r.choice(list(t["strs"]))
+            vs = r.sample(t["strs"][d],
+                          r.randrange(1, len(t["strs"][d]) + 1))
+            return ({"type": "in", "dimension": d, "values": vs},
+                    f"({d} IN ({', '.join(_sq(v) for v in vs)}))")
+        if k == 2:  # bound, numeric ordering (BoundDimFilter)
+            d = r.choice(list(t["nums"]))
+            lo, hi = t["nums"][d]
+            a = lo + (hi - lo) * r.random()
+            b = a + (hi - a) * r.random()
+            if isinstance(lo, int):
+                a, b = int(a), int(b)
+            ls, us = r.random() < 0.5, r.random() < 0.5
+            f = {"type": "bound", "dimension": d, "ordering": "numeric",
+                 "lower": str(a), "upper": str(b),
+                 "lowerStrict": ls, "upperStrict": us}
+            return (f, f"({d} {'>' if ls else '>='} {a} AND "
+                       f"{d} {'<' if us else '<='} {b})")
+        d = r.choice(list(t["strs"]))  # like (LikeDimFilter)
+        pat = r.choice(["%A%", "F%", "%O", "_", "%U%", "3%"])
+        return ({"type": "like", "dimension": d, "pattern": pat},
+                f"({d} LIKE {_sq(pat)})")
+    k = r.randrange(3)
+    if k == 0:
+        fs = [gen_filter(r, t, depth + 1)
+              for _ in range(r.randrange(2, 4))]
+        return ({"type": "and", "fields": [f for f, _ in fs]},
+                "(" + " AND ".join(w for _, w in fs) + ")")
+    if k == 1:
+        fs = [gen_filter(r, t, depth + 1)
+              for _ in range(r.randrange(2, 4))]
+        return ({"type": "or", "fields": [f for f, _ in fs]},
+                "(" + " OR ".join(w for _, w in fs) + ")")
+    f, w = gen_filter(r, t, depth + 1)
+    return ({"type": "not", "field": f}, f"(NOT {w})")
+
+
+def gen_native(seed: int):
+    """-> (native_query_json, oracle_sql)."""
+    r = random.Random(seed)
+    name = r.choice(list(NTABLES))
+    t = NTABLES[name]
+    f, where = gen_filter(r, t)
+    m = t["metric"]
+    if r.random() < 0.3:  # timeseries granularity all = one-row agg
+        q = {"queryType": "timeseries", "dataSource": name,
+             "granularity": "all",
+             "aggregations": [
+                 {"type": "count", "name": "n"},
+                 {"type": "doubleSum", "name": "s", "fieldName": m}],
+             "filter": f, "context": {"skipEmptyBuckets": True}}
+        sql = (f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+               f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
+               f"WHERE {where} HAVING COUNT(*) > 0")
+        return q, sql, ["n", "s"]
+    dims = r.sample(list(t["strs"]), r.randrange(1, len(t["strs"]) + 1))
+    q = {"queryType": "groupBy", "dataSource": name,
+         "granularity": "all", "dimensions": dims,
+         "aggregations": [
+             {"type": "count", "name": "n"},
+             {"type": "doubleSum", "name": "s", "fieldName": m},
+             {"type": "doubleMin", "name": "mn", "fieldName": m}],
+         "filter": f}
+    sql = (f"SELECT {', '.join(dims)}, CAST(COUNT(*) AS BIGINT) AS n, "
+           f"CAST(SUM({m}) AS DOUBLE) AS s, "
+           f"CAST(MIN({m}) AS DOUBLE) AS mn "
+           f"FROM {name} WHERE {where} GROUP BY {', '.join(dims)}")
+    return q, sql, dims + ["n", "s", "mn"]
+
+
+def run_fuzz_native(n: int = 100, seed0: int = 0,
+                    sf_dir: str = "/root/testdata/sf0.001",
+                    engine=None, con=None, verbose: bool = True):
+    import duckdb
+    if engine is None:
+        from druid_spark import DruidSparkEngine
+        from druid_spark.session import get_spark
+        engine = DruidSparkEngine(get_spark(), data_dir=sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for t in NTABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+    bad = []
+    for i in range(n):
+        seed = seed0 + i
+        q, sql, cols = gen_native(seed)
+        try:
+            sdf = engine.query(q).select(*cols)
+            srows = canon_rows(cols, [tuple(r) for r in sdf.collect()])
+            res = con.execute(sql)
+            orows = canon_rows(cols, res.fetchall())
+        except Exception as e:
+            bad.append((seed, q, f"error: {type(e).__name__}: {e}"))
+            if verbose:
+                print(f"NATIVE FUZZ ERROR seed={seed}\n  {q}\n  {e}")
+            continue
+        if srows != orows:
+            diff = [p for p in zip(srows, orows) if p[0] != p[1]][:3]
+            bad.append((seed, q,
+                        f"rows {len(srows)}/{len(orows)} diff={diff}"))
+            if verbose:
+                print(f"NATIVE FUZZ MISMATCH seed={seed}\n  {q}\n"
+                      f"  {sql}\n  spark={len(srows)} "
+                      f"duck={len(orows)} {diff}")
+        elif verbose and i % 20 == 0:
+            print(f"  ok {i}/{n} (seed {seed})")
+    return bad
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    bad = run_fuzz_native(n, s0, sf)
+    print(f"\n{n - len(bad)} ok, {len(bad)} mismatches")
+    sys.exit(1 if bad else 0)
