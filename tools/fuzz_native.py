@@ -96,6 +96,37 @@ def gen_filter(r: random.Random, t: dict, depth: int = 0):
     return ({"type": "not", "field": f}, f"(NOT {w})")
 
 
+def gen_vc(r: random.Random, t: dict):
+    """Expression virtual column: -> (druid_expr, sql_expr). Exercises
+    the native expression language (expr.py Pratt parser/compiler)
+    against the same computation spelled in portable SQL."""
+    d = r.choice(list(t["strs"]))
+    d2 = r.choice(list(t["strs"]))
+    ints = [c for c, (lo, _) in t["nums"].items() if isinstance(lo, int)]
+    x = r.choice(ints) if ints else list(t["nums"])[0]
+    k = r.randrange(6)
+    if k == 0:
+        return (f'concat("{d}", \'_\', "{d2}")',
+                f"CONCAT({d}, '_', {d2})")
+    if k == 1:
+        return f'upper("{d}")', f"UPPER({d})"
+    if k == 2:
+        # Druid substring(expr, index, length) is 0-based
+        return f'substring("{d}", 0, 2)', f"SUBSTR({d}, 1, 2)"
+    if k == 3:
+        c = r.randrange(1, 100)
+        return (f'if("{x}" > {c}, \'hi\', \'lo\')',
+                f"CASE WHEN {x} > {c} THEN 'hi' ELSE 'lo' END")
+    if k == 4:
+        n = r.choice([3, 5, 7])
+        return (f'concat(\'b\', cast("{x}" % {n}, \'STRING\'))',
+                f"CONCAT('b', CAST({x} % {n} AS VARCHAR))")
+    return (f'case_searched("{d}" == {_sq(list(t["strs"][d])[0])}, '
+            f"'first', 'other')",
+            f"CASE WHEN {d} = {_sq(list(t['strs'][d])[0])} "
+            f"THEN 'first' ELSE 'other' END")
+
+
 def gen_native(seed: int):
     """-> (native_query_json, oracle_sql)."""
     r = random.Random(seed)
@@ -103,6 +134,22 @@ def gen_native(seed: int):
     t = NTABLES[name]
     f, where = gen_filter(r, t)
     m = t["metric"]
+    if r.random() < 0.18:  # virtual-column dimension groupBy
+        e, sqe = gen_vc(r, t)
+        q = {"queryType": "groupBy", "dataSource": name,
+             "granularity": "all",
+             "virtualColumns": [{"type": "expression", "name": "v0",
+                                 "expression": e,
+                                 "outputType": "STRING"}],
+             "dimensions": ["v0"],
+             "aggregations": [
+                 {"type": "count", "name": "n"},
+                 {"type": "doubleSum", "name": "s", "fieldName": m}],
+             "filter": f}
+        sql = (f"SELECT {sqe} AS v0, CAST(COUNT(*) AS BIGINT) AS n, "
+               f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
+               f"WHERE {where} GROUP BY 1")
+        return q, sql, ["v0", "n", "s"]
     if r.random() < 0.3:  # timeseries granularity all = one-row agg
         q = {"queryType": "timeseries", "dataSource": name,
              "granularity": "all",
