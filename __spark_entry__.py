@@ -205,6 +205,20 @@ def q_ts_zero_fill(spark, sf):
     }), {"total": 3})
 
 
+def q_ts_all_skip_empty(spark, sf):
+    """ALL-granularity timeseries over an empty filtered set under
+    skipEmptyBuckets: the reference's engine skips the empty cursor and
+    returns NO rows (TimeseriesQueryEngine; contrast the
+    default-result row when skipEmptyBuckets is absent)."""
+    return _engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "all",
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "__no_such_event__"},
+        "aggregations": [{"type": "count", "name": "n"}],
+        "context": {"skipEmptyBuckets": True}})
+
+
 def q_ts_hour_filtered(spark, sf):
     return _round(_engine(spark, sf).query({
         "queryType": "timeseries", "dataSource": "events",
@@ -5055,6 +5069,24 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  AS bucket,
                count(*) AS n
         FROM events GROUP BY 1 ORDER BY 1 LIMIT 20"""),
+    # TIME_FLOOR with an explicit NULL origin equals the 2-arg form
+    # (TimeFloorOperatorConversion passes null origin through)
+    "sqlc_time_floor_null_origin": ("""
+        SELECT TIME_FLOOR(ts, 'PT6H', NULL) AS bucket, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 20""", """
+        SELECT make_timestamp(CAST(floor(epoch_ms(ts) / 21600000.0)
+                 * 21600000 * 1000 AS BIGINT)) AS bucket, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 20"""),
+    # BloomKFilter.addBytes/testBytes(null): a recorded NULL matches a
+    # NULL probe; an unrecorded one doesn't (bloom-filter extension)
+    "sqlc_bloom_null_probe": ("""
+        SELECT BLOOM_FILTER_TEST(CAST(NULL AS VARCHAR),
+                 (SELECT BLOOM_FILTER(x, 10) FROM
+                  (SELECT CAST(NULL AS VARCHAR) AS x) t1)) AS null_hit,
+               BLOOM_FILTER_TEST(CAST(NULL AS VARCHAR),
+                 (SELECT BLOOM_FILTER(x, 10) FROM
+                  (SELECT 'a' AS x) t2)) AS null_miss""", """
+        SELECT TRUE AS null_hit, FALSE AS null_miss"""),
     # testTimeseriesUsingTimeFloorWithTimeShift
     "sqlc_time_floor_timeshift": ("""
         SELECT TIME_FLOOR(TIME_SHIFT(ts, 'PT1H', -1), 'P1D') AS d,
@@ -7813,6 +7845,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "ts_zero_fill": q_ts_zero_fill,
         "ts_hour_filtered": q_ts_hour_filtered,
+        "ts_all_skip_empty": q_ts_all_skip_empty,
         "ts_six_hour": q_ts_six_hour,
         "ts_month_lineitem": q_ts_month_lineitem,
         "topn_sum_value": q_topn_sum_value,
@@ -8099,6 +8132,10 @@ def _base_oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
               AND event_type = 'click'
             GROUP BY 1""",
+        "ts_all_skip_empty": """
+            SELECT CAST(count(*) AS BIGINT) AS n FROM events
+            WHERE event_type = '__no_such_event__'
+            HAVING count(*) > 0""",
         "ts_six_hour": """
             SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600)::TIMESTAMP
                      AS __time,
