@@ -161,6 +161,41 @@ def gen_native(seed: int):
                f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
                f"WHERE {where} HAVING COUNT(*) > 0")
         return q, sql, ["n", "s"]
+    if r.random() < 0.2:  # extraction dimension spec (dimensions.py)
+        d = r.choice(list(t["strs"]))
+        if r.random() < 0.5:
+            ln = r.randrange(1, 4)
+            spec = {"type": "extraction", "dimension": d,
+                    "outputName": "d0",
+                    "extractionFn": {"type": "substring", "index": 0,
+                                     "length": ln}}
+            sqd = f"SUBSTR({d}, 1, {ln})"
+        else:
+            spec = {"type": "extraction", "dimension": d,
+                    "outputName": "d0",
+                    "extractionFn": {"type": "strlen"}}
+            sqd = f"CAST(LENGTH({d}) AS VARCHAR)"
+        q = {"queryType": "groupBy", "dataSource": name,
+             "granularity": "all", "dimensions": [spec],
+             "aggregations": [{"type": "count", "name": "n"}],
+             "filter": f}
+        sql = (f"SELECT {sqd} AS d0, CAST(COUNT(*) AS BIGINT) AS n "
+               f"FROM {name} WHERE {where} GROUP BY 1")
+        return q, sql, ["d0", "n"]
+    if r.random() < 0.2:  # topN with threshold >= cardinality (exact
+        # full ordering; canon sorts rows so metric ties are benign)
+        d = r.choice(list(t["strs"]))
+        q = {"queryType": "topN", "dataSource": name,
+             "granularity": "all", "dimension": d, "metric": "s",
+             "threshold": 50,
+             "aggregations": [
+                 {"type": "count", "name": "n"},
+                 {"type": "doubleSum", "name": "s", "fieldName": m}],
+             "filter": f}
+        sql = (f"SELECT {d}, CAST(COUNT(*) AS BIGINT) AS n, "
+               f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
+               f"WHERE {where} GROUP BY 1")
+        return q, sql, [d, "n", "s"]
     dims = r.sample(list(t["strs"]), r.randrange(1, len(t["strs"]) + 1))
     q = {"queryType": "groupBy", "dataSource": name,
          "granularity": "all", "dimensions": dims,
