@@ -92,6 +92,59 @@ def q_http_api(spark, sf):
     return spark.createDataFrame(rows, "__time timestamp, n long, s long")
 
 
+def q_avatica_jdbc(spark, sf):
+    """JDBC wire-protocol round-trip (sql/.../avatica/
+    DruidAvaticaJsonHandler.java / DruidMeta.java): start the server,
+    speak Avatica JSON-RPC (openConnection → createStatement →
+    prepareAndExecute → fetch), reassemble the paged frames into a
+    DataFrame. Verifies the result-set signature + frame paging a JDBC
+    thin client depends on."""
+    import json as _json
+    import urllib.request as _rq
+
+    from druid_spark.server import DruidHttpServer
+
+    eng = _engine(spark, sf)
+    srv = DruidHttpServer(eng).start()
+    try:
+        def rpc(obj):
+            req = _rq.Request(
+                f"http://127.0.0.1:{srv.port}/druid/v2/sql/avatica",
+                data=_json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with _rq.urlopen(req, timeout=120) as r:
+                return _json.loads(r.read())
+
+        rpc({"request": "openConnection", "connectionId": "drv"})
+        sid = rpc({"request": "createStatement",
+                   "connectionId": "drv"})["statementId"]
+        rs = rpc({"request": "prepareAndExecute",
+                  "connectionId": "drv", "statementId": sid,
+                  "sql": "SELECT n_regionkey, "
+                         "CAST(COUNT(*) AS BIGINT) AS n, "
+                         "CAST(SUM(n_nationkey) AS BIGINT) AS s "
+                         "FROM nation GROUP BY n_regionkey "
+                         "ORDER BY n_regionkey",
+                  "maxRowsInFirstFrame": 2})["results"][0]
+        rows = list(rs["firstFrame"]["rows"])
+        off, done = len(rows), rs["firstFrame"]["done"]
+        while not done:
+            fr = rpc({"request": "fetch", "connectionId": "drv",
+                      "statementId": sid, "offset": off,
+                      "fetchMaxRowCount": 2})["frame"]
+            rows.extend(fr["rows"])
+            off, done = off + len(fr["rows"]), fr["done"]
+        rpc({"request": "closeStatement", "connectionId": "drv",
+             "statementId": sid})
+        rpc({"request": "closeConnection", "connectionId": "drv"})
+    finally:
+        srv.stop()
+    rows = [(int(a), int(b), int(c)) for a, b, c in rows]
+    return spark.createDataFrame(
+        rows, "n_regionkey long, n long, s long")
+
+
 def q_ts_day(spark, sf):
     return _round(_engine(spark, sf).query({
         "queryType": "timeseries", "dataSource": "events",
@@ -7791,7 +7844,7 @@ def _sql_case(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # remaining base entries follow, then the sqlc_* conformance bank.
 _SAMPLE_FIRST = [
     # network API + query types
-    "http_api",
+    "http_api", "avatica_jdbc",
     "ts_day", "ts_zero_fill", "ts_grand_total",
     "topn_sum_value", "topn_inverted", "topn_approx_bound",
     "topn_postagg_metric",
@@ -7837,6 +7890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "http_api": q_http_api,
+        "avatica_jdbc": q_avatica_jdbc,
         "ts_day": q_ts_day,
         "ts_day_tz": q_ts_day_tz,
         "ts_grand_total": q_ts_grand_total,
@@ -8068,6 +8122,10 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
             GROUP BY 1""",
+        "avatica_jdbc": """
+            SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s
+            FROM nation GROUP BY 1""",
         "ts_day": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, count(*) AS n,
                    round(sum(value), 3) AS total
