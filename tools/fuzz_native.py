@@ -150,6 +150,25 @@ def gen_native(seed: int):
                f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
                f"WHERE {where} GROUP BY 1")
         return q, sql, ["v0", "n", "s"]
+    if name == "orders" and r.random() < 0.25:
+        # bucketed timeseries over o_orderdate: granularity bucketing
+        # (granularity.py) + interval bounds vs date_trunc oracle;
+        # skipEmptyBuckets avoids the zero-fill spine DuckDB won't have
+        gran = r.choice(["day", "week", "month"])
+        q = {"queryType": "timeseries", "dataSource": name,
+             "granularity": gran,
+             "virtualColumns": [],
+             "intervals": ["1995-01-01T00:00:00Z/1997-01-01T00:00:00Z"],
+             "aggregations": [
+                 {"type": "count", "name": "n"},
+                 {"type": "doubleSum", "name": "s", "fieldName": m}],
+             "filter": f, "context": {"skipEmptyBuckets": True}}
+        sql = (f"SELECT date_trunc('{gran}', o_orderdate)::TIMESTAMP "
+               f"AS __time, CAST(COUNT(*) AS BIGINT) AS n, "
+               f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
+               f"WHERE {where} AND o_orderdate >= TIMESTAMP '1995-01-01'"
+               f" AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1")
+        return q, sql, ["__time", "n", "s"]
     if r.random() < 0.3:  # timeseries granularity all = one-row agg
         q = {"queryType": "timeseries", "dataSource": name,
              "granularity": "all",
