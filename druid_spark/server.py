@@ -579,8 +579,17 @@ class _Handler(BaseHTTPRequestHandler):
             st = self.server.statements  # type: ignore[attr-defined]
             if parts[-1] == "results":
                 q = parse_qs(u.query)
-                code, body = st.results(
-                    parts[-2], page=int(q.get("page", ["0"])[0]))
+                try:
+                    page = int(q.get("page", ["0"])[0])
+                    if page < 0:
+                        raise ValueError(page)
+                except ValueError:
+                    self._send_json(400, {
+                        "error": "Invalid page",
+                        "errorMessage": str(q.get("page")),
+                        "errorClass": None, "host": None})
+                    return
+                code, body = st.results(parts[-2], page=page)
                 self._send_json(code, body)
             else:
                 out = st.status(parts[-1])
