@@ -215,6 +215,13 @@ def gen_native(seed: int):
                f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
                f"WHERE {where} GROUP BY 1")
         return q, sql, [d, "n", "s"]
+    if r.random() < 0.15:  # scan: projection + filter, row-level
+        cols = (r.sample(list(t["strs"]), 1)
+                + r.sample(list(t["nums"]), r.randrange(1, 3)))
+        q = {"queryType": "scan", "dataSource": name,
+             "columns": cols, "filter": f}
+        sql = (f"SELECT {', '.join(cols)} FROM {name} WHERE {where}")
+        return q, sql, cols
     dims = r.sample(list(t["strs"]), r.randrange(1, len(t["strs"]) + 1))
     q = {"queryType": "groupBy", "dataSource": name,
          "granularity": "all", "dimensions": dims,
@@ -223,10 +230,29 @@ def gen_native(seed: int):
              {"type": "doubleSum", "name": "s", "fieldName": m},
              {"type": "doubleMin", "name": "mn", "fieldName": m}],
          "filter": f}
+    having = ""
+    if r.random() < 0.3:
+        k = r.randrange(0, 20)
+        q["having"] = {"type": "greaterThan", "aggregation": "n",
+                       "value": k}
+        having = f" HAVING COUNT(*) > {k}"
+    if r.random() < 0.3:
+        # limitSpec ordered by ALL dims = deterministic cut
+        lim = r.randrange(1, 8)
+        q["limitSpec"] = {
+            "type": "default", "limit": lim,
+            "columns": [{"dimension": d, "direction": "ascending"}
+                        for d in dims]}
+        tail = (" ORDER BY "
+                + ", ".join(f"{d} NULLS FIRST" for d in dims)
+                + f" LIMIT {lim}")
+    else:
+        tail = ""
     sql = (f"SELECT {', '.join(dims)}, CAST(COUNT(*) AS BIGINT) AS n, "
            f"CAST(SUM({m}) AS DOUBLE) AS s, "
            f"CAST(MIN({m}) AS DOUBLE) AS mn "
-           f"FROM {name} WHERE {where} GROUP BY {', '.join(dims)}")
+           f"FROM {name} WHERE {where} GROUP BY {', '.join(dims)}"
+           f"{having}{tail}")
     return q, sql, dims + ["n", "s", "mn"]
 
 
