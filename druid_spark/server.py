@@ -863,6 +863,9 @@ def _bind_parameters(text: str, params) -> str:
     silently deleting the marker."""
     if not params:
         return text
+    if not isinstance(params, (list, tuple)):
+        raise ValueError("parameters must be an array of "
+                         "{type, value} objects")
     vals = []
     for p in params:
         v = p.get("value") if isinstance(p, dict) else p

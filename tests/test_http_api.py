@@ -235,6 +235,40 @@ def test_error_shapes(server):
         assert json.loads(e.read())["error"] == "Unable to parse query"
 
 
+def test_malformed_body_robustness(server):
+    """Every malformed native/SQL body must come back as a structured
+    QueryException-shaped error (4xx/5xx), never a hang, a 200 with
+    garbage, or a connection drop."""
+    cases = [
+        ("/druid/v2", {}),                                 # no queryType
+        ("/druid/v2", {"queryType": "timeseries"}),        # no dataSource
+        ("/druid/v2", {"queryType": "groupBy", "dataSource": "nation",
+                       "granularity": "all",
+                       "dimensions": ["no_such_col"],
+                       "aggregations": [{"type": "count",
+                                         "name": "n"}]}),
+        ("/druid/v2", {"queryType": "timeseries", "dataSource": "nation",
+                       "granularity": "all",
+                       "aggregations": [{"type": "nosuchagg",
+                                         "name": "n",
+                                         "fieldName": "n_name"}]}),
+        ("/druid/v2", {"queryType": "scan", "dataSource": "nation",
+                       "columns": ["n_name"],
+                       "filter": {"type": "nosuchfilter",
+                                  "dimension": "n_name"}}),
+        ("/druid/v2", {"queryType": "timeseries", "dataSource": "nation",
+                       "granularity": {"type": "weird"},
+                       "aggregations": []}),
+        ("/druid/v2/sql", {"query": "SELECT no_such_col FROM nation"}),
+        ("/druid/v2/sql", {"query": "SELECT 1", "parameters": "bogus"}),
+        ("/druid/v2/sql", {}),                             # missing query
+    ]
+    for path, body in cases:
+        status, out, _ = _post(server, path, body, expect_error=True)
+        assert 400 <= status < 600, (path, body, status, out)
+        assert "error" in out and "errorMessage" in out, (path, body, out)
+
+
 def test_datasource_metadata_endpoint(server):
     status, body = _get(server, "/druid/v2/datasources/nation")
     assert status == 200 and body["name"] == "nation"
