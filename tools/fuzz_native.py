@@ -18,7 +18,7 @@ from __future__ import annotations
 import random
 import sys
 
-from tools.fuzz_sql import canon_rows
+from tools.fuzz_sql import canon_rows, rows_close
 
 # (table, string dims with vocab, numeric cols with plausible range)
 NTABLES = {
@@ -283,7 +283,7 @@ def run_fuzz_native(n: int = 100, seed0: int = 0,
             if verbose:
                 print(f"NATIVE FUZZ ERROR seed={seed}\n  {q}\n  {e}")
             continue
-        if srows != orows:
+        if srows != orows and not rows_close(srows, orows):
             diff = [p for p in zip(srows, orows) if p[0] != p[1]][:3]
             bad.append((seed, q,
                         f"rows {len(srows)}/{len(orows)} diff={diff}"))

@@ -239,6 +239,52 @@ def canon_rows(cols, rows):
     return sorted(out)
 
 
+def rows_close(srows, orows, rel=2e-6, abs_=1e-7):
+    """Second-pass tolerant compare over canon_rows output.
+
+    canon_rows renders floats at 7 significant digits; when the two
+    engines' float SUMs differ by a last-ulp summation-order delta
+    that straddles a rounding midpoint (e.g. 724077.449999 vs
+    724077.450001), the canon strings differ in the final digit even
+    though the values agree to ~1e-9 relative. Treat the rowsets as
+    equal iff a one-to-one matching exists where every non-numeric
+    field is string-identical and every numeric field agrees within
+    `rel` relative tolerance (one ulp at 7 sig figs). O(n^2) greedy,
+    but it only runs after the exact compare already failed.
+    """
+    if len(srows) != len(orows):
+        return False
+
+    def _num(s):
+        try:
+            return float(s)
+        except (TypeError, ValueError):
+            return None
+
+    remaining = list(orows)
+    for sr in srows:
+        hit = None
+        for j, orow in enumerate(remaining):
+            if len(sr) != len(orow):
+                continue
+            ok = True
+            for a, b in zip(sr, orow):
+                if a == b:
+                    continue
+                fa, fb = _num(a), _num(b)
+                if fa is None or fb is None or not math.isclose(
+                        fa, fb, rel_tol=rel, abs_tol=abs_):
+                    ok = False
+                    break
+            if ok:
+                hit = j
+                break
+        if hit is None:
+            return False
+        remaining.pop(hit)
+    return True
+
+
 def run_fuzz(n: int = 100, seed0: int = 0,
              sf_dir: str = "/root/testdata/sf0.001",
              engine=None, con=None, verbose: bool = True):
@@ -269,7 +315,7 @@ def run_fuzz(n: int = 100, seed0: int = 0,
             if verbose:
                 print(f"FUZZ ERROR seed={seed}\n  {q}\n  {e}")
             continue
-        if srows != orows:
+        if srows != orows and not rows_close(srows, orows):
             diff = [p for p in zip(srows, orows) if p[0] != p[1]][:3]
             bad.append((seed, q, f"rows {len(srows)}/{len(orows)} "
                                  f"diff={diff}"))
