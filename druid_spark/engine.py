@@ -501,8 +501,9 @@ class DruidSparkEngine:
         from druid_spark.streaming.ingest import SUPERVISORS
         self.spark.createDataFrame(
             [(s["supervisor_id"], s["datasource"], s["source"],
-              "RUNNING" if s["query"].isActive else "STOPPED",
-              False)
+              "SUSPENDED" if s.get("suspended")
+              else "RUNNING" if s["query"].isActive else "STOPPED",
+              bool(s.get("suspended", False)))
              for s in SUPERVISORS],
             T.StructType([
                 T.StructField("supervisor_id", T.StringType()),

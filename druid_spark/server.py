@@ -505,6 +505,264 @@ class _Statements:
         return True
 
 
+class _Overlord:
+    """Overlord task + supervisor API — the reference's ingestion
+    entry points (indexing-service OverlordResource.java:108:
+    POST /druid/indexer/v1/task → {"task": id}, GET task/{id}/status →
+    the TaskStatusResponse envelope, GET task/{id} → payload,
+    POST task/{id}/shutdown; SupervisorResource.java:81:
+    POST /druid/indexer/v1/supervisor → {"id": ...}, suspend/resume/
+    shutdown lifecycle). Task types: index / index_parallel (spec →
+    run_ingestion → catalog registration, so the datasource is
+    immediately queryable), compact (ClientCompactionTaskQuery analog →
+    TableService.compact), kill (KillUnusedSegmentsTask →
+    TableService.drop_interval), noop (NoopTask — the reference's test
+    task). Each task runs on a daemon thread under the query
+    scheduler's job-group registry, so shutdown cancels the underlying
+    Spark jobs, not just the bookkeeping. Terminal tasks are evicted
+    FIFO past MAX_DONE, like _Statements."""
+
+    MAX_DONE = 256
+    _TERMINAL = ("SUCCESS", "FAILED", "CANCELED")
+    _TYPES = ("index", "index_parallel", "compact", "kill", "noop")
+
+    def __init__(self, engine, scheduler: QueryScheduler | None = None):
+        self.engine = engine
+        self.scheduler = scheduler
+        self._lock = threading.Lock()
+        self._tasks: dict[str, dict] = {}
+        self._supervisors: dict[str, dict] = {}
+
+    # ------------------------------------------------------------ tasks
+    def submit(self, spec: dict) -> tuple[int, dict]:
+        ttype = spec.get("type")
+        if ttype not in self._TYPES:
+            # OverlordResource.taskPost returns 400 with {"error": ...}
+            # when the task type can't be instantiated (UOE branch)
+            return 400, {"error": f"unsupported task type [{ttype}]"}
+        ds = (spec.get("dataSource")
+              or spec.get("spec", {}).get("dataSchema", {})
+                                     .get("dataSource")
+              or spec.get("dataSchema", {}).get("dataSource"))
+        tid = (spec.get("id")
+               or f"{ttype}_{ds or 'task'}_{uuid.uuid4().hex[:12]}")
+        rec = {"id": tid, "type": ttype, "dataSource": ds, "spec": spec,
+               "state": "RUNNING", "createdAt": time.time(),
+               "duration": -1, "error": None, "cancel": False}
+        with self._lock:
+            if tid in self._tasks:
+                return 400, {"error": f"Task[{tid}] already exists"}
+            self._tasks[tid] = rec
+            done = [t for t, r in self._tasks.items()
+                    if r["state"] in self._TERMINAL]
+            for t in done[:max(0, len(done) - self.MAX_DONE)]:
+                del self._tasks[t]
+        self.engine.record_task(tid, ttype, ds, "RUNNING")
+
+        def work():
+            svc = self.engine.table_service()
+            if ttype in ("index", "index_parallel"):
+                from druid_spark.ingest.batch import _PART_FMT, run_ingestion
+                name = run_ingestion(self.engine.spark, spec, svc)
+                tbl = self.engine.spark.read.parquet(svc.path(name))
+                self.engine.catalog.register_table(
+                    name, tbl, source_path=svc.path(name))
+                gran = (spec.get("spec", spec)["dataSchema"]
+                        .get("granularitySpec", {})
+                        .get("segmentGranularity", "day"))
+                fmt = _PART_FMT.get(gran)
+                if fmt:
+                    self.engine.catalog.set_partitioning(name, "__dt", fmt)
+            elif ttype == "compact":
+                tuning = spec.get("tuningConfig") or {}
+                svc.compact(ds, tuning.get("targetFilesPerPartition", 1))
+            elif ttype == "kill":
+                svc.drop_interval(ds, spec["interval"])
+                # refresh the cached DataFrame so queries see the drop
+                self.engine.catalog.register_table(
+                    ds, self.engine.spark.read.parquet(svc.path(ds)),
+                    source_path=svc.path(ds))
+            elif ttype == "noop":
+                # NoopTask.java: sleeps runTime millis then succeeds —
+                # poll the cancel flag so shutdown interrupts the sleep
+                deadline = time.time() + spec.get("runTime", 0) / 1000.0
+                while time.time() < deadline and not rec["cancel"]:
+                    time.sleep(0.02)
+
+        def run():
+            try:
+                if rec["cancel"]:
+                    raise QueryCanceledError(tid)
+                if self.scheduler is not None:
+                    self.scheduler.submit(tid, work)
+                else:
+                    work()
+                state = "CANCELED" if rec["cancel"] else "SUCCESS"
+            except Exception as e:
+                if rec["cancel"]:
+                    state = "CANCELED"
+                else:
+                    state = "FAILED"
+                    rec["error"] = f"{type(e).__name__}: {e}"
+            if rec["cancel"] and rec["error"] is None:
+                rec["error"] = "Shutdown request from user"
+            with self._lock:
+                rec["state"] = state
+                rec["duration"] = int(
+                    (time.time() - rec["createdAt"]) * 1000)
+            self.engine.record_task(tid, ttype, ds, state,
+                                    rec["duration"], rec["error"])
+
+        threading.Thread(target=run, daemon=True,
+                         name=f"task-{tid[:24]}").start()
+        return 200, {"task": tid}
+
+    def _status_plus(self, rec: dict) -> dict:
+        """TaskStatusPlus JSON (OverlordResource.getTaskStatus)."""
+        terminal = rec["state"] in self._TERMINAL
+        created = dt.datetime.fromtimestamp(
+            rec["createdAt"], dt.timezone.utc)
+        return {
+            "id": rec["id"], "groupId": rec["id"], "type": rec["type"],
+            "createdTime": created.isoformat().replace("+00:00", "Z"),
+            "queueInsertionTime": "1970-01-01T00:00:00.000Z",
+            "statusCode": rec["state"], "status": rec["state"],
+            "runnerStatusCode": "NONE" if terminal else "RUNNING",
+            "duration": rec["duration"],
+            "location": {"host": None, "port": -1, "tlsPort": -1},
+            "dataSource": rec["dataSource"], "errorMsg": rec["error"]}
+
+    def status(self, tid: str) -> tuple[int, dict]:
+        rec = self._tasks.get(tid)
+        if rec is None:
+            return 404, {"error":
+                         f"Cannot find any task with id: [{tid}]"}
+        return 200, {"task": tid, "status": self._status_plus(rec)}
+
+    def payload(self, tid: str) -> tuple[int, dict]:
+        rec = self._tasks.get(tid)
+        if rec is None:
+            return 404, {"error":
+                         f"Cannot find any task with id: [{tid}]"}
+        return 200, {"task": tid, "payload": rec["spec"]}
+
+    def tasks(self, state: str | None = None) -> list[dict]:
+        """GET /druid/indexer/v1/tasks (+ runningTasks/completeTasks
+        filter paths)."""
+        with self._lock:
+            recs = list(self._tasks.values())
+        if state == "running":
+            recs = [r for r in recs if r["state"] not in self._TERMINAL]
+        elif state == "complete":
+            recs = [r for r in recs if r["state"] in self._TERMINAL]
+        elif state in ("waiting", "pending"):
+            recs = []  # no queue: tasks start immediately
+        return [self._status_plus(r) for r in recs]
+
+    def shutdown(self, tid: str) -> tuple[int, dict]:
+        with self._lock:
+            rec = self._tasks.get(tid)
+            if rec is None:
+                return 404, {"error":
+                             f"Cannot find any task with id: [{tid}]"}
+            rec["cancel"] = True
+        if self.scheduler is not None:
+            self.scheduler.cancel(tid)
+        return 200, {"task": tid}
+
+    def shutdown_datasource(self, ds: str) -> tuple[int, dict]:
+        with self._lock:
+            tids = [t for t, r in self._tasks.items()
+                    if r["dataSource"] == ds
+                    and r["state"] not in self._TERMINAL]
+        for t in tids:
+            self.shutdown(t)
+        return 200, {"numChangedTasks": len(tids)}
+
+    # ------------------------------------------------------ supervisors
+    def supervisor_submit(self, spec: dict) -> tuple[int, dict]:
+        from druid_spark.streaming.ingest import start_supervisor
+        try:
+            name = spec.get("spec", spec)["dataSchema"]["dataSource"]
+        except (KeyError, TypeError) as e:
+            return 400, {"error": "Invalid supervisor spec",
+                         "errorMessage": str(e),
+                         "errorClass": None, "host": None}
+        try:
+            ingest, query = start_supervisor(
+                self.engine.spark, spec, self.engine.table_service().base)
+        except Exception as e:
+            return 400, error_body("Supervisor start failed", e)
+        self._supervisors[name] = {"id": name, "spec": spec,
+                                   "suspended": False,
+                                   "ingest": ingest, "query": query}
+        return 200, {"id": name}
+
+    def supervisor_ids(self) -> list[str]:
+        return sorted(self._supervisors)
+
+    def supervisor_get(self, sid: str) -> tuple[int, dict]:
+        rec = self._supervisors.get(sid)
+        if rec is None:
+            return 404, {"error": f"[{sid}] does not exist"}
+        return 200, rec["spec"]
+
+    def supervisor_status(self, sid: str) -> tuple[int, dict]:
+        rec = self._supervisors.get(sid)
+        if rec is None:
+            return 404, {"error": f"[{sid}] does not exist"}
+        active = bool(rec["query"] is not None
+                      and rec["query"].isActive)
+        state = ("SUSPENDED" if rec["suspended"]
+                 else "RUNNING" if active else "STOPPED")
+        now = dt.datetime.now(dt.timezone.utc)
+        return 200, {
+            "id": sid,
+            "generationTime": now.isoformat().replace("+00:00", "Z"),
+            "payload": {"dataSource": sid, "state": state,
+                        "detailedState": state, "healthy": active,
+                        "suspended": rec["suspended"]}}
+
+    def supervisor_suspend(self, sid: str) -> tuple[int, dict]:
+        from druid_spark.streaming.ingest import SUPERVISORS
+        rec = self._supervisors.get(sid)
+        if rec is None:
+            return 404, {"error": f"[{sid}] does not exist"}
+        if rec["query"] is not None:
+            try:
+                rec["query"].stop()
+            except Exception:
+                pass
+        rec["suspended"] = True
+        for s in SUPERVISORS:
+            if s["supervisor_id"] == sid:
+                s["suspended"] = True
+        return 200, rec["spec"]
+
+    def supervisor_resume(self, sid: str) -> tuple[int, dict]:
+        rec = self._supervisors.get(sid)
+        if rec is None:
+            return 404, {"error": f"[{sid}] does not exist"}
+        if not rec["suspended"]:
+            return 200, rec["spec"]
+        code, out = self.supervisor_submit(rec["spec"])
+        return (code, rec["spec"] if code == 200 else out)
+
+    def supervisor_shutdown(self, sid: str) -> tuple[int, dict]:
+        from druid_spark.streaming.ingest import SUPERVISORS
+        rec = self._supervisors.pop(sid, None)
+        if rec is None:
+            return 404, {"error": f"[{sid}] does not exist"}
+        if rec["query"] is not None:
+            try:
+                rec["query"].stop()
+            except Exception:
+                pass
+        for s in [s for s in SUPERVISORS if s["supervisor_id"] == sid]:
+            SUPERVISORS.remove(s)
+        return 200, {"id": sid}
+
+
 # --------------------------------------------------------------- handler
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
@@ -574,6 +832,39 @@ class _Handler(BaseHTTPRequestHandler):
                              "type": f.dataType.simpleString().upper(),
                              "nullable": f.nullable}
                             for f in df.schema.fields]})
+        elif path == "/druid/indexer/v1/leader":
+            # OverlordResource.getLeader: the leader URL (single-node:
+            # always ourselves)
+            host, port = self.server.server_address[:2]
+            self._send_json(200, f"http://{host}:{port}")
+        elif path == "/druid/indexer/v1/isLeader":
+            self._send_json(200, {"leader": True})
+        elif (m := re.match(
+                r"^/druid/indexer/v1/(tasks|runningTasks|completeTasks"
+                r"|waitingTasks|pendingTasks)$", path)):
+            state = {"tasks": None, "runningTasks": "running",
+                     "completeTasks": "complete",
+                     "waitingTasks": "waiting",
+                     "pendingTasks": "pending"}[m.group(1)]
+            self._send_json(200, self.server.overlord.tasks(state))  # type: ignore
+        elif (m := re.match(
+                r"^/druid/indexer/v1/task/([^/]+)/status$", path)):
+            status, out = self.server.overlord.status(m.group(1))  # type: ignore
+            self._send_json(status, out)
+        elif (m := re.match(r"^/druid/indexer/v1/task/([^/]+)$", path)):
+            status, out = self.server.overlord.payload(m.group(1))  # type: ignore
+            self._send_json(status, out)
+        elif path == "/druid/indexer/v1/supervisor":
+            self._send_json(200, self.server.overlord.supervisor_ids())  # type: ignore
+        elif (m := re.match(
+                r"^/druid/indexer/v1/supervisor/([^/]+)/status$", path)):
+            status, out = self.server.overlord.supervisor_status(  # type: ignore
+                m.group(1))
+            self._send_json(status, out)
+        elif (m := re.match(
+                r"^/druid/indexer/v1/supervisor/([^/]+)$", path)):
+            status, out = self.server.overlord.supervisor_get(m.group(1))  # type: ignore
+            self._send_json(status, out)
         elif path.startswith("/druid/v2/sql/statements/"):
             parts = path.split("/")
             st = self.server.statements  # type: ignore[attr-defined]
@@ -647,6 +938,32 @@ class _Handler(BaseHTTPRequestHandler):
             self._sql(body)
         elif path == "/druid/v2/sql/avatica":
             status, out = self.server.avatica.handle(body)  # type: ignore
+            self._send_json(status, out)
+        elif path == "/druid/indexer/v1/task":
+            status, out = self.server.overlord.submit(body)  # type: ignore
+            self._send_json(status, out)
+        elif (m := re.match(
+                r"^/druid/indexer/v1/task/([^/]+)/shutdown$", path)):
+            status, out = self.server.overlord.shutdown(m.group(1))  # type: ignore
+            self._send_json(status, out)
+        elif (m := re.match(
+                r"^/druid/indexer/v1/datasources/([^/]+)"
+                r"/shutdownAllTasks$", path)):
+            status, out = self.server.overlord.shutdown_datasource(  # type: ignore
+                m.group(1))
+            self._send_json(status, out)
+        elif path == "/druid/indexer/v1/supervisor":
+            status, out = self.server.overlord.supervisor_submit(body)  # type: ignore
+            self._send_json(status, out)
+        elif (m := re.match(
+                r"^/druid/indexer/v1/supervisor/([^/]+)/"
+                r"(suspend|resume|shutdown|terminate)$", path)):
+            ov = self.server.overlord  # type: ignore[attr-defined]
+            fn = {"suspend": ov.supervisor_suspend,
+                  "resume": ov.supervisor_resume,
+                  "shutdown": ov.supervisor_shutdown,
+                  "terminate": ov.supervisor_shutdown}[m.group(2)]
+            status, out = fn(m.group(1))
             self._send_json(status, out)
         elif path in ("/druid/v2/sql/statements", "/druid/v2/sql/task"):
             # /sql/task is the MSQ entry (sql/.../sql/http/SqlTaskResource
@@ -925,6 +1242,8 @@ class DruidHttpServer:
         self._httpd.statements = _Statements(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler)
         self._httpd.avatica = _Avatica(  # type: ignore[attr-defined]
+            engine, scheduler=self.scheduler)
+        self._httpd.overlord = _Overlord(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler)
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None

@@ -239,7 +239,7 @@ def start_supervisor(spark: SparkSession, spec: dict[str, Any],
         SUPERVISORS.remove(old)
     SUPERVISORS.append({"supervisor_id": name, "datasource": name,
                         "source": source.get("type", "unknown"),
-                        "query": query})
+                        "suspended": False, "query": query})
     return ingest, query
 
 
