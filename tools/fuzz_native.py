@@ -215,6 +215,68 @@ def gen_native(seed: int):
                f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
                f"WHERE {where} GROUP BY 1")
         return q, sql, [d, "n", "s"]
+    if name == "orders" and r.random() < 0.18:
+        # join datasource (engine.py resolve: {"type": "join"}) —
+        # orders ⋈ customer on o_custkey, group by the right-side dim;
+        # the filter tree applies post-join like the reference
+        jt = r.choice(["INNER", "LEFT"])
+        q = {"queryType": "groupBy",
+             "dataSource": {
+                 "type": "join", "left": "orders",
+                 "right": {"type": "table", "name": "customer"},
+                 "rightPrefix": "j0.",
+                 "condition": 'o_custkey == "j0.c_custkey"',
+                 "joinType": jt},
+             "granularity": "all",
+             "dimensions": [{"type": "default",
+                             "dimension": "j0.c_mktsegment",
+                             "outputName": "seg"}],
+             "aggregations": [
+                 {"type": "count", "name": "n"},
+                 {"type": "doubleSum", "name": "s", "fieldName": m}],
+             "filter": f}
+        jk = "JOIN" if jt == "INNER" else "LEFT JOIN"
+        sql = (f"SELECT c_mktsegment AS seg, "
+               f"CAST(COUNT(*) AS BIGINT) AS n, "
+               f"CAST(SUM({m}) AS DOUBLE) AS s "
+               f"FROM orders {jk} customer ON o_custkey = c_custkey "
+               f"WHERE {where} GROUP BY 1")
+        return q, sql, ["seg", "n", "s"]
+    if r.random() < 0.12:  # search query (queries/search.py) — value
+        # counts for a matching fragment under the same filter tree
+        d = r.choice(list(t["strs"]))
+        frag = r.choice(["a", "o", "1", "u", "e", "-"])
+        insensitive = r.random() < 0.5
+        sq_spec = ({"type": "insensitive_contains", "value": frag}
+                   if insensitive else
+                   {"type": "contains", "value": frag,
+                    "caseSensitive": True})
+        q = {"queryType": "search", "dataSource": name,
+             "searchDimensions": [d], "query": sq_spec, "filter": f}
+        match = (f"LOWER({d}) LIKE '%{frag.lower()}%'" if insensitive
+                 else f"{d} LIKE '%{frag}%'")
+        sql = (f"SELECT '{d}' AS dimension, {d} AS value, "
+               f"CAST(COUNT(*) AS BIGINT) AS count FROM {name} "
+               f"WHERE {where} AND {match} GROUP BY 2")
+        return q, sql, ["dimension", "value", "count"]
+    if len(t["strs"]) >= 2 and r.random() < 0.15:
+        # subtotalsSpec (groupby.py grouping sets) vs GROUPING SETS
+        d1, d2 = r.sample(list(t["strs"]), 2)
+        # every selected dim must appear in >=1 set: DuckDB rejects a
+        # projected column absent from all grouping sets
+        sets = r.choice([[[d1], [d2]], [[d1, d2], [d1]],
+                         [[d1, d2], []], [[d1, d2], [d2], []]])
+        q = {"queryType": "groupBy", "dataSource": name,
+             "granularity": "all", "dimensions": [d1, d2],
+             "aggregations": [
+                 {"type": "count", "name": "n"},
+                 {"type": "doubleSum", "name": "s", "fieldName": m}],
+             "filter": f, "subtotalsSpec": sets}
+        gsets = ", ".join("(" + ", ".join(g) + ")" for g in sets)
+        sql = (f"SELECT {d1}, {d2}, CAST(COUNT(*) AS BIGINT) AS n, "
+               f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
+               f"WHERE {where} GROUP BY GROUPING SETS ({gsets})")
+        return q, sql, [d1, d2, "n", "s"]
     if r.random() < 0.15:  # scan: projection + filter, row-level
         cols = (r.sample(list(t["strs"]), 1)
                 + r.sample(list(t["nums"]), r.randrange(1, 3)))
