@@ -41,6 +41,11 @@ TABLES = {
         "int": ["c_custkey", "c_nationkey"],
         "str": ["c_name", "c_mktsegment"],
     },
+    "documents": {
+        "num": ["doc_id", "n_chars"],
+        "int": ["doc_id", "n_chars"],
+        "str": ["lang", "source"],
+    },
 }
 
 
@@ -129,7 +134,9 @@ JOINS = [("orders", "customer", "o_custkey", "c_custkey"),
          ("lineitem", "orders", "l_orderkey", "o_orderkey")]
 
 
-def gen_query(seed: int) -> str:
+def gen_query(seed: int):
+    """-> portable SQL string run on both engines, OR a
+    (druid_sql, duckdb_sql) pair for Druid-dialect shapes."""
     r = random.Random(seed)
     shape = r.random()
     if shape < 0.20:
@@ -138,6 +145,10 @@ def gen_query(seed: int) -> str:
         return _gen_window(r)
     if shape < 0.42:
         return _gen_scalar_subquery(r)
+    if shape < 0.54:
+        return _gen_druid_fn(r)
+    if shape < 0.62:
+        return _gen_mv(r)
     table = r.choice(list(TABLES))
     g = Gen(r, table)
     n_dims = r.randrange(0, 3)
@@ -203,6 +214,106 @@ def _gen_window(r: random.Random) -> str:
     n = r.randrange(2, 6)
     return (f"SELECT * FROM ({q}) t WHERE w <= {n} "
             f"ORDER BY {part} NULLS FIRST, {pk}")
+
+
+def _gen_druid_fn(r: random.Random):
+    """Druid-dialect scalar functions (functions/register.py +
+    sqlshim.py translations) vs the equivalent portable DuckDB
+    spelling — differential coverage for the dialect layer the
+    common-subset grammar can't reach. Returns (druid_sql, duck_sql);
+    the WHERE predicate is portable and shared verbatim."""
+    g = Gen(r, "orders")
+    p, u = r.choice([("P1Y", "year"), ("P1M", "month"), ("P1D", "day")])
+    unit = r.choice(["YEAR", "MONTH", "DAY", "QUARTER", "DOY"])
+    dk = {"DOY": "dayofyear"}.get(unit, unit.lower())
+    d = r.choice(g.t["str"])
+    n = r.randrange(1, 30)
+    choices = [
+        (f"TIME_FLOOR(o_orderdate, '{p}')",
+         f"date_trunc('{u}', o_orderdate)::TIMESTAMP"),
+        # reference ceil returns an already-aligned timestamp unchanged
+        # (TimestampCeilExprMacro.java:81-84: argTime == bucketStart)
+        (f"TIME_CEIL(o_orderdate, '{p}')",
+         f"(CASE WHEN date_trunc('{u}', o_orderdate) = o_orderdate "
+         f"THEN o_orderdate ELSE date_trunc('{u}', o_orderdate) "
+         f"+ INTERVAL 1 {u} END)::TIMESTAMP"),
+        (f"TIME_EXTRACT(o_orderdate, '{unit}')",
+         f"CAST(extract({dk} FROM o_orderdate) AS BIGINT)"),
+        ("TIME_FORMAT(o_orderdate, 'yyyy-MM')",
+         "strftime(o_orderdate, '%Y-%m')"),
+        (f"TIME_SHIFT(o_orderdate, 'P1D', {n})",
+         f"o_orderdate + INTERVAL {n} DAY"),
+        (f"LEFT({d}, 3)", f"left({d}, 3)"),
+        (f"RIGHT({d}, 2)", f"right({d}, 2)"),
+        (f"CAST(STRPOS({d}, 'R') AS BIGINT)",
+         f"CAST(strpos({d}, 'R') AS BIGINT)"),
+        (f"REPLACE({d}, 'A', 'x')", f"replace({d}, 'A', 'x')"),
+        (f"LPAD({d}, 8, '*')", f"lpad({d}, 8, '*')"),
+        (f"REVERSE({d})", f"reverse({d})"),
+        ("REGEXP_EXTRACT(o_orderpriority, '^[0-9]+')",
+         "regexp_extract(o_orderpriority, '^[0-9]+')"),
+        (f"MOD(o_custkey, {n})", f"CAST(mod(o_custkey, {n}) AS BIGINT)"),
+        (f"SAFE_DIVIDE(CAST(o_totalprice AS DOUBLE), {n}.0)",
+         f"CAST(o_totalprice AS DOUBLE) / {n}.0"),
+    ]
+    de, oe = r.choice(choices)
+    pred = g.pred()
+    tmpl = ("SELECT {e} AS g, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(o_totalprice) AS DOUBLE) AS s "
+            f"FROM orders WHERE {pred} GROUP BY 1")
+    return tmpl.format(e=de), tmpl.format(e=oe)
+
+
+def _gen_mv(r: random.Random):
+    """Multi-value / array surface over derived arrays
+    (STRING_TO_MV + MV_* / UNNEST — functions/register.py MV family,
+    engine UNNEST datasource) vs DuckDB string_split/list functions.
+    documents.text is the only corpus-ish column; arrays are derived
+    because the testdata has no native array columns."""
+    langs = ", ".join(f"'{v}'" for v in
+                      r.sample(["de", "en", "es", "fr", "zh"],
+                               r.randrange(1, 4)))
+    pred = r.choice([f"lang IN ({langs})",
+                     f"n_chars > {r.randrange(50, 400)}",
+                     f"n_chars BETWEEN 100 AND {r.randrange(200, 500)}"])
+    k = r.randrange(4)
+    if k == 0:  # MV_LENGTH
+        dq = ("SELECT MV_LENGTH(STRING_TO_MV(text, ' ')) AS g, "
+              "CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+              f"WHERE {pred} GROUP BY 1")
+        oq = ("SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS g, "
+              "CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+              f"WHERE {pred} GROUP BY 1")
+        return dq, oq
+    if k == 1:  # MV_CONTAINS as a group key
+        w = r.choice(["the", "a", "of", "data", "x"])
+        dq = ("SELECT MV_CONTAINS(STRING_TO_MV(text, ' '), "
+              f"'{w}') AS g, CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM documents WHERE {pred} GROUP BY 1")
+        oq = (f"SELECT list_contains(string_split(text, ' '), '{w}') "
+              "AS g, CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM documents WHERE {pred} GROUP BY 1")
+        return dq, oq
+    if k == 2:  # MV_OFFSET (0-based) vs duck list index (1-based)
+        i = r.randrange(0, 3)
+        dq = (f"SELECT MV_OFFSET(STRING_TO_MV(text, ' '), {i}) AS g, "
+              "CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+              f"WHERE {pred} GROUP BY 1")
+        oq = (f"SELECT string_split(text, ' ')[{i + 1}] AS g, "
+              "CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+              f"WHERE {pred} GROUP BY 1")
+        return dq, oq
+    # UNNEST: token counts through the unnest datasource path
+    lim = r.randrange(5, 20)
+    dq = ("SELECT tok, CAST(COUNT(*) AS BIGINT) AS n "
+          "FROM documents, UNNEST(STRING_TO_MV(text, ' ')) AS t(tok) "
+          f"WHERE {pred} GROUP BY 1 "
+          f"ORDER BY n DESC, tok LIMIT {lim}")
+    oq = ("SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM "
+          "(SELECT unnest(string_split(text, ' ')) AS tok "
+          f"FROM documents WHERE {pred}) GROUP BY 1 "
+          f"ORDER BY n DESC, tok LIMIT {lim}")
+    return dq, oq
 
 
 def _gen_scalar_subquery(r: random.Random) -> str:
@@ -303,11 +414,12 @@ def run_fuzz(n: int = 100, seed0: int = 0,
     for i in range(n):
         seed = seed0 + i
         q = gen_query(seed)
+        dq, oq = (q, q) if isinstance(q, str) else q
         try:
-            sdf = engine.sql(q)
+            sdf = engine.sql(dq)
             srows = canon_rows(sdf.columns,
                                [tuple(r) for r in sdf.collect()])
-            res = con.execute(q)
+            res = con.execute(oq)
             orows = canon_rows([d[0] for d in res.description],
                                res.fetchall())
         except Exception as e:
