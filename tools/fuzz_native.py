@@ -242,6 +242,37 @@ def gen_native(seed: int):
                f"FROM orders {jk} customer ON o_custkey = c_custkey "
                f"WHERE {where} GROUP BY 1")
         return q, sql, ["seg", "n", "s"]
+    if r.random() < 0.12:
+        # filtered aggregator (FilteredAggregatorFactory) + arithmetic
+        # post-aggregator vs SQL FILTER clause and expression
+        f2, where2 = gen_filter(r, t)
+        d = r.choice(list(t["strs"]))
+        q = {"queryType": "groupBy", "dataSource": name,
+             "granularity": "all", "dimensions": [d],
+             "aggregations": [
+                 {"type": "count", "name": "n"},
+                 {"type": "filtered", "name": "fs", "filter": f2,
+                  "aggregator": {"type": "doubleSum", "name": "fs",
+                                 "fieldName": m}},
+                 {"type": "doubleSum", "name": "s", "fieldName": m}],
+             "postAggregations": [
+                 {"type": "arithmetic", "name": "frac", "fn": "/",
+                  "fields": [
+                      {"type": "fieldAccess", "fieldName": "fs"},
+                      {"type": "fieldAccess", "fieldName": "s"}]}],
+             "filter": f}
+        # arithmetic '/' yields 0 on division by zero
+        # (ArithmeticPostAggregator.Ops.DIV; aggregations.py:592) and
+        # propagates a NULL numerator (filtered sum over no rows),
+        # which plain SQL division does too
+        sql = (f"SELECT {d}, CAST(COUNT(*) AS BIGINT) AS n, "
+               f"CAST(SUM({m}) FILTER (WHERE {where2}) AS DOUBLE) "
+               f"AS fs, CAST(SUM({m}) AS DOUBLE) AS s, "
+               f"CAST(CASE WHEN SUM({m}) = 0 THEN 0 ELSE "
+               f"SUM({m}) FILTER (WHERE {where2}) "
+               f"/ SUM({m}) END AS DOUBLE) AS frac "
+               f"FROM {name} WHERE {where} GROUP BY 1")
+        return q, sql, [d, "n", "fs", "s", "frac"]
     if r.random() < 0.12:  # search query (queries/search.py) — value
         # counts for a matching fragment under the same filter tree
         d = r.choice(list(t["strs"]))
