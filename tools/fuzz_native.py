@@ -169,6 +169,33 @@ def gen_native(seed: int):
                f"WHERE {where} AND o_orderdate >= TIMESTAMP '1995-01-01'"
                f" AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1")
         return q, sql, ["__time", "n", "s"]
+    if name == "orders" and r.random() < 0.15:
+        # ZERO-FILLED timeseries (no skipEmptyBuckets): the engine
+        # emits every bucket in the interval; count fills 0, doubleSum
+        # stays NULL (TimeseriesQueryEngine zero-fill semantics) —
+        # oracle builds the same spine with generate_series
+        gran, iv = r.choice([("day", "1 DAY"), ("month", "1 MONTH")])
+        q = {"queryType": "timeseries", "dataSource": name,
+             "granularity": gran,
+             "intervals": ["1995-01-01T00:00:00Z/1996-01-01T00:00:00Z"],
+             "aggregations": [
+                 {"type": "count", "name": "n"},
+                 {"type": "doubleSum", "name": "s", "fieldName": m}],
+             "filter": f}
+        sql = (
+            "WITH spine AS (SELECT unnest(generate_series("
+            "TIMESTAMP '1995-01-01', TIMESTAMP '1995-12-31', "
+            f"INTERVAL {iv})) AS __time), "
+            "ag AS (SELECT "
+            f"date_trunc('{gran}', o_orderdate)::TIMESTAMP AS __time, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM({m}) AS DOUBLE) AS s FROM orders "
+            f"WHERE {where} AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1) "
+            "SELECT sp.__time AS __time, COALESCE(ag.n, 0) AS n, "
+            "CAST(ag.s AS DOUBLE) AS s "
+            "FROM spine sp LEFT JOIN ag ON sp.__time = ag.__time")
+        return q, sql, ["__time", "n", "s"]
     if r.random() < 0.3:  # timeseries granularity all = one-row agg
         q = {"queryType": "timeseries", "dataSource": name,
              "granularity": "all",
