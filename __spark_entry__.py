@@ -92,6 +92,79 @@ def q_http_api(spark, sf):
     return spark.createDataFrame(rows, "__time timestamp, n long, s long")
 
 
+def q_overlord_ingest(spark, sf):
+    """Overlord ingestion round-trip (indexing-service
+    OverlordResource.java:108): POST an inline index_parallel task to
+    /druid/indexer/v1/task, poll TaskStatusResponse to SUCCESS, then
+    query the freshly-registered datasource back through POST
+    /druid/v2 — the submit->ingest->queryable loop a reference
+    operator drives daily. Runs on a fresh engine with a temp
+    warehouse so the shared sf catalog is untouched."""
+    import json as _json
+    import tempfile as _tf
+    import time as _time
+    import urllib.request as _rq
+
+    from druid_spark import DruidSparkEngine
+    from druid_spark.server import DruidHttpServer
+
+    eng = DruidSparkEngine(spark, data_dir=sf, exact_approx=True)
+    eng.warehouse_dir = _tf.mkdtemp(prefix="overlord-entry-")
+    srv = DruidHttpServer(eng).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def post(path, obj):
+        req = _rq.Request(base + path, data=_json.dumps(obj).encode(),
+                          headers={"Content-Type": "application/json"},
+                          method="POST")
+        with _rq.urlopen(req, timeout=120) as r:
+            return _json.loads(r.read())
+
+    data = [{"timestamp": "2024-03-01T00:05:00Z", "page": "a", "n": 1},
+            {"timestamp": "2024-03-01T10:00:00Z", "page": "a", "n": 2},
+            {"timestamp": "2024-03-02T00:00:00Z", "page": "b", "n": 3},
+            {"timestamp": "2024-03-05T00:00:00Z", "page": "b", "n": 4}]
+    try:
+        tid = post("/druid/indexer/v1/task", {
+            "type": "index_parallel", "spec": {
+                "ioConfig": {
+                    "inputSource": {
+                        "type": "inline",
+                        "data": "\n".join(_json.dumps(x) for x in data)},
+                    "inputFormat": {"type": "json"}},
+                "dataSchema": {
+                    "dataSource": "ov_entry",
+                    "timestampSpec": {"column": "timestamp",
+                                      "format": "iso"},
+                    "dimensionsSpec": {"dimensions": ["page"]},
+                    "metricsSpec": [{"type": "longSum", "name": "n_sum",
+                                     "fieldName": "n"}],
+                    "granularitySpec": {"segmentGranularity": "day",
+                                        "rollup": False}}}})["task"]
+        deadline = _time.time() + 120
+        state = "RUNNING"
+        while _time.time() < deadline:
+            with _rq.urlopen(
+                    f"{base}/druid/indexer/v1/task/{tid}/status",
+                    timeout=30) as r:
+                state = _json.loads(r.read())["status"]["statusCode"]
+            if state in ("SUCCESS", "FAILED", "CANCELED"):
+                break
+            _time.sleep(0.2)
+        assert state == "SUCCESS", state
+        rows = post("/druid/v2", {
+            "queryType": "groupBy", "dataSource": "ov_entry",
+            "granularity": "all", "intervals": ["2024-01-01/2025-01-01"],
+            "dimensions": ["page"],
+            "aggregations": [{"type": "longSum", "name": "n",
+                              "fieldName": "n"}]})
+    finally:
+        srv.stop()
+        eng.close()
+    out = [(e["event"]["page"], int(e["event"]["n"])) for e in rows]
+    return spark.createDataFrame(out, "page string, n long")
+
+
 def q_avatica_jdbc(spark, sf):
     """JDBC wire-protocol round-trip (sql/.../avatica/
     DruidAvaticaJsonHandler.java / DruidMeta.java): start the server,
@@ -7890,6 +7963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "http_api": q_http_api,
+        "overlord_ingest": q_overlord_ingest,
         "avatica_jdbc": q_avatica_jdbc,
         "ts_day": q_ts_day,
         "ts_day_tz": q_ts_day_tz,
@@ -8126,6 +8200,10 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
                    count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s
             FROM nation GROUP BY 1""",
+        "overlord_ingest": """
+            SELECT 'a' AS page, CAST(3 AS BIGINT) AS n
+            UNION ALL
+            SELECT 'b' AS page, CAST(7 AS BIGINT) AS n""",
         "ts_day": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, count(*) AS n,
                    round(sum(value), 3) AS total
