@@ -167,6 +167,21 @@ class Catalog:
     def tables(self) -> list[str]:
         return sorted(set(self._tables) | set(self._pending))
 
+    def drop_table(self, name: str) -> bool:
+        """Unregister a datasource (DatasourcesResource.java
+        markAsUnusedAllSegmentsOrKillUnusedSegmentsInInterval analog:
+        the table stops resolving; files on disk are untouched —
+        reclaiming space is the kill task's job). Returns False if the
+        name was unknown."""
+        known = name in self._tables or name in self._pending
+        self._tables.pop(name, None)
+        self._pending.pop(name, None)
+        self._paths.pop(name, None)
+        self._partitioning.pop(name, None)
+        if known:
+            self.version += 1
+        return known
+
     def segments(self) -> list[tuple]:
         """(datasource, segment path, size bytes, num rows) per parquet
         file — the sys.segments analog (SystemSchema.java:105). Row counts

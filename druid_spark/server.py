@@ -573,6 +573,10 @@ class _Overlord:
                 fmt = _PART_FMT.get(gran)
                 if fmt:
                     self.engine.catalog.set_partitioning(name, "__dt", fmt)
+                rec["processed"] = sum(
+                    nr for ds_, _p, _sz, nr
+                    in self.engine.catalog.segments()
+                    if ds_ == name and nr >= 0)
             elif ttype == "compact":
                 tuning = spec.get("tuningConfig") or {}
                 svc.compact(ds, tuning.get("targetFilesPerPartition", 1))
@@ -645,6 +649,29 @@ class _Overlord:
             return 404, {"error":
                          f"Cannot find any task with id: [{tid}]"}
         return 200, {"task": tid, "payload": rec["spec"]}
+
+    def reports(self, tid: str) -> tuple[int, dict]:
+        """GET task/{id}/reports — IngestionStatsAndErrorsTaskReport
+        for completed ingestion tasks (OverlordResource
+        /task/{taskid}/reports; TaskReport.java shape). Non-ingestion
+        tasks have no reports, like the reference."""
+        rec = self._tasks.get(tid)
+        if rec is None or rec["type"] not in ("index", "index_parallel") \
+                or rec.get("processed") is None:
+            return 404, {"error":
+                         f"No task reports were found for task [{tid}]"}
+        return 200, {"ingestionStatsAndErrors": {
+            "type": "ingestionStatsAndErrors", "taskId": tid,
+            "payload": {
+                "ingestionState": "COMPLETED",
+                "unparseableEvents": {},
+                "rowStats": {"buildSegments": {
+                    "processed": rec["processed"],
+                    "processedBytes": -1, "processedWithError": 0,
+                    "thrownAway": 0, "unparseable": 0}},
+                "errorMsg": rec["error"],
+                "segmentAvailabilityConfirmed": True,
+                "segmentAvailabilityWaitTimeMs": 0}}}
 
     def tasks(self, state: str | None = None) -> list[dict]:
         """GET /druid/indexer/v1/tasks (+ runningTasks/completeTasks
@@ -851,6 +878,10 @@ class _Handler(BaseHTTPRequestHandler):
                 r"^/druid/indexer/v1/task/([^/]+)/status$", path)):
             status, out = self.server.overlord.status(m.group(1))  # type: ignore
             self._send_json(status, out)
+        elif (m := re.match(
+                r"^/druid/indexer/v1/task/([^/]+)/reports$", path)):
+            status, out = self.server.overlord.reports(m.group(1))  # type: ignore
+            self._send_json(status, out)
         elif (m := re.match(r"^/druid/indexer/v1/task/([^/]+)$", path)):
             status, out = self.server.overlord.payload(m.group(1))  # type: ignore
             self._send_json(status, out)
@@ -897,6 +928,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):  # noqa: N802
         path = self.path.rstrip("/")
+        if (m := re.match(
+                r"^/druid/coordinator/v1/datasources/([^/]+)$", path)):
+            # DatasourcesResource.markAsUnusedAllSegments analog: the
+            # datasource stops resolving; disk files are untouched
+            # (reclaim is the kill task's job)
+            if self.engine.catalog.drop_table(m.group(1)):
+                self._send_json(200, {})
+            else:
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": m.group(1),
+                                      "errorClass": None, "host": None})
+            return
         if path.startswith("/druid/v2/sql/statements/"):
             qid = path.split("/")[-1]
             ok = self.server.statements.cancel(qid)  # type: ignore

@@ -131,6 +131,46 @@ def test_index_task_makes_datasource_queryable(osrv):
     assert got == [("a", 3), ("b", 7)]
 
 
+def test_reports_and_datasource_drop(osrv):
+    """Task reports expose ingestion rowStats; DELETE
+    /druid/coordinator/v1/datasources/{ds} unregisters the table."""
+    status, out = _post(osrv, "/druid/indexer/v1/task",
+                        _index_spec("ov_drop"))
+    assert status == 200
+    tid = out["task"]
+    assert _await_task(osrv, tid)["statusCode"] == "SUCCESS"
+
+    status, rep = _get(osrv, f"/druid/indexer/v1/task/{tid}/reports")
+    stats = rep["ingestionStatsAndErrors"]["payload"]
+    assert stats["ingestionState"] == "COMPLETED"
+    assert stats["rowStats"]["buildSegments"]["processed"] == 4
+
+    # a noop task has no reports (reference parity)
+    status, out2 = _post(osrv, "/druid/indexer/v1/task",
+                         {"type": "noop"})
+    _await_task(osrv, out2["task"])
+    status, _ = _get(
+        osrv, f"/druid/indexer/v1/task/{out2['task']}/reports",
+        expect_error=True)
+    assert status == 404
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{osrv.port}"
+        "/druid/coordinator/v1/datasources/ov_drop", method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+    _, tables = _get(osrv, "/druid/v2/datasources")
+    assert "ov_drop" not in tables
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{osrv.port}"
+        "/druid/coordinator/v1/datasources/ov_drop", method="DELETE")
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
 def test_kill_task_drops_interval(osrv):
     status, out = _post(osrv, "/druid/indexer/v1/task",
                         _index_spec("ov_kill"))
