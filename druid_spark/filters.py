@@ -198,10 +198,34 @@ class FilterCompiler:
     def _f_null(self, f):
         return self._col(f["column"]).isNull()
 
+    def _dtype(self, name):
+        if self.df is not None:
+            try:
+                return self.df.schema[name].dataType
+            except Exception:
+                return None
+        return None
+
     def _f_in(self, f):
         vals = f["values"]
         has_null = any(v is None for v in vals)
         non_null = [v for v in vals if v is not None]
+        # Spark resolves `numeric_col IN (<strings>)` by casting the
+        # COLUMN to string ('19.0' never equals '19'); the reference's
+        # InDimFilter instead coerces the VALUES to the column type
+        # (typed value matchers). Convert eagerly when the target is
+        # numeric — an unparseable string can never match.
+        dt = self._dtype(f["dimension"])
+        if isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        if non_null and isinstance(dt, T.NumericType):
+            conv = []
+            for v in non_null:
+                try:
+                    conv.append(float(v))
+                except (TypeError, ValueError):
+                    continue
+            non_null = conv
         def pred(c):
             p = c.isin(*non_null) if non_null else F.lit(False)
             if has_null:

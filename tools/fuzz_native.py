@@ -52,7 +52,7 @@ def _sq(v: str) -> str:
 def gen_filter(r: random.Random, t: dict, depth: int = 0):
     """-> (filter_json, sql_where). Leaves only at depth cap."""
     if depth >= 3 or r.random() < 0.45:
-        k = r.randrange(4)
+        k = r.randrange(6)
         if k == 0:  # selector (SelectorDimFilter)
             d = r.choice(list(t["strs"]))
             v = r.choice(t["strs"][d])
@@ -77,6 +77,29 @@ def gen_filter(r: random.Random, t: dict, depth: int = 0):
                  "lowerStrict": ls, "upperStrict": us}
             return (f, f"({d} {'>' if ls else '>='} {a} AND "
                        f"{d} {'<' if us else '<='} {b})")
+        if k == 4:
+            # in over a NUMERIC column with string values — the
+            # reference's InDimFilter coerces; so must filters.py
+            d = r.choice([c for c, (lo, _) in t["nums"].items()
+                          if isinstance(lo, int)] or list(t["nums"]))
+            lo, hi = t["nums"][d]
+            vs = sorted({str(r.randrange(int(lo), int(hi) + 1))
+                         for _ in range(r.randrange(1, 5))})
+            return ({"type": "in", "dimension": d, "values": vs},
+                    f"({d} IN ({', '.join(vs)}))")
+        if k == 5:
+            # bound with LEXICOGRAPHIC ordering on a string dim
+            # (BoundDimFilter default ordering)
+            d = r.choice(list(t["strs"]))
+            a, b = sorted(r.sample(t["strs"][d],
+                                   min(2, len(t["strs"][d]))) * 2)[:2]
+            ls, us = r.random() < 0.5, r.random() < 0.5
+            f = {"type": "bound", "dimension": d,
+                 "ordering": "lexicographic",
+                 "lower": a, "upper": b,
+                 "lowerStrict": ls, "upperStrict": us}
+            return (f, f"({d} {'>' if ls else '>='} {_sq(a)} AND "
+                       f"{d} {'<' if us else '<='} {_sq(b)})")
         d = r.choice(list(t["strs"]))  # like (LikeDimFilter)
         pat = r.choice(["%A%", "F%", "%O", "_", "%U%", "3%"])
         return ({"type": "like", "dimension": d, "pattern": pat},
@@ -228,6 +251,33 @@ def gen_native(seed: int):
         sql = (f"SELECT {sqd} AS d0, CAST(COUNT(*) AS BIGINT) AS n "
                f"FROM {name} WHERE {where} GROUP BY 1")
         return q, sql, ["d0", "n"]
+    if r.random() < 0.12:
+        # map-lookup extraction fn (LookupExtractionFn:
+        # retainMissingValue vs replaceMissingValueWith) vs CASE oracle
+        d = r.choice(list(t["strs"]))
+        vocab = sorted(t["strs"][d])
+        mapping = {v: f"m{i}" for i, v in
+                   enumerate(vocab[:r.randrange(1, len(vocab) + 1)])}
+        retain = r.random() < 0.5
+        exfn = {"type": "lookup",
+                "lookup": {"type": "map", "map": mapping},
+                "retainMissingValue": retain}
+        if not retain:
+            exfn["replaceMissingValueWith"] = "other"
+        q = {"queryType": "groupBy", "dataSource": name,
+             "granularity": "all",
+             "dimensions": [{"type": "extraction", "dimension": d,
+                             "outputName": "d0",
+                             "extractionFn": exfn}],
+             "aggregations": [{"type": "count", "name": "n"}],
+             "filter": f}
+        whens = " ".join(f"WHEN {_sq(k)} THEN {_sq(v)}"
+                         for k, v in mapping.items())
+        miss = d if retain else "'other'"
+        sql = (f"SELECT CASE {d} {whens} ELSE {miss} END AS d0, "
+               f"CAST(COUNT(*) AS BIGINT) AS n FROM {name} "
+               f"WHERE {where} GROUP BY 1")
+        return q, sql, ["d0", "n"]
     if r.random() < 0.2:  # topN with threshold >= cardinality (exact
         # full ordering; canon sorts rows so metric ties are benign)
         d = r.choice(list(t["strs"]))
@@ -331,9 +381,13 @@ def gen_native(seed: int):
                  {"type": "doubleSum", "name": "s", "fieldName": m}],
              "filter": f, "subtotalsSpec": sets}
         gsets = ", ".join("(" + ", ".join(g) + ")" for g in sets)
+        # Druid subtotals re-aggregate the base result set, so an
+        # empty base yields NO grand-total row for the [] set; ANSI
+        # GROUPING SETS () emits one zero-count row — HAVING drops it
         sql = (f"SELECT {d1}, {d2}, CAST(COUNT(*) AS BIGINT) AS n, "
                f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
-               f"WHERE {where} GROUP BY GROUPING SETS ({gsets})")
+               f"WHERE {where} GROUP BY GROUPING SETS ({gsets}) "
+               f"HAVING COUNT(*) > 0")
         return q, sql, [d1, d2, "n", "s"]
     if r.random() < 0.15:  # scan: projection + filter, row-level
         cols = (r.sample(list(t["strs"]), 1)
