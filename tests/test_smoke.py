@@ -142,6 +142,30 @@ def test_filters_matrix(engine):
         assert n >= 0, f
 
 
+def test_in_filter_coerces_numeric_values(engine):
+    """Native in-filter values are always strings; on a numeric column
+    they must coerce to the column type (InDimFilter typed matchers),
+    not force the column to string — fuzzer-found regression
+    (seed 1400246: double column, values ['19','36','50'] matched 0)."""
+    base = {"queryType": "timeseries", "dataSource": "lineitem",
+            "granularity": "all",
+            "aggregations": [{"type": "count", "name": "n"}]}
+    direct = engine.query({**base, "filter": {
+        "type": "bound", "dimension": "l_quantity", "ordering": "numeric",
+        "lower": "19", "upper": "19", "lowerStrict": False,
+        "upperStrict": False}}).collect()[0]["n"]
+    assert direct > 0  # the value exists in the data
+    via_in = engine.query({**base, "filter": {
+        "type": "in", "dimension": "l_quantity",
+        "values": ["19"]}}).collect()[0]["n"]
+    assert via_in == direct
+    # unparseable strings can never match a numeric column
+    none = engine.query({**base, "filter": {
+        "type": "in", "dimension": "l_quantity",
+        "values": ["not-a-number"]}}).collect()[0]["n"]
+    assert none == 0
+
+
 def test_join_datasource(engine):
     df = engine.query({
         "queryType": "groupBy",
