@@ -775,6 +775,23 @@ class _Overlord:
         code, out = self.supervisor_submit(rec["spec"])
         return (code, rec["spec"] if code == 200 else out)
 
+    def supervisor_reset(self, sid: str) -> tuple[int, dict]:
+        """POST /{id}/reset (SupervisorResource.reset): drop the stored
+        offsets (the Structured Streaming checkpoint) and restart
+        consumption from the spec's configured starting position."""
+        rec = self._supervisors.get(sid)
+        if rec is None:
+            return 404, {"error": f"[{sid}] does not exist"}
+        if rec["query"] is not None:
+            try:
+                rec["query"].stop()
+            except Exception:
+                pass
+        import shutil
+        shutil.rmtree(rec["ingest"].checkpoint, ignore_errors=True)
+        code, out = self.supervisor_submit(rec["spec"])
+        return (200, {"id": sid}) if code == 200 else (code, out)
+
     def supervisor_shutdown(self, sid: str) -> tuple[int, dict]:
         from druid_spark.streaming.ingest import SUPERVISORS
         rec = self._supervisors.pop(sid, None)
@@ -1000,12 +1017,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(status, out)
         elif (m := re.match(
                 r"^/druid/indexer/v1/supervisor/([^/]+)/"
-                r"(suspend|resume|shutdown|terminate)$", path)):
+                r"(suspend|resume|shutdown|terminate|reset)$", path)):
             ov = self.server.overlord  # type: ignore[attr-defined]
             fn = {"suspend": ov.supervisor_suspend,
                   "resume": ov.supervisor_resume,
                   "shutdown": ov.supervisor_shutdown,
-                  "terminate": ov.supervisor_shutdown}[m.group(2)]
+                  "terminate": ov.supervisor_shutdown,
+                  "reset": ov.supervisor_reset}[m.group(2)]
             status, out = fn(m.group(1))
             self._send_json(status, out)
         elif path in ("/druid/v2/sql/statements", "/druid/v2/sql/task"):

@@ -280,6 +280,13 @@ def test_supervisor_lifecycle(osrv):
     _, st = _get(osrv, "/druid/indexer/v1/supervisor/ov_rates/status")
     assert st["payload"]["state"] == "RUNNING"
 
+    # reset drops the checkpoint (stored offsets) and restarts
+    status, out = _post(osrv,
+                        "/druid/indexer/v1/supervisor/ov_rates/reset")
+    assert status == 200 and out == {"id": "ov_rates"}
+    _, st = _get(osrv, "/druid/indexer/v1/supervisor/ov_rates/status")
+    assert st["payload"]["state"] == "RUNNING"
+
     status, out = _post(osrv,
                         "/druid/indexer/v1/supervisor/ov_rates/terminate")
     assert status == 200 and out == {"id": "ov_rates"}
