@@ -52,7 +52,7 @@ def _sq(v: str) -> str:
 def gen_filter(r: random.Random, t: dict, depth: int = 0):
     """-> (filter_json, sql_where). Leaves only at depth cap."""
     if depth >= 3 or r.random() < 0.45:
-        k = r.randrange(6)
+        k = r.randrange(7)
         if k == 0:  # selector (SelectorDimFilter)
             d = r.choice(list(t["strs"]))
             v = r.choice(t["strs"][d])
@@ -100,6 +100,28 @@ def gen_filter(r: random.Random, t: dict, depth: int = 0):
                  "lowerStrict": ls, "upperStrict": us}
             return (f, f"({d} {'>' if ls else '>='} {_sq(a)} AND "
                        f"{d} {'<' if us else '<='} {_sq(b)})")
+        if k == 6:
+            # expression filter (ExpressionDimFilter → expr.py Pratt
+            # parser compiling a native-language boolean)
+            d = r.choice(list(t["strs"]))
+            v = r.choice(t["strs"][d])
+            ints = [c for c, (lo, _) in t["nums"].items()
+                    if isinstance(lo, int)]
+            x = r.choice(ints) if ints else list(t["nums"])[0]
+            lo, hi = t["nums"][x]
+            c0 = r.randrange(int(lo), int(hi) + 1)
+            n0, j0 = r.choice([3, 5, 7]), r.randrange(0, 3)
+            e, w = r.choice([
+                (f'"{d}" == \'{v}\' || "{x}" > {c0}',
+                 f"({d} = {_sq(v)} OR {x} > {c0})"),
+                (f'"{x}" % {n0} == {j0}',
+                 f"({x} % {n0} = {j0})"),
+                (f'abs("{x}" - {c0}) < {max(1, (int(hi) - int(lo)) // 4)}',
+                 f"(abs({x} - {c0}) < {max(1, (int(hi) - int(lo)) // 4)})"),
+                (f'"{d}" != \'{v}\' && "{x}" <= {c0}',
+                 f"({d} <> {_sq(v)} AND {x} <= {c0})"),
+            ])
+            return ({"type": "expression", "expression": e}, w)
         d = r.choice(list(t["strs"]))  # like (LikeDimFilter)
         pat = r.choice(["%A%", "F%", "%O", "_", "%U%", "3%"])
         return ({"type": "like", "dimension": d, "pattern": pat},
