@@ -903,7 +903,20 @@ class _Handler(BaseHTTPRequestHandler):
             status, out = self.server.overlord.payload(m.group(1))  # type: ignore
             self._send_json(status, out)
         elif path == "/druid/indexer/v1/supervisor":
-            self._send_json(200, self.server.overlord.supervisor_ids())  # type: ignore
+            # SupervisorResource.specGetAll: plain → ids, ?full → specs,
+            # ?state=true → per-supervisor state summaries
+            ov = self.server.overlord  # type: ignore[attr-defined]
+            q = parse_qs(u.query, keep_blank_values=True)
+            if "full" in q:
+                self._send_json(200, [
+                    {"id": sid, "spec": ov.supervisor_get(sid)[1]}
+                    for sid in ov.supervisor_ids()])
+            elif q.get("state", ["false"])[0].lower() == "true":
+                self._send_json(200, [
+                    {"id": sid, **ov.supervisor_status(sid)[1]["payload"]}
+                    for sid in ov.supervisor_ids()])
+            else:
+                self._send_json(200, ov.supervisor_ids())
         elif (m := re.match(
                 r"^/druid/indexer/v1/supervisor/([^/]+)/status$", path)):
             status, out = self.server.overlord.supervisor_status(  # type: ignore

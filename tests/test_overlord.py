@@ -260,6 +260,11 @@ def test_supervisor_lifecycle(osrv):
 
     status, ids = _get(osrv, "/druid/indexer/v1/supervisor")
     assert status == 200 and "ov_rates" in ids
+    _, full = _get(osrv, "/druid/indexer/v1/supervisor?full")
+    assert any(e["id"] == "ov_rates" and "spec" in e for e in full)
+    _, states = _get(osrv, "/druid/indexer/v1/supervisor?state=true")
+    assert any(e["id"] == "ov_rates" and e["state"] == "RUNNING"
+               for e in states)
 
     _, st = _get(osrv, "/druid/indexer/v1/supervisor/ov_rates/status")
     assert st["payload"]["state"] == "RUNNING"
