@@ -17,6 +17,7 @@ tiny maps) or as a broadcast-join DataFrame (lookup datasource).
 from __future__ import annotations
 
 import os
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -180,6 +181,18 @@ class Catalog:
         self._partitioning.pop(name, None)
         if known:
             self.version += 1
+            # Also drop the SQL temp views engine.sql created for this
+            # name (both the direct view and the mangled alias for
+            # non-identifier names) — the view-refresh path only
+            # createOrReplace's views for CURRENT tables, so without
+            # this the dropped datasource keeps resolving in SQL via
+            # the stale view, contradicting markAsUnused semantics.
+            for view in (f"`{name.replace('`', '')}`",
+                         "__ds_" + re.sub(r"\W", "_", name)):
+                try:
+                    self.spark.sql(f"DROP VIEW IF EXISTS {view}")
+                except Exception:
+                    pass
         return known
 
     def segments(self) -> list[tuple]:

@@ -70,6 +70,39 @@ def _append_widen(a: str, b: str) -> str:
     return "string"
 
 
+def _sub_outside_strings(text: str, subs) -> str:
+    """Apply (regex, repl) substitutions only OUTSIDE quoted spans
+    ('...', "...", `...`; '' escapes inside single quotes) — a string
+    literal such as WHERE ds = 'sys.tasks' must survive the dotted
+    system-schema rewrite verbatim."""
+    out, i, start, n = [], 0, 0, len(text)
+
+    def apply(seg: str) -> str:
+        for rx, repl in subs:
+            seg = rx.sub(repl, seg)
+        return seg
+
+    while i < n:
+        ch = text[i]
+        if ch in "'\"`":
+            out.append(apply(text[start:i]))
+            j = i + 1
+            while j < n:
+                if text[j] == ch:
+                    if ch == "'" and j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i:j + 1])
+            i = j + 1
+            start = i
+        else:
+            i += 1
+    out.append(apply(text[start:]))
+    return "".join(out)
+
+
 def qcol(name: str) -> Column:
     """Column ref that tolerates dots in names (join rightPrefix 'j0.')."""
     if "." in name or "`" in name:
@@ -231,10 +264,11 @@ class DruidSparkEngine:
         # queryable without an explicit create_system_views() call.
         if _SYS_DOT_RE.search(text) or _INFO_DOT_RE.search(text):
             self.create_system_views()
-            text = _SYS_DOT_RE.sub(lambda g: "sys_" + g.group(1).lower(),
-                                   text)
-            text = _INFO_DOT_RE.sub(
-                lambda g: "information_schema_" + g.group(1).lower(), text)
+            text = _sub_outside_strings(text, [
+                (_SYS_DOT_RE,
+                 lambda g: "sys_" + g.group(1).lower()),
+                (_INFO_DOT_RE,
+                 lambda g: "information_schema_" + g.group(1).lower())])
         m = _EXPLAIN_RE.match(text)
         if m:
             return self._explain(m.group("q"))

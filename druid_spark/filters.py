@@ -219,12 +219,33 @@ class FilterCompiler:
         if isinstance(dt, T.ArrayType):
             dt = dt.elementType
         if non_null and isinstance(dt, T.NumericType):
+            # Integral columns coerce via int(), like InDimFilter's
+            # typed value matchers: 64-bit values above 2^53 are not
+            # representable as double, so a float() detour would match
+            # the wrong rows. Fractional values can never equal an
+            # integral column and are dropped.
+            integral = isinstance(dt, T.IntegralType)
             conv = []
             for v in non_null:
-                try:
-                    conv.append(float(v))
-                except (TypeError, ValueError):
-                    continue
+                if integral:
+                    if isinstance(v, float):
+                        if v.is_integer():
+                            conv.append(int(v))
+                        continue
+                    try:
+                        conv.append(int(v))
+                    except (TypeError, ValueError):
+                        try:
+                            fv = float(v)
+                        except (TypeError, ValueError):
+                            continue
+                        if fv.is_integer():
+                            conv.append(int(fv))
+                else:
+                    try:
+                        conv.append(float(v))
+                    except (TypeError, ValueError):
+                        continue
             non_null = conv
         def pred(c):
             p = c.isin(*non_null) if non_null else F.lit(False)

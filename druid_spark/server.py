@@ -321,17 +321,26 @@ class _Avatica:
             sid = self._next_id
         # Avatica prepare returns a signature without executing; the
         # LIMIT 0 plan gives the schema at Catalyst-analysis cost only.
-        # Placeholders probe as NULL (Spark would reject unbound '?')
+        # Placeholders probe as NULL (Spark would reject unbound '?').
+        # INSERT/REPLACE must NOT be probed: engine.sql executes DML
+        # immediately, so a schema probe would ingest at prepare time
+        # (with '?' bound to NULL) and then again at execute — return
+        # an update-count-style empty signature instead and only run
+        # the statement in _rq_execute.
         sql = req.get("sql") or ""
-        probe = _bind_parameters(
-            sql, [{"value": None}] * sql.count("?")) if "?" in sql else sql
-        df = self.engine.sql(probe).limit(0)
-        conn[sid] = {"sql": req.get("sql") or ""}
+        if _re_task.match(sql):
+            sig = {"columns": [], "sql": sql,
+                   "cursorFactory": {"style": "LIST"}, "parameters": []}
+        else:
+            probe = _bind_parameters(
+                sql, [{"value": None}] * sql.count("?")) if "?" in sql else sql
+            df = self.engine.sql(probe).limit(0)
+            sig = self._signature(df, sql)
+        conn[sid] = {"sql": sql}
         return {"response": "prepare",
                 "statement": {"connectionId": req.get("connectionId"),
                               "id": sid,
-                              "signature": self._signature(
-                                  df, req.get("sql") or "")}}
+                              "signature": sig}}
 
     def _rq_execute(self, req: dict) -> dict:  # noqa: N802
         h = req.get("statementHandle") or {}
@@ -1155,18 +1164,27 @@ class _Handler(BaseHTTPRequestHandler):
                 # the stream without the trailing blank line that marks
                 # completeness (ResultFormat line protocol).
                 _END = object()
-                started = []
+                # started/aborted share one lock: a timeout raised by
+                # sched.submit BEFORE the worker sent headers must stop
+                # the worker from ever writing to the socket (the
+                # cancel is async — the worker can survive it), or two
+                # responses interleave on the keep-alive connection.
+                state_lock = threading.Lock()
+                state = {"started": False, "aborted": False}
 
                 def stream() -> None:
                     it = df.toLocalIterator()
                     first = next(it, _END)
-                    started.append(True)
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "text/plain; charset=utf-8")
-                    self.send_header("X-Druid-Query-Id", qid)
-                    self.send_header("Transfer-Encoding", "chunked")
-                    self.end_headers()
+                    with state_lock:
+                        if state["aborted"]:
+                            return
+                        state["started"] = True
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/plain; charset=utf-8")
+                        self.send_header("X-Druid-Query-Id", qid)
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.end_headers()
 
                     def chunk(b: bytes) -> None:
                         self.wfile.write(
@@ -1195,11 +1213,14 @@ class _Handler(BaseHTTPRequestHandler):
                         lane=QueryScheduler.compute_lane(ctx),
                         timeout_ms=_timeout_ms(ctx))
                 except Exception:
-                    if started:
-                        # headers already sent: the closed connection
-                        # (no completeness marker) is the error signal
-                        self.close_connection = True
-                        return
+                    with state_lock:
+                        if state["started"]:
+                            # headers already sent: the closed
+                            # connection (no completeness marker) is
+                            # the error signal
+                            self.close_connection = True
+                            return
+                        state["aborted"] = True
                     raise
                 return
             rows = sched.submit(
