@@ -163,6 +163,70 @@ _re_task = re.compile(r"\s*(?:SET\s+[\w.]+\s*=\s*[^;]+;\s*)*"
                       r"(INSERT|REPLACE)\b", re.IGNORECASE)
 
 
+class _SpilledResult:
+    """Durable result storage for async statements and Avatica frames —
+    the analog of the reference's durable-results paging
+    (msq/sql/resources/SqlStatementResource.java: SELECT results land in
+    durable storage and GET .../results?page=N serves pages from there).
+
+    The result is written to parquet by the CLUSTER (a distributed
+    write job — the driver never materializes the rows), then pages are
+    served from files with bounded driver memory: only the part files
+    overlapping the requested row range are read back (pyarrow, no
+    Spark job per page). A heavy SELECT through the async surface is
+    therefore disk-bounded, not driver-heap-bounded.
+
+    Results whose schema parquet cannot hold (e.g. a VOID column from
+    `SELECT NULL`) fall back to a driver-side list — those are
+    degenerate literal results, not scans."""
+
+    def __init__(self, df, tag: str):
+        import glob
+        import tempfile
+        self.cols = list(df.columns)
+        self.dir = tempfile.mkdtemp(prefix=f"druid-result-{tag[:16]}-")
+        self._mem: list[dict] | None = None
+        self.files: list[tuple[str, int, int]] = []  # (path, first_row, n)
+        try:
+            df.write.mode("overwrite").parquet(self.dir)
+            import pyarrow.parquet as pq
+            total = 0
+            for f in sorted(glob.glob(f"{self.dir}/*.parquet")):
+                n = pq.read_metadata(f).num_rows
+                if n:
+                    self.files.append((f, total, n))
+                total += n
+            self.total = total
+        except Exception:
+            self._mem = _row_dicts(df.collect())
+            self.total = len(self._mem)
+
+    def row_dicts(self, lo: int, n: int) -> list[dict]:
+        """Rows [lo, lo+n) as JSON-safe dicts in column order."""
+        if n <= 0 or lo >= self.total:
+            return []
+        if self._mem is not None:
+            return self._mem[lo:lo + n]
+        import pyarrow.parquet as pq
+        hi = min(lo + n, self.total)
+        out: list[dict] = []
+        for path, first, cnt in self.files:
+            if first + cnt <= lo or first >= hi:
+                continue
+            recs = pq.read_table(path).to_pylist()
+            a, b = max(0, lo - first), min(cnt, hi - first)
+            for r in recs[a:b]:
+                out.append({c: json_safe(r[c]) for c in self.cols})
+        return out
+
+    def row_lists(self, lo: int, n: int) -> list[list]:
+        return [[d[c] for c in self.cols] for d in self.row_dicts(lo, n)]
+
+    def close(self) -> None:
+        import shutil
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------- avatica
 _JDBC_TYPE = {"tinyint": "TINYINT", "smallint": "SMALLINT",
               "int": "INTEGER", "bigint": "BIGINT", "float": "REAL",
@@ -189,6 +253,10 @@ class _Avatica:
 
     MAX_CONNECTIONS = 25
     MAX_STATEMENTS_PER_CONNECTION = 4
+    # frame cap when the client doesn't bound the fetch — DruidMeta's
+    # druid.sql.avatica.maxRowsPerFrame default; keeps any single frame
+    # driver-memory-bounded regardless of result size
+    MAX_ROWS_PER_FRAME = 5_000
 
     def __init__(self, engine, scheduler: QueryScheduler | None = None):
         self.engine = engine
@@ -235,7 +303,10 @@ class _Avatica:
 
     def _rq_closeConnection(self, req: dict) -> dict:  # noqa: N802
         with self._lock:
-            self._conns.pop(req.get("connectionId"), None)
+            conn = self._conns.pop(req.get("connectionId"), None)
+        for st in (conn or {}).values():
+            if st.get("spill") is not None:
+                st["spill"].close()
         return {"response": "closeConnection"}
 
     def _rq_createStatement(self, req: dict) -> dict:  # noqa: N802
@@ -253,7 +324,9 @@ class _Avatica:
     def _rq_closeStatement(self, req: dict) -> dict:  # noqa: N802
         conn = self._conn(req)
         with self._lock:
-            conn.pop(req.get("statementId"), None)
+            st = conn.pop(req.get("statementId"), None)
+        if st and st.get("spill") is not None:
+            st["spill"].close()
         return {"response": "closeStatement"}
 
     # -- execution ------------------------------------------------------
@@ -276,21 +349,27 @@ class _Avatica:
             sql = _bind_parameters(sql, params)
         df = self.engine.sql(sql)
         qid = f"avatica-{sid}-{uuid.uuid4().hex[:8]}"
-        rows = (self.scheduler.submit(qid, df.collect)
-                if self.scheduler is not None else df.collect())
-        cols = df.columns
-        data = [[json_safe(v) for v in
-                 (r.asDict(recursive=True)[c] for c in cols)]
-                for r in rows]
-        conn[sid] = {"sql": sql, "rows": data,
+        # Results spill to parquet via a distributed write (the durable
+        # results contract) — never df.collect() into the driver; frames
+        # page the spill at any offset with bounded memory.
+        spill = (self.scheduler.submit(
+                     qid, lambda: _SpilledResult(df, qid))
+                 if self.scheduler is not None
+                 else _SpilledResult(df, qid))
+        old = conn.get(sid) or {}
+        if old.get("spill") is not None:
+            old["spill"].close()
+        conn[sid] = {"sql": sql, "spill": spill,
                      "signature": self._signature(df, sql)}
         return conn[sid]
 
     def _frame(self, st: dict, offset: int, limit: int) -> dict:
-        limit = limit if limit and limit > 0 else len(st["rows"])
-        chunk = st["rows"][offset:offset + limit]
+        spill: _SpilledResult = st["spill"]
+        limit = min(limit, self.MAX_ROWS_PER_FRAME) \
+            if limit and limit > 0 else self.MAX_ROWS_PER_FRAME
+        chunk = spill.row_lists(offset, limit)
         return {"offset": offset,
-                "done": offset + len(chunk) >= len(st["rows"]),
+                "done": offset + len(chunk) >= spill.total,
                 "rows": chunk}
 
     def _result_set(self, req: dict, sid: int, st: dict,
@@ -361,7 +440,7 @@ class _Avatica:
         conn = self._conn(req)
         sid = req.get("statementId")
         st = conn.get(sid)
-        if not st or "rows" not in st:
+        if not st or "spill" not in st:
             raise _AvaticaError(f"no results for statement {sid}")
         return {"response": "fetch", "missingStatement": False,
                 "frame": self._frame(
@@ -389,13 +468,14 @@ class _Statements:
     state, GET …/{id}/results pages results, DELETE cancels). States
     mirror SqlStatementState: ACCEPTED → RUNNING → SUCCESS | FAILED |
     CANCELED. Execution runs on a daemon thread per statement; results
-    hold driver-side (statement results are final query output —
-    broker-sized by the same contract as the sync path)."""
+    spill to parquet (_SpilledResult — the durable-results contract)
+    so a heavy SELECT through the async surface never materializes in
+    driver memory; pages are served from the spill files."""
 
-    # completed statements retained (with their result rows) before the
-    # oldest are evicted — the reference expires statement results too
-    # (SqlStatementResource retention); unbounded retention would pin
-    # every result set in driver memory for the server's lifetime
+    # completed statements retained (with their spilled results) before
+    # the oldest are evicted — the reference expires statement results
+    # too (SqlStatementResource retention); eviction deletes the spill
+    # directory so result storage is bounded for the server's lifetime
     MAX_DONE = 256
     _TERMINAL = ("SUCCESS", "FAILED", "CANCELED")
 
@@ -408,14 +488,16 @@ class _Statements:
     def submit(self, text: str, params=None) -> dict:
         qid = str(uuid.uuid4())
         rec = {"queryId": qid, "state": "ACCEPTED",
-               "createdAt": time.time(), "rows": None, "cols": None,
+               "createdAt": time.time(), "spill": None, "cols": None,
                "error": None, "cancel": False}
         with self._lock:
             self._st[qid] = rec
             done = [q for q, r in self._st.items()
                     if r["state"] in self._TERMINAL]
             for q in done[:max(0, len(done) - self.MAX_DONE)]:
-                del self._st[q]  # insertion order == oldest first
+                old = self._st.pop(q)  # insertion order == oldest first
+                if old.get("spill") is not None:
+                    old["spill"].close()
         is_task = bool(_re_task.match(text or ""))
         ttype = "query_controller" if is_task else "query"
         ds = None
@@ -445,17 +527,20 @@ class _Statements:
             try:
                 df = self.engine.sql(_bind_parameters(text, params),
                                      task_id=qid)
+                # distributed parquet spill — the driver never holds
+                # the result rows (durable-results paging contract)
                 if self.scheduler is not None:
-                    rows = _row_dicts(
-                        self.scheduler.submit(qid, df.collect))
+                    spill = self.scheduler.submit(
+                        qid, lambda: _SpilledResult(df, qid))
                 else:
-                    rows = _row_dicts(df.collect())
+                    spill = _SpilledResult(df, qid)
                 with self._lock:
                     if rec["cancel"]:
                         rec["state"] = "CANCELED"
+                        spill.close()
                     else:
                         rec["cols"] = df.columns
-                        rec["rows"] = rows
+                        rec["spill"] = spill
                         rec["state"] = "SUCCESS"
             except Exception as e:
                 with self._lock:
@@ -480,7 +565,7 @@ class _Statements:
             return None
         out = {"queryId": qid, "state": rec["state"]}
         if rec["state"] == "SUCCESS":
-            out["result"] = {"numTotalRows": len(rec["rows"]),
+            out["result"] = {"numTotalRows": rec["spill"].total,
                              "dataSource": "__query_select"}
         if rec["error"] is not None:
             out["errorDetails"] = rec["error"]
@@ -496,8 +581,7 @@ class _Statements:
             return 400, {"error": "Statement not successful",
                          "errorMessage": f"state is {rec['state']}",
                          "errorClass": None, "host": None}
-        lo = page * page_size
-        return 200, rec["rows"][lo:lo + page_size]
+        return 200, rec["spill"].row_dicts(page * page_size, page_size)
 
     def cancel(self, qid: str) -> bool:
         with self._lock:

@@ -504,3 +504,80 @@ def test_avatica_jdbc_protocol(server):
     err = rpc({"request": "createStatement", "connectionId": cid},
               expect=400)
     assert "not open" in err["errorMessage"]
+
+
+def test_statements_spill_paged_no_driver_collect(server):
+    """Durable-results contract (SqlStatementResource): a multi-100k-row
+    SELECT through the statements API succeeds with results paged from
+    the parquet spill and WITHOUT any DataFrame.collect on the
+    statement path — driver memory stays bounded."""
+    import time
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    orig = _CDF.collect
+
+    def boom(self):
+        raise AssertionError("driver-side collect on statements path")
+
+    _CDF.collect = boom
+    try:
+        status, sub, _ = _post(server, "/druid/v2/sql/statements", {
+            "query": "SELECT id AS x FROM range(250000) ORDER BY id"})
+        qid = sub["queryId"]
+        for _ in range(240):
+            _, st = _get(server, f"/druid/v2/sql/statements/{qid}")
+            if st["state"] in ("SUCCESS", "FAILED"):
+                break
+            time.sleep(0.25)
+    finally:
+        _CDF.collect = orig
+    assert st["state"] == "SUCCESS", st
+    assert st["result"]["numTotalRows"] == 250000
+    status, rows = _get(server,
+                        f"/druid/v2/sql/statements/{qid}/results?page=2")
+    assert status == 200 and len(rows) == 50000
+    assert rows[0] == {"x": 200000} and rows[-1] == {"x": 249999}
+    # the record holds a file-backed spill, not a row list
+    rec = server._httpd.statements._st[qid]
+    assert rec["spill"]._mem is None and rec["spill"].files
+    # eviction deletes the spill directory
+    import os
+    d = rec["spill"].dir
+    assert os.path.isdir(d)
+    rec["spill"].close()
+    assert not os.path.isdir(d)
+
+
+def test_avatica_large_result_frames_bounded(server):
+    """Unbounded fetches cap at MAX_ROWS_PER_FRAME (DruidMeta
+    maxRowsPerFrame analog) and frames page the spill at any offset."""
+    cid = "conn-big"
+
+    def rpc(obj):
+        status, body, _ = _post(server, "/druid/v2/sql/avatica", obj)
+        assert status == 200, body
+        return body
+
+    rpc({"request": "openConnection", "connectionId": cid})
+    sid = rpc({"request": "createStatement",
+               "connectionId": cid})["statementId"]
+    rs = rpc({"request": "prepareAndExecute", "connectionId": cid,
+              "statementId": sid,
+              "sql": "SELECT id FROM range(12000) ORDER BY id"}
+             )["results"][0]
+    f0 = rs["firstFrame"]
+    assert len(f0["rows"]) == 5000 and f0["done"] is False
+    f1 = rpc({"request": "fetch", "connectionId": cid,
+              "statementId": sid, "offset": 5000})["frame"]
+    assert len(f1["rows"]) == 5000 and f1["done"] is False
+    f2 = rpc({"request": "fetch", "connectionId": cid,
+              "statementId": sid, "offset": 10000})["frame"]
+    assert len(f2["rows"]) == 2000 and f2["done"] is True
+    assert f2["rows"][-1] == [11999]
+    # random re-access (rewind) pages from the spill files too
+    f3 = rpc({"request": "fetch", "connectionId": cid,
+              "statementId": sid, "offset": 0,
+              "fetchMaxRowCount": 3})["frame"]
+    assert f3["rows"] == [[0], [1], [2]]
+    rpc({"request": "closeStatement", "connectionId": cid,
+         "statementId": sid})
+    rpc({"request": "closeConnection", "connectionId": cid})
