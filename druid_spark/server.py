@@ -47,6 +47,16 @@ from druid_spark.scheduler import (
     QueryScheduler,
     QueryTimeoutError,
 )
+from druid_spark.security import (
+    DATASOURCE,
+    READ,
+    STATE,
+    WRITE,
+    Authenticator,
+    Authorizer,
+    native_query_resources,
+    sql_resources,
+)
 
 
 # ------------------------------------------------------------- JSON safety
@@ -912,6 +922,47 @@ class _Handler(BaseHTTPRequestHandler):
     def engine(self):
         return self.server.engine  # type: ignore[attr-defined]
 
+    # ------------------------------------------------------- security
+    def _allowed(self, ident: str, rtype: str, name: str,
+                 action: str) -> bool:
+        authz = getattr(self.server, "authorizer", None)
+        return authz is None or authz.authorize(ident, rtype, name, action)
+
+    def _auth(self, resources=()) -> str | None:
+        """Authenticate the request and authorize each (type, name,
+        action) resource (DruidPlanner.java:216 authorize step /
+        AuthorizationUtils.authorizeAllResourceActions). Writes the
+        401/403 response and returns None on failure."""
+        auth = getattr(self.server, "authenticator", None)
+        ident = auth.authenticate(self.headers) if auth is not None \
+            else "allowAll"
+        if ident is None:
+            body = json.dumps({
+                "error": "Unauthorized",
+                "errorMessage": "Authentication required",
+                "errorClass": None, "host": None}).encode()
+            self.send_response(401)
+            if auth is not None and auth.challenge:
+                self.send_header("WWW-Authenticate", auth.challenge)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return None
+        for rtype, name, action in resources:
+            if not self._allowed(ident, rtype, name, action):
+                self._send_json(403, {
+                    "error": "Forbidden",
+                    "errorMessage": f"Unauthorized access to "
+                                    f"[{rtype}:{name}] for action "
+                                    f"[{action}]",
+                    "errorClass": None, "host": None})
+                return None
+        return ident
+
+    def _sql_res(self, text: str):
+        return sql_resources(self.engine.catalog.tables(), text or "")
+
     def _send(self, status: int, body: bytes,
               ctype: str = "application/json", qid: str | None = None) -> None:
         self.send_response(status)
@@ -929,16 +980,39 @@ class _Handler(BaseHTTPRequestHandler):
         from urllib.parse import parse_qs, urlparse
         u = urlparse(self.path)
         path = u.path.rstrip("/")
+        # /status stays unsecured (reference status endpoints); every
+        # other read authenticates, with per-resource authorization
+        # where the path names one
+        ident = "allowAll"
+        if path not in ("/status", "/status/health"):
+            res = []
+            if (m := re.match(r"^/druid/v2/datasources/([^/]+)$", path)):
+                res = [(DATASOURCE, m.group(1), READ)]
+            elif (m := re.match(r"^/druid/coordinator/v1/metadata/"
+                                r"datasources/([^/]+)/segments$", path)):
+                res = [(DATASOURCE, m.group(1), READ)]
+            elif path.startswith("/druid/indexer/v1"):
+                res = [(STATE, "STATE", READ)]
+            ident = self._auth(res)
+            if ident is None:
+                return
         if path == "/status":
             self._send_json(200, {"version": __version__})
         elif path == "/status/health":
             self._send_json(200, True)
         elif path == "/druid/v2/datasources":
-            self._send_json(200, self.engine.catalog.tables())
+            # filtered by READ permission, like the reference's
+            # authorized datasource listing (AuthorizationUtils
+            # filterAuthorizedResources)
+            self._send_json(200, [
+                t for t in self.engine.catalog.tables()
+                if self._allowed(ident, DATASOURCE, t, READ)])
         elif path == "/druid/coordinator/v1/metadata/datasources":
             # coordinator metadata API (server/.../http/MetadataResource
             # .java getDataSources)
-            self._send_json(200, self.engine.catalog.tables())
+            self._send_json(200, [
+                t for t in self.engine.catalog.tables()
+                if self._allowed(ident, DATASOURCE, t, READ)])
         elif (path.startswith("/druid/coordinator/v1/metadata/datasources/")
               and path.endswith("/segments")):
             # MetadataResource.getAllUsedSegmentsForDatasource: the
@@ -1051,6 +1125,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):  # noqa: N802
         path = self.path.rstrip("/")
+        res = []
+        if (m := re.match(
+                r"^/druid/coordinator/v1/datasources/([^/]+)$", path)):
+            res = [(DATASOURCE, m.group(1), WRITE)]
+        if self._auth(res) is None:
+            return
         if (m := re.match(
                 r"^/druid/coordinator/v1/datasources/([^/]+)$", path)):
             # DatasourcesResource.markAsUnusedAllSegments analog: the
@@ -1098,6 +1178,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(400, error_body("Unable to parse query", e))
             return
         path = self.path.rstrip("/")
+        if self._auth(self._post_resources(path, body)) is None:
+            return
         if path == "/druid/v2":
             self._native(body)
         elif path == "/druid/v2/sql":
@@ -1153,6 +1235,40 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": "Not found",
                                   "errorMessage": self.path,
                                   "errorClass": None, "host": None})
+
+    def _post_resources(self, path: str, body) -> list:
+        """Resources a POST touches — native queries walk the
+        datasource tree, SQL statements name-scan the catalog (WRITE on
+        INSERT/REPLACE targets, EXTERNAL on EXTERN, STATE on sys.*),
+        Overlord submissions are datasource WRITEs."""
+        if not isinstance(body, dict):
+            return []
+        if path == "/druid/v2":
+            return native_query_resources(body)
+        if path in ("/druid/v2/sql", "/druid/v2/sql/statements",
+                    "/druid/v2/sql/task"):
+            return self._sql_res(body.get("query"))
+        if path == "/druid/v2/sql/avatica":
+            return self._sql_res(body.get("sql")) if body.get("sql") else []
+        if path == "/druid/indexer/v1/task":
+            ds = (body.get("dataSource")
+                  or body.get("spec", {}).get("dataSchema", {})
+                                         .get("dataSource")
+                  or body.get("dataSchema", {}).get("dataSource"))
+            return ([(DATASOURCE, ds, WRITE)] if ds
+                    else [(STATE, "STATE", WRITE)])
+        if path == "/druid/indexer/v1/supervisor":
+            try:
+                ds = body.get("spec", body)["dataSchema"]["dataSource"]
+                return [(DATASOURCE, ds, WRITE)]
+            except (KeyError, TypeError):
+                return [(STATE, "STATE", WRITE)]
+        if (m := re.match(r"^/druid/indexer/v1/supervisor/([^/]+)/",
+                          path + "/")):
+            return [(DATASOURCE, m.group(1), WRITE)]
+        if path.startswith("/druid/indexer/v1/"):
+            return [(STATE, "STATE", WRITE)]
+        return []
 
     def _native(self, q: dict) -> None:
         ctx = q.get("context") or {}
@@ -1411,12 +1527,19 @@ class DruidHttpServer:
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  total_slots: int | None = None,
-                 lane_limits: dict[str, int] | None = None):
+                 lane_limits: dict[str, int] | None = None,
+                 authenticator: Authenticator | None = None,
+                 authorizer: Authorizer | None = None):
         self.engine = engine
         self.scheduler = QueryScheduler(engine.spark, total=total_slots,
                                         lane_limits=lane_limits)
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.engine = engine  # type: ignore[attr-defined]
+        # allow-all by default — an unsecured server behaves as before
+        self._httpd.authenticator = (  # type: ignore[attr-defined]
+            authenticator or Authenticator())
+        self._httpd.authorizer = (  # type: ignore[attr-defined]
+            authorizer or Authorizer())
         self._httpd.scheduler = self.scheduler  # type: ignore[attr-defined]
         self._httpd.statements = _Statements(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler)
