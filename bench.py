@@ -428,11 +428,28 @@ def main():
         skew["skewed_aqe_sec"] = run_join(fact_s.join(dim, "key"))
         skew["skewed_salted_sec"] = run_join(
             salted_join(fact_s, dim, ["key"], n_salts=32))
+        # the compiler path: context.skewHint through engine._join —
+        # what a user gets without calling skew.py themselves
+        engine.catalog.register_table("skew_fact", fact_s)
+        engine.catalog.register_table("skew_dim", dim)
+        jdf = engine.resolve(
+            {"type": "join", "left": "skew_fact",
+             "right": {"type": "table", "name": "skew_dim"},
+             "rightPrefix": "j0.", "condition": 'key == "j0.key"',
+             "joinType": "INNER"},
+            {"skewHint": {"salts": 32}}
+        ).select("v", F.col("`j0.w`").alias("w"))
+        skew["skewed_compiler_sec"] = run_join(jdf)
+        engine.catalog.drop_table("skew_fact")
+        engine.catalog.drop_table("skew_dim")
         skew["aqe_vs_uniform"] = round(
             skew["skewed_aqe_sec"] / max(skew["uniform_join_sec"], 1e-9), 2)
         skew["salted_vs_uniform"] = round(
             skew["skewed_salted_sec"] / max(skew["uniform_join_sec"], 1e-9),
             2)
+        skew["compiler_vs_uniform"] = round(
+            skew["skewed_compiler_sec"]
+            / max(skew["uniform_join_sec"], 1e-9), 2)
     except Exception as e:
         skew["error"] = str(e)[:200]
     finally:

@@ -570,17 +570,18 @@ class DruidSparkEngine:
             "error_msg": error_msg})
 
     # ---------------------------------------------------- datasources
-    def resolve(self, ds: Any) -> DataFrame:
+    def resolve(self, ds: Any, ctx: dict | None = None) -> DataFrame:
         """Datasource composition — processing/.../query/DataSource.java:41-53
         (table | union | query | join | lookup | inline | unnest | filter |
-        restrict | globalTable)."""
+        restrict | globalTable). `ctx` is the query context (skewHint
+        reaches the join compiler through it)."""
         if isinstance(ds, str):
             return self.catalog.table(ds)
         t = ds["type"]
         if t in ("table", "globalTable"):
             return self.catalog.table(ds["name"])
         if t == "union":
-            dfs = [self.resolve(d) for d in ds["dataSources"]]
+            dfs = [self.resolve(d, ctx) for d in ds["dataSources"]]
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
@@ -594,21 +595,21 @@ class DruidSparkEngine:
             rows = [tuple(r) for r in ds["rows"]]
             return self.spark.createDataFrame(rows, names)
         if t == "filter":
-            base = self.resolve(ds["base"])
+            base = self.resolve(ds["base"], ctx)
             fc = FilterCompiler(base, qcol, self.catalog.lookups)
             return base.where(fc.compile(ds["filter"]))
         if t == "restrict":
             # RestrictedDataSource + Policy (policy/Policy.java:36-37):
             # "row" applies a row-filter (RowFilterPolicy.java:62 ANDs it
             # into the cursor spec); "noRestriction" is a passthrough.
-            base = self.resolve(ds["base"])
+            base = self.resolve(ds["base"], ctx)
             pol = ds.get("policy") or {}
             if pol.get("type") == "row":
                 fc = FilterCompiler(base, qcol, self.catalog.lookups)
                 return base.where(fc.compile(pol["rowFilter"]))
             return base
         if t == "unnest":
-            base = self.resolve(ds["base"])
+            base = self.resolve(ds["base"], ctx)
             vc = ds["virtualColumn"]
             src = compile_expr(vc["expression"], qcol, self.catalog.lookups)
             out = base.withColumn(vc["name"], F.explode(src))
@@ -617,27 +618,67 @@ class DruidSparkEngine:
                 out = out.where(fc.compile(ds["unnestFilter"]))
             return out
         if t == "join":
-            return self._join(ds)
+            return self._join(ds, ctx)
         raise NotImplementedError(f"datasource type {t}")
 
-    def _join(self, ds: dict) -> DataFrame:
+    def _join(self, ds: dict, ctx: dict | None = None) -> DataFrame:
         """Join datasource (processing/.../query/JoinDataSource.java:91).
         The right side is broadcast in the reference (lookup/inline/
         subquery); we hint broadcast() for those shapes and let AQE
         handle the rest. Condition is a Druid expression whose
         right-side refs carry rightPrefix (JoinConditionAnalysis.java:53
-        — equi-conditions on the right)."""
-        left = self.resolve(ds["left"])
-        right = self.resolve(ds["right"])
+        — equi-conditions on the right).
+
+        context.skewHint (engine extension): a truthy hint, optionally
+        {"salts": N}, salts the left (fact) side of an equi-join so one
+        hot key spreads across N sub-keys instead of serializing a
+        single reducer — AQE's skew split handles moderate skew, the
+        salt arm handles the extreme regime (see skew.py). Falls back
+        to the plain join for non-equi conditions, outer joins, and
+        broadcast-shaped right sides (broadcast never skews)."""
+        left = self.resolve(ds["left"], ctx)
+        right = self.resolve(ds["right"], ctx)
         prefix = ds.get("rightPrefix", "j0.")
         for c in right.columns:
             right = right.withColumnRenamed(c, prefix + c)
         rtype = ds["right"]["type"] if isinstance(ds["right"], dict) else "table"
-        if rtype in ("lookup", "inline", "query", "globalTable"):
+        broadcastable = rtype in ("lookup", "inline", "query", "globalTable")
+        how = ds.get("joinType", "INNER").lower()
+        hint = (ctx or {}).get("skewHint")
+        if hint and not broadcastable and how in ("inner", "left"):
+            pairs = self._equi_pairs(ds["condition"], left, right)
+            if pairs:
+                from druid_spark.skew import salted_join_pairs
+                n = hint.get("salts", 16) if isinstance(hint, dict) else 16
+                return salted_join_pairs(left, right, pairs,
+                                         n_salts=int(n), how=how)
+        if broadcastable:
             right = F.broadcast(right)
         cond = self._join_condition(ds["condition"], left, right)
-        how = ds.get("joinType", "INNER").lower()
         return left.join(right, cond, how)
+
+    def _equi_pairs(self, condition: str, left: DataFrame,
+                    right: DataFrame) -> list[tuple[str, str]] | None:
+        """(left_col, right_col) pairs when the condition is a pure
+        conjunction of column equalities (JoinConditionAnalysis's
+        equi-condition decomposition); None otherwise."""
+        pairs: list[tuple[str, str]] = []
+
+        def walk(ast) -> bool:
+            if isinstance(ast, Bin) and ast.op == "&&":
+                return walk(ast.l) and walk(ast.r)
+            if isinstance(ast, Bin) and ast.op == "==" \
+                    and isinstance(ast.l, Ref) and isinstance(ast.r, Ref):
+                a, b = ast.l.name, ast.r.name
+                if a in left.columns and b in right.columns:
+                    pairs.append((a, b))
+                    return True
+                if b in left.columns and a in right.columns:
+                    pairs.append((b, a))
+                    return True
+            return False
+
+        return pairs if walk(parse(condition)) and pairs else None
 
     def _join_condition(self, condition: str, left: DataFrame,
                         right: DataFrame) -> Column:
@@ -656,7 +697,7 @@ class DruidSparkEngine:
         filter. Interval predicates on `__time` reach the Parquet scan as
         PushedFilters — the Spark analog of Druid's segment interval
         pruning (CachingClusteredClient.computeSegmentsToQuery:430)."""
-        df = self.resolve(q["dataSource"])
+        df = self.resolve(q["dataSource"], q.get("context"))
         vcols = virtual_columns(q.get("virtualColumns"), qcol, self.catalog.lookups)
         ctx = QueryContext(df, vcols, self.catalog.lookups)
         pred = self.intervals_predicate(q.get("intervals"))

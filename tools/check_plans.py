@@ -269,6 +269,26 @@ def main():
           ["BroadcastHashJoin", "TakeOrderedAndProject"],
           must_not=["CartesianProduct", "BroadcastNestedLoopJoin"])
 
+    # 18. context.skewHint routes the join compiler through the salted
+    # arm (engine._join → skew.py salted_join_pairs): the salt columns
+    # join as extra equi-keys — a hot key spreads across N reducers —
+    # and no nested-loop shape appears
+    df = engine.query({
+        "queryType": "groupBy",
+        "dataSource": {"type": "join", "left": "lineitem",
+                       "right": {"type": "table", "name": "orders"},
+                       "rightPrefix": "j0.",
+                       "condition": 'l_orderkey == "j0.o_orderkey"',
+                       "joinType": "INNER"},
+        "granularity": "all",
+        "dimensions": [{"type": "default",
+                        "dimension": "j0.o_orderpriority",
+                        "outputName": "priority"}],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "context": {"skewHint": {"salts": 16}}})
+    check("skew_hint_salted_join", df, ["__salt_l", "__salt_r"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
