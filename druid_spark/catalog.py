@@ -86,12 +86,23 @@ class Catalog:
         # (the segment-timeline interval pruning analog — Catalyst cannot
         # infer __dt from __time on its own)
         self._partitioning: dict[str, tuple[str, str]] = {}
+        # table -> registration serial (bumped per register_table call):
+        # the snapshot identity of DataFrame-registered tables for the
+        # per-interval result cache (path-backed tables fingerprint
+        # their files instead)
+        self._reg_serial: dict[str, int] = {}
 
     def set_partitioning(self, name: str, column: str, fmt: str) -> None:
         self._partitioning[name] = (column, fmt)
 
     def partitioning(self, name: str) -> tuple[str, str] | None:
         return self._partitioning.get(name)
+
+    def reg_serial(self, name: str) -> int:
+        return self._reg_serial.get(name, 0)
+
+    def source_path(self, name: str) -> str | None:
+        return self._paths.get(name)
 
     def register_dir(self, data_dir: str,
                      time_columns: dict[str, str] | None = None) -> None:
@@ -125,6 +136,7 @@ class Catalog:
                 df = df.withColumn("__time", F.col(time_column))
             self._pending.pop(name, None)
             self._tables[name] = df
+        self._reg_serial[name] = self._reg_serial.get(name, 0) + 1
         self.version += 1
 
     def register_lookup(self, name: str, mapping: dict[str, Any]) -> None:

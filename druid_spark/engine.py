@@ -150,6 +150,7 @@ class DruidSparkEngine:
         self._result_cache: dict[str, DataFrame] = {}
         self._result_cache_order: list[str] = []
         self.result_cache_size = 32
+        self.cache_misses = 0  # recompute counter (tests/observability)
         # task log feeding the sys.tasks view (SystemSchema TASKS
         # signature, reduced): async SQL statements (server.py) and
         # SQL-ingest tasks record themselves here
@@ -161,18 +162,23 @@ class DruidSparkEngine:
     def query(self, q: dict[str, Any]) -> DataFrame:
         """Compile one native-JSON query. context.useResultCache caches
         the materialized result DataFrame keyed by the canonical query
-        JSON — the analog of the reference's whole-result cache
-        (server/.../query/ResultLevelCachingQueryRunner.java:51,
-        CacheStrategy). LRU-bounded; correct only while the underlying
-        tables are immutable between queries (Druid keys on segment
-        versions for the same reason — our tables are snapshot-registered
-        DataFrames, so identity holds for the engine's lifetime)."""
+        JSON plus a PER-INTERVAL table fingerprint — the analog of the
+        reference's segment-level result cache
+        (server/.../client/CachingClusteredClient.java:281 caches per
+        segment so an append invalidates only the new intervals; the
+        whole-result layer is ResultLevelCachingQueryRunner.java:51).
+        For time-partitioned warehouse tables the fingerprint covers
+        only the partitions the query's intervals touch, so a streaming
+        append to one day leaves cached queries over other days valid;
+        any change to a touched partition invalidates. LRU-bounded."""
         use_cache = bool(q.get("context", {}).get("useResultCache"))
         if use_cache:
             import json as _json
-            key = _json.dumps(q, sort_keys=True, default=str)
+            key = (_json.dumps(q, sort_keys=True, default=str)
+                   + "||" + self._tables_fingerprint(q))
             if key in self._result_cache:
                 return self._result_cache[key]
+            self.cache_misses += 1
         out = self._dispatch(q)
         if use_cache:
             out = out.persist()
@@ -181,6 +187,77 @@ class DruidSparkEngine:
             if len(self._result_cache_order) > self.result_cache_size:
                 old = self._result_cache_order.pop(0)
                 self._result_cache.pop(old).unpersist()
+        return out
+
+    def _tables_fingerprint(self, q: dict) -> str:
+        """One fingerprint per table the query touches, interval-aware
+        (see query() docstring)."""
+        from druid_spark.security import native_query_resources
+        names = [n for _, n, _ in native_query_resources(q)]
+        ivs = q.get("intervals")
+        return ";".join(f"{n}={self._table_fingerprint(n, ivs)}"
+                        for n in sorted(set(names)))
+
+    def _table_fingerprint(self, name: str, intervals) -> str:
+        """Fingerprint of the table state observable to a query over
+        `intervals`: path-backed partitioned tables hash only the
+        overlapping partition directories' file stats (append to
+        another interval → unchanged); non-partitioned paths hash the
+        whole file set; DataFrame-registered tables key on their
+        registration serial (snapshots never mutate)."""
+        import os as _os
+        cat = self.catalog
+        path = cat.source_path(name)
+        if not path or not _os.path.exists(path):
+            return f"reg:{cat.reg_serial(name)}"
+        if _os.path.isfile(path):
+            st = _os.stat(path)
+            return f"file:{st.st_mtime_ns}:{st.st_size}"
+
+        def dirstat(d: str) -> tuple[int, int, int]:
+            n = sz = mt = 0
+            for root, _, fns in _os.walk(d):
+                for f in fns:
+                    if f.startswith(("_", ".")):
+                        continue
+                    st = _os.stat(_os.path.join(root, f))
+                    n += 1
+                    sz += st.st_size
+                    mt = max(mt, st.st_mtime_ns)
+            return n, sz, mt
+
+        part = cat.partitioning(name)
+        if part and intervals:
+            col, fmt = part
+            ranges = self._interval_part_ranges(intervals, fmt)
+            ents = []
+            for d in sorted(_os.listdir(path)):
+                if not d.startswith(col + "="):
+                    continue
+                val = d.split("=", 1)[1]
+                if any(lo <= val <= hi for lo, hi in ranges):
+                    ents.append((d, dirstat(_os.path.join(path, d))))
+            return f"parts:{ranges}:{ents}"
+        return f"dir:{dirstat(path)}"
+
+    @staticmethod
+    def _interval_part_ranges(intervals, fmt: str) \
+            -> list[tuple[str, str]]:
+        """Intervals → inclusive [lo, hi] partition-value string ranges
+        (zero-padded date_format values: chronological == lexicographic,
+        same contract as _partition_predicate)."""
+        import datetime as _dt
+        py_fmt = fmt.replace("yyyy", "%Y").replace("MM", "%m") \
+            .replace("dd", "%d").replace("HH", "%H")
+        if isinstance(intervals, dict):
+            intervals = intervals["intervals"]
+        out = []
+        for iv in intervals:
+            a, b = iv.split("/")
+            lo = _dt.datetime.fromisoformat(_isots(a)).strftime(py_fmt)
+            hi = (_dt.datetime.fromisoformat(_isots(b))
+                  - _dt.timedelta(milliseconds=1)).strftime(py_fmt)
+            out.append((lo, hi))
         return out
 
     def clear_cache(self) -> None:
@@ -735,17 +812,8 @@ class DruidSparkEngine:
         col, fmt = part
         if col not in df.columns:
             return None
-        import datetime as _dt
-        py_fmt = fmt.replace("yyyy", "%Y").replace("MM", "%m") \
-            .replace("dd", "%d").replace("HH", "%H")
-        if isinstance(intervals, dict):
-            intervals = intervals["intervals"]
         out = None
-        for iv in intervals:
-            a, b = iv.split("/")
-            lo = _dt.datetime.fromisoformat(_isots(a)).strftime(py_fmt)
-            hi = (_dt.datetime.fromisoformat(_isots(b))
-                  - _dt.timedelta(milliseconds=1)).strftime(py_fmt)
+        for lo, hi in self._interval_part_ranges(intervals, fmt):
             p = (qcol(col) >= F.lit(lo)) & (qcol(col) <= F.lit(hi))
             out = p if out is None else (out | p)
         return out

@@ -170,3 +170,49 @@ def test_sys_supervisors_view(eng):
             "'sup-events'").first()["state"] == "STOPPED"
     finally:
         singest.SUPERVISORS.pop()
+
+
+def test_result_cache_per_interval_invalidation(spark, tmp_path_factory):
+    """Per-interval result cache (CachingClusteredClient.java:281
+    analog): an append to one day leaves cached queries over OTHER days
+    valid (no recompute), while queries touching the appended day
+    recompute."""
+    e = DruidSparkEngine(spark)
+    e.catalog.register_dir("/root/testdata/sf0.001")
+    e.warehouse_dir = str(tmp_path_factory.mktemp("ivcache_wh"))
+    e.sql("REPLACE INTO evcache OVERWRITE ALL "
+          "SELECT ts AS __time, event_type, value FROM events "
+          "PARTITIONED BY DAY")
+    qA = {"queryType": "timeseries", "dataSource": "evcache",
+          "granularity": "day", "intervals": ["2024-01-01/2024-01-03"],
+          "aggregations": [{"type": "count", "name": "n"}],
+          "context": {"useResultCache": True}}
+    qB = dict(qA, intervals=["2024-01-10/2024-01-12"])
+    m0 = e.cache_misses
+    df_a = e.query(qA)
+    rows_a = df_a.collect()
+    assert e.cache_misses == m0 + 1
+    assert e.query(dict(qA)) is df_a          # warm hit
+    df_b = e.query(qB)
+    df_b.collect()
+    assert e.cache_misses == m0 + 2
+    # append into 2024-01-10 only
+    e.sql("INSERT INTO evcache "
+          "SELECT ts AS __time, event_type, value FROM events "
+          "WHERE ts >= TIMESTAMP '2024-01-10' "
+          "AND ts < TIMESTAMP '2024-01-11' PARTITIONED BY DAY")
+    # untouched interval: still served from cache, zero recompute
+    assert e.query(dict(qA)) is df_a
+    assert e.cache_misses == m0 + 2
+    assert e.query(dict(qA)).collect() == rows_a
+    # appended interval: fingerprint changed -> recompute with new rows
+    df_b2 = e.query(dict(qB))
+    assert df_b2 is not df_b
+    assert e.cache_misses == m0 + 3
+    old = {r["__time"]: r["n"] for r in df_b.collect()}
+    new = {r["__time"]: r["n"] for r in df_b2.collect()}
+    import datetime as dt
+    d10 = dt.datetime(2024, 1, 10)
+    assert new[d10] == 2 * old[d10]           # day 10 doubled
+    assert all(new[k] == old[k] for k in new if k != d10)
+    e.close()
