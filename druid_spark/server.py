@@ -991,7 +991,10 @@ class _Handler(BaseHTTPRequestHandler):
             elif (m := re.match(r"^/druid/coordinator/v1/metadata/"
                                 r"datasources/([^/]+)/segments$", path)):
                 res = [(DATASOURCE, m.group(1), READ)]
-            elif path.startswith("/druid/indexer/v1"):
+            elif path.startswith("/druid/indexer/v1") or \
+                    path.startswith("/druid/coordinator/v1/config/"
+                                    "compaction") or \
+                    path == "/druid/coordinator/v1/compaction/status":
                 res = [(STATE, "STATE", READ)]
             ident = self._auth(res)
             if ident is None:
@@ -1007,6 +1010,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, [
                 t for t in self.engine.catalog.tables()
                 if self._allowed(ident, DATASOURCE, t, READ)])
+        elif path == "/druid/coordinator/v1/config/compaction":
+            # CoordinatorCompactionConfigsResource.getCompactionConfig
+            duty = self.server.compaction  # type: ignore[attr-defined]
+            self._send_json(200, {"compactionConfigs":
+                                  list(duty.configs.values())})
+        elif path == "/druid/coordinator/v1/compaction/status":
+            # CompactionResource.getCompactionSnapshotForDataSource analog
+            duty = self.server.compaction  # type: ignore[attr-defined]
+            self._send_json(200, {"latestStatus": duty.history[-20:],
+                                  "pending": duty.scan()})
         elif path == "/druid/coordinator/v1/metadata/datasources":
             # coordinator metadata API (server/.../http/MetadataResource
             # .java getDataSources)
@@ -1129,7 +1142,20 @@ class _Handler(BaseHTTPRequestHandler):
         if (m := re.match(
                 r"^/druid/coordinator/v1/datasources/([^/]+)$", path)):
             res = [(DATASOURCE, m.group(1), WRITE)]
+        elif path.startswith("/druid/coordinator/v1/config/compaction/"):
+            res = [(STATE, "STATE", WRITE)]
         if self._auth(res) is None:
+            return
+        if (m := re.match(
+                r"^/druid/coordinator/v1/config/compaction/([^/]+)$",
+                path)):
+            # CoordinatorCompactionConfigsResource.deleteCompactionConfig
+            if self.server.compaction.remove_config(m.group(1)):  # type: ignore
+                self._send_json(200, {})
+            else:
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": m.group(1),
+                                      "errorClass": None, "host": None})
             return
         if (m := re.match(
                 r"^/druid/coordinator/v1/datasources/([^/]+)$", path)):
@@ -1214,6 +1240,26 @@ class _Handler(BaseHTTPRequestHandler):
                   "reset": ov.supervisor_reset}[m.group(2)]
             status, out = fn(m.group(1))
             self._send_json(status, out)
+        elif path == "/druid/coordinator/v1/config/compaction":
+            # CoordinatorCompactionConfigsResource.addOrUpdate
+            ds = body.get("dataSource")
+            if not ds:
+                self._send_json(400, {"error": "Invalid config",
+                                      "errorMessage": "missing dataSource",
+                                      "errorClass": None, "host": None})
+                return
+            duty = self.server.compaction  # type: ignore[attr-defined]
+            duty.set_config(
+                ds,
+                max_files_per_partition=int(
+                    body.get("maxFilesPerPartition", 8)),
+                target_files=int(body.get("targetFiles", 1)))
+            self._send_json(200, {})
+        elif path == "/druid/coordinator/v1/compaction/run":
+            # manual duty cycle (the coordinator fires this on its
+            # period; exposed for operators and tests)
+            work = self.server.compaction.run_once()  # type: ignore
+            self._send_json(200, {"compacted": work})
         elif path in ("/druid/v2/sql/statements", "/druid/v2/sql/task"):
             # /sql/task is the MSQ entry (sql/.../sql/http/SqlTaskResource
             # analog, SURVEY §3.3): same async machinery, task-shaped
@@ -1267,6 +1313,9 @@ class _Handler(BaseHTTPRequestHandler):
                           path + "/")):
             return [(DATASOURCE, m.group(1), WRITE)]
         if path.startswith("/druid/indexer/v1/"):
+            return [(STATE, "STATE", WRITE)]
+        if path.startswith("/druid/coordinator/v1/config/compaction") or \
+                path == "/druid/coordinator/v1/compaction/run":
             return [(STATE, "STATE", WRITE)]
         return []
 
@@ -1529,7 +1578,8 @@ class DruidHttpServer:
                  total_slots: int | None = None,
                  lane_limits: dict[str, int] | None = None,
                  authenticator: Authenticator | None = None,
-                 authorizer: Authorizer | None = None):
+                 authorizer: Authorizer | None = None,
+                 compaction_period: float | None = None):
         self.engine = engine
         self.scheduler = QueryScheduler(engine.spark, total=total_slots,
                                         lane_limits=lane_limits)
@@ -1547,6 +1597,11 @@ class DruidHttpServer:
             engine, scheduler=self.scheduler)
         self._httpd.overlord = _Overlord(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler)
+        from druid_spark.coordinator import CompactionDuty
+        self.compaction = CompactionDuty(engine)
+        self._httpd.compaction = self.compaction  # type: ignore[attr-defined]
+        if compaction_period is not None:
+            self.compaction.start(period=compaction_period)
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
 
@@ -1562,6 +1617,7 @@ class DruidHttpServer:
         return self
 
     def stop(self) -> None:
+        self.compaction.stop()
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:

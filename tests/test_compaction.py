@@ -1,0 +1,133 @@
+"""Auto-compaction duty (server/coordinator/duty/CompactSegments.java
+analog): fragmented time partitions get rewritten to the target file
+count, query results are unchanged, the duty records sys.tasks rows,
+and the coordinator HTTP config/run endpoints drive it."""
+
+import json
+import os
+import urllib.request
+
+import pytest
+
+from druid_spark import DruidSparkEngine
+
+
+def _fragment(e, name):
+    """Ingest events 4x into one day-partitioned table → ≥4 files per
+    partition."""
+    e.sql(f"REPLACE INTO {name} OVERWRITE ALL "
+          "SELECT ts AS __time, event_type, value FROM events "
+          "PARTITIONED BY DAY")
+    for _ in range(3):
+        e.sql(f"INSERT INTO {name} "
+              "SELECT ts AS __time, event_type, value FROM events "
+              "PARTITIONED BY DAY")
+
+
+def _files_per_partition(path):
+    out = {}
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if "=" in d and os.path.isdir(full):
+            out[d] = sum(1 for f in os.listdir(full)
+                         if f.endswith(".parquet"))
+    return out
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = DruidSparkEngine(spark)
+    e.catalog.register_dir("/root/testdata/sf0.001")
+    e.warehouse_dir = str(tmp_path)
+    return e
+
+
+def test_duty_compacts_fragmented_partitions(eng):
+    from druid_spark.coordinator import CompactionDuty
+    _fragment(eng, "ev_frag")
+    path = eng.catalog.source_path("ev_frag")
+    before = _files_per_partition(path)
+    assert all(n >= 4 for n in before.values())
+    q = ("SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+         "CAST(SUM(value) AS DOUBLE) AS s FROM ev_frag")
+    r_before = eng.sql(q).collect()[0]
+
+    duty = CompactionDuty(eng)
+    duty.set_config("ev_frag", max_files_per_partition=2, target_files=1)
+    pending = duty.scan()
+    assert len(pending) == len(before)
+    work = duty.run_once()
+    assert len(work) == len(before)
+    assert all(w["status"] == "SUCCESS" for w in work)
+
+    after = _files_per_partition(path)
+    assert set(after) == set(before)            # same partitions
+    assert all(n == 1 for n in after.values())  # compacted
+    r_after = eng.sql(q).collect()[0]
+    assert r_after["n"] == r_before["n"]
+    assert abs(r_after["s"] - r_before["s"]) < 1e-6
+    # second cycle: nothing left to do
+    assert duty.run_once() == []
+    # duty recorded sys.tasks rows
+    rows = eng.sql("SELECT COUNT(*) AS n FROM sys.tasks "
+                   "WHERE type = 'compact' AND status = 'SUCCESS' "
+                   "AND datasource = 'ev_frag'").collect()
+    assert rows[0]["n"] == len(before)
+
+
+def test_duty_background_loop(eng):
+    from druid_spark.coordinator import CompactionDuty
+    import time
+    _fragment(eng, "ev_loop")
+    path = eng.catalog.source_path("ev_loop")
+    duty = CompactionDuty(eng)
+    duty.set_config("ev_loop", max_files_per_partition=2)
+    duty.start(period=0.2)
+    try:
+        for _ in range(100):
+            if duty.history and not duty.scan():
+                break
+            time.sleep(0.2)
+    finally:
+        duty.stop()
+    assert all(n == 1 for n in _files_per_partition(path).values())
+
+
+def test_compaction_http_endpoints(eng):
+    from druid_spark.server import DruidHttpServer
+    _fragment(eng, "ev_http")
+    srv = DruidHttpServer(eng).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def req(path, obj=None, method=None):
+        r = urllib.request.Request(
+            base + path,
+            data=json.dumps(obj).encode() if obj is not None else None,
+            headers={"Content-Type": "application/json"},
+            method=method or ("POST" if obj is not None else "GET"))
+        with urllib.request.urlopen(r) as resp:
+            return resp.status, json.loads(resp.read() or b"null")
+
+    try:
+        code, _ = req("/druid/coordinator/v1/config/compaction",
+                      {"dataSource": "ev_http",
+                       "maxFilesPerPartition": 2, "targetFiles": 1})
+        assert code == 200
+        code, cfgs = req("/druid/coordinator/v1/config/compaction")
+        assert cfgs["compactionConfigs"][0]["dataSource"] == "ev_http"
+        code, status = req("/druid/coordinator/v1/compaction/status")
+        assert len(status["pending"]) > 0
+        code, out = req("/druid/coordinator/v1/compaction/run", {})
+        assert code == 200 and len(out["compacted"]) > 0
+        code, status = req("/druid/coordinator/v1/compaction/status")
+        assert status["pending"] == []
+        path = eng.catalog.source_path("ev_http")
+        assert all(n == 1 for n in _files_per_partition(path).values())
+        # delete the config
+        code, _ = req("/druid/coordinator/v1/config/compaction/ev_http",
+                      method="DELETE")
+        assert code == 200
+        code, cfgs = req("/druid/coordinator/v1/config/compaction")
+        assert cfgs["compactionConfigs"] == []
+    finally:
+        srv.stop()
