@@ -2536,6 +2536,51 @@ def q_tuple_sketch(spark, sf):
         "msums", F.transform("msums", lambda x: F.round(x, 2)))
 
 
+def q_tuple_setops(spark, sf):
+    """arrayOfDoublesSketchSetOp (datasketches ArrayOfDoublesSketch-
+    SetOpPostAggregator): INTERSECT/UNION/NOT over tuple sketches keyed
+    on l_orderkey with an l_quantity metric, plus ToMetricsSumEstimate
+    over set-op results. Exact mode compiles the referenced sketches to
+    per-key metric-sum maps (aggregations.py tuple_map_state) and the
+    ops to pure map algebra."""
+    def tup(name, flag):
+        return {"type": "filtered", "name": name,
+                "filter": {"type": "selector", "dimension": "l_returnflag",
+                           "value": flag},
+                "aggregator": {"type": "arrayOfDoublesSketch",
+                               "name": name,
+                               "fieldNames": ["l_orderkey"],
+                               "metricColumns": ["l_quantity"]}}
+
+    def setop(func):
+        return {"type": "arrayOfDoublesSketchSetOp", "func": func,
+                "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                           {"type": "fieldAccess", "fieldName": "b"}]}
+
+    df = _engine(spark, sf).query({
+        "queryType": "timeseries", "dataSource": "lineitem",
+        "granularity": "all",
+        "aggregations": [tup("a", "R"), tup("b", "A")],
+        "postAggregations": [
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "inter",
+             "field": setop("INTERSECT")},
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "uni",
+             "field": setop("UNION")},
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "anotb",
+             "field": setop("NOT")},
+            {"type": "arrayOfDoublesSketchToMetricsSumEstimate",
+             "name": "isum", "field": setop("INTERSECT")},
+            {"type": "arrayOfDoublesSketchToMetricsSumEstimate",
+             "name": "usum", "field": setop("UNION")},
+            {"type": "arrayOfDoublesSketchToNumEntries", "name": "n_not",
+             "field": setop("NOT")}]})
+    return df.select(
+        "inter", "uni", "anotb",
+        F.round(F.element_at("isum", 1), 2).alias("isum1"),
+        F.round(F.element_at("usum", 1), 2).alias("usum1"),
+        "n_not")
+
+
 def q_search_fragment(spark, sf):
     """search query with the fragment matcher (all fragments must
     appear) across two dimensions."""
@@ -7932,7 +7977,8 @@ _SAMPLE_FIRST = [
     "join_outer", "lookup_join", "lookup_filter_equals",
     "asof_join", "range_join",
     # sketches / projections / rollup routing
-    "gb_quantile_sketch", "theta_setops", "hll_sketch_vs_exact",
+    "gb_quantile_sketch", "theta_setops", "tuple_setops",
+    "hll_sketch_vs_exact",
     "projection_hll_sketch", "projection_theta_sketch",
     "kll_quantile_merge", "projection_routing",
     # streaming + stateful
@@ -8064,6 +8110,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_metadata": q_segment_metadata,
         "gb_quantile_sketch": q_gb_quantile_sketch,
         "theta_setops": q_theta_setops,
+        "tuple_setops": q_tuple_setops,
         "gb_fixed_histogram": q_gb_fixed_histogram,
         "gb_variance": q_gb_variance,
         "lookup_join": q_lookup_join,
@@ -8834,6 +8881,26 @@ def _base_oracle_sql() -> dict[str, str]:
                    AS DOUBLE) AS click_only,
               CAST((SELECT count(DISTINCT user_id) FROM events
                     WHERE event_type = 'click') AS DOUBLE) AS clickers""",
+        "tuple_setops": """
+            WITH a AS (SELECT l_orderkey AS k, SUM(l_quantity) AS v
+                       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+                 b AS (SELECT l_orderkey AS k, SUM(l_quantity) AS v
+                       FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1)
+            SELECT
+              CAST((SELECT count(*) FROM a JOIN b USING (k)) AS DOUBLE)
+                AS inter,
+              CAST((SELECT count(*) FROM
+                    (SELECT k FROM a UNION SELECT k FROM b)) AS DOUBLE)
+                AS uni,
+              CAST((SELECT count(*) FROM a
+                    WHERE k NOT IN (SELECT k FROM b)) AS DOUBLE) AS anotb,
+              round(CAST((SELECT SUM(a.v + b.v) FROM a JOIN b USING (k))
+                         AS DOUBLE), 2) AS isum1,
+              round(CAST((SELECT SUM(v) FROM
+                          (SELECT v FROM a UNION ALL SELECT v FROM b))
+                         AS DOUBLE), 2) AS usum1,
+              (SELECT count(*) FROM a
+               WHERE k NOT IN (SELECT k FROM b)) AS n_not""",
         "gb_fixed_histogram": """
             SELECT event_type,
                    count(*) FILTER (value >= 0 AND value < 100) AS b0,

@@ -52,6 +52,53 @@ _QS_FINALIZERS = {
     "kllDoublesSketchToRank": "rank",
 }
 THETA_SETOP_TYPES = {"thetaSketchSetOp"}
+# arrayOfDoublesSketchSetOp (ArrayOfDoublesSketchSetOpPostAggregator):
+# UNION / INTERSECT / NOT over tuple sketches. A tuple agg referenced
+# by a set op compiles to a map<key, metric sums> state (see
+# tuple_map_state) so the ops can be pure map algebra.
+TUPLE_SETOP_TYPES = {"arrayOfDoublesSketchSetOp"}
+
+
+def tuple_map_state(key, metrics: list):
+    """Exact arrayOfDoublesSketch state for set-op consumers: a
+    map<string, array<double>> of per-distinct-key metric sums.
+
+    Built as ONE aggregate expression: sort the collected (key, values)
+    entries, then fold once — summing while the key repeats, appending
+    a map entry at each key change. Every lambda touches only its
+    accumulator and element (expressions referencing OUTER arrays
+    inside a higher-order lambda are re-evaluated per element — that
+    shape is O(n²) and must be avoided). Cost: O(n log n) sort +
+    O(d²) map appends in DISTINCT keys per group, bounded in practice
+    by sketch-sized key sets (the reference caps the sketch at
+    nominalEntries by sampling — extensions-core/datasketches/.../
+    ArrayOfDoublesSketchAggregatorFactory.java); memory contract
+    matches the theta_sets collect_set state."""
+    entry = F.struct(
+        key.cast("string").alias("k"),
+        F.array(*[m.cast("double") for m in metrics]).alias("vs"))
+    entries = F.sort_array(
+        F.collect_list(F.when(key.isNotNull(), entry)))
+    zeros = F.array_repeat(F.lit(0.0), len(metrics))
+    empty = F.from_json(F.lit("{}"), "map<string,array<double>>")
+
+    def state(m, k, acc):
+        return F.struct(m.alias("m"), k.alias("k"), acc.alias("acc"))
+
+    def flush(s):
+        return F.map_concat(s["m"], F.create_map(s["k"], s["acc"]))
+
+    return F.aggregate(
+        entries,
+        state(empty, F.lit(None).cast("string"), zeros),
+        lambda s, e: F.when(
+            s["k"].isNull(), state(s["m"], e["k"], e["vs"])
+        ).when(
+            e["k"] == s["k"],
+            state(s["m"], s["k"],
+                  F.zip_with(s["acc"], e["vs"], lambda x, y: x + y))
+        ).otherwise(state(flush(s), e["k"], e["vs"])),
+        lambda s: F.when(s["k"].isNull(), s["m"]).otherwise(flush(s)))
 # arrayOfDoublesSketch (tuple sketch) finalizer post-aggs. Exact mode:
 # the "sketch" is a struct of {n = exact distinct key count, sums =
 # per-metric totals}; each finalizer reads a struct field. On a real
@@ -87,10 +134,21 @@ class SketchPlan:
         self.quant: dict[str, dict] = {}
         self.theta_sets: set[str] = set()
         self.tuple_refs: set[str] = set()
+        # tuple aggs referenced by a set op: compile to map states
+        self.tuple_maps: set[str] = set()
+        self.tuple_nmetrics = {}
+        for a in aggs or []:
+            inner = a
+            while inner.get("type") == "filtered":
+                inner = inner["aggregator"]
+            if inner.get("type") == "arrayOfDoublesSketch":
+                self.tuple_nmetrics[a.get("name", inner.get("name"))] = \
+                    len(inner.get("metricColumns") or [])
         for pa in postaggs or []:
             self._walk(pa)
-        self.tuple_refs &= {a.get("name") for a in aggs or []
-                           if a.get("type") == "arrayOfDoublesSketch"}
+        tuple_names = set(self.tuple_nmetrics)
+        self.tuple_refs &= tuple_names
+        self.tuple_maps &= tuple_names
         # only keep entries whose agg really is a quantile sketch
         sketch_names = {a.get("name") for a in aggs or []
                         if a.get("type") in QUANTILE_SKETCH_AGGS}
@@ -145,9 +203,24 @@ class SketchPlan:
         elif t in THETA_SETOP_TYPES:
             self._mark_setop(pa)
         elif t in _TUPLE_FINALIZERS:
+            f = pa.get("field")
+            if isinstance(f, dict) and f.get("type") in TUPLE_SETOP_TYPES:
+                self._mark_tuple_setop(f)
+                return
             name = _pa_target(pa) or pa.get("fieldName")
             if name:
                 self.tuple_refs.add(name)
+        elif t in TUPLE_SETOP_TYPES:
+            self._mark_tuple_setop(pa)
+
+    def _mark_tuple_setop(self, pa: dict) -> None:
+        for f in pa.get("fields", []):
+            if f.get("type") in TUPLE_SETOP_TYPES:
+                self._mark_tuple_setop(f)
+            else:
+                name = f.get("fieldName")
+                if name:
+                    self.tuple_maps.add(name)
 
     def _mark_setop(self, pa: dict) -> None:
         for f in pa.get("fields", []):
@@ -449,6 +522,12 @@ class AggCompiler:
             key = (keys[0] if len(keys) == 1 else
                    F.concat_ws("", *[c.cast("string") for c in keys]))
             key = guard(key)
+            if self.plan and name in self.plan.tuple_maps:
+                # a set-op post-agg consumes this sketch: state is the
+                # per-key metric-sum map (see tuple_map_state)
+                return tuple_map_state(
+                    key,
+                    [res(mc) for mc in agg.get("metricColumns") or []])
             sums = [F.sum(F.when(key.isNotNull(), res(mc)).cast("double"))
                     for mc in agg.get("metricColumns") or []]
             n = F.count_distinct(key)
@@ -602,6 +681,9 @@ class PostAggCompiler:
                     return self.res(name).getField("n")  # finalized = N
                 if name in self.plan.theta_sets:
                     return F.size(self.res(name)).cast("double")
+                if (name in self.plan.tuple_maps
+                        and t == "finalizingFieldAccess"):
+                    return F.size(self.res(name)).cast("double")
                 if (name in self.plan.tuple_refs
                         and t == "finalizingFieldAccess"):
                     return self.res(name).getField("n").cast("double")
@@ -630,7 +712,13 @@ class PostAggCompiler:
         if t == "hllSketchEstimate":
             return self._pa(pa["field"]).cast("double")
         if t in _TUPLE_FINALIZERS:
+            f = pa.get("field")
+            if isinstance(f, dict) and f.get("type") in TUPLE_SETOP_TYPES:
+                return self._tuple_finalize_map(
+                    t, self._tuple_setop(f), self._tuple_leaf(f))
             name = _pa_target(pa) or pa.get("fieldName")
+            if self.plan and name in self.plan.tuple_maps:
+                return self._tuple_finalize_map(t, self.res(name), name)
             s = self.res(name)
             if t == "arrayOfDoublesSketchToEstimate":
                 return s.getField("n").cast("double")
@@ -639,6 +727,8 @@ class PostAggCompiler:
             return s.getField("sums")   # ToMetricsSumEstimate
         if t in THETA_SETOP_TYPES:
             return self._setop(pa)
+        if t in TUPLE_SETOP_TYPES:
+            return self._tuple_setop(pa)
         raise NotImplementedError(f"post-aggregator {t}")
 
     def _setop(self, pa: dict) -> Column:
@@ -658,6 +748,67 @@ class PostAggCompiler:
             else:
                 raise NotImplementedError(f"theta set op {func}")
         return out
+
+    def _tuple_setop(self, pa: dict) -> Column:
+        """arrayOfDoublesSketchSetOp (ArrayOfDoublesSketchSetOp-
+        PostAggregator): UNION / INTERSECT / NOT over tuple-sketch map
+        states as pure map algebra — UNION merges keys summing shared
+        values (ArrayOfDoublesUnion), INTERSECT keeps common keys with
+        combined values (ArrayOfDoublesIntersection's sum combiner),
+        NOT keeps the left side's keys absent from the right
+        (ArrayOfDoublesAnotB)."""
+        func = pa["func"].upper()
+        cols = [self._tuple_setop(f) if f.get("type") in TUPLE_SETOP_TYPES
+                else self.res(f["fieldName"]) for f in pa["fields"]]
+        out = cols[0]
+        for c in cols[1:]:
+            if func == "UNION":
+                out = F.map_zip_with(
+                    out, c,
+                    lambda k, a, b: F.when(a.isNull(), b)
+                    .when(b.isNull(), a)
+                    .otherwise(F.zip_with(a, b, lambda x, y: x + y)))
+            elif func == "INTERSECT":
+                out = F.map_filter(
+                    F.map_zip_with(
+                        out, c,
+                        lambda k, a, b: F.when(
+                            a.isNotNull() & b.isNotNull(),
+                            F.zip_with(a, b, lambda x, y: x + y))),
+                    lambda k, v: v.isNotNull())
+            elif func == "NOT":
+                rhs = c
+                out = F.map_filter(
+                    out, lambda k, v: F.element_at(rhs, k).isNull())
+            else:
+                raise NotImplementedError(f"tuple set op {func}")
+        return out
+
+    def _tuple_leaf(self, pa: dict) -> str | None:
+        """First leaf agg name under a tuple set-op tree (all leaves
+        share one metric arity, like the reference requires)."""
+        for f in pa.get("fields", []):
+            if f.get("type") in TUPLE_SETOP_TYPES:
+                name = self._tuple_leaf(f)
+            else:
+                name = f.get("fieldName")
+            if name:
+                return name
+        return None
+
+    def _tuple_finalize_map(self, t: str, m: Column,
+                            leaf: str | None) -> Column:
+        if t == "arrayOfDoublesSketchToEstimate":
+            return F.size(m).cast("double")
+        if t == "arrayOfDoublesSketchToNumEntries":
+            return F.size(m)
+        # ToMetricsSumEstimate: column-wise sum across the map's values
+        nm = (self.plan.tuple_nmetrics.get(leaf, 0)
+              if self.plan and leaf else 0)
+        zeros = F.array_repeat(F.lit(0.0), nm)
+        return F.aggregate(
+            F.map_values(m), zeros,
+            lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y))
 
     def _qs_finalize(self, pa: dict, kind: str) -> Column:
         name = _pa_target(pa)

@@ -388,3 +388,62 @@ def test_tuple_state_build_merge(spark):
         S.tuple_union_metric_sum(F.col("tuple_state"), 1).alias("s")).first()
     assert merged["n"] == 7  # distinct uids, exact below k
     assert merged["s"] == 3 * sum(float(u) for u in range(30))
+
+
+def test_tuple_sketch_set_ops(engine):
+    """arrayOfDoublesSketchSetOp (ArrayOfDoublesSketchSetOpPost-
+    Aggregator): INTERSECT/UNION/NOT estimates + metrics-sum over the
+    set-op result, checked against a DuckDB per-key oracle."""
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    def tup(name, flag):
+        return {"type": "filtered", "name": name,
+                "filter": {"type": "selector", "dimension": "l_returnflag",
+                           "value": flag},
+                "aggregator": {"type": "arrayOfDoublesSketch",
+                               "name": name,
+                               "fieldNames": ["l_orderkey"],
+                               "metricColumns": ["l_quantity"]}}
+
+    def setop(func):
+        return {"type": "arrayOfDoublesSketchSetOp", "func": func,
+                "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                           {"type": "fieldAccess", "fieldName": "b"}]}
+
+    r = engine.query({
+        "queryType": "timeseries", "dataSource": "lineitem",
+        "granularity": "all",
+        "aggregations": [tup("a", "R"), tup("b", "A")],
+        "postAggregations": [
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "inter",
+             "field": setop("INTERSECT")},
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "uni",
+             "field": setop("UNION")},
+            {"type": "arrayOfDoublesSketchToNumEntries", "name": "anotb",
+             "field": setop("NOT")},
+            {"type": "arrayOfDoublesSketchToMetricsSumEstimate",
+             "name": "isum", "field": setop("INTERSECT")},
+        ]}).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{os.path.join(SF_DIR, 'lineitem.parquet')}'")
+    o = con.execute("""
+        WITH a AS (SELECT l_orderkey k, SUM(l_quantity) v FROM lineitem
+                   WHERE l_returnflag='R' GROUP BY 1),
+             b AS (SELECT l_orderkey k, SUM(l_quantity) v FROM lineitem
+                   WHERE l_returnflag='A' GROUP BY 1)
+        SELECT (SELECT count(*) FROM a JOIN b USING (k)),
+               (SELECT count(*) FROM
+                (SELECT k FROM a UNION SELECT k FROM b)),
+               (SELECT count(*) FROM a
+                WHERE k NOT IN (SELECT k FROM b)),
+               (SELECT SUM(a.v + b.v) FROM a JOIN b USING (k))
+        """).fetchone()
+    assert r["inter"] == float(o[0])
+    assert r["uni"] == float(o[1])
+    assert r["anotb"] == o[2]
+    assert abs(r["isum"][0] - float(o[3])) < 1e-6
