@@ -292,6 +292,33 @@ def main():
         if not os.path.exists(cache20):
             functools.reduce(lambda a, b: a.union(b), [li] * 20) \
                 .repartition(CPUS).write.mode("overwrite").parquet(cache20)
+        # 20x TPC-H tables with REMAPPED keys (replica i offsets its
+        # order/customer keys) so join fan-out matches a true 20x scale
+        # factor instead of multiplying matches 20x20
+        tpch20_dir = "/tmp/druid_spark_bench_cache/tpch20"
+        if not os.path.exists(tpch20_dir):
+            rep = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+            orders = engine.catalog.table("orders")
+            cust = engine.catalog.table("customer")
+            kmax = orders.agg(F.max("o_orderkey")).first()[0] + 1
+            cmax = cust.agg(F.max("c_custkey")).first()[0] + 1
+            (li.select("*", rep)
+             .withColumn("l_orderkey",
+                         F.col("l_orderkey") + F.col("rep") * kmax)
+             .drop("rep").repartition(CPUS)
+             .write.mode("overwrite").parquet(tpch20_dir + "/lineitem"))
+            (orders.select("*", rep)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + F.col("rep") * kmax)
+             .withColumn("o_custkey",
+                         F.col("o_custkey") + F.col("rep") * cmax)
+             .drop("rep").repartition(CPUS)
+             .write.mode("overwrite").parquet(tpch20_dir + "/orders"))
+            (cust.select("*", rep)
+             .withColumn("c_custkey",
+                         F.col("c_custkey") + F.col("rep") * cmax)
+             .drop("rep").repartition(8)
+             .write.mode("overwrite").parquet(tpch20_dir + "/customer"))
         if not os.path.exists(cache600):
             base = li.select("l_extendedprice")
             factor = max(1, -(-600_000_000 // base.count()))
@@ -367,6 +394,43 @@ def main():
                 "n_queries": len(per), "queries": per}
     except Exception as e:
         tpch["error"] = str(e)[:200]
+
+    # TPC-H at 20x (12M-row lineitem, remapped keys): the sf0.1 suite
+    # above is fixed-job-cost dominated, so round-over-round perf
+    # tracking for the heavy join queries happens HERE, in the
+    # amortized regime a real cluster runs in — q1 (wide agg), q3/q18
+    # (fact-fact joins), q6 (selective scan).
+    tpch20 = {}
+    try:
+        import __spark_entry__ as entrymod
+        from druid_spark import DruidSparkEngine as _Eng20
+        eng20 = _Eng20(spark)
+        for t in ("lineitem", "orders", "customer"):
+            eng20.catalog.register_table(
+                t, spark.read.parquet(
+                    f"/tmp/druid_spark_bench_cache/tpch20/{t}"))
+        texts20 = {f"q{n}": entrymod.oracle_sql()[f"tpch_q{n}"]
+                   for n in (1, 3, 6)}
+        texts20["q18"] = entrymod._SQL_CASES["sqlc_tpch_q18"][0]
+        n20 = eng20.catalog.table("lineitem").count()
+        per20 = {}
+        for qn in sorted(texts20):
+            len(eng20.sql(texts20[qn]).collect())  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                len(eng20.sql(texts20[qn]).collect())
+                best = min(best, time.time() - t0)
+            per20[qn] = round(best, 4)
+        tpch20 = {
+            "lineitem_rows": n20, "queries": per20,
+            "suite_sec": round(sum(per20.values()), 4),
+            "q1_rows_per_sec_per_core": round(
+                n20 / max(per20["q1"], 1e-9) / CPUS),
+            "q6_rows_per_sec_per_core": round(
+                n20 / max(per20["q6"], 1e-9) / CPUS)}
+    except Exception as e:
+        tpch20["error"] = str(e)[:200]
 
     # Amortized scan rate: per-query wall time at sf0.1 is dominated by
     # the fixed Spark job cost (~0.1s), which under-reports throughput by
@@ -561,6 +625,7 @@ def main():
             "sum_double_rows_per_sec_per_core": round(
                 lineitem_rows / max(times["sum_double"], 1e-9) / CPUS),
             "tpch_suite_sf": tpch,
+            "tpch_20x": tpch20,
             "amortized_20x": amortized,
             "skew_join_20x": skew,
             "ingest_rate_20x": ingest,
