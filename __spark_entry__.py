@@ -7930,6 +7930,281 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
               FROM documents) t
         GROUP BY c HAVING COUNT(*) > 50
         ORDER BY c LIMIT 20"""),
+    # --- batch 13 (round 5): quidem long-tail — qaUnnest chained/
+    # double/table-function unnests, DrillWindowQueryTest frame edges
+    # (PRECEDING..PRECEDING, FOLLOWING..FOLLOWING, CURRENT..CURRENT),
+    # qaJsonCols deep paths, qaArray boundary semantics
+    # (quidem-ut/src/test/quidem/org.apache.druid.quidem.QTest/)
+    "sqlc_unnest_table_function": ("""
+        SELECT c FROM UNNEST(ARRAY['b', 'a', 'c']) AS u(c)
+        ORDER BY c""", """
+        SELECT unnest(['b', 'a', 'c']) AS c ORDER BY c"""),
+    "sqlc_unnest_double": ("""
+        SELECT c1, c2
+        FROM (SELECT STRING_TO_ARRAY('a b', ' ') AS a1,
+                     STRING_TO_ARRAY('x y', ' ') AS a2) t,
+             UNNEST(a1) AS u(c1), UNNEST(a2) AS v(c2)
+        ORDER BY c1, c2""", """
+        SELECT c1, c2
+        FROM (SELECT unnest(string_split('a b', ' ')) AS c1) a
+        CROSS JOIN (SELECT unnest(string_split('x y', ' ')) AS c2) b
+        ORDER BY c1, c2"""),
+    "sqlc_unnest_chained": ("""
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM region,
+             UNNEST(STRING_TO_ARRAY(r_name, '_')) AS s(part),
+             UNNEST(STRING_TO_ARRAY(part, 'G')) AS t(w)
+        GROUP BY w ORDER BY n DESC, w LIMIT 5""", """
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(part, 'G')) AS w
+              FROM (SELECT unnest(string_split(r_name, '_')) AS part
+                    FROM region) p) q
+        GROUP BY w ORDER BY n DESC, w LIMIT 5"""),
+    "sqlc_unnest_join_values": ("""
+        SELECT n_name, n_regionkey
+        FROM UNNEST(ARRAY['NATION_1', 'NATION_3', 'NATION_7']) AS u(nm)
+        JOIN nation ON n_name = nm
+        ORDER BY n_name""", """
+        SELECT n_name, n_regionkey
+        FROM (SELECT unnest(['NATION_1', 'NATION_3', 'NATION_7']) AS nm) u
+        JOIN nation ON n_name = nm
+        ORDER BY n_name"""),
+    "sqlc_unnest_numeric_aggs": ("""
+        SELECT CAST(ROUND(SUM(x), 2) AS DOUBLE) AS s,
+               CAST(ROUND(MIN(x), 2) AS DOUBLE) AS mn,
+               CAST(ROUND(MAX(x), 2) AS DOUBLE) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT ARRAY[value, value * 2] AS a FROM events) e,
+             UNNEST(a) AS u(x)""", """
+        SELECT CAST(ROUND(SUM(x), 2) AS DOUBLE) AS s,
+               CAST(ROUND(MIN(x), 2) AS DOUBLE) AS mn,
+               CAST(ROUND(MAX(x), 2) AS DOUBLE) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest([value, value * 2]) AS x FROM events) t"""),
+    "sqlc_unnest_distinct_vs_total": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS uniq
+        FROM (SELECT STRING_TO_ARRAY(text, ' ') AS toks
+              FROM documents WHERE source = 'web') d,
+             UNNEST(toks) AS u(c)""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS uniq
+        FROM (SELECT unnest(string_split(text, ' ')) AS c
+              FROM documents WHERE source = 'web') t"""),
+    "sqlc_unnest_window_rownum": ("""
+        SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c) AS BIGINT) AS rn
+        FROM region, UNNEST(STRING_TO_ARRAY(r_name, '_')) AS u(c)
+        ORDER BY rn LIMIT 8""", """
+        SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c) AS BIGINT) AS rn
+        FROM (SELECT unnest(string_split(r_name, '_')) AS c
+              FROM region) t
+        ORDER BY rn LIMIT 8"""),
+    "sqlc_unnest_order_offset": ("""
+        SELECT c FROM region,
+             UNNEST(STRING_TO_ARRAY(r_name, '_')) AS u(c)
+        ORDER BY c
+        OFFSET 2 ROWS FETCH NEXT 4 ROWS ONLY""", """
+        SELECT c FROM (SELECT unnest(string_split(r_name, '_')) AS c
+                       FROM region) t
+        ORDER BY c LIMIT 4 OFFSET 2"""),
+    "sqlc_unnest_case_element": ("""
+        SELECT CASE WHEN CHAR_LENGTH(c) > 6 THEN 'long' ELSE 'short' END
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT STRING_TO_ARRAY(text, ' ') AS toks
+              FROM documents WHERE lang = 'en') d,
+             UNNEST(toks) AS u(c)
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT CASE WHEN length(c) > 6 THEN 'long' ELSE 'short' END
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS c
+              FROM documents WHERE lang = 'en') t
+        GROUP BY 1 ORDER BY 1"""),
+    "sqlc_unnest_union_all": ("""
+        SELECT c FROM UNNEST(ARRAY['a', 'b']) AS u(c)
+        UNION ALL
+        SELECT c FROM UNNEST(ARRAY['b', 'c']) AS v(c)
+        ORDER BY c""", """
+        SELECT c FROM (
+          SELECT unnest(['a', 'b']) AS c
+          UNION ALL
+          SELECT unnest(['b', 'c']) AS c) t
+        ORDER BY c"""),
+    "sqlc_unnest_in_filter_elem": ("""
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT STRING_TO_ARRAY(text, ' ') AS toks
+              FROM documents) d,
+             UNNEST(toks) AS u(c)
+        WHERE c IN ('data', 'model', 'learning')
+        GROUP BY c ORDER BY c""", """
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS c
+              FROM documents) t
+        WHERE c IN ('data', 'model', 'learning')
+        GROUP BY c ORDER BY c"""),
+    # Drill/qaWin window frame edges
+    "sqlc_window_rows_prec_prec": ("""
+        SELECT n_nationkey,
+               CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                 AS s
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_window_rows_foll_foll": ("""
+        SELECT n_nationkey,
+               CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey
+                 ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT)
+                 AS s
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_window_rows_unb_prec": ("""
+        SELECT n_nationkey,
+               CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT) AS s
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_window_rows_curr_curr": ("""
+        SELECT n_nationkey,
+               CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey
+                 ROWS BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT)
+                 AS s
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_window_last_default_vs_full": ("""
+        SELECT n_nationkey,
+               LAST_VALUE(n_name) OVER (PARTITION BY n_regionkey
+                 ORDER BY n_nationkey) AS last_so_far,
+               LAST_VALUE(n_name) OVER (PARTITION BY n_regionkey
+                 ORDER BY n_nationkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS last_all
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_window_ntile": ("""
+        SELECT tile, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT NTILE(4) OVER (ORDER BY n_nationkey) AS tile
+              FROM nation) t
+        GROUP BY tile ORDER BY tile""", None),
+    "sqlc_window_pct_rank_ties": ("""
+        SELECT n_regionkey,
+               CAST(ROUND(PERCENT_RANK() OVER
+                 (ORDER BY n_regionkey), 4) AS DOUBLE) AS pr,
+               CAST(ROUND(CUME_DIST() OVER
+                 (ORDER BY n_regionkey), 4) AS DOUBLE) AS cd
+        FROM nation ORDER BY n_regionkey, pr""", None),
+    "sqlc_window_lag_lead_default": ("""
+        SELECT n_nationkey,
+               CAST(LAG(n_nationkey, 3, -1) OVER (ORDER BY n_nationkey)
+                 AS BIGINT) AS lag3,
+               CAST(LEAD(n_nationkey, 3, -1) OVER (ORDER BY n_nationkey)
+                 AS BIGINT) AS lead3
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_window_desc_frame_sum": ("""
+        SELECT n_nationkey,
+               CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey DESC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS s
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_window_two_frames_one_select": ("""
+        SELECT n_nationkey,
+               CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS s2,
+               CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+                 AS s5
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_window_nth_value": ("""
+        SELECT n_nationkey,
+               NTH_VALUE(n_name, 3) OVER (PARTITION BY n_regionkey
+                 ORDER BY n_nationkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS third
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_window_over_empty_total": ("""
+        SELECT n_nationkey,
+               CAST(SUM(n_regionkey) OVER () AS BIGINT) AS total,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_rows
+        FROM nation ORDER BY n_nationkey LIMIT 5""", None),
+    # qaJsonCols long-tail
+    "sqlc_json_value_two_paths_where": ("""
+        SELECT count(*) AS n FROM events
+        WHERE CAST(JSON_VALUE(props, '$.k') AS BIGINT) > 20
+          AND CAST(JSON_VALUE(props, '$.k') AS BIGINT) < 60""", """
+        SELECT count(*) AS n FROM events
+        WHERE CAST(props->>'k' AS BIGINT) > 20
+          AND CAST(props->>'k' AS BIGINT) < 60"""),
+    "sqlc_json_object_roundtrip_value": ("""
+        SELECT n_nationkey,
+               CAST(JSON_VALUE(TO_JSON_STRING(
+                 JSON_OBJECT(KEY 'a' VALUE n_nationkey)), '$.a')
+                 AS BIGINT) AS a
+        FROM nation WHERE n_nationkey < 4 ORDER BY n_nationkey""", """
+        SELECT n_nationkey, n_nationkey AS a
+        FROM nation WHERE n_nationkey < 4 ORDER BY n_nationkey"""),
+    "sqlc_json_query_missing_null": ("""
+        SELECT count(*) AS n FROM events
+        WHERE JSON_QUERY(props, '$.nope') IS NULL""", """
+        SELECT count(*) AS n FROM events"""),
+    "sqlc_json_value_having_group": ("""
+        SELECT MOD(CAST(JSON_VALUE(props, '$.k') AS BIGINT), 5) AS kb,
+               count(*) AS n
+        FROM events
+        GROUP BY 1 HAVING count(*) > 100
+        ORDER BY 1""", """
+        SELECT MOD(CAST(props->>'k' AS BIGINT), 5) AS kb, count(*) AS n
+        FROM events
+        GROUP BY 1 HAVING count(*) > 100
+        ORDER BY 1"""),
+    "sqlc_json_four_levels": ("""
+        SELECT JSON_VALUE('{"a":{"b":{"c":{"d":"deep"}}}}',
+                          '$.a.b.c.d') AS v,
+               JSON_VALUE('{"a":{"b":{"c":{"d":"deep"}}}}',
+                          '$.a.b.x.d') AS missing""", """
+        SELECT 'deep' AS v, NULL AS missing"""),
+    # qaArray boundary semantics
+    "sqlc_array_contains_subset": ("""
+        SELECT ARRAY_CONTAINS(ARRAY['a','b','c'], ARRAY['a','c'])
+                 AS subset_yes,
+               ARRAY_CONTAINS(ARRAY['a','b','c'], ARRAY['a','z'])
+                 AS subset_no""", """
+        SELECT true AS subset_yes, false AS subset_no"""),
+    "sqlc_array_overlap_empty_lit": ("""
+        SELECT ARRAY_OVERLAP(ARRAY['a','b'], ARRAY['b','z']) AS o_yes,
+               ARRAY_OVERLAP(ARRAY['a','b'], ARRAY['x','z']) AS o_no""",
+        """
+        SELECT true AS o_yes, false AS o_no"""),
+    "sqlc_array_slice_oob": ("""
+        SELECT ARRAY_TO_STRING(
+                 ARRAY_SLICE(ARRAY['a','b','c'], 1, 2), ',') AS mid,
+               ARRAY_TO_STRING(
+                 ARRAY_SLICE(ARRAY['a','b','c'], 0, 3), ',') AS full_arr
+        """, """
+        SELECT 'b' AS mid, 'a,b,c' AS full_arr"""),
+    "sqlc_array_offset_ordinal_oob": ("""
+        SELECT ARRAY_OFFSET(ARRAY['a','b'], 5) AS off_oob,
+               ARRAY_ORDINAL(ARRAY['a','b'], 2) AS ord2,
+               ARRAY_OFFSET(ARRAY['a','b'], 0) AS off0""", """
+        SELECT NULL AS off_oob, 'b' AS ord2, 'a' AS off0"""),
+    "sqlc_array_to_string_delims": ("""
+        SELECT ARRAY_TO_STRING(STRING_TO_ARRAY('a|b|c', '\\|'), '-')
+                 AS dashy,
+               ARRAY_LENGTH(STRING_TO_ARRAY('a,b,,c', ',')) AS with_empty
+        """, """
+        SELECT 'a-b-c' AS dashy, 4 AS with_empty"""),
+    "sqlc_array_group_key_join": ("""
+        SELECT a.ln, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT ARRAY_LENGTH(STRING_TO_ARRAY(text, ' ')) AS ln
+              FROM documents) a
+        JOIN (SELECT DISTINCT
+                ARRAY_LENGTH(STRING_TO_ARRAY(text, ' ')) AS ln
+              FROM documents WHERE n_chars > 500) b
+          ON a.ln = b.ln
+        GROUP BY a.ln ORDER BY n DESC, a.ln LIMIT 5""", """
+        SELECT a.ln, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT len(string_split(text, ' ')) AS ln
+              FROM documents) a
+        JOIN (SELECT DISTINCT len(string_split(text, ' ')) AS ln
+              FROM documents WHERE n_chars > 500) b
+          ON a.ln = b.ln
+        GROUP BY a.ln ORDER BY n DESC, a.ln LIMIT 5"""),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)

@@ -530,6 +530,43 @@ def _rewrite_unnest(sql: str) -> str:
         pos = m.start() + 1
 
 
+def _rewrite_unnest_from(sql: str) -> str:
+    """Standalone table-function form `FROM UNNEST(expr) AS a(c)`
+    (qaUnnest's base-less spelling; Calcite's UNNEST table function) →
+    `FROM (SELECT EXPLODE(expr) AS c) a`. Runs after _rewrite_unnest,
+    which consumed the CROSS JOIN / comma forms."""
+    pat = re.compile(r"\bFROM\s+UNNEST\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while depth and i < len(sql):
+            if sql[i] in "'\"":
+                i = _skip_string(sql, i)
+            elif sql[i] in "([":
+                depth += 1
+            elif sql[i] in ")]":
+                depth -= 1
+            i += 1
+        inner = sql[m.end():i - 1]
+        tail = re.match(r"\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)", sql[i:],
+                        re.IGNORECASE)
+        if tail:
+            alias, col = tail.groups()
+        else:
+            tail = re.match(r"\s+AS\s+(\w+)", sql[i:], re.IGNORECASE)
+            if not tail:
+                pos = i
+                continue
+            alias, col = "__unnest", tail.group(1)
+        sql = (sql[:m.start()]
+               + f"FROM (SELECT EXPLODE({inner}) AS {col}) {alias}"
+               + sql[i + tail.end():])
+        pos = m.start() + 1
+
+
 _JSON_RETURNING_TYPES = {
     "BIGINT": "BIGINT", "INTEGER": "BIGINT", "DOUBLE": "DOUBLE",
     "FLOAT": "DOUBLE", "DECIMAL": "DOUBLE", "VARCHAR": "STRING",
@@ -804,6 +841,20 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = re.sub(r"\bTRUNC\(", "TRUNCATE(", out, flags=re.IGNORECASE)
     out = _add_default_arg(out, "TRUNCATE", "0")  # 1-arg → digits 0
     out = _rewrite_unnest(out)
+    out = _rewrite_unnest_from(out)
+    # Druid ARRAY_CONTAINS(arr, arr2) is subset-containment; Spark's
+    # builtin only takes a scalar needle. Rewrite when the second arg
+    # is syntactically an array producer (the only case SQL text can
+    # type) — scalar calls keep the builtin.
+    out = _rewrite_call(
+        out, "ARRAY_CONTAINS",
+        lambda args: (
+            f"forall({args[1]}, __acx -> "
+            f"array_contains({args[0]}, __acx))"
+            if len(args) == 2 and re.match(
+                r"(?is)^\s*(ARRAY\s*[\[(]|STRING_TO_ARRAY\s*\("
+                r"|MV_TO_ARRAY\s*\()", args[1])
+            else None))
     # Calcite ARRAY[...] constructor → Spark array(...). Innermost-first
     # so nested ARRAY[ARRAY[1], ARRAY[2]] rewrites cleanly; the inner
     # pattern is bracket-free, so repetition terminates.

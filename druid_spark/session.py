@@ -36,7 +36,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Spark's default 10 MB. A higher threshold looked attractive for
+    # dim tables, but size ESTIMATES for filtered+column-pruned fact
+    # scans scale only by column fraction (no filter selectivity
+    # without CBO stats), so 64 MB let a 12M-row filtered lineitem
+    # "fit" and get broadcast in TPC-H q3 at 20x — a driver-side
+    # collect of a fact table, which at cluster scale is an OOM. True
+    # dimension tables (region/nation/supplier/part, lookups) are all
+    # comfortably under 10 MB.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
 }
 
 
