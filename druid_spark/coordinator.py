@@ -18,12 +18,162 @@ segment versions/overshadowing.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import shutil
 import threading
 import time
 import uuid
 from typing import Any
+
+
+def _parse_period(p: str) -> "dt.timedelta":
+    """ISO-8601 period → timedelta (calendar months/years approximated
+    as 30/365 days, matching the retention use where periods bound a
+    horizon, not a calendar arithmetic result)."""
+    import re as _re
+    m = _re.fullmatch(
+        r"P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+        r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?", p or "")
+    if not m or not any(m.groups()):
+        raise ValueError(f"bad ISO period {p!r}")
+    y, mo, w, d, h, mi, s = (int(g or 0) for g in m.groups())
+    return dt.timedelta(days=y * 365 + mo * 30 + w * 7 + d,
+                        hours=h, minutes=mi, seconds=s)
+
+
+class RetentionDuty:
+    """Retention / load-drop rules duty — the coordinator's rule engine
+    (server/.../server/coordinator/rules/: LoadRule, DropRule,
+    PeriodLoadRule, PeriodDropBeforeRule, RunRules duty; RulesResource
+    for the HTTP surface). Rules per datasource are evaluated in order,
+    FIRST MATCH WINS; a partition matched by a load rule is retained,
+    by a drop rule deleted (the markAsUnused + kill analog: files are
+    removed, then the datasource re-registers). No matching rule =
+    retained (the cluster default rule is loadForever).
+
+    Supported rule types: loadForever, dropForever,
+    loadByPeriod {"period"} (retain partitions younger than now-P),
+    dropByPeriod {"period"} (drop partitions younger than now-P),
+    dropBeforeByPeriod {"period"} (drop partitions older than now-P),
+    loadByInterval / dropByInterval {"interval": "A/B"}."""
+
+    def __init__(self, engine, now=None):
+        self.engine = engine
+        self.rules: dict[str, list[dict[str, Any]]] = {}
+        self.history: list[dict[str, Any]] = []
+        self._now = now  # fixed clock for tests; None = wall clock
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()
+
+    def set_rules(self, datasource: str, rules: list[dict]) -> None:
+        self.rules[datasource] = list(rules)
+
+    def _partition_bounds(self, ds: str, value: str):
+        """Partition value string → (start, end) datetimes via the
+        table's registered date_format pattern."""
+        part = self.engine.catalog.partitioning(ds)
+        fmt = part[1] if part else "yyyy-MM-dd"
+        py_fmt = fmt.replace("yyyy", "%Y").replace("MM", "%m") \
+            .replace("dd", "%d").replace("HH", "%H")
+        start = dt.datetime.strptime(value, py_fmt)
+        step = {"%H": dt.timedelta(hours=1)}.get(
+            py_fmt[-2:], dt.timedelta(days=1))
+        if py_fmt == "%Y-%m":
+            step = dt.timedelta(days=31)
+        elif py_fmt == "%Y":
+            step = dt.timedelta(days=366)
+        return start, start + step
+
+    def _decide(self, rules: list[dict], start, end, now) -> str:
+        for r in rules:
+            t = r.get("type")
+            if t == "loadForever":
+                return "load"
+            if t == "dropForever":
+                return "drop"
+            if t in ("loadByPeriod", "dropByPeriod"):
+                horizon = now - _parse_period(r["period"])
+                if end > horizon:
+                    return "load" if t == "loadByPeriod" else "drop"
+            elif t == "dropBeforeByPeriod":
+                if end < now - _parse_period(r["period"]):
+                    return "drop"
+            elif t in ("loadByInterval", "dropByInterval"):
+                a, b = r["interval"].split("/")
+                ia = dt.datetime.fromisoformat(a.replace("T", " ")
+                                               .rstrip("Z"))
+                ib = dt.datetime.fromisoformat(b.replace("T", " ")
+                                               .rstrip("Z"))
+                if start < ib and end > ia:
+                    return "load" if t == "loadByInterval" else "drop"
+        return "load"  # cluster default rule: loadForever
+
+    def run_once(self) -> list[dict[str, Any]]:
+        """One rule pass: drop every partition whose first matching
+        rule is a drop rule; re-register touched datasources; record
+        kill tasks in sys.tasks."""
+        import shutil as _sh
+        now = self._now or dt.datetime.now()
+        dropped = []
+        with self._lock:
+            for ds, rules in self.rules.items():
+                path = self.engine.catalog.source_path(ds)
+                if not path or not os.path.isdir(path):
+                    continue
+                part = self.engine.catalog.partitioning(ds)
+                col = part[0] if part else "__dt"
+                touched = False
+                for d in sorted(os.listdir(path)):
+                    if not d.startswith(col + "="):
+                        continue
+                    val = d.split("=", 1)[1]
+                    try:
+                        start, end = self._partition_bounds(ds, val)
+                    except ValueError:
+                        continue
+                    if self._decide(rules, start, end, now) == "drop":
+                        _sh.rmtree(os.path.join(path, d),
+                                   ignore_errors=True)
+                        tid = f"kill_{ds}_{val}_{uuid.uuid4().hex[:6]}"
+                        self.engine.record_task(tid, "kill", ds,
+                                                "SUCCESS")
+                        rec = {"dataSource": ds, "partition": d,
+                               "start": start.isoformat()}
+                        dropped.append(rec)
+                        self.history.append(rec)
+                        touched = True
+                if touched:
+                    self.engine.catalog.register_table(
+                        ds, self.engine.spark.read.parquet(path),
+                        source_path=path)
+                    if part:
+                        self.engine.catalog.set_partitioning(ds, *part)
+        return dropped
+
+    def start(self, period: float = 300.0) -> "RetentionDuty":
+        if self._thread is not None and self._thread.is_alive():
+            return self
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.wait(period):
+                try:
+                    self.run_once()
+                except Exception:
+                    pass
+
+        self._thread = threading.Thread(
+            target=loop, daemon=True, name="retention-duty")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
 
 
 class CompactionDuty:

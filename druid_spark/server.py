@@ -994,6 +994,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif path.startswith("/druid/indexer/v1") or \
                     path.startswith("/druid/coordinator/v1/config/"
                                     "compaction") or \
+                    path.startswith("/druid/coordinator/v1/rules") or \
                     path == "/druid/coordinator/v1/compaction/status":
                 res = [(STATE, "STATE", READ)]
             ident = self._auth(res)
@@ -1020,6 +1021,13 @@ class _Handler(BaseHTTPRequestHandler):
             duty = self.server.compaction  # type: ignore[attr-defined]
             self._send_json(200, {"latestStatus": duty.history[-20:],
                                   "pending": duty.scan()})
+        elif path == "/druid/coordinator/v1/rules":
+            # RulesResource.getRules: rules per datasource
+            self._send_json(200, self.server.retention.rules)  # type: ignore
+        elif (m := re.match(r"^/druid/coordinator/v1/rules/([^/]+)$",
+                            path)):
+            ret = self.server.retention  # type: ignore[attr-defined]
+            self._send_json(200, ret.rules.get(m.group(1), []))
         elif path == "/druid/coordinator/v1/metadata/datasources":
             # coordinator metadata API (server/.../http/MetadataResource
             # .java getDataSources)
@@ -1255,6 +1263,19 @@ class _Handler(BaseHTTPRequestHandler):
                     body.get("maxFilesPerPartition", 8)),
                 target_files=int(body.get("targetFiles", 1)))
             self._send_json(200, {})
+        elif (m := re.match(r"^/druid/coordinator/v1/rules/([^/]+)$",
+                            path)):
+            # RulesResource.setDatasourceRules
+            if not isinstance(body, list):
+                self._send_json(400, {"error": "Invalid rules",
+                                      "errorMessage": "expected a list",
+                                      "errorClass": None, "host": None})
+                return
+            self.server.retention.set_rules(m.group(1), body)  # type: ignore
+            self._send_json(200, {})
+        elif path == "/druid/coordinator/v1/retention/run":
+            dropped = self.server.retention.run_once()  # type: ignore
+            self._send_json(200, {"dropped": dropped})
         elif path == "/druid/coordinator/v1/compaction/run":
             # manual duty cycle (the coordinator fires this on its
             # period; exposed for operators and tests)
@@ -1315,7 +1336,9 @@ class _Handler(BaseHTTPRequestHandler):
         if path.startswith("/druid/indexer/v1/"):
             return [(STATE, "STATE", WRITE)]
         if path.startswith("/druid/coordinator/v1/config/compaction") or \
-                path == "/druid/coordinator/v1/compaction/run":
+                path == "/druid/coordinator/v1/compaction/run" or \
+                path.startswith("/druid/coordinator/v1/rules") or \
+                path == "/druid/coordinator/v1/retention/run":
             return [(STATE, "STATE", WRITE)]
         return []
 
@@ -1579,7 +1602,8 @@ class DruidHttpServer:
                  lane_limits: dict[str, int] | None = None,
                  authenticator: Authenticator | None = None,
                  authorizer: Authorizer | None = None,
-                 compaction_period: float | None = None):
+                 compaction_period: float | None = None,
+                 retention_period: float | None = None):
         self.engine = engine
         self.scheduler = QueryScheduler(engine.spark, total=total_slots,
                                         lane_limits=lane_limits)
@@ -1597,11 +1621,15 @@ class DruidHttpServer:
             engine, scheduler=self.scheduler)
         self._httpd.overlord = _Overlord(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler)
-        from druid_spark.coordinator import CompactionDuty
+        from druid_spark.coordinator import CompactionDuty, RetentionDuty
         self.compaction = CompactionDuty(engine)
         self._httpd.compaction = self.compaction  # type: ignore[attr-defined]
         if compaction_period is not None:
             self.compaction.start(period=compaction_period)
+        self.retention = RetentionDuty(engine)
+        self._httpd.retention = self.retention  # type: ignore[attr-defined]
+        if retention_period is not None:
+            self.retention.start(period=retention_period)
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
 
@@ -1618,6 +1646,7 @@ class DruidHttpServer:
 
     def stop(self) -> None:
         self.compaction.stop()
+        self.retention.stop()
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:

@@ -131,3 +131,92 @@ def test_compaction_http_endpoints(eng):
         assert cfgs["compactionConfigs"] == []
     finally:
         srv.stop()
+
+
+def test_retention_rules_duty(eng):
+    """Retention rules (coordinator RunRules duty: PeriodLoadRule /
+    DropRule analogs): first-match-wins evaluation drops partitions
+    outside the retained horizon; query results shrink accordingly;
+    drops land in sys.tasks as kill tasks."""
+    import datetime as dt
+    from druid_spark.coordinator import RetentionDuty
+    eng.sql("REPLACE INTO ev_ret OVERWRITE ALL "
+            "SELECT ts AS __time, value FROM events PARTITIONED BY DAY")
+    path = eng.catalog.source_path("ev_ret")
+    n_before = len(_files_per_partition(path))
+    assert n_before >= 28  # a month of day partitions
+    # fixed clock: Feb 1, 2024 — keep the trailing 7 days of January
+    duty = RetentionDuty(eng, now=dt.datetime(2024, 2, 1))
+    duty.set_rules("ev_ret", [{"type": "loadByPeriod", "period": "P7D"},
+                              {"type": "dropForever"}])
+    dropped = duty.run_once()
+    after = _files_per_partition(path)
+    assert len(dropped) == n_before - len(after)
+    # events span 2024-01-01..30; horizon Feb 1 - P7D keeps Jan 25+
+    assert sorted(after) == [f"__dt=2024-01-{d}" for d in
+                             range(25, 31)]
+    n = eng.sql("SELECT COUNT(DISTINCT CAST(__time AS DATE)) AS n "
+                "FROM ev_ret").first()["n"]
+    assert n == 6
+    # idempotent second pass
+    assert duty.run_once() == []
+    k = eng.sql("SELECT COUNT(*) AS n FROM sys.tasks WHERE type='kill' "
+                "AND datasource='ev_ret'").first()["n"]
+    assert k == len(dropped)
+
+
+def test_retention_interval_and_default_load(eng):
+    import datetime as dt
+    from druid_spark.coordinator import RetentionDuty
+    eng.sql("REPLACE INTO ev_ret2 OVERWRITE ALL "
+            "SELECT ts AS __time, value FROM events PARTITIONED BY DAY")
+    path = eng.catalog.source_path("ev_ret2")
+    n_before = len(_files_per_partition(path))
+    duty = RetentionDuty(eng, now=dt.datetime(2024, 2, 1))
+    # drop one explicit window; everything else falls to the default
+    # loadForever
+    duty.set_rules("ev_ret2", [
+        {"type": "dropByInterval",
+         "interval": "2024-01-10T00:00:00Z/2024-01-13T00:00:00Z"}])
+    dropped = duty.run_once()
+    assert sorted(d["partition"] for d in dropped) == [
+        "__dt=2024-01-10", "__dt=2024-01-11", "__dt=2024-01-12"]
+    assert len(_files_per_partition(path)) == n_before - 3
+
+
+def test_retention_http_rules_api(eng):
+    import datetime as dt
+    import json as _json
+    import urllib.request
+    from druid_spark.server import DruidHttpServer
+    eng.sql("REPLACE INTO ev_ret3 OVERWRITE ALL "
+            "SELECT ts AS __time, value FROM events PARTITIONED BY DAY")
+    srv = DruidHttpServer(eng).start()
+    srv.retention._now = dt.datetime(2024, 2, 1)
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def req(path, obj=None):
+        r = urllib.request.Request(
+            base + path,
+            data=_json.dumps(obj).encode() if obj is not None else None,
+            headers={"Content-Type": "application/json"},
+            method="POST" if obj is not None else "GET")
+        with urllib.request.urlopen(r) as resp:
+            return resp.status, _json.loads(resp.read() or b"null")
+
+    try:
+        rules = [{"type": "loadByPeriod", "period": "P3D"},
+                 {"type": "dropForever"}]
+        code, _ = req("/druid/coordinator/v1/rules/ev_ret3", rules)
+        assert code == 200
+        code, got = req("/druid/coordinator/v1/rules/ev_ret3")
+        assert got == rules
+        code, allr = req("/druid/coordinator/v1/rules")
+        assert allr["ev_ret3"] == rules
+        code, out = req("/druid/coordinator/v1/retention/run", {})
+        assert code == 200 and len(out["dropped"]) > 20
+        path = eng.catalog.source_path("ev_ret3")
+        assert sorted(_files_per_partition(path)) == [
+            "__dt=2024-01-29", "__dt=2024-01-30"]
+    finally:
+        srv.stop()
