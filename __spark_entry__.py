@@ -8205,6 +8205,202 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
               FROM documents WHERE n_chars > 500) b
           ON a.ln = b.ln
         GROUP BY a.ln ORDER BY n DESC, a.ln LIMIT 5"""),
+    # --- batch 14 (round 5): qaWin orderby_range RANGE-frame matrix,
+    # qaSql scalar datetime/numeric/string edges, Decoupled join
+    # long-tail (USING, self-join chains, expression keys), correlated
+    # subqueries (CalciteCorrelatedQueryTest shapes)
+    "sqlc_win_range_zero_prec": ("""
+        SELECT n_regionkey,
+               CAST(SUM(n_nationkey) OVER (ORDER BY n_regionkey
+                 RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS s,
+               CAST(COUNT(*) OVER (ORDER BY n_regionkey
+                 RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS c
+        FROM nation ORDER BY n_regionkey, s""", None),
+    "sqlc_win_range_zero_foll": ("""
+        SELECT n_regionkey,
+               CAST(SUM(n_nationkey) OVER (ORDER BY n_regionkey
+                 RANGE BETWEEN CURRENT ROW AND 0 FOLLOWING) AS BIGINT)
+                 AS s
+        FROM nation ORDER BY n_regionkey, s""", None),
+    "sqlc_win_range_first_last_ub": ("""
+        SELECT n_nationkey,
+               FIRST_VALUE(n_name) OVER (ORDER BY n_regionkey
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 0 FOLLOWING)
+                 AS fv,
+               LAST_VALUE(n_name) OVER (ORDER BY n_regionkey
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 0 FOLLOWING)
+                 AS lv_peers
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_win_range_one_prec_first_last": ("""
+        SELECT n_nationkey,
+               FIRST_VALUE(n_nationkey) OVER (ORDER BY n_regionkey
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS fv,
+               LAST_VALUE(n_nationkey) OVER (ORDER BY n_regionkey
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS lv
+        FROM nation ORDER BY n_nationkey""", None),
+    "sqlc_win_range_desc_order": ("""
+        SELECT n_regionkey,
+               CAST(COUNT(*) OVER (ORDER BY n_regionkey DESC
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+                 AS c
+        FROM nation ORDER BY n_regionkey, c""", None),
+    "sqlc_win_array_agg_frame": ("""
+        SELECT n_nationkey,
+               ARRAY_TO_STRING(ARRAY_AGG(n_nationkey) OVER (
+                 ORDER BY n_nationkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), ',') AS w
+        FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey""", """
+        SELECT n_nationkey,
+               array_to_string(list(n_nationkey) OVER (
+                 ORDER BY n_nationkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), ',') AS w
+        FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey"""),
+    "sqlc_scalar_extract_matrix": ("""
+        SELECT EXTRACT(DOW FROM TIMESTAMP '2024-01-15 10:30:00') AS dow,
+               EXTRACT(DOY FROM TIMESTAMP '2024-02-01 00:00:00') AS doy,
+               EXTRACT(WEEK FROM TIMESTAMP '2024-01-15 00:00:00') AS wk,
+               EXTRACT(QUARTER FROM TIMESTAMP '2024-08-15 00:00:00')
+                 AS qtr""", """
+        -- Druid EXTRACT(DOW) is ISO Monday=1 (TimestampExtractExprMacro),
+        -- unlike Calcite's Sunday=1; 2024-01-15 is a Monday
+        SELECT 1 AS dow, 32 AS doy, 3 AS wk, 3 AS qtr"""),
+    "sqlc_scalar_timestampdiff_units": ("""
+        SELECT TIMESTAMPDIFF(DAY, TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-03-01 12:00:00') AS days,
+               TIMESTAMPDIFF(MONTH, TIMESTAMP '2023-11-15 00:00:00',
+                             TIMESTAMP '2024-02-15 00:00:00') AS months,
+               TIMESTAMPDIFF(HOUR, TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-02 06:00:00') AS hours
+        """, """
+        SELECT 60 AS days, 3 AS months, 30 AS hours"""),
+    "sqlc_scalar_timestampadd_units": ("""
+        SELECT CAST(TIMESTAMPADD(MONTH, 2,
+                 TIMESTAMP '2024-01-31 00:00:00') AS VARCHAR) AS m2,
+               CAST(TIMESTAMPADD(WEEK, 1,
+                 TIMESTAMP '2024-01-01 00:00:00') AS VARCHAR) AS w1""",
+        """
+        SELECT '2024-03-31 00:00:00' AS m2,
+               '2024-01-08 00:00:00' AS w1"""),
+    "sqlc_scalar_quarter_trunc": ("""
+        SELECT CAST(DATE_TRUNC('quarter',
+                 TIMESTAMP '2024-08-15 13:00:00') AS VARCHAR) AS q,
+               CAST(CEIL(TIMESTAMP '2024-08-15 13:00:00' TO QUARTER)
+                 AS VARCHAR) AS qc""", """
+        SELECT '2024-07-01 00:00:00' AS q,
+               '2024-10-01 00:00:00' AS qc"""),
+    "sqlc_scalar_numeric_edges": ("""
+        SELECT MOD(-7, 3) AS m1, MOD(7, -3) AS m2,
+               CAST(TRUNCATE(1234.567, -2) AS DOUBLE) AS tneg,
+               CAST(ROUND(2.5) AS BIGINT) AS rhalf,
+               SAFE_DIVIDE(10.0, 0.0) AS sdiv""", """
+        SELECT -1 AS m1, 1 AS m2, CAST(1200.0 AS DOUBLE) AS tneg,
+               CAST(3 AS BIGINT) AS rhalf,
+               CAST(NULL AS DOUBLE) AS sdiv"""),
+    "sqlc_scalar_log_family": ("""
+        SELECT CAST(ROUND(EXP(1), 6) AS DOUBLE) AS e1,
+               CAST(ROUND(LN(EXP(2)), 6) AS DOUBLE) AS ln2,
+               CAST(ROUND(LOG10(1000), 6) AS DOUBLE) AS lg3,
+               CAST(ROUND(POWER(2, 10), 1) AS DOUBLE) AS p10""", """
+        SELECT CAST(2.718282 AS DOUBLE) AS e1, CAST(2.0 AS DOUBLE) AS ln2,
+               CAST(3.0 AS DOUBLE) AS lg3, CAST(1024.0 AS DOUBLE) AS p10"""),
+    "sqlc_scalar_string_pad_overlay": ("""
+        SELECT LPAD('7', 3, '0') AS lp, RPAD('ab', 5, 'xy') AS rp,
+               OVERLAY('hello' PLACING 'XX' FROM 2 FOR 3) AS ov,
+               REPEAT('ab', 3) AS rep,
+               POSITION('b' IN 'abcabc' FROM 3) AS pos2""", """
+        SELECT '007' AS lp, 'abxyx' AS rp, 'hXXo' AS ov,
+               'ababab' AS rep, 5 AS pos2"""),
+    "sqlc_scalar_trim_variants": ("""
+        SELECT TRIM(BOTH 'x' FROM 'xxhixx') AS tb,
+               TRIM(LEADING 'x' FROM 'xxhixx') AS tl,
+               TRIM(TRAILING 'x' FROM 'xxhixx') AS tt,
+               BTRIM('  hi  ') AS bt""", """
+        SELECT 'hi' AS tb, 'hixx' AS tl, 'xxhi' AS tt, 'hi' AS bt"""),
+    "sqlc_join_using_form": ("""
+        SELECT r_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT n_regionkey AS r_regionkey, n_name FROM nation) n
+        JOIN region USING (r_regionkey)
+        GROUP BY r_regionkey ORDER BY r_regionkey""", None),
+    "sqlc_join_self_chain": ("""
+        SELECT a.n_nationkey,
+               b.n_name AS next_name, c.n_name AS next2_name
+        FROM nation a
+        JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+        JOIN nation c ON c.n_nationkey = b.n_nationkey + 1
+        WHERE a.n_nationkey < 5
+        ORDER BY a.n_nationkey""", None),
+    "sqlc_join_coalesce_key": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation a
+        JOIN region r
+          ON COALESCE(a.n_regionkey, 0) = r.r_regionkey""", None),
+    "sqlc_join_implicit_where": ("""
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation, region
+        WHERE n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""", None),
+    "sqlc_join_left_isnull_extra": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation n
+        LEFT JOIN supplier s
+          ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000
+        WHERE s.s_suppkey IS NULL""", None),
+    "sqlc_corr_scalar_select": ("""
+        SELECT r_name,
+               (SELECT CAST(MAX(n_nationkey) AS BIGINT) FROM nation n
+                WHERE n.n_regionkey = r.r_regionkey) AS max_nation
+        FROM region r ORDER BY r_name""", None),
+    "sqlc_corr_exists_extra_pred": ("""
+        SELECT r_name FROM region r
+        WHERE EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_regionkey = r.r_regionkey
+                        AND n.n_nationkey > 20)
+        ORDER BY r_name""", None),
+    "sqlc_corr_in_subquery_filtered": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM supplier
+        WHERE s_nationkey IN
+              (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 2))
+        """, None),
+    "sqlc_corr_agg_compare": ("""
+        SELECT n_name FROM nation n
+        WHERE n.n_nationkey > (SELECT AVG(n_regionkey) * 4
+                               FROM nation n2
+                               WHERE n2.n_regionkey = n.n_regionkey)
+        ORDER BY n_name LIMIT 5""", None),
+    "sqlc_grouping_id_cube_having": ("""
+        SELECT n_regionkey, MOD(n_nationkey, 2) AS odd,
+               CAST(GROUPING(n_regionkey) AS BIGINT) AS g_r,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation
+        GROUP BY CUBE (n_regionkey, MOD(n_nationkey, 2))
+        HAVING GROUPING(n_regionkey) = 1
+        ORDER BY odd, n""", """
+        SELECT n_regionkey, odd, g_r, n FROM (
+          SELECT n_regionkey, MOD(n_nationkey, 2) AS odd,
+                 CAST(GROUPING(n_regionkey) AS BIGINT) AS g_r,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM nation
+          GROUP BY CUBE (n_regionkey, MOD(n_nationkey, 2))) t
+        WHERE g_r = 1 ORDER BY odd, n"""),
+    "sqlc_string_agg_distinct": ("""
+        SELECT n_regionkey,
+               LISTAGG(DISTINCT CAST(MOD(n_nationkey, 2) AS VARCHAR),
+                       ',') WITHIN GROUP (ORDER BY
+                       CAST(MOD(n_nationkey, 2) AS VARCHAR)) AS kinds
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""", """
+        SELECT n_regionkey,
+               string_agg(DISTINCT CAST(MOD(n_nationkey, 2) AS VARCHAR),
+                          ',' ORDER BY
+                          CAST(MOD(n_nationkey, 2) AS VARCHAR)) AS kinds
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+    "sqlc_nullif_coalesce_chain": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COALESCE(NULLIF(n_regionkey, 0), 100))
+                 AS BIGINT) AS s
+        FROM nation""", None),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)
