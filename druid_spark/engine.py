@@ -181,13 +181,17 @@ class DruidSparkEngine:
             self.cache_misses += 1
         out = self._dispatch(q)
         if use_cache:
-            out = out.persist()
-            self._result_cache[key] = out
-            self._result_cache_order.append(key)
-            if len(self._result_cache_order) > self.result_cache_size:
-                old = self._result_cache_order.pop(0)
-                self._result_cache.pop(old).unpersist()
+            out = self._cache_put(key, out)
         return out
+
+    def _cache_put(self, key: str, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        self._result_cache[key] = df
+        self._result_cache_order.append(key)
+        if len(self._result_cache_order) > self.result_cache_size:
+            old = self._result_cache_order.pop(0)
+            self._result_cache.pop(old).unpersist()
+        return df
 
     def _tables_fingerprint(self, q: dict) -> str:
         """One fingerprint per table the query touches, interval-aware
@@ -386,7 +390,25 @@ class DruidSparkEngine:
             exact = set_ctx["useApproximateCountDistinct"].lower() != "true"
         if "APPEND" in text.upper():
             text = self._rewrite_table_append(text)
-        return self.spark.sql(rewrite_druid_sql(text, exact=exact))
+        final = rewrite_druid_sql(text, exact=exact)
+        # `SET useResultCache = true;` — the SQL spelling of the
+        # result-level cache (reference: ResultLevelCachingQueryRunner
+        # applies to SQL through the same query stack). Keyed on the
+        # rewritten statement + whole-table fingerprints of every
+        # referenced datasource (no interval structure to narrow by at
+        # the SQL layer), so any table change invalidates.
+        if set_ctx.get("useResultCache", "").lower() == "true":
+            from druid_spark.security import sql_resources
+            tables = sorted({n for rt, n, _a in sql_resources(
+                self.catalog.tables(), text) if rt == "DATASOURCE"})
+            key = ("sql||" + final + f"||exact={exact}||"
+                   + ";".join(f"{n}={self._table_fingerprint(n, None)}"
+                              for n in tables))
+            if key in self._result_cache:
+                return self._result_cache[key]
+            self.cache_misses += 1
+            return self._cache_put(key, self.spark.sql(final))
+        return self.spark.sql(final)
 
     def _rewrite_table_append(self, text: str) -> str:
         """TABLE(APPEND('ds1', 'ds2', ...)) → a UNION ALL subquery

@@ -216,3 +216,41 @@ def test_result_cache_per_interval_invalidation(spark, tmp_path_factory):
     assert new[d10] == 2 * old[d10]           # day 10 doubled
     assert all(new[k] == old[k] for k in new if k != d10)
     e.close()
+
+
+def test_sql_result_cache_set_context(spark, tmp_path_factory):
+    """SET useResultCache = true — the SQL spelling of the result-level
+    cache: same statement + unchanged tables hits; any referenced-table
+    change invalidates."""
+    e = DruidSparkEngine(spark)
+    e.catalog.register_dir("/root/testdata/sf0.001")
+    e.warehouse_dir = str(tmp_path_factory.mktemp("sqlcache_wh"))
+    q = ("SET useResultCache = true; "
+         "SELECT n_regionkey, COUNT(*) AS n FROM nation "
+         "GROUP BY 1 ORDER BY 1")
+    m0 = e.cache_misses
+    df1 = e.sql(q)
+    rows = df1.collect()
+    assert e.cache_misses == m0 + 1
+    assert e.sql(q) is df1                      # warm hit
+    assert e.cache_misses == m0 + 1
+    # without the SET, no caching
+    assert e.sql("SELECT n_regionkey, COUNT(*) AS n FROM nation "
+                 "GROUP BY 1 ORDER BY 1") is not df1
+    # ingest into a NEW table: nation untouched -> still a hit
+    e.sql("REPLACE INTO sqlcache_t OVERWRITE ALL "
+          "SELECT ts AS __time, value FROM events PARTITIONED BY DAY")
+    assert e.sql(q) is df1
+    # a query over the ingested table caches, then an append
+    # invalidates it
+    q2 = ("SET useResultCache = true; "
+          "SELECT COUNT(*) AS n FROM sqlcache_t")
+    d2 = e.sql(q2)
+    assert d2.first()["n"] == 1000
+    assert e.sql(q2) is d2
+    e.sql("INSERT INTO sqlcache_t SELECT ts AS __time, value "
+          "FROM events PARTITIONED BY DAY")
+    d3 = e.sql(q2)
+    assert d3 is not d2 and d3.first()["n"] == 2000
+    assert e.sql(q).collect() == rows           # nation entry intact
+    e.close()
