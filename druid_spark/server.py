@@ -487,6 +487,7 @@ class _Statements:
     # too (SqlStatementResource retention); eviction deletes the spill
     # directory so result storage is bounded for the server's lifetime
     MAX_DONE = 256
+    PAGE_SIZE = 100_000  # rows per /results?page=N page
     _TERMINAL = ("SUCCESS", "FAILED", "CANCELED")
 
     def __init__(self, engine, scheduler: QueryScheduler | None = None):
@@ -575,14 +576,33 @@ class _Statements:
             return None
         out = {"queryId": qid, "state": rec["state"]}
         if rec["state"] == "SUCCESS":
-            out["result"] = {"numTotalRows": rec["spill"].total,
-                             "dataSource": "__query_select"}
+            import os as _os
+            spill = rec["spill"]
+            # page manifest (SqlStatementResource result stanza: page
+            # id/numRows/sizeInBytes). Pages here are the row-range
+            # pages /results?page=N actually serves (PAGE_SIZE rows);
+            # sizeInBytes prorates the spill's on-disk bytes.
+            total_b = sum(_os.path.getsize(p)
+                          for p, _f, _n in spill.files) \
+                if spill.files else 0
+            pages = []
+            lo = 0
+            while lo < spill.total:
+                n = min(self.PAGE_SIZE, spill.total - lo)
+                pages.append({
+                    "id": len(pages), "numRows": n,
+                    "sizeInBytes": round(total_b * n
+                                         / max(spill.total, 1))})
+                lo += n
+            out["result"] = {"numTotalRows": spill.total,
+                             "dataSource": "__query_select",
+                             "pages": pages}
         if rec["error"] is not None:
             out["errorDetails"] = rec["error"]
         return out
 
     def results(self, qid: str, page: int = 0,
-                page_size: int = 100_000) -> tuple[int, Any]:
+                page_size: int | None = None) -> tuple[int, Any]:
         rec = self._st.get(qid)
         if rec is None:
             return 404, {"error": "Not found", "errorMessage": qid,
@@ -591,7 +611,8 @@ class _Statements:
             return 400, {"error": "Statement not successful",
                          "errorMessage": f"state is {rec['state']}",
                          "errorClass": None, "host": None}
-        return 200, rec["spill"].row_dicts(page * page_size, page_size)
+        size = page_size or self.PAGE_SIZE
+        return 200, rec["spill"].row_dicts(page * size, size)
 
     def cancel(self, qid: str) -> bool:
         with self._lock:

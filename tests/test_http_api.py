@@ -532,6 +532,11 @@ def test_statements_spill_paged_no_driver_collect(server):
         _CDF.collect = orig
     assert st["state"] == "SUCCESS", st
     assert st["result"]["numTotalRows"] == 250000
+    # page manifest (SqlStatementResource result stanza)
+    pages = st["result"]["pages"]
+    assert [p["numRows"] for p in pages] == [100000, 100000, 50000]
+    assert [p["id"] for p in pages] == [0, 1, 2]
+    assert all(p["sizeInBytes"] > 0 for p in pages)
     status, rows = _get(server,
                         f"/druid/v2/sql/statements/{qid}/results?page=2")
     assert status == 200 and len(rows) == 50000
