@@ -8401,6 +8401,168 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(SUM(COALESCE(NULLIF(n_regionkey, 0), 100))
                  AS BIGINT) AS s
         FROM nation""", None),
+    # --- batch 15 (round 5): DecoupledPlanningCalciteJoinQueryTest
+    # shapes (the 290-file join quidem family) ported to the driver's
+    # tables: expression/cast join keys, inline-datasource joins,
+    # nested groupBys over joins, simultaneous semi+anti, union-of-join
+    # arms, subquery-filter compositions
+    "sqlc_join_cast_left_key": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation a
+        JOIN (SELECT CAST(r_regionkey AS VARCHAR) AS rk FROM region) r
+          ON CAST(a.n_regionkey AS VARCHAR) = r.rk""", None),
+    "sqlc_join_left_function_key": ("""
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation a
+        JOIN region r
+          ON CHAR_LENGTH(a.n_name) = CHAR_LENGTH(r.r_name) + 1
+        GROUP BY r_name ORDER BY r_name""", """
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation a
+        JOIN region r ON length(a.n_name) = length(r.r_name) + 1
+        GROUP BY r_name ORDER BY r_name"""),
+    "sqlc_join_isnull_filter": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation a
+        JOIN region r ON a.n_regionkey = r.r_regionkey
+        WHERE NULLIF(a.n_nationkey, 7) IS NULL""", None),
+    "sqlc_join_topn_metric_limit": ("""
+        SELECT n_name, CAST(SUM(s_acctbal) AS DOUBLE) AS bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n_name ORDER BY bal DESC LIMIT 3""", """
+        SELECT n_name, CAST(SUM(s_acctbal) AS DOUBLE) AS bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n_name ORDER BY bal DESC LIMIT 3"""),
+    "sqlc_join_inline_sources": ("""
+        SELECT a.k, b.v, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT * FROM (VALUES (1, 'x'), (2, 'y')) AS t(k, dim)) a
+        JOIN (SELECT * FROM (VALUES (1, 10), (2, 20), (2, 21))
+              AS u(k, v)) b
+          ON a.k = b.k
+        GROUP BY a.k, b.v ORDER BY a.k, b.v""", None),
+    "sqlc_join_groupby_over_groupby": ("""
+        SELECT cnt, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT n.n_regionkey, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM nation n JOIN region r
+                ON n.n_regionkey = r.r_regionkey
+              GROUP BY n.n_regionkey) t
+        GROUP BY cnt ORDER BY cnt""", None),
+    "sqlc_join_floor_time_keys": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.clicks * b.buys) AS BIGINT) AS cross_sum
+        FROM (SELECT FLOOR(ts TO DAY) AS d,
+                     COUNT(*) AS clicks FROM events
+              WHERE event_type = 'click' GROUP BY 1) a
+        JOIN (SELECT FLOOR(ts TO DAY) AS d,
+                     COUNT(*) AS buys FROM events
+              WHERE event_type = 'purchase' GROUP BY 1) b
+          ON a.d = b.d""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.clicks * b.buys) AS BIGINT) AS cross_sum
+        FROM (SELECT date_trunc('day', ts) AS d,
+                     COUNT(*) AS clicks FROM events
+              WHERE event_type = 'click' GROUP BY 1) a
+        JOIN (SELECT date_trunc('day', ts) AS d,
+                     COUNT(*) AS buys FROM events
+              WHERE event_type = 'purchase' GROUP BY 1) b
+          ON a.d = b.d"""),
+    "sqlc_join_subquery_limit_outer_group": ("""
+        SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT n_nationkey, n_regionkey FROM nation
+              ORDER BY n_nationkey LIMIT 10) nn
+        JOIN region r ON nn.n_regionkey = r.r_regionkey
+        GROUP BY n_regionkey ORDER BY n_regionkey""", None),
+    "sqlc_join_semi_anti_together": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = 1)
+          AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)""", None),
+    "sqlc_join_two_semi": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_quantity > 45)""", None),
+    "sqlc_join_union_both_arms": ("""
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT 'a' AS src FROM nation n
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          UNION ALL
+          SELECT 'b' AS src FROM supplier s
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey) t
+        GROUP BY src ORDER BY src""", None),
+    "sqlc_join_subquery_and_filter": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        WHERE c_mktsegment = 'MACHINERY'
+          AND c_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey IN (0, 1))""", None),
+    "sqlc_join_subquery_extraction_key": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation
+        WHERE SUBSTRING(n_name, 8) IN
+              (SELECT CAST(r_regionkey AS VARCHAR) FROM region)""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation
+        WHERE SUBSTRING(n_name, 8) IN
+              (SELECT CAST(r_regionkey AS VARCHAR) FROM region)"""),
+    "sqlc_join_semi_time_extract_group": ("""
+        SELECT EXTRACT(DAY FROM ts) AS dom,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM events
+                          WHERE event_type = 'purchase')
+          AND ts < TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_join_mv_filter_expression_key": ("""
+        SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT ARRAY_OFFSET(STRING_TO_ARRAY(n_name, '_'), 0)
+                       AS prefix,
+                     n_regionkey
+              FROM nation) a
+        JOIN (SELECT r_regionkey, r_name FROM region) r
+          ON a.n_regionkey = r.r_regionkey
+        WHERE a.prefix = 'NATION'
+        GROUP BY r.r_name ORDER BY r.r_name""", """
+        SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT string_split(n_name, '_')[1] AS prefix,
+                     n_regionkey
+              FROM nation) a
+        JOIN (SELECT r_regionkey, r_name FROM region) r
+          ON a.n_regionkey = r.r_regionkey
+        WHERE a.prefix = 'NATION'
+        GROUP BY r.r_name ORDER BY r.r_name"""),
+    "sqlc_join_computed_ref_condition": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT n_nationkey + 1 AS nk1 FROM nation) a
+        JOIN nation b ON a.nk1 = b.n_nationkey""", None),
+    "sqlc_join_nested_groupby_inline_filter": ("""
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT k, MAX(v) AS v
+              FROM (VALUES (1, 'a'), (1, 'b'), (2, 'a'), (3, 'c'))
+                   AS t(k, v)
+              WHERE v <> 'c'
+              GROUP BY k) x
+        GROUP BY v ORDER BY v""", None),
+    "sqlc_join_union_left_arm_join": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT n.n_nationkey AS k FROM nation n
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          UNION ALL
+          SELECT r_regionkey AS k FROM region) t""", None),
+    "sqlc_join_right_operator_select": ("""
+        SELECT r.r_name, n.n_name
+        FROM (SELECT n_name, n_regionkey FROM nation
+              WHERE n_nationkey < 3) n
+        RIGHT JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY r.r_name, n.n_name""", None),
+    "sqlc_join_string_dim_order_desc": ("""
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n_name ORDER BY n_name DESC LIMIT 5""", None),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)
