@@ -475,17 +475,31 @@ class DruidSparkEngine:
         CalciteQueryTest testExplain*): one row with the physical PLAN,
         RESOURCES (tables read, as Druid reports read-resources), and
         ATTRIBUTES (statement type). The plan text is Spark's formatted
-        physical plan — the honest analog of Druid's native-query JSON."""
-        df = self.sql(inner)
+        physical plan — the honest analog of Druid's native-query JSON.
+        EXPLAIN of an INSERT/REPLACE plans the SELECT and reports the
+        ingest attributes WITHOUT executing (the reference explains
+        the ingest plan; engine.sql would otherwise run it)."""
+        from druid_spark.ingest.sql_ingest import parse_ingest_sql
+        stmt = parse_ingest_sql(inner)
+        attrs = '{"statementType": "SELECT"}'
+        plan_text = inner
+        if stmt is not None:
+            import json as _json
+            attrs = _json.dumps({
+                "statementType": stmt.verb,
+                "targetDataSource": stmt.table,
+                "partitionedBy": stmt.granularity})
+            plan_text = stmt.select
+        df = self.sql(plan_text)
         plan = df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution
             .ExplainMode.fromString("formatted"))
         tables = sorted(t for t in self.catalog.tables()
-                        if self._table_word_re(t).search(inner))
+                        if self._table_word_re(t).search(plan_text))
         resources = "[" + ", ".join(
             '{"name": "%s", "type": "DATASOURCE"}' % t for t in tables) + "]"
         return self.spark.createDataFrame(
-            [(plan, resources, '{"statementType": "SELECT"}')],
+            [(plan, resources, attrs)],
             ["PLAN", "RESOURCES", "ATTRIBUTES"])
 
     # Above this many entries, a lookup's map-literal arm would bloat the

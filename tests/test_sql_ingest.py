@@ -171,3 +171,23 @@ def test_drop_interval_retention(eng):
         F.date_format("__time", "yyyy-MM-dd").alias("d")).distinct()
     assert sorted(r["d"] for r in left.collect()) == \
         ["2024-01-01", "2024-01-03"]
+
+
+def test_explain_insert_does_not_execute(spark, tmp_path):
+    """EXPLAIN PLAN FOR INSERT/REPLACE plans the statement and reports
+    ingest attributes (DruidPlanner explain of DruidSqlInsert) but must
+    NOT run the ingestion."""
+    import json
+    from druid_spark import DruidSparkEngine
+    e = DruidSparkEngine(spark)
+    e.catalog.register_dir("/root/testdata/sf0.001")
+    e.warehouse_dir = str(tmp_path)
+    row = e.sql("EXPLAIN PLAN FOR REPLACE INTO exp_tgt OVERWRITE ALL "
+                "SELECT ts AS __time, value FROM events "
+                "PARTITIONED BY DAY").collect()[0]
+    attrs = json.loads(row["ATTRIBUTES"])
+    assert attrs["statementType"] == "REPLACE"
+    assert attrs["targetDataSource"] == "exp_tgt"
+    assert "exp_tgt" not in e.catalog.tables()      # nothing executed
+    assert "events" in row["RESOURCES"]
+    assert "Scan" in row["PLAN"] or "FileScan" in row["PLAN"]
