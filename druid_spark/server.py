@@ -238,12 +238,14 @@ class _SpilledResult:
 
 
 # ---------------------------------------------------------------- avatica
-_JDBC_TYPE = {"tinyint": "TINYINT", "smallint": "SMALLINT",
-              "int": "INTEGER", "bigint": "BIGINT", "float": "REAL",
-              "double": "DOUBLE", "boolean": "BOOLEAN",
-              "string": "VARCHAR", "date": "DATE",
-              "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
-              "binary": "BINARY"}
+# Spark simpleString -> (Avatica type name, java.sql.Types id)
+_JDBC_TYPE = {"tinyint": ("TINYINT", -6), "smallint": ("SMALLINT", 5),
+              "int": ("INTEGER", 4), "bigint": ("BIGINT", -5),
+              "float": ("REAL", 7), "double": ("DOUBLE", 8),
+              "boolean": ("BOOLEAN", 16), "string": ("VARCHAR", 12),
+              "date": ("DATE", 91), "timestamp": ("TIMESTAMP", 93),
+              "timestamp_ntz": ("TIMESTAMP", 93),
+              "binary": ("BINARY", -2)}
 
 
 class _Avatica:
@@ -343,10 +345,12 @@ class _Avatica:
     def _signature(self, df, sql: str) -> dict:
         cols = []
         for i, f in enumerate(df.schema.fields):
-            t = _JDBC_TYPE.get(f.dataType.simpleString(), "OTHER")
+            t, tid = _JDBC_TYPE.get(f.dataType.simpleString(),
+                                    ("OTHER", 1111))  # java.sql OTHER
             cols.append({"ordinal": i, "columnName": f.name,
                          "label": f.name,
-                         "type": {"name": t, "rep": "OBJECT"},
+                         "type": {"type": "scalar", "id": tid,
+                                  "name": t, "rep": "OBJECT"},
                          "nullable": 1 if f.nullable else 0})
         return {"columns": cols, "sql": sql,
                 "cursorFactory": {"style": "LIST"}, "parameters": []}
