@@ -8563,6 +8563,47 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
         GROUP BY n_name ORDER BY n_name DESC LIMIT 5""", None),
+    "sqlc_tuple_doubles_setops": ("""
+        SELECT DS_TUPLE_DOUBLES_INTERSECT(
+                 DS_TUPLE_DOUBLES(CASE WHEN l_returnflag = 'R'
+                                       THEN l_orderkey END,
+                                  CASE WHEN l_returnflag = 'R'
+                                       THEN l_quantity END),
+                 DS_TUPLE_DOUBLES(CASE WHEN l_returnflag = 'A'
+                                       THEN l_orderkey END,
+                                  CASE WHEN l_returnflag = 'A'
+                                       THEN l_quantity END)) AS inter,
+               DS_TUPLE_DOUBLES_UNION(
+                 DS_TUPLE_DOUBLES(CASE WHEN l_returnflag = 'R'
+                                       THEN l_orderkey END,
+                                  CASE WHEN l_returnflag = 'R'
+                                       THEN l_quantity END),
+                 DS_TUPLE_DOUBLES(CASE WHEN l_returnflag = 'A'
+                                       THEN l_orderkey END,
+                                  CASE WHEN l_returnflag = 'A'
+                                       THEN l_quantity END)) AS uni,
+               DS_TUPLE_DOUBLES_NOT(
+                 DS_TUPLE_DOUBLES(CASE WHEN l_returnflag = 'R'
+                                       THEN l_orderkey END,
+                                  CASE WHEN l_returnflag = 'R'
+                                       THEN l_quantity END),
+                 DS_TUPLE_DOUBLES(CASE WHEN l_returnflag = 'A'
+                                       THEN l_orderkey END,
+                                  CASE WHEN l_returnflag = 'A'
+                                       THEN l_quantity END)) AS anotb
+        FROM lineitem""", """
+        WITH a AS (SELECT l_orderkey AS k FROM lineitem
+                   WHERE l_returnflag = 'R' GROUP BY 1),
+             b AS (SELECT l_orderkey AS k FROM lineitem
+                   WHERE l_returnflag = 'A' GROUP BY 1)
+        SELECT CAST((SELECT count(*) FROM a JOIN b USING (k)) AS DOUBLE)
+                 AS inter,
+               CAST((SELECT count(*) FROM
+                     (SELECT k FROM a UNION SELECT k FROM b)) AS DOUBLE)
+                 AS uni,
+               CAST((SELECT count(*) FROM a
+                     WHERE k NOT IN (SELECT k FROM b)) AS DOUBLE)
+                 AS anotb"""),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)

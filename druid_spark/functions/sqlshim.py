@@ -283,10 +283,86 @@ def _tuple_args(a: str) -> list[str] | None:
     return xs
 
 
+_TUPLE_SETOP_RE = re.compile(
+    r"(?is)^\s*DS_TUPLE_DOUBLES_(INTERSECT|UNION|NOT)\s*\((.*)\)\s*$")
+
+
+def _tuple_map_state_sql(key: str, metrics: list[str]) -> str:
+    """SQL text of the per-key metric-sum map state — the textual twin
+    of aggregations.tuple_map_state (same single-fold build over the
+    sorted entries, same cost/memory contract)."""
+    vs = ", ".join(f"CAST({m} AS DOUBLE)" for m in metrics)
+    zeros = f"array_repeat(CAST(0.0 AS DOUBLE), {len(metrics)})"
+    entry = (f"CASE WHEN {key} IS NOT NULL THEN named_struct("
+             f"'k', CAST({key} AS STRING), 'vs', array({vs})) END")
+    return (
+        "aggregate("
+        f"sort_array(collect_list({entry})), "
+        "named_struct('m', from_json('{}', 'map<string,array<double>>'),"
+        f" 'k', CAST(NULL AS STRING), 'acc', {zeros}), "
+        "(s, e) -> CASE WHEN s.k IS NULL THEN "
+        "named_struct('m', s.m, 'k', e.k, 'acc', e.vs) "
+        "WHEN e.k = s.k THEN named_struct('m', s.m, 'k', s.k, "
+        "'acc', zip_with(s.acc, e.vs, (x, y) -> x + y)) "
+        "ELSE named_struct('m', map_concat(s.m, map(s.k, s.acc)), "
+        "'k', e.k, 'acc', e.vs) END, "
+        "s -> CASE WHEN s.k IS NULL THEN s.m "
+        "ELSE map_concat(s.m, map(s.k, s.acc)) END)")
+
+
+def _tuple_expand(a: str) -> tuple[str, int] | None:
+    """DS_TUPLE_DOUBLES / DS_TUPLE_DOUBLES_{INTERSECT,UNION,NOT}
+    expression text → (map-state SQL, n_metrics). The set ops are pure
+    map algebra with capture-free lambdas (an aggregate referenced
+    INSIDE a lambda is illegal, so NOT zips both maps instead of
+    probing the right one per key)."""
+    m = _TUPLE_SETOP_RE.match(a)
+    if m:
+        func = m.group(1).upper()
+        parts = _top_split(m.group(2))
+        if len(parts) > 2 and re.fullmatch(r"\d+", parts[-1].strip()):
+            parts = parts[:-1]  # trailing nominalEntries
+        exp = [_tuple_expand(p) for p in parts]
+        if len(exp) < 2 or any(e is None for e in exp):
+            return None
+        out, n = exp[0]
+        for c, _n in exp[1:]:
+            if func == "UNION":
+                out = (f"map_zip_with({out}, {c}, (k, a, b) -> "
+                       f"CASE WHEN a IS NULL THEN b "
+                       f"WHEN b IS NULL THEN a "
+                       f"ELSE zip_with(a, b, (x, y) -> x + y) END)")
+            elif func == "INTERSECT":
+                out = (f"map_filter(map_zip_with({out}, {c}, "
+                       f"(k, a, b) -> CASE WHEN a IS NOT NULL AND "
+                       f"b IS NOT NULL THEN "
+                       f"zip_with(a, b, (x, y) -> x + y) END), "
+                       f"(k, v) -> v IS NOT NULL)")
+            else:  # NOT: keys of the left absent from the right
+                out = (f"map_filter(map_zip_with({out}, {c}, "
+                       f"(k, a, b) -> CASE WHEN b IS NULL THEN a END), "
+                       f"(k, v) -> v IS NOT NULL)")
+        return out, n
+    xs = _tuple_args(a)
+    if xs and len(xs) >= 2:
+        return _tuple_map_state_sql(xs[0], xs[1:]), len(xs) - 1
+    return None
+
+
 def _tuple_metrics_sum(args):
+    if not args:
+        return None
+    if _TUPLE_SETOP_RE.match(args[0]):
+        exp = _tuple_expand(args[0])
+        if exp is None:
+            return None
+        map_sql, n = exp
+        return (f"aggregate(map_values({map_sql}), "
+                f"array_repeat(CAST(0.0 AS DOUBLE), {n}), "
+                f"(acc, v) -> zip_with(acc, v, (x, y) -> x + y))")
     # exact mode: every update folds its values into the key's entry,
     # so the across-entries metric total is the plain column SUM
-    xs = _tuple_args(args[0]) if args else None
+    xs = _tuple_args(args[0])
     if not xs or len(xs) < 2:
         return None
     sums = ", ".join(f"CAST(SUM({x}) AS DOUBLE)" for x in xs[1:])
@@ -294,10 +370,23 @@ def _tuple_metrics_sum(args):
 
 
 def _tuple_estimate(args):
-    xs = _tuple_args(args[0]) if args else None
+    if not args:
+        return None
+    if _TUPLE_SETOP_RE.match(args[0]):
+        exp = _tuple_expand(args[0])
+        return (f"CAST(size({exp[0]}) AS DOUBLE)"
+                if exp is not None else None)
+    xs = _tuple_args(args[0])
     if not xs:
         return None
     return f"CAST(COUNT(DISTINCT {xs[0]}) AS DOUBLE)"
+
+
+def _tuple_setop_standalone(op: str, args):
+    """A bare set-op select finalizes to its estimate, like the
+    standalone DS_TUPLE_DOUBLES arm."""
+    exp = _tuple_expand(f"DS_TUPLE_DOUBLES_{op}({', '.join(args)})")
+    return f"CAST(size({exp[0]}) AS DOUBLE)" if exp is not None else None
 
 
 def _tuple_standalone(args):
@@ -699,6 +788,10 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     out = _rewrite_call(out, "DS_TUPLE_DOUBLES_METRICS_SUM_ESTIMATE",
                         _tuple_metrics_sum)
     out = _rewrite_call(out, "DS_TUPLE_DOUBLES_ESTIMATE", _tuple_estimate)
+    for _op in ("INTERSECT", "UNION", "NOT"):
+        out = _rewrite_call(
+            out, f"DS_TUPLE_DOUBLES_{_op}",
+            lambda args, _o=_op: _tuple_setop_standalone(_o, args))
     out = _rewrite_call(out, "DS_TUPLE_DOUBLES", _tuple_standalone)
     # theta sketch set-op compositions (SketchSetPostAggregator
     # analog): exact distinct SETS as the sketch state —
