@@ -78,13 +78,16 @@ class RetentionDuty:
         py_fmt = fmt.replace("yyyy", "%Y").replace("MM", "%m") \
             .replace("dd", "%d").replace("HH", "%H")
         start = dt.datetime.strptime(value, py_fmt)
-        step = {"%H": dt.timedelta(hours=1)}.get(
-            py_fmt[-2:], dt.timedelta(days=1))
-        if py_fmt == "%Y-%m":
-            step = dt.timedelta(days=31)
+        if py_fmt == "%Y-%m":  # calendar month, not a fixed span
+            end = (start.replace(day=28)
+                   + dt.timedelta(days=4)).replace(day=1)
         elif py_fmt == "%Y":
-            step = dt.timedelta(days=366)
-        return start, start + step
+            end = start.replace(year=start.year + 1)
+        elif py_fmt.endswith("%H"):
+            end = start + dt.timedelta(hours=1)
+        else:
+            end = start + dt.timedelta(days=1)
+        return start, end
 
     def _decide(self, rules: list[dict], start, end, now) -> str:
         for r in rules:

@@ -195,10 +195,19 @@ class DruidSparkEngine:
 
     def _tables_fingerprint(self, q: dict) -> str:
         """One fingerprint per table the query touches, interval-aware
-        (see query() docstring)."""
+        (see query() docstring). Interval narrowing applies only to a
+        PLAIN table datasource: a nested query/join can re-stamp or
+        aggregate __time, so data outside the outer intervals can still
+        influence rows inside them — those shapes fingerprint the whole
+        table (the reference keys on the segments actually scanned,
+        which is the same conservative set)."""
         from druid_spark.security import native_query_resources
         names = [n for _, n, _ in native_query_resources(q)]
-        ivs = q.get("intervals")
+        ds = q.get("dataSource")
+        plain = isinstance(ds, str) or (
+            isinstance(ds, dict) and ds.get("type") in ("table",
+                                                        "globalTable"))
+        ivs = q.get("intervals") if plain else None
         return ";".join(f"{n}={self._table_fingerprint(n, ivs)}"
                         for n in sorted(set(names)))
 
