@@ -117,7 +117,6 @@ class RetentionDuty:
         """One rule pass: drop every partition whose first matching
         rule is a drop rule; re-register touched datasources; record
         kill tasks in sys.tasks."""
-        import shutil as _sh
         now = self._now or dt.datetime.now()
         dropped = []
         with self._lock:
@@ -137,8 +136,8 @@ class RetentionDuty:
                     except ValueError:
                         continue
                     if self._decide(rules, start, end, now) == "drop":
-                        _sh.rmtree(os.path.join(path, d),
-                                   ignore_errors=True)
+                        shutil.rmtree(os.path.join(path, d),
+                                      ignore_errors=True)
                         tid = f"kill_{ds}_{val}_{uuid.uuid4().hex[:6]}"
                         self.engine.record_task(tid, "kill", ds,
                                                 "SUCCESS")
