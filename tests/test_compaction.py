@@ -220,3 +220,49 @@ def test_retention_http_rules_api(eng):
             "__dt=2024-01-29", "__dt=2024-01-30"]
     finally:
         srv.stop()
+
+
+def test_streaming_handoff_then_compaction(eng, spark, tmp_path):
+    """Continuous-ingestion hygiene end-to-end: micro-batches land as
+    small files, handoff promotes them to history, and the compaction
+    duty bounds the file count — query results identical before and
+    after (the StreamAppenderator persist→merge→push cycle plus the
+    CompactSegments duty, as one pipeline)."""
+    import glob
+    from druid_spark.coordinator import CompactionDuty
+    from druid_spark.streaming.ingest import StreamingIngest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ing = StreamingIngest(spark, str(tmp_path / "stream_wh"), "sc_ds")
+    # three micro-batches of json events -> three batch= dirs
+    import json as _json
+    schema = "timestamp TIMESTAMP, v LONG"
+    for b in range(3):
+        # several source files per round -> multi-file micro-batches
+        for part in range(3):
+            with open(src / f"f{b}_{part}.json", "w") as fh:
+                for i in range(10):
+                    fh.write(_json.dumps(
+                        {"timestamp": f"2024-01-0{b + 1} 00:00:00",
+                         "v": b * 100 + part * 10 + i}) + "\n")
+        q = ing.start(spark.readStream.schema(schema).json(str(src)))
+        q.awaitTermination(60)
+    ing.handoff()
+    batch_dirs = [d for d in os.listdir(ing.history)
+                  if d.startswith("batch=")]
+    assert len(batch_dirs) >= 2
+    # register the streaming datasource path-backed so the duty sees it
+    eng.catalog.register_table("sc_ds", ing.view(),
+                               source_path=ing.history)
+    total_before = ing.view().count()
+    files_before = len(glob.glob(f"{ing.history}/*/*.parquet"))
+    duty = CompactionDuty(eng)
+    duty.set_config("sc_ds", max_files_per_partition=0, target_files=1)
+    work = duty.run_once()
+    assert work and all(w["status"] == "SUCCESS" for w in work)
+    files_after = len(glob.glob(f"{ing.history}/*/*.parquet"))
+    assert files_after == len(batch_dirs) < files_before
+    assert ing.view().count() == total_before
+    assert eng.sql("SELECT COUNT(*) AS n FROM sc_ds").first()["n"] \
+        == total_before
