@@ -8604,6 +8604,20 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST((SELECT count(*) FROM a
                      WHERE k NOT IN (SELECT k FROM b)) AS DOUBLE)
                  AS anotb"""),
+    # --- batch 16 (round 5): PARSE_JSON/TRY_PARSE_JSON
+    # (qaJsonCols funcs_and_sql_func_[try_]parse_json families)
+    "sqlc_parse_json_fns": ("""
+        SELECT JSON_VALUE(PARSE_JSON('{"a": {"b": 7}}'), '$.a.b') AS v,
+               TRY_PARSE_JSON('not json at all') AS bad,
+               TRY_PARSE_JSON('{"ok": true}') AS good,
+               PARSE_JSON(CAST(NULL AS VARCHAR)) AS nul""", """
+        SELECT '7' AS v, NULL AS bad, '{"ok":true}' AS good,
+               NULL AS nul"""),
+    "sqlc_try_parse_json_group": ("""
+        SELECT COUNT(TRY_PARSE_JSON(props)) AS valid,
+               COUNT(TRY_PARSE_JSON(CONCAT('x', props))) AS broken
+        FROM events""", """
+        SELECT COUNT(*) AS valid, 0 AS broken FROM events"""),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)
