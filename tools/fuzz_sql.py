@@ -141,8 +141,10 @@ def gen_query(seed: int):
     shape = r.random()
     if shape < 0.20:
         return _gen_join(r)
-    if shape < 0.32:
+    if shape < 0.28:
         return _gen_window(r)
+    if shape < 0.32:
+        return _gen_window_frame(r)
     if shape < 0.42:
         return _gen_scalar_subquery(r)
     if shape < 0.54:
@@ -214,6 +216,49 @@ def _gen_window(r: random.Random) -> str:
     n = r.randrange(2, 6)
     return (f"SELECT * FROM ({q}) t WHERE w <= {n} "
             f"ORDER BY {part} NULLS FIRST, {pk}")
+
+
+def _gen_window_frame(r: random.Random) -> str:
+    """Random ROWS/RANGE frame bounds (the DrillWindowQueryTest /
+    qaWin orderby_* matrix as a generator): every valid
+    (start, end) bound pair over PRECEDING/CURRENT/FOLLOWING/
+    UNBOUNDED, ROWS over a unique order key, RANGE (value-based,
+    peers included) over a tied key with order-insensitive
+    aggregates only — both deterministic under ties."""
+    unit = r.choice(["ROWS", "RANGE"])
+
+    def bound(lo_ok: bool, hi_ok: bool):
+        opts = []
+        if lo_ok:
+            opts.append(("UNBOUNDED PRECEDING", -100))
+        k = r.randrange(0, 4)
+        opts += [(f"{k} PRECEDING", -k), ("CURRENT ROW", 0),
+                 (f"{k} FOLLOWING", k)]
+        if hi_ok:
+            opts.append(("UNBOUNDED FOLLOWING", 100))
+        return r.choice(opts)
+
+    a, b = bound(True, False), bound(False, True)
+    while a[1] > b[1]:  # start must not sort after end: re-pick
+        a, b = bound(True, False), bound(False, True)
+    frame = f"{unit} BETWEEN {a[0]} AND {b[0]}"
+    direction = r.choice(["ASC", "DESC"])
+    if unit == "ROWS":
+        order = "c_custkey"  # unique: deterministic under any frame
+        fn = r.choice(
+            ["SUM(c_nationkey)", "COUNT(*)", "MIN(c_mktsegment)",
+             "MAX(c_mktsegment)", "FIRST_VALUE(c_name)",
+             "LAST_VALUE(c_name)"])
+        w = f"{fn} OVER (ORDER BY {order} {direction} {frame})"
+    else:
+        order = "c_nationkey"  # tied key: value frame includes peers
+        fn = r.choice(["SUM(c_custkey)", "COUNT(*)", "MIN(c_custkey)",
+                       "MAX(c_custkey)", "AVG(c_custkey)"])
+        w = f"{fn} OVER (ORDER BY {order} {direction} {frame})"
+        if fn.startswith("AVG"):
+            w = f"CAST(ROUND({w}, 4) AS DOUBLE)"
+    return (f"SELECT c_custkey, {w} AS w FROM customer "
+            f"ORDER BY c_custkey")
 
 
 def _gen_druid_fn(r: random.Random):
