@@ -195,6 +195,47 @@ def gen_native(seed: int):
                f"CAST(SUM({m}) AS DOUBLE) AS s FROM {name} "
                f"WHERE {where} GROUP BY 1")
         return q, sql, ["v0", "n", "s"]
+    if r.random() < 0.10:
+        # tuple-sketch set ops (arrayOfDoublesSketchSetOp): two
+        # filtered tuple sketches over a random key, estimate +
+        # numEntries of a random set op vs a DuckDB distinct-set oracle
+        # — generated coverage for the round-5 map-state fold
+        fa, wa = gen_filter(r, t)
+        fb, wb = gen_filter(r, t)
+        key = r.choice(list(t["nums"]) + list(t["strs"]))
+        func = r.choice(["INTERSECT", "UNION", "NOT"])
+
+        def tup(nm, flt):
+            return {"type": "filtered", "name": nm, "filter": flt,
+                    "aggregator": {"type": "arrayOfDoublesSketch",
+                                   "name": nm, "fieldNames": [key],
+                                   "metricColumns": [m]}}
+
+        setop = {"type": "arrayOfDoublesSketchSetOp", "func": func,
+                 "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                            {"type": "fieldAccess", "fieldName": "b"}]}
+        q = {"queryType": "timeseries", "dataSource": name,
+             "granularity": "all",
+             "aggregations": [tup("a", fa), tup("b", fb)],
+             "postAggregations": [
+                 {"type": "arrayOfDoublesSketchToEstimate",
+                  "name": "est", "field": setop},
+                 {"type": "arrayOfDoublesSketchToNumEntries",
+                  "name": "ents", "field": setop}]}
+        op_sql = {
+            "INTERSECT": "SELECT count(*) FROM a JOIN b USING (k)",
+            "UNION": "SELECT count(*) FROM "
+                     "(SELECT k FROM a UNION SELECT k FROM b)",
+            "NOT": "SELECT count(*) FROM "
+                   "(SELECT k FROM a EXCEPT SELECT k FROM b)",
+        }[func]
+        sql = (f"WITH a AS (SELECT DISTINCT CAST({key} AS VARCHAR) AS k "
+               f"FROM {name} WHERE ({wa}) AND {key} IS NOT NULL), "
+               f"b AS (SELECT DISTINCT CAST({key} AS VARCHAR) AS k "
+               f"FROM {name} WHERE ({wb}) AND {key} IS NOT NULL) "
+               f"SELECT CAST(({op_sql}) AS DOUBLE) AS est, "
+               f"CAST(({op_sql}) AS BIGINT) AS ents")
+        return q, sql, ["est", "ents"]
     if name == "orders" and r.random() < 0.25:
         # bucketed timeseries over o_orderdate: granularity bucketing
         # (granularity.py) + interval bounds vs date_trunc oracle;
