@@ -227,20 +227,31 @@ def _gen_window_frame(r: random.Random) -> str:
     aggregates only — both deterministic under ties."""
     unit = r.choice(["ROWS", "RANGE"])
 
-    def bound(lo_ok: bool, hi_ok: bool):
+    def bound(lo_ok: bool, hi_ok: bool, following_ok: bool = True):
+        # FOLLOWING ranks strictly above CURRENT ROW and PRECEDING
+        # strictly below even at k=0: SQL forbids a FOLLOWING start
+        # with a CURRENT ROW end regardless of the offset value.
         opts = []
         if lo_ok:
-            opts.append(("UNBOUNDED PRECEDING", -100))
+            opts.append(("UNBOUNDED PRECEDING", -100.0))
         k = r.randrange(0, 4)
-        opts += [(f"{k} PRECEDING", -k), ("CURRENT ROW", 0),
-                 (f"{k} FOLLOWING", k)]
+        opts += [(f"{k} PRECEDING", -k - 0.5), ("CURRENT ROW", 0.0)]
+        if following_ok:
+            opts.append((f"{k} FOLLOWING", k + 0.5))
         if hi_ok:
-            opts.append(("UNBOUNDED FOLLOWING", 100))
+            opts.append(("UNBOUNDED FOLLOWING", 100.0))
         return r.choice(opts)
 
-    a, b = bound(True, False), bound(False, True)
+    # RANGE start bounds stop at CURRENT ROW: DuckDB's `k FOLLOWING`
+    # start under RANGE gives PEERS different frames (non-standard —
+    # value-based frames are peer-uniform, which Spark honors), so the
+    # oracle can't adjudicate those shapes.
+    start_following = unit == "ROWS"
+    a = bound(True, False, following_ok=start_following)
+    b = bound(False, True)
     while a[1] > b[1]:  # start must not sort after end: re-pick
-        a, b = bound(True, False), bound(False, True)
+        a = bound(True, False, following_ok=start_following)
+        b = bound(False, True)
     frame = f"{unit} BETWEEN {a[0]} AND {b[0]}"
     direction = r.choice(["ASC", "DESC"])
     if unit == "ROWS":
