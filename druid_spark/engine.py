@@ -399,7 +399,8 @@ class DruidSparkEngine:
             exact = set_ctx["useApproximateCountDistinct"].lower() != "true"
         if "APPEND" in text.upper():
             text = self._rewrite_table_append(text)
-        final = rewrite_druid_sql(text, exact=exact)
+        final = rewrite_druid_sql(text, exact=exact,
+                                  tz=set_ctx.get("sqlTimeZone", "UTC"))
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner
         # applies to SQL through the same query stack). Keyed on the

@@ -544,6 +544,63 @@ def _time_shift_tz(args):
     return None
 
 
+_DATE_TRUNC_PERIOD = {
+    "second": "PT1S", "minute": "PT1M", "hour": "PT1H", "day": "P1D",
+    "week": "P1W", "month": "P1M", "quarter": "P3M", "year": "P1Y",
+}
+
+
+def _apply_session_tz(sql: str, tz: str) -> str:
+    """`SET sqlTimeZone = '<zone>'` — the session default timezone for
+    the time-operator family (the reference's PlannerContext timezone
+    reaches the TimeFloor/Ceil/Extract/Format operator conversions as
+    the default DateTimeZone). Runs BEFORE the fixed-arity TIME_*
+    rewrites: tz-less calls gain the session tz as their explicit
+    argument, EXTRACT and DATE_TRUNC route through the tz-aware shims.
+    Timestamp literals and result rendering stay UTC instants (the
+    engine models all time as UTC; the reference renders in the
+    session zone — documented divergence)."""
+    q = "'" + tz.replace("'", "''") + "'"
+
+    def floor_ceil(name):
+        def build(a):
+            if len(a) == 2:
+                return f"{name}({a[0]}, {a[1]}, NULL, {q})"
+            if len(a) == 3:
+                return f"{name}({a[0]}, {a[1]}, {a[2]}, {q})"
+            return None
+        return build
+
+    sql = _rewrite_call(sql, "TIME_FLOOR", floor_ceil("TIME_FLOOR"))
+    sql = _rewrite_call(sql, "TIME_CEIL", floor_ceil("TIME_CEIL"))
+    sql = _rewrite_call(
+        sql, "TIME_EXTRACT",
+        lambda a: (f"TIME_EXTRACT({a[0]}, {a[1]}, {q})"
+                   if len(a) == 2 else None))
+    sql = _rewrite_call(
+        sql, "TIME_FORMAT",
+        lambda a: (f"TIME_FORMAT({a[0]}, {a[1]}, {q})"
+                   if len(a) == 2 else None))
+
+    def extract_build(a):
+        if len(a) != 1:
+            return None
+        m = re.match(r"(?is)^\s*(\w+)\s+FROM\s+(.+)$", a[0])
+        if not m:
+            return None
+        return f"TIME_EXTRACT({m.group(2)}, '{m.group(1).upper()}', {q})"
+
+    sql = _rewrite_call(sql, "EXTRACT", extract_build)
+
+    def date_trunc_build(a):
+        if len(a) != 2:
+            return None
+        p = _DATE_TRUNC_PERIOD.get(a[0].strip().strip("'\"").lower())
+        return f"TIME_FLOOR({a[1]}, '{p}', NULL, {q})" if p else None
+
+    return _rewrite_call(sql, "DATE_TRUNC", date_trunc_build)
+
+
 def _add_default_arg(sql: str, fname: str, default: str) -> str:
     """Append `, default` to calls of `fname` that have exactly one
     top-level argument (SQL UDFs have fixed arity; Druid's 1-arg forms
@@ -737,7 +794,8 @@ def _dq_idents_to_backticks(sql: str) -> str:
     return "".join(out)
 
 
-def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
+def rewrite_druid_sql(sql: str, exact: bool = True,
+                      tz: str = "UTC") -> str:
     out = sql
     if '"' in out:
         out = _dq_idents_to_backticks(out)
@@ -876,6 +934,10 @@ def rewrite_druid_sql(sql: str, exact: bool = True) -> str:
     # FLOOR/CEIL calls (no trailing TO unit) pass through untouched.
     out = _rewrite_call(out, "FLOOR", _floor_ceil_to("TIME_FLOOR"))
     out = _rewrite_call(out, "CEIL", _floor_ceil_to("TIME_CEIL"))
+    # session timezone (SET sqlTimeZone): make it the explicit tz of
+    # every tz-less time operator BEFORE the fixed-arity rewrites
+    if tz and tz not in ("UTC", "Etc/UTC", "+00:00", "Z"):
+        out = _apply_session_tz(out, tz)
     # LOOKUP 3-arg replaceMissingValueWith form
     # (QueryLookupOperatorConversion.java): missing keys take the
     # replacement value

@@ -1442,6 +1442,12 @@ class _Handler(BaseHTTPRequestHandler):
         sched = self.server.scheduler  # type: ignore[attr-defined]
         try:
             text = _bind_parameters(text, body.get("parameters"))
+            # context.sqlTimeZone (PlannerContext CTX_SQL_TIME_ZONE):
+            # becomes a leading SET; a statement-level SET still wins
+            # (parsed later, overwrites the key)
+            if ctx.get("sqlTimeZone"):
+                tz = str(ctx["sqlTimeZone"]).replace("'", "''")
+                text = f"SET sqlTimeZone = '{tz}'; " + text
             df = self.engine.sql(text)
             # context.sqlOuterLimit (SqlResource/SqlLifecycle: wrap the
             # statement in an outer LIMIT — the web console's safety cap)

@@ -573,3 +573,41 @@ def test_sql_lookup_two_engines_same_session(spark):
     # engine A's next sql() must see ITS lookups again, not B's
     assert a.sql("SELECT LOOKUP(k, 'lk_a') AS v FROM lk_t") \
         .first()["v"] == "from_a"
+
+
+def test_sql_timezone_context(engine):
+    """SET sqlTimeZone / context.sqlTimeZone (PlannerContext session
+    timezone): tz-less TIME_* operators, EXTRACT, and DATE_TRUNC
+    evaluate in the session zone. 2024-01-15 03:00 UTC is
+    2024-01-14 19:00 in America/Los_Angeles."""
+    ts = "TIMESTAMP '2024-01-15 03:00:00'"
+    r = engine.sql(
+        "SET sqlTimeZone = 'America/Los_Angeles'; "
+        f"SELECT CAST(TIME_FLOOR({ts}, 'P1D') AS VARCHAR) AS fl, "
+        f"       CAST(DATE_TRUNC('day', {ts}) AS VARCHAR) AS dtr, "
+        f"       EXTRACT(HOUR FROM {ts}) AS hr, "
+        f"       EXTRACT(DAY FROM {ts}) AS dom, "
+        f"       TIME_FORMAT({ts}, 'yyyy-MM-dd HH:mm') AS fmt"
+    ).collect()[0]
+    # LA midnight of Jan 14 == 08:00 UTC (UTC instants out, like the
+    # engine's time model)
+    assert r["fl"] == "2024-01-14 08:00:00"
+    assert r["dtr"] == "2024-01-14 08:00:00"
+    assert r["hr"] == 19 and r["dom"] == 14
+    assert r["fmt"] == "2024-01-14 19:00"
+    # without the SET everything stays UTC
+    r2 = engine.sql(
+        f"SELECT CAST(TIME_FLOOR({ts}, 'P1D') AS VARCHAR) AS fl, "
+        f"       EXTRACT(HOUR FROM {ts}) AS hr").collect()[0]
+    assert r2["fl"] == "2024-01-15 00:00:00" and r2["hr"] == 3
+    # grouping in the session zone splits days at local midnight
+    rows = engine.sql(
+        "SET sqlTimeZone = 'America/Los_Angeles'; "
+        "SELECT CAST(TIME_FLOOR(ts, 'P1D') AS VARCHAR) AS d, "
+        "COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02' "
+        "AND ts < TIMESTAMP '2024-01-03' GROUP BY 1 ORDER BY 1"
+    ).collect()
+    # a UTC day straddles two LA days
+    assert [r["d"] for r in rows] == ["2024-01-01 08:00:00",
+                                      "2024-01-02 08:00:00"]
