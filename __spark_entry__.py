@@ -8618,6 +8618,23 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                COUNT(TRY_PARSE_JSON(CONCAT('x', props))) AS broken
         FROM events""", """
         SELECT COUNT(*) AS valid, 0 AS broken FROM events"""),
+    "sqlc_session_timezone": ("""
+        SET sqlTimeZone = 'America/Los_Angeles';
+        SELECT CAST(TIME_FLOOR(ts, 'P1D') AS VARCHAR) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(EXTRACT(HOUR FROM ts)) AS BIGINT) AS max_hr
+        FROM events WHERE ts < TIMESTAMP '2024-01-04'
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT CAST(date_trunc('day', ts AT TIME ZONE 'UTC'
+                 AT TIME ZONE 'America/Los_Angeles')
+               AT TIME ZONE 'America/Los_Angeles'
+               AT TIME ZONE 'UTC' AS VARCHAR) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(EXTRACT(HOUR FROM ts AT TIME ZONE 'UTC'
+                 AT TIME ZONE 'America/Los_Angeles')) AS BIGINT)
+                 AS max_hr
+        FROM events WHERE ts < TIMESTAMP '2024-01-04'
+        GROUP BY 1 ORDER BY 1"""),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)
