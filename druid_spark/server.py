@@ -1029,6 +1029,22 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, {"version": __version__})
         elif path == "/status/health":
             self._send_json(200, True)
+        elif path == "/status/properties":
+            # StatusResource.getProperties analog: the engine's live
+            # Spark SQL confs (the runtime properties a console shows)
+            from druid_spark.session import RUNTIME_CONFS
+            props = {}
+            for k in sorted(RUNTIME_CONFS):
+                try:
+                    props[k] = self.engine.spark.conf.get(k)
+                except Exception:
+                    pass
+            props["druid.spark.version"] = __version__
+            self._send_json(200, props)
+        elif path == "/druid/coordinator/v1/loadstatus":
+            # CoordinatorResource.getLoadStatus: single-process engine
+            # is always fully loaded
+            self._send_json(200, {"inventoryInitialized": True})
         elif path == "/druid/v2/datasources":
             # filtered by READ permission, like the reference's
             # authorized datasource listing (AuthorizationUtils

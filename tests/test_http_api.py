@@ -586,3 +586,15 @@ def test_avatica_large_result_frames_bounded(server):
     rpc({"request": "closeStatement", "connectionId": cid,
          "statementId": sid})
     rpc({"request": "closeConnection", "connectionId": cid})
+
+
+def test_status_properties_and_loadstatus(server):
+    """StatusResource.getProperties + CoordinatorResource.getLoadStatus
+    analogs (console compatibility endpoints)."""
+    status, props = _get(server, "/status/properties")
+    assert status == 200
+    assert props["spark.sql.session.timeZone"] == "UTC"
+    assert props["spark.sql.adaptive.enabled"] == "true"
+    assert "druid.spark.version" in props
+    status, ls = _get(server, "/druid/coordinator/v1/loadstatus")
+    assert status == 200 and ls == {"inventoryInitialized": True}
