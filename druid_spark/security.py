@@ -159,6 +159,10 @@ def sql_resources(tables: Iterable[str], text: str) \
     out: list[tuple[str, str, str]] = []
     m = _INSERT_RE.search(stripped)
     target = (m.group(1) or m.group(2)) if m else None
+    if target and target.upper() == "EXTERN":
+        # INSERT INTO EXTERN(...) is the export sink, not a datasource
+        # write — the EXTERNAL WRITE resource below covers it
+        target = None
     if target:
         out.append((DATASOURCE, target, WRITE))
     for t in sorted(set(tables)):

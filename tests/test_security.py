@@ -209,3 +209,17 @@ def test_listing_filtered_by_permission(secured):
     code, body, _ = _req(secured, "/druid/v2/datasources/nation",
                          user="alice", pw="secret")
     assert code == 200 and body["name"] == "nation"
+
+
+def test_extern_export_requires_external_not_datasource(secured):
+    """INSERT INTO EXTERN(...) is the export sink: it must authorize as
+    EXTERNAL WRITE (which bob has), never as a WRITE on a datasource
+    named 'EXTERN'."""
+    from druid_spark.security import sql_resources, EXTERNAL, DATASOURCE
+    res = sql_resources(
+        ["region"],
+        "INSERT INTO EXTERN(local(exportPath => '/tmp/x')) AS CSV "
+        "SELECT r_name FROM region")
+    assert (EXTERNAL, "EXTERNAL", "WRITE") in res
+    assert not any(r == (DATASOURCE, "EXTERN", "WRITE") for r in res)
+    assert (DATASOURCE, "region", "READ") in res
