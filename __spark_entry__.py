@@ -8635,6 +8635,40 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  AS max_hr
         FROM events WHERE ts < TIMESTAMP '2024-01-04'
         GROUP BY 1 ORDER BY 1"""),
+    # --- batch 17 (round 5): qaUnnest null/empty-element semantics
+    "sqlc_unnest_null_elements": ("""
+        SELECT c FROM (SELECT ARRAY[1, NULL, 2] AS a) t,
+             UNNEST(a) AS u(c)
+        ORDER BY c NULLS FIRST""", """
+        SELECT c FROM (SELECT unnest([1, NULL, 2]) AS c) t
+        ORDER BY c NULLS FIRST"""),
+    "sqlc_unnest_count_star_vs_col": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(c) AS BIGINT) AS n_vals
+        FROM (SELECT ARRAY[1, NULL, 2, NULL] AS a) t,
+             UNNEST(a) AS u(c)""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(c) AS BIGINT) AS n_vals
+        FROM (SELECT unnest([1, NULL, 2, NULL]) AS c) t"""),
+    "sqlc_unnest_group_null_element": ("""
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT ARRAY['x', NULL, 'x', NULL, NULL] AS a) t,
+             UNNEST(a) AS u(c)
+        GROUP BY c ORDER BY c NULLS FIRST""", """
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(['x', NULL, 'x', NULL, NULL]) AS c) t
+        GROUP BY c ORDER BY c NULLS FIRST"""),
+    "sqlc_unnest_empty_and_null_arrays": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT CASE WHEN n_nationkey < 0
+                          THEN ARRAY['never'] END AS a
+              FROM nation) t,
+             UNNEST(a) AS u(c)""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(CASE WHEN n_nationkey < 0
+                                 THEN ['never'] END) AS c
+              FROM nation) t
+        WHERE c IS NOT NULL"""),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)
