@@ -8669,6 +8669,15 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                  THEN ['never'] END) AS c
               FROM nation) t
         WHERE c IS NOT NULL"""),
+    "sqlc_decode_base64_complex": ("""
+        SELECT CAST(HLL_SKETCH_ESTIMATE(DECODE_BASE64_COMPLEX(
+                 'HLLSketch',
+                 (SELECT BASE64(DS_HLL(CAST(n_nationkey AS VARCHAR)))
+                  FROM nation))) AS BIGINT) AS est,
+               CAST(LENGTH(DECODE_BASE64_UTF8(BASE64('hello')))
+                 AS BIGINT) AS roundtrip_len""", """
+        SELECT CAST(25 AS BIGINT) AS est,
+               CAST(5 AS BIGINT) AS roundtrip_len"""),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)

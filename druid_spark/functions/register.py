@@ -264,8 +264,16 @@ _FUNCS: list[tuple[str, str, str, str]] = [
              ELSE array(concat('$.', k)) END))"""),
     # (TRY_PARSE_JSON / PARSE_JSON are Spark builtins — variant-typed)
     ("TO_JSON_STRING", "j STRING", "STRING", "j"),
-    ("DECODE_BASE64_UTF8", "s STRING", "STRING",
-     "cast(unbase64(s) AS STRING)"),
+    # DECODE_BASE64_COMPLEX(typeName, base64) — reference
+    # (DecodeBase64ComplexOperatorConversion): base64 of a serialized
+    # complex value → the complex value. The engine's HLL/theta/KLL
+    # complex values ARE Datasketches-standard binary blobs (Spark's
+    # native sketch functions emit/consume the standard formats), so
+    # decoding is unbase64; the type tag is advisory — the consuming
+    # function interprets the blob (e.g. HLL_SKETCH_ESTIMATE over a
+    # decoded HLLSketch).
+    ("DECODE_BASE64_COMPLEX", "t STRING, s STRING", "BINARY",
+     "unbase64(s)"),
     # radix parse (1-arg form gets ', 10' appended by sqlshim);
     # negative decimal via plain cast; conv() is unsigned, so a signed
     # non-decimal parses magnitude and reapplies the sign
