@@ -8678,6 +8678,31 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  AS BIGINT) AS roundtrip_len""", """
         SELECT CAST(25 AS BIGINT) AS est,
                CAST(5 AS BIGINT) AS roundtrip_len"""),
+    # --- batch 18 (round 5): qaSql datatype comparison ops
+    "sqlc_is_distinct_from": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dist,
+               CAST(SUM(CASE WHEN NULLIF(n_regionkey, 2)
+                             IS NOT DISTINCT FROM NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        FROM nation
+        WHERE NULLIF(n_regionkey, 2) IS DISTINCT FROM 1""", None),
+    "sqlc_cross_type_compare": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_str,
+               CAST(SUM(CASE WHEN n_regionkey = 2.0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dec
+        FROM nation WHERE n_regionkey = '3'""", None),
+    "sqlc_like_escape_clause": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT CONCAT(n_name, '_X') AS s FROM nation) t
+        WHERE s LIKE '%!_X' ESCAPE '!'""", None),
+    "sqlc_in_mixed_numeric_types": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation WHERE n_regionkey IN (1, 3.0)""", None),
+    "sqlc_null_compare_three_valued": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN (NULLIF(n_regionkey, 0) > 1) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS unknowns
+        FROM nation""", None),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)
