@@ -8679,14 +8679,14 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT CAST(25 AS BIGINT) AS est,
                CAST(5 AS BIGINT) AS roundtrip_len"""),
     # --- batch 18 (round 5): qaSql datatype comparison ops
-    "sqlc_is_distinct_from": ("""
+    "sqlc_is_distinct_from_nullif": ("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_dist,
                CAST(SUM(CASE WHEN NULLIF(n_regionkey, 2)
                              IS NOT DISTINCT FROM NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_null
         FROM nation
         WHERE NULLIF(n_regionkey, 2) IS DISTINCT FROM 1""", None),
-    "sqlc_cross_type_compare": ("""
+    "sqlc_cross_type_eq_literals": ("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_str,
                CAST(SUM(CASE WHEN n_regionkey = 2.0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_dec
