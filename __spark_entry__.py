@@ -8703,6 +8703,55 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(SUM(CASE WHEN (NULLIF(n_regionkey, 0) > 1) IS NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS unknowns
         FROM nation""", None),
+    # --- batch 19 (round 5): aggregate FILTER-clause and
+    # HAVING/ORDER-BY long-tail
+    "sqlc_filter_clause_distinct": ("""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_suppkey)
+                 FILTER (WHERE l_quantity > 25) AS BIGINT) AS hi_supps
+        FROM lineitem GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_filter_clause_multi_aggs": ("""
+        SELECT o_orderstatus,
+               CAST(ROUND(AVG(o_totalprice)
+                 FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+                 AS DOUBLE) AS avg_urgent,
+               CAST(MIN(o_totalprice)
+                 FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE)
+                 AS min_low,
+               CAST(COUNT(*) FILTER (WHERE o_custkey IS NOT NULL)
+                 AS BIGINT) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""", None),
+    "sqlc_having_or_of_aggs": ("""
+        SELECT l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+        HAVING SUM(l_quantity) > 2000 OR COUNT(*) < 20
+        ORDER BY l_suppkey LIMIT 10""", None),
+    "sqlc_orderby_hidden_agg": ("""
+        SELECT l_returnflag
+        FROM lineitem GROUP BY 1
+        ORDER BY SUM(l_extendedprice) DESC""", None),
+    "sqlc_groupby_ordinal_mixed": ("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, l_linestatus
+        ORDER BY 1, 2""", None),
+    "sqlc_count_distinct_pair": ("""
+        SELECT CAST(COUNT(DISTINCT l_returnflag, l_linestatus)
+                 AS BIGINT) AS n_pairs
+        FROM lineitem""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM
+          (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           WHERE l_returnflag IS NOT NULL
+             AND l_linestatus IS NOT NULL) t"""),
+    "sqlc_sum_case_equals_filter": ("""
+        SELECT CAST(SUM(CASE WHEN l_returnflag = 'R'
+                             THEN l_quantity ELSE 0 END) AS BIGINT)
+                 AS via_case,
+               CAST(COALESCE(SUM(l_quantity)
+                 FILTER (WHERE l_returnflag = 'R'), 0) AS BIGINT)
+                 AS via_filter
+        FROM lineitem""", None),
     # HLL_SKETCH_TO_STRING / DS_QUANTILE_SUMMARY debug summaries
     # (estimate exact at tiny cardinality; min/max have clean 2-dp
     # source values so double->string renders identically)
