@@ -8769,6 +8769,110 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  || ', max: ' || CAST(MAX(c_acctbal) AS VARCHAR)
                  AS q_str
         FROM customer"""),
+    # --- batch 20 (round 5): web-console / kttm dashboard SQL
+    # (quidem-ut kttm_*.iq — the console's generated style: quoted
+    # identifiers, GROUP BY (), TIMESTAMP-literal ranges, JSON_VALUE
+    # dims in filters, TIME_FLOOR with explicit NULL origin + tz)
+    "sqlc_console_max_time": ("""
+        SELECT MAX(CAST(t."ts" AS TIMESTAMP)) AS "max_ts"
+        FROM "events" AS t GROUP BY ()""", None),
+    "sqlc_console_count_range": ("""
+        SELECT (COUNT(*)) AS "n"
+        FROM "events" AS t
+        WHERE (TIMESTAMP '2024-01-05 00:00:00'
+                 <= CAST(t."ts" AS TIMESTAMP)
+               AND CAST(t."ts" AS TIMESTAMP)
+                 < TIMESTAMP '2024-01-07 00:00:00')
+        GROUP BY ()""", None),
+    "sqlc_console_overall": ("""
+        SELECT COUNT(*) AS "Events",
+               COUNT(DISTINCT t."user_id") AS "Users",
+               CAST(ROUND(SUM(t."value"), 2) AS DOUBLE) AS "Total",
+               MIN(CAST(t."ts" AS TIMESTAMP)) AS "From",
+               MAX(CAST(t."ts" AS TIMESTAMP)) AS "To"
+        FROM "events" AS t GROUP BY ()""", None),
+    "sqlc_console_table": ("""
+        SELECT CAST(t."event_type" AS VARCHAR) AS "event_type",
+               COUNT(*) AS "Count",
+               CAST(ROUND(SUM(t."value"), 2) AS DOUBLE) AS "Total"
+        FROM "events" AS t
+        WHERE CAST(JSON_VALUE("t"."props", '$.k') AS VARCHAR)
+                IN ('1', '2', '3', '4', '5')
+        GROUP BY 1
+        ORDER BY "Count" DESC, "event_type" LIMIT 101""", """
+        SELECT CAST(t.event_type AS VARCHAR) AS event_type,
+               COUNT(*) AS "Count",
+               CAST(ROUND(SUM(t."value"), 2) AS DOUBLE) AS "Total"
+        FROM events AS t
+        WHERE CAST(json_extract_string(t.props, '$.k') AS VARCHAR)
+                IN ('1', '2', '3', '4', '5')
+        GROUP BY 1
+        ORDER BY "Count" DESC, event_type LIMIT 101"""),
+    "sqlc_console_sparkline": ("""
+        SELECT TIME_FLOOR(CAST(t."ts" AS TIMESTAMP), 'PT1H',
+                          NULL, 'Etc/UTC') AS "__time",
+               COUNT(*) AS "count"
+        FROM "events" AS t
+        WHERE (TIMESTAMP '2024-01-03 00:00:00'
+                 <= CAST(t."ts" AS TIMESTAMP)
+               AND CAST(t."ts" AS TIMESTAMP)
+                 < TIMESTAMP '2024-01-04 00:00:00')
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT date_trunc('hour', t.ts) AS "__time",
+               COUNT(*) AS "count"
+        FROM events AS t
+        WHERE TIMESTAMP '2024-01-03 00:00:00' <= t.ts
+          AND t.ts < TIMESTAMP '2024-01-04 00:00:00'
+        GROUP BY 1 ORDER BY 1"""),
+    "sqlc_console_heatmap": ("""
+        SELECT TIME_FLOOR(CAST(t."ts" AS TIMESTAMP), 'PT6H',
+                          NULL, 'Etc/UTC') AS "__time",
+               CAST(t."event_type" AS VARCHAR) AS "event_type",
+               COUNT(*) AS "count"
+        FROM "events" AS t
+        WHERE (TIMESTAMP '2024-01-10 00:00:00'
+                 <= CAST(t."ts" AS TIMESTAMP)
+               AND CAST(t."ts" AS TIMESTAMP)
+                 < TIMESTAMP '2024-01-12 00:00:00')
+          AND CAST(JSON_VALUE("t"."props", '$.k') AS VARCHAR)
+                IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2""", """
+        SELECT time_bucket(INTERVAL 6 HOUR, t.ts) AS "__time",
+               CAST(t.event_type AS VARCHAR) AS event_type,
+               COUNT(*) AS "count"
+        FROM events AS t
+        WHERE TIMESTAMP '2024-01-10 00:00:00' <= t.ts
+          AND t.ts < TIMESTAMP '2024-01-12 00:00:00'
+          AND json_extract_string(t.props, '$.k') IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "sqlc_console_stackarea": ("""
+        SELECT TIME_FLOOR(CAST(t."ts" AS TIMESTAMP), 'P1D',
+                          NULL, 'Etc/UTC') AS "__time",
+               CAST(t."event_type" AS VARCHAR) AS "event_type",
+               CAST(ROUND(SUM(t."value"), 2) AS DOUBLE) AS "Total"
+        FROM "events" AS t
+        WHERE CAST(t."event_type" AS VARCHAR)
+                IN ('click', 'view', 'purchase')
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000""", """
+        SELECT date_trunc('day', t.ts) AS "__time",
+               CAST(t.event_type AS VARCHAR) AS event_type,
+               CAST(ROUND(SUM(t."value"), 2) AS DOUBLE) AS "Total"
+        FROM events AS t
+        WHERE CAST(t.event_type AS VARCHAR)
+                IN ('click', 'view', 'purchase')
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000"""),
+    "sqlc_console_sunburst": ("""
+        SELECT CAST(t."event_type" AS VARCHAR) AS "d1",
+               CAST(JSON_VALUE("t"."props", '$.k') AS BIGINT) % 4
+                 AS "d2",
+               CAST(ROUND(SUM(t."value"), 2) AS DOUBLE) AS "r"
+        FROM "events" AS t
+        GROUP BY 1, 2 ORDER BY "r" DESC, 1, 2 LIMIT 1000""", """
+        SELECT CAST(t.event_type AS VARCHAR) AS d1,
+               CAST(json_extract(t.props, '$.k') AS BIGINT) % 4 AS d2,
+               CAST(ROUND(SUM(t."value"), 2) AS DOUBLE) AS r
+        FROM events AS t
+        GROUP BY 1, 2 ORDER BY r DESC, 1, 2 LIMIT 1000"""),
 }
 
 
