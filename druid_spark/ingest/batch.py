@@ -43,19 +43,70 @@ _PART_FMT = {
 }
 
 
+def apply_flatten_spec(df: DataFrame, flatten: dict[str, Any]) -> DataFrame:
+    """inputFormat.flattenSpec (JSONPathSpec.java:1,
+    JSONPathFieldSpec.java:1): declared fields of type root / path /
+    tree projected out of the nested JSON document, plus
+    useFieldDiscovery (default true) keeping simple top-level fields.
+
+    Spark-first: the parsed document is re-serialized once with
+    to_json(struct(*)) and each `path` field is a JVM-side
+    get_json_object — no Python in the row path, and Catalyst prunes
+    the struct to the referenced branches. `tree` navigates the struct
+    columns directly; `jq` is gated (no jq runtime in Spark)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    fields = flatten.get("fields") or []
+    use_disc = flatten.get("useFieldDiscovery", True)
+    doc = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    cols, declared = [], set()
+    for f in fields:
+        ftype, name = f.get("type", "root"), f["name"]
+        declared.add(name)
+        if ftype == "root":
+            cols.append(F.col(name).alias(name))
+        elif ftype == "path":
+            cols.append(F.get_json_object(doc, f["expr"]).alias(name))
+        elif ftype == "tree":
+            cols.append(F.col(".".join(f.get("nodes") or [name])).alias(name))
+        else:
+            raise NotImplementedError(
+                f"flattenSpec field type {ftype!r} (jq needs a jq "
+                "runtime; rewrite as a 'path' field)")
+    if use_disc:
+        # discoverRootFields (JSONFlattenerMaker.java): top-level
+        # scalars and primitive arrays (→ MVDs); nested containers are
+        # reachable only through declared fields
+        for c in df.columns:
+            if c in declared:
+                continue
+            dt = df.schema[c].dataType
+            if isinstance(dt, (StructType, MapType)):
+                continue
+            if isinstance(dt, ArrayType) and isinstance(
+                    dt.elementType, (StructType, MapType, ArrayType)):
+                continue
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
 def read_input(spark: SparkSession, io_config: dict[str, Any],
                table_service: "TableService | None" = None) -> DataFrame:
     """ioConfig.inputSource + inputFormat → DataFrame."""
     src = io_config["inputSource"]
     fmt = io_config.get("inputFormat", {"type": "parquet"})
     stype = src["type"]
+    flatten = fmt.get("flattenSpec") if fmt.get("type") == "json" else None
     if stype == "inline":
         data = src["data"]
         ftype = fmt["type"]
         if ftype == "json":
-            import json as _json
-            rows = [_json.loads(line) for line in data.strip().splitlines()]
-            return spark.createDataFrame(rows)
+            # spark.read.json (not createDataFrame) so nested objects
+            # infer as structs, same as the file path — flattenSpec
+            # tree/path fields need struct navigation
+            lines = data.strip().splitlines()
+            df = spark.read.json(spark.sparkContext.parallelize(lines))
+            return apply_flatten_spec(df, flatten) if flatten else df
         if ftype == "csv":
             cols = fmt.get("columns")
             lines = [line.split(",") for line in data.strip().splitlines()]
@@ -65,11 +116,13 @@ def read_input(spark: SparkSession, io_config: dict[str, Any],
         raise NotImplementedError(f"inline format {ftype}")
     if stype == "local":
         paths = src.get("files") or [os.path.join(src["baseDir"], src.get("filter", "*"))]
-        return _read_files(spark, paths, fmt)
+        df = _read_files(spark, paths, fmt)
+        return apply_flatten_spec(df, flatten) if flatten else df
     if stype in ("http", "s3", "google", "azure", "hdfs"):
         # spark.read handles the scheme natively (s3a:, gs:, wasbs:, hdfs:)
         uris = src.get("uris") or src.get("paths")
-        return _read_files(spark, uris, fmt)
+        df = _read_files(spark, uris, fmt)
+        return apply_flatten_spec(df, flatten) if flatten else df
     if stype == "druid":
         # re-ingest from an existing datasource's segments
         # (DruidInputSource — processing/.../input/InputSource.java

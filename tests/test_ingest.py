@@ -526,3 +526,74 @@ def test_salted_join_equivalence(spark):
     left_k = {r["k"] for r in orders.select("k").distinct().collect()}
     out_k = {r["k"] for r in salted.select("k").distinct().collect()}
     assert out_k == left_k
+
+
+def test_flatten_spec_json(spark, warehouse, tmp_path):
+    """flattenSpec (JSONPathSpec.java): root/path/tree fields over a
+    nested JSON file plus useFieldDiscovery keeping scalar top-levels
+    and primitive arrays, skipping undeclared nested containers."""
+    rows = [
+        {"timestamp": "2024-03-01T00:00:00Z", "page": "a", "n": 1,
+         "agent": {"os": "linux", "browser": {"name": "ff", "major": 7}},
+         "tags": ["x", "y"], "events": [{"k": 1}]},
+        {"timestamp": "2024-03-01T06:00:00Z", "page": "b", "n": 2,
+         "agent": {"os": "mac", "browser": {"name": "ch", "major": 9}},
+         "tags": ["z"], "events": [{"k": 2}]},
+    ]
+    p = tmp_path / "nested.json"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    spec = {
+        "type": "index_parallel",
+        "spec": {
+            "ioConfig": {
+                "inputSource": {"type": "local", "files": [str(p)]},
+                "inputFormat": {
+                    "type": "json",
+                    "flattenSpec": {
+                        "useFieldDiscovery": True,
+                        "fields": [
+                            {"type": "path", "name": "browser_major",
+                             "expr": "$.agent.browser.major"},
+                            {"type": "tree", "name": "os",
+                             "nodes": ["agent", "os"]},
+                            {"type": "root", "name": "page"},
+                        ]}},
+            },
+            "dataSchema": {
+                "dataSource": "flat",
+                "timestampSpec": {"column": "timestamp", "format": "iso"},
+                "dimensionsSpec": {},
+                "metricsSpec": [],
+                "granularitySpec": {"segmentGranularity": "day",
+                                    "queryGranularity": "none",
+                                    "rollup": False},
+            },
+        },
+    }
+    name = run_ingestion(spark, spec, warehouse)
+    df = warehouse.table(name)
+    cols = set(df.columns)
+    assert {"browser_major", "os", "page", "n", "tags"} <= cols
+    assert "agent" not in cols      # undeclared struct not discovered
+    assert "events" not in cols     # array-of-struct not discovered
+    got = {r["page"]: (r["browser_major"], r["os"], r["tags"])
+           for r in df.collect()}
+    assert got["a"] == ("7", "linux", ["x", "y"])
+    assert got["b"] == ("9", "mac", ["z"])
+
+
+def test_flatten_spec_no_discovery(spark):
+    """useFieldDiscovery=false keeps ONLY the declared fields."""
+    from druid_spark.ingest.batch import read_input
+
+    io = {
+        "inputSource": {"type": "inline", "data": json.dumps(
+            {"a": 1, "b": {"c": "deep"}, "drop": "me"})},
+        "inputFormat": {"type": "json", "flattenSpec": {
+            "useFieldDiscovery": False,
+            "fields": [{"type": "root", "name": "a"},
+                       {"type": "path", "name": "bc", "expr": "$.b.c"}]}},
+    }
+    df = read_input(spark, io)
+    assert df.columns == ["a", "bc"]
+    assert df.collect()[0].asDict() == {"a": 1, "bc": "deep"}
