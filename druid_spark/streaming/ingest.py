@@ -40,6 +40,15 @@ from druid_spark.ingest.batch import apply_transform_spec
 
 def read_stream(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
     st = source["type"]
+    flatten = source.get("flattenSpec")
+    if flatten:
+        from druid_spark.ingest.batch import apply_flatten_spec
+        src = dict(source)
+        src.pop("flattenSpec")
+        # pure select → applies to streaming DataFrames unchanged
+        # (reference: flattenSpec rides the inputFormat for streaming
+        # supervisors too — JSONPathSpec.java)
+        return apply_flatten_spec(read_stream(spark, src), flatten)
     if st == "kafka":
         reader = (spark.readStream.format("kafka")
                   .option("kafka.bootstrap.servers",

@@ -597,3 +597,41 @@ def test_flatten_spec_no_discovery(spark):
     df = read_input(spark, io)
     assert df.columns == ["a", "bc"]
     assert df.collect()[0].asDict() == {"a": 1, "bc": "deep"}
+
+
+def test_streaming_flatten_spec(spark, tmp_path):
+    """flattenSpec on a streaming file source: nested JSON events are
+    flattened per micro-batch before rollup."""
+    from pyspark.sql import types as T
+    from druid_spark.streaming.ingest import read_stream
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    rows = [
+        {"timestamp": "2024-03-01T00:00:00Z",
+         "agent": {"os": "linux"}, "n": 1},
+        {"timestamp": "2024-03-01T01:00:00Z",
+         "agent": {"os": "mac"}, "n": 2},
+    ]
+    (src_dir / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType([
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("agent", T.StructType(
+            [T.StructField("os", T.StringType())])),
+        T.StructField("n", T.LongType())])
+    stream = read_stream(spark, {
+        "type": "file", "format": "json", "path": str(src_dir),
+        "schema": schema,
+        "flattenSpec": {"fields": [
+            {"type": "tree", "name": "os", "nodes": ["agent", "os"]}]}})
+    assert stream.isStreaming
+    assert set(stream.columns) == {"os", "timestamp", "n"}
+    out = tmp_path / "out"
+    q = (stream.writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {(r["os"], r["n"]) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {("linux", 1), ("mac", 2)}
