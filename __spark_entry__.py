@@ -8873,6 +8873,126 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(ROUND(SUM(t."value"), 2) AS DOUBLE) AS r
         FROM events AS t
         GROUP BY 1, 2 ORDER BY r DESC, 1, 2 LIMIT 1000"""),
+    # --- batch 21 (round 5): DrillWindowQueryTest long-tail
+    # (sql/src/test/resources/drill/window/queries — frameclause/
+    # multipl_wnwds, subQueries, bugs families)
+    "sqlc_drill_four_named_windows": ("""
+        SELECT o_orderkey,
+               CAST(ROUND(AVG(o_totalprice) OVER W, 2) AS DOUBLE)
+                 AS w_avg,
+               CAST(ROUND(SUM(o_totalprice) OVER W2, 2) AS DOUBLE)
+                 AS w2_run_sum,
+               COUNT(*) OVER W3 AS w3_peers,
+               CAST(MIN(o_totalprice) OVER W_DFLT_FRM AS DOUBLE)
+                 AS wd_min
+        FROM orders WHERE o_orderkey <= 2000
+        WINDOW W AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING),
+               W2 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               W3 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                      RANGE BETWEEN CURRENT ROW AND CURRENT ROW),
+               W_DFLT_FRM AS (PARTITION BY o_orderstatus
+                              ORDER BY o_orderkey
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        ORDER BY o_orderkey LIMIT 50""", None),
+    "sqlc_drill_star_plus_window": ("""
+        SELECT t1.*,
+               CAST(ROUND(SUM(o_totalprice) OVER w, 2) AS DOUBLE)
+                 AS w_sum,
+               COUNT(o_totalprice) OVER w AS w_cnt
+        FROM (SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey <= 300) t1
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_orderkey DESC)
+        ORDER BY o_orderkey""", None),
+    "sqlc_drill_subq_filter_window_alias": ("""
+        SELECT * FROM
+          (SELECT o_orderkey,
+                  COUNT(*) OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_orderkey
+                    RANGE BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS w_count,
+                  CAST(MAX(o_totalprice) OVER
+                    (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS run_max
+           FROM orders WHERE o_orderkey <= 1000) subqry
+        WHERE subqry.w_count > 60
+        ORDER BY o_orderkey LIMIT 40""", None),
+    "sqlc_drill_desc_nulls_first_peers": ("""
+        SELECT o_orderkey,
+               COUNT(*) OVER (PARTITION BY o_orderstatus
+                 ORDER BY NULLIF(o_orderpriority, '3-MEDIUM')
+                   DESC NULLS FIRST
+                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS peers
+        FROM orders WHERE o_orderkey <= 500
+        ORDER BY o_orderkey""", None),
+    "sqlc_drill_count1_two_part_ts": ("""
+        SELECT o_orderkey,
+               COUNT(1) OVER (PARTITION BY o_orderstatus,
+                                           o_orderpriority
+                              ORDER BY o_orderdate) AS c
+        FROM orders WHERE o_orderkey <= 400
+        ORDER BY o_orderkey""", None),
+    "sqlc_drill_last_value_running": ("""
+        SELECT o_orderkey,
+               CAST(LAST_VALUE(o_totalprice) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS lv
+        FROM orders WHERE o_orderkey <= 300
+        ORDER BY o_orderkey""", None),
+    # --- batch 22 (round 5): drill nestedAggs / statistical_aggregates
+    # / lag-lead long-tail
+    "sqlc_drill_nested_agg_running": ("""
+        SELECT o_orderstatus,
+               CAST(ROUND(AVG(SUM(o_totalprice)) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderpriority),
+                 2) AS DOUBLE) AS avg_of_sums
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, avg_of_sums""", None),
+    "sqlc_drill_var_single_row_null": ("""
+        SELECT o_orderkey,
+               CAST(VAR_SAMP(o_totalprice) OVER (
+                 PARTITION BY o_orderkey) AS DOUBLE) AS vs,
+               CAST(STDDEV_SAMP(o_totalprice) OVER (
+                 PARTITION BY o_orderkey) AS DOUBLE) AS sd,
+               CAST(ROUND(VAR_POP(o_totalprice) OVER (
+                 PARTITION BY o_orderstatus), 2) AS DOUBLE) AS vp
+        FROM orders WHERE o_orderkey <= 100
+        ORDER BY o_orderkey""", None),
+    "sqlc_drill_lag_offset_fetch_first": ("""
+        SELECT o_orderkey,
+               LAG(o_orderkey, 2) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey)
+                 AS lag2,
+               LAG(o_orderkey, 1, -1) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey)
+                 AS lag_dflt
+        FROM orders WHERE o_orderkey <= 200
+        ORDER BY o_orderkey
+        FETCH FIRST 25 ROWS ONLY""", None),
+    "sqlc_drill_lead_distinct_nulls_last": ("""
+        SELECT DISTINCT o_orderstatus,
+               LEAD(o_orderstatus) OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY o_orderstatus NULLS LAST, o_orderkey)
+                 AS next_status
+        FROM orders WHERE o_orderkey <= 150
+        ORDER BY o_orderstatus, next_status""", None),
+    "sqlc_drill_empty_over_mixed": ("""
+        SELECT o_orderkey,
+               CAST(ROUND(AVG(o_totalprice) OVER (), 2) AS DOUBLE)
+                 AS overall_avg,
+               COUNT(*) OVER () AS overall_n,
+               CAST(ROUND(o_totalprice - AVG(o_totalprice) OVER (), 2)
+                 AS DOUBLE) AS delta
+        FROM orders WHERE o_orderkey <= 60
+        ORDER BY o_orderkey""", None),
 }
 
 
