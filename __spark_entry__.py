@@ -8993,6 +8993,59 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  AS DOUBLE) AS delta
         FROM orders WHERE o_orderkey <= 60
         ORDER BY o_orderkey""", None),
+    # --- batch 23 (round 5): qaUnnest array_sql_join family — unnest
+    # datasource joined ON a condition (correlated + outer forms) and
+    # JSON_VALUE RETURNING <type> ARRAY
+    "sqlc_unnest_join_on_literal": ("""
+        SELECT t1.o_orderstatus, count(*) AS n
+        FROM orders t1
+        JOIN UNNEST(ARRAY['F', 'O']) AS u(c)
+          ON t1.o_orderstatus = u.c
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT t1.o_orderstatus, count(*) AS n
+        FROM orders t1
+        JOIN (SELECT UNNEST(['F', 'O']) AS c) u
+          ON t1.o_orderstatus = u.c
+        GROUP BY 1 ORDER BY 1"""),
+    "sqlc_unnest_join_on_correlated": ("""
+        SELECT t1.n_name, u.c
+        FROM nation t1
+        JOIN UNNEST(STRING_TO_ARRAY(t1.n_name, '_')) AS u(c)
+          ON u.c <> 'NATION'
+        WHERE t1.n_nationkey < 5 ORDER BY 1, 2""", """
+        SELECT t1.n_name, u.c
+        FROM nation t1, UNNEST(string_split(t1.n_name, '_')) AS u(c)
+        WHERE u.c <> 'NATION' AND t1.n_nationkey < 5
+        ORDER BY 1, 2"""),
+    "sqlc_unnest_left_join_on": ("""
+        SELECT t1.n_nationkey, u.c
+        FROM nation t1
+        LEFT JOIN UNNEST(ARRAY[1, 2]) AS u(c)
+          ON u.c = t1.n_nationkey
+        WHERE t1.n_nationkey < 4 ORDER BY 1, 2""", """
+        SELECT t1.n_nationkey, u.c
+        FROM nation t1
+        LEFT JOIN (SELECT UNNEST([1, 2]) AS c) u
+          ON u.c = t1.n_nationkey
+        WHERE t1.n_nationkey < 4 ORDER BY 1, 2"""),
+    "sqlc_unnest_json_returning_array": ("""
+        SELECT t1.n_nationkey, u.c
+        FROM nation t1
+        JOIN UNNEST(JSON_VALUE('{"xs": [0, 1, 2]}', '$.xs'
+                               RETURNING BIGINT ARRAY)) AS u(c)
+          ON u.c = t1.n_nationkey
+        ORDER BY 1""", """
+        SELECT t1.n_nationkey, u.c
+        FROM nation t1
+        JOIN (SELECT UNNEST(CAST([0, 1, 2] AS BIGINT[])) AS c) u
+          ON u.c = t1.n_nationkey
+        ORDER BY 1"""),
+    "sqlc_json_value_returning_double_array": ("""
+        SELECT CAST(ROUND(SUM(c), 3) AS DOUBLE) AS s, COUNT(*) AS n
+        FROM UNNEST(JSON_VALUE('{"v": [1.5, 2.25, -0.5]}', '$.v'
+                               RETURNING DOUBLE ARRAY)) AS u(c)""", """
+        SELECT CAST(ROUND(SUM(c), 3) AS DOUBLE) AS s, COUNT(*) AS n
+        FROM (SELECT UNNEST([1.5, 2.25, -0.5]) AS c) u"""),
 }
 
 

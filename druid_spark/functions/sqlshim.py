@@ -651,15 +651,7 @@ def _rewrite_unnest(sql: str) -> str:
             elif sql[i] == ")":
                 depth -= 1
             i += 1
-        inner = sql[m.end():i - 1]
-        # Spark disallows SQL UDFs inside Generate — inline the
-        # array-producing shims (their bodies, from register.py)
-        inner = re.sub(
-            r"\bSTRING_TO_(?:ARRAY|MV)\s*\(\s*([^,]+?)\s*,\s*('[^']*')\s*\)",
-            r"SPLIT(\1, CONCAT('\\\\Q', \2, '\\\\E'))", inner,
-            flags=re.IGNORECASE)
-        inner = re.sub(r"\b(?:MV_TO_ARRAY|ARRAY_TO_MV)\s*\(", "(", inner,
-                       flags=re.IGNORECASE)
+        inner = _inline_array_shims(sql[m.end():i - 1])
         tail = re.match(r"\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)", sql[i:],
                         re.IGNORECASE)
         if tail:
@@ -672,6 +664,67 @@ def _rewrite_unnest(sql: str) -> str:
             alias, col = "__unnest", tail.group(1)
         sql = (sql[:m.start()]
                + f" LATERAL VIEW EXPLODE({inner}) {alias} AS {col}"
+               + sql[i + tail.end():])
+        pos = m.start() + 1
+
+
+def _inline_array_shims(inner: str) -> str:
+    """Spark disallows SQL UDFs inside Generate — inline the
+    array-producing shims (their bodies, from register.py)."""
+    inner = re.sub(
+        r"\bSTRING_TO_(?:ARRAY|MV)\s*\(\s*([^,]+?)\s*,\s*('[^']*')\s*\)",
+        r"SPLIT(\1, CONCAT('\\\\Q', \2, '\\\\E'))", inner,
+        flags=re.IGNORECASE)
+    return re.sub(r"\b(?:MV_TO_ARRAY|ARRAY_TO_MV)\s*\(", "(", inner,
+                  flags=re.IGNORECASE)
+
+
+def _rewrite_unnest_join(sql: str) -> str:
+    """`[INNER|LEFT] JOIN UNNEST(expr) [t] AS u(c) ON cond` (the
+    qaUnnest array_sql_join family — an unnest datasource joined on a
+    condition, possibly correlated to the left side) → Spark
+    `JOIN LATERAL (SELECT EXPLODE(expr) AS c) u ON cond`. Lateral
+    correlation handles expr referencing left-side columns; the ON
+    condition is left in place untouched. CROSS JOIN spellings are
+    left for _rewrite_unnest."""
+    pat = re.compile(
+        r"\b(CROSS\s+|INNER\s+|LEFT\s+(?:OUTER\s+)?)?JOIN\s+UNNEST\s*\(",
+        re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        kind = (m.group(1) or "").strip().upper()
+        if kind == "CROSS":
+            pos = m.end()
+            continue
+        depth, i = 1, m.end()
+        while depth and i < len(sql):
+            if sql[i] in "'\"":
+                i = _skip_string(sql, i)
+            elif sql[i] in "([":
+                depth += 1
+            elif sql[i] in ")]":
+                depth -= 1
+            i += 1
+        inner = _inline_array_shims(sql[m.end():i - 1])
+        tail = re.match(
+            r"\s+(?:(\w+)\s+)?AS\s+(\w+)\s*\(\s*(\w+)\s*\)", sql[i:],
+            re.IGNORECASE)
+        if tail:
+            pre_alias, as_alias, col = tail.groups()
+            alias = pre_alias or as_alias
+        else:
+            tail = re.match(r"\s+AS\s+(\w+)", sql[i:], re.IGNORECASE)
+            if not tail:
+                pos = i
+                continue
+            alias, col = "__unnest", tail.group(1)
+        joinword = "LEFT JOIN LATERAL" if kind.startswith("LEFT") \
+            else "JOIN LATERAL"
+        sql = (sql[:m.start()]
+               + f"{joinword} (SELECT EXPLODE({inner}) AS {col}) {alias}"
                + sql[i + tail.end():])
         pos = m.start() + 1
 
@@ -740,11 +793,20 @@ def _rewrite_json_returning(sql: str) -> str:
                 depth -= 1
             i += 1
         inner = sql[m.end():i - 1]
-        m2 = re.search(r"\s+RETURNING\s+([A-Za-z]+)\s*$", inner,
-                       re.IGNORECASE)
+        m2 = re.search(r"\s+RETURNING\s+([A-Za-z]+)(\s+ARRAY)?\s*$",
+                       inner, re.IGNORECASE)
         if m2:
             t = _JSON_RETURNING_TYPES.get(m2.group(1).upper(), "STRING")
-            rep = f"CAST(JSON_VALUE({inner[:m2.start()]}) AS {t})"
+            args = inner[:m2.start()]
+            if m2.group(2):
+                # RETURNING <type> ARRAY (SqlJsonValueFunction array
+                # arm, the form Druid pairs with UNNEST): pure
+                # builtins (not the JSON_QUERY_ARRAY SQL UDF) so the
+                # result is legal inside Generate/explode
+                rep = (f"FROM_JSON(GET_JSON_OBJECT({args}), "
+                       f"'array<{t.lower()}>')")
+            else:
+                rep = f"CAST(JSON_VALUE({args}) AS {t})"
             sql = sql[:m.start()] + rep + sql[i:]
             pos = m.start() + len(rep)
         else:
@@ -995,6 +1057,7 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     # the 1-arg form
     out = re.sub(r"\bTRUNC\(", "TRUNCATE(", out, flags=re.IGNORECASE)
     out = _add_default_arg(out, "TRUNCATE", "0")  # 1-arg → digits 0
+    out = _rewrite_unnest_join(out)
     out = _rewrite_unnest(out)
     out = _rewrite_unnest_from(out)
     # Druid ARRAY_CONTAINS(arr, arr2) is subset-containment; Spark's
