@@ -9046,6 +9046,49 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                RETURNING DOUBLE ARRAY)) AS u(c)""", """
         SELECT CAST(ROUND(SUM(c), 3) AS DOUBLE) AS s, COUNT(*) AS n
         FROM (SELECT UNNEST([1.5, 2.25, -0.5]) AS c) u"""),
+    # --- batch 24 (round 5): qaUnnest array_sql_group_by — CUBE/
+    # ROLLUP/GROUPING SETS over an unnested element + base column
+    "sqlc_unnest_rollup_grouping": ("""
+        SELECT o_orderstatus, u.c, COUNT(*) AS n,
+               GROUPING(o_orderstatus, u.c) AS g
+        FROM orders,
+             UNNEST(STRING_TO_ARRAY(o_orderpriority, '-')) AS u(c)
+        WHERE o_orderkey <= 500
+        GROUP BY ROLLUP(o_orderstatus, u.c)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 4""", """
+        SELECT o_orderstatus, u.c, COUNT(*) AS n,
+               GROUPING(o_orderstatus, u.c) AS g
+        FROM orders,
+             UNNEST(string_split(o_orderpriority, '-')) AS u(c)
+        WHERE o_orderkey <= 500
+        GROUP BY ROLLUP(o_orderstatus, u.c)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 4"""),
+    "sqlc_unnest_cube_element": ("""
+        SELECT u.c, l_linestatus, COUNT(*) AS n
+        FROM lineitem,
+             UNNEST(STRING_TO_ARRAY(l_returnflag, '|')) AS u(c)
+        WHERE l_orderkey <= 300
+        GROUP BY CUBE(u.c, l_linestatus)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3""", """
+        SELECT u.c, l_linestatus, COUNT(*) AS n
+        FROM lineitem,
+             UNNEST(string_split(l_returnflag, '|')) AS u(c)
+        WHERE l_orderkey <= 300
+        GROUP BY CUBE(u.c, l_linestatus)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3"""),
+    "sqlc_unnest_grouping_sets": ("""
+        SELECT o_orderstatus, u.c, COUNT(*) AS n
+        FROM orders,
+             UNNEST(STRING_TO_ARRAY(o_orderpriority, '-')) AS u(c)
+        WHERE o_orderkey <= 400
+        GROUP BY GROUPING SETS ((o_orderstatus), (u.c), ())
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3""", """
+        SELECT o_orderstatus, u.c, COUNT(*) AS n
+        FROM orders,
+             UNNEST(string_split(o_orderpriority, '-')) AS u(c)
+        WHERE o_orderkey <= 400
+        GROUP BY GROUPING SETS ((o_orderstatus), (u.c), ())
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3"""),
 }
 
 
