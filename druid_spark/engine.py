@@ -758,7 +758,13 @@ class DruidSparkEngine:
         single reducer — AQE's skew split handles moderate skew, the
         salt arm handles the extreme regime (see skew.py). Falls back
         to the plain join for non-equi conditions, outer joins, and
-        broadcast-shaped right sides (broadcast never skews)."""
+        broadcast-shaped right sides (broadcast never skews).
+
+        context.detectSkew (engine extension): opt-in auto-detection —
+        optionally {"threshold": frac, "salts": N} — probes the left
+        side's join key with a one-pass freqItems summary and takes
+        the salt arm only when some key exceeds the threshold share
+        (default 0.2). skewHint wins when both are set."""
         left = self.resolve(ds["left"], ctx)
         right = self.resolve(ds["right"], ctx)
         prefix = ds.get("rightPrefix", "j0.")
@@ -768,9 +774,28 @@ class DruidSparkEngine:
         broadcastable = rtype in ("lookup", "inline", "query", "globalTable")
         how = ds.get("joinType", "INNER").lower()
         hint = (ctx or {}).get("skewHint")
-        if hint and not broadcastable and how in ("inner", "left"):
+        detect = (ctx or {}).get("detectSkew")
+        if (hint or detect) and not broadcastable \
+                and how in ("inner", "left"):
             pairs = self._equi_pairs(ds["condition"], left, right)
-            if pairs:
+            if pairs and not hint and detect:
+                # opt-in auto-detection: one shuffle-free pass over the
+                # pruned key column (freqItems' streaming summary) —
+                # any key above the support threshold routes to the
+                # salt arm. False positives just salt a uniform join
+                # (correct, mildly wasteful); users who already know
+                # the hot key should pass skewHint and skip the scan.
+                support = (detect.get("threshold", 0.2)
+                           if isinstance(detect, dict) else 0.2)
+                key = F.concat_ws(
+                    "\x01", *[F.col(a).cast("string") for a, _ in pairs])
+                hot = left.select(key.alias("__k")) \
+                    .stat.freqItems(["__k"], float(support)) \
+                    .collect()[0][0]
+                hint = {"salts": (detect.get("salts", 16)
+                                  if isinstance(detect, dict) else 16)} \
+                    if hot else None
+            if pairs and hint:
                 from druid_spark.skew import salted_join_pairs
                 n = hint.get("salts", 16) if isinstance(hint, dict) else 16
                 return salted_join_pairs(left, right, pairs,

@@ -75,3 +75,50 @@ def test_skew_hint_falls_back_on_non_equi(eng):
     plan = eng.query(_q({"skewHint": True}, condition=cond))._jdf \
         .queryExecution().executedPlan().toString()
     assert "__salt_l" not in plan
+
+
+def test_detect_skew_uniform_stays_plain(eng):
+    """detectSkew on a roughly-uniform key finds no hot key: plain
+    join plan, identical results."""
+    plain = _rows(eng.query(_q({})))
+    detected = eng.query(_q({"detectSkew": True}))
+    assert _rows(detected) == plain
+    plan = eng.query(_q({"detectSkew": True}))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "__salt_l" not in plan
+
+
+def test_detect_skew_hot_key_salts(eng, spark, tmp_path):
+    """detectSkew on a 90%-one-key fact routes to the salt arm and
+    matches the plain join row-for-row."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(1))
+         .otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"))
+    p = str(tmp_path / "skewed_fact")
+    fact.write.parquet(p)
+    eng.catalog.register_table("skewed_fact", p)
+    q = lambda ctx: {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join", "left": "skewed_fact",
+            "right": {"type": "table", "name": "orders"},
+            "rightPrefix": "j0.", "condition": 'k == "j0.o_orderkey"',
+            "joinType": "INNER"},
+        "granularity": "all",
+        "dimensions": [{"type": "default",
+                        "dimension": "j0.o_orderstatus",
+                        "outputName": "st"}],
+        "aggregations": [{"type": "doubleSum", "name": "v_sum",
+                          "fieldName": "v"},
+                         {"type": "count", "name": "n"}],
+        "context": ctx}
+    rows = lambda df: sorted((r["st"], round(r["v_sum"], 2), r["n"])
+                             for r in df.collect())
+    plain = rows(eng.query(q({})))
+    det = eng.query(q({"detectSkew": {"threshold": 0.5, "salts": 8}}))
+    assert rows(det) == plain
+    plan = det._jdf.queryExecution().executedPlan().toString()
+    assert "__salt_l" in plan and "__salt_r" in plan
