@@ -57,12 +57,40 @@ def compile_query(engine, q: dict) -> DataFrame:
     ctx = engine.prepare(q)
     df = ctx.df
     fields = list(df.schema.fields)
+    # toInclude (SegmentMetadataQuery.java:49 — ColumnIncluderator
+    # all/none/list): restricts which columns are profiled. The list
+    # form also prunes the scan to just those columns.
+    inc = q.get("toInclude")
+    if inc:
+        itype = inc.get("type", "all")
+        if itype == "none":
+            fields = []
+        elif itype == "list":
+            want = set(inc.get("columns") or [])
+            fields = [f for f in fields if f.name in want]
+            if fields:
+                df = df.select(*[F.col("`" + f.name + "`")
+                                 for f in fields])
+    # analysisTypes (SegmentMetadataQuery.AnalysisType): compute only
+    # the requested statistics; unrequested ones come back NULL (the
+    # reference omits them from ColumnAnalysis). Default: all three
+    # column statistics. interval/timestampSpec/queryGranularity/
+    # aggregators/rollup are segment-level in the reference and n/a
+    # to a single-warehouse profile row.
+    atypes = q.get("analysisTypes")
+    want_card = atypes is None or "cardinality" in atypes
+    want_minmax = atypes is None or "minmax" in atypes
+    want_size = atypes is None or "size" in atypes
     exact = getattr(engine, "exact_approx", False)
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for f in fields:
         c = F.col("`" + f.name + "`")
         key = f.name.replace("`", "")
-        if exact:
+        if not want_card:
+            card = null_l
+        elif exact:
             card = F.count_distinct(c)
         elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
             card = F.hll_sketch_estimate(F.hll_sketch_agg(F.to_json(c), 12))
@@ -71,9 +99,23 @@ def compile_query(engine, q: dict) -> DataFrame:
         aggs.append(card.cast("long").alias(f"card__{key}"))
         aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"nulls__{key}"))
         mn, mx, sz = _stats(c, f.dataType)
+        if not want_minmax:
+            mn, mx = null_s, null_s
+        if not want_size:
+            sz = null_l
         aggs.append(mn.alias(f"min__{key}"))
         aggs.append(mx.alias(f"max__{key}"))
         aggs.append(sz.alias(f"size__{key}"))
+    if not fields:
+        return df.agg(*aggs).selectExpr(
+            "CAST(NULL AS STRING) as column",
+            "CAST(NULL AS STRING) as type",
+            "CAST(NULL AS BIGINT) as cardinality",
+            "CAST(NULL AS BIGINT) as nullCount",
+            "CAST(NULL AS STRING) as minValue",
+            "CAST(NULL AS STRING) as maxValue",
+            "CAST(NULL AS BIGINT) as sizeBytes",
+            "__rows as numRows").where(F.lit(False))
     row = df.agg(*aggs)
 
     # melt to one row per column via stack()

@@ -284,3 +284,24 @@ def test_druid_sql(engine):
         ORDER BY total DESC LIMIT 5
     """)
     assert len(df.collect()) == 5
+
+
+def test_segment_metadata_to_include_and_analysis_types(engine):
+    """toInclude list/none prune the profiled columns; analysisTypes
+    nulls out unrequested statistics (SegmentMetadataQuery.java:49)."""
+    base = {"queryType": "segmentMetadata", "dataSource": "nation"}
+    lst = engine.query({**base, "toInclude": {
+        "type": "list", "columns": ["n_name", "n_regionkey"]}}).collect()
+    assert sorted(r["column"] for r in lst) == ["n_name", "n_regionkey"]
+    assert engine.query(
+        {**base, "toInclude": {"type": "none"}}).count() == 0
+    card = {r["column"]: r for r in engine.query(
+        {**base, "analysisTypes": ["cardinality"]}).collect()}
+    assert card["n_nationkey"]["cardinality"] == 25
+    assert card["n_nationkey"]["minValue"] is None
+    assert card["n_nationkey"]["sizeBytes"] is None
+    mm = {r["column"]: r for r in engine.query(
+        {**base, "analysisTypes": ["minmax", "size"]}).collect()}
+    assert mm["n_nationkey"]["cardinality"] is None
+    assert mm["n_nationkey"]["minValue"] == "0"
+    assert mm["n_nationkey"]["sizeBytes"] == 100
