@@ -151,6 +151,8 @@ def gen_query(seed: int):
         return _gen_druid_fn(r)
     if shape < 0.62:
         return _gen_mv(r)
+    if shape < 0.66:
+        return _gen_unnest_join(r)
     table = r.choice(list(TABLES))
     g = Gen(r, table)
     n_dims = r.randrange(0, 3)
@@ -172,6 +174,42 @@ def gen_query(seed: int):
         if r.random() < 0.5:
             q += f" LIMIT {r.randrange(1, 50)}"
     return q
+
+
+def _gen_unnest_join(r: random.Random):
+    """JOIN UNNEST(...) AS u(c) ON cond (the round-5 lateral-explode
+    rewrite) — uncorrelated literal arrays with INNER/LEFT ON, and
+    correlated STRING_TO_ARRAY splits. Returns (druid, duckdb)
+    dialect pairs."""
+    table = r.choice(list(TABLES))
+    g = Gen(r, table)
+    if r.random() < 0.5:
+        # uncorrelated: join an int-literal array on a modulus pred
+        key = r.choice(g.t["int"])
+        vals = sorted(r.sample(range(0, 8), r.randrange(2, 5)))
+        arr = ", ".join(str(v) for v in vals)
+        kind = r.choice(["JOIN", "LEFT JOIN"])
+        mod = r.randrange(4, 9)
+        dru = (f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+               f"CAST(COUNT(u.c) AS BIGINT) AS nc "
+               f"FROM {table} {kind} UNNEST(ARRAY[{arr}]) AS u(c) "
+               f"ON {key} % {mod} = u.c")
+        duk = dru.replace(f"UNNEST(ARRAY[{arr}]) AS u(c)",
+                          f"(SELECT UNNEST([{arr}]) AS c) u")
+        return dru, duk
+    # correlated: split a string column, count non-empty pieces
+    col = r.choice(g.t["str"])
+    delim = r.choice(["_", "-", "A", "e"])
+    lit = r.choice(["''", "'x'"])
+    dru = (f"SELECT CAST(COUNT(*) AS BIGINT) AS n "
+           f"FROM {table} "
+           f"JOIN UNNEST(STRING_TO_ARRAY({col}, '{delim}')) AS u(c) "
+           f"ON u.c <> {lit}")
+    duk = (f"SELECT CAST(COUNT(*) AS BIGINT) AS n "
+           f"FROM {table}, "
+           f"UNNEST(string_split({col}, '{delim}')) AS u(c) "
+           f"WHERE u.c <> {lit}")
+    return dru, duk
 
 
 def _gen_join(r: random.Random) -> str:
