@@ -22,6 +22,7 @@ queries, the Spark analog of Druid's segment-interval timeline lookup.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,16 +50,36 @@ def apply_flatten_spec(df: DataFrame, flatten: dict[str, Any]) -> DataFrame:
     tree projected out of the nested JSON document, plus
     useFieldDiscovery (default true) keeping simple top-level fields.
 
-    Spark-first: the parsed document is re-serialized once with
-    to_json(struct(*)) and each `path` field is a JVM-side
-    get_json_object — no Python in the row path, and Catalyst prunes
-    the struct to the referenced branches. `tree` navigates the struct
-    columns directly; `jq` is gated (no jq runtime in Spark)."""
+    Spark-first: a `path` field compiles to a JVM-side
+    get_json_object. Paths rooted at a named top-level field
+    (`$.a.b[0]`) re-serialize ONLY that field's subtree
+    (to_json(col) of the root segment), so the parquet scan stays
+    column-pruned — a path field over a 200-column document reads one
+    column, not the row. Paths that aren't name-rooted (`$[0]`,
+    recursive descent) fall back to a whole-row document. `tree`
+    navigates the struct columns directly; `jq` is gated (no jq
+    runtime in Spark)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     fields = flatten.get("fields") or []
     use_disc = flatten.get("useFieldDiscovery", True)
-    doc = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    name_rooted = re.compile(r"^\$\.([A-Za-z_][A-Za-z0-9_]*)(.*)$")
+
+    def _whole_doc():
+        return F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+
+    def _path_col(expr: str):
+        m = name_rooted.match(expr)
+        if m and m.group(1) in df.columns:
+            root, rest = m.group(1), m.group(2)
+            dt = df.schema[root].dataType
+            sub = (F.to_json(F.col(root))
+                   if isinstance(dt, (StructType, ArrayType, MapType))
+                   else F.col(root).cast("string"))
+            return (F.get_json_object(sub, "$" + rest)
+                    if rest else sub)
+        return F.get_json_object(_whole_doc(), expr)
+
     cols, declared = [], set()
     for f in fields:
         ftype, name = f.get("type", "root"), f["name"]
@@ -66,7 +87,7 @@ def apply_flatten_spec(df: DataFrame, flatten: dict[str, Any]) -> DataFrame:
         if ftype == "root":
             cols.append(F.col(name).alias(name))
         elif ftype == "path":
-            cols.append(F.get_json_object(doc, f["expr"]).alias(name))
+            cols.append(_path_col(f["expr"]).alias(name))
         elif ftype == "tree":
             cols.append(F.col(".".join(f.get("nodes") or [name])).alias(name))
         else:

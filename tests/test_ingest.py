@@ -635,3 +635,29 @@ def test_streaming_flatten_spec(spark, tmp_path):
     q.awaitTermination(60)
     got = {(r["os"], r["n"]) for r in spark.read.parquet(str(out)).collect()}
     assert got == {("linux", 1), ("mac", 2)}
+
+
+def test_flatten_spec_path_prunes_scan(spark, tmp_path):
+    """A name-rooted path field re-serializes only its root column, so
+    the scan stays pruned — undeclared wide columns never read."""
+    from druid_spark.ingest.batch import read_input
+
+    rows = [{"timestamp": "2024-03-01T00:00:00Z",
+             "agent": {"browser": {"major": i}},
+             "wide_unused": "x" * 50, "wide_other": list(range(10))}
+            for i in range(3)]
+    p = tmp_path / "wide.json"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_input(spark, {
+        "inputSource": {"type": "local", "files": [str(p)]},
+        "inputFormat": {"type": "json", "flattenSpec": {
+            "useFieldDiscovery": False,
+            "fields": [{"type": "path", "name": "major",
+                        "expr": "$.agent.browser.major"}]}}})
+    assert sorted(r["major"] for r in df.collect()) == ["0", "1", "2"]
+    import re as _re
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rs = _re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
+    assert "agent" in rs
+    assert "wide_unused" not in rs
+    assert "wide_other" not in rs
