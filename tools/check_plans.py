@@ -289,6 +289,29 @@ def main():
     check("skew_hint_salted_join", df, ["__salt_l", "__salt_r"],
           ["CartesianProduct", "BroadcastNestedLoopJoin"])
 
+    # 19. flattenSpec path fields keep the scan column-pruned: a
+    # name-rooted path reads only its root column's subtree, wide
+    # undeclared columns never reach ReadSchema
+    import json as _json
+    import tempfile as _tf
+    from druid_spark.ingest.batch import read_input
+    _d = _tf.mkdtemp()
+    with open(os.path.join(_d, "wide.json"), "w") as fh:
+        for i in range(4):
+            fh.write(_json.dumps({
+                "agent": {"browser": {"major": i}},
+                "wide_unused": "x" * 40,
+                "wide_other": list(range(8))}) + "\n")
+    df = read_input(spark, {
+        "inputSource": {"type": "local",
+                        "files": [os.path.join(_d, "wide.json")]},
+        "inputFormat": {"type": "json", "flattenSpec": {
+            "useFieldDiscovery": False,
+            "fields": [{"type": "path", "name": "major",
+                        "expr": "$.agent.browser.major"}]}}})
+    check("flatten_path_pruned_scan", df, ["agent"],
+          ["wide_unused", "wide_other"])
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
