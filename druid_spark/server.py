@@ -988,8 +988,41 @@ class _Handler(BaseHTTPRequestHandler):
     def _sql_res(self, text: str):
         return sql_resources(self.engine.catalog.tables(), text or "")
 
+    def _timed(self, fn, kind: str, detail: str) -> None:
+        """Run a query handler under the request logger (RequestLogger
+        contract: time, remote, identity, query id, success,
+        query/time ms). Streaming paths that write raw chunks leave
+        _last_status unset and log as 200 unless they raised."""
+        logger = getattr(self.server, "request_logger", None)
+        if logger is None:
+            fn()
+            return
+        self._last_status = None
+        self._last_qid = None
+        t0 = time.time()
+        try:
+            fn()
+        except Exception as e:
+            logger.log(kind=kind, detail=detail, status=500,
+                       identity=getattr(self, "_ident", None),
+                       remote=self.client_address[0],
+                       queryId=self._last_qid,
+                       success=False, error=type(e).__name__,
+                       query_time_ms=int((time.time() - t0) * 1000))
+            raise
+        status = self._last_status if self._last_status is not None else 200
+        logger.log(kind=kind, detail=detail, status=status,
+                   identity=getattr(self, "_ident", None),
+                   remote=self.client_address[0],
+                   queryId=self._last_qid,
+                   success=status < 400,
+                   query_time_ms=int((time.time() - t0) * 1000))
+
     def _send(self, status: int, body: bytes,
               ctype: str = "application/json", qid: str | None = None) -> None:
+        self._last_status = status
+        if qid:
+            self._last_qid = qid
         self.send_response(status)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
@@ -1253,12 +1286,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(400, error_body("Unable to parse query", e))
             return
         path = self.path.rstrip("/")
-        if self._auth(self._post_resources(path, body)) is None:
+        ident = self._auth(self._post_resources(path, body))
+        if ident is None:
             return
+        self._ident = ident
         if path == "/druid/v2":
-            self._native(body)
+            self._timed(lambda: self._native(body), "native",
+                        str(body.get("dataSource")))
         elif path == "/druid/v2/sql":
-            self._sql(body)
+            self._timed(lambda: self._sql(body), "sql",
+                        (body.get("query") or "")[:500])
         elif path == "/druid/v2/sql/avatica":
             status, out = self.server.avatica.handle(body)  # type: ignore
             self._send_json(status, out)
@@ -1434,6 +1471,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(500, error_body("Unknown exception", e), qid)
             return
         body = json.dumps(shape_native(q, rows)).encode()
+        self._last_status, self._last_qid = 200, qid
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -1650,12 +1688,17 @@ class DruidHttpServer:
                  authenticator: Authenticator | None = None,
                  authorizer: Authorizer | None = None,
                  compaction_period: float | None = None,
-                 retention_period: float | None = None):
+                 retention_period: float | None = None,
+                 request_log_path: str | None = None):
+        from druid_spark.metrics import RequestLogger
         self.engine = engine
+        self.request_logger = RequestLogger(path=request_log_path)
+        # attach before the first request can arrive
         self.scheduler = QueryScheduler(engine.spark, total=total_slots,
                                         lane_limits=lane_limits)
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.engine = engine  # type: ignore[attr-defined]
+        self._httpd.request_logger = self.request_logger  # type: ignore[attr-defined]
         # allow-all by default — an unsecured server behaves as before
         self._httpd.authenticator = (  # type: ignore[attr-defined]
             authenticator or Authenticator())

@@ -598,3 +598,36 @@ def test_status_properties_and_loadstatus(server):
     assert "druid.spark.version" in props
     status, ls = _get(server, "/druid/coordinator/v1/loadstatus")
     assert status == 200 and ls == {"inventoryInitialized": True}
+
+
+def test_request_logging(engine, tmp_path_factory):
+    """RequestLogger contract: every native/SQL request logged with
+    identity, outcome, and query/time; file sink writes JSON lines."""
+    from druid_spark.server import DruidHttpServer
+
+    log_path = str(tmp_path_factory.mktemp("rl") / "requests.jsonl")
+    srv = DruidHttpServer(engine, request_log_path=log_path).start()
+    try:
+        _post(srv, "/druid/v2", {
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "all",
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01/2024-02-01"]})
+        _post(srv, "/druid/v2/sql",
+              {"query": "SELECT count(*) AS n FROM events"})
+        _post(srv, "/druid/v2/sql", {"query": "SELECT broken FROM"},
+              expect_error=True)
+        entries = srv.request_logger.recent()
+        assert len(entries) == 3
+        native, sql_ok, sql_bad = entries
+        assert native["kind"] == "native" and native["success"]
+        assert native["identity"] == "allowAll"
+        assert native["queryId"] and native["query_time_ms"] >= 0
+        assert sql_ok["kind"] == "sql" and sql_ok["success"]
+        assert "SELECT count(*)" in sql_ok["detail"]
+        assert not sql_bad["success"] and sql_bad["status"] >= 400
+        with open(log_path) as fh:
+            lines = [json.loads(ln) for ln in fh]
+        assert len(lines) == 3 and lines[0]["kind"] == "native"
+    finally:
+        srv.stop()
