@@ -494,9 +494,11 @@ class _Statements:
     PAGE_SIZE = 100_000  # rows per /results?page=N page
     _TERMINAL = ("SUCCESS", "FAILED", "CANCELED")
 
-    def __init__(self, engine, scheduler: QueryScheduler | None = None):
+    def __init__(self, engine, scheduler: QueryScheduler | None = None,
+                 request_logger=None):
         self.engine = engine
         self.scheduler = scheduler
+        self.request_logger = request_logger
         self._lock = threading.Lock()
         self._st: dict[str, dict] = {}
 
@@ -569,6 +571,16 @@ class _Statements:
                 (time.time() - rec["createdAt"]) * 1000.0,
                 (rec["error"] or {}).get("errorMessage")
                 if rec["error"] else None)
+            if self.request_logger is not None:
+                # statements log at completion with the real
+                # end-to-end duration (SqlStatementResource contract)
+                self.request_logger.log(
+                    kind="statement", detail=(text or "")[:500],
+                    status=200 if rec["state"] == "SUCCESS" else 500,
+                    identity=None, remote=None, queryId=qid,
+                    success=rec["state"] == "SUCCESS",
+                    query_time_ms=int(
+                        (time.time() - rec["createdAt"]) * 1000))
 
         threading.Thread(target=run, daemon=True,
                          name=f"sql-statement-{qid[:8]}").start()
@@ -1706,7 +1718,8 @@ class DruidHttpServer:
             authorizer or Authorizer())
         self._httpd.scheduler = self.scheduler  # type: ignore[attr-defined]
         self._httpd.statements = _Statements(  # type: ignore[attr-defined]
-            engine, scheduler=self.scheduler)
+            engine, scheduler=self.scheduler,
+            request_logger=self.request_logger)
         self._httpd.avatica = _Avatica(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler)
         self._httpd.overlord = _Overlord(  # type: ignore[attr-defined]
