@@ -8861,6 +8861,16 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         WHERE CAST(t.event_type AS VARCHAR)
                 IN ('click', 'view', 'purchase')
         GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000"""),
+    "sqlc_console_histogram": ("""
+        SELECT CAST(FLOOR(CAST(t."value" AS DOUBLE) / 10) * 10
+                    AS DOUBLE) AS "bucket",
+               COUNT(*) AS "count"
+        FROM "events" AS t
+        WHERE (TIMESTAMP '2024-01-08 00:00:00'
+                 <= CAST(t."ts" AS TIMESTAMP)
+               AND CAST(t."ts" AS TIMESTAMP)
+                 < TIMESTAMP '2024-01-15 00:00:00')
+        GROUP BY 1 ORDER BY "bucket" ASC LIMIT 101""", None),
     "sqlc_console_sunburst": ("""
         SELECT CAST(t."event_type" AS VARCHAR) AS "d1",
                CAST(JSON_VALUE("t"."props", '$.k') AS BIGINT) % 4
