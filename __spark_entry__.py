@@ -9050,6 +9050,18 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         JOIN (SELECT UNNEST(CAST([0, 1, 2] AS BIGINT[])) AS c) u
           ON u.c = t1.n_nationkey
         ORDER BY 1"""),
+    "sqlc_unnest_mv_join_dual_alias": ("""
+        SELECT t1.n_nationkey, t2.c
+        FROM nation t1
+        JOIN UNNEST(MV_TO_ARRAY(
+               STRING_TO_ARRAY(t1.n_name, '_'))) t2 AS u(c)
+          ON t2.c = CAST(t1.n_nationkey AS VARCHAR)
+        WHERE t1.n_nationkey < 12 ORDER BY 1""", """
+        SELECT t1.n_nationkey, u.c
+        FROM nation t1,
+             UNNEST(string_split(t1.n_name, '_')) AS u(c)
+        WHERE u.c = CAST(t1.n_nationkey AS VARCHAR)
+          AND t1.n_nationkey < 12 ORDER BY 1"""),
     "sqlc_json_value_returning_double_array": ("""
         SELECT CAST(ROUND(SUM(c), 3) AS DOUBLE) AS s, COUNT(*) AS n
         FROM UNNEST(JSON_VALUE('{"v": [1.5, 2.25, -0.5]}', '$.v'
