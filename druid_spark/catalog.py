@@ -229,3 +229,57 @@ class Catalog:
                     pass
                 out.append((name, f, os.path.getsize(f), rows))
         return out
+
+    def segments_full(self) -> list[tuple]:
+        """Reference-shaped segment rows (SystemSchema.java:105
+        SEGMENTS_SIGNATURE subset): (datasource, segment_path, size,
+        num_rows, start, end, partition_num, version). start/end come
+        from the `__dt=<bucket>` partition directory (the engine's
+        segment-interval layout); partition_num indexes files within
+        one interval; version is the file mtime (segment version is a
+        timestamp in the reference too)."""
+        import datetime as _dt
+        import re as _re
+
+        _GRAIN = {4: ("%Y", "year"), 7: ("%Y-%m", "month"),
+                  10: ("%Y-%m-%d", "day"), 13: ("%Y-%m-%d-%H", "hour")}
+
+        def interval(path: str):
+            m = _re.search(r"__dt=([^/]+)", path)
+            if not m:
+                return None, None
+            val = m.group(1)
+            spec = _GRAIN.get(len(val))
+            if not spec:
+                return None, None
+            fmt, grain = spec
+            try:
+                start = _dt.datetime.strptime(val, fmt)
+            except ValueError:
+                return None, None
+            if grain == "hour":
+                end = start + _dt.timedelta(hours=1)
+            elif grain == "day":
+                end = start + _dt.timedelta(days=1)
+            elif grain == "month":
+                end = (start.replace(day=28) + _dt.timedelta(days=4)) \
+                    .replace(day=1)
+            else:
+                end = start.replace(year=start.year + 1)
+            iso = "%Y-%m-%dT%H:%M:%S.000Z"
+            return start.strftime(iso), end.strftime(iso)
+
+        out = []
+        part_counter: dict[tuple, int] = {}
+        for name, f, size, rows in self.segments():
+            start, end = interval(f)
+            key = (name, start)
+            pnum = part_counter.get(key, 0)
+            part_counter[key] = pnum + 1
+            try:
+                version = _dt.datetime.utcfromtimestamp(
+                    os.path.getmtime(f)).strftime("%Y-%m-%dT%H:%M:%SZ")
+            except OSError:
+                version = None
+            out.append((name, f, size, rows, start, end, pnum, version))
+        return out

@@ -616,9 +616,30 @@ class DruidSparkEngine:
             "information_schema_columns")
         segs = self.catalog.segments()
         if segs:
+            # SEGMENTS_SIGNATURE subset (SystemSchema.java:105): the
+            # single-warehouse engine publishes every segment it has —
+            # is_published/is_available are identically 1, nothing is
+            # realtime-unpublished or overshadowed after handoff
+            full = self.catalog.segments_full()
             self.spark.createDataFrame(
-                segs, ["datasource", "segment_path", "size", "num_rows"]
-            ).createOrReplaceTempView("sys_segments")
+                [(f"{ds}_{start or 'all'}_{pnum}", ds, p, sz, nr,
+                  start, end, pnum, ver, 1, 1, 0, 0)
+                 for ds, p, sz, nr, start, end, pnum, ver in full],
+                T.StructType([
+                    T.StructField("segment_id", T.StringType()),
+                    T.StructField("datasource", T.StringType()),
+                    T.StructField("segment_path", T.StringType()),
+                    T.StructField("size", T.LongType()),
+                    T.StructField("num_rows", T.LongType()),
+                    T.StructField("start", T.StringType()),
+                    T.StructField("end", T.StringType()),
+                    T.StructField("partition_num", T.LongType()),
+                    T.StructField("version", T.StringType()),
+                    T.StructField("is_published", T.LongType()),
+                    T.StructField("is_available", T.LongType()),
+                    T.StructField("is_realtime", T.LongType()),
+                    T.StructField("is_overshadowed", T.LongType()),
+                ])).createOrReplaceTempView("sys_segments")
         # sys.servers (SystemSchema.java SERVERS_SIGNATURE): this
         # process plays every role — in Spark terms the driver is the
         # broker and the executors are the data servers.

@@ -254,3 +254,38 @@ def test_sql_result_cache_set_context(spark, tmp_path_factory):
     assert d3 is not d2 and d3.first()["n"] == 2000
     assert e.sql(q).collect() == rows           # nation entry intact
     e.close()
+
+
+def test_sys_segments_full_signature(eng, spark, tmp_path):
+    """sys.segments carries the SEGMENTS_SIGNATURE subset: id,
+    interval start/end from the __dt layout, partition_num, version,
+    and the is_* flags (SystemSchema.java:105)."""
+    import json as _json
+    from druid_spark.ingest.batch import TableService, run_ingestion
+
+    ts = TableService(spark, str(tmp_path / "wh"))
+    rows = [{"timestamp": f"2024-03-0{d}T00:00:00Z", "n": d}
+            for d in (1, 2)]
+    run_ingestion(spark, {"type": "index_parallel", "spec": {
+        "ioConfig": {"inputSource": {
+            "type": "inline",
+            "data": "\n".join(_json.dumps(r) for r in rows)},
+            "inputFormat": {"type": "json"}},
+        "dataSchema": {
+            "dataSource": "seg_ds",
+            "timestampSpec": {"column": "timestamp", "format": "iso"},
+            "dimensionsSpec": {}, "metricsSpec": [],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "none",
+                                "rollup": False}}}}, ts)
+    eng.catalog.register_table("seg_ds", ts.path("seg_ds"))
+    out = eng.sql(
+        'SELECT segment_id, start, "end", partition_num, version, '
+        "is_published, is_available, is_realtime FROM sys.segments "
+        "WHERE datasource = 'seg_ds' ORDER BY start").collect()
+    assert [r["start"] for r in out] == [
+        "2024-03-01T00:00:00.000Z", "2024-03-02T00:00:00.000Z"]
+    assert out[0]["end"] == "2024-03-02T00:00:00.000Z"
+    assert all(r["is_published"] == 1 and r["is_available"] == 1
+               and r["is_realtime"] == 0 for r in out)
+    assert all(r["version"] and r["segment_id"] for r in out)
