@@ -1123,12 +1123,28 @@ class _Handler(BaseHTTPRequestHandler):
         elif (path.startswith("/druid/coordinator/v1/metadata/datasources/")
               and path.endswith("/segments")):
             # MetadataResource.getAllUsedSegmentsForDatasource: the
-            # engine's segments are the warehouse parquet partitions
+            # engine's segments are the warehouse parquet partitions.
+            # ?full mirrors the DataSegment JSON shape (interval,
+            # version, shardSpec) like the reference's full= arm.
             name = path.split("/")[-2]
-            segs = [{"dataSource": ds, "segmentPath": p, "size": sz,
-                     "numRows": nr}
-                    for ds, p, sz, nr in self.engine.catalog.segments()
-                    if ds == name]
+            if "full" in parse_qs(u.query or "", keep_blank_values=True):
+                segs = [{"dataSource": ds,
+                         "interval": (f"{start}/{end}"
+                                      if start else None),
+                         "version": ver,
+                         "loadSpec": {"type": "local", "path": p},
+                         "shardSpec": {"type": "numbered",
+                                       "partitionNum": pnum},
+                         "size": sz, "numRows": nr,
+                         "identifier": f"{ds}_{start or 'all'}_{pnum}"}
+                        for ds, p, sz, nr, start, end, pnum, ver
+                        in self.engine.catalog.segments_full()
+                        if ds == name]
+            else:
+                segs = [{"dataSource": ds, "segmentPath": p, "size": sz,
+                         "numRows": nr}
+                        for ds, p, sz, nr in self.engine.catalog.segments()
+                        if ds == name]
             if not segs and name not in self.engine.catalog.tables():
                 self._send_json(404, {"error": "Not found",
                                       "errorMessage": name,

@@ -398,6 +398,14 @@ def test_coordinator_metadata_endpoints(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+    # ?full mirrors the DataSegment JSON shape
+    status, full = _get(
+        server,
+        "/druid/coordinator/v1/metadata/datasources/events/segments?full")
+    assert status == 200 and full[0]["dataSource"] == "events"
+    assert {"loadSpec", "shardSpec", "identifier",
+            "version"} <= set(full[0])
+    assert full[0]["shardSpec"]["type"] == "numbered"
 
 
 def test_native_etag_304(server):
