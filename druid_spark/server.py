@@ -1061,6 +1061,9 @@ class _Handler(BaseHTTPRequestHandler):
             elif (m := re.match(r"^/druid/coordinator/v1/metadata/"
                                 r"datasources/([^/]+)/segments$", path)):
                 res = [(DATASOURCE, m.group(1), READ)]
+            elif (m := re.match(r"^/druid/coordinator/v1/datasources/"
+                                r"([^/]+)/intervals$", path)):
+                res = [(DATASOURCE, m.group(1), READ)]
             elif path.startswith("/druid/indexer/v1") or \
                     path.startswith("/druid/coordinator/v1/config/"
                                     "compaction") or \
@@ -1120,6 +1123,32 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, [
                 t for t in self.engine.catalog.tables()
                 if self._allowed(ident, DATASOURCE, t, READ)])
+        elif (m := re.match(r"^/druid/coordinator/v1/datasources/"
+                            r"([^/]+)/intervals$", path)):
+            # DataSourcesResource.getIntervalsWithServedSegments: the
+            # served intervals, newest first; ?simple adds per-interval
+            # size/count rollups
+            name = m.group(1)
+            if name not in self.engine.catalog.tables():
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": name,
+                                      "errorClass": None, "host": None})
+                return
+            per: dict[str, dict] = {}
+            for ds, _p, sz, nr, start, end, _pn, _v \
+                    in self.engine.catalog.segments_full():
+                if ds != name or not start:
+                    continue
+                iv = f"{start}/{end}"
+                agg = per.setdefault(iv, {"size": 0, "count": 0})
+                agg["size"] += sz
+                agg["count"] += 1
+            if "simple" in parse_qs(u.query or "",
+                                    keep_blank_values=True):
+                self._send_json(
+                    200, dict(sorted(per.items(), reverse=True)))
+            else:
+                self._send_json(200, sorted(per, reverse=True))
         elif (path.startswith("/druid/coordinator/v1/metadata/datasources/")
               and path.endswith("/segments")):
             # MetadataResource.getAllUsedSegmentsForDatasource: the

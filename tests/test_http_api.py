@@ -639,3 +639,46 @@ def test_request_logging(engine, tmp_path_factory):
         assert len(lines) == 3 and lines[0]["kind"] == "native"
     finally:
         srv.stop()
+
+
+def test_datasource_intervals_endpoint(engine, spark, tmp_path_factory):
+    """DataSourcesResource.getIntervalsWithServedSegments: served
+    intervals newest-first; ?simple adds per-interval size/count."""
+    from druid_spark.ingest.batch import TableService, run_ingestion
+    from druid_spark.server import DruidHttpServer
+
+    ts = TableService(spark, str(tmp_path_factory.mktemp("iv") / "wh"))
+    rows = [{"timestamp": f"2024-03-0{d}T00:00:00Z", "n": d}
+            for d in (1, 2)]
+    run_ingestion(spark, {"type": "index_parallel", "spec": {
+        "ioConfig": {"inputSource": {
+            "type": "inline",
+            "data": "\n".join(json.dumps(r) for r in rows)},
+            "inputFormat": {"type": "json"}},
+        "dataSchema": {
+            "dataSource": "iv_ds",
+            "timestampSpec": {"column": "timestamp", "format": "iso"},
+            "dimensionsSpec": {}, "metricsSpec": [],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "none",
+                                "rollup": False}}}}, ts)
+    engine.catalog.register_table("iv_ds", ts.path("iv_ds"))
+    srv = DruidHttpServer(engine).start()
+    try:
+        st, ivs = _get(
+            srv, "/druid/coordinator/v1/datasources/iv_ds/intervals")
+        assert st == 200 and ivs == sorted(ivs, reverse=True)
+        assert ivs[0].startswith("2024-03-02")
+        st, simple = _get(
+            srv,
+            "/druid/coordinator/v1/datasources/iv_ds/intervals?simple")
+        assert all(v["count"] == 1 and v["size"] > 0
+                   for v in simple.values())
+        try:
+            _get(srv, "/druid/coordinator/v1/datasources/nope/intervals")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+        engine.catalog.drop_table("iv_ds")
