@@ -1200,7 +1200,8 @@ class _Handler(BaseHTTPRequestHandler):
             # always ourselves)
             host, port = self.server.server_address[:2]
             self._send_json(200, f"http://{host}:{port}")
-        elif path == "/druid/indexer/v1/isLeader":
+        elif path in ("/druid/indexer/v1/isLeader",
+                      "/druid/coordinator/v1/isLeader"):
             self._send_json(200, {"leader": True})
         elif (m := re.match(
                 r"^/druid/indexer/v1/(tasks|runningTasks|completeTasks"
