@@ -237,7 +237,10 @@ class Catalog:
         from the `__dt=<bucket>` partition directory (the engine's
         segment-interval layout); partition_num indexes files within
         one interval; version is the file mtime (segment version is a
-        timestamp in the reference too)."""
+        timestamp in the reference too). Caveat: WEEK-partitioned
+        tables share the day directory format (yyyy-MM-dd, Monday
+        buckets), so their rows report day-length intervals — the
+        start is always exact."""
         import datetime as _dt
         import re as _re
 
