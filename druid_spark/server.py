@@ -270,9 +270,11 @@ class _Avatica:
     # driver-memory-bounded regardless of result size
     MAX_ROWS_PER_FRAME = 5_000
 
-    def __init__(self, engine, scheduler: QueryScheduler | None = None):
+    def __init__(self, engine, scheduler: QueryScheduler | None = None,
+                 request_logger=None):
         self.engine = engine
         self.scheduler = scheduler
+        self.request_logger = request_logger
         self._lock = threading.Lock()
         self._conns: dict[str, dict[int, dict]] = {}
         self._next_id = 0
@@ -361,6 +363,7 @@ class _Avatica:
             raise _AvaticaError(f"statement {sid} not open")
         if params:
             sql = _bind_parameters(sql, params)
+        t0 = time.time()
         df = self.engine.sql(sql)
         qid = f"avatica-{sid}-{uuid.uuid4().hex[:8]}"
         # Results spill to parquet via a distributed write (the durable
@@ -370,6 +373,11 @@ class _Avatica:
                      qid, lambda: _SpilledResult(df, qid))
                  if self.scheduler is not None
                  else _SpilledResult(df, qid))
+        if self.request_logger is not None:
+            self.request_logger.log(
+                kind="avatica", detail=sql[:500], status=200,
+                identity=None, remote=None, queryId=qid, success=True,
+                query_time_ms=int((time.time() - t0) * 1000))
         old = conn.get(sid) or {}
         if old.get("spill") is not None:
             old["spill"].close()
@@ -1767,7 +1775,8 @@ class DruidHttpServer:
             engine, scheduler=self.scheduler,
             request_logger=self.request_logger)
         self._httpd.avatica = _Avatica(  # type: ignore[attr-defined]
-            engine, scheduler=self.scheduler)
+            engine, scheduler=self.scheduler,
+            request_logger=self.request_logger)
         self._httpd.overlord = _Overlord(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler)
         from druid_spark.coordinator import CompactionDuty, RetentionDuty
