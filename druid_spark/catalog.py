@@ -143,6 +143,13 @@ class Catalog:
         self._lookups[name] = mapping
         self.version += 1
 
+    def drop_lookup(self, name: str) -> bool:
+        if name in self._lookups:
+            del self._lookups[name]
+            self.version += 1
+            return True
+        return False
+
     def _materialize(self, name: str) -> DataFrame:
         # read + normalize BEFORE popping _pending: if the read raises
         # (bad/missing path) the registration must survive so the next

@@ -1076,6 +1076,9 @@ class _Handler(BaseHTTPRequestHandler):
                     path.startswith("/druid/coordinator/v1/config/"
                                     "compaction") or \
                     path.startswith("/druid/coordinator/v1/rules") or \
+                    path.startswith("/druid/coordinator/v1/lookups/"
+                                    "config") or \
+                    path == "/druid/coordinator/v1/servers" or \
                     path == "/druid/coordinator/v1/compaction/status":
                 res = [(STATE, "STATE", READ)]
             ident = self._auth(res)
@@ -1131,6 +1134,49 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, [
                 t for t in self.engine.catalog.tables()
                 if self._allowed(ident, DATASOURCE, t, READ)])
+        elif path == "/druid/coordinator/v1/servers":
+            # CoordinatorResource.getClusterServers: single-process —
+            # this engine is the whole cluster (?simple adds sizes)
+            sc = self.engine.spark.sparkContext
+            server = f"local:{sc.applicationId}"
+            if "simple" in parse_qs(u.query or "",
+                                    keep_blank_values=True):
+                total = sum(sz for _ds, _p, sz, _nr
+                            in self.engine.catalog.segments())
+                self._send_json(200, [{
+                    "host": server, "tier": "_default_tier",
+                    "type": "historical", "currSize": total,
+                    "maxSize": -1}])
+            else:
+                self._send_json(200, [server])
+        elif path == "/druid/coordinator/v1/metadata/segments":
+            # MetadataResource.getAllUsedSegments (cluster-wide)
+            self._send_json(200, [
+                {"dataSource": ds, "segmentPath": p, "size": sz,
+                 "numRows": nr}
+                for ds, p, sz, nr in self.engine.catalog.segments()
+                if self._allowed(ident, DATASOURCE, ds, READ)])
+        elif path == "/druid/coordinator/v1/lookups/config":
+            # LookupCoordinatorResource.getTiers: one tier
+            self._send_json(200, ["__default"])
+        elif path == "/druid/coordinator/v1/lookups/config/__default":
+            self._send_json(
+                200, sorted(self.engine.catalog.lookups.keys()))
+        elif (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
+                            r"__default/([^/]+)$", path)):
+            name = m.group(1)
+            mapping = self.engine.catalog.lookups.get(name)
+            if mapping is None:
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": name,
+                                      "errorClass": None, "host": None})
+            else:
+                self._send_json(200, {
+                    "version": str(self.engine.catalog.version),
+                    "lookupExtractorFactory": {
+                        "type": "map",
+                        "map": {str(k): str(v)
+                                for k, v in mapping.items()}}})
         elif (m := re.match(r"^/druid/coordinator/v1/datasources/"
                             r"([^/]+)/intervals$", path)):
             # DataSourcesResource.getIntervalsWithServedSegments: the
@@ -1290,9 +1336,21 @@ class _Handler(BaseHTTPRequestHandler):
         if (m := re.match(
                 r"^/druid/coordinator/v1/datasources/([^/]+)$", path)):
             res = [(DATASOURCE, m.group(1), WRITE)]
-        elif path.startswith("/druid/coordinator/v1/config/compaction/"):
+        elif path.startswith("/druid/coordinator/v1/config/compaction/") \
+                or path.startswith("/druid/coordinator/v1/lookups/"
+                                   "config/"):
             res = [(STATE, "STATE", WRITE)]
         if self._auth(res) is None:
+            return
+        if (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
+                          r"__default/([^/]+)$", path)):
+            # LookupCoordinatorResource.deleteLookup
+            if self.engine.catalog.drop_lookup(m.group(1)):
+                self._send_json(202, {})
+            else:
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": m.group(1),
+                                      "errorClass": None, "host": None})
             return
         if (m := re.match(
                 r"^/druid/coordinator/v1/config/compaction/([^/]+)$",
@@ -1420,6 +1478,36 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/druid/coordinator/v1/retention/run":
             dropped = self.server.retention.run_once()  # type: ignore
             self._send_json(200, {"dropped": dropped})
+        elif (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
+                            r"__default/([^/]+)$", path)):
+            # LookupCoordinatorResource.createOrUpdateLookup: only the
+            # map factory is representable (URI namespaces load via
+            # druid_spark.lookups.load_lookup)
+            fac = (body or {}).get("lookupExtractorFactory") or {}
+            if fac.get("type") != "map" or \
+                    not isinstance(fac.get("map"), dict):
+                self._send_json(400, {
+                    "error": "Invalid lookup",
+                    "errorMessage": "expected lookupExtractorFactory "
+                                    "{type: map, map: {...}}",
+                    "errorClass": None, "host": None})
+                return
+            self.engine.catalog.register_lookup(m.group(1), fac["map"])
+            self._send_json(202, {})
+        elif path == "/druid/coordinator/v1/lookups/config":
+            # bulk update: {tier: {name: {lookupExtractorFactory...}}}
+            tiers = body if isinstance(body, dict) else {}
+            n = 0
+            for specs in tiers.values():
+                for lname, spec in (specs or {}).items():
+                    fac = (spec or {}).get(
+                        "lookupExtractorFactory") or {}
+                    if fac.get("type") == "map" and \
+                            isinstance(fac.get("map"), dict):
+                        self.engine.catalog.register_lookup(
+                            lname, fac["map"])
+                        n += 1
+            self._send_json(202, {"updated": n})
         elif path == "/druid/coordinator/v1/compaction/run":
             # manual duty cycle (the coordinator fires this on its
             # period; exposed for operators and tests)
@@ -1482,6 +1570,7 @@ class _Handler(BaseHTTPRequestHandler):
         if path.startswith("/druid/coordinator/v1/config/compaction") or \
                 path == "/druid/coordinator/v1/compaction/run" or \
                 path.startswith("/druid/coordinator/v1/rules") or \
+                path.startswith("/druid/coordinator/v1/lookups/config") or \
                 path == "/druid/coordinator/v1/retention/run":
             return [(STATE, "STATE", WRITE)]
         return []

@@ -682,3 +682,49 @@ def test_datasource_intervals_endpoint(engine, spark, tmp_path_factory):
     finally:
         srv.stop()
         engine.catalog.drop_table("iv_ds")
+
+
+def test_lookup_config_crud_and_cluster_endpoints(engine):
+    """LookupCoordinatorResource analog: tier list, per-tier names,
+    create/get/delete of map lookups (usable in SQL immediately);
+    plus /servers?simple and cluster-wide /metadata/segments."""
+    from druid_spark.server import DruidHttpServer
+
+    srv = DruidHttpServer(engine).start()
+    try:
+        st, tiers = _get(srv, "/druid/coordinator/v1/lookups/config")
+        assert st == 200 and tiers == ["__default"]
+        st, _b, _h = _post(
+            srv, "/druid/coordinator/v1/lookups/config/__default/ctry",
+            {"version": "v1", "lookupExtractorFactory": {
+                "type": "map", "map": {"0": "US", "1": "FR"}}})
+        assert st == 202
+        st, names = _get(
+            srv, "/druid/coordinator/v1/lookups/config/__default")
+        assert "ctry" in names
+        st, spec = _get(
+            srv, "/druid/coordinator/v1/lookups/config/__default/ctry")
+        assert spec["lookupExtractorFactory"]["map"]["1"] == "FR"
+        # registered lookup resolves in SQL right away
+        rows = engine.sql(
+            "SELECT LOOKUP(CAST(n_regionkey AS VARCHAR), 'ctry') AS c "
+            "FROM nation WHERE n_regionkey = 1 LIMIT 1").collect()
+        assert rows[0]["c"] == "FR"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}"
+            "/druid/coordinator/v1/lookups/config/__default/ctry",
+            method="DELETE")
+        assert urllib.request.urlopen(req).status == 202
+        try:
+            _get(srv,
+                 "/druid/coordinator/v1/lookups/config/__default/ctry")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        st, servers = _get(srv, "/druid/coordinator/v1/servers?simple")
+        assert st == 200 and servers[0]["tier"] == "_default_tier"
+        st, segs = _get(srv, "/druid/coordinator/v1/metadata/segments")
+        assert st == 200 and {s["dataSource"] for s in segs} >= {
+            "events", "lineitem"}
+    finally:
+        srv.stop()
