@@ -680,6 +680,10 @@ class _Overlord:
         self._lock = threading.Lock()
         self._tasks: dict[str, dict] = {}
         self._supervisors: dict[str, dict] = {}
+        # overlord dynamic worker config (WorkerBehaviorConfig) — a
+        # no-op for the single-process engine, but the console reads/
+        # writes it
+        self.worker_config: dict | None = None
 
     # ------------------------------------------------------------ tasks
     def submit(self, spec: dict) -> tuple[int, dict]:
@@ -1257,6 +1261,11 @@ class _Handler(BaseHTTPRequestHandler):
         elif path in ("/druid/indexer/v1/isLeader",
                       "/druid/coordinator/v1/isLeader"):
             self._send_json(200, {"leader": True})
+        elif path == "/druid/indexer/v1/worker":
+            # OverlordResource.getWorkerConfig (dynamic config; null
+            # until one is posted, like the reference)
+            self._send_json(
+                200, self.server.overlord.worker_config)  # type: ignore
         elif (m := re.match(
                 r"^/druid/indexer/v1/(tasks|runningTasks|completeTasks"
                 r"|waitingTasks|pendingTasks)$", path)):
@@ -1478,6 +1487,10 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/druid/coordinator/v1/retention/run":
             dropped = self.server.retention.run_once()  # type: ignore
             self._send_json(200, {"dropped": dropped})
+        elif path == "/druid/indexer/v1/worker":
+            # OverlordResource.setWorkerConfig
+            self.server.overlord.worker_config = body  # type: ignore
+            self._send_json(200, {})
         elif (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
                             r"__default/([^/]+)$", path)):
             # LookupCoordinatorResource.createOrUpdateLookup: only the
