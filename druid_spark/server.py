@@ -280,7 +280,9 @@ class _Avatica:
         self._next_id = 0
 
     # -- protocol plumbing ---------------------------------------------
-    def handle(self, req: dict) -> tuple[int, dict]:
+    def handle(self, req: dict,
+               identity: str | None = None) -> tuple[int, dict]:
+        self._ident = identity
         kind = req.get("request")
         fn = getattr(self, "_rq_" + str(kind), None)
         if fn is None:
@@ -376,7 +378,8 @@ class _Avatica:
         if self.request_logger is not None:
             self.request_logger.log(
                 kind="avatica", detail=sql[:500], status=200,
-                identity=None, remote=None, queryId=qid, success=True,
+                identity=getattr(self, "_ident", None),
+                remote=None, queryId=qid, success=True,
                 query_time_ms=int((time.time() - t0) * 1000))
         old = conn.get(sid) or {}
         if old.get("spill") is not None:
@@ -510,7 +513,8 @@ class _Statements:
         self._lock = threading.Lock()
         self._st: dict[str, dict] = {}
 
-    def submit(self, text: str, params=None) -> dict:
+    def submit(self, text: str, params=None,
+               identity: str | None = None) -> dict:
         qid = str(uuid.uuid4())
         rec = {"queryId": qid, "state": "ACCEPTED",
                "createdAt": time.time(), "spill": None, "cols": None,
@@ -585,7 +589,7 @@ class _Statements:
                 self.request_logger.log(
                     kind="statement", detail=(text or "")[:500],
                     status=200 if rec["state"] == "SUCCESS" else 500,
-                    identity=None, remote=None, queryId=qid,
+                    identity=identity, remote=None, queryId=qid,
                     success=rec["state"] == "SUCCESS",
                     query_time_ms=int(
                         (time.time() - rec["createdAt"]) * 1000))
@@ -1430,7 +1434,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._timed(lambda: self._sql(body), "sql",
                         (body.get("query") or "")[:500])
         elif path == "/druid/v2/sql/avatica":
-            status, out = self.server.avatica.handle(body)  # type: ignore
+            status, out = self.server.avatica.handle(  # type: ignore
+                body, identity=getattr(self, "_ident", None))
             self._send_json(status, out)
         elif path == "/druid/indexer/v1/task":
             status, out = self.server.overlord.submit(body)  # type: ignore
@@ -1539,7 +1544,8 @@ class _Handler(BaseHTTPRequestHandler):
                           "errorClass": None, "host": None})
                 return
             out = self.server.statements.submit(  # type: ignore
-                text, body.get("parameters"))
+                text, body.get("parameters"),
+                identity=getattr(self, "_ident", None))
             if path.endswith("/task"):
                 out = {"taskId": out["queryId"], "state": out["state"]}
             self._send_json(202, out)
