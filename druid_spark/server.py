@@ -1124,6 +1124,25 @@ class _Handler(BaseHTTPRequestHandler):
             duty = self.server.compaction  # type: ignore[attr-defined]
             self._send_json(200, {"compactionConfigs":
                                   list(duty.configs.values())})
+        elif path == "/druid/indexer/v1/compaction/config/datasources":
+            # the newer overlord-side home of the same configs
+            duty = self.server.compaction  # type: ignore[attr-defined]
+            self._send_json(200, {"compactionConfigs":
+                                  list(duty.configs.values())})
+        elif (m := re.match(r"^/druid/indexer/v1/compaction/config/"
+                            r"datasources/([^/]+)$", path)):
+            duty = self.server.compaction  # type: ignore[attr-defined]
+            cfg = duty.configs.get(m.group(1))
+            if cfg is None:
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": m.group(1),
+                                      "errorClass": None, "host": None})
+            else:
+                self._send_json(200, cfg)
+        elif path == "/druid/indexer/v1/compaction/config/cluster":
+            self._send_json(200, {
+                "compactionPollPeriod": None,
+                "engine": "native", "useSupervisors": False})
         elif path == "/druid/coordinator/v1/compaction/status":
             # CompactionResource.getCompactionSnapshotForDataSource analog
             duty = self.server.compaction  # type: ignore[attr-defined]
@@ -1464,8 +1483,16 @@ class _Handler(BaseHTTPRequestHandler):
                   "reset": ov.supervisor_reset}[m.group(2)]
             status, out = fn(m.group(1))
             self._send_json(status, out)
-        elif path == "/druid/coordinator/v1/config/compaction":
-            # CoordinatorCompactionConfigsResource.addOrUpdate
+        elif path == "/druid/coordinator/v1/config/compaction" or \
+                re.match(r"^/druid/indexer/v1/compaction/config/"
+                         r"datasources/[^/]+$", path):
+            # CoordinatorCompactionConfigsResource.addOrUpdate (also
+            # reachable at the newer overlord-side path, where the
+            # datasource rides the URL)
+            if (m := re.match(r"^/druid/indexer/v1/compaction/config/"
+                              r"datasources/([^/]+)$", path)):
+                body = dict(body or {})
+                body.setdefault("dataSource", m.group(1))
             ds = body.get("dataSource")
             if not ds:
                 self._send_json(400, {"error": "Invalid config",
