@@ -289,6 +289,34 @@ def main():
     check("skew_hint_salted_join", df, ["__salt_l", "__salt_r"],
           ["CartesianProduct", "BroadcastNestedLoopJoin"])
 
+    # 19b. detectSkew auto-routes a hot-key join to the salt arm
+    # (the compiler path, not a manual skew.py call)
+    from pyspark.sql import functions as _F
+    _hot = spark.range(4000).select(
+        _F.when(_F.col("id") < 3600, _F.lit(1))
+          .otherwise(_F.col("id")).alias("k"),
+        (_F.col("id") % 3).cast("double").alias("v"))
+    import tempfile as _tf2
+    _hp = os.path.join(_tf2.mkdtemp(), "hotfact")
+    _hot.write.parquet(_hp)
+    engine.catalog.register_table("hotfact", _hp)
+    df = engine.query({
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join", "left": "hotfact",
+            "right": {"type": "table", "name": "orders"},
+            "rightPrefix": "j0.", "condition": 'k == "j0.o_orderkey"',
+            "joinType": "INNER"},
+        "granularity": "all",
+        "dimensions": [{"type": "default",
+                        "dimension": "j0.o_orderstatus",
+                        "outputName": "st"}],
+        "aggregations": [{"type": "doubleSum", "name": "v_sum",
+                          "fieldName": "v"}],
+        "context": {"detectSkew": {"threshold": 0.5, "salts": 8}}})
+    check("detect_skew_salted_join", df, ["__salt_l", "__salt_r"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
     # 19. flattenSpec path fields keep the scan column-pruned: a
     # name-rooted path reads only its root column's subtree, wide
     # undeclared columns never reach ReadSchema
