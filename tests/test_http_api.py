@@ -728,3 +728,25 @@ def test_lookup_config_crud_and_cluster_endpoints(engine):
             "events", "lineitem"}
     finally:
         srv.stop()
+
+
+def test_bulk_lookup_post_and_worker_config(server):
+    """Bulk lookup update ({tier: {name: spec}}) and the overlord
+    dynamic worker config (null until set)."""
+    st, out, _ = _post(server, "/druid/coordinator/v1/lookups/config", {
+        "__default": {
+            "bulk_a": {"lookupExtractorFactory": {
+                "type": "map", "map": {"1": "x"}}},
+            "bulk_b": {"lookupExtractorFactory": {
+                "type": "map", "map": {"2": "y"}}}}})
+    assert st == 202 and out["updated"] == 2
+    st, names = _get(
+        server, "/druid/coordinator/v1/lookups/config/__default")
+    assert {"bulk_a", "bulk_b"} <= set(names)
+    st, cfg = _get(server, "/druid/indexer/v1/worker")
+    assert st == 200  # null until posted
+    st, _o, _h = _post(server, "/druid/indexer/v1/worker",
+                       {"selectStrategy": {"type": "equalDistribution"}})
+    assert st == 200
+    st, cfg = _get(server, "/druid/indexer/v1/worker")
+    assert cfg["selectStrategy"]["type"] == "equalDistribution"
