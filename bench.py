@@ -632,7 +632,40 @@ def main():
             "asymptotic_1000x": asymptotic,
         },
     }
-    print(json.dumps(result))
+    # Full detail to bench_out.json (the driver's stdout capture keeps
+    # only the last 2000 chars; round 5's full line outgrew it and the
+    # driver recorded parsed:null). The printed line is a compact subset
+    # — same contract fields, headline-scalar derived — guaranteed to
+    # fit the tail; full sections live in the JSON file.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    compact = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": result["sf"],
+        "derived": {
+            "asymptotic_count_vs_baseline":
+                asymptotic.get("vs_baseline_count"),
+            "asymptotic_sum_vs_baseline":
+                asymptotic.get("vs_baseline_sum"),
+            "skew_compiler_vs_uniform":
+                skew.get("compiler_vs_uniform"),
+            "tpch_20x_total_sec": round(sum(
+                v for v in tpch20.values()
+                if isinstance(v, (int, float))), 3) if tpch20 else None,
+            "ingest_rollup_rows_per_sec_per_core":
+                ingest.get("rollup_rows_per_sec_per_core"),
+            "full": "bench_out.json",
+        },
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail again
+        compact.pop("derived", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

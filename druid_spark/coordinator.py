@@ -90,18 +90,43 @@ class RetentionDuty:
         return start, end
 
     def _decide(self, rules: list[dict], start, end, now) -> str:
+        """First-match rule decision. Reference semantics (rules/):
+        LOAD rules match on OVERLAP (Rules.eligibleForLoad — any
+        overlap with [now-P, now], or interval end in the future with
+        includeFuture=true, the default); DROP rules match only on
+        CONTAINMENT (PeriodDropRule.appliesTo:74-81 —
+        currInterval.contains(theInterval) with includeFuture=false,
+        start-side containment with the includeFuture=true default;
+        IntervalDropRule.appliesTo:64-67 — interval.contains). A
+        partition straddling a boundary is therefore retained by drop
+        rules and falls through to the next rule."""
         for r in rules:
             t = r.get("type")
             if t == "loadForever":
                 return "load"
             if t == "dropForever":
                 return "drop"
-            if t in ("loadByPeriod", "dropByPeriod"):
+            if t == "loadByPeriod":
                 horizon = now - _parse_period(r["period"])
-                if end > horizon:
-                    return "load" if t == "loadByPeriod" else "drop"
+                if r.get("includeFuture", True):
+                    # Rules.eligibleForLoad includeFuture arm:
+                    # currInterval.start < interval.end
+                    if end > horizon:
+                        return "load"
+                elif end > horizon and start < now:
+                    return "load"  # overlap with [now-P, now]
+            elif t == "dropByPeriod":
+                horizon = now - _parse_period(r["period"])
+                if r.get("includeFuture", True):
+                    # PeriodDropRule:77-78: currInterval.start <=
+                    # theInterval.start
+                    if start >= horizon:
+                        return "drop"
+                elif start >= horizon and end <= now:
+                    return "drop"  # full containment in [now-P, now]
             elif t == "dropBeforeByPeriod":
-                if end < now - _parse_period(r["period"]):
+                # PeriodDropBeforeRule:63-64: end <= now - P
+                if end <= now - _parse_period(r["period"]):
                     return "drop"
             elif t in ("loadByInterval", "dropByInterval"):
                 a, b = r["interval"].split("/")
@@ -109,8 +134,11 @@ class RetentionDuty:
                                                .rstrip("Z"))
                 ib = dt.datetime.fromisoformat(b.replace("T", " ")
                                                .rstrip("Z"))
-                if start < ib and end > ia:
-                    return "load" if t == "loadByInterval" else "drop"
+                if t == "loadByInterval":
+                    if start < ib and end > ia:  # overlap
+                        return "load"
+                elif ia <= start and end <= ib:  # containment
+                    return "drop"
         return "load"  # cluster default rule: loadForever
 
     def run_once(self) -> list[dict[str, Any]]:

@@ -184,6 +184,63 @@ def test_retention_interval_and_default_load(eng):
     assert len(_files_per_partition(path)) == n_before - 3
 
 
+def test_retention_drop_requires_containment(eng):
+    """Drop rules match on CONTAINMENT, not overlap (ADVICE r6 high):
+    PeriodDropRule.appliesTo:74-81 (includeFuture=true default drops on
+    start >= now-P; =false requires [now-P, now] to contain the
+    partition), IntervalDropRule.appliesTo:64-67
+    (interval.contains(theInterval)). A partition straddling the
+    horizon or the rule interval's edge must be RETAINED and fall
+    through to the default loadForever."""
+    import datetime as dt
+    from druid_spark.coordinator import RetentionDuty
+    eng.sql("REPLACE INTO ev_ret4 OVERWRITE ALL "
+            "SELECT ts AS __time, value FROM events PARTITIONED BY DAY")
+    path = eng.catalog.source_path("ev_ret4")
+    n_before = len(_files_per_partition(path))
+    # Mid-day clock: horizon = Jan 25 12:00 splits the Jan 25 partition
+    duty = RetentionDuty(eng, now=dt.datetime(2024, 1, 28, 12))
+    duty.set_rules("ev_ret4", [{"type": "dropByPeriod", "period": "P3D",
+                                "includeFuture": False}])
+    dropped = duty.run_once()
+    # containment in [Jan 25 12:00, Jan 28 12:00]: only Jan 26, 27 are
+    # fully inside; Jan 25 straddles the horizon, Jan 28 straddles now
+    assert sorted(d["partition"] for d in dropped) == [
+        "__dt=2024-01-26", "__dt=2024-01-27"]
+    # includeFuture=true (the reference default): start >= horizon —
+    # now Jan 28 (start ≥ Jan 25 12:00? no for Jan 25, yes for 26+)
+    duty2 = RetentionDuty(eng, now=dt.datetime(2024, 1, 28, 12))
+    duty2.set_rules("ev_ret4", [{"type": "dropByPeriod",
+                                 "period": "P3D"}])
+    dropped2 = duty2.run_once()
+    assert sorted(d["partition"] for d in dropped2) == [
+        f"__dt=2024-01-{d}" for d in range(28, 31)]
+    # interval drop: partial overlap is NOT containment
+    eng.sql("REPLACE INTO ev_ret5 OVERWRITE ALL "
+            "SELECT ts AS __time, value FROM events PARTITIONED BY DAY")
+    path5 = eng.catalog.source_path("ev_ret5")
+    duty3 = RetentionDuty(eng, now=dt.datetime(2024, 2, 1))
+    duty3.set_rules("ev_ret5", [
+        {"type": "dropByInterval",
+         "interval": "2024-01-10T12:00:00Z/2024-01-13T00:00:00Z"}])
+    dropped3 = duty3.run_once()
+    # Jan 10 overlaps the interval but is not contained → retained
+    assert sorted(d["partition"] for d in dropped3) == [
+        "__dt=2024-01-11", "__dt=2024-01-12"]
+    assert "__dt=2024-01-10" in _files_per_partition(path5)
+    # dropBeforeByPeriod boundary: end <= now-P
+    # (PeriodDropBeforeRule:63-64) — Jan 25 ends exactly at the horizon
+    eng.sql("REPLACE INTO ev_ret6 OVERWRITE ALL "
+            "SELECT ts AS __time, value FROM events PARTITIONED BY DAY")
+    duty4 = RetentionDuty(eng, now=dt.datetime(2024, 1, 28))
+    duty4.set_rules("ev_ret6", [{"type": "dropBeforeByPeriod",
+                                 "period": "P2D"}])
+    dropped4 = {d["partition"] for d in duty4.run_once()}
+    assert "__dt=2024-01-25" in dropped4  # end Jan 26 == horizon
+    assert "__dt=2024-01-26" not in dropped4
+    assert n_before  # silence lints
+
+
 def test_retention_http_rules_api(eng):
     import datetime as dt
     import json as _json
