@@ -207,7 +207,16 @@ class _SpilledResult:
                     self.files.append((f, total, n))
                 total += n
             self.total = total
-        except Exception:
+        except Exception as e:
+            # In-memory fallback is ONLY for schemas parquet cannot
+            # hold (a VOID column from `SELECT NULL` raises
+            # AnalysisException at write planning — a degenerate
+            # literal result, not a scan). Any other spill failure
+            # (disk full, permissions) must surface: silently
+            # collecting would defeat the never-materialize-in-driver
+            # contract exactly when results are huge. (ADVICE r6)
+            if "AnalysisException" not in type(e).__name__:
+                raise
             self._mem = _row_dicts(df.collect())
             self.total = len(self._mem)
 
@@ -271,28 +280,52 @@ class _Avatica:
     MAX_ROWS_PER_FRAME = 5_000
 
     def __init__(self, engine, scheduler: QueryScheduler | None = None,
-                 request_logger=None):
+                 request_logger=None, authorizer=None):
         self.engine = engine
         self.scheduler = scheduler
         self.request_logger = request_logger
+        self.authorizer = authorizer
         self._lock = threading.Lock()
         self._conns: dict[str, dict[int, dict]] = {}
+        self._owners: dict[str, str | None] = {}  # cid -> identity
         self._next_id = 0
 
     # -- protocol plumbing ---------------------------------------------
     def handle(self, req: dict,
                identity: str | None = None) -> tuple[int, dict]:
-        self._ident = identity
+        """Identity is threaded through as a parameter (never stored on
+        the shared instance — concurrent requests from different users
+        would race) and checked against the connection's owner: the
+        reference binds Avatica state to the authenticated identity
+        (DruidMeta + AvaticaBasedSecurityResource), so one user cannot
+        execute or page another user's statements by connectionId."""
         kind = req.get("request")
         fn = getattr(self, "_rq_" + str(kind), None)
         if fn is None:
             return 400, self._error(f"unsupported request {kind!r}")
         try:
-            return 200, fn(req)
+            return 200, fn(req, identity)
+        except _AvaticaForbidden as e:
+            return 403, self._error(str(e))
         except _AvaticaError as e:
             return 400, self._error(str(e))
         except Exception as e:  # surfaced in Avatica error shape
             return 500, self._error(f"{type(e).__name__}: {e}")
+
+    def _authorize_sql(self, ident: str | None, sql: str) -> None:
+        """Execution-time authorization (the reference authorizes in
+        DruidMeta at execute, not only at prepare): resolve the
+        statement's resources and check each against the authorizer.
+        Covers 'execute'/'fetch' requests that carry no sql field and
+        so bypass the HTTP layer's body-based resource scan."""
+        if self.authorizer is None:
+            return
+        for rtype, name, action in sql_resources(
+                self.engine.catalog.tables(), sql or ""):
+            if not self.authorizer.authorize(ident, rtype, name, action):
+                raise _AvaticaForbidden(
+                    f"Unauthorized access to [{rtype}:{name}] "
+                    f"for action [{action}]")
 
     @staticmethod
     def _error(msg: str) -> dict:
@@ -300,33 +333,44 @@ class _Avatica:
                 "errorCode": -1, "sqlState": "00000",
                 "severity": "ERROR", "exceptions": [msg]}
 
-    def _conn(self, req: dict) -> dict[int, dict]:
+    def _conn(self, req: dict,
+              ident: str | None = None) -> dict[int, dict]:
         cid = req.get("connectionId")
         with self._lock:
             if cid not in self._conns:
                 raise _AvaticaError(f"connection {cid!r} not open")
+            if self._owners.get(cid) != ident:
+                raise _AvaticaForbidden(
+                    f"connection {cid!r} belongs to another identity")
             return self._conns[cid]
 
     # -- lifecycle ------------------------------------------------------
-    def _rq_openConnection(self, req: dict) -> dict:  # noqa: N802
+    def _rq_openConnection(self, req: dict, ident=None) -> dict:  # noqa: N802
         cid = req.get("connectionId")
         with self._lock:
-            if len(self._conns) >= self.MAX_CONNECTIONS and \
-                    cid not in self._conns:
+            if cid in self._conns:
+                if self._owners.get(cid) != ident:
+                    raise _AvaticaForbidden(
+                        f"connection {cid!r} belongs to another identity")
+            elif len(self._conns) >= self.MAX_CONNECTIONS:
                 raise _AvaticaError("too many connections")
-            self._conns.setdefault(cid, {})
+            else:
+                self._conns[cid] = {}
+                self._owners[cid] = ident
         return {"response": "openConnection"}
 
-    def _rq_closeConnection(self, req: dict) -> dict:  # noqa: N802
+    def _rq_closeConnection(self, req: dict, ident=None) -> dict:  # noqa: N802
+        self._conn(req, ident)  # ownership check
         with self._lock:
             conn = self._conns.pop(req.get("connectionId"), None)
+            self._owners.pop(req.get("connectionId"), None)
         for st in (conn or {}).values():
             if st.get("spill") is not None:
                 st["spill"].close()
         return {"response": "closeConnection"}
 
-    def _rq_createStatement(self, req: dict) -> dict:  # noqa: N802
-        conn = self._conn(req)
+    def _rq_createStatement(self, req: dict, ident=None) -> dict:  # noqa: N802
+        conn = self._conn(req, ident)
         with self._lock:
             if len(conn) >= self.MAX_STATEMENTS_PER_CONNECTION:
                 raise _AvaticaError("too many open statements")
@@ -337,8 +381,8 @@ class _Avatica:
                 "connectionId": req.get("connectionId"),
                 "statementId": sid}
 
-    def _rq_closeStatement(self, req: dict) -> dict:  # noqa: N802
-        conn = self._conn(req)
+    def _rq_closeStatement(self, req: dict, ident=None) -> dict:  # noqa: N802
+        conn = self._conn(req, ident)
         with self._lock:
             st = conn.pop(req.get("statementId"), None)
         if st and st.get("spill") is not None:
@@ -360,11 +404,14 @@ class _Avatica:
                 "cursorFactory": {"style": "LIST"}, "parameters": []}
 
     def _run(self, conn: dict[int, dict], sid: int, sql: str,
-             params=None) -> dict:
+             params=None, ident: str | None = None) -> dict:
         if sid not in conn:
             raise _AvaticaError(f"statement {sid} not open")
         if params:
             sql = _bind_parameters(sql, params)
+        # authorize at execution time — 'execute' requests carry no sql
+        # in the HTTP body, so this is the only authorization point
+        self._authorize_sql(ident, sql)
         t0 = time.time()
         df = self.engine.sql(sql)
         qid = f"avatica-{sid}-{uuid.uuid4().hex[:8]}"
@@ -378,7 +425,7 @@ class _Avatica:
         if self.request_logger is not None:
             self.request_logger.log(
                 kind="avatica", detail=sql[:500], status=200,
-                identity=getattr(self, "_ident", None),
+                identity=ident,
                 remote=None, queryId=qid, success=True,
                 query_time_ms=int((time.time() - t0) * 1000))
         old = conn.get(sid) or {}
@@ -406,18 +453,18 @@ class _Avatica:
                 "firstFrame": self._frame(st, 0, first_n),
                 "updateCount": -1}
 
-    def _rq_prepareAndExecute(self, req: dict) -> dict:  # noqa: N802
-        conn = self._conn(req)
+    def _rq_prepareAndExecute(self, req: dict, ident=None) -> dict:  # noqa: N802
+        conn = self._conn(req, ident)
         sid = req.get("statementId")
-        st = self._run(conn, sid, req.get("sql") or "")
+        st = self._run(conn, sid, req.get("sql") or "", ident=ident)
         first = int(req.get("maxRowsInFirstFrame")
                     or req.get("maxRowCount") or -1)
         return {"response": "executeResults",
                 "missingStatement": False,
                 "results": [self._result_set(req, sid, st, first)]}
 
-    def _rq_prepare(self, req: dict) -> dict:  # noqa: N802
-        conn = self._conn(req)
+    def _rq_prepare(self, req: dict, ident=None) -> dict:  # noqa: N802
+        conn = self._conn(req, ident)
         with self._lock:
             if len(conn) >= self.MAX_STATEMENTS_PER_CONNECTION:
                 raise _AvaticaError("too many open statements")
@@ -446,23 +493,23 @@ class _Avatica:
                               "id": sid,
                               "signature": sig}}
 
-    def _rq_execute(self, req: dict) -> dict:  # noqa: N802
+    def _rq_execute(self, req: dict, ident=None) -> dict:  # noqa: N802
         h = req.get("statementHandle") or {}
         rq = {"connectionId": h.get("connectionId")}
-        conn = self._conn(rq)
+        conn = self._conn(rq, ident)
         sid = h.get("id")
         params = [p.get("value") if isinstance(p, dict) else p
                   for p in (req.get("parameterValues") or [])]
         st = self._run(conn, sid, conn.get(sid, {}).get("sql", ""),
-                       params=params)
+                       params=params, ident=ident)
         first = int(req.get("maxRowsInFirstFrame")
                     or req.get("maxRowCount") or -1)
         return {"response": "executeResults",
                 "missingStatement": False,
                 "results": [self._result_set(rq, sid, st, first)]}
 
-    def _rq_fetch(self, req: dict) -> dict:  # noqa: N802
-        conn = self._conn(req)
+    def _rq_fetch(self, req: dict, ident=None) -> dict:  # noqa: N802
+        conn = self._conn(req, ident)
         sid = req.get("statementId")
         st = conn.get(sid)
         if not st or "spill" not in st:
@@ -473,17 +520,21 @@ class _Avatica:
                     int(req.get("fetchMaxRowCount") or -1))}
 
     # JDBC drivers issue these housekeeping calls; ack them
-    def _rq_connectionSync(self, req: dict) -> dict:  # noqa: N802
+    def _rq_connectionSync(self, req: dict, ident=None) -> dict:  # noqa: N802
         return {"response": "connectionSync",
                 "connProps": req.get("connProps") or {}}
 
-    def _rq_syncResults(self, req: dict) -> dict:  # noqa: N802
+    def _rq_syncResults(self, req: dict, ident=None) -> dict:  # noqa: N802
         return {"response": "syncResults", "moreResults": False,
                 "missingStatement": False}
 
 
 class _AvaticaError(RuntimeError):
     pass
+
+
+class _AvaticaForbidden(_AvaticaError):
+    """Authorization failure — surfaced as HTTP 403."""
 
 
 class _Statements:
@@ -518,7 +569,7 @@ class _Statements:
         qid = str(uuid.uuid4())
         rec = {"queryId": qid, "state": "ACCEPTED",
                "createdAt": time.time(), "spill": None, "cols": None,
-               "error": None, "cancel": False}
+               "error": None, "cancel": False, "identity": identity}
         with self._lock:
             self._st[qid] = rec
             done = [q for q, r in self._st.items()
@@ -641,6 +692,14 @@ class _Statements:
                          "errorClass": None, "host": None}
         size = page_size or self.PAGE_SIZE
         return 200, rec["spill"].row_dicts(page * size, size)
+
+    def owner_mismatch(self, qid: str, ident: str | None) -> bool:
+        """True when the statement exists but was submitted by a
+        different identity — the reference's SqlStatementResource
+        rejects status/results/cancel from non-owners (MSQ statements
+        are owner-scoped), so the HTTP layer returns 403."""
+        rec = self._st.get(qid)
+        return rec is not None and rec.get("identity") != ident
 
     def cancel(self, qid: str) -> bool:
         with self._lock:
@@ -1335,6 +1394,17 @@ class _Handler(BaseHTTPRequestHandler):
         elif path.startswith("/druid/v2/sql/statements/"):
             parts = path.split("/")
             st = self.server.statements  # type: ignore[attr-defined]
+            qid = parts[-2] if parts[-1] == "results" else parts[-1]
+            # owner check (SqlStatementResource: status/results are
+            # owner-scoped — another authenticated identity may not
+            # read a statement's results given only its queryId)
+            if st.owner_mismatch(qid, ident):
+                self._send_json(403, {
+                    "error": "Forbidden",
+                    "errorMessage": f"statement {qid} belongs to "
+                                    f"another identity",
+                    "errorClass": None, "host": None})
+                return
             if parts[-1] == "results":
                 q = parse_qs(u.query)
                 try:
@@ -1372,7 +1442,8 @@ class _Handler(BaseHTTPRequestHandler):
                 or path.startswith("/druid/coordinator/v1/lookups/"
                                    "config/"):
             res = [(STATE, "STATE", WRITE)]
-        if self._auth(res) is None:
+        ident = self._auth(res)
+        if ident is None:
             return
         if (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
                           r"__default/([^/]+)$", path)):
@@ -1409,6 +1480,14 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if path.startswith("/druid/v2/sql/statements/"):
             qid = path.split("/")[-1]
+            st = self.server.statements  # type: ignore[attr-defined]
+            if st.owner_mismatch(qid, ident):
+                self._send_json(403, {
+                    "error": "Forbidden",
+                    "errorMessage": f"statement {qid} belongs to "
+                                    f"another identity",
+                    "errorClass": None, "host": None})
+                return
             ok = self.server.statements.cancel(qid)  # type: ignore
             if ok:
                 self._send(202, b"")
@@ -1911,7 +1990,8 @@ class DruidHttpServer:
             request_logger=self.request_logger)
         self._httpd.avatica = _Avatica(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler,
-            request_logger=self.request_logger)
+            request_logger=self.request_logger,
+            authorizer=self._httpd.authorizer)
         self._httpd.overlord = _Overlord(  # type: ignore[attr-defined]
             engine, scheduler=self.scheduler)
         from druid_spark.coordinator import CompactionDuty, RetentionDuty
