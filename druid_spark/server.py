@@ -1792,95 +1792,133 @@ class _Handler(BaseHTTPRequestHandler):
             except (TypeError, ValueError):
                 pass
             cols = df.columns
-            if fmt in ("objectLines", "arrayLines"):
-                # Chunked transfer, rows written straight to the socket
-                # as toLocalIterator yields partitions — the full export
-                # is never held driver-side. The first row is pulled
-                # BEFORE headers go out so fast failures still return a
-                # proper error status; after that, an error truncates
-                # the stream without the trailing blank line that marks
-                # completeness (ResultFormat line protocol).
-                _END = object()
-                # started/aborted share one lock: a timeout raised by
-                # sched.submit BEFORE the worker sent headers must stop
-                # the worker from ever writing to the socket (the
-                # cancel is async — the worker can survive it), or two
-                # responses interleave on the keep-alive connection.
-                state_lock = threading.Lock()
-                state = {"started": False, "aborted": False}
+            # EVERY resultFormat streams row-by-row from toLocalIterator
+            # over chunked transfer — the reference pushes all writers
+            # incrementally (SqlResourceQueryResultPusher.java:110-135
+            # driving ObjectWriter/ArrayWriter/CsvWriter/*LinesWriter),
+            # so a heavy SELECT never materializes driver-side on any
+            # sync format. Writer protocol per format:
+            #   object      [obj,obj,...]\n   header row = {col: null}
+            #   array       [[...],[...]]\n   header row = [cols]
+            #   objectLines obj\n obj\n ...\n  (blank-line trailer)
+            #   arrayLines  [..]\n [..]\n ...\n
+            #   csv         col,col\r\n v,v\r\n ... \n (blank trailer —
+            #               CsvWriter.writeResponseEnd:56-63)
+            # The first row is pulled BEFORE headers go out so fast
+            # failures still return a proper error status; after that,
+            # an error truncates the stream without the completeness
+            # marker (the trailer / closing bracket).
+            lines = fmt in ("objectLines", "arrayLines")
+            if fmt == "csv":
+                ctype = "text/csv; charset=utf-8"
+            elif lines:
+                ctype = "text/plain; charset=utf-8"
+            else:
+                ctype = "application/json"
+            import csv as _csv
 
-                def stream() -> None:
-                    it = df.toLocalIterator()
-                    first = next(it, _END)
-                    with state_lock:
-                        if state["aborted"]:
-                            return
-                        state["started"] = True
-                        self.send_response(200)
-                        self.send_header("Content-Type",
-                                         "text/plain; charset=utf-8")
-                        self.send_header("X-Druid-Query-Id", qid)
-                        self.send_header("Transfer-Encoding", "chunked")
-                        self.end_headers()
+            def render(r) -> bytes:
+                d = {k: json_safe(v)
+                     for k, v in r.asDict(recursive=True).items()}
+                if fmt in ("object", "objectLines"):
+                    b = json.dumps(d).encode()
+                elif fmt == "csv":
+                    sb = io.StringIO()
+                    _csv.writer(sb).writerow(
+                        ["" if d[c] is None else d[c] for c in cols])
+                    return sb.getvalue().encode()
+                else:  # array / arrayLines
+                    b = json.dumps([d[c] for c in cols]).encode()
+                return b + b"\n" if lines else b
 
-                    def chunk(b: bytes) -> None:
+            def header_bytes() -> bytes | None:
+                if not header:
+                    return None
+                if fmt == "array":
+                    return json.dumps(cols).encode()
+                if fmt == "arrayLines":
+                    return json.dumps(cols).encode() + b"\n"
+                if fmt == "object":
+                    # ObjectWriter.writeHeader:148-160 — an object of
+                    # {column: null} leads the array
+                    return json.dumps({c: None for c in cols}).encode()
+                if fmt == "csv":
+                    sb = io.StringIO()
+                    _csv.writer(sb).writerow(cols)
+                    return sb.getvalue().encode()
+                return None  # objectLines has no header form
+
+            json_array = fmt in ("object", "array")
+            # started/aborted share one lock: a timeout raised by
+            # sched.submit BEFORE the worker sent headers must stop
+            # the worker from ever writing to the socket (the
+            # cancel is async — the worker can survive it), or two
+            # responses interleave on the keep-alive connection.
+            _END = object()
+            state_lock = threading.Lock()
+            state = {"started": False, "aborted": False}
+
+            def stream() -> None:
+                it = df.toLocalIterator()
+                first = next(it, _END)
+                with state_lock:
+                    if state["aborted"]:
+                        return
+                    state["started"] = True
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("X-Druid-Query-Id", qid)
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                buf = bytearray()
+
+                def out(b: bytes, flush: bool = False) -> None:
+                    # coalesce rows into ~64 KiB chunks: one TCP-ish
+                    # write per row would dominate wide exports
+                    buf.extend(b)
+                    if flush or len(buf) >= 65536:
                         self.wfile.write(
-                            f"{len(b):X}\r\n".encode() + b + b"\r\n")
+                            f"{len(buf):X}\r\n".encode() + bytes(buf)
+                            + b"\r\n")
+                        buf.clear()
 
-                    def line(r) -> bytes:
-                        d = {k: json_safe(v)
-                             for k, v in r.asDict(recursive=True).items()}
-                        return ((json.dumps(d) if fmt == "objectLines"
-                                 else json.dumps([d[c] for c in cols]))
-                                .encode() + b"\n")
+                emitted = False
+                if json_array:
+                    out(b"[")
+                hb = header_bytes()
+                if hb is not None:
+                    out(hb)
+                    emitted = True
+                if first is not _END:
+                    if emitted and json_array:
+                        out(b",")
+                    out(render(first))
+                    for r in it:
+                        if json_array:
+                            out(b",")
+                        out(render(r))
+                # completeness marker: closing bracket + LF for JSON
+                # arrays (ObjectWriter.writeResponseEnd), trailing
+                # blank line for line/csv formats
+                out(b"]\n" if json_array else b"\n", flush=True)
+                self.wfile.write(b"0\r\n\r\n")
 
-                    if header and fmt == "arrayLines":
-                        chunk(json.dumps(cols).encode() + b"\n")
-                    if first is not _END:
-                        chunk(line(first))
-                        for r in it:
-                            chunk(line(r))
-                    # trailing blank line = complete (ResultFormat)
-                    chunk(b"\n")
-                    self.wfile.write(b"0\r\n\r\n")
-
-                try:
-                    sched.submit(
-                        qid, stream,
-                        lane=QueryScheduler.compute_lane(ctx),
-                        timeout_ms=_timeout_ms(ctx))
-                except Exception:
-                    with state_lock:
-                        if state["started"]:
-                            # headers already sent: the closed
-                            # connection (no completeness marker) is
-                            # the error signal
-                            self.close_connection = True
-                            return
-                        state["aborted"] = True
-                    raise
-                return
-            rows = sched.submit(
-                qid, df.collect, lane=QueryScheduler.compute_lane(ctx),
-                timeout_ms=_timeout_ms(ctx))
-            rows = _row_dicts(rows)
-            if fmt == "array":
-                out: Any = [[r[c] for c in cols] for r in rows]
-                if header:
-                    out.insert(0, cols)
-                self._send_json(200, out, qid)
-            elif fmt == "csv":
-                import csv as _csv
-                sbuf = io.StringIO()
-                w = _csv.writer(sbuf)
-                if header:
-                    w.writerow(cols)
-                for r in rows:
-                    w.writerow(["" if r[c] is None else r[c] for c in cols])
-                self._send(200, sbuf.getvalue().encode(),
-                           "text/csv; charset=utf-8", qid)
-            else:  # object (default)
-                self._send_json(200, rows, qid)
+            try:
+                sched.submit(
+                    qid, stream,
+                    lane=QueryScheduler.compute_lane(ctx),
+                    timeout_ms=_timeout_ms(ctx))
+            except Exception:
+                with state_lock:
+                    if state["started"]:
+                        # headers already sent: the closed
+                        # connection (no completeness marker) is
+                        # the error signal
+                        self.close_connection = True
+                        return
+                    state["aborted"] = True
+                raise
+            return
         except QueryCapacityExceededError as e:
             self._send_json(429, error_body("Query capacity exceeded", e), qid)
         except QueryTimeoutError as e:

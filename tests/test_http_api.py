@@ -750,3 +750,57 @@ def test_bulk_lookup_post_and_worker_config(server):
     assert st == 200
     st, cfg = _get(server, "/druid/indexer/v1/worker")
     assert cfg["selectStrategy"]["type"] == "equalDistribution"
+
+
+def test_sync_sql_all_formats_stream_no_driver_collect(server):
+    """Round-6: EVERY sync resultFormat (object/array/csv included)
+    streams from toLocalIterator over chunked transfer — the reference
+    pushes all writers incrementally
+    (SqlResourceQueryResultPusher.java:110-135 with ObjectWriter/
+    ArrayWriter/CsvWriter), so a multi-100k-row SELECT through plain
+    POST /druid/v2/sql never calls DataFrame.collect."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    orig = _CDF.collect
+
+    def boom(self):
+        raise AssertionError("driver-side collect on sync SQL path")
+
+    _CDF.collect = boom
+    try:
+        q = "SELECT id AS x FROM range(250000) ORDER BY id"
+        # object (the default)
+        status, body, headers = _post(server, "/druid/v2/sql",
+                                      {"query": q})
+        assert status == 200 and len(body) == 250000
+        assert body[0] == {"x": 0} and body[-1] == {"x": 249999}
+        # array with header
+        status, body, _ = _post(server, "/druid/v2/sql", {
+            "query": q, "resultFormat": "array", "header": True})
+        assert status == 200 and body[0] == ["x"] and len(body) == 250001
+        assert body[1] == [0] and body[-1] == [249999]
+        # csv with header + blank-line completeness trailer
+        # (CsvWriter.writeResponseEnd:56-63)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/druid/v2/sql",
+            data=json.dumps({"query": q, "resultFormat": "csv",
+                             "header": True}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            text = r.read().decode()
+            assert r.headers["Content-Type"].startswith("text/csv")
+        assert text.endswith("\n\n") or text.endswith("\r\n\n")
+        lines = [ln for ln in text.strip().splitlines() if ln]
+        assert lines[0] == "x" and len(lines) == 250001
+        assert lines[1] == "0" and lines[-1] == "249999"
+    finally:
+        _CDF.collect = orig
+
+
+def test_sync_sql_object_header_row(server):
+    """header=true on the object format leads the array with a
+    {column: null} object (ObjectWriter.writeHeader:148-160)."""
+    status, body, _ = _post(server, "/druid/v2/sql", {
+        "query": "SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 2",
+        "header": True})
+    assert status == 200
+    assert body[0] == {"n_name": None} and len(body) == 3
