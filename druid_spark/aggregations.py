@@ -59,45 +59,66 @@ THETA_SETOP_TYPES = {"thetaSketchSetOp"}
 TUPLE_SETOP_TYPES = {"arrayOfDoublesSketchSetOp"}
 
 
-def tuple_map_state(key, metrics: list):
-    """Exact arrayOfDoublesSketch state for set-op consumers: a
-    map<string, array<double>> of per-distinct-key metric sums.
+#: ThetaUtil.DEFAULT_NOMINAL_ENTRIES — the reference's default sketch
+#: size (ArrayOfDoublesSketchAggregatorFactory.java:78)
+TUPLE_DEFAULT_NOMINAL = 4096
 
-    Built as ONE aggregate expression: sort the collected (key, values)
-    entries, then fold once — summing while the key repeats, appending
-    a map entry at each key change. Every lambda touches only its
-    accumulator and element (expressions referencing OUTER arrays
-    inside a higher-order lambda are re-evaluated per element — that
-    shape is O(n²) and must be avoided). Cost: O(n log n) sort +
-    O(d²) map appends in DISTINCT keys per group, bounded in practice
-    by sketch-sized key sets (the reference caps the sketch at
-    nominalEntries by sampling — extensions-core/datasketches/.../
-    ArrayOfDoublesSketchAggregatorFactory.java); memory contract
-    matches the theta_sets collect_set state."""
+
+def tuple_map_state(key, metrics: list,
+                    cap: int = TUPLE_DEFAULT_NOMINAL):
+    """arrayOfDoublesSketch state for set-op consumers: a
+    map<string, array<double>> of per-key metric sums, BOUNDED at
+    `cap` (nominalEntries) entries.
+
+    Built as ONE aggregate expression: sort the collected
+    (hash, key, values) entries by the key's 64-bit hash, then fold
+    once — summing while the key repeats, appending a map entry at
+    each key change, and STOPPING once the map holds `cap` keys.
+    Because entries arrive in hash order, every skipped key has a
+    strictly larger hash than every retained one, so the retained set
+    is exactly the bottom-`cap` keys by hash — the KMV sample the
+    reference's sketch keeps when it exceeds nominalEntries
+    (extensions-core/datasketches/.../
+    ArrayOfDoublesSketchAggregatorFactory.java). Below the cap the
+    state is the full exact map (oracle-checkable); above it,
+    per-group fold memory is O(cap × metrics) instead of O(distinct
+    keys × metrics). Every lambda touches only its accumulator and
+    element (expressions referencing OUTER arrays inside a
+    higher-order lambda are re-evaluated per element — that shape is
+    O(n²) and must be avoided)."""
+    kstr = key.cast("string")
     entry = F.struct(
-        key.cast("string").alias("k"),
+        F.xxhash64(kstr).alias("h"), kstr.alias("k"),
         F.array(*[m.cast("double") for m in metrics]).alias("vs"))
     entries = F.sort_array(
         F.collect_list(F.when(key.isNotNull(), entry)))
     zeros = F.array_repeat(F.lit(0.0), len(metrics))
     empty = F.from_json(F.lit("{}"), "map<string,array<double>>")
 
-    def state(m, k, acc):
-        return F.struct(m.alias("m"), k.alias("k"), acc.alias("acc"))
+    def state(m, k, acc, d):
+        return F.struct(m.alias("m"), k.alias("k"), acc.alias("acc"),
+                        d.alias("d"))
 
     def flush(s):
         return F.map_concat(s["m"], F.create_map(s["k"], s["acc"]))
 
     return F.aggregate(
         entries,
-        state(empty, F.lit(None).cast("string"), zeros),
+        state(empty, F.lit(None).cast("string"), zeros, F.lit(False)),
         lambda s, e: F.when(
-            s["k"].isNull(), state(s["m"], e["k"], e["vs"])
+            s["d"], s
+        ).when(
+            s["k"].isNull(), state(s["m"], e["k"], e["vs"], F.lit(False))
         ).when(
             e["k"] == s["k"],
             state(s["m"], s["k"],
-                  F.zip_with(s["acc"], e["vs"], lambda x, y: x + y))
-        ).otherwise(state(flush(s), e["k"], e["vs"])),
+                  F.zip_with(s["acc"], e["vs"], lambda x, y: x + y),
+                  F.lit(False))
+        ).when(
+            F.size(s["m"]) + 1 >= F.lit(cap),
+            state(flush(s), F.lit(None).cast("string"), zeros,
+                  F.lit(True))
+        ).otherwise(state(flush(s), e["k"], e["vs"], F.lit(False))),
         lambda s: F.when(s["k"].isNull(), s["m"]).otherwise(flush(s)))
 # arrayOfDoublesSketch (tuple sketch) finalizer post-aggs. Exact mode:
 # the "sketch" is a struct of {n = exact distinct key count, sums =
@@ -527,7 +548,9 @@ class AggCompiler:
                 # per-key metric-sum map (see tuple_map_state)
                 return tuple_map_state(
                     key,
-                    [res(mc) for mc in agg.get("metricColumns") or []])
+                    [res(mc) for mc in agg.get("metricColumns") or []],
+                    cap=max(2, int(agg.get("nominalEntries")
+                                   or TUPLE_DEFAULT_NOMINAL)))
             sums = [F.sum(F.when(key.isNotNull(), res(mc)).cast("double"))
                     for mc in agg.get("metricColumns") or []]
             n = F.count_distinct(key)

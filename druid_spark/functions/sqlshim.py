@@ -272,40 +272,70 @@ def _bloom_filter_test(args):
 _TDW = re.compile(r"(?is)^\s*DS_TUPLE_DOUBLES\s*\((.*)\)\s*$")
 
 
-def _tuple_args(a: str) -> list[str] | None:
-    """DS_TUPLE_DOUBLES(key, m1..mn[, nominalEntries]) -> [key, m1..]."""
+#: ThetaUtil.DEFAULT_NOMINAL_ENTRIES — the reference's default sketch
+#: size (ArrayOfDoublesSketchAggregatorFactory.java:78)
+_TUPLE_DEFAULT_NOMINAL = 4096
+
+
+def _tuple_args(a: str) -> tuple[list[str], int] | None:
+    """DS_TUPLE_DOUBLES(key, m1..mn[, nominalEntries]) ->
+    ([key, m1..], nominalEntries)."""
     m = _TDW.match(a)
     if not m:
         return None
     xs = _top_split(m.group(1))
-    if len(xs) > 1 and re.fullmatch(r"\d+", xs[-1]):
+    cap = _TUPLE_DEFAULT_NOMINAL
+    if len(xs) > 1 and re.fullmatch(r"\d+", xs[-1].strip()):
+        cap = max(2, int(xs[-1]))
         xs = xs[:-1]
-    return xs
+    return xs, cap
 
 
 _TUPLE_SETOP_RE = re.compile(
     r"(?is)^\s*DS_TUPLE_DOUBLES_(INTERSECT|UNION|NOT)\s*\((.*)\)\s*$")
 
 
-def _tuple_map_state_sql(key: str, metrics: list[str]) -> str:
+def _tuple_map_state_sql(key: str, metrics: list[str],
+                         cap: int = _TUPLE_DEFAULT_NOMINAL) -> str:
     """SQL text of the per-key metric-sum map state — the textual twin
     of aggregations.tuple_map_state (same single-fold build over the
-    sorted entries, same cost/memory contract)."""
+    sorted entries, same cost/memory contract).
+
+    nominalEntries bounds the state (round 6): entries sort by the
+    key's 64-bit hash, and the fold stops admitting NEW keys once the
+    map holds `cap` entries — since later entries have strictly larger
+    hashes, the retained set is exactly the bottom-`cap` keys by hash,
+    the classic KMV sample the reference's sketch keeps
+    (ArrayOfDoublesSketchAggregatorFactory.java nominalEntries). Below
+    the cap the state is the full exact map (the oracle-checkable
+    mode); above it, per-group memory is O(cap × metrics)."""
     vs = ", ".join(f"CAST({m} AS DOUBLE)" for m in metrics)
     zeros = f"array_repeat(CAST(0.0 AS DOUBLE), {len(metrics)})"
     entry = (f"CASE WHEN {key} IS NOT NULL THEN named_struct("
+             f"'h', xxhash64(CAST({key} AS STRING)), "
              f"'k', CAST({key} AS STRING), 'vs', array({vs})) END")
+
+    def st(m, k, acc, d):
+        return (f"named_struct('m', {m}, 'k', {k}, 'acc', {acc}, "
+                f"'d', {d})")
+
     return (
         "aggregate("
         f"sort_array(collect_list({entry})), "
-        "named_struct('m', from_json('{}', 'map<string,array<double>>'),"
-        f" 'k', CAST(NULL AS STRING), 'acc', {zeros}), "
-        "(s, e) -> CASE WHEN s.k IS NULL THEN "
-        "named_struct('m', s.m, 'k', e.k, 'acc', e.vs) "
-        "WHEN e.k = s.k THEN named_struct('m', s.m, 'k', s.k, "
-        "'acc', zip_with(s.acc, e.vs, (x, y) -> x + y)) "
-        "ELSE named_struct('m', map_concat(s.m, map(s.k, s.acc)), "
-        "'k', e.k, 'acc', e.vs) END, "
+        + st("from_json('{}', 'map<string,array<double>>')",
+             "CAST(NULL AS STRING)", zeros, "false") + ", "
+        "(s, e) -> CASE "
+        "WHEN s.d THEN s "
+        "WHEN s.k IS NULL THEN "
+        + st("s.m", "e.k", "e.vs", "false") + " "
+        "WHEN e.k = s.k THEN "
+        + st("s.m", "s.k", "zip_with(s.acc, e.vs, (x, y) -> x + y)",
+             "false") + " "
+        f"WHEN size(s.m) + 1 >= {cap} THEN "
+        + st("map_concat(s.m, map(s.k, s.acc))", "CAST(NULL AS STRING)",
+             zeros, "true") + " "
+        "ELSE " + st("map_concat(s.m, map(s.k, s.acc))", "e.k", "e.vs",
+                     "false") + " END, "
         "s -> CASE WHEN s.k IS NULL THEN s.m "
         "ELSE map_concat(s.m, map(s.k, s.acc)) END)")
 
@@ -343,9 +373,10 @@ def _tuple_expand(a: str) -> tuple[str, int] | None:
                        f"(k, a, b) -> CASE WHEN b IS NULL THEN a END), "
                        f"(k, v) -> v IS NOT NULL)")
         return out, n
-    xs = _tuple_args(a)
-    if xs and len(xs) >= 2:
-        return _tuple_map_state_sql(xs[0], xs[1:]), len(xs) - 1
+    ta = _tuple_args(a)
+    if ta and len(ta[0]) >= 2:
+        xs, cap = ta
+        return _tuple_map_state_sql(xs[0], xs[1:], cap), len(xs) - 1
     return None
 
 
@@ -362,10 +393,10 @@ def _tuple_metrics_sum(args):
                 f"(acc, v) -> zip_with(acc, v, (x, y) -> x + y))")
     # exact mode: every update folds its values into the key's entry,
     # so the across-entries metric total is the plain column SUM
-    xs = _tuple_args(args[0])
-    if not xs or len(xs) < 2:
+    ta = _tuple_args(args[0])
+    if not ta or len(ta[0]) < 2:
         return None
-    sums = ", ".join(f"CAST(SUM({x}) AS DOUBLE)" for x in xs[1:])
+    sums = ", ".join(f"CAST(SUM({x}) AS DOUBLE)" for x in ta[0][1:])
     return f"array({sums})"
 
 
@@ -376,10 +407,10 @@ def _tuple_estimate(args):
         exp = _tuple_expand(args[0])
         return (f"CAST(size({exp[0]}) AS DOUBLE)"
                 if exp is not None else None)
-    xs = _tuple_args(args[0])
-    if not xs:
+    ta = _tuple_args(args[0])
+    if not ta:
         return None
-    return f"CAST(COUNT(DISTINCT {xs[0]}) AS DOUBLE)"
+    return f"CAST(COUNT(DISTINCT {ta[0][0]}) AS DOUBLE)"
 
 
 def _tuple_setop_standalone(op: str, args):

@@ -447,3 +447,44 @@ def test_tuple_sketch_set_ops(engine):
     assert r["uni"] == float(o[1])
     assert r["anotb"] == o[2]
     assert abs(r["isum"][0] - float(o[3])) < 1e-6
+
+
+def test_tuple_sketch_nominal_entries_bounds_state(engine):
+    """Round 6: nominalEntries caps the tuple-sketch map state at the
+    bottom-k keys by hash (the KMV sample the reference retains —
+    ArrayOfDoublesSketchAggregatorFactory.java nominalEntries).
+    With key cardinality >> cap, the state holds exactly `cap` entries;
+    below the cap behavior is the exact map (existing oracle tests)."""
+    # SQL surface: two identically-capped builds over the same
+    # high-cardinality key retain the SAME bottom-64 hash sample, so
+    # UNION of the two has exactly 64 entries and INTERSECT == UNION.
+    row = engine.sql("""
+        SELECT DS_TUPLE_DOUBLES_ESTIMATE(DS_TUPLE_DOUBLES_UNION(
+                 DS_TUPLE_DOUBLES(l_orderkey, l_quantity, 64),
+                 DS_TUPLE_DOUBLES(l_orderkey, l_quantity, 64))) AS uni,
+               DS_TUPLE_DOUBLES_ESTIMATE(DS_TUPLE_DOUBLES_INTERSECT(
+                 DS_TUPLE_DOUBLES(l_orderkey, l_quantity, 64),
+                 DS_TUPLE_DOUBLES(l_orderkey, l_quantity, 64))) AS inter,
+               CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS exact
+        FROM lineitem""").collect()[0]
+    assert row["exact"] > 1000  # cardinality >> cap
+    assert row["uni"] == 64.0 and row["inter"] == 64.0
+    # native surface: nominalEntries on the aggregator spec
+    from pyspark.sql import functions as F
+    from druid_spark.aggregations import tuple_map_state
+    li = engine.catalog.table("lineitem")
+    m = li.agg(tuple_map_state(
+        F.col("l_orderkey"), [F.col("l_quantity")], cap=32
+    ).alias("m")).collect()[0]["m"]
+    assert len(m) == 32
+    # retained keys are the bottom-32 by xxhash64 (KMV invariant)
+    hashes = li.select(
+        F.xxhash64(F.col("l_orderkey").cast("string")).alias("h"),
+        F.col("l_orderkey").cast("string").alias("k")
+    ).distinct().orderBy("h").limit(32).collect()
+    assert set(m.keys()) == {r["k"] for r in hashes}
+    # metric sums inside the retained entries are the exact per-key sums
+    ok = sorted(m.keys())[0]
+    exact = li.where(F.col("l_orderkey").cast("string") == ok) \
+              .agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(m[ok][0] - float(exact)) < 1e-6
