@@ -75,7 +75,14 @@ class Catalog:
         self._tables: dict[str, DataFrame] = {}
         # name -> (path, time_column): registered but not yet read
         self._pending: dict[str, tuple[str, str | None]] = {}
-        self._lookups: dict[str, dict] = {}
+        # lookup registry by tier (LookupCoordinatorResource manages
+        # {tier: {name: spec}}; `__default` is the reference's
+        # LookupCoordinatorResource DEFAULT_TIER). Non-default tiers
+        # resolve under the qualified name "tier/name" everywhere a
+        # lookup name is accepted (LOOKUP(), lookup filters/extraction,
+        # join datasources).
+        self._lookup_tiers: dict[str, dict[str, dict]] = {
+            "__default": {}}
         # bumped on any registration; lets the SQL layer skip re-creating
         # temp views when nothing changed (a py4j round trip per table
         # per sql() call otherwise)
@@ -139,16 +146,27 @@ class Catalog:
         self._reg_serial[name] = self._reg_serial.get(name, 0) + 1
         self.version += 1
 
-    def register_lookup(self, name: str, mapping: dict[str, Any]) -> None:
-        self._lookups[name] = mapping
+    def register_lookup(self, name: str, mapping: dict[str, Any],
+                        tier: str = "__default") -> None:
+        self._lookup_tiers.setdefault(tier, {})[name] = mapping
         self.version += 1
 
-    def drop_lookup(self, name: str) -> bool:
-        if name in self._lookups:
-            del self._lookups[name]
+    def drop_lookup(self, name: str, tier: str = "__default") -> bool:
+        d = self._lookup_tiers.get(tier, {})
+        if name in d:
+            del d[name]
+            if not d and tier != "__default":
+                del self._lookup_tiers[tier]
             self.version += 1
             return True
         return False
+
+    def lookup_tiers(self) -> list[str]:
+        return sorted(self._lookup_tiers)
+
+    def tier_lookups(self, tier: str) -> dict[str, dict] | None:
+        """Lookup name → mapping for one tier; None if no such tier."""
+        return self._lookup_tiers.get(tier)
 
     def _materialize(self, name: str) -> DataFrame:
         # read + normalize BEFORE popping _pending: if the read raises
@@ -174,15 +192,23 @@ class Catalog:
         return self._tables[name]
 
     def lookup(self, name: str) -> dict:
-        return self._lookups[name]
+        return self.lookups[name]
 
     def lookup_df(self, name: str) -> DataFrame:
-        rows = [(str(k), str(v)) for k, v in self._lookups[name].items()]
+        rows = [(str(k), str(v)) for k, v in self.lookup(name).items()]
         return self.spark.createDataFrame(rows, ["k", "v"])
 
     @property
     def lookups(self) -> dict[str, dict]:
-        return self._lookups
+        """Flat resolution view: default-tier lookups under their plain
+        name, other tiers under 'tier/name'."""
+        out = dict(self._lookup_tiers.get("__default", {}))
+        for tier, d in self._lookup_tiers.items():
+            if tier == "__default":
+                continue
+            for n, m in d.items():
+                out[f"{tier}/{n}"] = m
+        return out
 
     def tables(self) -> list[str]:
         return sorted(set(self._tables) | set(self._pending))

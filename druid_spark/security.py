@@ -42,12 +42,18 @@ class Authenticator:
 
 class BasicAuthenticator(Authenticator):
     """HTTP Basic auth against a user→password map (the
-    basic-security extension's BasicHTTPAuthenticator analog)."""
+    basic-security extension's BasicHTTPAuthenticator analog).
+
+    Runtime user administration mirrors BasicAuthenticatorResource
+    (extensions-core/druid-basic-security/.../authentication/endpoint/
+    BasicAuthenticatorResource.java): create/delete users and set
+    credentials over HTTP. A created user without credentials exists
+    but cannot authenticate (password None never matches)."""
 
     challenge = 'Basic realm="druid"'
 
-    def __init__(self, users: dict[str, str]):
-        self.users = dict(users)
+    def __init__(self, users: dict[str, str] | None = None):
+        self.users: dict[str, str | None] = dict(users or {})
 
     def authenticate(self, headers) -> str | None:
         h = headers.get("Authorization") or ""
@@ -58,7 +64,30 @@ class BasicAuthenticator(Authenticator):
                 h[len("Basic "):].strip()).decode("utf-8").partition(":")
         except Exception:
             return None
-        return user if self.users.get(user) == pw else None
+        stored = self.users.get(user)
+        return user if stored is not None and stored == pw else None
+
+    # ------------------------------------------- runtime administration
+    def user_names(self) -> list[str]:
+        return sorted(self.users)
+
+    def create_user(self, name: str) -> bool:
+        """True if created, False if it already existed."""
+        if name in self.users:
+            return False
+        self.users[name] = None
+        return True
+
+    def delete_user(self, name: str) -> bool:
+        return self.users.pop(name, "\0missing") != "\0missing"
+
+    def set_credentials(self, name: str, password: str) -> bool:
+        """Set a user's password (BasicAuthenticatorResource
+        updateUserCredentials). False if the user doesn't exist."""
+        if name not in self.users:
+            return False
+        self.users[name] = password
+        return True
 
 
 class HeaderTokenAuthenticator(Authenticator):
@@ -101,6 +130,117 @@ class MapAuthorizer(Authorizer):
             if rt == rtype and act == action and pat.fullmatch(name or ""):
                 return True
         return False
+
+
+class BasicRoleBasedAuthorizer(Authorizer):
+    """Users→roles→permissions authorizer with runtime administration —
+    the BasicRoleBasedAuthorizer + BasicAuthorizerResource analog
+    (extensions-core/druid-basic-security/.../authorization/endpoint/
+    BasicAuthorizerResource.java): users are assigned roles, roles
+    carry permission triples, and all three levels are managed over
+    HTTP. A permission is (resource_type, name_regex, action); the
+    name pattern is a full-match regex like the reference's
+    ResourceAction pattern matching."""
+
+    def __init__(self,
+                 users: dict[str, Iterable[str]] | None = None,
+                 roles: dict[str, list[tuple[str, str, str]]]
+                 | None = None):
+        self.users: dict[str, set[str]] = {
+            u: set(rs) for u, rs in (users or {}).items()}
+        self.roles: dict[str, list[tuple[str, str, str]]] = {
+            r: list(ps) for r, ps in (roles or {}).items()}
+        self._compiled: dict[str, re.Pattern] = {}
+
+    def _pat(self, pat: str) -> re.Pattern:
+        c = self._compiled.get(pat)
+        if c is None:
+            c = self._compiled[pat] = re.compile(pat)
+        return c
+
+    def authorize(self, identity, rtype, name, action) -> bool:
+        for role in self.users.get(identity, ()):
+            for rt, pat, act in self.roles.get(role, ()):
+                if rt == rtype and act == action and \
+                        self._pat(pat).fullmatch(name or ""):
+                    return True
+        return False
+
+    # ------------------------------------------- runtime administration
+    def user_names(self) -> list[str]:
+        return sorted(self.users)
+
+    def role_names(self) -> list[str]:
+        return sorted(self.roles)
+
+    def get_user(self, name: str) -> dict | None:
+        if name not in self.users:
+            return None
+        return {"name": name, "roles": sorted(self.users[name])}
+
+    def get_role(self, name: str) -> dict | None:
+        if name not in self.roles:
+            return None
+        return {"name": name,
+                "permissions": [
+                    {"resource": {"type": rt, "name": pat},
+                     "action": act}
+                    for rt, pat, act in self.roles[name]]}
+
+    def create_user(self, name: str) -> bool:
+        if name in self.users:
+            return False
+        self.users[name] = set()
+        return True
+
+    def delete_user(self, name: str) -> bool:
+        return self.users.pop(name, None) is not None
+
+    def create_role(self, name: str) -> bool:
+        if name in self.roles:
+            return False
+        self.roles[name] = []
+        return True
+
+    def delete_role(self, name: str) -> bool:
+        if name not in self.roles:
+            return False
+        del self.roles[name]
+        for rs in self.users.values():
+            rs.discard(name)
+        return True
+
+    def assign_role(self, user: str, role: str) -> bool:
+        if user not in self.users or role not in self.roles:
+            return False
+        self.users[user].add(role)
+        return True
+
+    def unassign_role(self, user: str, role: str) -> bool:
+        if user not in self.users or role not in self.users[user]:
+            return False
+        self.users[user].discard(role)
+        return True
+
+    def set_permissions(self, role: str, perms: list[dict]) -> bool:
+        """Replace a role's permissions (BasicAuthorizerResource
+        setRolePermissions). Each perm is the reference JSON shape
+        {"resource": {"type": ..., "name": <regex>}, "action": ...};
+        bad regexes raise ValueError (the reference 400s)."""
+        if role not in self.roles:
+            return False
+        triples = []
+        for p in perms:
+            res = p.get("resource") or {}
+            rt, pat = res.get("type"), res.get("name", "")
+            act = p.get("action")
+            try:
+                re.compile(pat)
+            except re.error as e:
+                raise ValueError(f"bad permission regex {pat!r}: {e}")
+            triples.append((rt, pat, act))
+        self.roles[role] = triples
+        return True
 
 
 # ------------------------------------------------ resource collection

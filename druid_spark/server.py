@@ -1075,6 +1075,140 @@ class _Handler(BaseHTTPRequestHandler):
     def _sql_res(self, text: str):
         return sql_resources(self.engine.catalog.tables(), text or "")
 
+    # ------------------------------------- basic-security administration
+    # BasicAuthenticatorResource / BasicAuthorizerResource analogs
+    # (extensions-core/druid-basic-security/.../endpoint/): runtime
+    # user/role/permission management over HTTP against the wired
+    # authenticator/authorizer. The {authenticatorName}/{authorizerName}
+    # path segment is accepted verbatim — this single-process server has
+    # one instance per kind serving every name. Every mutation is
+    # audit-logged (AuditManager analog).
+    _SEC_RE = re.compile(
+        r"^/druid-ext/basic-security/(authentication|authorization)"
+        r"/db/[^/]+(/.*)?$")
+
+    def _sec_backend(self, kind: str):
+        """The configured instance, or None when it doesn't support
+        runtime administration (e.g. the allow-all defaults)."""
+        if kind == "authentication":
+            be = getattr(self.server, "authenticator", None)
+            return be if hasattr(be, "create_user") else None
+        be = getattr(self.server, "authorizer", None)
+        return be if hasattr(be, "create_role") else None
+
+    def _sec_404(self, msg: str) -> None:
+        self._send_json(404, {"error": "Not found", "errorMessage": msg,
+                              "errorClass": None, "host": None})
+
+    def _security_get(self, path: str) -> None:
+        m = self._SEC_RE.match(path)
+        if not m:
+            return self._sec_404(path)
+        kind, rest = m.group(1), (m.group(2) or "").strip("/")
+        be = self._sec_backend(kind)
+        if be is None:
+            return self._sec_404(f"no administrable {kind} backend")
+        parts = rest.split("/") if rest else []
+        if kind == "authentication":
+            if parts == ["users"]:
+                return self._send_json(200, be.user_names())
+            if len(parts) == 2 and parts[0] == "users":
+                if parts[1] not in be.users:
+                    return self._sec_404(parts[1])
+                return self._send_json(200, {
+                    "username": parts[1],
+                    "credentials": (
+                        {"set": be.users[parts[1]] is not None})})
+        else:
+            if parts == ["users"]:
+                return self._send_json(200, be.user_names())
+            if parts == ["roles"]:
+                return self._send_json(200, be.role_names())
+            if len(parts) == 2 and parts[0] in ("users", "roles"):
+                out = (be.get_user(parts[1]) if parts[0] == "users"
+                       else be.get_role(parts[1]))
+                if out is None:
+                    return self._sec_404(parts[1])
+                return self._send_json(200, out)
+        self._sec_404(path)
+
+    def _security_mutate(self, path: str, body, ident,
+                         method: str) -> None:
+        m = self._SEC_RE.match(path)
+        if not m:
+            return self._sec_404(path)
+        kind, rest = m.group(1), (m.group(2) or "").strip("/")
+        be = self._sec_backend(kind)
+        if be is None:
+            return self._sec_404(f"no administrable {kind} backend")
+        parts = rest.split("/") if rest else []
+
+        def done(ok: bool, action: str, status: int = 200,
+                 fail: int = 404) -> None:
+            if ok:
+                self.server.audit.record(  # type: ignore[attr-defined]
+                    key=path, type_="basic-security",
+                    payload={"action": action, "method": method,
+                             "body": body if isinstance(body, (dict, list))
+                             else None},
+                    author=ident, ip=self.client_address[0])
+                self._send_json(status, {})
+            else:
+                self._send_json(fail, {
+                    "error": "Invalid request", "errorMessage": rest,
+                    "errorClass": None, "host": None})
+
+        if kind == "authentication":
+            if len(parts) == 2 and parts[0] == "users":
+                if method == "POST":
+                    return done(be.create_user(parts[1]), "createUser",
+                                fail=400)
+                return done(be.delete_user(parts[1]), "deleteUser")
+            if len(parts) == 3 and parts[0] == "users" and \
+                    parts[2] == "credentials" and method == "POST":
+                pw = (body or {}).get("password")
+                if not isinstance(pw, str):
+                    return self._send_json(400, {
+                        "error": "Invalid request",
+                        "errorMessage": "missing password",
+                        "errorClass": None, "host": None})
+                return done(be.set_credentials(parts[1], pw),
+                            "updateCredentials")
+        else:
+            if len(parts) == 2 and parts[0] == "users":
+                if method == "POST":
+                    return done(be.create_user(parts[1]), "createUser",
+                                fail=400)
+                return done(be.delete_user(parts[1]), "deleteUser")
+            if len(parts) == 2 and parts[0] == "roles":
+                if method == "POST":
+                    return done(be.create_role(parts[1]), "createRole",
+                                fail=400)
+                return done(be.delete_role(parts[1]), "deleteRole")
+            if len(parts) == 4 and parts[0] == "users" and \
+                    parts[2] == "roles":
+                if method == "POST":
+                    return done(be.assign_role(parts[1], parts[3]),
+                                "assignRole")
+                return done(be.unassign_role(parts[1], parts[3]),
+                            "unassignRole")
+            if len(parts) == 3 and parts[0] == "roles" and \
+                    parts[2] == "permissions" and method == "POST":
+                if not isinstance(body, list):
+                    return self._send_json(400, {
+                        "error": "Invalid request",
+                        "errorMessage": "expected a permission list",
+                        "errorClass": None, "host": None})
+                try:
+                    return done(be.set_permissions(parts[1], body),
+                                "setPermissions")
+                except ValueError as e:
+                    return self._send_json(400, {
+                        "error": "Invalid request",
+                        "errorMessage": str(e),
+                        "errorClass": None, "host": None})
+        self._sec_404(path)
+
     def _timed(self, fn, kind: str, detail: str) -> None:
         """Run a query handler under the request logger (RequestLogger
         contract: time, remote, identity, query id, success,
@@ -1146,7 +1280,9 @@ class _Handler(BaseHTTPRequestHandler):
                     path.startswith("/druid/coordinator/v1/lookups/"
                                     "config") or \
                     path == "/druid/coordinator/v1/servers" or \
-                    path == "/druid/coordinator/v1/compaction/status":
+                    path == "/druid/coordinator/v1/compaction/status" or \
+                    path == "/druid/coordinator/v1/audit" or \
+                    path.startswith("/druid-ext/basic-security/"):
                 res = [(STATE, "STATE", READ)]
             ident = self._auth(res)
             if ident is None:
@@ -1211,7 +1347,7 @@ class _Handler(BaseHTTPRequestHandler):
             # RulesResource.getRules: rules per datasource
             self._send_json(200, self.server.retention.rules)  # type: ignore
         elif (m := re.match(r"^/druid/coordinator/v1/rules/([^/]+)$",
-                            path)):
+                            path)) and m.group(1) != "history":
             ret = self.server.retention  # type: ignore[attr-defined]
             self._send_json(200, ret.rules.get(m.group(1), []))
         elif path == "/druid/coordinator/v1/metadata/datasources":
@@ -1243,15 +1379,22 @@ class _Handler(BaseHTTPRequestHandler):
                 for ds, p, sz, nr in self.engine.catalog.segments()
                 if self._allowed(ident, DATASOURCE, ds, READ)])
         elif path == "/druid/coordinator/v1/lookups/config":
-            # LookupCoordinatorResource.getTiers: one tier
-            self._send_json(200, ["__default"])
-        elif path == "/druid/coordinator/v1/lookups/config/__default":
-            self._send_json(
-                200, sorted(self.engine.catalog.lookups.keys()))
+            # LookupCoordinatorResource.getTiers
+            self._send_json(200, self.engine.catalog.lookup_tiers())
         elif (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
-                            r"__default/([^/]+)$", path)):
-            name = m.group(1)
-            mapping = self.engine.catalog.lookups.get(name)
+                            r"([^/]+)$", path)):
+            tier = self.engine.catalog.tier_lookups(m.group(1))
+            if tier is None:
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": m.group(1),
+                                      "errorClass": None, "host": None})
+            else:
+                self._send_json(200, sorted(tier))
+        elif (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
+                            r"([^/]+)/([^/]+)$", path)):
+            tier, name = m.group(1), m.group(2)
+            mapping = (self.engine.catalog.tier_lookups(tier)
+                       or {}).get(name)
             if mapping is None:
                 self._send_json(404, {"error": "Not found",
                                       "errorMessage": name,
@@ -1263,6 +1406,18 @@ class _Handler(BaseHTTPRequestHandler):
                         "type": "map",
                         "map": {str(k): str(v)
                                 for k, v in mapping.items()}}})
+        elif path == "/druid/coordinator/v1/audit" or \
+                path == "/druid/coordinator/v1/rules/history":
+            # AuditManager.fetchAuditHistory (SQLAuditManager analog);
+            # rules/history is RulesResource.getDatasourceRuleHistory
+            q = parse_qs(u.query)
+            self._send_json(200, self.server.audit.history(  # type: ignore
+                key=(q.get("key") or [None])[0],
+                type_=("rules" if path.endswith("/rules/history")
+                       else (q.get("type") or [None])[0]),
+                n=int((q.get("count") or ["100"])[0])))
+        elif path.startswith("/druid-ext/basic-security/"):
+            self._security_get(path)
         elif (m := re.match(r"^/druid/coordinator/v1/datasources/"
                             r"([^/]+)/intervals$", path)):
             # DataSourcesResource.getIntervalsWithServedSegments: the
@@ -1440,19 +1595,28 @@ class _Handler(BaseHTTPRequestHandler):
             res = [(DATASOURCE, m.group(1), WRITE)]
         elif path.startswith("/druid/coordinator/v1/config/compaction/") \
                 or path.startswith("/druid/coordinator/v1/lookups/"
-                                   "config/"):
+                                   "config/") \
+                or path.startswith("/druid-ext/basic-security/"):
             res = [(STATE, "STATE", WRITE)]
         ident = self._auth(res)
         if ident is None:
             return
+        if path.startswith("/druid-ext/basic-security/"):
+            self._security_mutate(path, None, ident, "DELETE")
+            return
         if (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
-                          r"__default/([^/]+)$", path)):
-            # LookupCoordinatorResource.deleteLookup
-            if self.engine.catalog.drop_lookup(m.group(1)):
+                          r"([^/]+)/([^/]+)$", path)):
+            # LookupCoordinatorResource.deleteLookup (tier-scoped)
+            if self.engine.catalog.drop_lookup(m.group(2),
+                                               tier=m.group(1)):
+                self.server.audit.record(  # type: ignore[attr-defined]
+                    key=f"{m.group(1)}/{m.group(2)}", type_="lookups",
+                    payload=None, author=ident,
+                    ip=self.client_address[0])
                 self._send_json(202, {})
             else:
                 self._send_json(404, {"error": "Not found",
-                                      "errorMessage": m.group(1),
+                                      "errorMessage": m.group(2),
                                       "errorClass": None, "host": None})
             return
         if (m := re.match(
@@ -1460,6 +1624,10 @@ class _Handler(BaseHTTPRequestHandler):
                 path)):
             # CoordinatorCompactionConfigsResource.deleteCompactionConfig
             if self.server.compaction.remove_config(m.group(1)):  # type: ignore
+                self.server.audit.record(  # type: ignore[attr-defined]
+                    key=m.group(1), type_="compaction.config",
+                    payload=None, author=ident,
+                    ip=self.client_address[0])
                 self._send_json(200, {})
             else:
                 self._send_json(404, {"error": "Not found",
@@ -1584,6 +1752,9 @@ class _Handler(BaseHTTPRequestHandler):
                 max_files_per_partition=int(
                     body.get("maxFilesPerPartition", 8)),
                 target_files=int(body.get("targetFiles", 1)))
+            self.server.audit.record(  # type: ignore[attr-defined]
+                key=ds, type_="compaction.config", payload=body,
+                author=ident, ip=self.client_address[0])
             self._send_json(200, {})
         elif (m := re.match(r"^/druid/coordinator/v1/rules/([^/]+)$",
                             path)):
@@ -1594,6 +1765,9 @@ class _Handler(BaseHTTPRequestHandler):
                                       "errorClass": None, "host": None})
                 return
             self.server.retention.set_rules(m.group(1), body)  # type: ignore
+            self.server.audit.record(  # type: ignore[attr-defined]
+                key=m.group(1), type_="rules", payload=body,
+                author=ident, ip=self.client_address[0])
             self._send_json(200, {})
         elif path == "/druid/coordinator/v1/retention/run":
             dropped = self.server.retention.run_once()  # type: ignore
@@ -1603,10 +1777,12 @@ class _Handler(BaseHTTPRequestHandler):
             self.server.overlord.worker_config = body  # type: ignore
             self._send_json(200, {})
         elif (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
-                            r"__default/([^/]+)$", path)):
+                            r"([^/]+)/([^/]+)$", path)):
             # LookupCoordinatorResource.createOrUpdateLookup: only the
             # map factory is representable (URI namespaces load via
-            # druid_spark.lookups.load_lookup)
+            # druid_spark.lookups.load_lookup). The tier segment is
+            # honored (reference manages arbitrary tiers); non-default
+            # tiers resolve as 'tier/name'.
             fac = (body or {}).get("lookupExtractorFactory") or {}
             if fac.get("type") != "map" or \
                     not isinstance(fac.get("map"), dict):
@@ -1616,22 +1792,32 @@ class _Handler(BaseHTTPRequestHandler):
                                     "{type: map, map: {...}}",
                     "errorClass": None, "host": None})
                 return
-            self.engine.catalog.register_lookup(m.group(1), fac["map"])
+            self.engine.catalog.register_lookup(
+                m.group(2), fac["map"], tier=m.group(1))
+            self.server.audit.record(  # type: ignore[attr-defined]
+                key=f"{m.group(1)}/{m.group(2)}", type_="lookups",
+                payload=body, author=ident, ip=self.client_address[0])
             self._send_json(202, {})
         elif path == "/druid/coordinator/v1/lookups/config":
             # bulk update: {tier: {name: {lookupExtractorFactory...}}}
             tiers = body if isinstance(body, dict) else {}
             n = 0
-            for specs in tiers.values():
+            for tname, specs in tiers.items():
                 for lname, spec in (specs or {}).items():
                     fac = (spec or {}).get(
                         "lookupExtractorFactory") or {}
                     if fac.get("type") == "map" and \
                             isinstance(fac.get("map"), dict):
                         self.engine.catalog.register_lookup(
-                            lname, fac["map"])
+                            lname, fac["map"], tier=tname)
                         n += 1
+            if n:
+                self.server.audit.record(  # type: ignore[attr-defined]
+                    key="__bulk", type_="lookups", payload=body,
+                    author=ident, ip=self.client_address[0])
             self._send_json(202, {"updated": n})
+        elif path.startswith("/druid-ext/basic-security/"):
+            self._security_mutate(path, body, ident, "POST")
         elif path == "/druid/coordinator/v1/compaction/run":
             # manual duty cycle (the coordinator fires this on its
             # period; exposed for operators and tests)
@@ -1696,7 +1882,8 @@ class _Handler(BaseHTTPRequestHandler):
                 path == "/druid/coordinator/v1/compaction/run" or \
                 path.startswith("/druid/coordinator/v1/rules") or \
                 path.startswith("/druid/coordinator/v1/lookups/config") or \
-                path == "/druid/coordinator/v1/retention/run":
+                path == "/druid/coordinator/v1/retention/run" or \
+                path.startswith("/druid-ext/basic-security/"):
             return [(STATE, "STATE", WRITE)]
         return []
 
@@ -2007,16 +2194,19 @@ class DruidHttpServer:
                  authorizer: Authorizer | None = None,
                  compaction_period: float | None = None,
                  retention_period: float | None = None,
-                 request_log_path: str | None = None):
-        from druid_spark.metrics import RequestLogger
+                 request_log_path: str | None = None,
+                 audit_log_path: str | None = None):
+        from druid_spark.metrics import AuditLog, RequestLogger
         self.engine = engine
         self.request_logger = RequestLogger(path=request_log_path)
+        self.audit = AuditLog(path=audit_log_path)
         # attach before the first request can arrive
         self.scheduler = QueryScheduler(engine.spark, total=total_slots,
                                         lane_limits=lane_limits)
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.engine = engine  # type: ignore[attr-defined]
         self._httpd.request_logger = self.request_logger  # type: ignore[attr-defined]
+        self._httpd.audit = self.audit  # type: ignore[attr-defined]
         # allow-all by default — an unsecured server behaves as before
         self._httpd.authenticator = (  # type: ignore[attr-defined]
             authenticator or Authenticator())
