@@ -195,21 +195,50 @@ class DruidSparkEngine:
 
     def _tables_fingerprint(self, q: dict) -> str:
         """One fingerprint per table the query touches, interval-aware
-        (see query() docstring). Interval narrowing applies only to a
-        PLAIN table datasource: a nested query/join can re-stamp or
-        aggregate __time, so data outside the outer intervals can still
-        influence rows inside them — those shapes fingerprint the whole
-        table (the reference keys on the segments actually scanned,
-        which is the same conservative set)."""
+        (see query() docstring). Interval narrowing applies to every
+        leaf table whose scan the OUTER intervals' __time filter
+        reaches without re-stamping (round 6, composed datasources):
+        the base spine of a join (its left side provides __time),
+        every union branch, and filter/restrict/unnest bases. The
+        RIGHT side of a join is fully scanned regardless of the outer
+        intervals (any row can match a base row inside them), and a
+        nested query datasource can aggregate or re-stamp __time —
+        both fingerprint the whole table (the reference keys on the
+        segments actually scanned per datasource,
+        CachingClusteredClient.java:281 — the same conservative set).
+        A table appearing in both a narrowed and a wide position
+        (self-join) is treated as wide."""
         from druid_spark.security import native_query_resources
         names = [n for _, n, _ in native_query_resources(q)]
-        ds = q.get("dataSource")
-        plain = isinstance(ds, str) or (
-            isinstance(ds, dict) and ds.get("type") in ("table",
-                                                        "globalTable"))
-        ivs = q.get("intervals") if plain else None
-        return ";".join(f"{n}={self._table_fingerprint(n, ivs)}"
-                        for n in sorted(set(names)))
+        pairs: list[tuple[str, bool]] = []
+
+        def walk(ds, narrow: bool) -> None:
+            if isinstance(ds, str):
+                pairs.append((ds, narrow))
+                return
+            if not isinstance(ds, dict):
+                return
+            t = ds.get("type")
+            if t in ("table", "globalTable"):
+                pairs.append((ds.get("name"), narrow))
+            elif t == "union":
+                for d in ds.get("dataSources", []):
+                    walk(d, narrow)
+            elif t in ("filter", "restrict", "unnest"):
+                walk(ds.get("base"), narrow)
+            elif t == "join":
+                walk(ds.get("left"), narrow)
+                walk(ds.get("right"), False)
+            elif t == "query":
+                walk(ds.get("query", {}).get("dataSource"), False)
+
+        walk(q.get("dataSource"), True)
+        narrowed = ({n for n, nb in pairs if nb}
+                    - {n for n, nb in pairs if not nb})
+        ivs = q.get("intervals")
+        return ";".join(
+            f"{n}={self._table_fingerprint(n, ivs if n in narrowed else None)}"
+            for n in sorted(set(names)))
 
     def _table_fingerprint(self, name: str, intervals) -> str:
         """Fingerprint of the table state observable to a query over

@@ -218,6 +218,75 @@ def test_result_cache_per_interval_invalidation(spark, tmp_path_factory):
     e.close()
 
 
+def test_result_cache_composed_datasource_interval_narrowing(
+        spark, tmp_path_factory):
+    """Round 6: per-interval fingerprints extend to COMPOSED
+    datasources — a cached join over day B still serves after an
+    append to day A (the left/base spine narrows to the outer
+    intervals), while the join's right side stays whole-table
+    fingerprinted (any right row can match inside the intervals)."""
+    e = DruidSparkEngine(spark)
+    e.catalog.register_dir("/root/testdata/sf0.001")
+    e.warehouse_dir = str(tmp_path_factory.mktemp("ivcache2_wh"))
+    e.sql("REPLACE INTO evjoin OVERWRITE ALL "
+          "SELECT ts AS __time, event_type, value FROM events "
+          "PARTITIONED BY DAY")
+    dim = e.spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "store")],
+        ["event_type", "channel"])
+    e.catalog.register_table("evdim", dim)
+    join_ds = {"type": "join", "left": "evjoin",
+               "right": {"type": "globalTable", "name": "evdim"},
+               "rightPrefix": "d.", "joinType": "INNER",
+               "condition": 'event_type == "d.event_type"'}
+    qB = {"queryType": "timeseries", "dataSource": join_ds,
+          "granularity": "day", "intervals": ["2024-01-10/2024-01-12"],
+          "aggregations": [{"type": "count", "name": "n"}],
+          "context": {"useResultCache": True}}
+    m0 = e.cache_misses
+    df_b = e.query(qB)
+    df_b.collect()
+    assert e.cache_misses == m0 + 1
+    assert e.query(dict(qB)) is df_b            # warm hit
+    # append into day A (2024-01-05): day-B join stays cached
+    e.sql("INSERT INTO evjoin "
+          "SELECT ts AS __time, event_type, value FROM events "
+          "WHERE ts >= TIMESTAMP '2024-01-05' "
+          "AND ts < TIMESTAMP '2024-01-06' PARTITIONED BY DAY")
+    assert e.query(dict(qB)) is df_b
+    assert e.cache_misses == m0 + 1
+    # append into day B: recompute
+    e.sql("INSERT INTO evjoin "
+          "SELECT ts AS __time, event_type, value FROM events "
+          "WHERE ts >= TIMESTAMP '2024-01-10' "
+          "AND ts < TIMESTAMP '2024-01-11' PARTITIONED BY DAY")
+    df_b2 = e.query(dict(qB))
+    assert df_b2 is not df_b and e.cache_misses == m0 + 2
+    # right-side change invalidates regardless of intervals (the dim
+    # is fully scanned): re-register -> registration serial bumps
+    e.catalog.register_table("evdim", dim)
+    df_b3 = e.query(dict(qB))
+    assert df_b3 is not df_b2 and e.cache_misses == m0 + 3
+    # self-join: the shared table is wide -> ANY append invalidates
+    self_ds = dict(join_ds, right={"type": "query", "query": {
+        "queryType": "groupBy", "dataSource": "evjoin",
+        "granularity": "all", "intervals": ["2024-01-01/2024-02-01"],
+        "dimensions": [{"type": "default", "dimension": "event_type"}],
+        "aggregations": [{"type": "count", "name": "m"}]}},
+        condition='event_type == "d.event_type"')
+    qS = dict(qB, dataSource=self_ds)
+    df_s = e.query(qS)
+    df_s.collect()
+    m1 = e.cache_misses
+    e.sql("INSERT INTO evjoin "
+          "SELECT ts AS __time, event_type, value FROM events "
+          "WHERE ts >= TIMESTAMP '2024-01-20' "
+          "AND ts < TIMESTAMP '2024-01-21' PARTITIONED BY DAY")
+    assert e.query(dict(qS)) is not df_s        # wide: recomputes
+    assert e.cache_misses == m1 + 1
+    e.close()
+
+
 def test_sql_result_cache_set_context(spark, tmp_path_factory):
     """SET useResultCache = true — the SQL spelling of the result-level
     cache: same statement + unchanged tables hits; any referenced-table
