@@ -201,15 +201,15 @@ def _read_files(spark: SparkSession, paths, fmt: dict) -> DataFrame:
             keep = cond if keep is None else (keep | cond)
         return out.where(keep)
     if ftype == "protobuf":
-        # ProtobufInputFormat (extensions-core/protobuf-extensions):
-        # Spark's from_protobuf needs the spark-protobuf jar + a
-        # compiled descriptor set; neither ships in this container, so
-        # the path is gated rather than stubbed silently.
-        raise NotImplementedError(
-            "protobuf inputFormat requires the spark-protobuf package "
-            "and a descriptor set (descriptorFile); add them on a real "
-            "cluster and decode with "
-            "pyspark.sql.protobuf.functions.from_protobuf")
+        # ProtobufInputFormat (extensions-core/protobuf-extensions/...
+        # /ProtobufInputFormat.java): descriptor-set-driven decode via
+        # a pure-Python wire-format reader (no protobuf runtime in
+        # this container) — binaryFile scan + Arrow-batched
+        # mapInPandas, schema derived from the descriptor. On a real
+        # cluster with the spark-protobuf jar, from_protobuf is the
+        # drop-in JVM-side upgrade for the same descriptor file.
+        from druid_spark.ingest.protobuf import read_protobuf
+        return read_protobuf(spark, paths, fmt)
     raise NotImplementedError(f"inputFormat {ftype}")
 
 
