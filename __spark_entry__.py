@@ -165,6 +165,147 @@ def q_overlord_ingest(spark, sf):
     return spark.createDataFrame(out, "page string, n long")
 
 
+def q_protobuf_ingest(spark, sf):
+    """Protobuf input format (extensions-core/protobuf-extensions/
+    ProtobufInputFormat.java): hand-encoded wire-format messages + a
+    hand-encoded FileDescriptorSet decode through the pure-Python
+    descriptor-driven reader (druid_spark/ingest/protobuf.py) on the
+    binaryFile→mapInPandas path. Output is a fixed literal set, so the
+    oracle is a VALUES table."""
+    import struct as _st
+    import tempfile as _tf
+    import os as _os
+
+    from druid_spark.ingest.protobuf import (encode_varint, ld, tag,
+                                             vi, read_protobuf)
+
+    def field(name, num, ftype, label=1, type_name=None):
+        out = ld(1, name.encode()) + vi(3, num) + vi(4, label) \
+            + vi(5, ftype)
+        if type_name:
+            out += ld(6, type_name.encode())
+        return ld(2, out)
+
+    enum_kind = ld(1, b"Kind") + b"".join(
+        ld(2, ld(1, n) + vi(2, v))
+        for v, n in ((0, b"CLICK"), (1, b"VIEW"), (2, b"PURCHASE")))
+    msg = (ld(1, b"Event") + field("name", 1, 9) + field("value", 2, 1)
+           + field("kind", 3, 14, type_name=".ev.Kind"))
+    fdp = (ld(1, b"ev.proto") + ld(2, b"ev") + ld(4, msg)
+           + ld(5, enum_kind))
+    desc = ld(1, fdp)
+
+    d = _tf.mkdtemp(prefix="pb-entry-")
+    for i in range(6):
+        rec = (ld(1, f"n{i}".encode())
+               + tag(2, 1) + _st.pack("<d", float(i))
+               + vi(3, i % 3))
+        with open(_os.path.join(d, f"e{i}.pb"), "wb") as fh:
+            fh.write(rec)
+    import base64 as _b64
+    df = read_protobuf(spark, d, {
+        "type": "protobuf",
+        "protoBytesDecoder": {
+            "type": "inline", "protoMessageType": "Event",
+            "descriptorString": _b64.b64encode(desc).decode()}})
+    return df.select("name", "kind", "value").orderBy("name")
+
+
+def q_lookup_tiered(spark, sf):
+    """Tier-scoped lookups (LookupCoordinatorResource manages
+    {tier: {name: spec}}): a non-default tier resolves via the
+    qualified 'tier/name' form in LOOKUP(); the default tier by plain
+    name. Fixed literals → VALUES oracle."""
+    from druid_spark import DruidSparkEngine
+    eng = DruidSparkEngine(spark, data_dir=sf, exact_approx=True)
+    eng.catalog.register_lookup("colors", {"g": "green", "r": "red"},
+                                tier="hot")
+    eng.catalog.register_lookup("plain", {"x": "y"})
+    return eng.sql(
+        "SELECT LOOKUP('g', 'hot/colors') AS tiered, "
+        "LOOKUP('x', 'plain') AS dflt, "
+        "LOOKUP('zz', 'hot/colors') AS miss")
+
+
+def q_security_audit(spark, sf):
+    """Security CRUD + audit e2e (BasicAuthenticatorResource /
+    BasicAuthorizerResource / AuditManager analogs): an admin creates
+    a user, role, permission, and assignment over HTTP; the new user's
+    query flips 401→403→200; the audit trail records each mutation
+    with its author. Returns the deterministic (step, code) +
+    audit-action table."""
+    import base64 as _b64
+    import json as _json
+    import urllib.error as _ue
+    import urllib.request as _rq
+
+    from druid_spark import DruidSparkEngine
+    from druid_spark.security import (BasicAuthenticator,
+                                      BasicRoleBasedAuthorizer,
+                                      DATASOURCE, STATE, READ, WRITE)
+    from druid_spark.server import DruidHttpServer
+
+    eng = DruidSparkEngine(spark, data_dir=sf, exact_approx=True)
+    auth = BasicAuthenticator({"admin": "pw"})
+    authz = BasicRoleBasedAuthorizer(
+        users={"admin": ["root"]},
+        roles={"root": [(DATASOURCE, ".*", READ),
+                        (DATASOURCE, ".*", WRITE),
+                        (STATE, "STATE", READ), (STATE, "STATE", WRITE)]})
+    srv = DruidHttpServer(eng, authenticator=auth,
+                          authorizer=authz).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def req(path, obj=None, user=None, pw=None, method=None):
+        headers = {"Content-Type": "application/json"}
+        if user:
+            headers["Authorization"] = "Basic " + _b64.b64encode(
+                f"{user}:{pw}".encode()).decode()
+        data = _json.dumps(obj).encode() if obj is not None else None
+        r = _rq.Request(base + path, data=data, headers=headers,
+                        method=method or
+                        ("POST" if obj is not None else "GET"))
+        try:
+            with _rq.urlopen(r, timeout=60) as resp:
+                return resp.status, _json.loads(resp.read() or b"null")
+        except _ue.HTTPError as e:
+            return e.code, None
+
+    steps = []
+    try:
+        A = dict(user="admin", pw="pw")
+        q = {"query": "SELECT COUNT(*) AS n FROM region"}
+        steps.append(("before", req("/druid/v2/sql", q,
+                                    user="carol", pw="cpw")[0]))
+        AN = "/druid-ext/basic-security/authentication/db/basic"
+        AZ = "/druid-ext/basic-security/authorization/db/basic"
+        req(f"{AN}/users/carol", {}, **A)
+        req(f"{AN}/users/carol/credentials", {"password": "cpw"}, **A)
+        steps.append(("authn_only",
+                      req("/druid/v2/sql", q, user="carol",
+                          pw="cpw")[0]))
+        req(f"{AZ}/users/carol", {}, **A)
+        req(f"{AZ}/roles/readers", {}, **A)
+        req(f"{AZ}/roles/readers/permissions",
+            [{"resource": {"type": "DATASOURCE", "name": "region"},
+              "action": "READ"}], **A)
+        req(f"{AZ}/users/carol/roles/readers", {}, **A)
+        steps.append(("granted",
+                      req("/druid/v2/sql", q, user="carol",
+                          pw="cpw")[0]))
+        _, audit = req("/druid/coordinator/v1/audit?type=basic-security",
+                       **A)
+        actions = [(e["payload"]["action"], e["auditInfo"]["author"])
+                   for e in audit]
+    finally:
+        srv.stop()
+        eng.close()
+    rows = [(s, int(c), None, None) for s, c in steps] + \
+           [("audit", None, a, who) for a, who in actions]
+    return spark.createDataFrame(
+        rows, "step string, code long, action string, author string")
+
+
 def q_avatica_jdbc(spark, sf):
     """JDBC wire-protocol round-trip (sql/.../avatica/
     DruidAvaticaJsonHandler.java / DruidMeta.java): start the server,
@@ -9147,6 +9288,8 @@ _SAMPLE_FIRST = [
     "kll_quantile_merge", "projection_routing",
     # streaming + stateful
     "streaming_rollup", "sessionize",
+    # round 6: protobuf format, tiered lookups, security CRUD + audit
+    "protobuf_ingest", "lookup_tiered", "security_audit",
     # virtual columns / nested JSON / filters
     "vc_nested_field", "json_groupby", "spatial_filter", "bloom_filter",
     # datapipe
@@ -9174,6 +9317,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "http_api": q_http_api,
         "overlord_ingest": q_overlord_ingest,
+        "protobuf_ingest": q_protobuf_ingest,
+        "lookup_tiered": q_lookup_tiered,
+        "security_audit": q_security_audit,
         "avatica_jdbc": q_avatica_jdbc,
         "ts_day": q_ts_day,
         "ts_day_tz": q_ts_day_tz,
@@ -9415,6 +9561,36 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT 'a' AS page, CAST(3 AS BIGINT) AS n
             UNION ALL
             SELECT 'b' AS page, CAST(7 AS BIGINT) AS n""",
+        "protobuf_ingest": """
+            SELECT * FROM (VALUES
+              ('n0', 'CLICK',    CAST(0.0 AS DOUBLE)),
+              ('n1', 'VIEW',     CAST(1.0 AS DOUBLE)),
+              ('n2', 'PURCHASE', CAST(2.0 AS DOUBLE)),
+              ('n3', 'CLICK',    CAST(3.0 AS DOUBLE)),
+              ('n4', 'VIEW',     CAST(4.0 AS DOUBLE)),
+              ('n5', 'PURCHASE', CAST(5.0 AS DOUBLE)))
+              AS t(name, kind, value)
+            ORDER BY name""",
+        "lookup_tiered": """
+            SELECT 'green' AS tiered, 'y' AS dflt,
+                   CAST(NULL AS VARCHAR) AS miss""",
+        "security_audit": """
+            SELECT * FROM (VALUES
+              ('before',     CAST(401 AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+              ('authn_only', CAST(403 AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+              ('granted',    CAST(200 AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+              ('audit', CAST(NULL AS BIGINT), 'createUser', 'admin'),
+              ('audit', CAST(NULL AS BIGINT), 'updateCredentials',
+               'admin'),
+              ('audit', CAST(NULL AS BIGINT), 'createUser', 'admin'),
+              ('audit', CAST(NULL AS BIGINT), 'createRole', 'admin'),
+              ('audit', CAST(NULL AS BIGINT), 'setPermissions',
+               'admin'),
+              ('audit', CAST(NULL AS BIGINT), 'assignRole', 'admin'))
+              AS t(step, code, action, author)""",
         "ts_day": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS __time, count(*) AS n,
                    round(sum(value), 3) AS total
