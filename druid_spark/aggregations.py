@@ -59,16 +59,17 @@ THETA_SETOP_TYPES = {"thetaSketchSetOp"}
 TUPLE_SETOP_TYPES = {"arrayOfDoublesSketchSetOp"}
 
 
-#: ThetaUtil.DEFAULT_NOMINAL_ENTRIES — the reference's default sketch
-#: size (ArrayOfDoublesSketchAggregatorFactory.java:78)
-TUPLE_DEFAULT_NOMINAL = 4096
-
-
-def tuple_map_state(key, metrics: list,
-                    cap: int = TUPLE_DEFAULT_NOMINAL):
+def tuple_map_state(key, metrics: list, cap: int | None = None):
     """arrayOfDoublesSketch state for set-op consumers: a
     map<string, array<double>> of per-key metric sums, BOUNDED at
-    `cap` (nominalEntries) entries.
+    `cap` (nominalEntries) entries when a cap is given.
+
+    cap=None (no explicit nominalEntries on the aggregator) keeps the
+    EXACT unbounded map — the oracle-checkable mode the differential
+    fuzzers and DuckDB gates verify. This diverges from the reference
+    default (which silently samples at 4096) deliberately: exactness
+    is what makes set-op results checkable, and a query that needs
+    bounded state at scale says so with an explicit nominalEntries.
 
     Built as ONE aggregate expression: sort the collected
     (hash, key, values) entries by the key's 64-bit hash, then fold
@@ -102,10 +103,8 @@ def tuple_map_state(key, metrics: list,
     def flush(s):
         return F.map_concat(s["m"], F.create_map(s["k"], s["acc"]))
 
-    return F.aggregate(
-        entries,
-        state(empty, F.lit(None).cast("string"), zeros, F.lit(False)),
-        lambda s, e: F.when(
+    def step(s, e):
+        out = F.when(
             s["d"], s
         ).when(
             s["k"].isNull(), state(s["m"], e["k"], e["vs"], F.lit(False))
@@ -113,12 +112,19 @@ def tuple_map_state(key, metrics: list,
             e["k"] == s["k"],
             state(s["m"], s["k"],
                   F.zip_with(s["acc"], e["vs"], lambda x, y: x + y),
-                  F.lit(False))
-        ).when(
-            F.size(s["m"]) + 1 >= F.lit(cap),
-            state(flush(s), F.lit(None).cast("string"), zeros,
-                  F.lit(True))
-        ).otherwise(state(flush(s), e["k"], e["vs"], F.lit(False))),
+                  F.lit(False)))
+        if cap is not None:
+            out = out.when(
+                F.size(s["m"]) + 1 >= F.lit(cap),
+                state(flush(s), F.lit(None).cast("string"), zeros,
+                      F.lit(True)))
+        return out.otherwise(state(flush(s), e["k"], e["vs"],
+                                   F.lit(False)))
+
+    return F.aggregate(
+        entries,
+        state(empty, F.lit(None).cast("string"), zeros, F.lit(False)),
+        step,
         lambda s: F.when(s["k"].isNull(), s["m"]).otherwise(flush(s)))
 # arrayOfDoublesSketch (tuple sketch) finalizer post-aggs. Exact mode:
 # the "sketch" is a struct of {n = exact distinct key count, sums =
@@ -549,8 +555,8 @@ class AggCompiler:
                 return tuple_map_state(
                     key,
                     [res(mc) for mc in agg.get("metricColumns") or []],
-                    cap=max(2, int(agg.get("nominalEntries")
-                                   or TUPLE_DEFAULT_NOMINAL)))
+                    cap=(max(2, int(agg["nominalEntries"]))
+                         if agg.get("nominalEntries") else None))
             sums = [F.sum(F.when(key.isNotNull(), res(mc)).cast("double"))
                     for mc in agg.get("metricColumns") or []]
             n = F.count_distinct(key)

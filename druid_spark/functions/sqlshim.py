@@ -272,19 +272,16 @@ def _bloom_filter_test(args):
 _TDW = re.compile(r"(?is)^\s*DS_TUPLE_DOUBLES\s*\((.*)\)\s*$")
 
 
-#: ThetaUtil.DEFAULT_NOMINAL_ENTRIES — the reference's default sketch
-#: size (ArrayOfDoublesSketchAggregatorFactory.java:78)
-_TUPLE_DEFAULT_NOMINAL = 4096
-
-
-def _tuple_args(a: str) -> tuple[list[str], int] | None:
+def _tuple_args(a: str) -> tuple[list[str], int | None] | None:
     """DS_TUPLE_DOUBLES(key, m1..mn[, nominalEntries]) ->
-    ([key, m1..], nominalEntries)."""
+    ([key, m1..], nominalEntries-or-None). No explicit nominalEntries
+    = None = exact unbounded state (the oracle-checkable mode; see
+    aggregations.tuple_map_state)."""
     m = _TDW.match(a)
     if not m:
         return None
     xs = _top_split(m.group(1))
-    cap = _TUPLE_DEFAULT_NOMINAL
+    cap = None
     if len(xs) > 1 and re.fullmatch(r"\d+", xs[-1].strip()):
         cap = max(2, int(xs[-1]))
         xs = xs[:-1]
@@ -296,19 +293,21 @@ _TUPLE_SETOP_RE = re.compile(
 
 
 def _tuple_map_state_sql(key: str, metrics: list[str],
-                         cap: int = _TUPLE_DEFAULT_NOMINAL) -> str:
+                         cap: int | None = None) -> str:
     """SQL text of the per-key metric-sum map state — the textual twin
     of aggregations.tuple_map_state (same single-fold build over the
     sorted entries, same cost/memory contract).
 
-    nominalEntries bounds the state (round 6): entries sort by the
-    key's 64-bit hash, and the fold stops admitting NEW keys once the
-    map holds `cap` entries — since later entries have strictly larger
-    hashes, the retained set is exactly the bottom-`cap` keys by hash,
-    the classic KMV sample the reference's sketch keeps
-    (ArrayOfDoublesSketchAggregatorFactory.java nominalEntries). Below
-    the cap the state is the full exact map (the oracle-checkable
-    mode); above it, per-group memory is O(cap × metrics)."""
+    An EXPLICIT nominalEntries bounds the state (round 6): entries
+    sort by the key's 64-bit hash, and the fold stops admitting NEW
+    keys once the map holds `cap` entries — since later entries have
+    strictly larger hashes, the retained set is exactly the
+    bottom-`cap` keys by hash, the classic KMV sample the reference's
+    sketch keeps (ArrayOfDoublesSketchAggregatorFactory.java
+    nominalEntries). Below the cap the state is the full exact map;
+    above it, per-group memory is O(cap × metrics). cap=None (no
+    nominalEntries in the SQL) keeps the exact unbounded map — the
+    oracle-checkable mode (see aggregations.tuple_map_state)."""
     vs = ", ".join(f"CAST({m} AS DOUBLE)" for m in metrics)
     zeros = f"array_repeat(CAST(0.0 AS DOUBLE), {len(metrics)})"
     entry = (f"CASE WHEN {key} IS NOT NULL THEN named_struct("
@@ -331,11 +330,12 @@ def _tuple_map_state_sql(key: str, metrics: list[str],
         "WHEN e.k = s.k THEN "
         + st("s.m", "s.k", "zip_with(s.acc, e.vs, (x, y) -> x + y)",
              "false") + " "
-        f"WHEN size(s.m) + 1 >= {cap} THEN "
-        + st("map_concat(s.m, map(s.k, s.acc))", "CAST(NULL AS STRING)",
-             zeros, "true") + " "
-        "ELSE " + st("map_concat(s.m, map(s.k, s.acc))", "e.k", "e.vs",
-                     "false") + " END, "
+        + (f"WHEN size(s.m) + 1 >= {cap} THEN "
+           + st("map_concat(s.m, map(s.k, s.acc))",
+                "CAST(NULL AS STRING)", zeros, "true") + " "
+           if cap is not None else "")
+        + "ELSE " + st("map_concat(s.m, map(s.k, s.acc))", "e.k", "e.vs",
+                       "false") + " END, "
         "s -> CASE WHEN s.k IS NULL THEN s.m "
         "ELSE map_concat(s.m, map(s.k, s.acc)) END)")
 
