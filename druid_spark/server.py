@@ -1914,6 +1914,16 @@ class _Handler(BaseHTTPRequestHandler):
             etag = None
         try:
             df = self.engine.query(q)
+            if q.get("queryType") == "scan":
+                # Scan is the unbounded native type — the reference
+                # streams it as a sequence of ScanResultValue batches
+                # (QueryResource writes the Sequence incrementally;
+                # ScanQueryEngine batches at batchSize, default 20480).
+                # Same contract here: chunked transfer, one batch
+                # object per batchSize rows from toLocalIterator, no
+                # driver-side materialization of the full result.
+                self._native_scan_stream(q, df, qid, etag, sched, ctx)
+                return
             rows = sched.submit(
                 qid, df.collect,
                 lane=QueryScheduler.compute_lane(ctx),
@@ -1947,6 +1957,87 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("ETag", etag)
         self.end_headers()
         self.wfile.write(body)
+
+    def _native_scan_stream(self, q: dict, df, qid: str, etag,
+                            sched, ctx) -> None:
+        """Stream the scan envelope ([{segmentId, columns, events}...],
+        one batch per `batchSize` rows) from toLocalIterator over
+        chunked transfer. First row pulled before headers so fast
+        failures return proper error statuses; a later error truncates
+        the JSON (no closing bracket = incomplete)."""
+        fmt = q.get("resultFormat", "list")
+        try:
+            batch_size = max(1, int(q.get("batchSize") or 20480))
+        except (TypeError, ValueError):
+            batch_size = 20480
+        cols = list(df.columns)
+        _END = object()
+        state_lock = threading.Lock()
+        state = {"started": False, "aborted": False}
+
+        def stream() -> None:
+            it = df.toLocalIterator()
+            first = next(it, _END)
+            with state_lock:
+                if state["aborted"]:
+                    return
+                state["started"] = True
+                self._last_status, self._last_qid = 200, qid
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("X-Druid-Query-Id", qid)
+                if etag:
+                    self.send_header("ETag", etag)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+            buf = bytearray()
+
+            def out(b: bytes, flush: bool = False) -> None:
+                buf.extend(b)
+                if flush or len(buf) >= 65536:
+                    self.wfile.write(
+                        f"{len(buf):X}\r\n".encode() + bytes(buf)
+                        + b"\r\n")
+                    buf.clear()
+
+            def ev(r) -> bytes:
+                d = {k: json_safe(v)
+                     for k, v in r.asDict(recursive=True).items()}
+                return json.dumps([d.get(c) for c in cols]
+                                  if fmt == "compactedList" else d
+                                  ).encode()
+
+            head = json.dumps({"segmentId": None, "columns": cols}
+                              )[:-1].encode() + b', "events": ['
+            out(b"[")
+            if first is _END:
+                out(head + b"]}")
+            else:
+                n_in_batch = 0
+                out(head + ev(first))
+                n_in_batch = 1
+                for r in it:
+                    if n_in_batch >= batch_size:
+                        out(b"]}," + head + ev(r))
+                        n_in_batch = 1
+                    else:
+                        out(b"," + ev(r))
+                        n_in_batch += 1
+                out(b"]}")
+            out(b"]\n", flush=True)
+            self.wfile.write(b"0\r\n\r\n")
+
+        try:
+            sched.submit(qid, stream,
+                         lane=QueryScheduler.compute_lane(ctx),
+                         timeout_ms=_timeout_ms(ctx))
+        except Exception:
+            with state_lock:
+                if state["started"]:
+                    self.close_connection = True
+                    return
+                state["aborted"] = True
+            raise
 
     def _sql(self, body: dict) -> None:
         qid = (body.get("context") or {}).get("sqlQueryId") or str(uuid.uuid4())

@@ -804,3 +804,40 @@ def test_sync_sql_object_header_row(server):
         "header": True})
     assert status == 200
     assert body[0] == {"n_name": None} and len(body) == 3
+
+
+def test_native_scan_streams_no_driver_collect(server):
+    """Round 6: native scan — the unbounded native query type —
+    streams its ScanResultValue batches from toLocalIterator
+    (QueryResource writes the Sequence incrementally; batchSize
+    bounds each batch, ScanQueryEngine default 20480). No
+    DataFrame.collect on the path."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    orig = _CDF.collect
+
+    def boom(self):
+        raise AssertionError("driver-side collect on native scan path")
+
+    _CDF.collect = boom
+    try:
+        status, body, headers = _post(server, "/druid/v2", {
+            "queryType": "scan", "dataSource": "lineitem",
+            "columns": ["l_orderkey", "l_quantity"],
+            "batchSize": 1000, "limit": 5000})
+        assert status == 200
+        # batched envelope: ceil(5000/1000) = 5 ScanResultValues
+        assert len(body) == 5
+        assert all(b["columns"] == ["l_orderkey", "l_quantity"]
+                   for b in body)
+        assert sum(len(b["events"]) for b in body) == 5000
+        assert isinstance(body[0]["events"][0], dict)
+        # compactedList shape
+        status, body, _ = _post(server, "/druid/v2", {
+            "queryType": "scan", "dataSource": "nation",
+            "columns": ["n_name"], "resultFormat": "compactedList",
+            "limit": 3})
+        assert status == 200 and len(body) == 1
+        assert body[0]["events"] == [["NATION_0"], ["NATION_1"],
+                                     ["NATION_2"]]
+    finally:
+        _CDF.collect = orig
