@@ -653,9 +653,7 @@ def main():
                 asymptotic.get("vs_baseline_sum"),
             "skew_compiler_vs_uniform":
                 skew.get("compiler_vs_uniform"),
-            "tpch_20x_total_sec": round(sum(
-                v for v in tpch20.values()
-                if isinstance(v, (int, float))), 3) if tpch20 else None,
+            "tpch_20x_total_sec": tpch20.get("suite_sec"),
             "ingest_rollup_rows_per_sec_per_core":
                 ingest.get("rollup_rows_per_sec_per_core"),
             "full": "bench_out.json",
