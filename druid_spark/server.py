@@ -33,6 +33,7 @@ import datetime as dt
 import decimal
 import io
 import json
+import os
 import re
 import threading
 import time
@@ -1282,6 +1283,10 @@ class _Handler(BaseHTTPRequestHandler):
                     path == "/druid/coordinator/v1/servers" or \
                     path == "/druid/coordinator/v1/compaction/status" or \
                     path == "/druid/coordinator/v1/audit" or \
+                    path.startswith("/druid/coordinator/v1/config") or \
+                    path.startswith("/druid/coordinator/v1/broker/"
+                                    "config") or \
+                    path.startswith("/druid/coordinator/v1/cluster") or \
                     path.startswith("/druid-ext/basic-security/"):
                 res = [(STATE, "STATE", READ)]
             ident = self._auth(res)
@@ -1343,6 +1348,87 @@ class _Handler(BaseHTTPRequestHandler):
             duty = self.server.compaction  # type: ignore[attr-defined]
             self._send_json(200, {"latestStatus": duty.history[-20:],
                                   "pending": duty.scan()})
+        elif path == "/druid/coordinator/v1/config":
+            # CoordinatorDynamicConfig (CoordinatorResource
+            # getDynamicConfigs)
+            self._send_json(200, self.server.dynamic_config)  # type: ignore
+        elif path == "/druid/coordinator/v1/config/history":
+            q = parse_qs(u.query)
+            self._send_json(200, self.server.audit.history(  # type: ignore
+                type_="coordinator.config",
+                n=int((q.get("count") or ["100"])[0])))
+        elif path == "/druid/coordinator/v1/broker/config":
+            self._send_json(200, self.server.broker_config)  # type: ignore
+        elif path == "/druid/coordinator/v1/broker/config/history":
+            q = parse_qs(u.query)
+            self._send_json(200, self.server.audit.history(  # type: ignore
+                type_="broker.config",
+                n=int((q.get("count") or ["100"])[0])))
+        elif path == "/druid/coordinator/v1/cluster" or \
+                (m := re.match(r"^/druid/coordinator/v1/cluster/"
+                               r"([A-Za-z_]+)$", path)):
+            # ClusterResource.getClusterServers:63-88 — every role is
+            # this single process
+            host, port = self.server.server_address[:2]
+            node = {"host": f"{host}:{port}", "port": port,
+                    "tlsPort": -1}
+            roles = {"coordinator": [node], "overlord": [node],
+                     "broker": [node], "historical": [node]}
+            if path.endswith("/cluster"):
+                self._send_json(200, roles)
+            else:
+                role = m.group(1).lower()
+                if role in roles:
+                    self._send_json(200, roles[role])
+                else:
+                    self._send_json(400, {
+                        "error": "Invalid nodeRole",
+                        "errorMessage": m.group(1),
+                        "errorClass": None, "host": None})
+        elif path == "/druid/indexer/v1/workers":
+            # OverlordResource.getWorkers:701 — one in-process worker
+            # sized by the scheduler's slot pool
+            host, port = self.server.server_address[:2]
+            sched = self.server.scheduler  # type: ignore[attr-defined]
+            ov = self.server.overlord  # type: ignore[attr-defined]
+            running = [t for t, r in ov._tasks.items()
+                       if r["state"] == "RUNNING"]
+            cap = sched._total_cap or (os.cpu_count() or 1)
+            self._send_json(200, [{
+                "worker": {"scheme": "http", "host": f"{host}:{port}",
+                           "ip": str(host), "capacity": cap,
+                           "version": __version__, "category":
+                           "_default_worker_category"},
+                "currCapacityUsed": len(running),
+                "currParallelIndexCapacityUsed": 0,
+                "availabilityGroups": [],
+                "runningTasks": running,
+                "lastCompletedTaskTime": None,
+                "blacklistedUntil": None}])
+        elif path == "/druid/indexer/v1/totalWorkerCapacity":
+            # OverlordResource.getTotalWorkerCapacity:439 — the
+            # console's capacity gauge
+            sched = self.server.scheduler  # type: ignore[attr-defined]
+            ov = self.server.overlord  # type: ignore[attr-defined]
+            running = sum(1 for r in ov._tasks.values()
+                          if r["state"] == "RUNNING")
+            cap = sched._total_cap or (os.cpu_count() or 1)
+            self._send_json(200, {
+                "currentClusterCapacity": cap,
+                "usedClusterCapacity": running,
+                "maximumCapacityWithAutoScale": cap})
+        elif path == "/druid/indexer/v1/worker/history":
+            q = parse_qs(u.query)
+            self._send_json(200, self.server.audit.history(  # type: ignore
+                type_="worker.config",
+                n=int((q.get("count") or ["100"])[0])))
+        elif path == "/druid/v2/sql/task/enabled":
+            # SqlTaskResource — the console's MSQ capability probe
+            self._send_json(200, {"enabled": True})
+        elif path == "/druid/v2/sql/engines":
+            # the console's engine census (no dart here)
+            self._send_json(200, {"engines": [
+                {"name": "broker"}, {"name": "msq-task"}]})
         elif path == "/druid/coordinator/v1/rules":
             # RulesResource.getRules: rules per datasource
             self._send_json(200, self.server.retention.rules)  # type: ignore
@@ -1775,6 +1861,34 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/druid/indexer/v1/worker":
             # OverlordResource.setWorkerConfig
             self.server.overlord.worker_config = body  # type: ignore
+            self.server.audit.record(  # type: ignore[attr-defined]
+                key="worker.config", type_="worker.config",
+                payload=body, author=ident, ip=self.client_address[0])
+            self._send_json(200, {})
+        elif path == "/druid/coordinator/v1/config":
+            # CoordinatorResource.setDynamicConfigs: merge-updates the
+            # dynamic config (unknown keys accepted like the reference's
+            # lenient deserialization), audit-recorded
+            if not isinstance(body, dict):
+                self._send_json(400, {"error": "Invalid config",
+                                      "errorMessage": "expected object",
+                                      "errorClass": None, "host": None})
+                return
+            self.server.dynamic_config.update(body)  # type: ignore
+            self.server.audit.record(  # type: ignore[attr-defined]
+                key="coordinator.config", type_="coordinator.config",
+                payload=body, author=ident, ip=self.client_address[0])
+            self._send_json(200, {})
+        elif path == "/druid/coordinator/v1/broker/config":
+            if not isinstance(body, dict):
+                self._send_json(400, {"error": "Invalid config",
+                                      "errorMessage": "expected object",
+                                      "errorClass": None, "host": None})
+                return
+            self.server.broker_config = body  # type: ignore
+            self.server.audit.record(  # type: ignore[attr-defined]
+                key="broker.config", type_="broker.config",
+                payload=body, author=ident, ip=self.client_address[0])
             self._send_json(200, {})
         elif (m := re.match(r"^/druid/coordinator/v1/lookups/config/"
                             r"([^/]+)/([^/]+)$", path)):
@@ -1878,8 +1992,9 @@ class _Handler(BaseHTTPRequestHandler):
             return [(DATASOURCE, m.group(1), WRITE)]
         if path.startswith("/druid/indexer/v1/"):
             return [(STATE, "STATE", WRITE)]
-        if path.startswith("/druid/coordinator/v1/config/compaction") or \
+        if path.startswith("/druid/coordinator/v1/config") or \
                 path == "/druid/coordinator/v1/compaction/run" or \
+                path == "/druid/coordinator/v1/broker/config" or \
                 path.startswith("/druid/coordinator/v1/rules") or \
                 path.startswith("/druid/coordinator/v1/lookups/config") or \
                 path == "/druid/coordinator/v1/retention/run" or \
@@ -2298,6 +2413,28 @@ class DruidHttpServer:
         self._httpd.engine = engine  # type: ignore[attr-defined]
         self._httpd.request_logger = self.request_logger  # type: ignore[attr-defined]
         self._httpd.audit = self.audit  # type: ignore[attr-defined]
+        # CoordinatorDynamicConfig defaults (CoordinatorDynamicConfig
+        # .Builder defaults) + broker dynamic config — the console's
+        # dynamic-config dialogs read/write these; histories serve
+        # from the audit trail
+        self._httpd.dynamic_config = {  # type: ignore[attr-defined]
+            "millisToWaitBeforeDeleting": 900_000,
+            "maxSegmentsToMove": 100,
+            "replicantLifetime": 15,
+            "replicationThrottleLimit": 500,
+            "balancerComputeThreads": 1,
+            "killDataSourceWhitelist": [],
+            "killPendingSegmentsSkipList": [],
+            "maxSegmentsInNodeLoadingQueue": 500,
+            "decommissioningNodes": [],
+            "pauseCoordination": False,
+            "replicateAfterLoadTimeout": False,
+            "useRoundRobinSegmentAssignment": True,
+            "smartSegmentLoading": True,
+            "debugDimensions": None,
+        }
+        self._httpd.broker_config = {  # type: ignore[attr-defined]
+            "type": "default"}
         # allow-all by default — an unsecured server behaves as before
         self._httpd.authenticator = (  # type: ignore[attr-defined]
             authenticator or Authenticator())

@@ -841,3 +841,60 @@ def test_native_scan_streams_no_driver_collect(server):
                                      ["NATION_2"]]
     finally:
         _CDF.collect = orig
+
+
+def test_console_dynamic_config_and_capacity_endpoints(server):
+    """Round 6 console parity: CoordinatorDynamicConfig GET/POST (+
+    audit-backed history), broker dynamic config, cluster topology
+    (ClusterResource.getClusterServers:63), workers + capacity gauges
+    (OverlordResource.getWorkers:701/getTotalWorkerCapacity:439), and
+    the console's MSQ capability probes."""
+    st, cfg, _ = _get3(server, "/druid/coordinator/v1/config")
+    assert st == 200 and cfg["maxSegmentsToMove"] == 100
+    st, _o, _ = _post(server, "/druid/coordinator/v1/config",
+                      {"maxSegmentsToMove": 42, "pauseCoordination": True})
+    assert st == 200
+    st, cfg, _ = _get3(server, "/druid/coordinator/v1/config")
+    assert cfg["maxSegmentsToMove"] == 42 and cfg["pauseCoordination"]
+    st, hist, _ = _get3(server, "/druid/coordinator/v1/config/history")
+    assert hist and hist[-1]["payload"]["maxSegmentsToMove"] == 42
+    # broker config
+    st, _o, _ = _post(server, "/druid/coordinator/v1/broker/config",
+                      {"type": "default", "maxSubqueryRows": 100000})
+    assert st == 200
+    st, bc, _ = _get3(server, "/druid/coordinator/v1/broker/config")
+    assert bc["maxSubqueryRows"] == 100000
+    st, hist, _ = _get3(server,
+                        "/druid/coordinator/v1/broker/config/history")
+    assert hist
+    # cluster topology: all four roles are this process
+    st, cluster, _ = _get3(server, "/druid/coordinator/v1/cluster")
+    assert st == 200
+    assert set(cluster) >= {"coordinator", "overlord", "broker",
+                            "historical"}
+    assert cluster["broker"][0]["port"] == server.port
+    st, nodes, _ = _get3(server, "/druid/coordinator/v1/cluster/broker")
+    assert st == 200 and nodes == cluster["broker"]
+    st, _b, _ = _get3(server, "/druid/coordinator/v1/cluster/bogus")
+    assert st == 400
+    # workers + capacity
+    st, workers, _ = _get3(server, "/druid/indexer/v1/workers")
+    assert st == 200 and workers[0]["worker"]["capacity"] >= 1
+    st, cap, _ = _get3(server, "/druid/indexer/v1/totalWorkerCapacity")
+    assert cap["currentClusterCapacity"] >= 1
+    assert cap["usedClusterCapacity"] >= 0
+    # capability probes
+    st, en, _ = _get3(server, "/druid/v2/sql/task/enabled")
+    assert en == {"enabled": True}
+    st, eng, _ = _get3(server, "/druid/v2/sql/engines")
+    assert {e["name"] for e in eng["engines"]} == {"broker", "msq-task"}
+
+
+def _get3(srv, path):
+    import urllib.request
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}{path}") as r:
+            return r.status, json.loads(r.read()), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"null"), dict(e.headers)
