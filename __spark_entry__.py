@@ -9252,6 +9252,76 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         WHERE o_orderkey <= 400
         GROUP BY GROUPING SETS ((o_orderstatus), (u.c), ())
         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3"""),
+    # ---- batch 25 (round 6): STRING_AGG/LISTAGG, bitwise aggregates,
+    # INTERSECT/EXCEPT ALL (multiset set ops — superset of the
+    # reference's UNION-only surface, like the existing INTERSECT/
+    # EXCEPT extension), ARRAY_CONCAT_AGG ----
+    "sqlc_string_agg_ordered": ("""
+        SELECT r.r_name,
+               STRING_AGG(n.n_name, ',')
+                 WITHIN GROUP (ORDER BY n.n_name) AS names
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name""", """
+        SELECT r.r_name,
+               STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS names
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name"""),
+    "sqlc_string_agg_distinct": ("""
+        SELECT o_orderstatus,
+               STRING_AGG(DISTINCT o_orderpriority, '|')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS prios
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus,
+               STRING_AGG(DISTINCT o_orderpriority, '|'
+                          ORDER BY o_orderpriority) AS prios
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    "sqlc_listagg_filtered": ("""
+        SELECT l_linestatus,
+               LISTAGG(l_returnflag, '')
+                 WITHIN GROUP (ORDER BY l_returnflag)
+                 FILTER (WHERE l_orderkey <= 8) AS flags,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""", """
+        SELECT l_linestatus,
+               STRING_AGG(l_returnflag, '' ORDER BY l_returnflag)
+                 FILTER (WHERE l_orderkey <= 8) AS flags,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+    "sqlc_bitwise_aggs": ("""
+        SELECT o_orderstatus,
+               CAST(BIT_AND(o_orderkey) AS BIGINT) AS ba,
+               CAST(BIT_OR(o_orderkey)  AS BIGINT) AS bo,
+               CAST(BIT_XOR(o_orderkey) AS BIGINT) AS bx
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        None),
+    "sqlc_bitwise_agg_filtered": ("""
+        SELECT CAST(BIT_OR(l_linenumber)
+                      FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+                 AS bo_r,
+               CAST(BIT_XOR(l_linenumber)
+                      FILTER (WHERE l_quantity > 25) AS BIGINT) AS bx_q
+        FROM lineitem""", None),
+    "sqlc_intersect_all": ("""
+        SELECT l_returnflag FROM lineitem WHERE l_quantity > 25
+        INTERSECT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_quantity < 26
+        ORDER BY 1""", None),
+    "sqlc_except_all": ("""
+        SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000
+        ORDER BY 1""", None),
+    "sqlc_array_concat_agg": ("""
+        SELECT o_orderstatus,
+               array_sort(ARRAY_CONCAT_AGG(
+                 STRING_TO_ARRAY(o_orderpriority, '-'))) AS parts
+        FROM orders WHERE o_orderkey <= 64
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus,
+               list_sort(flatten(list(
+                 string_split(o_orderpriority, '-')))) AS parts
+        FROM orders WHERE o_orderkey <= 64
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
 }
 
 

@@ -1008,9 +1008,12 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
             _quantile_call("PERCENTILE" if exact else "APPROX_PERCENTILE"))
     # string / array aggregates
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)
-    out = re.sub(r"\bARRAY_CONCAT_AGG\(\s*([^()]+?)\s*\)",
-                 lambda m: f"FLATTEN(COLLECT_LIST({m.group(1)}))", out,
-                 flags=re.IGNORECASE)
+    # balanced-paren rewrite: the argument is often itself a call
+    # (ARRAY_CONCAT_AGG(STRING_TO_ARRAY(x, '-')))
+    out = _rewrite_call(
+        out, "ARRAY_CONCAT_AGG",
+        lambda args: f"FLATTEN(COLLECT_LIST({args[0]}))"
+        if args else None)
     # Calcite OFFSET n ROWS / FETCH NEXT|FIRST n ROWS ONLY paging →
     # Spark's LIMIT/OFFSET clauses (Spark accepts LIMIT before OFFSET;
     # swap when Calcite's OFFSET-first order is used)
