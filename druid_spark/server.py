@@ -2029,15 +2029,18 @@ class _Handler(BaseHTTPRequestHandler):
             etag = None
         try:
             df = self.engine.query(q)
-            if q.get("queryType") == "scan":
-                # Scan is the unbounded native type — the reference
-                # streams it as a sequence of ScanResultValue batches
-                # (QueryResource writes the Sequence incrementally;
-                # ScanQueryEngine batches at batchSize, default 20480).
-                # Same contract here: chunked transfer, one batch
-                # object per batchSize rows from toLocalIterator, no
-                # driver-side materialization of the full result.
-                self._native_scan_stream(q, df, qid, etag, sched, ctx)
+            if q.get("queryType") in ("scan", "timeseries", "groupBy"):
+                # The native types whose result size scales with data
+                # (scan) or bucket/group cardinality (timeseries at
+                # fine grain, groupBy) stream row-by-row — the
+                # reference's QueryResource writes every result
+                # Sequence incrementally. scan emits ScanResultValue
+                # batches (batchSize rows, ScanQueryEngine default
+                # 20480); timeseries/groupBy emit one envelope object
+                # per row. topN/search/timeBoundary/metadata results
+                # are bounded by construction and keep the buffered
+                # path.
+                self._native_stream(q, df, qid, etag, sched, ctx)
                 return
             rows = sched.submit(
                 qid, df.collect,
@@ -2073,19 +2076,23 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _native_scan_stream(self, q: dict, df, qid: str, etag,
-                            sched, ctx) -> None:
-        """Stream the scan envelope ([{segmentId, columns, events}...],
-        one batch per `batchSize` rows) from toLocalIterator over
-        chunked transfer. First row pulled before headers so fast
-        failures return proper error statuses; a later error truncates
-        the JSON (no closing bracket = incomplete)."""
+    def _native_stream(self, q: dict, df, qid: str, etag,
+                       sched, ctx) -> None:
+        """Stream a native result envelope from toLocalIterator over
+        chunked transfer. scan: [{segmentId, columns, events}...] with
+        one batch per `batchSize` rows; timeseries/groupBy: one
+        envelope object per row (shape_native's per-row forms). First
+        row pulled before headers so fast failures return proper error
+        statuses; a later error truncates the JSON (no closing bracket
+        = incomplete)."""
+        qt = q.get("queryType")
         fmt = q.get("resultFormat", "list")
         try:
             batch_size = max(1, int(q.get("batchSize") or 20480))
         except (TypeError, ValueError):
             batch_size = 20480
         cols = list(df.columns)
+        t0 = _interval_start(q)
         _END = object()
         state_lock = threading.Lock()
         state = {"started": False, "aborted": False}
@@ -2115,30 +2122,51 @@ class _Handler(BaseHTTPRequestHandler):
                         + b"\r\n")
                     buf.clear()
 
-            def ev(r) -> bytes:
-                d = {k: json_safe(v)
-                     for k, v in r.asDict(recursive=True).items()}
-                return json.dumps([d.get(c) for c in cols]
-                                  if fmt == "compactedList" else d
-                                  ).encode()
+            def rowdict(r) -> dict:
+                return {k: json_safe(v)
+                        for k, v in r.asDict(recursive=True).items()}
 
-            head = json.dumps({"segmentId": None, "columns": cols}
-                              )[:-1].encode() + b', "events": ['
+            def envelope(r) -> bytes:
+                # per-row envelope (shape_native timeseries/groupBy
+                # arms): Result<TimeseriesResultValue> / v1 ResultRow
+                d = rowdict(r)
+                ts = d.pop("__time", None) if "__time" in d else t0
+                if qt == "timeseries":
+                    return json.dumps(
+                        {"timestamp": ts if ts is not None else t0,
+                         "result": d}).encode()
+                return json.dumps(
+                    {"version": "v1",
+                     "timestamp": ts if ts is not None else t0,
+                     "event": d}).encode()
+
             out(b"[")
-            if first is _END:
-                out(head + b"]}")
-            else:
-                n_in_batch = 0
-                out(head + ev(first))
-                n_in_batch = 1
+            if qt == "scan":
+                def ev(r) -> bytes:
+                    d = rowdict(r)
+                    return json.dumps([d.get(c) for c in cols]
+                                      if fmt == "compactedList" else d
+                                      ).encode()
+
+                head = json.dumps({"segmentId": None, "columns": cols}
+                                  )[:-1].encode() + b', "events": ['
+                if first is _END:
+                    out(head + b"]}")
+                else:
+                    out(head + ev(first))
+                    n_in_batch = 1
+                    for r in it:
+                        if n_in_batch >= batch_size:
+                            out(b"]}," + head + ev(r))
+                            n_in_batch = 1
+                        else:
+                            out(b"," + ev(r))
+                            n_in_batch += 1
+                    out(b"]}")
+            elif first is not _END:
+                out(envelope(first))
                 for r in it:
-                    if n_in_batch >= batch_size:
-                        out(b"]}," + head + ev(r))
-                        n_in_batch = 1
-                    else:
-                        out(b"," + ev(r))
-                        n_in_batch += 1
-                out(b"]}")
+                    out(b"," + envelope(r))
             out(b"]\n", flush=True)
             self.wfile.write(b"0\r\n\r\n")
 

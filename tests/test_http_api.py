@@ -898,3 +898,36 @@ def _get3(srv, path):
             return r.status, json.loads(r.read()), dict(r.headers)
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read() or b"null"), dict(e.headers)
+
+
+def test_native_timeseries_groupby_stream_no_collect(server):
+    """timeseries and groupBy envelopes also stream per-row (their
+    result size scales with bucket/group cardinality); the buffered
+    path remains only for construction-bounded types."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    orig = _CDF.collect
+
+    def boom(self):
+        raise AssertionError("driver-side collect on native path")
+
+    _CDF.collect = boom
+    try:
+        st, body, _ = _post(server, "/druid/v2", {
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "day",
+            "intervals": ["2024-01-01/2024-01-08"],
+            "aggregations": [{"type": "count", "name": "n"}]})
+        assert st == 200 and len(body) == 7
+        assert body[0]["timestamp"].startswith("2024-01-01")
+        assert body[0]["result"]["n"] > 0
+        st, body, _ = _post(server, "/druid/v2", {
+            "queryType": "groupBy", "dataSource": "lineitem",
+            "granularity": "all",
+            "intervals": ["1992-01-01/1999-01-01"],
+            "dimensions": ["l_returnflag", "l_linestatus"],
+            "aggregations": [{"type": "longSum", "name": "q",
+                              "fieldName": "l_quantity"}]})
+        assert st == 200 and len(body) == 6  # synthetic flag×status
+        assert all(b["version"] == "v1" and "event" in b for b in body)
+    finally:
+        _CDF.collect = orig
