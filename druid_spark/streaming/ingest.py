@@ -94,6 +94,7 @@ class StreamingIngest:
     def start(self, stream: DataFrame, time_column: str = "timestamp",
               transform_spec: dict | None = None,
               late_rejection: str | None = None,
+              early_rejection: str | None = None,
               trigger: dict | None = None):
         """Append raw (non-rollup) events to the tail area."""
         df = stream.withColumn("__time", F.col(time_column))
@@ -105,6 +106,15 @@ class StreamingIngest:
             df = df.where(
                 F.col("__time") >=
                 F.current_timestamp() - F.expr(f"INTERVAL {late_rejection}"))
+        if early_rejection:
+            # earlyMessageRejectionPeriod (SeekableStreamSupervisor-
+            # IOConfig.java:61): drop rows stamped further in the
+            # FUTURE than the period — bad clocks must not pollute
+            # far-future partitions
+            df = df.where(
+                F.col("__time") <=
+                F.current_timestamp()
+                + F.expr(f"INTERVAL {early_rejection}"))
         writer = (df.writeStream
                   .foreachBatch(self._batch_writer())
                   .option("checkpointLocation", self.checkpoint)
@@ -220,6 +230,9 @@ def start_supervisor(spark: SparkSession, spec: dict[str, Any],
     late = io.get("lateMessageRejectionPeriod")
     if late:  # ISO period → Spark interval string
         late = _iso_period_to_interval(late)
+    early = io.get("earlyMessageRejectionPeriod")
+    if early:
+        early = _iso_period_to_interval(early)
 
     ingest = StreamingIngest(spark, base_dir, name)
     gran_spec = schema.get("granularitySpec", {})
@@ -236,7 +249,8 @@ def start_supervisor(spark: SparkSession, spec: dict[str, Any],
         query = ingest.start(
             stream, time_column=time_col,
             transform_spec=schema.get("transformSpec"),
-            late_rejection=late, trigger=trigger)
+            late_rejection=late, early_rejection=early,
+            trigger=trigger)
     # Re-submitting a spec for the same dataSource REPLACES the running
     # supervisor (SupervisorManager keeps an id-keyed map and stops the
     # prior instance): stop the old query, drop its registry entry.

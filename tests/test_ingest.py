@@ -661,3 +661,43 @@ def test_flatten_spec_path_prunes_scan(spark, tmp_path):
     assert "agent" in rs
     assert "wide_unused" not in rs
     assert "wide_other" not in rs
+
+
+def test_streaming_early_and_late_rejection(spark, tmp_path):
+    """earlyMessageRejectionPeriod + lateMessageRejectionPeriod
+    (SeekableStreamSupervisorIOConfig.java:60-61): rows stamped too
+    far in the past OR the future are dropped at ingest, not merely
+    watermark-expired."""
+    import json
+    from druid_spark.streaming.ingest import StreamingIngest, read_stream
+
+    src_dir = tmp_path / "rej_in"
+    src_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("k", T.StringType())])
+    import datetime as dt
+    now = dt.datetime.utcnow()
+    fmt = "%Y-%m-%dT%H:%M:%S.000Z"
+    rows = [
+        {"timestamp": now.strftime(fmt), "k": "ok_now"},
+        {"timestamp": (now - dt.timedelta(minutes=30)).strftime(fmt),
+         "k": "ok_recent"},
+        {"timestamp": (now - dt.timedelta(days=2)).strftime(fmt),
+         "k": "too_old"},
+        {"timestamp": (now + dt.timedelta(minutes=5)).strftime(fmt),
+         "k": "ok_near_future"},
+        {"timestamp": (now + dt.timedelta(days=3)).strftime(fmt),
+         "k": "too_future"},
+    ]
+    (src_dir / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    stream = read_stream(spark, {"type": "file", "format": "json",
+                                 "path": str(src_dir),
+                                 "schema": schema})
+    ing = StreamingIngest(spark, str(tmp_path / "rej_wh"), "rej")
+    q = ing.start(stream, late_rejection="1 DAY",
+                  early_rejection="1 HOUR")
+    q.awaitTermination(120)
+    kept = {r["k"] for r in ing.view().collect()}
+    assert kept == {"ok_now", "ok_recent", "ok_near_future"}
