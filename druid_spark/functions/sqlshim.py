@@ -903,12 +903,17 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
     out = re.sub(r"\bEARLIEST_BY\(", "MIN_BY(", out, flags=re.IGNORECASE)
     out = re.sub(r"\bLATEST_BY\(", "MAX_BY(", out, flags=re.IGNORECASE)
-    out = re.sub(r"\bEARLIEST\(\s*([^,()]+)\s*\)",
-                 lambda m: f"MIN_BY({m.group(1)}, __time)", out,
-                 flags=re.IGNORECASE)
-    out = re.sub(r"\bLATEST\(\s*([^,()]+)\s*\)",
-                 lambda m: f"MAX_BY({m.group(1)}, __time)", out,
-                 flags=re.IGNORECASE)
+    # balanced-paren rewrite so nested-call args work
+    # (EARLIEST(UPPER(x))); the 2-arg maxBytes form drops the byte cap
+    # (Spark strings are unbounded)
+    out = _rewrite_call(
+        out, "EARLIEST",
+        lambda args: f"MIN_BY({args[0]}, __time)"
+        if args and len(args) <= 2 else None)
+    out = _rewrite_call(
+        out, "LATEST",
+        lambda args: f"MAX_BY({args[0]}, __time)"
+        if args and len(args) <= 2 else None)
     # sketch-state functions ALWAYS compile to real Datasketches state
     # (Spark 3.5+/4 ships the Apache Datasketches HLL family natively —
     # the same library the reference extension wraps:
