@@ -1680,6 +1680,33 @@ def q_text_profile(spark, sf):
         "lang_pred", "fingerprint")
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary top-k (tokenizer-training histogram):
+    explode → partial-agg groupBy → TakeOrderedAndProject."""
+    from druid_spark.datapipe import textstats
+    docs = _engine(spark, sf).catalog.table("documents")
+    return textstats.vocab_topk(docs, k=50)
+
+
+def q_char_entropy(spark, sf):
+    """Per-doc Shannon char entropy (perplexity proxy for quality
+    filtering): single-scan pure-Column run-length fold."""
+    from druid_spark.datapipe import textstats
+    docs = _engine(spark, sf).catalog.table("documents")
+    return (docs.select("doc_id",
+                        F.round(textstats.char_entropy(F.col("text")),
+                                6).alias("ent"))
+            .orderBy("doc_id").limit(200))
+
+
+def q_repeated_ngrams(spark, sf):
+    """Cross-document repeated 5-grams (shared boilerplate
+    detection): shingle → one equi-shuffle → countDistinct docs."""
+    from druid_spark.datapipe import textstats
+    docs = _engine(spark, sf).catalog.table("documents")
+    return textstats.repeated_ngrams(docs, n=5, min_docs=3, limit=50)
+
+
 def q_text_quality_by_source(spark, sf):
     from druid_spark.datapipe import textstats
     docs = _engine(spark, sf).catalog.table("documents")
@@ -9365,6 +9392,7 @@ _SAMPLE_FIRST = [
     # datapipe
     "dedup_exact", "dedup_jaccard", "neardup_embedding",
     "sim_topk", "sim_lsh_recall", "sim_quantized_recall", "text_profile",
+    "vocab_topk", "char_entropy", "repeated_ngrams",
     "pii_redact", "sample_stratified",
 ]
 
@@ -9483,6 +9511,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_recall": q_sim_quantized_recall,
         "sim_ivf": q_sim_ivf,
         "text_profile": q_text_profile,
+        "vocab_topk": q_vocab_topk,
+        "char_entropy": q_char_entropy,
+        "repeated_ngrams": q_repeated_ngrams,
         "doc_length_profile": q_doc_length_profile,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "text_quality_by_source": q_text_quality_by_source,
@@ -10228,6 +10259,37 @@ def _base_oracle_sql() -> dict[str, str]:
                    round(sum({_QUALITY}), 3) AS quality_sum,
                    sum({_NTOK})::BIGINT AS tokens
             FROM documents GROUP BY 1""",
+        "vocab_topk": r"""
+            SELECT token, COUNT(*) AS n FROM (
+              SELECT unnest(string_split_regex(lower(text), '\s+'))
+                     AS token FROM documents)
+            WHERE token != ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+        "char_entropy": """
+            SELECT doc_id, ROUND(-SUM(p * log2(p)), 6) AS ent FROM (
+              SELECT doc_id,
+                     COUNT(*)::DOUBLE
+                       / MAX(n) OVER (PARTITION BY doc_id) AS p
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(text, '')) AS c,
+                           length(text) AS n
+                    FROM documents)
+              GROUP BY doc_id, c, n)
+            GROUP BY doc_id ORDER BY doc_id LIMIT 200""",
+        "repeated_ngrams": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(text), '\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 4)) AS i) s
+              WHERE len(t) >= 5)
+            SELECT ngram, COUNT(DISTINCT doc_id) AS docs,
+                   COUNT(*) AS occurrences
+            FROM grams GROUP BY ngram HAVING docs >= 3
+            ORDER BY docs DESC, occurrences DESC, ngram LIMIT 50""",
         "pipeline_quality_dedup": f"""
             SELECT lang, count(*) AS n_kept,
                    count(DISTINCT md5({_NORM})) AS n_uniq

@@ -213,3 +213,79 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
                     F.round(F.coalesce(F.col("top_c") / F.col("n_bigrams"),
                                        F.lit(0.0)), 4)
                     .alias("top_bigram_frac")))
+
+
+def char_entropy(text: Column) -> Column:
+    """Per-document Shannon entropy (bits) over characters — a cheap
+    perplexity proxy for quality filtering: low entropy flags
+    repetitive/boilerplate text, near-random bytes score high.
+
+    Single pure-Column expression: sort the char array, then ONE fold
+    accumulates run-length entropy terms at each character change
+    (O(n log n) sort + O(n) fold — the run-length pattern; a
+    per-distinct-char `filter()` rescan would be O(D·n) and re-evaluate
+    the outer array per element). No shuffle, codegen'd, exact vs the
+    unnest+group SQL oracle."""
+    chars = F.array_sort(F.split(text, ""))
+    n = F.size(chars).cast("double")
+
+    def term(run):
+        return F.when(run > 0, -(run / n) * F.log2(run / n)) \
+                .otherwise(F.lit(0.0))
+
+    def st(p, r, h):
+        return F.struct(p.alias("p"), r.alias("r"), h.alias("h"))
+
+    return F.aggregate(
+        chars,
+        st(F.lit(None).cast("string"), F.lit(0.0), F.lit(0.0)),
+        lambda s, c: F.when(s["p"].isNull(),
+                            st(c, F.lit(1.0), F.lit(0.0)))
+                      .when(c == s["p"], st(s["p"], s["r"] + 1, s["h"]))
+                      .otherwise(st(c, F.lit(1.0),
+                                    s["h"] + term(s["r"]))),
+        lambda s: F.when(s["p"].isNull(), F.lit(0.0))
+                   .otherwise(s["h"] + term(s["r"])))
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text",
+               k: int = 100) -> DataFrame:
+    """Corpus token histogram, top-k by frequency — vocabulary
+    building for tokenizer training. explode → groupBy(token):
+    map-side partial counts make the shuffle proportional to DISTINCT
+    tokens per partition, not token volume; TopK is a
+    TakeOrderedAndProject, never a full sort. Ties break on the token
+    for deterministic output."""
+    toks = F.explode(
+        F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    return (df.select(toks).where(F.col("token") != "")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "token").limit(k))
+
+
+def repeated_ngrams(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 5,
+                    min_docs: int = 3, limit: int = 100) -> DataFrame:
+    """Cross-document repeated n-gram detection — surfaces boilerplate
+    passages shared across documents (headers, license blocks,
+    templated spam) that per-document repetition profiles cannot see.
+
+    Shingles generate JVM-side (transform over an index sequence +
+    slice), then ONE shuffle keyed by the n-gram with countDistinct
+    docs; `min_docs` prunes the long unique tail before the top-k
+    (TakeOrderedAndProject). At 100 TB, hash the n-gram first if
+    string shuffle volume dominates — the join key stays an equi key
+    either way."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.countDistinct(id_col).alias("docs"),
+                 F.count(F.lit(1)).alias("occurrences"))
+            .where(F.col("docs") >= min_docs)
+            .orderBy(F.desc("docs"), F.desc("occurrences"), "ngram")
+            .limit(limit))
