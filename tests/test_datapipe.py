@@ -367,3 +367,34 @@ def test_quantized_topk_recall(spark, emb):
           similarity.brute_force_topk(emb, qv, k=10).collect()}
     for vid in set(got) & set(ex):
         assert got[vid] == pytest.approx(ex[vid], abs=1e-6)
+
+
+def test_char_entropy_known_values(spark):
+    """Run-length-fold entropy matches hand-computed values: uniform
+    chars → 0 bits; 'ab'*k → 1 bit; 4 equal chars → 2 bits."""
+    from druid_spark.datapipe.textstats import char_entropy
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("aaaa",), ("abababab",), ("abcd",), ("",)], ["t"])
+    got = [r["e"] for r in
+           df.select(F.round(char_entropy(F.col("t")), 6).alias("e"))
+             .collect()]
+    assert got == [0.0, 1.0, 2.0, 0.0]
+
+
+def test_vocab_topk_and_repeated_ngrams(spark):
+    from druid_spark.datapipe.textstats import (repeated_ngrams,
+                                                vocab_topk)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the hat"),
+         (3, "the cat sat on the rug"),
+         (4, "dogs bark")], ["doc_id", "text"])
+    top = vocab_topk(docs, k=3).collect()
+    assert [(r["token"], r["n"]) for r in top] == [
+        ("the", 6), ("cat", 3), ("on", 3)]
+    reps = repeated_ngrams(docs, n=5, min_docs=3, limit=10).collect()
+    assert [(r["ngram"], r["docs"], r["occurrences"])
+            for r in reps] == [("the cat sat on the", 3, 3)]
+    # docs shorter than n contribute nothing and don't error
+    assert repeated_ngrams(docs, n=10, min_docs=1).collect() == []
