@@ -1280,6 +1280,15 @@ def q_sample_stratified(spark, sf):
             .select("stratum", "doc_id").orderBy("stratum", "doc_id"))
 
 
+def q_temperature_rates(spark, sf):
+    """Temperature-balanced language mixing (q_l ∝ p_l^alpha): exact
+    closed-form per-language sampling rates — tiny agg + window math,
+    broadcast-joinable back onto the corpus."""
+    from druid_spark.datapipe.sample import temperature_rates
+    docs = _engine(spark, sf).catalog.table("documents")
+    return temperature_rates(docs, "lang", alpha=0.3).orderBy("lang")
+
+
 def q_split_assign(spark, sf):
     """Leakage-safe train/val/test assignment: split chosen by hashing
     the doc's dedup-cluster id (connected components over exact-dup
@@ -9497,6 +9506,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "streaming_rollup": q_streaming_rollup,
         "sample_stratified": q_sample_stratified,
+        "temperature_rates": q_temperature_rates,
         "split_assign": q_split_assign,
         "contamination": q_contamination,
         "dedup_minhash": q_dedup_minhash,
@@ -10144,6 +10154,15 @@ def _base_oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id) AS rn
               FROM documents) t
             WHERE rn <= 3 ORDER BY 1, 2""",
+        "temperature_rates": """
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+                       GROUP BY lang),
+            s AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS p
+                  FROM c),
+            r AS (SELECT lang, n, p, POW(p, 0.3 - 1.0) AS raw FROM s)
+            SELECT lang, n, ROUND(p, 6) AS p,
+                   ROUND(raw / MAX(raw) OVER (), 6) AS rate
+            FROM r ORDER BY lang""",
         "contamination": _G8 + """,
             tr AS (SELECT DISTINCT unnest(grams) AS g FROM g8
                    WHERE doc_id % 17 != 0),

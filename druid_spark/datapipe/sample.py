@@ -89,3 +89,41 @@ def contamination(train: DataFrame, evalset: DataFrame, n: int = 8,
     return hits.select(
         "id", "n_grams", "n_hit",
         F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("hit_rate"))
+
+
+def temperature_rates(df: DataFrame, group_col: str = "lang",
+                      alpha: float = 0.3) -> DataFrame:
+    """Per-group sampling rates for temperature-balanced mixing (the
+    multilingual-pretraining reweighting: sample group l with
+    probability q_l ∝ p_l^alpha, alpha<1 upsampling the tail). The
+    per-ROW keep rate is q_l/p_l = p_l^(alpha-1), normalized so the
+    largest rate is 1 (downsample-only — never duplicates rows).
+
+    Plan: one tiny groupBy(lang) agg, then window math over the
+    handful of group rows — no per-row shuffle; the rates join back
+    broadcast. Exact closed-form arithmetic, so a SQL oracle verifies
+    it."""
+    from pyspark.sql import Window
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    p = F.col("n") / F.sum("n").over(w)
+    raw = F.pow(p, F.lit(alpha - 1.0))
+    return counts.select(
+        group_col, "n",
+        F.round(p, 6).alias("p"),
+        F.round(raw / F.max(raw).over(w), 6).alias("rate"))
+
+
+def temperature_sample(df: DataFrame, group_col: str = "lang",
+                       alpha: float = 0.3, key: str = "doc_id",
+                       seed: int = 0) -> DataFrame:
+    """Apply the temperature rates: keep a row iff its seeded hash
+    bucket falls under its group's rate — deterministic, re-run
+    stable, zero sampling state. The rates side is a handful of rows →
+    broadcast hash join; the scan stays one pass."""
+    rates = temperature_rates(df, group_col, alpha) \
+        .select(group_col, "rate")
+    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(key)),
+                    F.lit(1_000_000)) / F.lit(1_000_000.0)
+    return (df.join(F.broadcast(rates), group_col)
+            .where(bucket < F.col("rate")))

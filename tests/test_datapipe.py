@@ -398,3 +398,29 @@ def test_vocab_topk_and_repeated_ngrams(spark):
             for r in reps] == [("the cat sat on the", 3, 3)]
     # docs shorter than n contribute nothing and don't error
     assert repeated_ngrams(docs, n=10, min_docs=1).collect() == []
+
+
+def test_temperature_sample_invariants(spark):
+    """temperature_sample: the dominant group's rate is exactly 1 (it
+    only downsamples), rare groups keep ~everything at small alpha,
+    achieved rates track the closed-form targets, and the decision is
+    deterministic across runs."""
+    from druid_spark.datapipe.sample import (temperature_rates,
+                                             temperature_sample)
+    rows = [(i, "en") for i in range(2000)] + \
+           [(10_000 + i, "sw") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {r["lang"]: r["rate"]
+             for r in temperature_rates(df, alpha=0.3).collect()}
+    assert rates["sw"] == 1.0  # rarest group anchors at 1
+    assert 0 < rates["en"] < 0.2  # 20x ratio, alpha .3 -> (1/20)^0.7
+    kept = temperature_sample(df, alpha=0.3).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in kept.collect()}
+    assert got["sw"] == 100  # rate 1.0 keeps all
+    import math
+    expect_en = 2000 * rates["en"]
+    assert abs(got["en"] - expect_en) < 4 * math.sqrt(expect_en)
+    again = {r["lang"]: r["count"] for r in
+             temperature_sample(df, alpha=0.3).groupBy("lang")
+             .count().collect()}
+    assert again == got  # deterministic
