@@ -340,6 +340,23 @@ def main():
     check("flatten_path_pruned_scan", df, ["agent"],
           ["wide_unused", "wide_other"])
 
+    # 21. vocab_topk: corpus histogram ends in TakeOrderedAndProject
+    # with partial aggregation before the shuffle (map-side combine)
+    from druid_spark.datapipe.textstats import vocab_topk
+    df = vocab_topk(engine.catalog.table("documents"), k=50)
+    check("vocab_topk_take_ordered", df,
+          ["TakeOrderedAndProject", "partial_count"],
+          ["CartesianProduct"])
+
+    # 22. temperature_sample: the tiny rates side broadcast-joins onto
+    # the corpus scan (never a shuffle join on the full table)
+    from druid_spark.datapipe.sample import temperature_sample
+    df = temperature_sample(engine.catalog.table("documents"),
+                            "lang", alpha=0.3)
+    check("temperature_sample_broadcast", df,
+          ["BroadcastHashJoin"],
+          ["SortMergeJoin", "CartesianProduct"])
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
