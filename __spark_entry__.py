@@ -9292,6 +9292,24 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # INTERSECT/EXCEPT ALL (multiset set ops — superset of the
     # reference's UNION-only surface, like the existing INTERSECT/
     # EXCEPT extension), ARRAY_CONCAT_AGG ----
+    # INFORMATION_SCHEMA long tail (InformationSchema.java SCHEMATA /
+    # ROUTINES tables)
+    "sqlc_info_schemata": ("""
+        SELECT SCHEMA_NAME FROM INFORMATION_SCHEMA.SCHEMATA
+        ORDER BY 1""", """
+        SELECT * FROM (VALUES ('INFORMATION_SCHEMA'), ('druid'),
+                              ('lookup'), ('sys')) AS t(SCHEMA_NAME)
+        ORDER BY 1"""),
+    "sqlc_info_routines": ("""
+        SELECT ROUTINE_NAME, IS_AGGREGATOR
+        FROM INFORMATION_SCHEMA.ROUTINES
+        WHERE ROUTINE_NAME IN ('TIME_FLOOR', 'DS_HLL', 'STRING_AGG',
+                               'SAFE_DIVIDE')
+        ORDER BY 1""", """
+        SELECT * FROM (VALUES ('DS_HLL', 'YES'), ('SAFE_DIVIDE', 'NO'),
+                              ('STRING_AGG', 'YES'),
+                              ('TIME_FLOOR', 'NO'))
+          AS t(ROUTINE_NAME, IS_AGGREGATOR) ORDER BY 1"""),
     "sqlc_string_agg_ordered": ("""
         SELECT r.r_name,
                STRING_AGG(n.n_name, ',')

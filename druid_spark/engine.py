@@ -41,7 +41,8 @@ _SYS_DOT_RE = _re.compile(
     r"\bsys\.(tasks|segments|servers|server_segments|supervisors)\b",
     _re.IGNORECASE)
 _INFO_DOT_RE = _re.compile(
-    r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS)\b", _re.IGNORECASE)
+    r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS|SCHEMATA|ROUTINES)\b",
+    _re.IGNORECASE)
 _IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _SQL_VIEWS_STAMP: "_weakref.WeakKeyDictionary[SparkSession, tuple[int, int]]" \
     = _weakref.WeakKeyDictionary()
@@ -643,6 +644,58 @@ class DruidSparkEngine:
                      "COLUMN_NAME", "ORDINAL_POSITION", "DATA_TYPE",
                      "IS_NULLABLE"]).createOrReplaceTempView(
             "information_schema_columns")
+        # INFORMATION_SCHEMA.SCHEMATA (InformationSchema.java:105
+        # SCHEMATA_SIGNATURE): the root schemas every Druid deployment
+        # exposes
+        self.spark.createDataFrame(
+            [("druid", s, None, None, None, None, None)
+             for s in ("druid", "INFORMATION_SCHEMA", "lookup", "sys")],
+            T.StructType([
+                T.StructField("CATALOG_NAME", T.StringType()),
+                T.StructField("SCHEMA_NAME", T.StringType()),
+                T.StructField("SCHEMA_OWNER", T.StringType()),
+                T.StructField("DEFAULT_CHARACTER_SET_CATALOG",
+                              T.StringType()),
+                T.StructField("DEFAULT_CHARACTER_SET_SCHEMA",
+                              T.StringType()),
+                T.StructField("DEFAULT_CHARACTER_SET_NAME",
+                              T.StringType()),
+                T.StructField("SQL_PATH", T.StringType()),
+            ])).createOrReplaceTempView("information_schema_schemata")
+        # INFORMATION_SCHEMA.ROUTINES (InformationSchema.java:141
+        # ROUTINES_SIGNATURE: one row per operator in the
+        # DruidOperatorTable) — here, the engine's registered Druid
+        # function surface: the SQL-UDF registry plus the aggregate
+        # spellings the shim compiles
+        from druid_spark.functions.register import _FUNCS
+        routine_rows = [("druid", "INFORMATION_SCHEMA", name.upper(),
+                         "FUNCTION", "NO", f"({args})")
+                        for name, args, _ret, _body in _FUNCS]
+        routine_rows += [
+            ("druid", "INFORMATION_SCHEMA", agg, "FUNCTION", "YES",
+             None)
+            for agg in ("EARLIEST", "LATEST", "EARLIEST_BY",
+                        "LATEST_BY", "ANY_VALUE", "APPROX_COUNT_DISTINCT",
+                        "APPROX_COUNT_DISTINCT_DS_HLL",
+                        "APPROX_COUNT_DISTINCT_DS_THETA",
+                        "APPROX_QUANTILE", "APPROX_QUANTILE_DS",
+                        "DS_HLL", "DS_THETA", "DS_QUANTILES_SKETCH",
+                        "DS_KLL_QUANTILES_SKETCH", "DS_TUPLE_DOUBLES",
+                        "STRING_AGG", "LISTAGG", "ARRAY_AGG",
+                        "ARRAY_CONCAT_AGG", "BIT_AND", "BIT_OR",
+                        "BIT_XOR", "GROUPING", "VAR_POP", "VAR_SAMP",
+                        "STDDEV_POP", "STDDEV_SAMP", "BLOOM_FILTER",
+                        "TDIGEST_QUANTILE")]
+        self.spark.createDataFrame(
+            routine_rows,
+            T.StructType([
+                T.StructField("ROUTINE_CATALOG", T.StringType()),
+                T.StructField("ROUTINE_SCHEMA", T.StringType()),
+                T.StructField("ROUTINE_NAME", T.StringType()),
+                T.StructField("ROUTINE_TYPE", T.StringType()),
+                T.StructField("IS_AGGREGATOR", T.StringType()),
+                T.StructField("SIGNATURES", T.StringType()),
+            ])).createOrReplaceTempView("information_schema_routines")
         segs = self.catalog.segments()
         if segs:
             # SEGMENTS_SIGNATURE subset (SystemSchema.java:105): the
