@@ -247,6 +247,19 @@ class _SpilledResult:
         shutil.rmtree(self.dir, ignore_errors=True)
 
 
+def druid_type(simple: str) -> str:
+    """Spark simpleString → Druid native column type string
+    (TypeSignature.asTypeString: STRING/LONG/FLOAT/DOUBLE/ARRAY<...>/
+    COMPLEX<...>; Druid booleans and timestamps are LONG)."""
+    if simple.startswith("array<"):
+        return f"ARRAY<{druid_type(simple[6:-1])}>"
+    return {"string": "STRING", "bigint": "LONG", "int": "LONG",
+            "smallint": "LONG", "tinyint": "LONG", "boolean": "LONG",
+            "timestamp": "LONG", "timestamp_ntz": "LONG",
+            "date": "LONG", "double": "DOUBLE", "float": "FLOAT",
+            "binary": "COMPLEX"}.get(simple, "COMPLEX<json>")
+
+
 # ---------------------------------------------------------------- avatica
 # Spark simpleString -> (Avatica type name, java.sql.Types id)
 _JDBC_TYPE = {"tinyint": ("TINYINT", -6), "smallint": ("SMALLINT", 5),
@@ -2193,6 +2206,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         fmt = body.get("resultFormat", "object")
         header = bool(body.get("header", False))
+        types_hdr = bool(body.get("typesHeader", False))
+        sql_types_hdr = bool(body.get("sqlTypesHeader", False))
         ctx = body.get("context") or {}
         sched = self.server.scheduler  # type: ignore[attr-defined]
         try:
@@ -2255,19 +2270,45 @@ class _Handler(BaseHTTPRequestHandler):
             def header_bytes() -> bytes | None:
                 if not header:
                     return None
-                if fmt == "array":
-                    return json.dumps(cols).encode()
-                if fmt == "arrayLines":
-                    return json.dumps(cols).encode() + b"\n"
-                if fmt == "object":
-                    # ObjectWriter.writeHeader:148-160 — an object of
-                    # {column: null} leads the array
-                    return json.dumps({c: None for c in cols}).encode()
+                # typesHeader/sqlTypesHeader (SqlQuery.java:74-85;
+                # ArrayWriter.writeHeader:103-134 emits extra type
+                # rows, ObjectWriter nests {type, sqlType} per column)
+                natives = [druid_type(f.dataType.simpleString())
+                           for f in df.schema.fields]
+                sqls = [_JDBC_TYPE.get(f.dataType.simpleString(),
+                                       ("OTHER", 1111))[0]
+                        for f in df.schema.fields]
+                if fmt in ("array", "arrayLines"):
+                    rows = [cols]
+                    if types_hdr:
+                        rows.append(natives)
+                    if sql_types_hdr:
+                        rows.append(sqls)
+                    sep = b"\n" if fmt == "arrayLines" else b","
+                    out_ = sep.join(json.dumps(r).encode()
+                                    for r in rows)
+                    return out_ + b"\n" if fmt == "arrayLines" else out_
+                if fmt in ("object", "objectLines"):
+                    # ObjectWriter.writeHeader:108-146 — {column:
+                    # null} or {column: {type, sqlType}} leads
+                    hdr: dict[str, Any] = {}
+                    for i, c in enumerate(cols):
+                        if types_hdr or sql_types_hdr:
+                            v: Any = {}
+                            if types_hdr:
+                                v["type"] = natives[i]
+                            if sql_types_hdr:
+                                v["sqlType"] = sqls[i]
+                        else:
+                            v = None
+                        hdr[c] = v
+                    b = json.dumps(hdr).encode()
+                    return b + b"\n" if fmt == "objectLines" else b
                 if fmt == "csv":
                     sb = io.StringIO()
                     _csv.writer(sb).writerow(cols)
                     return sb.getvalue().encode()
-                return None  # objectLines has no header form
+                return None
 
             json_array = fmt in ("object", "array")
             # started/aborted share one lock: a timeout raised by

@@ -931,3 +931,29 @@ def test_native_timeseries_groupby_stream_no_collect(server):
         assert all(b["version"] == "v1" and "event" in b for b in body)
     finally:
         _CDF.collect = orig
+
+
+def test_sql_types_headers(server):
+    """typesHeader / sqlTypesHeader (SqlQuery.java:74-85): array gets
+    extra type rows, object nests {type, sqlType} in the header row."""
+    q = ("SELECT n_name, n_nationkey, CAST(1.5 AS DOUBLE) AS d "
+         "FROM nation ORDER BY n_nationkey LIMIT 2")
+    st, body, _ = _post(server, "/druid/v2/sql", {
+        "query": q, "resultFormat": "array", "header": True,
+        "typesHeader": True, "sqlTypesHeader": True})
+    assert st == 200
+    assert body[0] == ["n_name", "n_nationkey", "d"]
+    assert body[1] == ["STRING", "LONG", "DOUBLE"]
+    assert body[2] == ["VARCHAR", "INTEGER", "DOUBLE"]
+    assert len(body) == 5 and body[3][0] == "NATION_0"
+    st, body, _ = _post(server, "/druid/v2/sql", {
+        "query": q, "header": True, "typesHeader": True,
+        "sqlTypesHeader": True})
+    assert st == 200
+    assert body[0]["n_nationkey"] == {"type": "LONG",
+                                      "sqlType": "INTEGER"}
+    assert len(body) == 3
+    # plain header unchanged: {col: null}
+    st, body, _ = _post(server, "/druid/v2/sql",
+                        {"query": q, "header": True})
+    assert body[0] == {"n_name": None, "n_nationkey": None, "d": None}
