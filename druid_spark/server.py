@@ -1110,6 +1110,23 @@ class _Handler(BaseHTTPRequestHandler):
         be = getattr(self.server, "authorizer", None)
         return be if hasattr(be, "create_role") else None
 
+    def _ds_summary(self, name: str) -> dict:
+        """DatasourcesResource ?simple shape: per-datasource tier +
+        segment rollups from the segment registry."""
+        segs = [s for s in self.engine.catalog.segments_full()
+                if s[0] == name]
+        size = sum(int(s[3] or 0) for s in segs)
+        starts = sorted(s[4] for s in segs if s[4])
+        ends = sorted(s[5] for s in segs if s[5])
+        return {"name": name, "properties": {
+            "tiers": {"_default_tier": {"size": size,
+                                        "replicatedSize": size,
+                                        "segmentCount": len(segs)}},
+            "segments": {"count": len(segs), "size": size,
+                         "replicatedSize": size,
+                         "minTime": starts[0] if starts else None,
+                         "maxTime": ends[-1] if ends else None}}}
+
     def _sec_404(self, msg: str) -> None:
         self._send_json(404, {"error": "Not found", "errorMessage": msg,
                               "errorClass": None, "host": None})
@@ -1287,6 +1304,9 @@ class _Handler(BaseHTTPRequestHandler):
             elif (m := re.match(r"^/druid/coordinator/v1/datasources/"
                                 r"([^/]+)/intervals$", path)):
                 res = [(DATASOURCE, m.group(1), READ)]
+            elif (m := re.match(r"^/druid/coordinator/v1/datasources/"
+                                r"([^/]+)$", path)):
+                res = [(DATASOURCE, m.group(1), READ)]
             elif path.startswith("/druid/indexer/v1") or \
                     path.startswith("/druid/coordinator/v1/config/"
                                     "compaction") or \
@@ -1449,6 +1469,27 @@ class _Handler(BaseHTTPRequestHandler):
                             path)) and m.group(1) != "history":
             ret = self.server.retention  # type: ignore[attr-defined]
             self._send_json(200, ret.rules.get(m.group(1), []))
+        elif path == "/druid/coordinator/v1/datasources":
+            # DatasourcesResource.getQueryableDataSources: plain name
+            # list, ?simple adds per-datasource tier/segment rollups
+            q = parse_qs(u.query)
+            names = [t for t in self.engine.catalog.tables()
+                     if self._allowed(ident, DATASOURCE, t, READ)]
+            if "simple" in q or "simple" in (u.query or ""):
+                self._send_json(200, [self._ds_summary(t)
+                                      for t in names])
+            else:
+                self._send_json(200, names)
+        elif (m := re.match(r"^/druid/coordinator/v1/datasources/"
+                            r"([^/]+)$", path)):
+            # DatasourcesResource.getDataSource
+            name = m.group(1)
+            if name not in self.engine.catalog.tables():
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": name,
+                                      "errorClass": None, "host": None})
+            else:
+                self._send_json(200, self._ds_summary(name))
         elif path == "/druid/coordinator/v1/metadata/datasources":
             # coordinator metadata API (server/.../http/MetadataResource
             # .java getDataSources)

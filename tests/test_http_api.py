@@ -957,3 +957,27 @@ def test_sql_types_headers(server):
     st, body, _ = _post(server, "/druid/v2/sql",
                         {"query": q, "header": True})
     assert body[0] == {"n_name": None, "n_nationkey": None, "d": None}
+
+
+def test_coordinator_datasources_endpoints(server):
+    """DatasourcesResource: GET list, ?simple rollups, per-datasource
+    summary, 404 on unknown."""
+    st, names = _get(server, "/druid/coordinator/v1/datasources")
+    assert st == 200 and "lineitem" in names and "nation" in names
+    st, simple = _get(server,
+                      "/druid/coordinator/v1/datasources?simple")
+    assert st == 200
+    by_name = {d["name"]: d for d in simple}
+    li = by_name["lineitem"]["properties"]
+    assert li["segments"]["count"] >= 1
+    assert li["segments"]["size"] > 0
+    assert li["tiers"]["_default_tier"]["segmentCount"] \
+        == li["segments"]["count"]
+    st, one = _get(server, "/druid/coordinator/v1/datasources/nation")
+    assert st == 200 and one["name"] == "nation"
+    import urllib.error
+    try:
+        _get(server, "/druid/coordinator/v1/datasources/nope")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
