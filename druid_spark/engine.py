@@ -172,7 +172,13 @@ class DruidSparkEngine:
         only the partitions the query's intervals touch, so a streaming
         append to one day leaves cached queries over other days valid;
         any change to a touched partition invalidates. LRU-bounded."""
-        use_cache = bool(q.get("context", {}).get("useResultCache"))
+        # useCache/populateCache are the reference's segment-cache keys
+        # (QueryContexts) — this engine's per-interval fingerprint cache
+        # plays that role, so they alias useResultCache
+        _ctx = q.get("context", {})
+        use_cache = bool(_ctx.get("useResultCache")
+                         or (_ctx.get("useCache")
+                             and _ctx.get("populateCache", True)))
         if use_cache:
             import json as _json
             key = (_json.dumps(q, sort_keys=True, default=str)
