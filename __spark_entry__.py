@@ -9292,6 +9292,23 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # INTERSECT/EXCEPT ALL (multiset set ops — superset of the
     # reference's UNION-only surface, like the existing INTERSECT/
     # EXCEPT extension), ARRAY_CONCAT_AGG ----
+    # RANGE `0 PRECEDING` end bound ≡ CURRENT ROW with peers (SQL
+    # standard; Spark honors it, DuckDB does NOT — it excludes the
+    # peer group, fuzz seeds 61326/61644). Oracle uses the
+    # standard-equivalent CURRENT ROW spelling, pinning our semantics.
+    "sqlc_window_range_zero_preceding": ("""
+        SELECT c_custkey,
+               CAST(MAX(c_custkey) OVER (
+                 ORDER BY c_nationkey DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 0 PRECEDING)
+                 AS BIGINT) AS w
+        FROM customer ORDER BY c_custkey""", """
+        SELECT c_custkey,
+               CAST(MAX(c_custkey) OVER (
+                 ORDER BY c_nationkey DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS w
+        FROM customer ORDER BY c_custkey"""),
     # INFORMATION_SCHEMA long tail (InformationSchema.java SCHEMATA /
     # ROUTINES tables)
     "sqlc_info_schemata": ("""

@@ -283,11 +283,21 @@ def _gen_window_frame(r: random.Random) -> str:
     # RANGE start bounds stop at CURRENT ROW: DuckDB's `k FOLLOWING`
     # start under RANGE gives PEERS different frames (non-standard —
     # value-based frames are peer-uniform, which Spark honors), so the
-    # oracle can't adjudicate those shapes.
+    # oracle can't adjudicate those shapes. Same for a RANGE end of
+    # `0 PRECEDING`: the standard makes RANGE 0 PRECEDING ≡ CURRENT
+    # ROW with peers (Spark, PostgreSQL), but DuckDB excludes the
+    # whole peer group (frame can even be empty → NULL) — seeds
+    # 61326/61644 caught the corner.
     start_following = unit == "ROWS"
+
+    def ok_pair(a, b):
+        if a[1] > b[1]:  # start must not sort after end
+            return False
+        return not (unit == "RANGE" and b[0] == "0 PRECEDING")
+
     a = bound(True, False, following_ok=start_following)
     b = bound(False, True)
-    while a[1] > b[1]:  # start must not sort after end: re-pick
+    while not ok_pair(a, b):
         a = bound(True, False, following_ok=start_following)
         b = bound(False, True)
     frame = f"{unit} BETWEEN {a[0]} AND {b[0]}"
