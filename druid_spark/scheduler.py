@@ -195,3 +195,69 @@ class QueryCanceledError(RuntimeError):
 
 
 __all__.append("QueryCanceledError")
+
+
+class ThresholdPrioritization:
+    """ThresholdBasedQueryPrioritizationStrategy analog
+    (server/.../server/scheduling/
+    ThresholdBasedQueryPrioritizationStrategy.java:43): queries
+    scanning far into the past (any interval starting before
+    now - periodThreshold) or covering a long total duration
+    (> durationThreshold) get their priority lowered by `adjustment`
+    (default 5, the reference default) — which lands them in the
+    bounded 'low' lane via HiLo laning. Protects interactive
+    dashboards from long-range batch scans without any manual
+    context.priority tagging."""
+
+    def __init__(self, period_threshold: str | None = None,
+                 duration_threshold: str | None = None,
+                 adjustment: int = 5):
+        if not period_threshold and not duration_threshold:
+            raise ValueError("periodThreshold or durationThreshold "
+                             "must be set")
+        from druid_spark.coordinator import _parse_period
+        self._period = (_parse_period(period_threshold)
+                        if period_threshold else None)
+        self._duration = (_parse_period(duration_threshold)
+                          if duration_threshold else None)
+        self.adjustment = adjustment
+
+    def _intervals(self, q: dict):
+        import datetime as dt
+        out = []
+        for iv in q.get("intervals") or []:
+            try:
+                a, b = str(iv).split("/")
+                out.append((
+                    dt.datetime.fromisoformat(
+                        a.replace("T", " ").rstrip("Z")),
+                    dt.datetime.fromisoformat(
+                        b.replace("T", " ").rstrip("Z"))))
+            except ValueError:
+                continue
+        return out
+
+    def compute_priority(self, q: dict,
+                         now=None) -> int | None:
+        """Adjusted priority, or None when no threshold is violated
+        (the reference returns Optional.empty() → context priority
+        stands)."""
+        import datetime as dt
+        now = now or dt.datetime.now(dt.timezone.utc).replace(
+            tzinfo=None)
+        ivs = self._intervals(q)
+        violates = False
+        if self._period is not None and ivs:
+            horizon = now - self._period
+            violates |= any(a < horizon for a, _b in ivs)
+        if self._duration is not None and ivs:
+            total = sum(((b - a) for a, b in ivs),
+                        __import__("datetime").timedelta())
+            violates |= total > self._duration
+        if not violates:
+            return None
+        try:
+            base = int((q.get("context") or {}).get("priority", 0))
+        except (TypeError, ValueError):
+            base = 0
+        return base - self.adjustment

@@ -2057,9 +2057,16 @@ class _Handler(BaseHTTPRequestHandler):
         return []
 
     def _native(self, q: dict) -> None:
-        ctx = q.get("context") or {}
+        ctx = dict(q.get("context") or {})
         qid = ctx.get("queryId") or str(uuid.uuid4())
         sched = self.server.scheduler  # type: ignore[attr-defined]
+        # ThresholdBasedQueryPrioritizationStrategy: long-range scans
+        # get demoted priority → the bounded low lane
+        prio = getattr(self.server, "prioritization", None)
+        if prio is not None:
+            adj = prio.compute_priority(q)
+            if adj is not None:
+                ctx["priority"] = adj
         # ETag handshake (QueryResource.java HDR_IF_NONE_MATCH /
         # HDR_ETAG): the tag hashes the query body + catalog version,
         # so an unchanged datasource re-serves from the client's cache
@@ -2511,7 +2518,8 @@ class DruidHttpServer:
                  compaction_period: float | None = None,
                  retention_period: float | None = None,
                  request_log_path: str | None = None,
-                 audit_log_path: str | None = None):
+                 audit_log_path: str | None = None,
+                 prioritization: dict | None = None):
         from druid_spark.metrics import AuditLog, RequestLogger
         self.engine = engine
         self.request_logger = RequestLogger(path=request_log_path)
@@ -2519,10 +2527,20 @@ class DruidHttpServer:
         # attach before the first request can arrive
         self.scheduler = QueryScheduler(engine.spark, total=total_slots,
                                         lane_limits=lane_limits)
+        # druid.query.scheduler.prioritization.* analog
+        from druid_spark.scheduler import ThresholdPrioritization
+        self._httpd_prio = None
+        if prioritization:
+            self._httpd_prio = ThresholdPrioritization(
+                period_threshold=prioritization.get("periodThreshold"),
+                duration_threshold=prioritization.get(
+                    "durationThreshold"),
+                adjustment=int(prioritization.get("adjustment", 5)))
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.engine = engine  # type: ignore[attr-defined]
         self._httpd.request_logger = self.request_logger  # type: ignore[attr-defined]
         self._httpd.audit = self.audit  # type: ignore[attr-defined]
+        self._httpd.prioritization = self._httpd_prio  # type: ignore[attr-defined]
         # CoordinatorDynamicConfig defaults (CoordinatorDynamicConfig
         # .Builder defaults) + broker dynamic config — the console's
         # dynamic-config dialogs read/write these; histories serve

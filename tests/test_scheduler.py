@@ -214,3 +214,91 @@ def test_statements_cancel_stops_jobs(engine):
         assert engine.sql("SELECT 1 AS x").collect()[0][0] == 1
     finally:
         srv.stop()
+
+
+def test_threshold_prioritization_unit():
+    """ThresholdBasedQueryPrioritizationStrategy analog: long-lookback
+    or long-duration intervals demote priority by the adjustment; in-
+    threshold queries keep their context priority untouched."""
+    import datetime as dt
+    from druid_spark.scheduler import ThresholdPrioritization
+    import pytest as _pt
+    now = dt.datetime(2024, 6, 1)
+    p = ThresholdPrioritization(period_threshold="P30D")
+    recent = {"intervals": ["2024-05-20/2024-05-30"]}
+    old = {"intervals": ["2024-01-01/2024-01-02"],
+           "context": {"priority": 10}}
+    assert p.compute_priority(recent, now=now) is None
+    assert p.compute_priority(old, now=now) == 5  # 10 - 5
+    d = ThresholdPrioritization(duration_threshold="P7D",
+                                adjustment=3)
+    wide = {"intervals": ["2024-05-01/2024-05-30"]}
+    narrow = {"intervals": ["2024-05-25/2024-05-30"]}
+    assert d.compute_priority(wide, now=now) == -3
+    assert d.compute_priority(narrow, now=now) is None
+    with _pt.raises(ValueError):
+        ThresholdPrioritization()
+
+
+def test_threshold_prioritization_routes_to_low_lane(engine):
+    """E2e: with periodThreshold set and a capacity-1 'low' lane, a
+    long-lookback query is routed to the low lane (429 while the lane
+    is held) with no manual context.priority; a recent-interval query
+    is unaffected."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    from druid_spark.server import DruidHttpServer
+    srv = DruidHttpServer(engine, lane_limits={"low": 1},
+                          prioritization={"periodThreshold": "P30D"}
+                          ).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def post(obj, timeout=60):
+        req = urllib.request.Request(
+            base + "/druid/v2", data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    # events data is 2024-01: anything queried "now" is long-lookback
+    old_q = {"queryType": "timeseries", "dataSource": "events",
+             "granularity": "all",
+             "intervals": ["2024-01-01/2024-01-30"],
+             "aggregations": [{"type": "count", "name": "n"}]}
+    try:
+        # hold the low lane from the scheduler directly (deterministic
+        # — no timing games), then the auto-demoted query must 429
+        gate = threading.Event()
+        held = threading.Event()
+
+        def hold():
+            def work():
+                held.set()
+                gate.wait(30)
+            srv.scheduler.submit("holder", work, lane="low")
+
+        t = threading.Thread(target=hold)
+        t.start()
+        held.wait(10)
+        assert post(old_q) == 429  # demoted to the full low lane
+        # recent/future interval: not demoted, runs fine
+        import datetime as dt
+        today = dt.date.today()
+        assert post({
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "all",
+            "intervals": [f"{today}/{today + dt.timedelta(days=1)}"],
+            "aggregations": [{"type": "count", "name": "n"}],
+            "context": {"skipEmptyBuckets": True}}) == 200
+        gate.set()
+        t.join()
+        # lane free again: the old query succeeds now
+        assert post(old_q) == 200
+    finally:
+        srv.stop()
