@@ -9292,6 +9292,74 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # INTERSECT/EXCEPT ALL (multiset set ops — superset of the
     # reference's UNION-only surface, like the existing INTERSECT/
     # EXCEPT extension), ARRAY_CONCAT_AGG ----
+    # ---- batch 26 (round 6): qaAggFuncs ARRAY_AGG matrix
+    # (quidem-ut qaAggFuncs/array_agg_*_test*.iq shapes: agg into an
+    # array, then array_contains/length/offset/ordinal/to_string over
+    # the result; sorted for determinism — Druid's ARRAY_AGG is
+    # order-unspecified like Spark's) ----
+    "sqlc_array_agg_literal_contains": ("""
+        SELECT COUNT(*) AS cnt FROM
+          (SELECT ARRAY_AGG(111.1111111) AS col FROM lineitem
+           WHERE l_orderkey <= 8)
+        WHERE NOT ARRAY_CONTAINS(col, 99999) OR col IS NULL""", """
+        SELECT COUNT(*) AS cnt FROM
+          (SELECT list(111.1111111) AS col FROM lineitem
+           WHERE l_orderkey <= 8)
+        WHERE NOT list_contains(col, 99999) OR col IS NULL"""),
+    "sqlc_array_agg_length": ("""
+        SELECT l_linestatus,
+               CAST(ARRAY_LENGTH(ARRAY_AGG(l_quantity)) AS BIGINT)
+                 AS n
+        FROM lineitem WHERE l_orderkey <= 32
+        GROUP BY l_linestatus ORDER BY l_linestatus""", """
+        SELECT l_linestatus, CAST(len(list(l_quantity)) AS BIGINT) AS n
+        FROM lineitem WHERE l_orderkey <= 32
+        GROUP BY l_linestatus ORDER BY l_linestatus"""),
+    "sqlc_array_agg_offset_ordinal": ("""
+        SELECT ARRAY_OFFSET(array_sort(ARRAY_AGG(DISTINCT
+                 o_orderpriority)), 0) AS first_off,
+               ARRAY_ORDINAL(array_sort(ARRAY_AGG(DISTINCT
+                 o_orderpriority)), 2) AS second_ord
+        FROM orders""", """
+        SELECT list_sort(list(DISTINCT o_orderpriority))[1]
+                 AS first_off,
+               list_sort(list(DISTINCT o_orderpriority))[2]
+                 AS second_ord
+        FROM orders"""),
+    "sqlc_array_agg_to_string": ("""
+        SELECT o_orderstatus,
+               ARRAY_TO_STRING(array_sort(ARRAY_AGG(DISTINCT
+                 o_orderpriority)), '|') AS prios
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus,
+               array_to_string(list_sort(list(DISTINCT
+                 o_orderpriority)), '|') AS prios
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    "sqlc_array_agg_filtered_contains": ("""
+        SELECT CASE WHEN ARRAY_CONTAINS(
+                 ARRAY_AGG(l_returnflag) FILTER
+                   (WHERE l_quantity > 49), 'R')
+               THEN 1 ELSE 0 END AS has_r,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem""", """
+        SELECT CASE WHEN list_contains(
+                 list(l_returnflag) FILTER (l_quantity > 49), 'R')
+               THEN 1 ELSE 0 END AS has_r,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem"""),
+    "sqlc_array_agg_concat_arrays": ("""
+        SELECT array_sort(ARRAY_CONCAT(
+                 ARRAY_AGG(DISTINCT l_linestatus)
+                   FILTER (WHERE l_returnflag = 'R'),
+                 ARRAY_AGG(DISTINCT l_linestatus)
+                   FILTER (WHERE l_returnflag = 'N'))) AS both_status
+        FROM lineitem""", """
+        SELECT list_sort(list_concat(
+                 list(DISTINCT l_linestatus)
+                   FILTER (l_returnflag = 'R'),
+                 list(DISTINCT l_linestatus)
+                   FILTER (l_returnflag = 'N'))) AS both_status
+        FROM lineitem"""),
     # RANGE `0 PRECEDING` end bound ≡ CURRENT ROW with peers (SQL
     # standard; Spark honors it, DuckDB does NOT — it excludes the
     # peer group, fuzz seeds 61326/61644). Oracle uses the

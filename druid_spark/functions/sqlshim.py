@@ -1019,6 +1019,34 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
         out, "ARRAY_CONCAT_AGG",
         lambda args: f"FLATTEN(COLLECT_LIST({args[0]}))"
         if args else None)
+    # ARRAY-RETURNING alias UDFs inline to their builtins. NOT a
+    # style choice: Spark 4.1's analyzer mis-inlines a SQL UDF whose
+    # arguments contain AGGREGATES when a higher-order function wraps
+    # the call — the HOF is silently dropped or returns garbage
+    # (array_sort(ARRAY_CONCAT(ARRAY_AGG(..), ..)) came back
+    # unsorted; transform(...) returned all NULLs). Scalar UDFs over
+    # aggregates compose fine; only array-returning results feed
+    # HOFs, so inlining exactly these removes the hazard. Regression:
+    # tests/test_sql_layer.py::test_hof_over_udf_of_aggregates.
+    for fname, builder in (
+        ("ARRAY_CONCAT",
+         lambda a: f"CONCAT({a[0]}, {a[1]})" if len(a) == 2 else None),
+        ("MV_CONCAT",
+         lambda a: f"CONCAT({a[0]}, {a[1]})" if len(a) == 2 else None),
+        ("MV_APPEND",
+         lambda a: f"ARRAY_APPEND({a[0]}, {a[1]})"
+         if len(a) == 2 else None),
+        ("MV_PREPEND",
+         lambda a: f"ARRAY_PREPEND({a[1]}, {a[0]})"
+         if len(a) == 2 else None),
+        ("ARRAY_SLICE",
+         lambda a: f"SLICE({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
+         if len(a) == 3 else None),
+        ("MV_SLICE",
+         lambda a: f"SLICE({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
+         if len(a) == 3 else None),
+    ):
+        out = _rewrite_call(out, fname, builder)
     # Calcite OFFSET n ROWS / FETCH NEXT|FIRST n ROWS ONLY paging →
     # Spark's LIMIT/OFFSET clauses (Spark accepts LIMIT before OFFSET;
     # swap when Calcite's OFFSET-first order is used)

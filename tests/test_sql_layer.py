@@ -611,3 +611,31 @@ def test_sql_timezone_context(engine):
     # a UTC day straddles two LA days
     assert [r["d"] for r in rows] == ["2024-01-01 08:00:00",
                                       "2024-01-02 08:00:00"]
+
+
+def test_hof_over_udf_of_aggregates(engine):
+    """Spark 4.1 analyzer hazard (round 6): a higher-order function
+    wrapping a SQL UDF whose args contain aggregates is silently
+    dropped or corrupted (array_sort came back unsorted, transform
+    all-NULL). The shim inlines every array-returning alias UDF to
+    its builtin, so these shapes compile to pure builtins and behave
+    correctly."""
+    row = engine.sql("""
+        SELECT array_sort(ARRAY_CONCAT(
+                 ARRAY_AGG(DISTINCT l_linestatus),
+                 ARRAY_AGG(DISTINCT l_returnflag))) AS sorted_cat,
+               transform(MV_CONCAT(ARRAY_AGG(DISTINCT l_linestatus),
+                                   ARRAY_AGG(DISTINCT l_linestatus)),
+                         x -> lower(x)) AS lowered,
+               array_sort(MV_APPEND(
+                 ARRAY_AGG(DISTINCT l_linestatus), 'z')) AS appended,
+               array_sort(MV_PREPEND(
+                 'a', ARRAY_AGG(DISTINCT l_linestatus))) AS prepended,
+               ARRAY_SLICE(array_sort(ARRAY_AGG(DISTINCT
+                 l_returnflag)), 0, 2) AS sliced
+        FROM lineitem""").collect()[0]
+    assert row["sorted_cat"] == ["A", "F", "N", "O", "R"]
+    assert sorted(row["lowered"]) == ["f", "f", "o", "o"]
+    assert row["appended"] == ["F", "O", "z"]
+    assert row["prepended"] == ["F", "O", "a"]
+    assert row["sliced"] == ["A", "N"]
