@@ -1019,34 +1019,6 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
         out, "ARRAY_CONCAT_AGG",
         lambda args: f"FLATTEN(COLLECT_LIST({args[0]}))"
         if args else None)
-    # ARRAY-RETURNING alias UDFs inline to their builtins. NOT a
-    # style choice: Spark 4.1's analyzer mis-inlines a SQL UDF whose
-    # arguments contain AGGREGATES when a higher-order function wraps
-    # the call — the HOF is silently dropped or returns garbage
-    # (array_sort(ARRAY_CONCAT(ARRAY_AGG(..), ..)) came back
-    # unsorted; transform(...) returned all NULLs). Scalar UDFs over
-    # aggregates compose fine; only array-returning results feed
-    # HOFs, so inlining exactly these removes the hazard. Regression:
-    # tests/test_sql_layer.py::test_hof_over_udf_of_aggregates.
-    for fname, builder in (
-        ("ARRAY_CONCAT",
-         lambda a: f"CONCAT({a[0]}, {a[1]})" if len(a) == 2 else None),
-        ("MV_CONCAT",
-         lambda a: f"CONCAT({a[0]}, {a[1]})" if len(a) == 2 else None),
-        ("MV_APPEND",
-         lambda a: f"ARRAY_APPEND({a[0]}, {a[1]})"
-         if len(a) == 2 else None),
-        ("MV_PREPEND",
-         lambda a: f"ARRAY_PREPEND({a[1]}, {a[0]})"
-         if len(a) == 2 else None),
-        ("ARRAY_SLICE",
-         lambda a: f"SLICE({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
-         if len(a) == 3 else None),
-        ("MV_SLICE",
-         lambda a: f"SLICE({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
-         if len(a) == 3 else None),
-    ):
-        out = _rewrite_call(out, fname, builder)
     # Calcite OFFSET n ROWS / FETCH NEXT|FIRST n ROWS ONLY paging →
     # Spark's LIMIT/OFFSET clauses (Spark accepts LIMIT before OFFSET;
     # swap when Calcite's OFFSET-first order is used)
@@ -1146,6 +1118,57 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     pat = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", flags=re.IGNORECASE)
     while pat.search(out):
         out = pat.sub(lambda m: f"array({m.group(1)})", out)
+
+    # ARRAY-RETURNING alias UDFs inline to their builtins. NOT a
+    # style choice: Spark 4.1's analyzer mis-inlines a SQL UDF whose
+    # arguments contain AGGREGATES when a higher-order function wraps
+    # the call — the HOF is silently dropped or returns garbage
+    # (array_sort(ARRAY_CONCAT(ARRAY_AGG(..), ..)) came back
+    # unsorted; transform(...) returned all NULLs). Scalar UDFs over
+    # aggregates compose fine; only array-returning results feed
+    # HOFs, so inlining exactly these removes the hazard. Regression:
+    # tests/test_sql_layer.py::test_hof_over_udf_of_aggregates.
+    for fname, builder in (
+        ("ARRAY_CONCAT",
+         lambda a: f"CONCAT({a[0]}, {a[1]})" if len(a) == 2 else None),
+        ("MV_CONCAT",
+         lambda a: f"CONCAT({a[0]}, {a[1]})" if len(a) == 2 else None),
+        ("MV_APPEND",
+         lambda a: f"ARRAY_APPEND({a[0]}, {a[1]})"
+         if len(a) == 2 else None),
+        ("MV_PREPEND",
+         lambda a: f"ARRAY_PREPEND({a[1]}, {a[0]})"
+         if len(a) == 2 else None),
+        ("ARRAY_SLICE",
+         lambda a: f"SLICE({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
+         if len(a) == 3 else None),
+        ("MV_SLICE",
+         lambda a: f"SLICE({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
+         if len(a) == 3 else None),
+        ("MV_TO_ARRAY",
+         lambda a: f"({a[0]})" if len(a) == 1 else None),
+        ("ARRAY_TO_MV",
+         lambda a: f"({a[0]})" if len(a) == 1 else None),
+        ("STRING_TO_ARRAY",
+         lambda a: rf"SPLIT({a[0]}, CONCAT('\\Q', {a[1]}, '\\E'))"
+         if len(a) == 2 else None),
+        ("STRING_TO_MV",
+         lambda a: rf"SPLIT({a[0]}, CONCAT('\\Q', {a[1]}, '\\E'))"
+         if len(a) == 2 else None),
+        ("MV_FILTER_ONLY",
+         lambda a: f"FILTER({a[0]}, x -> ARRAY_CONTAINS({a[1]}, x))"
+         if len(a) == 2 else None),
+        ("MV_FILTER_NONE",
+         lambda a: f"FILTER({a[0]}, x -> NOT ARRAY_CONTAINS({a[1]}, x))"
+         if len(a) == 2 else None),
+        ("MV_FILTER_PREFIX",
+         lambda a: f"FILTER({a[0]}, x -> STARTSWITH(x, {a[1]}))"
+         if len(a) == 2 else None),
+        ("MV_FILTER_REGEX",
+         lambda a: f"FILTER({a[0]}, x -> x RLIKE {a[1]})"
+         if len(a) == 2 else None),
+    ):
+        out = _rewrite_call(out, fname, builder)
     # TIME_PARSE(expr, 'pattern') — the reference's 2-arg Joda-pattern
     # form (TimeParseOperatorConversion); the registered 1-arg UDF
     # handles ISO strings, the 2-arg literal-pattern form maps to
