@@ -149,8 +149,10 @@ def gen_query(seed: int):
         return _gen_scalar_subquery(r)
     if shape < 0.54:
         return _gen_druid_fn(r)
-    if shape < 0.62:
+    if shape < 0.60:
         return _gen_mv(r)
+    if shape < 0.63:
+        return _gen_mv_inlined(r)
     if shape < 0.66:
         return _gen_unnest_join(r)
     table = r.choice(list(TABLES))
@@ -417,6 +419,69 @@ def _gen_mv(r: random.Random):
           "(SELECT unnest(string_split(text, ' ')) AS tok "
           f"FROM documents WHERE {pred}) GROUP BY 1 "
           f"ORDER BY n DESC, tok LIMIT {lim}")
+    return dq, oq
+
+
+def _gen_mv_inlined(r: random.Random):
+    """The round-6 alias-inlined MV family (slice/append/prepend/
+    filter/concat over derived arrays): these now compile to pure
+    builtins (sqlshim alias inlining — the Spark 4.1 HOF-over-UDF
+    hazard), so this arm keeps the inlined rewrites under continuous
+    differential check, including HOF-over-agg shapes."""
+    pred = f"n_chars > {r.randrange(50, 400)}"
+    k = r.randrange(5)
+    if k == 0:  # MV_SLICE bounds
+        s = r.randrange(0, 3)
+        e = s + r.randrange(1, 4)
+        dq = ("SELECT ARRAY_TO_STRING(MV_SLICE(STRING_TO_MV(text, ' ')"
+              f", {s}, {e}), '|') AS g, CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM documents WHERE {pred} GROUP BY 1")
+        oq = ("SELECT array_to_string(string_split(text, ' ')"
+              f"[{s + 1}:{e}], '|') AS g, "
+              "CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM documents WHERE {pred} GROUP BY 1")
+        return dq, oq
+    if k == 1:  # MV_APPEND / MV_PREPEND round-trip length
+        dq = ("SELECT MV_LENGTH(MV_APPEND(MV_PREPEND('x', "
+              "STRING_TO_MV(text, ' ')), 'y')) AS g, "
+              "CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM documents WHERE {pred} GROUP BY 1")
+        oq = ("SELECT CAST(len(string_split(text, ' ')) + 2 AS BIGINT) "
+              "AS g, CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM documents WHERE {pred} GROUP BY 1")
+        return dq, oq
+    if k == 2:  # MV_FILTER_PREFIX count
+        p = r.choice(["a", "s", "th", "qu"])
+        dq = ("SELECT MV_LENGTH(MV_FILTER_PREFIX(STRING_TO_MV(text, "
+              f"' '), '{p}')) AS g, CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM documents WHERE {pred} GROUP BY 1")
+        oq = ("SELECT CAST(len(list_filter(string_split(text, ' '), "
+              f"x -> starts_with(x, '{p}'))) AS BIGINT) AS g, "
+              "CAST(COUNT(*) AS BIGINT) AS n "
+              f"FROM documents WHERE {pred} GROUP BY 1")
+        return dq, oq
+    if k == 3:  # ARRAY_CONCAT over aggs wrapped in a HOF (the hazard)
+        dq = ("SELECT lang, ARRAY_TO_STRING(array_sort(ARRAY_CONCAT("
+              "ARRAY_AGG(DISTINCT source), ARRAY_AGG(DISTINCT source)"
+              ")), ',') AS g FROM documents "
+              f"WHERE {pred} GROUP BY lang ORDER BY lang")
+        oq = ("SELECT lang, array_to_string(list_sort(list_concat("
+              "l, l)), ',') AS g FROM "
+              "(SELECT lang, list_sort(list(DISTINCT source)) AS l "
+              f"FROM documents WHERE {pred} GROUP BY lang) "
+              "ORDER BY lang")
+        return dq, oq
+    # MV_FILTER_ONLY with a literal allowlist
+    words = ", ".join(f"'{w}'" for w in
+                      r.sample(["the", "a", "of", "data", "scan",
+                                "query"], 3))
+    dq = ("SELECT MV_LENGTH(MV_FILTER_ONLY(STRING_TO_MV(text, ' '), "
+          f"ARRAY[{words}])) AS g, CAST(COUNT(*) AS BIGINT) AS n "
+          f"FROM documents WHERE {pred} GROUP BY 1")
+    oq = ("SELECT CAST(len(list_filter(string_split(text, ' '), "
+          f"x -> list_contains([{words}], x))) AS BIGINT) AS g, "
+          "CAST(COUNT(*) AS BIGINT) AS n "
+          f"FROM documents WHERE {pred} GROUP BY 1")
     return dq, oq
 
 
