@@ -285,15 +285,20 @@ class AggCompiler:
     def __init__(self, resolver: Resolver | None = None,
                  filter_compiler: FilterCompiler | None = None,
                  exact_approx: bool = False,
-                 sketch_plan: "SketchPlan | None" = None):
+                 sketch_plan: "SketchPlan | None" = None,
+                 default_nominal_entries: int | None = None):
         """exact_approx=True rewrites approximate aggregators to exact
         forms (count distinct) so results are oracle-checkable
         (SURVEY §7.3.5). sketch_plan coordinates sketch aggregators with
-        their finalizer post-aggs (see SketchPlan)."""
+        their finalizer post-aggs (see SketchPlan).
+        default_nominal_entries bounds tuple-sketch map state when the
+        aggregator omits nominalEntries (the engine's session default —
+        see DruidSparkEngine; None = exact unbounded fold)."""
         self.res = resolver or F.col
         self.fc = filter_compiler or FilterCompiler(resolver=self.res)
         self.exact = exact_approx
         self.plan = sketch_plan
+        self.default_nominal_entries = default_nominal_entries
 
     def compile(self, agg: dict[str, Any]) -> Column:
         """One aggregator spec → aliased aggregate Column."""
@@ -556,7 +561,8 @@ class AggCompiler:
                     key,
                     [res(mc) for mc in agg.get("metricColumns") or []],
                     cap=(max(2, int(agg["nominalEntries"]))
-                         if agg.get("nominalEntries") else None))
+                         if agg.get("nominalEntries")
+                         else self.default_nominal_entries))
             sums = [F.sum(F.when(key.isNotNull(), res(mc)).cast("double"))
                     for mc in agg.get("metricColumns") or []]
             n = F.count_distinct(key)

@@ -136,10 +136,23 @@ class QueryContext:
 
 class DruidSparkEngine:
     def __init__(self, spark: SparkSession, data_dir: str | None = None,
-                 exact_approx: bool = False):
+                 exact_approx: bool = False,
+                 sketch_default_nominal_entries: int | None = 4096):
         """exact_approx: rewrite approximate aggregators (HLL etc.) to
         exact forms — used by the correctness harness vs the DuckDB
-        oracle (SURVEY §7.3.5)."""
+        oracle (SURVEY §7.3.5).
+
+        sketch_default_nominal_entries: bound applied to tuple/theta
+        sketch map-state when an aggregator omits nominalEntries — the
+        reference samples at ITS default in that case
+        (extensions-core/datasketches/.../
+        ArrayOfDoublesSketchAggregatorFactory.java), so a Druid query
+        ported verbatim gets bounded per-group state here too instead
+        of an O(distinct keys) fold. Forced OFF (None) in exact_approx
+        sessions: those back the DuckDB oracle gates and differential
+        fuzzers, which require byte-exact unbounded folds. Pass None
+        explicitly for a non-exact session that still needs exact
+        sketch folds (the fuzz harnesses do)."""
         from druid_spark.session import harden_session
         # The engine must work on a session it did not create (the
         # correctness driver's). nanosAsLong / UTC / ANSI-off are
@@ -147,6 +160,8 @@ class DruidSparkEngine:
         self.spark = harden_session(spark)
         self.catalog = Catalog(spark)
         self.exact_approx = exact_approx
+        self.sketch_default_nominal_entries = (
+            None if exact_approx else sketch_default_nominal_entries)
         self._serial = next(_ENGINE_SERIAL)
         self._result_cache: dict[str, DataFrame] = {}
         self._result_cache_order: list[str] = []
@@ -435,8 +450,9 @@ class DruidSparkEngine:
             exact = set_ctx["useApproximateCountDistinct"].lower() != "true"
         if "APPEND" in text.upper():
             text = self._rewrite_table_append(text)
-        final = rewrite_druid_sql(text, exact=exact,
-                                  tz=set_ctx.get("sqlTimeZone", "UTC"))
+        final = rewrite_druid_sql(
+            text, exact=exact, tz=set_ctx.get("sqlTimeZone", "UTC"),
+            default_nominal_entries=self.sketch_default_nominal_entries)
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner
         # applies to SQL through the same query stack). Keyed on the
@@ -448,6 +464,7 @@ class DruidSparkEngine:
             tables = sorted({n for rt, n, _a in sql_resources(
                 self.catalog.tables(), text) if rt == "DATASOURCE"})
             key = ("sql||" + final + f"||exact={exact}||"
+                   + f"dne={self.sketch_default_nominal_entries}||"
                    + ";".join(f"{n}={self._table_fingerprint(n, None)}"
                               for n in tables))
             if key in self._result_cache:

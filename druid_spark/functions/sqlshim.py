@@ -14,7 +14,18 @@ the real work. Reference surface: sql/calcite/planner/DruidOperatorTable.java.
 
 from __future__ import annotations
 
+import contextvars
 import re
+
+# Session default for sketch nominalEntries, set for the duration of one
+# rewrite_druid_sql call (ContextVar: concurrent server threads rewriting
+# different sessions' SQL never see each other's default). The reference
+# bounds tuple/theta sketch state at its DEFAULT nominal entries even when
+# the query omits the parameter (extensions-core/datasketches/.../
+# ArrayOfDoublesSketchAggregatorFactory.java); None = exact unbounded
+# state, the oracle-checkable mode differential harnesses require.
+_DEFAULT_NOM: contextvars.ContextVar[int | None] = contextvars.ContextVar(
+    "druid_spark_default_nominal_entries", default=None)
 
 
 def _skip_string(s: str, i: int) -> int:
@@ -275,13 +286,14 @@ _TDW = re.compile(r"(?is)^\s*DS_TUPLE_DOUBLES\s*\((.*)\)\s*$")
 def _tuple_args(a: str) -> tuple[list[str], int | None] | None:
     """DS_TUPLE_DOUBLES(key, m1..mn[, nominalEntries]) ->
     ([key, m1..], nominalEntries-or-None). No explicit nominalEntries
-    = None = exact unbounded state (the oracle-checkable mode; see
+    falls back to the session default (_DEFAULT_NOM — None in exact /
+    oracle sessions = exact unbounded state; see
     aggregations.tuple_map_state)."""
     m = _TDW.match(a)
     if not m:
         return None
     xs = _top_split(m.group(1))
-    cap = None
+    cap = _DEFAULT_NOM.get()
     if len(xs) > 1 and re.fullmatch(r"\d+", xs[-1].strip()):
         cap = max(2, int(xs[-1]))
         xs = xs[:-1]
@@ -888,7 +900,21 @@ def _dq_idents_to_backticks(sql: str) -> str:
 
 
 def rewrite_druid_sql(sql: str, exact: bool = True,
-                      tz: str = "UTC") -> str:
+                      tz: str = "UTC",
+                      default_nominal_entries: int | None = None) -> str:
+    """default_nominal_entries: session default bound for sketch state
+    when a query omits nominalEntries (the reference's default bounds;
+    ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
+    — required by the DuckDB-differential harnesses and exact engines."""
+    tok = _DEFAULT_NOM.set(default_nominal_entries)
+    try:
+        return _rewrite_druid_sql(sql, exact, tz)
+    finally:
+        _DEFAULT_NOM.reset(tok)
+
+
+def _rewrite_druid_sql(sql: str, exact: bool = True,
+                       tz: str = "UTC") -> str:
     out = sql
     if '"' in out:
         out = _dq_idents_to_backticks(out)

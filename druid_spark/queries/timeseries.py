@@ -24,7 +24,8 @@ def compile_query(engine, q: dict) -> DataFrame:
     ctx = engine.prepare(q)
     res = ctx.resolver()
     plan = SketchPlan(q.get("aggregations"), q.get("postAggregations"))
-    ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx, plan)
+    ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx, plan,
+                     engine.sketch_default_nominal_entries)
     aggs = ac.compile_all(q.get("aggregations"))
     gran = q.get("granularity", "all")
     grain_all = gran in (None, "all") or (

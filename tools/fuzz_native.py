@@ -500,7 +500,12 @@ def run_fuzz_native(n: int = 100, seed0: int = 0,
     if engine is None:
         from druid_spark import DruidSparkEngine
         from druid_spark.session import get_spark
-        engine = DruidSparkEngine(get_spark(), data_dir=sf_dir)
+        # sketch_default_nominal_entries=None: differential harness vs
+        # an EXACT DuckDB oracle — the session default cap would change
+        # tuple set-op counts above the cap (r6: seed 500 broke at
+        # >4096 distinct keys). Exact folds required here.
+        engine = DruidSparkEngine(get_spark(), data_dir=sf_dir,
+                                  sketch_default_nominal_entries=None)
     if con is None:
         con = duckdb.connect()
         for t in NTABLES:

@@ -573,7 +573,12 @@ def run_fuzz(n: int = 100, seed0: int = 0,
     if engine is None:
         from druid_spark import DruidSparkEngine
         from druid_spark.session import get_spark
-        engine = DruidSparkEngine(get_spark(), data_dir=sf_dir)
+        # sketch_default_nominal_entries=None: this is a differential
+        # harness vs an EXACT DuckDB oracle — a default sketch cap
+        # changes set-op counts above the cap (r6: fuzz seed 500,
+        # >4096 distinct keys), so the fold must stay exact here.
+        engine = DruidSparkEngine(get_spark(), data_dir=sf_dir,
+                                  sketch_default_nominal_entries=None)
     if con is None:
         con = duckdb.connect()
         for t in TABLES:
