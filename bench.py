@@ -481,16 +481,22 @@ def main():
             F.col("id").alias("key"), (F.col("id") % 97).alias("w"))
 
         def run_join(df):
-            best = float("inf")
-            for _ in range(2):
+            # warm once + best-of-3 with spread: the arm's ratio vs the
+            # uniform base swung with host state between rounds (r6:
+            # driver 0.83x vs solo 1.65x) — pin the base and make the
+            # noise visible in the artifact instead of in the ratio
+            df.agg(F.sum(F.col("v") * F.col("w"))).collect()
+            runs = []
+            for _ in range(3):
                 t0 = time.time()
                 df.agg(F.sum(F.col("v") * F.col("w"))).collect()
-                best = min(best, time.time() - t0)
-            return round(best, 3)
+                runs.append(time.time() - t0)
+            return round(min(runs), 3), round(max(runs) - min(runs), 3)
 
-        skew["uniform_join_sec"] = run_join(fact_u.join(dim, "key"))
-        skew["skewed_aqe_sec"] = run_join(fact_s.join(dim, "key"))
-        skew["skewed_salted_sec"] = run_join(
+        skew["uniform_join_sec"], skew["uniform_spread_sec"] = \
+            run_join(fact_u.join(dim, "key"))
+        skew["skewed_aqe_sec"], _ = run_join(fact_s.join(dim, "key"))
+        skew["skewed_salted_sec"], _ = run_join(
             salted_join(fact_s, dim, ["key"], n_salts=32))
         # the compiler path: context.skewHint through engine._join —
         # what a user gets without calling skew.py themselves
@@ -503,7 +509,8 @@ def main():
              "joinType": "INNER"},
             {"skewHint": {"salts": 32}}
         ).select("v", F.col("`j0.w`").alias("w"))
-        skew["skewed_compiler_sec"] = run_join(jdf)
+        skew["skewed_compiler_sec"], skew["compiler_spread_sec"] = \
+            run_join(jdf)
         engine.catalog.drop_table("skew_fact")
         engine.catalog.drop_table("skew_dim")
         skew["aqe_vs_uniform"] = round(
@@ -610,6 +617,42 @@ def main():
     except Exception as e:
         asymptotic["error"] = str(e)[:200]
 
+    # Prepared-plan cache (round 7): a fresh engine's first submission
+    # of the suite's groupby_1dim pays Spark parse/analyze (~65 of the
+    # ~95 ms per-query floor, SCALE.md r6); re-submission returns the
+    # cached analyzed DataFrame. Reference analog: Avatica prepared
+    # statements (sql/.../avatica/DruidMeta.java). Timed WITHOUT
+    # collect(): the arm isolates submission latency (compile+analyze),
+    # the part the cache removes — execution is unchanged either way.
+    prepared = {}
+    try:
+        from druid_spark import DruidSparkEngine as _EngP
+        engp = _EngP(spark, data_dir=SF_DIR)
+        engp.catalog.table("lineitem")  # pre-touch: footer read is not
+        # part of the submit latency the cache removes
+        gq = {"queryType": "groupBy", "dataSource": "lineitem",
+              "granularity": "all", "dimensions": ["l_returnflag"],
+              "aggregations": [{"type": "doubleSum", "name": "s",
+                                "fieldName": "l_extendedprice"}]}
+        t0 = time.time()
+        engp.query(gq)
+        prepared["first_submit_ms"] = round((time.time() - t0) * 1000, 2)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            engp.query(gq)
+            best = min(best, time.time() - t0)
+        prepared["cached_submit_ms"] = round(best * 1000, 2)
+        prepared["speedup"] = round(
+            prepared["first_submit_ms"]
+            / max(prepared["cached_submit_ms"], 1e-6), 1)
+        # end-to-end repeated execution (submit + run) for the record
+        t0 = time.time()
+        engp.query(gq).collect()
+        prepared["cached_e2e_sec"] = round(time.time() - t0, 4)
+    except Exception as e:
+        prepared["error"] = str(e)[:200]
+
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -630,6 +673,7 @@ def main():
             "skew_join_20x": skew,
             "ingest_rate_20x": ingest,
             "asymptotic_1000x": asymptotic,
+            "prepared_plan_cache": prepared,
         },
     }
     # Full detail to bench_out.json (the driver's stdout capture keeps
@@ -653,6 +697,7 @@ def main():
                 asymptotic.get("vs_baseline_sum"),
             "skew_compiler_vs_uniform":
                 skew.get("compiler_vs_uniform"),
+            "prepared_submit_speedup": prepared.get("speedup"),
             "tpch_20x_total_sec": tpch20.get("suite_sec"),
             "ingest_rollup_rows_per_sec_per_core":
                 ingest.get("rollup_rows_per_sec_per_core"),

@@ -36,6 +36,7 @@ _EXPLAIN_RE = _re.compile(
 # process-wide monotonic counter, never reused.
 import itertools as _it
 import weakref as _weakref
+from collections import OrderedDict
 _ENGINE_SERIAL = _it.count(1)
 _SYS_DOT_RE = _re.compile(
     r"\bsys\.(tasks|segments|servers|server_segments|supervisors)\b",
@@ -167,6 +168,20 @@ class DruidSparkEngine:
         self._result_cache_order: list[str] = []
         self.result_cache_size = 32
         self.cache_misses = 0  # recompute counter (tests/observability)
+        # Prepared-plan cache: ANALYZED DataFrames keyed on the
+        # rewritten SQL / canonical native JSON plus per-table
+        # fingerprints. Always on — it pins no data (plans are lazy;
+        # every execution still reads current partitions of the SAME
+        # file set), it only skips Spark's parse/analyze (~65 of the
+        # ~95 ms per-query floor, SCALE.md r6 profiling) for repeated
+        # dashboard shapes. The reference amortizes the same work via
+        # Avatica prepared statements (sql/.../avatica/DruidMeta.java)
+        # and broker caches. Appends change the fingerprint, so stale
+        # plans (whose analysis snapshot the old file listing) miss.
+        self._plan_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
+        self.plan_cache_size = 64
+        self.plan_cache_hits = 0
+        self.plan_cache_misses = 0  # recompute counter (tests)
         # task log feeding the sys.tasks view (SystemSchema TASKS
         # signature, reduced): async SQL statements (server.py) and
         # SQL-ingest tasks record themselves here
@@ -194,16 +209,40 @@ class DruidSparkEngine:
         use_cache = bool(_ctx.get("useResultCache")
                          or (_ctx.get("useCache")
                              and _ctx.get("populateCache", True)))
+        import json as _json
+        canon = _json.dumps(q, sort_keys=True, default=str)
         if use_cache:
-            import json as _json
-            key = (_json.dumps(q, sort_keys=True, default=str)
-                   + "||" + self._tables_fingerprint(q))
+            key = canon + "||" + self._tables_fingerprint(q)
             if key in self._result_cache:
                 return self._result_cache[key]
             self.cache_misses += 1
-        out = self._dispatch(q)
+        out = self._plan_cached(
+            lambda: self._dispatch(q),
+            lambda: (f"native||cv={self.catalog.version}||" + canon
+                     + "||" + self._tables_fingerprint(q)))
         if use_cache:
             out = self._cache_put(key, out)
+        return out
+
+    def _plan_cached(self, compile_fn: Callable[[], DataFrame],
+                     key_fn: Callable[[], str]) -> DataFrame:
+        """Prepared-plan lookup (see __init__): return the cached
+        analyzed DataFrame for this statement + table state, else
+        compile and remember it. LRU-bounded; plans hold no data."""
+        try:
+            key = key_fn()
+        except Exception:
+            return compile_fn()  # unfingerprintable → compile fresh
+        hit = self._plan_cache.get(key)
+        if hit is not None:
+            self._plan_cache.move_to_end(key)
+            self.plan_cache_hits += 1
+            return hit
+        self.plan_cache_misses += 1
+        out = compile_fn()
+        self._plan_cache[key] = out
+        if len(self._plan_cache) > self.plan_cache_size:
+            self._plan_cache.popitem(last=False)
         return out
 
     def _cache_put(self, key: str, df: DataFrame) -> DataFrame:
@@ -217,50 +256,81 @@ class DruidSparkEngine:
 
     def _tables_fingerprint(self, q: dict) -> str:
         """One fingerprint per table the query touches, interval-aware
-        (see query() docstring). Interval narrowing applies to every
-        leaf table whose scan the OUTER intervals' __time filter
-        reaches without re-stamping (round 6, composed datasources):
+        (see query() docstring). Each leaf table is fingerprinted at
+        the intervals that bound ITS scan — the reference keys on the
+        segments actually scanned per datasource
+        (CachingClusteredClient.java:281). The outer intervals reach
         the base spine of a join (its left side provides __time),
-        every union branch, and filter/restrict/unnest bases. The
-        RIGHT side of a join is fully scanned regardless of the outer
-        intervals (any row can match a base row inside them), and a
-        nested query datasource can aggregate or re-stamp __time —
-        both fingerprint the whole table (the reference keys on the
-        segments actually scanned per datasource,
-        CachingClusteredClient.java:281 — the same conservative set).
-        A table appearing in both a narrowed and a wide position
-        (self-join) is treated as wide."""
+        every union branch, and filter/restrict/unnest bases. A join's
+        RIGHT side and a nested query datasource are not bounded by
+        the OUTER intervals (any right row can match; a nested query
+        can re-stamp __time), but round 7 narrows them by their OWN
+        explicit bounds when present: a nested query's `intervals`
+        field and a filter datasource's top-level interval filter on
+        __time both limit which partitions that subtree scans,
+        whatever happens to the rows afterwards. A table appearing at
+        two different interval scopes (self-join) falls back to
+        whole-table."""
         from druid_spark.security import native_query_resources
         names = [n for _, n, _ in native_query_resources(q)]
-        pairs: list[tuple[str, bool]] = []
+        pairs: list[tuple[str, Any]] = []  # (table, intervals-or-None)
 
-        def walk(ds, narrow: bool) -> None:
+        def walk(ds, ivs) -> None:
             if isinstance(ds, str):
-                pairs.append((ds, narrow))
+                pairs.append((ds, ivs))
                 return
             if not isinstance(ds, dict):
                 return
             t = ds.get("type")
             if t in ("table", "globalTable"):
-                pairs.append((ds.get("name"), narrow))
+                pairs.append((ds.get("name"), ivs))
             elif t == "union":
                 for d in ds.get("dataSources", []):
-                    walk(d, narrow)
-            elif t in ("filter", "restrict", "unnest"):
-                walk(ds.get("base"), narrow)
+                    walk(d, ivs)
+            elif t in ("restrict", "unnest"):
+                walk(ds.get("base"), ivs)
+            elif t == "filter":
+                # an explicit interval filter on __time bounds the base
+                # scan; only adopt it when nothing narrower is inherited
+                # (either alone is a superset of the true scanned set —
+                # supersets only over-invalidate, never go stale)
+                fivs = self._filter_time_intervals(ds.get("filter"))
+                walk(ds.get("base"), ivs if ivs is not None else fivs)
             elif t == "join":
-                walk(ds.get("left"), narrow)
-                walk(ds.get("right"), False)
+                walk(ds.get("left"), ivs)
+                walk(ds.get("right"), None)
             elif t == "query":
-                walk(ds.get("query", {}).get("dataSource"), False)
+                sub = ds.get("query", {})
+                walk(sub.get("dataSource"), sub.get("intervals"))
 
-        walk(q.get("dataSource"), True)
-        narrowed = ({n for n, nb in pairs if nb}
-                    - {n for n, nb in pairs if not nb})
-        ivs = q.get("intervals")
+        walk(q.get("dataSource"), q.get("intervals"))
+        per: dict[str, Any] = {}
+        for n, ivs in pairs:
+            if n not in per:
+                per[n] = ivs
+            elif per[n] != ivs:
+                per[n] = None  # conflicting scopes → whole table
         return ";".join(
-            f"{n}={self._table_fingerprint(n, ivs if n in narrowed else None)}"
+            f"{n}={self._table_fingerprint(n, per.get(n))}"
             for n in sorted(set(names)))
+
+    @staticmethod
+    def _filter_time_intervals(f) -> list | None:
+        """Intervals of a top-level `interval` filter on __time, looking
+        through AND conjunctions (each conjunct's scan set is a superset
+        of the conjunction's — safe to fingerprint by one). OR branches
+        widen the scan, so they yield None (whole table)."""
+        if not isinstance(f, dict):
+            return None
+        if (f.get("type") == "interval"
+                and f.get("dimension") == "__time"):
+            return f.get("intervals")
+        if f.get("type") == "and":
+            for sub in f.get("fields") or []:
+                ivs = DruidSparkEngine._filter_time_intervals(sub)
+                if ivs:
+                    return ivs
+        return None
 
     def _table_fingerprint(self, name: str, intervals) -> str:
         """Fingerprint of the table state observable to a query over
@@ -459,19 +529,32 @@ class DruidSparkEngine:
         # rewritten statement + whole-table fingerprints of every
         # referenced datasource (no interval structure to narrow by at
         # the SQL layer), so any table change invalidates.
-        if set_ctx.get("useResultCache", "").lower() == "true":
+        def tables_fp() -> str:
             from druid_spark.security import sql_resources
             tables = sorted({n for rt, n, _a in sql_resources(
                 self.catalog.tables(), text) if rt == "DATASOURCE"})
+            return ";".join(f"{n}={self._table_fingerprint(n, None)}"
+                            for n in tables)
+
+        if set_ctx.get("useResultCache", "").lower() == "true":
             key = ("sql||" + final + f"||exact={exact}||"
                    + f"dne={self.sketch_default_nominal_entries}||"
-                   + ";".join(f"{n}={self._table_fingerprint(n, None)}"
-                              for n in tables))
+                   + tables_fp())
             if key in self._result_cache:
                 return self._result_cache[key]
             self.cache_misses += 1
             return self._cache_put(key, self.spark.sql(final))
-        return self.spark.sql(final)
+        # System-schema views (sys.tasks, sys.supervisors, ...) mutate
+        # without a catalog bump — their statements always re-analyze.
+        if _re.search(r"\b(?:sys|information_schema)_\w+", final):
+            return self.spark.sql(final)
+        # catalog.version covers lookup re-registration (the LOOKUP SQL
+        # UDF body inlines lookup content) and table registrations;
+        # tables_fp covers file-level appends to path-backed tables.
+        return self._plan_cached(
+            lambda: self.spark.sql(final),
+            lambda: (f"plansql||{final}||exact={exact}||"
+                     f"cv={self.catalog.version}||" + tables_fp()))
 
     def _rewrite_table_append(self, text: str) -> str:
         """TABLE(APPEND('ds1', 'ds2', ...)) → a UNION ALL subquery
