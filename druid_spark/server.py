@@ -2519,11 +2519,13 @@ class DruidHttpServer:
                  retention_period: float | None = None,
                  request_log_path: str | None = None,
                  audit_log_path: str | None = None,
+                 audit_retention_seconds: float | None = None,
                  prioritization: dict | None = None):
         from druid_spark.metrics import AuditLog, RequestLogger
         self.engine = engine
         self.request_logger = RequestLogger(path=request_log_path)
-        self.audit = AuditLog(path=audit_log_path)
+        self.audit = AuditLog(path=audit_log_path,
+                              retention_seconds=audit_retention_seconds)
         # attach before the first request can arrive
         self.scheduler = QueryScheduler(engine.spark, total=total_slots,
                                         lane_limits=lane_limits)

