@@ -1727,10 +1727,11 @@ def q_text_quality_by_source(spark, sf):
 
 
 def q_mm_features(spark, sf):
-    """Multimodal feature extraction: REAL decode for PPM images /
-    PCM WAV audio (pure numpy + stdlib — channel means, RMS, ZCR),
-    deterministic stub for compressed video (no media libs in
-    container)."""
+    """Multimodal feature extraction: REAL decode for PPM + PNG images
+    (round 7: stdlib-zlib inflate + scanline unfilter) / PCM WAV audio
+    (pure numpy + stdlib — channel means, RMS, ZCR), deterministic
+    stub for compressed video (no media libs in container). The demo
+    media alternates PPM/PNG rows, so both real image decoders run."""
     from druid_spark.datapipe import multimodal
     media = multimodal.demo_media_df(spark, 32)
     real = multimodal.extract_features(

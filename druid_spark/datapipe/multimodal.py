@@ -2,12 +2,14 @@
 
 The Spark-side plumbing (schema, partition-preserving mapInPandas,
 Arrow batch shapes) is real and tested. The decode step is REAL for
-formats that need no external libraries — PPM (P6) images parse with
-numpy, PCM WAV audio with the stdlib ``wave`` module — and STUBBED for
-compressed formats (JPEG/PNG/MP4: PIL/librosa/av are not in this
-container): `decode_stub=True` derives a deterministic fake feature
-from the bytes; `decode_stub=False` really decodes supported mimes and
-raises NotImplementedError for unsupported ones.
+formats decodable without external libraries — PPM (P6) images with
+numpy, 8-bit non-interlaced PNG (stdlib zlib inflate + per-scanline
+unfilter, round 7), PCM WAV audio with the stdlib ``wave`` module —
+and STUBBED for formats that need a real codec (JPEG/MP4:
+PIL/librosa/av are not in this container): `decode_stub=True` derives
+a deterministic fake feature from the bytes; `decode_stub=False`
+really decodes supported mimes and raises NotImplementedError for
+unsupported ones.
 
 Pattern for 100 TB: binary payloads ride in their own column so Parquet
 column pruning skips them unless the operator touches them; feature
@@ -88,6 +90,84 @@ def _encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG → (h, w, channels) uint8 array, library-free (round 7,
+    the same pure-Python-public-format move as ingest/protobuf.py):
+    stdlib zlib inflates the concatenated IDAT stream, then each
+    scanline is unfiltered per the five standard filter types
+    (PNG spec §6: None/Sub/Up/Average/Paeth). Supports bit depth 8,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. JPEG and Adam7-interlaced PNG stay honestly
+    stubbed — those need a DCT/multi-pass decoder, not just inflate."""
+    import zlib
+    if not b or not b.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG signature")
+    i, w = len(_PNG_SIG), 0
+    h = depth = ctype = interlace = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        i += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {ctype} "
+            "(8-bit gray/RGB/gray-alpha/RGBA decode for real)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG is stubbed")
+    c = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).copy()
+        if ft == 0:                       # None
+            cur = line
+        elif ft == 2:                     # Up
+            cur = line + prev             # uint8 wraps = mod 256
+        elif ft in (1, 3, 4):             # Sub / Average / Paeth:
+            cur = line                    # sequential left-dependency
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                bb = int(prev[x])
+                if ft == 1:
+                    add = a
+                elif ft == 3:
+                    add = (a + bb) >> 1
+                else:
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + bb - cc
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                    add = a if pa <= pb and pa <= pc else \
+                        bb if pb <= pc else cc
+                cur[x] = (int(cur[x]) + add) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, c)
+
+
 def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (float samples in [-1, 1], sample rate)."""
     with wave.open(io.BytesIO(b)) as wf:
@@ -101,6 +181,46 @@ def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(f"WAV sample width {width}")
     return x, rate
+
+
+def _encode_png(arr: np.ndarray) -> bytes:
+    """(h, w[, c]) uint8 → PNG bytes (filter 0, one IDAT). The inverse
+    of _decode_png for generating decodable fixtures."""
+    import struct
+    import zlib
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes()
+                   for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded (h, w, c) array to 3-channel RGB: gray
+    replicates, alpha drops."""
+    c = arr.shape[2]
+    if c == 3:
+        return arr
+    if c == 4:
+        return arr[..., :3]
+    return np.repeat(arr[..., :1], 3, axis=2)  # gray / gray+alpha
+
+
+def _decode_image(b: bytes, mime: str) -> np.ndarray:
+    """Any supported image mime → (h, w, 3) uint8 RGB."""
+    if mime == "image/png":
+        return _to_rgb(_decode_png(b))
+    return _decode_ppm(b)
 
 
 def _pad(vals: list[float], dim: int) -> list[float]:
@@ -124,13 +244,13 @@ def _audio_feature(x: np.ndarray, rate: int, dim: int) -> list[float]:
 
 
 def _real_feature(payload: bytes, mime: str, dim: int) -> list[float]:
-    if mime in ("image/x-portable-pixmap", "image/ppm"):
-        return _image_feature(_decode_ppm(payload), dim)
+    if mime in ("image/x-portable-pixmap", "image/ppm", "image/png"):
+        return _image_feature(_decode_image(payload, mime), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_feature(*_decode_wav(payload), dim)
     raise NotImplementedError(
         f"decode for {mime!r} needs PIL/librosa/av (not in container); "
-        "PPM and WAV decode for real")
+        "PPM, PNG and WAV decode for real")
 
 
 def extract_features(df: DataFrame, dim: int = 8,
@@ -182,8 +302,8 @@ def resize_images(df: DataFrame, width: int, height: int,
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
-            for p in pdf["payload"]:
-                arr = _decode_ppm(p)
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                arr = _decode_image(p, m)
                 h, w = arr.shape[:2]
                 # mean-pool into the target grid (area interpolation)
                 ys = np.linspace(0, h, height + 1).astype(int)
@@ -229,7 +349,10 @@ def demo_media_df(spark, n: int = 32) -> DataFrame:
         if kind == "image":
             rng = np.random.default_rng(i)
             arr = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
-            payload, mime = _encode_ppm(arr), "image/x-portable-pixmap"
+            if i % 2:  # alternate real formats: PPM and PNG (round 7)
+                payload, mime = _encode_png(arr), "image/png"
+            else:
+                payload, mime = _encode_ppm(arr), "image/x-portable-pixmap"
             w, h, dur = 64, 48, None
         elif kind == "audio":
             rate = 8000

