@@ -440,6 +440,57 @@ def _tuple_standalone(args):
     return f"CAST(COUNT(DISTINCT {args[0]}) AS DOUBLE)"
 
 
+_TS_ARG = re.compile(r"(?is)^(?:__time|TIMESTAMP\s+'[^']*')$")
+
+
+def _millisify(expr: str) -> str:
+    """Druid stringifies/collects TIMESTAMP values as epoch millis
+    (native-layer longs). Applied only to syntactically certain
+    timestamp args (__time / TIMESTAMP literals) — a regex shim has no
+    type information for arbitrary expressions."""
+    return (f"CAST(UNIX_MILLIS({expr}) AS STRING)"
+            if _TS_ARG.match(expr) else expr)
+
+
+def _split_distinct(a: str) -> tuple[str, str]:
+    m = re.match(r"(?is)^\s*(DISTINCT\s+)?(.*)$", a)
+    return (m.group(1) or "", m.group(2).strip())
+
+
+def _string_agg_call(args):
+    """STRING_AGG(expr, sep[, maxSizeBytes]) → LISTAGG(expr', sep).
+    See call site for the reference contract."""
+    if len(args) < 2 or len(args) > 3:
+        return None
+    pre, expr = _split_distinct(args[0])
+    expr = _millisify(expr)
+    rest = args[1]
+    if len(args) == 3:
+        if re.fullmatch(r"\d+", args[2].strip()):
+            pass  # maxSizeBytes cap dropped (unbounded strings)
+        else:
+            rest = f"{args[1]}, {args[2]}"
+    return f"LISTAGG({pre}{expr}, {rest})"
+
+
+def _array_agg_call(args):
+    """ARRAY_AGG([DISTINCT] expr[, maxSizeBytes]): drop the byte cap,
+    millis-ify timestamp args. Returns None (untouched) for the plain
+    non-timestamp 1-arg form Spark handles natively."""
+    if not args or len(args) > 2:
+        return None
+    if len(args) == 2 and not re.fullmatch(r"\d+", args[1].strip()):
+        return None  # not the maxSizeBytes form (e.g. ORDER BY split?)
+    pre, expr = _split_distinct(args[0])
+    new = _millisify(expr)
+    if len(args) == 1 and new == expr:
+        return None
+    # millis version collects longs, matching the reference's output
+    if new != expr:
+        new = f"UNIX_MILLIS({expr})"
+    return f"ARRAY_AGG({pre}{new})"
+
+
 _HLLY = re.compile(r"(?i)\b(DS_HLL|hll_sketch_agg|hll_union)\s*\(")
 
 
@@ -1037,8 +1088,18 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         out = _rewrite_call(
             out, name,
             _quantile_call("PERCENTILE" if exact else "APPROX_PERCENTILE"))
-    # string / array aggregates
+    # string / array aggregates. The builder handles the reference's
+    # full StringSqlAggregator surface (sql/.../aggregation/builtin/
+    # StringSqlAggregator.java, quidem qaAggFuncs/string_agg_*): an
+    # optional trailing maxSizeBytes is accepted and dropped (Spark
+    # strings are unbounded), and TIMESTAMP arguments stringify as
+    # epoch millis (timestamps are longs in the native layer — the
+    # string_agg_timestamp golden files pin '1577840461000', not ISO).
+    out = _rewrite_call(out, "STRING_AGG", _string_agg_call)
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)
+    # ArraySqlAggregator: same optional maxSizeBytes + millis contract
+    # (qaAggFuncs/array_agg_timestamp_*)
+    out = _rewrite_call(out, "ARRAY_AGG", _array_agg_call)
     # balanced-paren rewrite: the argument is often itself a call
     # (ARRAY_CONCAT_AGG(STRING_TO_ARRAY(x, '-')))
     out = _rewrite_call(
