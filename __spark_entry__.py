@@ -9700,6 +9700,88 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           GROUP BY l_returnflag, l_linestatus LIMIT 10)
         SELECT ranking, trend_score FROM t
         ORDER BY trend_score, ranking"""),
+
+    # ----------------------------------------------------------------
+    # Conformance batch 61 (round 7): decoupled-planning remainder +
+    # qaJsonCols null edges (sql/src/test/quidem/org.apache.druid.sql.
+    # calcite.DecoupledPlanningCalciteQueryTest/*.iq, quidem-ut
+    # qaJsonCols/funcs_and_sql_func_json_keys.01.all.iq).
+    # ----------------------------------------------------------------
+    # testMultipleExactCountDistinctWithGroupingAndOtherAggregators-
+    # UsingJoin.iq — several exact COUNT(DISTINCT)s beside plain aggs
+    # (the reference plans this as a self-join of grouped subqueries;
+    # Spark's aggregate handles multiple distincts natively)
+    "sqlc_multi_count_distinct": ("""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS prios,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custs
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS prios,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custs
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    # testTimeFilterOnSubquery.iq — TIME_IN_INTERVAL disjunction over a
+    # LIMIT-wrapped subquery (limit exceeds the table so rows are
+    # deterministic, as in the golden)
+    "sqlc_time_in_interval_subquery": ("""
+        SELECT __time, ROUND(value, 3) AS v
+        FROM (SELECT * FROM events LIMIT 100000) t
+        WHERE TIME_IN_INTERVAL(__time, '2024-01-02/P1D')
+           OR TIME_IN_INTERVAL(__time, '2024-01-05/P1D')
+        ORDER BY __time, v""", """
+        SELECT ts AS __time, ROUND(value, 3) AS v
+        FROM (SELECT * FROM events LIMIT 100000) t
+        WHERE (ts >= TIMESTAMP '2024-01-02' AND
+               ts < TIMESTAMP '2024-01-03')
+           OR (ts >= TIMESTAMP '2024-01-05' AND
+               ts < TIMESTAMP '2024-01-06')
+        ORDER BY __time, v"""),
+    # testGroupByLimitPushdownExtraction.iq — extraction (substring)
+    # grouping key beside a plain dim, limited (filter bounds the
+    # group count below the limit so the row set is deterministic)
+    "sqlc_groupby_limit_pushdown_extraction": ("""
+        SELECT o_orderstatus, SUBSTRING(o_orderpriority, 1, 1) AS p,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10""", """
+        SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS p,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10"""),
+    # testGroupBySortPushDown.iq — sort on the SECOND grouping key
+    # pushed into the limited aggregation (tiebreak added: the golden
+    # relies on segment order for ties)
+    "sqlc_groupby_sort_pushdown": ("""
+        SELECT o_orderstatus, o_orderpriority, SUM(o_totalprice) AS s
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderpriority, o_orderstatus LIMIT 4""", """
+        SELECT o_orderstatus, o_orderpriority, SUM(o_totalprice) AS s
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderpriority, o_orderstatus LIMIT 4"""),
+    # testRequireTimeConditionPositive3.iq — IN-subquery on an
+    # extraction with __time bounds on both sides
+    "sqlc_semijoin_substring_time": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+        WHERE __time >= '2024-01-01'
+          AND SUBSTRING(event_type, 1, 1) IN (
+            SELECT SUBSTRING(event_type, 1, 1) FROM events
+            WHERE event_type <> '' AND __time >= '2024-01-15')""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01'
+          AND substring(event_type, 1, 1) IN (
+            SELECT substring(event_type, 1, 1) FROM events
+            WHERE event_type <> '' AND ts >= TIMESTAMP '2024-01-15')"""),
+    # funcs_and_sql_func_json_keys.01.all.iq A001-A005 — JSON_KEYS of
+    # non-JSON inputs (a timestamp, a plain string) is NULL; of an
+    # object it lists the keys
+    "sqlc_json_keys_nonjson_null": ("""
+        SELECT JSON_KEYS(__time, '$') IS NULL AS ts_null,
+               JSON_KEYS('ABCD', '$') IS NULL AS str_null,
+               ARRAY_TO_STRING(
+                 JSON_KEYS('{"b": 1, "a": 2}', '$'), ',') AS keys
+        FROM events LIMIT 1""", """
+        SELECT TRUE AS ts_null, TRUE AS str_null,
+               'b,a' AS keys"""),
 }
 
 

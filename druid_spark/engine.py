@@ -385,11 +385,12 @@ class DruidSparkEngine:
             .replace("dd", "%d").replace("HH", "%H")
         if isinstance(intervals, dict):
             intervals = intervals["intervals"]
+        from druid_spark.granularity import parse_iso_interval
         out = []
         for iv in intervals:
-            a, b = iv.split("/")
-            lo = _dt.datetime.fromisoformat(_isots(a)).strftime(py_fmt)
-            hi = (_dt.datetime.fromisoformat(_isots(b))
+            a, b = parse_iso_interval(iv)
+            lo = _dt.datetime.fromisoformat(a).strftime(py_fmt)
+            hi = (_dt.datetime.fromisoformat(b)
                   - _dt.timedelta(milliseconds=1)).strftime(py_fmt)
             out.append((lo, hi))
         return out
@@ -1104,16 +1105,15 @@ class DruidSparkEngine:
             return None
         if isinstance(intervals, dict):  # {"type":"intervals","intervals":[...]}
             intervals = intervals["intervals"]
+        from druid_spark.granularity import parse_iso_interval
         out = None
         for iv in intervals:
-            a, b = iv.split("/")
+            a, b = parse_iso_interval(iv)
             p = (
-                (F.col("__time") >= F.to_timestamp(F.lit(_isots(a))))
-                & (F.col("__time") < F.to_timestamp(F.lit(_isots(b))))
+                (F.col("__time") >= F.to_timestamp(F.lit(a)))
+                & (F.col("__time") < F.to_timestamp(F.lit(b)))
             )
             out = p if out is None else (out | p)
         return out
 
 
-def _isots(s: str) -> str:
-    return s.replace("T", " ").rstrip("Z")

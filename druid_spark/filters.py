@@ -313,15 +313,17 @@ class FilterCompiler:
         return self._match(f["column"], pred)
 
     def _f_interval(self, f):
-        # ISO interval(s) on a time column (query/filter/IntervalDimFilter)
+        # ISO interval(s) on a time column (query/filter/
+        # IntervalDimFilter). parse_iso_interval accepts all three
+        # Joda forms the reference does (start/end, start/period,
+        # period/end — Intervals.of), round 7.
+        from druid_spark.granularity import parse_iso_interval
         col = self._col(f.get("dimension", "__time"))
         out = F.lit(False)
         for iv in f["intervals"]:
-            a, b = iv.split("/")
-            out = out | (
-                (col >= F.to_timestamp(F.lit(a.replace("T", " ").rstrip("Z"))))
-                & (col < F.to_timestamp(F.lit(b.replace("T", " ").rstrip("Z"))))
-            )
+            a, b = parse_iso_interval(iv)
+            out = out | ((col >= F.to_timestamp(F.lit(a)))
+                         & (col < F.to_timestamp(F.lit(b))))
         return out
 
     # -- string matching

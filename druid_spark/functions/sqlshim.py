@@ -440,6 +440,28 @@ def _tuple_standalone(args):
     return f"CAST(COUNT(DISTINCT {args[0]}) AS DOUBLE)"
 
 
+def _time_in_interval(args):
+    """TIME_IN_INTERVAL(ts, 'interval'): when the interval is a string
+    LITERAL (the only form the reference's planner accepts —
+    sql/.../expression/builtin/TimeInIntervalConvertletFactory.java
+    requires a literal and parses it with Intervals.of), inline the
+    Joda-parsed [start, end) bounds. This supports all three ISO forms
+    (start/end, start/period, period/end) and partial timestamps
+    ('2000/P1D'), which the 2-arg SQL UDF fallback cannot parse."""
+    if len(args) != 2:
+        return None
+    m = re.fullmatch(r"(?s)\s*'([^']*)'\s*", args[1])
+    if not m:
+        return None
+    from druid_spark.granularity import parse_iso_interval
+    try:
+        a, b = parse_iso_interval(m.group(1))
+    except Exception:
+        return None  # malformed literal → let the UDF raise/NULL
+    return (f"(({args[0]}) >= TIMESTAMP '{a}' "
+            f"AND ({args[0]}) < TIMESTAMP '{b}')")
+
+
 _TS_ARG = re.compile(r"(?is)^(?:__time|TIMESTAMP\s+'[^']*')$")
 
 
@@ -1095,6 +1117,7 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # strings are unbounded), and TIMESTAMP arguments stringify as
     # epoch millis (timestamps are longs in the native layer — the
     # string_agg_timestamp golden files pin '1577840461000', not ISO).
+    out = _rewrite_call(out, "TIME_IN_INTERVAL", _time_in_interval)
     out = _rewrite_call(out, "STRING_AGG", _string_agg_call)
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)
     # ArraySqlAggregator: same optional maxSizeBytes + millis contract

@@ -66,6 +66,63 @@ def period_to_millis(period: str) -> int:
     return int(((w * 7 + d) * 24 * 3600 + h * 3600 + mi * 60 + s) * 1000)
 
 
+def parse_iso_ts(s: str) -> "datetime.datetime":
+    """Partial-ISO timestamp, Joda-style (the reference parses
+    intervals with org.joda.time Intervals.of — DateTimes.of accepts
+    '2000', '2000-06', '2000-06-15', full stamps with T/Z and
+    fractional seconds)."""
+    import datetime as dt
+    t = s.strip().rstrip("Z").replace("T", " ")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                "%Y-%m-%d %H:%M", "%Y-%m-%d %H", "%Y-%m-%d",
+                "%Y-%m", "%Y"):
+        try:
+            return dt.datetime.strptime(t, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"bad ISO timestamp: {s!r}")
+
+
+def add_period(t: "datetime.datetime", period: str,
+               sign: int = 1) -> "datetime.datetime":
+    """t ± ISO-8601 period, with Joda calendar semantics for the
+    variable-length units (month/year addition clamps the
+    day-of-month, e.g. Jan 31 + P1M = Feb 28/29)."""
+    import calendar
+    import datetime as dt
+    m = _PERIOD_RE.match(period)
+    if not m:
+        raise ValueError(f"bad ISO period: {period}")
+    y, mo, w, d, h, mi, s = (float(g) if g else 0.0 for g in m.groups())
+    months = sign * int(y * 12 + mo)
+    if months:
+        total = t.year * 12 + (t.month - 1) + months
+        ny, nm = divmod(total, 12)
+        nd = min(t.day, calendar.monthrange(ny, nm + 1)[1])
+        t = t.replace(year=ny, month=nm + 1, day=nd)
+    return t + sign * dt.timedelta(weeks=w, days=d, hours=h,
+                                   minutes=mi, seconds=s)
+
+
+def parse_iso_interval(iv: str) -> tuple[str, str]:
+    """One ISO-8601 interval string → ('yyyy-MM-dd HH:mm:ss[.ffffff]',
+    same) [start, end) bounds, accepting all three Joda forms the
+    reference accepts (Intervals.of): start/end, start/period,
+    period/end — with partial timestamps on either side."""
+    a, b = iv.split("/")
+    a, b = a.strip(), b.strip()
+    if a.upper().startswith("P"):
+        end = parse_iso_ts(b)
+        start = add_period(end, a.upper(), sign=-1)
+    elif b.upper().startswith("P"):
+        start = parse_iso_ts(a)
+        end = add_period(start, b.upper())
+    else:
+        start, end = parse_iso_ts(a), parse_iso_ts(b)
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    return start.strftime(fmt), end.strftime(fmt)
+
+
 def bucket(ts: Column, granularity: Any) -> Column:
     """Truncate timestamp Column `ts` to the grain. Returns TimestampType.
 

@@ -460,3 +460,40 @@ def test_sys_segments_full_signature(eng, spark, tmp_path):
     assert all(r["is_published"] == 1 and r["is_available"] == 1
                and r["is_realtime"] == 0 for r in out)
     assert all(r["version"] and r["segment_id"] for r in out)
+
+
+def test_period_form_intervals(spark):
+    """Round 7: intervals accept all three Joda forms the reference
+    parses with Intervals.of (start/end, start/period, period/end) and
+    partial timestamps — in native query intervals, interval FILTERS,
+    and SQL TIME_IN_INTERVAL (which the reference requires to be a
+    literal, TimeInIntervalConvertletFactory.java)."""
+    from druid_spark import DruidSparkEngine
+    from druid_spark.granularity import parse_iso_interval
+
+    # Joda calendar semantics: month addition clamps day-of-month
+    assert parse_iso_interval("2024-01-31T12:00:00Z/P1M") == \
+        ("2024-01-31 12:00:00.000000", "2024-02-29 12:00:00.000000")
+    assert parse_iso_interval("P1Y/2001") == \
+        ("2000-01-01 00:00:00.000000", "2001-01-01 00:00:00.000000")
+
+    e = DruidSparkEngine(spark, data_dir="/root/testdata/sf0.001",
+                         exact_approx=True)
+    base = {"queryType": "timeseries", "dataSource": "events",
+            "granularity": "all",
+            "aggregations": [{"type": "count", "name": "n"}]}
+    full = {r["n"] for r in e.query(
+        {**base, "intervals": ["2024-01-02/2024-01-03"]}).collect()}
+    for iv in ("2024-01-02/P1D", "P1D/2024-01-03"):
+        assert {r["n"] for r in e.query(
+            {**base, "intervals": [iv]}).collect()} == full
+    # interval FILTER with a period form
+    got = e.query({**base,
+                   "filter": {"type": "interval", "dimension": "__time",
+                              "intervals": ["2024-01-02/P1D"]}}).collect()
+    assert {r["n"] for r in got} == full
+    # SQL surface
+    n_sql = e.sql("SELECT COUNT(*) AS n FROM events WHERE "
+                  "TIME_IN_INTERVAL(__time, '2024-01-02/P1D')") \
+        .collect()[0]["n"]
+    assert {n_sql} == full
