@@ -241,10 +241,18 @@ def gen_native(seed: int):
         # (granularity.py) + interval bounds vs date_trunc oracle;
         # skipEmptyBuckets avoids the zero-fill spine DuckDB won't have
         gran = r.choice(["day", "week", "month"])
+        # same [1995-01-01, 1997-01-01) window in all three Joda forms
+        # the reference accepts (round 7: parse_iso_interval)
+        iv_form = r.choice([
+            "1995-01-01T00:00:00Z/1997-01-01T00:00:00Z",
+            "1995-01-01/P2Y",
+            "P2Y/1997-01-01",
+            "1995/1997",
+        ])
         q = {"queryType": "timeseries", "dataSource": name,
              "granularity": gran,
              "virtualColumns": [],
-             "intervals": ["1995-01-01T00:00:00Z/1997-01-01T00:00:00Z"],
+             "intervals": [iv_form],
              "aggregations": [
                  {"type": "count", "name": "n"},
                  {"type": "doubleSum", "name": "s", "fieldName": m}],

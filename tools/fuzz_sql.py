@@ -155,6 +155,8 @@ def gen_query(seed: int):
         return _gen_mv_inlined(r)
     if shape < 0.66:
         return _gen_unnest_join(r)
+    if shape < 0.69:
+        return _gen_string_agg(r)
     table = r.choice(list(TABLES))
     g = Gen(r, table)
     n_dims = r.randrange(0, 3)
@@ -176,6 +178,35 @@ def gen_query(seed: int):
         if r.random() < 0.5:
             q += f" LIMIT {r.randrange(1, 50)}"
     return q
+
+
+def _gen_string_agg(r: random.Random):
+    """STRING_AGG surface (round 7, qaAggFuncs golden family): random
+    column/separator/filter with optional DISTINCT and the optional
+    trailing maxSizeBytes, finalized by an order-independent function
+    (LENGTH of the agg / of pad/repeat over it) so the nondeterministic
+    collect order can't flake. Returns (druid, duckdb) pairs."""
+    table = r.choice(list(TABLES))
+    g = Gen(r, table)
+    col = r.choice(g.t["str"] + g.t["int"])
+    sep = r.choice(["|", ",", "-", "::"])
+    dist = "DISTINCT " if r.random() < 0.4 else ""
+    cap = f", {r.choice([1000, 100000])}" if r.random() < 0.3 else ""
+    dru_agg = f"STRING_AGG({dist}{col}, '{sep}'{cap})"
+    duk_agg = f"string_agg({dist}CAST({col} AS VARCHAR), '{sep}')"
+    wrap = r.choice([
+        ("LENGTH({})", "length({})"),
+        ("CHAR_LENGTH({})", "length({})"),
+        ("LENGTH(REPEAT({}, 2))", "2 * length({})"),
+        ("LENGTH(RPAD({}, 4, '3'))", "CASE WHEN {} IS NULL "
+         "THEN NULL ELSE 4 END"),
+    ])
+    where = g.pred()
+    dru = (f"SELECT CAST({wrap[0].format(dru_agg)} AS BIGINT) AS n "
+           f"FROM {table} WHERE {where}")
+    duk = (f"SELECT CAST({wrap[1].format(duk_agg)} AS BIGINT) AS n "
+           f"FROM {table} WHERE {where}")
+    return dru, duk
 
 
 def _gen_unnest_join(r: random.Random):
