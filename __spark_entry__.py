@@ -9782,6 +9782,107 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM events LIMIT 1""", """
         SELECT TRUE AS ts_null, TRUE AS str_null,
                'b,a' AS keys"""),
+
+    # ----------------------------------------------------------------
+    # Conformance batch 62 (round 7): DecoupledPlanningCalciteJoin-
+    # QueryTest golden shapes (sql/src/test/quidem/...CalciteJoinQuery-
+    # Test/*.iq) + the CAST(timestamp AS BIGINT) = epoch-millis
+    # semantic those goldens pin (timestamps are native-layer longs).
+    # ----------------------------------------------------------------
+    # testSemiAndAntiJoinSimultaneouslyUsingExplicitJoins.iq — semi
+    # join on a MAX subquery plus anti join (LEFT + IS NULL) on a MIN
+    # subquery over the same table
+    "sqlc_semi_anti_explicit_joins": ("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        INNER JOIN (SELECT MAX(__time) AS t FROM events) t0
+                ON t0.t = events.__time
+        LEFT JOIN (SELECT MIN(__time) AS t FROM events) t1
+                ON t1.t = events.__time
+        WHERE t1.t IS NULL
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        INNER JOIN (SELECT MAX(ts) AS t FROM events) t0
+                ON t0.t = events.ts
+        LEFT JOIN (SELECT MIN(ts) AS t FROM events) t1
+                ON t1.t = events.ts
+        WHERE t1.t IS NULL
+        GROUP BY 1 ORDER BY 1"""),
+    # testJoinOnGroupByInsteadOfTimeseriesWithFloorOnTime.iq — tuple
+    # (expr, col) IN over a floored-time grouped subquery, with
+    # CAST(TIME_FLOOR(...) AS BIGINT) + 1 arithmetic in BOTH positions
+    "sqlc_tuple_in_floor_subquery": ("""
+        SELECT CAST(TIME_FLOOR(__time, 'PT1H') AS BIGINT) AS hr_ms,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE (CAST(TIME_FLOOR(__time, 'PT1H') AS BIGINT) + 1,
+               event_type) IN (
+          SELECT CAST(TIME_FLOOR(__time, 'PT1H') AS BIGINT) + 1 AS t1,
+                 MIN(event_type) AS t2
+          FROM events WHERE value > 90 GROUP BY 1)
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT epoch_ms(date_trunc('hour', ts)) AS hr_ms,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events e
+        WHERE EXISTS (
+          SELECT 1 FROM (
+            SELECT epoch_ms(date_trunc('hour', ts)) + 1 AS t1,
+                   MIN(event_type) AS t2
+            FROM events WHERE value > 90 GROUP BY 1) s
+          WHERE s.t1 = epoch_ms(date_trunc('hour', e.ts)) + 1
+            AND s.t2 = e.event_type)
+        GROUP BY 1 ORDER BY 1"""),
+    # testCommaJoinLeftFunction.iq — comma join with a function-of-
+    # left-column equality condition
+    "sqlc_comma_join_substring_cond": ("""
+        SELECT r.r_name, n.n_nationkey
+        FROM region r, nation n
+        WHERE SUBSTRING(CAST(n.n_regionkey AS VARCHAR), 1, 1) =
+              SUBSTRING(CAST(r.r_regionkey AS VARCHAR), 1, 1)
+        ORDER BY 1, 2""", """
+        SELECT r.r_name, n.n_nationkey
+        FROM region r, nation n
+        WHERE substring(CAST(n.n_regionkey AS VARCHAR), 1, 1) =
+              substring(CAST(r.r_regionkey AS VARCHAR), 1, 1)
+        ORDER BY 1, 2"""),
+    # testInnerJoinCastLeft.iq — join condition casts the left numeric
+    # to string
+    "sqlc_join_cast_numeric_string": ("""
+        SELECT n.n_name, r.r_name
+        FROM nation n INNER JOIN region r
+          ON CAST(n.n_regionkey AS VARCHAR) =
+             CAST(r.r_regionkey AS VARCHAR)
+        ORDER BY n.n_name""", """
+        SELECT n.n_name, r.r_name
+        FROM nation n INNER JOIN region r
+          ON CAST(n.n_regionkey AS VARCHAR) =
+             CAST(r.r_regionkey AS VARCHAR)
+        ORDER BY n.n_name"""),
+    # testUsingSubqueryAsPartOfAndFilter.iq — IN-subquery conjoined
+    # with a plain predicate, grouped and ordered
+    "sqlc_subquery_and_filter_grouped": ("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderpriority IN (SELECT o_orderpriority FROM orders
+                                  WHERE o_custkey < 50)
+          AND o_orderstatus <> 'X'
+        GROUP BY 1, 2 ORDER BY 2, 1""", """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderpriority IN (SELECT o_orderpriority FROM orders
+                                  WHERE o_custkey < 50)
+          AND o_orderstatus <> 'X'
+        GROUP BY 1, 2 ORDER BY 2, 1"""),
+    # CastOperatorConversion semantics the join goldens rely on:
+    # CAST(timestamp AS BIGINT) is epoch MILLIS, not seconds — the
+    # sub-second residue proves it
+    "sqlc_cast_time_bigint_millis": ("""
+        SELECT CAST(__time AS BIGINT) AS ms,
+               MOD(CAST(__time AS BIGINT), 1000) AS sub_ms
+        FROM events WHERE __time = (SELECT MIN(__time) FROM events)""", """
+        SELECT epoch_ms(ts) AS ms, epoch_ms(ts) % 1000 AS sub_ms
+        FROM events WHERE ts = (SELECT MIN(ts) FROM events)"""),
 }
 
 

@@ -463,6 +463,49 @@ def _time_in_interval(args):
 
 
 _TS_ARG = re.compile(r"(?is)^(?:__time|TIMESTAMP\s+'[^']*')$")
+_TS_FUNC_HEAD = re.compile(
+    r"(?is)^(?:TIME_FLOOR|TIME_CEIL|TIME_SHIFT|TIME_PARSE"
+    r"|MILLIS_TO_TIMESTAMP)\s*\(")
+
+
+def _is_ts_expr(expr: str) -> bool:
+    """True for syntactically-certain timestamp expressions: __time, a
+    TIMESTAMP literal, or a single timestamp-returning function call
+    spanning the whole text (depth returns to zero only at the end, so
+    `TIME_FLOOR(a) + TIME_FLOOR(b)` does not qualify)."""
+    expr = expr.strip()
+    if _TS_ARG.match(expr):
+        return True
+    m = _TS_FUNC_HEAD.match(expr)
+    if not m or not expr.endswith(")"):
+        return False
+    depth, i = 1, m.end()
+    while i < len(expr):
+        ch = expr[i]
+        if ch in "'\"":
+            i = _skip_string(expr, i)
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(expr) - 1
+        i += 1
+    return False
+
+
+def _cast_ts_bigint(args):
+    """CAST(<timestamp expr> AS BIGINT) → epoch MILLIS. Druid
+    timestamps are native-layer longs, so Calcite's cast yields the
+    millis value (sql/.../expression/CastOperatorConversion.java);
+    Spark's cast yields SECONDS. Rewritten only for syntactically
+    certain timestamp expressions — a regex shim has no types."""
+    if len(args) != 1:
+        return None
+    m = re.match(r"(?is)^(.*\S)\s+AS\s+BIGINT\s*$", args[0])
+    if not m or not _is_ts_expr(m.group(1)):
+        return None
+    return f"UNIX_MILLIS({m.group(1)})"
 
 
 def _millisify(expr: str) -> str:
@@ -1118,6 +1161,7 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # epoch millis (timestamps are longs in the native layer — the
     # string_agg_timestamp golden files pin '1577840461000', not ISO).
     out = _rewrite_call(out, "TIME_IN_INTERVAL", _time_in_interval)
+    out = _rewrite_call(out, "CAST", _cast_ts_bigint)
     out = _rewrite_call(out, "STRING_AGG", _string_agg_call)
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)
     # ArraySqlAggregator: same optional maxSizeBytes + millis contract
