@@ -9883,6 +9883,95 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM events WHERE __time = (SELECT MIN(__time) FROM events)""", """
         SELECT epoch_ms(ts) AS ms, epoch_ms(ts) % 1000 AS sub_ms
         FROM events WHERE ts = (SELECT MIN(ts) FROM events)"""),
+
+    # ----------------------------------------------------------------
+    # Conformance batch 63 (round 7): DecoupledPlanningCalciteArrays-
+    # QueryTest unnest depth (sql/src/test/quidem/...ArraysQueryTest/).
+    # ----------------------------------------------------------------
+    # testUnnestThriceWithFiltersOnDimAndAllUnnestColumns.iq — three
+    # nested comma-unnests of the same source column with equality
+    # filters on the dim and on every unnested column
+    "sqlc_unnest_thrice_filters": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+          (SELECT * FROM
+            (SELECT * FROM documents,
+              UNNEST(STRING_TO_ARRAY(text, ' ')) AS a(u1)) x,
+            UNNEST(STRING_TO_ARRAY(text, ' ')) AS b(u2)) y,
+          UNNEST(STRING_TO_ARRAY(text, ' ')) AS c(u3)
+        WHERE doc_id = 1 AND u1 = 'data' AND u2 = 'the'
+          AND u3 = 'learning'""", """
+        SELECT CAST(
+          (SELECT COUNT(*) FROM (SELECT unnest(string_split(text, ' '))
+             AS u FROM documents WHERE doc_id = 1) q WHERE u = 'data')
+          * (SELECT COUNT(*) FROM (SELECT unnest(string_split(text, ' '))
+             AS u FROM documents WHERE doc_id = 1) q WHERE u = 'the')
+          * (SELECT COUNT(*) FROM (SELECT unnest(string_split(text, ' '))
+             AS u FROM documents WHERE doc_id = 1) q
+             WHERE u = 'learning') AS BIGINT) AS n"""),
+    # testUnnestExtractionFn.iq — extraction fn (substring from 1) on
+    # the unnested column in both select and filter
+    "sqlc_unnest_extraction_fn": ("""
+        SELECT SUBSTRING(u, 1, 2) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents, UNNEST(STRING_TO_ARRAY(text, ' ')) AS t(u)
+        WHERE SUBSTRING(u, 1, 2) <> 'th' AND doc_id < 5
+        GROUP BY 1 ORDER BY n DESC, s LIMIT 8""", """
+        SELECT substring(u, 1, 2) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+              FROM documents) t
+        WHERE substring(u, 1, 2) <> 'th' AND doc_id < 5
+        GROUP BY 1 ORDER BY n DESC, s LIMIT 8"""),
+    # testUnnestWithGroupByOnExpression.iq — CROSS JOIN UNNEST of an
+    # array built by the grouped subquery itself
+    "sqlc_unnest_grouped_array_cross": ("""
+        WITH x AS (SELECT ARRAY[1, 2, 3] AS all_nums
+                   FROM orders GROUP BY 1)
+        SELECT ARRAY_TO_STRING(x.all_nums, ',') AS arr, num
+        FROM x CROSS JOIN UNNEST(x.all_nums) AS ud(num)
+        ORDER BY num""", """
+        WITH x AS (SELECT [1, 2, 3] AS all_nums
+                   FROM orders GROUP BY 1)
+        SELECT array_to_string(x.all_nums, ',') AS arr,
+               CAST(num AS INTEGER) AS num
+        FROM x CROSS JOIN (SELECT unnest(all_nums) AS num FROM x) u
+        ORDER BY num""", ),
+    # testUnnestWithGroupByHavingSelector.iq — group on the unnested
+    # column with a HAVING selector on it
+    "sqlc_unnest_groupby_having_selector": ("""
+        SELECT u AS tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents, UNNEST(STRING_TO_ARRAY(text, ' ')) AS t(u)
+        GROUP BY u HAVING u = 'data'""", """
+        SELECT u AS tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS u
+              FROM documents) t
+        GROUP BY u HAVING u = 'data'"""),
+    # testUnnestWithNotFiltersOnUnnestedColumn.iq — negated predicates
+    # on the unnested column
+    "sqlc_unnest_not_filters": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT u) AS BIGINT) AS d
+        FROM documents, UNNEST(STRING_TO_ARRAY(text, ' ')) AS t(u)
+        WHERE u NOT IN ('the', 'of') AND NOT (u LIKE 'a%')
+          AND doc_id < 20""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT u) AS BIGINT) AS d
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+              FROM documents) t
+        WHERE u NOT IN ('the', 'of') AND NOT (u LIKE 'a%')
+          AND doc_id < 20"""),
+    # testUnnestWithFiltersInnerLimit.iq — LIMIT inside the unnested
+    # derived table (limit exceeds the filtered row count so the row
+    # set is deterministic, like the golden's LIMIT over 6 rows)
+    "sqlc_unnest_inner_limit": ("""
+        SELECT u AS tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT text FROM documents WHERE doc_id < 3 LIMIT 100) d,
+             UNNEST(STRING_TO_ARRAY(text, ' ')) AS t(u)
+        WHERE u LIKE 'd%'
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT u AS tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS u FROM
+              (SELECT text FROM documents WHERE doc_id < 3 LIMIT 100) d)
+        WHERE u LIKE 'd%'
+        GROUP BY 1 ORDER BY 1"""),
 }
 
 
