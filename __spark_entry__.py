@@ -9972,6 +9972,89 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
               (SELECT text FROM documents WHERE doc_id < 3 LIMIT 100) d)
         WHERE u LIKE 'd%'
         GROUP BY 1 ORDER BY 1"""),
+
+    # ----------------------------------------------------------------
+    # Conformance batch 64 (round 7): SqlQuidemTest goldens
+    # (sql/src/test/quidem/org.apache.druid.quidem.SqlQuidemTest/).
+    # ----------------------------------------------------------------
+    # interval_arithmetic.iq — INTERVAL DAY/WEEK arithmetic inside
+    # __time predicates (anchor literal instead of the golden's pinned
+    # sqlCurrentTimestamp)
+    "sqlc_interval_arithmetic_predicate": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_day,
+               CAST(COUNT(CASE WHEN __time >=
+                 TIMESTAMP '2024-01-15 00:00:00' - INTERVAL '2' WEEK
+                 AND __time <
+                 TIMESTAMP '2024-01-15 00:00:00' + INTERVAL '2' WEEK
+                 THEN 1 END) AS BIGINT) AS n_week
+        FROM events
+        WHERE __time >= TIMESTAMP '2024-01-15 00:00:00'
+                        - INTERVAL '2' DAY
+          AND __time < TIMESTAMP '2024-01-15 00:00:00'
+                        + INTERVAL '2' DAY""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_day,
+               CAST(COUNT(CASE WHEN ts >=
+                 TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 14 DAY
+                 AND ts <
+                 TIMESTAMP '2024-01-15 00:00:00' + INTERVAL 14 DAY
+                 THEN 1 END) AS BIGINT) AS n_week
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 2 DAY
+          AND ts < TIMESTAMP '2024-01-15 00:00:00' + INTERVAL 2 DAY"""),
+    # notinvalues.iq — NOT IN over a VALUES derived table
+    "sqlc_not_in_values_subquery": ("""
+        SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation
+        WHERE n_regionkey NOT IN
+          (SELECT col FROM (VALUES (0), (999)) AS t(col))
+        GROUP BY 1 ORDER BY 1""", """
+        SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation
+        WHERE n_regionkey NOT IN
+          (SELECT col FROM (VALUES (0), (999)) AS t(col))
+        GROUP BY 1 ORDER BY 1"""),
+    # grouping_sets_single_value_filter.iq — partial grouping sets
+    # under a single-value filter on one of the grouped dims
+    "sqlc_grouping_sets_single_value_filter": ("""
+        SELECT o_orderstatus, o_orderpriority, SUM(o_totalprice) AS s
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus))
+        ORDER BY o_orderstatus, o_orderpriority NULLS FIRST""", """
+        SELECT o_orderstatus, o_orderpriority, SUM(o_totalprice) AS s
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus))
+        ORDER BY o_orderstatus, o_orderpriority NULLS FIRST"""),
+    # full_outer_constant_project.iq — FULL JOIN where one side
+    # projects a constant (the constant must be NULL on non-matches)
+    "sqlc_full_outer_constant_project": ("""
+        SELECT r.r_name, n.tag
+        FROM region r
+        FULL JOIN (SELECT n_regionkey, 42 AS tag FROM nation
+                   WHERE n_regionkey < 2) n
+          ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2""", """
+        SELECT r.r_name, n.tag
+        FROM region r
+        FULL JOIN (SELECT n_regionkey, 42 AS tag FROM nation
+                   WHERE n_regionkey < 2) n
+          ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+    # filtered_sum.iq family — FILTER clause on SUM beside plain aggs
+    "sqlc_filtered_sum_beside_plain": ("""
+        SELECT l_returnflag,
+               SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS fs,
+               SUM(l_quantity) AS s,
+               CAST(COUNT(*) FILTER (WHERE l_tax = 0.0) AS BIGINT)
+                 AS zc
+        FROM lineitem GROUP BY 1 ORDER BY 1""", """
+        SELECT l_returnflag,
+               SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS fs,
+               SUM(l_quantity) AS s,
+               CAST(COUNT(*) FILTER (WHERE l_tax = 0.0) AS BIGINT)
+                 AS zc
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
 }
 
 
