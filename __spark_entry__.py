@@ -1864,6 +1864,36 @@ def q_lookup_join(spark, sf):
         "aggregations": [{"type": "count", "name": "nations"}]})
 
 
+def q_lookup_schema_table(spark, sf):
+    """Lookup schema (sql/.../calcite/schema/LookupSchema.java, round
+    7): every registered lookup is queryable as the two-column (k, v)
+    table `lookup.<name>`, joinable like the CalciteJoinQueryTest
+    testFilterAndGroupByLookupUsingJoinOperator goldens."""
+    eng = _engine(spark, sf)
+    eng.catalog.register_lookup("region_lk", {
+        "0": "AFRICA", "1": "AMERICA", "2": "ASIA", "3": "EUROPE",
+        "4": "MIDDLE EAST"})
+    return eng.sql("""
+        SELECT l.v AS region_name, CAST(COUNT(*) AS BIGINT) AS nations
+        FROM nation n INNER JOIN lookup.region_lk l
+          ON CAST(n.n_regionkey AS VARCHAR) = l.k
+        GROUP BY l.v ORDER BY l.v""")
+
+
+def q_sql_pinned_now(spark, sf):
+    """SET sqlCurrentTimestamp (PlannerContext, round 7): pins
+    CURRENT_TIMESTAMP / CURRENT_DATE per statement — the reproducible
+    replay mode every quidem golden runs under
+    (SqlQuidemTest/interval_arithmetic.iq)."""
+    return _engine(spark, sf).sql("""
+        SET sqlCurrentTimestamp = '2024-01-15T00:00:00Z';
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CURRENT_DATE AS VARCHAR) AS today
+        FROM events
+        WHERE __time >= CURRENT_TIMESTAMP - INTERVAL '2' DAY
+          AND __time < CURRENT_TIMESTAMP""")
+
+
 def q_gb_order_alphanumeric(spark, sf):
     """alphanumeric string comparator (StringComparators.java:34-39) in a
     limitSpec: '9' sorts before '10' and '100'."""
@@ -10232,6 +10262,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_fixed_histogram": q_gb_fixed_histogram,
         "gb_variance": q_gb_variance,
         "lookup_join": q_lookup_join,
+        "lookup_schema_table": q_lookup_schema_table,
+        "sql_pinned_now": q_sql_pinned_now,
         "gb_order_alphanumeric": q_gb_order_alphanumeric,
         "scan_offset": q_scan_offset,
         "sql_druid_functions": q_sql_druid_functions,
@@ -11110,6 +11142,18 @@ def _base_oracle_sql() -> dict[str, str]:
                      WHEN 4 THEN 'MIDDLE EAST' END AS region_name,
                    count(*) AS nations
             FROM nation GROUP BY 1""",
+        "lookup_schema_table": """
+            SELECT r.r_name AS region_name,
+                   CAST(COUNT(*) AS BIGINT) AS nations
+            FROM nation n JOIN region r
+              ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1 ORDER BY 1""",
+        "sql_pinned_now": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   '2024-01-15' AS today
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+              AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
         "gb_order_alphanumeric": """
             SELECT concat('s', CAST(p_size AS VARCHAR)) AS sz, count(*) AS n
             FROM part GROUP BY 1

@@ -45,6 +45,12 @@ _INFO_DOT_RE = _re.compile(
     r"\bINFORMATION_SCHEMA\.(TABLES|COLUMNS|SCHEMATA|ROUTINES)\b",
     _re.IGNORECASE)
 _IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+# Druid's lookup schema (sql/.../calcite/schema/LookupSchema.java):
+# every registered lookup is queryable as the two-column (k, v) table
+# `lookup.<name>`
+_LOOKUP_DOT_RE = _re.compile(r"\blookup\.([A-Za-z_]\w*)", _re.IGNORECASE)
+_CURRENT_TS_RE = _re.compile(r"\bCURRENT_TIMESTAMP\b", _re.IGNORECASE)
+_CURRENT_DATE_RE = _re.compile(r"\bCURRENT_DATE\b", _re.IGNORECASE)
 _SQL_VIEWS_STAMP: "_weakref.WeakKeyDictionary[SparkSession, tuple[int, int]]" \
     = _weakref.WeakKeyDictionary()
 _SQL_LOOKUPS_STAMP: \
@@ -481,6 +487,30 @@ class DruidSparkEngine:
                  lambda g: "sys_" + g.group(1).lower()),
                 (_INFO_DOT_RE,
                  lambda g: "information_schema_" + g.group(1).lower())])
+        # SET sqlCurrentTimestamp = '...' (PlannerContext.java — the
+        # reference pins CURRENT_TIMESTAMP/CURRENT_DATE per statement
+        # so dashboard queries replay reproducibly; every quidem golden
+        # runs under a pinned value)
+        if set_ctx.get("sqlCurrentTimestamp"):
+            from druid_spark.granularity import parse_iso_ts
+            now = parse_iso_ts(set_ctx["sqlCurrentTimestamp"])
+            text = _sub_outside_strings(text, [
+                (_CURRENT_TS_RE,
+                 lambda g: f"TIMESTAMP '{now:%Y-%m-%d %H:%M:%S}'"),
+                (_CURRENT_DATE_RE,
+                 lambda g: f"DATE '{now:%Y-%m-%d}'")])
+        # lookup.<name> schema tables (LookupSchema.java): register the
+        # (k, v) view for each referenced lookup, then flatten the
+        # dotted name. Lookup content changes bump catalog.version, so
+        # prepared plans over old views can't serve.
+        if _LOOKUP_DOT_RE.search(text):
+            known = self.catalog.lookups
+            for name in set(_LOOKUP_DOT_RE.findall(text)):
+                if name in known:
+                    self.catalog.lookup_df(name).createOrReplaceTempView(
+                        f"__lookup_tbl_{name}")
+            text = _sub_outside_strings(text, [
+                (_LOOKUP_DOT_RE, lambda g: "__lookup_tbl_" + g.group(1))])
         m = _EXPLAIN_RE.match(text)
         if m:
             return self._explain(m.group("q"))

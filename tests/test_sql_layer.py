@@ -639,3 +639,51 @@ def test_hof_over_udf_of_aggregates(engine):
     assert row["appended"] == ["F", "O", "z"]
     assert row["prepended"] == ["F", "O", "a"]
     assert row["sliced"] == ["A", "N"]
+
+
+def test_lookup_schema_table(spark):
+    """Round 7: the reference's lookup schema (sql/.../calcite/schema/
+    LookupSchema.java) — every registered lookup is queryable as the
+    two-column (k, v) table `lookup.<name>`, joinable like the
+    CalciteJoinQueryTest lookyloo goldens."""
+    from druid_spark import DruidSparkEngine
+    e = DruidSparkEngine(spark, data_dir="/root/testdata/sf0.001",
+                         exact_approx=True)
+    e.catalog.register_lookup("lookyloo", {"0": "xa", "1": "xabc"})
+    rows = e.sql("SELECT k, v FROM lookup.lookyloo ORDER BY k").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("0", "xa"),
+                                                ("1", "xabc")]
+    # join shape from testFilterAndGroupByLookupUsingJoinOperator
+    got = e.sql("""
+        SELECT l.v AS rv, COUNT(*) AS n
+        FROM nation n INNER JOIN lookup.lookyloo l
+          ON CAST(n.n_regionkey AS VARCHAR) = l.k
+        GROUP BY l.v ORDER BY l.v""").collect()
+    assert [(r["rv"], r["n"]) for r in got] == [("xa", 5), ("xabc", 5)]
+    # a string literal containing 'lookup.' survives the rewrite
+    lit = e.sql("SELECT 'lookup.lookyloo' AS s").collect()[0]["s"]
+    assert lit == "lookup.lookyloo"
+
+
+def test_sql_current_timestamp_pinned(spark):
+    """Round 7: SET sqlCurrentTimestamp pins CURRENT_TIMESTAMP /
+    CURRENT_DATE for the statement (PlannerContext — every quidem
+    golden replays under a pinned value)."""
+    from druid_spark import DruidSparkEngine
+    e = DruidSparkEngine(spark, data_dir="/root/testdata/sf0.001",
+                         exact_approx=True)
+    row = e.sql("""
+        SET sqlCurrentTimestamp = '2024-01-15T00:00:00Z';
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CURRENT_DATE AS today
+        FROM events
+        WHERE __time >= CURRENT_TIMESTAMP - INTERVAL '2' DAY
+          AND __time < CURRENT_TIMESTAMP""").collect()[0]
+    assert str(row["today"]) == "2024-01-15"
+    import datetime as dt
+    exact = e.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+        WHERE __time >= TIMESTAMP '2024-01-13 00:00:00'
+          AND __time < TIMESTAMP '2024-01-15 00:00:00'""") \
+        .collect()[0]["n"]
+    assert row["n"] == exact and exact > 0
