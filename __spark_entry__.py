@@ -10123,6 +10123,14 @@ _SAMPLE_FIRST = [
     "streaming_rollup", "sessionize",
     # round 6: protobuf format, tiered lookups, security CRUD + audit
     "protobuf_ingest", "lookup_tiered", "security_audit",
+    # round 7: lookup schema tables, pinned CURRENT_TIMESTAMP, epoch-
+    # millis timestamp-long semantics, Joda interval forms, frame
+    # shorthands, agg-surface remainder, triple unnest
+    "lookup_schema_table", "sql_pinned_now",
+    "sqlc_cast_time_bigint_millis", "sqlc_stragg_ts_column_millis",
+    "sqlc_time_in_interval_subquery", "sqlc_win_frame_shorthand_rows",
+    "sqlc_stragg_distinct_maxbytes", "sqlc_unnest_thrice_filters",
+    "sqlc_semi_anti_explicit_joins", "mm_features",
     # virtual columns / nested JSON / filters
     "vc_nested_field", "json_groupby", "spatial_filter", "bloom_filter",
     # datapipe
@@ -10142,6 +10150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in _SAMPLE_FIRST:
         if name in base:
             out[name] = base[name]
+        elif name in _SQL_CASES:  # curated sqlc picks sample early too
+            out[name] = _sql_case(name)
     out.update(base)
     out.update({name: _sql_case(name) for name in _SQL_CASES})
     return out
