@@ -357,6 +357,16 @@ def main():
           ["BroadcastHashJoin"],
           ["SortMergeJoin", "CartesianProduct"])
 
+    # 23. TIME_IN_INTERVAL('literal') inlines to timestamp bounds that
+    # PUSH DOWN to the parquet scan (round 7 — the 2-arg UDF form
+    # could never push, so every time-bounded SQL dashboard query was
+    # a full scan before the inline)
+    df = engine.sql("SELECT COUNT(*) AS n FROM events "
+                    "WHERE TIME_IN_INTERVAL(__time, '2024-01-02/P1D')")
+    check("time_in_interval_pushdown", df,
+          ["GreaterThanOrEqual(ts,2024-01-02", "LessThan(ts,2024-01-03"],
+          ["CartesianProduct"])
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
