@@ -1289,6 +1289,24 @@ def q_temperature_rates(spark, sf):
     return temperature_rates(docs, "lang", alpha=0.3).orderBy("lang")
 
 
+def q_shard_pack(spark, sf):
+    """Token-budgeted shard packing (round 7): contiguous shards of
+    ~2000 tokens in doc_id order via a DISTRIBUTED prefix sum —
+    range-repartition + per-partition cumsum + broadcast offsets, never
+    a single-partition global window (datapipe/pack.py; plan gate
+    shard_pack_distributed pins the absence of Exchange
+    SinglePartition). Exact oracle: window cumsum over the same
+    token counts."""
+    from druid_spark.datapipe import textstats
+    from druid_spark.datapipe.pack import pack_shards
+    docs = _engine(spark, sf).catalog.table("documents")
+    d = docs.select("doc_id",
+                    textstats.token_count(F.col("text")).alias("ntok"))
+    out = pack_shards(d, "ntok", budget=2000, order_col="doc_id")
+    return out.select("doc_id", F.col("ntok").cast("long").alias("ntok"),
+                      "shard_id").orderBy("doc_id")
+
+
 def q_split_assign(spark, sf):
     """Leakage-safe train/val/test assignment: split chosen by hashing
     the doc's dedup-cluster id (connected components over exact-dup
@@ -10245,6 +10263,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "temperature_rates": q_temperature_rates,
         "split_assign": q_split_assign,
+        "shard_pack": q_shard_pack,
         "contamination": q_contamination,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -11152,6 +11171,17 @@ def _base_oracle_sql() -> dict[str, str]:
                      WHEN 4 THEN 'MIDDLE EAST' END AS region_name,
                    count(*) AS nations
             FROM nation GROUP BY 1""",
+        "shard_pack": r"""
+            SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+                   CAST(FLOOR((SUM(ntok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - ntok) / 2000.0) AS BIGINT) AS shard_id
+            FROM (SELECT doc_id,
+                         CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE length(regexp_split_to_array(
+                                     trim(text), '\s+')) END AS ntok
+                  FROM documents)
+            ORDER BY doc_id""",
         "lookup_schema_table": """
             SELECT r.r_name AS region_name,
                    CAST(COUNT(*) AS BIGINT) AS nations

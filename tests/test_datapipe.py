@@ -543,3 +543,37 @@ def test_png_through_spark_feature_and_resize_path(spark):
         pngs, dim=8, decode_stub=False).collect()
     assert all(len(r["feature"]) == 8 and r["feature"][4] == 64.0
                for r in feats)
+
+
+def test_pack_shards_exact_and_distributed(spark):
+    """Round 7: token-budgeted shard packing equals the sequential
+    exclusive-prefix-sum definition exactly, across partition
+    boundaries, via the distributed two-pass prefix sum (no global
+    single-partition window — plan gate shard_pack_distributed)."""
+    from druid_spark.datapipe.pack import pack_shards, shard_summary
+
+    toks = [7, 3, 10, 1, 1, 8, 2, 2, 9, 5, 4, 6, 10, 10, 1]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], ["doc_id", "ntok"])
+    budget = 10
+    got = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards(df, "ntok", budget,
+                                num_partitions=4).collect()}
+    acc, want = 0, {}
+    for i, t in enumerate(toks):
+        want[i] = acc // budget
+        acc += t
+    assert got == want
+    # shards are contiguous in doc order and totals hover at budget
+    summ = shard_summary(
+        pack_shards(df, "ntok", budget, num_partitions=4),
+        "ntok").collect()
+    assert [r["shard_id"] for r in summ] == sorted(
+        set(want.values()))
+    assert sum(r["n_tokens"] for r in summ) == sum(toks)
+    # zero-token docs pack into the current shard, never a new one
+    z = spark.createDataFrame(
+        [(0, 10), (1, 0), (2, 0), (3, 5)], ["doc_id", "ntok"])
+    zs = {r["doc_id"]: r["shard_id"]
+          for r in pack_shards(z, "ntok", 10).collect()}
+    assert zs == {0: 0, 1: 1, 2: 1, 3: 1}

@@ -367,6 +367,16 @@ def main():
           ["GreaterThanOrEqual(ts,2024-01-02", "LessThan(ts,2024-01-03"],
           ["CartesianProduct"])
 
+    # 24. shard packing runs the DISTRIBUTED prefix sum: the window is
+    # partitioned by the range-partition id, never the global
+    # single-partition window a naive SUM() OVER (ORDER BY ...) plans
+    from druid_spark.datapipe.pack import pack_shards
+    docs = engine.catalog.table("documents").selectExpr(
+        "doc_id", "n_chars AS ntok")
+    df = pack_shards(docs, "ntok", budget=100_000)
+    check("shard_pack_distributed", df, ["Window"],
+          ["Exchange SinglePartition", "CartesianProduct"])
+
     print(f"\n{'ALL PLAN CHECKS PASS' if not failures else failures}")
     return 1 if failures else 0
 
