@@ -1898,6 +1898,53 @@ def q_lookup_schema_table(spark, sf):
         GROUP BY l.v ORDER BY l.v""")
 
 
+_REGION_LK = {"0": "AFRICA", "1": "AMERICA", "2": "ASIA", "3": "EUROPE",
+              "4": "MIDDLE EAST"}
+
+
+def q_lookup_join_union_tables(spark, sf):
+    """CalciteJoinQueryTest testJoinUnionTablesOnLookup (round 7): a
+    UNION ALL of two datasources LEFT JOINed to a lookup schema table,
+    filtered on the lookup value."""
+    eng = _engine(spark, sf)
+    eng.catalog.register_lookup("region_lk", dict(_REGION_LK))
+    return eng.sql("""
+        SELECT l.v AS region_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT n_regionkey AS k FROM nation
+              UNION ALL SELECT r_regionkey FROM region) u
+        LEFT JOIN lookup.region_lk l ON CAST(u.k AS VARCHAR) = l.k
+        WHERE l.v <> 'AFRICA'
+        GROUP BY l.v ORDER BY l.v""")
+
+
+def q_lookup_join_backwards(spark, sf):
+    """CalciteJoinQueryTest testFilterAndGroupByLookupUsingJoinOperator-
+    Backwards (round 7): the lookup on the LEFT, RIGHT JOINed to the
+    datasource."""
+    eng = _engine(spark, sf)
+    eng.catalog.register_lookup("region_lk", dict(_REGION_LK))
+    return eng.sql("""
+        SELECT l.v AS region_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lookup.region_lk l RIGHT JOIN nation n
+          ON CAST(n.n_regionkey AS VARCHAR) = l.k
+        WHERE l.v <> 'ASIA'
+        GROUP BY l.v ORDER BY l.v""")
+
+
+def q_lookup_join_subquery_extract(spark, sf):
+    """CalciteJoinQueryTest testInnerJoinQueryOfLookupRemovable (round
+    7): join a SUBQUERY over the lookup table that extracts from the
+    value column."""
+    eng = _engine(spark, sf)
+    eng.catalog.register_lookup("region_lk", dict(_REGION_LK))
+    return eng.sql("""
+        SELECT n.n_name, t1.sk
+        FROM nation n INNER JOIN
+          (SELECT k, SUBSTRING(v, 1, 3) AS sk FROM lookup.region_lk) t1
+          ON CAST(n.n_regionkey AS VARCHAR) = t1.k
+        ORDER BY n.n_name""")
+
+
 def q_sql_pinned_now(spark, sf):
     """SET sqlCurrentTimestamp (PlannerContext, round 7): pins
     CURRENT_TIMESTAMP / CURRENT_DATE per statement — the reproducible
@@ -10292,6 +10339,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_variance": q_gb_variance,
         "lookup_join": q_lookup_join,
         "lookup_schema_table": q_lookup_schema_table,
+        "lookup_join_union_tables": q_lookup_join_union_tables,
+        "lookup_join_backwards": q_lookup_join_backwards,
+        "lookup_join_subquery_extract": q_lookup_join_subquery_extract,
         "sql_pinned_now": q_sql_pinned_now,
         "gb_order_alphanumeric": q_gb_order_alphanumeric,
         "scan_offset": q_scan_offset,
@@ -11194,6 +11244,24 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
               AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+        "lookup_join_union_tables": """
+            SELECT r.r_name AS region_name,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT n_regionkey AS k FROM nation
+                  UNION ALL SELECT r_regionkey FROM region) u
+            JOIN region r ON u.k = r.r_regionkey
+            WHERE r.r_name <> 'AFRICA'
+            GROUP BY 1 ORDER BY 1""",
+        "lookup_join_backwards": """
+            SELECT r.r_name AS region_name,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name <> 'ASIA'
+            GROUP BY 1 ORDER BY 1""",
+        "lookup_join_subquery_extract": """
+            SELECT n.n_name, substring(r.r_name, 1, 3) AS sk
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            ORDER BY n.n_name""",
         "gb_order_alphanumeric": """
             SELECT concat('s', CAST(p_size AS VARCHAR)) AS sz, count(*) AS n
             FROM part GROUP BY 1
