@@ -2275,6 +2275,23 @@ class _Handler(BaseHTTPRequestHandler):
                     df = df.limit(outer)
             except (TypeError, ValueError):
                 pass
+            # context.sqlStringifyArrays (PlannerContext.java:694 —
+            # DEFAULT TRUE): array-typed result columns serialize as
+            # JSON STRINGS over the HTTP API unless the context turns
+            # it off (SqlResults.java coerce). JVM-side to_json, so
+            # the stream stays columnar up to the iterator.
+            stringify = ctx.get("sqlStringifyArrays", True)
+            if isinstance(stringify, str):
+                stringify = stringify.lower() != "false"
+            if stringify:
+                from pyspark.sql import functions as _F
+                from pyspark.sql import types as _T
+                arr = {f.name for f in df.schema.fields
+                       if isinstance(f.dataType, _T.ArrayType)}
+                if arr:
+                    df = df.select(*[
+                        _F.to_json(_F.col(c)).alias(c) if c in arr
+                        else _F.col(c) for c in df.columns])
             cols = df.columns
             # EVERY resultFormat streams row-by-row from toLocalIterator
             # over chunked transfer — the reference pushes all writers

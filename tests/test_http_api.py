@@ -981,3 +981,20 @@ def test_coordinator_datasources_endpoints(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_sql_stringify_arrays(server):
+    """Round 7: context.sqlStringifyArrays (PlannerContext default
+    TRUE) — array-typed result columns arrive as JSON STRINGS over the
+    HTTP SQL API; setting it false returns real JSON arrays
+    (SqlResults.java coerce)."""
+    q = ("SELECT STRING_TO_ARRAY(o_orderpriority, '-') AS parts "
+         "FROM orders WHERE o_orderkey = 1")
+    code, rows, _ = _post(server, "/druid/v2/sql", {"query": q})
+    assert code == 200
+    v = rows[0]["parts"]
+    assert isinstance(v, str) and json.loads(v)[0].isdigit()
+    code, rows, _ = _post(server, "/druid/v2/sql", {
+        "query": q, "context": {"sqlStringifyArrays": False}})
+    assert code == 200
+    assert isinstance(rows[0]["parts"], list)
