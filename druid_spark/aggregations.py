@@ -286,19 +286,26 @@ class AggCompiler:
                  filter_compiler: FilterCompiler | None = None,
                  exact_approx: bool = False,
                  sketch_plan: "SketchPlan | None" = None,
-                 default_nominal_entries: int | None = None):
+                 default_nominal_entries: int | None = None,
+                 finalize: bool = True):
         """exact_approx=True rewrites approximate aggregators to exact
         forms (count distinct) so results are oracle-checkable
         (SURVEY §7.3.5). sketch_plan coordinates sketch aggregators with
         their finalizer post-aggs (see SketchPlan).
         default_nominal_entries bounds tuple-sketch map state when the
         aggregator omits nominalEntries (the engine's session default —
-        see DruidSparkEngine; None = exact unbounded fold)."""
+        see DruidSparkEngine; None = exact unbounded fold).
+        finalize=False (query context `finalize`, QueryContexts — the
+        broker sets it when fanning out so historicals return MERGEABLE
+        states) makes sketch aggregators emit their state (binary HLL
+        blob) instead of the finalized estimate; ignored in exact mode
+        (oracle sessions have no sketch state to return)."""
         self.res = resolver or F.col
         self.fc = filter_compiler or FilterCompiler(resolver=self.res)
         self.exact = exact_approx
         self.plan = sketch_plan
         self.default_nominal_entries = default_nominal_entries
+        self.finalize = finalize
 
     def compile(self, agg: dict[str, Any]) -> Column:
         """One aggregator spec → aliased aggregate Column."""
@@ -388,8 +395,10 @@ class AggCompiler:
             # reference default (~1.6% relative standard error).
             # Input is hashed as string so every column type is
             # accepted; distinct cardinality is unchanged.
-            return F.hll_sketch_estimate(
-                F.hll_sketch_agg(c.cast("string"), 12)).cast("long")
+            state = F.hll_sketch_agg(c.cast("string"), 12)
+            if not self.finalize:
+                return state  # mergeable binary blob (finalize=false)
+            return F.hll_sketch_estimate(state).cast("long")
         if t == "cardinality":
             # HLL over dimension tuples; byRow concatenates the dim values
             cols = [res(fn) if isinstance(fn, str)

@@ -72,7 +72,9 @@ def compile_query(engine, q: dict) -> DataFrame:
     plan = SketchPlan(q.get("aggregations"), q.get("postAggregations"))
     ac = AggCompiler(res, FilterCompiler(df, res, ctx.lookups),
                      engine.exact_approx, plan,
-                     engine.sketch_default_nominal_entries)
+                     engine.sketch_default_nominal_entries,
+                     finalize=q.get("context", {}).get("finalize",
+                                                      True))
     aggs = ac.compile_all(q.get("aggregations"))
 
     subtotals = q.get("subtotalsSpec")

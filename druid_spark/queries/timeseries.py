@@ -25,7 +25,9 @@ def compile_query(engine, q: dict) -> DataFrame:
     res = ctx.resolver()
     plan = SketchPlan(q.get("aggregations"), q.get("postAggregations"))
     ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx, plan,
-                     engine.sketch_default_nominal_entries)
+                     engine.sketch_default_nominal_entries,
+                     finalize=q.get("context", {}).get("finalize",
+                                                      True))
     aggs = ac.compile_all(q.get("aggregations"))
     gran = q.get("granularity", "all")
     grain_all = gran in (None, "all") or (

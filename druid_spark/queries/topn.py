@@ -30,7 +30,9 @@ def compile_query(engine, q: dict) -> DataFrame:
     dim_name, dim_col = dimension(q["dimension"], res, ctx.df)
     plan = SketchPlan(q.get("aggregations"), q.get("postAggregations"))
     ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx, plan,
-                     engine.sketch_default_nominal_entries)
+                     engine.sketch_default_nominal_entries,
+                     finalize=q.get("context", {}).get("finalize",
+                                                      True))
     aggs = ac.compile_all(q.get("aggregations"))
     threshold = int(q["threshold"])
 

@@ -548,3 +548,27 @@ def test_tuple_sketch_session_default_cap(spark):
     li = exact_eng.catalog.table("lineitem")
     true_distinct = li.select("l_orderkey").distinct().count()
     assert exact_eng.query(q).collect()[0]["inter"] == float(true_distinct)
+
+
+def test_finalize_false_returns_mergeable_state(spark):
+    """Round 7: query context `finalize: false` (QueryContexts — the
+    broker sets it on fan-out so nodes return MERGEABLE states) makes
+    sketch aggregators emit their binary HLL state instead of the
+    estimate; estimating the returned blob reproduces the finalized
+    answer."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    eng = DruidSparkEngine(spark, data_dir=SF_DIR)  # non-exact session
+    q = {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "aggregations": [{"type": "hyperUnique", "name": "u",
+                           "fieldName": "user_id"}]}
+    fin = eng.query(q).collect()[0]["u"]
+    raw = eng.query({**q, "context": {"finalize": False}})
+    [f] = [fld for fld in raw.schema.fields if fld.name == "u"]
+    assert f.dataType.typeName() == "binary"        # mergeable blob
+    est = raw.select(
+        F.hll_sketch_estimate(F.col("u")).alias("e")).collect()[0]["e"]
+    assert est == fin
