@@ -98,6 +98,10 @@ class Catalog:
         # per-interval result cache (path-backed tables fingerprint
         # their files instead)
         self._reg_serial: dict[str, int] = {}
+        # dropped-but-restorable datasources: name -> (path,
+        # time_column, partitioning) — the metadata-store "unused
+        # segments" analog behind restore_table()
+        self._dropped: dict[str, tuple] = {}
 
     def set_partitioning(self, name: str, column: str, fmt: str) -> None:
         self._partitioning[name] = (column, fmt)
@@ -220,6 +224,15 @@ class Catalog:
         reclaiming space is the kill task's job). Returns False if the
         name was unknown."""
         known = name in self._tables or name in self._pending
+        # Remember enough to re-enable the datasource later (the
+        # reference keeps unused segments in the metadata store;
+        # markAsUsed* brings them back — DataSourcesResource.java:206).
+        # Only path-backed tables can be restored (a DataFrame
+        # registration has no durable source).
+        if known and name in self._paths:
+            tc = (self._pending.get(name) or (None, None))[1]
+            self._dropped[name] = (self._paths[name], tc,
+                                   self._partitioning.get(name))
         self._tables.pop(name, None)
         self._pending.pop(name, None)
         self._paths.pop(name, None)
@@ -239,6 +252,22 @@ class Catalog:
                 except Exception:
                     pass
         return known
+
+    def restore_table(self, name: str) -> bool:
+        """Re-enable a dropped path-backed datasource —
+        markAsUsedAllNonOvershadowedSegments analog
+        (DataSourcesResource.java:206): re-registers from the
+        remembered source path. False when nothing restorable."""
+        info = self._dropped.pop(name, None)
+        if info is None or name in self._tables or name in self._pending:
+            return False
+        path, time_column, part = info
+        if not os.path.exists(path):
+            return False  # killed on disk in the meantime
+        self.register_table(name, path, time_column=time_column)
+        if part:
+            self._partitioning[name] = part
+        return True
 
     def segments(self) -> list[tuple]:
         """(datasource, segment path, size bytes, num rows) per parquet

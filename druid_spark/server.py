@@ -1912,6 +1912,24 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/druid/coordinator/v1/retention/run":
             dropped = self.server.retention.run_once()  # type: ignore
             self._send_json(200, {"dropped": dropped})
+        elif (m := re.match(
+                r"^/druid/coordinator/v1/datasources/([^/]+)$", path)):
+            # DataSourcesResource.markAsUsedAllNonOvershadowedSegments
+            # (DataSourcesResource.java:206): re-enable a datasource a
+            # prior DELETE marked unused; response mirrors the
+            # reference's SegmentUpdateResponse
+            if self.engine.catalog.restore_table(m.group(1)):
+                segs = sum(1 for d, *_ in self.engine.catalog.segments()
+                           if d == m.group(1))
+                self.server.audit.record(  # type: ignore[attr-defined]
+                    key=m.group(1), type_="segments.markUsed",
+                    payload=None, author=ident,
+                    ip=self.client_address[0])
+                self._send_json(200, {"numChangedSegments": segs})
+            else:
+                self._send_json(404, {"error": "Not found",
+                                      "errorMessage": m.group(1),
+                                      "errorClass": None, "host": None})
         elif path == "/druid/indexer/v1/worker":
             # OverlordResource.setWorkerConfig
             self.server.overlord.worker_config = body  # type: ignore
@@ -2054,6 +2072,9 @@ class _Handler(BaseHTTPRequestHandler):
                 path == "/druid/coordinator/v1/retention/run" or \
                 path.startswith("/druid-ext/basic-security/"):
             return [(STATE, "STATE", WRITE)]
+        if (m := re.match(
+                r"^/druid/coordinator/v1/datasources/([^/]+)$", path)):
+            return [(DATASOURCE, m.group(1), WRITE)]  # markAsUsed
         return []
 
     def _native(self, q: dict) -> None:

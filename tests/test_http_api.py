@@ -998,3 +998,33 @@ def test_sql_stringify_arrays(server):
         "query": q, "context": {"sqlStringifyArrays": False}})
     assert code == 200
     assert isinstance(rows[0]["parts"], list)
+
+
+def test_datasource_disable_enable_cycle(server):
+    """Round 7: DELETE marks a datasource unused (stops resolving),
+    POST /druid/coordinator/v1/datasources/{ds} marks it used again
+    (DataSourcesResource.java:206 markAsUsedAllNonOvershadowedSegments
+    analog) — the console's disable/enable flow."""
+    code, body = _get(server, "/druid/v2/datasources")
+    assert "region" in body
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}"
+        "/druid/coordinator/v1/datasources/region", method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+    code, body = _get(server, "/druid/v2/datasources")
+    assert "region" not in body
+    # re-enable
+    code, body, _ = _post(
+        server, "/druid/coordinator/v1/datasources/region", {})
+    assert code == 200 and body["numChangedSegments"] >= 1
+    code, body = _get(server, "/druid/v2/datasources")
+    assert "region" in body
+    status, rows, _ = _post(server, "/druid/v2/sql", {
+        "query": "SELECT COUNT(*) AS n FROM region"})
+    assert status == 200 and rows[0]["n"] == 5
+    # enabling twice → 404 (nothing unused to restore)
+    code, body, _ = _post(
+        server, "/druid/coordinator/v1/datasources/region", {},
+        expect_error=True)
+    assert code == 404
