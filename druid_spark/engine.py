@@ -35,6 +35,7 @@ _EXPLAIN_RE = _re.compile(
 # address skip registration and resolve stale views); the serial is a
 # process-wide monotonic counter, never reused.
 import itertools as _it
+import threading as _threading
 import weakref as _weakref
 from collections import OrderedDict
 _ENGINE_SERIAL = _it.count(1)
@@ -185,6 +186,7 @@ class DruidSparkEngine:
         # and broker caches. Appends change the fingerprint, so stale
         # plans (whose analysis snapshot the old file listing) miss.
         self._plan_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
+        self._plan_cache_lock = _threading.Lock()
         self.plan_cache_size = 64
         self.plan_cache_hits = 0
         self.plan_cache_misses = 0  # recompute counter (tests)
@@ -239,16 +241,18 @@ class DruidSparkEngine:
             key = key_fn()
         except Exception:
             return compile_fn()  # unfingerprintable → compile fresh
-        hit = self._plan_cache.get(key)
-        if hit is not None:
-            self._plan_cache.move_to_end(key)
-            self.plan_cache_hits += 1
-            return hit
-        self.plan_cache_misses += 1
-        out = compile_fn()
-        self._plan_cache[key] = out
-        if len(self._plan_cache) > self.plan_cache_size:
-            self._plan_cache.popitem(last=False)
+        with self._plan_cache_lock:  # threaded server shares the cache
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                self._plan_cache.move_to_end(key)
+                self.plan_cache_hits += 1
+                return hit
+            self.plan_cache_misses += 1
+        out = compile_fn()  # analyze OUTSIDE the lock (can take ~65 ms)
+        with self._plan_cache_lock:
+            self._plan_cache[key] = out
+            if len(self._plan_cache) > self.plan_cache_size:
+                self._plan_cache.popitem(last=False)
         return out
 
     def _cache_put(self, key: str, df: DataFrame) -> DataFrame:
