@@ -1028,3 +1028,17 @@ def test_datasource_disable_enable_cycle(server):
         server, "/druid/coordinator/v1/datasources/region", {},
         expect_error=True)
     assert code == 404
+
+
+def test_concurrent_sql_shares_plan_cache(server):
+    """Round 7: parallel identical statements from the threaded server
+    hit the shared prepared-plan cache safely (lock smoke) and all
+    return correct results."""
+    import concurrent.futures as cf
+    q = {"query": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation"}
+    with cf.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(
+            lambda _: _post(server, "/druid/v2/sql", q), range(24)))
+    assert all(code == 200 and rows[0]["n"] == 25
+               for code, rows, _ in results)
+    assert server.engine.plan_cache_hits >= 1
