@@ -10136,6 +10136,40 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                    WHERE n_regionkey < 2) n
           ON r.r_regionkey = n.n_regionkey
         GROUP BY 1, 2 ORDER BY 1, 2"""),
+    # ----------------------------------------------------------------
+    # Conformance batch 66 (round 7): web-console dashboard SQL,
+    # VERBATIM shape (quidem-ut kttm_Stackarea.iq / kttm_Heatmap.iq —
+    # double-quoted identifiers, explicit CASTs on every reference,
+    # 4-arg TIME_FLOOR with NULL origin + 'Etc/UTC', FLOOR(x/10)*10
+    # heat buckets, GROUP BY ordinals). FLOOR on numerics returns LONG
+    # here (Spark) vs DOUBLE in Druid — documented deviation, oracle
+    # casts to match.
+    # ----------------------------------------------------------------
+    "sqlc_console_stackarea_verbatim": ('''
+        SELECT
+        TIME_FLOOR(CAST(t."__time" AS TIMESTAMP), 'PT1H', NULL,
+                   'Etc/UTC') AS "__time",
+        FLOOR(CAST(t."value" AS DOUBLE) / 10) * 10 AS "bucket",
+        (COUNT(*)) AS "count"
+        FROM "events" AS t
+        WHERE ((TIMESTAMP '2024-01-02 00:00:00'<=
+                  CAST(t."__time" AS TIMESTAMP)
+                AND CAST(t."__time" AS TIMESTAMP)
+                  <TIMESTAMP '2024-01-02 11:00:00'))
+        GROUP BY 1,2 ORDER BY 1,2''', '''
+        SELECT date_trunc('hour', ts) AS __time,
+               CAST(FLOOR(value / 10) * 10 AS BIGINT) AS bucket,
+               COUNT(*) AS count
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+          AND ts < TIMESTAMP '2024-01-02 11:00:00'
+        GROUP BY 1,2 ORDER BY 1,2'''),
+    "sqlc_console_overall_value": ('''
+        SELECT
+        MAX(CAST(t."__time" AS TIMESTAMP)) AS "__VALUE__"
+        FROM "events" AS t
+        GROUP BY ()''', '''
+        SELECT MAX(ts) AS __VALUE__ FROM events'''),
     # filtered_sum.iq family — FILTER clause on SUM beside plain aggs
     "sqlc_filtered_sum_beside_plain": ("""
         SELECT l_returnflag,
