@@ -3487,7 +3487,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
           STRLEN(c_name) AS ln
         FROM customer ORDER BY c_custkey LIMIT 20""", """
         SELECT c_custkey,
-          COALESCE(array_to_string(
+          NULLIF(array_to_string(
             list_filter(list_append([c_mktsegment], c_name),
                         x -> starts_with(x, 'B')), ','), '') AS b_vals,
           CAST(NULLIF(list_position(['AUTOMOBILE', 'BUILDING', 'FURNITURE'],
@@ -4666,15 +4666,17 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  DISTINCT CAST(n_regionkey AS VARCHAR))), ',') AS rs
         FROM nation"""),
     "sqlc_mv_filter_prefix_group": ("""
+
         SELECT MV_TO_STRING(MV_FILTER_PREFIX(
                  STRING_TO_MV(event_type, '_'), 'p'), ',') AS pv,
                count(*) AS n
-        FROM events GROUP BY 1 ORDER BY 1""", """
-        SELECT coalesce(array_to_string(
+        FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""", """
+
+        SELECT nullif(array_to_string(
                  list_filter(string_split(event_type, '_'),
                              x -> starts_with(x, 'p')), ','), '') AS pv,
                count(*) AS n
-        FROM events GROUP BY 1 ORDER BY 1"""),
+        FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST"""),
     "sqlc_json_returning_real_sum": ("""
         SELECT round(sum(JSON_VALUE(CONCAT('{"v": ',
                  CAST(o_totalprice AS VARCHAR), '}'),
@@ -5261,12 +5263,13 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT MV_LENGTH(MV_FILTER_ONLY(STRING_TO_MV(LOWER(text), ' '),
                  ARRAY['the', 'a', 'of', 'and'])) AS n_stop,
                count(*) AS n
-        FROM documents GROUP BY 1 ORDER BY 1""", """
-        SELECT len(list_filter(string_split(lower(text), ' '),
-                 x -> list_contains(['the', 'a', 'of', 'and'], x)))
-                 AS n_stop,
+        FROM documents GROUP BY 1 ORDER BY 1 NULLS FIRST""", """
+        SELECT CASE WHEN x = 0 THEN NULL ELSE x END AS n_stop,
                count(*) AS n
-        FROM documents GROUP BY 1 ORDER BY 1"""),
+        FROM (SELECT len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['the', 'a', 'of', 'and'], x)))
+                 AS x FROM documents)
+        GROUP BY 1 ORDER BY 1 NULLS FIRST"""),
     # testMvContainsOnMvConcat
     "sqlc_mv_contains_concat": ("""
         SELECT count(*) AS n FROM supplier
@@ -10164,6 +10167,53 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
           AND ts < TIMESTAMP '2024-01-02 11:00:00'
         GROUP BY 1,2 ORDER BY 1,2'''),
+    # ----------------------------------------------------------------
+    # Conformance batch 67 (round 7): MV empty-survivor NULL semantics
+    # (CalciteMultiValueStringQueryTest.java:1155,1314,1368 — an empty
+    # MV_FILTER result is a NULL MVD: it groups as null, MV_LENGTH of
+    # it is null, and it never matches in a join condition).
+    # ----------------------------------------------------------------
+    "sqlc_mv_filter_empty_is_null_group": ("""
+        SELECT MV_FILTER_ONLY(STRING_TO_MV(event_type, '_'),
+                              ARRAY['view']) AS only_page,
+               MV_LENGTH(MV_FILTER_ONLY(STRING_TO_MV(event_type, '_'),
+                                        ARRAY['view'])) AS len_page,
+               COALESCE(ARRAY_TO_STRING(MV_FILTER_ONLY(
+                 STRING_TO_MV(event_type, '_'), ARRAY['view']), ','),
+                 'no view') AS coalesced,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+        ORDER BY 2 NULLS FIRST, 4""", """
+        SELECT CASE WHEN hit THEN ['view'] END AS only_page,
+               CASE WHEN hit THEN 1 END AS len_page,
+               CASE WHEN hit THEN 'view' ELSE 'no view' END
+                 AS coalesced,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT list_contains(string_split(event_type, '_'),
+                                   'view') AS hit FROM events)
+        GROUP BY 1, 2, 3 ORDER BY 2 NULLS FIRST, 4"""),
+    # testVirtualColumnOnMVFilterJoinExpression.iq — empty filter
+    # results are NULL, so only rows with a survivor join
+    "sqlc_mv_filter_join_condition": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, MV_FILTER_ONLY(
+                STRING_TO_MV(event_type, '_'), ARRAY['view']) AS f
+              FROM (SELECT doc_id, event_type FROM documents
+                    JOIN events ON doc_id = user_id
+                    WHERE doc_id < 40) b) d1
+        INNER JOIN (SELECT user_id, MV_FILTER_ONLY(
+                STRING_TO_MV(event_type, '_'), ARRAY['view']) AS f
+              FROM events WHERE user_id < 40) d2
+          ON d1.f = d2.f AND d1.doc_id = d2.user_id""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, list_contains(
+                string_split(event_type, '_'), 'view') AS hit
+              FROM documents JOIN events ON doc_id = user_id
+              WHERE doc_id < 40) d1
+        INNER JOIN (SELECT user_id, list_contains(
+                string_split(event_type, '_'), 'view') AS hit
+              FROM events WHERE user_id < 40) d2
+          ON d1.hit AND d2.hit AND d1.doc_id = d2.user_id"""),
     "sqlc_console_overall_value": ('''
         SELECT
         MAX(CAST(t."__time" AS TIMESTAMP)) AS "__VALUE__"

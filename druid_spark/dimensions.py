@@ -184,7 +184,11 @@ def dimension(spec: str | dict[str, Any],
             pfx = spec["prefix"]
             pred = lambda x: x.startswith(pfx)  # noqa: E731
         if _is_array(df, spec.get("dimension")):
-            return name, F.filter(col, pred)
+            # an empty survivor set is a NULL dimension value in the
+            # reference (ListFilteredVirtualColumn —
+            # CalciteMultiValueStringQueryTest pins {null, ...} groups)
+            out = F.filter(col, pred)
+            return name, F.when(F.size(out) > 0, out)
         return name, F.when(pred(col), col)
     raise NotImplementedError(f"dimension spec {t}")
 

@@ -160,7 +160,10 @@ _FUNCS: list[tuple[str, str, str, str]] = [
            ELSE format_string('%.2f T', n / 1e12) END"""),
     # arrays / MVDs (Druid names; Spark-colliding identical ones omitted)
     ("ARRAY_LENGTH", "arr ARRAY<STRING>", "INT", "size(arr)"),
-    ("MV_LENGTH", "arr ARRAY<STRING>", "INT", "size(arr)"),
+    ("MV_LENGTH", "arr ARRAY<STRING>", "INT",
+     # null MVD -> null (Druid array_length; Spark's legacy size(null)
+     # is -1, which is neither engine's SQL contract)
+     "CASE WHEN arr IS NULL THEN NULL ELSE size(arr) END"),
     ("ARRAY_OFFSET", "arr ARRAY<STRING>, i INT", "STRING", "get(arr, i)"),
     ("MV_OFFSET", "arr ARRAY<STRING>, i INT", "STRING", "get(arr, i)"),
     ("ARRAY_ORDINAL", "arr ARRAY<STRING>, i INT", "STRING",
@@ -209,14 +212,22 @@ _FUNCS: list[tuple[str, str, str, str]] = [
      "CASE WHEN array_position(arr, v) > 0 THEN cast(array_position(arr, v) AS INT) END"),
     # MV filter family (MultiValueStringOperatorConversions.java):
     # keep-only / drop / prefix / regex element filters
+    # empty survivor set = NULL MVD (ListFilteredVirtualColumn;
+    # CalciteMultiValueStringQueryTest {null,4} groups — round 7)
     ("MV_FILTER_ONLY", "arr ARRAY<STRING>, allow ARRAY<STRING>",
-     "ARRAY<STRING>", "filter(arr, x -> array_contains(allow, x))"),
+     "ARRAY<STRING>",
+     "nullif(filter(arr, x -> array_contains(allow, x)), "
+     "CAST(array() AS ARRAY<STRING>))"),
     ("MV_FILTER_NONE", "arr ARRAY<STRING>, deny ARRAY<STRING>",
-     "ARRAY<STRING>", "filter(arr, x -> NOT array_contains(deny, x))"),
+     "ARRAY<STRING>",
+     "nullif(filter(arr, x -> NOT array_contains(deny, x)), "
+     "CAST(array() AS ARRAY<STRING>))"),
     ("MV_FILTER_PREFIX", "arr ARRAY<STRING>, p STRING", "ARRAY<STRING>",
-     "filter(arr, x -> startswith(x, p))"),
+     "nullif(filter(arr, x -> startswith(x, p)), "
+     "CAST(array() AS ARRAY<STRING>))"),
     ("MV_FILTER_REGEX", "arr ARRAY<STRING>, r STRING", "ARRAY<STRING>",
-     "filter(arr, x -> x RLIKE r)"),
+     "nullif(filter(arr, x -> x RLIKE r), "
+     "CAST(array() AS ARRAY<STRING>))"),
     ("SCALAR_IN_ARRAY", "v STRING, arr ARRAY<STRING>", "BOOLEAN",
      "array_contains(arr, v)"),
     # linear interpolation at rank q*(n-1), matching the reference

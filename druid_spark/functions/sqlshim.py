@@ -1309,17 +1309,25 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         ("STRING_TO_MV",
          lambda a: rf"SPLIT({a[0]}, CONCAT('\\Q', {a[1]}, '\\E'))"
          if len(a) == 2 else None),
+        # MV_FILTER_*: an empty survivor set is a NULL MVD in the
+        # reference (ListFilteredVirtualColumn — CalciteMultiValueString-
+        # QueryTest pins {null, 4} groups and MV_LENGTH(null)=null, round
+        # 7), hence the NULLIF-empty wrap; still pure builtins
         ("MV_FILTER_ONLY",
-         lambda a: f"FILTER({a[0]}, x -> ARRAY_CONTAINS({a[1]}, x))"
+         lambda a: "NULLIF(FILTER(" + a[0] + ", x -> ARRAY_CONTAINS("
+         + a[1] + ", x)), CAST(ARRAY() AS ARRAY<STRING>))"
          if len(a) == 2 else None),
         ("MV_FILTER_NONE",
-         lambda a: f"FILTER({a[0]}, x -> NOT ARRAY_CONTAINS({a[1]}, x))"
+         lambda a: "NULLIF(FILTER(" + a[0] + ", x -> NOT ARRAY_CONTAINS("
+         + a[1] + ", x)), CAST(ARRAY() AS ARRAY<STRING>))"
          if len(a) == 2 else None),
         ("MV_FILTER_PREFIX",
-         lambda a: f"FILTER({a[0]}, x -> STARTSWITH(x, {a[1]}))"
+         lambda a: "NULLIF(FILTER(" + a[0] + ", x -> STARTSWITH(x, "
+         + a[1] + ")), CAST(ARRAY() AS ARRAY<STRING>))"
          if len(a) == 2 else None),
         ("MV_FILTER_REGEX",
-         lambda a: f"FILTER({a[0]}, x -> x RLIKE {a[1]})"
+         lambda a: "NULLIF(FILTER(" + a[0] + ", x -> x RLIKE " + a[1]
+         + "), CAST(ARRAY() AS ARRAY<STRING>))"
          if len(a) == 2 else None),
     ):
         out = _rewrite_call(out, fname, builder)

@@ -486,10 +486,13 @@ def _gen_mv_inlined(r: random.Random):
         dq = ("SELECT MV_LENGTH(MV_FILTER_PREFIX(STRING_TO_MV(text, "
               f"' '), '{p}')) AS g, CAST(COUNT(*) AS BIGINT) AS n "
               f"FROM documents WHERE {pred} GROUP BY 1")
-        oq = ("SELECT CAST(len(list_filter(string_split(text, ' '), "
-              f"x -> starts_with(x, '{p}'))) AS BIGINT) AS g, "
-              "CAST(COUNT(*) AS BIGINT) AS n "
-              f"FROM documents WHERE {pred} GROUP BY 1")
+        # empty survivor set = NULL MVD (round 7 — reference
+        # ListFilteredVirtualColumn semantics), so 0 maps to NULL
+        oq = ("SELECT CASE WHEN g0 = 0 THEN NULL ELSE g0 END AS g, "
+              "CAST(COUNT(*) AS BIGINT) AS n FROM "
+              "(SELECT CAST(len(list_filter(string_split(text, ' '), "
+              f"x -> starts_with(x, '{p}'))) AS BIGINT) AS g0 "
+              f"FROM documents WHERE {pred}) GROUP BY 1")
         return dq, oq
     if k == 3:  # ARRAY_CONCAT over aggs wrapped in a HOF (the hazard)
         dq = ("SELECT lang, ARRAY_TO_STRING(array_sort(ARRAY_CONCAT("
@@ -509,10 +512,12 @@ def _gen_mv_inlined(r: random.Random):
     dq = ("SELECT MV_LENGTH(MV_FILTER_ONLY(STRING_TO_MV(text, ' '), "
           f"ARRAY[{words}])) AS g, CAST(COUNT(*) AS BIGINT) AS n "
           f"FROM documents WHERE {pred} GROUP BY 1")
-    oq = ("SELECT CAST(len(list_filter(string_split(text, ' '), "
-          f"x -> list_contains([{words}], x))) AS BIGINT) AS g, "
-          "CAST(COUNT(*) AS BIGINT) AS n "
-          f"FROM documents WHERE {pred} GROUP BY 1")
+    # empty survivor set = NULL MVD (round 7), 0 maps to NULL
+    oq = ("SELECT CASE WHEN g0 = 0 THEN NULL ELSE g0 END AS g, "
+          "CAST(COUNT(*) AS BIGINT) AS n FROM "
+          "(SELECT CAST(len(list_filter(string_split(text, ' '), "
+          f"x -> list_contains([{words}], x))) AS BIGINT) AS g0 "
+          f"FROM documents WHERE {pred}) GROUP BY 1")
     return dq, oq
 
 
