@@ -356,3 +356,76 @@ def test_java_math_expressions(spark, expr, expected):
     Remainder/Ulp/ToDegrees/ToRadians)."""
     out = spark.range(1).select(compile_expr(expr).alias("x")).collect()[0]["x"]
     assert out == pytest.approx(expected, rel=1e-12)
+
+
+# ------------------------------------------- round 7: reference vectors
+# SQL + expected rows ported VERBATIM from the reference's pinned test
+# expectations over the same 6-row foo fixture
+# (CalciteMultiValueStringQueryTest.java). One representation
+# difference, by design: MVDs here are typed arrays, so a single
+# survivor is ['b'] where the reference renders the scalar string "b" —
+# group STRUCTURE (null vs value, counts) matches exactly.
+
+def test_ref_vector_mv_filter_only_groups(fooeng):
+    """CalciteMultiValueStringQueryTest.java:1155 —
+    SELECT MV_FILTER_ONLY(dim3, ARRAY['b']), SUM(cnt) ... GROUP BY 1
+    expects {null: 4, 'b': 2}."""
+    rows = fooeng.sql(
+        "SELECT MV_FILTER_ONLY(dim3, ARRAY['b']) AS f, SUM(cnt) AS s "
+        "FROM foo GROUP BY 1 ORDER BY 2 DESC").collect()
+    assert [(r["f"], r["s"]) for r in rows] == [(None, 4), (["b"], 2)]
+
+
+def test_ref_vector_mv_length_of_filtered(fooeng):
+    """CalciteMultiValueStringQueryTest.java:1314 — MV_LENGTH over the
+    filter expects {null: 4, 1: 2}."""
+    rows = fooeng.sql(
+        "SELECT MV_LENGTH(MV_FILTER_ONLY(dim3, ARRAY['b'])) AS l, "
+        "SUM(cnt) AS s FROM foo GROUP BY 1 ORDER BY 2 DESC").collect()
+    assert [(r["l"], r["s"]) for r in rows] == [(None, 4), (1, 2)]
+
+
+def test_ref_vector_mv_filter_coalesce(fooeng):
+    """CalciteMultiValueStringQueryTest.java:1368 — COALESCE over the
+    filter expects {'no b': 4, 'b': 2} (string form via
+    ARRAY_TO_STRING, the typed-array spelling of the same fallback)."""
+    rows = fooeng.sql(
+        "SELECT COALESCE(ARRAY_TO_STRING("
+        "MV_FILTER_ONLY(dim3, ARRAY['b']), ','), 'no b') AS f, "
+        "SUM(cnt) AS s FROM foo GROUP BY 1 ORDER BY 2 DESC").collect()
+    assert [(r["f"], r["s"]) for r in rows] == [("no b", 4), ("b", 2)]
+
+
+def test_ref_vector_mv_offset_groups(fooeng):
+    """CalciteMultiValueStringQueryTest.java:753 — MV_OFFSET(dim3, 1)
+    expects {null: 4, 'b': 1, 'c': 1} (out-of-range single-value rows
+    and null rows all collapse to the null group)."""
+    rows = fooeng.sql(
+        "SELECT MV_OFFSET(dim3, 1) AS o, SUM(cnt) AS s "
+        "FROM foo GROUP BY 1 ORDER BY 2 DESC, 1").collect()
+    assert [(r["o"], r["s"]) for r in rows] == \
+        [(None, 4), ("b", 1), ("c", 1)]
+
+
+def test_ref_vector_mv_offset_of_groups(fooeng):
+    """CalciteMultiValueStringQueryTest.java:831 — MV_OFFSET_OF(dim3,
+    'b') expects {null: 4, 0: 1, 1: 1}."""
+    rows = fooeng.sql(
+        "SELECT MV_OFFSET_OF(dim3, 'b') AS o, SUM(cnt) AS s "
+        "FROM foo GROUP BY 1 ORDER BY 2 DESC, 1").collect()
+    assert [(r["o"], r["s"]) for r in rows] == \
+        [(None, 4), (0, 1), (1, 1)]
+
+
+def test_ref_vector_mv_filter_join_expression(fooeng):
+    """DecoupledPlanningCalciteJoinQueryTest/
+    testVirtualColumnOnMVFilterJoinExpression.iq — self-join on
+    MV_FILTER_ONLY(dim3, ['a']): only the ['a','b'] row survives (empty
+    filter results are NULL and never join)."""
+    rows = fooeng.sql(
+        "SELECT foo1.dim3 AS d1, foo2.dim3 AS d2 "
+        "FROM foo AS foo1 INNER JOIN foo AS foo2 "
+        "ON MV_FILTER_ONLY(foo1.dim3, ARRAY['a']) = "
+        "   MV_FILTER_ONLY(foo2.dim3, ARRAY['a'])").collect()
+    assert [(r["d1"], r["d2"]) for r in rows] == \
+        [(["a", "b"], ["a", "b"])]
