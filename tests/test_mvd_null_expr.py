@@ -429,3 +429,66 @@ def test_ref_vector_mv_filter_join_expression(fooeng):
         "   MV_FILTER_ONLY(foo2.dim3, ARRAY['a'])").collect()
     assert [(r["d1"], r["d2"]) for r in rows] == \
         [(["a", "b"], ["a", "b"])]
+
+
+@pytest.fixture(scope="module")
+def numfooeng(spark, numfoo):
+    e = DruidSparkEngine(spark, exact_approx=True)
+    e.catalog.register_table("numfoo", numfoo)
+    return e
+
+
+def test_ref_vector_greatest_skips_nulls(numfooeng):
+    """CalciteQueryTest.java:14917 — GREATEST ignores nulls and is NULL
+    only when every argument is (Druid overrides Calcite's
+    null-poisoning; Spark's greatest shares the skip-nulls contract):
+    MAX(GREATEST(l1, l2)) IS NULL per dim1 expects
+    {'': f, '1': t, '10.1': f, '2': f, 'abc': t, 'def': t}."""
+    rows = numfooeng.sql(
+        "SELECT dim1, MAX(GREATEST(l1, l2)) IS NULL AS isnull "
+        "FROM numfoo GROUP BY dim1 ORDER BY dim1").collect()
+    assert [(r["dim1"], r["isnull"]) for r in rows] == [
+        ("", False), ("1", True), ("10.1", False), ("2", False),
+        ("abc", True), ("def", True)]
+
+
+def test_ref_vector_groupby_limit_pushdown_extraction(numfooeng):
+    """DecoupledPlanningCalciteQueryTest/
+    testGroupByLimitPushdownExtraction.iq — expects (a, a, 2),
+    (a, b, 1) exactly."""
+    rows = numfooeng.sql(
+        "SELECT dim4, SUBSTRING(dim5, 1, 1) AS s, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM numfoo WHERE dim4 = 'a' GROUP BY 1, 2 "
+        "ORDER BY 2 LIMIT 2").collect()
+    assert [(r["dim4"], r["s"], r["n"]) for r in rows] == [
+        ("a", "a", 2), ("a", "b", 1)]
+
+
+def test_ref_vector_literal_in_subquery_grouping(numfooeng):
+    """DecoupledPlanningCalciteQueryTest/
+    testGroupByWithLiteralInSubqueryGrouping.iq — expects
+    ('dummy', 'b') and ('dummy', null) exactly."""
+    rows = numfooeng.sql("""
+        SELECT t1, t2 FROM (
+          SELECT 'dummy' AS t1,
+                 CASE WHEN dim4 = 'b' THEN dim4 ELSE NULL END AS t2
+          FROM numfoo GROUP BY dim4) x
+        GROUP BY t1, t2 ORDER BY t2 NULLS FIRST""").collect()
+    assert [(r["t1"], r["t2"]) for r in rows] == [
+        ("dummy", None), ("dummy", "b")]
+
+
+def test_ref_vector_exact_count_distinct_grouped(numfooeng):
+    """DecoupledPlanningCalciteQueryTest/
+    testMultipleExactCountDistinctWithGroupingAndOtherAggregators-
+    UsingJoin.iq — SELECT dim4(=dim2 analog with fewer groups),
+    COUNT(*), COUNT(DISTINCT dim1), COUNT(DISTINCT cnt): every group
+    has distinct-cnt 1 (cnt is constant 1)."""
+    rows = numfooeng.sql(
+        "SELECT dim4, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(DISTINCT dim1) AS BIGINT) AS d1, "
+        "CAST(COUNT(DISTINCT cnt) AS BIGINT) AS dc "
+        "FROM numfoo GROUP BY dim4 ORDER BY dim4").collect()
+    assert [(r["dim4"], r["n"], r["d1"], r["dc"]) for r in rows] == [
+        ("a", 3, 3, 1), ("b", 3, 3, 1)]
