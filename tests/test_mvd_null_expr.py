@@ -492,3 +492,28 @@ def test_ref_vector_exact_count_distinct_grouped(numfooeng):
         "FROM numfoo GROUP BY dim4 ORDER BY dim4").collect()
     assert [(r["dim4"], r["n"], r["d1"], r["dc"]) for r in rows] == [
         ("a", 3, 3, 1), ("b", 3, 3, 1)]
+
+
+def test_ref_vector_nested_sum_null_groups(numfooeng):
+    """CalciteQueryTest.java:15095 — SUM over an all-null group is NULL
+    (SQL-compatible null handling), so `sum_l1 = 0` only fires for the
+    true-zero group: expects outer_l1 = 1 for dim1='2', 0 elsewhere."""
+    rows = numfooeng.sql("""
+        SELECT dim1,
+               SUM(CASE WHEN sum_l1 = 0 THEN 1 ELSE 0 END) AS outer_l1
+        FROM (SELECT dim1, SUM(l1) AS sum_l1 FROM numfoo GROUP BY dim1)
+        GROUP BY 1 ORDER BY 1""").collect()
+    assert [(r["dim1"], r["outer_l1"]) for r in rows] == [
+        ("", 0), ("1", 0), ("10.1", 0), ("2", 1), ("abc", 0),
+        ("def", 0)]
+
+
+def test_ref_vector_filtered_avg(numfooeng):
+    """CalciteQueryTest.java:13860 — COUNT(dim1)/AVG(l1) under an
+    equality filter hitting exactly one row."""
+    rows = numfooeng.sql(
+        "SELECT dim5, CAST(COUNT(dim1) AS BIGINT) AS c, AVG(l1) AS a "
+        "FROM numfoo WHERE dim1 = '10.1' AND l1 = 325323 "
+        "GROUP BY dim5").collect()
+    assert [(r["dim5"], r["c"], r["a"]) for r in rows] == \
+        [("ab", 1, 325323.0)]
