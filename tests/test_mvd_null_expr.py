@@ -517,3 +517,26 @@ def test_ref_vector_filtered_avg(numfooeng):
         "GROUP BY dim5").collect()
     assert [(r["dim5"], r["c"], r["a"]) for r in rows] == \
         [("ab", 1, 325323.0)]
+
+
+def test_ref_vector_groupby_floor_cast(fooeng):
+    """CalciteQueryTest.java:9150 testGroupByFloor — grouping on
+    floor(CAST(dim1 AS float)): non-numeric strings cast to NULL,
+    expects {null: 3, 1.0: 1, 2.0: 1, 10.0: 1}."""
+    rows = fooeng.sql(
+        "SELECT FLOOR(CAST(dim1 AS FLOAT)) AS f, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM foo GROUP BY 1 ORDER BY 1 NULLS FIRST").collect()
+    assert [(r["f"], r["n"]) for r in rows] == [
+        (None, 3), (1.0, 1), (2.0, 1), (10.0, 1)]
+
+
+def test_ref_vector_time_filter_string_literals(fooeng):
+    """CalciteQueryTest.java:6549 — __time compared against STRING
+    literals in space and 'T' ISO forms coerces to timestamps; the
+    2000 year window holds 3 foo rows."""
+    rows = fooeng.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM foo "
+        "WHERE __time >= '2000-01-01 00:00:00' "
+        "AND __time < '2001-01-01T00:00:00'").collect()
+    assert rows[0]["n"] == 3
