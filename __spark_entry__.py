@@ -1289,6 +1289,19 @@ def q_temperature_rates(spark, sf):
     return temperature_rates(docs, "lang", alpha=0.3).orderBy("lang")
 
 
+def q_dedup_canonicalize(spark, sf):
+    """Canonical-doc selection per duplicate cluster (round 7,
+    datapipe/dedup.canonicalize): cluster = fingerprint of normalized
+    text, best doc = longest (n_chars), doc_id tiebreak. Exact oracle:
+    the same window rank in DuckDB."""
+    from druid_spark.datapipe.dedup import canonicalize, normalize
+    docs = _engine(spark, sf).catalog.table("documents")
+    keyed = docs.withColumn("fp", F.md5(normalize(F.col("text"))))
+    kept = canonicalize(keyed, "fp", "n_chars")
+    return (kept.select("doc_id", "n_chars")
+            .orderBy("doc_id"))
+
+
 def q_shard_pack(spark, sf):
     """Token-budgeted shard packing (round 7): contiguous shards of
     ~2000 tokens in doc_id order via a DISTRIBUTED prefix sum —
@@ -10395,6 +10408,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_rates": q_temperature_rates,
         "split_assign": q_split_assign,
         "shard_pack": q_shard_pack,
+        "dedup_canonicalize": q_dedup_canonicalize,
         "contamination": q_contamination,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -11305,6 +11319,15 @@ def _base_oracle_sql() -> dict[str, str]:
                      WHEN 4 THEN 'MIDDLE EAST' END AS region_name,
                    count(*) AS nations
             FROM nation GROUP BY 1""",
+        "dedup_canonicalize": r"""
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY md5(lower(regexp_replace(
+                         trim(text), '\s+', ' ', 'g')))
+                       ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents) t
+            WHERE rk = 1 ORDER BY doc_id""",
         "shard_pack": r"""
             SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
                    CAST(FLOOR((SUM(ntok) OVER (ORDER BY doc_id

@@ -425,3 +425,22 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
     return (df.select(id_col).join(clean, id_col, "left")
             .select(id_col,
                     F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+def canonicalize(df: DataFrame, cluster_col: str, quality_col: str,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE canonical document per (near-)duplicate cluster — the
+    highest `quality_col`, id as the deterministic tiebreak. The step
+    a training pipeline runs after clustering (connected_components /
+    exact fingerprint groups): duplicates are dropped, the best
+    representative survives.
+
+    Scale: a window PARTITIONED by cluster id — clusters are the unit
+    of skew here, and near-dup clusters are small by construction
+    (bounded fan-out of the LSH band join), so partitions stay
+    balanced; one hash shuffle on cluster id total."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(cluster_col)
+         .orderBy(F.desc(quality_col), F.col(id_col)))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1).drop("__rk"))

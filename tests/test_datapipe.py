@@ -577,3 +577,18 @@ def test_pack_shards_exact_and_distributed(spark):
     zs = {r["doc_id"]: r["shard_id"]
           for r in pack_shards(z, "ntok", 10).collect()}
     assert zs == {0: 0, 1: 1, 2: 1, 3: 1}
+
+
+def test_dedup_canonicalize(spark):
+    """Round 7: one canonical doc per duplicate cluster — highest
+    quality wins, id breaks ties."""
+    from druid_spark.datapipe.dedup import canonicalize
+
+    df = spark.createDataFrame(
+        [(1, "c1", 0.9), (2, "c1", 0.7), (3, "c1", 0.9),
+         (4, "c2", 0.1), (5, "c3", 0.5), (6, "c3", 0.5)],
+        ["doc_id", "cluster", "q"])
+    kept = sorted(r["doc_id"] for r in
+                  canonicalize(df, "cluster", "q").collect())
+    # c1: 1 and 3 tie at 0.9 -> lower id (1); c3: tie -> 5
+    assert kept == [1, 4, 5]
