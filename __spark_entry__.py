@@ -10227,6 +10227,23 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                 string_split(event_type, '_'), 'view') AS hit
               FROM events WHERE user_id < 40) d2
           ON d1.hit AND d2.hit AND d1.doc_id = d2.user_id"""),
+    # quidem-ut qaUnnest/mv_sql_join.02 A2_B20 — self-join of two
+    # unnest DERIVED TABLES on the unnested column
+    "sqlc_unnest_derived_self_join": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, u AS c FROM documents,
+              UNNEST(STRING_TO_ARRAY(lang, ',')) AS t(u)) t1
+        JOIN (SELECT doc_id, u AS c FROM documents,
+              UNNEST(STRING_TO_ARRAY(lang, ',')) AS t(u)) t2
+          ON t1.c = t2.c
+        WHERE t1.doc_id < 10 AND t2.doc_id < 10""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, unnest(string_split(lang, ',')) AS c
+              FROM documents) t1
+        JOIN (SELECT doc_id, unnest(string_split(lang, ',')) AS c
+              FROM documents) t2
+          ON t1.c = t2.c
+        WHERE t1.doc_id < 10 AND t2.doc_id < 10"""),
     "sqlc_console_overall_value": ('''
         SELECT
         MAX(CAST(t."__time" AS TIMESTAMP)) AS "__VALUE__"
