@@ -540,3 +540,18 @@ def test_ref_vector_time_filter_string_literals(fooeng):
         "WHERE __time >= '2000-01-01 00:00:00' "
         "AND __time < '2001-01-01T00:00:00'").collect()
     assert rows[0]["n"] == 3
+
+
+def test_ref_vector_union_all_same_table_twice(fooeng):
+    """CalciteUnionQueryTest.java:341 — UNION ALL of the same table
+    under an MV filter (ARRAY_CONTAINS spelling of dim2 = 'a' OR
+    dim2 = 'def' over the typed-array fixture): expects
+    {('', 'a', 2.0, 2), ('1', 'a', 8.0, 2)}."""
+    rows = fooeng.sql(
+        "SELECT dim1, CAST(SUM(m1) AS DOUBLE) AS s, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM (SELECT * FROM foo UNION ALL SELECT * FROM foo) "
+        "WHERE ARRAY_CONTAINS(dim2, 'a') OR ARRAY_CONTAINS(dim2, 'def') "
+        "GROUP BY 1 ORDER BY 1").collect()
+    assert [(r["dim1"], r["s"], r["n"]) for r in rows] == [
+        ("", 2.0, 2), ("1", 8.0, 2)]
