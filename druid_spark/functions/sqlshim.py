@@ -495,17 +495,57 @@ def _is_ts_expr(expr: str) -> bool:
 
 
 def _cast_ts_bigint(args):
-    """CAST(<timestamp expr> AS BIGINT) → epoch MILLIS. Druid
-    timestamps are native-layer longs, so Calcite's cast yields the
-    millis value (sql/.../expression/CastOperatorConversion.java);
-    Spark's cast yields SECONDS. Rewritten only for syntactically
-    certain timestamp expressions — a regex shim has no types."""
+    """CAST(expr AS BIGINT), two reference semantics:
+    - a syntactically-certain TIMESTAMP expr → epoch MILLIS (Druid
+      timestamps are native-layer longs —
+      sql/.../expression/CastOperatorConversion.java; Spark's cast
+      yields SECONDS);
+    - anything else gains a double-parse fallback: Druid parses
+      fractional strings ('1.0' → 1, Rows.objectToNumber long-then-
+      double) where Spark/ANSI-off yields NULL. TRY_CAST to BIGINT
+      first preserves full long precision; only when that is NULL does
+      the value go through DOUBLE truncation (CalciteQueryTest
+      testSafeDivide pins the '1.0' case)."""
     if len(args) != 1:
         return None
     m = re.match(r"(?is)^(.*\S)\s+AS\s+BIGINT\s*$", args[0])
-    if not m or not _is_ts_expr(m.group(1)):
+    if not m:
         return None
-    return f"UNIX_MILLIS({m.group(1)})"
+    e = m.group(1)
+    if _is_ts_expr(e):
+        return f"UNIX_MILLIS({e})"
+    if not _is_string_expr(e):
+        return None  # numeric/unknown: Spark's cast is already right
+    # TRY_CAST throughout: a plain CAST(..AS BIGINT) in the replacement
+    # would re-match this builder on the rescan and expand forever
+    return (f"COALESCE(TRY_CAST({e} AS BIGINT), "
+            f"TRY_CAST(TRY_CAST({e} AS DOUBLE) AS BIGINT))")
+
+
+def _is_string_expr(expr: str) -> bool:
+    """True for syntactically-certain STRING expressions: a string
+    literal, or one whole CAST/TRY_CAST(... AS CHAR/VARCHAR/STRING)
+    call (the AS CHAR → AS STRING rewrite has already run)."""
+    expr = expr.strip()
+    if re.fullmatch(r"(?s)'[^']*'", expr):
+        return True
+    m = re.match(r"(?is)^(?:TRY_)?CAST\s*\(", expr)
+    if not m or not re.search(r"(?is)AS\s+(?:STRING|VARCHAR|CHAR)\s*\)$",
+                              expr):
+        return False
+    depth, i = 1, m.end()
+    while i < len(expr):
+        ch = expr[i]
+        if ch in "'\"":
+            i = _skip_string(expr, i)
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(expr) - 1
+        i += 1
+    return False
 
 
 def _millisify(expr: str) -> str:

@@ -555,3 +555,27 @@ def test_ref_vector_union_all_same_table_twice(fooeng):
         "GROUP BY 1 ORDER BY 1").collect()
     assert [(r["dim1"], r["s"], r["n"]) for r in rows] == [
         ("", 2.0, 2), ("1", 8.0, 2)]
+
+
+def test_ref_vector_safe_divide_string_cast(fooeng):
+    """CalciteQueryTest.java:585 testSafeDivide — Druid parses
+    fractional STRINGS to longs ('1.0' → 1, Rows.objectToNumber
+    long-then-double), so floor(safe_divide(cast(cast(m1 as char) as
+    bigint), 2)) = 0 matches exactly the m1=1.0 row: count 1."""
+    rows = fooeng.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM foo "
+        "WHERE FLOOR(SAFE_DIVIDE(CAST(CAST(m1 AS CHAR) AS BIGINT), 2))"
+        " = 0").collect()
+    assert rows[0]["c"] == 1
+
+
+def test_ref_vector_div_truncating(fooeng):
+    """CalciteQueryTest.java:585 (second shape) — DIV is truncating
+    long division: div(m1, 2) over m1=1..6 gives 0,1,1,2,2,3 and
+    div(cnt+2, cnt+1) is always 1."""
+    rows = fooeng.sql(
+        "SELECT m1, DIV(m1, 2) AS d1, DIV(cnt + 2, cnt + 1) AS d2 "
+        "FROM foo ORDER BY m1").collect()
+    assert [(r["m1"], r["d1"], r["d2"]) for r in rows] == [
+        (1.0, 0, 1), (2.0, 1, 1), (3.0, 1, 1),
+        (4.0, 2, 1), (5.0, 2, 1), (6.0, 3, 1)]
