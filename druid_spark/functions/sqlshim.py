@@ -1388,11 +1388,16 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         lambda m: f"LOCATE({m.group(1)}, {m.group(2)}, {m.group(3)})",
         out, flags=re.IGNORECASE)
     # Druid REGEXP_EXTRACT defaults to group 0 and yields NULL on no
-    # match; Spark defaults to group 1 and yields ''. Rewrite only the
-    # 2-arg form (3-arg is position-compatible).
+    # match (RegexpExtractExprMacro); Spark defaults to group 1 and
+    # yields '' — in BOTH arities (round 7: the 3-arg no-match ''
+    # leaked through a <> filter, CalciteQueryTest:8436). NULLIF-wrap
+    # both; re.sub never rescans its replacement, so the inner call
+    # can keep the same name.
     out = re.sub(
-        r"\bREGEXP_EXTRACT\(\s*([^,()]+)\s*,\s*('[^']*')\s*\)",
-        lambda m: f"NULLIF(REGEXP_EXTRACT({m.group(1)}, {m.group(2)}, 0), '')",
+        r"\bREGEXP_EXTRACT\(\s*([^,()]+)\s*,\s*('[^']*')"
+        r"\s*(?:,\s*(\d+)\s*)?\)",
+        lambda m: "NULLIF(REGEXP_EXTRACT(%s, %s, %s), '')" % (
+            m.group(1), m.group(2), m.group(3) or "0"),
         out, flags=re.IGNORECASE)
     # JSON_OBJECT (NestedDataExpressions.java:53): variadic k/v pairs,
     # Calcite also allows JSON_OBJECT(KEY 'k' VALUE v, ...). Rewrite to

@@ -579,3 +579,39 @@ def test_ref_vector_div_truncating(fooeng):
     assert [(r["m1"], r["d1"], r["d2"]) for r in rows] == [
         (1.0, 0, 1), (2.0, 1, 1), (3.0, 1, 1),
         (4.0, 2, 1), (5.0, 2, 1), (6.0, 3, 1)]
+
+
+def test_ref_vector_concat_textcat(fooeng):
+    """CalciteQueryTest.java:12491/12745 — CONCAT null-propagates and
+    empty strings concatenate as empties ('' row gives '-_');
+    TEXTCAT is 2-arg concat."""
+    rows = fooeng.sql(
+        "SELECT CONCAT(dim1, '-', dim1, '_', dim1) AS x, "
+        "TEXTCAT(dim1, dim1) AS y FROM foo").collect()
+    assert [r["x"] for r in rows] == [
+        "-_", "10.1-10.1_10.1", "2-2_2", "1-1_1",
+        "def-def_def", "abc-abc_abc"]
+    assert [r["y"] for r in rows] == [
+        "", "10.110.1", "22", "11", "defdef", "abcabc"]
+
+
+def test_ref_vector_regexp_extract_distinct(fooeng):
+    """CalciteQueryTest.java:8436 — REGEXP_EXTRACT of a non-matching
+    (empty) string is NULL, and NULL <> 'x' filters the row OUT
+    (three-valued logic): DISTINCT gives exactly {1, 2, a, d}."""
+    rows = fooeng.sql(
+        "SELECT DISTINCT REGEXP_EXTRACT(dim1, '^.') AS a, "
+        "REGEXP_EXTRACT(dim1, '^(.)', 1) AS b FROM foo "
+        "WHERE REGEXP_EXTRACT(dim1, '^(.)', 1) <> 'x' "
+        "ORDER BY 1").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [
+        ("1", "1"), ("2", "2"), ("a", "a"), ("d", "d")]
+
+
+def test_ref_vector_round_nulls(numfooeng):
+    """CalciteQueryTest.java:13813 — ROUND of NULL is NULL, per-row
+    over numfoo.f1."""
+    rows = numfooeng.sql("SELECT f1, ROUND(f1) AS r FROM numfoo").collect()
+    assert [(r["f1"], r["r"]) for r in rows] == [
+        (1.0, 1.0), (0.10000000149011612, 0.0), (0.0, 0.0),
+        (None, None), (None, None), (None, None)]
