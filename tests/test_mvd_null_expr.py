@@ -615,3 +615,14 @@ def test_ref_vector_round_nulls(numfooeng):
     assert [(r["f1"], r["r"]) for r in rows] == [
         (1.0, 1.0), (0.10000000149011612, 0.0), (0.0, 0.0),
         (None, None), (None, None), (None, None)]
+
+
+def test_ref_vector_left_right(fooeng):
+    """CalciteQueryTest.java:13352 — LEFT/RIGHT over short and empty
+    strings (no padding, no errors)."""
+    rows = fooeng.sql(
+        "SELECT dim1, LEFT(dim1, 2) AS l, RIGHT(dim1, 2) AS r "
+        "FROM foo GROUP BY dim1 ORDER BY dim1").collect()
+    assert [(r["dim1"], r["l"], r["r"]) for r in rows] == [
+        ("", "", ""), ("1", "1", "1"), ("10.1", "10", ".1"),
+        ("2", "2", "2"), ("abc", "ab", "bc"), ("def", "de", "ef")]
