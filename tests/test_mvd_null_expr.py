@@ -626,3 +626,17 @@ def test_ref_vector_left_right(fooeng):
     assert [(r["dim1"], r["l"], r["r"]) for r in rows] == [
         ("", "", ""), ("1", "1", "1"), ("10.1", "10", ".1"),
         ("2", "2", "2"), ("abc", "ab", "bc"), ("def", "de", "ef")]
+
+
+def test_ref_vector_time_format_timezones(fooeng):
+    """TimeFormatOperatorConversionTest — default zone is UTC; the
+    3-arg form formats in the given zone ('2000-02-03T04:05:06' UTC is
+    '2000-02-02 20:05:06' in America/Los_Angeles)."""
+    r = fooeng.sql(
+        "SELECT TIME_FORMAT(TIMESTAMP '2000-02-03 04:05:06', "
+        "'yyyy-MM-dd HH:mm:ss') AS utc, "
+        "TIME_FORMAT(TIMESTAMP '2000-02-03 04:05:06', "
+        "'yyyy-MM-dd HH:mm:ss', 'America/Los_Angeles') AS la "
+        "FROM foo LIMIT 1").collect()[0]
+    assert r["utc"] == "2000-02-03 04:05:06"
+    assert r["la"] == "2000-02-02 20:05:06"
