@@ -640,3 +640,13 @@ def test_ref_vector_time_format_timezones(fooeng):
         "FROM foo LIMIT 1").collect()[0]
     assert r["utc"] == "2000-02-03 04:05:06"
     assert r["la"] == "2000-02-02 20:05:06"
+
+
+def test_ref_vector_is_not_distinct_from(fooeng):
+    """CalciteQueryTest.java:5988 — range-OR-IS NOT DISTINCT FROM
+    filter plans and matches exactly the 'abc' row: count 1."""
+    r = fooeng.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM foo "
+        "WHERE (dim1 >= 'a' AND dim1 < 'b') "
+        "OR dim1 IS NOT DISTINCT FROM 'ab'").collect()[0]
+    assert r["n"] == 1
