@@ -4,11 +4,12 @@ The Spark-side plumbing (schema, partition-preserving mapInPandas,
 Arrow batch shapes) is real and tested. The decode step is REAL for
 formats decodable without external libraries — PPM (P6) images with
 numpy, 8-bit non-interlaced PNG (stdlib zlib inflate + per-scanline
-unfilter, round 7), PCM WAV audio with the stdlib ``wave`` module —
-and STUBBED for formats that need a real codec (JPEG/MP4:
-PIL/librosa/av are not in this container): `decode_stub=True` derives
-a deterministic fake feature from the bytes; `decode_stub=False`
-really decodes supported mimes and raises NotImplementedError for
+unfilter), BASELINE JPEG (pure-numpy huffman + IDCT, jpeg.py — both
+round 7), PCM WAV audio with the stdlib ``wave`` module — and STUBBED
+for formats that need a real media stack (progressive JPEG, MP4 video:
+av/ffmpeg are not in this container): `decode_stub=True` derives a
+deterministic fake feature from the bytes; `decode_stub=False` really
+decodes supported mimes and raises NotImplementedError for
 unsupported ones.
 
 Pattern for 100 TB: binary payloads ride in their own column so Parquet
@@ -220,6 +221,9 @@ def _decode_image(b: bytes, mime: str) -> np.ndarray:
     """Any supported image mime → (h, w, 3) uint8 RGB."""
     if mime == "image/png":
         return _to_rgb(_decode_png(b))
+    if mime in ("image/jpeg", "image/jpg"):
+        from druid_spark.datapipe.jpeg import decode_jpeg
+        return _to_rgb(decode_jpeg(b))
     return _decode_ppm(b)
 
 
@@ -244,13 +248,14 @@ def _audio_feature(x: np.ndarray, rate: int, dim: int) -> list[float]:
 
 
 def _real_feature(payload: bytes, mime: str, dim: int) -> list[float]:
-    if mime in ("image/x-portable-pixmap", "image/ppm", "image/png"):
+    if mime in ("image/x-portable-pixmap", "image/ppm", "image/png",
+                "image/jpeg", "image/jpg"):
         return _image_feature(_decode_image(payload, mime), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_feature(*_decode_wav(payload), dim)
     raise NotImplementedError(
-        f"decode for {mime!r} needs PIL/librosa/av (not in container); "
-        "PPM, PNG and WAV decode for real")
+        f"decode for {mime!r} needs librosa/av (not in container); "
+        "PPM, PNG, baseline JPEG and WAV decode for real")
 
 
 def extract_features(df: DataFrame, dim: int = 8,

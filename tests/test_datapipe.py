@@ -592,3 +592,199 @@ def test_dedup_canonicalize(spark):
                   canonicalize(df, "cluster", "q").collect())
     # c1: 1 and 3 tie at 0.9 -> lower id (1); c3: tie -> 5
     assert kept == [1, 4, 5]
+
+
+# --------------------------------------------------- round 7: JPEG
+# Test-local baseline encoder (4:4:4, flat quant=1, custom canonical
+# huffman tables) built from raw struct/numpy primitives — independent
+# of the decoder module's internals, like _raw_png above.
+
+def _jpeg_encode(rgb):
+    """(h, w, 3) uint8 → baseline JFIF bytes. h, w multiples of 8."""
+    import struct
+
+    import numpy as np
+
+    from druid_spark.datapipe.jpeg import ZIGZAG, _C
+
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    planes = [0.299 * r + 0.587 * g + 0.114 * b,
+              -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+              0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+
+    # canonical tables: DC = 12 symbols at length 4; AC = all 256
+    # run/size bytes at length 9
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    # DHT counts are single bytes, so 256 symbols can't share one
+    # length: 255 at length 9 + the last one at length 10
+    ac_counts = [0] * 8 + [255, 1] + [0] * 6
+    ac_syms = list(range(256))
+
+    def codes(counts, syms):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                out[syms[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_code, ac_code = codes(dc_counts, dc_syms), codes(ac_counts, ac_syms)
+
+    bits = []
+
+    def put(ln, v):
+        for i in range(ln - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    preds = [0, 0, 0]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci, plane in enumerate(planes):
+                blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coeff = _C @ (blk - 128.0) @ _C.T
+                zz = np.round(coeff.reshape(-1)[ZIGZAG]).astype(int)
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                t = cat(diff)
+                ln, cd = dc_code[t]
+                put(ln, cd)
+                if t:
+                    put(t, diff if diff > 0 else diff + (1 << t) - 1)
+                run = 0
+                last = max([k for k in range(1, 64) if zz[k]] or [0])
+                for k in range(1, last + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, cd = ac_code[0xF0]
+                        put(ln, cd)
+                        run -= 16
+                    s = cat(int(zz[k]))
+                    ln, cd = ac_code[(run << 4) | s]
+                    put(ln, cd)
+                    v = int(zz[k])
+                    put(s, v if v > 0 else v + (1 << s) - 1)
+                    run = 0
+                if last < 63:
+                    ln, cd = ac_code[0x00]
+                    put(ln, cd)
+    while len(bits) % 8:
+        bits.append(1)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i:i + 8]:
+            byte = (byte << 1) | bit
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    ones = bytes(64)
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+           + seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan)
+            + b"\xff\xd9")
+
+
+def test_jpeg_idct_matches_direct_formula():
+    """The module's matrix IDCT equals the textbook double-sum DCT-III
+    (independent spelling of T.81 A.3.3)."""
+    import numpy as np
+
+    from druid_spark.datapipe.jpeg import idct2
+
+    rng = np.random.default_rng(7)
+    blk = rng.normal(0, 50, (8, 8))
+
+    def direct(B):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+                        cv = np.sqrt(1 / 8) if v == 0 else np.sqrt(2 / 8)
+                        s += cu * cv * B[u, v] * \
+                            np.cos((2 * x + 1) * u * np.pi / 16) * \
+                            np.cos((2 * y + 1) * v * np.pi / 16)
+                out[x, y] = s
+        return out
+
+    assert np.allclose(idct2(blk), direct(blk), atol=1e-9)
+
+
+def test_jpeg_huffman_hand_built_stream():
+    """Huffman decode pinned on a hand-built table and bitstream."""
+    from druid_spark.datapipe.jpeg import _BitReader, _Huff
+
+    # counts: two codes of length 2 (symbols 5, 9), one of length 3 (7)
+    t = _Huff([0, 2, 1] + [0] * 13, bytes([5, 9, 7]))
+    # canonical codes: 5 -> 00, 9 -> 01, 7 -> 100
+    r = _BitReader(bytes([0b00011001, 0b11000000]))  # 00 01 100 1...
+    assert r.decode(t) == 5 and r.decode(t) == 9 and r.decode(t) == 7
+
+
+def test_jpeg_roundtrip_solid_and_gradient():
+    """Round 7: real baseline JPEG decode — solid colors survive the
+    flat-quant roundtrip exactly; a gradient stays within DCT rounding
+    + colorspace tolerance. Progressive raises (honest stub)."""
+    import numpy as np
+    import pytest as _pt
+
+    from druid_spark.datapipe.jpeg import decode_jpeg
+
+    solid = np.zeros((8, 16, 3), dtype=np.uint8)
+    solid[..., 0], solid[..., 1], solid[..., 2] = 200, 120, 40
+    out = decode_jpeg(_jpeg_encode(solid))
+    assert out.shape == (8, 16, 3)
+    assert int(np.abs(out.astype(int) - solid.astype(int)).max()) <= 2
+
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    for x in range(16):
+        grad[:, x] = (x * 16, 255 - x * 16, 128)
+    out = decode_jpeg(_jpeg_encode(grad))
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 4
+
+    # progressive (SOF2) stays honestly stubbed
+    import struct
+    sof2 = (b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1,
+                                                             0x11, 0]))
+    with _pt.raises(NotImplementedError):
+        decode_jpeg(sof2 + b"\xff\xd9")
+
+
+def test_jpeg_through_spark_feature_path(spark):
+    """A JPEG payload decodes through the Arrow-batched mapInPandas
+    feature path with exact channel means (solid color)."""
+    import numpy as np
+
+    solid = np.zeros((8, 8, 3), dtype=np.uint8)
+    solid[..., 0], solid[..., 1], solid[..., 2] = 64, 128, 192
+    payload = _jpeg_encode(solid)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "image/jpeg", 8, 8, None)],
+        multimodal.MEDIA_SCHEMA)
+    row = multimodal.extract_features(
+        df, dim=8, decode_stub=False).collect()[0]
+    assert abs(row["feature"][0] - 64 / 255.0) < 0.02
+    assert abs(row["feature"][1] - 128 / 255.0) < 0.02
+    assert abs(row["feature"][2] - 192 / 255.0) < 0.02
+    assert row["feature"][4] == 8.0 and row["feature"][5] == 8.0
