@@ -60,8 +60,8 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 # ------------------------------------------------------- real decoders
-# Library-free formats: PPM P6 (numpy) and PCM WAV (stdlib wave).
-# Compressed formats need PIL/librosa/av and stay stubbed.
+# Library-free formats: PPM P6 (numpy), PNG (zlib + unfilter), baseline
+# JPEG (datapipe/jpeg.py), PCM WAV (stdlib wave). Video stays stubbed.
 
 def _decode_ppm(b: bytes) -> np.ndarray:
     """P6 binary PPM → (h, w, 3) uint8 array."""
