@@ -599,8 +599,9 @@ def test_dedup_canonicalize(spark):
 # huffman tables) built from raw struct/numpy primitives — independent
 # of the decoder module's internals, like _raw_png above.
 
-def _jpeg_encode(rgb):
-    """(h, w, 3) uint8 → baseline JFIF bytes. h, w multiples of 8."""
+def _jpeg_encode(rgb, gray=False):
+    """(h, w, 3) uint8 → baseline JFIF bytes. h, w multiples of 8.
+    gray=True encodes only the luma plane (1-component JPEG)."""
     import struct
 
     import numpy as np
@@ -612,6 +613,8 @@ def _jpeg_encode(rgb):
     planes = [0.299 * r + 0.587 * g + 0.114 * b,
               -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
               0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    if gray:
+        planes = planes[:1]
 
     # canonical tables: DC = 12 symbols at length 4; AC = all 256
     # run/size bytes at length 9
@@ -643,7 +646,7 @@ def _jpeg_encode(rgb):
     def cat(v):
         return 0 if v == 0 else int(abs(v)).bit_length()
 
-    preds = [0, 0, 0]
+    preds = [0] * len(planes)
     for by in range(h // 8):
         for bx in range(w // 8):
             for ci, plane in enumerate(planes):
@@ -693,11 +696,15 @@ def _jpeg_encode(rgb):
 
     ones = bytes(64)
     dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    comp_sof = [1, 0x11, 0] if gray else \
+        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes(
-        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        ([1] if gray else []) + comp_sof if gray else comp_sof))
     dht = (seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
            + seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    sos_comps = [1, 1, 0x00] if gray else [3, 1, 0x00, 2, 0x00,
+                                            3, 0x00]
+    sos = seg(0xDA, bytes(sos_comps + [0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan)
             + b"\xff\xd9")
 
@@ -788,3 +795,21 @@ def test_jpeg_through_spark_feature_path(spark):
     assert abs(row["feature"][1] - 128 / 255.0) < 0.02
     assert abs(row["feature"][2] - 192 / 255.0) < 0.02
     assert row["feature"][4] == 8.0 and row["feature"][5] == 8.0
+
+
+def test_jpeg_grayscale_component_path():
+    """1-component (grayscale) baseline JPEG decodes through the same
+    machinery; output is (h, w, 1) and _to_rgb replicates."""
+    import numpy as np
+
+    from druid_spark.datapipe.jpeg import decode_jpeg
+    from druid_spark.datapipe.multimodal import _to_rgb
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[...] = 77
+    out = decode_jpeg(_jpeg_encode(img, gray=True))
+    assert out.shape == (8, 8, 1)
+    assert abs(int(out[0, 0, 0]) - 77) <= 2
+    rgb = _to_rgb(out)
+    assert rgb.shape == (8, 8, 3) and \
+        len(set(rgb[0, 0].tolist())) == 1
