@@ -813,3 +813,117 @@ def test_jpeg_grayscale_component_path():
     rgb = _to_rgb(out)
     assert rgb.shape == (8, 8, 3) and \
         len(set(rgb[0, 0].tolist())) == 1
+
+
+def test_jpeg_420_subsampled_decode():
+    """4:2:0 JPEG: MCU = 2x2 luma blocks + one block per chroma; the
+    decoder's chroma upsample path reconstructs a smooth image within
+    subsampling tolerance. Encoder here is test-local again."""
+    import struct
+
+    import numpy as np
+
+    from druid_spark.datapipe.jpeg import ZIGZAG, _C, decode_jpeg
+
+    h = w = 16  # one MCU of 2x2 luma blocks
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 90, 160, 30
+
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb2 = cb.reshape(8, 2, 8, 2).mean(axis=(1, 3))  # 2x2 avg -> 8x8
+    cr2 = cr.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_counts = [0] * 8 + [255, 1] + [0] * 6
+    ac_syms = list(range(256))
+
+    def codes(counts, syms):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                out[syms[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_code, ac_code = codes(dc_counts, dc_syms), codes(ac_counts,
+                                                        ac_syms)
+    bits = []
+
+    def put(ln, v):
+        for i in range(ln - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    preds = {0: 0, 1: 0, 2: 0}
+
+    def emit(block, ci):
+        coeff = _C @ (block - 128.0) @ _C.T
+        zz = np.round(coeff.reshape(-1)[ZIGZAG]).astype(int)
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        t = cat(diff)
+        ln, cd = dc_code[t]
+        put(ln, cd)
+        if t:
+            put(t, diff if diff > 0 else diff + (1 << t) - 1)
+        run = 0
+        last = max([k for k in range(1, 64) if zz[k]] or [0])
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, cd = ac_code[0xF0]
+                put(ln, cd)
+                run -= 16
+            s = cat(int(zz[k]))
+            ln, cd = ac_code[(run << 4) | s]
+            put(ln, cd)
+            v = int(zz[k])
+            put(s, v if v > 0 else v + (1 << s) - 1)
+            run = 0
+        if last < 63:
+            ln, cd = ac_code[0x00]
+            put(ln, cd)
+
+    # one MCU: Y blocks raster order (2x2), then Cb, Cr
+    for by in range(2):
+        for bx in range(2):
+            emit(y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8], 0)
+    emit(cb2, 1)
+    emit(cr2, 2)
+
+    while len(bits) % 8:
+        bits.append(1)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i:i + 8]:
+            byte = (byte << 1) | bit
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    jpg = (b"\xff\xd8"
+           + seg(0xDB, bytes([0]) + bytes([1] * 64))
+           + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+                 + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+           + seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+           + seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+           + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+           + bytes(scan) + b"\xff\xd9")
+    out = decode_jpeg(jpg)
+    assert out.shape == (16, 16, 3)
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 3
