@@ -330,12 +330,37 @@ def resize_images(df: DataFrame, width: int, height: int,
 
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   decode_stub: bool = True) -> DataFrame:
-    """Video frame sampling: emits one row per sampled timestamp with
-    frame metadata; frame extraction itself is the stubbed step."""
+    """Video frame sampling: emits one row per sampled timestamp.
+
+    decode_stub=True trusts the duration_ms metadata column.
+    decode_stub=False (round 7) reads the REAL duration out of the
+    MP4 container structure (probe_mp4 — ISO BMFF parses without any
+    media library), so the sampling grid comes from the actual file;
+    extracting the frame PIXELS still needs an H.264/AV1 codec and
+    stays stubbed."""
+    vids = df.where(F.col("kind") == "video")
     if not decode_stub:
-        raise NotImplementedError("real frame decode requires av — use decode_stub")
-    return (df.where(F.col("kind") == "video")
-            .withColumn(
+        probe_schema = T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("real_duration_ms", T.LongType()),
+            T.StructField("n_tracks", T.IntegerType()),
+        ])
+
+        def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                metas = [probe_mp4(p) for p in pdf["payload"]]
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "real_duration_ms": [m["duration_ms"] or 0
+                                         for m in metas],
+                    "n_tracks": [m["n_tracks"] for m in metas],
+                })
+
+        vids = (vids.mapInPandas(probe, schema=probe_schema)
+                .withColumnRenamed("real_duration_ms", "duration_ms"))
+    return (vids.withColumn(
                 "frame_ts",
                 F.explode(F.sequence(
                     F.lit(0).cast("long"),
@@ -372,7 +397,111 @@ def demo_media_df(spark, n: int = 32) -> DataFrame:
             payload, mime = buf.getvalue(), "audio/wav"
             w, h, dur = None, None, 500
         else:
-            payload = hashlib.sha256(str(i).encode()).digest() * 4
-            mime, w, h, dur = "video/mp4", None, None, 5000
+            # REAL ISO-BMFF container structure (probe-able duration
+            # and track dims); the mdat payload is the fake part
+            payload = _encode_minimal_mp4(
+                5000, 640, 360,
+                mdat=hashlib.sha256(str(i).encode()).digest() * 4)
+            mime, w, h, dur = "video/mp4", 640, 360, 5000
         rows.append((i, kind, bytearray(payload), mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------ video metadata (MP4)
+# ISO BMFF (MPEG-4 Part 12) is a public length-prefixed box format —
+# the container STRUCTURE parses without any media library, so video
+# duration/dimensions are REAL metadata here; only frame decode stays
+# stubbed (that needs an H.264/AV1 codec).
+
+def _mp4_boxes(b: bytes, start: int = 0, end: int | None = None):
+    """Yield (type, payload_start, payload_end) for one box level."""
+    i, end = start, len(b) if end is None else end
+    while i + 8 <= end:
+        size = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(b[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:  # to end of file
+            size = end - i
+        if size < hdr:
+            return
+        yield typ, i + hdr, min(i + size, end)
+        i += size
+
+
+def probe_mp4(b: bytes) -> dict:
+    """MP4/ISO-BMFF structural probe: {duration_ms, width, height,
+    n_tracks, brand}. Raises NotImplementedError when the payload is
+    not BMFF (no ftyp/moov)."""
+    brand = None
+    duration_ms = None
+    width = height = None
+    n_tracks = 0
+    found = False
+    for typ, s, e in _mp4_boxes(b):
+        if typ == b"ftyp":
+            brand = b[s:s + 4].decode("ascii", "replace")
+            found = True
+        elif typ == b"moov":
+            found = True
+            for t2, s2, e2 in _mp4_boxes(b, s, e):
+                if t2 == b"mvhd":
+                    ver = b[s2]
+                    if ver == 1:
+                        scale = int.from_bytes(b[s2 + 20:s2 + 24], "big")
+                        dur = int.from_bytes(b[s2 + 24:s2 + 32], "big")
+                    else:
+                        scale = int.from_bytes(b[s2 + 12:s2 + 16], "big")
+                        dur = int.from_bytes(b[s2 + 16:s2 + 20], "big")
+                    if scale:
+                        duration_ms = dur * 1000 // scale
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                        if t3 == b"tkhd":
+                            ver = b[s3]
+                            off = s3 + (96 if ver == 1 else 84)
+                            # 16.16 fixed point width/height
+                            tw = int.from_bytes(b[off - 8:off - 4],
+                                                "big") >> 16
+                            th = int.from_bytes(b[off - 4:off],
+                                                "big") >> 16
+                            if tw and th:
+                                width, height = tw, th
+    if not found:
+        raise NotImplementedError("not an ISO-BMFF (MP4) payload")
+    return {"duration_ms": duration_ms, "width": width,
+            "height": height, "n_tracks": n_tracks, "brand": brand}
+
+
+def _encode_minimal_mp4(duration_ms: int, width: int, height: int,
+                        mdat: bytes = b"") -> bytes:
+    """Minimal valid ISO-BMFF skeleton (ftyp + moov[mvhd + trak[tkhd]]
+    + mdat) — a REAL container for probe_mp4; the media payload itself
+    is opaque."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    scale = 1000
+    mvhd = box(b"mvhd", bytes(4)  # version 0 + flags
+               + struct.pack(">IIII", 0, 0, scale,
+                             duration_ms * scale // 1000)
+               + struct.pack(">I", 0x00010000)  # rate 1.0
+               + struct.pack(">H", 0x0100) + bytes(10)  # volume+rsvd
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                             0, 0, 0x40000000)  # identity matrix
+               + bytes(24) + struct.pack(">I", 2))  # predefined+next id
+    tkhd = box(b"tkhd", bytes(4)
+               + struct.pack(">IIIII", 0, 0, 1, 0,
+                             duration_ms * scale // 1000)
+               + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0)
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                             0, 0, 0x40000000)
+               + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov + box(b"mdat", mdat)

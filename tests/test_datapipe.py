@@ -927,3 +927,33 @@ def test_jpeg_420_subsampled_decode():
     out = decode_jpeg(jpg)
     assert out.shape == (16, 16, 3)
     assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 3
+
+
+def test_mp4_probe_and_real_frame_sampling(spark):
+    """Round 7: video metadata is REAL — probe_mp4 parses the ISO-BMFF
+    box structure (duration from mvhd, dims from tkhd, track count),
+    and sample_frames(decode_stub=False) builds its grid from the
+    actual container instead of the metadata column. Non-BMFF bytes
+    raise (honest boundary: frame PIXEL decode still needs a codec)."""
+    import pytest as _pt
+
+    from druid_spark.datapipe.multimodal import (_encode_minimal_mp4,
+                                                 probe_mp4)
+
+    mp4 = _encode_minimal_mp4(3500, 1280, 720, mdat=b"xyz")
+    meta = probe_mp4(mp4)
+    assert meta["duration_ms"] == 3500
+    assert (meta["width"], meta["height"]) == (1280, 720)
+    assert meta["n_tracks"] == 1 and meta["brand"] == "isom"
+    with _pt.raises(NotImplementedError):
+        probe_mp4(b"\x00\x01\x02 not a container")
+
+    media = multimodal.demo_media_df(spark, 12)
+    # demo videos now carry real container structure (5000 ms)
+    frames = multimodal.sample_frames(
+        media, every_ms=1000, decode_stub=False).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_ts"])
+    assert all(sorted(v) == [0, 1000, 2000, 3000, 4000]
+               for v in per.values())
