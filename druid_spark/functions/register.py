@@ -140,20 +140,23 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # decimal K/M/G/T/P ladder, %.2f fixed decimals, integers below the
     # first unit
     ("HUMAN_READABLE_BINARY_BYTE_FORMAT", "n BIGINT", "STRING", """
-      CASE WHEN abs(n) < 1024 THEN concat(n, ' B')
+      CASE WHEN n IS NULL THEN NULL
+           WHEN abs(n) < 1024 THEN concat(n, ' B')
            WHEN abs(n) < 1048576 THEN format_string('%.2f KiB', n / 1024e0)
            WHEN abs(n) < 1073741824 THEN format_string('%.2f MiB', n / 1048576e0)
            WHEN abs(n) < 1099511627776 THEN format_string('%.2f GiB', n / 1073741824e0)
            WHEN abs(n) < 1125899906842624 THEN format_string('%.2f TiB', n / 1099511627776e0)
            ELSE format_string('%.2f PiB', n / 1125899906842624e0) END"""),
     ("HUMAN_READABLE_DECIMAL_BYTE_FORMAT", "n BIGINT", "STRING", """
-      CASE WHEN abs(n) < 1000 THEN concat(n, ' B')
+      CASE WHEN n IS NULL THEN NULL
+           WHEN abs(n) < 1000 THEN concat(n, ' B')
            WHEN abs(n) < 1000000 THEN format_string('%.2f KB', n / 1e3)
            WHEN abs(n) < 1000000000 THEN format_string('%.2f MB', n / 1e6)
            WHEN abs(n) < 1000000000000 THEN format_string('%.2f GB', n / 1e9)
            ELSE format_string('%.2f TB', n / 1e12) END"""),
     ("HUMAN_READABLE_DECIMAL_FORMAT", "n BIGINT", "STRING", """
-      CASE WHEN abs(n) < 1000 THEN cast(n AS STRING)
+      CASE WHEN n IS NULL THEN NULL
+           WHEN abs(n) < 1000 THEN cast(n AS STRING)
            WHEN abs(n) < 1000000 THEN format_string('%.2f K', n / 1e3)
            WHEN abs(n) < 1000000000 THEN format_string('%.2f M', n / 1e6)
            WHEN abs(n) < 1000000000000 THEN format_string('%.2f G', n / 1e9)

@@ -462,6 +462,56 @@ def _time_in_interval(args):
             f"AND ({args[0]}) < TIMESTAMP '{b}')")
 
 
+# HumanReadableFormatFunc (processing/.../expression/
+# HumanReadableFormatExprMacro): optional precision arg (0-3, default
+# 2). The registered SQL UDFs are fixed-arity 1-arg; the 2-arg literal-
+# precision form inlines the same CASE ladder with %.{p}f.
+_HR_LADDERS = {
+    "HUMAN_READABLE_BINARY_BYTE_FORMAT": (
+        "concat({n}, ' B')",
+        [(1024, "1024e0", "KiB"), (1048576, "1048576e0", "MiB"),
+         (1073741824, "1073741824e0", "GiB"),
+         (1099511627776, "1099511627776e0", "TiB")],
+        ("1125899906842624e0", "PiB")),
+    "HUMAN_READABLE_DECIMAL_BYTE_FORMAT": (
+        "concat({n}, ' B')",
+        [(1000, "1e3", "KB"), (1000000, "1e6", "MB"),
+         (1000000000, "1e9", "GB")],
+        ("1e12", "TB")),
+    "HUMAN_READABLE_DECIMAL_FORMAT": (
+        "cast({n} AS STRING)",
+        [(1000, "1e3", "K"), (1000000, "1e6", "M"),
+         (1000000000, "1e9", "G")],
+        ("1e12", "T")),
+}
+
+
+def _human_readable(fname: str):
+    first, ladder, (fdiv, funit) = _HR_LADDERS[fname]
+
+    def build(args):
+        if len(args) != 2 or not re.fullmatch(r"[0-3]", args[1].strip()):
+            return None
+        n, p = args[0], int(args[1])
+        arms = [f"WHEN ({n}) IS NULL THEN CAST(NULL AS STRING)",
+                f"WHEN abs({n}) < {ladder[0][0]} THEN "
+                + first.format(n=n)]
+        for i, (_, div, unit) in enumerate(ladder):
+            nxt = ladder[i + 1][0] if i + 1 < len(ladder) else None
+            cond = f"abs({n}) < {nxt}" if nxt else None
+            body = f"format_string('%.{p}f {unit}', ({n}) / {div})"
+            arms.append(f"WHEN {cond} THEN {body}" if cond
+                        else f"WHEN abs({n}) < 0 THEN {body}")
+        # last ladder arm has no upper bound; fold it + final unit
+        arms[-1] = (f"WHEN abs({n}) < {int(float(fdiv))} THEN "
+                    f"format_string('%.{p}f {ladder[-1][2]}', "
+                    f"({n}) / {ladder[-1][1]})")
+        arms.append(f"ELSE format_string('%.{p}f {funit}', "
+                    f"({n}) / {fdiv})")
+        return "(CASE " + " ".join(arms) + " END)"
+    return build
+
+
 _TS_ARG = re.compile(r"(?is)^(?:__time|TIMESTAMP\s+'[^']*')$")
 _TS_FUNC_HEAD = re.compile(
     r"(?is)^(?:TIME_FLOOR|TIME_CEIL|TIME_SHIFT|TIME_PARSE"
@@ -1201,6 +1251,8 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # epoch millis (timestamps are longs in the native layer — the
     # string_agg_timestamp golden files pin '1577840461000', not ISO).
     out = _rewrite_call(out, "TIME_IN_INTERVAL", _time_in_interval)
+    for _hr in _HR_LADDERS:
+        out = _rewrite_call(out, _hr, _human_readable(_hr))
     out = _rewrite_call(out, "CAST", _cast_ts_bigint)
     out = _rewrite_call(out, "STRING_AGG", _string_agg_call)
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)

@@ -650,3 +650,22 @@ def test_ref_vector_is_not_distinct_from(fooeng):
         "WHERE (dim1 >= 'a' AND dim1 < 'b') "
         "OR dim1 IS NOT DISTINCT FROM 'ab'").collect()[0]
     assert r["n"] == 1
+
+
+def test_ref_vector_human_readable_formats(numfooeng):
+    """CalciteQueryTest.java:14636 — exact reference strings, incl.
+    the 2-arg precision form and NULL passthrough for null l1."""
+    r = numfooeng.sql(
+        "SELECT HUMAN_READABLE_BINARY_BYTE_FORMAT(45678) AS a, "
+        "HUMAN_READABLE_BINARY_BYTE_FORMAT(m1 * 12345) AS b, "
+        "HUMAN_READABLE_BINARY_BYTE_FORMAT(m1 * 12345, 0) AS c, "
+        "HUMAN_READABLE_DECIMAL_BYTE_FORMAT(m1 * 12345) AS d, "
+        "HUMAN_READABLE_DECIMAL_FORMAT(m1 * 12345) AS e, "
+        "HUMAN_READABLE_BINARY_BYTE_FORMAT(l1) AS f "
+        "FROM numfoo WHERE dim1 = '1' LIMIT 1").collect()[0]
+    assert r["a"] == "44.61 KiB"
+    assert r["b"] == "48.22 KiB"
+    assert r["c"] == "48 KiB"
+    assert r["d"] == "49.38 KB"
+    assert r["e"] == "49.38 K"
+    assert r["f"] is None
