@@ -250,7 +250,17 @@ _FUNCS: list[tuple[str, str, str, str]] = [
                        cast(floor(q * (size(arr) - 1)) AS INT)))
       END"""),
     # json
-    ("JSON_VALUE", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
+    # SCALAR-ONLY like the reference (JsonValueExprMacro;
+    # CalciteNestedDataQueryTest pins JSON_VALUE(nester,'$') = null for
+    # object/array rows — round 7): an extracted value that is itself
+    # JSON structure yields NULL; JSON_QUERY returns it. Structure is
+    # detected by parseability (json_object_keys / json_array_length
+    # are NULL for scalars and invalid JSON), not by prefix, so string
+    # scalars containing braces survive.
+    ("JSON_VALUE", "j STRING, p STRING", "STRING", """
+      CASE WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL
+             OR json_array_length(get_json_object(j, p)) IS NOT NULL
+           THEN NULL ELSE get_json_object(j, p) END"""),
     ("JSON_QUERY", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
     # root path is spelled '$' or '$.' in the reference's tests
     # (NestedDataExpressions.java json_keys)
