@@ -10264,6 +10264,49 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(COUNT(*) FILTER (WHERE l_tax = 0.0) AS BIGINT)
                  AS zc
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
+    # Conformance batch 69 (round 7 cont.): nested-data semantics from
+    # CalciteNestedDataQueryTest — JSON_VALUE scalar-only
+    # (testGroupByRootPath), JSON_QUERY NESTED_DATA rendering with
+    # quoted string scalars (testJsonQuery), negative JSONPath indexes
+    # (testJsonPathNegativeIndex), JSON_PATHS of non-JSON input
+    # (testJsonPathsNonJsonInput), NULL ON EMPTY/ERROR options
+    # (testJsonValueUnDocumentedButSupportedOptions).
+    "sqlc_json_value_scalar_only": ("""
+        SELECT JSON_VALUE('{"o": {"a": 1}, "arr": [1,2], "s": "x"}',
+                          '$.o') AS obj,
+               JSON_VALUE('{"o": {"a": 1}, "arr": [1,2], "s": "x"}',
+                          '$.arr') AS arr,
+               JSON_VALUE('{"o": {"a": 1}, "arr": [1,2], "s": "x"}',
+                          '$.s') AS s,
+               JSON_VALUE('{"o": {"a": 1}, "arr": [1,2], "s": "x"}',
+                          '$') AS root""", """
+        SELECT CAST(NULL AS VARCHAR) AS obj, CAST(NULL AS VARCHAR) AS arr,
+               'x' AS s, CAST(NULL AS VARCHAR) AS root"""),
+    "sqlc_json_query_scalar_quoted": ("""
+        SELECT JSON_QUERY('{"a": "b"}', '$.a') AS qs,
+               JSON_QUERY('{"a": 2}', '$.a') AS qn,
+               JSON_QUERY('{"a": true}', '$.a') AS qb,
+               JSON_QUERY('{"a": {"b": 1}}', '$.a') AS qo""", """
+        SELECT '"b"' AS qs, '2' AS qn, 'true' AS qb,
+               '{"b":1}' AS qo"""),
+    "sqlc_json_negative_index": ("""
+        SELECT JSON_VALUE('{"arr": [10, 20, 30]}', '$.arr[-1]') AS last,
+               JSON_VALUE('{"arr": [10, 20, 30]}', '$.arr[-3]') AS first,
+               JSON_VALUE('{"arr": [10, 20, 30]}', '$.arr[-9]') AS oob,
+               JSON_VALUE('[7, 8]', '$[-1]') AS root_last""", """
+        SELECT '30' AS last, '10' AS first,
+               CAST(NULL AS VARCHAR) AS oob, '8' AS root_last"""),
+    "sqlc_json_paths_scalar_and_array": ("""
+        SELECT ARRAY_TO_STRING(JSON_PATHS('1234'), ',') AS ps,
+               ARRAY_TO_STRING(JSON_PATHS('[5, 6]'), ',') AS pa""", """
+        SELECT '$' AS ps, '$[0],$[1]' AS pa"""),
+    "sqlc_json_value_on_empty_options": ("""
+        SELECT CAST(SUM(JSON_VALUE(props, '$.k'
+                 RETURNING BIGINT NULL ON EMPTY NULL ON ERROR))
+               AS BIGINT) AS s
+        FROM events""", """
+        SELECT CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS s
+        FROM events"""),
 }
 
 

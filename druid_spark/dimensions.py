@@ -12,13 +12,15 @@ All compile to Column expressions (JVM-side, codegen'd).
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from druid_spark import granularity as G
-from druid_spark.expr import compile_expr
+from druid_spark.expr import compile_expr, json_query_render, \
+    json_value_scalar
 
 
 def virtual_columns(spec: list[dict] | None,
@@ -64,14 +66,28 @@ def virtual_columns(spec: list[dict] | None,
                     f".{p['field']}" if p.get("type") == "field"
                     else f"[{p['index']}]" for p in vc["pathParts"])
             elif path and not path.startswith("$"):
-                path = "$" + path  # jq-style ".x.y"
+                # jq-style ".x.[1]" only with the explicit flag
+                # (NestedFieldVirtualColumn useJqSyntax; otherwise the
+                # reference rejects the path —
+                # getJsonPathPartsFromLiteral)
+                if not vc.get("useJqSyntax"):
+                    raise ValueError(
+                        f"JSONPath [{path}] is invalid, it must start"
+                        " with '$'")
+                path = "$" + re.sub(r"\.\[", "[", path)
             typ = (vc.get("expectedType") or "STRING").upper()
             base_t = {"STRING": "string", "LONG": "long",
                       "DOUBLE": "double", "FLOAT": "float"}.get(
                       typ.split("<")[0])
-            got = F.get_json_object(col.cast("string"), path)
-            # COMPLEX<json> / ARRAY types keep the raw JSON text
-            out[vc["name"]] = got.cast(base_t) if base_t else got
+            j = col.cast("string")
+            if base_t:
+                # scalar expected type: objects/arrays at the path are
+                # missing (JsonValueExprMacro semantics)
+                out[vc["name"]] = json_value_scalar(j, path).cast(base_t)
+            else:
+                # COMPLEX<json> / processFromRaw: NESTED_DATA rendering
+                # (string scalars JSON-quoted — testJsonQuery)
+                out[vc["name"]] = json_query_render(j, path)
         else:
             raise NotImplementedError(f"virtual column type {t}")
     return out

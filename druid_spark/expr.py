@@ -505,6 +505,97 @@ def _f(fn):
     return lambda cols, nodes: fn(*cols)
 
 
+def jpath_norm(j: Column, path: str) -> "Column | str":
+    """Validate + normalize a literal JSONPath for get_json_object.
+
+    - Must start with '$' (getJsonPathPartsFromLiteral,
+      NestedDataExpressions.java — CalciteNestedDataQueryTest
+      testGroupByInvalidPath pins the error text).
+    - A trailing negative array index (NestedPathFinder supports
+      them — testJsonPathNegativeIndex) becomes a runtime-computed
+      positive index: len(array at prefix) + n.
+    Returns a str when the path needs no rewrite (the fast literal
+    path in GetJsonObject), else a Column.
+    """
+    if not path.startswith("$"):
+        raise ValueError(
+            f"JSONPath [{path}] is invalid, it must start with '$'")
+    m = re.search(r"\[(-\d+)\]$", path)
+    if not m:
+        return path
+    pre = path[:m.start()] or "$"
+    ln = F.json_array_length(F.get_json_object(j, pre))
+    return F.concat(F.lit(pre + "["),
+                    (ln + F.lit(int(m.group(1)))).cast("string"),
+                    F.lit("]"))
+
+
+def _jget(j: Column, path: str) -> Column:
+    np = jpath_norm(j, path)
+    if isinstance(np, str):
+        return F.get_json_object(j, np)
+    return F.call_function("get_json_object", j, np)
+
+
+def json_value_scalar(j: Column, path: str) -> Column:
+    """json_value is SCALAR-only (JsonValueExprMacro eval — objects and
+    arrays at the path yield missing; CalciteNestedDataQueryTest
+    testGroupByRootPath pins null groups for object rows). Structure is
+    detected by parseability of the extracted text, so string scalars
+    containing braces survive; a string scalar whose text IS valid JSON
+    structure is indistinguishable post-extraction (documented edge)."""
+    raw = _jget(j, path)
+    is_struct = (F.json_object_keys(raw).isNotNull()
+                 | F.json_array_length(raw).isNotNull())
+    return F.when(~is_struct, raw)
+
+
+def json_query_render(j: Column, path: str) -> Column:
+    """json_query keeps structure and renders it as NESTED_DATA —
+    string scalars come back JSON-quoted (testJsonQuery pins
+    JSON_QUERY(nester,'$') = '"hello"' for the scalar-string row).
+    Numbers/booleans render bare; backslash and quote are JSON-escaped
+    (control characters inside strings are not re-escaped — documented
+    edge of the text-extraction path)."""
+    raw = _jget(j, path)
+    is_struct = (F.json_object_keys(raw).isNotNull()
+                 | F.json_array_length(raw).isNotNull())
+    bare = raw.isin("true", "false") | raw.try_cast("double").isNotNull()
+    quoted = F.concat(
+        F.lit('"'),
+        F.replace(F.replace(raw, F.lit("\\"), F.lit("\\\\")),
+                  F.lit('"'), F.lit('\\"')),
+        F.lit('"'))
+    return (F.when(raw.isNull(), F.lit(None).cast("string"))
+             .when(is_struct | bare, raw)
+             .otherwise(quoted))
+
+
+def _json_value_native(j: Column, nodes) -> Column:
+    """2-arg json_value = scalar-only; 3-arg (JsonValueCastExpr) casts
+    to the named ExpressionType — ARRAY types keep primitive arrays
+    (isPrimitiveArray passes in the reference's eval)."""
+    path = _lit_of(nodes[1])
+    if len(nodes) > 2:
+        t = str(_lit_of(nodes[2])).upper().replace(" ", "")
+        if t.startswith("ARRAY"):
+            elem = {"ARRAY<LONG>": "bigint", "ARRAY<DOUBLE>": "double",
+                    "ARRAY<FLOAT>": "float"}.get(t, "string")
+            return F.from_json(_jget(j, path), f"array<{elem}>")
+        base = {"LONG": "long", "DOUBLE": "double", "FLOAT": "float",
+                "STRING": "string"}.get(t, "string")
+        return json_value_scalar(j, path).cast(base)
+    return json_value_scalar(j, path)
+
+
+def json_keys_at(j: Column, path: str = "$") -> Column:
+    """json_keys(expr, path): object keys at path; null for scalars,
+    arrays, and non-JSON input (testJsonKeysNonJsonInput)."""
+    if path in ("$", "$."):
+        return F.json_object_keys(j)
+    return F.json_object_keys(_jget(j, path))
+
+
 _FUNCS: dict[str, Callable] = {
     # math — Function.java
     "abs": _f(F.abs), "acos": _f(F.acos), "asin": _f(F.asin), "atan": _f(F.atan),
@@ -641,9 +732,11 @@ _FUNCS: dict[str, Callable] = {
         "shiftright", a.cast("long"), b.cast("int"))),
     "bitwisecomplement": _f(lambda a: F.bitwise_not(a.cast("long"))),
     # json — query/expression/NestedDataExpressions.java
-    "json_value": lambda cols, nodes: F.get_json_object(cols[0], _lit_of(nodes[1])),
-    "json_query": lambda cols, nodes: F.get_json_object(cols[0], _lit_of(nodes[1])),
-    "json_keys": lambda cols, nodes: F.json_object_keys(cols[0]),
+    "json_value": lambda cols, nodes: _json_value_native(cols[0], nodes),
+    "json_query": lambda cols, nodes: json_query_render(
+        cols[0], _lit_of(nodes[1])),
+    "json_keys": lambda cols, nodes: json_keys_at(
+        cols[0], _lit_of(nodes[1]) if len(nodes) > 1 else "$"),
     "to_json_string": _f(F.to_json),
     "parse_json": _f(lambda x: x),  # kept as string; json fns accept strings
     "try_parse_json": _f(lambda x: x),

@@ -31,6 +31,25 @@ _MONTH_FLOOR = """
 _N_MONTHS = "cast(regexp_extract(p, 'P([0-9]+)M', 1) AS BIGINT)"
 _N_YEARS = "cast(regexp_extract(p, 'P([0-9]+)Y', 1) AS BIGINT)"
 
+# JSONPath normalization shared by the JSON_* SQL UDFs: the path must
+# start with '$' (getJsonPathPartsFromLiteral — the reference's error
+# text is pinned by CalciteNestedDataQueryTest testGroupByInvalidPath)
+# and a trailing negative array index [-n] (NestedPathFinder supports
+# negative indexes — testJsonPathNegativeIndex) is rewritten to the
+# length-relative positive index at runtime. Out-of-range stays
+# negative and extracts NULL.
+_JNP = """CASE
+        WHEN p NOT LIKE '$%' THEN raise_error(concat(
+          'JSONPath [', p, '] is invalid, it must start with ''$'''))
+        WHEN p RLIKE '\\\\[-[0-9]+\\\\]$' THEN concat(
+          regexp_replace(p, '\\\\[-[0-9]+\\\\]$', ''), '[',
+          cast(json_array_length(get_json_object(j,
+                 regexp_replace(p, '\\\\[-[0-9]+\\\\]$', '')))
+               + cast(regexp_extract(p, '\\\\[(-[0-9]+)\\\\]$', 1)
+                      AS INT) AS STRING), ']')
+        ELSE p END"""
+_JGET = f"get_json_object(j, {_JNP})"
+
 # period → (date_trunc unit); generic P<n>M / P<n>Y floor on the
 # calendar (variable-length months); fixed-width fallback for PT<n>X /
 # P<n>D / P<n>W; unknown periods yield NULL (never a silent 1-day bucket)
@@ -256,36 +275,58 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # JSON structure yields NULL; JSON_QUERY returns it. Structure is
     # detected by parseability (json_object_keys / json_array_length
     # are NULL for scalars and invalid JSON), not by prefix, so string
-    # scalars containing braces survive.
-    ("JSON_VALUE", "j STRING, p STRING", "STRING", """
-      CASE WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL
-             OR json_array_length(get_json_object(j, p)) IS NOT NULL
-           THEN NULL ELSE get_json_object(j, p) END"""),
-    ("JSON_QUERY", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
+    # scalars containing braces survive. _JNP validates the path
+    # (must start with '$' — testGroupByInvalidPath error text) and
+    # rewrites a trailing negative array index (NestedPathFinder
+    # supports them — testJsonPathNegativeIndex) to a runtime
+    # length-relative positive index.
+    ("JSON_VALUE", "j STRING, p STRING", "STRING", f"""
+      CASE WHEN json_object_keys({_JGET}) IS NOT NULL
+             OR json_array_length({_JGET}) IS NOT NULL
+           THEN NULL ELSE {_JGET} END"""),
+    # json_query keeps structure and renders it as NESTED_DATA: string
+    # scalars come back JSON-quoted (testJsonQuery pins '"hello"'),
+    # numbers/booleans bare, backslash+quote JSON-escaped (control
+    # chars inside strings are not re-escaped — documented edge)
+    ("JSON_QUERY", "j STRING, p STRING", "STRING", f"""
+      CASE WHEN {_JGET} IS NULL THEN NULL
+           WHEN json_object_keys({_JGET}) IS NOT NULL
+             OR json_array_length({_JGET}) IS NOT NULL
+             OR {_JGET} IN ('true', 'false')
+             OR try_cast({_JGET} AS DOUBLE) IS NOT NULL
+           THEN {_JGET}
+           ELSE concat('"', replace(replace({_JGET}, '\\\\', '\\\\\\\\'),
+                                    '"', '\\\\"'), '"')
+      END"""),
     # root path is spelled '$' or '$.' in the reference's tests
-    # (NestedDataExpressions.java json_keys)
-    ("JSON_KEYS", "j STRING, p STRING", "ARRAY<STRING>",
-     "json_object_keys(CASE WHEN p IN ('$', '$.') THEN j "
-     "ELSE get_json_object(j, p) END)"),
+    # (NestedDataExpressions.java json_keys); keys of scalars/arrays/
+    # non-JSON are NULL (testJsonKeysNonJsonInput)
+    ("JSON_KEYS", "j STRING, p STRING", "ARRAY<STRING>", f"""
+      json_object_keys(CASE WHEN p IN ('$', '$.') THEN j
+                            ELSE {_JGET} END)"""),
     # json_query_array (NestedDataExpressions.java:651): JSON array at
     # path → ARRAY of element strings (objects come back as JSON text)
     ("JSON_QUERY_ARRAY", "j STRING, p STRING", "ARRAY<STRING>",
-     "from_json(get_json_object(j, p), 'ARRAY<STRING>')"),
+     f"from_json({_JGET}, 'ARRAY<STRING>')"),
     # json_paths (NestedDataExpressions.java:743): '$.'-prefixed paths.
-    # Top-level keys only (the reference walks nested objects too; deep
-    # literal-path enumeration isn't expressible as a Column tree —
-    # documented divergence, same shape for flat objects)
-    # leaf paths (NestedPathFinder): descends nested objects to depth 2
-    # (documented limit of the SQL-UDF form; deeper levels report the
-    # depth-2 prefix)
+    # Non-JSON / scalar input reports the root path ['$']
+    # (testJsonPathsNonJsonInput pins JSON_PATHS(1234) = ['$']);
+    # top-level arrays report per-index paths. Object walk descends to
+    # depth 2 (documented limit of the SQL-UDF form; deeper levels
+    # report the depth-2 prefix).
     ("JSON_PATHS", "j STRING", "ARRAY<STRING>", """
-      flatten(transform(json_object_keys(j), k ->
-        CASE WHEN json_object_keys(get_json_object(j, concat('$.', k)))
-                  IS NOT NULL
-             THEN transform(
-                    json_object_keys(get_json_object(j, concat('$.', k))),
-                    k2 -> concat('$.', k, '.', k2))
-             ELSE array(concat('$.', k)) END))"""),
+      CASE WHEN size(json_object_keys(j)) > 0 THEN
+        flatten(transform(json_object_keys(j), k ->
+          CASE WHEN json_object_keys(get_json_object(j, concat('$.', k)))
+                    IS NOT NULL
+               THEN transform(
+                      json_object_keys(get_json_object(j, concat('$.', k))),
+                      k2 -> concat('$.', k, '.', k2))
+               ELSE array(concat('$.', k)) END))
+      WHEN json_array_length(j) > 0 THEN
+        transform(sequence(0, json_array_length(j) - 1),
+                  i -> concat('$[', cast(i AS STRING), ']'))
+      ELSE array('$') END"""),
     # (TRY_PARSE_JSON / PARSE_JSON are Spark builtins — variant-typed)
     ("TO_JSON_STRING", "j STRING", "STRING", "j"),
     # DECODE_BASE64_COMPLEX(typeName, base64) — reference

@@ -43,6 +43,33 @@ def _skip_string(s: str, i: int) -> int:
     return len(s)
 
 
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace single-quoted string literals with bracket-free \\x00N\\x00
+    placeholders so a regex rewrite can't fire inside a literal (a
+    JSONPath like '$.array[-1]' must survive the ARRAY[...] constructor
+    rewrite). Restore with _unmask_strings."""
+    lits: list[str] = []
+    out: list[str] = []
+    i = seg = 0
+    while i < len(sql):
+        if sql[i] == "'":
+            j = _skip_string(sql, i)
+            out.append(sql[seg:i])
+            out.append(f"\x00{len(lits)}\x00")
+            lits.append(sql[i:j + 1])
+            i = j + 1
+            seg = i
+        else:
+            i += 1
+    out.append(sql[seg:])
+    return "".join(out), lits
+
+
+def _unmask_strings(sql: str, lits: list[str]) -> str:
+    return re.sub("\x00([0-9]+)\x00",
+                  lambda m: lits[int(m.group(1))], sql)
+
+
 def _rewrite_call(sql: str, fname: str, builder) -> str:
     """Rewrite calls of `fname` via builder(args)->replacement | None
     (None = leave untouched). Balanced-paren scan, top-level comma
@@ -1042,11 +1069,17 @@ def _rewrite_json_returning(sql: str) -> str:
                 depth -= 1
             i += 1
         inner = sql[m.end():i - 1]
+        # NULL|ERROR ON EMPTY|ERROR options (SqlJsonValueFunction —
+        # testJsonValueUnDocumentedButSupportedOptions): the reference
+        # accepts and ignores them (missing/error is always null), so
+        # strip before matching RETURNING
+        stripped = re.sub(r"\s+(?:NULL|ERROR)\s+ON\s+(?:EMPTY|ERROR)",
+                          "", inner, flags=re.IGNORECASE)
         m2 = re.search(r"\s+RETURNING\s+([A-Za-z]+)(\s+ARRAY)?\s*$",
-                       inner, re.IGNORECASE)
+                       stripped, re.IGNORECASE)
         if m2:
             t = _JSON_RETURNING_TYPES.get(m2.group(1).upper(), "STRING")
-            args = inner[:m2.start()]
+            args = stripped[:m2.start()]
             if m2.group(2):
                 # RETURNING <type> ARRAY (SqlJsonValueFunction array
                 # arm, the form Druid pairs with UNNEST): pure
@@ -1056,6 +1089,10 @@ def _rewrite_json_returning(sql: str) -> str:
                        f"'array<{t.lower()}>')")
             else:
                 rep = f"CAST(JSON_VALUE({args}) AS {t})"
+            sql = sql[:m.start()] + rep + sql[i:]
+            pos = m.start() + len(rep)
+        elif stripped != inner:
+            rep = f"JSON_VALUE({stripped})"
             sql = sql[:m.start()] + rep + sql[i:]
             pos = m.start() + len(rep)
         else:
@@ -1360,10 +1397,15 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
             else None))
     # Calcite ARRAY[...] constructor → Spark array(...). Innermost-first
     # so nested ARRAY[ARRAY[1], ARRAY[2]] rewrites cleanly; the inner
-    # pattern is bracket-free, so repetition terminates.
+    # pattern is bracket-free, so repetition terminates. String
+    # literals are masked first — a JSONPath literal like
+    # '$.array[-1]' must not match (testJsonPathNegativeIndex).
     pat = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", flags=re.IGNORECASE)
-    while pat.search(out):
-        out = pat.sub(lambda m: f"array({m.group(1)})", out)
+    if pat.search(out):
+        masked, _lits = _mask_strings(out)
+        while pat.search(masked):
+            masked = pat.sub(lambda m: f"array({m.group(1)})", masked)
+        out = _unmask_strings(masked, _lits)
 
     # ARRAY-RETURNING alias UDFs inline to their builtins. NOT a
     # style choice: Spark 4.1's analyzer mis-inlines a SQL UDF whose
