@@ -96,44 +96,18 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_png(b: bytes) -> np.ndarray:
-    """PNG → (h, w, channels) uint8 array, library-free (round 7,
-    the same pure-Python-public-format move as ingest/protobuf.py):
-    stdlib zlib inflates the concatenated IDAT stream, then each
-    scanline is unfiltered per the five standard filter types
-    (PNG spec §6: None/Sub/Up/Average/Paeth). Supports bit depth 8,
-    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced. JPEG and Adam7-interlaced PNG stay honestly
-    stubbed — those need a DCT/multi-pass decoder, not just inflate."""
-    import zlib
-    if not b or not b.startswith(_PNG_SIG):
-        raise NotImplementedError("not a PNG signature")
-    i, w = len(_PNG_SIG), 0
-    h = depth = ctype = interlace = None
-    idat = bytearray()
-    while i + 8 <= len(b):
-        ln = int.from_bytes(b[i:i + 4], "big")
-        typ = b[i + 4:i + 8]
-        data = b[i + 8:i + 8 + ln]
-        i += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            w = int.from_bytes(data[0:4], "big")
-            h = int.from_bytes(data[4:8], "big")
-            depth, ctype, interlace = data[8], data[9], data[12]
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if depth != 8 or ctype not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} / color type {ctype} "
-            "(8-bit gray/RGB/gray-alpha/RGBA decode for real)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG is stubbed")
-    c = _PNG_CHANNELS[ctype]
-    raw = zlib.decompress(bytes(idat))
+# Adam7 pass grid: (x_start, x_step, y_start, y_step), PNG spec §8.2
+_ADAM7 = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Unfilter h scanlines of w pixels × c channels from the head of
+    `raw` per the five standard filter types (PNG spec §6:
+    None/Sub/Up/Average/Paeth). Returns an (h, w*c) uint8 array;
+    consumes exactly h*(w*c+1) bytes."""
     stride = w * c
-    if len(raw) != h * (stride + 1):
+    if len(raw) < h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -166,7 +140,61 @@ def _decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {ft}")
         out[y] = cur
         prev = cur
-    return out.reshape(h, w, c)
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG → (h, w, channels) uint8 array, library-free (round 7,
+    the same pure-Python-public-format move as ingest/protobuf.py):
+    stdlib zlib inflates the concatenated IDAT stream, then each
+    scanline is unfiltered per the five standard filter types.
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced
+    (each of the 7 passes is its own filtered sub-image, scattered
+    onto the pass grid — PNG spec §8.2)."""
+    import zlib
+    if not b or not b.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG signature")
+    i, w = len(_PNG_SIG), 0
+    h = depth = ctype = interlace = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        i += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {ctype} "
+            "(8-bit gray/RGB/gray-alpha/RGBA decode for real)")
+    c = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        if len(raw) != h * (w * c + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        return _png_unfilter(raw, h, w, c).reshape(h, w, c)
+    # Adam7: seven sequential sub-images, each filtered independently
+    out = np.zeros((h, w, c), dtype=np.uint8)
+    pos = 0
+    for xs, xstep, ys, ystep in _ADAM7:
+        pw = -(-(w - xs) // xstep) if w > xs else 0
+        ph = -(-(h - ys) // ystep) if h > ys else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = _png_unfilter(raw[pos:], ph, pw, c).reshape(ph, pw, c)
+        pos += ph * (pw * c + 1)
+        out[ys::ystep, xs::xstep] = sub
+    if pos != len(raw):
+        raise ValueError("PNG IDAT length mismatch")
+    return out
 
 
 def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:

@@ -426,11 +426,12 @@ def test_temperature_sample_invariants(spark):
     assert again == got  # deterministic
 
 
-def _raw_png(scanlines: list[bytes], w: int, h: int, ctype: int) -> bytes:
+def _raw_png(scanlines: list[bytes], w: int, h: int, ctype: int,
+             interlace: int = 0) -> bytes:
     """Test-local PNG builder from RAW struct/zlib primitives — no
     module encoders — so the decoder under test can't share a
     symmetric bug with its fixture. `scanlines` already carry their
-    filter byte."""
+    filter byte (for Adam7, the concatenated pass scanlines)."""
     import struct
     import zlib
 
@@ -440,7 +441,7 @@ def _raw_png(scanlines: list[bytes], w: int, h: int, ctype: int) -> bytes:
 
     return (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
-                                         0, 0, 0))
+                                         0, 0, interlace))
             + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
             + chunk(b"IEND", b""))
 
@@ -504,6 +505,44 @@ def test_png_decode_all_filter_types():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         _decode_png(bad)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7-interlaced PNG (spec §8.2): the seven passes — each its
+    own filtered sub-image — scatter back onto the pass grid. Passes
+    hand-serialized in pass order from the expected pixels (one pass
+    uses the Sub filter to prove per-pass filtering is independent)."""
+    import numpy as np
+
+    from druid_spark.datapipe.multimodal import _ADAM7, _decode_png
+
+    expected = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3 % 251
+    lines = []
+    for pi, (xs, xstep, ys, ystep) in enumerate(_ADAM7):
+        sub = expected[ys::ystep, xs::xstep]
+        for row in sub:
+            if pi == 6:  # widest pass: Sub filter
+                enc = [int(row[0])] + [
+                    (int(row[x]) - int(row[x - 1])) & 0xFF
+                    for x in range(1, len(row))]
+                lines.append(b"\x01" + bytes(enc))
+            else:
+                lines.append(b"\x00" + bytes(row.tolist()))
+    arr = _decode_png(_raw_png(lines, 8, 8, 0, interlace=1))
+    assert arr.shape == (8, 8, 1)
+    assert np.array_equal(arr[..., 0], expected)
+
+    # non-multiple-of-8 dims: empty/partial passes handled
+    exp2 = (np.arange(5 * 3, dtype=np.uint8).reshape(5, 3) * 7) % 253
+    lines2 = []
+    for xs, xstep, ys, ystep in _ADAM7:
+        sub = exp2[ys::ystep, xs::xstep]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            lines2.append(b"\x00" + bytes(row.tolist()))
+    arr2 = _decode_png(_raw_png(lines2, 3, 5, 0, interlace=1))
+    assert np.array_equal(arr2[..., 0], exp2)
 
 
 def test_png_through_spark_feature_and_resize_path(spark):
@@ -769,13 +808,13 @@ def test_jpeg_roundtrip_solid_and_gradient():
     out = decode_jpeg(_jpeg_encode(grad))
     assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 4
 
-    # progressive (SOF2) stays honestly stubbed
+    # arithmetic-coded (SOF9) stays honestly stubbed
     import struct
-    sof2 = (b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 11)
+    sof9 = (b"\xff\xd8" + bytes([0xFF, 0xC9]) + struct.pack(">H", 11)
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1,
                                                              0x11, 0]))
     with _pt.raises(NotImplementedError):
-        decode_jpeg(sof2 + b"\xff\xd9")
+        decode_jpeg(sof9 + b"\xff\xd9")
 
 
 def test_jpeg_through_spark_feature_path(spark):
@@ -927,6 +966,310 @@ def test_jpeg_420_subsampled_decode():
     out = decode_jpeg(jpg)
     assert out.shape == (16, 16, 3)
     assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 3
+
+
+def _jpeg_encode_progressive(rgb, gray=False):
+    """(h, w, 3) uint8 → PROGRESSIVE (SOF2) JFIF bytes, test-local and
+    independent of the decoder: successive approximation Al=1 first
+    passes + Ah=1→Al=0 refinement passes, spectral bands split at 5/6.
+    DC uses the arithmetic shift, AC first passes truncate toward zero
+    and refinements emit correction bits (T.81 G.1.2)."""
+    import struct
+
+    import numpy as np
+
+    from druid_spark.datapipe.jpeg import ZIGZAG, _C
+
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    planes = [0.299 * r + 0.587 * g + 0.114 * b,
+              -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+              0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    if gray:
+        planes = planes[:1]
+    nby, nbx = h // 8, w // 8
+    blocks = []  # [ci][by*nbx+bx] = int zigzag coefficients
+    for plane in planes:
+        bs = []
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coeff = _C @ (blk - 128.0) @ _C.T
+                bs.append(np.round(
+                    coeff.reshape(-1)[ZIGZAG]).astype(int))
+        blocks.append(bs)
+
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_counts = [0] * 8 + [255, 1] + [0] * 6
+    ac_syms = list(range(256))
+
+    def codes(counts, syms):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                out[syms[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_code = codes(dc_counts, dc_syms)
+    ac_code = codes(ac_counts, ac_syms)
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    class _Bits:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, ln, v):
+            for i in range(ln - 1, -1, -1):
+                self.bits.append((v >> i) & 1)
+
+        def bytes(self):
+            while len(self.bits) % 8:
+                self.bits.append(1)
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                byte = 0
+                for bit in self.bits[i:i + 8]:
+                    byte = (byte << 1) | bit
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    def sos(comp_ids, ss, se, ah, al, body):
+        head = bytes([len(comp_ids)] + sum(
+            ([cid, 0x00] for cid in comp_ids), [])
+            + [ss, se, (ah << 4) | al])
+        return seg(0xDA, head) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    comp_sof = [1, 1, 0x11, 0] if gray else \
+        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w)
+               + bytes(comp_sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift + diff)
+    bw = _Bits()
+    preds = [0] * len(planes)
+    for bi in range(nby * nbx):
+        for ci in range(len(planes)):
+            v = int(blocks[ci][bi][0]) >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = cat(diff)
+            ln, cd = dc_code[t]
+            bw.put(ln, cd)
+            if t:
+                bw.put(t, diff if diff > 0 else diff + (1 << t) - 1)
+    ids = [1] if gray else [1, 2, 3]
+    out += sos(ids, 0, 0, 0, 1, bw.bytes())
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one bit per block
+    bw = _Bits()
+    for bi in range(nby * nbx):
+        for ci in range(len(planes)):
+            bw.put(1, int(blocks[ci][bi][0]) & 1)
+    out += sos(ids, 0, 0, 1, 0, bw.bytes())
+
+    def ac_first(ci, ss, se, al):
+        bw = _Bits()
+        for bi in range(nby * nbx):
+            zz = blocks[ci][bi]
+            tv = [(abs(int(zz[k])) >> al) * (1 if zz[k] > 0 else -1)
+                  for k in range(64)]
+            run = 0
+            last = max([k for k in range(ss, se + 1) if tv[k]]
+                       or [ss - 1])
+            for k in range(ss, last + 1):
+                if tv[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, cd = ac_code[0xF0]
+                    bw.put(ln, cd)
+                    run -= 16
+                s = cat(tv[k])
+                ln, cd = ac_code[(run << 4) | s]
+                bw.put(ln, cd)
+                bw.put(s, tv[k] if tv[k] > 0 else tv[k] + (1 << s) - 1)
+                run = 0
+            if last < se:
+                ln, cd = ac_code[0x00]
+                bw.put(ln, cd)
+        return bw.bytes()
+
+    def ac_refine(ci, ss, se, al):
+        bw = _Bits()
+        for bi in range(nby * nbx):
+            zz = blocks[ci][bi]
+            run, br = 0, []
+            for k in range(ss, se + 1):
+                t = abs(int(zz[k])) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                if t > 1:  # history-nonzero → buffered correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant at this precision
+                while run > 15:
+                    ln, cd = ac_code[0xF0]
+                    bw.put(ln, cd)
+                    for bit in br:
+                        bw.put(1, bit)
+                    br = []
+                    run -= 16
+                ln, cd = ac_code[(run << 4) | 1]
+                bw.put(ln, cd)
+                bw.put(1, 1 if zz[k] > 0 else 0)
+                for bit in br:
+                    bw.put(1, bit)
+                br = []
+                run = 0
+            if run > 0 or br:
+                ln, cd = ac_code[0x00]  # EOB: run of 1 block
+                bw.put(ln, cd)
+                for bit in br:
+                    bw.put(1, bit)
+        return bw.bytes()
+
+    for ci, cid in enumerate(ids):
+        out += sos([cid], 1, 5, 0, 1, ac_first(ci, 1, 5, 1))
+        out += sos([cid], 6, 63, 0, 1, ac_first(ci, 6, 63, 1))
+    for ci, cid in enumerate(ids):
+        out += sos([cid], 1, 5, 1, 0, ac_refine(ci, 1, 5, 0))
+        out += sos([cid], 6, 63, 1, 0, ac_refine(ci, 6, 63, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) decode: successive-approximation DC/AC first
+    + refinement scans over split spectral bands reconstruct the SAME
+    pixels as the baseline encoding of the same image (identical
+    quantized coefficients → identical output)."""
+    import numpy as np
+
+    from druid_spark.datapipe.jpeg import decode_jpeg
+
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    for x in range(16):
+        grad[:, x] = (x * 16, 255 - x * 16, 128)
+    base = decode_jpeg(_jpeg_encode(grad))
+    prog = decode_jpeg(_jpeg_encode_progressive(grad))
+    assert prog.shape == base.shape
+    assert np.array_equal(prog, base)
+
+    # grayscale single-component path (non-interleaved DC scan)
+    base_g = decode_jpeg(_jpeg_encode(grad, gray=True))
+    prog_g = decode_jpeg(_jpeg_encode_progressive(grad, gray=True))
+    assert np.array_equal(prog_g, base_g)
+
+
+def test_jpeg_progressive_eobrun_skips_blocks():
+    """An EOB-run in an AC first pass ends the current block AND
+    zeroes the band of following blocks: hand-built two-block scan
+    with EOBRUN=1 extra block (rs=0x10 + 1 extension bit)."""
+    import struct
+
+    import numpy as np
+
+    from druid_spark.datapipe.jpeg import ZIGZAG, decode_jpeg, idct2
+
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_counts = [0] * 8 + [255, 1] + [0] * 6
+    ac_syms = list(range(256))
+
+    def codes(counts, syms):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                out[syms[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_code, ac_code = codes(dc_counts, dc_syms), codes(ac_counts,
+                                                        ac_syms)
+
+    class _Bits:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, ln, v):
+            for i in range(ln - 1, -1, -1):
+                self.bits.append((v >> i) & 1)
+
+        def bytes(self):
+            while len(self.bits) % 8:
+                self.bits.append(1)
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                byte = 0
+                for bit in self.bits[i:i + 8]:
+                    byte = (byte << 1) | bit
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    # DC first scan Al=0: DC values 8 then 24 (diffs 8, 16)
+    dcs = _Bits()
+    for diff in (8, 16):
+        t = int(abs(diff)).bit_length()
+        ln, cd = dc_code[t]
+        dcs.put(ln, cd)
+        dcs.put(t, diff)
+    # AC first scan Al=0: block 1 has AC[1]=5 then EOBRUN covering
+    # block 2 (rs=0x10: r=1 → EOBRUN=(1<<1)-1 + 1 extension bit 0 = 1)
+    acs = _Bits()
+    ln, cd = ac_code[0x03]  # r=0, s=3
+    acs.put(ln, cd)
+    acs.put(3, 5)
+    ln, cd = ac_code[0x10]
+    acs.put(ln, cd)
+    acs.put(1, 0)
+
+    jpg = (b"\xff\xd8"
+           + seg(0xDB, bytes([0]) + bytes([1] * 64))
+           + seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 16)
+                 + bytes([1, 1, 0x11, 0]))
+           + seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+           + seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+           + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + dcs.bytes()
+           + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + acs.bytes()
+           + b"\xff\xd9")
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 16, 1)
+
+    def expect(dc, ac1):
+        blk = np.zeros(64)
+        zz = np.zeros(64)
+        zz[0], zz[1] = dc, ac1
+        blk[ZIGZAG] = zz
+        return np.clip(idct2(blk.reshape(8, 8)) + 128.0, 0,
+                       255).astype(np.uint8)
+
+    assert np.array_equal(out[:, :8, 0], expect(8, 5))
+    assert np.array_equal(out[:, 8:, 0], expect(24, 0))
 
 
 def test_mp4_probe_and_real_frame_sampling(spark):
