@@ -10307,6 +10307,21 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM events""", """
         SELECT CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS s
         FROM events"""),
+    # qaJsonCols funcs_and_sql_func_json_value.01.all.iq A006/A011 +
+    # json_query.01: plain strings are VALUES (never parsed) — root
+    # path returns them raw (json_value) / quoted (json_query); a
+    # TIMESTAMP arg reads as its native-layer long (A001)
+    "sqlc_json_nonjson_root_scalar": ("""
+        SELECT JSON_VALUE('ABCD', '$' RETURNING CHAR) AS a,
+               JSON_QUERY('ABCD', '$') AS q,
+               JSON_VALUE(JSON_QUERY('ABCD', '$'), '$'
+                          RETURNING CHAR) AS rt""", """
+        SELECT 'ABCD' AS a, '"ABCD"' AS q, 'ABCD' AS rt"""),
+    "sqlc_json_value_ts_millis": ("""
+        SELECT JSON_VALUE(__time, '$') AS m, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 5""", """
+        SELECT CAST(epoch_ms(ts) AS VARCHAR) AS m, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 5"""),
 }
 
 

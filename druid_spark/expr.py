@@ -547,7 +547,13 @@ def json_value_scalar(j: Column, path: str) -> Column:
     raw = _jget(j, path)
     is_struct = (F.json_object_keys(raw).isNotNull()
                  | F.json_array_length(raw).isNotNull())
-    return F.when(~is_struct, raw)
+    out = F.when(~is_struct, raw)
+    if path in ("$", "$."):
+        # root path on NON-JSON input is the raw scalar: plain strings
+        # are values, never parsed (qaJsonCols json_value.01 A006)
+        out = F.when(raw.isNull() & j.isNotNull() & (j != F.lit("")),
+                     j).otherwise(out)
+    return out
 
 
 def json_query_render(j: Column, path: str) -> Column:
@@ -561,14 +567,23 @@ def json_query_render(j: Column, path: str) -> Column:
     is_struct = (F.json_object_keys(raw).isNotNull()
                  | F.json_array_length(raw).isNotNull())
     bare = raw.isin("true", "false") | raw.try_cast("double").isNotNull()
-    quoted = F.concat(
-        F.lit('"'),
-        F.replace(F.replace(raw, F.lit("\\"), F.lit("\\\\")),
-                  F.lit('"'), F.lit('\\"')),
-        F.lit('"'))
-    return (F.when(raw.isNull(), F.lit(None).cast("string"))
-             .when(is_struct | bare, raw)
-             .otherwise(quoted))
+
+    def quote(x):
+        return F.concat(
+            F.lit('"'),
+            F.replace(F.replace(x, F.lit("\\"), F.lit("\\\\")),
+                      F.lit('"'), F.lit('\\"')),
+            F.lit('"'))
+
+    out = (F.when(raw.isNull(), F.lit(None).cast("string"))
+            .when(is_struct | bare, raw)
+            .otherwise(quote(raw)))
+    if path in ("$", "$."):
+        # root path on NON-JSON input renders the raw scalar quoted
+        # (qaJsonCols json_query.01: json_query('ABCD','$') = '"ABCD"')
+        out = F.when(raw.isNull() & j.isNotNull() & (j != F.lit("")),
+                     quote(j)).otherwise(out)
+    return out
 
 
 def _json_value_native(j: Column, nodes) -> Column:

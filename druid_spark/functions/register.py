@@ -50,6 +50,14 @@ _JNP = """CASE
         ELSE p END"""
 _JGET = f"get_json_object(j, {_JNP})"
 
+
+def _jquote(x: str) -> str:
+    """JSON-quote a string scalar for NESTED_DATA rendering (backslash
+    and quote escaped; control chars not re-escaped — documented edge
+    of the text-extraction path)."""
+    return ("concat('\"', replace(replace(" + x +
+            ", '\\\\', '\\\\\\\\'), '\"', '\\\\\"'), '\"')")
+
 # period → (date_trunc unit); generic P<n>M / P<n>Y floor on the
 # calendar (variable-length months); fixed-width fallback for PT<n>X /
 # P<n>D / P<n>W; unknown periods yield NULL (never a silent 1-day bucket)
@@ -280,8 +288,16 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # rewrites a trailing negative array index (NestedPathFinder
     # supports them — testJsonPathNegativeIndex) to a runtime
     # length-relative positive index.
+    # Root path on NON-JSON input returns the raw scalar: a plain
+    # STRING expr is a string value to the reference, never parsed
+    # (NestedPathFinder over the unwrapped value — qaJsonCols
+    # funcs_and_sql_func_json_value.01.all.iq pins
+    # json_value('ABCD','$') = 'ABCD'). A string whose text IS valid
+    # JSON structure is indistinguishable here (documented edge).
     ("JSON_VALUE", "j STRING, p STRING", "STRING", f"""
-      CASE WHEN json_object_keys({_JGET}) IS NOT NULL
+      CASE WHEN p IN ('$', '$.') AND j IS NOT NULL AND j <> ''
+             AND get_json_object(j, '$') IS NULL THEN j
+           WHEN json_object_keys({_JGET}) IS NOT NULL
              OR json_array_length({_JGET}) IS NOT NULL
            THEN NULL ELSE {_JGET} END"""),
     # json_query keeps structure and renders it as NESTED_DATA: string
@@ -289,14 +305,16 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # numbers/booleans bare, backslash+quote JSON-escaped (control
     # chars inside strings are not re-escaped — documented edge)
     ("JSON_QUERY", "j STRING, p STRING", "STRING", f"""
-      CASE WHEN {_JGET} IS NULL THEN NULL
+      CASE WHEN p IN ('$', '$.') AND j IS NOT NULL AND j <> ''
+             AND get_json_object(j, '$') IS NULL
+           THEN {_jquote("j")}
+           WHEN {_JGET} IS NULL THEN NULL
            WHEN json_object_keys({_JGET}) IS NOT NULL
              OR json_array_length({_JGET}) IS NOT NULL
              OR {_JGET} IN ('true', 'false')
              OR try_cast({_JGET} AS DOUBLE) IS NOT NULL
            THEN {_JGET}
-           ELSE concat('"', replace(replace({_JGET}, '\\\\', '\\\\\\\\'),
-                                    '"', '\\\\"'), '"')
+           ELSE {_jquote(_JGET)}
       END"""),
     # root path is spelled '$' or '$.' in the reference's tests
     # (NestedDataExpressions.java json_keys); keys of scalars/arrays/

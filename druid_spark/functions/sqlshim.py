@@ -1043,9 +1043,9 @@ def _rewrite_unnest_from(sql: str) -> str:
 
 
 _JSON_RETURNING_TYPES = {
-    "BIGINT": "BIGINT", "INTEGER": "BIGINT", "DOUBLE": "DOUBLE",
-    "FLOAT": "DOUBLE", "DECIMAL": "DOUBLE", "VARCHAR": "STRING",
-    "BOOLEAN": "BOOLEAN",
+    "BIGINT": "BIGINT", "INTEGER": "BIGINT", "INT": "BIGINT",
+    "DOUBLE": "DOUBLE", "FLOAT": "DOUBLE", "DECIMAL": "DOUBLE",
+    "VARCHAR": "STRING", "CHAR": "STRING", "BOOLEAN": "BOOLEAN",
 }
 
 
@@ -1075,6 +1075,13 @@ def _rewrite_json_returning(sql: str) -> str:
         # strip before matching RETURNING
         stripped = re.sub(r"\s+(?:NULL|ERROR)\s+ON\s+(?:EMPTY|ERROR)",
                           "", inner, flags=re.IGNORECASE)
+        # a TIMESTAMP first arg reads as its native-layer long —
+        # json_value(__time,'$') = millis string (qaJsonCols
+        # funcs_and_sql_func_json_value.01.all.iq A001)
+        parts = _top_split(stripped)
+        if parts and _is_ts_expr(parts[0]):
+            parts[0] = f"CAST(UNIX_MILLIS({parts[0]}) AS STRING)"
+            stripped = ", ".join(p.strip() for p in parts)
         m2 = re.search(r"\s+RETURNING\s+([A-Za-z]+)(\s+ARRAY)?\s*$",
                        stripped, re.IGNORECASE)
         if m2:
@@ -1533,6 +1540,17 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         return f"TO_JSON(NAMED_STRUCT({', '.join(flat)}))"
 
     out = _rewrite_call(out, "JSON_OBJECT", _json_object_flat)
+
+    # JSON_QUERY over a TIMESTAMP first arg reads the native-layer
+    # long (millis), same as JSON_VALUE above (qaJsonCols
+    # funcs_and_sql_func_json_query goldens)
+    def _json_query_ts(args):
+        if len(args) == 2 and _is_ts_expr(args[0]):
+            return (f"JSON_QUERY(CAST(UNIX_MILLIS({args[0]}) "
+                    f"AS STRING), {args[1]})")
+        return None
+
+    out = _rewrite_call(out, "JSON_QUERY", _json_query_ts)
     # Calcite/Druid CAST type names Spark doesn't accept bare: Druid SQL
     # writes CAST(x AS VARCHAR) (sql/calcite/planner/Calcites.java type
     # mappings); Spark needs STRING (VARCHAR only with a length). Scoped

@@ -189,3 +189,32 @@ def test_json_paths_array_input(nested_eng):
     rows = nested_eng.sql("""
         SELECT JSON_PATHS('[10, 20, 30]') AS p""").collect()
     assert list(rows[0]["p"]) == ["$[0]", "$[1]", "$[2]"]
+
+
+def test_json_value_non_json_root_is_raw_scalar(nested_eng):
+    """qaJsonCols funcs_and_sql_func_json_value.01.all.iq A006/A011 +
+    json_query.01: a plain string is a VALUE to json_value/json_query
+    (never parsed) — root path returns it raw (json_value) or quoted
+    (json_query); the composition round-trips."""
+    r = nested_eng.sql("""
+        SELECT JSON_VALUE('ABCD', '$' RETURNING CHAR) AS a,
+               JSON_QUERY('ABCD', '$') AS q,
+               JSON_VALUE(JSON_QUERY('ABCD', '$'), '$'
+                          RETURNING CHAR) AS rt,
+               JSON_VALUE(string, '$') AS s
+        FROM nested ORDER BY __time, string LIMIT 1""").collect()[0]
+    assert r["a"] == "ABCD"
+    assert r["q"] == '"ABCD"'
+    assert r["rt"] == "ABCD"
+    assert r["s"] == "aaa"
+
+
+def test_json_value_timestamp_arg_is_millis(nested_eng):
+    """qaJsonCols json_value.01 A001: a TIMESTAMP arg reads as its
+    native-layer long — epoch millis, not a rendered datetime."""
+    rows = nested_eng.sql("""
+        SELECT JSON_VALUE(__time, '$') AS m,
+               JSON_VALUE(__time, '$' RETURNING BIGINT) AS mb
+        FROM nested ORDER BY __time LIMIT 1""").collect()
+    assert rows[0]["m"] == "946684800000"
+    assert rows[0]["mb"] == 946684800000
