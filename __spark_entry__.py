@@ -1412,6 +1412,67 @@ def q_streaming_rollup(spark, sf):
             .orderBy("__time", "event_type"))
 
 
+def q_kafka_ingest(spark, sf):
+    """Kafka-proper ingestion over the PUBLIC wire protocol (reference
+    extensions-core/kafka-indexing-service/.../KafkaSupervisor.java:90,
+    KafkaRecordSupplier.java): an in-process MiniKafkaBroker speaking
+    Metadata/Produce/Fetch/ListOffsets (streaming/kafka.py), a
+    deterministic events subset produced over Produce v2, and a
+    kafka-type supervisor consuming it through the pure-Python PySpark
+    data source (kafka_source.py — per-partition offset-range reads in
+    executor tasks, offsets checkpointed by Structured Streaming).
+    The producer-side collect is ingestion input (bounded, 1/97th of
+    events), not a query-path materialization; the returned view is a
+    lazy parquet read of the handed-off tail."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+    from druid_spark.streaming.ingest import start_supervisor
+    from druid_spark.streaming.kafka import KafkaClient, MiniKafkaBroker
+
+    eng = _engine(spark, sf)
+    rows = (eng.catalog.table("events")
+            .where("event_id % 97 = 0")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .collect())
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ds_kafka_entry_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    shutil.rmtree(base, ignore_errors=True)
+    with MiniKafkaBroker(num_partitions=2) as broker:
+        cli = KafkaClient(broker.bootstrap)
+        for r in rows:
+            payload = json.dumps({
+                "event_id": r["event_id"],
+                "timestamp": r["ts"].isoformat(),
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "value": r["value"]}).encode()
+            cli.produce("events", int(r["event_id"]) % 2,
+                        [(int(r["ts"].timestamp() * 1000), None, payload)])
+        cli.close()
+        spec = {"type": "kafka", "spec": {
+            "dataSchema": {"dataSource": "kafka_events",
+                           "timestampSpec": {"column": "timestamp"},
+                           "granularitySpec": {"rollup": False}},
+            "ioConfig": {
+                "topic": "events",
+                "consumerProperties": {
+                    "bootstrap.servers": broker.bootstrap},
+                "useEarliestOffset": True,
+                "valueSchema": ("event_id long, timestamp timestamp, "
+                                "user_id long, event_type string, "
+                                "value double")}}}
+        ingest, q = start_supervisor(spark, spec, base)
+        q.awaitTermination(300)
+    return (ingest.view()
+            .select("event_id", F.col("__time").alias("ts"), "user_id",
+                    "event_type", "value")
+            .orderBy("event_id"))
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate-cluster assignment: n-gram-Jaccard near-dup pairs →
     connected components (iterative min-label propagation) → every doc
@@ -10356,8 +10417,8 @@ _SAMPLE_FIRST = [
     "hll_sketch_vs_exact",
     "projection_hll_sketch", "projection_theta_sketch",
     "kll_quantile_merge", "projection_routing",
-    # streaming + stateful
-    "streaming_rollup", "sessionize",
+    # streaming + stateful (kafka_ingest: wire-protocol Kafka e2e)
+    "streaming_rollup", "sessionize", "kafka_ingest",
     # round 6: protobuf format, tiered lookups, security CRUD + audit
     "protobuf_ingest", "lookup_tiered", "security_audit",
     # round 7: lookup schema tables, pinned CURRENT_TIMESTAMP, epoch-
@@ -10479,6 +10540,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
         "streaming_rollup": q_streaming_rollup,
+        "kafka_ingest": q_kafka_ingest,
         "sample_stratified": q_sample_stratified,
         "temperature_rates": q_temperature_rates,
         "split_assign": q_split_assign,
@@ -11157,6 +11219,9 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('minute', ts) AS __time, event_type,
                    count(*) AS n, sum(value) AS v
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "kafka_ingest": """
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
         "sessionize": """
             WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
             g AS (SELECT user_id, ts,

@@ -20,9 +20,12 @@ Spark mapping (SURVEY §7.3.7 design):
   (rejection is a filter, not just state GC)
 - ingest-time rollup = windowed groupBy with watermark, append mode.
 
-Kafka: `source={"type": "kafka", ...}` compiles to
-readStream.format("kafka") with the usual options; tests use file and
-rate sources since no broker ships in this container.
+Kafka: `source={"type": "kafka", ...}` compiles to the JVM
+readStream.format("kafka") when the connector JAR is present, else to
+the pure-Python wire-protocol source (streaming/kafka.py +
+kafka_source.py) — same output schema, per-partition offset-range
+reads in executor tasks. Tests run against an in-process
+MiniKafkaBroker speaking the real protocol.
 """
 
 from __future__ import annotations
@@ -50,13 +53,29 @@ def read_stream(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
         # supervisors too — JSONPathSpec.java)
         return apply_flatten_spec(read_stream(spark, src), flatten)
     if st == "kafka":
-        reader = (spark.readStream.format("kafka")
-                  .option("kafka.bootstrap.servers",
-                          source["consumerProperties"]["bootstrap.servers"])
-                  .option("subscribe", source["topic"])
-                  .option("startingOffsets",
-                          source.get("startingOffsets", "latest")))
-        raw = reader.load()
+        bootstrap = source["consumerProperties"]["bootstrap.servers"]
+        topic = source["topic"]
+        starting = source.get("startingOffsets", "latest")
+        try:
+            # the JVM connector when its JAR is on the classpath
+            # (production clusters) — identical schema either way
+            raw = (spark.readStream.format("kafka")
+                   .option("kafka.bootstrap.servers", bootstrap)
+                   .option("subscribe", topic)
+                   .option("startingOffsets", starting)
+                   .load())
+        except Exception:
+            # pure-Python wire-protocol source (streaming/kafka.py +
+            # kafka_source.py): per-partition offset-range fetches in
+            # executor tasks, offsets in the streaming checkpoint
+            from druid_spark.streaming.kafka_source import (
+                SOURCE_NAME, ensure_registered)
+            ensure_registered(spark)
+            raw = (spark.readStream.format(SOURCE_NAME)
+                   .option("bootstrap", bootstrap)
+                   .option("topic", topic)
+                   .option("startingOffsets", starting)
+                   .load())
         # value bytes → json columns via the provided schema
         schema = source.get("valueSchema")
         if schema:
