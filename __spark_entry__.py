@@ -1821,16 +1821,19 @@ def q_text_quality_by_source(spark, sf):
 def q_mm_features(spark, sf):
     """Multimodal feature extraction: REAL decode for PPM + PNG images
     (round 7: stdlib-zlib inflate + scanline unfilter) / PCM WAV audio
-    (pure numpy + stdlib — channel means, RMS, ZCR), deterministic
-    stub for compressed video (no media libs in container). The demo
-    media alternates PPM/PNG rows, so both real image decoders run."""
+    (pure numpy + stdlib — channel means, RMS, ZCR) / AVI video
+    (round 7: RIFF container + DIB frame pixels, avi.py); deterministic
+    stub only for MP4 (H.264 decode needs a codec library). The demo
+    media alternates PPM/PNG image rows and AVI/MP4 video rows, so
+    every real decoder runs."""
     from druid_spark.datapipe import multimodal
     media = multimodal.demo_media_df(spark, 32)
     real = multimodal.extract_features(
-        media.where(F.col("kind").isin("image", "audio")),
+        media.where(F.col("kind").isin("image", "audio")
+                    | (F.col("mime") == "video/x-msvideo")),
         dim=8, decode_stub=False)
     stub = multimodal.extract_features(
-        media.where(F.col("kind") == "video"), dim=8)
+        media.where("mime = 'video/mp4'"), dim=8)
     feats = real.unionByName(stub)
     return feats.select("media_id", "kind", "n_bytes",
                         F.round(F.element_at("feature", 1), 6).alias("f0"))

@@ -3,14 +3,15 @@
 The Spark-side plumbing (schema, partition-preserving mapInPandas,
 Arrow batch shapes) is real and tested. The decode step is REAL for
 formats decodable without external libraries — PPM (P6) images with
-numpy, 8-bit non-interlaced PNG (stdlib zlib inflate + per-scanline
-unfilter), BASELINE JPEG (pure-numpy huffman + IDCT, jpeg.py — both
-round 7), PCM WAV audio with the stdlib ``wave`` module — and STUBBED
-for formats that need a real media stack (progressive JPEG, MP4 video:
-av/ffmpeg are not in this container): `decode_stub=True` derives a
-deterministic fake feature from the bytes; `decode_stub=False` really
-decodes supported mimes and raises NotImplementedError for
-unsupported ones.
+numpy, PNG (stdlib zlib inflate + per-scanline unfilter, Adam7),
+JPEG (pure-numpy huffman + IDCT, baseline and progressive, jpeg.py),
+PCM WAV audio with the stdlib ``wave`` module, and AVI video with
+uncompressed-DIB or MJPEG frames (avi.py — real frame pixels) — and
+STUBBED only for codecs that genuinely need a media stack (H.264/AV1
+inside MP4: av/ffmpeg are not in this container): `decode_stub=True`
+derives a deterministic fake feature from the bytes;
+`decode_stub=False` really decodes supported mimes and raises
+NotImplementedError for unsupported ones.
 
 Pattern for 100 TB: binary payloads ride in their own column so Parquet
 column pruning skips them unless the operator touches them; feature
@@ -281,9 +282,19 @@ def _real_feature(payload: bytes, mime: str, dim: int) -> list[float]:
         return _image_feature(_decode_image(payload, mime), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_feature(*_decode_wav(payload), dim)
+    if mime in ("video/x-msvideo", "video/avi"):
+        # REAL video feature (round 7): first-frame pixels (DIB or
+        # MJPEG via the pure-numpy JPEG decoder) + container stats
+        from druid_spark.datapipe.avi import decode_frames, probe_avi
+        meta = probe_avi(payload)
+        first = next(decode_frames(payload, limit=1))
+        r, g, b = (first[..., c].mean() / 255.0 for c in range(3))
+        return _pad([r, g, b, meta["duration_ms"] / 1000.0,
+                     float(meta["n_frames"]), meta["fps"],
+                     float(meta["width"] * meta["height"])], dim)
     raise NotImplementedError(
-        f"decode for {mime!r} needs librosa/av (not in container); "
-        "PPM, PNG, baseline JPEG and WAV decode for real")
+        f"decode for {mime!r} needs a codec library (not in container); "
+        "PPM, PNG, JPEG, AVI (DIB/MJPEG) and WAV decode for real")
 
 
 def extract_features(df: DataFrame, dim: int = 8,
@@ -362,10 +373,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
     decode_stub=True trusts the duration_ms metadata column.
     decode_stub=False (round 7) reads the REAL duration out of the
-    MP4 container structure (probe_mp4 — ISO BMFF parses without any
-    media library), so the sampling grid comes from the actual file;
-    extracting the frame PIXELS still needs an H.264/AV1 codec and
-    stays stubbed."""
+    container structure — probe_mp4 for ISO BMFF, probe_avi for RIFF
+    AVI (both parse without any media library) — so the sampling grid
+    comes from the actual file. Frame PIXELS are real for AVI DIB/MJPEG
+    (frame_features); MP4 pixel decode still needs an H.264/AV1 codec
+    and stays stubbed."""
     vids = df.where(F.col("kind") == "video")
     if not decode_stub:
         probe_schema = T.StructType([
@@ -375,9 +387,18 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             T.StructField("n_tracks", T.IntegerType()),
         ])
 
+        def _probe_any(p: bytes, mime: str) -> dict:
+            if mime in ("video/x-msvideo", "video/avi"):
+                from druid_spark.datapipe.avi import probe_avi
+                m = probe_avi(p)
+                return {"duration_ms": m["duration_ms"],
+                        "n_tracks": m["n_streams"]}
+            return probe_mp4(p)
+
         def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
-                metas = [probe_mp4(p) for p in pdf["payload"]]
+                metas = [_probe_any(p, m)
+                         for p, m in zip(pdf["payload"], pdf["mime"])]
                 yield pd.DataFrame({
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
@@ -395,6 +416,55 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                     F.greatest(F.col("duration_ms") - 1, F.lit(0)).cast("long"),
                     F.lit(every_ms).cast("long"))))
             .select("media_id", "frame_ts", "mime"))
+
+
+FRAME_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_ts", T.LongType(), False),
+    T.StructField("r_mean", T.DoubleType(), True),
+    T.StructField("g_mean", T.DoubleType(), True),
+    T.StructField("b_mean", T.DoubleType(), True),
+])
+
+
+def frame_features(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video-frame features: container → frame grid → pixel
+    decode → per-frame channel means, all inside Arrow-batched
+    mapInPandas tasks. Works for AVI DIB/MJPEG payloads (avi.py —
+    MJPEG frames go through the pure-numpy JPEG decoder); other video
+    mimes raise NotImplementedError (codec library needed).
+
+    At scale each task decodes only its partition's payloads and emits
+    a few floats per frame — no pixel arrays cross the shuffle."""
+    vids = df.where(F.col("kind") == "video")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from druid_spark.datapipe.avi import decode_frames, probe_avi
+        for pdf in it:
+            ids, tss, rs, gs, bs = [], [], [], [], []
+            for mid, p, mime in zip(pdf["media_id"], pdf["payload"],
+                                    pdf["mime"]):
+                if mime not in ("video/x-msvideo", "video/avi"):
+                    raise NotImplementedError(
+                        f"frame pixels for {mime!r} need a codec library")
+                meta = probe_avi(p)
+                fps = meta["fps"] or 1.0
+                # sample the frame nearest each every_ms tick
+                want = {min(int(ts * fps / 1000.0), meta["n_frames"] - 1)
+                        for ts in range(0, max(meta["duration_ms"], 1),
+                                        every_ms)}
+                for idx, frame in enumerate(decode_frames(p)):
+                    if idx not in want:
+                        continue
+                    ids.append(mid)
+                    tss.append(int(idx * 1000.0 / fps))
+                    rs.append(float(frame[..., 0].mean()))
+                    gs.append(float(frame[..., 1].mean()))
+                    bs.append(float(frame[..., 2].mean()))
+            yield pd.DataFrame({"media_id": ids, "frame_ts": tss,
+                                "r_mean": rs, "g_mean": gs, "b_mean": bs})
+
+    return vids.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)
 
 
 def demo_media_df(spark, n: int = 32) -> DataFrame:
@@ -424,6 +494,15 @@ def demo_media_df(spark, n: int = 32) -> DataFrame:
                 wf.writeframes((x * 32767).astype("<i2").tobytes())
             payload, mime = buf.getvalue(), "audio/wav"
             w, h, dur = None, None, 500
+        elif i % 2:
+            # REAL AVI with uncompressed DIB frames — fully decodable
+            # pixels (avi.py), deterministic per media_id
+            from druid_spark.datapipe.avi import encode_avi
+            rng = np.random.default_rng(1000 + i)
+            vid = [rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+                   for _ in range(10)]
+            payload = encode_avi(vid, fps=5, codec="DIB")
+            mime, w, h, dur = "video/x-msvideo", 32, 24, 2000
         else:
             # REAL ISO-BMFF container structure (probe-able duration
             # and track dims); the mdat payload is the fake part

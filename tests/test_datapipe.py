@@ -1,5 +1,6 @@
 """Tests for dedup / similarity / textstats / multimodal operators."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -337,8 +338,9 @@ def test_multimodal_real_resize(spark):
 
 
 def test_multimodal_unsupported_mime_raises(spark):
-    media = multimodal.demo_media_df(spark, 12).where(F.col("kind") == "video")
-    with pytest.raises(Exception, match="PIL|librosa|av"):
+    # MP4 frame pixels still need a codec library (AVI decodes for real)
+    media = multimodal.demo_media_df(spark, 12).where("mime = 'video/mp4'")
+    with pytest.raises(Exception, match="codec library"):
         multimodal.extract_features(media, decode_stub=False).collect()
 
 
@@ -1292,11 +1294,123 @@ def test_mp4_probe_and_real_frame_sampling(spark):
         probe_mp4(b"\x00\x01\x02 not a container")
 
     media = multimodal.demo_media_df(spark, 12)
-    # demo videos now carry real container structure (5000 ms)
+    # demo videos carry real container structure: MP4 rows 5000 ms,
+    # AVI rows 2000 ms — the grid comes from the actual file
     frames = multimodal.sample_frames(
         media, every_ms=1000, decode_stub=False).collect()
-    per = {}
+    per, mimes = {}, {}
     for r in frames:
         per.setdefault(r["media_id"], []).append(r["frame_ts"])
-    assert all(sorted(v) == [0, 1000, 2000, 3000, 4000]
-               for v in per.values())
+        mimes[r["media_id"]] = r["mime"]
+    for mid, v in per.items():
+        want = ([0, 1000, 2000, 3000, 4000]
+                if mimes[mid] == "video/mp4" else [0, 1000])
+        assert sorted(v) == want, (mid, mimes[mid], sorted(v))
+
+
+# ------------------------------------------------- AVI real video decode
+
+def test_avi_dib_roundtrip_exact():
+    """Uncompressed-DIB AVI: encode → probe → decode recovers the
+    exact pixels (pure byte-layout format, no loss anywhere)."""
+    from druid_spark.datapipe.avi import decode_frames, encode_avi, probe_avi
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(30, 41, 3), dtype=np.uint8)
+              for _ in range(5)]
+    avi = encode_avi(frames, fps=10, codec="DIB")
+    meta = probe_avi(avi)
+    assert meta["duration_ms"] == 500 and meta["n_frames"] == 5
+    assert (meta["width"], meta["height"]) == (41, 30)
+    assert meta["codec"] == "DIB" and abs(meta["fps"] - 10.0) < 1e-9
+    out = list(decode_frames(avi))
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+    assert len(list(decode_frames(avi, limit=2))) == 2
+    with pytest.raises(ValueError, match="RIFF"):
+        probe_avi(b"not an avi at all")
+
+
+def test_avi_dib_chunk_layout_pinned():
+    """The '00db' frame chunk is pinned against a hand-computed DIB
+    layout (bottom-up BGR, 4-byte row stride) — independent of the
+    decoder, so encoder and decoder cannot share a symmetric bug."""
+    from druid_spark.datapipe.avi import encode_avi
+
+    # 1x2 frame: top row [R=1,G=2,B=3], [R=4,G=5,B=6]
+    fr = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+    avi = encode_avi([fr], fps=1, codec="DIB")
+    # stride = (2*3 + 3) & ~3 = 8 → row = BGR,BGR + 2 pad bytes
+    want = bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    idx = avi.find(b"00db")
+    assert idx > 0
+    import struct as _s
+    size = _s.unpack_from("<I", avi, idx + 4)[0]
+    assert size == 8
+    assert avi[idx + 8: idx + 16] == want
+
+
+def test_avi_mjpeg_frames_decode(spark):
+    """MJPEG AVI: each '00dc' chunk is a baseline JPEG from the
+    INDEPENDENT test-side encoder; decode_frames recovers per-frame
+    solid colors through the pure-numpy JPEG decoder."""
+    from druid_spark.datapipe.avi import decode_frames, encode_avi, probe_avi
+
+    colors = [(200, 30, 60), (20, 180, 90), (10, 40, 220)]
+    jpgs = []
+    for c in colors:
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:] = c
+        jpgs.append(_jpeg_encode(img))
+    avi = encode_avi(jpgs, fps=2, codec="MJPG")
+    meta = probe_avi(avi)
+    assert meta["codec"] == "MJPG" and meta["n_frames"] == 3
+    assert meta["duration_ms"] == 1500
+    out = list(decode_frames(avi))
+    assert len(out) == 3
+    for c, fr in zip(colors, out):
+        assert fr.shape == (16, 16, 3)
+        for ch in range(3):
+            assert abs(float(fr[..., ch].mean()) - c[ch]) <= 3.0
+
+
+def test_avi_frame_features_through_spark(spark):
+    """frame_features: container → grid → pixel decode → channel means
+    inside mapInPandas. Solid-color DIB frames give exact means."""
+    from druid_spark.datapipe.avi import encode_avi
+    from druid_spark.datapipe.multimodal import MEDIA_SCHEMA, frame_features
+
+    frames = []
+    for i in range(6):  # 3 s at 2 fps; frame i is solid (i*40, 10, 200-i)
+        fr = np.zeros((8, 8, 3), dtype=np.uint8)
+        fr[:] = (i * 40, 10, 200 - i)
+        frames.append(fr)
+    avi = encode_avi(frames, fps=2, codec="DIB")
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "video/x-msvideo", 8, 8, 3000)],
+        MEDIA_SCHEMA)
+    rows = {r["frame_ts"]: r for r in
+            frame_features(df, every_ms=1000).collect()}
+    # ticks 0/1000/2000 ms → frames 0, 2, 4
+    assert sorted(rows) == [0, 1000, 2000]
+    for ts, idx in [(0, 0), (1000, 2), (2000, 4)]:
+        assert rows[ts]["r_mean"] == idx * 40.0
+        assert rows[ts]["g_mean"] == 10.0
+        assert rows[ts]["b_mean"] == 200.0 - idx
+
+
+def test_avi_real_feature_and_demo_media(spark):
+    """extract_features(decode_stub=False) decodes AVI first frames for
+    real; demo media AVI rows flow end-to-end."""
+    media = multimodal.demo_media_df(spark, 12)
+    avis = media.where("mime = 'video/x-msvideo'")
+    assert avis.count() >= 1
+    feats = multimodal.extract_features(
+        avis, dim=8, decode_stub=False).collect()
+    for r in feats:
+        f = r["feature"]
+        # [r, g, b, duration_s, n_frames, fps, w*h]
+        assert 0.2 < f[0] < 0.8 and 0.2 < f[2] < 0.8  # uniform noise
+        assert abs(f[3] - 2.0) < 1e-6 and f[4] == 10.0
+        assert abs(f[5] - 5.0) < 1e-6 and f[6] == 32.0 * 24.0
