@@ -253,6 +253,9 @@ def _decode_image(b: bytes, mime: str) -> np.ndarray:
     if mime in ("image/jpeg", "image/jpg"):
         from druid_spark.datapipe.jpeg import decode_jpeg
         return _to_rgb(decode_jpeg(b))
+    if mime == "image/gif":
+        from druid_spark.datapipe.gif import decode_gif
+        return decode_gif(b)
     return _decode_ppm(b)
 
 
@@ -278,7 +281,7 @@ def _audio_feature(x: np.ndarray, rate: int, dim: int) -> list[float]:
 
 def _real_feature(payload: bytes, mime: str, dim: int) -> list[float]:
     if mime in ("image/x-portable-pixmap", "image/ppm", "image/png",
-                "image/jpeg", "image/jpg"):
+                "image/jpeg", "image/jpg", "image/gif"):
         return _image_feature(_decode_image(payload, mime), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_feature(*_decode_wav(payload), dim)

@@ -1414,3 +1414,224 @@ def test_avi_real_feature_and_demo_media(spark):
         assert 0.2 < f[0] < 0.8 and 0.2 < f[2] < 0.8  # uniform noise
         assert abs(f[3] - 2.0) < 1e-6 and f[4] == 10.0
         assert abs(f[5] - 5.0) < 1e-6 and f[6] == 32.0 * 24.0
+
+
+# ------------------------------------------------------- GIF decode
+
+def _gif_lzw_literals(pixels, min_code_size):
+    """INDEPENDENT test-side LZW writer: emits CLEAR then every pixel
+    as a literal code (valid LZW output), tracking table growth only
+    for code-width bookkeeping — nothing shared with the decoder."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = []
+
+    def emit(v, w):
+        for i in range(w):
+            bits.append((v >> i) & 1)
+
+    width = min_code_size + 1
+    emit(clear, width)
+    next_code = eoi + 1
+    prev = False
+    for p in pixels:
+        emit(p, width)
+        if prev:  # decoder adds one table entry per code after the 1st
+            next_code += 1
+            if next_code - 1 >= (1 << width) - 1 and width < 12:
+                width += 1
+        prev = True
+    emit(eoi, width)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    return bytes(data)
+
+
+def _gif_build(w, h, palette, frames, loopable=False):
+    """frames: [(left, top, fw, fh, pixels, delay_cs, transparent,
+    disposal, interlace)] — minimal GIF89a writer over
+    _gif_lzw_literals."""
+    import math
+    n = max(2, len(palette))
+    depth = max(1, (n - 1).bit_length())
+    n_slots = 1 << depth
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    for i in range(n_slots):
+        out += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+    for (left, top, fw, fh, pixels, delay_cs, transparent,
+         disposal, interlace) in frames:
+        gflags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gflags])
+        out += delay_cs.to_bytes(2, "little")
+        out += bytes([transparent or 0, 0])
+        out += bytes([0x2C])
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += bytes([0x40 if interlace else 0])
+        mcs = max(2, depth)
+        data = _gif_lzw_literals(pixels, mcs)
+        out += bytes([mcs])
+        i = 0
+        while i < len(data):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+            i += 255
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_gif_hand_pinned_bytes():
+    """2x2 4-color GIF with the LZW bitstream packed by hand (raw bit
+    arithmetic, no helpers) — pins the decoder against the spec."""
+    from druid_spark.datapipe.gif import decode_gif, probe_gif
+
+    bits = []
+
+    def emit(v, w):
+        for i in range(w):
+            bits.append((v >> i) & 1)
+
+    # CLEAR(4) 0 1 2 at 3 bits; table hits 8 -> 3(0011), EOI(0101) at 4
+    emit(4, 3); emit(0, 3); emit(1, 3); emit(2, 3); emit(3, 4); emit(5, 4)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    gif = (b"GIF89a" + (2).to_bytes(2, "little") * 2
+           + bytes([0x81, 0, 0]) + palette
+           + b"\x2C" + b"\x00" * 4
+           + (2).to_bytes(2, "little") * 2 + b"\x00"
+           + bytes([2, len(data)]) + bytes(data) + b"\x00\x3B")
+    assert decode_gif(gif).tolist() == [
+        [[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]]
+    meta = probe_gif(gif)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (2, 2, 1)
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(b"BMP? nope")
+
+
+def test_gif_roundtrip_and_compression_path():
+    """A 16x16 image with repeated runs exercises real dictionary
+    growth and code widening through the independent literal writer."""
+    from druid_spark.datapipe.gif import decode_gif
+
+    rng = np.random.default_rng(3)
+    palette = [tuple(int(v) for v in rng.integers(0, 256, 3))
+               for _ in range(16)]
+    pix = rng.integers(0, 16, size=(16, 16))
+    gif = _gif_build(16, 16, palette,
+                     [(0, 0, 16, 16, pix.flatten().tolist(), 0,
+                       None, 0, False)])
+    out = decode_gif(gif)
+    want = np.array([[palette[v] for v in row] for row in pix],
+                    dtype=np.uint8)
+    assert np.array_equal(out, want)
+
+
+def test_gif_interlaced():
+    from druid_spark.datapipe.gif import decode_gif
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    h, w = 8, 4
+    pix = np.zeros((h, w), dtype=int)
+    pix[3] = 1  # single white row; interlacing must put it back at y=3
+    # rows leave the encoder in interlace order: 0,4 / 2,6 / 1,3,5,7
+    order = [0, 8, 4, 2, 6, 1, 3, 5, 7]
+    rows = [pix[y] for y in (0, 4, 2, 6, 1, 3, 5, 7)]
+    flat = np.concatenate(rows).tolist()
+    gif = _gif_build(w, h, palette,
+                     [(0, 0, w, h, flat, 0, None, 0, True)])
+    out = decode_gif(gif)
+    assert out[3].tolist() == [[255, 255, 255]] * w
+    assert out[[0, 1, 2, 4, 5, 6, 7]].sum() == 0
+
+
+def test_gif_animation_transparency_disposal():
+    """Two frames: frame 2 is a 1x1 patch with a transparent pixel and
+    restore-to-background disposal — composition and delays pinned."""
+    from druid_spark.datapipe.gif import iter_gif_frames, probe_gif
+
+    palette = [(10, 20, 30), (200, 0, 0), (0, 200, 0)]
+    base = [0, 1, 1, 0]  # 2x2
+    frames = [
+        (0, 0, 2, 2, base, 5, None, 0, False),
+        # 1x1 patch at (1,0): transparent pixel → base shows through
+        (1, 0, 1, 1, [2], 7, 2, 2, False),
+        (0, 0, 2, 2, base, 3, None, 0, False),
+    ]
+    gif = _gif_build(2, 2, palette, frames)
+    out = list(iter_gif_frames(gif))
+    assert [d for _, d in out] == [50, 70, 30]
+    f0, f1, f2 = (f for f, _ in out)
+    assert f0[0, 0].tolist() == [10, 20, 30]
+    assert f0[0, 1].tolist() == [200, 0, 0]
+    # transparent patch leaves frame-1 pixels visible
+    assert np.array_equal(f1, f0)
+    assert np.array_equal(f2, f0)
+    meta = probe_gif(gif)
+    assert meta["n_frames"] == 3 and meta["duration_ms"] == 150
+
+
+def test_gif_through_spark_feature_path(spark):
+    from druid_spark.datapipe.gif import decode_gif
+
+    palette = [(255, 0, 0), (0, 0, 255)]
+    pix = [0, 1] * 32  # 8x8 checkerboard columns
+    gif = _gif_build(8, 8, palette, [(0, 0, 8, 8, pix, 0, None, 0, False)])
+    assert decode_gif(gif).shape == (8, 8, 3)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(gif), "image/gif", 8, 8, None)],
+        multimodal.MEDIA_SCHEMA)
+    row = multimodal.extract_features(
+        df, dim=8, decode_stub=False).collect()[0]
+    # half red half blue: r=g? r=0.5, g=0, b=0.5
+    assert abs(row["feature"][0] - 0.5) < 1e-6
+    assert row["feature"][1] == 0.0
+    assert abs(row["feature"][2] - 0.5) < 1e-6
+    rz = multimodal.resize_images(df, 2, 2, decode_stub=False).collect()[0]
+    pooled = multimodal._decode_ppm(bytes(rz["payload"]))
+    assert pooled.shape == (2, 2, 3)
+
+
+def test_gif_lzw_backreference_and_kwkwk():
+    """Hand-packed streams with REAL dictionary codes: a back-reference
+    (code 6 = [0,1]) and the KwKwK corner (code 6 right after its own
+    definition started). Neither path is reachable from the
+    literals-only test writer."""
+    from druid_spark.datapipe.gif import _lzw_decode
+
+    def pack(codes):
+        bits = []
+        for v, w in codes:
+            for i in range(w):
+                bits.append((v >> i) & 1)
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for j, bit in enumerate(bits[i:i + 8]):
+                byte |= bit << j
+            data.append(byte)
+        return bytes(data)
+
+    # CLEAR 0 1 <6=[0,1]> EOI → [0,1,0,1]; width grows to 4 after
+    # the table reaches 8 entries
+    data = pack([(4, 3), (0, 3), (1, 3), (6, 3), (5, 4)])
+    assert _lzw_decode(data, 2) == [0, 1, 0, 1]
+
+    # KwKwK: CLEAR 0 <6 before it exists> EOI → [0,0,0]
+    data = pack([(4, 3), (0, 3), (6, 3), (5, 4)])
+    assert _lzw_decode(data, 2) == [0, 0, 0]
+
+    # a CLEAR mid-stream resets the dictionary and code width
+    data = pack([(4, 3), (0, 3), (1, 3), (4, 3), (1, 3), (0, 3), (5, 3)])
+    assert _lzw_decode(data, 2) == [0, 1, 1, 0]
