@@ -10386,6 +10386,143 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM events GROUP BY 1 ORDER BY 1 LIMIT 5""", """
         SELECT CAST(epoch_ms(ts) AS VARCHAR) AS m, count(*) AS n
         FROM events GROUP BY 1 ORDER BY 1 LIMIT 5"""),
+    # ----------------------------------------------------------------
+    # Conformance batch 70 (round 7 cont.): qaSql scalar batteries —
+    # the generated comparison-matrix suites (quidem-ut .../qaSql/
+    # scalar_numeric.02.all.iq A18/A20, scalar_string, scalar_other,
+    # scalar_datetime). Each entry checks VALUES (stronger than the
+    # reference's count-only batteries) plus the battery predicate.
+    # ----------------------------------------------------------------
+    # A18/A20-style inverse-trig battery: floor(f(clamped col)) passes
+    # the full =/<>/IS DISTINCT/BETWEEN/LIKE/IN matrix on every row
+    "sqlc_trig_inverse_battery": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(FLOOR(ACOS(LEAST(value / 100, 1)) +
+                        ASIN(GREATEST(LEAST(value / 100, 1), -1)) +
+                        ATAN(value) + COT(GREATEST(value, 1)))) AS DOUBLE)
+                 AS s
+        FROM events
+        WHERE value IS NULL OR (
+              FLOOR(ACOS(LEAST(value / 100, 1))) =
+                FLOOR(ACOS(LEAST(value / 100, 1))) + 0
+          AND FLOOR(ATAN(value))
+                BETWEEN FLOOR(ATAN(value)) - 1 AND FLOOR(ATAN(value)) + 1
+          AND FLOOR(COT(GREATEST(value, 1))) NOT BETWEEN
+                FLOOR(COT(GREATEST(value, 1))) AND
+                FLOOR(COT(GREATEST(value, 1))) - 1
+          AND FLOOR(ASIN(GREATEST(LEAST(value / 100, 1), -1))) IN (
+                FLOOR(ASIN(GREATEST(LEAST(value / 100, 1), -1))) - 1,
+                FLOOR(ASIN(GREATEST(LEAST(value / 100, 1), -1))) + 0))""",
+     """
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(FLOOR(ACOS(LEAST(value / 100, 1)) +
+                        ASIN(GREATEST(LEAST(value / 100, 1), -1)) +
+                        ATAN(value) + COT(GREATEST(value, 1)))) AS DOUBLE)
+                 AS s
+        FROM events
+        WHERE value IS NULL OR (
+              FLOOR(ACOS(LEAST(value / 100, 1))) =
+                FLOOR(ACOS(LEAST(value / 100, 1))) + 0
+          AND FLOOR(ATAN(value))
+                BETWEEN FLOOR(ATAN(value)) - 1 AND FLOOR(ATAN(value)) + 1
+          AND FLOOR(COT(GREATEST(value, 1))) NOT BETWEEN
+                FLOOR(COT(GREATEST(value, 1))) AND
+                FLOOR(COT(GREATEST(value, 1))) - 1
+          AND FLOOR(ASIN(GREATEST(LEAST(value / 100, 1), -1))) IN (
+                FLOOR(ASIN(GREATEST(LEAST(value / 100, 1), -1))) - 1,
+                FLOOR(ASIN(GREATEST(LEAST(value / 100, 1), -1))) + 0))"""),
+    # BITWISE_CONVERT_*: IEEE-754 reinterpretation, NOT numeric cast
+    # (Function.java BitwiseConvertDoubleToLongBits). Known literals
+    # pinned against hardcoded bit patterns; column roundtrip is exact.
+    "sqlc_float_bits_literals": ("""
+        SELECT BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(CAST(1.0 AS DOUBLE))
+                 AS one_bits,
+               BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(CAST(-2.5 AS DOUBLE))
+                 AS neg_bits,
+               BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(CAST(0.0 AS DOUBLE))
+                 AS zero_bits,
+               BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(4607182418800017408)
+                 AS back_one,
+               CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM (SELECT BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(
+                       BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(value)) AS rt,
+                     value FROM events) t
+        WHERE rt = value OR (rt IS NULL AND value IS NULL)""", """
+        SELECT CAST(4607182418800017408 AS BIGINT) AS one_bits,
+               CAST(-4610560118520545280 AS BIGINT) AS neg_bits,
+               CAST(0 AS BIGINT) AS zero_bits,
+               CAST(1.0 AS DOUBLE) AS back_one,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_exact"""),
+    # every qaSql battery applies LIKE to NUMERIC expressions —
+    # implicit stringification (Calcite casts the operand)
+    "sqlc_numeric_like_battery": ("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem
+        WHERE FLOOR(l_quantity) LIKE '%'
+          AND FLOOR(l_quantity) NOT LIKE '__DOES_NOT_EXIST__%'
+          AND l_linenumber LIKE '%'""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem
+        WHERE CAST(FLOOR(l_quantity) AS VARCHAR) LIKE '%'
+          AND CAST(FLOOR(l_quantity) AS VARCHAR)
+                NOT LIKE '__DOES_NOT_EXIST__%'
+          AND CAST(l_linenumber AS VARCHAR) LIKE '%'"""),
+    # scalar_datetime time_shift (532 battery uses): calendar-aware
+    # month shifts CLAMP at month end (Joda addMonths), and a +P1H/-1
+    # shift is an exact inverse on every row
+    "sqlc_time_shift_month_clamp": ("""
+        SELECT TIME_SHIFT(TIMESTAMP '2024-01-31 12:00:00', 'P1M', 1)
+                 AS fwd,
+               TIME_SHIFT(TIMESTAMP '2024-03-31 12:00:00', 'P1M', -1)
+                 AS back,
+               TIME_SHIFT(TIMESTAMP '2024-02-29 00:00:00', 'P1Y', 1)
+                 AS leap,
+               CAST((SELECT COUNT(*) FROM events
+                     WHERE TIME_SHIFT(TIME_SHIFT(__time, 'PT1H', 1),
+                                      'PT1H', -1)
+                           = TIME_FLOOR(__time, 'PT0.001S'))
+                 AS BIGINT) AS inverse_ok""", """
+        SELECT TIMESTAMP '2024-01-31 12:00:00' + INTERVAL 1 MONTH AS fwd,
+               TIMESTAMP '2024-03-31 12:00:00' - INTERVAL 1 MONTH AS back,
+               TIMESTAMP '2024-02-29 00:00:00' + INTERVAL 1 YEAR AS leap,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+                 AS inverse_ok"""),
+    # scalar_string trim family with explicit char sets (BTRIM/LTRIM/
+    # RTRIM 2-arg forms — DruidSqlTrim / Calcite TRIM rewrites)
+    "sqlc_trim_char_sets": ("""
+        SELECT BTRIM('xxabcxx', 'x') AS b,
+               LTRIM('xxabcxx', 'x') AS l,
+               RTRIM('xxabcxx', 'x') AS r,
+               BTRIM('  padded  ') AS plain,
+               LTRIM(lang, 'abcdef') AS col_trim,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 5 ORDER BY 5 NULLS FIRST LIMIT 8""", """
+        SELECT 'abc' AS b, 'abcxx' AS l, 'xxabc' AS r,
+               'padded' AS plain,
+               ltrim(lang, 'abcdef') AS col_trim,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 5 ORDER BY 5 NULLS FIRST LIMIT 8"""),
+    # scalar_other NVL/NULLIF/COALESCE chains (248 uses each): NULLIF
+    # collapsing a sentinel back to null inside an NVL default
+    "sqlc_nvl_nullif_chain": ("""
+        SELECT NVL(NULLIF(event_type, 'click'), 'was-click') AS e,
+               NULLIF(NVL(props, '{}'), '{}') IS NULL AS empty_props,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""", """
+        SELECT COALESCE(NULLIF(event_type, 'click'), 'was-click') AS e,
+               NULLIF(COALESCE(props, '{}'), '{}') IS NULL
+                 AS empty_props,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    # scalar_other TO_JSON_STRING battery: canonical rendering of a
+    # parsed-then-reserialized object and of SQL arrays
+    "sqlc_to_json_string_roundtrip": ("""
+        SELECT TO_JSON_STRING(PARSE_JSON('{"b": 2, "a": 1}')) AS obj,
+               TO_JSON_STRING(ARRAY[1, 2, 3]) AS arr,
+               TO_JSON_STRING(PARSE_JSON('[1, "x", null]')) AS mixed""",
+     """
+        SELECT '{"a":1,"b":2}' AS obj, '[1,2,3]' AS arr,
+               '[1,"x",null]' AS mixed"""),
 }
 
 

@@ -82,6 +82,9 @@ _TRUNC_CASE = f"""
 _DUR_MS = """
   CASE
     WHEN p RLIKE '^PT[0-9]+S$' THEN cast(regexp_extract(p, 'PT([0-9]+)S', 1) AS BIGINT) * 1000
+    WHEN p RLIKE '^PT[0-9]+[.][0-9]+S$' THEN
+      cast(cast(regexp_extract(p, 'PT([0-9.]+)S', 1) AS DECIMAL(20,6))
+           * 1000 AS BIGINT)
     WHEN p RLIKE '^PT[0-9]+M$' THEN cast(regexp_extract(p, 'PT([0-9]+)M', 1) AS BIGINT) * 60000
     WHEN p RLIKE '^PT[0-9]+H$' THEN cast(regexp_extract(p, 'PT([0-9]+)H', 1) AS BIGINT) * 3600000
     WHEN p RLIKE '^P[0-9]+D$' THEN cast(regexp_extract(p, 'P([0-9]+)D', 1) AS BIGINT) * 86400000
@@ -346,7 +349,21 @@ _FUNCS: list[tuple[str, str, str, str]] = [
                   i -> concat('$[', cast(i AS STRING), ']'))
       ELSE array('$') END"""),
     # (TRY_PARSE_JSON / PARSE_JSON are Spark builtins — variant-typed)
-    ("TO_JSON_STRING", "j STRING", "STRING", "j"),
+    # TO_JSON_STRING (NestedDataExpressions.java:245 ToJsonStringExpr:
+    # jackson-serialize the VALUE): inputs arrive as strings (variants
+    # and SQL arrays implicitly cast). Parseable JSON re-serializes to
+    # the engine's canonical compact form (same normalization a
+    # variant→string cast applies — so ARRAY[1,2,3]'s "[1, 2, 3]" cast
+    # rendering becomes the JSON "[1,2,3]"); a non-JSON string is a
+    # VALUE and serializes QUOTED ("aaa" → "\"aaa\"",
+    # CalciteNestedDataQueryTest.java testToJsonAndParseJson). The
+    # array(j) trick delegates string escaping to Spark's JSON writer.
+    ("TO_JSON_STRING", "j STRING", "STRING", """
+      CASE WHEN j IS NULL THEN NULL
+           WHEN try_parse_json(j) IS NOT NULL
+             THEN cast(try_parse_json(j) AS STRING)
+           ELSE substring(to_json(array(j)), 2,
+                          length(to_json(array(j))) - 2) END"""),
     # DECODE_BASE64_COMPLEX(typeName, base64) — reference
     # (DecodeBase64ComplexOperatorConversion): base64 of a serialized
     # complex value → the complex value. The engine's HLL/theta/KLL
