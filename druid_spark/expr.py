@@ -654,13 +654,29 @@ _FUNCS: dict[str, Callable] = {
     "substring": lambda cols, nodes: F.substring(
         cols[0], _lit_of(nodes[1]) + 1,
         _lit_of(nodes[2]) if _lit_of(nodes[2]) >= 0 else 2**31 - 1),
-    "right": _f(lambda s, n: F.substring(s, -n.cast("int") if isinstance(n, Column) else -n, 2**31 - 1)),
-    "left": _f(lambda s, n: F.substring(s, 1, n)),
+    # negative lengths are validation errors in the reference
+    # (Function.java LeftFunc:2961 / RightFunc:2933); counts < 1 make
+    # repeat NULL (RepeatFunc:3111)
+    "right": _f(lambda s, n: F.when(
+        n < 0, F.expr("raise_error('Function[right] needs a positive "
+                      "integer as the second argument')").cast("string"))
+        .when(n == 0, F.lit(""))
+        .otherwise(F.substring(s, -F.least(n, F.length(s)).cast("int"),
+                               2**31 - 1))),
+    "left": _f(lambda s, n: F.when(
+        n < 0, F.expr("raise_error('Function[left] needs a positive "
+                      "integer as the second argument')").cast("string"))
+        .otherwise(F.substring(s, 1, n))),
     "replace": _f(lambda s, a, b: F.replace(s, a, b)),
-    "lpad": _f(F.lpad), "rpad": _f(F.rpad), "repeat": _f(F.repeat),
+    "lpad": _f(F.lpad), "rpad": _f(F.rpad),
+    "repeat": _f(lambda s, n: F.when(n >= 1, F.repeat(s, n.cast("int")))),
     "reverse": _f(F.reverse),
+    # radix-16 strips a leading 0x/0X (Function.java ParseLong:748)
     "parse_long": lambda cols, nodes: (
-        F.conv(cols[0], _lit_of(nodes[1]), 10).cast("long")
+        (F.conv(F.regexp_replace(cols[0], "^0[xX]", ""), 16, 10)
+         .cast("long")
+         if _lit_of(nodes[1]) == 16 else
+         F.conv(cols[0], _lit_of(nodes[1]), 10).cast("long"))
         if len(cols) > 1 else cols[0].cast("long")),
     "string_to_array": lambda cols, nodes: F.split(cols[0], re.escape(_lit_of(nodes[1]))),
     "trim": _f(F.trim), "ltrim": _f(F.ltrim), "rtrim": _f(F.rtrim),

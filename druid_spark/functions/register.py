@@ -380,9 +380,30 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # (java.lang.Long.parseLong(s, radix) semantics)
     ("PARSE_LONG", "s STRING, radix INT", "BIGINT", """
       CASE WHEN radix = 10 THEN cast(s AS BIGINT)
+           WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN
+             cast(conv(substring(s, 3), 16, 10) AS BIGINT)
            WHEN s LIKE '-%' THEN
              -cast(conv(substring(s, 2), radix, 10) AS BIGINT)
            ELSE cast(conv(s, radix, 10) AS BIGINT) END"""),
+    # Function.java RepeatFunc:3111 — a count below 1 yields NULL (not
+    # the empty string Spark's builtin gives). Spark refuses SQL UDFs
+    # shadowing builtins, so the shim rewrites REPEAT( → DRUID_REPEAT(
+    # (same for LEFT/RIGHT below).
+    ("DRUID_REPEAT", "s STRING, n INT", "STRING",
+     "CASE WHEN n >= 1 THEN repeat(s, n) END"),
+    # LeftFunc/RightFunc (Function.java:2933,2961): a NEGATIVE length
+    # is a validation error in the reference, not an empty string
+    ("DRUID_LEFT", "s STRING, n INT", "STRING", """
+      CASE WHEN n < 0 THEN CAST(raise_error(
+             'Function[left] needs a positive integer as the second argument')
+             AS STRING)
+           ELSE substring(s, 1, n) END"""),
+    ("DRUID_RIGHT", "s STRING, n INT", "STRING", """
+      CASE WHEN n < 0 THEN CAST(raise_error(
+             'Function[right] needs a positive integer as the second argument')
+             AS STRING)
+           WHEN n = 0 THEN ''
+           ELSE substring(s, -least(n, length(s)), 2147483647) END"""),
     # (STRING_FORMAT is variadic — sqlshim rewrites it to Spark's
     # format_string, which is the same java.lang.String.format surface)
     # bitwise (Druid SQL names)

@@ -1376,9 +1376,47 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         lambda args: (f"TIME_FORMAT(FROM_UTC_TIMESTAMP({args[0]}, "
                       f"{args[2]}), {args[1]})"
                       if len(args) == 3 else None))
-    # variadic STRING_FORMAT → Spark's format_string (same semantics)
-    out = re.sub(r"\bSTRING_FORMAT\(", "FORMAT_STRING(", out,
-                 flags=re.IGNORECASE)
+    # variadic STRING_FORMAT → Spark's format_string, with Druid's
+    # non-strict degradation (Function.java:2807 →
+    # StringUtils.nonStrictFormat:381): an IllegalFormatException —
+    # statically detectable when a literal format has more specifiers
+    # than args — degrades to `fmt; arg1; arg2...`; zero args return
+    # the format untouched. Druid has no DECIMAL type, so bare decimal
+    # literal args format as DOUBLE (%.2f of 123.4 must not see
+    # Spark's DECIMAL(4,1)).
+    def string_format_build(args):
+        if not args:
+            return None
+        fmt = args[0]
+        rest = [f"CAST({a} AS DOUBLE)"
+                if re.fullmatch(r"[0-9]+\.[0-9]+", a) else a
+                for a in args[1:]]
+        if not rest:
+            return f"({fmt})"
+        if re.fullmatch(r"'[^']*'", fmt):
+            n_spec = len(re.findall(r"%(?!%)", fmt[1:-1]))
+            if len(rest) < n_spec:  # nonStrictFormat fallback
+                parts = [fmt] + [f"'; ', CAST({a} AS STRING)"
+                                 for a in rest]
+                return "CONCAT(" + ", ".join(parts) + ")"
+        return "FORMAT_STRING(" + ", ".join([fmt] + rest) + ")"
+
+    out = _rewrite_call(out, "STRING_FORMAT", string_format_build)
+    # Druid semantics for REPEAT (count<1 → NULL) and LEFT/RIGHT
+    # (negative length errors) — Spark won't let a SQL UDF shadow a
+    # builtin, so route to the DRUID_-prefixed UDFs (register.py)
+    out = _rewrite_call(
+        out, "REPEAT",
+        lambda args: (f"DRUID_REPEAT({args[0]}, {args[1]})"
+                      if len(args) == 2 else None))
+    out = _rewrite_call(
+        out, "LEFT",
+        lambda args: (f"DRUID_LEFT({args[0]}, {args[1]})"
+                      if len(args) == 2 else None))
+    out = _rewrite_call(
+        out, "RIGHT",
+        lambda args: (f"DRUID_RIGHT({args[0]}, {args[1]})"
+                      if len(args) == 2 else None))
     # 1-arg PARSE_LONG defaults to radix 10
     out = _add_default_arg(out, "PARSE_LONG", "10")
     # Druid TRUNC (numeric) → TRUNCATE (Spark's trunc builtin is
