@@ -10514,6 +10514,43 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                  AS empty_props,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    # ----------------------------------------------------------------
+    # Conformance batch 71: qaSql scalar_ipv4 / scalar_reduction
+    # batteries — numeric-typed IPV4 args (the battery feeds
+    # session_length, a LONG, to every ipv4 fn) and GREATEST/LEAST
+    # null-skipping inside string-concat comparison matrices.
+    # ----------------------------------------------------------------
+    "sqlc_ipv4_battery": ("""
+        SELECT IPV4_STRINGIFY(3232235777) AS lan,
+               IPV4_PARSE('192.168.1.1') AS lan_back,
+               IPV4_MATCH(3232235777, '192.168.0.0/16') AS in16,
+               IPV4_MATCH(3232235777, '10.0.0.0/8') AS in8,
+               CAST(COUNT(*) AS BIGINT) AS rt_ok
+        FROM events
+        WHERE IPV4_PARSE(IPV4_STRINGIFY(user_id)) = user_id
+          AND IPV4_MATCH(user_id, '0.0.0.0/1')""", """
+        SELECT '192.168.1.1' AS lan,
+               CAST(3232235777 AS BIGINT) AS lan_back,
+               TRUE AS in16, FALSE AS in8,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rt_ok"""),
+    # scalar_reduction A1: GREATEST/LEAST skip NULL args, and the
+    # result survives the string-concat comparison matrix
+    "sqlc_reduction_battery": ("""
+        SELECT '1' || GREATEST(value, 1, NULL) AS g,
+               '1' || LEAST(value, 1, NULL) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE value IS NULL
+           OR ('1' || GREATEST(value, 1, NULL) =
+                 1 || GREATEST(value, 1, NULL)
+               AND '1' || GREATEST(value, 1, NULL) IS NOT DISTINCT FROM
+                 1 || GREATEST(value, 1, NULL)
+               AND '1' || LEAST(value, 1, NULL) LIKE '%')
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10""", """
+        SELECT '1' || CAST(GREATEST(value, 1) AS VARCHAR) AS g,
+               '1' || CAST(LEAST(value, 1) AS VARCHAR) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10"""),
     # scalar_other TO_JSON_STRING battery: canonical rendering of a
     # parsed-then-reserialized object and of SQL arrays
     "sqlc_to_json_string_roundtrip": ("""

