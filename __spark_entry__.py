@@ -11459,9 +11459,9 @@ def _base_oracle_sql() -> dict[str, str]:
                         b.embedding::DOUBLE[]), 4) >= 0.45""",
         "sys_schema": """
             SELECT * FROM (VALUES
-              ('nation', 'n_nationkey', 1, 'INT'),
-              ('nation', 'n_name', 2, 'STRING'),
-              ('nation', 'n_regionkey', 3, 'INT'))
+              ('nation', 'n_nationkey', 1, 'BIGINT'),
+              ('nation', 'n_name', 2, 'VARCHAR'),
+              ('nation', 'n_regionkey', 3, 'BIGINT'))
               AS t("TABLE_NAME", "COLUMN_NAME", "ORDINAL_POSITION",
                    "DATA_TYPE")
             ORDER BY "ORDINAL_POSITION" """,

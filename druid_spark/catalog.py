@@ -75,6 +75,8 @@ class Catalog:
         self._tables: dict[str, DataFrame] = {}
         # name -> (path, time_column): registered but not yet read
         self._pending: dict[str, tuple[str, str | None]] = {}
+        # name -> column names stored as JSON text (COMPLEX<json>)
+        self._json_cols: dict[str, set[str]] = {}
         # lookup registry by tier (LookupCoordinatorResource manages
         # {tier: {name: spec}}; `__default` is the reference's
         # LookupCoordinatorResource DEFAULT_TIER). Non-default tiers
@@ -128,7 +130,19 @@ class Catalog:
 
     def register_table(self, name: str, source: str | DataFrame,
                        time_column: str | None = None,
-                       source_path: str | None = None) -> None:
+                       source_path: str | None = None,
+                       json_columns: list[str] | None = None) -> None:
+        # COMPLEX<json> columns are stored as JSON text (our nested-
+        # data convention); the hint lets INFORMATION_SCHEMA report
+        # the Druid-visible type (InformationSchema.java DATA_TYPE).
+        # A dict maps column -> DATA_TYPE ('COMPLEX<json>' or 'ARRAY'
+        # for variant-element arrays); a list means COMPLEX<json>.
+        if json_columns is not None:
+            self._json_cols[name] = (
+                dict(json_columns) if isinstance(json_columns, dict)
+                else {c: "COMPLEX<json>" for c in json_columns})
+        else:
+            self._json_cols.pop(name, None)
         if isinstance(source, str):
             # Lazy: defer the parquet read (schema/footer fetch + nanos/
             # NTZ normalization) until first access. Registering a whole

@@ -768,13 +768,34 @@ class DruidSparkEngine:
     def create_system_views(self) -> None:
         """INFORMATION_SCHEMA / sys analogs
         (sql/calcite/schema/InformationSchema.java, SystemSchema.java:105)."""
+        def druid_data_type(f, json_cols):
+            """Calcite-facing DATA_TYPE the reference publishes
+            (InformationSchema.java COLUMNS: RelDataType SqlTypeName —
+            VARCHAR/BIGINT/FLOAT/DOUBLE/TIMESTAMP/ARRAY/COMPLEX<json>;
+            Druid has no 8/16/32-bit ints or booleans)."""
+            if f.name in json_cols:
+                return json_cols[f.name]
+            s = f.dataType.simpleString()
+            if s.startswith("array"):
+                return "ARRAY"
+            return {"string": "VARCHAR", "bigint": "BIGINT",
+                    "int": "BIGINT", "smallint": "BIGINT",
+                    "tinyint": "BIGINT", "boolean": "BIGINT",
+                    "float": "FLOAT", "double": "DOUBLE",
+                    "date": "DATE", "binary": "VARBINARY",
+                    }.get(s.split("(")[0],
+                          "TIMESTAMP" if s.startswith("timestamp")
+                          else "DOUBLE" if s.startswith("decimal")
+                          else s.upper())
+
         rows_t, rows_c = [], []
         for t in self.catalog.tables():
             df = self.catalog.table(t)
+            jc = self.catalog._json_cols.get(t, {})
             rows_t.append(("druid", "druid", t, "TABLE"))
             for i, f in enumerate(df.schema.fields):
                 rows_c.append(("druid", "druid", t, f.name, i + 1,
-                               f.dataType.simpleString().upper(),
+                               druid_data_type(f, jc),
                                "YES" if f.nullable else "NO"))
         self.spark.createDataFrame(
             rows_t, ["TABLE_CATALOG", "TABLE_SCHEMA", "TABLE_NAME",

@@ -108,6 +108,55 @@ def _rewrite_call(sql: str, fname: str, builder) -> str:
             pos = m.start() + 1
 
 
+def _rewrite_call_unless_windowed(sql: str, fname: str, builder) -> str:
+    """_rewrite_call, but a call immediately followed by OVER is left
+    alone (the windowed spelling keeps its own dedicated rewrite —
+    wrapping a window aggregate in a HOF would detach the OVER)."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        depth, i, args, start = 1, m.end(), [], m.end()
+        while depth and i < len(sql):
+            ch = sql[i]
+            if ch in "'\"":
+                i = _skip_string(sql, i)
+            elif ch in "([":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(sql[start:i].strip())
+            elif ch == "," and depth == 1:
+                args.append(sql[start:i].strip())
+                start = i + 1
+            i += 1
+        if re.match(r"\s*OVER\b", sql[i:], re.IGNORECASE):
+            pos = i
+            continue
+        # a trailing FILTER (WHERE ...) must stay attached to the
+        # aggregate INSIDE any wrapper the builder adds — the builder
+        # marks the spot with __FILTER__
+        filt = ""
+        fm = re.match(r"\s*FILTER\s*\(", sql[i:], re.IGNORECASE)
+        if fm:
+            fend = _find_spec_end(sql, i + fm.end())
+            filt = " " + sql[i + fm.start():fend + 1].strip()
+            i = fend + 1
+        rep = builder(args)
+        if rep is None:
+            pos = i
+        else:
+            rep = rep.replace("__FILTER__", filt) if "__FILTER__" in rep \
+                else rep + filt
+            sql = sql[:m.start()] + rep + sql[i:]
+            pos = m.start() + 1
+
+
 # ---------------------------------------------------------------- sketch
 # SQL-layer sketch compositions. Theta state is an exact distinct SET
 # (array set ops mirror SketchSetPostAggregator); quantile finalizers
@@ -717,22 +766,52 @@ def _string_agg_call(args):
     return f"LISTAGG({pre}{expr}, {rest})"
 
 
+def _d_suffix_literal(expr: str) -> str:
+    """A bare decimal literal types as DECIMAL in Spark but DOUBLE in
+    Druid SQL; D-suffix it so array element types line up
+    (array_prepend(333.3333333, array_agg(dbl_col)) — qaAggFuncs)."""
+    return re.sub(r"^(\d+\.\d+)$", r"\1D", expr.strip())
+
+
+def _array_slice_call(a):
+    """ARRAY_SLICE / MV_SLICE with the reference's exact edge rules
+    (Function.java ArraySliceFunction): NULL when start < 0, start >
+    length, or start > end; Arrays.copyOfRange pads with nulls when
+    end exceeds the array length."""
+    if len(a) not in (2, 3):
+        return None
+    arr, s = a[0], a[1]
+    e = a[2] if len(a) == 3 else f"SIZE({arr})"
+    return (f"CASE WHEN ({s}) < 0 OR ({s}) > SIZE({arr}) OR ({s}) > ({e})"
+            f" THEN NULL"
+            f" WHEN ({s}) = ({e}) THEN SLICE({arr}, 1, 0)"
+            f" ELSE TRANSFORM(SEQUENCE(({s}) + 1, ({e})), __i ->"
+            f" IF(__i <= SIZE({arr}), ELEMENT_AT({arr}, __i), NULL)) END")
+
+
 def _array_agg_call(args):
     """ARRAY_AGG([DISTINCT] expr[, maxSizeBytes]): drop the byte cap,
-    millis-ify timestamp args. Returns None (untouched) for the plain
-    non-timestamp 1-arg form Spark handles natively."""
+    millis-ify timestamp args, and keep NULL inputs — the reference's
+    ARRAY_AGG aggregates nulls (qaAggFuncs array_agg_* goldens:
+    length(array_agg(col)) counts the 6 null rows; DISTINCT includes
+    a null element) where Spark's array_agg skips them.  Struct-wrap
+    carries nulls through the collect; TRANSFORM unwraps."""
     if not args or len(args) > 2:
         return None
     if len(args) == 2 and not re.fullmatch(r"\d+", args[1].strip()):
         return None  # not the maxSizeBytes form (e.g. ORDER BY split?)
     pre, expr = _split_distinct(args[0])
     new = _millisify(expr)
-    if len(args) == 1 and new == expr:
-        return None
     # millis version collects longs, matching the reference's output
     if new != expr:
         new = f"UNIX_MILLIS({expr})"
-    return f"ARRAY_AGG({pre}{new})"
+    # COLLECT_LIST/SET spellings so the replacement can't re-match the
+    # ARRAY_AGG scan; structs keep nulls through either collector;
+    # __FILTER__ re-attaches a trailing FILTER (WHERE ...) clause to
+    # the aggregate rather than the TRANSFORM wrapper
+    agg = "COLLECT_SET" if pre else "COLLECT_LIST"
+    return (f"TRANSFORM({agg}(NAMED_STRUCT('v', {new}))__FILTER__, "
+            f"__s -> __s.v)")
 
 
 _HLLY = re.compile(r"(?i)\b(DS_HLL|hll_sketch_agg|hll_union)\s*\(")
@@ -1156,6 +1235,11 @@ def _rewrite_json_returning(sql: str) -> str:
                 # result is legal inside Generate/explode
                 rep = (f"FROM_JSON(GET_JSON_OBJECT({args}), "
                        f"'array<{t.lower()}>')")
+                if t == "BOOLEAN":
+                    # Druid has no BOOLEAN storage type: a boolean
+                    # array reads back as ARRAY<LONG> 1/0 (qaArray
+                    # ingest_* RETURNING boolean array vs a_bool)
+                    rep = f"CAST({rep} AS ARRAY<BIGINT>)"
             else:
                 rep = f"CAST(JSON_VALUE({args}) AS {t})"
             sql = sql[:m.start()] + rep + sql[i:]
@@ -1280,7 +1364,10 @@ def _inject_window_order(sql: str) -> str:
         while i < len(up):
             ch = up[i]
             if ch == "'":
-                i = _skip_string(up, i)
+                # _skip_string returns the CLOSING quote's index; step
+                # past it or the closer re-reads as an opener and the
+                # text between literals scans as inside-string
+                i = _skip_string(up, i) + 1
                 continue
             if ch in "([":
                 depth += 1
@@ -1300,6 +1387,191 @@ def _inject_window_order(sql: str) -> str:
             last = end
     out.append(sql[last:])
     return "".join(out)
+
+
+_FRAME_BOUND = (r"UNBOUNDED\s+PRECEDING|UNBOUNDED\s+FOLLOWING|"
+                r"CURRENT\s+ROW|\d+\s+PRECEDING|\d+\s+FOLLOWING")
+
+
+def _bound_offset(b: str) -> float:
+    b = re.sub(r"\s+", " ", b.strip().upper())
+    if b == "CURRENT ROW":
+        return 0
+    if b == "UNBOUNDED PRECEDING":
+        return float("-inf")
+    if b == "UNBOUNDED FOLLOWING":
+        return float("inf")
+    n = int(b.split()[0])
+    return -n if b.endswith("PRECEDING") else n
+
+
+def _normalize_window_frames(sql: str) -> str:
+    """Two Calcite frame behaviors Spark rejects (qaWin orderby_rows_*
+    corpora; Calcite SqlWindow.create + Druid WindowFrame):
+
+    1. Shorthand `ROWS <X> FOLLOWING` means BETWEEN CURRENT ROW AND
+       <X> FOLLOWING (Calcite swaps a FOLLOWING shorthand to the upper
+       bound); Spark reads it as the lower bound and errors (or
+       silently computes an empty frame).
+    2. An explicitly REVERSED frame (`ROWS BETWEEN 0 PRECEDING AND 1
+       PRECEDING`) is legal in Druid and always-empty: aggregates
+       yield NULL, COUNT yields 0.  Spark rejects it at analysis, so
+       every windowed call over such a frame folds to its constant.
+    """
+    masked, lits = _mask_strings(sql)
+    masked = re.sub(
+        r"(?is)\b(ROWS|RANGE|GROUPS)\s+(UNBOUNDED\s+FOLLOWING|"
+        r"\d+\s+FOLLOWING)\b",
+        lambda m: f"{m.group(1)} BETWEEN CURRENT ROW AND {m.group(2)}",
+        masked)
+
+    frame_pat = re.compile(
+        r"(?is)\b(ROWS|RANGE|GROUPS)\s+BETWEEN\s+(" + _FRAME_BOUND +
+        r")\s+AND\s+(" + _FRAME_BOUND + r")")
+
+    def _reversed_in(spec: str) -> bool:
+        for fm in frame_pat.finditer(spec):
+            if _bound_offset(fm.group(2)) > _bound_offset(fm.group(3)):
+                return True
+        return False
+
+    # named WINDOW definitions with a reversed frame: neutralize the
+    # definition (so Spark can parse it) and remember the name — every
+    # `fn(..) OVER name` reference folds to its empty-frame constant
+    dead_windows: set[str] = set()
+    for wm in re.finditer(r"(?is)(\bWINDOW\s+|,\s*)(\w+)\s+AS\s*\(",
+                          masked):
+        # a comma continuation only counts inside a WINDOW list (a CTE
+        # list also matches ", name AS (")
+        if wm.group(1).strip() == "," and not re.search(
+                r"(?is)\bWINDOW\b", masked[:wm.start()]):
+            continue
+        end = _find_spec_end(masked, wm.end())
+        spec = masked[wm.end():end]
+        if _reversed_in(spec):
+            dead_windows.add(wm.group(2).upper())
+            masked = (masked[:wm.end()] +
+                      frame_pat.sub("ROWS BETWEEN CURRENT ROW AND "
+                                    "CURRENT ROW", spec) + masked[end:])
+
+    def _fold_call(s: str, call_start: int, over_end: int) -> str:
+        """Replace fn(args)...OVER<spec> span with the empty-frame
+        constant."""
+        fn = re.match(r"\w+", s[call_start:]).group(0).upper()
+        const = "0" if fn == "COUNT" else "CAST(NULL AS DOUBLE)" \
+            if fn in ("SUM", "AVG", "VARIANCE", "VAR_POP", "VAR_SAMP",
+                      "STDDEV", "STDDEV_POP", "STDDEV_SAMP") \
+            else "CAST(NULL AS STRING)"
+        return s[:call_start] + const + s[over_end:]
+
+    def _call_start(s: str, over_at: int) -> int | None:
+        """Scan back from ' OVER' to the start of the windowed call."""
+        j = over_at - 1
+        while j >= 0 and s[j].isspace():
+            j -= 1
+        if j < 0 or s[j] != ")":
+            return None
+        depth = 0
+        while j >= 0:
+            if s[j] == ")":
+                depth += 1
+            elif s[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        j -= 1
+        while j >= 0 and (s[j].isalnum() or s[j] == "_"):
+            j -= 1
+        return j + 1
+
+    # inline OVER (...) specs with a reversed frame + OVER <name> refs
+    changed = True
+    while changed:
+        changed = False
+        for om in re.finditer(r"(?is)\bOVER\s*(\(|\w+)", masked):
+            if om.group(1) == "(":
+                end = _find_spec_end(masked, om.end())
+                spec = masked[om.end():end]
+                ref = spec.strip().upper()
+                if not (_reversed_in(spec) or ref in dead_windows):
+                    continue
+                cs = _call_start(masked, om.start())
+                if cs is None:
+                    continue
+                masked = _fold_call(masked, cs, end + 1)
+                changed = True
+                break
+            if om.group(1).upper() in dead_windows:
+                cs = _call_start(masked, om.start())
+                if cs is None:
+                    continue
+                masked = _fold_call(masked, cs, om.end())
+                changed = True
+                break
+    return _unmask_strings(masked, lits)
+
+
+def _firstlast_unordered_frames(sql: str) -> str:
+    """FIRST_VALUE / LAST_VALUE over a window with NO ORDER BY read
+    the whole partition in the reference regardless of any explicit
+    frame (Windowing.java:98 maps them to WindowFirstProcessor /
+    WindowLastProcessor — frame-less, partition row 0 / row N; with
+    no ordering the partition IS the frame; qaWin
+    orderby_rows_current_first_last goldens pin it).  Rewrite such
+    calls to an explicit unbounded frame; ordered windows keep
+    standard frame semantics (drill corpus + qaWin ordered goldens
+    match Spark's)."""
+    masked, lits = _mask_strings(sql)
+
+    def _spec_unordered(spec: str) -> bool:
+        depth = i = 0
+        while i < len(spec):
+            ch = spec[i]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0 and re.match(r"(?i)ORDER\s+BY", spec[i:]):
+                return False
+            i += 1
+        return True
+
+    named = {}
+    for wm in re.finditer(r"(?is)\bWINDOW\s+(\w+)\s+AS\s*\(", masked):
+        end = _find_spec_end(masked, wm.end())
+        named[wm.group(1).upper()] = masked[wm.end():end]
+
+    out = masked
+    pos = 0
+    while True:
+        m = re.search(r"(?is)\b(FIRST_VALUE|LAST_VALUE)\s*\(", out[pos:])
+        if not m:
+            break
+        call_start = pos + m.start()
+        args_end = _find_spec_end(out, pos + m.end())
+        om = re.match(r"(?is)\s*OVER\s*(\(|\w+)", out[args_end + 1:])
+        if not om:
+            pos = args_end + 1
+            continue
+        if om.group(1) == "(":
+            spec_start = args_end + 1 + om.end()
+            spec_end = _find_spec_end(out, spec_start)
+            spec = out[spec_start:spec_end]
+            over_span = (args_end + 1 + om.start(), spec_end + 1)
+        else:
+            spec = named.get(om.group(1).upper(), "ORDER BY")
+            over_span = (args_end + 1 + om.start(), args_end + 1 + om.end())
+        if _spec_unordered(spec):
+            # strip any explicit frame, pin the unbounded one
+            base = re.split(r"(?i)\b(?:ROWS|RANGE|GROUPS)\b", spec)[0]
+            new = (f" OVER ({base.strip()} ROWS BETWEEN UNBOUNDED "
+                   f"PRECEDING AND UNBOUNDED FOLLOWING)")
+            out = out[:over_span[0]] + new + out[over_span[1]:]
+            pos = over_span[0] + len(new)
+        else:
+            pos = args_end + 1
+    return _unmask_strings(out, lits)
 
 
 def _rewrite_druid_sql(sql: str, exact: bool = True,
@@ -1393,7 +1665,15 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # swap the args (see register.py module note)
     out = _rewrite_call(
         out, "ARRAY_PREPEND",
-        lambda a: f"array_prepend({a[1]}, {a[0]})" if len(a) == 2 else None)
+        lambda a: f"array_prepend({a[1]}, {_d_suffix_literal(a[0])})"
+        if len(a) == 2 else None)
+    # decimal-literal second args type as DECIMAL and fail Spark's
+    # exact element-type check against array<double>
+    out = _rewrite_call(
+        out, "ARRAY_APPEND",
+        lambda a: f"array_append({a[0]}, {_d_suffix_literal(a[1])})"
+        if len(a) == 2 and _d_suffix_literal(a[1]) != a[1].strip()
+        else None)
     # approx count-distinct shorthands: exact mode (the oracle contract)
     # computes the true distinct; sketch mode builds a real Datasketches
     # HLL and estimates — bounded, mergeable, ~1.6% RSE at lgK=12. The
@@ -1442,7 +1722,7 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)
     # ArraySqlAggregator: same optional maxSizeBytes + millis contract
     # (qaAggFuncs/array_agg_timestamp_*)
-    out = _rewrite_call(out, "ARRAY_AGG", _array_agg_call)
+    out = _rewrite_call_unless_windowed(out, "ARRAY_AGG", _array_agg_call)
     # windowed form first: FLATTEN must wrap OUTSIDE the window
     # expression (flatten(collect_list(x) OVER w)) — Spark rejects
     # non-window exprs inside a window function slot
@@ -1585,23 +1865,54 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         r"(?i)\b([A-Za-z_]\w*)\s+(NOT\s+)?IN\s*"
         r"(\(\s*(?:true|false)(?:\s*,\s*(?:true|false))*\s*\))",
         _bool_in, out)
+    if re.search(r"(?i)\bOVER\b", out):
+        out = _normalize_window_frames(out)
+        out = _firstlast_unordered_frames(out)
     out = _inject_window_order(out)
     out = _rewrite_unnest_join(out)
     out = _rewrite_unnest(out)
     out = _rewrite_unnest_from(out)
     # Druid ARRAY_CONTAINS(arr, arr2) is subset-containment; Spark's
-    # builtin only takes a scalar needle. Rewrite when the second arg
-    # is syntactically an array producer (the only case SQL text can
-    # type) — scalar calls keep the builtin.
-    out = _rewrite_call(
-        out, "ARRAY_CONTAINS",
-        lambda args: (
-            f"forall({args[1]}, __acx -> "
-            f"array_contains({args[0]}, __acx))"
-            if len(args) == 2 and re.match(
-                r"(?is)^\s*(ARRAY\s*[\[(]|STRING_TO_ARRAY\s*\("
-                r"|MV_TO_ARRAY\s*\()", args[1])
-            else None))
+    # builtin only takes a scalar needle. Either form is TWO-valued
+    # (Function.java ArrayContainsFunction): NULL only when the array
+    # itself is null; a no-match with null elements present is FALSE
+    # (Spark says NULL there), and a NULL needle tests for a null
+    # element (Java List.contains(null)).
+    def _array_contains_call(args):
+        if len(args) != 2:
+            return None
+        a, e = args
+        # __sac( placeholder: the replacement must not re-match the
+        # ARRAY_CONTAINS scan (restored right after the rewrite)
+        if re.match(r"(?is)^\s*(ARRAY\s*[\[(]|STRING_TO_ARRAY\s*\("
+                    r"|MV_TO_ARRAY\s*\()", e):
+            return (f"IF(({a}) IS NULL, NULL, IF(({e}) IS NULL, FALSE, "
+                    f"forall({e}, __acx -> CASE WHEN __acx IS NULL THEN "
+                    f"EXISTS({a}, __acy -> __acy IS NULL) ELSE "
+                    f"COALESCE(__sac({a}, __acx), FALSE) END)))")
+        return (f"CASE WHEN ({a}) IS NULL THEN NULL "
+                f"WHEN ({e}) IS NULL THEN "
+                f"EXISTS({a}, __acy -> __acy IS NULL) "
+                f"ELSE COALESCE(__sac({a}, {e}), FALSE) END")
+
+    out = _rewrite_call(out, "ARRAY_CONTAINS", _array_contains_call)
+
+    # ARRAY_OVERLAP / MV_OVERLAP: same two-valued contract (null only
+    # for a null operand; null elements match null elements), and an
+    # inline rewrite keeps native element types (the UDF fallback
+    # coerces through ARRAY<STRING>)
+    def _array_overlap_call(args):
+        if len(args) != 2:
+            return None
+        a, b = args
+        return (f"IF(({a}) IS NULL OR ({b}) IS NULL, NULL, "
+                f"EXISTS({b}, __aox -> CASE WHEN __aox IS NULL THEN "
+                f"EXISTS({a}, __aoy -> __aoy IS NULL) ELSE "
+                f"COALESCE(__sac({a}, __aox), FALSE) END))")
+
+    out = _rewrite_call(out, "ARRAY_OVERLAP", _array_overlap_call)
+    out = _rewrite_call(out, "MV_OVERLAP", _array_overlap_call)
+    out = out.replace("__sac(", "array_contains(")
     # Calcite ARRAY[...] constructor → Spark array(...). Innermost-first
     # so nested ARRAY[ARRAY[1], ARRAY[2]] rewrites cleanly; the inner
     # pattern is bracket-free, so repetition terminates. String
@@ -1610,8 +1921,17 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     pat = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", flags=re.IGNORECASE)
     if pat.search(out):
         masked, _lits = _mask_strings(out)
+
+        def _array_ctor(m):
+            # Druid numeric literals with a decimal point are DOUBLE;
+            # Spark's DECIMAL(p,s) elements fail exact-type checks
+            # against double arrays (qaArray E00 matrices)
+            inner = re.sub(r"(?<![\w.])(\d+\.\d+)(?![\w.eE])", r"\1D",
+                           m.group(1))
+            return f"array({inner})"
+
         while pat.search(masked):
-            masked = pat.sub(lambda m: f"array({m.group(1)})", masked)
+            masked = pat.sub(_array_ctor, masked)
         out = _unmask_strings(masked, _lits)
 
     # ARRAY-RETURNING alias UDFs inline to their builtins. NOT a
@@ -1634,12 +1954,8 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         ("MV_PREPEND",
          lambda a: f"ARRAY_PREPEND({a[1]}, {a[0]})"
          if len(a) == 2 else None),
-        ("ARRAY_SLICE",
-         lambda a: f"SLICE({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
-         if len(a) == 3 else None),
-        ("MV_SLICE",
-         lambda a: f"SLICE({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
-         if len(a) == 3 else None),
+        ("ARRAY_SLICE", _array_slice_call),
+        ("MV_SLICE", _array_slice_call),
         ("MV_TO_ARRAY",
          lambda a: f"({a[0]})" if len(a) == 1 else None),
         ("ARRAY_TO_MV",
@@ -1721,6 +2037,9 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         flat = []
         for a in args:
             m = re.match(r"(?is)^KEY\s+(.+?)\s+VALUE\s+(.+)$", a)
+            if not m:
+                # Calcite's other form: JSON_OBJECT('k': v, ...)
+                m = re.match(r"(?is)^('(?:[^']|'')*')\s*:\s*(.+)$", a)
             if m:
                 flat.extend([m.group(1), m.group(2)])
             else:

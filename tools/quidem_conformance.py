@@ -1,0 +1,942 @@
+"""Quidem qa-corpus conformance harness.
+
+The reference ships ~25k golden query/result cases as quidem `.iq`
+files (quidem-ut/src/test/quidem/org.apache.druid.quidem.QTest/*,
+run by QTest.java) over small datasets it defines with its own
+ingestion specs (sql/src/test/quidem/qatests/*/ingest.json).  This
+harness parses the same `.iq` files, loads the same datasets with the
+same dimension typing rules (DimensionsSpec: string dims coerce
+arrays to MVDs, `json` dims are COMPLEX<json> — our JSON-text
+convention, `auto` dims schema-discover), runs every `!ok` case
+through this engine's SQL layer and compares against the embedded
+mysql-format expected tables.
+
+Comparison rules mirror the reference's quidem printer
+(org.apache.calcite.test quidem, mysql outputformat): scalar NULL is
+a blank cell, typed SQL arrays render Java-style `[a, b, null]`,
+MVDs render as JSON `["a","b",null]`, timestamps render
+`yyyy-MM-dd HH:mm:ss.SSS`; rows compare unordered unless the query
+has a top-level ORDER BY; doubles compare with a relative epsilon
+(the reference's EQUALS_RELATIVE_1000_ULPS analog).
+
+Usage:
+    PYTHONPATH=/root/repo python tools/quidem_conformance.py \
+        [--family qaWin ...] [--file SUBSTR] [--limit N] [--case SUBSTR]
+        [--write-passlist] [--verbose] [--errors]
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime as dt
+import gzip
+import io
+import json
+import math
+import re
+import sys
+from pathlib import Path
+
+QTEST = Path("/root/reference/quidem-ut/src/test/quidem/"
+             "org.apache.druid.quidem.QTest")
+REF = Path("/root/reference")
+OUTDIR = Path(__file__).parent / "quidem_out"
+
+FAMILIES = ["qaWin", "qaAggFuncs", "qaSql", "qaArray", "qaUnnest",
+            "qaJsonCols", "qaSsb", "qaTpch", "kttm_sunburst"]
+
+
+# ---------------------------------------------------------------- iq parser
+
+def parse_iq(path: Path) -> list[dict]:
+    """Split a .iq file into cases.  A case is one SQL statement plus
+    the expected block that a terminating `!ok` / `!error` closes;
+    plan blocks (`!druidPlan`, `!nativePlan`, ...) attach to the same
+    SQL and are ignored."""
+    cases = []
+    buf: list[str] = []
+    cur_sql: str | None = None
+    test_id = None
+    dataset = None
+    seq = 0
+    for ln in path.read_text().splitlines():
+        if ln.startswith("#"):
+            m = re.search(r"TESTCASE:\s*(\S+)\s+TEST_ID:\s*(\S+)", ln)
+            if m:
+                test_id = f"{m.group(1)}:{m.group(2)}"
+            continue
+        if ln.startswith("!"):
+            parts = ln[1:].split()
+            name = parts[0] if parts else ""
+            if name == "use":
+                m = re.search(r"datasets=([^&\s]+)", ln)
+                dataset = m.group(1) if m else "__default__"
+                buf = []
+                continue
+            if name in ("set", "if"):
+                buf = []
+                continue
+            # block-terminating directive: split buf into SQL + block
+            sql_end = None
+            for i, b in enumerate(buf):
+                if b.rstrip().endswith(";") and not b.lstrip().startswith(
+                        ("|", "+", "(")):
+                    sql_end = i
+                    break
+            if sql_end is not None:
+                cur_sql = "\n".join(buf[:sql_end + 1]).rstrip().rstrip(";")
+                block = buf[sql_end + 1:]
+            else:
+                block = buf
+            if name in ("ok", "error") and cur_sql:
+                seq += 1
+                cases.append({
+                    "id": f"{path.stem}:{seq}:{test_id or 'case'}",
+                    "sql": cur_sql,
+                    "expected": [b for b in block if b.strip() != ""],
+                    "kind": name,
+                    "dataset": dataset,
+                    "file": path.name,
+                })
+            buf = []
+            continue
+        buf.append(ln)
+    return cases
+
+
+def parse_mysql_table(lines: list[str]):
+    """Border-sliced mysql-format table → (headers, rows-of-strings).
+    Returns None when the block is not a table (e.g. '(0 rows)' only
+    or an EXPLAIN text blob)."""
+    borders = [i for i, ln in enumerate(lines)
+               if re.fullmatch(r"\+[-+]*\+", ln.strip())]
+    m = None
+    for ln in lines:
+        m2 = re.fullmatch(r"\((\d+) rows?\)", ln.strip())
+        if m2:
+            m = int(m2.group(1))
+    if len(borders) < 2:
+        return None, None, (m or 0)
+    border = lines[borders[0]]
+    cuts = [i for i, ch in enumerate(border) if ch == "+"]
+
+    def slice_row(ln: str) -> list[str]:
+        ln = ln.ljust(len(border))
+        return [ln[a + 1:b].strip() for a, b in zip(cuts, cuts[1:])]
+
+    headers = slice_row(lines[borders[0] + 1])
+    rows = []
+    end = borders[2] if len(borders) > 2 else borders[1]
+    for ln in lines[borders[1] + 1:end]:
+        if ln.strip().startswith("+"):
+            continue
+        rows.append(slice_row(ln))
+    return headers, rows, (m if m is not None else len(rows))
+
+
+# ------------------------------------------------------------- datasets
+
+def _java_str(v) -> str:
+    """Java toString rendering — how the reference coerces a nested
+    array to a string-dim element and renders typed SQL arrays."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, list):
+        return "[" + ", ".join(_java_str(x) for x in v) + "]"
+    if isinstance(v, float):
+        return _java_double(v)
+    return str(v)
+
+
+def _java_double(f: float) -> str:
+    if f != f or f in (float("inf"), float("-inf")):
+        return {float("inf"): "Infinity",
+                float("-inf"): "-Infinity"}.get(f, "NaN")
+    if f == int(f) and abs(f) < 1e16:
+        return f"{int(f)}.0"
+    r = repr(f)
+    return r
+
+
+def _mv_elem(v):
+    """Coerce one JSON value to a string-dim (MVD) element."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, list):
+        return _java_str(v)
+    if isinstance(v, float):
+        return _java_double(v)
+    return str(v)
+
+
+def _parse_ts(v) -> dt.datetime:
+    if isinstance(v, (int, float)):
+        return dt.datetime.fromtimestamp(v / 1000.0, dt.timezone.utc) \
+            .replace(tzinfo=None)
+    s = str(v).replace("T", " ").rstrip("Z")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"bad timestamp {v!r}")
+
+
+def _read_spec_rows(spec: dict) -> list[dict]:
+    io_cfg = spec["ioConfig"]
+    src = io_cfg["inputSource"]
+    fmt = io_cfg.get("inputFormat", {"type": "json"})
+    if src["type"] == "inline":
+        raw = src["data"]
+    elif src["type"] == "local":
+        base = REF / src["baseDir"]
+        files = sorted(base.glob(src.get("filter", "*")))
+        chunks = []
+        for f in files:
+            data = f.read_bytes()
+            if f.suffix == ".gz":
+                data = gzip.decompress(data)
+            chunks.append(data.decode())
+        raw = "\n".join(chunks)
+    else:
+        raise ValueError(f"inputSource {src['type']}")
+    t = fmt.get("type")
+    if t == "json":
+        return [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
+    if t in ("csv", "tsv", "delimited"):
+        delim = fmt.get("delimiter", {"csv": ",", "tsv": "\t"}.get(t, ","))
+        cols = fmt.get("columns")
+        rows = []
+        rd = csv.reader(io.StringIO(raw), delimiter=delim)
+        it = iter(rd)
+        if fmt.get("findColumnsFromHeader"):
+            cols = next(it)
+        for rec in it:
+            if not rec:
+                continue
+            rows.append(dict(zip(cols, rec)))
+        return rows
+    raise ValueError(f"inputFormat {t}")
+
+
+def _auto_type(values):
+    """Schema discovery for one `auto` column over its non-null raw
+    JSON values → ('scalar', sparktype) | ('array', elemtype) |
+    ('json', None)."""
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return ("scalar", "string")
+    if all(isinstance(v, list) for v in vals):
+        elems = [e for v in vals for e in v if e is not None]
+        if any(isinstance(e, (list, dict)) for e in elems):
+            return ("json", None)
+        kinds = {("f" if isinstance(e, float)
+                  else "l" if isinstance(e, (bool, int))
+                  else "s") for e in elems}
+        if kinds <= {"l"}:
+            return ("array", "long")
+        if kinds <= {"l", "f"}:
+            return ("array", "double")
+        if kinds == {"s"}:
+            return ("array", "string")
+        # mixed-scalar array: a VARIANT-element ARRAY in the
+        # reference's schema discovery (DATA_TYPE 'ARRAY'), stored
+        # here as JSON text
+        return ("varray", None)
+    if any(isinstance(v, (list, dict)) for v in vals):
+        return ("json", None)
+    kinds = {("f" if isinstance(v, float)
+              else "l" if isinstance(v, (bool, int))
+              else "s") for v in vals}
+    if kinds <= {"l"}:
+        return ("scalar", "long")
+    if kinds <= {"l", "f"}:
+        return ("scalar", "double")
+    if kinds == {"s"}:
+        return ("scalar", "string")
+    return ("json", None)
+
+
+def _coerce_scalar(v, typ):
+    if v is None:
+        return None
+    if typ == "long":
+        if isinstance(v, bool):
+            return 1 if v else 0
+        try:
+            return int(float(v))
+        except (TypeError, ValueError):
+            return None
+    if typ in ("double", "float"):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(v, (dict, list)):
+        return _java_str(v) if isinstance(v, list) else json.dumps(
+            v, separators=(",", ":"))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return _java_double(v)
+    return str(v)
+
+
+def _apply_transforms_pyside(spark, raw: list[dict], schema: dict):
+    """Run the spec's transformSpec over a JSON-text view of the raw
+    rows (Druid transforms see raw input values, before dimension
+    typing) and merge the outputs back into the raw dicts.  The
+    datasets are tiny (≤1k rows), so a collect here is fine — this is
+    a conformance harness, not a pipeline."""
+    tr_spec = schema.get("transformSpec")
+    if not tr_spec or not tr_spec.get("transforms"):
+        return raw
+    from pyspark.sql import types as T
+    from druid_spark.ingest.batch import apply_transform_spec
+
+    src_cols = sorted({k for r in raw for k in r})
+    fields = T.StructType(
+        [T.StructField(c, T.StringType()) for c in src_cols])
+
+    def as_text(v):
+        if v is None:
+            return None
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, separators=(",", ":"))
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    rows = [tuple(as_text(r.get(c)) for c in src_cols) for r in raw]
+    df = spark.createDataFrame(rows, fields)
+    df = apply_transform_spec(df, tr_spec)
+    names = [t["name"] for t in tr_spec["transforms"]]
+    for r, got in zip(raw, df.select(*names).collect()):
+        for n, v in zip(names, got):
+            # json_value yields strings; re-type numerics the way
+            # Druid's schema discovery would
+            if isinstance(v, str):
+                if re.fullmatch(r"-?\d+", v):
+                    v = int(v)
+                elif re.fullmatch(r"-?\d*\.\d+(E-?\d+)?", v, re.I):
+                    v = float(v)
+                elif v == "true":
+                    v = True
+                elif v == "false":
+                    v = False
+            r[n] = v
+    return raw
+
+
+def build_dataset_frames(spark, dataset_rel: str):
+    """dataset path (relative to the reference root) → {table: df},
+    applying the reference's own ingest specs with our column
+    conventions (MVD→array<string>, COMPLEX<json>→JSON text)."""
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+
+    ddir = REF / dataset_rel
+    specs = sorted(ddir.glob("ingest*.json"))
+    if not specs:
+        raise FileNotFoundError(f"no ingest spec under {ddir}")
+    out = {}
+    for sp in specs:
+        spec = json.loads(sp.read_text())
+        inner = spec.get("spec", spec)
+        schema = inner["dataSchema"]
+        raw = _read_spec_rows(inner)
+        raw = _apply_transforms_pyside(spark, raw, schema)
+        ts_spec = schema.get("timestampSpec", {})
+        ts_col = ts_spec.get("column", "timestamp")
+        dims_spec = schema.get("dimensionsSpec", {})
+        dims = dims_spec.get("dimensions") or []
+        dims = [{"type": "string", "name": d} if isinstance(d, str) else d
+                for d in dims]
+
+        fields = [T.StructField("__time", T.TimestampType())]
+        coercers = []
+        json_cols = []
+        for d in dims:
+            name, typ = d["name"], d.get("type", "string")
+            cast_to = d.get("castToType", "")
+            values = [r.get(name) for r in raw]
+            if typ == "long":
+                fields.append(T.StructField(name, T.LongType()))
+                coercers.append(lambda v: _coerce_scalar(v, "long"))
+            elif typ in ("double", "float"):
+                fields.append(T.StructField(name, T.DoubleType()))
+                coercers.append(lambda v: _coerce_scalar(v, "double"))
+            elif typ == "json":
+                fields.append(T.StructField(name, T.StringType()))
+                json_cols.append((name, "COMPLEX<json>"))
+                coercers.append(lambda v: None if v is None else json.dumps(
+                    v, separators=(",", ":")))
+            elif typ == "auto" and cast_to.upper().startswith("ARRAY"):
+                et = {"STRING": T.StringType(), "LONG": T.LongType(),
+                      "DOUBLE": T.DoubleType()}[
+                          cast_to.upper()[6:-1].strip()]
+                fields.append(T.StructField(name, T.ArrayType(et)))
+                coercers.append(lambda v: None if v is None else [
+                    _mv_elem(e) for e in (v if isinstance(v, list) else [v])])
+            elif typ == "auto":
+                kind, st = _auto_type(values)
+                if kind == "scalar":
+                    fields.append(T.StructField(
+                        name, {"long": T.LongType(), "double": T.DoubleType(),
+                               "string": T.StringType()}[st]))
+                    coercers.append(
+                        lambda v, st=st: _coerce_scalar(v, st))
+                elif kind == "array":
+                    et = {"long": T.LongType(), "double": T.DoubleType(),
+                          "string": T.StringType()}[st]
+                    fields.append(T.StructField(name, T.ArrayType(et)))
+                    coercers.append(lambda v, st=st: None if v is None else [
+                        _coerce_scalar(e, st) for e in v])
+                else:
+                    fields.append(T.StructField(name, T.StringType()))
+                    json_cols.append(
+                        (name, "ARRAY" if kind == "varray"
+                         else "COMPLEX<json>"))
+                    coercers.append(lambda v: None if v is None else
+                                    json.dumps(v, separators=(",", ":")))
+            else:  # string dim: scalars AND multi-value arrays
+                has_list = any(isinstance(v, list) for v in values)
+                if has_list:
+                    fields.append(T.StructField(
+                        name, T.ArrayType(T.StringType())))
+                    # empty array ingests as null (Druid drops it)
+                    coercers.append(lambda v: None if v is None or v == []
+                                    else [_mv_elem(e) for e in v]
+                                    if isinstance(v, list) else [_mv_elem(v)])
+                else:
+                    fields.append(T.StructField(name, T.StringType()))
+                    coercers.append(lambda v: _coerce_scalar(v, "string"))
+
+        rows = []
+        for r in raw:
+            row = [_parse_ts(r.get(ts_col))]
+            for d, co in zip(dims, coercers):
+                row.append(co(r.get(d["name"])))
+            rows.append(tuple(row))
+        gran = schema.get("granularitySpec") or {}
+        metrics = schema.get("metricsSpec") or []
+        if gran.get("rollup"):
+            # ingest-time rollup (all qa specs: count metric, NONE
+            # queryGranularity) — identical (ts, dims) rows merge
+            groups: dict[str, list] = {}
+            for row in rows:
+                groups.setdefault(
+                    json.dumps(row, default=str), [row, 0])[1] += 1
+            rows = [tuple(list(row) + [n for m in metrics])
+                    for row, n in groups.values()]
+        else:
+            rows = [tuple(list(row) + [1 for m in metrics])
+                    for row in rows]
+        for m in metrics:
+            fields.append(T.StructField(m["name"], T.LongType()))
+        df = spark.createDataFrame(rows, T.StructType(fields))
+        order = ["__time"] + [d["name"] for d in dims] + \
+            [m["name"] for m in metrics]
+        df = df.select(*[c for c in dict.fromkeys(order) if c in df.columns])
+        out[schema["dataSource"]] = (df.cache(), dict(json_cols))
+    return out
+
+
+# ------------------------------------------------------------- compare
+
+REL_EPS = 1e-9
+
+
+def _num_eq(a: float, b: float) -> bool:
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    if a == b:
+        return True
+    return abs(a - b) <= REL_EPS * max(abs(a), abs(b), 1e-300)
+
+
+def _ts_millis(v: dt.datetime) -> int:
+    return int(v.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+def _parse_expected_ts(e: str):
+    m = re.fullmatch(
+        r"(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?",
+        e)
+    if not m:
+        return None
+    ms = int((m.group(7) or "0").ljust(3, "0")[:3])
+    d = dt.datetime(*[int(m.group(i)) for i in range(1, 7)],
+                    tzinfo=dt.timezone.utc)
+    return int(d.timestamp() * 1000) + ms
+
+
+def _elem_eq(a, e) -> bool:
+    """actual python element vs expected JSON-decoded element."""
+    if a is None or e is None:
+        return a is None and e is None
+    if isinstance(e, bool) or isinstance(a, bool):
+        return str(a).lower() == str(e).lower()
+    if isinstance(e, (int, float)) or isinstance(a, (int, float)):
+        try:
+            return _num_eq(float(a), float(e))
+        except (TypeError, ValueError):
+            return False
+    return str(a) == str(e)
+
+
+def cell_eq(a, e: str) -> bool:
+    """actual collected value vs expected rendered cell."""
+    if a is None:
+        return e in ("", "null")
+    if isinstance(a, bool):
+        return e == ("true" if a else "false")
+    if isinstance(a, int):
+        if e == "":
+            return False
+        try:
+            return _num_eq(float(a), float(e))
+        except ValueError:
+            return _parse_expected_ts(e) == a
+    if isinstance(a, float):
+        if e == "":
+            return False
+        if e == "NaN":
+            return math.isnan(a)
+        if e in ("Infinity", "-Infinity"):
+            return a == float(e.replace("Infinity", "inf"))
+        try:
+            return _num_eq(a, float(e))
+        except ValueError:
+            return False
+    if isinstance(a, dt.datetime):
+        t = _parse_expected_ts(e)
+        if t is not None:
+            return t == _ts_millis(a)
+        try:
+            return _num_eq(float(e), _ts_millis(a))
+        except ValueError:
+            return False
+    if isinstance(a, dt.date):
+        return e == a.isoformat() or _parse_expected_ts(e) == _ts_millis(
+            dt.datetime(a.year, a.month, a.day))
+    if isinstance(a, (list, tuple)):
+        a = list(a)
+        if e.startswith("["):
+            try:
+                je = json.loads(e)
+            except ValueError:
+                je = None
+            if isinstance(je, list):
+                if len(je) == len(a) and all(
+                        _elem_eq(x, y) for x, y in zip(a, je)):
+                    return True
+            # Java-style render (typed SQL arrays): [S1, S2, null]
+            return _java_str(a) == e
+        # single-element MVD collapses to its scalar on render
+        if len(a) == 1:
+            return cell_eq(a[0], e)
+        return False
+    if isinstance(a, str):
+        if a == e:
+            return True
+        # JSON-equivalent object/array text (key order, spacing), and
+        # variant arrays render Java-style: [true, 1, 0.1, S1, null]
+        if a[:1] in ("{", "["):
+            try:
+                ja = json.loads(a)
+            except ValueError:
+                return False
+            if e[:1] in ("{", "["):
+                try:
+                    if ja == json.loads(e):
+                        return True
+                except ValueError:
+                    pass
+            return _java_str(ja) == e
+        return False
+    if hasattr(a, "as_integer_ratio"):  # Decimal
+        try:
+            return _num_eq(float(a), float(e))
+        except ValueError:
+            return False
+    return str(a) == e
+
+
+def _render_key(v) -> str:
+    if v is None:
+        return "~null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return f"{v:.6g}" if not math.isnan(v) else "NaN"
+    if isinstance(v, int):
+        return f"{float(v):.6g}"
+    if isinstance(v, dt.datetime):
+        return str(_ts_millis(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_render_key(x) for x in v) + "]"
+    return str(v)
+
+
+def _expected_key(e: str) -> str:
+    if e in ("", "null"):
+        return "~null"
+    try:
+        f = float(e)
+        return f"{f:.6g}"
+    except ValueError:
+        pass
+    t = _parse_expected_ts(e)
+    if t is not None:
+        return str(t)
+    if e.startswith("["):
+        try:
+            je = json.loads(e)
+            return "[" + ",".join(_render_key(x) for x in je) + "]"
+        except ValueError:
+            pass
+    return e
+
+
+def rows_match(actual: list[tuple], expected: list[list[str]],
+               ordered: bool) -> bool:
+    if len(actual) != len(expected):
+        return False
+    if actual and expected and len(actual[0]) != len(expected[0]):
+        return False
+    if not ordered:
+        actual = sorted(actual, key=lambda r: [
+            _render_key(v) for v in r])
+        expected = sorted(expected, key=lambda r: [
+            _expected_key(c) for c in r])
+    ok = all(all(cell_eq(a, e) for a, e in zip(ra, re_))
+             for ra, re_ in zip(actual, expected))
+    if ok or ordered:
+        return ok
+    # sort-key divergence fallback: greedy multiset match (small sets)
+    if len(actual) > 300:
+        return False
+    pool = list(expected)
+    for ra in actual:
+        hit = next((i for i, re_ in enumerate(pool)
+                    if all(cell_eq(a, e) for a, e in zip(ra, re_))), None)
+        if hit is None:
+            return False
+        pool.pop(hit)
+    return True
+
+
+def _window_is_unordered(spec: str, named: dict[str, str]) -> bool:
+    s = spec.strip()
+    if re.fullmatch(r"\w+", s):  # OVER w / OVER (w)
+        s = named.get(s.upper(), "")
+    depth = i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < len(s) and s[i] != "'":
+                i += 1
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and re.match(r"(?i)ORDER\s+BY", s[i:]):
+            return False
+        i += 1
+    return True
+
+
+def unordered_window_cols(sql: str) -> list[int]:
+    """Indexes of top-level SELECT items computed by a window with no
+    ORDER BY: their row pairing (and, for running frames, even their
+    multiset) encodes the reference engine's arbitrary visit order —
+    SQL leaves it unspecified.  Mirrors DrillWindowQueryTest's
+    treatment of its order-dependent cases."""
+    m = re.search(r"(?is)^\s*SELECT\s+(?:ALL\s+|DISTINCT\s+)?", sql)
+    if not m:
+        return []
+    # find matching FROM at depth 0
+    i, depth = m.end(), 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < len(sql) and sql[i] != "'":
+                i += 1
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and re.match(r"(?i)FROM\b", sql[i:]):
+            break
+        i += 1
+    select_list = sql[m.end():i]
+    named = {}
+    for wm in re.finditer(r"(?is)(?:\bWINDOW\s+|,\s*)(\w+)\s+AS\s*\(",
+                          sql):
+        j, d = wm.end(), 1
+        while j < len(sql) and d:
+            if sql[j] == "(":
+                d += 1
+            elif sql[j] == ")":
+                d -= 1
+            j += 1
+        named[wm.group(1).upper()] = sql[wm.end():j - 1]
+    out = []
+    items = _top_split_items(select_list)
+    for idx, item in enumerate(items):
+        for om in re.finditer(r"(?is)\bOVER\s*(\(|\w+)", item):
+            if om.group(1) == "(":
+                j, d = om.end(), 1
+                while j < len(item) and d:
+                    if item[j] == "(":
+                        d += 1
+                    elif item[j] == ")":
+                        d -= 1
+                    j += 1
+                spec = item[om.end():j - 1]
+            else:
+                spec = om.group(1)
+            if _window_is_unordered(spec, named):
+                out.append(idx)
+                break
+    return out
+
+
+def _top_split_items(s: str) -> list[str]:
+    items, depth, start, i = [], 0, 0, 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < len(s) and s[i] != "'":
+                i += 1
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(s[start:i])
+            start = i + 1
+        i += 1
+    items.append(s[start:])
+    return items
+
+
+def columns_match(actual, expected, idxs) -> bool:
+    """count + per-column multiset equality on the listed indexes."""
+    if len(actual) != len(expected):
+        return False
+    for c in idxs:
+        av = sorted(_render_key(r[c]) for r in actual)
+        ev = sorted(_expected_key(r[c]) for r in expected)
+        if av != ev:
+            # numeric-tolerant fallback
+            for x, y in zip(av, ev):
+                if x != y:
+                    try:
+                        if abs(float(x) - float(y)) <= 1e-9 * max(
+                                abs(float(x)), abs(float(y))):
+                            continue
+                    except (TypeError, ValueError):
+                        pass
+                    return False
+    return True
+
+
+def has_top_level_order_by(sql: str) -> bool:
+    depth = 0
+    i = 0
+    up = sql.upper()
+    while i < len(up):
+        ch = up[i]
+        if ch == "'":
+            i += 1
+            while i < len(up) and up[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith("ORDER", i) \
+                and re.match(r"ORDER\s+BY", up[i:]):
+            return True
+        i += 1
+    return False
+
+
+# ------------------------------------------------------------- runner
+
+def collect_cases(families, file_filter=None, case_filter=None):
+    cases = []
+    for fam in families:
+        fdir = QTEST / fam
+        if not fdir.is_dir():
+            continue
+        for iq in sorted(fdir.glob("*.iq")):
+            if file_filter and file_filter not in iq.name:
+                continue
+            for c in parse_iq(iq):
+                c["family"] = fam
+                if case_filter and case_filter not in c["id"]:
+                    continue
+                cases.append(c)
+    return cases
+
+
+def run(families, file_filter=None, case_filter=None, limit=None,
+        verbose=False, write_passlist=False, run_errors=False,
+        only_failing_from=None, only_ids=None, spark=None):
+    from druid_spark import DruidSparkEngine
+    from druid_spark.session import get_spark
+
+    spark = spark or get_spark("quidem-conformance")
+    cases = collect_cases(families, file_filter, case_filter)
+    wanted_kind = "error" if run_errors else "ok"
+    cases = [c for c in cases if c["kind"] == wanted_kind]
+    if only_ids is not None:
+        only_ids = set(only_ids)
+        cases = [c for c in cases if c["id"] in only_ids]
+    if only_failing_from:
+        prev = {json.loads(ln)["id"] for ln in
+                Path(only_failing_from).read_text().splitlines()
+                if ln.strip() and json.loads(ln)["status"] != "pass"}
+        cases = [c for c in cases if c["id"] in prev]
+    if limit:
+        cases = cases[:limit]
+    # group by dataset to minimize re-registration
+    cases.sort(key=lambda c: (c["dataset"] or "", c["file"]))
+
+    eng = None
+    cur_ds = object()
+    results = []
+    npass = nfail = nerr = nskip = 0
+    OUTDIR.mkdir(exist_ok=True)
+    outf = OUTDIR / (f"{'_'.join(families)}"
+                     f"{'_err' if run_errors else ''}.jsonl")
+    with open(outf, "w") as fh:
+        for n, c in enumerate(cases):
+            if c["dataset"] != cur_ds:
+                try:
+                    frames = build_dataset_frames(spark, c["dataset"])
+                except Exception as ex:
+                    frames = None
+                    ds_err = str(ex)
+                cur_ds = c["dataset"]
+                if frames is not None:
+                    eng = DruidSparkEngine(spark, exact_approx=True)
+                    for t, (df, jc) in frames.items():
+                        eng.catalog.register_table(t, df, json_columns=jc)
+            if frames is None:
+                nskip += 1
+                rec = {"id": c["id"], "status": "skip-dataset",
+                       "detail": ds_err}
+                fh.write(json.dumps(rec) + "\n")
+                continue
+            status, detail = run_case(eng, c)
+            rec = {"id": c["id"], "status": status}
+            if detail:
+                rec["detail"] = detail[:400]
+            fh.write(json.dumps(rec) + "\n")
+            fh.flush()
+            if status.startswith("pass"):
+                npass += 1
+            elif status == "mismatch":
+                nfail += 1
+                if verbose:
+                    print(f"MISMATCH {c['id']}\n{c['sql']}\n{detail}\n")
+            else:
+                nerr += 1
+                if verbose:
+                    print(f"ERROR {c['id']} -- {detail}")
+            if (n + 1) % 200 == 0:
+                print(f"... {n + 1}/{len(cases)} "
+                      f"({npass} pass, {nfail} mismatch, {nerr} error)",
+                      flush=True)
+    print(f"\nQUIDEM CONFORMANCE [{' '.join(families)}]"
+          f"{' (error cases)' if run_errors else ''}: "
+          f"{npass} pass, {nfail} mismatch, {nerr} error, "
+          f"{nskip} dataset-skip of {len(cases)}")
+    print(f"results: {outf}")
+    if write_passlist:
+        pdir = Path(__file__).parent / "quidem_pass"
+        pdir.mkdir(exist_ok=True)
+        fam_of = {c["id"]: c["family"] for c in cases}
+        by_fam: dict[str, list[str]] = {}
+        for ln in outf.read_text().splitlines():
+            rec = json.loads(ln)
+            if rec["status"].startswith("pass"):
+                by_fam.setdefault(
+                    fam_of.get(rec["id"], "misc"), []).append(rec["id"])
+        for fam, ids in by_fam.items():
+            (pdir / f"{fam}.txt").write_text("\n".join(ids) + "\n")
+            print(f"wrote {pdir / (fam + '.txt')} ({len(ids)})")
+    return npass, nfail, nerr
+
+
+def run_case(eng, c) -> tuple[str, str]:
+    if c["kind"] == "error":
+        try:
+            eng.sql(c["sql"]).collect()
+            return "mismatch", "expected an error, query succeeded"
+        except Exception:
+            return "pass", ""
+    headers, exp_rows, nrows = parse_mysql_table(c["expected"])
+    if headers is None:
+        return "skip-noexpect", "no mysql table in expected block"
+    try:
+        df = eng.sql(c["sql"])
+        actual = [tuple(row) for row in df.collect()]
+    except Exception as ex:
+        return "error", str(ex).replace("\n", " ")[:300]
+    if len(actual) != nrows:
+        return "mismatch", f"row count {len(actual)} != {nrows}"
+    if rows_match(actual, exp_rows, has_top_level_order_by(c["sql"])):
+        return "pass", ""
+    # unordered-window outputs encode the reference's arbitrary row
+    # order; verify row count + the deterministic columns' multisets
+    und = unordered_window_cols(c["sql"])
+    if und and actual:
+        det = [i for i in range(len(actual[0])) if i not in und]
+        if columns_match(actual, exp_rows, det):
+            return "pass-weak", f"unordered-window cols {und} unchecked"
+    # build a small diff for triage
+    diff = []
+    for i, (ra, re_) in enumerate(zip(actual[:5], exp_rows[:5])):
+        bad = [j for j, (a, e) in enumerate(zip(ra, re_))
+               if not cell_eq(a, e)]
+        if bad:
+            diff.append(f"row{i} col{bad}: actual="
+                        f"{[ra[j] for j in bad]} expected="
+                        f"{[re_[j] for j in bad]}")
+    return "mismatch", "; ".join(diff) or "row-order/set mismatch"
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+
+    def _opt(name, default=None):
+        if name in args:
+            return args[args.index(name) + 1]
+        return default
+
+    fams = []
+    if "--family" in args:
+        i = args.index("--family") + 1
+        while i < len(args) and not args[i].startswith("--"):
+            fams.append(args[i])
+            i += 1
+    run(fams or FAMILIES,
+        file_filter=_opt("--file"),
+        case_filter=_opt("--case"),
+        limit=int(_opt("--limit", 0)) or None,
+        verbose="--verbose" in args,
+        write_passlist="--write-passlist" in args,
+        run_errors="--errors" in args,
+        only_failing_from=_opt("--only-failing-from"))
