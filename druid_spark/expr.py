@@ -544,7 +544,12 @@ def json_value_scalar(j: Column, path: str) -> Column:
     detected by parseability of the extracted text, so string scalars
     containing braces survive; a string scalar whose text IS valid JSON
     structure is indistinguishable post-extraction (documented edge)."""
-    raw = _jget(j, path)
+    # a JSON null at the path extracts as the text 'null' — Druid's
+    # json_value returns SQL NULL there (qaArray schmdisc goldens:
+    # count(json_value(a_null,'$[0]')) = 0). A string scalar whose
+    # text is "null" is indistinguishable post-extraction (same
+    # documented edge as structure-by-parseability below).
+    raw = F.nullif(_jget(j, path), F.lit("null"))
     is_struct = (F.json_object_keys(raw).isNotNull()
                  | F.json_array_length(raw).isNotNull())
     out = F.when(~is_struct, raw)

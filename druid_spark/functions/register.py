@@ -192,7 +192,8 @@ _FUNCS: list[tuple[str, str, str, str]] = [
            WHEN abs(n) < 1000000000000 THEN format_string('%.2f G', n / 1e9)
            ELSE format_string('%.2f T', n / 1e12) END"""),
     # arrays / MVDs (Druid names; Spark-colliding identical ones omitted)
-    ("ARRAY_LENGTH", "arr ARRAY<STRING>", "INT", "size(arr)"),
+    ("ARRAY_LENGTH", "arr ARRAY<STRING>", "INT",
+     "CASE WHEN arr IS NULL THEN NULL ELSE size(arr) END"),
     ("MV_LENGTH", "arr ARRAY<STRING>", "INT",
      # null MVD -> null (Druid array_length; Spark's legacy size(null)
      # is -1, which is neither engine's SQL contract)
@@ -216,10 +217,12 @@ _FUNCS: list[tuple[str, str, str, str]] = [
      "slice(arr, s + 1, e - s)"),
     ("MV_SLICE", "arr ARRAY<STRING>, s INT, e INT", "ARRAY<STRING>",
      "slice(arr, s + 1, e - s)"),
+    # null elements render as the text 'null' (qaArray
+    # array_to_string(a_bool,'|') golden: '1|0|null')
     ("ARRAY_TO_STRING", "arr ARRAY<STRING>, sep STRING", "STRING",
-     "array_join(arr, sep)"),
+     "array_join(arr, sep, 'null')"),
     ("MV_TO_STRING", "arr ARRAY<STRING>, sep STRING", "STRING",
-     "array_join(arr, sep)"),
+     "array_join(arr, sep, 'null')"),
     ("STRING_TO_ARRAY", "s STRING, sep STRING", "ARRAY<STRING>",
      "split(s, concat('\\\\Q', sep, '\\\\E'))"),
     ("STRING_TO_MV", "s STRING, sep STRING", "ARRAY<STRING>",
@@ -297,12 +300,14 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # funcs_and_sql_func_json_value.01.all.iq pins
     # json_value('ABCD','$') = 'ABCD'). A string whose text IS valid
     # JSON structure is indistinguishable here (documented edge).
+    # a JSON null extracts as the text 'null' from get_json_object;
+    # Druid's json_value returns SQL NULL there (qaArray schmdisc)
     ("JSON_VALUE", "j STRING, p STRING", "STRING", f"""
       CASE WHEN p IN ('$', '$.') AND j IS NOT NULL AND j <> ''
              AND get_json_object(j, '$') IS NULL THEN j
            WHEN json_object_keys({_JGET}) IS NOT NULL
              OR json_array_length({_JGET}) IS NOT NULL
-           THEN NULL ELSE {_JGET} END"""),
+           THEN NULL ELSE nullif({_JGET}, 'null') END"""),
     # json_query keeps structure and renders it as NESTED_DATA: string
     # scalars come back JSON-quoted (testJsonQuery pins '"hello"'),
     # numbers/booleans bare, backslash+quote JSON-escaped (control
@@ -322,9 +327,24 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # root path is spelled '$' or '$.' in the reference's tests
     # (NestedDataExpressions.java json_keys); keys of scalars/arrays/
     # non-JSON are NULL (testJsonKeysNonJsonInput)
+    # objects -> key names; ARRAYS -> index strings ['0','1',...]
+    # (qaJsonCols func_json_keys golden: json_keys(c1,'$.a_array') =
+    # [0, 1], empty array = []); scalars -> null
     ("JSON_KEYS", "j STRING, p STRING", "ARRAY<STRING>", f"""
-      json_object_keys(CASE WHEN p IN ('$', '$.') THEN j
-                            ELSE {_JGET} END)"""),
+      CASE WHEN json_object_keys(CASE WHEN p IN ('$', '$.') THEN j
+                                      ELSE {_JGET} END) IS NOT NULL
+           THEN json_object_keys(CASE WHEN p IN ('$', '$.') THEN j
+                                      ELSE {_JGET} END)
+           WHEN json_array_length(CASE WHEN p IN ('$', '$.') THEN j
+                                       ELSE {_JGET} END) > 0
+           THEN transform(sequence(0, json_array_length(
+                    CASE WHEN p IN ('$', '$.') THEN j
+                         ELSE {_JGET} END) - 1),
+                    __jki -> cast(__jki AS STRING))
+           WHEN json_array_length(CASE WHEN p IN ('$', '$.') THEN j
+                                       ELSE {_JGET} END) = 0
+           THEN array()
+           ELSE NULL END"""),
     # json_query_array (NestedDataExpressions.java:651): JSON array at
     # path → ARRAY of element strings (objects come back as JSON text)
     ("JSON_QUERY_ARRAY", "j STRING, p STRING", "ARRAY<STRING>",

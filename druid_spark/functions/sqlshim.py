@@ -1240,6 +1240,15 @@ def _rewrite_json_returning(sql: str) -> str:
                     # array reads back as ARRAY<LONG> 1/0 (qaArray
                     # ingest_* RETURNING boolean array vs a_bool)
                     rep = f"CAST({rep} AS ARRAY<BIGINT>)"
+                # json_value is PRIMITIVE-array-only (JsonValueExprMacro
+                # isPrimitiveArray): a nested array/object element at
+                # the path nulls the whole result (qaArray mv_funcs
+                # RETURNING varchar array of $[7])
+                rep = (f"CASE WHEN EXISTS(FROM_JSON(GET_JSON_OBJECT("
+                       f"{args}), 'array<string>'), __jvx -> "
+                       f"JSON_OBJECT_KEYS(__jvx) IS NOT NULL OR "
+                       f"JSON_ARRAY_LENGTH(__jvx) IS NOT NULL) "
+                       f"THEN NULL ELSE {rep} END")
             else:
                 rep = f"CAST(JSON_VALUE({args}) AS {t})"
             sql = sql[:m.start()] + rep + sql[i:]
@@ -1882,18 +1891,28 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         if len(args) != 2:
             return None
         a, e = args
-        # __sac( placeholder: the replacement must not re-match the
-        # ARRAY_CONTAINS scan (restored right after the rewrite)
+        e = _d_suffix_literal(e)
+        if _is_ts_expr(e):
+            # timestamps live as long millis in every array this
+            # engine builds (ARRAY_AGG millis contract)
+            e = f"UNIX_MILLIS({e})"
+        # membership via EXISTS + `=` (not the array_contains builtin):
+        # `=` applies Spark's binary coercions, so a cross-typed probe
+        # compares instead of failing analysis the way the builtin's
+        # exact element-type check does (array_contains(a_str, 1) —
+        # Druid casts the probe)
         if re.match(r"(?is)^\s*(ARRAY\s*[\[(]|STRING_TO_ARRAY\s*\("
                     r"|MV_TO_ARRAY\s*\()", e):
             return (f"IF(({a}) IS NULL, NULL, IF(({e}) IS NULL, FALSE, "
                     f"forall({e}, __acx -> CASE WHEN __acx IS NULL THEN "
                     f"EXISTS({a}, __acy -> __acy IS NULL) ELSE "
-                    f"COALESCE(__sac({a}, __acx), FALSE) END)))")
+                    f"COALESCE(EXISTS({a}, __acy -> __acy = __acx), "
+                    f"FALSE) END)))")
         return (f"CASE WHEN ({a}) IS NULL THEN NULL "
                 f"WHEN ({e}) IS NULL THEN "
                 f"EXISTS({a}, __acy -> __acy IS NULL) "
-                f"ELSE COALESCE(__sac({a}, {e}), FALSE) END")
+                f"ELSE COALESCE(EXISTS({a}, __acy -> __acy = ({e})), "
+                f"FALSE) END")
 
     out = _rewrite_call(out, "ARRAY_CONTAINS", _array_contains_call)
 
@@ -1908,10 +1927,48 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         return (f"IF(({a}) IS NULL OR ({b}) IS NULL, NULL, "
                 f"EXISTS({b}, __aox -> CASE WHEN __aox IS NULL THEN "
                 f"EXISTS({a}, __aoy -> __aoy IS NULL) ELSE "
-                f"COALESCE(__sac({a}, __aox), FALSE) END))")
+                f"COALESCE(EXISTS({a}, __aoy -> __aoy = __aox), "
+                f"FALSE) END))")
 
     out = _rewrite_call(out, "ARRAY_OVERLAP", _array_overlap_call)
-    out = _rewrite_call(out, "MV_OVERLAP", _array_overlap_call)
+
+    # MV_OVERLAP / MV_CONTAINS are the VARCHAR-family spellings
+    # (MultiValueStringOperatorConversions): operands coerce through
+    # ARRAY<STRING>.  MV_OVERLAP plans like an IN filter — standard
+    # three-valued (no match with a null element present = NULL:
+    # qaArray mv_overlap(a_str, ARRAY[1]) goldens), while MV_CONTAINS
+    # stays two-valued like ARRAY_CONTAINS (mv_contains(a_float, 1) =
+    # false).
+    def _mv_overlap_call(args):
+        if len(args) != 2:
+            return None
+        a, b = args
+        # an empty MVD reads as a single NULL value in the IN-filter
+        # plan (mv_overlap(a_empty, ARRAY[1]) golden: null)
+        A = (f"IF(SIZE(CAST({a} AS ARRAY<STRING>)) = 0, "
+             f"ARRAY(CAST(NULL AS STRING)), CAST({a} AS ARRAY<STRING>))")
+        return (f"EXISTS({A}, __mvx -> "
+                f"__sac(CAST({b} AS ARRAY<STRING>), __mvx))")
+
+    def _mv_contains_call(args):
+        if len(args) != 2:
+            return None
+        a, e = args
+        A = f"CAST({a} AS ARRAY<STRING>)"
+        if re.match(r"(?is)^\s*(ARRAY\s*[\[(]|STRING_TO_ARRAY\s*\("
+                    r"|MV_TO_ARRAY\s*\()", e):
+            E = f"CAST({e} AS ARRAY<STRING>)"
+            # a NULL input MVD contains nothing: FALSE, not NULL
+            # (mv_contains over a nulled json_value golden)
+            return (f"IF(({A}) IS NULL, FALSE, IF(({E}) IS NULL, FALSE, "
+                    f"forall({E}, __acx -> CASE WHEN __acx IS NULL THEN "
+                    f"EXISTS({A}, __acy -> __acy IS NULL) ELSE "
+                    f"COALESCE(__sac({A}, __acx), FALSE) END)))")
+        return (f"COALESCE({_array_contains_call([A, f'CAST({e} AS STRING)'])}, "
+                f"FALSE)")
+
+    out = _rewrite_call(out, "MV_OVERLAP", _mv_overlap_call)
+    out = _rewrite_call(out, "MV_CONTAINS", _mv_contains_call)
     out = out.replace("__sac(", "array_contains(")
     # Calcite ARRAY[...] constructor → Spark array(...). Innermost-first
     # so nested ARRAY[ARRAY[1], ARRAY[2]] rewrites cleanly; the inner
@@ -1928,6 +1985,10 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
             # against double arrays (qaArray E00 matrices)
             inner = re.sub(r"(?<![\w.])(\d+\.\d+)(?![\w.eE])", r"\1D",
                            m.group(1))
+            # TIMESTAMP literals in arrays are long millis (Druid
+            # timestamps ARE longs; ARRAY_AGG(__time) collects millis)
+            inner = re.sub(r"(?i)\bTIMESTAMP\s+(\x00\d+\x00)",
+                           r"UNIX_MILLIS(TIMESTAMP \1)", inner)
             return f"array({inner})"
 
         while pat.search(masked):
@@ -1947,12 +2008,17 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         ("ARRAY_CONCAT",
          lambda a: f"CONCAT({a[0]}, {a[1]})" if len(a) == 2 else None),
         ("MV_CONCAT",
-         lambda a: f"CONCAT({a[0]}, {a[1]})" if len(a) == 2 else None),
+         lambda a: f"CONCAT(CAST({a[0]} AS ARRAY<STRING>), "
+         f"CAST({a[1]} AS ARRAY<STRING>))" if len(a) == 2 else None),
+        # MV append/prepend/concat coerce through ARRAY<STRING> (the
+        # MVD family type; mixed-type inputs error in Spark otherwise)
         ("MV_APPEND",
-         lambda a: f"ARRAY_APPEND({a[0]}, {a[1]})"
+         lambda a: f"ARRAY_APPEND(CAST({a[0]} AS ARRAY<STRING>), "
+         f"CAST({a[1]} AS STRING))"
          if len(a) == 2 else None),
         ("MV_PREPEND",
-         lambda a: f"ARRAY_PREPEND({a[1]}, {a[0]})"
+         lambda a: f"ARRAY_PREPEND(CAST({a[1]} AS ARRAY<STRING>), "
+         f"CAST({a[0]} AS STRING))"
          if len(a) == 2 else None),
         ("ARRAY_SLICE", _array_slice_call),
         ("MV_SLICE", _array_slice_call),

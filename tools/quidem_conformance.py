@@ -39,11 +39,19 @@ from pathlib import Path
 
 QTEST = Path("/root/reference/quidem-ut/src/test/quidem/"
              "org.apache.druid.quidem.QTest")
+SQLQ = Path("/root/reference/sql/src/test/quidem")
 REF = Path("/root/reference")
 OUTDIR = Path(__file__).parent / "quidem_out"
 
 FAMILIES = ["qaWin", "qaAggFuncs", "qaSql", "qaArray", "qaUnnest",
-            "qaJsonCols", "qaSsb", "qaTpch", "kttm_sunburst"]
+            "qaJsonCols", "qaSsb", "qaTpch", "kttm_sunburst",
+            "org.apache.druid.sql.calcite."
+            "DecoupledPlanningCalciteJoinQueryTest",
+            "org.apache.druid.sql.calcite."
+            "DecoupledPlanningCalciteQueryTest",
+            "org.apache.druid.sql.calcite."
+            "DecoupledPlanningCalciteArraysQueryTest",
+            "org.apache.druid.quidem.SqlQuidemTest"]
 
 
 # ---------------------------------------------------------------- iq parser
@@ -70,7 +78,16 @@ def parse_iq(path: Path) -> list[dict]:
             name = parts[0] if parts else ""
             if name == "use":
                 m = re.search(r"datasets=([^&\s]+)", ln)
-                dataset = m.group(1) if m else "__default__"
+                if m:
+                    dataset = m.group(1)
+                else:
+                    sm = re.search(r"componentSupplier=(\w+)", ln)
+                    sup = sm.group(1) if sm else "Standard"
+                    dataset = "__default__" if sup in (
+                        "StandardComponentSupplier",
+                        "AllDruidEnginesComponentSupplier",
+                        "StandardMSQComponentSupplier",
+                        "DartComponentSupplier") else f"__{sup}__"
                 buf = []
                 continue
             if name in ("set", "if"):
@@ -286,15 +303,98 @@ def _coerce_scalar(v, typ):
     return str(v)
 
 
+def _jsonpath_get(v, path: str):
+    """Evaluate a simple Druid JSONPath ($, $., $.key[0].k2, $[0][1])
+    over a raw Python JSON value."""
+    p = path.strip()
+    if not p.startswith("$"):
+        return None
+    i = 1
+    cur = v
+    while i < len(p) and cur is not None:
+        if p[i] == ".":
+            i += 1
+            m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", p[i:])
+            if not m:
+                break  # trailing '.' = root
+            key = m.group(0)
+            i += len(key)
+            cur = cur.get(key) if isinstance(cur, dict) else None
+        elif p[i] == "[":
+            j = p.index("]", i)
+            idx = int(p[i + 1:j])
+            i = j + 1
+            cur = (cur[idx] if isinstance(cur, list)
+                   and -len(cur) <= idx < len(cur) else None)
+        else:
+            return None
+    return cur
+
+
+def _eval_transform(expr: str, row: dict):
+    """Exact evaluation of the transform expressions the qa datasets
+    use (json_value / json_query / parse_json / to_json_string /
+    json_object over raw row values — TransformSpec runs before
+    dimension typing).  json_value is scalar-only and stringifies
+    booleans ('true'); json_query keeps raw structure (a scalar bool
+    then schema-discovers to long 1 — funcs_and_sql datatype golden)."""
+    expr = expr.strip()
+    m = re.fullmatch(
+        r"(?is)(json_value|json_query)\(\s*(\w+)\s*,\s*'([^']*)'\s*\)",
+        expr)
+    if m:
+        fn, col, path = m.group(1).lower(), m.group(2), m.group(3)
+        v = _jsonpath_get(row.get(col), path)
+        if fn == "json_value":
+            if isinstance(v, (dict, list)):
+                return None
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return v
+        return v
+    m = re.fullmatch(r"(?is)parse_json\(\s*to_json_string\((.+)\)\s*\)",
+                     expr)
+    if m:
+        return _eval_transform(m.group(1), row)
+    m = re.fullmatch(r"(?is)parse_json\(\s*(\w+)\s*\)", expr)
+    if m:
+        v = row.get(m.group(1))
+        if isinstance(v, str):
+            try:
+                return json.loads(v)
+            except ValueError:
+                return None
+        return v
+    m = re.fullmatch(r"(?is)to_json_string\(\s*(\w+)\s*\)", expr)
+    if m:
+        v = row.get(m.group(1))
+        return None if v is None else json.dumps(v, separators=(",", ":"))
+    m = re.fullmatch(r"(?is)json_object\((.+)\)", expr)
+    if m:
+        toks = [t.strip() for t in m.group(1).split(",")]
+        return {k.strip().strip("'"): row.get(v)
+                for k, v in zip(toks[::2], toks[1::2])}
+    raise ValueError(f"unsupported transform expression {expr!r}")
+
+
 def _apply_transforms_pyside(spark, raw: list[dict], schema: dict):
-    """Run the spec's transformSpec over a JSON-text view of the raw
-    rows (Druid transforms see raw input values, before dimension
-    typing) and merge the outputs back into the raw dicts.  The
-    datasets are tiny (≤1k rows), so a collect here is fine — this is
-    a conformance harness, not a pipeline."""
+    """Run the spec's transformSpec over the raw rows (Druid
+    transforms see raw input values, before dimension typing) and
+    merge the outputs back into the raw dicts.  Uses the exact Python
+    evaluator above; falls back to the engine's native-expression
+    compiler over a JSON-text view for shapes it doesn't know."""
     tr_spec = schema.get("transformSpec")
     if not tr_spec or not tr_spec.get("transforms"):
         return raw
+    try:
+        outs = [[_eval_transform(t["expression"], r) for r in raw]
+                for t in tr_spec["transforms"]]
+        for t, col in zip(tr_spec["transforms"], outs):
+            for r, v in zip(raw, col):
+                r[t["name"]] = v
+        return raw
+    except ValueError:
+        pass
     from pyspark.sql import types as T
     from druid_spark.ingest.batch import apply_transform_spec
 
@@ -319,26 +419,113 @@ def _apply_transforms_pyside(spark, raw: list[dict], schema: dict):
         for n, v in zip(names, got):
             # json_value yields strings; re-type numerics the way
             # Druid's schema discovery would
+            # numerics re-type the way Druid's schema discovery would;
+            # booleans STAY strings (schmdisc goldens compare
+            # t_bool_scalar1 = 'true')
             if isinstance(v, str):
                 if re.fullmatch(r"-?\d+", v):
                     v = int(v)
                 elif re.fullmatch(r"-?\d*\.\d+(E-?\d+)?", v, re.I):
                     v = float(v)
-                elif v == "true":
-                    v = True
-                elif v == "false":
-                    v = False
             r[n] = v
     return raw
 
 
-def build_dataset_frames(spark, dataset_rel: str):
-    """dataset path (relative to the reference root) → {table: df},
-    applying the reference's own ingest specs with our column
-    conventions (MVD→array<string>, COMPLEX<json>→JSON text)."""
+def _default_frames(spark):
+    """The CalciteTests standard datasets (`!use druidtest:///` with
+    the Standard supplier): foo / numfoo / broadcast(=numfoo) / foo2
+    (TestDataBuilder.java RAW_ROWS1, RAW_ROWS1_WITH_NUMERIC_DIMS,
+    RAW_ROWS2; datasets/NumFoo.java) plus the wikipedia sample, and
+    the lookyloo lookup family (LookylooModule.java)."""
+    import datetime as dt
     from pyspark.sql import types as T
     from pyspark.sql import functions as F
 
+    S, A, L, D, FL, TS = (T.StringType(), T.ArrayType(T.StringType()),
+                          T.LongType(), T.DoubleType(), T.FloatType(),
+                          T.TimestampType())
+    ts = dt.datetime.fromisoformat
+
+    foo_schema = T.StructType([
+        T.StructField(n, t) for n, t in [
+            ("__time", TS), ("dim1", S), ("dim2", A), ("dim3", A),
+            ("cnt", L), ("m1", FL), ("m2", D)]])
+    foo_rows = [
+        (ts("2000-01-01"), "", ["a"], ["a", "b"], 1, 1.0, 1.0),
+        (ts("2000-01-02"), "10.1", [], ["b", "c"], 1, 2.0, 2.0),
+        (ts("2000-01-03"), "2", [""], ["d"], 1, 3.0, 3.0),
+        (ts("2001-01-01"), "1", ["a"], [""], 1, 4.0, 4.0),
+        (ts("2001-01-02"), "def", ["abc"], None, 1, 5.0, 5.0),
+        (ts("2001-01-03"), "abc", None, None, 1, 6.0, 6.0),
+    ]
+    numfoo_schema = T.StructType([
+        T.StructField(n, t) for n, t in [
+            ("__time", TS), ("dim1", S), ("dim2", A), ("dim3", A),
+            ("dim4", S), ("dim5", S), ("dim6", S), ("dbl1", D),
+            ("dbl2", D), ("f1", FL), ("f2", FL), ("l1", L), ("l2", L),
+            ("cnt", L), ("m1", FL), ("m2", D)]])
+    numfoo_rows = [
+        (ts("2000-01-01"), "", ["a"], ["a", "b"], "a", "aa", "1",
+         1.0, None, 1.0, None, 7, None, 1, 1.0, 1.0),
+        (ts("2000-01-02"), "10.1", [], ["b", "c"], "a", "ab", "2",
+         1.7, 1.7, 0.1, 0.1, 325323, 325323, 1, 2.0, 2.0),
+        (ts("2000-01-03"), "2", [""], ["d"], "a", "ba", "3",
+         0.0, 0.0, 0.0, 0.0, 0, 0, 1, 3.0, 3.0),
+        (ts("2001-01-01"), "1", ["a"], [""], "b", "ad", "4",
+         None, None, None, None, None, None, 1, 4.0, 4.0),
+        (ts("2001-01-02"), "def", ["abc"], [], "b", "aa", "5",
+         None, None, None, None, None, None, 1, 5.0, 5.0),
+        (ts("2001-01-03"), "abc", None, None, "b", "ab", "6",
+         None, None, None, None, None, None, 1, 6.0, 6.0),
+    ]
+    foo2_schema = T.StructType([
+        T.StructField(n, t) for n, t in [
+            ("__time", TS), ("dim1", S), ("dim2", S), ("dim3", L),
+            ("cnt", L), ("m1", L), ("m2", D)]])
+    foo2_rows = [
+        (ts("2000-01-01"), "דרואיד", "he", 10, 1, 1, None),
+        (ts("2000-01-01"), "druid", "en", 11, 1, 1, None),
+        (ts("2000-01-01"), "друид", "ru", 12, 1, 1, None),
+    ]
+    out = {
+        "foo": (spark.createDataFrame(foo_rows, foo_schema).cache(), {}),
+        "numfoo": (spark.createDataFrame(
+            numfoo_rows, numfoo_schema).cache(), {}),
+        "broadcast": (spark.createDataFrame(
+            numfoo_rows, numfoo_schema).cache(), {}),
+        "foo2": (spark.createDataFrame(foo2_rows, foo2_schema).cache(),
+                 {}),
+    }
+    try:
+        import drill_conformance as dc
+        wiki = (spark.read.schema(dc._WIKI_SCHEMA).json(dc.WIKI)
+                .withColumn("__time", F.to_timestamp("time"))
+                .drop("time"))
+        out["wikipedia"] = (wiki, {})
+    except Exception:
+        pass
+    lookups = {
+        "lookyloo": {"a": "xa", "abc": "xabc",
+                     "nosuchkey": "mysteryvalue", "6": "x6"},
+        "lookyloo121": {"a": "xa", "abc": "xabc",
+                        "nosuchkey": "mysteryvalue", "6": "x6"},
+        "lookyloo-chain": {"xa": "za", "xabc": "zabc", "x6": "z6"},
+    }
+    return out, lookups
+
+
+def build_dataset_frames(spark, dataset_rel: str):
+    """dataset path (relative to the reference root) → ({table: df},
+    {lookup: map}), applying the reference's own ingest specs with our
+    column conventions (MVD→array<string>, COMPLEX<json>→JSON text)."""
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+
+    if dataset_rel == "__default__":
+        return _default_frames(spark)
+    if dataset_rel.startswith("__"):
+        raise FileNotFoundError(
+            f"dataset for supplier {dataset_rel} not available locally")
     ddir = REF / dataset_rel
     specs = sorted(ddir.glob("ingest*.json"))
     if not specs:
@@ -356,6 +543,19 @@ def build_dataset_frames(spark, dataset_rel: str):
         dims = dims_spec.get("dimensions") or []
         dims = [{"type": "string", "name": d} if isinstance(d, str) else d
                 for d in dims]
+        if not dims or dims_spec.get("useSchemaDiscovery"):
+            # schema discovery: every field the rows carry (in
+            # first-seen order, typed auto) joins any explicitly
+            # declared dims — including transform outputs merged in
+            seen: dict[str, None] = {}
+            for r in raw:
+                for k in r:
+                    if k != ts_col:
+                        seen[k] = None
+            excl = set(dims_spec.get("dimensionExclusions") or [])
+            have = {d["name"] for d in dims}
+            dims = [{"type": "auto", "name": k} for k in seen
+                    if k not in excl and k not in have] + dims
 
         fields = [T.StructField("__time", T.TimestampType())]
         coercers = []
@@ -396,11 +596,18 @@ def build_dataset_frames(spark, dataset_rel: str):
                     fields.append(T.StructField(name, T.ArrayType(et)))
                     coercers.append(lambda v, st=st: None if v is None else [
                         _coerce_scalar(e, st) for e in v])
+                elif kind == "varray":
+                    # mixed-scalar VARIANT array: the reference coerces
+                    # comparisons to ARRAY<STRING> (qaArray goldens
+                    # compare a_mixed against ARRAY['true','1','0.1'..])
+                    fields.append(T.StructField(
+                        name, T.ArrayType(T.StringType())))
+                    json_cols.append((name, "ARRAY"))
+                    coercers.append(lambda v: None if v is None else
+                                    [_mv_elem(e) for e in v])
                 else:
                     fields.append(T.StructField(name, T.StringType()))
-                    json_cols.append(
-                        (name, "ARRAY" if kind == "varray"
-                         else "COMPLEX<json>"))
+                    json_cols.append((name, "COMPLEX<json>"))
                     coercers.append(lambda v: None if v is None else
                                     json.dumps(v, separators=(",", ":")))
             else:  # string dim: scalars AND multi-value arrays
@@ -443,7 +650,7 @@ def build_dataset_frames(spark, dataset_rel: str):
             [m["name"] for m in metrics]
         df = df.select(*[c for c in dict.fromkeys(order) if c in df.columns])
         out[schema["dataSource"]] = (df.cache(), dict(json_cols))
-    return out
+    return out, {}
 
 
 # ------------------------------------------------------------- compare
@@ -498,6 +705,10 @@ def cell_eq(a, e: str) -> bool:
     if isinstance(a, int):
         if e == "":
             return False
+        if e in ("true", "false"):
+            # BOOLEAN-typed columns store as longs here (Druid has no
+            # boolean storage); 1/0 answers a true/false golden
+            return (a != 0) == (e == "true")
         try:
             return _num_eq(float(a), float(e))
         except ValueError:
@@ -544,6 +755,8 @@ def cell_eq(a, e: str) -> bool:
     if isinstance(a, str):
         if a == e:
             return True
+        if e in ("true", "false") and a in ("1", "0"):
+            return (a == "1") == (e == "true")
         # JSON-equivalent object/array text (key order, spacing), and
         # variant arrays render Java-style: [true, 1, 0.1, S1, null]
         if a[:1] in ("{", "["):
@@ -778,6 +991,8 @@ def collect_cases(families, file_filter=None, case_filter=None):
     for fam in families:
         fdir = QTEST / fam
         if not fdir.is_dir():
+            fdir = SQLQ / fam
+        if not fdir.is_dir():
             continue
         for iq in sorted(fdir.glob("*.iq")):
             if file_filter and file_filter not in iq.name:
@@ -824,7 +1039,8 @@ def run(families, file_filter=None, case_filter=None, limit=None,
         for n, c in enumerate(cases):
             if c["dataset"] != cur_ds:
                 try:
-                    frames = build_dataset_frames(spark, c["dataset"])
+                    frames, lookups = build_dataset_frames(
+                        spark, c["dataset"])
                 except Exception as ex:
                     frames = None
                     ds_err = str(ex)
@@ -833,6 +1049,8 @@ def run(families, file_filter=None, case_filter=None, limit=None,
                     eng = DruidSparkEngine(spark, exact_approx=True)
                     for t, (df, jc) in frames.items():
                         eng.catalog.register_table(t, df, json_columns=jc)
+                    for lname, lmap in lookups.items():
+                        eng.catalog.register_lookup(lname, lmap)
             if frames is None:
                 nskip += 1
                 rec = {"id": c["id"], "status": "skip-dataset",
