@@ -1068,7 +1068,14 @@ def _rewrite_unnest(sql: str) -> str:
             elif sql[i] == ")":
                 depth -= 1
             i += 1
-        inner = _inline_array_shims(sql[m.end():i - 1])
+        raw_inner = sql[m.end():i - 1]
+        inner = _inline_array_shims(raw_inner)
+        # MVD unnest emits ONE null row for a null MVD (the reference
+        # unnests the null row value; qaUnnest mv_sql_col_datatype_mv:
+        # 17 rows incl the null/empty rows); plain ARRAY unnest drops
+        # null/empty arrays (array_sql_col_datatype: a_empty = 0 rows)
+        explode = ("EXPLODE_OUTER" if re.match(
+            r"(?is)\s*MV_TO_ARRAY\s*\(", raw_inner) else "EXPLODE")
         tail = re.match(r"\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)", sql[i:],
                         re.IGNORECASE)
         if tail:
@@ -1080,7 +1087,7 @@ def _rewrite_unnest(sql: str) -> str:
                 continue
             alias, col = "__unnest", tail.group(1)
         sql = (sql[:m.start()]
-               + f" LATERAL VIEW EXPLODE({inner}) {alias} AS {col}"
+               + f" LATERAL VIEW {explode}({inner}) {alias} AS {col}"
                + sql[i + tail.end():])
         pos = m.start() + 1
 
@@ -1125,7 +1132,10 @@ def _rewrite_unnest_join(sql: str) -> str:
             elif sql[i] in ")]":
                 depth -= 1
             i += 1
-        inner = _inline_array_shims(sql[m.end():i - 1])
+        raw_inner = sql[m.end():i - 1]
+        inner = _inline_array_shims(raw_inner)
+        explode = ("EXPLODE_OUTER" if re.match(
+            r"(?is)\s*MV_TO_ARRAY\s*\(", raw_inner) else "EXPLODE")
         tail = re.match(
             r"\s+(?:(\w+)\s+)?AS\s+(\w+)\s*\(\s*(\w+)\s*\)", sql[i:],
             re.IGNORECASE)
@@ -1141,7 +1151,7 @@ def _rewrite_unnest_join(sql: str) -> str:
         joinword = "LEFT JOIN LATERAL" if kind.startswith("LEFT") \
             else "JOIN LATERAL"
         sql = (sql[:m.start()]
-               + f"{joinword} (SELECT EXPLODE({inner}) AS {col}) {alias}"
+               + f"{joinword} (SELECT {explode}({inner}) AS {col}) {alias}"
                + sql[i + tail.end():])
         pos = m.start() + 1
 
@@ -1583,11 +1593,67 @@ def _firstlast_unordered_frames(sql: str) -> str:
     return _unmask_strings(out, lits)
 
 
+def _parenthesize_in_is(sql: str) -> str:
+    """`x IN (list) IS [NOT] TRUE|FALSE` parses in Calcite but not in
+    Spark (IN binds looser than IS there) — wrap the IN predicate:
+    `(x IN (list)) IS TRUE` (qaUnnest subquery_with_where corpus)."""
+    pat = re.compile(r"(?is)\)\s*IS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b")
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        close = m.start()
+        depth, j = 0, close
+        while j >= 0:
+            if sql[j] == ")":
+                depth += 1
+            elif sql[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        k = j - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        m2 = re.search(r"(?is)(\bNOT\s+)?\bIN$", sql[:k + 1])
+        if not m2:
+            pos = m.end()
+            continue
+        k2 = m2.start() - 1
+        while k2 >= 0 and sql[k2].isspace():
+            k2 -= 1
+        if k2 >= 0 and sql[k2] == ")":  # call operand: f(args) IN (...)
+            depth, j2 = 0, k2
+            while j2 >= 0:
+                if sql[j2] == ")":
+                    depth += 1
+                elif sql[j2] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j2 -= 1
+            j2 -= 1
+            while j2 >= 0 and (sql[j2].isalnum() or sql[j2] in "_."):
+                j2 -= 1
+            start = j2 + 1
+        else:
+            j2 = k2
+            while j2 >= 0 and (sql[j2].isalnum() or sql[j2] in "_.'"):
+                j2 -= 1
+            start = j2 + 1
+        sql = sql[:start] + "(" + sql[start:close + 1] + ")" + \
+            sql[close + 1:]
+        pos = m.end() + 2
+
+
 def _rewrite_druid_sql(sql: str, exact: bool = True,
                        tz: str = "UTC") -> str:
     out = sql
     if '"' in out:
         out = _dq_idents_to_backticks(out)
+    if re.search(r"(?i)\)\s*IS\s+(NOT\s+)?(TRUE|FALSE)\b", out):
+        out = _parenthesize_in_is(out)
     # GROUP BY () — Calcite's empty grouping (global aggregate); Spark
     # wants the clause dropped entirely
     out = re.sub(r"\bGROUP\s+BY\s+\(\s*\)", "", out, flags=re.IGNORECASE)
@@ -1595,10 +1661,51 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # requires a length, and Druid treats it as STRING anyway
     out = re.sub(r"\bAS\s+CHAR\s*\)", "AS STRING)", out,
                  flags=re.IGNORECASE)
+    # INTERVAL '63' DAY (3) — Calcite's leading-field precision
+    # (TPC-H Q1 spells it); Spark rejects the precision suffix
+    out = re.sub(r"(?i)(\bINTERVAL\s+'[^']*'\s+[A-Z]+)\s*\(\d+\)",
+                 r"\1", out)
+    # MV functions treat a string SCALAR as a 1-element MVD (the
+    # reference's multi-value family; qaUnnest mv_funcs over
+    # cast(c AS char)); wrap syntactically-scalar args in ARRAY()
+    if re.search(r"(?i)\bMV_", out):
+        def _mv_scalar(arg_idx, nargs=None):
+            def b(a):
+                if nargs is not None and len(a) != nargs:
+                    return None
+                if arg_idx >= len(a):
+                    return None
+                v = a[arg_idx]
+                if re.fullmatch(r"(?is)CAST\s*\(.+\s+AS\s+STRING\s*\)"
+                                r"|'(?:[^']|'')*'", v.strip()):
+                    a = list(a)
+                    # a null scalar is a null MVD, not a 1-elem [null]
+                    a[arg_idx] = f"IF(({v}) IS NULL, NULL, ARRAY({v}))"
+                    # marker dodges the rescan of the same call name
+                    return "__MVW__(" + ", ".join(a) + ")"
+                return None
+            return b
+        for fn, idx in (("MV_LENGTH", 0), ("MV_OFFSET", 0),
+                        ("MV_ORDINAL", 0), ("MV_CONTAINS", 0),
+                        ("MV_OVERLAP", 0), ("MV_OVERLAP", 1),
+                        ("MV_OFFSET_OF", 0),
+                        ("MV_ORDINAL_OF", 0), ("MV_TO_STRING", 0),
+                        ("MV_SLICE", 0), ("MV_FILTER_ONLY", 0),
+                        ("MV_FILTER_NONE", 0), ("MV_APPEND", 0),
+                        ("MV_CONCAT", 0), ("MV_CONCAT", 1),
+                        ("MV_PREPEND", 1), ("MV_TO_ARRAY", 0)):
+            out = _rewrite_call(out, fn, _mv_scalar(idx))
+            out = out.replace("__MVW__(", f"{fn}(")
     out = _rewrite_json_returning(out)
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
-    out = re.sub(r"\bEARLIEST_BY\(", "MIN_BY(", out, flags=re.IGNORECASE)
-    out = re.sub(r"\bLATEST_BY\(", "MAX_BY(", out, flags=re.IGNORECASE)
+    # 3-arg forms carry maxBytesPerValue (EarliestLatestBySqlAggregator)
+    # — dropped, Spark strings are unbounded
+    out = _rewrite_call(
+        out, "EARLIEST_BY",
+        lambda a: f"MIN_BY({a[0]}, {a[1]})" if len(a) in (2, 3) else None)
+    out = _rewrite_call(
+        out, "LATEST_BY",
+        lambda a: f"MAX_BY({a[0]}, {a[1]})" if len(a) in (2, 3) else None)
     # balanced-paren rewrite so nested-call args work
     # (EARLIEST(UPPER(x))); the 2-arg maxBytes form drops the byte cap
     # (Spark strings are unbounded)
@@ -1939,33 +2046,47 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # qaArray mv_overlap(a_str, ARRAY[1]) goldens), while MV_CONTAINS
     # stays two-valued like ARRAY_CONTAINS (mv_contains(a_float, 1) =
     # false).
+    def _mv_harmonize(a: str) -> str:
+        # mv_harmonize_nulls (MultiValueStringOperatorConversions):
+        # a null or empty MVD reads as the single-null MVD [null]
+        return (f"IF(({a}) IS NULL OR "
+                f"SIZE(CAST({a} AS ARRAY<STRING>)) = 0, "
+                f"ARRAY(CAST(NULL AS STRING)), "
+                f"CAST({a} AS ARRAY<STRING>))")
+
     def _mv_overlap_call(args):
         if len(args) != 2:
             return None
         a, b = args
-        # an empty MVD reads as a single NULL value in the IN-filter
-        # plan (mv_overlap(a_empty, ARRAY[1]) golden: null)
-        A = (f"IF(SIZE(CAST({a} AS ARRAY<STRING>)) = 0, "
-             f"ARRAY(CAST(NULL AS STRING)), CAST({a} AS ARRAY<STRING>))")
-        return (f"EXISTS({A}, __mvx -> "
-                f"__sac(CAST({b} AS ARRAY<STRING>), __mvx))")
+        if re.match(r"(?is)^\s*ARRAY\s*[\[(]", b):
+            # literal probe list plans as a native IN filter —
+            # standard three-valued (mv_overlap(a_str, ARRAY[1]) =
+            # null on no-match with a null element present)
+            return (f"EXISTS({_mv_harmonize(a)}, __mvx -> "
+                    f"__sac(CAST({b} AS ARRAY<STRING>), __mvx))")
+        # expression probe: the two-valued array_overlap over BOTH
+        # sides mv_harmonize_nulls'd (null elements match null)
+        A, B = _mv_harmonize(a), _mv_harmonize(b)
+        return (f"COALESCE(EXISTS({B}, __mvx -> CASE WHEN __mvx IS NULL "
+                f"THEN EXISTS({A}, __mvy -> __mvy IS NULL) ELSE "
+                f"COALESCE(__sac({A}, __mvx), FALSE) END), FALSE)")
 
     def _mv_contains_call(args):
         if len(args) != 2:
             return None
         a, e = args
-        A = f"CAST({a} AS ARRAY<STRING>)"
+        A = _mv_harmonize(a)
         if re.match(r"(?is)^\s*(ARRAY\s*[\[(]|STRING_TO_ARRAY\s*\("
                     r"|MV_TO_ARRAY\s*\()", e):
             E = f"CAST({e} AS ARRAY<STRING>)"
-            # a NULL input MVD contains nothing: FALSE, not NULL
-            # (mv_contains over a nulled json_value golden)
-            return (f"IF(({A}) IS NULL, FALSE, IF(({E}) IS NULL, FALSE, "
+            return (f"IF(({E}) IS NULL, FALSE, "
                     f"forall({E}, __acx -> CASE WHEN __acx IS NULL THEN "
                     f"EXISTS({A}, __acy -> __acy IS NULL) ELSE "
-                    f"COALESCE(__sac({A}, __acx), FALSE) END)))")
-        return (f"COALESCE({_array_contains_call([A, f'CAST({e} AS STRING)'])}, "
-                f"FALSE)")
+                    f"COALESCE(__sac({A}, __acx), FALSE) END))")
+        E = f"CAST({e} AS STRING)"
+        return (f"CASE WHEN ({E}) IS NULL THEN "
+                f"EXISTS({A}, __acy -> __acy IS NULL) "
+                f"ELSE COALESCE(__sac({A}, {E}), FALSE) END")
 
     out = _rewrite_call(out, "MV_OVERLAP", _mv_overlap_call)
     out = _rewrite_call(out, "MV_CONTAINS", _mv_contains_call)

@@ -188,7 +188,9 @@ def test_unnest_rewrite():
     from druid_spark.functions.sqlshim import _rewrite_unnest
     out = _rewrite_unnest(
         "SELECT v FROM t CROSS JOIN UNNEST(MV_TO_ARRAY(tags)) AS u(v)")
-    assert "LATERAL VIEW EXPLODE((tags)) u AS v" in out
+    # MVD unnest uses EXPLODE_OUTER: a null MVD row emits one null
+    # element (qaUnnest mv_sql_col_datatype_mv goldens)
+    assert "LATERAL VIEW EXPLODE_OUTER((tags)) u AS v" in out
     out = _rewrite_unnest(
         "SELECT v FROM t CROSS JOIN UNNEST(arr) AS v WHERE v > 1")
     assert "LATERAL VIEW EXPLODE(arr) __unnest AS v" in out

@@ -190,10 +190,25 @@ def _mv_elem(v):
     return str(v)
 
 
-def _parse_ts(v) -> dt.datetime:
+def _parse_ts(v, ts_spec: dict | None = None) -> dt.datetime:
+    if v is None and ts_spec:
+        v = ts_spec.get("missingValue", "1970-01-01")
+    if v is None:
+        v = "1970-01-01"
     if isinstance(v, (int, float)):
         return dt.datetime.fromtimestamp(v / 1000.0, dt.timezone.utc) \
             .replace(tzinfo=None)
+    jfmt = (ts_spec or {}).get("format", "auto")
+    if jfmt not in ("iso", "auto", "millis", "posix"):
+        # Joda pattern (TimestampSpec custom format) → strptime
+        py = jfmt
+        for a, b in (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+                     ("HH", "%H"), ("mm", "%M"), ("ss", "%S")):
+            py = py.replace(a, b)
+        try:
+            return dt.datetime.strptime(str(v), py)
+        except ValueError:
+            pass
     s = str(v).replace("T", " ").rstrip("Z")
     for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
         try:
@@ -625,7 +640,7 @@ def build_dataset_frames(spark, dataset_rel: str):
 
         rows = []
         for r in raw:
-            row = [_parse_ts(r.get(ts_col))]
+            row = [_parse_ts(r.get(ts_col), ts_spec)]
             for d, co in zip(dims, coercers):
                 row.append(co(r.get(d["name"])))
             rows.append(tuple(row))
