@@ -513,6 +513,21 @@ class DruidSparkEngine:
                 if name in known:
                     self.catalog.lookup_df(name).createOrReplaceTempView(
                         f"__lookup_tbl_{name}")
+            # in table position with no alias of its own, alias the
+            # view AS the bare lookup name — the reference resolves
+            # `lookyloo.k` column refs against the schema-qualified
+            # table (CalciteJoinQueryTest lookup joins)
+            kw = ("ON|USING|WHERE|GROUP|ORDER|HAVING|LIMIT|LEFT|RIGHT|"
+                  "INNER|FULL|CROSS|JOIN|UNION|INTERSECT|EXCEPT|OFFSET|AS")
+            text = _sub_outside_strings(text, [
+                (_re.compile(
+                    r"(?is)\b(FROM\s+|JOIN\s+|,\s*)lookup\.([A-Za-z_]\w*)"
+                    # \b pins the WHOLE name: backtracking must not
+                    # shorten it to satisfy the no-alias lookahead
+                    r"\b(?!\s+(?:AS\s+)?(?!(?:" + kw + r")\b)\w+)"
+                    r"(?!\s*\.)"),
+                 lambda g: f"{g.group(1)}__lookup_tbl_{g.group(2)} "
+                           f"{g.group(2)}")])
             text = _sub_outside_strings(text, [
                 (_LOOKUP_DOT_RE, lambda g: "__lookup_tbl_" + g.group(1))])
         m = _EXPLAIN_RE.match(text)

@@ -1665,6 +1665,18 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # (TPC-H Q1 spells it); Spark rejects the precision suffix
     out = re.sub(r"(?i)(\bINTERVAL\s+'[^']*'\s+[A-Z]+)\s*\(\d+\)",
                  r"\1", out)
+    # INTERVAL 'n' QUARTER — Spark has no QUARTER unit; 1 quarter =
+    # 3 months (Calcite TimeUnit.QUARTER)
+    out = re.sub(
+        r"(?i)\bINTERVAL\s+'(\d+)'\s+QUARTER\b",
+        lambda m: f"INTERVAL '{int(m.group(1)) * 3}' MONTH", out)
+    # druid.<table> schema qualifiers: the engine registers bare
+    # table names (`druid` is the reference's sole datasource schema).
+    # String literals are masked so a 'druid.xyz' literal survives.
+    if re.search(r"(?i)\bdruid\s*\.", out):
+        masked, _dl = _mask_strings(out)
+        masked = re.sub(r"(?i)\bdruid\s*\.\s*(\w+)", r"\1", masked)
+        out = _unmask_strings(masked, _dl)
     # MV functions treat a string SCALAR as a 1-element MVD (the
     # reference's multi-value family; qaUnnest mv_funcs over
     # cast(c AS char)); wrap syntactically-scalar args in ARRAY()
@@ -1676,6 +1688,10 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
                 if arg_idx >= len(a):
                     return None
                 v = a[arg_idx]
+                if re.fullmatch(r"(?is)NULL", v.strip()):
+                    a = list(a)
+                    a[arg_idx] = "CAST(NULL AS ARRAY<STRING>)"
+                    return "__MVW__(" + ", ".join(a) + ")"
                 if re.fullmatch(r"(?is)CAST\s*\(.+\s+AS\s+STRING\s*\)"
                                 r"|'(?:[^']|'')*'", v.strip()):
                     a = list(a)
@@ -1691,7 +1707,8 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
                         ("MV_OFFSET_OF", 0),
                         ("MV_ORDINAL_OF", 0), ("MV_TO_STRING", 0),
                         ("MV_SLICE", 0), ("MV_FILTER_ONLY", 0),
-                        ("MV_FILTER_NONE", 0), ("MV_APPEND", 0),
+                        ("MV_FILTER_NONE", 0), ("MV_FILTER_PREFIX", 0),
+                        ("MV_FILTER_REGEX", 0), ("MV_APPEND", 0),
                         ("MV_CONCAT", 0), ("MV_CONCAT", 1),
                         ("MV_PREPEND", 1), ("MV_TO_ARRAY", 0)):
             out = _rewrite_call(out, fn, _mv_scalar(idx))

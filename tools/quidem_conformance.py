@@ -66,6 +66,7 @@ def parse_iq(path: Path) -> list[dict]:
     cur_sql: str | None = None
     test_id = None
     dataset = None
+    cur_ts = None
     seq = 0
     for ln in path.read_text().splitlines():
         if ln.startswith("#"):
@@ -84,6 +85,7 @@ def parse_iq(path: Path) -> list[dict]:
                     sm = re.search(r"componentSupplier=(\w+)", ln)
                     sup = sm.group(1) if sm else "Standard"
                     dataset = "__default__" if sup in (
+                        "Standard",
                         "StandardComponentSupplier",
                         "AllDruidEnginesComponentSupplier",
                         "StandardMSQComponentSupplier",
@@ -91,6 +93,12 @@ def parse_iq(path: Path) -> list[dict]:
                 buf = []
                 continue
             if name in ("set", "if"):
+                # sqlCurrentTimestamp pins CURRENT_TIMESTAMP for the
+                # file's cases (interval_arithmetic goldens); the
+                # engine honors it as a SET statement prefix
+                if name == "set" and len(parts) >= 3 and \
+                        parts[1] == "sqlCurrentTimestamp":
+                    cur_ts = parts[2]
                 buf = []
                 continue
             # block-terminating directive: split buf into SQL + block
@@ -107,9 +115,13 @@ def parse_iq(path: Path) -> list[dict]:
                 block = buf
             if name in ("ok", "error") and cur_sql:
                 seq += 1
+                sql = cur_sql
+                if cur_ts:
+                    sql = (f"SET sqlCurrentTimestamp = '{cur_ts}';\n"
+                           + sql)
                 cases.append({
                     "id": f"{path.stem}:{seq}:{test_id or 'case'}",
-                    "sql": cur_sql,
+                    "sql": sql,
                     "expected": [b for b in block if b.strip() != ""],
                     "kind": name,
                     "dataset": dataset,
@@ -461,34 +473,38 @@ def _default_frames(spark):
                           T.TimestampType())
     ts = dt.datetime.fromisoformat
 
+    # dim2 is single-valued on every row (TestDataBuilder RAW_ROWS1) —
+    # its Druid-visible form is the scalar string ([] ingests to
+    # null), which is what the goldens compare/filter against; dim3
+    # is a real multi-value and stays array<string>
     foo_schema = T.StructType([
         T.StructField(n, t) for n, t in [
-            ("__time", TS), ("dim1", S), ("dim2", A), ("dim3", A),
+            ("__time", TS), ("dim1", S), ("dim2", S), ("dim3", A),
             ("cnt", L), ("m1", FL), ("m2", D)]])
     foo_rows = [
-        (ts("2000-01-01"), "", ["a"], ["a", "b"], 1, 1.0, 1.0),
-        (ts("2000-01-02"), "10.1", [], ["b", "c"], 1, 2.0, 2.0),
-        (ts("2000-01-03"), "2", [""], ["d"], 1, 3.0, 3.0),
-        (ts("2001-01-01"), "1", ["a"], [""], 1, 4.0, 4.0),
-        (ts("2001-01-02"), "def", ["abc"], None, 1, 5.0, 5.0),
+        (ts("2000-01-01"), "", "a", ["a", "b"], 1, 1.0, 1.0),
+        (ts("2000-01-02"), "10.1", None, ["b", "c"], 1, 2.0, 2.0),
+        (ts("2000-01-03"), "2", "", ["d"], 1, 3.0, 3.0),
+        (ts("2001-01-01"), "1", "a", [""], 1, 4.0, 4.0),
+        (ts("2001-01-02"), "def", "abc", None, 1, 5.0, 5.0),
         (ts("2001-01-03"), "abc", None, None, 1, 6.0, 6.0),
     ]
     numfoo_schema = T.StructType([
         T.StructField(n, t) for n, t in [
-            ("__time", TS), ("dim1", S), ("dim2", A), ("dim3", A),
+            ("__time", TS), ("dim1", S), ("dim2", S), ("dim3", A),
             ("dim4", S), ("dim5", S), ("dim6", S), ("dbl1", D),
             ("dbl2", D), ("f1", FL), ("f2", FL), ("l1", L), ("l2", L),
             ("cnt", L), ("m1", FL), ("m2", D)]])
     numfoo_rows = [
-        (ts("2000-01-01"), "", ["a"], ["a", "b"], "a", "aa", "1",
+        (ts("2000-01-01"), "", "a", ["a", "b"], "a", "aa", "1",
          1.0, None, 1.0, None, 7, None, 1, 1.0, 1.0),
-        (ts("2000-01-02"), "10.1", [], ["b", "c"], "a", "ab", "2",
+        (ts("2000-01-02"), "10.1", None, ["b", "c"], "a", "ab", "2",
          1.7, 1.7, 0.1, 0.1, 325323, 325323, 1, 2.0, 2.0),
-        (ts("2000-01-03"), "2", [""], ["d"], "a", "ba", "3",
+        (ts("2000-01-03"), "2", "", ["d"], "a", "ba", "3",
          0.0, 0.0, 0.0, 0.0, 0, 0, 1, 3.0, 3.0),
-        (ts("2001-01-01"), "1", ["a"], [""], "b", "ad", "4",
+        (ts("2001-01-01"), "1", "a", [""], "b", "ad", "4",
          None, None, None, None, None, None, 1, 4.0, 4.0),
-        (ts("2001-01-02"), "def", ["abc"], [], "b", "aa", "5",
+        (ts("2001-01-02"), "def", "abc", [], "b", "aa", "5",
          None, None, None, None, None, None, 1, 5.0, 5.0),
         (ts("2001-01-03"), "abc", None, None, "b", "ab", "6",
          None, None, None, None, None, None, 1, 6.0, 6.0),
@@ -1048,8 +1064,10 @@ def run(families, file_filter=None, case_filter=None, limit=None,
     results = []
     npass = nfail = nerr = nskip = 0
     OUTDIR.mkdir(exist_ok=True)
-    outf = OUTDIR / (f"{'_'.join(families)}"
-                     f"{'_err' if run_errors else ''}.jsonl")
+    stem = "_".join(f.rsplit(".", 1)[-1] for f in families)
+    if len(stem) > 120:
+        stem = f"{stem[:100]}_etc{len(families)}"
+    outf = OUTDIR / f"{stem}{'_err' if run_errors else ''}.jsonl"
     with open(outf, "w") as fh:
         for n, c in enumerate(cases):
             if c["dataset"] != cur_ds:
