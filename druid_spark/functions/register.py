@@ -39,6 +39,7 @@ _N_YEARS = "cast(regexp_extract(p, 'P([0-9]+)Y', 1) AS BIGINT)"
 # length-relative positive index at runtime. Out-of-range stays
 # negative and extracts NULL.
 _JNP = """CASE
+        WHEN p = '$.' THEN '$'
         WHEN p NOT LIKE '$%' THEN raise_error(concat(
           'JSONPath [', p, '] is invalid, it must start with ''$'''))
         WHEN p RLIKE '\\\\[-[0-9]+\\\\]$' THEN concat(
@@ -355,19 +356,9 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # top-level arrays report per-index paths. Object walk descends to
     # depth 2 (documented limit of the SQL-UDF form; deeper levels
     # report the depth-2 prefix).
-    ("JSON_PATHS", "j STRING", "ARRAY<STRING>", """
-      CASE WHEN size(json_object_keys(j)) > 0 THEN
-        flatten(transform(json_object_keys(j), k ->
-          CASE WHEN json_object_keys(get_json_object(j, concat('$.', k)))
-                    IS NOT NULL
-               THEN transform(
-                      json_object_keys(get_json_object(j, concat('$.', k))),
-                      k2 -> concat('$.', k, '.', k2))
-               ELSE array(concat('$.', k)) END))
-      WHEN json_array_length(j) > 0 THEN
-        transform(sequence(0, json_array_length(j) - 1),
-                  i -> concat('$[', cast(i AS STRING), ']'))
-      ELSE array('$') END"""),
+    # (JSON_PATHS registers as an Arrow-batched pandas UDF below —
+    # the leaf walk is recursive over arbitrary depth; a SQL UDF here
+    # would fail CREATE OR REPLACE against the non-SQL registration)
     # (TRY_PARSE_JSON / PARSE_JSON are Spark builtins — variant-typed)
     # TO_JSON_STRING (NestedDataExpressions.java:245 ToJsonStringExpr:
     # jackson-serialize the VALUE): inputs arrive as strings (variants
@@ -504,6 +495,46 @@ _FUNCS: list[tuple[str, str, str, str]] = [
 ]
 
 
+def _json_paths_series(s):
+    """JSON_PATHS leaf-path enumeration (NestedDataExpressions.java:743
+    JsonPathsExpr / NestedPathFinder): recursive walk — scalars and
+    nulls are leaves, an EMPTY ARRAY is its own leaf, an empty object
+    contributes nothing, non-JSON input reports the root ['$'].  The
+    reference collects into a set (arbitrary order); the conformance
+    harness compares path lists as multisets.  Arrow-batched pandas
+    UDF: the walk is recursive over arbitrary depth, which a pure SQL
+    expression can't express."""
+    import json as _json
+
+    def walk(v, prefix, out):
+        if isinstance(v, dict):
+            for k, val in v.items():
+                walk(val, f"{prefix}.{k}", out)
+        elif isinstance(v, list):
+            if not v:
+                out.append(prefix)
+                return
+            for i, val in enumerate(v):
+                walk(val, f"{prefix}[{i}]", out)
+        else:
+            out.append(prefix)
+
+    def one(j):
+        if j is None:
+            return ["$"]  # NULL input reports the root (A022 golden)
+        try:
+            v = _json.loads(j)
+        except (ValueError, TypeError):
+            return ["$"]
+        if not isinstance(v, (dict, list)):
+            return ["$"]
+        out: list = []
+        walk(v, "$", out)
+        return out
+
+    return s.apply(one)
+
+
 def register_druid_functions(spark: SparkSession) -> int:
     """Idempotently register the surface; returns count registered."""
     n = 0
@@ -512,4 +543,7 @@ def register_druid_functions(spark: SparkSession) -> int:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
             f"RETURNS {ret} RETURN {body}")
         n += 1
-    return n
+    from pyspark.sql.functions import pandas_udf
+    spark.udf.register("json_paths",
+                       pandas_udf(_json_paths_series, "array<string>"))
+    return n + 1

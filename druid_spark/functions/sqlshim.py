@@ -2237,7 +2237,7 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         parts.append(s[start:].strip())
         return parts
 
-    def _json_object_flat(args):
+    def _json_object_struct(args):
         flat = []
         for a in args:
             m = re.match(r"(?is)^KEY\s+(.+?)\s+VALUE\s+(.+)$", a)
@@ -2256,11 +2256,20 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         for j in range(1, len(flat), 2):
             v = flat[j]
             if re.match(r"(?is)^JSON_OBJECT\s*\(.*\)$", v):
-                nested = _json_object_flat(
+                nested = _json_object_struct(
                     _split_top_args(v[v.index("(") + 1:v.rindex(")")]))
                 if nested is not None:
-                    flat[j] = nested[len("TO_JSON("):-1]  # strip TO_JSON(..)
-        return f"TO_JSON(NAMED_STRUCT({', '.join(flat)}))"
+                    flat[j] = nested
+        return f"NAMED_STRUCT({', '.join(flat)})"
+
+    def _json_object_flat(args):
+        ns = _json_object_struct(args)
+        if ns is None:
+            return None
+        # null values are KEPT as JSON nulls (NestedDataExpressions
+        # json_object; qaJsonCols func_json_object: {"a":null}) —
+        # Spark's to_json drops them without the option
+        return f"TO_JSON({ns}, MAP('ignoreNullFields', 'false'))"
 
     out = _rewrite_call(out, "JSON_OBJECT", _json_object_flat)
 

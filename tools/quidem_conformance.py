@@ -367,11 +367,20 @@ def _eval_transform(expr: str, row: dict):
     then schema-discovers to long 1 — funcs_and_sql datatype golden)."""
     expr = expr.strip()
     m = re.fullmatch(
-        r"(?is)(json_value|json_query)\(\s*(\w+)\s*,\s*'([^']*)'\s*\)",
+        r"(?is)(json_value|json_query)\(\s*"
+        r"(parse_json\(\s*(\w+)\s*\)|\w+)\s*,\s*'([^']*)'\s*\)",
         expr)
     if m:
-        fn, col, path = m.group(1).lower(), m.group(2), m.group(3)
-        v = _jsonpath_get(row.get(col), path)
+        fn, path = m.group(1).lower(), m.group(4)
+        src = row.get(m.group(3) or m.group(2))
+        if m.group(3) and isinstance(src, str):
+            # TSV inputs carry JSON as text; parse_json makes it a
+            # variant first (infmt_tsv ingest variants)
+            try:
+                src = json.loads(src)
+            except ValueError:
+                src = None
+        v = _jsonpath_get(src, path)
         if fn == "json_value":
             if isinstance(v, (dict, list)):
                 return None
@@ -402,6 +411,33 @@ def _eval_transform(expr: str, row: dict):
         return {k.strip().strip("'"): row.get(v)
                 for k, v in zip(toks[::2], toks[1::2])}
     raise ValueError(f"unsupported transform expression {expr!r}")
+
+
+def _apply_flatten_spec_pyside(raw: list[dict], fmt: dict) -> list[dict]:
+    """flattenSpec (JSONPathSpec): jq / path / root fields over the raw
+    JSON rows; useFieldDiscovery keeps the top-level fields too."""
+    fl = (fmt or {}).get("flattenSpec")
+    if not fl:
+        return raw
+    fields = fl.get("fields") or []
+    discover = fl.get("useFieldDiscovery", True)
+    out = []
+    for r in raw:
+        nr = dict(r) if discover else {}
+        for f in fields:
+            t = f.get("type", "root")
+            if t == "root":
+                nr[f["name"]] = r.get(f.get("expr", f["name"]))
+                continue
+            expr = f.get("expr", "")
+            if t == "jq":
+                # '.a.b[0].c' → '$' JSONPath over the row object
+                path = "$" + expr
+            else:  # 'path' type: already $-rooted
+                path = expr
+            nr[f["name"]] = _jsonpath_get(r, path)
+        out.append(nr)
+    return out
 
 
 def _apply_transforms_pyside(spark, raw: list[dict], schema: dict):
@@ -567,6 +603,8 @@ def build_dataset_frames(spark, dataset_rel: str):
         inner = spec.get("spec", spec)
         schema = inner["dataSchema"]
         raw = _read_spec_rows(inner)
+        raw = _apply_flatten_spec_pyside(
+            raw, inner["ioConfig"].get("inputFormat") or {})
         raw = _apply_transforms_pyside(spark, raw, schema)
         ts_spec = schema.get("timestampSpec", {})
         ts_col = ts_spec.get("column", "timestamp")
@@ -778,7 +816,24 @@ def cell_eq(a, e: str) -> bool:
                         _elem_eq(x, y) for x, y in zip(a, je)):
                     return True
             # Java-style render (typed SQL arrays): [S1, S2, null]
-            return _java_str(a) == e
+            if _java_str(a) == e:
+                return True
+            # elementwise against a Java-style split (timestamps in
+            # arrays render as datetimes while we hold millis, etc.)
+            parts = _java_list_split(e)
+            if (parts is not None and len(parts) == len(a)
+                    and all(cell_eq(x, p) for x, p in zip(a, parts))):
+                return True
+            # JSONPath lists (JSON_PATHS/JSON_KEYS output): the
+            # reference collects into a SET — order is arbitrary, so
+            # compare as sorted multisets (scoped to '$'-shaped
+            # elements so real array values stay order-checked)
+            if (parts is not None and len(parts) == len(a)
+                    and a and all(isinstance(x, str)
+                                  and x.startswith("$") for x in a)
+                    and all(p.startswith("$") for p in parts)):
+                return sorted(a) == sorted(parts)
+            return False
         # single-element MVD collapses to its scalar on render
         if len(a) == 1:
             return cell_eq(a[0], e)
@@ -809,6 +864,27 @@ def cell_eq(a, e: str) -> bool:
         except ValueError:
             return False
     return str(a) == e
+
+
+def _java_list_split(e: str):
+    """Split a Java-style rendered list '[a, b, c]' into element
+    strings at top level (nested brackets kept whole)."""
+    if not (e.startswith("[") and e.endswith("]")):
+        return None
+    inner = e[1:-1]
+    if inner.strip() == "":
+        return []
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch in "[{":
+            depth += 1
+        elif ch in "]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i].strip())
+            start = i + 1
+    parts.append(inner[start:].strip())
+    return parts
 
 
 def _render_key(v) -> str:
