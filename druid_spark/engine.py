@@ -570,9 +570,26 @@ class DruidSparkEngine:
             exact = set_ctx["useApproximateCountDistinct"].lower() != "true"
         if "APPEND" in text.upper():
             text = self._rewrite_table_append(text)
+        # unambiguous SCALAR column names across registered tables:
+        # Druid's array/MV family auto-wraps string scalars as
+        # 1-element MVDs, which the rewriter can only do knowing the
+        # column isn't already an array (qaUnnest array_length(c_long))
+        scalar_cols: set[str] = set()
+        array_cols: set[str] = set()
+        try:
+            for t in self.catalog.tables():
+                df = self.catalog.table(t)
+                for f in df.schema.fields:
+                    if f.dataType.simpleString().startswith("array"):
+                        array_cols.add(f.name)
+                    else:
+                        scalar_cols.add(f.name)
+        except Exception:
+            pass
         final = rewrite_druid_sql(
             text, exact=exact, tz=set_ctx.get("sqlTimeZone", "UTC"),
-            default_nominal_entries=self.sketch_default_nominal_entries)
+            default_nominal_entries=self.sketch_default_nominal_entries,
+            scalar_cols=scalar_cols - array_cols)
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner
         # applies to SQL through the same query stack). Keyed on the

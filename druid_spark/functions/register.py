@@ -204,10 +204,26 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("ARRAY_ORDINAL", "arr ARRAY<STRING>, i INT", "STRING",
      "get(arr, i - 1)"),
     ("MV_ORDINAL", "arr ARRAY<STRING>, i INT", "STRING", "get(arr, i - 1)"),
-    ("ARRAY_OFFSET_OF", "arr ARRAY<STRING>, v STRING", "INT",
-     "CASE WHEN array_position(arr, v) > 0 THEN cast(array_position(arr, v) - 1 AS INT) END"),
-    ("ARRAY_ORDINAL_OF", "arr ARRAY<STRING>, v STRING", "INT",
-     "CASE WHEN array_position(arr, v) > 0 THEN cast(array_position(arr, v) AS INT) END"),
+    # a NULL probe finds a null ELEMENT (Java indexOf(null) — qaUnnest
+    # array_offset_of(array[c,c,3], c) with c null expects 0)
+    ("ARRAY_OFFSET_OF", "arr ARRAY<STRING>, v STRING", "INT", """
+     CASE WHEN v IS NULL THEN
+            CASE WHEN array_position(transform(arr, __x -> __x IS NULL),
+                                     true) > 0
+                 THEN cast(array_position(
+                        transform(arr, __x -> __x IS NULL), true) - 1
+                      AS INT) END
+          WHEN array_position(arr, v) > 0
+          THEN cast(array_position(arr, v) - 1 AS INT) END"""),
+    ("ARRAY_ORDINAL_OF", "arr ARRAY<STRING>, v STRING", "INT", """
+     CASE WHEN v IS NULL THEN
+            CASE WHEN array_position(transform(arr, __x -> __x IS NULL),
+                                     true) > 0
+                 THEN cast(array_position(
+                        transform(arr, __x -> __x IS NULL), true)
+                      AS INT) END
+          WHEN array_position(arr, v) > 0
+          THEN cast(array_position(arr, v) AS INT) END"""),
     ("ARRAY_OVERLAP", "a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN",
      "arrays_overlap(a, b)"),
     ("MV_OVERLAP", "a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN",

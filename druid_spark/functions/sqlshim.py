@@ -26,6 +26,10 @@ import re
 # state, the oracle-checkable mode differential harnesses require.
 _DEFAULT_NOM: contextvars.ContextVar[int | None] = contextvars.ContextVar(
     "druid_spark_default_nominal_entries", default=None)
+# unambiguous non-array column names of the calling engine's tables
+# (the array/MV family auto-wraps string scalars as 1-element MVDs)
+_SCALAR_COLS: contextvars.ContextVar[set] = contextvars.ContextVar(
+    "druid_spark_scalar_cols", default=set())
 
 
 def _skip_string(s: str, i: int) -> int:
@@ -1316,16 +1320,21 @@ def _dq_idents_to_backticks(sql: str) -> str:
 
 def rewrite_druid_sql(sql: str, exact: bool = True,
                       tz: str = "UTC",
-                      default_nominal_entries: int | None = None) -> str:
+                      default_nominal_entries: int | None = None,
+                      scalar_cols: set[str] | None = None) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
-    — required by the DuckDB-differential harnesses and exact engines."""
+    — required by the DuckDB-differential harnesses and exact engines.
+    scalar_cols: unambiguous non-array column names of the session's
+    tables, for the array-family scalar auto-wrap."""
     tok = _DEFAULT_NOM.set(default_nominal_entries)
+    tok2 = _SCALAR_COLS.set(scalar_cols or set())
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
         _DEFAULT_NOM.reset(tok)
+        _SCALAR_COLS.reset(tok2)
 
 
 def _find_spec_end(sql: str, start: int) -> int:
@@ -2005,6 +2014,48 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     out = _rewrite_unnest_join(out)
     out = _rewrite_unnest(out)
     out = _rewrite_unnest_from(out)
+    # array functions over an UNNEST output column: the element is a
+    # scalar, and Druid's array family auto-wraps string scalars as
+    # 1-element arrays (qaUnnest mv_sql_array_funcs: array_length(c)
+    # = 1). The unnest aliases are known statically from the rewrites.
+    ucols = set(re.findall(
+        r"(?i)LATERAL VIEW EXPLODE(?:_OUTER)?\(.*?\) \w+ AS (\w+)", out))
+    ucols |= set(re.findall(
+        r"(?i)\(SELECT EXPLODE(?:_OUTER)?\(.*?\) AS (\w+)\)", out))
+    # known scalar table columns wrap too — minus any name the query
+    # re-binds as an alias (it may name an array-valued expression)
+    ucols |= (_SCALAR_COLS.get()
+              - set(re.findall(r"(?i)\bAS\s+(\w+)", out)))
+    if ucols:
+        def _scalar_unnest_wrap(idx):
+            def b(args):
+                if idx < len(args) and args[idx].strip() in ucols:
+                    c = args[idx].strip()
+                    a = list(args)
+                    a[idx] = f"IF({c} IS NULL, NULL, ARRAY({c}))"
+                    return "__UNW__(" + ", ".join(a) + ")"
+                return None
+            return b
+        for fn, idx in (("ARRAY_LENGTH", 0), ("ARRAY_OFFSET", 0),
+                        ("ARRAY_ORDINAL", 0), ("ARRAY_OFFSET_OF", 0),
+                        ("ARRAY_ORDINAL_OF", 0), ("ARRAY_TO_STRING", 0),
+                        ("ARRAY_CONTAINS", 0), ("ARRAY_OVERLAP", 0),
+                        ("ARRAY_OVERLAP", 1), ("ARRAY_APPEND", 0),
+                        # ARRAY_PREPEND already swapped to Spark's
+                        # (arr, value) order by the earlier rewrite
+                        ("ARRAY_PREPEND", 0), ("ARRAY_CONCAT", 0),
+                        ("ARRAY_CONCAT", 1), ("ARRAY_SLICE", 0),
+                        ("MV_LENGTH", 0), ("MV_OFFSET", 0),
+                        ("MV_ORDINAL", 0), ("MV_OFFSET_OF", 0),
+                        ("MV_ORDINAL_OF", 0), ("MV_TO_STRING", 0),
+                        ("MV_SLICE", 0), ("MV_FILTER_ONLY", 0),
+                        ("MV_FILTER_NONE", 0), ("MV_FILTER_PREFIX", 0),
+                        ("MV_FILTER_REGEX", 0), ("MV_CONTAINS", 0),
+                        ("MV_OVERLAP", 0), ("MV_OVERLAP", 1),
+                        ("MV_APPEND", 0), ("MV_PREPEND", 1),
+                        ("MV_CONCAT", 0), ("MV_CONCAT", 1)):
+            out = _rewrite_call(out, fn, _scalar_unnest_wrap(idx))
+            out = out.replace("__UNW__(", f"{fn}(")
     # Druid ARRAY_CONTAINS(arr, arr2) is subset-containment; Spark's
     # builtin only takes a scalar needle. Either form is TWO-valued
     # (Function.java ArrayContainsFunction): NULL only when the array

@@ -29,8 +29,9 @@ def _samples(per_family: int = 12) -> dict[str, list[str]]:
 
 
 @pytest.mark.skipif(not PASS_DIR.is_dir(), reason="no quidem pass lists")
-def test_quidem_sample(spark):
+def test_quidem_sample(spark, tmp_path):
     import quidem_conformance as qc
+    qc.OUTDIR = tmp_path  # keep the full-run results untouched
 
     failures = []
     for fam, ids in _samples().items():

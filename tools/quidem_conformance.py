@@ -262,7 +262,11 @@ def _read_spec_rows(spec: dict) -> list[dict]:
         for rec in it:
             if not rec:
                 continue
-            rows.append(dict(zip(cols, rec)))
+            # empty delimited fields ingest as NULL (Druid
+            # DelimitedValueReader; qaAggFuncs string batteries
+            # count 6 nulls, not 6 empty strings)
+            rows.append(dict(zip(cols,
+                                 [None if v == "" else v for v in rec])))
         return rows
     raise ValueError(f"inputFormat {t}")
 
@@ -679,6 +683,13 @@ def build_dataset_frames(spark, dataset_rel: str):
                     json_cols.append((name, "COMPLEX<json>"))
                     coercers.append(lambda v: None if v is None else
                                     json.dumps(v, separators=(",", ":")))
+            elif typ == "string" and all(
+                    v is None or v == [] for v in values):
+                # a STRING dim with zero values never materializes a
+                # column (qaUnnest/mv SELECT * goldens omit c_null and
+                # c_mv_empty); auto/json/numeric dims still do
+                fields.append(None)
+                coercers.append(None)
             else:  # string dim: scalars AND multi-value arrays
                 has_list = any(isinstance(v, list) for v in values)
                 if has_list:
@@ -692,6 +703,12 @@ def build_dataset_frames(spark, dataset_rel: str):
                     fields.append(T.StructField(name, T.StringType()))
                     coercers.append(lambda v: _coerce_scalar(v, "string"))
 
+        # drop never-materialized dims (None placeholders)
+        kept = [(d, co) for d, co, f in
+                zip(dims, coercers, fields[1:]) if f is not None]
+        fields = [fields[0]] + [f for f in fields[1:] if f is not None]
+        dims = [d for d, _ in kept]
+        coercers = [co for _, co in kept]
         rows = []
         for r in raw:
             row = [_parse_ts(r.get(ts_col), ts_spec)]
@@ -900,6 +917,10 @@ def _render_key(v) -> str:
         return str(_ts_millis(v))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_render_key(x) for x in v) + "]"
+    if isinstance(v, str):
+        # same normalization as expected-side keys (timestamp-looking
+        # strings key as millis) so sort orders agree
+        return _expected_key(v)
     return str(v)
 
 
@@ -941,10 +962,24 @@ def rows_match(actual: list[tuple], expected: list[list[str]],
     # sort-key divergence fallback: greedy multiset match (small sets)
     if len(actual) > 300:
         return False
+    def _strict(a, e):
+        if isinstance(a, (list, tuple)):
+            return _java_str(list(a)) == e
+        if a is None:
+            return e == ""
+        return str(a) == e
+
     pool = list(expected)
     for ra in actual:
+        # strict render equality first: a null row must not greedily
+        # consume an empty-string golden (both satisfy the tolerant
+        # compare, but each has an exact partner in the pool)
         hit = next((i for i, re_ in enumerate(pool)
-                    if all(cell_eq(a, e) for a, e in zip(ra, re_))), None)
+                    if all(_strict(a, e) for a, e in zip(ra, re_))), None)
+        if hit is None:
+            hit = next((i for i, re_ in enumerate(pool)
+                        if all(cell_eq(a, e)
+                               for a, e in zip(ra, re_))), None)
         if hit is None:
             return False
         pool.pop(hit)
