@@ -10560,6 +10560,53 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
      """
         SELECT '{"a":1,"b":2}' AS obj, '[1,2,3]' AS arr,
                '[1,"x",null]' AS mixed"""),
+    # ----------------------------------------------------------------
+    # Conformance batch 72 (round 7 cont.): semantics the quidem
+    # qa-corpus campaign pinned (quidem-ut qaAggFuncs/qaArray/
+    # qaJsonCols goldens; tools/quidem_conformance.py runs the full
+    # ~25k-case bank).
+    # ----------------------------------------------------------------
+    # ARRAY_AGG keeps NULL inputs; DISTINCT includes one null
+    # (qaAggFuncs array_agg_* batteries: 18 rows with 6 nulls -> 18/3)
+    "sqlc_array_agg_keeps_nulls": ("""
+        SELECT ARRAY_LENGTH(ARRAY_AGG(v)) AS n_all,
+               ARRAY_LENGTH(ARRAY_AGG(DISTINCT v)) AS n_distinct
+        FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                          ELSE o_orderstatus END AS v
+              FROM orders ORDER BY o_orderkey LIMIT 30)""", """
+        SELECT CAST(COUNT(*) AS INT) AS n_all,
+               CAST(COUNT(DISTINCT v) + 1 AS INT) AS n_distinct
+        FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                          ELSE o_orderstatus END AS v
+              FROM orders ORDER BY o_orderkey LIMIT 30)"""),
+    # ARRAY_CONTAINS / ARRAY_OVERLAP are two-valued: a no-match with
+    # null elements present is FALSE, not NULL (Function.java
+    # ArrayContainsFunction; qaAggFuncs A08/A11 goldens)
+    "sqlc_array_contains_two_valued": ("""
+        SELECT ARRAY_CONTAINS(a, 'F') AS hit,
+               ARRAY_CONTAINS(a, 'Z') AS miss,
+               ARRAY_OVERLAP(a, ARRAY['Z', 'Q']) AS no_overlap
+        FROM (SELECT ARRAY_AGG(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                    ELSE o_orderstatus END) AS a
+              FROM orders)""", """
+        SELECT TRUE AS hit, FALSE AS miss, FALSE AS no_overlap"""),
+    # ARRAY_SLICE edge semantics (ArraySliceFunction): out-of-range
+    # start nulls the result; end past the length null-pads
+    "sqlc_array_slice_edges": ("""
+        SELECT ARRAY_SLICE(ARRAY['a','b','c'], 9, 11) AS oob,
+               ARRAY_TO_STRING(
+                 ARRAY_SLICE(ARRAY['a','b','c'], 1, 5), '|') AS padded""",
+     """
+        SELECT CAST(NULL AS VARCHAR[]) AS oob,
+               'b|c|null|null' AS padded"""),
+    # JSON_PATHS is a recursive leaf walk: empty arrays are leaves,
+    # empty objects contribute nothing (qaJsonCols func_json_paths)
+    "sqlc_json_paths_leaves": ("""
+        SELECT ARRAY_TO_STRING(ARRAY_SORT(
+                 JSON_PATHS('{"a": {"b": 1, "c": []}, "d": {}}')),
+               ',') AS paths,
+               JSON_OBJECT(KEY 'k' VALUE NULL) AS keeps_null""", """
+        SELECT '$.a.b,$.a.c' AS paths, '{"k":null}' AS keeps_null"""),
 }
 
 
