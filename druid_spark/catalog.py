@@ -201,6 +201,20 @@ class Catalog:
         self._tables[name] = df
         return df
 
+    def schema(self, name: str):
+        """Schema WITHOUT materializing a lazily-registered table: a
+        pending path gets a footer-only read whose DataFrame is
+        discarded, so the deferred registration (and its error
+        surface on table()) stays intact."""
+        if name in self._tables:
+            return self._tables[name].schema
+        path, time_column = self._pending[name]
+        sch = self.spark.read.parquet(path).schema
+        if (time_column and time_column in sch.fieldNames()
+                and "__time" not in sch.fieldNames()):
+            sch = sch.add("__time", sch[time_column].dataType)
+        return sch
+
     def table(self, name: str) -> DataFrame:
         if name in self._pending:
             return self._materialize(name)

@@ -551,7 +551,14 @@ class DruidSparkEngine:
         stamp = (self._serial, self.catalog.version)
         if _SQL_VIEWS_STAMP.get(self.spark) != stamp:
             for name in self.catalog.tables():
-                df = self.catalog.table(name)
+                try:
+                    df = self.catalog.table(name)
+                except Exception:
+                    # a bad registration (missing/corrupt path) must
+                    # not take down SQL over every OTHER datasource;
+                    # querying the bad table itself still surfaces the
+                    # real error via catalog.table()
+                    continue
                 if _IDENT_RE.fullmatch(name):
                     df.createOrReplaceTempView(name)
                 else:
@@ -574,18 +581,7 @@ class DruidSparkEngine:
         # Druid's array/MV family auto-wraps string scalars as
         # 1-element MVDs, which the rewriter can only do knowing the
         # column isn't already an array (qaUnnest array_length(c_long))
-        scalar_cols: set[str] = set()
-        array_cols: set[str] = set()
-        try:
-            for t in self.catalog.tables():
-                df = self.catalog.table(t)
-                for f in df.schema.fields:
-                    if f.dataType.simpleString().startswith("array"):
-                        array_cols.add(f.name)
-                    else:
-                        scalar_cols.add(f.name)
-        except Exception:
-            pass
+        scalar_cols, array_cols = self._scalar_array_cols()
         final = rewrite_druid_sql(
             text, exact=exact, tz=set_ctx.get("sqlTimeZone", "UTC"),
             default_nominal_entries=self.sketch_default_nominal_entries,
@@ -622,6 +618,32 @@ class DruidSparkEngine:
             lambda: self.spark.sql(final),
             lambda: (f"plansql||{final}||exact={exact}||"
                      f"cv={self.catalog.version}||" + tables_fp()))
+
+    def _scalar_array_cols(self) -> tuple[set, set]:
+        """Column-name → scalar/array classification across registered
+        tables, cached per catalog version.  Uses catalog.schema()
+        (footer-only for pending tables) so the SQL execute path never
+        force-materializes lazily-registered parquet tables, and a bad
+        registration is skipped per-table instead of aborting the scan
+        (which used to silently disable the scalar auto-wrap for ALL
+        tables and re-attempt the failed read on every query)."""
+        cached = getattr(self, "_col_kind_cache", None)
+        if cached is not None and cached[0] == self.catalog.version:
+            return cached[1], cached[2]
+        scalar: set = set()
+        arr: set = set()
+        for t in self.catalog.tables():
+            try:
+                fields = self.catalog.schema(t).fields
+            except Exception:
+                continue
+            for f in fields:
+                if f.dataType.simpleString().startswith("array"):
+                    arr.add(f.name)
+                else:
+                    scalar.add(f.name)
+        self._col_kind_cache = (self.catalog.version, scalar, arr)
+        return scalar, arr
 
     def _rewrite_table_append(self, text: str) -> str:
         """TABLE(APPEND('ds1', 'ds2', ...)) → a UNION ALL subquery

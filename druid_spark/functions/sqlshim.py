@@ -786,7 +786,8 @@ def _array_slice_call(a):
         return None
     arr, s = a[0], a[1]
     e = a[2] if len(a) == 3 else f"SIZE({arr})"
-    return (f"CASE WHEN ({s}) < 0 OR ({s}) > SIZE({arr}) OR ({s}) > ({e})"
+    return (f"CASE WHEN ({arr}) IS NULL THEN NULL"
+            f" WHEN ({s}) < 0 OR ({s}) > SIZE({arr}) OR ({s}) > ({e})"
             f" THEN NULL"
             f" WHEN ({s}) = ({e}) THEN SLICE({arr}, 1, 0)"
             f" ELSE TRANSFORM(SEQUENCE(({s}) + 1, ({e})), __i ->"
@@ -1467,29 +1468,68 @@ def _normalize_window_frames(sql: str) -> str:
     # definition (so Spark can parse it) and remember the name — every
     # `fn(..) OVER name` reference folds to its empty-frame constant
     dead_windows: set[str] = set()
-    for wm in re.finditer(r"(?is)(\bWINDOW\s+|,\s*)(\w+)\s+AS\s*\(",
-                          masked):
+    win_def = re.compile(r"(?is)(\bWINDOW\s+|,\s*)(\w+)\s+AS\s*\(")
+    pos = 0
+    while True:
+        # restart-style scan: each substitution changes lengths, so a
+        # finditer over the pre-substitution string would splice with
+        # stale indices when 2+ named windows carry reversed frames
+        wm = win_def.search(masked, pos)
+        if not wm:
+            break
         # a comma continuation only counts inside a WINDOW list (a CTE
         # list also matches ", name AS (")
         if wm.group(1).strip() == "," and not re.search(
                 r"(?is)\bWINDOW\b", masked[:wm.start()]):
+            pos = wm.end()
             continue
         end = _find_spec_end(masked, wm.end())
         spec = masked[wm.end():end]
         if _reversed_in(spec):
             dead_windows.add(wm.group(2).upper())
-            masked = (masked[:wm.end()] +
-                      frame_pat.sub("ROWS BETWEEN CURRENT ROW AND "
-                                    "CURRENT ROW", spec) + masked[end:])
+            new_spec = frame_pat.sub(
+                "ROWS BETWEEN CURRENT ROW AND CURRENT ROW", spec)
+            masked = masked[:wm.end()] + new_spec + masked[end:]
+            pos = wm.end() + len(new_spec)
+        else:
+            pos = end
 
     def _fold_call(s: str, call_start: int, over_end: int) -> str:
         """Replace fn(args)...OVER<spec> span with the empty-frame
-        constant."""
-        fn = re.match(r"\w+", s[call_start:]).group(0).upper()
-        const = "0" if fn == "COUNT" else "CAST(NULL AS DOUBLE)" \
-            if fn in ("SUM", "AVG", "VARIANCE", "VAR_POP", "VAR_SAMP",
-                      "STDDEV", "STDDEV_POP", "STDDEV_SAMP") \
-            else "CAST(NULL AS STRING)"
+        constant.  MIN/MAX/FIRST_VALUE/LAG etc. must fold to a NULL
+        of the OPERAND's type (an untyped STRING null changed result
+        schemas and broke type unification in surrounding arithmetic
+        / UNION branches): CASE WHEN 1<>1 THEN (arg) END is NULL typed
+        as the argument without evaluating the window."""
+        mfn = re.match(r"\w+", s[call_start:])
+        fn = mfn.group(0).upper()
+        if fn == "COUNT":
+            const = "0"
+        elif fn in ("SUM", "AVG", "VARIANCE", "VAR_POP", "VAR_SAMP",
+                    "STDDEV", "STDDEV_POP", "STDDEV_SAMP"):
+            const = "CAST(NULL AS DOUBLE)"
+        else:
+            paren = call_start + mfn.end()
+            while paren < len(s) and s[paren].isspace():
+                paren += 1
+            first = ""
+            if paren < len(s) and s[paren] == "(":
+                args_end = _find_spec_end(s, paren + 1)
+                args = s[paren + 1:args_end]
+                depth = 0
+                cut = len(args)
+                for i, ch in enumerate(args):
+                    if ch in "([":
+                        depth += 1
+                    elif ch in ")]":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        cut = i
+                        break
+                first = re.sub(r"(?is)\s+(?:IGNORE|RESPECT)\s+NULLS\s*$",
+                               "", args[:cut].strip())
+            const = (f"CASE WHEN 1<>1 THEN ({first}) END"
+                     if first and first != "*" else "NULL")
         return s[:call_start] + const + s[over_end:]
 
     def _call_start(s: str, over_at: int) -> int | None:
@@ -1605,13 +1645,17 @@ def _firstlast_unordered_frames(sql: str) -> str:
 def _parenthesize_in_is(sql: str) -> str:
     """`x IN (list) IS [NOT] TRUE|FALSE` parses in Calcite but not in
     Spark (IN binds looser than IS there) — wrap the IN predicate:
-    `(x IN (list)) IS TRUE` (qaUnnest subquery_with_where corpus)."""
+    `(x IN (list)) IS TRUE` (qaUnnest subquery_with_where corpus).
+    Runs on masked text: the back-scan counts parens, and a string
+    literal containing ')' inside the IN list (x IN ('a)', 'b'))
+    would miscount depth and wrap the wrong span."""
+    sql, _lits = _mask_strings(sql)
     pat = re.compile(r"(?is)\)\s*IS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b")
     pos = 0
     while True:
         m = pat.search(sql, pos)
         if not m:
-            return sql
+            return _unmask_strings(sql, _lits)
         close = m.start()
         depth, j = 0, close
         while j >= 0:
@@ -1648,7 +1692,8 @@ def _parenthesize_in_is(sql: str) -> str:
             start = j2 + 1
         else:
             j2 = k2
-            while j2 >= 0 and (sql[j2].isalnum() or sql[j2] in "_.'"):
+            # \x00 admits masked string-literal placeholders as operands
+            while j2 >= 0 and (sql[j2].isalnum() or sql[j2] in "_.\x00"):
                 j2 -= 1
             start = j2 + 1
         sql = sql[:start] + "(" + sql[start:close + 1] + ")" + \
@@ -2340,4 +2385,12 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # to "AS <type>" so identifiers are untouched.
     out = re.sub(r"(\bAS\s+)VARCHAR\b(?!\s*\()", r"\1STRING", out,
                  flags=re.IGNORECASE)
+    # Calcite collection-type syntax: CAST(x AS VARCHAR ARRAY) /
+    # BIGINT ARRAY / DOUBLE ARRAY (SqlTypeName + Druid's
+    # sql-array-support docs). Spark spells it ARRAY<type>. Runs after
+    # VARCHAR→STRING so the element name is already Spark-valid.
+    out = re.sub(
+        r"(?is)(\bAS\s+)(STRING|BIGINT|INT(?:EGER)?|SMALLINT|TINYINT|"
+        r"DOUBLE|FLOAT|REAL|BOOLEAN|TIMESTAMP|DATE)\s+ARRAY\b",
+        r"\1ARRAY<\2>", out)
     return out

@@ -109,6 +109,11 @@ class StreamingIngest:
         self.checkpoint = os.path.join(self.base, "_checkpoint")
         os.makedirs(self.tail, exist_ok=True)
         os.makedirs(self.history, exist_ok=True)
+        # schema of the queryable view, captured when a query starts —
+        # lets view() return an empty TYPED frame before the first
+        # micro-batch commits (Druid: a datasource with no published
+        # segments still answers with its declared signature)
+        self._view_schema = None
 
     def start(self, stream: DataFrame, time_column: str = "timestamp",
               transform_spec: dict | None = None,
@@ -134,6 +139,7 @@ class StreamingIngest:
                 F.col("__time") <=
                 F.current_timestamp()
                 + F.expr(f"INTERVAL {early_rejection}"))
+        self._view_schema = df.schema
         writer = (df.writeStream
                   .foreachBatch(self._batch_writer())
                   .option("checkpointLocation", self.checkpoint)
@@ -174,6 +180,7 @@ class StreamingIngest:
             [F.count(F.lit(1)).alias("count")]
         rolled = (df.groupBy(*keys).agg(*aggs)
                   .withColumn("__time", F.col("__w.start")).drop("__w"))
+        self._view_schema = rolled.schema
         writer = (rolled.writeStream
                   .foreachBatch(self._batch_writer())
                   .option("checkpointLocation", self.checkpoint)
@@ -181,15 +188,42 @@ class StreamingIngest:
         writer = _with_trigger(writer, trigger)
         return writer.start()
 
+    def _has_committed(self, p: str) -> bool:
+        """True iff `p` holds at least one COMMITTED parquet file.
+
+        Mirrors Spark's committed-file path filter (InMemoryFileIndex
+        shouldFilterOutPathName): any path component starting with `_`
+        or `.` — notably the `_temporary/` staging dirs a mid-flight
+        micro-batch writes under — is invisible to the read, so it must
+        be invisible to this probe too, else a poll landing mid-batch
+        sees "files exist", reads zero committed footers, and raises
+        UNABLE_TO_INFER_SCHEMA instead of honoring the view contract."""
+        for root, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    return True
+        return False
+
     def view(self) -> DataFrame:
         """Queryable union of historical ∪ tail (Druid: broker merging
-        historical + realtime segments for one datasource)."""
+        historical + realtime segments for one datasource). Before the
+        first commit, returns an empty frame typed with the running
+        query's schema when known, else raises ValueError."""
         parts = []
         for p in (self.history, self.tail):
-            if any(f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs):
+            if not self._has_committed(p):
+                continue
+            try:
                 parts.append(self.spark.read
                              .option("recursiveFileLookup", "true").parquet(p))
+            except Exception:
+                # probe→read race (e.g. handoff moved the only file
+                # between the walk and the footer read): treat as empty
+                continue
         if not parts:
+            if self._view_schema is not None:
+                return self.spark.createDataFrame([], self._view_schema)
             raise ValueError("no data ingested yet")
         out = parts[0]
         for p in parts[1:]:

@@ -242,3 +242,70 @@ def test_kafka_partition_assignment(spark, broker):
             {f"m{i}" for i in range(10)}
     finally:
         cli.close()
+
+
+def test_view_poll_stress_no_race(spark, broker, tmp_path):
+    """Regression for the round-7 view() race: the probe used to count
+    in-flight `_temporary/*.parquet` staging files the committed read
+    ignores, so a poll landing mid-micro-batch raised
+    UNABLE_TO_INFER_SCHEMA. Contract now: once a supervisor is started,
+    view() NEVER raises — it returns an empty frame typed with the
+    query schema before the first commit, then rows. Poll every ~100 ms
+    for 30 s under a 1 s trigger with continuous produce load."""
+    import threading
+    import time
+
+    from druid_spark.streaming.ingest import start_supervisor
+
+    cli = KafkaClient(broker.bootstrap)
+    try:
+        spec = {"spec": {
+            "dataSchema": {
+                "dataSource": "stress_view",
+                "timestampSpec": {"column": "timestamp"},
+                "granularitySpec": {"rollup": False}},
+            "ioConfig": {
+                "topic": "stress",
+                "consumerProperties": {
+                    "bootstrap.servers": broker.bootstrap},
+                "useEarliestOffset": True,
+                "valueSchema": "timestamp timestamp, v long"}}}
+        ingest, q = start_supervisor(
+            spark, spec, str(tmp_path),
+            trigger={"processingTime": "1 seconds"})
+
+        stop = threading.Event()
+
+        def produce_loop():
+            i = 0
+            while not stop.is_set():
+                _produce_json(cli, "stress", [{
+                    "timestamp": f"2024-05-05T10:00:{i % 60:02d}Z",
+                    "v": i}])
+                i += 1
+                time.sleep(0.25)
+
+        t = threading.Thread(target=produce_loop, daemon=True)
+        t.start()
+        errors = []
+        counts = []
+        deadline = time.monotonic() + 30
+        try:
+            while time.monotonic() < deadline:
+                try:
+                    df = ingest.view()
+                    # schema is always the typed query schema
+                    assert "v" in df.columns
+                    counts.append(df.count())
+                except Exception as e:  # noqa: BLE001 — recording all
+                    errors.append(repr(e))
+                time.sleep(0.1)
+        finally:
+            stop.set()
+            t.join(5)
+            q.stop()
+            q.awaitTermination(30)
+        assert errors == [], f"view() raised under poll load: {errors[:3]}"
+        assert counts and counts[-1] > 0, "no rows ever became visible"
+    finally:
+        cli.close()
