@@ -1473,6 +1473,70 @@ def q_kafka_ingest(spark, sf):
             .orderBy("event_id"))
 
 
+
+def q_kinesis_ingest(spark, sf):
+    """Kinesis-proper ingestion over the PUBLIC HTTP/JSON API
+    (reference extensions-core/kinesis-indexing-service/.../
+    KinesisRecordSupplier.java, supervisor/KinesisSupervisor.java): an
+    in-process MiniKinesisServer speaking ListShards/GetShardIterator/
+    GetRecords/PutRecords (streaming/kinesis.py), a deterministic
+    events subset produced via PutRecords, and a kinesis supervisor
+    spec (ioConfig.stream = NAME + endpoint) consuming it through the
+    pure-Python PySpark data source (kinesis_source.py — one task per
+    shard, sequence offsets checkpointed by Structured Streaming).
+    The producer-side collect is ingestion input (bounded, 1/101st of
+    events); the returned view is a lazy parquet read."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+    from druid_spark.streaming.ingest import start_supervisor
+    from druid_spark.streaming.kinesis import (KinesisClient,
+                                               MiniKinesisServer)
+
+    eng = _engine(spark, sf)
+    rows = (eng.catalog.table("events")
+            .where("event_id % 101 = 0")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .collect())
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ds_kinesis_entry_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    shutil.rmtree(base, ignore_errors=True)
+    with MiniKinesisServer() as srv:
+        cli = KinesisClient(srv.endpoint)
+        cli.create_stream("events", shards=2)
+        recs = []
+        for r in rows:
+            payload = json.dumps({
+                "event_id": r["event_id"],
+                "timestamp": r["ts"].isoformat(),
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "value": r["value"]}).encode()
+            recs.append((payload, str(r["event_id"])))
+        for i in range(0, len(recs), 400):
+            cli.put_records("events", recs[i:i + 400])
+        spec = {"type": "kinesis", "spec": {
+            "dataSchema": {"dataSource": "kinesis_events",
+                           "timestampSpec": {"column": "timestamp"},
+                           "granularitySpec": {"rollup": False}},
+            "ioConfig": {
+                "stream": "events",
+                "endpoint": srv.endpoint,
+                "useEarliestSequenceNumber": True,
+                "valueSchema": ("event_id long, timestamp timestamp, "
+                                "user_id long, event_type string, "
+                                "value double")}}}
+        ingest, q = start_supervisor(spark, spec, base)
+        q.awaitTermination(300)
+    return (ingest.view()
+            .select("event_id", F.col("__time").alias("ts"), "user_id",
+                    "event_type", "value")
+            .orderBy("event_id"))
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate-cluster assignment: n-gram-Jaccard near-dup pairs →
     connected components (iterative min-label propagation) → every doc
@@ -10643,6 +10707,7 @@ _SAMPLE_FIRST = [
     "kll_quantile_merge", "projection_routing",
     # streaming + stateful (kafka_ingest: wire-protocol Kafka e2e)
     "streaming_rollup", "sessionize", "kafka_ingest",
+    "kinesis_ingest",
     # round 6: protobuf format, tiered lookups, security CRUD + audit
     "protobuf_ingest", "lookup_tiered", "security_audit",
     # round 7: lookup schema tables, pinned CURRENT_TIMESTAMP, epoch-
@@ -10765,6 +10830,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "streaming_rollup": q_streaming_rollup,
         "kafka_ingest": q_kafka_ingest,
+        "kinesis_ingest": q_kinesis_ingest,
         "sample_stratified": q_sample_stratified,
         "temperature_rates": q_temperature_rates,
         "split_assign": q_split_assign,
@@ -11446,6 +11512,9 @@ def _base_oracle_sql() -> dict[str, str]:
         "kafka_ingest": """
             SELECT event_id, ts, user_id, event_type, value
             FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
+        "kinesis_ingest": """
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events WHERE event_id % 101 = 0 ORDER BY event_id""",
         "sessionize": """
             WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
             g AS (SELECT user_id, ts,

@@ -581,11 +581,14 @@ class DruidSparkEngine:
         # Druid's array/MV family auto-wraps string scalars as
         # 1-element MVDs, which the rewriter can only do knowing the
         # column isn't already an array (qaUnnest array_length(c_long))
-        scalar_cols, array_cols = self._scalar_array_cols()
+        scalar_cols, array_cols, array_elem = self._scalar_array_cols()
+        json_cols = {c for cols in self.catalog._json_cols.values()
+                     for c in cols}
         final = rewrite_druid_sql(
             text, exact=exact, tz=set_ctx.get("sqlTimeZone", "UTC"),
             default_nominal_entries=self.sketch_default_nominal_entries,
-            scalar_cols=scalar_cols - array_cols)
+            scalar_cols=scalar_cols - array_cols, json_cols=json_cols,
+            array_elem=array_elem)
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner
         # applies to SQL through the same query stack). Keyed on the
@@ -629,21 +632,33 @@ class DruidSparkEngine:
         tables and re-attempt the failed read on every query)."""
         cached = getattr(self, "_col_kind_cache", None)
         if cached is not None and cached[0] == self.catalog.version:
-            return cached[1], cached[2]
+            return cached[1], cached[2], cached[3]
         scalar: set = set()
         arr: set = set()
+        elem: dict = {}
+        ambiguous: set = set()
         for t in self.catalog.tables():
             try:
                 fields = self.catalog.schema(t).fields
             except Exception:
                 continue
             for f in fields:
-                if f.dataType.simpleString().startswith("array"):
+                s = f.dataType.simpleString()
+                if s.startswith("array"):
                     arr.add(f.name)
+                    # element type for the cross-type comparison
+                    # coercion; names with conflicting element types
+                    # across tables are dropped (ambiguous)
+                    et = s[6:-1] if s.startswith("array<") else ""
+                    if elem.get(f.name, et) != et:
+                        ambiguous.add(f.name)
+                    elem[f.name] = et
                 else:
                     scalar.add(f.name)
-        self._col_kind_cache = (self.catalog.version, scalar, arr)
-        return scalar, arr
+        for a in ambiguous:
+            elem.pop(a, None)
+        self._col_kind_cache = (self.catalog.version, scalar, arr, elem)
+        return scalar, arr, elem
 
     def _rewrite_table_append(self, text: str) -> str:
         """TABLE(APPEND('ds1', 'ds2', ...)) → a UNION ALL subquery

@@ -42,12 +42,13 @@ _JNP = """CASE
         WHEN p = '$.' THEN '$'
         WHEN p NOT LIKE '$%' THEN raise_error(concat(
           'JSONPath [', p, '] is invalid, it must start with ''$'''))
-        WHEN p RLIKE '\\\\[-[0-9]+\\\\]$' THEN concat(
-          regexp_replace(p, '\\\\[-[0-9]+\\\\]$', ''), '[',
+        WHEN p RLIKE '\\\\[-[0-9]+\\\\]' THEN concat(
+          regexp_extract(p, '^(.*?)\\\\[-[0-9]+\\\\]', 1), '[',
           cast(json_array_length(get_json_object(j,
-                 regexp_replace(p, '\\\\[-[0-9]+\\\\]$', '')))
-               + cast(regexp_extract(p, '\\\\[(-[0-9]+)\\\\]$', 1)
-                      AS INT) AS STRING), ']')
+                 regexp_extract(p, '^(.*?)\\\\[-[0-9]+\\\\]', 1)))
+               + cast(regexp_extract(p, '^.*?\\\\[(-[0-9]+)\\\\]', 1)
+                      AS INT) AS STRING), ']',
+          regexp_extract(p, '^.*?\\\\[-[0-9]+\\\\](.*)$', 1))
         ELSE p END"""
 _JGET = f"get_json_object(j, {_JNP})"
 
@@ -308,9 +309,14 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # are NULL for scalars and invalid JSON), not by prefix, so string
     # scalars containing braces survive. _JNP validates the path
     # (must start with '$' — testGroupByInvalidPath error text) and
-    # rewrites a trailing negative array index (NestedPathFinder
-    # supports them — testJsonPathNegativeIndex) to a runtime
-    # length-relative positive index.
+    # rewrites the first negative array index anywhere in the path
+    # (NestedPathFinder supports them — testJsonPathNegativeIndex;
+    # qaJsonCols '$.a_array[-1].a_str') to a runtime length-relative
+    # positive index (one negative index per path — documented edge).
+    # JSON booleans extract as '1'/'0': the reference ingests nested
+    # booleans as longs (useStrictBooleans, qaJsonCols
+    # json_value(c1,'$.a_bool') = 1 batteries); a JSON STRING leaf
+    # whose text is 'true' is indistinguishable here (documented edge).
     # Root path on NON-JSON input returns the raw scalar: a plain
     # STRING expr is a string value to the reference, never parsed
     # (NestedPathFinder over the unwrapped value — qaJsonCols
@@ -324,7 +330,10 @@ _FUNCS: list[tuple[str, str, str, str]] = [
              AND get_json_object(j, '$') IS NULL THEN j
            WHEN json_object_keys({_JGET}) IS NOT NULL
              OR json_array_length({_JGET}) IS NOT NULL
-           THEN NULL ELSE nullif({_JGET}, 'null') END"""),
+           THEN NULL
+           WHEN {_JGET} = 'true' THEN '1'
+           WHEN {_JGET} = 'false' THEN '0'
+           ELSE nullif({_JGET}, 'null') END"""),
     # json_query keeps structure and renders it as NESTED_DATA: string
     # scalars come back JSON-quoted (testJsonQuery pins '"hello"'),
     # numbers/booleans bare, backslash+quote JSON-escaped (control

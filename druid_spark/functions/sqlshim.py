@@ -30,6 +30,17 @@ _DEFAULT_NOM: contextvars.ContextVar[int | None] = contextvars.ContextVar(
 # (the array/MV family auto-wraps string scalars as 1-element MVDs)
 _SCALAR_COLS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_scalar_cols", default=set())
+# column names typed COMPLEX<json> in the calling engine's catalog:
+# JSON-text columns embed as STRUCTURE (not quoted strings) in
+# JSON_OBJECT and friends (qaJsonCols func_json_object goldens)
+_JSON_COLS: contextvars.ContextVar[set] = contextvars.ContextVar(
+    "druid_spark_json_cols", default=set())
+# unambiguous array-column name → element type simpleString, for the
+# cross-type array comparison coercion (Druid/Calcite compares
+# ARRAY<LONG> to ARRAY<STRING> via leastRestrictive; Spark raises
+# DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES — qaArray FILLER batteries)
+_ARRAY_ELEM: contextvars.ContextVar[dict] = contextvars.ContextVar(
+    "druid_spark_array_elem", default={})
 
 
 def _skip_string(s: str, i: int) -> int:
@@ -1322,20 +1333,28 @@ def _dq_idents_to_backticks(sql: str) -> str:
 def rewrite_druid_sql(sql: str, exact: bool = True,
                       tz: str = "UTC",
                       default_nominal_entries: int | None = None,
-                      scalar_cols: set[str] | None = None) -> str:
+                      scalar_cols: set[str] | None = None,
+                      json_cols: set[str] | None = None,
+                      array_elem: dict | None = None) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
     — required by the DuckDB-differential harnesses and exact engines.
     scalar_cols: unambiguous non-array column names of the session's
-    tables, for the array-family scalar auto-wrap."""
+    tables, for the array-family scalar auto-wrap.
+    json_cols: column names typed COMPLEX<json> (stored as JSON text) —
+    they embed as structure in JSON_OBJECT."""
     tok = _DEFAULT_NOM.set(default_nominal_entries)
     tok2 = _SCALAR_COLS.set(scalar_cols or set())
+    tok3 = _JSON_COLS.set(json_cols or set())
+    tok4 = _ARRAY_ELEM.set(array_elem or {})
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
         _DEFAULT_NOM.reset(tok)
         _SCALAR_COLS.reset(tok2)
+        _JSON_COLS.reset(tok3)
+        _ARRAY_ELEM.reset(tok4)
 
 
 def _find_spec_end(sql: str, start: int) -> int:
@@ -1642,6 +1661,77 @@ def _firstlast_unordered_frames(sql: str) -> str:
     return _unmask_strings(out, lits)
 
 
+def _coerce_array_comparisons(sql: str) -> str:
+    """Cross-type ARRAY comparisons: Calcite coerces the operands to a
+    leastRestrictive array type (ARRAY<LONG> vs ARRAY<STRING> compares
+    element-wise as strings; Druid has no boolean arrays — they're
+    long 1/0), while Spark raises DATATYPE_MISMATCH.BINARY_OP_DIFF_
+    TYPES (qaArray/qaMultiValue `a_col <> ARRAY['FILLER']` guard
+    batteries). Using the catalog's unambiguous array-column element
+    types, wrap mismatched sides: boolean→ARRAY<INT> (Druid's long
+    render of booleans), then numeric-vs-string → both ARRAY<STRING>.
+    Only fires when at least one side is a KNOWN array column — plain
+    scalar comparisons never match."""
+    elems = _ARRAY_ELEM.get()
+    if not elems:
+        return sql
+    masked, lits = _mask_strings(sql)
+    num = {"tinyint", "smallint", "int", "bigint", "float", "double",
+           "decimal", "long", "integer"}
+
+    def cls_of(tok: str) -> str | None:
+        tok = tok.strip()
+        m = re.fullmatch(r"(?is)ARRAY\[(.*)\]", tok)
+        if m:
+            first = m.group(1).split(",")[0].strip()
+            if not first:
+                return None
+            if first.startswith("\x00"):
+                return "string"
+            if re.fullmatch(r"(?i)TRUE|FALSE", first):
+                return "boolean"
+            if re.match(r"[-+0-9.]", first):
+                return "numeric"
+            return None
+        t = elems.get(tok)
+        if t is None:
+            return None
+        t = t.lower().split("(")[0]
+        if t == "boolean":
+            return "boolean"
+        if t in ("string", "varchar", "char"):
+            return "string"
+        if t in num:
+            return "numeric"
+        return None
+
+    def wrap(tok: str, cls: str, target: str) -> str:
+        if cls == target:
+            return tok
+        if cls == "boolean" and target == "numeric":
+            return f"CAST({tok} AS ARRAY<INT>)"
+        if cls == "boolean":
+            return f"CAST(CAST({tok} AS ARRAY<INT>) AS ARRAY<STRING>)"
+        return f"CAST({tok} AS ARRAY<STRING>)"
+
+    pat = re.compile(
+        r"(?is)(ARRAY\[[^\]]*\]|\b[A-Za-z_]\w*)\s*"
+        r"(<=|>=|<>|!=|=|<|>)\s*"
+        r"(ARRAY\[[^\]]*\]|\b[A-Za-z_]\w*)")
+
+    def sub(m):
+        l, op, r = m.group(1), m.group(2), m.group(3)
+        if l.strip() not in elems and r.strip() not in elems:
+            return m.group(0)
+        lc, rc = cls_of(l), cls_of(r)
+        if lc is None or rc is None or lc == rc:
+            return m.group(0)
+        target = "string" if "string" in (lc, rc) else "numeric"
+        return f"{wrap(l, lc, target)} {op} {wrap(r, rc, target)}"
+
+    return _unmask_strings(pat.sub(sub, masked), lits)
+
+
 def _parenthesize_in_is(sql: str) -> str:
     """`x IN (list) IS [NOT] TRUE|FALSE` parses in Calcite but not in
     Spark (IN binds looser than IS there) — wrap the IN predicate:
@@ -1708,6 +1798,7 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         out = _dq_idents_to_backticks(out)
     if re.search(r"(?i)\)\s*IS\s+(NOT\s+)?(TRUE|FALSE)\b", out):
         out = _parenthesize_in_is(out)
+    out = _coerce_array_comparisons(out)
     # GROUP BY () — Calcite's empty grouping (global aggregate); Spark
     # wants the clause dropped entirely
     out = re.sub(r"\bGROUP\s+BY\s+\(\s*\)", "", out, flags=re.IGNORECASE)
@@ -2356,6 +2447,19 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
                     _split_top_args(v[v.index("(") + 1:v.rindex(")")]))
                 if nested is not None:
                     flat[j] = nested
+                    continue
+            # a COMPLEX<json> column value embeds as STRUCTURE, not as
+            # its JSON-text string ({"a":{}} not {"a":"{}"} —
+            # qaJsonCols func_json_object c_empty_obj goldens); the
+            # variant round-trip re-parses the stored text. Placeholder
+            # name: the PARSE_JSON text-render pass must not re-wrap
+            # this internal variant (resolved at end of rewrite).
+            if v.strip() in _JSON_COLS.get():
+                flat[j] = f"__DS_TPJ__({v})"
+            elif _is_ts_expr(v):
+                # timestamps embed as native-layer millis longs
+                # (same convention as JSON_VALUE/JSON_QUERY ts args)
+                flat[j] = f"UNIX_MILLIS({v})"
         return f"NAMED_STRUCT({', '.join(flat)})"
 
     def _json_object_flat(args):
@@ -2379,6 +2483,49 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         return None
 
     out = _rewrite_call(out, "JSON_QUERY", _json_query_ts)
+
+    # PARSE_JSON / TRY_PARSE_JSON return COMPLEX<json>, which this
+    # engine represents as canonical JSON TEXT (the same convention its
+    # JSON columns use) — Spark's builtins return VARIANT, which leaks
+    # VariantVal to clients, is not orderable/groupable, and rejects
+    # set ops. Render: to_json(array(v)) minus the brackets keeps JSON
+    # string quoting ('"日本"' stays quoted — a bare CAST AS STRING
+    # strips it). Placeholder fn names (__DS_PJ__/__DS_TPJ__, resolved
+    # to the builtins at the end of the rewrite) keep this pass from
+    # re-wrapping its own output or JSON_OBJECT's internal variants.
+    def _pj_render(name):
+        def b(a):
+            if len(a) != 1:
+                return None
+            v = f"__DS_{name}__({a[0]})"
+            arr = f"to_json(array({v}))"
+            return (f"CASE WHEN {v} IS NULL THEN NULL ELSE "
+                    f"substring({arr}, 2, length({arr}) - 2) END")
+        return b
+
+    out = _rewrite_call(out, "TRY_PARSE_JSON", _pj_render("TPJ"))
+    out = _rewrite_call(out, "PARSE_JSON", _pj_render("PJ"))
+
+    # TO_JSON_STRING of a VARCHAR *literal* serializes the VALUE —
+    # always JSON-quoted, even when the text happens to parse as JSON
+    # (ToJsonStringExpr jackson-serializes the value; qaJsonCols
+    # to_json_string('{}') = '"{}"'). Only literals are certainly
+    # VARCHAR at this layer; JSON columns keep the parse-render path.
+    def _to_json_string_lit(a):
+        if len(a) != 1:
+            return None
+        m = re.fullmatch(r"'((?:[^']|'')*)'", a[0].strip())
+        if not m:
+            return None
+        import json as _jsonmod
+        quoted = _jsonmod.dumps(m.group(1).replace("''", "'"))
+        # Spark string literals are backslash-escaping by default
+        # (spark.sql.parser.escapedStringLiterals=false): double the
+        # backslashes json.dumps introduced, then SQL-double quotes
+        return ("'" + quoted.replace("\\", "\\\\").replace("'", "''")
+                + "'")
+
+    out = _rewrite_call(out, "TO_JSON_STRING", _to_json_string_lit)
     # Calcite/Druid CAST type names Spark doesn't accept bare: Druid SQL
     # writes CAST(x AS VARCHAR) (sql/calcite/planner/Calcites.java type
     # mappings); Spark needs STRING (VARCHAR only with a length). Scoped
@@ -2393,4 +2540,9 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         r"(?is)(\bAS\s+)(STRING|BIGINT|INT(?:EGER)?|SMALLINT|TINYINT|"
         r"DOUBLE|FLOAT|REAL|BOOLEAN|TIMESTAMP|DATE)\s+ARRAY\b",
         r"\1ARRAY<\2>", out)
+    # resolve the internal variant placeholders (see the PARSE_JSON
+    # text-render pass) to the Spark builtins — last, so no earlier
+    # pass can re-wrap them
+    out = out.replace("__DS_PJ__(", "parse_json(")
+    out = out.replace("__DS_TPJ__(", "try_parse_json(")
     return out

@@ -83,6 +83,41 @@ def read_stream(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
                 F.from_json(F.col("value").cast("string"), schema).alias("v")
             ).select("v.*")
         return raw
+    if st == "kinesis":
+        # KinesisSupervisorIOConfig (extensions-core/
+        # kinesis-indexing-service/.../KinesisSupervisorIOConfig.java):
+        # stream + endpoint + useEarliestSequenceNumber. JVM connector
+        # first (production clusters with a kinesis connector JAR),
+        # else the pure-Python wire client (streaming/kinesis.py +
+        # kinesis_source.py) — per-shard sequence ranges in executor
+        # tasks, offsets in the streaming checkpoint.
+        endpoint = source["endpoint"]
+        stream_name = source["stream"]
+        starting = source.get("startingPosition",
+                              "trim_horizon" if source.get(
+                                  "useEarliestSequenceNumber")
+                              else "latest")
+        try:
+            raw = (spark.readStream.format("kinesis")
+                   .option("endpointUrl", endpoint)
+                   .option("streamName", stream_name)
+                   .option("startingposition", starting)
+                   .load())
+        except Exception:
+            from druid_spark.streaming.kinesis_source import (
+                SOURCE_NAME as KSRC, ensure_registered as ensure_k)
+            ensure_k(spark)
+            raw = (spark.readStream.format(KSRC)
+                   .option("endpoint", endpoint)
+                   .option("stream", stream_name)
+                   .option("startingPosition", starting)
+                   .load())
+        schema = source.get("valueSchema")
+        if schema:
+            return raw.select(
+                F.from_json(F.col("data").cast("string"), schema)
+                .alias("v")).select("v.*")
+        return raw
     if st == "file":
         fmt = source.get("format", "json")
         reader = spark.readStream.schema(source["schema"])
@@ -267,7 +302,19 @@ def start_supervisor(spark: SparkSession, spec: dict[str, Any],
     io = inner["ioConfig"]
     name = schema["dataSource"]
 
-    source = io.get("stream") or {
+    source = io.get("stream")
+    if isinstance(source, str):
+        # Kinesis supervisor spec: ioConfig.stream is the STREAM NAME
+        # (KinesisSupervisorIOConfig.java), endpoint alongside
+        source = {
+            "type": "kinesis",
+            "stream": source,
+            "endpoint": io["endpoint"],
+            "useEarliestSequenceNumber":
+                io.get("useEarliestSequenceNumber", False),
+            "valueSchema": io.get("valueSchema"),
+        }
+    source = source or {
         "type": "kafka",
         "topic": io["topic"],
         "consumerProperties": io.get("consumerProperties", {}),

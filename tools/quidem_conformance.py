@@ -255,7 +255,13 @@ def _read_spec_rows(spec: dict) -> list[dict]:
         delim = fmt.get("delimiter", {"csv": ",", "tsv": "\t"}.get(t, ","))
         cols = fmt.get("columns")
         rows = []
-        rd = csv.reader(io.StringIO(raw), delimiter=delim)
+        # QUOTE_NONE: Druid's DelimitedValueReader does no quote
+        # processing — qaJsonCols TSV cells are JSON-encoded ('"A"',
+        # 'true', '{...}') and the spec's parse_json transforms expect
+        # the quotes intact; csv's default quoting stripped them and
+        # made parse_json('A') null
+        rd = csv.reader(io.StringIO(raw), delimiter=delim,
+                        quoting=csv.QUOTE_NONE)
         it = iter(rd)
         if fmt.get("findColumnsFromHeader"):
             cols = next(it)
@@ -411,8 +417,26 @@ def _eval_transform(expr: str, row: dict):
         return None if v is None else json.dumps(v, separators=(",", ":"))
     m = re.fullmatch(r"(?is)json_object\((.+)\)", expr)
     if m:
-        toks = [t.strip() for t in m.group(1).split(",")]
-        return {k.strip().strip("'"): row.get(v)
+        # top-level comma split (values may be nested calls like
+        # parse_json(c1) — infmt_tsv t_new), each value evaluated
+        # recursively; a bare identifier reads the raw row
+        toks, depth, start, s = [], 0, 0, m.group(1)
+        for i, ch in enumerate(s):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                toks.append(s[start:i].strip())
+                start = i + 1
+        toks.append(s[start:].strip())
+
+        def val_of(v):
+            if re.fullmatch(r"\w+", v):
+                return row.get(v)
+            return _eval_transform(v, row)
+
+        return {k.strip().strip("'"): val_of(v)
                 for k, v in zip(toks[::2], toks[1::2])}
     raise ValueError(f"unsupported transform expression {expr!r}")
 
