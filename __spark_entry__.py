@@ -3980,7 +3980,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT 'b' AS off1, 'a' AS ord1, 2 AS offc, 3 AS ordc,
                true AS ovl, '2,3' AS sliced"""),
     "sqlc_mv_string_roundtrip": ("""
-        SELECT MV_TO_STRING(STRING_TO_MV('x|y|z', '\\|'), '-') AS joined,
+        SELECT MV_TO_STRING(STRING_TO_MV('x|y|z', '\|'), '-') AS joined,
                MV_LENGTH(STRING_TO_MV('a,b,c', ',')) AS n,
                MV_CONTAINS(STRING_TO_MV('a,b', ','), 'a') AS has_a""", """
         SELECT 'x-y-z' AS joined, 3 AS n, true AS has_a"""),
@@ -4691,7 +4691,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                JSON_VALUE('{"s": "x", "i": 5, "f": 1.5, "b": true}',
                           '$.b') AS b""", """
         SELECT 'x' AS s, CAST(5 AS BIGINT) AS i, 1.5 AS f,
-               'true' AS b"""),
+               '1' AS b"""),
     "sqlc_json_value_nested_path": ("""
         SELECT JSON_VALUE('{"a": {"b": {"c": "deep"}}}', '$.a.b.c') AS v,
                JSON_VALUE('{"arr": [10, 20]}', '$.arr[1]') AS second""", """
@@ -8601,7 +8601,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                ARRAY_OFFSET(ARRAY['a','b'], 0) AS off0""", """
         SELECT NULL AS off_oob, 'b' AS ord2, 'a' AS off0"""),
     "sqlc_array_to_string_delims": ("""
-        SELECT ARRAY_TO_STRING(STRING_TO_ARRAY('a|b|c', '\\|'), '-')
+        SELECT ARRAY_TO_STRING(STRING_TO_ARRAY('a|b|c', '\|'), '-')
                  AS dashy,
                ARRAY_LENGTH(STRING_TO_ARRAY('a,b,,c', ',')) AS with_empty
         """, """

@@ -241,10 +241,21 @@ _FUNCS: list[tuple[str, str, str, str]] = [
      "array_join(arr, sep, 'null')"),
     ("MV_TO_STRING", "arr ARRAY<STRING>, sep STRING", "STRING",
      "array_join(arr, sep, 'null')"),
-    ("STRING_TO_ARRAY", "s STRING, sep STRING", "ARRAY<STRING>",
-     "split(s, concat('\\\\Q', sep, '\\\\E'))"),
-    ("STRING_TO_MV", "s STRING, sep STRING", "ARRAY<STRING>",
-     "split(s, concat('\\\\Q', sep, '\\\\E'))"),
+    # the separator is a REGEX (reference StringToArrayFunction:
+    # String.split — Function.java:3612), with Java's trailing-empty
+    # trimming (split('a.b.c','.') = []); null separator splits chars
+    ("STRING_TO_ARRAY", "s STRING, sep STRING", "ARRAY<STRING>", """
+      slice(split(s, coalesce(sep, '')), 1,
+            coalesce(array_max(transform(
+              sequence(1, size(split(s, coalesce(sep, '')))),
+              __sti -> IF(element_at(split(s, coalesce(sep, '')),
+                                     __sti) <> '', __sti, 0))), 0))"""),
+    ("STRING_TO_MV", "s STRING, sep STRING", "ARRAY<STRING>", """
+      slice(split(s, coalesce(sep, '')), 1,
+            coalesce(array_max(transform(
+              sequence(1, size(split(s, coalesce(sep, '')))),
+              __sti -> IF(element_at(split(s, coalesce(sep, '')),
+                                     __sti) <> '', __sti, 0))), 0))"""),
     ("MV_TO_ARRAY", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
     ("ARRAY_TO_MV", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
     ("STRLEN", "s STRING", "INT", "length(s)"),
@@ -414,13 +425,16 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # negative decimal via plain cast; conv() is unsigned, so a signed
     # non-decimal parses magnitude and reapplies the sign
     # (java.lang.Long.parseLong(s, radix) semantics)
+    # Long.parseLong(s, radix) semantics (Function.java:720
+    # ParseLong): WHOLE string must be valid digits of the radix
+    # (optional sign; 0x stripped only for radix 16) — a partial
+    # parse like conv()'s prefix scan returns NULL instead
+    # (qaAggFuncs parse_long over string_agg output)
     ("PARSE_LONG", "s STRING, radix INT", "BIGINT", """
-      CASE WHEN radix = 10 THEN cast(s AS BIGINT)
-           WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN
-             cast(conv(substring(s, 3), 16, 10) AS BIGINT)
-           WHEN s LIKE '-%' THEN
-             -cast(conv(substring(s, 2), radix, 10) AS BIGINT)
-           ELSE cast(conv(s, radix, 10) AS BIGINT) END"""),
+      CASE WHEN s IS NULL OR NOT ((CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END) <> '' AND (CASE WHEN radix = 16 THEN (CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END) RLIKE '^[0-9a-fA-F]+$' WHEN radix = 10 THEN (CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END) RLIKE '^[0-9]+$' WHEN radix = 8 THEN (CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END) RLIKE '^[0-7]+$' WHEN radix = 2 THEN (CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END) RLIKE '^[01]+$' ELSE lower(conv(conv((CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END), radix, 10), 10, radix)) = lower(CASE WHEN (CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END) RLIKE '^0+.' THEN regexp_replace((CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END), '^0+', '') ELSE (CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END) END) END)) THEN NULL
+           WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%'
+             THEN -cast(conv((CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END), radix, 10) AS BIGINT)
+           ELSE cast(conv((CASE WHEN (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '-%' OR (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) LIKE '+%' THEN substring((CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END), 2) ELSE (CASE WHEN radix = 16 AND (s LIKE '0x%' OR s LIKE '0X%') THEN substring(s, 3) ELSE s END) END), radix, 10) AS BIGINT) END"""),
     # Function.java RepeatFunc:3111 — a count below 1 yields NULL (not
     # the empty string Spark's builtin gives). Spark refuses SQL UDFs
     # shadowing builtins, so the shim rewrites REPEAT( → DRUID_REPEAT(

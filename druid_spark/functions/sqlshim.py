@@ -603,7 +603,8 @@ def _human_readable(fname: str):
     return build
 
 
-_TS_ARG = re.compile(r"(?is)^(?:__time|TIMESTAMP\s+'[^']*')$")
+_TS_ARG = re.compile(
+    r"(?is)^(?:(?:[A-Za-z_]\w*\.)?__time|TIMESTAMP\s+'[^']*')$")
 _TS_FUNC_HEAD = re.compile(
     r"(?is)^(?:TIME_FLOOR|TIME_CEIL|TIME_SHIFT|TIME_PARSE"
     r"|MILLIS_TO_TIMESTAMP)\s*\(")
@@ -1108,12 +1109,22 @@ def _rewrite_unnest(sql: str) -> str:
         pos = m.start() + 1
 
 
+def _java_split(s: str, sep: str) -> str:
+    """Java String.split semantics as pure Column SQL: the separator
+    is a REGEX (reference StringToArrayFunction, Function.java:3612)
+    and trailing empty tokens are trimmed (split('a.b.c','.') = [])."""
+    arr = f"SPLIT({s}, COALESCE({sep}, ''))"
+    return (f"SLICE({arr}, 1, COALESCE(ARRAY_MAX(TRANSFORM("
+            f"SEQUENCE(1, SIZE({arr})), __sti -> "
+            f"IF(ELEMENT_AT({arr}, __sti) <> '', __sti, 0))), 0))")
+
+
 def _inline_array_shims(inner: str) -> str:
     """Spark disallows SQL UDFs inside Generate — inline the
     array-producing shims (their bodies, from register.py)."""
     inner = re.sub(
         r"\bSTRING_TO_(?:ARRAY|MV)\s*\(\s*([^,]+?)\s*,\s*('[^']*')\s*\)",
-        r"SPLIT(\1, CONCAT('\\\\Q', \2, '\\\\E'))", inner,
+        lambda m: _java_split(m.group(1), m.group(2)), inner,
         flags=re.IGNORECASE)
     return re.sub(r"\b(?:MV_TO_ARRAY|ARRAY_TO_MV)\s*\(", "(", inner,
                   flags=re.IGNORECASE)
@@ -1278,13 +1289,23 @@ def _rewrite_json_returning(sql: str) -> str:
             else:
                 rep = f"CAST(JSON_VALUE({args}) AS {t})"
             sql = sql[:m.start()] + rep + sql[i:]
-            pos = m.start() + len(rep)
+            # re-scan from the replacement start: the args may carry
+            # their own nested RETURNING calls (each pass removes one
+            # RETURNING, so this terminates)
+            pos = m.start()
         elif stripped != inner:
             rep = f"JSON_VALUE({stripped})"
             sql = sql[:m.start()] + rep + sql[i:]
-            pos = m.start() + len(rep)
+            # resume INSIDE the rewritten args: a nested
+            # json_value(... RETURNING ...) argument still needs its
+            # own rewrite (stripping is idempotent, so the re-match of
+            # this call falls through to the else arm)
+            pos = m.start() + len("JSON_VALUE(")
         else:
-            pos = i
+            # no terminal RETURNING on THIS call — but an argument may
+            # be a nested json_value(... RETURNING ...) (qaArray
+            # ops_funcs_json_funcs nested forms): scan the args too
+            pos = m.end()
 
 
 def _dq_idents_to_backticks(sql: str) -> str:
@@ -1794,6 +1815,19 @@ def _parenthesize_in_is(sql: str) -> str:
 def _rewrite_druid_sql(sql: str, exact: bool = True,
                        tz: str = "UTC") -> str:
     out = sql
+    # STEP 0 — Calcite string-literal semantics: Druid SQL literals
+    # are NOT backslash-escaping ('' is the only escape, standard
+    # SQL), while Spark's parser processes backslashes by default
+    # (escapedStringLiterals=false). Double every backslash inside
+    # incoming literals so the VALUE Spark sees equals the text the
+    # user wrote — regexp_like(x, '110\|') must test a literal pipe,
+    # not the alternation the stripped backslash produced (qaAggFuncs
+    # string_agg regex batteries). Internal rewrites run after this
+    # and emit Spark-escaped literals knowingly.
+    if "\\" in out:
+        masked0, lits0 = _mask_strings(out)
+        lits0 = [ln.replace("\\", "\\\\") for ln in lits0]
+        out = _unmask_strings(masked0, lits0)
     if '"' in out:
         out = _dq_idents_to_backticks(out)
     if re.search(r"(?i)\)\s*IS\s+(NOT\s+)?(TRUE|FALSE)\b", out):
@@ -2007,10 +2041,14 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # (drill druid_queries/array_concat_agg)
     out = _rewrite_windowed_array_concat_agg(out)
     # balanced-paren rewrite: the argument is often itself a call
-    # (ARRAY_CONCAT_AGG(STRING_TO_ARRAY(x, '-')))
+    # (ARRAY_CONCAT_AGG(STRING_TO_ARRAY(x, '-'))). Zero non-null
+    # inputs → NULL, not [] (reference ArrayConcatSqlAggregator —
+    # qaArray agg_funcs FILLER batteries pin the blank), which
+    # COLLECT_LIST alone can't express (it skips nulls silently).
     out = _rewrite_call(
         out, "ARRAY_CONCAT_AGG",
-        lambda args: f"FLATTEN(COLLECT_LIST({args[0]}))"
+        lambda args: (f"IF(COUNT({args[0]}) = 0, NULL, "
+                      f"FLATTEN(COLLECT_LIST({args[0]})))")
         if args else None)
     # Calcite OFFSET n ROWS / FETCH NEXT|FIRST n ROWS ONLY paging →
     # Spark's LIMIT/OFFSET clauses (Spark accepts LIMIT before OFFSET;
@@ -2156,6 +2194,21 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # = 1). The unnest aliases are known statically from the rewrites.
     ucols = set(re.findall(
         r"(?i)LATERAL VIEW EXPLODE(?:_OUTER)?\(.*?\) \w+ AS (\w+)", out))
+    # TIMESTAMP probe args of the array search family millisify: the
+    # arrays collect native-layer millis (ARRAY_AGG(__time) → longs),
+    # so a TIMESTAMP literal/`__time` probe must compare as millis too
+    # (qaAggFuncs array_agg_timestamp array_offset_of batteries)
+    def _ts_probe_millis(a):
+        if len(a) >= 2 and _is_ts_expr(a[1]):
+            aa = list(a)
+            aa[1] = f"CAST(UNIX_MILLIS({aa[1]}) AS STRING)"
+            return "__DS_TSPROBE__(" + ", ".join(aa) + ")"
+        return None
+
+    for _fn in ("ARRAY_OFFSET_OF", "ARRAY_ORDINAL_OF", "ARRAY_CONTAINS",
+                "MV_OFFSET_OF", "MV_ORDINAL_OF", "MV_CONTAINS"):
+        out = _rewrite_call(out, _fn, _ts_probe_millis)
+        out = out.replace("__DS_TSPROBE__(", f"{_fn}(")
     ucols |= set(re.findall(
         r"(?i)\(SELECT EXPLODE(?:_OUTER)?\(.*?\) AS (\w+)\)", out))
     # known scalar table columns wrap too — minus any name the query
@@ -2351,12 +2404,12 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
          lambda a: f"({a[0]})" if len(a) == 1 else None),
         ("ARRAY_TO_MV",
          lambda a: f"({a[0]})" if len(a) == 1 else None),
+        # regex separator + Java trailing-empty trim (see register.py
+        # STRING_TO_ARRAY note)
         ("STRING_TO_ARRAY",
-         lambda a: rf"SPLIT({a[0]}, CONCAT('\\Q', {a[1]}, '\\E'))"
-         if len(a) == 2 else None),
+         lambda a: _java_split(a[0], a[1]) if len(a) == 2 else None),
         ("STRING_TO_MV",
-         lambda a: rf"SPLIT({a[0]}, CONCAT('\\Q', {a[1]}, '\\E'))"
-         if len(a) == 2 else None),
+         lambda a: _java_split(a[0], a[1]) if len(a) == 2 else None),
         # MV_FILTER_*: an empty survivor set is a NULL MVD in the
         # reference (ListFilteredVirtualColumn — CalciteMultiValueString-
         # QueryTest pins {null, 4} groups and MV_LENGTH(null)=null, round
@@ -2389,24 +2442,85 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         lambda m: f"TO_TIMESTAMP({m.group(1)}, {m.group(2)})",
         out, flags=re.IGNORECASE)
     # Calcite POSITION(needle IN haystack FROM start) — Spark only
-    # parses the 2-arg form; the FROM variant maps to LOCATE
-    out = re.sub(
-        r"\bPOSITION\(\s*([^,()]+?)\s+IN\s+([^,()]+?)\s+FROM\s+"
-        r"([^,()]+?)\s*\)",
-        lambda m: f"LOCATE({m.group(1)}, {m.group(2)}, {m.group(3)})",
-        out, flags=re.IGNORECASE)
+    # parses the 2-arg form; the FROM variant maps to LOCATE.
+    # Balanced-paren via _rewrite_call: the haystack is often itself a
+    # call with commas (position('1' IN string_agg(x, '|') FROM 2) —
+    # qaAggFuncs string_agg batteries), then a top-level depth scan
+    # splits IN / FROM.
+    def _position_from_call(a):
+        if len(a) != 1:
+            return None
+        s = a[0]
+        depth = 0
+        in_at = from_at = None
+        i = 0
+        while i < len(s):
+            ch = s[i]
+            if ch in "'\"":
+                i = _skip_string(s, i)
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0:
+                m_in = re.match(r"(?i)\sIN\s", s[i:i + 4])
+                m_from = re.match(r"(?i)\sFROM\s", s[i:i + 6])
+                if m_in and in_at is None:
+                    in_at = i
+                elif m_from:
+                    from_at = i
+            i += 1
+        if in_at is None or from_at is None or from_at <= in_at:
+            return None
+        needle = s[:in_at].strip()
+        hay = s[in_at + 4:from_at].strip()
+        start = s[from_at + 6:].strip()
+        return f"LOCATE({needle}, {hay}, {start})"
+
+    out = _rewrite_call(out, "POSITION", _position_from_call)
     # Druid REGEXP_EXTRACT defaults to group 0 and yields NULL on no
     # match (RegexpExtractExprMacro); Spark defaults to group 1 and
     # yields '' — in BOTH arities (round 7: the 3-arg no-match ''
     # leaked through a <> filter, CalciteQueryTest:8436). NULLIF-wrap
-    # both; re.sub never rescans its replacement, so the inner call
-    # can keep the same name.
-    out = re.sub(
-        r"\bREGEXP_EXTRACT\(\s*([^,()]+)\s*,\s*('[^']*')"
-        r"\s*(?:,\s*(\d+)\s*)?\)",
-        lambda m: "NULLIF(REGEXP_EXTRACT(%s, %s, %s), '')" % (
-            m.group(1), m.group(2), m.group(3) or "0"),
-        out, flags=re.IGNORECASE)
+    # both. Balanced-paren (the haystack may be an aggregate call);
+    # __DS_REX__ placeholder because _rewrite_call rescans its own
+    # replacement (resolved at end of rewrite).
+    out = _rewrite_call(
+        out, "REGEXP_EXTRACT",
+        lambda a: ("NULLIF(__DS_REX__(%s, %s, %s), '')" % (
+            a[0], a[1], a[2] if len(a) == 3 else "0"))
+        if len(a) in (2, 3) else None)
+
+    # LPAD/RPAD (reference LpadFunc/RpadFunc + StringUtils.lpad,
+    # Function.java:3115): len=0 → NULL, len<0 → '', base longer than
+    # len truncates to the FIRST len chars, an EMPTY pad string
+    # returns the base unpadded (the Calcite 2-arg SQL form passes ''
+    # — qaAggFuncs lpad(x, 20) stays unpadded), NULL pad → NULL.
+    def _pad_call(which):
+        fn = f"__DS_{which}PAD__"
+
+        def b(a):
+            if len(a) == 2:
+                x, n = a
+                return (f"CASE WHEN ({n}) = 0 THEN NULL"
+                        f" WHEN ({n}) < 0 THEN ''"
+                        f" WHEN LENGTH({x}) >= ({n})"
+                        f" THEN SUBSTRING({x}, 1, {n})"
+                        f" ELSE {x} END")
+            if len(a) == 3:
+                x, n, p = a
+                return (f"CASE WHEN ({p}) IS NULL OR ({n}) = 0"
+                        f" THEN NULL"
+                        f" WHEN ({n}) < 0 THEN ''"
+                        f" WHEN LENGTH({x}) >= ({n})"
+                        f" THEN SUBSTRING({x}, 1, {n})"
+                        f" WHEN ({p}) = '' THEN {x}"
+                        f" ELSE {fn}({x}, {n}, {p}) END")
+            return None
+        return b
+
+    out = _rewrite_call(out, "LPAD", _pad_call("L"))
+    out = _rewrite_call(out, "RPAD", _pad_call("R"))
     # JSON_OBJECT (NestedDataExpressions.java:53): variadic k/v pairs,
     # Calcite also allows JSON_OBJECT(KEY 'k' VALUE v, ...). Rewrite to
     # TO_JSON(NAMED_STRUCT('k', v, ...)) — keys must be literals, which
@@ -2543,6 +2657,30 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # resolve the internal variant placeholders (see the PARSE_JSON
     # text-render pass) to the Spark builtins — last, so no earlier
     # pass can re-wrap them
+    # GROUPING(expr..) without GROUPING SETS/ROLLUP/CUBE: Calcite
+    # evaluates it to 0 over a plain GROUP BY (every listed dim is
+    # grouped); Spark rejects it outside grouping-set queries
+    # (qaArray agg_funcs grouping batteries)
+    if not re.search(r"(?is)\b(GROUPING\s+SETS|ROLLUP|CUBE)\b", out):
+        out = _rewrite_call(out, "GROUPING", lambda a: "0" if a else None)
+    # Calcite's niladic PI (SELECT pi) — Spark requires the call form;
+    # only when no column of that name exists
+    if ("pi" not in _SCALAR_COLS.get()
+            and re.search(r"(?i)(?<![\w.$'])pi(?![\w(])", out)):
+        masked_pi, lits_pi = _mask_strings(out)
+
+        def _pi_sub(m):
+            # leave alias positions (`AS pi`) alone
+            if re.search(r"(?i)\bAS\s*$", masked_pi[:m.start()]):
+                return m.group(0)
+            return "PI()"
+
+        masked_pi = re.sub(r"(?i)(?<![\w.$])pi(?![\w(])", _pi_sub,
+                           masked_pi)
+        out = _unmask_strings(masked_pi, lits_pi)
     out = out.replace("__DS_PJ__(", "parse_json(")
     out = out.replace("__DS_TPJ__(", "try_parse_json(")
+    out = out.replace("__DS_REX__(", "REGEXP_EXTRACT(")
+    out = out.replace("__DS_LPAD__(", "LPAD(")
+    out = out.replace("__DS_RPAD__(", "RPAD(")
     return out

@@ -68,7 +68,14 @@ def test_array_mv_functions(engine):
     assert one(engine, "ARRAY_OVERLAP(ARRAY('a'), ARRAY('a','z'))") is True
     assert one(engine, "ARRAY_SLICE(ARRAY('a','b','c','d'), 1, 3)") == ["b", "c"]
     assert one(engine, "ARRAY_TO_STRING(ARRAY('a','b'), '-')") == "a-b"
-    assert one(engine, "STRING_TO_ARRAY('a.b.c', '.')") == ["a", "b", "c"]
+    # separator is a REGEX with Java trailing-empty trimming
+    # (reference StringToArrayFunction — Function.java:3612 uses
+    # String.split): '.' matches every char → all-empty → []
+    assert one(engine, "STRING_TO_ARRAY('a.b.c', '.')") == []
+    assert one(engine, "STRING_TO_ARRAY('a.b.c', '[.]')") == \
+        ["a", "b", "c"]
+    assert one(engine, "STRING_TO_ARRAY('x|y|z', '\\|')") == \
+        ["x", "y", "z"]
     # linear interpolation at rank q*(n-1): 0.5*3=1.5 -> 2 + 0.5*(3-2)
     assert one(engine, "ARRAY_QUANTILE(ARRAY(1.0d, 2.0d, 3.0d, 4.0d), 0.5)") == 2.5
     assert one(engine, "ARRAY_QUANTILE(ARRAY(1.0d, 2.0d, 3.0d), 0.5)") == 2.0
