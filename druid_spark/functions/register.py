@@ -354,6 +354,7 @@ _FUNCS: list[tuple[str, str, str, str]] = [
              AND get_json_object(j, '$') IS NULL
            THEN {_jquote("j")}
            WHEN {_JGET} IS NULL THEN NULL
+           WHEN {_JGET} = 'null' THEN NULL
            WHEN json_object_keys({_JGET}) IS NOT NULL
              OR json_array_length({_JGET}) IS NOT NULL
              OR {_JGET} IN ('true', 'false')

@@ -825,10 +825,19 @@ def _array_agg_call(args):
     # COLLECT_LIST/SET spellings so the replacement can't re-match the
     # ARRAY_AGG scan; structs keep nulls through either collector;
     # __FILTER__ re-attaches a trailing FILTER (WHERE ...) clause to
-    # the aggregate rather than the TRANSFORM wrapper
+    # the aggregate rather than the TRANSFORM wrapper. Zero NON-NULL
+    # inputs → NULL (the reference's agg buffer never initializes —
+    # qaAggFuncs array_agg over an all-null group renders blank), yet
+    # a group with any non-null keeps its null elements.
     agg = "COLLECT_SET" if pre else "COLLECT_LIST"
-    return (f"TRANSFORM({agg}(NAMED_STRUCT('v', {new}))__FILTER__, "
+    body = (f"TRANSFORM({agg}(NAMED_STRUCT('v', {new}))__FILTER__, "
             f"__s -> __s.v)")
+    if pre:
+        # DISTINCT accumulates through the reference's array_set_add
+        # (a sorted set): output is ascending with null first
+        # (qaUnnest array_sql_agg_funcs pins [null, 1, 2])
+        body = f"SORT_ARRAY({body}, TRUE)"
+    return f"IF(COUNT({new})__FILTER__ = 0, NULL, {body})"
 
 
 _HLLY = re.compile(r"(?i)\b(DS_HLL|hll_sketch_agg|hll_union)\s*\(")
@@ -1103,10 +1112,53 @@ def _rewrite_unnest(sql: str) -> str:
                 pos = i
                 continue
             alias, col = "__unnest", tail.group(1)
-        sql = (sql[:m.start()]
-               + f" LATERAL VIEW {explode}({inner}) {alias} AS {col}"
-               + sql[i + tail.end():])
+        lv = f" LATERAL VIEW {explode}({inner}) {alias} AS {col}"
+        rest = i + tail.end()
+        follow = re.match(r"\s*(CROSS\s+JOIN|INNER\s+JOIN|LEFT\s+JOIN"
+                          r"|JOIN|,)\s", sql[rest:], re.IGNORECASE)
+        if follow:
+            # Spark's grammar puts lateral views AFTER all from-clause
+            # relations — an unnest followed by further joins
+            # (qaUnnest array_sql_join `CROSS JOIN unnest(..) u(c)
+            # CROSS JOIN t2`) relocates to the end of this (sub)query's
+            # FROM clause; a CROSS JOIN is unconditional, so evaluation
+            # order is unchanged
+            end = _from_clause_end(sql, rest)
+            sql = sql[:m.start()] + sql[rest:end] + lv + " " + sql[end:]
+        else:
+            sql = sql[:m.start()] + lv + sql[rest:]
         pos = m.start() + 1
+
+
+_FROM_END_KW = re.compile(
+    r"(?is)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW"
+    r"|UNION|EXCEPT|INTERSECT|FETCH)\b")
+
+
+def _from_clause_end(sql: str, start: int) -> int:
+    """Index where the FROM clause containing `start` ends at ITS
+    nesting level: the first depth-0 clause keyword, an unbalanced
+    ')' (closing the subquery), or end of string."""
+    i = start
+    depth = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"":
+            i = _skip_string(sql, i) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0:
+            mm = _FROM_END_KW.match(sql, i)
+            if mm and not (i > 0 and (sql[i - 1].isalnum()
+                                      or sql[i - 1] == "_")):
+                return i
+        i += 1
+    return len(sql)
 
 
 def _java_split(s: str, sep: str) -> str:
