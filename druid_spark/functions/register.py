@@ -257,7 +257,9 @@ _FUNCS: list[tuple[str, str, str, str]] = [
               __sti -> IF(element_at(split(s, coalesce(sep, '')),
                                      __sti) <> '', __sti, 0))), 0))"""),
     ("MV_TO_ARRAY", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
-    ("ARRAY_TO_MV", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
+    # empty array → NULL MVD (MV columns have no empty form)
+    ("ARRAY_TO_MV", "arr ARRAY<STRING>", "ARRAY<STRING>",
+     "CASE WHEN size(arr) = 0 THEN NULL ELSE arr END"),
     ("STRLEN", "s STRING", "INT", "length(s)"),
     ("MV_APPEND", "arr ARRAY<STRING>, v STRING", "ARRAY<STRING>",
      "array_append(arr, v)"),

@@ -1944,6 +1944,21 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
                         ("MV_PREPEND", 1), ("MV_TO_ARRAY", 0)):
             out = _rewrite_call(out, fn, _mv_scalar(idx))
             out = out.replace("__MVW__(", f"{fn}(")
+    # JSON functions over a SQL ARRAY column read its JSON form: the
+    # reference's nested-column machinery sees arrays as JSON arrays
+    # (json_keys(a_str,'$.') = [0,1,2]; to_json_string(a_str) =
+    # '["S1","S2",null]' — qaArray ops_funcs_json_funcs), while a bare
+    # Spark array cast to string renders '[S1, S2, null]'. Rescan-safe:
+    # once wrapped, the arg is no longer a bare identifier.
+    if _ARRAY_ELEM.get():
+        for _jf in ("JSON_KEYS", "JSON_VALUE", "JSON_QUERY",
+                    "JSON_PATHS", "JSON_QUERY_ARRAY", "TO_JSON_STRING"):
+            out = _rewrite_call(
+                out, _jf,
+                lambda a, _jf=_jf:
+                (f"{_jf}(TO_JSON({a[0]})"
+                 + ("".join(", " + x for x in a[1:])) + ")")
+                if a and a[0].strip() in _ARRAY_ELEM.get() else None)
     out = _rewrite_json_returning(out)
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
     # 3-arg forms carry maxBytesPerValue (EarliestLatestBySqlAggregator)
@@ -2026,18 +2041,45 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     out = _rewrite_call(out, "DS_CDF", _ds_cdf)
     out = _rewrite_call(out, "DS_RANK", _ds_rank)
     # Druid ARRAY_PREPEND(value, arr) — Spark's builtin is (arr, value);
-    # swap the args (see register.py module note)
+    # swap the args (see register.py module note). A numeric/boolean
+    # literal prepended onto a STRING-element array coerces to its
+    # string form (Calcite leastRestrictive — qaArray
+    # array_prepend(9, a_str) = ['9', ...]).
+    def _scalar_to_elem(scalar: str, arr: str) -> str:
+        s = scalar.strip()
+        is_num = re.fullmatch(r"[-+]?\d+(\.\d+)?", s)
+        is_bool = re.fullmatch(r"(?i)TRUE|FALSE", s)
+        if not (is_num or is_bool):
+            return scalar
+        elems = _ARRAY_ELEM.get()
+        stringy = (elems.get(arr.strip(), "").lower()
+                   in ("string", "varchar", "char")
+                   or re.search(r"(?i)ARRAY<STRING>|'array<string>'",
+                                arr))
+        if not stringy:
+            return scalar
+        if is_bool:
+            # booleans are longs in the reference's arrays (1/0)
+            return "'1'" if s.upper() == "TRUE" else "'0'"
+        return f"'{s}'"
+
     out = _rewrite_call(
         out, "ARRAY_PREPEND",
-        lambda a: f"array_prepend({a[1]}, {_d_suffix_literal(a[0])})"
+        lambda a: (f"array_prepend({a[1]}, "
+                   f"{_scalar_to_elem(_d_suffix_literal(a[0]), a[1])})")
         if len(a) == 2 else None)
     # decimal-literal second args type as DECIMAL and fail Spark's
-    # exact element-type check against array<double>
-    out = _rewrite_call(
-        out, "ARRAY_APPEND",
-        lambda a: f"array_append({a[0]}, {_d_suffix_literal(a[1])})"
-        if len(a) == 2 and _d_suffix_literal(a[1]) != a[1].strip()
-        else None)
+    # exact element-type check against array<double>; numeric literals
+    # appended to string arrays coerce like ARRAY_PREPEND above
+    def _array_append_call(a):
+        if len(a) != 2:
+            return None
+        v = _scalar_to_elem(_d_suffix_literal(a[1]), a[0])
+        if v == a[1].strip():
+            return None
+        return f"array_append({a[0]}, {v})"
+
+    out = _rewrite_call(out, "ARRAY_APPEND", _array_append_call)
     # approx count-distinct shorthands: exact mode (the oracle contract)
     # computes the true distinct; sketch mode builds a real Datasketches
     # HLL and estimates — bounded, mergeable, ~1.6% RSE at lgK=12. The
@@ -2454,8 +2496,11 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         ("MV_SLICE", _array_slice_call),
         ("MV_TO_ARRAY",
          lambda a: f"({a[0]})" if len(a) == 1 else None),
+        # an EMPTY array converts to a NULL MVD (MV columns have no
+        # empty form — qaArray array_to_mv(a_empty) renders blank)
         ("ARRAY_TO_MV",
-         lambda a: f"({a[0]})" if len(a) == 1 else None),
+         lambda a: (f"(CASE WHEN SIZE({a[0]}) = 0 THEN NULL "
+                    f"ELSE {a[0]} END)") if len(a) == 1 else None),
         # regex separator + Java trailing-empty trim (see register.py
         # STRING_TO_ARRAY note)
         ("STRING_TO_ARRAY",
