@@ -2054,7 +2054,8 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         elems = _ARRAY_ELEM.get()
         stringy = (elems.get(arr.strip(), "").lower()
                    in ("string", "varchar", "char")
-                   or re.search(r"(?i)ARRAY<STRING>|'array<string>'",
+                   or re.search(r"(?i)ARRAY<STRING>|'array<string>'"
+                                r"|\bSPLIT\s*\(|\bSTRING_TO_",
                                 arr))
         if not stringy:
             return scalar
