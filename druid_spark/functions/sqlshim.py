@@ -2666,7 +2666,13 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
             # variant round-trip re-parses the stored text. Placeholder
             # name: the PARSE_JSON text-render pass must not re-wrap
             # this internal variant (resolved at end of rewrite).
-            if v.strip() in _JSON_COLS.get():
+            if (v.strip() in _JSON_COLS.get()
+                    or re.match(r"(?is)^(JSON_QUERY|PARSE_JSON|"
+                                r"TRY_PARSE_JSON|TO_JSON_STRING)\s*\("
+                                r".*\)$", v.strip())):
+                # JSON-text-producing expressions embed as structure
+                # too (json_object('a': json_query(c1,'$.a_obj')) —
+                # qaJsonCols func_json_object nested goldens)
                 flat[j] = f"__DS_TPJ__({v})"
             elif _is_ts_expr(v):
                 # timestamps embed as native-layer millis longs
@@ -2695,6 +2701,28 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         return None
 
     out = _rewrite_call(out, "JSON_QUERY", _json_query_ts)
+
+    # COMPLEX-vs-COMPLEX comparison: two JSON_QUERY results are
+    # COMPLEX<json> in the reference and its binary comparators treat
+    # them as incomparable → NULL (qaJsonCols func_json_query
+    # json_query(c1,p) = json_query(c2,p) counts 0). Our JSON-text
+    # convention WOULD compare them — mask the comparison to NULL.
+    pat_jqcmp = re.compile(r"(?is)\bJSON_QUERY\s*\(", re.IGNORECASE)
+    pos_jq = 0
+    while True:
+        m = pat_jqcmp.search(out, pos_jq)
+        if not m:
+            break
+        end1 = _find_spec_end(out, m.end())
+        m2 = re.match(r"\s*(=|<>|!=|<=|>=|<|>)\s*(JSON_QUERY)\s*\(",
+                      out[end1 + 1:], re.IGNORECASE)
+        if not m2:
+            pos_jq = m.end()
+            continue
+        end2 = _find_spec_end(out, end1 + 1 + m2.end())
+        out = (out[:m.start()] + "CAST(NULL AS BOOLEAN)"
+               + out[end2 + 1:])
+        pos_jq = m.start() + 1
 
     # PARSE_JSON / TRY_PARSE_JSON return COMPLEX<json>, which this
     # engine represents as canonical JSON TEXT (the same convention its
@@ -2726,11 +2754,19 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     def _to_json_string_lit(a):
         if len(a) != 1:
             return None
-        m = re.fullmatch(r"'((?:[^']|'')*)'", a[0].strip())
+        s = a[0].strip()
+        # boolean literals serialize as the reference's LONG form
+        # (useStrictBooleans — to_json_string(TRUE) = '1')
+        if re.fullmatch(r"(?i)TRUE", s):
+            return "'1'"
+        if re.fullmatch(r"(?i)FALSE", s):
+            return "'0'"
+        m = re.fullmatch(r"'((?:[^']|'')*)'", s)
         if not m:
             return None
         import json as _jsonmod
-        quoted = _jsonmod.dumps(m.group(1).replace("''", "'"))
+        quoted = _jsonmod.dumps(m.group(1).replace("''", "'"),
+                                ensure_ascii=False)
         # Spark string literals are backslash-escaping by default
         # (spark.sql.parser.escapedStringLiterals=false): double the
         # backslashes json.dumps introduced, then SQL-double quotes
