@@ -717,6 +717,10 @@ def _cast_to_timestamp(args):
     e = m.group(1)
     if _is_string_expr(e) or _is_ts_expr(e):
         return None  # Spark's cast already matches
+    if re.fullmatch(r"(?is)\s*(CURRENT_DATE|DATE\s+'[^']*')\s*", e):
+        # DATE exprs: Spark rejects the numeric guard's
+        # try_cast(date AS DOUBLE) at analysis — plain cast is right
+        return None
     if re.fullmatch(r"\s*-?\d+\s*", e):
         return f"TIMESTAMP_MILLIS({e})"
     return (f"CASE WHEN typeof({e}) IN ('bigint','int','smallint',"
@@ -2206,12 +2210,17 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         lambda args: (f"TRIM(TRAILING {args[1]} FROM {args[0]})"
                       if len(args) == 2 else None))
     # 3-arg TIME_FORMAT(ts, pattern, tz) — format in the given zone
-    # (TimeFormatOperatorConversion)
+    # (TimeFormatOperatorConversion); 1-arg defaults to ISO8601
+    # (TimestampFormatExprMacro null-format arm — qaSql
+    # scalar_datetime time_format(__time) batteries)
     out = _rewrite_call(
         out, "TIME_FORMAT",
         lambda args: (f"TIME_FORMAT(FROM_UTC_TIMESTAMP({args[0]}, "
                       f"{args[2]}), {args[1]})"
-                      if len(args) == 3 else None))
+                      if len(args) == 3 else
+                      (f"TIME_FORMAT({args[0]}, "
+                       f"'yyyy-MM-dd''T''HH:mm:ss.SSS''Z''')"
+                       if len(args) == 1 else None)))
     # variadic STRING_FORMAT → Spark's format_string, with Druid's
     # non-strict degradation (Function.java:2807 →
     # StringUtils.nonStrictFormat:381): an IllegalFormatException —
