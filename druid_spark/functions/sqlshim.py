@@ -1116,10 +1116,31 @@ def _rewrite_unnest(sql: str) -> str:
                 pos = i
                 continue
             alias, col = "__unnest", tail.group(1)
-        lv = f" LATERAL VIEW {explode}({inner}) {alias} AS {col}"
         rest = i + tail.end()
         follow = re.match(r"\s*(CROSS\s+JOIN|INNER\s+JOIN|LEFT\s+JOIN"
                           r"|JOIN|,)\s", sql[rest:], re.IGNORECASE)
+        if follow:
+            # the unnest expr resolves against the LEFT side only in
+            # Calcite's scoping; after relocation the later joins are
+            # in scope too, so bare known-column refs must qualify
+            # with the left relation's alias (array_sql_join
+            # `unnest(a_int)` with t1/t2 both carrying a_int)
+            lm = re.search(
+                r"(?is)\bFROM\s+([A-Za-z_][\w.]*)"
+                r"(?:\s+(?:AS\s+)?(?!CROSS|INNER|LEFT|JOIN|WHERE|ON)"
+                r"([A-Za-z_]\w*))?\s*$", sql[:m.start()])
+            if lm:
+                lalias = lm.group(2) or lm.group(1)
+                known = (_SCALAR_COLS.get() | set(_ARRAY_ELEM.get())
+                         | _JSON_COLS.get())
+                if known:
+                    inner = re.sub(
+                        r"(?<![\w.'])([A-Za-z_]\w*)\b(?!\s*\()",
+                        lambda mm: (f"{lalias}.{mm.group(1)}"
+                                    if mm.group(1) in known
+                                    else mm.group(1)),
+                        inner)
+        lv = f" LATERAL VIEW {explode}({inner}) {alias} AS {col}"
         if follow:
             # Spark's grammar puts lateral views AFTER all from-clause
             # relations — an unnest followed by further joins
@@ -1129,9 +1150,13 @@ def _rewrite_unnest(sql: str) -> str:
             # order is unchanged
             end = _from_clause_end(sql, rest)
             sql = sql[:m.start()] + sql[rest:end] + lv + " " + sql[end:]
+            # the follow text (possibly `, unnest(...)`) now sits AT
+            # m.start() — rescan from it, not past it (the processed
+            # unnest is a LATERAL VIEW now and can't rematch)
+            pos = m.start()
         else:
             sql = sql[:m.start()] + lv + sql[rest:]
-        pos = m.start() + 1
+            pos = m.start() + 1
 
 
 _FROM_END_KW = re.compile(
