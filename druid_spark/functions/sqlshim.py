@@ -1117,77 +1117,29 @@ def _rewrite_unnest(sql: str) -> str:
                 continue
             alias, col = "__unnest", tail.group(1)
         rest = i + tail.end()
-        follow = re.match(r"\s*(CROSS\s+JOIN|INNER\s+JOIN|LEFT\s+JOIN"
-                          r"|JOIN|,)\s", sql[rest:], re.IGNORECASE)
+        follow = re.match(
+            r"\s*(CROSS\s+JOIN|INNER\s+JOIN|"
+            r"(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?\s+JOIN|JOIN|,)\s",
+            sql[rest:], re.IGNORECASE)
         if follow:
-            # the unnest expr resolves against the LEFT side only in
-            # Calcite's scoping; after relocation the later joins are
-            # in scope too, so bare known-column refs must qualify
-            # with the left relation's alias (array_sql_join
-            # `unnest(a_int)` with t1/t2 both carrying a_int)
-            lm = re.search(
-                r"(?is)\bFROM\s+([A-Za-z_][\w.]*)"
-                r"(?:\s+(?:AS\s+)?(?!CROSS|INNER|LEFT|JOIN|WHERE|ON)"
-                r"([A-Za-z_]\w*))?\s*$", sql[:m.start()])
-            if lm:
-                lalias = lm.group(2) or lm.group(1)
-                known = (_SCALAR_COLS.get() | set(_ARRAY_ELEM.get())
-                         | _JSON_COLS.get())
-                if known:
-                    inner = re.sub(
-                        r"(?<![\w.'])([A-Za-z_]\w*)\b(?!\s*\()",
-                        lambda mm: (f"{lalias}.{mm.group(1)}"
-                                    if mm.group(1) in known
-                                    else mm.group(1)),
-                        inner)
-        lv = f" LATERAL VIEW {explode}({inner}) {alias} AS {col}"
-        if follow:
-            # Spark's grammar puts lateral views AFTER all from-clause
-            # relations — an unnest followed by further joins
-            # (qaUnnest array_sql_join `CROSS JOIN unnest(..) u(c)
-            # CROSS JOIN t2`) relocates to the end of this (sub)query's
-            # FROM clause; a CROSS JOIN is unconditional, so evaluation
-            # order is unchanged
-            end = _from_clause_end(sql, rest)
-            sql = sql[:m.start()] + sql[rest:end] + lv + " " + sql[end:]
-            # the follow text (possibly `, unnest(...)`) now sits AT
-            # m.start() — rescan from it, not past it (the processed
-            # unnest is a LATERAL VIEW now and can't rematch)
-            pos = m.start()
+            # Spark's grammar puts plain lateral VIEWS after all
+            # from-clause relations, so an unnest followed by further
+            # joins (qaUnnest array_sql_join) becomes a LATERAL
+            # SUBQUERY — a real joinable relation whose correlation
+            # scope is exactly Calcite's (the PRECEDING relations
+            # only), the alias stays addressable (ON u.c = ...), and
+            # RIGHT/FULL follows keep their join semantics.
+            sub = f"(SELECT {explode}({inner}) AS {col}) {alias}"
+            if sql[m.start()] == ",":
+                rep = f", LATERAL {sub}"
+            else:
+                rep = f" JOIN LATERAL {sub} ON TRUE"
+            sql = sql[:m.start()] + rep + sql[rest:]
+            pos = m.start() + len(rep)
         else:
+            lv = f" LATERAL VIEW {explode}({inner}) {alias} AS {col}"
             sql = sql[:m.start()] + lv + sql[rest:]
             pos = m.start() + 1
-
-
-_FROM_END_KW = re.compile(
-    r"(?is)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW"
-    r"|UNION|EXCEPT|INTERSECT|FETCH)\b")
-
-
-def _from_clause_end(sql: str, start: int) -> int:
-    """Index where the FROM clause containing `start` ends at ITS
-    nesting level: the first depth-0 clause keyword, an unbalanced
-    ')' (closing the subquery), or end of string."""
-    i = start
-    depth = 0
-    while i < len(sql):
-        ch = sql[i]
-        if ch in "'\"":
-            i = _skip_string(sql, i) + 1
-            continue
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            if depth == 0:
-                return i
-            depth -= 1
-        elif depth == 0:
-            mm = _FROM_END_KW.match(sql, i)
-            if mm and not (i > 0 and (sql[i - 1].isalnum()
-                                      or sql[i - 1] == "_")):
-                return i
-        i += 1
-    return len(sql)
 
 
 def _java_split(s: str, sep: str) -> str:
