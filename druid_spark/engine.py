@@ -581,14 +581,15 @@ class DruidSparkEngine:
         # Druid's array/MV family auto-wraps string scalars as
         # 1-element MVDs, which the rewriter can only do knowing the
         # column isn't already an array (qaUnnest array_length(c_long))
-        scalar_cols, array_cols, array_elem = self._scalar_array_cols()
+        scalar_cols, array_cols, array_elem, scalar_types = \
+            self._scalar_array_cols()
         json_cols = {c for cols in self.catalog._json_cols.values()
                      for c in cols}
         final = rewrite_druid_sql(
             text, exact=exact, tz=set_ctx.get("sqlTimeZone", "UTC"),
             default_nominal_entries=self.sketch_default_nominal_entries,
             scalar_cols=scalar_cols - array_cols, json_cols=json_cols,
-            array_elem=array_elem)
+            array_elem=array_elem, scalar_types=scalar_types)
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner
         # applies to SQL through the same query stack). Keyed on the
@@ -632,11 +633,13 @@ class DruidSparkEngine:
         tables and re-attempt the failed read on every query)."""
         cached = getattr(self, "_col_kind_cache", None)
         if cached is not None and cached[0] == self.catalog.version:
-            return cached[1], cached[2], cached[3]
+            return cached[1], cached[2], cached[3], cached[4]
         scalar: set = set()
         arr: set = set()
         elem: dict = {}
+        stypes: dict = {}
         ambiguous: set = set()
+        s_ambiguous: set = set()
         for t in self.catalog.tables():
             try:
                 fields = self.catalog.schema(t).fields
@@ -655,10 +658,18 @@ class DruidSparkEngine:
                     elem[f.name] = et
                 else:
                     scalar.add(f.name)
+                    # scalar type map (the TIME_* numeric-argument
+                    # rejection); ambiguous names dropped
+                    if stypes.get(f.name, s) != s:
+                        s_ambiguous.add(f.name)
+                    stypes[f.name] = s
         for a in ambiguous:
             elem.pop(a, None)
-        self._col_kind_cache = (self.catalog.version, scalar, arr, elem)
-        return scalar, arr, elem
+        for a in s_ambiguous:
+            stypes.pop(a, None)
+        self._col_kind_cache = (self.catalog.version, scalar, arr, elem,
+                                stypes)
+        return scalar, arr, elem, stypes
 
     def _rewrite_table_append(self, text: str) -> str:
         """TABLE(APPEND('ds1', 'ds2', ...)) → a UNION ALL subquery

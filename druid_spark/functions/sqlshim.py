@@ -41,6 +41,13 @@ _JSON_COLS: contextvars.ContextVar[set] = contextvars.ContextVar(
 # DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES — qaArray FILLER batteries)
 _ARRAY_ELEM: contextvars.ContextVar[dict] = contextvars.ContextVar(
     "druid_spark_array_elem", default={})
+# unambiguous scalar-column name → type simpleString: the TIME_*
+# family REJECTS numeric arguments like the reference's Calcite
+# validator (a bigint fed to TIME_EXTRACT would silently read as
+# epoch SECONDS here while Druid reads native millis — erroring
+# matches the reference and prevents the silent misread)
+_SCALAR_TYPES: contextvars.ContextVar[dict] = contextvars.ContextVar(
+    "druid_spark_scalar_types", default={})
 
 
 def _skip_string(s: str, i: int) -> int:
@@ -1389,7 +1396,8 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       default_nominal_entries: int | None = None,
                       scalar_cols: set[str] | None = None,
                       json_cols: set[str] | None = None,
-                      array_elem: dict | None = None) -> str:
+                      array_elem: dict | None = None,
+                      scalar_types: dict | None = None) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -1402,6 +1410,7 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok2 = _SCALAR_COLS.set(scalar_cols or set())
     tok3 = _JSON_COLS.set(json_cols or set())
     tok4 = _ARRAY_ELEM.set(array_elem or {})
+    tok5 = _SCALAR_TYPES.set(scalar_types or {})
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
@@ -1409,6 +1418,7 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
         _SCALAR_COLS.reset(tok2)
         _JSON_COLS.reset(tok3)
         _ARRAY_ELEM.reset(tok4)
+        _SCALAR_TYPES.reset(tok5)
 
 
 def _find_spec_end(sql: str, start: int) -> int:
@@ -2777,6 +2787,32 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # resolve the internal variant placeholders (see the PARSE_JSON
     # text-render pass) to the Spark builtins — last, so no earlier
     # pass can re-wrap them
+    # TIME_* over a NUMERIC column is a validation error in the
+    # reference (Calcite: Cannot apply 'TIME_SHIFT' to <BIGINT> —
+    # qaUnnest/qaArray scalar_datetime !error batteries); Spark would
+    # implicitly cast the number as epoch SECONDS and silently
+    # mis-answer. Known numeric scalar columns reject at runtime.
+    _tf_types = {"TIME_FLOOR": "TIMESTAMP", "TIME_CEIL": "TIMESTAMP",
+                 "TIME_SHIFT": "TIMESTAMP", "TIME_EXTRACT": "BIGINT",
+                 "TIME_FORMAT": "STRING"}
+    _num_t = {"bigint", "int", "smallint", "tinyint", "double",
+              "float", "long", "integer", "decimal"}
+
+    def _time_numeric_guard(fn, rt):
+        def b(a):
+            if not a:
+                return None
+            t = _SCALAR_TYPES.get().get(a[0].strip(), "")
+            if t.split("(")[0] in _num_t:
+                return (f"CAST(RAISE_ERROR('Cannot apply ''{fn}'' to "
+                        f"arguments of type ''{t.upper()}''') AS {rt})")
+            return None
+        return b
+
+    if _SCALAR_TYPES.get():
+        for _tfn, _trt in _tf_types.items():
+            out = _rewrite_call(out, _tfn, _time_numeric_guard(_tfn, _trt))
+
     # GROUPING(expr..) without GROUPING SETS/ROLLUP/CUBE: Calcite
     # evaluates it to 0 over a plain GROUP BY (every listed dim is
     # grouped); Spark rejects it outside grouping-set queries
