@@ -1796,6 +1796,111 @@ def _coerce_array_comparisons(sql: str) -> str:
     return _unmask_strings(pat.sub(sub, masked), lits)
 
 
+def _windowed_order_by(sql: str) -> str:
+    """A window function in ORDER BY (Calcite allows `ORDER BY
+    NTILE(2) OVER (...)` — drill ntile_func/ntileFn_33) is rejected by
+    Spark's analyzer. Rewrite the top-level query to project the
+    windowed sort keys in a subquery:
+    SELECT sl FROM rest ORDER BY w, x →
+    SELECT sl FROM (SELECT *, w AS __word0 FROM rest) __woq
+    ORDER BY __word0, x.
+    Conservative: only fires for a top-level non-grouped SELECT whose
+    final ORDER BY carries an OVER."""
+    masked, lits = _mask_strings(sql)
+    m = re.match(r"(?is)^\s*SELECT\s+(.*)$", masked)
+    if not m:
+        return sql
+    # locate the LAST top-level ORDER BY
+    depth = 0
+    ob_at = -1
+    i = 0
+    while i < len(masked):
+        ch = masked[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            if re.match(r"(?i)ORDER\s+BY\b", masked[i:]) and not (
+                    i > 0 and (masked[i - 1].isalnum()
+                               or masked[i - 1] == "_")):
+                ob_at = i
+        i += 1
+    if ob_at < 0:
+        return sql
+    tail = masked[ob_at:]
+    mm = re.match(r"(?is)ORDER\s+BY\s+(.*?)(\s+LIMIT\s+.*|\s+OFFSET\s+"
+                  r".*)?$", tail)
+    if not mm or not re.search(r"(?i)\bOVER\b", mm.group(1)):
+        return sql
+    head = masked[:ob_at]
+    if re.search(r"(?is)\b(GROUP\s+BY|HAVING|UNION|EXCEPT|INTERSECT)\b",
+                 _strip_parens_depth0(head)):
+        return sql
+    fm = None
+    depth = 0
+    for j in range(len(head)):
+        ch = head[j]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and re.match(r"(?i)\bFROM\b", head[j:]) \
+                and not (j > 0 and (head[j - 1].isalnum()
+                                    or head[j - 1] == "_")):
+            fm = j
+            break
+    if fm is None:
+        return sql
+    select_list = head[len("SELECT "):fm]
+    rest = head[fm + 4:]
+    items = []
+    win_proj = []
+    depth = 0
+    start = 0
+    s = mm.group(1)
+    for j, ch in enumerate(s + ","):
+        if j < len(s) and ch in "([":
+            depth += 1
+        elif j < len(s) and ch in ")]":
+            depth -= 1
+        elif (j == len(s) or ch == ",") and depth == 0:
+            items.append(s[start:j].strip())
+            start = j + 1
+    out_items = []
+    for it in items:
+        if re.search(r"(?i)\bOVER\b", it):
+            dirm = re.search(r"(?is)\s+(ASC|DESC)(\s+NULLS\s+"
+                             r"(FIRST|LAST))?\s*$", it)
+            expr = it[:dirm.start()] if dirm else it
+            suffix = it[dirm.start():] if dirm else ""
+            k = len(win_proj)
+            win_proj.append(f"{expr} AS __word{k}")
+            out_items.append(f"__word{k}{suffix}")
+        else:
+            out_items.append(it)
+    limit_tail = mm.group(2) or ""
+    new = (f"SELECT {select_list} FROM (SELECT *, "
+           f"{', '.join(win_proj)} FROM {rest}) __woq "
+           f"ORDER BY {', '.join(out_items)}{limit_tail}")
+    return _unmask_strings(new, lits)
+
+
+def _strip_parens_depth0(s: str) -> str:
+    """Text with parenthesized spans removed (for depth-0 keyword
+    checks)."""
+    out = []
+    depth = 0
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
 def _parenthesize_in_is(sql: str) -> str:
     """`x IN (list) IS [NOT] TRUE|FALSE` parses in Calcite but not in
     Spark (IN binds looser than IS there) — wrap the IN predicate:
@@ -1876,6 +1981,9 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     if re.search(r"(?i)\)\s*IS\s+(NOT\s+)?(TRUE|FALSE)\b", out):
         out = _parenthesize_in_is(out)
     out = _coerce_array_comparisons(out)
+    if re.search(r"(?is)\bORDER\s+BY\b", out) \
+            and re.search(r"(?i)\bOVER\b", out):
+        out = _windowed_order_by(out)
     # GROUP BY () — Calcite's empty grouping (global aggregate); Spark
     # wants the clause dropped entirely
     out = re.sub(r"\bGROUP\s+BY\s+\(\s*\)", "", out, flags=re.IGNORECASE)

@@ -326,14 +326,21 @@ def run(limit: int | None = None, only: list[str] | None = None,
             # year-15000 date-longs that overflow Python datetime
             from pyspark.sql import functions as F
             sel = []
-            for c, t in df.dtypes:
+            # duplicate output aliases are legal SQL (wikipedia_query_3
+            # names four columns c5) and every column accessor in
+            # PySpark resolves by NAME — rename positionally first
+            names = [c for c, _t in df.dtypes]
+            df = df.toDF(*[f"__dc{i}" for i in range(len(names))])
+            for i, (_c, t) in enumerate(df.dtypes):
+                base = F.col(f"__dc{i}")
+                c = names[i]
                 if t.startswith("timestamp"):
-                    sel.append(F.unix_millis(F.col(f"`{c}`")).alias(c))
+                    sel.append(F.unix_millis(base).alias(c))
                 elif t == "date":
-                    sel.append((F.unix_date(F.col(f"`{c}`"))
+                    sel.append((F.unix_date(base)
                                 .cast("long") * 86400000).alias(c))
                 else:
-                    sel.append(F.col(f"`{c}`"))
+                    sel.append(base.alias(c))
             df = df.select(*sel)
             dtypes = [t for _, t in df.dtypes]
             actual = [tuple(_norm_actual(v) for v in row) for row in
