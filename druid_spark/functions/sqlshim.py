@@ -2895,6 +2895,36 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # resolve the internal variant placeholders (see the PARSE_JSON
     # text-render pass) to the Spark builtins — last, so no earlier
     # pass can re-wrap them
+    # An MVD unnest output is a STRING; Calcite compares it to a
+    # NUMERIC literal by casting the LITERAL to string (qaUnnest
+    # mv_sql_subquery_with_where: c='' AND NOT c=999 keeps the ''
+    # rows — ''=999 is FALSE there, while Spark's cast('' AS INT)
+    # makes it NULL and drops the row). Quote numeric literals
+    # compared against EXPLODE_OUTER (MVD) unnest aliases.
+    _mv_ucols = set(re.findall(
+        r"(?is)LATERAL\s+VIEW\s+EXPLODE_OUTER\(.*?\)\s+\w+\s+AS\s+(\w+)",
+        out))
+    _mv_ucols |= set(re.findall(
+        r"(?is)LATERAL\s+\(SELECT\s+EXPLODE_OUTER\(.*?\)\s+AS\s+(\w+)\)",
+        out))
+    if _mv_ucols:
+        masked_mu, lits_mu = _mask_strings(out)
+        pat_mu = re.compile(
+            r"(?<![\w.])([A-Za-z_]\w*)\s*(=|<>|!=)\s*"
+            r"([-+]?\d+(?:\.\d+)?)(?![\w.$])")
+        masked_mu = pat_mu.sub(
+            lambda m: (f"{m.group(1)} {m.group(2)} '{m.group(3)}'"
+                       if m.group(1) in _mv_ucols else m.group(0)),
+            masked_mu)
+        pat_mu2 = re.compile(
+            r"(?<![\w.$])([-+]?\d+(?:\.\d+)?)\s*(=|<>|!=)\s*"
+            r"([A-Za-z_]\w*)(?![\w.(])")
+        masked_mu = pat_mu2.sub(
+            lambda m: (f"'{m.group(1)}' {m.group(2)} {m.group(3)}"
+                       if m.group(3) in _mv_ucols else m.group(0)),
+            masked_mu)
+        out = _unmask_strings(masked_mu, lits_mu)
+
     # TIME_* over a NUMERIC column is a validation error in the
     # reference (Calcite: Cannot apply 'TIME_SHIFT' to <BIGINT> —
     # qaUnnest/qaArray scalar_datetime !error batteries); Spark would
