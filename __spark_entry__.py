@@ -4601,14 +4601,14 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM region JOIN nation ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name"""),
     "sqlc_arr_to_mv_roundtrip": ("""
-        SELECT MV_LENGTH(ARRAY_TO_MV(STRING_TO_ARRAY('a|b|c', '|'))) AS n,
+        SELECT MV_LENGTH(ARRAY_TO_MV(STRING_TO_ARRAY('a|b|c', '\|'))) AS n,
                MV_TO_STRING(MV_SLICE(STRING_TO_MV('a,b,c,d', ','), 1, 3),
                             '-') AS mid,
                MV_CONTAINS(STRING_TO_MV('x,y', ','), 'x') AS has_x""", """
         SELECT 3 AS n, 'b-c' AS mid, true AS has_x"""),
     "sqlc_arr_string_roundtrip": ("""
         SELECT ARRAY_TO_STRING(STRING_TO_ARRAY(
-                 ARRAY_TO_STRING(ARRAY['p','q','r'], '|'), '|'), '-')
+                 ARRAY_TO_STRING(ARRAY['p','q','r'], '|'), '\|'), '-')
                AS rt""", """
         SELECT 'p-q-r' AS rt"""),
     "sqlc_arr_numeric_cast": ("""
@@ -6376,7 +6376,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # comparator lambda); sorting the aggregated column one level up
     # avoids the mangle
     "sqlc_string_agg_multi_value": ("""
-        SELECT ARRAY_TO_STRING(ARRAY_SORT(STRING_TO_MV(aggstr, '|')),
+        SELECT ARRAY_TO_STRING(ARRAY_SORT(STRING_TO_MV(aggstr, '\|')),
                                '|') AS toks
         FROM (SELECT STRING_AGG(DISTINCT tok, '|') AS aggstr
               FROM (SELECT * FROM region
@@ -7140,7 +7140,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                LPAD('abcdef', 3, 'x') AS shrink,
                RPAD('ab', 5, 'xy') AS grow
         FROM region ORDER BY r_regionkey LIMIT 1""", """
-        SELECT '' AS zero, 'abc' AS shrink, 'abxyx' AS grow
+        SELECT NULL AS zero, 'abc' AS shrink, 'abxyx' AS grow
         FROM region ORDER BY r_regionkey LIMIT 1"""),
     # ---- batch 32: time-extract filters / numeric-literal filters ----
     # testFilterOnTimeExtractWithMultipleDays
@@ -7830,7 +7830,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # lower-case Druid function spellings resolve identically
     "sqlc_lowercase_fn_names": ("""
         select time_floor(ts, 'P1D') as d,
-               mv_to_string(string_to_mv('a|b', '|'), ',') as mv,
+               mv_to_string(string_to_mv('a|b', '\|'), ',') as mv,
                safe_divide(10, 4) as q,
                count(*) as n
         from events group by 1, 2, 3 order by 1 limit 3""", """
