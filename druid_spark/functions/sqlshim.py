@@ -790,6 +790,19 @@ def _string_agg_call(args):
             pass  # maxSizeBytes cap dropped (unbounded strings)
         else:
             rest = f"{args[1]}, {args[2]}"
+    if pre:
+        # DISTINCT accumulates through the reference's sorted-set
+        # fold of STRINGS — output ascending lexicographically (''
+        # first: qaUnnest mv agg_funcs pins '|1|2|3'). The explicit
+        # CAST makes Spark's WITHIN-GROUP-must-match-DISTINCT-input
+        # check accept the ordering expression.
+        # __DS_WG__ placeholder: resolved to WITHIN GROUP at the end
+        # of the rewrite, UNLESS the user wrote an explicit WITHIN
+        # GROUP right after the call — then theirs wins and the
+        # string-cast markers resolve to nothing (Spark requires the
+        # DISTINCT input and the ordering expression to be identical)
+        return (f"LISTAGG({pre}__DS_CS__{expr}__DS_CE__, {rest}) "
+                f"__DS_WG__(ORDER BY __DS_CS__{expr}__DS_CE__)")
     return f"LISTAGG({pre}{expr}, {rest})"
 
 
@@ -846,9 +859,16 @@ def _array_agg_call(args):
     if pre:
         # DISTINCT accumulates through the reference's array_set_add
         # (a sorted set): output is ascending with null first
-        # (qaUnnest array_sql_agg_funcs pins [null, 1, 2])
+        # (qaUnnest array_sql_agg_funcs pins [null, 1, 2]), and an
+        # all-null input leaves the set buffer nil → NULL (qaAggFuncs
+        # array_agg_timestamp DISTINCT null-group goldens). The plain
+        # collector KEEPS an all-null group as [null, ...]
+        # (array_sql_agg_funcs GROUP BY c pins [null, null, null]).
         body = f"SORT_ARRAY({body}, TRUE)"
-    return f"IF(COUNT({new})__FILTER__ = 0, NULL, {body})"
+        return f"IF(COUNT({new})__FILTER__ = 0, NULL, {body})"
+    # plain arm: ZERO input ROWS → NULL (nil buffer), but an all-null
+    # group keeps its null elements — count rows, not values
+    return f"IF(COUNT(1)__FILTER__ = 0, NULL, {body})"
 
 
 _HLLY = re.compile(r"(?i)\b(DS_HLL|hll_sketch_agg|hll_union)\s*\(")
@@ -2972,6 +2992,31 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         masked_pi = re.sub(r"(?i)(?<![\w.$])pi(?![\w(])", _pi_sub,
                            masked_pi)
         out = _unmask_strings(masked_pi, lits_pi)
+    # the DISTINCT string_agg default ordering yields to an explicit
+    # user WITHIN GROUP immediately following the call; the
+    # string-cast markers resolve per-call to match
+    pos_wg = 0
+    while True:
+        iwg = out.find("__DS_WG__(", pos_wg)
+        if iwg < 0:
+            break
+        end_wg = _find_spec_end(out, iwg + len("__DS_WG__("))
+        call_at = out.rfind("LISTAGG(", 0, iwg)
+        if re.match(r"\s*WITHIN\s+GROUP\b", out[end_wg + 1:],
+                    re.IGNORECASE):
+            # user clause wins: drop ours, input stays RAW so Spark's
+            # DISTINCT/ordering identity check passes
+            seg = (out[call_at:iwg].replace("__DS_CS__", "")
+                   .replace("__DS_CE__", ""))
+            out = out[:call_at] + seg + out[end_wg + 1:]
+            pos_wg = call_at
+        else:
+            seg = (out[call_at:end_wg + 1]
+                   .replace("__DS_CS__", "CAST(")
+                   .replace("__DS_CE__", " AS STRING)")
+                   .replace("__DS_WG__(", "WITHIN GROUP ("))
+            out = out[:call_at] + seg + out[end_wg + 1:]
+            pos_wg = call_at + 1
     out = out.replace("__DS_PJ__(", "parse_json(")
     out = out.replace("__DS_TPJ__(", "try_parse_json(")
     out = out.replace("__DS_REX__(", "REGEXP_EXTRACT(")
