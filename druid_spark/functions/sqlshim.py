@@ -2956,18 +2956,37 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     _num_t = {"bigint", "int", "smallint", "tinyint", "double",
               "float", "long", "integer", "decimal"}
 
+    # numeric UNNEST outputs reject too: the alias of an exploded
+    # numeric array (a_int, RETURNING bigint/double array) is a
+    # number the reference's validator refuses in TIME_* slots
+    _num_ucols: set = set()
+    for _um in re.finditer(
+            r"(?is)(?:LATERAL\s+VIEW\s+EXPLODE(?:_OUTER)?\((.*?)\)\s+"
+            r"\w+\s+AS\s+(\w+)|LATERAL\s+\(SELECT\s+"
+            r"EXPLODE(?:_OUTER)?\((.*?)\)\s+AS\s+(\w+)\))", out):
+        _uexpr = (_um.group(1) or _um.group(3) or "").strip()
+        _ucol = _um.group(2) or _um.group(4)
+        et = _ARRAY_ELEM.get().get(_uexpr, "").split("(")[0]
+        if (et in _num_t
+                or re.search(r"(?i)'array<(bigint|int|double|float)>'",
+                             _uexpr)):
+            _num_ucols.add(_ucol)
+
     def _time_numeric_guard(fn, rt):
         def b(a):
             if not a:
                 return None
-            t = _SCALAR_TYPES.get().get(a[0].strip(), "")
-            if t.split("(")[0] in _num_t:
+            x = a[0].strip()
+            t = _SCALAR_TYPES.get().get(x, "")
+            if x in _num_ucols and not t:
+                t = "BIGINT"
+            if t.split("(")[0].lower() in _num_t:
                 return (f"CAST(RAISE_ERROR('Cannot apply ''{fn}'' to "
                         f"arguments of type ''{t.upper()}''') AS {rt})")
             return None
         return b
 
-    if _SCALAR_TYPES.get():
+    if _SCALAR_TYPES.get() or _num_ucols:
         for _tfn, _trt in _tf_types.items():
             out = _rewrite_call(out, _tfn, _time_numeric_guard(_tfn, _trt))
 
