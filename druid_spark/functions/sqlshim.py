@@ -2960,12 +2960,14 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # numeric array (a_int, RETURNING bigint/double array) is a
     # number the reference's validator refuses in TIME_* slots
     _num_ucols: set = set()
-    for _um in re.finditer(
-            r"(?is)(?:LATERAL\s+VIEW\s+EXPLODE(?:_OUTER)?\((.*?)\)\s+"
-            r"\w+\s+AS\s+(\w+)|LATERAL\s+\(SELECT\s+"
-            r"EXPLODE(?:_OUTER)?\((.*?)\)\s+AS\s+(\w+)\))", out):
-        _uexpr = (_um.group(1) or _um.group(3) or "").strip()
-        _ucol = _um.group(2) or _um.group(4)
+    for _um in re.finditer(r"(?is)\bEXPLODE(?:_OUTER)?\(", out):
+        _uend = _find_spec_end(out, _um.end())
+        _uexpr = out[_um.end():_uend].strip()
+        _tm = re.match(r"(?is)\s+(?:(\w+)\s+)?AS\s+(\w+)",
+                       out[_uend + 1:])
+        if not _tm:
+            continue
+        _ucol = _tm.group(2)
         et = _ARRAY_ELEM.get().get(_uexpr, "").split("(")[0]
         if (et in _num_t
                 or re.search(r"(?i)'array<(bigint|int|double|float)>'",
