@@ -550,23 +550,27 @@ def main():
             src5 = src5.union(src)
 
         def best_of(n_iter, fn):
-            # best-of-N: the ingest sections are single heavyweight
-            # jobs, so one contention spike would otherwise swing the
-            # recorded rate by 3-5x between rounds
-            best = float("inf")
+            # best-of-N + spread, same treatment as the query arms:
+            # the ingest sections are single heavyweight jobs, so one
+            # contention spike would otherwise swing the recorded rate
+            # by 3-5x between rounds; the spread makes the noise
+            # visible instead of silently folded into the trend
+            runs = []
             for _ in range(n_iter):
                 t0 = time.time()
                 fn()
-                best = min(best, time.time() - t0)
-            return best
+                runs.append(time.time() - t0)
+            return min(runs), round(max(runs) - min(runs), 4)
 
-        t_triv = best_of(2, lambda: (
+        t_triv, sp_triv = best_of(3, lambda: (
             src5.groupBy(F.date_trunc("hour", "l_shipdate").alias("__time"))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .write.mode("overwrite").parquet(f"{base_dir}/ing_trivial")))
         ingest["trivial_rows_per_sec_per_core"] = round(
             5 * n_src / t_triv / CPUS)
-        t_roll = best_of(2, lambda: (
+        ingest["trivial_spread_sec"] = sp_triv
+        ingest["trivial_best_sec"] = round(t_triv, 4)
+        t_roll, sp_roll = best_of(3, lambda: (
             src.groupBy(F.date_trunc("day", "l_shipdate").alias("__time"),
                         "l_returnflag", "l_linestatus", "l_linenumber")
                .agg(F.count(F.lit(1)).alias("n"),
@@ -576,6 +580,8 @@ def main():
                .write.mode("overwrite").parquet(f"{base_dir}/ing_rollup")))
         ingest["rollup_rows_per_sec_per_core"] = round(
             n_src / t_roll / CPUS)
+        ingest["rollup_spread_sec"] = sp_roll
+        ingest["rollup_best_sec"] = round(t_roll, 4)
         ingest["vs_baseline_trivial"] = round(
             ingest["trivial_rows_per_sec_per_core"] / 800_000, 3)
         ingest["vs_baseline_production_30dim"] = round(

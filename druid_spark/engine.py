@@ -581,8 +581,11 @@ class DruidSparkEngine:
         # Druid's array/MV family auto-wraps string scalars as
         # 1-element MVDs, which the rewriter can only do knowing the
         # column isn't already an array (qaUnnest array_length(c_long))
+        from druid_spark.security import sql_resources
+        ref_tables = {n for rt, n, _a in sql_resources(
+            self.catalog.tables(), text) if rt == "DATASOURCE"}
         scalar_cols, array_cols, array_elem, scalar_types = \
-            self._scalar_array_cols()
+            self._scalar_array_cols(ref_tables or None)
         json_cols = {c for cols in self.catalog._json_cols.values()
                      for c in cols}
         final = rewrite_druid_sql(
@@ -623,52 +626,63 @@ class DruidSparkEngine:
             lambda: (f"plansql||{final}||exact={exact}||"
                      f"cv={self.catalog.version}||" + tables_fp()))
 
-    def _scalar_array_cols(self) -> tuple[set, set]:
-        """Column-name → scalar/array classification across registered
-        tables, cached per catalog version.  Uses catalog.schema()
-        (footer-only for pending tables) so the SQL execute path never
-        force-materializes lazily-registered parquet tables, and a bad
-        registration is skipped per-table instead of aborting the scan
-        (which used to silently disable the scalar auto-wrap for ALL
-        tables and re-attempt the failed read on every query)."""
+    def _scalar_array_cols(self, tables: set | None = None
+                           ) -> tuple[set, set, dict, dict]:
+        """Column-name → scalar/array classification merged over
+        `tables` (default: every registered table), with the per-table
+        schemas cached per catalog version.  Scoping to the tables a
+        query actually references keeps an unrelated table's
+        same-named numeric column from polluting the TIME_*
+        numeric-argument guard (a false rejection, not validation).
+        Uses catalog.schema() (footer-only for pending tables) so the
+        SQL execute path never force-materializes lazily-registered
+        parquet tables, and a bad registration is skipped per-table
+        instead of aborting the scan (which used to silently disable
+        the scalar auto-wrap for ALL tables and re-attempt the failed
+        read on every query)."""
         cached = getattr(self, "_col_kind_cache", None)
-        if cached is not None and cached[0] == self.catalog.version:
-            return cached[1], cached[2], cached[3], cached[4]
+        if cached is None or cached[0] != self.catalog.version:
+            per: dict = {}
+            for t in self.catalog.tables():
+                try:
+                    fields = self.catalog.schema(t).fields
+                except Exception:
+                    continue
+                per[t] = [(f.name, f.dataType.simpleString())
+                          for f in fields]
+            cached = (self.catalog.version, per)
+            self._col_kind_cache = cached
+        per = cached[1]
+        names = (per.keys() if tables is None
+                 else [t for t in tables if t in per]) or per.keys()
         scalar: set = set()
         arr: set = set()
         elem: dict = {}
         stypes: dict = {}
         ambiguous: set = set()
         s_ambiguous: set = set()
-        for t in self.catalog.tables():
-            try:
-                fields = self.catalog.schema(t).fields
-            except Exception:
-                continue
-            for f in fields:
-                s = f.dataType.simpleString()
+        for t in names:
+            for cname, s in per[t]:
                 if s.startswith("array"):
-                    arr.add(f.name)
+                    arr.add(cname)
                     # element type for the cross-type comparison
                     # coercion; names with conflicting element types
                     # across tables are dropped (ambiguous)
                     et = s[6:-1] if s.startswith("array<") else ""
-                    if elem.get(f.name, et) != et:
-                        ambiguous.add(f.name)
-                    elem[f.name] = et
+                    if elem.get(cname, et) != et:
+                        ambiguous.add(cname)
+                    elem[cname] = et
                 else:
-                    scalar.add(f.name)
+                    scalar.add(cname)
                     # scalar type map (the TIME_* numeric-argument
                     # rejection); ambiguous names dropped
-                    if stypes.get(f.name, s) != s:
-                        s_ambiguous.add(f.name)
-                    stypes[f.name] = s
+                    if stypes.get(cname, s) != s:
+                        s_ambiguous.add(cname)
+                    stypes[cname] = s
         for a in ambiguous:
             elem.pop(a, None)
         for a in s_ambiguous:
             stypes.pop(a, None)
-        self._col_kind_cache = (self.catalog.version, scalar, arr, elem,
-                                stypes)
         return scalar, arr, elem, stypes
 
     def _rewrite_table_append(self, text: str) -> str:

@@ -1777,7 +1777,7 @@ def _coerce_array_comparisons(sql: str) -> str:
             if re.match(r"[-+0-9.]", first):
                 return "numeric"
             return None
-        t = elems.get(tok)
+        t = elems.get(tok.rsplit(".", 1)[-1])
         if t is None:
             return None
         t = t.lower().split("(")[0]
@@ -1799,13 +1799,16 @@ def _coerce_array_comparisons(sql: str) -> str:
         return f"CAST({tok} AS ARRAY<STRING>)"
 
     pat = re.compile(
-        r"(?is)(ARRAY\[[^\]]*\]|\b[A-Za-z_]\w*)\s*"
+        r"(?is)(ARRAY\[[^\]]*\]|\b(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*"
         r"(<=|>=|<>|!=|=|<|>)\s*"
-        r"(ARRAY\[[^\]]*\]|\b[A-Za-z_]\w*)")
+        r"(ARRAY\[[^\]]*\]|\b(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)")
 
     def sub(m):
         l, op, r = m.group(1), m.group(2), m.group(3)
-        if l.strip() not in elems and r.strip() not in elems:
+        # catalog keys are bare column names; qualified refs (t.col)
+        # key on the last segment but wrap the full reference
+        if l.strip().rsplit(".", 1)[-1] not in elems and \
+                r.strip().rsplit(".", 1)[-1] not in elems:
             return m.group(0)
         lc, rc = cls_of(l), cls_of(r)
         if lc is None or rc is None or lc == rc:
@@ -1872,7 +1875,9 @@ def _windowed_order_by(sql: str) -> str:
             break
     if fm is None:
         return sql
-    select_list = head[len("SELECT "):fm]
+    # select-list start from the SELECT match itself (leading
+    # whitespace / multi-line queries shift it past 7 chars)
+    select_list = head[m.start(1):fm]
     rest = head[fm + 4:]
     items = []
     win_proj = []
@@ -2974,6 +2979,13 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
                              _uexpr)):
             _num_ucols.add(_ucol)
 
+    # names (re)defined as aliases in this statement may shadow a
+    # table column of the same name — never reject on those (false
+    # rejection is worse than letting Spark's analyzer decide);
+    # numeric-unnest aliases are the deliberate exception
+    _alias_defs = {m.group(1).lower() for m in
+                   re.finditer(r"(?is)\bAS\s+([A-Za-z_]\w*)", out)}
+
     def _time_numeric_guard(fn, rt):
         def b(a):
             if not a:
@@ -2982,6 +2994,8 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
             t = _SCALAR_TYPES.get().get(x, "")
             if x in _num_ucols and not t:
                 t = "BIGINT"
+            elif t and x.lower() in _alias_defs:
+                return None
             if t.split("(")[0].lower() in _num_t:
                 return (f"CAST(RAISE_ERROR('Cannot apply ''{fn}'' to "
                         f"arguments of type ''{t.upper()}''') AS {rt})")

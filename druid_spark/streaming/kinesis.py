@@ -117,11 +117,14 @@ class KinesisClient:
 
     def get_shard_iterator(self, stream: str, shard_id: str,
                            iterator_type: str = "TRIM_HORIZON",
-                           sequence_number: str | None = None) -> str:
+                           sequence_number: str | None = None,
+                           timestamp: float | None = None) -> str:
         p = {"StreamName": stream, "ShardId": shard_id,
              "ShardIteratorType": iterator_type}
         if sequence_number is not None:
             p["StartingSequenceNumber"] = sequence_number
+        if timestamp is not None:
+            p["Timestamp"] = timestamp  # epoch seconds (AT_TIMESTAMP)
         return self._call("GetShardIterator", p)["ShardIterator"]
 
     def get_records(self, iterator: str, limit: int = 10000) -> dict:
@@ -175,9 +178,18 @@ class MiniKinesisServer:
     Kinesis numbers are opaque increasing decimals — consumers must
     only compare/pass them through, which is all this engine does)."""
 
-    def __init__(self, port: int = 0):
+    def __init__(self, port: int = 0, empty_page_every: int = 0):
+        """`empty_page_every=N` makes every Nth GetRecords return an
+        EMPTY page with a valid NextShardIterator and
+        MillisBehindLatest > 0 even though more records exist — real
+        Kinesis does this mid-shard routinely (documented GetRecords
+        behavior); readers must keep paging, not treat empty as EOF."""
         self._streams: dict[str, list[list[dict]]] = {}
+        self._last_ts: dict[tuple[str, int], float] = {}
         self._lock = threading.Lock()
+        self._empty_every = empty_page_every
+        self.get_records_calls = 0
+        self.get_records_record_bytes = 0
         double = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -266,16 +278,36 @@ class MiniKinesisServer:
                     pos = int(p["StartingSequenceNumber"])
                 elif t == "AFTER_SEQUENCE_NUMBER":
                     pos = int(p["StartingSequenceNumber"]) + 1
+                elif t == "AT_TIMESTAMP":
+                    # first record with arrival ts >= Timestamp
+                    want = float(p["Timestamp"])
+                    pos = len(log)
+                    for i, r in enumerate(log):
+                        if r["ApproximateArrivalTimestamp"] >= want:
+                            pos = i
+                            break
                 else:
                     raise ValueError(f"iterator type {t}")
                 return {"ShardIterator":
                         _encode_iter(stream, shard, pos)}
             if op == "GetRecords":
+                self.get_records_calls += 1
                 it = _decode_iter(p["ShardIterator"])
                 idx = int(it["h"].rsplit("-", 1)[-1])
                 log = self._streams[it["s"]][idx]
+                if (self._empty_every and it["i"] < len(log)
+                        and self.get_records_calls
+                        % self._empty_every == 0):
+                    # mid-shard empty page: more data exists, but this
+                    # page carries none (real-Kinesis behavior)
+                    return {"Records": [],
+                            "NextShardIterator": _encode_iter(
+                                it["s"], it["h"], it["i"]),
+                            "MillisBehindLatest": 1}
                 lim = int(p.get("Limit", 10000))
                 recs = log[it["i"]:it["i"] + lim]
+                self.get_records_record_bytes += sum(
+                    len(r["Data"]) for r in recs)
                 nxt = it["i"] + len(recs)
                 return {
                     "Records": recs,
@@ -289,10 +321,15 @@ class MiniKinesisServer:
         shards = self._streams[stream]
         i = _shard_for_key(pk, len(shards))
         seq = str(len(shards[i]))
+        # per-shard non-decreasing arrival timestamps (the real
+        # service assigns them at ingestion, in sequence order)
+        now = _dt.datetime.now(_dt.timezone.utc).timestamp()
+        last = self._last_ts.get((stream, i), 0.0)
+        ts = now if now > last else last + 1e-6  # strictly increasing
+        self._last_ts[(stream, i)] = ts
         shards[i].append({
             "SequenceNumber": seq,
-            "ApproximateArrivalTimestamp":
-                _dt.datetime.now(_dt.timezone.utc).timestamp(),
+            "ApproximateArrivalTimestamp": ts,
             "Data": data_b64,
             "PartitionKey": pk})
         return {"ShardId": f"shardId-{i:012d}", "SequenceNumber": seq}

@@ -7,30 +7,42 @@ reference's Kinesis indexing service consumes
 (extensions-core/kinesis-indexing-service/.../
 KinesisRecordSupplier.java OrderedPartitionableRecord).
 
-Scale model: `partitions(start, end)` emits ONE InputPartition per
-shard with its (afterSeq, untilSeq] range — each Spark task opens its
-own HTTP session and pages GetRecords for only its shard, the same
-shard→task-group assignment the reference supervisor makes
-(supervisor/KinesisSupervisor.java). Offsets (per-shard sequence
-numbers) live in the Structured Streaming checkpoint; together with
-the idempotent batch=<id> sink in streaming/ingest.py this is
-exactly-once.
+Batch-bound model — TIME-BASED, zero driver data reads. Kinesis
+(unlike Kafka) has no "end offset" API: the shard tip is only
+learnable by reading records. Instead of paging the whole stream
+through the driver, `latestOffset()` returns a wall-clock bound
+`{"t": epoch_ms}`; a batch is the half-open arrival-time interval
+(start.t, end.t]. Executors seek their shard with an AT_TIMESTAMP
+iterator (public GetShardIterator type) and read until a record's
+ApproximateArrivalTimestamp passes the bound or the shard is drained
+(MillisBehindLatest == 0) — the reference makes the same move of
+keeping record polling on the workers, not the supervisor
+(KinesisRecordSupplier.java poll loop; the supervisor only tracks
+shard membership). The driver's only per-batch call is ListShards.
 
-Driver-side tip probe: Kinesis (unlike Kafka) has no "end offset"
-API — the tip is only learnable by reading. latestOffset() advances a
-per-shard probe iterator and records the last sequence number seen,
-discarding the payloads; executors then re-fetch their (start, end]
-ranges. The probe reads each record once on the driver — acceptable
-for supervisor-scale streams; deployments with the JVM Kinesis
-connector on the classpath get it via read_stream's JVM-first path.
-Deterministic replay holds because a batch's (start, end] is fixed at
-plan time — a task retry re-reads exactly its range.
+Correctness of the interval split: Kinesis assigns
+ApproximateArrivalTimestamp server-side at ingestion, so within a
+shard timestamps are non-decreasing in sequence order, and any record
+arriving after the bound was planned gets a timestamp greater than
+the bound — half-open (after, until] intervals partition the stream
+exactly. A task retry re-reads exactly its interval (timestamps are
+immutable), so replay is deterministic. For cross-server clock skew
+on real AWS, the `boundlagms` option shifts the bound back by a
+safety margin (0 by default for the in-process double). Resharding is
+handled for free: `partitions()` lists shards fresh each batch, and a
+new shard's records all carry post-split timestamps.
+
+Empty GetRecords pages mid-shard (routine in real Kinesis, documented
+GetRecords behavior) do NOT terminate a read: the loop keeps paging
+while a NextShardIterator is present and MillisBehindLatest > 0, and
+only stops on bound-passed, shard-closed, or drained.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import json
+import time
 from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
@@ -43,19 +55,22 @@ _SCHEMA = ("data binary, streamName string, shardId string, "
            "approximateArrivalTimestamp timestamp")
 
 
-class KinesisSeqRange(InputPartition):
+class KinesisTimeRange(InputPartition):
+    """One shard's (after_ms, until_ms] arrival-time slice."""
+
     def __init__(self, endpoint: str, stream: str, shard_id: str,
-                 after: str | None, until: str):
+                 after_ms: int, until_ms: int):
         self.endpoint = endpoint
         self.stream = stream
         self.shard_id = shard_id
-        self.after = after      # exclusive lower bound (None = horizon)
-        self.until = until      # inclusive upper bound
+        self.after_ms = after_ms
+        self.until_ms = until_ms
 
 
 class KinesisPythonDataSource(DataSource):
     """`spark.readStream.format("druid_kinesis")` options:
-    endpoint (URL), stream, startingposition trim_horizon|latest."""
+    endpoint (URL), stream, startingposition trim_horizon|latest,
+    boundlagms (bound safety lag, default 0)."""
 
     @classmethod
     def name(cls) -> str:
@@ -78,9 +93,8 @@ class KinesisStreamReader(DataSourceStreamReader):
             raise ValueError("druid_kinesis requires a stream option")
         self.starting = options.get(
             "startingposition", "latest").lower()
+        self.bound_lag_ms = int(options.get("boundlagms", 0))
         self._client = None
-        self._iters: dict[str, str] = {}   # shard → probe iterator
-        self._tips: dict[str, str] = {}    # shard → last seq seen
 
     def _cli(self):
         from druid_spark.streaming.kinesis import KinesisClient
@@ -92,86 +106,66 @@ class KinesisStreamReader(DataSourceStreamReader):
         return sorted(s["ShardId"]
                       for s in self._cli().list_shards(self.stream))
 
-    def _probe(self, shard: str) -> str:
-        """Advance this shard's probe iterator to the tip; return the
-        last sequence number seen ('' when nothing has ever arrived)."""
-        cli = self._cli()
-        it = self._iters.get(shard)
-        if it is None:
-            it = cli.get_shard_iterator(self.stream, shard,
-                                        "TRIM_HORIZON")
-        while True:
-            out = cli.get_records(it, limit=10000)
-            recs = out.get("Records", [])
-            if recs:
-                self._tips[shard] = recs[-1]["SequenceNumber"]
-            it = out.get("NextShardIterator") or it
-            if not recs or out.get("MillisBehindLatest", 0) == 0:
-                break
-        self._iters[shard] = it
-        return self._tips.get(shard, "")
+    def _now_bound_ms(self) -> int:
+        return int(time.time() * 1000) - self.bound_lag_ms
 
-    # offsets: JSON dict {shardId: lastConsumedSeq} ('' = none yet)
+    # offsets: JSON dict {"t": epoch_ms} — the committed batch bound
     def initialOffset(self) -> dict:
-        out = {}
-        for sh in self._shards():
-            if self.starting in ("latest",):
-                # tip discovery requires reading — drain once at start
-                # (documented cost; supervisors usually run earliest)
-                out[sh] = self._probe(sh)
-            else:  # trim_horizon / earliest
-                out[sh] = ""
-        return out
+        if self.starting in ("latest",):
+            return {"t": self._now_bound_ms()}
+        return {"t": 0}  # trim_horizon / earliest
 
     def latestOffset(self) -> dict:
-        return {sh: self._probe(sh) for sh in self._shards()}
+        # no GetRecords: the bound is the clock, not the shard tip
+        return {"t": self._now_bound_ms()}
 
     def partitions(self, start: dict, end: dict
-                   ) -> Sequence[KinesisSeqRange]:
+                   ) -> Sequence[KinesisTimeRange]:
         if isinstance(start, str):
             start = json.loads(start)
         if isinstance(end, str):
             end = json.loads(end)
-        out = []
-        for sh, until in end.items():
-            after = start.get(sh, "")
-            if until and (not after or int(until) > int(after)):
-                out.append(KinesisSeqRange(
-                    self.endpoint, self.stream, sh,
-                    after or None, until))
-        return out or [KinesisSeqRange(self.endpoint, self.stream,
-                                       "", None, "")]
+        after = int(start.get("t", 0))
+        until = int(end.get("t", 0))
+        if until > after:
+            return [KinesisTimeRange(self.endpoint, self.stream, sh,
+                                     after, until)
+                    for sh in self._shards()]
+        # empty interval — Spark still wants >=1 partition
+        return [KinesisTimeRange(self.endpoint, self.stream,
+                                 "", 0, 0)]
 
-    def read(self, part: KinesisSeqRange) -> Iterator[tuple]:
-        if not part.shard_id or not part.until:
+    def read(self, part: KinesisTimeRange) -> Iterator[tuple]:
+        if not part.shard_id or part.until_ms <= part.after_ms:
             return
         from druid_spark.streaming.kinesis import KinesisClient
         cli = KinesisClient(part.endpoint)
-        if part.after is None:
+        after_s = part.after_ms / 1000.0
+        until_s = part.until_ms / 1000.0
+        if part.after_ms <= 0:
             it = cli.get_shard_iterator(part.stream, part.shard_id,
                                         "TRIM_HORIZON")
         else:
-            it = cli.get_shard_iterator(
-                part.stream, part.shard_id,
-                "AFTER_SEQUENCE_NUMBER", part.after)
-        until = int(part.until)
-        while True:
+            it = cli.get_shard_iterator(part.stream, part.shard_id,
+                                        "AT_TIMESTAMP",
+                                        timestamp=after_s)
+        while it:
             out = cli.get_records(it, limit=10000)
-            recs = out.get("Records", [])
-            for r in recs:
-                seq = r["SequenceNumber"]
-                if int(seq) > until:
-                    return
-                yield (r["Data"], part.stream, part.shard_id, seq,
-                       r.get("PartitionKey"),
+            for r in out.get("Records", []):
+                ts = float(r["ApproximateArrivalTimestamp"])
+                if ts <= after_s:
+                    continue  # AT_TIMESTAMP is >=; interval is (after,…]
+                if ts > until_s:
+                    return  # bound passed (per-shard ts non-decreasing)
+                yield (r["Data"], part.stream, part.shard_id,
+                       r["SequenceNumber"], r.get("PartitionKey"),
                        _dt.datetime.fromtimestamp(
-                           float(r["ApproximateArrivalTimestamp"]),
-                           tz=_dt.timezone.utc))
-                if int(seq) == until:
-                    return
+                           ts, tz=_dt.timezone.utc))
             it = out.get("NextShardIterator")
-            if not recs or not it:
-                return
+            if not out.get("Records") and \
+                    out.get("MillisBehindLatest", 0) == 0:
+                return  # drained; later arrivals get ts > until
+            # empty page with MillisBehindLatest > 0: keep paging
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint

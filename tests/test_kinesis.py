@@ -24,6 +24,14 @@ def kinesis():
         yield srv
 
 
+@pytest.fixture()
+def kinesis_empty_pages():
+    # every 2nd GetRecords page is empty-but-not-EOF (real-Kinesis
+    # mid-shard behavior the reader must survive)
+    with MiniKinesisServer(empty_page_every=2) as srv:
+        yield srv
+
+
 # ------------------------------------------------------------ wire level
 
 def test_put_get_roundtrip(kinesis):
@@ -214,3 +222,60 @@ def test_kinesis_restart_resumes_from_checkpoint(spark, kinesis,
     q2.awaitTermination(120)
     vs = sorted(r["v"] for r in ing.view().collect())
     assert vs == [0, 1, 2, 3, 4]
+
+
+def test_driver_plans_batches_without_reading_records(kinesis):
+    """Scale gate: batch planning (initialOffset/latestOffset/
+    partitions) makes ZERO GetRecords calls — bounds are wall-clock,
+    record reads happen only in executor tasks (the reference keeps
+    polling on workers too: KinesisRecordSupplier.java)."""
+    from druid_spark.streaming.kinesis_source import KinesisStreamReader
+    cli = KinesisClient(kinesis.endpoint)
+    cli.create_stream("gate", shards=4)
+    for i in range(200):
+        cli.put_record("gate", f"r{i}".encode(), partition_key=str(i))
+    rdr = KinesisStreamReader({"endpoint": kinesis.endpoint,
+                               "stream": "gate",
+                               "startingposition": "trim_horizon"})
+    start = rdr.initialOffset()
+    assert start == {"t": 0}
+    for _ in range(5):
+        end = rdr.latestOffset()
+        parts = rdr.partitions(start, end)
+        assert len(parts) == 4 and all(p.shard_id for p in parts)
+        start = end
+    # also the "latest" starting position needs no tip drain anymore
+    rdr2 = KinesisStreamReader({"endpoint": kinesis.endpoint,
+                                "stream": "gate"})
+    assert rdr2.initialOffset()["t"] > 0
+    assert kinesis.get_records_calls == 0
+    assert kinesis.get_records_record_bytes == 0
+
+
+def test_empty_mid_shard_pages_are_not_eof(spark, kinesis_empty_pages):
+    """Real Kinesis returns empty GetRecords pages mid-shard with a
+    valid NextShardIterator and MillisBehindLatest > 0; the reader
+    must keep paging, not truncate the batch (would be silent data
+    loss past an advancing checkpoint)."""
+    from druid_spark.streaming.kinesis_source import (SOURCE_NAME,
+                                                      ensure_registered)
+    srv = kinesis_empty_pages
+    cli = KinesisClient(srv.endpoint)
+    cli.create_stream("ep", shards=2)
+    for i in range(60):
+        cli.put_record("ep", f"m{i}".encode(), partition_key=str(i))
+    ensure_registered(spark)
+    df = (spark.readStream.format(SOURCE_NAME)
+          .option("endpoint", srv.endpoint)
+          .option("stream", "ep")
+          .option("startingPosition", "trim_horizon").load())
+    batches = []
+    q = (df.writeStream.foreachBatch(
+            lambda b, _id: batches.append(b.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", f"/tmp/kinesis_ep_ck_{srv.port}")
+         .start())
+    q.awaitTermination(120)
+    rows = [r for b in batches for r in b]
+    assert {bytes(r["data"]).decode() for r in rows} == \
+        {f"m{i}" for i in range(60)}
