@@ -65,20 +65,29 @@ def _skip_string(s: str, i: int) -> int:
     return len(s)
 
 
-def _mask_strings(sql: str) -> tuple[str, list[str]]:
+def _mask_strings(sql: str) -> tuple[str, dict[int, str]]:
     """Replace single-quoted string literals with bracket-free \\x00N\\x00
     placeholders so a regex rewrite can't fire inside a literal (a
     JSONPath like '$.array[-1]' must survive the ARRAY[...] constructor
-    rewrite). Restore with _unmask_strings."""
-    lits: list[str] = []
+    rewrite). Restore with _unmask_strings.
+
+    Nesting-safe: indices start above any placeholder already in the
+    text, and _unmask_strings resolves only indices its own dict
+    holds — so a helper masking text the pipeline already masked (the
+    mask-once top-level pass, _MaskCtx) numbers around the outer
+    placeholders and restores only the literals it masked itself."""
+    base = 1 + max((int(m.group(1)) for m in
+                    re.finditer("\x00([0-9]+)\x00", sql)), default=-1)
+    lits: dict[int, str] = {}
     out: list[str] = []
     i = seg = 0
     while i < len(sql):
         if sql[i] == "'":
             j = _skip_string(sql, i)
             out.append(sql[seg:i])
-            out.append(f"\x00{len(lits)}\x00")
-            lits.append(sql[i:j + 1])
+            idx = base + len(lits)
+            out.append(f"\x00{idx}\x00")
+            lits[idx] = sql[i:j + 1]
             i = j + 1
             seg = i
         else:
@@ -87,9 +96,61 @@ def _mask_strings(sql: str) -> tuple[str, list[str]]:
     return "".join(out), lits
 
 
-def _unmask_strings(sql: str, lits: list[str]) -> str:
+def _unmask_strings(sql: str, lits: dict[int, str]) -> str:
+    if not lits:
+        return sql
     return re.sub("\x00([0-9]+)\x00",
-                  lambda m: lits[int(m.group(1))], sql)
+                  lambda m: lits.get(int(m.group(1)), m.group(0)), sql)
+
+
+_MASK = contextvars.ContextVar("druid_spark_mask_ctx", default=None)
+
+# a placeholder token, for patterns that must match where a user
+# string literal sat before the mask-once pass
+_PH = "\x00[0-9]+\x00"
+
+
+class _MaskCtx:
+    """Mask-once literal store for the rewrite pipeline: user string
+    literals tokenize to \\x00N\\x00 placeholders ONCE before the
+    rewrite passes run, so no pass can fire inside user literal
+    content. _rewrite_call resolves placeholders when handing args to
+    builders (they read literal content: period strings, formats,
+    separators) and re-masks each replacement, so engine-emitted
+    literals join the store too."""
+
+    def __init__(self, sql: str):
+        self.text, self.lits = _mask_strings(sql)
+
+    def unmask(self, text: str) -> str:
+        return _unmask_strings(text, self.lits)
+
+    def val(self, tok: str) -> str | None:
+        """Literal text (with quotes) of a placeholder token."""
+        m = re.fullmatch("\x00([0-9]+)\x00", tok.strip())
+        return self.lits.get(int(m.group(1))) if m else None
+
+    def mask(self, text: str) -> str:
+        """Mask any raw literals in `text` into THIS store (indices
+        above everything already issued)."""
+        if "'" not in text:
+            return text
+        nxt = 1 + max(self.lits.keys(), default=-1)
+        out: list[str] = []
+        i = seg = 0
+        while i < len(text):
+            if text[i] == "'":
+                j = _skip_string(text, i)
+                out.append(text[seg:i])
+                out.append(f"\x00{nxt}\x00")
+                self.lits[nxt] = text[i:j + 1]
+                nxt += 1
+                i = j + 1
+                seg = i
+            else:
+                i += 1
+        out.append(text[seg:])
+        return "".join(out)
 
 
 def _rewrite_call(sql: str, fname: str, builder) -> str:
@@ -98,7 +159,13 @@ def _rewrite_call(sql: str, fname: str, builder) -> str:
     split; quote-aware, so parens/commas/brackets inside string
     literals (LTRIM(col, ']'), LIKE 'a(%') don't derail the scan.
     Lets fixed-arity SQL UDFs serve Druid's optional-argument forms
-    (tz / origin / format overloads)."""
+    (tz / origin / format overloads).
+
+    Under the mask-once pipeline (_MaskCtx set), args are unmasked
+    before the builder sees them (builders read literal content:
+    periods, formats, separators) and the replacement is re-masked
+    into the shared store."""
+    ctx = _MASK.get()
     pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
     pos = 0
     while True:
@@ -122,10 +189,12 @@ def _rewrite_call(sql: str, fname: str, builder) -> str:
                 args.append(sql[start:i].strip())
                 start = i + 1
             i += 1
-        rep = builder(args)
+        rep = builder([ctx.unmask(a) for a in args] if ctx else args)
         if rep is None:
             pos = i
         else:
+            if ctx:
+                rep = ctx.mask(rep)
             sql = sql[:m.start()] + rep + sql[i:]
             pos = m.start() + 1
 
@@ -169,10 +238,13 @@ def _rewrite_call_unless_windowed(sql: str, fname: str, builder) -> str:
             fend = _find_spec_end(sql, i + fm.end())
             filt = " " + sql[i + fm.start():fend + 1].strip()
             i = fend + 1
-        rep = builder(args)
+        ctx = _MASK.get()
+        rep = builder([ctx.unmask(a) for a in args] if ctx else args)
         if rep is None:
             pos = i
         else:
+            if ctx:
+                rep = ctx.mask(rep)
             rep = rep.replace("__FILTER__", filt) if "__FILTER__" in rep \
                 else rep + filt
             sql = sql[:m.start()] + rep + sql[i:]
@@ -1183,7 +1255,8 @@ def _inline_array_shims(inner: str) -> str:
     """Spark disallows SQL UDFs inside Generate — inline the
     array-producing shims (their bodies, from register.py)."""
     inner = re.sub(
-        r"\bSTRING_TO_(?:ARRAY|MV)\s*\(\s*([^,]+?)\s*,\s*('[^']*')\s*\)",
+        rf"\bSTRING_TO_(?:ARRAY|MV)\s*\(\s*([^,]+?)\s*,\s*"
+        rf"('[^']*'|{_PH})\s*\)",
         lambda m: _java_split(m.group(1), m.group(2)), inner,
         flags=re.IGNORECASE)
     return re.sub(r"\b(?:MV_TO_ARRAY|ARRAY_TO_MV)\s*\(", "(", inner,
@@ -1999,10 +2072,29 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # and emit Spark-escaped literals knowingly.
     if "\\" in out:
         masked0, lits0 = _mask_strings(out)
-        lits0 = [ln.replace("\\", "\\\\") for ln in lits0]
+        lits0 = {k: v.replace("\\", "\\\\") for k, v in lits0.items()}
         out = _unmask_strings(masked0, lits0)
     if '"' in out:
         out = _dq_idents_to_backticks(out)
+    # MASK ONCE: user string literals tokenize to placeholders here
+    # and stay masked through every rewrite pass below — no pass can
+    # fire inside user literal content. Builders receive unmasked
+    # args via _rewrite_call; the final return restores everything.
+    ctx = _MaskCtx(out)
+    out = ctx.text
+    tok_mask = _MASK.set(ctx)
+    try:
+        out = _rewrite_druid_sql_masked(out, exact, tz)
+    finally:
+        _MASK.reset(tok_mask)
+    return ctx.unmask(out)
+
+
+def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
+    """The rewrite pipeline body. `out` arrives with user string
+    literals already masked (see _rewrite_druid_sql); every pass
+    operates on the masked text."""
+    ctx = _MASK.get()
     if re.search(r"(?i)\)\s*IS\s+(NOT\s+)?(TRUE|FALSE)\b", out):
         out = _parenthesize_in_is(out)
     out = _coerce_array_comparisons(out)
@@ -2018,13 +2110,21 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
                  flags=re.IGNORECASE)
     # INTERVAL '63' DAY (3) — Calcite's leading-field precision
     # (TPC-H Q1 spells it); Spark rejects the precision suffix
-    out = re.sub(r"(?i)(\bINTERVAL\s+'[^']*'\s+[A-Z]+)\s*\(\d+\)",
-                 r"\1", out)
+    out = re.sub(
+        rf"(?i)(\bINTERVAL\s+(?:'[^']*'|{_PH})\s+[A-Z]+)\s*\(\d+\)",
+        r"\1", out)
     # INTERVAL 'n' QUARTER — Spark has no QUARTER unit; 1 quarter =
     # 3 months (Calcite TimeUnit.QUARTER)
+    def _quarter_sub(m):
+        lit = ctx.val(m.group(1)) if ctx else None
+        n = (lit or m.group(1)).strip("'")
+        if not n.isdigit():
+            return m.group(0)
+        return f"INTERVAL '{int(n) * 3}' MONTH"
+
     out = re.sub(
-        r"(?i)\bINTERVAL\s+'(\d+)'\s+QUARTER\b",
-        lambda m: f"INTERVAL '{int(m.group(1)) * 3}' MONTH", out)
+        rf"(?i)\bINTERVAL\s+('\d+'|{_PH})\s+QUARTER\b",
+        _quarter_sub, out)
     # druid.<table> schema qualifiers: the engine registers bare
     # table names (`druid` is the reference's sole datasource schema).
     # String literals are masked so a 'druid.xyz' literal survives.
@@ -2665,7 +2765,7 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # Spark's TO_TIMESTAMP (JDK patterns match Joda for the common
     # y/M/d/H/m/s letters)
     out = re.sub(
-        r"\bTIME_PARSE\(\s*([^,()]+?)\s*,\s*('[^']*')\s*\)",
+        rf"\bTIME_PARSE\(\s*([^,()]+?)\s*,\s*('[^']*'|{_PH})\s*\)",
         lambda m: f"TO_TIMESTAMP({m.group(1)}, {m.group(2)})",
         out, flags=re.IGNORECASE)
     # Calcite POSITION(needle IN haystack FROM start) — Spark only
@@ -2974,9 +3074,10 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
             continue
         _ucol = _tm.group(2)
         et = _ARRAY_ELEM.get().get(_uexpr, "").split("(")[0]
+        _uexpr_u = ctx.unmask(_uexpr) if ctx else _uexpr
         if (et in _num_t
                 or re.search(r"(?i)'array<(bigint|int|double|float)>'",
-                             _uexpr)):
+                             _uexpr_u)):
             _num_ucols.add(_ucol)
 
     # names (re)defined as aliases in this statement may shadow a

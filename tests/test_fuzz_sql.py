@@ -31,3 +31,14 @@ def test_fuzz_native_filter_trees(engine, duck):
     bad = run_fuzz_native(30, seed0=500, engine=engine, con=duck,
                           verbose=False)
     assert not bad, bad[:3]
+
+
+def test_fuzz_hostile_literals(engine, duck):
+    """String literals whose CONTENT is SQL-shaped (keywords,
+    ARRAY[...], OVER (, doubled quotes, backslashes, rewrite trigger
+    spellings) must pass through every rewrite untouched — the
+    mask-once pipeline guarantee (sqlshim._MaskCtx)."""
+    from tools.fuzz_sql import run_hostile_fuzz
+    bad = run_hostile_fuzz(40, seed0=0, engine=engine, con=duck,
+                           verbose=False)
+    assert not bad, bad[:3]

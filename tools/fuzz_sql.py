@@ -533,6 +533,144 @@ def _gen_scalar_subquery(r: random.Random) -> str:
             f"GROUP BY {dim} ORDER BY {dim} NULLS FIRST")
 
 
+# --------------------------------------------------------- hostile arm
+
+# String literals whose CONTENT is SQL-shaped: keywords, operators,
+# doubled quotes, backslashes, rewrite trigger-spellings (ARRAY[...],
+# OVER (, UNNEST(...), INTERVAL, TIME_* calls, JSONPaths, druid.
+# qualifiers). The mask-once pipeline (sqlshim._MaskCtx) must keep
+# every rewrite from firing inside these values; each query runs
+# differentially vs DuckDB so a mangled literal shows up as a value
+# or row diff, not just a parse error.
+HOSTILE_LITS = [
+    "ARRAY[1, 2, 3]",
+    "it''s a trap",
+    "a''||''b",
+    ") OVER (ORDER BY x)",
+    "GROUP BY () HAVING",
+    "SELECT * FROM t WHERE x = ''1''",
+    "INTERVAL ''7'' DAY (3)",
+    "INTERVAL ''2'' QUARTER",
+    "TIME_FLOOR(__time, ''P1D'')",
+    "TIME_PARSE(x, ''yyyy'')",
+    "CAST(x AS CHAR)",
+    "$.array[-1]",
+    "$[''a''][-1]",
+    "druid.lineitem",
+    "CROSS JOIN UNNEST(a) AS u(c)",
+    ", UNNEST(ARRAY[1]) AS u(c)",
+    "STRING_TO_ARRAY(a, '','')",
+    "MV_CONTAINS(x, ''y'')",
+    "EARLIEST(x, 10)",
+    "110\\|220",
+    "\\d+\\.\\w*",
+    "a\\'' ORDER BY",
+    "POSITION('' IN x FROM 2)",
+    "-- comment",
+    "/* block */ SELECT",
+    "LIKE ''%x%'' ESCAPE",
+    "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+    "GROUPING SETS ((a), ())",
+]
+
+
+def _gen_hostile(r: random.Random):
+    """One random hostile literal embedded in a random rewrite-bearing
+    context; returns portable SQL or a (druid, duckdb) pair."""
+    lit = "'" + r.choice(HOSTILE_LITS) + "'"
+    table = r.choice(list(TABLES))
+    g = Gen(r, table)
+    c = r.choice(g.t["str"])
+    n = r.choice(g.t["num"])
+    shape = r.randrange(8)
+    if shape == 0:
+        # comparison + aggregate: hostile literal in WHERE
+        return (f"SELECT COUNT(*) AS n FROM {table} "
+                f"WHERE {c} <> {lit} OR {c} IS NULL")
+    if shape == 1:
+        # CONCAT through the projection
+        return (f"SELECT MIN(LENGTH(CONCAT({c}, {lit}))) AS n "
+                f"FROM {table}")
+    if shape == 2:
+        # REPLACE with a hostile needle (never matches)
+        return (f"SELECT COUNT(DISTINCT REPLACE({c}, {lit}, 'x')) "
+                f"AS n FROM {table}")
+    if shape == 3:
+        # POSITION(... IN ...) goes through the FROM-variant rewrite
+        return (f"SELECT MAX(POSITION({lit} IN {c})) AS n "
+                f"FROM {table}")
+    if shape == 4:
+        # STRING_AGG separator is the hostile literal; LENGTH
+        # finalizes order-independently. The LIMIT cut must be total:
+        # order by a UNIQUE key (non-unique keys pick different rows
+        # per engine — caught by seeds 135/148).
+        uk = {"orders": "o_orderkey", "customer": "c_custkey",
+              "documents": "doc_id"}
+        table = r.choice(list(uk))
+        c = r.choice(TABLES[table]["str"])
+        return (f"SELECT LENGTH(STRING_AGG({c}, {lit})) AS n "
+                f"FROM (SELECT {c} FROM {table} WHERE {c} IS NOT NULL "
+                f"ORDER BY {uk[table]} LIMIT 5) t")
+    if shape == 5:
+        # ARRAY constructor contents (druid) vs IN list (duckdb)
+        dq = (f"SELECT COUNT(*) AS n FROM {table} "
+              f"WHERE ARRAY_CONTAINS(ARRAY[{lit}, 'zz'], {c})")
+        oq = (f"SELECT COUNT(*) AS n FROM {table} "
+              f"WHERE {c} IN ({lit}, 'zz')")
+        return dq, oq
+    if shape == 6:
+        # CASE arms + IN list
+        return (f"SELECT SUM(CASE WHEN {c} IN ({lit}, {lit}) THEN 1 "
+                f"ELSE 0 END) AS n FROM {table}")
+    # window partition untouched by the hostile projection literal
+    return (f"SELECT MAX(rn) AS n FROM (SELECT ROW_NUMBER() OVER "
+            f"(PARTITION BY {c} ORDER BY {n}) AS rn, {lit} AS h "
+            f"FROM {table}) t")
+
+
+def run_hostile_fuzz(n: int = 100, seed0: int = 0,
+                     sf_dir: str = "/root/testdata/sf0.001",
+                     engine=None, con=None, verbose: bool = True):
+    """Differential fuzz where every query carries an SQL-shaped
+    string literal through a rewrite-bearing context."""
+    import duckdb
+    if engine is None:
+        from druid_spark import DruidSparkEngine
+        from druid_spark.session import get_spark
+        engine = DruidSparkEngine(get_spark(), data_dir=sf_dir,
+                                  sketch_default_nominal_entries=None)
+    if con is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+    bad = []
+    for i in range(n):
+        seed = seed0 + i
+        q = _gen_hostile(random.Random(seed))
+        dq, oq = (q, q) if isinstance(q, str) else q
+        try:
+            sdf = engine.sql(dq)
+            srows = canon_rows(sdf.columns,
+                               [tuple(r) for r in sdf.collect()])
+            res = con.execute(oq)
+            orows = canon_rows([d[0] for d in res.description],
+                               res.fetchall())
+        except Exception as e:
+            bad.append((seed, dq, f"error: {type(e).__name__}: {e}"))
+            if verbose:
+                print(f"HOSTILE ERROR seed={seed}\n  {dq}\n  {e}")
+            continue
+        if srows != orows and not rows_close(srows, orows):
+            diff = [p for p in zip(srows, orows) if p[0] != p[1]][:3]
+            bad.append((seed, dq, f"rows {len(srows)}/{len(orows)} "
+                                  f"diff={diff}"))
+            if verbose:
+                print(f"HOSTILE MISMATCH seed={seed}\n  {dq}\n  "
+                      f"spark={len(srows)} duck={len(orows)} {diff}")
+    return bad
+
+
 def canon_rows(cols, rows):
     out = []
     for row in rows:
@@ -653,6 +791,9 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
-    bad = run_fuzz(n, s0, sf)
+    if "--hostile" in sys.argv:
+        bad = run_hostile_fuzz(n, s0, sf)
+    else:
+        bad = run_fuzz(n, s0, sf)
     print(f"\n{n - len(bad)} ok, {len(bad)} mismatches")
     sys.exit(1 if bad else 0)
