@@ -609,6 +609,156 @@ def _default_frames(spark):
     return out, lookups
 
 
+# ------------------------------------------------- kttm synthetic rows
+
+def _kttm_rows() -> list[dict]:
+    """Deterministic synthetic rows matching the kttm_nested schema
+    (quidem-ut/src/main/java/org/apache/druid/quidem/
+    KttmNestedComponentSupplier.java: string dims + long
+    session_length/timezone_offset + `auto` event/agent structs).
+    The real kttm-nested-v2-2019-08-25.json is a classloader resource
+    not shipped in the source tree, so the kttm_sunburst golden VALUES
+    are unreproducible — these rows instead make the family RUNNABLE
+    with DuckDB as a self-oracle over the same rows (run_case_oracle).
+
+    Shape guarantees for oracle safety: 60 distinct profiles with
+    multiplicities 1..60, so any GROUP BY has <= 60 groups (every
+    kttm_sunburst query says LIMIT 101 -> never truncates; multiset
+    compare is then order-safe even with ORDER BY "count" ties)."""
+    browsers = ["Chrome", "Mobile Safari", "Chrome Mobile", "Safari",
+                "Firefox", "Opera", "IE", "unknown", ""]
+    versions = ["76.0.3809.100", "76.0.3809.102", "75.0.3770.144",
+                "75.0.3770.142", "64.0.3282.140", "70.0.3538.102",
+                "74.0.3729.159", "63.0.3239.86", "12.1.2", "12.1.1",
+                "12.2", "", "11.0", "68.0", "44.0"]
+    cats = ["Personal computer", "Smartphone", "Tablet"]
+    layers = [None, "0", "1", "2", "3", "4", "5", "6"]
+    adb = ["NoAdblock", "EasyList"]
+    slen = [-26270, -19210, -15330, -12580, -2020, 0, 10, 30, 120,
+            710, 815, 1035, 1175, 1225, 1255, 1300, 1605, 2065]
+    rows = []
+    for i in range(60):
+        agent = {"type": "Browser", "category": cats[i % 3],
+                 "browser": browsers[i % 9],
+                 "browser_version": versions[i % 15],
+                 "os": "OS X", "platform": "desktop"}
+        event = {"type": "PercentClear", "percentage": (i * 7) % 100}
+        if layers[i % 8] is not None:
+            event["layer"] = layers[i % 8]
+        for k in range(i + 1):
+            rows.append({
+                "__time": dt.datetime(
+                    2019, 8, 25, (i * 3 + k) % 24, (k * 11) % 60,
+                    (i + k) % 60, tzinfo=dt.timezone.utc),
+                "session": f"S{i:04d}",
+                "number": str(i % 30),
+                "event": json.dumps(event, separators=(",", ":")),
+                "agent": json.dumps(agent, separators=(",", ":")),
+                "client_ip": f"10.0.{i % 8}.{k % 250}",
+                "geo_ip": f"geo{i % 5}",
+                "language": ["en", "fr", "de"][i % 3],
+                "adblock_list": adb[i % 2],
+                "app_version": "1.0",
+                "path": f"/p/{i % 7}",
+                "loaded_image": "img.png",
+                "referrer": f"https://r{i % 4}.example/x",
+                "referrer_host": f"r{i % 4}.example",
+                "server_ip": "172.31.11.5",
+                "screen": "1920x1080",
+                "window": "1280x720",
+                "session_length": slen[i % 18],
+                "timezone": ["UTC", "America/New_York"][i % 2],
+                "timezone_offset": [0, -240][i % 2],
+            })
+    return rows
+
+
+def _kttm_frames(spark):
+    from pyspark.sql import types as T
+    rows = _kttm_rows()
+    fields = [T.StructField("__time", T.TimestampType())]
+    longs = {"session_length", "timezone_offset"}
+    for k in rows[0]:
+        if k == "__time":
+            continue
+        fields.append(T.StructField(
+            k, T.LongType() if k in longs else T.StringType()))
+    schema = T.StructType(fields)
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in fields) for r in rows], schema)
+    json_cols = {"event": "COMPLEX<json>", "agent": "COMPLEX<json>"}
+    return {"kttm_nested": (df.cache(), json_cols)}, {}
+
+
+def _kttm_duck_con():
+    """DuckDB connection over the SAME synthetic kttm rows — the
+    self-oracle for the kttm_sunburst family."""
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    rows = _kttm_rows()
+    pdf = pd.DataFrame(rows)
+    pdf["__time"] = pd.to_datetime(pdf["__time"]).dt.tz_localize(None)
+    con.register("kttm_pdf", pdf)
+    con.execute("CREATE VIEW kttm_nested AS SELECT * FROM kttm_pdf")
+    return con
+
+
+def _kttm_oracle_sql(sql: str) -> str:
+    """Druid SQL -> DuckDB SQL for the kttm surface: JSON_VALUE maps
+    to json_extract_string (same NULL-on-missing semantics); the rest
+    of the family (CAST/FLOOR/COUNT/GROUP BY/TIMESTAMP literals/IS NOT
+    TRUE) is shared syntax."""
+    out = re.sub(r"(?i)\bJSON_VALUE\s*\(", "json_extract_string(",
+                 sql)
+    # TIME_FLOOR(x, 'period') -> date_trunc (the only periods the
+    # family uses)
+    per = {"PT1H": "hour", "PT1M": "minute", "P1D": "day",
+           "P1M": "month", "P1Y": "year"}
+    out = re.sub(
+        r"(?i)\bTIME_FLOOR\s*\(\s*(.*?)\s*,\s*'(P[^']*)'\s*"
+        r"(?:,\s*NULL\s*(?:,\s*'(?:Etc/)?UTC'\s*)?)?\)",
+        lambda m: (f"date_trunc('{per[m.group(2)]}', {m.group(1)})"
+                   if m.group(2) in per else m.group(0)),
+        out)
+    return out
+
+
+def _oracle_cell(v):
+    # ints and floats compare numerically (the quidem golden
+    # comparator is equally lenient: Calcite FLOOR(DOUBLE) renders
+    # -12580.0 where Spark's FLOOR yields BIGINT -12580)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return round(float(v), 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def run_case_oracle(eng, con, c) -> tuple[str, str]:
+    """Self-oracle compare: engine vs DuckDB over identical rows,
+    multiset semantics (see _kttm_rows for why order/LIMIT are safe)."""
+    try:
+        sdf = eng.sql(c["sql"])
+        srows = sorted(repr(tuple(_oracle_cell(x) for x in row))
+                       for row in sdf.collect())
+    except Exception as ex:
+        return "error", str(ex).replace("\n", " ")[:300]
+    try:
+        res = con.execute(_kttm_oracle_sql(c["sql"]))
+        orows = sorted(repr(tuple(_oracle_cell(x) for x in row))
+                       for row in res.fetchall())
+    except Exception as ex:
+        return "error", f"oracle: {str(ex)[:280]}"
+    if srows == orows:
+        return "pass-oracle", ""
+    diff = [p for p in zip(srows, orows) if p[0] != p[1]][:3]
+    return "mismatch", (f"oracle diff rows {len(srows)}/{len(orows)} "
+                        f"{diff}")
+
+
 def build_dataset_frames(spark, dataset_rel: str):
     """dataset path (relative to the reference root) → ({table: df},
     {lookup: map}), applying the reference's own ingest specs with our
@@ -618,6 +768,8 @@ def build_dataset_frames(spark, dataset_rel: str):
 
     if dataset_rel == "__default__":
         return _default_frames(spark)
+    if dataset_rel == "__KttmNestedComponentSupplier__":
+        return _kttm_frames(spark)
     if dataset_rel.startswith("__"):
         raise FileNotFoundError(
             f"dataset for supplier {dataset_rel} not available locally")
@@ -1202,6 +1354,7 @@ def run(families, file_filter=None, case_filter=None, limit=None,
     eng = None
     cur_ds = object()
     results = []
+    kttm_con = None
     npass = nfail = nerr = nskip = 0
     OUTDIR.mkdir(exist_ok=True)
     stem = "_".join(f.rsplit(".", 1)[-1] for f in families)
@@ -1230,7 +1383,14 @@ def run(families, file_filter=None, case_filter=None, limit=None,
                        "detail": ds_err}
                 fh.write(json.dumps(rec) + "\n")
                 continue
-            status, detail = run_case(eng, c)
+            if c["family"] == "kttm_sunburst" and c["kind"] == "ok":
+                # golden values are unreproducible (source json not in
+                # the tree) — DuckDB self-oracle over identical rows
+                if kttm_con is None:
+                    kttm_con = _kttm_duck_con()
+                status, detail = run_case_oracle(eng, kttm_con, c)
+            else:
+                status, detail = run_case(eng, c)
             rec = {"id": c["id"], "status": status}
             if detail:
                 rec["detail"] = detail[:400]
