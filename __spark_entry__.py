@@ -4262,11 +4262,13 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                round(VAR_POP(o_totalprice), 2) AS v_pop,
                round(VAR_SAMP(o_totalprice), 2) AS v_samp
         FROM orders GROUP BY 1 ORDER BY 1""", None),
+    # BIT_AND folds from an initial accumulator of 0 in the reference
+    # (BitwiseSqlAggregator.java init "0") — any non-empty group is 0
     "sqlc_bit_aggs": ("""
         SELECT BIT_AND(n_nationkey) AS ba, BIT_OR(n_nationkey) AS bo,
                BIT_XOR(n_nationkey) AS bx
         FROM nation WHERE n_nationkey IN (12, 13, 14)""", """
-        SELECT 12 AS ba, 15 AS bo, 15 AS bx"""),
+        SELECT 0 AS ba, 15 AS bo, 15 AS bx"""),
     "sqlc_approx_count_exact_mode": ("""
         SELECT o_orderstatus,
                APPROX_COUNT_DISTINCT(o_orderpriority) AS pri_card
@@ -6064,7 +6066,8 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM lineitem WHERE l_orderkey < 64
         GROUP BY l_linenumber ORDER BY l_linenumber""", """
         SELECT l_linenumber,
-               BIT_AND(l_orderkey) AS ba, BIT_OR(l_orderkey) AS bo,
+               CASE WHEN COUNT(l_orderkey) > 0 THEN 0 END AS ba,
+               BIT_OR(l_orderkey) AS bo,
                BIT_XOR(l_orderkey) AS bx
         FROM lineitem WHERE l_orderkey < 64
         GROUP BY l_linenumber ORDER BY l_linenumber"""),
@@ -9671,8 +9674,13 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(BIT_AND(o_orderkey) AS BIGINT) AS ba,
                CAST(BIT_OR(o_orderkey)  AS BIGINT) AS bo,
                CAST(BIT_XOR(o_orderkey) AS BIGINT) AS bx
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-        None),
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""", """
+        SELECT o_orderstatus,
+               CAST(CASE WHEN COUNT(o_orderkey) > 0 THEN 0 END
+                    AS BIGINT) AS ba,
+               CAST(BIT_OR(o_orderkey)  AS BIGINT) AS bo,
+               CAST(BIT_XOR(o_orderkey) AS BIGINT) AS bx
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     "sqlc_bitwise_agg_filtered": ("""
         SELECT CAST(BIT_OR(l_linenumber)
                       FILTER (WHERE l_returnflag = 'R') AS BIGINT)

@@ -587,12 +587,26 @@ class DruidSparkEngine:
         scalar_cols, array_cols, array_elem, scalar_types = \
             self._scalar_array_cols(ref_tables or None)
         json_cols = {c for cols in self.catalog._json_cols.values()
-                     for c in cols}
+                     for c, ty in cols.items() if ty != "MVD"}
+        mvd_cols = {c for cols in self.catalog._json_cols.values()
+                    for c, ty in cols.items() if ty == "MVD"}
+        # REAL typed arrays (not MVDs): numeric/bool element types can
+        # never be MVDs (MVDs are VARCHAR), plus variant arrays the
+        # catalog marked "ARRAY". Scalar string functions and IN over
+        # these reject like the reference's Calcite validator; string-
+        # element arrays stay ambiguous with MVDs (both store as
+        # array<string>) and are deliberately not guarded.
+        real_arrays = {c for c, et in array_elem.items()
+                       if et and not et.split("(")[0] in
+                       ("string", "varchar", "char")}
+        real_arrays |= {c for jc in self.catalog._json_cols.values()
+                        for c, ty in jc.items() if ty == "ARRAY"}
         final = rewrite_druid_sql(
             text, exact=exact, tz=set_ctx.get("sqlTimeZone", "UTC"),
             default_nominal_entries=self.sketch_default_nominal_entries,
             scalar_cols=scalar_cols - array_cols, json_cols=json_cols,
-            array_elem=array_elem, scalar_types=scalar_types)
+            array_elem=array_elem, scalar_types=scalar_types,
+            real_array_cols=real_arrays, mvd_cols=mvd_cols)
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner
         # applies to SQL through the same query stack). Keyed on the
@@ -868,7 +882,10 @@ class DruidSparkEngine:
             VARCHAR/BIGINT/FLOAT/DOUBLE/TIMESTAMP/ARRAY/COMPLEX<json>;
             Druid has no 8/16/32-bit ints or booleans)."""
             if f.name in json_cols:
-                return json_cols[f.name]
+                # the MVD hint is internal — MVDs publish as VARCHAR
+                if json_cols[f.name] != "MVD":
+                    return json_cols[f.name]
+                return "VARCHAR"
             s = f.dataType.simpleString()
             if s.startswith("array"):
                 return "ARRAY"

@@ -144,8 +144,12 @@ _FUNCS: list[tuple[str, str, str, str]] = [
       END"""),
     ("TIME_FORMAT", "ts TIMESTAMP, pat STRING", "STRING",
      "date_format(ts, pat)"),
-    ("TIME_PARSE", "s STRING", "TIMESTAMP",
-     "to_timestamp(rtrim('Z', replace(s, 'T', ' ')))"),
+    # bare 1-4 digit strings are partial-ISO years (Joda
+    # ISODateTimeFormat.dateTimeParser: time_parse('1') = year 1 —
+    # qaUnnest mv scalar_datetime goldens); Spark needs 4 digits
+    ("TIME_PARSE", "s STRING", "TIMESTAMP", """
+      to_timestamp(CASE WHEN s RLIKE '^[0-9]{1,4}$' THEN lpad(s, 4, '0')
+                        ELSE rtrim('Z', replace(s, 'T', ' ')) END)"""),
     ("TIME_IN_INTERVAL", "ts TIMESTAMP, iv STRING", "BOOLEAN", """
       ts >= to_timestamp(rtrim('Z', replace(split_part(iv, '/', 1), 'T', ' ')))
       AND ts < to_timestamp(rtrim('Z', replace(split_part(iv, '/', 2), 'T', ' ')))"""),
@@ -244,18 +248,22 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # the separator is a REGEX (reference StringToArrayFunction:
     # String.split — Function.java:3612), with Java's trailing-empty
     # trimming (split('a.b.c','.') = []); null separator splits chars
+    # Java String.split: "".split(re) is [""] (the one case the
+    # trailing-empty trim does NOT turn into an empty array)
     ("STRING_TO_ARRAY", "s STRING, sep STRING", "ARRAY<STRING>", """
+      IF(s = '', array(''),
       slice(split(s, coalesce(sep, '')), 1,
             coalesce(array_max(transform(
               sequence(1, size(split(s, coalesce(sep, '')))),
               __sti -> IF(element_at(split(s, coalesce(sep, '')),
-                                     __sti) <> '', __sti, 0))), 0))"""),
+                                     __sti) <> '', __sti, 0))), 0)))"""),
     ("STRING_TO_MV", "s STRING, sep STRING", "ARRAY<STRING>", """
+      IF(s = '', array(''),
       slice(split(s, coalesce(sep, '')), 1,
             coalesce(array_max(transform(
               sequence(1, size(split(s, coalesce(sep, '')))),
               __sti -> IF(element_at(split(s, coalesce(sep, '')),
-                                     __sti) <> '', __sti, 0))), 0))"""),
+                                     __sti) <> '', __sti, 0))), 0)))"""),
     ("MV_TO_ARRAY", "arr ARRAY<STRING>", "ARRAY<STRING>", "arr"),
     # empty array → NULL MVD (MV columns have no empty form)
     ("ARRAY_TO_MV", "arr ARRAY<STRING>", "ARRAY<STRING>",

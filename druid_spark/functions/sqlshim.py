@@ -46,6 +46,10 @@ _ARRAY_ELEM: contextvars.ContextVar[dict] = contextvars.ContextVar(
 # validator (a bigint fed to TIME_EXTRACT would silently read as
 # epoch SECONDS here while Druid reads native millis — erroring
 # matches the reference and prevents the silent misread)
+_REAL_ARRAYS: contextvars.ContextVar[set] = contextvars.ContextVar(
+    "druid_spark_real_array_cols", default=set())
+_MVD_COLS: contextvars.ContextVar[set] = contextvars.ContextVar(
+    "druid_spark_mvd_cols", default=set())
 _SCALAR_TYPES: contextvars.ContextVar[dict] = contextvars.ContextVar(
     "druid_spark_scalar_types", default={})
 
@@ -931,13 +935,13 @@ def _array_agg_call(args):
     if pre:
         # DISTINCT accumulates through the reference's array_set_add
         # (a sorted set): output is ascending with null first
-        # (qaUnnest array_sql_agg_funcs pins [null, 1, 2]), and an
-        # all-null input leaves the set buffer nil → NULL (qaAggFuncs
-        # array_agg_timestamp DISTINCT null-group goldens). The plain
-        # collector KEEPS an all-null group as [null, ...]
-        # (array_sql_agg_funcs GROUP BY c pins [null, null, null]).
+        # (qaUnnest array_sql_agg_funcs pins [null, 1, 2]); an
+        # all-null GROUP keeps its null element as [null] (qaUnnest
+        # array_sql_agg_funcs.08 C3/C6 D1: array_agg(DISTINCT s_int)
+        # GROUP BY s_int renders [null] for the null group) — only a
+        # zero-ROW input leaves the buffer nil.
         body = f"SORT_ARRAY({body}, TRUE)"
-        return f"IF(COUNT({new})__FILTER__ = 0, NULL, {body})"
+        return f"IF(COUNT(1)__FILTER__ = 0, NULL, {body})"
     # plain arm: ZERO input ROWS → NULL (nil buffer), but an all-null
     # group keeps its null elements — count rows, not values
     return f"IF(COUNT(1)__FILTER__ = 0, NULL, {body})"
@@ -1246,9 +1250,10 @@ def _java_split(s: str, sep: str) -> str:
     is a REGEX (reference StringToArrayFunction, Function.java:3612)
     and trailing empty tokens are trimmed (split('a.b.c','.') = [])."""
     arr = f"SPLIT({s}, COALESCE({sep}, ''))"
-    return (f"SLICE({arr}, 1, COALESCE(ARRAY_MAX(TRANSFORM("
+    return (f"IF({s} = '', ARRAY(''), "
+            f"SLICE({arr}, 1, COALESCE(ARRAY_MAX(TRANSFORM("
             f"SEQUENCE(1, SIZE({arr})), __sti -> "
-            f"IF(ELEMENT_AT({arr}, __sti) <> '', __sti, 0))), 0))")
+            f"IF(ELEMENT_AT({arr}, __sti) <> '', __sti, 0))), 0)))")
 
 
 def _inline_array_shims(inner: str) -> str:
@@ -1490,7 +1495,9 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       scalar_cols: set[str] | None = None,
                       json_cols: set[str] | None = None,
                       array_elem: dict | None = None,
-                      scalar_types: dict | None = None) -> str:
+                      scalar_types: dict | None = None,
+                      real_array_cols: set | None = None,
+                      mvd_cols: set | None = None) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -1504,9 +1511,13 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok3 = _JSON_COLS.set(json_cols or set())
     tok4 = _ARRAY_ELEM.set(array_elem or {})
     tok5 = _SCALAR_TYPES.set(scalar_types or {})
+    tok6 = _REAL_ARRAYS.set(real_array_cols or set())
+    tok7 = _MVD_COLS.set(mvd_cols or set())
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
+        _MVD_COLS.reset(tok7)
+        _REAL_ARRAYS.reset(tok6)
         _DEFAULT_NOM.reset(tok)
         _SCALAR_COLS.reset(tok2)
         _JSON_COLS.reset(tok3)
@@ -2058,6 +2069,130 @@ def _parenthesize_in_is(sql: str) -> str:
         pos = m.end() + 2
 
 
+def _scan_top_kw(sql: str, kws: list[str]) -> dict[str, int]:
+    """Positions of the FIRST depth-0, outside-string occurrence of
+    each keyword phrase (raw text; quote-aware)."""
+    out: dict[str, int] = {}
+    pats = [(k, re.compile(r"(?is)\b" + r"\s+".join(k.split()) + r"\b"))
+            for k in kws]
+    depth = 0
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"":
+            i = _skip_string(sql, i) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and ch.isalpha() and (
+                i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            for k, pat in pats:
+                if k not in out and pat.match(sql, i):
+                    out[k] = i
+                    break
+        i += 1
+    return out
+
+
+def _grouping_sets_window(sql: str) -> str:
+    """GROUPING SETS / ROLLUP / CUBE combined with window functions:
+    Calcite evaluates the windows over the grouped output (qaWin
+    sql_group_by A2/A3 batteries), while Spark's analyzer raises
+    MISSING_AGGREGATION for grouping columns referenced inside OVER.
+    Rewrite to a pre-aggregated subquery: the grouping exprs project
+    out (simple columns by name, complex exprs as __gswN aliases),
+    GROUP BY + HAVING stay inner, the windowed select + WINDOW clause
+    move outside with each complex grouping expr text replaced by its
+    alias. Runs on RAW text before the mask-once pass (the same
+    literal appears in several clauses and must compare equal)."""
+    if not re.search(r"(?is)\bGROUP\s+BY\s+"
+                     r"(GROUPING\s+SETS|ROLLUP|CUBE)\s*\(", sql):
+        return sql
+    if not re.search(r"(?i)\bOVER\b", sql):
+        return sql
+    m0 = re.match(r"(?is)^\s*SELECT\s+", sql)
+    if not m0:
+        return sql
+    kw = _scan_top_kw(sql, ["FROM", "WHERE", "GROUP BY", "HAVING",
+                            "WINDOW", "ORDER BY", "LIMIT", "OFFSET",
+                            "UNION", "INTERSECT", "EXCEPT"])
+    if any(k in kw for k in ("UNION", "INTERSECT", "EXCEPT")):
+        return sql
+    if "FROM" not in kw or "GROUP BY" not in kw:
+        return sql
+    end = len(sql)
+    tail_at = min((kw[k] for k in ("ORDER BY", "LIMIT", "OFFSET")
+                   if k in kw), default=end)
+    win_at = kw.get("WINDOW", tail_at)
+    hav_at = kw.get("HAVING", win_at)
+    sel = sql[m0.end():kw["FROM"]].strip()
+    where_at = kw.get("WHERE", kw["GROUP BY"])
+    from_part = sql[kw["FROM"] + 4:where_at].strip()
+    where = (sql[where_at + 5:kw["GROUP BY"]].strip()
+             if "WHERE" in kw else "")
+    gb = sql[kw["GROUP BY"] + len("GROUP BY"):hav_at].strip()
+    having = (sql[hav_at + 6:win_at].strip() if "HAVING" in kw else "")
+    winc = (sql[win_at + 6:tail_at].strip() if "WINDOW" in kw else "")
+    tail = sql[tail_at:].strip()
+    gm = re.match(r"(?is)^(GROUPING\s+SETS|ROLLUP|CUBE)\s*\(", gb)
+    if not gm:
+        return sql
+    inner_args = gb[gm.end():gb.rindex(")")]
+    # top-level comma split (quote/paren-aware), flattening tuples
+    exprs: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    while i <= len(inner_args):
+        ch = inner_args[i] if i < len(inner_args) else ","
+        if i < len(inner_args) and ch in "'\"":
+            i = _skip_string(inner_args, i) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            e = inner_args[start:i].strip()
+            if e.startswith("(") and e.endswith(")"):
+                exprs.extend(x.strip() for x in
+                             _top_split(e[1:-1]) if x.strip())
+            elif e:
+                exprs.append(e)
+            start = i + 1
+        i += 1
+    if not exprs:
+        return sql
+    # dedupe, keep order
+    seen = set()
+    exprs = [e for e in exprs
+             if not (e.upper() in seen or seen.add(e.upper()))]
+    inner_sel = []
+    repl: list[tuple[str, str]] = []   # (expr_text, alias)
+    for n, e in enumerate(exprs):
+        if re.fullmatch(r"[A-Za-z_][\w.]*", e):
+            inner_sel.append(e)
+        else:
+            inner_sel.append(f"{e} AS __gsw{n}")
+            repl.append((e, f"__gsw{n}"))
+    def sub_aliases(text: str) -> str:
+        for e, a in sorted(repl, key=lambda p: -len(p[0])):
+            pat = r"\s*".join(re.escape(tok) for tok in
+                              re.split(r"(\s+)", e) if tok.strip())
+            text = re.sub(pat, a, text, flags=re.IGNORECASE)
+        return text
+    inner = (f"SELECT {', '.join(inner_sel)} FROM {from_part}"
+             + (f" WHERE {where}" if where else "")
+             + f" GROUP BY {gb}"
+             + (f" HAVING {having}" if having else ""))
+    out = (f"SELECT {sub_aliases(sel)} FROM ({inner}) __gsw"
+           + (f" WINDOW {sub_aliases(winc)}" if winc else "")
+           + (f" {sub_aliases(tail)}" if tail else ""))
+    return out
+
+
 def _rewrite_druid_sql(sql: str, exact: bool = True,
                        tz: str = "UTC") -> str:
     out = sql
@@ -2076,6 +2211,7 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
         out = _unmask_strings(masked0, lits0)
     if '"' in out:
         out = _dq_idents_to_backticks(out)
+    out = _grouping_sets_window(out)
     # MASK ONCE: user string literals tokenize to placeholders here
     # and stay masked through every rewrite pass below — no pass can
     # fire inside user literal content. Builders receive unmasked
@@ -2095,6 +2231,104 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     literals already masked (see _rewrite_druid_sql); every pass
     operates on the masked text."""
     ctx = _MASK.get()
+    # Scalar string/IP/parse functions over a REAL ARRAY argument are
+    # Calcite validation errors in the reference ("Cannot apply 'FN'
+    # to arguments of type ..."); over MVDs (VARCHAR) they map
+    # element-wise and stay legal. Detect arrays syntactically
+    # (ARRAY[...] / json_value(... RETURNING <t> array)) or through
+    # the catalog's real-array column set (numeric/variant element
+    # types — string-element arrays are indistinguishable from MVDs
+    # in this engine's storage and stay unguarded, documented in
+    # tools/negative_report.py).
+    def _is_real_array_expr(e: str) -> bool:
+        e = e.strip()
+        if re.match(r"(?is)^ARRAY\s*[\[(]", e):
+            return True
+        if re.search(r"(?is)\bRETURNING\s+\w+\s+ARRAY\s*\)\s*$", e):
+            return True
+        # json_value(... RETURNING <t> array) after its own rewrite:
+        # a FROM_JSON(..., 'array<t>') producing expression
+        if re.search(r"(?is)\bFROM_JSON\s*\(.*'array<\w+>'", e):
+            return True
+        return e.rsplit(".", 1)[-1] in _REAL_ARRAYS.get()
+
+    _arr_reject = [
+        ("STRLEN", [0], "INT"), ("STRPOS", [0, 1], "INT"),
+        ("REVERSE", [0], "STRING"), ("REPEAT", [0], "STRING"),
+        ("LEFT", [0], "STRING"), ("RIGHT", [0], "STRING"),
+        ("TEXTCAT", [0, 1], "STRING"),
+        ("CONTAINS_STRING", [0, 1], "BOOLEAN"),
+        ("ICONTAINS_STRING", [0, 1], "BOOLEAN"),
+        ("IPV4_PARSE", [0], "BIGINT"), ("IPV4_STRINGIFY", [0], "STRING"),
+        ("IPV4_MATCH", [0], "BOOLEAN"), ("IPV6_MATCH", [0], "BOOLEAN"),
+        ("PARSE_LONG", [0], "BIGINT"), ("TIME_PARSE", [0], "TIMESTAMP"),
+        ("TIMESTAMP_TO_MILLIS", [0], "BIGINT"),
+        ("MILLIS_TO_TIMESTAMP", [0], "TIMESTAMP"),
+        ("GREATEST", None, "STRING"), ("LEAST", None, "STRING"),
+        ("APPROX_COUNT_DISTINCT", [0], "BIGINT"),
+        ("APPROX_COUNT_DISTINCT_BUILTIN", [0], "BIGINT"),
+    ]
+
+    def _arr_guard(fn, idxs, rt):
+        def b(a):
+            check = a if idxs is None else \
+                [a[i] for i in idxs if i < len(a)]
+            if any(_is_real_array_expr(x) for x in check):
+                return (f"CAST(RAISE_ERROR('Cannot apply {fn} to "
+                        f"arguments of type ARRAY') AS {rt})")
+            return None
+        return b
+
+    for _fn, _idxs, _rt in _arr_reject:
+        if re.search(rf"(?i)\b{_fn}\s*\(", out):
+            out = _rewrite_call(out, _fn, _arr_guard(_fn, _idxs, _rt))
+
+    # ARRAY_ORDINAL_OF / ARRAY_OFFSET_OF / MV_* need a SCALAR second
+    # argument ("second argument must be a scalar type")
+    def _scalar_2nd_guard(fn):
+        def b(a):
+            if len(a) == 2 and _is_real_array_expr(a[1]):
+                return (f"CAST(RAISE_ERROR('Function {fn}: second "
+                        f"argument must be a scalar type') AS INT)")
+            return None
+        return b
+
+    for _fn in ("ARRAY_ORDINAL_OF", "ARRAY_OFFSET_OF",
+                "MV_ORDINAL_OF", "MV_OFFSET_OF"):
+        if re.search(rf"(?i)\b{_fn}\s*\(", out):
+            out = _rewrite_call(out, _fn, _scalar_2nd_guard(_fn))
+
+    # an ARRAY column in [NOT] IN (SELECT ...) rejects in the
+    # reference ('ARRAY' validation error — qaArray
+    # sql_subquery_with_where !error batteries). The expression-list
+    # form `a_bool IN (json_value(... RETURNING boolean array), ...)`
+    # is LEGAL (array-vs-array comparison) and stays untouched.
+    _in_arrays = set(_REAL_ARRAYS.get()) | set(_ARRAY_ELEM.get())
+    if _in_arrays and re.search(r"(?i)\bIN\s*\(\s*SELECT\b", out):
+        out = re.sub(
+            r"(?is)(?<![\w.])([A-Za-z_]\w*)(\s+NOT)?\s+IN\s*"
+            r"\(\s*SELECT\b",
+            lambda m: ("CAST(RAISE_ERROR('Values passed to IN operator "
+                       "must have compatible types ARRAY') AS BOOLEAN) "
+                       "OR " + m.group(0))
+            if m.group(1) in _in_arrays else m.group(0),
+            out)
+
+    # ordered comparisons / LIKE / BETWEEN over COMPLEX<json> columns
+    # reject (Calcite: COMPLEX<JSON> is not comparable)
+    if _JSON_COLS.get():
+        _jc = "|".join(re.escape(c) for c in sorted(_JSON_COLS.get()))
+        _jpat = re.compile(
+            rf"(?is)(?<![\w.])(?:[A-Za-z_]\w*\.)?({_jc})\s*"
+            rf"(<=|>=|<(?![>=])|>(?!=)|\s+NOT\s+LIKE\b|\s+LIKE\b|"
+            rf"\s+NOT\s+BETWEEN\b|\s+BETWEEN\b)")
+        if _jpat.search(out):
+            out = _jpat.sub(
+                lambda m: ("CAST(RAISE_ERROR('Cannot apply comparison "
+                           "to arguments of type COMPLEX JSON') "
+                           "AS BOOLEAN) OR " + m.group(0)),
+                out, count=0)
+
     if re.search(r"(?i)\)\s*IS\s+(NOT\s+)?(TRUE|FALSE)\b", out):
         out = _parenthesize_in_is(out)
     out = _coerce_array_comparisons(out)
@@ -2184,6 +2418,30 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                  + ("".join(", " + x for x in a[1:])) + ")")
                 if a and a[0].strip() in _ARRAY_ELEM.get() else None)
     out = _rewrite_json_returning(out)
+    # BIT_AND folds bitwiseAnd from an initial accumulator of ZERO in
+    # the reference (BitwiseSqlAggregator.java:142-151 init "0";
+    # CalciteQueryTest.testBitwiseAggregatorsTimeseries expects 0), so
+    # any group with a non-null input aggregates to 0; all-null groups
+    # are NULL (isNullUnlessAggregated). BIT_OR/BIT_XOR share the init
+    # but 0 is their identity, so they keep real semantics.
+    def _bit_fold(fn):
+        def b(a):
+            if len(a) == 1 and not re.match(
+                    r"(?is)^CAST\(.*AS BIGINT\)$", a[0].strip()):
+                # the reference funnels the argument through a LONG
+                # virtual column (BitwiseSqlAggregator); string MVD
+                # elements coerce, junk parses to NULL
+                return f"{fn}(CAST({a[0]} AS BIGINT))"
+            return None
+        return b
+
+    for _bfn in ("BIT_OR", "BIT_XOR"):
+        out = _rewrite_call_unless_windowed(out, _bfn, _bit_fold(_bfn))
+    out = _rewrite_call_unless_windowed(
+        out, "BIT_AND",
+        lambda a: (f"IF(COUNT({a[0]})__FILTER__ > 0, "
+                   f"CAST(0 AS BIGINT), CAST(NULL AS BIGINT))")
+        if len(a) == 1 else None)
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
     # 3-arg forms carry maxBytesPerValue (EarliestLatestBySqlAggregator)
     # — dropped, Spark strings are unbounded
@@ -2288,9 +2546,17 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             return "'1'" if s.upper() == "TRUE" else "'0'"
         return f"'{s}'"
 
+    def _arrish(x: str) -> str:
+        # a quoted-string scalar in the ARRAY position is the 1-elem
+        # MVD it implies (mv_sql_array_funcs: array_prepend(c, 'Z')
+        # prepends onto ['Z'])
+        if re.fullmatch(r"'(?:[^']|'')*'", x.strip()):
+            return f"ARRAY({x})"
+        return x
+
     out = _rewrite_call(
         out, "ARRAY_PREPEND",
-        lambda a: (f"array_prepend({a[1]}, "
+        lambda a: (f"array_prepend({_arrish(a[1])}, "
                    f"{_scalar_to_elem(_d_suffix_literal(a[0]), a[1])})")
         if len(a) == 2 else None)
     # decimal-literal second args type as DECIMAL and fail Spark's
@@ -2300,9 +2566,10 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         if len(a) != 2:
             return None
         v = _scalar_to_elem(_d_suffix_literal(a[1]), a[0])
-        if v == a[1].strip():
+        arr = _arrish(a[0])
+        if v == a[1].strip() and arr == a[0]:
             return None
-        return f"array_append({a[0]}, {v})"
+        return f"array_append({arr}, {v})"
 
     out = _rewrite_call(out, "ARRAY_APPEND", _array_append_call)
     # approx count-distinct shorthands: exact mode (the oracle contract)
@@ -2509,6 +2776,69 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         out = _normalize_window_frames(out)
         out = _firstlast_unordered_frames(out)
     out = _inject_window_order(out)
+    # GROUP BY over an MVD column EXPLODES the dim (Druid groupBy on
+    # a multi-value dimension emits one group per element — the
+    # classic "exploded" MVD grouping; mv_sql_group_by goldens:
+    # GROUP BY c_mv_all_null_and_empty_val → one group per element,
+    # null MVD → a null group). Typed ARRAY columns group by VALUE
+    # and are untouched. Conservative: single bare-table FROM.
+    _mvds = _MVD_COLS.get()
+    if _mvds and re.search(r"(?is)\bGROUP\s+BY\b", out):
+        _kwm = _scan_top_kw(out, ["FROM", "WHERE", "GROUP BY",
+                                  "HAVING", "ORDER BY", "LIMIT",
+                                  "OFFSET", "WINDOW", "UNION",
+                                  "INTERSECT", "EXCEPT"])
+        if ("GROUP BY" in _kwm and "FROM" in _kwm
+                and not any(k in _kwm for k in
+                            ("UNION", "INTERSECT", "EXCEPT"))):
+            _gb_end = min((_kwm[k] for k in ("HAVING", "WINDOW",
+                                             "ORDER BY", "LIMIT",
+                                             "OFFSET") if k in _kwm),
+                          default=len(out))
+            _gb = out[_kwm["GROUP BY"] + 8:_gb_end]
+            _used = [c for c in sorted(_mvds)
+                     if re.search(rf"(?i)(?<![\w.]){c}\b", _gb)]
+            _from_end = _kwm.get("WHERE", _kwm["GROUP BY"])
+            _fseg = out[_kwm["FROM"] + 4:_from_end].strip()
+            if _used and re.fullmatch(r"[A-Za-z_]\w*", _fseg):
+                _lvs = " ".join(
+                    f"LATERAL VIEW OUTER EXPLODE({c}) __mvt{i} "
+                    f"AS __mvg{i}" for i, c in enumerate(_used))
+                _sub = ("(SELECT * EXCEPT ("
+                        + ", ".join(_used) + "), "
+                        + ", ".join(f"__mvg{i} AS {c}"
+                                    for i, c in enumerate(_used))
+                        + f" FROM {_fseg} {_lvs}) {_fseg}")
+                out = (out[:_kwm["FROM"]] + "FROM " + _sub + " "
+                       + out[_from_end:])
+    # Calcite dedupes duplicate SELECT * output names with a 0 suffix
+    # (test_unnest.s_int + u(s_int) -> second column "s_int0",
+    # qaUnnest array_sql_col_general A1_B9); rename the unnest alias
+    # column when the query references the suffixed name.
+    for _m in list(re.finditer(r"(?is)\bAS\s+(\w+)\s*\(\s*(\w+)\s*\)",
+                               out)):
+        _ucol = _m.group(2)
+        if (_ucol in _SCALAR_COLS.get()
+                or _ucol in _ARRAY_ELEM.get()) and \
+                re.search(rf"(?i)\b{_ucol}0\b", out):
+            out = (out[:_m.start()]
+                   + f"AS {_m.group(1)}({_ucol}0)" + out[_m.end():])
+            break
+    # a parenthesized join group containing UNNEST can't host Spark's
+    # LATERAL VIEW — strip the (pure-join, non-subquery) parens so the
+    # unnest-then-join path rewrites to a LATERAL subquery instead
+    # (qaUnnest array_sql_join A7: (t1 CROSS JOIN unnest(..)) JOIN t2)
+    while True:
+        _fm = re.search(r"(?is)\bFROM\s*\(", out)
+        if not _fm:
+            break
+        _close = _find_spec_end(out, _fm.end())
+        _inner = out[_fm.end():_close]
+        if re.match(r"(?is)\s*SELECT\b", _inner) or \
+                not re.search(r"(?is)\bUNNEST\s*\(", _inner) or \
+                not re.search(r"(?is)\bJOIN\b", _inner):
+            break
+        out = out[:_fm.start()] + "FROM " + _inner + out[_close + 1:]
     out = _rewrite_unnest_join(out)
     out = _rewrite_unnest(out)
     out = _rewrite_unnest_from(out)
@@ -2556,7 +2886,8 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                         ("ARRAY_OVERLAP", 1), ("ARRAY_APPEND", 0),
                         # ARRAY_PREPEND already swapped to Spark's
                         # (arr, value) order by the earlier rewrite
-                        ("ARRAY_PREPEND", 0), ("ARRAY_CONCAT", 0),
+                        ("ARRAY_PREPEND", 0), ("ARRAY_TO_MV", 0),
+                        ("ARRAY_CONCAT", 0),
                         ("ARRAY_CONCAT", 1), ("ARRAY_SLICE", 0),
                         ("MV_LENGTH", 0), ("MV_OFFSET", 0),
                         ("MV_ORDINAL", 0), ("MV_OFFSET_OF", 0),
@@ -2636,21 +2967,28 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 f"CAST({a} AS ARRAY<STRING>))")
 
     def _mv_overlap_call(args):
+        # exact MvOverlapFunction semantics (Function.java:4289):
+        # A = mv_harmonize_nulls(a) (null/empty -> [null]); B = b cast
+        # to string array (null -> null).  B null -> containsNull(A)
+        # as a strict boolean; B empty -> false; null-safe overlap ->
+        # true; no overlap with null in A but none in B -> NULL;
+        # else false.  (qaUnnest mv_funcs A1_B7 batteries: the
+        # (null,null) pair is TRUE, (x,null) is contains-null, and
+        # (null,x) no-match is NULL.)
         if len(args) != 2:
             return None
         a, b = args
-        if re.match(r"(?is)^\s*ARRAY\s*[\[(]", b):
-            # literal probe list plans as a native IN filter —
-            # standard three-valued (mv_overlap(a_str, ARRAY[1]) =
-            # null on no-match with a null element present)
-            return (f"EXISTS({_mv_harmonize(a)}, __mvx -> "
-                    f"__sac(CAST({b} AS ARRAY<STRING>), __mvx))")
-        # expression probe: the two-valued array_overlap over BOTH
-        # sides mv_harmonize_nulls'd (null elements match null)
-        A, B = _mv_harmonize(a), _mv_harmonize(b)
-        return (f"COALESCE(EXISTS({B}, __mvx -> CASE WHEN __mvx IS NULL "
-                f"THEN EXISTS({A}, __mvy -> __mvy IS NULL) ELSE "
-                f"COALESCE(__sac({A}, __mvx), FALSE) END), FALSE)")
+        A = _mv_harmonize(a)
+        B = f"CAST({b} AS ARRAY<STRING>)"
+        cnA = f"EXISTS({A}, __mvy -> __mvy IS NULL)"
+        cnB = f"EXISTS({B}, __mvx -> __mvx IS NULL)"
+        ov = (f"EXISTS({A}, __mvy -> CASE WHEN __mvy IS NULL THEN "
+              f"{cnB} ELSE COALESCE(__sac({B}, __mvy), FALSE) END)")
+        return (f"CASE WHEN ({B}) IS NULL THEN {cnA} "
+                f"WHEN SIZE({B}) = 0 THEN FALSE "
+                f"WHEN COALESCE({ov}, FALSE) THEN TRUE "
+                f"WHEN NOT {cnB} AND {cnA} THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE FALSE END")
 
     def _mv_contains_call(args):
         if len(args) != 2:
@@ -2659,8 +2997,11 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         A = _mv_harmonize(a)
         if re.match(r"(?is)^\s*(ARRAY\s*[\[(]|STRING_TO_ARRAY\s*\("
                     r"|MV_TO_ARRAY\s*\()", e):
+            # MvContainsFunction: a null probe array reads as
+            # contains-null(A); an EMPTY probe array is TRUE
             E = f"CAST({e} AS ARRAY<STRING>)"
-            return (f"IF(({E}) IS NULL, FALSE, "
+            return (f"IF(({E}) IS NULL, "
+                    f"EXISTS({A}, __acy -> __acy IS NULL), "
                     f"forall({E}, __acx -> CASE WHEN __acx IS NULL THEN "
                     f"EXISTS({A}, __acy -> __acy IS NULL) ELSE "
                     f"COALESCE(__sac({A}, __acx), FALSE) END))")
@@ -3057,7 +3398,8 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # mis-answer. Known numeric scalar columns reject at runtime.
     _tf_types = {"TIME_FLOOR": "TIMESTAMP", "TIME_CEIL": "TIMESTAMP",
                  "TIME_SHIFT": "TIMESTAMP", "TIME_EXTRACT": "BIGINT",
-                 "TIME_FORMAT": "STRING"}
+                 "TIME_FORMAT": "STRING", "TIME_PARSE": "TIMESTAMP",
+                 "TIMESTAMP_TO_MILLIS": "BIGINT"}
     _num_t = {"bigint", "int", "smallint", "tinyint", "double",
               "float", "long", "integer", "decimal"}
 
@@ -3111,7 +3453,11 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # evaluates it to 0 over a plain GROUP BY (every listed dim is
     # grouped); Spark rejects it outside grouping-set queries
     # (qaArray agg_funcs grouping batteries)
-    if not re.search(r"(?is)\b(GROUPING\s+SETS|ROLLUP|CUBE)\b", out):
+    if not re.search(r"(?is)\b(GROUPING\s+SETS|ROLLUP|CUBE)\b", out) \
+            and re.search(r"(?is)\bGROUP\s+BY\b", out):
+        # plain GROUP BY: every listed dim is grouped -> constant 0.
+        # With NO GROUP BY Calcite rejects GROUPING ("may only occur
+        # in an aggregate query") and Spark does too - leave it.
         out = _rewrite_call(out, "GROUPING", lambda a: "0" if a else None)
     # Calcite's niladic PI (SELECT pi) — Spark requires the call form;
     # only when no column of that name exists

@@ -871,6 +871,11 @@ def build_dataset_frames(spark, dataset_rel: str):
                 if has_list:
                     fields.append(T.StructField(
                         name, T.ArrayType(T.StringType())))
+                    # a STRING dim with array values is an MVD —
+                    # grouped it EXPLODES (unlike typed arrays, which
+                    # group by value); the catalog hint drives the
+                    # SQL layer's GROUP BY rewrite
+                    json_cols.append((name, "MVD"))
                     # empty array ingests as null (Druid drops it)
                     coercers.append(lambda v: None if v is None or v == []
                                     else [_mv_elem(e) for e in v]
@@ -939,8 +944,13 @@ def _parse_expected_ts(e: str):
     if not m:
         return None
     ms = int((m.group(7) or "0").ljust(3, "0")[:3])
-    d = dt.datetime(*[int(m.group(i)) for i in range(1, 7)],
-                    tzinfo=dt.timezone.utc)
+    try:
+        d = dt.datetime(*[int(m.group(i)) for i in range(1, 7)],
+                        tzinfo=dt.timezone.utc)
+    except ValueError:
+        # year 0000 goldens (TIME_PARSE('0') renders 0000-01-01) are
+        # outside datetime's range — compare those cells as text
+        return None
     return int(d.timestamp() * 1000) + ms
 
 
@@ -1443,7 +1453,23 @@ def run_case(eng, c) -> tuple[str, str]:
         return "skip-noexpect", "no mysql table in expected block"
     try:
         df = eng.sql(c["sql"])
-        actual = [tuple(row) for row in df.collect()]
+        try:
+            actual = [tuple(row) for row in df.collect()]
+        except Exception as ex:
+            if "year 0 is out of range" not in str(ex):
+                raise
+            # pre-Gregorian timestamps (TIME_PARSE('1') = year 1)
+            # crash PySpark's java->datetime rebase; collect them
+            # pre-rendered in the comparator's own format
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+            sel = [F.date_format(
+                       F.col("`" + f.name + "`"),
+                       "yyyy-MM-dd HH:mm:ss.SSS").alias(f.name)
+                   if isinstance(f.dataType, T.TimestampType)
+                   else F.col("`" + f.name + "`")
+                   for f in df.schema.fields]
+            actual = [tuple(row) for row in df.select(sel).collect()]
     except Exception as ex:
         return "error", str(ex).replace("\n", " ")[:300]
     if len(actual) != nrows:
