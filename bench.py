@@ -719,6 +719,9 @@ def main():
                 ingest.get("rollup_rows_per_sec_per_core"),
             "cold_total_sec": round(sum(cold.values()), 4),
             "dedup_minhash_spread_sec": spreads.get("dedup_minhash"),
+            "ingest_rollup_spread_sec": ingest.get("rollup_spread_sec"),
+            "ingest_trivial_spread_sec":
+                ingest.get("trivial_spread_sec"),
             "full": "bench_out.json",
         },
     }

@@ -935,13 +935,18 @@ def _array_agg_call(args):
     if pre:
         # DISTINCT accumulates through the reference's array_set_add
         # (a sorted set): output is ascending with null first
-        # (qaUnnest array_sql_agg_funcs pins [null, 1, 2]); an
-        # all-null GROUP keeps its null element as [null] (qaUnnest
-        # array_sql_agg_funcs.08 C3/C6 D1: array_agg(DISTINCT s_int)
-        # GROUP BY s_int renders [null] for the null group) — only a
-        # zero-ROW input leaves the buffer nil.
+        # (qaUnnest array_sql_agg_funcs pins [null, 1, 2]), and an
+        # all-null input leaves the set buffer nil → NULL (qaAggFuncs
+        # array_agg_long/string test002/003 A33-A37 pin
+        # strlen(array_to_string(array_agg(DISTINCT x), '')) = NULL
+        # for the null group; qaUnnest's D1 batteries pin the opposite
+        # [null] — the reference's own corpora disagree, and the
+        # 12-case qaAggFuncs family wins over the 5-case qaUnnest
+        # one). The plain collector KEEPS an all-null group as
+        # [null, ...] (array_sql_agg_funcs GROUP BY c pins
+        # [null, null, null]).
         body = f"SORT_ARRAY({body}, TRUE)"
-        return f"IF(COUNT(1)__FILTER__ = 0, NULL, {body})"
+        return f"IF(COUNT({new})__FILTER__ = 0, NULL, {body})"
     # plain arm: ZERO input ROWS → NULL (nil buffer), but an all-null
     # group keeps its null elements — count rows, not values
     return f"IF(COUNT(1)__FILTER__ = 0, NULL, {body})"
@@ -2353,9 +2358,13 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         _jc = "|".join(re.escape(c) for c in sorted(_cjson))
         _jpat = re.compile(
             rf"(?is)(?<![\w.])(?:[A-Za-z_]\w*\.)?({_jc})\s*"
-            rf"(<=|>=|<(?![>=])|>(?!=)|\s+NOT\s+LIKE\b|\s+LIKE\b|"
+            rf"(<=|>=|<(?![>=])|>(?!=)|"
             rf"\s+NOT\s+BETWEEN\b|\s+BETWEEN\b|"
             rf"\s+IS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b)")
+        # LIKE over json stays ACCEPTED: qaJsonCols
+        # ingest_schmless_json I14-I17 pin `c2 like '%b_str%'` as a
+        # working text match (the qaArray a_nested NOT LIKE rejections
+        # remain an accepted-superset class)
         if _jpat.search(out):
             out = _jpat.sub(
                 lambda m: ("CAST(RAISE_ERROR('Cannot apply comparison "
