@@ -2490,21 +2490,34 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # — dropped, Spark strings are unbounded
     out = _rewrite_call(
         out, "EARLIEST_BY",
-        lambda a: f"MIN_BY({a[0]}, {a[1]})" if len(a) in (2, 3) else None)
+        lambda a: ((f"MIN_BY({a[0]}, __time)"
+                    if re.match(r"(?is)^TIMESTAMP\s", a[1].strip())
+                    else f"MIN_BY({a[0]}, {a[1]})")
+                   if len(a) in (2, 3) else None))
     out = _rewrite_call(
         out, "LATEST_BY",
-        lambda a: f"MAX_BY({a[0]}, {a[1]})" if len(a) in (2, 3) else None)
+        lambda a: ((f"MAX_BY({a[0]}, __time)"
+                    if re.match(r"(?is)^TIMESTAMP\s", a[1].strip())
+                    else f"MAX_BY({a[0]}, {a[1]})")
+                   if len(a) in (2, 3) else None))
     # balanced-paren rewrite so nested-call args work
     # (EARLIEST(UPPER(x))); the 2-arg maxBytes form drops the byte cap
     # (Spark strings are unbounded)
-    out = _rewrite_call(
-        out, "EARLIEST",
-        lambda args: f"MIN_BY({args[0]}, __time)"
-        if args and len(args) <= 2 else None)
-    out = _rewrite_call(
-        out, "LATEST",
-        lambda args: f"MAX_BY({args[0]}, __time)"
-        if args and len(args) <= 2 else None)
+    # EARLIEST/LATEST over a COMPLEX<json> column folds to NULL in the
+    # reference (qaSql aggr_general A21/A25/A29: the first/last
+    # aggregator has no COMPLEX implementation and yields null)
+    def _first_last(mf):
+        def b(args):
+            if not args or len(args) > 2:
+                return None
+            a0 = args[0].strip()
+            if a0 in (_JSON_COLS.get() - _REAL_ARRAYS.get()):
+                return "CAST(NULL AS STRING)"
+            return f"{mf}({args[0]}, __time)"
+        return b
+
+    out = _rewrite_call(out, "EARLIEST", _first_last("MIN_BY"))
+    out = _rewrite_call(out, "LATEST", _first_last("MAX_BY"))
     # sketch-state functions ALWAYS compile to real Datasketches state
     # (Spark 3.5+/4 ships the Apache Datasketches HLL family natively —
     # the same library the reference extension wraps:
