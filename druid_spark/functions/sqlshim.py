@@ -2518,6 +2518,13 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
 
     out = _rewrite_call(out, "EARLIEST", _first_last("MIN_BY"))
     out = _rewrite_call(out, "LATEST", _first_last("MAX_BY"))
+    # ANY_VALUE over COMPLEX<json> folds to NULL the same way
+    # (aggr_general A29); other shapes keep Spark's builtin
+    out = _rewrite_call(
+        out, "ANY_VALUE",
+        lambda a: ("CAST(NULL AS STRING)"
+                   if len(a) == 1 and a[0].strip() in
+                   (_JSON_COLS.get() - _REAL_ARRAYS.get()) else None))
     # sketch-state functions ALWAYS compile to real Datasketches state
     # (Spark 3.5+/4 ships the Apache Datasketches HLL family natively —
     # the same library the reference extension wraps:
