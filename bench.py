@@ -284,8 +284,14 @@ def main():
     # 4.8 GB mid-run evicts page cache and contaminates whatever is
     # timed next (round-2 lesson: the driver-recorded asymptotic sum
     # read 0.285x baseline while an uncontaminated re-run showed 1.34x).
-    cache20 = "/tmp/druid_spark_bench_cache/li20.parquet"
-    cache600 = "/tmp/druid_spark_bench_cache/li_col_600m.parquet"
+    # cache paths are keyed by SF: a dev run at sf0.01 must not leave
+    # a 10x-smaller 20x fact for the driver's sf0.1 run to reuse (the
+    # fixed job cost then dominates and the recorded rates collapse —
+    # seen round 9: rollup 348k -> 85k rows/s/core from a poisoned
+    # cache)
+    _sf_tag = os.path.basename(os.path.normpath(SF_DIR))
+    cache20 = f"/tmp/druid_spark_bench_cache/li20_{_sf_tag}.parquet"
+    cache600 = f"/tmp/druid_spark_bench_cache/li_col_600m_{_sf_tag}.parquet"
     try:
         import functools
         li = engine.catalog.table("lineitem")
@@ -295,7 +301,7 @@ def main():
         # 20x TPC-H tables with REMAPPED keys (replica i offsets its
         # order/customer keys) so join fan-out matches a true 20x scale
         # factor instead of multiplying matches 20x20
-        tpch20_dir = "/tmp/druid_spark_bench_cache/tpch20"
+        tpch20_dir = f"/tmp/druid_spark_bench_cache/tpch20_{_sf_tag}"
         if not os.path.exists(tpch20_dir):
             rep = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
             orders = engine.catalog.table("orders")
@@ -410,7 +416,7 @@ def main():
         for t in ("lineitem", "orders", "customer"):
             eng20.catalog.register_table(
                 t, spark.read.parquet(
-                    f"/tmp/druid_spark_bench_cache/tpch20/{t}"))
+                    f"/tmp/druid_spark_bench_cache/tpch20_{_sf_tag}/{t}"))
         texts20 = {f"q{n}": entrymod.oracle_sql()[f"tpch_q{n}"]
                    for n in (1, 3, 6)}
         texts20["q18"] = entrymod._SQL_CASES["sqlc_tpch_q18"][0]
