@@ -882,6 +882,21 @@ def _string_agg_call(args):
     return f"LISTAGG({pre}{expr}, {rest})"
 
 
+def _mv_elem_coerce(scalar: str, arr: str) -> str:
+    """The value appended/prepended to an MVD casts through the
+    ARRAY's element type first (MvAppend/PrependFunction castTo
+    array1Type): mv_prepend('A', a_bool) over a LONG array yields a
+    NULL element (qaArray ops_funcs_mv_funcs B10 pins
+    [null,"1","0",null])."""
+    et = _ARRAY_ELEM.get().get(arr.strip(), "").split("(")[0].lower()
+    if et in ("bigint", "int", "smallint", "tinyint", "long",
+              "integer"):
+        return f"CAST(CAST({scalar} AS BIGINT) AS STRING)"
+    if et in ("double", "float", "decimal"):
+        return f"CAST(CAST({scalar} AS DOUBLE) AS STRING)"
+    return f"CAST({scalar} AS STRING)"
+
+
 def _d_suffix_literal(expr: str) -> str:
     """A bare decimal literal types as DECIMAL in Spark but DOUBLE in
     Druid SQL; D-suffix it so array element types line up
@@ -2694,11 +2709,22 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # inputs → NULL, not [] (reference ArrayConcatSqlAggregator —
     # qaArray agg_funcs FILLER batteries pin the blank), which
     # COLLECT_LIST alone can't express (it skips nulls silently).
-    out = _rewrite_call(
-        out, "ARRAY_CONCAT_AGG",
-        lambda args: (f"IF(COUNT({args[0]}) = 0, NULL, "
-                      f"FLATTEN(COLLECT_LIST({args[0]})))")
-        if args else None)
+    def _concat_agg_call(args):
+        if not args:
+            return None
+        pre, expr = _split_distinct(args[0])
+        if pre:
+            # DISTINCT concat folds through the reference's
+            # array_set_add_all: an ELEMENT set, sorted ascending with
+            # null first (qaArray ops_funcs_agg_funcs B30 batteries
+            # pin [null, 1, 2] across differently-ordered input rows)
+            return (f"IF(COUNT({expr}) = 0, NULL, SORT_ARRAY("
+                    f"ARRAY_DISTINCT(FLATTEN(COLLECT_LIST({expr}))), "
+                    f"TRUE))")
+        return (f"IF(COUNT({expr}) = 0, NULL, "
+                f"FLATTEN(COLLECT_LIST({expr})))")
+
+    out = _rewrite_call(out, "ARRAY_CONCAT_AGG", _concat_agg_call)
     # Calcite OFFSET n ROWS / FETCH NEXT|FIRST n ROWS ONLY paging →
     # Spark's LIMIT/OFFSET clauses (Spark accepts LIMIT before OFFSET;
     # swap when Calcite's OFFSET-first order is used)
@@ -3119,12 +3145,12 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         # MV append/prepend/concat coerce through ARRAY<STRING> (the
         # MVD family type; mixed-type inputs error in Spark otherwise)
         ("MV_APPEND",
-         lambda a: f"ARRAY_APPEND(CAST({a[0]} AS ARRAY<STRING>), "
-         f"CAST({a[1]} AS STRING))"
+         lambda a: (f"ARRAY_APPEND(CAST({a[0]} AS ARRAY<STRING>), "
+                    f"{_mv_elem_coerce(a[1], a[0])})")
          if len(a) == 2 else None),
         ("MV_PREPEND",
-         lambda a: f"ARRAY_PREPEND(CAST({a[1]} AS ARRAY<STRING>), "
-         f"CAST({a[0]} AS STRING))"
+         lambda a: (f"ARRAY_PREPEND(CAST({a[1]} AS ARRAY<STRING>), "
+                    f"{_mv_elem_coerce(a[0], a[1])})")
          if len(a) == 2 else None),
         ("ARRAY_SLICE", _array_slice_call),
         ("MV_SLICE", _array_slice_call),
