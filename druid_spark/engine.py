@@ -606,7 +606,10 @@ class DruidSparkEngine:
             default_nominal_entries=self.sketch_default_nominal_entries,
             scalar_cols=scalar_cols - array_cols, json_cols=json_cols,
             array_elem=array_elem, scalar_types=scalar_types,
-            real_array_cols=real_arrays, mvd_cols=mvd_cols)
+            real_array_cols=real_arrays, mvd_cols=mvd_cols,
+            variant_array_cols={
+                c for cols in self.catalog._json_cols.values()
+                for c, ty in cols.items() if ty == "ARRAY"})
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner
         # applies to SQL through the same query stack). Keyed on the

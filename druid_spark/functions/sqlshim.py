@@ -50,6 +50,8 @@ _REAL_ARRAYS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_real_array_cols", default=set())
 _MVD_COLS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_mvd_cols", default=set())
+_VARRAYS: contextvars.ContextVar[set] = contextvars.ContextVar(
+    "druid_spark_variant_array_cols", default=set())
 _SCALAR_TYPES: contextvars.ContextVar[dict] = contextvars.ContextVar(
     "druid_spark_scalar_types", default={})
 
@@ -1517,7 +1519,8 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       array_elem: dict | None = None,
                       scalar_types: dict | None = None,
                       real_array_cols: set | None = None,
-                      mvd_cols: set | None = None) -> str:
+                      mvd_cols: set | None = None,
+                      variant_array_cols: set | None = None) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -1533,9 +1536,11 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok5 = _SCALAR_TYPES.set(scalar_types or {})
     tok6 = _REAL_ARRAYS.set(real_array_cols or set())
     tok7 = _MVD_COLS.set(mvd_cols or set())
+    tok8 = _VARRAYS.set(variant_array_cols or set())
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
+        _VARRAYS.reset(tok8)
         _MVD_COLS.reset(tok7)
         _REAL_ARRAYS.reset(tok6)
         _DEFAULT_NOM.reset(tok)
@@ -2348,6 +2353,23 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         if re.search(rf"(?i)\b{_fn}\s*\(", out):
             out = _rewrite_call(out, _fn, _scalar_2nd_guard(_fn))
 
+    # a NUMERIC probe into a VARIANT array is NULL in the reference
+    # (the probe casts to the variant element type and misses —
+    # qaArray ops_funcs_array_funcs C19: array_offset_of(a_mixed, 1))
+    _vars_ = _VARRAYS.get()
+    if _vars_:
+        def _variant_probe_null(fn):
+            def b(a):
+                if len(a) == 2 and a[0].strip() in _vars_ and \
+                        re.fullmatch(r"[-+]?\d+(\.\d+)?",
+                                     a[1].strip()):
+                    return "CAST(NULL AS INT)"
+                return None
+            return b
+        for _fn in ("ARRAY_ORDINAL_OF", "ARRAY_OFFSET_OF"):
+            if re.search(rf"(?i)\b{_fn}\s*\(", out):
+                out = _rewrite_call(out, _fn, _variant_probe_null(_fn))
+
     # an ARRAY column in [NOT] IN (SELECT ...) rejects in the
     # reference ('ARRAY' validation error — qaArray
     # sql_subquery_with_where !error batteries). The expression-list
@@ -2467,6 +2489,11 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # Spark array cast to string renders '[S1, S2, null]'. Rescan-safe:
     # once wrapped, the arg is no longer a bare identifier.
     if _ARRAY_ELEM.get():
+        out = _rewrite_call(
+            out, "JSON_PATHS",
+            lambda a: ("ARRAY('$')"
+                       if len(a) == 1 and a[0].strip() in
+                       _ARRAY_ELEM.get() else None))
         for _jf in ("JSON_KEYS", "JSON_VALUE", "JSON_QUERY",
                     "JSON_PATHS", "JSON_QUERY_ARRAY", "TO_JSON_STRING"):
             out = _rewrite_call(
@@ -2527,6 +2554,10 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 return None
             a0 = args[0].strip()
             if a0 in (_JSON_COLS.get() - _REAL_ARRAYS.get()):
+                # no COMPLEX implementation in the reference's
+                # first/last aggregator — folds to NULL (qaSql
+                # aggr_general A21/A25); ARRAY inputs are legal and
+                # keep the aggregation
                 return "CAST(NULL AS STRING)"
             return f"{mf}({args[0]}, __time)"
         return b
