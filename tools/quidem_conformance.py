@@ -522,6 +522,89 @@ def _apply_transforms_pyside(spark, raw: list[dict], schema: dict):
     return raw
 
 
+
+# ------------------------------------------------- hyperUnique columns
+
+def _murmur3_x64_128(data: bytes, seed: int = 0) -> bytes:
+    """MurmurHash3 x64_128 (Austin Appleby's public-domain algorithm,
+    the function Guava's Hashing.murmur3_128 implements) — verified
+    against the published 'quick brown fox' vector. Little-endian
+    h1||h2 output like Guava's asBytes()."""
+    import struct as _s
+    MASK = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & MASK
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xff51afd7ed558ccd) & MASK
+        k ^= k >> 33
+        k = (k * 0xc4ceb9fe1a85ec53) & MASK
+        k ^= k >> 33
+        return k
+
+    c1, c2 = 0x87c37b91114253d5, 0x4cf5ad432745937f
+    h1 = h2 = seed
+    n = len(data) // 16
+    for i in range(n):
+        k1, k2 = _s.unpack_from("<QQ", data, i * 16)
+        k1 = (k1 * c1) & MASK; k1 = rotl(k1, 31); k1 = (k1 * c2) & MASK
+        h1 ^= k1
+        h1 = rotl(h1, 27); h1 = (h1 + h2) & MASK
+        h1 = (h1 * 5 + 0x52dce729) & MASK
+        k2 = (k2 * c2) & MASK; k2 = rotl(k2, 33); k2 = (k2 * c1) & MASK
+        h2 ^= k2
+        h2 = rotl(h2, 31); h2 = (h2 + h1) & MASK
+        h2 = (h2 * 5 + 0x38495ab5) & MASK
+    tail = data[n * 16:]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        for i in range(len(tail) - 1, 7, -1):
+            k2 = (k2 << 8) | tail[i]
+        k2 = (k2 * c2) & MASK; k2 = rotl(k2, 33); k2 = (k2 * c1) & MASK
+        h2 ^= k2
+    if len(tail) > 0:
+        for i in range(min(len(tail), 8) - 1, -1, -1):
+            k1 = (k1 << 8) | tail[i]
+        k1 = (k1 * c1) & MASK; k1 = rotl(k1, 31); k1 = (k1 * c2) & MASK
+        h1 ^= k1
+    h1 ^= len(data); h2 ^= len(data)
+    h1 = (h1 + h2) & MASK; h2 = (h2 + h1) & MASK
+    h1 = fmix(h1); h2 = fmix(h2)
+    h1 = (h1 + h2) & MASK; h2 = (h2 + h1) & MASK
+    return _s.pack("<QQ", h1, h2)
+
+
+def _hllc_single(value: str) -> str:
+    """Byte-exact Druid HyperLogLogCollector state after add()ing ONE
+    string value, rendered as its quoted-base64 complex-column cell
+    (hll/HyperLogLogCollector.java: bucket = BE short of the hash's
+    last 2 bytes & 0x7ff; positionOf1 = trailing-zero run over bytes
+    0..7 + 1, ByteBitLookup.LOOKUP; V1 sparse serialization stores
+    (payload byte position + header 7, nibble register) — verified
+    against six TestDataBuilder unique_dim1 goldens)."""
+    import base64 as _b64
+    import struct as _s
+    h = _murmur3_x64_128(value.encode("utf-8"))
+    bucket = _s.unpack_from(">H", h, 14)[0] & 0x7FF
+    pos = 0
+    for i in range(8):
+        b = h[i]
+        if b == 0:
+            pos += 8
+            continue
+        pos += (b & -b).bit_length()
+        break
+    if pos > 15:
+        raw = _s.pack(">BBHBH", 1, 0, 0, pos, bucket)
+    else:
+        reg = (pos << 4) if (bucket & 1) == 0 else pos
+        raw = (_s.pack(">BBHBH", 1, 0, 1, 0, 0)
+               + _s.pack(">HB", (bucket >> 1) + 7, reg))
+    return '"' + _b64.b64encode(raw).decode() + '"'
+
+
 def _default_frames(spark):
     """The CalciteTests standard datasets (`!use druidtest:///` with
     the Standard supplier): foo / numfoo / broadcast(=numfoo) / foo2
@@ -544,7 +627,8 @@ def _default_frames(spark):
     foo_schema = T.StructType([
         T.StructField(n, t) for n, t in [
             ("__time", TS), ("dim1", S), ("dim2", S), ("dim3", A),
-            ("cnt", L), ("m1", FL), ("m2", D)]])
+            ("cnt", L), ("m1", FL), ("m2", D),
+            ("unique_dim1", S)]])
     foo_rows = [
         (ts("2000-01-01"), "", "a", ["a", "b"], 1, 1.0, 1.0),
         (ts("2000-01-02"), "10.1", None, ["b", "c"], 1, 2.0, 2.0),
@@ -553,12 +637,17 @@ def _default_frames(spark):
         (ts("2001-01-02"), "def", "abc", None, 1, 5.0, 5.0),
         (ts("2001-01-03"), "abc", None, None, 1, 6.0, 6.0),
     ]
+    # hyperUnique metric column over dim1 (TestDataBuilder
+    # INDEX_SCHEMA: new HyperUniquesAggregatorFactory("unique_dim1",
+    # "dim1")) — byte-exact single-value collector states
+    foo_rows = [r + (_hllc_single(r[1]),) for r in foo_rows]
     numfoo_schema = T.StructType([
         T.StructField(n, t) for n, t in [
             ("__time", TS), ("dim1", S), ("dim2", S), ("dim3", A),
             ("dim4", S), ("dim5", S), ("dim6", S), ("dbl1", D),
             ("dbl2", D), ("f1", FL), ("f2", FL), ("l1", L), ("l2", L),
-            ("cnt", L), ("m1", FL), ("m2", D)]])
+            ("cnt", L), ("m1", FL), ("m2", D),
+            ("unique_dim1", S)]])
     numfoo_rows = [
         (ts("2000-01-01"), "", "a", ["a", "b"], "a", "aa", "1",
          1.0, None, 1.0, None, 7, None, 1, 1.0, 1.0),
@@ -573,6 +662,7 @@ def _default_frames(spark):
         (ts("2001-01-03"), "abc", None, None, "b", "ab", "6",
          None, None, None, None, None, None, 1, 6.0, 6.0),
     ]
+    numfoo_rows = [r + (_hllc_single(r[1]),) for r in numfoo_rows]
     foo2_schema = T.StructType([
         T.StructField(n, t) for n, t in [
             ("__time", TS), ("dim1", S), ("dim2", S), ("dim3", L),
