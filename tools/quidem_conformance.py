@@ -666,12 +666,13 @@ def _default_frames(spark):
     foo2_schema = T.StructType([
         T.StructField(n, t) for n, t in [
             ("__time", TS), ("dim1", S), ("dim2", S), ("dim3", L),
-            ("cnt", L), ("m1", L), ("m2", D)]])
+            ("cnt", L), ("m1", L), ("m2", D), ("unique_dim1", S)]])
     foo2_rows = [
         (ts("2000-01-01"), "דרואיד", "he", 10, 1, 1, None),
         (ts("2000-01-01"), "druid", "en", 11, 1, 1, None),
         (ts("2000-01-01"), "друид", "ru", 12, 1, 1, None),
     ]
+    foo2_rows = [r + (_hllc_single(r[1]),) for r in foo2_rows]
     out = {
         "foo": (spark.createDataFrame(foo_rows, foo_schema).cache(), {}),
         "numfoo": (spark.createDataFrame(
@@ -857,7 +858,52 @@ def build_dataset_frames(spark, dataset_rel: str):
     from pyspark.sql import functions as F
 
     if dataset_rel == "__default__":
-        return _default_frames(spark)
+        frames, lookups = _default_frames(spark)
+        # the `arrays` datasource (TestDataBuilder arraysIndex: auto
+        # schema discovery over the reference's own
+        # nested-array-test-data.json resource + a cnt count metric,
+        # rollup false)
+        afr, _ = _spec_frames(spark, [{
+            "dataSchema": {
+                "dataSource": "arrays",
+                "timestampSpec": {"column": "timestamp"},
+                "dimensionsSpec": {"useSchemaDiscovery": True},
+                "metricsSpec": [{"type": "count", "name": "cnt"}],
+                "granularitySpec": {"rollup": False},
+            },
+            "ioConfig": {
+                "inputSource": {
+                    "type": "local",
+                    "baseDir": "processing/src/test/resources",
+                    "filter": "nested-array-test-data.json"},
+                "inputFormat": {"type": "json"},
+            },
+        }])
+        frames.update(afr)
+        # `lotsocolumns` (TestDataBuilder ROWS_LOTS_OF_COLUMNS: two
+        # rows, default string dims incl. MVDs)
+        lfr, _ = _spec_frames(spark, [{
+            "dataSchema": {
+                "dataSource": "lotsocolumns",
+                "timestampSpec": {"column": "timestamp"},
+                "dimensionsSpec": {"dimensions": [
+                    "dimHyperUnique", "dimMultivalEnumerated",
+                    "dimMultivalEnumerated2",
+                    "dimMultivalSequentialWithNulls", "dimSequential",
+                    "dimSequentialHalfNull", "dimUniform", "dimZipf",
+                    "metFloatNormal", "metFloatZipf",
+                    "metLongSequential", "metLongUniform"]},
+                "metricsSpec": [{"type": "count", "name": "count"}],
+                "granularitySpec": {"rollup": False},
+            },
+            "ioConfig": {
+                "inputSource": {"type": "inline",
+                                "data": "{\"timestamp\": \"2019-12-14T07:00:00Z\", \"metFloatZipf\": 147.0, \"dimMultivalSequentialWithNulls\": [\"1\", \"2\", \"3\", \"4\", \"5\", \"6\", \"7\", \"8\"], \"dimMultivalEnumerated2\": [null, \"Orange\", \"Apple\"], \"metLongUniform\": 372, \"metFloatNormal\": 5000.0, \"dimZipf\": \"27\", \"dimUniform\": \"74416\", \"dimMultivalEnumerated\": [\"Baz\", \"World\", \"Hello\", \"Baz\"], \"metLongSequential\": 0, \"dimHyperUnique\": \"0\", \"dimSequential\": \"0\", \"dimSequentialHalfNull\": \"0\"}\n{\"timestamp\": \"2019-12-14T07:00:00Z\", \"metFloatZipf\": 25.0, \"dimMultivalEnumerated2\": [\"Xylophone\", null, \"Corundum\"], \"metLongUniform\": 252, \"metFloatNormal\": 4999.0, \"dimZipf\": \"9\", \"dimUniform\": \"50515\", \"dimMultivalEnumerated\": [\"Baz\", \"World\", \"\\u3151 \\u3153 \\u3155 \\u3157 \\u315b \\u315c \\u3160 \\u3161 \\u3163\"], \"metLongSequential\": 8, \"dimHyperUnique\": \"8\", \"dimSequential\": \"8\"}"},
+                "inputFormat": {"type": "json"},
+            },
+        }])
+        frames.update(lfr)
+        return frames, lookups
     if dataset_rel == "__KttmNestedComponentSupplier__":
         return _kttm_frames(spark)
     if dataset_rel.startswith("__"):
@@ -867,10 +913,18 @@ def build_dataset_frames(spark, dataset_rel: str):
     specs = sorted(ddir.glob("ingest*.json"))
     if not specs:
         raise FileNotFoundError(f"no ingest spec under {ddir}")
+    inners = [json.loads(sp.read_text()) for sp in specs]
+    inners = [s.get("spec", s) for s in inners]
+    return _spec_frames(spark, inners)
+
+
+def _spec_frames(spark, inners):
+    """({table: (df, json_cols)}, lookups) from a list of INNER ingest
+    specs (the body build_dataset_frames used to inline)."""
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
     out = {}
-    for sp in specs:
-        spec = json.loads(sp.read_text())
-        inner = spec.get("spec", spec)
+    for inner in inners:
         schema = inner["dataSchema"]
         raw = _read_spec_rows(inner)
         raw = _apply_flatten_spec_pyside(
