@@ -2322,12 +2322,34 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         ("HUMAN_READABLE_DECIMAL_FORMAT", [0], "STRING"),
         ("PARSE_JSON", [0], "STRING"),
         ("TRY_PARSE_JSON", [0], "STRING"),
+        ("TRIM", [0], "STRING"), ("LENGTH", [0], "INT"),
+        ("CHAR_LENGTH", [0], "INT"), ("ROUND", [0], "DOUBLE"),
+        ("REGEXP_LIKE", [0], "BOOLEAN"),
+        ("REGEXP_EXTRACT", [0], "STRING"),
+        ("BITWISE_AND", None, "BIGINT"), ("BITWISE_OR", None, "BIGINT"),
+        ("BITWISE_XOR", None, "BIGINT"),
+        ("BITWISE_SHIFT_LEFT", [0], "BIGINT"),
+        ("BITWISE_SHIFT_RIGHT", [0], "BIGINT"),
+        ("BITWISE_COMPLEMENT", [0], "BIGINT"),
+        ("TIME_CEIL", [0], "TIMESTAMP"), ("TIME_FLOOR", [0], "TIMESTAMP"),
+        ("TIME_SHIFT", [0], "TIMESTAMP"),
+        ("TIME_EXTRACT", [0], "BIGINT"), ("TIME_FORMAT", [0], "STRING"),
+        ("TIME_IN_INTERVAL", [0], "BOOLEAN"),
+        ("DATE_TRUNC", [1], "TIMESTAMP"),
+        ("LPAD", [0], "STRING"), ("RPAD", [0], "STRING"),
+        ("CONCAT", None, "STRING"),
     ]
 
     def _arr_guard(fn, idxs, rt):
         def b(a):
             check = a if idxs is None else \
                 [a[i] for i in idxs if i < len(a)]
+            if fn in ("PARSE_JSON", "TRY_PARSE_JSON") and a and \
+                    re.match(r"(?is)^JSON_QUERY\s*\(", a[0].strip()):
+                # a JSON_QUERY result is COMPLEX, not the VARCHAR the
+                # parse functions take
+                return (f"CAST(RAISE_ERROR('Cannot apply {fn} to "
+                        f"arguments of type COMPLEX') AS {rt})")
             if any(_is_real_array_expr(x) for x in check):
                 return (f"CAST(RAISE_ERROR('Cannot apply {fn} to "
                         f"arguments of type ARRAY') AS {rt})")
