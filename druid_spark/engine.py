@@ -586,9 +586,19 @@ class DruidSparkEngine:
             self.catalog.tables(), text) if rt == "DATASOURCE"}
         scalar_cols, array_cols, array_elem, scalar_types = \
             self._scalar_array_cols(ref_tables or None)
-        json_cols = {c for cols in self.catalog._json_cols.values()
+        # the _json_cols-derived hint sets scope to the query's
+        # referenced tables the same way _scalar_array_cols does — an
+        # unrelated table's same-named MVD/COMPLEX column must not
+        # drive the MVD explode or COMPLEX rejection rewrites for a
+        # scalar column of the referenced table
+        _jc_by_table = self.catalog._json_cols
+        _known = set(self.catalog.tables())
+        if ref_tables and ref_tables & _known:
+            _jc_by_table = {t: cols for t, cols in _jc_by_table.items()
+                            if t in ref_tables}
+        json_cols = {c for cols in _jc_by_table.values()
                      for c, ty in cols.items() if ty != "MVD"}
-        mvd_cols = {c for cols in self.catalog._json_cols.values()
+        mvd_cols = {c for cols in _jc_by_table.values()
                     for c, ty in cols.items() if ty == "MVD"}
         # REAL typed arrays (not MVDs): numeric/bool element types can
         # never be MVDs (MVDs are VARCHAR), plus variant arrays the
@@ -599,7 +609,7 @@ class DruidSparkEngine:
         real_arrays = {c for c, et in array_elem.items()
                        if et and not et.split("(")[0] in
                        ("string", "varchar", "char")}
-        real_arrays |= {c for jc in self.catalog._json_cols.values()
+        real_arrays |= {c for jc in _jc_by_table.values()
                         for c, ty in jc.items() if ty == "ARRAY"}
         final = rewrite_druid_sql(
             text, exact=exact, tz=set_ctx.get("sqlTimeZone", "UTC"),
@@ -608,7 +618,7 @@ class DruidSparkEngine:
             array_elem=array_elem, scalar_types=scalar_types,
             real_array_cols=real_arrays, mvd_cols=mvd_cols,
             variant_array_cols={
-                c for cols in self.catalog._json_cols.values()
+                c for cols in _jc_by_table.values()
                 for c, ty in cols.items() if ty == "ARRAY"})
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner

@@ -159,6 +159,61 @@ class _MaskCtx:
         return "".join(out)
 
 
+def _mask_local(sql: str) -> tuple[str, dict[int, str] | None]:
+    """Helper-boundary masking, consolidated onto the pipeline store.
+
+    Standalone call (no _MaskCtx): behaves like _mask_strings and the
+    caller restores with _unmask_local(sql, lits).
+
+    Under the pipeline: the text is already masked; any RAW quotes a
+    previous pass emitted are absorbed into the SHARED ctx store (so
+    no later regex can fire inside them) and the text stays masked —
+    _unmask_local(sql, None) is the identity, and the single
+    ctx.unmask at pipeline end restores everything. One store, one
+    unmask: no nested local mask/unmask pairs inside pipeline passes."""
+    ctx = _MASK.get()
+    if ctx is not None:
+        return ctx.mask(sql), None
+    return _mask_strings(sql)
+
+
+def _unmask_local(sql: str, lits: dict[int, str] | None) -> str:
+    if lits is None:
+        return sql
+    return _unmask_strings(sql, lits)
+
+
+def _mvd_any_element_predicates(w: str, c: str) -> str:
+    """Rewrite scalar predicates over MVD column `c` in a (masked)
+    WHERE segment to row-level any-element forms, matching the
+    reference's MVD filter semantics (a selector on a multi-value
+    dimension matches when ANY element matches; NOT wraps the
+    row-level result — docs/querying/multi-value-dimensions.md).
+    Handles = / <> / != / [NOT] IN (list) / LIKE; everything else
+    (IS NULL, functions over c) stays untouched and row-level."""
+    cpat = rf"(?:[A-Za-z_]\w*\.)?{re.escape(c)}"
+    val = rf"(?:{_PH}|[\w.$-]+)"
+    w = re.sub(
+        rf"(?is)(?<![\w.]){cpat}\s+NOT\s+IN\s*\(([^()]*)\)",
+        lambda m: f"NOT ARRAYS_OVERLAP({c}, ARRAY({m.group(1)}))", w)
+    w = re.sub(
+        rf"(?is)(?<![\w.]){cpat}\s+IN\s*\(([^()]*)\)",
+        lambda m: f"ARRAYS_OVERLAP({c}, ARRAY({m.group(1)}))", w)
+    w = re.sub(
+        rf"(?is)(?<![\w.]){cpat}\s*(?:!=|<>)\s*({val})",
+        lambda m: f"NOT ARRAY_CONTAINS({c}, {m.group(1)})", w)
+    w = re.sub(
+        rf"(?is)(?<![\w.]){cpat}\s*=\s*({val})",
+        lambda m: f"ARRAY_CONTAINS({c}, {m.group(1)})", w)
+    w = re.sub(
+        rf"(?is)(?<![\w.])({val})\s*=\s*{cpat}(?![\w.])",
+        lambda m: f"ARRAY_CONTAINS({c}, {m.group(1)})", w)
+    w = re.sub(
+        rf"(?is)(?<![\w.]){cpat}\s+LIKE\s+({_PH})",
+        lambda m: f"EXISTS({c}, __e -> __e LIKE {m.group(1)})", w)
+    return w
+
+
 def _rewrite_call(sql: str, fname: str, builder) -> str:
     """Rewrite calls of `fname` via builder(args)->replacement | None
     (None = leave untouched). Balanced-paren scan, top-level comma
@@ -1659,7 +1714,7 @@ def _normalize_window_frames(sql: str) -> str:
        yield NULL, COUNT yields 0.  Spark rejects it at analysis, so
        every windowed call over such a frame folds to its constant.
     """
-    masked, lits = _mask_strings(sql)
+    masked, lits = _mask_local(sql)
     masked = re.sub(
         r"(?is)\b(ROWS|RANGE|GROUPS)\s+(UNBOUNDED\s+FOLLOWING|"
         r"\d+\s+FOLLOWING)\b",
@@ -1789,7 +1844,7 @@ def _normalize_window_frames(sql: str) -> str:
                 masked = _fold_call(masked, cs, om.end())
                 changed = True
                 break
-    return _unmask_strings(masked, lits)
+    return _unmask_local(masked, lits)
 
 
 def _firstlast_unordered_frames(sql: str) -> str:
@@ -1802,7 +1857,7 @@ def _firstlast_unordered_frames(sql: str) -> str:
     calls to an explicit unbounded frame; ordered windows keep
     standard frame semantics (drill corpus + qaWin ordered goldens
     match Spark's)."""
-    masked, lits = _mask_strings(sql)
+    masked, lits = _mask_local(sql)
 
     def _spec_unordered(spec: str) -> bool:
         depth = i = 0
@@ -1851,7 +1906,7 @@ def _firstlast_unordered_frames(sql: str) -> str:
             pos = over_span[0] + len(new)
         else:
             pos = args_end + 1
-    return _unmask_strings(out, lits)
+    return _unmask_local(out, lits)
 
 
 def _coerce_array_comparisons(sql: str) -> str:
@@ -1868,7 +1923,7 @@ def _coerce_array_comparisons(sql: str) -> str:
     elems = _ARRAY_ELEM.get()
     if not elems:
         return sql
-    masked, lits = _mask_strings(sql)
+    masked, lits = _mask_local(sql)
     num = {"tinyint", "smallint", "int", "bigint", "float", "double",
            "decimal", "long", "integer"}
 
@@ -1925,7 +1980,7 @@ def _coerce_array_comparisons(sql: str) -> str:
         target = "string" if "string" in (lc, rc) else "numeric"
         return f"{wrap(l, lc, target)} {op} {wrap(r, rc, target)}"
 
-    return _unmask_strings(pat.sub(sub, masked), lits)
+    return _unmask_local(pat.sub(sub, masked), lits)
 
 
 def _windowed_order_by(sql: str) -> str:
@@ -1938,7 +1993,7 @@ def _windowed_order_by(sql: str) -> str:
     ORDER BY __word0, x.
     Conservative: only fires for a top-level non-grouped SELECT whose
     final ORDER BY carries an OVER."""
-    masked, lits = _mask_strings(sql)
+    masked, lits = _mask_local(sql)
     m = re.match(r"(?is)^\s*SELECT\s+(.*)$", masked)
     if not m:
         return sql
@@ -2017,7 +2072,7 @@ def _windowed_order_by(sql: str) -> str:
     new = (f"SELECT {select_list} FROM (SELECT *, "
            f"{', '.join(win_proj)} FROM {rest}) __woq "
            f"ORDER BY {', '.join(out_items)}{limit_tail}")
-    return _unmask_strings(new, lits)
+    return _unmask_local(new, lits)
 
 
 def _strip_parens_depth0(s: str) -> str:
@@ -2042,13 +2097,13 @@ def _parenthesize_in_is(sql: str) -> str:
     Runs on masked text: the back-scan counts parens, and a string
     literal containing ')' inside the IN list (x IN ('a)', 'b'))
     would miscount depth and wrap the wrong span."""
-    sql, _lits = _mask_strings(sql)
+    sql, _lits = _mask_local(sql)
     pat = re.compile(r"(?is)\)\s*IS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b")
     pos = 0
     while True:
         m = pat.search(sql, pos)
         if not m:
-            return _unmask_strings(sql, _lits)
+            return _unmask_local(sql, _lits)
         close = m.start()
         depth, j = 0, close
         while j >= 0:
@@ -2231,6 +2286,8 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     # string_agg regex batteries). Internal rewrites run after this
     # and emit Spark-escaped literals knowingly.
     if "\\" in out:
+        # literal-VALUE rewrite (not a boundary guard): needs its own
+        # store — runs before the _MaskCtx below exists
         masked0, lits0 = _mask_strings(out)
         lits0 = {k: v.replace("\\", "\\\\") for k, v in lits0.items()}
         out = _unmask_strings(masked0, lits0)
@@ -2256,6 +2313,11 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     literals already masked (see _rewrite_druid_sql); every pass
     operates on the masked text."""
     ctx = _MASK.get()
+    # invariant: the mask-once pass happened — no raw single quote
+    # may enter the pipeline body (a pass firing inside literal
+    # content is the bug class the mask exists to kill)
+    assert "'" not in out, \
+        "unmasked string literal reached the rewrite pipeline body"
     # Scalar string/IP/parse functions over a REAL ARRAY argument are
     # Calcite validation errors in the reference ("Cannot apply 'FN'
     # to arguments of type ..."); over MVDs (VARCHAR) they map
@@ -2265,6 +2327,14 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # types — string-element arrays are indistinguishable from MVDs
     # in this engine's storage and stay unguarded, documented in
     # tools/negative_report.py).
+    # names (re)defined as aliases in this statement may shadow a
+    # table column of the same name (SELECT STRLEN(a_int) FROM
+    # (SELECT ARRAY_TO_STRING(a_int, ',') AS a_int FROM t)) — never
+    # reject on those; the corpus aliases outputs as "col", so a
+    # same-name alias genuinely marks a derived scalar
+    _shadowed = {m.group(1).lower() for m in
+                 re.finditer(r"(?is)\bAS\s+([A-Za-z_]\w*)", out)}
+
     def _is_real_array_expr(e: str) -> bool:
         e = e.strip()
         if re.match(r"(?is)^ARRAY\s*[\[(]", e):
@@ -2279,6 +2349,8 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         # (FLOOR(a_nested TO DAY), tan(a_nested), ...); the leading
         # token covers the `col TO unit` datetime forms
         head = re.match(r"[A-Za-z_]\w*", e)
+        if head and head.group(0).lower() in _shadowed:
+            return False
         if head and head.group(0) in (_JSON_COLS.get()
                                       - _REAL_ARRAYS.get()) and (
                 head.group(0) == e or re.fullmatch(
@@ -2338,6 +2410,17 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         ("DATE_TRUNC", [1], "TIMESTAMP"),
         ("LPAD", [0], "STRING"), ("RPAD", [0], "STRING"),
         ("CONCAT", None, "STRING"),
+        # COMPLEX<json>/array in plain-scalar slots (qaArray
+        # ops_funcs_scalar_funcs C22 batteries: upper(a_nested) etc.
+        # are Calcite validation errors)
+        ("UPPER", [0], "STRING"), ("LOWER", [0], "STRING"),
+        ("CHARACTER_LENGTH", [0], "INT"),
+        ("REPLACE", None, "STRING"),
+        ("SUBSTRING", [0], "STRING"), ("SUBSTR", [0], "STRING"),
+        ("TIMESTAMPADD", [2], "TIMESTAMP"),
+        ("TIMESTAMPDIFF", [1, 2], "BIGINT"),
+        ("BITWISE_CONVERT_DOUBLE_TO_LONG_BITS", [0], "BIGINT"),
+        ("BITWISE_CONVERT_LONG_BITS_TO_DOUBLE", [0], "DOUBLE"),
     ]
 
     def _arr_guard(fn, idxs, rt):
@@ -2375,6 +2458,95 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         if re.search(rf"(?i)\b{_fn}\s*\(", out):
             out = _rewrite_call(out, _fn, _scalar_2nd_guard(_fn))
 
+    # EXTRACT(unit FROM complex) / POSITION(x IN complex): the slot
+    # expression hides behind FROM/IN inside the single argument
+    def _from_in_guard(fn, kw, rt):
+        def b(a):
+            if a and (m := re.match(rf"(?is)^.*?\s{kw}\s+(.*)$",
+                                    a[0].strip())):
+                if _is_real_array_expr(m.group(1)):
+                    return (f"CAST(RAISE_ERROR('Cannot apply {fn} to "
+                            f"arguments of type COMPLEX') AS {rt})")
+            return None
+        return b
+
+    if re.search(r"(?i)\bEXTRACT\s*\(", out):
+        out = _rewrite_call(out, "EXTRACT",
+                            _from_in_guard("EXTRACT", "FROM", "BIGINT"))
+    if re.search(r"(?i)\bPOSITION\s*\(", out):
+        out = _rewrite_call(out, "POSITION",
+                            _from_in_guard("POSITION", "IN", "INT"))
+
+    # ARRAY_CONTAINS(ARRAY[..cols..], col): a constructed array with
+    # column elements takes only a literal or array needle in the
+    # reference's native planner ("Invalid expression" —
+    # qaUnnest array_sql_array_funcs.02 C3-C6 vs the legal C7-C14
+    # literal/array-needle forms)
+    def _ac_mixed_guard(a):
+        if len(a) == 2:
+            arr, needle = a[0].strip(), a[1].strip()
+            m = re.match(r"(?is)^ARRAY\s*\[(.*)\]$", arr)
+            if m and re.fullmatch(r"[A-Za-z_]\w*", needle) and \
+                    not re.fullmatch(r"(?i)NULL|TRUE|FALSE", needle):
+                elems = [e.strip() for e in m.group(1).split(",")]
+                if any(re.fullmatch(r"[A-Za-z_]\w*", e)
+                       and not re.fullmatch(r"(?i)NULL|TRUE|FALSE", e)
+                       for e in elems):
+                    return ("CAST(RAISE_ERROR('Invalid expression: "
+                            "constructed array with column elements "
+                            "requires a literal or array needle') "
+                            "AS BOOLEAN)")
+        return None
+
+    if re.search(r"(?i)\bARRAY_CONTAINS\s*\(\s*ARRAY\s*\[", out):
+        out = _rewrite_call(out, "ARRAY_CONTAINS", _ac_mixed_guard)
+
+    # COALESCE/NVL(json_value(... RETURNING boolean array), ARRAY[..]):
+    # the reference's BOOLEAN ARRAY never unifies with an array
+    # literal ("Illegal mixing of types" / "Parameters must be of the
+    # same type" — qaArray ops_funcs_scalar_funcs.42 A9_B5/B6 C2-C3)
+    def _bool_arr_mix_guard(a):
+        if len(a) >= 2:
+            has_bool = any(re.search(
+                r"(?is)\bRETURNING\s+BOOLEAN\s+ARRAY\b", x) for x in a)
+            has_lit = any(re.match(r"(?is)^ARRAY\s*\[", x.strip())
+                          for x in a)
+            if has_bool and has_lit:
+                return ("CAST(RAISE_ERROR('Illegal mixing of types: "
+                        "BOOLEAN ARRAY with array literal') AS STRING)")
+        return None
+
+    if re.search(r"(?is)\bRETURNING\s+BOOLEAN\s+ARRAY\b", out):
+        for _fn in ("COALESCE", "NVL"):
+            out = _rewrite_call(out, _fn, _bool_arr_mix_guard)
+
+    # ARRAY[] — the reference's constructor requires at least one
+    # element ("Require at least 1 argument"); Spark's array() is
+    # happy with zero
+    out = re.sub(r"(?is)\bARRAY\s*\[\s*\]",
+                 "CAST(RAISE_ERROR('Require at least 1 argument') "
+                 "AS STRING)", out)
+
+    # UNNEST(expr) AS u(name) where `name` is also a column of the
+    # FROM table: Calcite's SELECT * expansion rejects the duplicate
+    # ("Column 'name' is ambiguous" — qaUnnest array_sql_col_general
+    # A1_B3). Spark silently emits two same-named columns.
+    if re.match(r"(?is)\s*SELECT\s+\*", out):
+        for _um in re.finditer(r"(?is)\bUNNEST\s*\(", out):
+            _ue = _find_spec_end(out, _um.end())
+            _am = re.match(r"(?is)\s*AS\s+\w+\s*\(\s*(\w+)\s*\)",
+                           out[_ue + 1:])
+            if not _am:
+                continue
+            _an = _am.group(1)
+            if re.search(rf"(?i)(?<![\w.]){re.escape(_an)}\b",
+                         out[_um.end():_ue]) and (
+                    _an in _ARRAY_ELEM.get() or _an in _MVD_COLS.get()
+                    or _an in _SCALAR_COLS.get()
+                    or _an in _JSON_COLS.get()):
+                return (f"SELECT CAST(RAISE_ERROR('Column ''{_an}'' "
+                        f"is ambiguous') AS INT) AS __err")
+
     # a NUMERIC probe into a VARIANT array is NULL in the reference
     # (the probe casts to the variant element type and misses —
     # qaArray ops_funcs_array_funcs C19: array_offset_of(a_mixed, 1))
@@ -2397,7 +2569,11 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # sql_subquery_with_where !error batteries). The expression-list
     # form `a_bool IN (json_value(... RETURNING boolean array), ...)`
     # is LEGAL (array-vs-array comparison) and stays untouched.
-    _in_arrays = set(_REAL_ARRAYS.get()) | set(_ARRAY_ELEM.get())
+    # MVDs publish as VARCHAR in the reference and are legal in IN
+    # subqueries; string-element arrays are indistinguishable from
+    # MVDs here (documented ambiguity) — so the guard covers only the
+    # provably-real arrays
+    _in_arrays = set(_REAL_ARRAYS.get()) - set(_MVD_COLS.get())
     if _in_arrays and re.search(r"(?i)\bIN\s*\(\s*SELECT\b", out):
         out = re.sub(
             r"(?is)(?<![\w.])([A-Za-z_]\w*)(\s+NOT)?\s+IN\s*"
@@ -2430,6 +2606,27 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                            "to arguments of type COMPLEX JSON') "
                            "AS BOOLEAN) OR " + m.group(0)),
                 out, count=0)
+        # arithmetic over COMPLEX<json> rejects too ("Cannot apply
+        # '+' to arguments of type '<COMPLEX<JSON>> + ...'" — qaArray
+        # ops_funcs_ops C22 batteries). The column ref adjacent to the
+        # operator swaps for a raising DOUBLE so the op types check.
+        _jarith = re.compile(
+            rf"(?is)(?<![\w.])(?:[A-Za-z_]\w*\.)?({_jc})\s*"
+            rf"([+\-*/])(?![*/-])")
+        if _jarith.search(out):
+            out = _jarith.sub(
+                lambda m: ("CAST(RAISE_ERROR('Cannot apply arithmetic "
+                           "to arguments of type COMPLEX JSON') "
+                           f"AS DOUBLE) {m.group(2)}"),
+                out, count=0)
+        _jarith_r = re.compile(
+            rf"(?is)([+\-*/])\s*(?:[A-Za-z_]\w*\.)?({_jc})(?![\w.])")
+        if _jarith_r.search(out):
+            out = _jarith_r.sub(
+                lambda m: (f"{m.group(1)} CAST(RAISE_ERROR('Cannot "
+                           "apply arithmetic to arguments of type "
+                           "COMPLEX JSON') AS DOUBLE)"),
+                out, count=0)
 
     if re.search(r"(?i)\)\s*IS\s+(NOT\s+)?(TRUE|FALSE)\b", out):
         out = _parenthesize_in_is(out)
@@ -2456,7 +2653,8 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         n = (lit or m.group(1)).strip("'")
         if not n.isdigit():
             return m.group(0)
-        return f"INTERVAL '{int(n) * 3}' MONTH"
+        rep = f"INTERVAL '{int(n) * 3}' MONTH"
+        return ctx.mask(rep) if ctx else rep
 
     out = re.sub(
         rf"(?i)\bINTERVAL\s+('\d+'|{_PH})\s+QUARTER\b",
@@ -2465,9 +2663,9 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # table names (`druid` is the reference's sole datasource schema).
     # String literals are masked so a 'druid.xyz' literal survives.
     if re.search(r"(?i)\bdruid\s*\.", out):
-        masked, _dl = _mask_strings(out)
+        masked, _dl = _mask_local(out)
         masked = re.sub(r"(?i)\bdruid\s*\.\s*(\w+)", r"\1", masked)
-        out = _unmask_strings(masked, _dl)
+        out = _unmask_local(masked, _dl)
     # MV functions treat a string SCALAR as a 1-element MVD (the
     # reference's multi-value family; qaUnnest mv_funcs over
     # cast(c AS char)); wrap syntactically-scalar args in ARRAY()
@@ -2943,6 +3141,23 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             _from_end = _kwm.get("WHERE", _kwm["GROUP BY"])
             _fseg = out[_kwm["FROM"] + 4:_from_end].strip()
             if _used and re.fullmatch(r"[A-Za-z_]\w*", _fseg):
+                # Druid filters ROWS first (a scalar predicate on an
+                # MVD matches if ANY element matches) and THEN
+                # explodes every element of the surviving rows — the
+                # documented MVD grouping gotcha (WHERE c_mv = 'x'
+                # GROUP BY c_mv emits the non-'x' groups too). Push
+                # the WHERE below the LATERAL VIEW, rewriting scalar
+                # predicates over the exploded dims to any-element
+                # forms.
+                _inner_src = _fseg
+                _where_tail = out[_from_end:]
+                if "WHERE" in _kwm:
+                    _w = out[_kwm["WHERE"] + 5:_kwm["GROUP BY"]].strip()
+                    for _c in _used:
+                        _w = _mvd_any_element_predicates(_w, _c)
+                    _inner_src = f"(SELECT * FROM {_fseg} " \
+                                 f"WHERE {_w}) {_fseg}"
+                    _where_tail = out[_kwm["GROUP BY"]:]
                 _lvs = " ".join(
                     f"LATERAL VIEW OUTER EXPLODE({c}) __mvt{i} "
                     f"AS __mvg{i}" for i, c in enumerate(_used))
@@ -2950,9 +3165,9 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                         + ", ".join(_used) + "), "
                         + ", ".join(f"__mvg{i} AS {c}"
                                     for i, c in enumerate(_used))
-                        + f" FROM {_fseg} {_lvs}) {_fseg}")
+                        + f" FROM {_inner_src} {_lvs}) {_fseg}")
                 out = (out[:_kwm["FROM"]] + "FROM " + _sub + " "
-                       + out[_from_end:])
+                       + _where_tail)
     # Calcite dedupes duplicate SELECT * output names with a 0 suffix
     # (test_unnest.s_int + u(s_int) -> second column "s_int0",
     # qaUnnest array_sql_col_general A1_B9); rename the unnest alias
@@ -3162,7 +3377,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # '$.array[-1]' must not match (testJsonPathNegativeIndex).
     pat = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", flags=re.IGNORECASE)
     if pat.search(out):
-        masked, _lits = _mask_strings(out)
+        masked, _lits = _mask_local(out)
 
         def _array_ctor(m):
             # Druid numeric literals with a decimal point are DOUBLE;
@@ -3178,7 +3393,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
 
         while pat.search(masked):
             masked = pat.sub(_array_ctor, masked)
-        out = _unmask_strings(masked, _lits)
+        out = _unmask_local(masked, _lits)
 
     # ARRAY-RETURNING alias UDFs inline to their builtins. NOT a
     # style choice: Spark 4.1's analyzer mis-inlines a SQL UDF whose
@@ -3516,7 +3731,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         r"(?is)LATERAL\s+\(SELECT\s+EXPLODE_OUTER\(.*?\)\s+AS\s+(\w+)\)",
         out))
     if _mv_ucols:
-        masked_mu, lits_mu = _mask_strings(out)
+        masked_mu, lits_mu = _mask_local(out)
         pat_mu = re.compile(
             r"(?<![\w.])([A-Za-z_]\w*)\s*(=|<>|!=)\s*"
             r"([-+]?\d+(?:\.\d+)?)(?![\w.$])")
@@ -3531,7 +3746,9 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             lambda m: (f"'{m.group(1)}' {m.group(2)} {m.group(3)}"
                        if m.group(3) in _mv_ucols else m.group(0)),
             masked_mu)
-        out = _unmask_strings(masked_mu, lits_mu)
+        if ctx is not None:
+            masked_mu = ctx.mask(masked_mu)  # absorb emitted quotes
+        out = _unmask_local(masked_mu, lits_mu)
 
     # TIME_* over a NUMERIC column is a validation error in the
     # reference (Calcite: Cannot apply 'TIME_SHIFT' to <BIGINT> —
@@ -3605,7 +3822,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # only when no column of that name exists
     if ("pi" not in _SCALAR_COLS.get()
             and re.search(r"(?i)(?<![\w.$'])pi(?![\w(])", out)):
-        masked_pi, lits_pi = _mask_strings(out)
+        masked_pi, lits_pi = _mask_local(out)
 
         def _pi_sub(m):
             # leave alias positions (`AS pi`) alone
@@ -3615,7 +3832,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
 
         masked_pi = re.sub(r"(?i)(?<![\w.$])pi(?![\w(])", _pi_sub,
                            masked_pi)
-        out = _unmask_strings(masked_pi, lits_pi)
+        out = _unmask_local(masked_pi, lits_pi)
     # the DISTINCT string_agg default ordering yields to an explicit
     # user WITHIN GROUP immediately following the call; the
     # string-cast markers resolve per-call to match

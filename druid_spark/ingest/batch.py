@@ -383,15 +383,25 @@ def run_ingestion(spark: SparkSession, spec: dict[str, Any],
 
     df = read_input(spark, io, table_service)
     df = apply_timestamp_spec(df, schema.get("timestampSpec", {}))
+    input_cols = set(df.columns)
     df = apply_transform_spec(df, schema.get("transformSpec"))
 
     dims_spec = schema.get("dimensionsSpec", {})
     dims = [d if isinstance(d, str) else d["name"]
             for d in dims_spec.get("dimensions") or []]
-    if not dims:  # schemaless: every non-time, non-metric column
+    if not dims:  # schemaless: every non-time, non-metric column.
+        # Transform-only outputs are NOT discovered: the reference's
+        # TransformedInputRow.getDimensions() (processing/.../
+        # transform/TransformedInputRow.java:51) returns the source
+        # row's dimensions, so a transform column is stored only when
+        # dimensionsSpec names it explicitly.
         metric_fields = {m.get("fieldName") for m in schema.get("metricsSpec") or []}
+        tr_only = {t.get("name") for t in
+                   (schema.get("transformSpec") or {})
+                   .get("transforms", [])} - input_cols
         dims = [c for c in df.columns
-                if c not in ("__time",) and c not in metric_fields]
+                if c not in ("__time",) and c not in metric_fields
+                and c not in tr_only]
 
     # spatialDimensions (DimensionsSpec.java:120 SpatialDimensionSchema):
     # source coordinate columns join into one "lat,lon" encoded

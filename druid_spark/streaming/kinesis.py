@@ -178,16 +178,27 @@ class MiniKinesisServer:
     Kinesis numbers are opaque increasing decimals — consumers must
     only compare/pass them through, which is all this engine does)."""
 
-    def __init__(self, port: int = 0, empty_page_every: int = 0):
+    def __init__(self, port: int = 0, empty_page_every: int = 0,
+                 disorder_every: int = 0, disorder_ms: float = 0):
         """`empty_page_every=N` makes every Nth GetRecords return an
         EMPTY page with a valid NextShardIterator and
         MillisBehindLatest > 0 even though more records exist — real
         Kinesis does this mid-shard routinely (documented GetRecords
-        behavior); readers must keep paging, not treat empty as EOF."""
+        behavior); readers must keep paging, not treat empty as EOF.
+
+        `disorder_every=N` (with `disorder_ms`) backdates every Nth
+        PutRecord's ApproximateArrivalTimestamp by `disorder_ms`,
+        producing NON-monotone per-shard timestamps. AWS documents the
+        timestamp as approximate only; readers that stop at the first
+        over-bound timestamp lose the backdated records that follow
+        it in sequence order."""
         self._streams: dict[str, list[list[dict]]] = {}
         self._last_ts: dict[tuple[str, int], float] = {}
         self._lock = threading.Lock()
         self._empty_every = empty_page_every
+        self._disorder_every = disorder_every
+        self._disorder_s = disorder_ms / 1000.0
+        self._put_count = 0
         self.get_records_calls = 0
         self.get_records_record_bytes = 0
         double = self
@@ -324,9 +335,15 @@ class MiniKinesisServer:
         # per-shard non-decreasing arrival timestamps (the real
         # service assigns them at ingestion, in sequence order)
         now = _dt.datetime.now(_dt.timezone.utc).timestamp()
-        last = self._last_ts.get((stream, i), 0.0)
-        ts = now if now > last else last + 1e-6  # strictly increasing
-        self._last_ts[(stream, i)] = ts
+        self._put_count += 1
+        if self._disorder_every and \
+                self._put_count % self._disorder_every == 0:
+            # injected disorder: backdated, NOT clamped monotone
+            ts = now - self._disorder_s
+        else:
+            last = self._last_ts.get((stream, i), 0.0)
+            ts = now if now > last else last + 1e-6  # increasing
+            self._last_ts[(stream, i)] = ts
         shards[i].append({
             "SequenceNumber": seq,
             "ApproximateArrivalTimestamp": ts,

@@ -21,16 +21,38 @@ keeping record polling on the workers, not the supervisor
 shard membership). The driver's only per-batch call is ListShards.
 
 Correctness of the interval split: Kinesis assigns
-ApproximateArrivalTimestamp server-side at ingestion, so within a
-shard timestamps are non-decreasing in sequence order, and any record
-arriving after the bound was planned gets a timestamp greater than
-the bound — half-open (after, until] intervals partition the stream
-exactly. A task retry re-reads exactly its interval (timestamps are
-immutable), so replay is deterministic. For cross-server clock skew
-on real AWS, the `boundlagms` option shifts the bound back by a
-safety margin (0 by default for the in-process double). Resharding is
-handled for free: `partitions()` lists shards fresh each batch, and a
-new shard's records all carry post-split timestamps.
+ApproximateArrivalTimestamp server-side at ingestion; when per-shard
+timestamps are monotone in sequence order (true of the in-process
+MiniKinesisServer double), half-open (after, until] intervals
+partition the stream EXACTLY and a task retry re-reads exactly its
+interval (timestamps are immutable), so replay is deterministic.
+Real AWS weakens both assumptions, and the reader compensates:
+
+- Clock skew: the bound is the DRIVER's wall clock but timestamps
+  are server-assigned. A record whose server timestamp lands at or
+  before a planned bound, but which is ingested after the executor
+  drained the shard, would be permanently skipped (batch N never saw
+  it; batch N+1 filters ts <= after). `boundlagms` shifts every
+  bound back by a safety margin so the planned bound always trails
+  real ingestion; it defaults to 5000 ms against non-loopback
+  endpoints (0 against 127.0.0.1/localhost, i.e. the in-process
+  double, where clocks are shared).
+- Disorder: AWS documents the timestamp as approximate only, so
+  per-shard timestamps need not be strictly monotone. Instead of
+  returning at the first over-bound record, the scan keeps paging
+  through a `disordergracems` window (default 15000 ms) past the
+  bound, yielding any in-interval records that sort late; records in
+  (until, until+grace] stay with the NEXT batch (its scan starts
+  AT_TIMESTAMP(until) and takes ts > until, so nothing duplicates).
+  No record is lost as long as a timestamp deviates from its
+  sequence position by less than the grace window.
+
+Exact interval partitioning is guaranteed only against monotone
+timestamps (MiniKinesisServer); on real AWS the guarantee is
+loss-bounded by (boundlagms, disordergracems) — size both above the
+deployment's observed skew/disorder. Resharding is handled for free:
+`partitions()` lists shards fresh each batch, and a new shard's
+records all carry post-split timestamps.
 
 Empty GetRecords pages mid-shard (routine in real Kinesis, documented
 GetRecords behavior) do NOT terminate a read: the loop keeps paging
@@ -59,18 +81,21 @@ class KinesisTimeRange(InputPartition):
     """One shard's (after_ms, until_ms] arrival-time slice."""
 
     def __init__(self, endpoint: str, stream: str, shard_id: str,
-                 after_ms: int, until_ms: int):
+                 after_ms: int, until_ms: int, grace_ms: int = 15000):
         self.endpoint = endpoint
         self.stream = stream
         self.shard_id = shard_id
         self.after_ms = after_ms
         self.until_ms = until_ms
+        self.grace_ms = grace_ms
 
 
 class KinesisPythonDataSource(DataSource):
     """`spark.readStream.format("druid_kinesis")` options:
     endpoint (URL), stream, startingposition trim_horizon|latest,
-    boundlagms (bound safety lag, default 0)."""
+    boundlagms (bound safety lag; default 5000, auto-0 on loopback
+    endpoints), disordergracems (out-of-order timestamp scan window
+    past a bound, default 15000)."""
 
     @classmethod
     def name(cls) -> str:
@@ -93,7 +118,16 @@ class KinesisStreamReader(DataSourceStreamReader):
             raise ValueError("druid_kinesis requires a stream option")
         self.starting = options.get(
             "startingposition", "latest").lower()
-        self.bound_lag_ms = int(options.get("boundlagms", 0))
+        lag = options.get("boundlagms")
+        if lag is None:
+            # shared-clock in-process double needs no skew margin;
+            # anything remote defaults to a multi-second safety lag
+            from urllib.parse import urlparse
+            host = (urlparse(self.endpoint).hostname or "").lower()
+            lag = 0 if host in ("127.0.0.1", "localhost", "::1") \
+                else 5000
+        self.bound_lag_ms = int(lag)
+        self.grace_ms = int(options.get("disordergracems", 15000))
         self._client = None
 
     def _cli(self):
@@ -129,7 +163,7 @@ class KinesisStreamReader(DataSourceStreamReader):
         until = int(end.get("t", 0))
         if until > after:
             return [KinesisTimeRange(self.endpoint, self.stream, sh,
-                                     after, until)
+                                     after, until, self.grace_ms)
                     for sh in self._shards()]
         # empty interval — Spark still wants >=1 partition
         return [KinesisTimeRange(self.endpoint, self.stream,
@@ -149,14 +183,21 @@ class KinesisStreamReader(DataSourceStreamReader):
             it = cli.get_shard_iterator(part.stream, part.shard_id,
                                         "AT_TIMESTAMP",
                                         timestamp=after_s)
+        # AWS timestamps are approximate: keep scanning a bounded
+        # grace window past the first over-bound record so in-interval
+        # records that sort late in sequence order are not dropped;
+        # (until, until+grace] records stay with the next batch.
+        hard_stop_s = until_s + getattr(part, "grace_ms", 15000) / 1000.0
         while it:
             out = cli.get_records(it, limit=10000)
             for r in out.get("Records", []):
                 ts = float(r["ApproximateArrivalTimestamp"])
                 if ts <= after_s:
                     continue  # AT_TIMESTAMP is >=; interval is (after,…]
+                if ts > hard_stop_s:
+                    return  # disorder window exhausted
                 if ts > until_s:
-                    return  # bound passed (per-shard ts non-decreasing)
+                    continue  # next batch's (until, …] interval
                 yield (r["Data"], part.stream, part.shard_id,
                        r["SequenceNumber"], r.get("PartitionKey"),
                        _dt.datetime.fromtimestamp(

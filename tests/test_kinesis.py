@@ -252,6 +252,50 @@ def test_driver_plans_batches_without_reading_records(kinesis):
     assert kinesis.get_records_record_bytes == 0
 
 
+def test_out_of_order_arrival_timestamps_near_bound_lose_nothing():
+    """AWS documents ApproximateArrivalTimestamp as approximate only:
+    per-shard timestamps need not be monotone. Inject backdated
+    timestamps (every 3rd record −1.5 s) and split the stream at a
+    bound that falls inside the disorder window: the two batches
+    together must cover every record exactly once. The old
+    return-at-first-over-bound scan loses the backdated records that
+    sort after the bound-crossing record."""
+    import time as _time
+
+    from druid_spark.streaming.kinesis_source import (KinesisStreamReader,
+                                                      KinesisTimeRange)
+
+    with MiniKinesisServer(disorder_every=3, disorder_ms=1500) as srv:
+        cli = KinesisClient(srv.endpoint)
+        cli.create_stream("dis", shards=1)
+        for i in range(15):
+            cli.put_record("dis", f"a{i}".encode(), partition_key="k")
+        mid_ms = int(_time.time() * 1000) - 750  # inside the window
+        _time.sleep(0.01)
+        for i in range(15, 30):
+            cli.put_record("dis", f"a{i}".encode(), partition_key="k")
+        end_ms = int(_time.time() * 1000) + 3600_000
+
+        rdr = KinesisStreamReader({"endpoint": srv.endpoint,
+                                   "stream": "dis",
+                                   "startingposition": "trim_horizon"})
+        assert rdr.bound_lag_ms == 0  # loopback auto-default
+
+        def batch(after, until):
+            part = KinesisTimeRange(srv.endpoint, "dis",
+                                    "shardId-000000000000",
+                                    after, until, grace_ms=15000)
+            return {bytes(t[0]).decode() for t in rdr.read(part)}
+
+        b1 = batch(0, mid_ms)
+        b2 = batch(mid_ms, end_ms)
+        assert b1 | b2 == {f"a{i}" for i in range(30)}
+        assert not (b1 & b2)
+        # the bound really fell inside the disorder window: some of
+        # the backdated second-half records sorted into batch 1
+        assert b1 and b2
+
+
 def test_empty_mid_shard_pages_are_not_eof(spark, kinesis_empty_pages):
     """Real Kinesis returns empty GetRecords pages mid-shard with a
     valid NextShardIterator and MillisBehindLatest > 0; the reader

@@ -67,10 +67,14 @@ def classify(sql: str, expected: str, case_id: str = "") -> tuple[str, bool]:
         # (qaWin orderby_* _first_last !error families); Spark
         # evaluates them with standard framed semantics
         return ("first_last_offset_frame", True)
-    if e.strip() in ("size", "['size']") or "exceeds" in e:
+    if e.strip() in ("size", "['size']") or "exceeds" in e \
+            or (e.strip().lower().startswith("not enough")
+                and "capacity" not in e):
         # resource-guard errors: the reference's default byte caps
-        # (ARRAY_AGG/STRING_AGG maxSizeBytes 1024) — this engine's
-        # collectors are unbounded by documented design
+        # (ARRAY_AGG/STRING_AGG maxSizeBytes 1024) and aggregation
+        # buffer capacity ("Not enough ..." — eight 100 KB array_agg
+        # reservations) — this engine's collectors are unbounded by
+        # documented design
         return ("reference_size_limit", True)
     if re.search(r"RANGE\s+BETWEEN\s+\d+|RANGE\s+\d+\s+"
                  r"(PRECEDING|FOLLOWING)", s):

@@ -929,6 +929,7 @@ def _spec_frames(spark, inners):
         raw = _read_spec_rows(inner)
         raw = _apply_flatten_spec_pyside(
             raw, inner["ioConfig"].get("inputFormat") or {})
+        input_fields = {k for r in raw for k in r}
         raw = _apply_transforms_pyside(spark, raw, schema)
         ts_spec = schema.get("timestampSpec", {})
         ts_col = ts_spec.get("column", "timestamp")
@@ -937,13 +938,22 @@ def _spec_frames(spark, inners):
         dims = [{"type": "string", "name": d} if isinstance(d, str) else d
                 for d in dims]
         if not dims or dims_spec.get("useSchemaDiscovery"):
-            # schema discovery: every field the rows carry (in
+            # schema discovery: every field the INPUT rows carry (in
             # first-seen order, typed auto) joins any explicitly
-            # declared dims — including transform outputs merged in
+            # declared dims. Transform-only outputs are NOT
+            # discovered — TransformedInputRow.getDimensions()
+            # (processing/.../transform/TransformedInputRow.java:51)
+            # returns the source row's dimension list, so a transform
+            # column is stored only when the dimensionsSpec names it
+            # (qaArray ingest_schema_discovery_and_transformSpec C00-
+            # C05: count(t_str_scalar1) → "not found")
+            tr_only = {t["name"] for t in
+                       (schema.get("transformSpec") or {})
+                       .get("transforms", [])} - input_fields
             seen: dict[str, None] = {}
             for r in raw:
                 for k in r:
-                    if k != ts_col:
+                    if k != ts_col and k not in tr_only:
                         seen[k] = None
             excl = set(dims_spec.get("dimensionExclusions") or [])
             have = {d["name"] for d in dims}

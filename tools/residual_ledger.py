@@ -1,0 +1,285 @@
+"""Emit RESIDUALS.json — the machine-readable ledger of quidem
+positive-corpus residuals (cases in the reference's golden suites this
+engine does not pass), one entry per case id:
+
+    {"id": ..., "family": ..., "file": ..., "class": ...,
+     "reason": ..., "status": mismatch|error|skip-dataset}
+
+The class catalog below names each documented divergence with a
+one-line reason and the evidence pattern that assigns it. Every case
+must classify — an `unclassified` leftover fails the run (exit 1), so
+the ledger can't silently rot as the corpus or engine moves.
+
+Input: a fresh run of the residual ids (tools/run_ids.py
+tools/quidem_out/residual_ids.txt), default
+tools/quidem_out/residuals_r10.jsonl.
+
+Usage: python tools/residual_ledger.py [residuals.jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from quidem_conformance import FAMILIES, collect_cases  # noqa: E402
+
+OUT = Path(__file__).parent.parent / "RESIDUALS.json"
+
+# class -> one-line reason (the ledger's legend; mirrored in COVERAGE.md)
+CLASSES = {
+    "dataset_not_shipped":
+        "the case's dataset (NestedComponentSupplier / druidjoinrule "
+        "fullouter / sampledataset) is not shipped in the reference "
+        "repo — nothing to build locally",
+    "mvd_vs_array_type_conflict":
+        "MVDs store as array<string> here but publish as VARCHAR in "
+        "the reference; scalar-vs-array comparisons, unions and array "
+        "fns over them hit Spark type checks the reference's "
+        "auto-coercion hides (documented storage ambiguity)",
+    "duplicate_column_ambiguity":
+        "Calcite renames duplicate SELECT * outputs with a 0 suffix "
+        "inside subqueries (a_bool0); Spark keeps both and rejects "
+        "outer references as ambiguous",
+    "null_group_materialization":
+        "the reference inconsistently materializes null/empty-string "
+        "groups for EARLIEST/LATEST/ARRAY_AGG DISTINCT/BIT_* over "
+        "unnested MVDs (its own qaAggFuncs vs qaUnnest goldens "
+        "disagree); engine follows one convention",
+    "unnest_empty_string_element":
+        "Druid's MVD unnest emits ''/null elements the filter then "
+        "keeps/drops by its ''-coercion rules; Spark's cast('' AS "
+        "numeric) = NULL drops or keeps a different row subset "
+        "(row-count deltas like 9 vs 12)",
+    "reference_render_convention":
+        "value renders only: Druid renders booleans as longs "
+        "(to_json_string((1=2)) = '0'), empty MVDs as ''/'[]' Java "
+        "toString, arrays in json text without spaces — same data, "
+        "different text",
+    "variant_element_type_tags":
+        "variant arrays (a_mixed / RETURNING varchar array over "
+        "mixed elements) carry per-element type tags in the "
+        "reference; numeric probes miss string-tagged '1' there but "
+        "match the coerced string here",
+    "approx_estimate_values":
+        "APPROX_COUNT_DISTINCT goldens pin the reference's "
+        "HyperLogLogCollector bias-corrected estimates; engine "
+        "computes exact counts (opt-in approx differs numerically)",
+    "pre_gregorian_time_parse":
+        "TIME_PARSE('1') etc. produce year-1 timestamps; goldens pin "
+        "the reference's proleptic render/epoch millis, PySpark "
+        "cannot collect pre-Gregorian timestamps losslessly",
+    "calcite_nullability_pruning":
+        "SUM(CASE WHEN .. ELSE 0 END) goldens expect null where the "
+        "engine returns the arithmetic 0 — emulating Calcite's "
+        "nullability-pruning planner quirk verbatim would mis-answer "
+        "the general case",
+    "agg_size_cap_values":
+        "ARRAY_AGG/STRING_AGG goldens embed the reference's "
+        "1024-byte default collection cap (truncated collections, "
+        "out-of-range slices -> null); engine collectors are "
+        "unbounded by design",
+    "json_path_empty_semantics":
+        "JSON path quirks over non-object inputs: '$.'-suffixed "
+        "paths, json_value('$') over empty arrays/objects, json_keys "
+        "over typed arrays — the reference's NestedPathFinder returns "
+        "values where Spark's JSON fns return null (and vice versa)",
+    "complex_json_equality":
+        "COMPLEX<json> equality (c1 = c2, json_query = json_query, "
+        "IN json_object) follows the reference's object-identity "
+        "rules; engine compares canonical JSON text",
+    "nested_json_value_chain":
+        "json_value/json_keys/json_paths over the RESULT of a typed "
+        "json_value(... RETURNING array): the reference re-enters "
+        "nested data, Spark sees a plain array and returns null / "
+        "different path sets",
+    "order_by_expr_after_groupby":
+        "ORDER BY repeats the full grouped expression "
+        "(json_query(a_nested ..)); Spark's analyzer cannot resolve "
+        "the pre-projection column above the aggregate (alias reuse "
+        "required)",
+    "json_object_expr_key_syntax":
+        "json_object(expr : value) with computed keys is Calcite "
+        "colon syntax the Spark parser rejects; literal KEY/VALUE "
+        "forms work",
+    "json_value_implicit_cast":
+        "the reference implicitly casts JSON_VALUE results into "
+        "datetime/numeric operator slots (x + INTERVAL, bitwise "
+        "probes); Spark's stricter operator typing rejects or nulls",
+    "golden_multiline_cell":
+        "the golden's expected cell embeds newlines (multi-line "
+        "string_agg output); the mysql-table parser reads one line "
+        "per row, so the comparison cannot represent the golden",
+    "engine_variant_dart_msq":
+        "goldens recorded from the reference's MSQ/Dart engine "
+        "variants (epoch-millis time renders, variant-specific "
+        "orderings); engine models the interactive engine",
+    "mvd_filter_row_semantics":
+        "MV_FILTER_* / scalar fns over MVD columns in SELECT render "
+        "per-row with Druid's dictionary encoding (row-shifted "
+        "outputs in mv_filter goldens)",
+    "int_division_semantics":
+        "c/s_int over unnested bigint elements: Druid does integer "
+        "division (0), Spark promotes to double (0.5) — pinned by "
+        "the same goldens that require double division elsewhere "
+        "(contradiction pair array_sql_ops vs scalar_numeric "
+        "batteries)",
+    "unnest_filter_pushdown_rows":
+        "multi-UNNEST chains with filters on all unnest outputs: the "
+        "reference pushes filters into the unnest datasource and "
+        "drops rows the engine keeps (its own CalciteArrays goldens "
+        "pin 0 rows where the data contains matches)",
+}
+
+
+def classify(sql: str, detail: str, fname: str, status: str) -> str:
+    s = " ".join(sql.split())
+    d = detail or ""
+    if status == "skip-dataset":
+        return "dataset_not_shipped"
+    if "PARSE_SYNTAX_ERROR" in d and "json_object" in s.lower():
+        return "json_object_expr_key_syntax"
+    if "AMBIGUOUS_REFERENCE" in d:
+        return "duplicate_column_ambiguity"
+    if "UNRESOLVED_COLUMN" in d and re.search(r"(?i)ORDER\s+BY", s):
+        return "order_by_expr_after_groupby"
+    if re.search(r"(?i)json_value\(event|json_value\(\w+,\s*'[^']*'\)"
+                 r"\s*[+\-]", s) and "DATATYPE_MISMATCH" in d:
+        return "json_value_implicit_cast"
+    if "bitwise_convert" in s.lower() and status == "error":
+        return "json_value_implicit_cast"
+    if "DATATYPE_MISMATCH" in d or "INCOMPATIBLE_COLUMN_TYPE" in d \
+            or "DATA_DIFF_TYPES" in d:
+        return "mvd_vs_array_type_conflict"
+    if ".dart" in fname or ".msq" in fname:
+        # residual ONLY in an engine-variant file (the .std/.all twin
+        # either passes or classifies below on content); check content
+        # classes first for the shared quirks, then fall back
+        cls = _content_class(s, d)
+        if cls:
+            return cls
+        return "engine_variant_dart_msq"
+    cls = _content_class(s, d)
+    if cls:
+        return cls
+    return "unclassified"
+
+
+def _content_class(s: str, d: str) -> str | None:
+    sl = s.lower()
+    if "approx_count_distinct" in sl:
+        return "approx_estimate_values"
+    if re.search(r"(?i)mv_(append|prepend)\s*\(.*RETURNING", s):
+        # appended scalar coerces to the typed array's element type
+        # (reference nulls 'A' into a numeric array; engine keeps it)
+        return "variant_element_type_tags"
+    if "schmless" in sl or re.search(r"(?i)c_empty_(obj|array)", s):
+        return "reference_render_convention"
+    if re.search(r"(?i)json_value\(c1,", s) and "IS NULL" in s.upper():
+        return "json_path_empty_semantics"
+    if re.search(r"(?i)json_query\(.*GROUP\s+BY\s+1\s+ORDER\s+BY\s+1",
+                 s):
+        return "complex_json_equality"
+    if re.search(r"(?i)\bany_value\s*\(json_value", s) \
+            and re.search(r"(?i)GROUP\s+BY", s):
+        return "null_group_materialization"
+    if "time_parse" in sl and ("-6207" in d or "0001-01" in d
+                               or "0002-01" in d):
+        return "pre_gregorian_time_parse"
+    if re.search(r"(?i)string_agg", s) and "\\n" in repr(d):
+        return "golden_multiline_cell"
+    if re.search(r"(?i)\bmillis_to_timestamp|time_parse|time_format",
+                 s) and "row count" in d:
+        return "unnest_empty_string_element"
+    if re.search(r"(?i)array_agg|string_agg", s) and (
+            "100000" in s or "array_slice" in sl
+            or "array_to_string" in sl or "array_ordinal_of" in sl
+            or "array_offset" in sl or "strlen" in sl):
+        return "agg_size_cap_values"
+    if re.search(r"(?i)\b(earliest|latest|earliest_by|latest_by|"
+                 r"bit_or|bit_and|bit_xor|array_agg)\b", s) \
+            and re.search(r"(?i)GROUP\s+BY", s):
+        return "null_group_materialization"
+    if re.search(r"(?i)sum\(case\s+when", s) or (
+            "FILTER(WHERE" in s.upper() and "expected=['']" in d):
+        return "calcite_nullability_pruning"
+    if re.search(r"(?i)(mv|array)_(offset|ordinal)_of\s*\("
+                 r"\s*(a_mixed|json_value)", s):
+        return "variant_element_type_tags"
+    if re.search(r"(?i)json_(keys|paths|query|value)\s*\(", s) and (
+            "expected=['\"" in d or "json_paths" in sl
+            or re.search(r"(?i)json_value\(json_value", s)
+            or "'$.'" in s or "$[0]" in d):
+        return "nested_json_value_chain"
+    if re.search(r"(?i)json_value\(c_empty|json_query\(c", s) \
+            or "'$.'" in s:
+        return "json_path_empty_semantics"
+    if re.search(r"(?i)\bc1\s*=\s*c2|json_query\(c1.*json_query\(c2"
+                 r"|IN\s*\(json_object", s):
+        return "complex_json_equality"
+    if re.search(r"(?i)to_json_string|array_to_mv|mv_concat|"
+                 r"mv_to_string|mv_filter_(prefix|suffix|regex)", s):
+        return "reference_render_convention"
+    if "s_bool" in sl or "schmless" in sl:
+        return "reference_render_convention"
+    if re.search(r"(?i)\(\s*c\s*/\s*(s_int|c_long)\s*\)", s) or \
+            "safe_divide" in sl:
+        return "int_division_semantics"
+    if re.search(r"(?i)unnest\(.*unnest\(", s) or \
+            re.search(r"(?i)testunnestthrice", s):
+        return "unnest_filter_pushdown_rows"
+    if "row count" in d and re.search(r"(?i)unnest\s*\(", s):
+        return "unnest_empty_string_element"
+    return None
+
+
+def main(path: str) -> None:
+    recs = [json.loads(ln) for ln in open(path)]
+    cases = {c["id"]: c for c in collect_cases(FAMILIES)
+             if c["kind"] == "ok"}
+    out = []
+    counts: Counter = Counter()
+    unclassified = []
+    for r in recs:
+        c = cases.get(r["id"])
+        if c is None:
+            continue
+        fname = c["file"].split("/")[-1]
+        cls = classify(c["sql"], r.get("detail", ""), fname,
+                       r["status"])
+        counts[cls] += 1
+        if cls == "unclassified":
+            unclassified.append((r["id"],
+                                 " ".join(c["sql"].split())[:140],
+                                 (r.get("detail") or "")[:140]))
+        out.append({"id": r["id"], "family": c.get("family"),
+                    "file": fname, "status": r["status"],
+                    "class": cls, "reason": CLASSES.get(cls, "")})
+    ledger = {
+        "total_ok_cases": len(cases),
+        "residual_count": len(out),
+        "by_class": dict(counts.most_common()),
+        "classes": CLASSES,
+        "residuals": sorted(out, key=lambda x: (x["class"], x["id"])),
+    }
+    OUT.write_text(json.dumps(ledger, indent=1) + "\n")
+    print(f"residuals: {len(out)}; classes:")
+    for cls, n in counts.most_common():
+        print(f"  {n:4d} {cls}")
+    print(f"wrote {OUT}")
+    if unclassified:
+        print("\nUNCLASSIFIED:")
+        for u in unclassified:
+            print(" ", u[0], "\n   SQL:", u[1], "\n   DET:", u[2])
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1
+         else "tools/quidem_out/residuals_r10.jsonl")
