@@ -667,6 +667,98 @@ def main():
     except Exception as e:
         prepared["error"] = str(e)[:200]
 
+    # Scaling-curve sweep (round 10): the 100x-scale claims rest on
+    # plan shape; this arm MEASURES the curve. Four representative
+    # operators timed at sf0.01 (~60k lineitem rows), the bench SF
+    # (sf0.1, ~600k), and 20x (~12M): `slope` is
+    # log(t_big/t_small)/log(n_big/n_small) across the widest span —
+    # 1.0 = perfectly linear time in rows, < 1.0 = per-core throughput
+    # RISING with scale (fixed job cost amortizing), > 1.0 =
+    # superlinear cost (a plan that would not survive 100x).
+    scale_sweep = {}
+    try:
+        small_dir = os.path.join(os.path.dirname(
+            os.path.normpath(SF_DIR)), "sf0.01")
+        eng_small = (DruidSparkEngine(spark, data_dir=small_dir)
+                     if os.path.isdir(small_dir) and small_dir != SF_DIR
+                     else None)
+
+        def _bo2(fn):
+            fn()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            return best
+
+        li_b = engine.catalog.table("lineitem")
+        ord_b = engine.catalog.table("orders")
+        li_20 = spark.read.parquet(cache20)
+        tpch20_dir = f"/tmp/druid_spark_bench_cache/tpch20_{_sf_tag}"
+        ord_20 = spark.read.parquet(tpch20_dir + "/orders")
+
+        def filtered_agg(li, _o):
+            li.where(F.col("l_discount") > 0.05) \
+              .agg(F.sum("l_extendedprice")).collect()
+
+        def groupby_2dim(li, _o):
+            li.groupBy("l_returnflag", "l_linestatus") \
+              .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
+                   F.count(F.lit(1))).collect()
+
+        def shuffle_join(li, o):
+            # sort-merge hint pins the SHUFFLE join shape at every SF
+            # (auto-broadcast would flip the small cells to a different
+            # plan and fake the slope)
+            li.join(o.hint("merge"),
+                    li.l_orderkey == o.o_orderkey) \
+              .groupBy("o_orderpriority") \
+              .agg(F.sum("l_extendedprice")).collect()
+
+        cells = {"filtered_agg": filtered_agg,
+                 "groupby_2dim": groupby_2dim,
+                 "shuffle_join": shuffle_join}
+        sizes = []
+        if eng_small is not None:
+            sizes.append(("sf0.01", eng_small.catalog.table("lineitem"),
+                          eng_small.catalog.table("orders")))
+        sizes.append(("base", li_b, ord_b))
+        sizes.append(("20x", li_20, ord_20))
+        import math
+        for qname, fn in cells.items():
+            pts = []
+            for tag, li, o in sizes:
+                n = li.count()
+                sec = _bo2(lambda: fn(li, o))
+                pts.append({"scale": tag, "rows": n,
+                            "sec": round(sec, 4),
+                            "rows_per_sec_per_core":
+                                round(n / sec / CPUS)})
+            s0, s1 = pts[0], pts[-1]
+            slope = (math.log(s1["sec"] / s0["sec"])
+                     / math.log(s1["rows"] / s0["rows"]))
+            scale_sweep[qname] = {"points": pts,
+                                  "slope": round(slope, 3)}
+        # dedup_minhash sweeps sf0.01 -> base over the documents table
+        # (no 20x documents cache; the LSH plan is the scale evidence)
+        if eng_small is not None:
+            mh_pts = []
+            for tag, eng_ in (("sf0.01", eng_small), ("base", engine)):
+                qs = build_queries(eng_)
+                nd = eng_.catalog.table("documents").count()
+                sec = _bo2(qs["dedup_minhash"])
+                mh_pts.append({"scale": tag, "rows": nd,
+                               "sec": round(sec, 4),
+                               "rows_per_sec_per_core":
+                                   round(nd / sec / CPUS)})
+            slope = (math.log(mh_pts[-1]["sec"] / mh_pts[0]["sec"])
+                     / math.log(mh_pts[-1]["rows"] / mh_pts[0]["rows"]))
+            scale_sweep["dedup_minhash"] = {"points": mh_pts,
+                                            "slope": round(slope, 3)}
+    except Exception as e:
+        scale_sweep["error"] = str(e)[:200]
+
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -696,6 +788,7 @@ def main():
             "ingest_rate_20x": ingest,
             "asymptotic_1000x": asymptotic,
             "prepared_plan_cache": prepared,
+            "scale_sweep": scale_sweep,
         },
     }
     # Full detail to bench_out.json (the driver's stdout capture keeps
@@ -728,6 +821,10 @@ def main():
             "ingest_rollup_spread_sec": ingest.get("rollup_spread_sec"),
             "ingest_trivial_spread_sec":
                 ingest.get("trivial_spread_sec"),
+            # log-log slope per sweep query (1.0 = linear in rows)
+            "scale_slopes": {k: v.get("slope")
+                             for k, v in scale_sweep.items()
+                             if isinstance(v, dict)},
             "full": "bench_out.json",
         },
     }

@@ -287,7 +287,8 @@ class AggCompiler:
                  exact_approx: bool = False,
                  sketch_plan: "SketchPlan | None" = None,
                  default_nominal_entries: int | None = None,
-                 finalize: bool = True):
+                 finalize: bool = True,
+                 hllc_parity: bool = False):
         """exact_approx=True rewrites approximate aggregators to exact
         forms (count distinct) so results are oracle-checkable
         (SURVEY §7.3.5). sketch_plan coordinates sketch aggregators with
@@ -306,6 +307,9 @@ class AggCompiler:
         self.plan = sketch_plan
         self.default_nominal_entries = default_nominal_entries
         self.finalize = finalize
+        # hyperUnique estimates through the reference-parity collector
+        # (functions/hllc.py) when the owning engine opted in
+        self.hllc_parity = hllc_parity
 
     def compile(self, agg: dict[str, Any]) -> Column:
         """One aggregator spec → aliased aggregate Column."""
@@ -386,6 +390,13 @@ class AggCompiler:
                 # distinct set (exact theta sketch); set-op estimates
                 # become array_intersect/union/except + size
                 return F.collect_set(c)
+            if t == "hyperUnique" and getattr(self, "hllc_parity",
+                                              False):
+                # reference-parity HyperLogLogCollector estimate
+                # (functions/hllc.py) — opt-in engine mode; the
+                # session must have register_hllc_udf applied
+                return F.call_function(
+                    "druid_hllc_count", c.cast("string"))
             if self.exact:
                 return F.count_distinct(c)
             # real Datasketches HLL (mergeable, bounded state), the

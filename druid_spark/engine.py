@@ -145,10 +145,18 @@ class QueryContext:
 class DruidSparkEngine:
     def __init__(self, spark: SparkSession, data_dir: str | None = None,
                  exact_approx: bool = False,
-                 sketch_default_nominal_entries: int | None = 4096):
+                 sketch_default_nominal_entries: int | None = 4096,
+                 hyperunique_parity: bool = False):
         """exact_approx: rewrite approximate aggregators (HLL etc.) to
         exact forms — used by the correctness harness vs the DuckDB
         oracle (SURVEY §7.3.5).
+
+        hyperunique_parity: when a query REQUESTS approximate count
+        distinct (exact mode off for the statement), estimate through
+        the reference-exact HyperLogLogCollector reproduction
+        (functions/hllc.py) instead of Spark's Datasketches HLL, so
+        estimate VALUES match the reference's goldens bit-for-bit.
+        Opt-in: the default approx path stays JVM-side.
 
         sketch_default_nominal_entries: bound applied to tuple/theta
         sketch map-state when an aggregator omits nominalEntries — the
@@ -168,6 +176,10 @@ class DruidSparkEngine:
         self.spark = harden_session(spark)
         self.catalog = Catalog(spark)
         self.exact_approx = exact_approx
+        self.hyperunique_parity = hyperunique_parity
+        if hyperunique_parity:
+            from druid_spark.functions.hllc import register_hllc_udf
+            register_hllc_udf(self.spark)
         self.sketch_default_nominal_entries = (
             None if exact_approx else sketch_default_nominal_entries)
         self._serial = next(_ENGINE_SERIAL)
@@ -619,7 +631,8 @@ class DruidSparkEngine:
             real_array_cols=real_arrays, mvd_cols=mvd_cols,
             variant_array_cols={
                 c for cols in _jc_by_table.values()
-                for c, ty in cols.items() if ty == "ARRAY"})
+                for c, ty in cols.items() if ty == "ARRAY"},
+            hllc_parity=self.hyperunique_parity)
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner
         # applies to SQL through the same query stack). Keyed on the

@@ -50,6 +50,8 @@ _REAL_ARRAYS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_real_array_cols", default=set())
 _MVD_COLS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_mvd_cols", default=set())
+_HLLC_PARITY: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "druid_spark_hllc_parity", default=False)
 _VARRAYS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_variant_array_cols", default=set())
 _SCALAR_TYPES: contextvars.ContextVar[dict] = contextvars.ContextVar(
@@ -1575,7 +1577,8 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       scalar_types: dict | None = None,
                       real_array_cols: set | None = None,
                       mvd_cols: set | None = None,
-                      variant_array_cols: set | None = None) -> str:
+                      variant_array_cols: set | None = None,
+                      hllc_parity: bool = False) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -1592,9 +1595,11 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok6 = _REAL_ARRAYS.set(real_array_cols or set())
     tok7 = _MVD_COLS.set(mvd_cols or set())
     tok8 = _VARRAYS.set(variant_array_cols or set())
+    tok9 = _HLLC_PARITY.set(hllc_parity)
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
+        _HLLC_PARITY.reset(tok9)
         _VARRAYS.reset(tok8)
         _MVD_COLS.reset(tok7)
         _REAL_ARRAYS.reset(tok6)
@@ -2911,7 +2916,21 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                  "APPROX_COUNT_DISTINCT_BUILTIN",
                  # plain Calcite spelling (AggregatorsModule HLL default)
                  "APPROX_COUNT_DISTINCT"):
-        if exact:
+        if _HLLC_PARITY.get() and name in (
+                "APPROX_COUNT_DISTINCT_BUILTIN", "APPROX_COUNT_DISTINCT"):
+            # the EXPLICIT spellings are always approximate in the
+            # reference — useApproximateCountDistinct governs only
+            # COUNT(DISTINCT) conversion (the qaSql aggr_general
+            # A10/A11 goldens pin collector estimates under `!set
+            # useApproximateCountDistinct false`). In parity mode
+            # estimate through the reference-exact HyperLogLogCollector
+            # reproduction (functions/hllc.py) so the estimate VALUES
+            # match bit-for-bit.
+            out = _rewrite_call(
+                out, name,
+                lambda args: "druid_hllc_count(CAST("
+                + args[0] + " AS STRING))")
+        elif exact:
             out = re.sub(rf"\b{name}\(", "COUNT(DISTINCT ", out,
                          flags=re.IGNORECASE)
         else:

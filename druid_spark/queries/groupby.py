@@ -74,7 +74,9 @@ def compile_query(engine, q: dict) -> DataFrame:
                      engine.exact_approx, plan,
                      engine.sketch_default_nominal_entries,
                      finalize=q.get("context", {}).get("finalize",
-                                                      True))
+                                                      True),
+                     hllc_parity=getattr(engine, "hyperunique_parity",
+                                         False))
     aggs = ac.compile_all(q.get("aggregations"))
 
     subtotals = q.get("subtotalsSpec")

@@ -27,7 +27,9 @@ def compile_query(engine, q: dict) -> DataFrame:
     ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx, plan,
                      engine.sketch_default_nominal_entries,
                      finalize=q.get("context", {}).get("finalize",
-                                                      True))
+                                                      True),
+                     hllc_parity=getattr(engine, "hyperunique_parity",
+                                         False))
     aggs = ac.compile_all(q.get("aggregations"))
     gran = q.get("granularity", "all")
     grain_all = gran in (None, "all") or (

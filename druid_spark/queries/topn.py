@@ -32,7 +32,9 @@ def compile_query(engine, q: dict) -> DataFrame:
     ac = AggCompiler(res, ctx.filter_compiler(), engine.exact_approx, plan,
                      engine.sketch_default_nominal_entries,
                      finalize=q.get("context", {}).get("finalize",
-                                                      True))
+                                                      True),
+                     hllc_parity=getattr(engine, "hyperunique_parity",
+                                         False))
     aggs = ac.compile_all(q.get("aggregations"))
     threshold = int(q["threshold"])
 

@@ -1536,7 +1536,8 @@ def run(families, file_filter=None, case_filter=None, limit=None,
                     ds_err = str(ex)
                 cur_ds = c["dataset"]
                 if frames is not None:
-                    eng = DruidSparkEngine(spark, exact_approx=True)
+                    eng = DruidSparkEngine(spark, exact_approx=True,
+                                           hyperunique_parity=True)
                     for t, (df, jc) in frames.items():
                         eng.catalog.register_table(t, df, json_columns=jc)
                     for lname, lmap in lookups.items():
