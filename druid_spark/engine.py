@@ -632,7 +632,19 @@ class DruidSparkEngine:
             variant_array_cols={
                 c for cols in _jc_by_table.values()
                 for c, ty in cols.items() if ty == "ARRAY"},
-            hllc_parity=self.hyperunique_parity)
+            hllc_parity=self.hyperunique_parity,
+            # ordered per-table column lists for the self-join star
+            # expansion (Calcite's 0-suffix duplicate naming)
+            table_columns={
+                t: [n for n, _ty in cols]
+                for t, cols in self._col_kind_cache[1].items()
+                if not ref_tables or t in ref_tables},
+            # DECLARED COMPLEX<json> dims reject LIKE (Calcite); a
+            # discovery-stored json TEXT column ("JSON_TEXT" hint)
+            # stays LIKE-able (qaJsonCols ingest_schmless I14-I17)
+            declared_json_cols={
+                c for cols in _jc_by_table.values()
+                for c, ty in cols.items() if ty == "COMPLEX<json>"})
         # `SET useResultCache = true;` — the SQL spelling of the
         # result-level cache (reference: ResultLevelCachingQueryRunner
         # applies to SQL through the same query stack). Keyed on the

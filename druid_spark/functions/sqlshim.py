@@ -52,6 +52,10 @@ _MVD_COLS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_mvd_cols", default=set())
 _HLLC_PARITY: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "druid_spark_hllc_parity", default=False)
+_TABLE_COLS: contextvars.ContextVar[dict] = contextvars.ContextVar(
+    "druid_spark_table_cols", default={})
+_DECLARED_JSON: contextvars.ContextVar[set] = contextvars.ContextVar(
+    "druid_spark_declared_json_cols", default=set())
 _VARRAYS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_variant_array_cols", default=set())
 _SCALAR_TYPES: contextvars.ContextVar[dict] = contextvars.ContextVar(
@@ -1578,7 +1582,9 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       real_array_cols: set | None = None,
                       mvd_cols: set | None = None,
                       variant_array_cols: set | None = None,
-                      hllc_parity: bool = False) -> str:
+                      hllc_parity: bool = False,
+                      table_columns: dict | None = None,
+                      declared_json_cols: set | None = None) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -1596,9 +1602,13 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok7 = _MVD_COLS.set(mvd_cols or set())
     tok8 = _VARRAYS.set(variant_array_cols or set())
     tok9 = _HLLC_PARITY.set(hllc_parity)
+    tok10 = _TABLE_COLS.set(table_columns or {})
+    tok11 = _DECLARED_JSON.set(declared_json_cols or set())
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
+        _DECLARED_JSON.reset(tok11)
+        _TABLE_COLS.reset(tok10)
         _HLLC_PARITY.reset(tok9)
         _VARRAYS.reset(tok8)
         _MVD_COLS.reset(tok7)
@@ -2552,6 +2562,83 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 return (f"SELECT CAST(RAISE_ERROR('Column ''{_an}'' "
                         f"is ambiguous') AS INT) AS __err")
 
+    # (SELECT * FROM t a CROSS/INNER JOIN t b ...): Calcite expands
+    # the duplicate output names with a 0 suffix (a_bool, a_bool0) so
+    # an outer bare reference binds to the LEFT side; Spark keeps two
+    # same-named columns and rejects the outer reference as ambiguous
+    # (qaSql sql_join.03/.04 A7 batteries). Expand the star with the
+    # catalog's column list using the same suffix convention.
+    _tcols = _TABLE_COLS.get()
+    if _tcols and re.search(r"(?is)\(\s*SELECT\s+\*\s+FROM", out):
+        _kw = {"CROSS", "INNER", "LEFT", "RIGHT", "FULL", "JOIN",
+               "ON", "WHERE", "GROUP", "ORDER", "LIMIT", "UNNEST"}
+
+        def _self_join_star(m):
+            t, a1, jt, t2, a2 = m.groups()
+            if (t != t2 or t not in _tcols
+                    or a1.upper() in _kw or a2.upper() in _kw):
+                return m.group(0)
+            cols = _tcols[t]
+            sel = ", ".join(
+                [f"{a1}.{c}" for c in cols]
+                + [f"{a2}.{c} AS {c}0" for c in cols])
+            return m.group(0).replace("*", sel, 1)
+
+        out = re.sub(
+            r"(?is)\(\s*SELECT\s+\*\s+FROM\s+(\w+)\s+(?:AS\s+)?(\w+)"
+            r"\s+(CROSS|INNER)\s+JOIN\s+(\w+)\s+(?:AS\s+)?(\w+)\b",
+            _self_join_star, out)
+
+    # ORDER BY repeating a grouped SELECT expression verbatim: Spark's
+    # analyzer cannot re-resolve the source columns above the
+    # aggregate once the expression is rewritten (json_query ->
+    # from_json chains); Calcite binds it to the output column. Swap
+    # the ORDER BY item for the SELECT item's alias — identical
+    # ordering by the grouped value (qaSql sql_order_by.03 A24/A25).
+    _kwm0 = _scan_top_kw(out, ["SELECT", "FROM", "GROUP BY",
+                               "ORDER BY"])
+    if "GROUP BY" in _kwm0 and "ORDER BY" in _kwm0 \
+            and "SELECT" in _kwm0 and "FROM" in _kwm0 \
+            and _kwm0["ORDER BY"] > _kwm0["GROUP BY"]:
+        _sel_items = _top_split(
+            out[_kwm0["SELECT"] + 6:_kwm0["FROM"]])
+
+        def _norm_expr(e: str) -> str:
+            # identical literals mask to DIFFERENT placeholder ids —
+            # compare unmasked text
+            e = ctx.unmask(e) if ctx else e
+            return " ".join(e.split()).lower()
+
+        _alias_of = {}
+        for _it in _sel_items:
+            _am2 = re.match(r"(?is)^(.*\S)\s+(?:AS\s+)?([A-Za-z_]\w*)"
+                            r"\s*$", _it.strip())
+            if _am2 and "(" in _am2.group(1):
+                _alias_of[_norm_expr(_am2.group(1))] = _am2.group(2)
+        if _alias_of:
+            _ob_start = _kwm0["ORDER BY"] + 8
+            _ob_end = min((v for k, v in _scan_top_kw(
+                out[_ob_start:], ["LIMIT", "OFFSET"]).items()),
+                default=len(out) - _ob_start) + _ob_start
+            _items = _top_split(out[_ob_start:_ob_end])
+            _new = []
+            _changed = False
+            for _it in _items:
+                _m3 = re.match(r"(?is)^(.*?)(\s+(?:ASC|DESC))?"
+                               r"(\s+NULLS\s+(?:FIRST|LAST))?\s*$",
+                               _it.strip())
+                _key = _norm_expr(_m3.group(1) or "")
+                if _key in _alias_of:
+                    _changed = True
+                    _new.append(_alias_of[_key]
+                                + (_m3.group(2) or "")
+                                + (_m3.group(3) or ""))
+                else:
+                    _new.append(_it.strip())
+            if _changed:
+                out = (out[:_ob_start] + " " + ", ".join(_new) + " "
+                       + out[_ob_end:])
+
     # a NUMERIC probe into a VARIANT array is NULL in the reference
     # (the probe casts to the variant element type and misses —
     # qaArray ops_funcs_array_funcs C19: array_offset_of(a_mixed, 1))
@@ -2601,10 +2688,24 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             rf"(<=|>=|<(?![>=])|>(?!=)|"
             rf"\s+NOT\s+BETWEEN\b|\s+BETWEEN\b|"
             rf"\s+IS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b)")
-        # LIKE over json stays ACCEPTED: qaJsonCols
-        # ingest_schmless_json I14-I17 pin `c2 like '%b_str%'` as a
-        # working text match (the qaArray a_nested NOT LIKE rejections
-        # remain an accepted-superset class)
+        # LIKE rejects only over DECLARED COMPLEX<json> dims — the
+        # reference's Calcite validator ("Cannot apply 'LIKE' to
+        # <COMPLEX<JSON>>", qaArray sql_subquery_with_where.55/.56);
+        # discovery-stored json TEXT ("JSON_TEXT" hint) stays
+        # LIKE-able (qaJsonCols ingest_schmless I14-I17 pin
+        # `c2 like '%b_str%'` as a working match)
+        _djson = _DECLARED_JSON.get() - _REAL_ARRAYS.get()
+        if _djson:
+            _djc = "|".join(re.escape(c) for c in sorted(_djson))
+            _djpat = re.compile(
+                rf"(?is)(?<![\w.])(?:[A-Za-z_]\w*\.)?({_djc})\s+"
+                rf"(?:NOT\s+)?LIKE\b")
+            if _djpat.search(out):
+                out = _djpat.sub(
+                    lambda m: ("CAST(RAISE_ERROR('Cannot apply LIKE "
+                               "to arguments of type COMPLEX JSON') "
+                               "AS BOOLEAN) OR " + m.group(0)),
+                    out, count=0)
         if _jpat.search(out):
             out = _jpat.sub(
                 lambda m: ("CAST(RAISE_ERROR('Cannot apply comparison "
@@ -2736,6 +2837,12 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # but 0 is their identity, so they keep real semantics.
     def _bit_fold(fn):
         def b(a):
+            if len(a) == 1 and _is_real_array_expr(a[0]):
+                # BIT_* over an ARRAY/COMPLEX argument is a Calcite
+                # validation error in the reference (qaArray
+                # ops_funcs_agg_funcs.09 C batteries)
+                return (f"CAST(RAISE_ERROR('Cannot apply {fn} to "
+                        f"arguments of type ARRAY') AS BIGINT)")
             if len(a) == 1 and not re.match(
                     r"(?is)^CAST\(.*AS BIGINT\)$", a[0].strip()):
                 # the reference funnels the argument through a LONG
@@ -2749,7 +2856,10 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         out = _rewrite_call_unless_windowed(out, _bfn, _bit_fold(_bfn))
     out = _rewrite_call_unless_windowed(
         out, "BIT_AND",
-        lambda a: (f"IF(COUNT({a[0]})__FILTER__ > 0, "
+        lambda a: ((f"CAST(RAISE_ERROR('Cannot apply BIT_AND to "
+                    f"arguments of type ARRAY') AS BIGINT)")
+                   if _is_real_array_expr(a[0]) else
+                   f"IF(COUNT({a[0]})__FILTER__ > 0, "
                    f"CAST(0 AS BIGINT), CAST(NULL AS BIGINT))")
         if len(a) == 1 else None)
     # time-ordered first/last aggregators (EarliestLatestAnySqlAggregator)
@@ -3190,16 +3300,21 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # Calcite dedupes duplicate SELECT * output names with a 0 suffix
     # (test_unnest.s_int + u(s_int) -> second column "s_int0",
     # qaUnnest array_sql_col_general A1_B9); rename the unnest alias
-    # column when the query references the suffixed name.
-    for _m in list(re.finditer(r"(?is)\bAS\s+(\w+)\s*\(\s*(\w+)\s*\)",
-                               out)):
-        _ucol = _m.group(2)
-        if (_ucol in _SCALAR_COLS.get()
-                or _ucol in _ARRAY_ELEM.get()) and \
-                re.search(rf"(?i)\b{_ucol}0\b", out):
-            out = (out[:_m.start()]
-                   + f"AS {_m.group(1)}({_ucol}0)" + out[_m.end():])
-            break
+    # column when the query references the suffixed name. ONLY when a
+    # `(SELECT * ...)` subquery materializes the renamed column —
+    # Calcite renames during star expansion; a direct FROM-level
+    # `s_int0` reference is "not found in any table"
+    # (array_sql_col_general A1_B5/B12 !error).
+    if re.search(r"(?is)\(\s*SELECT\s+\*", out):
+        for _m in list(re.finditer(
+                r"(?is)\bAS\s+(\w+)\s*\(\s*(\w+)\s*\)", out)):
+            _ucol = _m.group(2)
+            if (_ucol in _SCALAR_COLS.get()
+                    or _ucol in _ARRAY_ELEM.get()) and \
+                    re.search(rf"(?i)\b{_ucol}0\b", out):
+                out = (out[:_m.start()]
+                       + f"AS {_m.group(1)}({_ucol}0)" + out[_m.end():])
+                break
     # a parenthesized join group containing UNNEST can't host Spark's
     # LATERAL VIEW — strip the (pure-join, non-subquery) parens so the
     # unnest-then-join path rewrites to a LATERAL subquery instead

@@ -196,6 +196,72 @@ def test_mvd_groupby_scalar_where_pushes_down(eng):
     assert [(r.c_mv, r.cnt) for r in rows] == [("x", 1), ("y", 1)]
 
 
+# ----------------------- round-10 tail: BIT_*/LIKE/self-join/order-by
+
+def test_bit_agg_over_real_array_rejects(eng):
+    _rejects(eng, "SELECT bit_and(a_int) AS col FROM t_r10")
+    _rejects(eng, "SELECT bit_or(json_value(a_nested, '$[0]' "
+                  "RETURNING bigint array)) AS col FROM t_r10 "
+                  "GROUP BY json_value(a_nested, '$[0]' "
+                  "RETURNING bigint array)")
+
+
+def test_bit_agg_over_scalar_ok(eng):
+    # BIT_AND folds from accumulator 0 in the reference (init-0 quirk)
+    rows = eng.sql("SELECT bit_and(s_int) AS col FROM t_r10").collect()
+    assert rows[0].col == 0
+
+
+def test_like_over_declared_json_rejects(eng):
+    # a_nested registered as COMPLEX<json> (DECLARED) — LIKE rejects
+    _rejects(eng, "SELECT a_nested FROM t_r10 WHERE a_nested LIKE '%'")
+
+
+def test_like_over_json_text_accepted(spark):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    sch = T.StructType([T.StructField("__time", T.TimestampType()),
+                        T.StructField("cj", T.StringType())])
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), '{"a_str":"A"}')], sch)
+    e = DruidSparkEngine(spark, exact_approx=True)
+    # classic-schemaless discovery stores nested data as json TEXT
+    e.catalog.register_table("t_jtext", df,
+                             json_columns={"cj": "JSON_TEXT"})
+    assert e.sql("SELECT count(*) AS c FROM t_jtext "
+                 "WHERE cj LIKE '%a_str%'").collect()[0].c == 1
+
+
+def test_self_join_star_zero_suffix(eng):
+    # Calcite renames the right side's duplicate outputs with a 0
+    # suffix; an outer bare reference binds to the LEFT side
+    rows = eng.sql(
+        "SELECT s_int FROM (SELECT * FROM t_r10 t1 "
+        "CROSS JOIN t_r10 t2) ORDER BY s_int").collect()
+    assert [r.s_int for r in rows] == sorted([1, 2, 3] * 3)
+    rows = eng.sql(
+        "SELECT s_int0 FROM (SELECT * FROM t_r10 t1 "
+        "CROSS JOIN t_r10 t2) ORDER BY s_int0").collect()
+    assert [r.s_int0 for r in rows] == sorted([1, 2, 3] * 3)
+
+
+def test_suffixed_name_without_star_subquery_rejects(eng):
+    # the 0-suffix only materializes through a (SELECT * ...) star
+    # expansion; a direct FROM-level reference is not a column
+    _rejects(eng, "SELECT a_int0 FROM t_r10, unnest(a_int) AS "
+                  "u(a_int2)")
+
+
+def test_order_by_repeats_grouped_expression(eng):
+    rows = eng.sql(
+        "SELECT upper(s_str) u, COUNT(*) AS cnt FROM t_r10 "
+        "GROUP BY upper(s_str) ORDER BY upper(s_str) DESC"
+    ).collect()
+    assert [r.u for r in rows] == ["Z", "Y", "X"]
+
+
 # --------------------------- schema discovery vs transform outputs
 
 def test_schema_discovery_drops_transform_only_columns(spark, tmp_path):

@@ -53,6 +53,7 @@ def classify(sql: str, expected: str, case_id: str = "") -> tuple[str, bool]:
                  r"textcat|contains_string|icontains_string|"
                  r"ipv4_\w+|ipv6_\w+|parse_long|time_parse|greatest|"
                  r"least|lpad|rpad|lower|upper|substring|concat|"
+                 r"parse_json|try_parse_json|bit_and|bit_or|bit_xor|"
                  r"approx_count_distinct(?:_builtin)?|unnest)\s*\(\s*"
                  r"(?:a_null|a_empty|a_str|c_mv_\w*|a_mixed)\b", sql) \
             and "cannot apply" in e:
@@ -106,6 +107,14 @@ def classify(sql: str, expected: str, case_id: str = "") -> tuple[str, bool]:
         # reference) REQUIRES evaluating rank over unordered windows;
         # the injected ORDER BY true serves both
         return ("rank_without_order_by", True)
+    if e.strip().lower() == "array" and re.search(
+            r"(?i)\b(?:a_null|a_empty|a_str|c_mv_\w*)\s+(?:NOT\s+)?"
+            r"IN\s*\(\s*SELECT\b", sql):
+        # string-element array in an IN subquery: MVDs publish as
+        # VARCHAR in the reference and are LEGAL there, so the guard
+        # covers only provably-real arrays — string-element arrays
+        # stay ambiguous with MVDs (same documented storage ambiguity)
+        return ("string_array_vs_mvd_ambiguity", True)
     if e.strip() == "ARRAY" or "order by" in e and "array" in e:
         return ("array_ordering_superset", True)
     if "cannot be applied" in e or "cannot apply" in e:

@@ -957,7 +957,15 @@ def _spec_frames(spark, inners):
                         seen[k] = None
             excl = set(dims_spec.get("dimensionExclusions") or [])
             have = {d["name"] for d in dims}
-            dims = [{"type": "auto", "name": k} for k in seen
+            # classic schemaless (dimensions null, NO useSchemaDiscovery)
+            # stores discovered nested data as STRING-ish text — LIKE
+            # works over it; useSchemaDiscovery discovers true
+            # COMPLEX<json> (the declared-vs-text split the LIKE
+            # guard keys on)
+            _classic = not dims and \
+                not dims_spec.get("useSchemaDiscovery")
+            dims = [{"type": "auto", "name": k, "_discovered": _classic}
+                    for k in seen
                     if k not in excl and k not in have] + dims
 
         fields = [T.StructField("__time", T.TimestampType())]
@@ -1010,7 +1018,15 @@ def _spec_frames(spark, inners):
                                     [_mv_elem(e) for e in v])
                 else:
                     fields.append(T.StructField(name, T.StringType()))
-                    json_cols.append((name, "COMPLEX<json>"))
+                    # classic-schemaless nested data stores as
+                    # queryable json TEXT (qaJsonCols ingest_schmless
+                    # I14-I17 pin `c2 like '%b_str%'` as a working
+                    # match); declared/discovery dims are true
+                    # COMPLEX<json>, where LIKE is a validation error
+                    # — the hint kind lets the engine keep both
+                    json_cols.append((name, "JSON_TEXT"
+                                      if d.get("_discovered")
+                                      else "COMPLEX<json>"))
                     coercers.append(lambda v: None if v is None else
                                     json.dumps(v, separators=(",", ":")))
             elif typ == "string" and all(
