@@ -183,8 +183,11 @@ def _content_class(s: str, d: str) -> str | None:
         return "reference_render_convention"
     if re.search(r"(?i)json_value\(c1,", s) and "IS NULL" in s.upper():
         return "json_path_empty_semantics"
-    if re.search(r"(?i)json_query\(.*GROUP\s+BY\s+1\s+ORDER\s+BY\s+1",
-                 s):
+    if re.search(r"(?i)json_query\(", s) and \
+            re.search(r"(?i)GROUP\s+BY", s) and \
+            re.search(r"(?i)ORDER\s+BY", s):
+        # ordering COMPLEX<json> group keys: the reference's COMPLEX
+        # comparator vs this engine's canonical-text ordering
         return "complex_json_equality"
     if re.search(r"(?i)\bany_value\s*\(json_value", s) \
             and re.search(r"(?i)GROUP\s+BY", s):
