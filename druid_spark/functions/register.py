@@ -372,6 +372,21 @@ _FUNCS: list[tuple[str, str, str, str]] = [
            THEN {_JGET}
            ELSE {_jquote(_JGET)}
       END"""),
+    # JSON_QUERY over a source KNOWN to hold string elements (a
+    # varchar-RETURNING json_value chain or a variant array stored as
+    # array<string>): every extracted leaf renders JSON-QUOTED —
+    # get_json_object loses the quoting, and the reference's
+    # NESTED_DATA render keeps it (qaArray ops_funcs_json_funcs
+    # C19-C21 expect '"true"', not 'true')
+    ("JSON_QUERY_STRSRC", "j STRING, p STRING", "STRING", f"""
+      CASE WHEN p IN ('$', '$.') THEN j
+           WHEN {_JGET} IS NULL THEN NULL
+           WHEN {_JGET} = 'null' THEN NULL
+           WHEN json_object_keys({_JGET}) IS NOT NULL
+             OR json_array_length({_JGET}) IS NOT NULL
+           THEN {_JGET}
+           ELSE {_jquote(_JGET)}
+      END"""),
     # root path is spelled '$' or '$.' in the reference's tests
     # (NestedDataExpressions.java json_keys); keys of scalars/arrays/
     # non-JSON are NULL (testJsonKeysNonJsonInput)

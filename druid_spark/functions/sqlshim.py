@@ -2814,20 +2814,51 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # '["S1","S2",null]' — qaArray ops_funcs_json_funcs), while a bare
     # Spark array cast to string renders '[S1, S2, null]'. Rescan-safe:
     # once wrapped, the arg is no longer a bare identifier.
-    if _ARRAY_ELEM.get():
+    def _is_arrayish_json_arg(e: str) -> bool:
+        """A SQL-ARRAY-producing expression whose JSON form the json
+        functions must read: a typed-array column, a VARIANT array
+        column, or a json_value(... RETURNING <t> array) chain
+        (ops_funcs_json_funcs C11/C12/C20/C21: the reference
+        re-enters the nested machinery on the produced array)."""
+        e = e.strip()
+        if e in _ARRAY_ELEM.get() or e in _VARRAYS.get():
+            return True
+        return bool(re.match(r"(?is)^JSON_VALUE\s*\(", e)
+                    and re.search(r"(?is)\bRETURNING\s+\w+\s+ARRAY"
+                                  r"\s*\)\s*$", e))
+
+    if _ARRAY_ELEM.get() or _VARRAYS.get() or re.search(
+            r"(?is)\bRETURNING\s+\w+\s+ARRAY\b", out):
+        # an ARRAY value is a single leaf for PATHS: '[$]' (the
+        # reference's NestedPathFinder treats primitive arrays as
+        # terminal — ops_funcs_json_funcs C2/C11 batteries)
         out = _rewrite_call(
             out, "JSON_PATHS",
             lambda a: ("ARRAY('$')"
-                       if len(a) == 1 and a[0].strip() in
-                       _ARRAY_ELEM.get() else None))
+                       if len(a) == 1 and _is_arrayish_json_arg(a[0])
+                       else None))
+        def _str_elem_source(e: str) -> bool:
+            # string-element sources keep JSON-quoted leaf renders
+            e = e.strip()
+            if e in _VARRAYS.get():
+                return True
+            if _ARRAY_ELEM.get().get(e, "").split("(")[0] in (
+                    "string", "varchar", "char"):
+                return True
+            return bool(re.search(
+                r"(?is)\bRETURNING\s+(?:varchar|char|string)\s+ARRAY"
+                r"\s*\)\s*$", e))
+
         for _jf in ("JSON_KEYS", "JSON_VALUE", "JSON_QUERY",
-                    "JSON_PATHS", "JSON_QUERY_ARRAY", "TO_JSON_STRING"):
+                    "JSON_QUERY_ARRAY", "TO_JSON_STRING"):
             out = _rewrite_call(
                 out, _jf,
                 lambda a, _jf=_jf:
-                (f"{_jf}(TO_JSON({a[0]})"
-                 + ("".join(", " + x for x in a[1:])) + ")")
-                if a and a[0].strip() in _ARRAY_ELEM.get() else None)
+                ((("JSON_QUERY_STRSRC" if _jf == "JSON_QUERY"
+                   and _str_elem_source(a[0]) else _jf)
+                  + f"(TO_JSON({a[0]})"
+                  + ("".join(", " + x for x in a[1:])) + ")")
+                 if a and _is_arrayish_json_arg(a[0]) else None))
     out = _rewrite_json_returning(out)
     # BIT_AND folds bitwiseAnd from an initial accumulator of ZERO in
     # the reference (BitwiseSqlAggregator.java:142-151 init "0";

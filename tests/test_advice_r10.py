@@ -262,6 +262,32 @@ def test_order_by_repeats_grouped_expression(eng):
     assert [r.u for r in rows] == ["Z", "Y", "X"]
 
 
+# ----------------------------- json functions over produced arrays
+
+def test_json_fns_over_returning_array_chain(eng):
+    # the reference re-enters nested data on a json_value(...
+    # RETURNING <t> array) result (ops_funcs_json_funcs C11/C20)
+    rows = eng.sql(
+        "SELECT json_value(json_value(a_nested, '$[0]' "
+        "RETURNING bigint array), '$[0]') AS v FROM t_r10"
+    ).collect()
+    assert [r.v for r in rows] == ["1", "3", None]
+    # string-element sources keep the JSON-QUOTED leaf render
+    rows = eng.sql(
+        "SELECT json_query(json_value(a_nested, '$[0]' "
+        "RETURNING varchar array), '$[0]') AS v FROM t_r10"
+    ).collect()
+    assert [r.v for r in rows] == ['"1"', '"3"', None]
+    # keys of an array are its ordinal indices; paths see one leaf
+    rows = eng.sql(
+        "SELECT json_keys(json_value(a_nested, '$[0]' "
+        "RETURNING bigint array), '$.') AS k, "
+        "json_paths(json_value(a_nested, '$[0]' "
+        "RETURNING bigint array)) AS p FROM t_r10 LIMIT 1"
+    ).collect()
+    assert list(rows[0].k) == ["0"] and list(rows[0].p) == ["$"]
+
+
 # --------------------------- schema discovery vs transform outputs
 
 def test_schema_discovery_drops_transform_only_columns(spark, tmp_path):
