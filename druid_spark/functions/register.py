@@ -42,6 +42,7 @@ _JNP = """CASE
         WHEN p = '$.' THEN '$'
         WHEN p NOT LIKE '$%' THEN raise_error(concat(
           'JSONPath [', p, '] is invalid, it must start with ''$'''))
+        WHEN p RLIKE '\\\\[-[0-9]+\\\\].' THEN '$.__druid_no_such_key__'
         WHEN p RLIKE '\\\\[-[0-9]+\\\\]' THEN concat(
           regexp_extract(p, '^(.*?)\\\\[-[0-9]+\\\\]', 1), '[',
           cast(json_array_length(get_json_object(j,

@@ -86,10 +86,12 @@ CLASSES = {
         "out-of-range slices -> null); engine collectors are "
         "unbounded by design",
     "json_path_empty_semantics":
-        "JSON path quirks over non-object inputs: '$.'-suffixed "
-        "paths, json_value('$') over empty arrays/objects, json_keys "
-        "over typed arrays — the reference's NestedPathFinder returns "
-        "values where Spark's JSON fns return null (and vice versa)",
+        "the reference's json_value over an EMPTY array value is "
+        "non-null for IS NULL yet coerces to null/blank in "
+        "DISTINCT/render contexts (A045 pins 1 blank distinct while "
+        "A086 pins 2 non-null rows over the same data) — a "
+        "per-context coercion one scalar expression cannot express; "
+        "this engine picks the render-consistent null",
     "complex_json_equality":
         "COMPLEX<json> equality (c1 = c2, json_query = json_query, "
         "IN json_object) follows the reference's object-identity "
