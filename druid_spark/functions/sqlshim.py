@@ -3931,6 +3931,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # numeric array (a_int, RETURNING bigint/double array) is a
     # number the reference's validator refuses in TIME_* slots
     _num_ucols: set = set()
+    _long_ucols: set = set()  # LONG-element aliases: integer division
     for _um in re.finditer(r"(?is)\bEXPLODE(?:_OUTER)?\(", out):
         _uend = _find_spec_end(out, _um.end())
         _uexpr = out[_um.end():_uend].strip()
@@ -3945,6 +3946,10 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 or re.search(r"(?i)'array<(bigint|int|double|float)>'",
                              _uexpr_u)):
             _num_ucols.add(_ucol)
+        if (et in ("bigint", "int", "smallint", "tinyint", "long",
+                   "integer")
+                or re.search(r"(?i)'array<(bigint|int)>'", _uexpr_u)):
+            _long_ucols.add(_ucol)
 
     # names (re)defined as aliases in this statement may shadow a
     # table column of the same name — never reject on those (false
@@ -3972,6 +3977,29 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     if _SCALAR_TYPES.get() or _num_ucols:
         for _tfn, _trt in _tf_types.items():
             out = _rewrite_call(out, _tfn, _time_numeric_guard(_tfn, _trt))
+
+    # `/` over two LONG operands is INTEGER division in the reference
+    # (native long arithmetic — qaUnnest array_sql_ops A1_B4: (c/s_int)
+    # over unnested bigints yields 0/1/1/2); Spark's `/` always
+    # promotes to double. Rewrite only when BOTH sides are provably
+    # long: a long-typed scalar column or a numeric-unnest alias.
+    _longs = {c for c, t in _SCALAR_TYPES.get().items()
+              if t.split("(")[0].lower() in ("bigint", "long", "int",
+                                             "integer", "smallint",
+                                             "tinyint")} | _long_ucols
+    if _longs:
+        _lpat = "|".join(re.escape(c) for c in sorted(_longs))
+        if "/" in out:
+            out = re.sub(
+                rf"(?is)(?<![\w.])({_lpat})\s*/\s*({_lpat})(?![\w.])",
+                r"(\1 DIV \2)", out)
+        # SAFE_DIVIDE over two longs uses long division too
+        # (SafeDivideExprMacro; the registered SQL UDF is monomorphic
+        # DOUBLE, so the long case specializes here)
+        out = re.sub(
+            rf"(?is)\bSAFE_DIVIDE\s*\(\s*({_lpat})\s*,\s*({_lpat})"
+            rf"\s*\)",
+            r"(CASE WHEN \2 = 0 THEN NULL ELSE \1 DIV \2 END)", out)
 
     # GROUPING(expr..) without GROUPING SETS/ROLLUP/CUBE: Calcite
     # evaluates it to 0 over a plain GROUP BY (every listed dim is
