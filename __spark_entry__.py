@@ -2437,6 +2437,51 @@ def q_hll_sketch_vs_exact(spark, sf):
             .orderBy("event_type"))
 
 
+def q_hyperunique_parity(spark, sf):
+    """Reference-parity hyperUnique estimates (round 10): the opt-in
+    `hyperunique_parity` engine mode reproduces
+    hll/HyperLogLogCollector.java bit-for-bit (2048 nibble registers,
+    offset/overflow, applyCorrection) fed by the by-value cardinality
+    hash (CardinalityAggregator.HASH_FUNCTION.hashUnencodedChars —
+    murmur3 x64_128 over UTF-16LE). The quidem gate pins exact golden
+    estimates (qaSql aggr_general A10/A11); this oracle-checkable
+    surface emits the exact per-group distinct plus two deterministic
+    checks: the SQL estimate within the collector's error band, and
+    equal to the pure-Python collector recomputed over the same
+    values (driver-independent bit-parity evidence)."""
+    from druid_spark import DruidSparkEngine
+    from druid_spark.functions.hllc import estimate_values
+
+    eng = _engine(spark, sf)
+    key = (id(spark), sf, "hllc_parity")
+    if key not in _ENGINES:
+        _ENGINES[key] = DruidSparkEngine(spark, data_dir=sf,
+                                         exact_approx=True,
+                                         hyperunique_parity=True)
+    peng = _ENGINES[key]
+    est = peng.sql(
+        "SELECT event_type, APPROX_COUNT_DISTINCT_BUILTIN(user_id) "
+        "AS est FROM events GROUP BY 1")
+    exact = eng.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users "
+        "FROM events GROUP BY 1")
+    # driver-side recomputation: one small reference group
+    vals = [r.user_id for r in eng.catalog.table("events")
+            .where(F.col("event_type") == "click")
+            .select("user_id").collect()]
+    py_est = estimate_values(str(v) for v in vals if v is not None)
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= F.greatest(
+                         0.05 * F.col("exact_users"), F.lit(3.0)))
+                    .alias("est_ok"),
+                    F.when(F.col("event_type") == "click",
+                           F.col("est") == F.lit(py_est))
+                    .otherwise(F.lit(True)).alias("parity_ok"))
+            .orderBy("event_type"))
+
+
 def q_projection_hll_sketch(spark, sf):
     """Rollup whose stored distinct state is a BINARY mergeable HLL
     sketch column (not a set): per-hour sketches re-merge via
@@ -10710,7 +10755,7 @@ _SAMPLE_FIRST = [
     "asof_join", "range_join",
     # sketches / projections / rollup routing
     "gb_quantile_sketch", "theta_setops", "tuple_setops",
-    "hll_sketch_vs_exact",
+    "hll_sketch_vs_exact", "hyperunique_parity",
     "projection_hll_sketch", "projection_theta_sketch",
     "kll_quantile_merge", "projection_routing",
     # streaming + stateful (kafka_ingest: wire-protocol Kafka e2e)
@@ -10887,6 +10932,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_typed_agg": q_json_typed_agg,
         "projection_count_distinct": q_projection_count_distinct,
         "hll_sketch_vs_exact": q_hll_sketch_vs_exact,
+        "hyperunique_parity": q_hyperunique_parity,
         "projection_hll_sketch": q_projection_hll_sketch,
         "projection_theta_sketch": q_projection_theta_sketch,
         "kll_quantile_merge": q_kll_quantile_merge,
@@ -11946,6 +11992,10 @@ def _base_oracle_sql() -> dict[str, str]:
         "hll_sketch_vs_exact": """
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    true AS est_ok
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "hyperunique_parity": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   true AS est_ok, true AS parity_ok
             FROM events GROUP BY 1 ORDER BY 1""",
         "single_value": """
             SELECT r_name AS v FROM region WHERE r_regionkey = 0""",
