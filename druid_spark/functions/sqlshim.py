@@ -3772,7 +3772,35 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 flat[j] = f"UNIX_MILLIS({v})"
         return f"NAMED_STRUCT({', '.join(flat)})"
 
+    def _top_colon_split(a):
+        """Split 'keyexpr : valexpr' at the first depth-0 colon
+        outside string literals (args arrive unmasked — a ':' inside
+        a literal must not split)."""
+        depth = i = 0
+        while i < len(a):
+            ch = a[i]
+            if ch == "'":
+                i = _skip_string(a, i)
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == ":" and depth == 0:
+                return a[:i].strip(), a[i + 1:].strip()
+            i += 1
+        return None
+
     def _json_object_flat(args):
+        # EXPRESSION key (Calcite colon form with a computed key:
+        # json_object('a'||'b':'v') — qaJsonCols func_json_object
+        # A016): NAMED_STRUCT needs literal names, so expression keys
+        # serialize through a MAP instead
+        if len(args) == 1:
+            kv = _top_colon_split(args[0])
+            if kv and not re.fullmatch(r"'(?:[^']|'')*'", kv[0]) \
+                    and not re.match(r"(?is)^KEY\s", args[0]):
+                return (f"TO_JSON(MAP({kv[0]}, {kv[1]}), "
+                        f"MAP('ignoreNullFields', 'false'))")
         ns = _json_object_struct(args)
         if ns is None:
             return None
