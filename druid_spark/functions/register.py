@@ -42,7 +42,6 @@ _JNP = """CASE
         WHEN p = '$.' THEN '$'
         WHEN p NOT LIKE '$%' THEN raise_error(concat(
           'JSONPath [', p, '] is invalid, it must start with ''$'''))
-        WHEN p RLIKE '\\\\[-[0-9]+\\\\].' THEN '$.__druid_no_such_key__'
         WHEN p RLIKE '\\\\[-[0-9]+\\\\]' THEN concat(
           regexp_extract(p, '^(.*?)\\\\[-[0-9]+\\\\]', 1), '[',
           cast(json_array_length(get_json_object(j,
@@ -350,6 +349,7 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("JSON_VALUE", "j STRING, p STRING", "STRING", f"""
       CASE WHEN p IN ('$', '$.') AND j IS NOT NULL AND j <> ''
              AND get_json_object(j, '$') IS NULL THEN j
+           WHEN p RLIKE '\\\\[-[0-9]+\\\\].' THEN NULL
            WHEN json_object_keys({_JGET}) IS NOT NULL
              OR json_array_length({_JGET}) IS NOT NULL
            THEN NULL
