@@ -2482,6 +2482,42 @@ def q_hyperunique_parity(spark, sf):
             .orderBy("event_type"))
 
 
+def q_agg_size_cap(spark, sf):
+    """Reference collection-size cap (round 11): ARRAY_AGG/STRING_AGG
+    accumulators are byte-capped — default 1024
+    (ExpressionLambdaAggregatorFactory.java:69 DEFAULT_MAX_SIZE_BYTES),
+    explicit via the trailing maxSizeBytes argument
+    (ArraySqlAggregator.java:83-150, StringSqlAggregator.java) — and
+    throw "Exceeded memory usage when aggregating, size of the
+    collection is larger than max [N] bytes" past it. Oracle-checked
+    surface: values under an explicit large cap pass through unchanged
+    (lengths pinned vs DuckDB); the 1024 default and an explicit 2048
+    cap both fire on over-size collections (errors caught driver-side
+    into boolean check columns, like the sketch-entry pattern)."""
+    eng = _engine(spark, sf)
+
+    def _fires(sql: str, cap: int) -> bool:
+        try:
+            eng.sql(sql).collect()
+            return False
+        except Exception as e:
+            return f"larger than max [{cap}]" in str(e)
+
+    default_fires = _fires(
+        "SELECT STRING_AGG(o_orderpriority, ',') AS s FROM orders", 1024)
+    explicit_fires = _fires(
+        "SELECT ARRAY_AGG(o_orderpriority, 2048) AS a FROM orders", 2048)
+    ok = eng.sql(
+        "SELECT CAST(CHAR_LENGTH(STRING_AGG(o_orderstatus, '|', "
+        "1000000)) AS BIGINT) AS n_cat, "
+        "CAST(ARRAY_LENGTH(ARRAY_AGG(DISTINCT o_orderstatus)) "
+        "AS BIGINT) AS n_distinct FROM orders")
+    return ok.select(
+        "n_cat", "n_distinct",
+        F.lit(default_fires).alias("default_cap_fires"),
+        F.lit(explicit_fires).alias("explicit_cap_fires"))
+
+
 def q_projection_hll_sketch(spark, sf):
     """Rollup whose stored distinct state is a BINARY mergeable HLL
     sketch column (not a set): per-hour sketches re-merge via
@@ -10704,7 +10740,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                ARRAY_CONTAINS(a, 'Z') AS miss,
                ARRAY_OVERLAP(a, ARRAY['Z', 'Q']) AS no_overlap
         FROM (SELECT ARRAY_AGG(CASE WHEN o_orderkey % 3 = 0 THEN NULL
-                                    ELSE o_orderstatus END) AS a
+                                    ELSE o_orderstatus END, 1000000) AS a
               FROM orders)""", """
         SELECT TRUE AS hit, FALSE AS miss, FALSE AS no_overlap"""),
     # ARRAY_SLICE edge semantics (ArraySliceFunction): out-of-range
@@ -10755,7 +10791,7 @@ _SAMPLE_FIRST = [
     "asof_join", "range_join",
     # sketches / projections / rollup routing
     "gb_quantile_sketch", "theta_setops", "tuple_setops",
-    "hll_sketch_vs_exact", "hyperunique_parity",
+    "hll_sketch_vs_exact", "hyperunique_parity", "agg_size_cap",
     "projection_hll_sketch", "projection_theta_sketch",
     "kll_quantile_merge", "projection_routing",
     # streaming + stateful (kafka_ingest: wire-protocol Kafka e2e)
@@ -10933,6 +10969,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_count_distinct": q_projection_count_distinct,
         "hll_sketch_vs_exact": q_hll_sketch_vs_exact,
         "hyperunique_parity": q_hyperunique_parity,
+        "agg_size_cap": q_agg_size_cap,
         "projection_hll_sketch": q_projection_hll_sketch,
         "projection_theta_sketch": q_projection_theta_sketch,
         "kll_quantile_merge": q_kll_quantile_merge,
@@ -11997,6 +12034,14 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    true AS est_ok, true AS parity_ok
             FROM events GROUP BY 1 ORDER BY 1""",
+        "agg_size_cap": """
+            SELECT CAST(length(string_agg(o_orderstatus, '|'))
+                        AS BIGINT) AS n_cat,
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                       AS n_distinct,
+                   true AS default_cap_fires,
+                   true AS explicit_cap_fires
+            FROM orders""",
         "single_value": """
             SELECT r_name AS v FROM region WHERE r_regionkey = 0""",
         "gb_histogram": """

@@ -189,6 +189,162 @@ def _unmask_local(sql: str, lits: dict[int, str] | None) -> str:
     return _unmask_strings(sql, lits)
 
 
+def _split_top_and(w: str) -> list[str]:
+    """Split a (masked) predicate on paren-depth-0 AND keywords."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(w)
+    while i < n:
+        ch = w[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (depth == 0 and ch in "Aa" and i + 3 <= n
+                and w[i:i + 3].upper() == "AND"
+                and (i == 0 or not (w[i - 1].isalnum()
+                                    or w[i - 1] in "_."))
+                and (i + 3 == n or not (w[i + 3].isalnum()
+                                        or w[i + 3] in "_."))):
+            parts.append(w[start:i].strip())
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(w[start:].strip())
+    return [p for p in parts if p]
+
+
+_NOTNULL_CASCADE_FNS = {
+    # Calcite nullability cascades from the operands (returnType
+    # CascadeNullable / standard CHAR_LENGTH): the call is NOT NULL
+    # when every operand is NOT NULL
+    "array_to_string", "array_ordinal_of", "array_length",
+    "length", "char_length", "character_length", "strlen",
+}
+_NOTNULL_ARG0_FNS = {
+    # ARG0_NULLABLE_ARRAY_RETURN_TYPE_INFERENCE: nullability follows
+    # operand 0 only
+    "array_slice", "array_concat", "array_append", "array_prepend",
+}
+
+
+def _calcite_notnull_expr(e: str) -> bool:
+    """True when Calcite types the (masked) expression as NOT NULL.
+    ARRAY_AGG's return type is a non-nullable array
+    (ArraySqlAggregator.java ArrayAggReturnTypeInference —
+    createArrayType(type, -1)); literals are NOT NULL; the functions
+    above cascade per their registered inference. Everything else —
+    columns, ALWAYS-nullable ops like array_offset_of / STRING_AGG —
+    is treated nullable."""
+    e = e.strip()
+    if re.fullmatch(_PH, e) or re.fullmatch(r"[+-]?\d+(\.\d+)?", e):
+        return True
+    m = re.match(r"(?s)([A-Za-z_]\w*)\s*\((.*)\)\s*$", e)
+    if not m:
+        return False
+    inner = m.group(2)
+    depth = 0
+    for ch in inner:  # the (...) must be ONE balanced argument list
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth < 0:
+                return False
+    if depth != 0:
+        return False
+    fn = m.group(1).lower()
+    args = _split_top_commas(inner)
+    if fn == "array_agg":
+        return True
+    if fn in _NOTNULL_CASCADE_FNS:
+        return bool(args) and all(_calcite_notnull_expr(a) for a in args)
+    if fn in _NOTNULL_ARG0_FNS:
+        return bool(args) and _calcite_notnull_expr(args[0])
+    return False
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
+
+def _fold_notnull_is_null(out: str) -> str:
+    """Calcite folds `x IS NULL` to FALSE (and `x IS NOT NULL` to
+    TRUE) when x's inferred type is NOT NULL — observable on aliases
+    of ARRAY_AGG-rooted chains: `(SELECT array_slice(array_agg(d),
+    100, 101) AS col ...) WHERE ... OR col IS NULL` counts 0 rows in
+    the reference even though the runtime value is null
+    (qaAggFuncs array_agg_* A15/A26/A27/A32/A33 goldens). Mirror the
+    fold for alias references whose every definition is a provably
+    NOT-NULL call chain."""
+    refs = {m.group(1).lower() for m in re.finditer(
+        r"(?is)(?<![\w.])([A-Za-z_]\w*)\s+IS\s+(?:NOT\s+)?NULL", out)}
+    if not refs:
+        return out
+    scalars = _SCALAR_COLS.get() | set().union(
+        *(_TABLE_COLS.get().values() or [set()]))
+    for alias in refs:
+        if alias in scalars or alias in _REAL_ARRAYS.get() \
+                or alias in _MVD_COLS.get():
+            continue  # a real column of this name exists — too risky
+        defs = list(re.finditer(
+            rf"(?is)\bAS\s+({alias})(?![\w$])", out))
+        if not defs:
+            continue
+        verdicts = []
+        for dm in defs:
+            k = dm.start() - 1
+            while k >= 0 and out[k] in " \t\r\n":
+                k -= 1
+            if k < 0 or out[k] != ")":
+                verdicts.append(False)
+                continue
+            depth, i = 0, k
+            while i >= 0:
+                if out[i] == ")":
+                    depth += 1
+                elif out[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            h = i - 1
+            while h >= 0 and out[h] in " \t\r\n":
+                h -= 1
+            s = h
+            while s >= 0 and (out[s].isalnum() or out[s] == "_"):
+                s -= 1
+            if s == h:  # bare parenthesized expr, no callee name
+                verdicts.append(False)
+                continue
+            p = s
+            while p >= 0 and out[p] in " \t\r\n":
+                p -= 1
+            if p >= 0 and out[p] in "+-*/%|&^.":
+                # the call is an operand of a larger infix expression
+                # we can't see — don't claim NOT NULL for it
+                verdicts.append(False)
+                continue
+            verdicts.append(_calcite_notnull_expr(out[s + 1:k + 1]))
+        if verdicts and all(verdicts):
+            out = re.sub(
+                rf"(?is)(?<![\w.]){alias}\s+IS\s+NOT\s+NULL(?![\w$])",
+                "TRUE", out)
+            out = re.sub(
+                rf"(?is)(?<![\w.]){alias}\s+IS\s+NULL(?![\w$])",
+                "FALSE", out)
+    return out
+
+
 def _mvd_any_element_predicates(w: str, c: str) -> str:
     """Rewrite scalar predicates over MVD column `c` in a (masked)
     WHERE segment to row-level any-element forms, matching the
@@ -945,6 +1101,77 @@ def _string_agg_call(args):
     return f"LISTAGG({pre}{expr}, {rest})"
 
 
+def _cap_string_aggs(out: str) -> str:
+    """Enforce the reference's collection byte cap on STRING_AGG /
+    LISTAGG (StringSqlAggregator.java — the accumulator is an
+    ARRAY<STRING> of the non-null inputs, capped at maxSizeBytes,
+    default 1024; explicit cap via the third argument). Wraps the
+    original call (plus its trailing WITHIN GROUP / FILTER clauses,
+    which must stay inside the wrapper) in a size check built from
+    plain aggregates; the inner call is rewritten to LISTAGG by the
+    later passes. Windowed spellings are left untouched — the cap
+    applies to the aggregation path."""
+    pat = re.compile(r"\b(?:STRING_AGG|LISTAGG)\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        depth, i, args, start = 1, m.end(), [], m.end()
+        while depth and i < len(out):
+            ch = out[i]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    args.append(out[start:i].strip())
+            elif ch == "," and depth == 1:
+                args.append(out[start:i].strip())
+                start = i + 1
+            i += 1
+        if depth or len(args) < 2 or len(args) > 3:
+            pos = i
+            continue
+        j, filt = i, ""
+        while True:
+            wm = re.match(r"\s*WITHIN\s+GROUP\s*\(", out[j:], re.I)
+            fm = re.match(r"\s*FILTER\s*\(", out[j:], re.I)
+            mm = wm or fm
+            if not mm:
+                break
+            e2 = _find_spec_end(out, j + mm.end())
+            if fm:
+                filt = " " + out[j:e2 + 1].strip()
+            j = e2 + 1
+        if re.match(r"\s*OVER\b", out[j:], re.IGNORECASE):
+            pos = j
+            continue
+        cap = 1024
+        if len(args) == 3:
+            if not re.fullmatch(r"\d+", args[2].strip()):
+                pos = j
+                continue
+            cap = int(args[2].strip())
+        pre, expr = _split_distinct(args[0])
+        e = f"CAST({_millisify(expr)} AS STRING)"
+        if pre:
+            size = (f"AGGREGATE(COLLECT_SET({e}){filt}, 5L, "
+                    f"(__a, __x) -> __a + 5L + OCTET_LENGTH(__x))")
+        else:
+            size = (f"(5L + 5 * COUNT({e}){filt} + "
+                    f"COALESCE(SUM(OCTET_LENGTH({e})){filt}, 0))")
+        call_txt = out[m.start():j]
+        ctx = _MASK.get()
+        msg = (f"'Exceeded memory usage when aggregating, size of "
+               f"the collection is larger than max [{cap}] bytes'")
+        if ctx:
+            msg = ctx.mask(msg)
+        rep = f"IF({size} > {cap}, RAISE_ERROR({msg}), {call_txt})"
+        out = out[:m.start()] + rep + out[j:]
+        pos = m.start() + len(rep)
+
+
 def _mv_elem_coerce(scalar: str, arr: str) -> str:
     """The value appended/prepended to an MVD casts through the
     ARRAY's element type first (MvAppend/PrependFunction castTo
@@ -984,17 +1211,44 @@ def _array_slice_call(a):
             f" IF(__i <= SIZE({arr}), ELEMENT_AT({arr}, __i), NULL)) END")
 
 
+def _agg_size_guard(body: str, expr: str, cap: int) -> str:
+    """Wrap a collected-array expression with the reference's
+    collection size cap (ExpressionLambdaAggregator.java:64 — every
+    accumulate step estimates the accumulator's byte size and throws
+    when it exceeds maxSizeBytes, default 1024 =
+    ExpressionLambdaAggregatorFactory.java:69). The estimate model is
+    TypeStrategies.java: nullable wrapper 1B + array header 4B + per
+    element (1B null flag + 8B numeric | 4B + utf8 length string).
+    Growth is monotone, so checking the final collection is
+    equivalent to the reference's per-step check."""
+    base = re.sub(r"^[A-Za-z_]\w*\.", "", expr.strip())
+    t = _SCALAR_TYPES.get().get(base, "").split("(")[0].lower()
+    is_string = (t in ("varchar", "string", "char", "text")
+                 or re.fullmatch(_PH, expr.strip()) is not None)
+    szfn = ("(__a, __x) -> __a + IF(__x IS NULL, 1L, "
+            "5L + OCTET_LENGTH(CAST(__x AS STRING)))" if is_string
+            else "(__a, __x) -> __a + IF(__x IS NULL, 1L, 9L)")
+    return (f"IF(AGGREGATE({body}, 5L, {szfn}) > {cap}, "
+            f"RAISE_ERROR('Exceeded memory usage when aggregating, "
+            f"size of the collection is larger than max "
+            f"[{cap}] bytes'), {body})")
+
+
 def _array_agg_call(args):
-    """ARRAY_AGG([DISTINCT] expr[, maxSizeBytes]): drop the byte cap,
-    millis-ify timestamp args, and keep NULL inputs — the reference's
-    ARRAY_AGG aggregates nulls (qaAggFuncs array_agg_* goldens:
-    length(array_agg(col)) counts the 6 null rows; DISTINCT includes
-    a null element) where Spark's array_agg skips them.  Struct-wrap
-    carries nulls through the collect; TRANSFORM unwraps."""
+    """ARRAY_AGG([DISTINCT] expr[, maxSizeBytes]): enforce the byte
+    cap (default 1024 — ExpressionLambdaAggregatorFactory.java:69;
+    explicit via the maxSizeBytes argument —
+    ArraySqlAggregator.java:88), millis-ify timestamp args, and keep
+    NULL inputs — the reference's ARRAY_AGG aggregates nulls
+    (qaAggFuncs array_agg_* goldens: length(array_agg(col)) counts
+    the 6 null rows; DISTINCT includes a null element) where Spark's
+    array_agg skips them.  Struct-wrap carries nulls through the
+    collect; TRANSFORM unwraps."""
     if not args or len(args) > 2:
         return None
     if len(args) == 2 and not re.fullmatch(r"\d+", args[1].strip()):
         return None  # not the maxSizeBytes form (e.g. ORDER BY split?)
+    cap = int(args[1].strip()) if len(args) == 2 else 1024
     pre, expr = _split_distinct(args[0])
     new = _millisify(expr)
     # millis version collects longs, matching the reference's output
@@ -1024,10 +1278,12 @@ def _array_agg_call(args):
         # [null, ...] (array_sql_agg_funcs GROUP BY c pins
         # [null, null, null]).
         body = f"SORT_ARRAY({body}, TRUE)"
-        return f"IF(COUNT({new})__FILTER__ = 0, NULL, {body})"
+        return _agg_size_guard(
+            f"IF(COUNT({new})__FILTER__ = 0, NULL, {body})", expr, cap)
     # plain arm: ZERO input ROWS → NULL (nil buffer), but an all-null
     # group keeps its null elements — count rows, not values
-    return f"IF(COUNT(1)__FILTER__ = 0, NULL, {body})"
+    return _agg_size_guard(
+        f"IF(COUNT(1)__FILTER__ = 0, NULL, {body})", expr, cap)
 
 
 _HLLY = re.compile(r"(?i)\b(DS_HLL|hll_sketch_agg|hll_union)\s*\(")
@@ -2323,6 +2579,33 @@ def _rewrite_druid_sql(sql: str, exact: bool = True,
     return ctx.unmask(out)
 
 
+def _statement_aliases(out: str) -> set[str]:
+    """Lowercased identifiers bound by `AS <ident>` anywhere in the
+    statement, EXCLUDING CAST/TRY_CAST type positions — `CAST(x AS
+    INT)` binds no alias, and counting it would suppress rejection
+    guards for any column named like a type."""
+    cast_as = set()
+    for cm in re.finditer(r"(?is)\b(?:TRY_)?CAST\s*\(", out):
+        end = _find_spec_end(out, cm.end())
+        i, depth = cm.end(), 1
+        while i < end:
+            ch = out[i]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif (depth == 1 and out[i:i + 2].upper() == "AS"
+                    and not (out[i - 1].isalnum() or out[i - 1] in "_.")
+                    and (i + 2 >= len(out)
+                         or not (out[i + 2].isalnum()
+                                 or out[i + 2] in "_."))):
+                cast_as.add(i)
+            i += 1
+    return {m.group(1).lower() for m in
+            re.finditer(r"(?is)\bAS\s+([A-Za-z_]\w*)", out)
+            if m.start() not in cast_as}
+
+
 def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     """The rewrite pipeline body. `out` arrives with user string
     literals already masked (see _rewrite_druid_sql); every pass
@@ -2347,8 +2630,10 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # (SELECT ARRAY_TO_STRING(a_int, ',') AS a_int FROM t)) — never
     # reject on those; the corpus aliases outputs as "col", so a
     # same-name alias genuinely marks a derived scalar
-    _shadowed = {m.group(1).lower() for m in
-                 re.finditer(r"(?is)\bAS\s+([A-Za-z_]\w*)", out)}
+    _shadowed = _statement_aliases(out)
+    if re.search(r"(?is)\bIS\s+(?:NOT\s+)?NULL", out) \
+            and re.search(r"(?is)\bARRAY_AGG\s*\(", out):
+        out = _fold_notnull_is_null(out)
 
     def _is_real_array_expr(e: str) -> bool:
         e = e.strip()
@@ -3069,8 +3354,8 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             # match bit-for-bit.
             out = _rewrite_call(
                 out, name,
-                lambda args: "druid_hllc_count(CAST("
-                + args[0] + " AS STRING))")
+                lambda args: "druid_hllc_est(SORT_ARRAY(COLLECT_SET("
+                "druid_hllc_bp(CAST(" + args[0] + " AS STRING)))))")
         elif exact:
             out = re.sub(rf"\b{name}\(", "COUNT(DISTINCT ", out,
                          flags=re.IGNORECASE)
@@ -3105,6 +3390,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         out = _rewrite_call(out, _hr, _human_readable(_hr))
     out = _rewrite_call(out, "CAST", _cast_ts_bigint)
     out = _rewrite_call(out, "CAST", _cast_to_timestamp)
+    out = _cap_string_aggs(out)
     out = _rewrite_call(out, "STRING_AGG", _string_agg_call)
     out = re.sub(r"\bSTRING_AGG\(", "LISTAGG(", out, flags=re.IGNORECASE)
     # ArraySqlAggregator: same optional maxSizeBytes + millis contract
@@ -3313,11 +3599,40 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 _where_tail = out[_from_end:]
                 if "WHERE" in _kwm:
                     _w = out[_kwm["WHERE"] + 5:_kwm["GROUP BY"]].strip()
-                    for _c in _used:
-                        _w = _mvd_any_element_predicates(_w, _c)
-                    _inner_src = f"(SELECT * FROM {_fseg} " \
-                                 f"WHERE {_w}) {_fseg}"
-                    _where_tail = out[_kwm["GROUP BY"]:]
+                    # Split on top-level AND and push below the
+                    # LATERAL VIEW only the conjuncts the any-element
+                    # rewriter fully handled (or that don't touch the
+                    # exploded dims at all). An unconverted predicate
+                    # like UPPER(c_mv) = 'X' references the raw array
+                    # below the explode and fails Spark analysis —
+                    # those stay above, element-level against the
+                    # exploded scalar.
+                    _push, _keep = [], []
+                    for _cj in _split_top_and(_w):
+                        _r = _cj
+                        for _c in _used:
+                            _r = _mvd_any_element_predicates(_r, _c)
+                        _stripped = re.sub(
+                            r"(?is)\b(?:ARRAY_CONTAINS|ARRAYS_OVERLAP"
+                            r"|EXISTS)\s*\(\s*(?:[A-Za-z_]\w*\.)?"
+                            r"(?:" + "|".join(map(re.escape, _used))
+                            + r")\s*,", "(", _r)
+                        if any(re.search(
+                                rf"(?is)(?<![\w.]){re.escape(_c)}\b",
+                                _stripped) for _c in _used):
+                            _keep.append(_cj)
+                        else:
+                            _push.append(_r)
+                    if _push:
+                        _inner_src = (f"(SELECT * FROM {_fseg} WHERE "
+                                      + " AND ".join(_push)
+                                      + f") {_fseg}")
+                    if _keep:
+                        _where_tail = ("WHERE "
+                                       + " AND ".join(_keep) + " "
+                                       + out[_kwm["GROUP BY"]:])
+                    else:
+                        _where_tail = out[_kwm["GROUP BY"]:]
                 _lvs = " ".join(
                     f"LATERAL VIEW OUTER EXPLODE({c}) __mvt{i} "
                     f"AS __mvg{i}" for i, c in enumerate(_used))
@@ -3983,8 +4298,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # table column of the same name — never reject on those (false
     # rejection is worse than letting Spark's analyzer decide);
     # numeric-unnest aliases are the deliberate exception
-    _alias_defs = {m.group(1).lower() for m in
-                   re.finditer(r"(?is)\bAS\s+([A-Za-z_]\w*)", out)}
+    _alias_defs = _statement_aliases(out)
 
     def _time_numeric_guard(fn, rt):
         def b(a):
@@ -4018,9 +4332,26 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     if _longs:
         _lpat = "|".join(re.escape(c) for c in sorted(_longs))
         if "/" in out:
-            out = re.sub(
-                rf"(?is)(?<![\w.])({_lpat})\s*/\s*({_lpat})(?![\w.])",
-                r"(\1 DIV \2)", out)
+            # Match the FULL multiplicative chain of long operands so
+            # `a/b/c` keeps long semantics throughout, and refuse when
+            # the chain is preceded by a same-precedence operator
+            # (`1.0 * a / b` left-associates as `(1.0 * a) / b` —
+            # floating division in the reference, not `1.0 * (a DIV b)`).
+            _chain_pat = (rf"(?is)(?<![\w.])({_lpat})"
+                          rf"((?:\s*[*/%]\s*(?:{_lpat})(?![\w.]))+)")
+
+            def _div_chain(m):
+                s, i = m.string, m.start() - 1
+                while i >= 0 and s[i] in " \t\r\n":
+                    i -= 1
+                if i >= 0 and s[i] in "*/%":
+                    return m.group(0)
+                if "/" not in m.group(2):
+                    return m.group(0)
+                return ("(" + m.group(1)
+                        + m.group(2).replace("/", " DIV ") + ")")
+
+            out = re.sub(_chain_pat, _div_chain, out)
         # SAFE_DIVIDE over two longs uses long division too
         # (SafeDivideExprMacro; the registered SQL UDF is monomorphic
         # DOUBLE, so the long case specializes here)
