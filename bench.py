@@ -268,6 +268,12 @@ def main():
     from druid_spark import DruidSparkEngine
     from druid_spark.session import get_spark
 
+    # Host-noise sentinel, part 1: loadavg BEFORE Spark starts — once
+    # the suite is running, load is self-inflicted and meaningless.
+    # (Round-10 lesson: BENCH_r10 shipped a uniformly ~1.5x-inflated
+    # record that a quiet-host re-run disproved; the record looked
+    # like a code regression but was host contention.)
+    loadavg_start = tuple(round(x, 2) for x in os.getloadavg())
     t0 = time.time()
     spark = get_spark("bench", cpus=CPUS)
     session_init = round(time.time() - t0, 3)
@@ -352,6 +358,23 @@ def main():
         engine.catalog.table(t).count()
 
     lineitem_rows = engine.catalog.table("lineitem").count()
+
+    # Host-noise sentinel, part 2: best-of-3 the same trivial query at
+    # suite start and again after every timed arm. If the two disagree
+    # by >25%, the host's capacity CHANGED during the run and the
+    # record is not a valid round-over-round comparator — stamp
+    # noisy_host rather than refuse, so the driver still gets a line.
+    def _sentinel_time():
+        fn = queries["count_star"]
+        len(fn().collect())
+        best = float("inf")
+        for _ in range(3):
+            s0 = time.time()
+            len(fn().collect())
+            best = min(best, time.time() - s0)
+        return round(best, 4)
+
+    sentinel_start = _sentinel_time()
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -759,6 +782,27 @@ def main():
     except Exception as e:
         scale_sweep["error"] = str(e)[:200]
 
+    sentinel_end = _sentinel_time()
+    sentinel_spread = round(
+        abs(sentinel_end - sentinel_start)
+        / max(min(sentinel_start, sentinel_end), 1e-9), 3)
+    host_noise = {
+        "loadavg_before_start": loadavg_start,
+        "sentinel_query": "count_star",
+        "sentinel_start_sec": sentinel_start,
+        "sentinel_end_sec": sentinel_end,
+        "sentinel_spread": sentinel_spread,
+        # loadavg gate: >2 runnable tasks per core before we started
+        # means we shared the machine from the first timed second
+        "noisy_host": bool(sentinel_spread > 0.25
+                           or loadavg_start[0] > 2 * CPUS),
+    }
+    if host_noise["noisy_host"]:
+        print(f"WARN: noisy host detected (sentinel spread "
+              f"{sentinel_spread}, loadavg {loadavg_start}); this "
+              f"record is not a valid round-over-round comparator",
+              file=sys.stderr)
+
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -776,6 +820,7 @@ def main():
         "spread_queries": spreads,
         "session_init_sec": session_init,
         "engine_init_sec": engine_init,
+        "host_noise": host_noise,
         "derived": {
             "count_star_rows_per_sec_per_core": round(
                 lineitem_rows / max(times["count_star"], 1e-9) / CPUS),
@@ -805,6 +850,7 @@ def main():
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in times.items()},
         "sf": result["sf"],
+        "noisy_host": host_noise["noisy_host"],
         "derived": {
             "asymptotic_count_vs_baseline":
                 asymptotic.get("vs_baseline_count"),
@@ -825,6 +871,7 @@ def main():
             "scale_slopes": {k: v.get("slope")
                              for k, v in scale_sweep.items()
                              if isinstance(v, dict)},
+            "sentinel_spread": sentinel_spread,
             "full": "bench_out.json",
         },
     }

@@ -394,9 +394,14 @@ class AggCompiler:
                                               False):
                 # reference-parity HyperLogLogCollector estimate
                 # (functions/hllc.py) — opt-in engine mode; the
-                # session must have register_hllc_udf applied
+                # session must have register_hllc_udf applied.
+                # Two-phase: scalar (bucket,pos) map + collect_set
+                # (JVM partial agg, domain-bounded ~131k longs) +
+                # scalar replay — never materializes a group.
                 return F.call_function(
-                    "druid_hllc_count", c.cast("string"))
+                    "druid_hllc_est",
+                    F.sort_array(F.collect_set(F.call_function(
+                        "druid_hllc_bp", c.cast("string")))))
             if self.exact:
                 return F.count_distinct(c)
             # real Datasketches HLL (mergeable, bounded state), the

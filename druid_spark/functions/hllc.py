@@ -176,17 +176,40 @@ class HyperLogLogCollector:
                               other.overflow_value)
 
     def estimate(self) -> float:
+        """estimateDense (HyperLogLogCollector.java:203-236) over the
+        flat registers, reproducing its per-BYTE walk: registers pack
+        two per byte (bucket&1==0 -> upper nibble, :666), zeroCount
+        counts RAW zero nibbles via NUM_ZERO_LOOKUP for non-overflow
+        bytes, and the overflow byte uses the reference's masked
+        arithmetic on the OFFSET-ADDED values — (upperNibble&0xf0)==0
+        classifies any value <16 as zero, (lowerNibble&0x0f)==0 any
+        multiple of 16 (:224), quirks reproduced verbatim so parity
+        holds on overflow-bearing groups too."""
         e = 0.0
         zero_count = 0
-        for i in range(NUM_BUCKETS):
-            v = self.regs[i] + self.offset
-            if self.overflow_value and i == self.overflow_bucket:
-                v = max(v, self.overflow_value)
-            if v == 0:
-                zero_count += 1
-                e += 1.0
+        ov_byte = (self.overflow_bucket >> 1) if self.overflow_value \
+            else -1
+        ov_upper = (self.overflow_bucket & 1) == 0
+        for pos in range(NUM_BUCKETS // 2):
+            up = self.regs[2 * pos]
+            lo = self.regs[2 * pos + 1]
+            if pos == ov_byte:
+                upper = up + self.offset
+                lower = lo + self.offset
+                if ov_upper:
+                    upper = max(upper, self.overflow_value)
+                else:
+                    lower = max(lower, self.overflow_value)
+                e += 1.0 / (2.0 ** upper) + 1.0 / (2.0 ** lower)
+                zero_count += ((1 if (upper & 0xf0) == 0 else 0)
+                               + (1 if (lower & 0x0f) == 0 else 0))
             else:
-                e += 1.0 / (1 << v)
+                # MIN_NUM_REGISTER_LOOKUP[offset][byte] +
+                # NUM_ZERO_LOOKUP[byte]
+                e += (1.0 / (2.0 ** (up + self.offset))
+                      + 1.0 / (2.0 ** (lo + self.offset)))
+                zero_count += ((1 if up == 0 else 0)
+                               + (1 if lo == 0 else 0))
         return apply_correction(e, zero_count)
 
 
@@ -199,9 +222,19 @@ def apply_correction(e: float, zero_count: int) -> float:
     if e > HIGH_CORRECTION_THRESHOLD:
         ratio = e / TWO_TO_THE_64
         if ratio >= 1:
-            return -1.0
+            # "very unlikely case that value is > 2^64" — the
+            # reference returns Double.POSITIVE_INFINITY (:155)
+            return float("inf")
         return -TWO_TO_THE_64 * math.log(1 - ratio)
     return e
+
+
+def _round_long(est: float) -> int:
+    """Math.round on the estimate — POSITIVE_INFINITY rounds to
+    Long.MAX_VALUE like Java's Math.round."""
+    if math.isinf(est):
+        return (1 << 63) - 1
+    return int(round(est))
 
 
 def estimate_values(values) -> int:
@@ -213,27 +246,80 @@ def estimate_values(values) -> int:
         if v is None:
             continue
         c.add_value(v if isinstance(v, str) else str(v))
-    return int(round(c.estimate()))
+    return _round_long(c.estimate())
+
+
+def pack_bucket_pos(s: str) -> int:
+    """(bucket, positionOf1) of one value, packed as bucket<<8 | pos.
+    positionOf1 <= 64 always fits the low byte."""
+    h = hash_unencoded_chars(s)
+    bucket = struct.unpack_from(">H", h, len(h) - 2)[0] & (
+        NUM_BUCKETS - 1)
+    pos = 0
+    for i in range(8):
+        b = h[i]
+        if b == 0:
+            pos += 8
+            continue
+        pos += (b & -b).bit_length()
+        break
+    return (bucket << 8) | pos
+
+
+def estimate_packed(pairs) -> int:
+    """Round-to-long estimate from packed (bucket, pos) pairs,
+    replayed in sorted order (deterministic overflow tie-break)."""
+    c = HyperLogLogCollector()
+    for p in sorted(pairs):
+        c.add_register(int(p) >> 8, int(p) & 0xFF)
+    return _round_long(c.estimate())
 
 
 _REGISTERED: set[int] = set()
 
 
 def register_hllc_udf(spark) -> None:
-    """Register `druid_hllc_count(col)` — an Arrow-batched grouped-agg
-    pandas UDF computing the reference-parity estimate. Parity mode
-    only; the default approx path stays Spark's JVM-side HLL."""
+    """Register the reference-parity estimate as a TWO-PHASE shape.
+    Callers (sqlshim / aggregations.py) emit
+    `druid_hllc_est(sort_array(collect_set(druid_hllc_bp(x))))`:
+
+    - druid_hllc_bp — SCALAR Arrow-batched pandas UDF mapping each
+      value to its (bucket, positionOf1) pair packed in a long. Runs
+      per input batch; never materializes a group.
+    - collect_set — a JVM built-in aggregate WITH map-side partial
+      aggregation, and its result is hard-bounded at 2048 buckets x
+      <=64 positions (~131k longs, ~1 MB) regardless of group row
+      count, because the packed domain is finite. This is the
+      scale-safe partial fold (round-10 note: the previous
+      GROUPED_AGG form materialized each group's full value list).
+    - druid_hllc_est — SCALAR pandas UDF replaying the sorted pairs
+      into HyperLogLogCollector and rounding the estimate.
+
+    Replay order is canonical (sorted), so estimates are
+    deterministic; register/overflow state matches incremental adds
+    except on cross-bucket overflow ties, where the reference itself
+    is ingest-order-dependent (strict `>` at
+    HyperLogLogCollector.java add-overflow) — same caveat the
+    previous per-group form had vs segment order."""
     key = id(spark)
     if key in _REGISTERED:
         return
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    global pd
+    import pandas as pd  # module-global so pyspark's type-hint
+    from pyspark.sql.functions import pandas_udf  # resolution sees it
 
-    def _agg(v: pd.Series) -> int:
-        return estimate_values(v.dropna())
+    @pandas_udf("long")
+    def druid_hllc_bp(v: pd.Series) -> pd.Series:
+        return v.map(lambda s: None if s is None
+                     else pack_bucket_pos(s), na_action="ignore") \
+                .astype("Int64")
 
-    from pyspark.sql.functions import PandasUDFType
-    druid_hllc_count = pandas_udf(_agg, "long",
-                                  functionType=PandasUDFType.GROUPED_AGG)
-    spark.udf.register("druid_hllc_count", druid_hllc_count)
+    @pandas_udf("long")
+    def druid_hllc_est(arrs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if a is None else estimate_packed(a) for a in arrs],
+            dtype="Int64")
+
+    spark.udf.register("druid_hllc_bp", druid_hllc_bp)
+    spark.udf.register("druid_hllc_est", druid_hllc_est)
     _REGISTERED.add(key)

@@ -63,6 +63,68 @@ def test_fold_equals_single_collector():
     assert round(a.estimate()) == round(c.estimate())
 
 
+def test_two_phase_packed_equals_value_order():
+    # the registered SQL shape replays collect_set'ed (bucket, pos)
+    # pairs in sorted order; on offset-0 states (anything below ~2048
+    # occupied buckets) the final registers are order-independent, so
+    # the packed estimate must equal the value-order estimate
+    from druid_spark.functions.hllc import (estimate_packed,
+                                            pack_bucket_pos)
+    vals = [f"k{i}" for i in range(5000)]
+    packed = {pack_bucket_pos(v) for v in vals}
+    assert estimate_packed(packed) == estimate_values(vals)
+
+
+def test_partition_fold_equals_single_pass():
+    # scale-safety contract (round-11): per-partition collectors
+    # merged by fold() give the same estimate as one pass — the
+    # distributed partial-fold path cannot drift from the single
+    # collector
+    import random
+    rng = random.Random(7)
+    vals = [f"p{i}" for i in range(4000)]
+    parts = [[], [], []]
+    for v in vals:
+        parts[rng.randrange(3)].append(v)
+    single = HyperLogLogCollector()
+    for v in vals:
+        single.add_value(v)
+    merged = HyperLogLogCollector()
+    for p in parts:
+        c = HyperLogLogCollector()
+        for v in p:
+            c.add_value(v)
+        merged.fold(c)
+    assert round(merged.estimate()) == round(single.estimate())
+
+
+def test_overflow_byte_masked_zero_count():
+    # estimateDense's overflow-byte quirk (HyperLogLogCollector.java:
+    # 224): with an overflow register present, the overflow BYTE's
+    # nibbles classify as zero via (upper&0xf0)==0 / (lower&0x0f)==0
+    # on the offset-added VALUES — any upper value <16 counts as a
+    # zero register. Pin it directly: same registers, overflow on
+    # bucket 0 (upper nibble of byte 0) vs no overflow.
+    with_ov = HyperLogLogCollector()
+    with_ov.add_register(0, 20)   # overflow pair (pos>15 at offset 0)
+    with_ov.add_register(1, 3)    # buddy register in the same byte
+    with_ov.add_register(2, 3)
+    # overflow byte: upper=max(0,20)=20 -> (20&0xf0)!=0 not zero;
+    # lower=3 -> (3&0x0f)!=0 not zero. byte1: raw nibbles 3,0 -> one
+    # zero. remaining 1022 bytes: 2044 zeros. zero_count = 2045.
+    e = (1.0 / 2 ** 20 + 1.0 / 2 ** 3) + (1.0 / 2 ** 3 + 1.0) + 2044.0
+    assert with_ov.estimate() == apply_correction(e, 2045)
+
+
+def test_apply_correction_infinity():
+    # ratio >= 1 returns Double.POSITIVE_INFINITY in the reference
+    # (:155), and Math.round maps it to Long.MAX_VALUE
+    assert apply_correction(2048.0 * 2048 / 2 ** 66, 0) == \
+        float("inf")
+    from druid_spark.functions.hllc import _round_long
+    assert _round_long(float("inf")) == (1 << 63) - 1
+
+
 def test_apply_correction_regions():
     # high e (small raw sum) passes through uncorrected in the middle
     # band; zero registers trigger linear counting below the low bound
