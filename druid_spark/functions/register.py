@@ -545,6 +545,21 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # form is rewritten to (x, 0) by sqlshim)
     ("TRUNCATE", "x DOUBLE, d INT", "DOUBLE",
      "cast(x * pow(10, d) AS BIGINT) / pow(10, d)"),
+    # Java Math log/sqrt semantics (Function.java
+    # DoubleUnivariateMathFunction): log(0) = -Infinity, log(neg) and
+    # sqrt(neg) = NaN; null stays null (no WHEN matches). Spark's
+    # builtins return NULL for all non-positive inputs.
+    ("DRUID_LN", "x DOUBLE", "DOUBLE",
+     "CASE WHEN x > 0 THEN ln(x) WHEN x = 0 THEN "
+     "cast('-Infinity' AS DOUBLE) WHEN x < 0 THEN "
+     "cast('NaN' AS DOUBLE) END"),
+    ("DRUID_LOG10", "x DOUBLE", "DOUBLE",
+     "CASE WHEN x > 0 THEN log10(x) WHEN x = 0 THEN "
+     "cast('-Infinity' AS DOUBLE) WHEN x < 0 THEN "
+     "cast('NaN' AS DOUBLE) END"),
+    ("DRUID_SQRT", "x DOUBLE", "DOUBLE",
+     "CASE WHEN x >= 0 THEN sqrt(x) WHEN x < 0 THEN "
+     "cast('NaN' AS DOUBLE) END"),
     # (TRUNC is the same op but collides with Spark's date trunc
     # builtin, which SQL UDFs cannot replace — sqlshim rewrites
     # TRUNC( → TRUNCATE( instead)

@@ -1518,6 +1518,94 @@ def _add_default_arg(sql: str, fname: str, default: str) -> str:
         pos = i
 
 
+def _iso_millis(lit: str) -> int | None:
+    """Epoch millis of a quoted ISO timestamp literal, or None."""
+    from datetime import datetime, timezone
+    s = lit.strip().strip("'\"").replace("Z", "+00:00")
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f%z", "%Y-%m-%dT%H:%M:%S%z",
+                "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S",
+                "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+    return None
+
+
+def _unnest_elem_semantics(out: str) -> str:
+    """Calcite-visible semantics of UNNEST element columns, pinned by
+    the qaUnnest goldens (residual class unnest_empty_string_element):
+
+    1. Calcite types the unnest element NOT NULL (DruidUnnestRel's
+       output row type), so a null-rejecting MV_*/ARRAY_* call whose
+       column refs are all unnest elements is NOT NULL too and its
+       `IS [NOT] NULL` folds at PLAN time — even though the runtime
+       value IS null for a null MVD element, which the residual
+       IS TRUE / IS FALSE arms then drop (mv_sql_mv_funcs A1_B6_C1
+       pins 12 rows: the null element never survives via IS NULL).
+    2. A comparison of a numeric CAST of the element against a
+       timestamp literal simplifies by reverse-casting the literal
+       onto the STRING element (RexSimplify on the cast), making it a
+       string inequality the '' element PASSES while its SELECT-side
+       value stays null (mv_sql_scalar_datetime A1_B10_C1 pins 12
+       rows with 3 null cells: millis_to_timestamp(cast('' AS int))
+       renders null but `cast('' AS int) <> 946684800000` planned as
+       `c <> '946684800000'` keeps the row)."""
+    cols = {m.group(1) for m in re.finditer(
+        r"(?is)\bUNNEST\s*\(\s*MV_TO_ARRAY\s*\([^()]*\)\s*\)\s*"
+        r"AS\s+\w+\s*\(\s*(\w+)\s*\)", out)}
+    if not cols:
+        return out
+    cpat = "|".join(re.escape(c) for c in sorted(cols))
+    arg = rf"(?:{cpat}|{_PH}|\d+|ARRAY\s*\[[^\]]*\])"
+    call = (rf"\b(?:MV_CONTAINS|MV_OVERLAP|ARRAY_CONTAINS|"
+            rf"ARRAYS?_OVERLAP)\s*\(\s*(?:{cpat})\s*,\s*{arg}\s*\)")
+    out = re.sub(rf"(?is){call}\s+IS\s+NOT\s+NULL(?![\w$])", "TRUE",
+                 out)
+    out = re.sub(rf"(?is){call}\s+IS\s+NULL(?![\w$])", "FALSE", out)
+
+    # a null ELEMENT makes MV_CONTAINS/MV_OVERLAP null (the scalar is
+    # a null array — ArrayContainsFunction null LHS), unlike an MVD
+    # null ROW whose [null] coercion gives the two-valued FALSE; with
+    # the IS NULL arm folded above, the null element then fails
+    # IS TRUE / IS FALSE and drops (A1_B6_C1's 12 rows)
+    def _nullwrap(ph):
+        def b(a):
+            if len(a) == 2 and re.fullmatch(rf"(?is)(?:{cpat})",
+                                            a[0].strip()):
+                return (f"IF({a[0]} IS NULL, CAST(NULL AS BOOLEAN), "
+                        f"{ph}({a[0]}, {a[1]}))")
+            return None
+        return b
+
+    out = _rewrite_call(out, "MV_CONTAINS", _nullwrap("__MVNWC__"))
+    out = _rewrite_call(out, "MV_OVERLAP", _nullwrap("__MVNWO__"))
+    out = out.replace("__MVNWC__(", "MV_CONTAINS(")
+    out = out.replace("__MVNWO__(", "MV_OVERLAP(")
+
+    ctx = _MASK.get()
+    if ctx is None:
+        return out
+
+    def _invcast(m):
+        lit = ctx.val(m.group(3))
+        millis = _iso_millis(lit) if lit else None
+        if millis is None:
+            return m.group(0)
+        rep = ctx.mask(f"'{millis}'")
+        return f"CAST({m.group(1)} AS STRING) {m.group(2)} {rep}"
+
+    out = re.sub(
+        rf"(?is)\bMILLIS_TO_TIMESTAMP\s*\(\s*CAST\s*\(\s*({cpat})\s+AS"
+        rf"\s+(?:INT|INTEGER|BIGINT|SMALLINT)\s*\)\s*\)\s*"
+        rf"(<>|!=)\s*({_PH})", _invcast, out)
+    return out
+
+
 def _rewrite_unnest(sql: str) -> str:
     """Druid SQL `CROSS JOIN UNNEST(expr) AS alias(col)` (also
     `AS col`, and the comma-join spelling `FROM t, UNNEST(expr) AS
@@ -3542,6 +3630,14 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # the 1-arg form
     out = re.sub(r"\bTRUNC\(", "TRUNCATE(", out, flags=re.IGNORECASE)
     out = _add_default_arg(out, "TRUNCATE", "0")  # 1-arg → digits 0
+    # Druid LN/LOG10/SQRT are Java Math semantics (Function.java
+    # DoubleUnivariateMathFunction): log(0) = -Infinity, log(neg) /
+    # sqrt(neg) = NaN — Spark returns NULL for all of those. qaUnnest
+    # mv_sql_scalar_numeric_funcs A1_B6/B7 pin log10(0) = -Infinity
+    # surviving a <> filter. Registered shims in register.py.
+    out = re.sub(r"\bLN\(", "DRUID_LN(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bLOG10\(", "DRUID_LOG10(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bSQRT\(", "DRUID_SQRT(", out, flags=re.IGNORECASE)
     # `col IN (true)` where col is a STRING dimension: Druid ingests
     # booleans as the strings 'true'/'false' in legacy schemas and
     # Calcite coerces the comparison; Spark's IN is strictly typed but
@@ -3676,6 +3772,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 not re.search(r"(?is)\bJOIN\b", _inner):
             break
         out = out[:_fm.start()] + "FROM " + _inner + out[_close + 1:]
+    out = _unnest_elem_semantics(out)
     out = _rewrite_unnest_join(out)
     out = _rewrite_unnest(out)
     out = _rewrite_unnest_from(out)
@@ -3990,11 +4087,35 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # both. Balanced-paren (the haystack may be an aggregate call);
     # __DS_REX__ placeholder because _rewrite_call rescans its own
     # replacement (resolved at end of rewrite).
+    # no-match -> NULL, but a MATCHED empty group stays '' in the
+    # reference's SQL-compatible mode (RegexpExtractExprMacro returns
+    # the group verbatim; qaUnnest mv_sql_scalar_string_funcs A1_B12
+    # pins regexp_extract('', '.*') = '' surviving a <> filter) —
+    # Spark returns '' for BOTH, so gate on RLIKE instead of NULLIF
     out = _rewrite_call(
         out, "REGEXP_EXTRACT",
-        lambda a: ("NULLIF(__DS_REX__(%s, %s, %s), '')" % (
-            a[0], a[1], a[2] if len(a) == 3 else "0"))
+        lambda a: ("CASE WHEN %s RLIKE %s THEN __DS_REX__(%s, %s, %s)"
+                   " END" % (
+                       a[0], a[1], a[0], a[1],
+                       a[2] if len(a) == 3 else "0"))
         if len(a) in (2, 3) else None)
+
+    # Druid SUBSTRING/SUBSTR behaves like SubstringDimExtractionFn,
+    # not SQL SUBSTRING (Function.java:2884-2897): a start index at or
+    # past the string's end returns NULL, not '' — substring('', 1)
+    # and substring('abc', 4) are both null (qaUnnest
+    # mv_sql_scalar_string_funcs A1_B18/A1_B21, testUnnestExtractionFn:
+    # the '' MVD element must be DROPPED by substring(c,1) <> 'x').
+    # __DS_SUBSTR__ placeholder: _rewrite_call rescans its replacement.
+    def _substr_guard(a):
+        if len(a) not in (2, 3):
+            return None
+        rest = f", {a[2]}" if len(a) == 3 else ""
+        return (f"CASE WHEN ({a[1]}) <= CHAR_LENGTH({a[0]}) "
+                f"THEN __DS_SUBSTR__({a[0]}, {a[1]}{rest}) END")
+
+    out = _rewrite_call(out, "SUBSTRING", _substr_guard)
+    out = _rewrite_call(out, "SUBSTR", _substr_guard)
 
     # LPAD/RPAD (reference LpadFunc/RpadFunc + StringUtils.lpad,
     # Function.java:3115): len=0 → NULL, len<0 → '', base longer than
@@ -4413,6 +4534,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     out = out.replace("__DS_PJ__(", "parse_json(")
     out = out.replace("__DS_TPJ__(", "try_parse_json(")
     out = out.replace("__DS_REX__(", "REGEXP_EXTRACT(")
+    out = out.replace("__DS_SUBSTR__(", "SUBSTRING(")
     out = out.replace("__DS_LPAD__(", "LPAD(")
     out = out.replace("__DS_RPAD__(", "RPAD(")
     return out
