@@ -1179,10 +1179,22 @@ def _mv_elem_coerce(scalar: str, arr: str) -> str:
     NULL element (qaArray ops_funcs_mv_funcs B10 pins
     [null,"1","0",null])."""
     et = _ARRAY_ELEM.get().get(arr.strip(), "").split("(")[0].lower()
+    if not et:
+        # json_value(... RETURNING t array) carries its element type
+        # into the rewritten FROM_JSON(..., 'array<t>') schema —
+        # booleans are LONG arrays in the reference (ExpressionType
+        # has no boolean), so 'A' -> null there too (qaArray
+        # ops_funcs_mv_funcs.05 B10/B11 batteries). The EXISTS
+        # type-probe always uses array<string>; any OTHER schema is
+        # the RETURNING element type.
+        types = {t.lower() for t in re.findall(
+            r"(?i)'array<(\w+)[^']*'", arr)} - {"string"}
+        if len(types) == 1:
+            et = types.pop()
     if et in ("bigint", "int", "smallint", "tinyint", "long",
-              "integer"):
+              "integer", "boolean"):
         return f"CAST(CAST({scalar} AS BIGINT) AS STRING)"
-    if et in ("double", "float", "decimal"):
+    if et in ("double", "float", "decimal", "real"):
         return f"CAST(CAST({scalar} AS DOUBLE) AS STRING)"
     return f"CAST({scalar} AS STRING)"
 
@@ -2722,6 +2734,25 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     if re.search(r"(?is)\bIS\s+(?:NOT\s+)?NULL", out) \
             and re.search(r"(?is)\bARRAY_AGG\s*\(", out):
         out = _fold_notnull_is_null(out)
+
+    # Variant arrays read as ARRAY<STRING> with their original tags:
+    # a NUMERIC probe in offset_of/ordinal_of type-compares strictly
+    # against the STRING-typed elements and never matches — even a
+    # JSON number 1 reads string-tagged (qaArray ops_funcs_*
+    # mv/array_offset_of(a_mixed, 1) pins null on data containing a
+    # literal 1). Applies to variant catalog columns and
+    # json_value(... RETURNING varchar array) extractions; the
+    # engine's coercing match would wrongly hit '1'.
+    if re.search(r"(?is)\b(?:MV|ARRAY)_(?:OFFSET|ORDINAL)_OF\s*\(",
+                 out):
+        _vcols = {c.lower() for c in _VARRAYS.get()}
+        _vpat = "|".join(map(re.escape, sorted(_vcols))) or "__none__"
+        out = re.sub(
+            rf"(?is)\b(?:MV|ARRAY)_(?:OFFSET|ORDINAL)_OF\s*\(\s*"
+            rf"(?:(?:{_vpat})|JSON_VALUE\s*\([^()]*(?:\([^()]*\)"
+            rf"[^()]*)*\bRETURNING\s+(?:VARCHAR|CHAR|STRING)\s+ARRAY"
+            rf"\s*\))\s*,\s*[+-]?\d+(?:\.\d+)?\s*\)",
+            "CAST(NULL AS INT)", out)
 
     def _is_real_array_expr(e: str) -> bool:
         e = e.strip()
