@@ -2482,6 +2482,64 @@ def q_hyperunique_parity(spark, sf):
             .orderBy("event_type"))
 
 
+def q_sql_input_source(spark, sf):
+    """`sql` input source over Python DB-API (round 11; reference
+    server/.../metadata/input/SqlInputSource.java — a list of SQL
+    queries against a database connector, split unit = one query) plus
+    the JDBC lookup namespace analog
+    (JdbcExtractionNamespace/JdbcCacheGenerator: keyColumn/valueColumn
+    map, MAX(tsColumn) version gate). Builds a sqlite3 database from
+    the region parquet, ingests it back through the input source with
+    TWO sharded queries, and joins through the JDBC-loaded lookup —
+    oracle is plain SQL over region."""
+    import os as _os
+    import sqlite3 as _sq
+    import tempfile as _tf
+
+    from druid_spark import DruidSparkEngine
+    from druid_spark.ingest.batch import read_input
+    from druid_spark.ingest.dbapi import load_jdbc_lookup
+
+    eng = _engine(spark, sf)
+    key = (id(spark), sf, "dbapi_sqlite")
+    path = _ENGINES.get(key)
+    if path is None:
+        d = _tf.mkdtemp(prefix="dbapi-entry-")
+        path = _os.path.join(d, "meta.db")
+        conn = _sq.connect(path)
+        conn.execute("CREATE TABLE region (r_regionkey INTEGER, "
+                     "r_name TEXT, ts INTEGER)")
+        conn.executemany(
+            "INSERT INTO region VALUES (?, ?, ?)",
+            [(r.r_regionkey, r.r_name, 1) for r in
+             eng.catalog.table("region")
+                .select("r_regionkey", "r_name").collect()])
+        conn.commit()
+        conn.close()
+        _ENGINES[key] = path
+    database = {"type": "sqlite",
+                "connectorConfig": {"connectURI": f"jdbc:sqlite:{path}"}}
+    df = read_input(spark, {"inputSource": {
+        "type": "sql", "database": database, "foldCase": True,
+        "sqls": ["SELECT r_regionkey, r_name FROM region "
+                 "WHERE r_regionkey < 2",
+                 "SELECT r_regionkey, r_name FROM region "
+                 "WHERE r_regionkey >= 2"]}})
+    lk = load_jdbc_lookup(eng, "region_jdbc", database, table="region",
+                          key_column="r_regionkey",
+                          value_column="r_name", ts_column="ts",
+                          force=True)
+    return (df.select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"),
+        F.col("r_name"),
+        F.col("r_name").isNotNull().alias("lookup_ok"))
+        .withColumn("lookup_ok",
+                    F.col("r_name") == F.lit(None).cast("string")
+                    if not lk else
+                    F.col("r_name").isin(list(lk.values())))
+        .orderBy("r_regionkey"))
+
+
 def q_agg_size_cap(spark, sf):
     """Reference collection-size cap (round 11): ARRAY_AGG/STRING_AGG
     accumulators are byte-capped — default 1024
@@ -9661,7 +9719,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     "sqlc_array_agg_filtered_contains": ("""
         SELECT CASE WHEN ARRAY_CONTAINS(
-                 ARRAY_AGG(l_returnflag) FILTER
+                 ARRAY_AGG(l_returnflag, 1000000) FILTER
                    (WHERE l_quantity > 49), 'R')
                THEN 1 ELSE 0 END AS has_r,
                CAST(COUNT(*) AS BIGINT) AS n
@@ -10799,6 +10857,8 @@ _SAMPLE_FIRST = [
     "kinesis_ingest",
     # round 6: protobuf format, tiered lookups, security CRUD + audit
     "protobuf_ingest", "lookup_tiered", "security_audit",
+    # round 11: sql input source + JDBC lookup namespace over DB-API
+    "sql_input_source",
     # round 7: lookup schema tables, pinned CURRENT_TIMESTAMP, epoch-
     # millis timestamp-long semantics, Joda interval forms, frame
     # shorthands, agg-surface remainder, triple unnest
@@ -10970,6 +11030,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sketch_vs_exact": q_hll_sketch_vs_exact,
         "hyperunique_parity": q_hyperunique_parity,
         "agg_size_cap": q_agg_size_cap,
+        "sql_input_source": q_sql_input_source,
         "projection_hll_sketch": q_projection_hll_sketch,
         "projection_theta_sketch": q_projection_theta_sketch,
         "kll_quantile_merge": q_kll_quantile_merge,
@@ -12042,6 +12103,9 @@ def _base_oracle_sql() -> dict[str, str]:
                    true AS default_cap_fires,
                    true AS explicit_cap_fires
             FROM orders""",
+        "sql_input_source": """
+            SELECT r_regionkey, r_name, true AS lookup_ok
+            FROM region ORDER BY r_regionkey""",
         "single_value": """
             SELECT r_name AS v FROM region WHERE r_regionkey = 0""",
         "gb_histogram": """

@@ -160,6 +160,12 @@ def read_input(spark: SparkSession, io_config: dict[str, Any],
             df = df.where((F.col("__time") >= F.to_timestamp(F.lit(lo)))
                           & (F.col("__time") < F.to_timestamp(F.lit(hi))))
         return df
+    if stype == "sql":
+        # SqlInputSource (server/.../metadata/input/SqlInputSource.java)
+        # over Python DB-API — see ingest/dbapi.py
+        from druid_spark.ingest.dbapi import read_sql_input
+        df = read_sql_input(spark, src)
+        return apply_flatten_spec(df, flatten) if flatten else df
     raise NotImplementedError(f"inputSource {stype}")
 
 

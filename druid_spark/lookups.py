@@ -133,3 +133,30 @@ class LookupPoller:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+class JdbcLookupPoller(LookupPoller):
+    """JdbcExtractionNamespace pollPeriod analog: same daemon-thread
+    cadence, but the load is the DB-API JDBC-namespace load
+    (ingest/dbapi.py) with its MAX(tsColumn) version gate — a poll
+    where the version did not advance swaps nothing, matching
+    JdbcCacheGenerator's null return."""
+
+    def __init__(self, engine, name: str, database: dict, table: str,
+                 key_column: str, value_column: str,
+                 ts_column: str | None = None,
+                 filter: str | None = None,
+                 period_sec: float = 60.0):
+        super().__init__(engine, name, uri="", period_sec=period_sec)
+        self.jdbc_kwargs = dict(
+            database=database, table=table, key_column=key_column,
+            value_column=value_column, ts_column=ts_column,
+            filter=filter)
+
+    def poll_once(self) -> bool:
+        from druid_spark.ingest.dbapi import load_jdbc_lookup
+        out = load_jdbc_lookup(self.engine, self.name,
+                               **self.jdbc_kwargs)
+        if out is not None:
+            self.loads += 1
+        return out is not None
