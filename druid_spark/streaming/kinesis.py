@@ -134,6 +134,12 @@ class KinesisClient:
             r["Data"] = base64.b64decode(r["Data"])
         return out
 
+    def update_shard_count(self, stream: str, target: int) -> dict:
+        return self._call("UpdateShardCount",
+                          {"StreamName": stream,
+                           "TargetShardCount": target,
+                           "ScalingType": "UNIFORM_SCALING"})
+
     def put_record(self, stream: str, data: bytes,
                    partition_key: str) -> dict:
         return self._call("PutRecord", {
@@ -267,6 +273,21 @@ class MiniKinesisServer:
                     "SequenceNumberRange": {
                         "StartingSequenceNumber": "0"},
                 } for i in range(len(shards))]}
+            if op == "UpdateShardCount":
+                # public resharding API (UNIFORM_SCALING): this double
+                # models it as widening the uniform hash partition —
+                # existing records stay in their shards, future puts
+                # hash over the new count, ListShards reflects the new
+                # ranges immediately (real Kinesis closes parents and
+                # opens children; for a time-bound reader only the
+                # fresh shard LIST and post-reshard timestamps matter)
+                shards = self._streams[p["StreamName"]]
+                target = int(p["TargetShardCount"])
+                while len(shards) < target:
+                    shards.append([])
+                return {"StreamName": p["StreamName"],
+                        "CurrentShardCount": len(shards),
+                        "TargetShardCount": target}
             if op == "PutRecord":
                 return self._put(p["StreamName"], p["PartitionKey"],
                                  p["Data"])

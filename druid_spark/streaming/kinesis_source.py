@@ -121,11 +121,23 @@ class KinesisStreamReader(DataSourceStreamReader):
         lag = options.get("boundlagms")
         if lag is None:
             # shared-clock in-process double needs no skew margin;
-            # anything remote defaults to a multi-second safety lag
+            # anything remote defaults to a multi-second safety lag.
+            # NOTE (behavior since round 10): this DEFAULT shifts every
+            # planned bound 5 s into the past on non-loopback
+            # endpoints — callers that relied on un-lagged bounds must
+            # pass boundlagms=0 explicitly. Logged once so deployments
+            # see the shift.
             from urllib.parse import urlparse
             host = (urlparse(self.endpoint).hostname or "").lower()
             lag = 0 if host in ("127.0.0.1", "localhost", "::1") \
                 else 5000
+            if lag:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "druid_kinesis: boundlagms defaulting to %d ms for "
+                    "endpoint %s — every batch bound trails the wall "
+                    "clock by this margin (pass boundlagms explicitly "
+                    "to override)", lag, self.endpoint)
         self.bound_lag_ms = int(lag)
         self.grace_ms = int(options.get("disordergracems", 15000))
         self._client = None
@@ -187,7 +199,8 @@ class KinesisStreamReader(DataSourceStreamReader):
         # grace window past the first over-bound record so in-interval
         # records that sort late in sequence order are not dropped;
         # (until, until+grace] records stay with the next batch.
-        hard_stop_s = until_s + getattr(part, "grace_ms", 15000) / 1000.0
+        grace_ms = getattr(part, "grace_ms", 15000)
+        hard_stop_s = until_s + grace_ms / 1000.0
         while it:
             out = cli.get_records(it, limit=10000)
             for r in out.get("Records", []):
@@ -206,7 +219,25 @@ class KinesisStreamReader(DataSourceStreamReader):
             if not out.get("Records") and \
                     out.get("MillisBehindLatest", 0) == 0:
                 return  # drained; later arrivals get ts > until
-            # empty page with MillisBehindLatest > 0: keep paging
+            # iterator position ~ (now - MillisBehindLatest): once it
+            # passes until+grace, every unread record was ingested
+            # after the disorder window closed — an in-interval
+            # straggler there would violate the grace bound anyway.
+            # This caps the page loop on sparse shards (a long gap no
+            # longer pages empty/over-bound data until a record
+            # finally exceeds hard_stop). On a continuously-written
+            # shard the scan still reads ~grace seconds past the
+            # bound before ts > hard_stop — inherent to the disorder
+            # contract (records with ts <= until may legally appear
+            # that late in sequence order).
+            # behind > grace gates the check to positions measured in
+            # real lag (a near-tip or token small value can't satisfy
+            # both branches), so checkpoint replays against doubles
+            # reporting a nominal behind=1 keep paging on data.
+            behind = out.get("MillisBehindLatest", 0)
+            if behind > grace_ms and \
+                    time.time() - behind / 1000.0 > hard_stop_s:
+                return
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint

@@ -323,3 +323,60 @@ def test_empty_mid_shard_pages_are_not_eof(spark, kinesis_empty_pages):
     rows = [r for b in batches for r in b]
     assert {bytes(r["data"]).decode() for r in rows} == \
         {f"m{i}" for i in range(60)}
+
+
+def test_reshard_mid_batch_no_loss_no_duplication():
+    """Resharding between latestOffset() planning and executor read
+    must lose/duplicate nothing: partitions() lists shards fresh each
+    batch and a new shard only ever carries post-reshard timestamps.
+    Plan batch 1 over the 1-shard layout, reshard (UpdateShardCount,
+    the public uniform-scaling API) and write more records BEFORE
+    executing batch 1's planned partitions, then plan batch 2 against
+    the fresh 2-shard listing — together the batches must cover every
+    record exactly once, with batch 1's stale single-shard plan
+    untouched by the post-bound records that hash into its shard."""
+    import time as _time
+
+    from druid_spark.streaming.kinesis_source import KinesisStreamReader
+
+    with MiniKinesisServer() as srv:
+        cli = KinesisClient(srv.endpoint)
+        cli.create_stream("resh", shards=1)
+        for i in range(20):
+            cli.put_record("resh", f"pre{i}".encode(),
+                           partition_key=str(i))
+        rdr = KinesisStreamReader({"endpoint": srv.endpoint,
+                                   "stream": "resh",
+                                   "startingposition": "trim_horizon"})
+        start = rdr.initialOffset()
+        _time.sleep(0.01)
+        end1 = rdr.latestOffset()
+        parts1 = rdr.partitions(start, end1)  # planned pre-reshard
+        assert len(parts1) == 1
+
+        # reshard + write MID-BATCH (before parts1 executes)
+        cli.update_shard_count("resh", 2)
+        assert len(cli.list_shards("resh")) == 2
+        _time.sleep(0.01)
+        for i in range(20):
+            cli.put_record("resh", f"post{i}".encode(),
+                           partition_key=str(i))
+
+        got1 = [bytes(t[0]).decode()
+                for p in parts1 for t in rdr.read(p)]
+        _time.sleep(0.01)
+        end2 = rdr.latestOffset()
+        parts2 = rdr.partitions(end1, end2)  # fresh listing: 2 shards
+        assert len(parts2) == 2
+        got2 = [bytes(t[0]).decode()
+                for p in parts2 for t in rdr.read(p)]
+
+        want = {f"pre{i}" for i in range(20)} \
+            | {f"post{i}" for i in range(20)}
+        assert sorted(got1 + got2) == sorted(want)  # exactly once
+        assert set(got1) == {f"pre{i}" for i in range(20)}
+        # post-reshard records really did land on BOTH shards (the
+        # split boundary is exercised, not just the new shard)
+        by_shard = {p.shard_id: [bytes(t[0]).decode()
+                                 for t in rdr.read(p)] for p in parts2}
+        assert sum(1 for v in by_shard.values() if v) == 2
