@@ -1574,30 +1574,30 @@ def _unnest_elem_semantics(out: str) -> str:
         return out
     cpat = "|".join(re.escape(c) for c in sorted(cols))
     arg = rf"(?:{cpat}|{_PH}|\d+|ARRAY\s*\[[^\]]*\])"
-    call = (rf"\b(?:MV_CONTAINS|MV_OVERLAP|ARRAY_CONTAINS|"
-            rf"ARRAYS?_OVERLAP)\s*\(\s*(?:{cpat})\s*,\s*{arg}\s*\)")
+    # MV_CONTAINS ONLY: its Calcite return type is non-nullable, so
+    # the IS NULL arm folds — the sibling goldens pin the OPPOSITE
+    # for ARRAY_CONTAINS/ARRAY_OVERLAP (nullable: the null element's
+    # null result is KEPT by IS NULL, mv_sql_array_funcs A1_B5/B6_C1
+    # 15 rows) and for MV_OVERLAP (mv_overlap(null, null) is TRUE via
+    # the [null]-row coercion, mv_sql_mv_funcs A1_B7_C1 15x true)
+    call = rf"\bMV_CONTAINS\s*\(\s*(?:{cpat})\s*,\s*{arg}\s*\)"
     out = re.sub(rf"(?is){call}\s+IS\s+NOT\s+NULL(?![\w$])", "TRUE",
                  out)
     out = re.sub(rf"(?is){call}\s+IS\s+NULL(?![\w$])", "FALSE", out)
 
-    # a null ELEMENT makes MV_CONTAINS/MV_OVERLAP null (the scalar is
-    # a null array — ArrayContainsFunction null LHS), unlike an MVD
-    # null ROW whose [null] coercion gives the two-valued FALSE; with
-    # the IS NULL arm folded above, the null element then fails
-    # IS TRUE / IS FALSE and drops (A1_B6_C1's 12 rows)
-    def _nullwrap(ph):
-        def b(a):
-            if len(a) == 2 and re.fullmatch(rf"(?is)(?:{cpat})",
-                                            a[0].strip()):
-                return (f"IF({a[0]} IS NULL, CAST(NULL AS BOOLEAN), "
-                        f"{ph}({a[0]}, {a[1]}))")
-            return None
-        return b
+    # a null ELEMENT makes MV_CONTAINS null (null array LHS,
+    # MvContainsFunction null rules); with the IS NULL arm folded
+    # above, the null element then fails IS TRUE / IS FALSE and drops
+    # (A1_B6_C1's 12 rows)
+    def _nullwrap(a):
+        if len(a) == 2 and re.fullmatch(rf"(?is)(?:{cpat})",
+                                        a[0].strip()):
+            return (f"IF({a[0]} IS NULL, CAST(NULL AS BOOLEAN), "
+                    f"__MVNWC__({a[0]}, {a[1]}))")
+        return None
 
-    out = _rewrite_call(out, "MV_CONTAINS", _nullwrap("__MVNWC__"))
-    out = _rewrite_call(out, "MV_OVERLAP", _nullwrap("__MVNWO__"))
+    out = _rewrite_call(out, "MV_CONTAINS", _nullwrap)
     out = out.replace("__MVNWC__(", "MV_CONTAINS(")
-    out = out.replace("__MVNWO__(", "MV_OVERLAP(")
 
     ctx = _MASK.get()
     if ctx is None:
