@@ -2735,6 +2735,89 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             and re.search(r"(?is)\bARRAY_AGG\s*\(", out):
         out = _fold_notnull_is_null(out)
 
+    # Calcite's AggregateCaseToFilterRule: SUM(CASE WHEN c THEN x
+    # ELSE 0 END) plans as SUM(x) FILTER (WHERE c) — observable when
+    # NO row matches: the filtered SUM is NULL where the CASE form
+    # would give 0 (quidem filtered_sum golden pins the null). Only
+    # the single-WHEN, literal-0-ELSE shape (the rule's own guard).
+    if re.search(r"(?is)\bSUM\s*\(\s*CASE\b", out):
+        _scpos = 0
+        while True:
+            _scm = re.search(r"(?is)\bSUM\s*\(", out[_scpos:])
+            if not _scm:
+                break
+            _start = _scpos + _scm.start()   # at 'SUM'
+            _o = _scpos + _scm.end()         # after '('
+            _scpos = _o
+            if not re.match(r"\s*CASE\b", out[_o:], re.I):
+                continue
+            _close = _find_spec_end(out, _o)
+            _arg = out[_o:_close]
+            # a pre-existing FILTER clause would double up — skip
+            if re.match(r"\s*FILTER\b", out[_close + 1:], re.I):
+                continue
+            if (len(re.findall(r"(?i)\bCASE\b", _arg)) != 1
+                    or len(re.findall(r"(?i)\bWHEN\b", _arg)) != 1
+                    or len(re.findall(r"(?i)\bEND\b", _arg)) != 1):
+                continue
+            _m = re.match(r"(?is)^\s*CASE\s+WHEN\s+(.+?)\s+THEN\s+"
+                          r"(.+?)\s+ELSE\s+0(?:\.0*)?\s+END\s*$",
+                          _arg)
+            if not _m:
+                continue
+            _rep = (f"SUM({_m.group(2)}) "
+                    f"FILTER (WHERE {_m.group(1)})")
+            out = out[:_start] + _rep + out[_close + 1:]
+            _scpos = _start + len(_rep)
+
+    # COMPLEX<json> comparison semantics, pinned by the quidem
+    # funcs_and_sql_datatype batteries on DECLARED json columns:
+    # - same-column equality stays TRUE (A001/A002: Calcite's x = x
+    #   on identical refs) — leave the engine's string equality alone
+    # - DISTINCT-column equality has no defined value: c1 = c2 is
+    #   never true (A011 `WHERE c1 = c2` -> 0 rows) -> NULL
+    # - [NOT] IN (json_object(...)) evaluates NULL in PROJECTION
+    #   position (A033/A035) but keeps the two-valued string compare
+    #   as a FILTER (A036 `WHERE c1 NOT IN ...` counts all rows) —
+    #   context decided by the nearest preceding clause keyword
+    _djson = {c.lower() for c in _DECLARED_JSON.get()}
+    if _djson:
+        _jpat = "|".join(map(re.escape, sorted(_djson)))
+        _jref = rf"(?:[A-Za-z_]\w*\.)?(?:{_jpat})"
+        _kw = re.compile(r"(?is)\b(SELECT|WHERE|HAVING|GROUP\s+BY|"
+                         r"ORDER\s+BY|LIMIT|\bON)\b")
+
+        def _in_filter_ctx(pos: int) -> bool:
+            last = None
+            for km in _kw.finditer(out, 0, pos):
+                last = km.group(1).upper()
+            return last in ("WHERE", "HAVING", "ON")
+
+        pat = re.compile(
+            rf"(?is)(?<![\w.])(?:{_jref})\s+(?:NOT\s+)?IN\s*"
+            rf"(\(\s*JSON_OBJECT\b)")
+        pos = 0
+        while True:
+            m = pat.search(out, pos)
+            if not m:
+                break
+            if _in_filter_ctx(m.start()):
+                pos = m.end()
+                continue
+            close = _find_spec_end(out, m.start(1) + 1)
+            out = out[:m.start()] + "CAST(NULL AS BOOLEAN)" \
+                + out[close + 1:]
+            pos = m.start() + 1
+
+        def _djson_eq(m):
+            a = m.group(1).split(".")[-1].lower()
+            b = m.group(2).split(".")[-1].lower()
+            return m.group(0) if a == b else "CAST(NULL AS BOOLEAN)"
+
+        out = re.sub(
+            rf"(?is)(?<![\w.])({_jref})\s*=\s*({_jref})(?![\w.(])",
+            _djson_eq, out)
+
     # Variant arrays read as ARRAY<STRING> with their original tags:
     # a NUMERIC probe in offset_of/ordinal_of type-compares strictly
     # against the STRING-typed elements and never matches — even a
