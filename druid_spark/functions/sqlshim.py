@@ -2753,8 +2753,11 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 continue
             _close = _find_spec_end(out, _o)
             _arg = out[_o:_close]
-            # a pre-existing FILTER clause would double up — skip
-            if re.match(r"\s*FILTER\b", out[_close + 1:], re.I):
+            # a pre-existing FILTER clause would double up, and the
+            # rule never fires on WINDOW aggregations (Calcite's rule
+            # matches Aggregate nodes; Spark has no windowed FILTER)
+            if re.match(r"\s*(FILTER|OVER)\b", out[_close + 1:],
+                        re.I):
                 continue
             if (len(re.findall(r"(?i)\bCASE\b", _arg)) != 1
                     or len(re.findall(r"(?i)\bWHEN\b", _arg)) != 1
