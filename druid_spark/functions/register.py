@@ -240,11 +240,18 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("MV_SLICE", "arr ARRAY<STRING>, s INT, e INT", "ARRAY<STRING>",
      "slice(arr, s + 1, e - s)"),
     # null elements render as the text 'null' (qaArray
-    # array_to_string(a_bool,'|') golden: '1|0|null')
+    # array_to_string(a_bool,'|') golden: '1|0|null') — EXCEPT the
+    # single-null array, which is the whole-null special case
+    # (ArrayToStringFunction, Function.java:3643: `raw == null ||
+    # raw.length == 1 && raw[0] == null` -> null; qaAggFuncs
+    # array_agg A31/A32: the all-null DISTINCT group's [null]
+    # stringifies to null)
     ("ARRAY_TO_STRING", "arr ARRAY<STRING>, sep STRING", "STRING",
-     "array_join(arr, sep, 'null')"),
+     "IF(size(arr) = 1 AND arr[0] IS NULL, NULL, "
+     "array_join(arr, sep, 'null'))"),
     ("MV_TO_STRING", "arr ARRAY<STRING>, sep STRING", "STRING",
-     "array_join(arr, sep, 'null')"),
+     "IF(size(arr) = 1 AND arr[0] IS NULL, NULL, "
+     "array_join(arr, sep, 'null'))"),
     # the separator is a REGEX (reference StringToArrayFunction:
     # String.split — Function.java:3612), with Java's trailing-empty
     # trimming (split('a.b.c','.') = []); null separator splits chars

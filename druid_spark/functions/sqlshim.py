@@ -1280,18 +1280,20 @@ def _array_agg_call(args):
         # DISTINCT accumulates through the reference's array_set_add
         # (a sorted set): output is ascending with null first
         # (qaUnnest array_sql_agg_funcs pins [null, 1, 2]), and an
-        # all-null input leaves the set buffer nil → NULL (qaAggFuncs
-        # array_agg_long/string test002/003 A33-A37 pin
-        # strlen(array_to_string(array_agg(DISTINCT x), '')) = NULL
-        # for the null group; qaUnnest's D1 batteries pin the opposite
-        # [null] — the reference's own corpora disagree, and the
-        # 12-case qaAggFuncs family wins over the 5-case qaUnnest
-        # one). The plain collector KEEPS an all-null group as
-        # [null, ...] (array_sql_agg_funcs GROUP BY c pins
+        # all-null group keeps its null as [null] (qaUnnest D1
+        # batteries; qaAggFuncs array_agg test002/003 A31 counts the
+        # [null] group through NOT array_contains). What rounds 4-10
+        # read as "the corpora disagree" — qaAggFuncs A33-A37 pinning
+        # strlen(array_to_string(array_agg(DISTINCT x), '')) = NULL —
+        # is actually ArrayToStringFunction's single-null special
+        # case (Function.java:3643: [null] stringifies to null), now
+        # modeled in register.py, so BOTH suites hold with a [null]
+        # group. The plain collector likewise keeps an all-null group
+        # as [null, ...] (array_sql_agg_funcs GROUP BY c pins
         # [null, null, null]).
         body = f"SORT_ARRAY({body}, TRUE)"
         return _agg_size_guard(
-            f"IF(COUNT({new})__FILTER__ = 0, NULL, {body})", expr, cap)
+            f"IF(COUNT(1)__FILTER__ = 0, NULL, {body})", expr, cap)
     # plain arm: ZERO input ROWS → NULL (nil buffer), but an all-null
     # group keeps its null elements — count rows, not values
     return _agg_size_guard(
@@ -2772,6 +2774,63 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                     f"FILTER (WHERE {_m.group(1)})")
             out = out[:_start] + _rep + out[_close + 1:]
             _scpos = _start + len(_rep)
+
+    # EarliestLatestAnySqlAggregator.EarliestLatestReturnTypeInference
+    # (reference sql/.../builtin/EarliestLatestAnySqlAggregator.java:
+    # 342-346): a non-numeric, non-string operand (arrays/complex)
+    # makes the agg's Calcite type a FRESH NOT-NULL VARCHAR
+    # (createSqlType), so IS [NOT] NULL on the call folds at plan
+    # time even though the runtime value is null — qaArray
+    # ops_funcs_agg_funcs B17-B22 C24 HAVING batteries keep the null
+    # group through the folded IS NOT NULL.
+    if re.search(r"(?is)\b(?:EARLIEST|LATEST|ANY_VALUE)\w*\s*\(",
+                 out):
+        _rapat = "|".join(map(re.escape, sorted(
+            {c.lower() for c in _REAL_ARRAYS.get()}))) or "__none__"
+        # numeric CASTs of UNNEST elements are NOT NULL too (Calcite
+        # types the unnest element NOT NULL; CAST preserves it), and
+        # the numeric branch of the inference returns the operand
+        # type — so earliest(cast(c AS int)) also folds (qaUnnest
+        # mv_sql_agg_funcs B17/B19/B21/B23 C7 pin cnt 5: every group
+        # survives HAVING ... IS NOT NULL). Bare STRING elements do
+        # NOT fold (B18_C8 pins cnt 0).
+        _ucols = {m.group(1) for m in re.finditer(
+            r"(?is)\bUNNEST\s*\(\s*MV_TO_ARRAY\s*\([^()]*\)\s*\)\s*"
+            r"AS\s+\w+\s*\(\s*(\w+)\s*\)", out)}
+        _ucast = ("|".join(map(re.escape, sorted(_ucols)))
+                  or "__none__")
+        _pat_el = re.compile(r"(?is)\b(?:EARLIEST_BY|EARLIEST|"
+                             r"LATEST_BY|LATEST|ANY_VALUE)\s*\(")
+        _pos_el = 0
+        while True:
+            _em = _pat_el.search(out, _pos_el)
+            if not _em:
+                break
+            _ecl = _find_spec_end(out, _em.end())
+            _pos_el = _em.end()
+            _inner = out[_em.end():_ecl]
+            _first = (_split_top_commas(_inner) or [""])[0]
+            _is_arr = bool(
+                re.match(r"(?is)^\s*JSON_VALUE\s*\(.*\bRETURNING\s+"
+                         r"\w+\s+ARRAY\s*\)\s*$", _first)
+                or re.match(r"(?is)^\s*MV_TO_ARRAY\s*\(", _first)
+                or re.fullmatch(
+                    rf"(?is)\s*(?:[A-Za-z_]\w*\.)?(?:{_rapat})\s*",
+                    _first)
+                or re.fullmatch(
+                    rf"(?is)\s*CAST\s*\(\s*(?:{_ucast})\s+AS\s+"
+                    rf"(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT|"
+                    rf"FLOAT|REAL|DOUBLE|DECIMAL)\s*\)\s*", _first))
+            if not _is_arr:
+                continue
+            _tm = re.match(r"(?is)\s+IS\s+(NOT\s+)?NULL(?![\w$])",
+                           out[_ecl + 1:])
+            if not _tm:
+                continue
+            _rep = "TRUE" if _tm.group(1) else "FALSE"
+            out = out[:_em.start()] + _rep \
+                + out[_ecl + 1 + _tm.end():]
+            _pos_el = _em.start() + len(_rep)
 
     # COMPLEX<json> comparison semantics, pinned by the quidem
     # funcs_and_sql_datatype batteries on DECLARED json columns:
