@@ -2785,8 +2785,6 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # group through the folded IS NOT NULL.
     if re.search(r"(?is)\b(?:EARLIEST|LATEST|ANY_VALUE)\w*\s*\(",
                  out):
-        _rapat = "|".join(map(re.escape, sorted(
-            {c.lower() for c in _REAL_ARRAYS.get()}))) or "__none__"
         # numeric CASTs of UNNEST elements are NOT NULL too (Calcite
         # types the unnest element NOT NULL; CAST preserves it), and
         # the numeric branch of the inference returns the operand
@@ -2810,13 +2808,14 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             _pos_el = _em.end()
             _inner = out[_em.end():_ecl]
             _first = (_split_top_commas(_inner) or [""])[0]
+            # deliberately NOT folding bare array/variant COLUMNS:
+            # the goldens only pin json_value extractions and numeric
+            # unnest-element casts, and a column-arm fold would erase
+            # the predicate BEFORE the real-array validation guards
+            # see it (negative-corpus rejections must still fire)
             _is_arr = bool(
                 re.match(r"(?is)^\s*JSON_VALUE\s*\(.*\bRETURNING\s+"
                          r"\w+\s+ARRAY\s*\)\s*$", _first)
-                or re.match(r"(?is)^\s*MV_TO_ARRAY\s*\(", _first)
-                or re.fullmatch(
-                    rf"(?is)\s*(?:[A-Za-z_]\w*\.)?(?:{_rapat})\s*",
-                    _first)
                 or re.fullmatch(
                     rf"(?is)\s*CAST\s*\(\s*(?:{_ucast})\s+AS\s+"
                     rf"(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT|"
