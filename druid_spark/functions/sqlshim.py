@@ -1803,6 +1803,11 @@ _JSON_RETURNING_TYPES = {
     "BIGINT": "BIGINT", "INTEGER": "BIGINT", "INT": "BIGINT",
     "DOUBLE": "DOUBLE", "FLOAT": "DOUBLE", "DECIMAL": "DOUBLE",
     "VARCHAR": "STRING", "CHAR": "STRING", "BOOLEAN": "BOOLEAN",
+    # timestamps are LONG millis natively: RETURNING timestamp runs
+    # the numeric coercion (tryParseLong then tryParse double,
+    # ExprEval.computeNumber) and reinterprets as epoch millis — an
+    # ISO string is NOT parsed (quidem json.all A11 arithmetic)
+    "TIMESTAMP": "TIMESTAMP",
 }
 
 
@@ -1865,6 +1870,11 @@ def _rewrite_json_returning(sql: str) -> str:
                        f"JSON_OBJECT_KEYS(__jvx) IS NOT NULL OR "
                        f"JSON_ARRAY_LENGTH(__jvx) IS NOT NULL) "
                        f"THEN NULL ELSE {rep} END")
+            elif t == "TIMESTAMP":
+                # numeric-coercion millis, not ISO parsing (Spark's
+                # CAST(string AS TIMESTAMP) would parse ISO instead)
+                rep = (f"TIMESTAMP_MILLIS(CAST(CAST(JSON_VALUE("
+                       f"{args}) AS DOUBLE) AS BIGINT))")
             else:
                 rep = f"CAST(JSON_VALUE({args}) AS {t})"
             sql = sql[:m.start()] + rep + sql[i:]
