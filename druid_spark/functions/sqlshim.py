@@ -1605,6 +1605,50 @@ def _unnest_elem_semantics(out: str) -> str:
     if ctx is None:
         return out
 
+    def _jq_root(m):
+        lit = ctx.val(m.group(2))
+        if lit is None or lit.strip("'\"") not in ("$.", "$"):
+            return m.group(0)
+        rep = ctx.mask(f"IF({m.group(1)} IS NULL, NULL, "
+                       f"CONCAT('\"', {m.group(1)}, '\"'))")
+        return rep
+
+    # json_query of a SCALAR at the root path returns the value as
+    # quoted JSON text ('' -> '""'), null element -> null (qaUnnest
+    # mv_sql_json_funcs A1_B4 pins "1"/"" rows)
+    out = re.sub(
+        rf"(?is)\bJSON_QUERY\s*\(\s*({cpat})\s*,\s*({_PH})\s*\)",
+        _jq_root, out)
+
+    # `elem / long_col`: the reference decides the division's type
+    # PER ROW by the string element's parse (tryParseLong first, then
+    # double — ExprEval.computeNumber): '1'/2 divides as longs (0),
+    # '0.1'/2 as doubles (qaUnnest mv_sql_ops A1_B4 pins the long
+    # results). Guard against a preceding same-precedence operator
+    # (left-associativity, as in the provably-long chain rewrite).
+    _ltypes = {c for c, t in _SCALAR_TYPES.get().items()
+               if t.split("(")[0].lower() in
+               ("bigint", "int", "integer", "smallint", "tinyint",
+                "long")}
+    if _ltypes:
+        _lcp = "|".join(map(re.escape, sorted(_ltypes)))
+        _intre = ctx.mask("'^-?[0-9]+$'")
+
+        def _elem_div(m):
+            s, i = m.string, m.start() - 1
+            while i >= 0 and s[i] in " \t\r\n":
+                i -= 1
+            if i >= 0 and s[i] in "*/%":
+                return m.group(0)
+            c, y = m.group(1), m.group(2)
+            return (f"(CASE WHEN {c} RLIKE {_intre} THEN "
+                    f"CAST({c} AS BIGINT) DIV {y} "
+                    f"ELSE CAST({c} AS DOUBLE) / {y} END)")
+
+        out = re.sub(
+            rf"(?is)(?<![\w.])({cpat})\s*/\s*({_lcp})(?![\w.])",
+            _elem_div, out)
+
     def _invcast(m):
         lit = ctx.val(m.group(3))
         millis = _iso_millis(lit) if lit else None
@@ -4636,7 +4680,12 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                                              "integer", "smallint",
                                              "tinyint")} | _long_ucols
     if _longs:
+        # a CAST to an integer type is provably long no matter what
+        # it wraps (qaUnnest mv_sql_scalar_numeric B36_C4:
+        # safe_divide(cast(c AS int), c_long) divides as longs)
         _lpat = "|".join(re.escape(c) for c in sorted(_longs))
+        _lpat += (r"|CAST\s*\([^()]*(?:\([^()]*\)[^()]*)*\s+AS\s+"
+                  r"(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT)\s*\)")
         if "/" in out:
             # Match the FULL multiplicative chain of long operands so
             # `a/b/c` keeps long semantics throughout, and refuse when
