@@ -3890,7 +3890,13 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(sum(CASE WHEN o_orderpriority LIKE '%!_URGENT'
                              ESCAPE '!' THEN 1 ELSE 0 END) AS BIGINT)
                  AS underscore_urgent
-        FROM orders""", None),
+        FROM orders""", """
+        SELECT count(*) AS with_urgent,
+               CAST(sum(1) FILTER (WHERE o_orderpriority LIKE
+                 '%!_URGENT' ESCAPE '!') AS BIGINT)
+                 AS underscore_urgent
+        FROM orders"""),  # SUM(CASE..ELSE 0) plans as a filtered SUM
+        # (AggregateCaseToFilterRule): zero matches -> NULL, not 0
     "sqlc_overlay": ("""
         SELECT OVERLAY(c_name PLACING 'XXX' FROM 10 FOR 3) AS masked,
                SUBSTRING(c_name FROM -4) AS tail4
@@ -4325,7 +4331,9 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                SUBSTRING('abcdef', -2) AS last_two,
                SUBSTRING('abc', 10) AS past_end""", """
         SELECT 'bcdef' AS tail_from_2, 'bcd' AS mid,
-               'ef' AS last_two, '' AS past_end"""),
+               'ef' AS last_two,
+               CAST(NULL AS VARCHAR) AS past_end"""),
+        # SubstringDimExtractionFn: start past the end -> NULL
     "sqlc_position_from": ("""
         SELECT POSITION('c' IN 'abcabc') AS p1,
                POSITION('c' IN 'abcabc' FROM 4) AS p2,
@@ -4997,7 +5005,8 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT SUBSTRING('hello', 2, 100) AS mid,
                SUBSTRING('hello', 6) AS off_end,
                SUBSTRING('hello', 1, 0) AS zero_len""", """
-        SELECT 'ello' AS mid, '' AS off_end, '' AS zero_len"""),
+        SELECT 'ello' AS mid, CAST(NULL AS VARCHAR) AS off_end,
+               '' AS zero_len"""),
     "sqlc_mod_div_signs": ("""
         SELECT MOD(-7, 3) AS m1, MOD(7, -3) AS m2,
                DIV(17, 5) AS d, DIV(-17, 5) AS dn""", """
@@ -9249,7 +9258,11 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_str,
                CAST(SUM(CASE WHEN n_regionkey = 2.0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_dec
-        FROM nation WHERE n_regionkey = '3'""", None),
+        FROM nation WHERE n_regionkey = '3'""", """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_str,
+               CAST(SUM(1) FILTER (WHERE n_regionkey = 2.0)
+                 AS BIGINT) AS n_dec
+        FROM nation WHERE n_regionkey = '3'"""),
     "sqlc_like_escape_clause": ("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT CONCAT(n_name, '_X') AS s FROM nation) t
