@@ -4464,6 +4464,30 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             kv = _top_colon_split(args[0])
             if kv and not re.fullmatch(r"'(?:[^']|'')*'", kv[0]) \
                     and not re.match(r"(?is)^KEY\s", args[0]):
+                # a NON-STRING key type is a validation error in the
+                # reference ("field name must be a STRING",
+                # SqlJsonObjectFunction checker — qaJsonCols
+                # func_json_object A022/A024/A028/A030/A034 !error):
+                # numeric/boolean literal expressions reject; string
+                # EXPRESSIONS (A016 'a'||'b') stay legal via MAP
+                _k = kv[0].strip()
+                _kbase = re.sub(r"^[A-Za-z_]\w*\.", "", _k).lower()
+                _ktype = _SCALAR_TYPES.get().get(
+                    _kbase, "").split("(")[0].lower()
+                _nonstr = (
+                    re.fullmatch(r"(?is)(?:[\d.+\-*/%()\s]+|TRUE|"
+                                 r"FALSE)", _k)
+                    or re.fullmatch(r"(?is)CURRENT_TIMESTAMP|"
+                                    r"CURRENT_DATE|__time", _k)
+                    or (_ktype and _ktype not in
+                        ("varchar", "string", "char", "text"))
+                    or _kbase in {c.lower()
+                                  for c in _JSON_COLS.get()}
+                    or re.fullmatch(r"(?is)\([^']*(?:=|<|>)[^']*\)",
+                                    _k))
+                if _nonstr:
+                    return ("CAST(RAISE_ERROR('field name must be a "
+                            "STRING') AS STRING)")
                 return (f"TO_JSON(MAP({kv[0]}, {kv[1]}), "
                         f"MAP('ignoreNullFields', 'false'))")
         ns = _json_object_struct(args)
