@@ -3890,13 +3890,10 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                CAST(sum(CASE WHEN o_orderpriority LIKE '%!_URGENT'
                              ESCAPE '!' THEN 1 ELSE 0 END) AS BIGINT)
                  AS underscore_urgent
-        FROM orders""", """
-        SELECT count(*) AS with_urgent,
-               CAST(sum(1) FILTER (WHERE o_orderpriority LIKE
-                 '%!_URGENT' ESCAPE '!') AS BIGINT)
-                 AS underscore_urgent
-        FROM orders"""),  # SUM(CASE..ELSE 0) plans as a filtered SUM
-        # (AggregateCaseToFilterRule): zero matches -> NULL, not 0
+        FROM orders""", None),
+        # THEN 1 ELSE 0 converts to COUNT() FILTER
+        # (AggregateCaseToFilterRule) — COUNT is never null, so the
+        # zero-match group is 0 and the same-SQL DuckDB oracle holds
     "sqlc_overlay": ("""
         SELECT OVERLAY(c_name PLACING 'XXX' FROM 10 FOR 3) AS masked,
                SUBSTRING(c_name FROM -4) AS tail4
@@ -9258,11 +9255,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_str,
                CAST(SUM(CASE WHEN n_regionkey = 2.0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_dec
-        FROM nation WHERE n_regionkey = '3'""", """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_str,
-               CAST(SUM(1) FILTER (WHERE n_regionkey = 2.0)
-                 AS BIGINT) AS n_dec
-        FROM nation WHERE n_regionkey = '3'"""),
+        FROM nation WHERE n_regionkey = '3'""", None),
     "sqlc_like_escape_clause": ("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT CONCAT(n_name, '_X') AS s FROM nation) t

@@ -625,6 +625,12 @@ class DruidSparkEngine:
                         for c, ty in jc.items() if ty == "ARRAY"}
         final = rewrite_druid_sql(
             text, exact=exact, tz=set_ctx.get("sqlTimeZone", "UTC"),
+            # extendedFilteredSumRewrite context flag (filtered_sum.iq
+            # !set): false keeps SUM(CASE..ELSE 0) un-filtered (0 for
+            # a no-match group instead of NULL)
+            filtered_sum_rewrite=set_ctx.get(
+                "extendedFilteredSumRewrite", "true").lower()
+                != "false",
             default_nominal_entries=self.sketch_default_nominal_entries,
             scalar_cols=scalar_cols - array_cols, json_cols=json_cols,
             array_elem=array_elem, scalar_types=scalar_types,

@@ -115,6 +115,8 @@ def _unmask_strings(sql: str, lits: dict[int, str]) -> str:
                   lambda m: lits.get(int(m.group(1)), m.group(0)), sql)
 
 
+_FILTERED_SUM: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "druid_spark_filtered_sum_rewrite", default=True)
 _MASK = contextvars.ContextVar("druid_spark_mask_ctx", default=None)
 
 # a placeholder token, for patterns that must match where a user
@@ -1996,7 +1998,8 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       variant_array_cols: set | None = None,
                       hllc_parity: bool = False,
                       table_columns: dict | None = None,
-                      declared_json_cols: set | None = None) -> str:
+                      declared_json_cols: set | None = None,
+                      filtered_sum_rewrite: bool = True) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -2014,6 +2017,7 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok7 = _MVD_COLS.set(mvd_cols or set())
     tok8 = _VARRAYS.set(variant_array_cols or set())
     tok9 = _HLLC_PARITY.set(hllc_parity)
+    tok_fsr = _FILTERED_SUM.set(filtered_sum_rewrite)
     tok10 = _TABLE_COLS.set(table_columns or {})
     tok11 = _DECLARED_JSON.set(declared_json_cols or set())
     try:
@@ -2022,6 +2026,7 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
         _DECLARED_JSON.reset(tok11)
         _TABLE_COLS.reset(tok10)
         _HLLC_PARITY.reset(tok9)
+        _FILTERED_SUM.reset(tok_fsr)
         _VARRAYS.reset(tok8)
         _MVD_COLS.reset(tok7)
         _REAL_ARRAYS.reset(tok6)
@@ -2824,8 +2829,25 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                           _arg)
             if not _m:
                 continue
-            _rep = (f"SUM({_m.group(2)}) "
-                    f"FILTER (WHERE {_m.group(1)})")
+            _then = _m.group(2).strip()
+            if _then == "1":
+                # THEN 1 ELSE 0 converts to COUNT() FILTER — COUNT is
+                # never null, so a no-match group stays 0
+                # (CalciteQueryTest nested-sum golden pins 0, pinned
+                # locally by test_mvd_null_expr)
+                _rep = f"COUNT(*) FILTER (WHERE {_m.group(1)})"
+            elif re.fullmatch(r"[+-]?\d+(\.\d+)?", _then):
+                # other literal THENs are outside the rule — keep the
+                # CASE (0 for a no-match group)
+                continue
+            elif _FILTERED_SUM.get():
+                _rep = (f"SUM({_then}) "
+                        f"FILTER (WHERE {_m.group(1)})")
+            else:
+                # extendedFilteredSumRewrite=false: the extended
+                # (ELSE 0, expression THEN) arm stays a plain
+                # SUM(CASE) — 0 for a no-match group
+                continue
             out = out[:_start] + _rep + out[_close + 1:]
             _scpos = _start + len(_rep)
 

@@ -67,6 +67,7 @@ def parse_iq(path: Path) -> list[dict]:
     test_id = None
     dataset = None
     cur_ts = None
+    ext_fsr = None  # !set extendedFilteredSumRewrite (filtered_sum.iq)
     seq = 0
     for ln in path.read_text().splitlines():
         if ln.startswith("#"):
@@ -99,6 +100,9 @@ def parse_iq(path: Path) -> list[dict]:
                 if name == "set" and len(parts) >= 3 and \
                         parts[1] == "sqlCurrentTimestamp":
                     cur_ts = parts[2]
+                if name == "set" and len(parts) >= 3 and \
+                        parts[1] == "extendedFilteredSumRewrite":
+                    ext_fsr = parts[2]
                 buf = []
                 continue
             # block-terminating directive: split buf into SQL + block
@@ -119,6 +123,9 @@ def parse_iq(path: Path) -> list[dict]:
                 if cur_ts:
                     sql = (f"SET sqlCurrentTimestamp = '{cur_ts}';\n"
                            + sql)
+                if ext_fsr is not None:
+                    sql = (f"SET extendedFilteredSumRewrite = "
+                           f"{ext_fsr};\n" + sql)
                 cases.append({
                     "id": f"{path.stem}:{seq}:{test_id or 'case'}",
                     "sql": sql,
