@@ -3500,10 +3500,16 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                         f"arguments of type ARRAY') AS BIGINT)")
             if len(a) == 1 and not re.match(
                     r"(?is)^CAST\(.*AS BIGINT\)$", a[0].strip()):
-                # the reference funnels the argument through a LONG
-                # virtual column (BitwiseSqlAggregator); string MVD
-                # elements coerce, junk parses to NULL
-                return f"{fn}(CAST({a[0]} AS BIGINT))"
+                # the aggregator folds bitwise(acc, x) with the
+                # two-valued asLong coercion (ExprEval.computeLong:
+                # unparseable NON-NULL strings read 0), while NULL
+                # input rows are skipped and leave an all-null group
+                # NULL (isNullUnlessAggregated) — qaUnnest
+                # mv_sql_agg_funcs B34/B35 pin bit_or('') = 0 with a
+                # null group staying blank
+                return (f"{fn}(CASE WHEN {a[0]} IS NULL THEN "
+                        f"CAST(NULL AS BIGINT) ELSE COALESCE("
+                        f"TRY_CAST({a[0]} AS BIGINT), 0) END)")
             return None
         return b
 
