@@ -3561,12 +3561,31 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     out = _rewrite_call(out, "EARLIEST", _first_last("MIN_BY"))
     out = _rewrite_call(out, "LATEST", _first_last("MAX_BY"))
     # ANY_VALUE over COMPLEX<json> folds to NULL the same way
-    # (aggr_general A29); other shapes keep Spark's builtin
-    out = _rewrite_call(
-        out, "ANY_VALUE",
-        lambda a: ("CAST(NULL AS STRING)"
-                   if len(a) == 1 and a[0].strip() in
-                   (_JSON_COLS.get() - _REAL_ARRAYS.get()) else None))
+    # (aggr_general A29); other shapes keep Spark's builtin. The
+    # reference's 3-arg form ANY_VALUE(expr, maxBytesPerValue,
+    # aggregateMultipleValues) — StringAnyAggregatorFactory: the byte
+    # bound is a buffer-sizing hint (no truncation semantics to
+    # reproduce), and aggregateMultipleValues=false takes the FIRST
+    # element of a multi-value row instead of the whole MVD
+    # (CalciteJoinQueryTest testJoinOnTimeseriesWithFloorOnTime pins
+    # [a, b] vs a).
+    def _any_value_call(a):
+        if len(a) == 1 and a[0].strip() in (_JSON_COLS.get()
+                                            - _REAL_ARRAYS.get()):
+            return "CAST(NULL AS STRING)"
+        if len(a) == 3:
+            expr = a[0].strip()
+            keep_mv = a[2].strip().lower() != "false"
+            if not keep_mv and (expr in _MVD_COLS.get()
+                                or expr in _ARRAY_ELEM.get()):
+                return f"any_value(ELEMENT_AT({expr}, 1))"
+            return f"any_value({a[0]})"
+        # 2-arg reference form (expr, maxBytesPerValue) — the numeric
+        # bound would read as Spark's ignoreNulls boolean slot
+        if len(a) == 2 and re.fullmatch(r"\d+", a[1].strip()):
+            return f"any_value({a[0]})"
+        return None
+    out = _rewrite_call(out, "ANY_VALUE", _any_value_call)
     # sketch-state functions ALWAYS compile to real Datasketches state
     # (Spark 3.5+/4 ships the Apache Datasketches HLL family natively —
     # the same library the reference extension wraps:
@@ -3636,20 +3655,46 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         s = scalar.strip()
         is_num = re.fullmatch(r"[-+]?\d+(\.\d+)?", s)
         is_bool = re.fullmatch(r"(?i)TRUE|FALSE", s)
-        if not (is_num or is_bool):
-            return scalar
+        a = arr.strip()
         elems = _ARRAY_ELEM.get()
-        stringy = (elems.get(arr.strip(), "").lower()
-                   in ("string", "varchar", "char")
-                   or re.search(r"(?i)ARRAY<STRING>|'array<string>'"
-                                r"|\bSPLIT\s*\(|\bSTRING_TO_",
-                                arr))
-        if not stringy:
+        et = elems.get(a, "").split("(")[0].lower()
+        if not et:
+            # json_value(... RETURNING t array) rewrites carry the
+            # element type in their FROM_JSON schema literal (qaArray
+            # ops_funcs_array_funcs array_prepend(9, json_value(...
+            # RETURNING bigint array)) keeps LONG). The EXISTS
+            # type-probe always uses array<string>, so any OTHER
+            # schema is the RETURNING element type.
+            types = {t.lower() for t in re.findall(
+                r"(?i)'array<(\w+)[^']*'", a)} - {"string"}
+            if len(types) == 1:
+                et = types.pop()
+            elif (re.fullmatch(r"'(?:[^']|'')*'", a)
+                    or re.search(r"(?i)ARRAY<STRING>|'array<string>'"
+                                 r"|\bSPLIT\s*\(|\bSTRING_TO_", a)):
+                et = "string"
+        if et in ("string", "varchar", "char"):
+            if is_bool:
+                # booleans are longs in the reference's arrays (1/0)
+                return "'1'" if s.upper() == "TRUE" else "'0'"
+            if is_num:
+                return f"'{s}'"
+            # a numeric COLUMN joins a string array through its string
+            # form too (Calcite leastRestrictive — qaUnnest
+            # mv_sql_array_funcs array_prepend(c_long, 'Z') = [0, Z])
+            st = _SCALAR_TYPES.get().get(
+                re.sub(r"^[A-Za-z_]\w*\.", "", s), "").split(
+                "(")[0].lower()
+            if st and st not in ("string", "varchar", "char", "text"):
+                return f"CAST({s} AS STRING)"
             return scalar
-        if is_bool:
-            # booleans are longs in the reference's arrays (1/0)
-            return "'1'" if s.upper() == "TRUE" else "'0'"
-        return f"'{s}'"
+        if (et in ("bigint", "long", "int", "integer", "smallint",
+                   "tinyint")
+                and is_num and "." not in s):
+            return f"CAST({s} AS BIGINT)"
+        if et in ("double", "float", "real", "decimal") and is_num:
+            return f"CAST({s} AS DOUBLE)"
+        return scalar
 
     def _arrish(x: str) -> str:
         # a quoted-string scalar in the ARRAY position is the 1-elem
@@ -3996,6 +4041,45 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                         + f" FROM {_inner_src} {_lvs}) {_fseg}")
                 out = (out[:_kwm["FROM"]] + "FROM " + _sub + " "
                        + _where_tail)
+    # Scalar predicates over MVD columns in ANY remaining WHERE
+    # segment (no GROUP-BY explode involved) still follow the
+    # reference's any-element filter semantics — a selector on a
+    # multi-value dimension matches when ANY element matches
+    # (docs/querying/multi-value-dimensions.md; CalciteJoinQueryTest
+    # testJoinOnTimeseriesWithFloorOnTime: WHERE dim3 = 'b' inside a
+    # grouped subquery). Spark types the MVD array<string>, so the
+    # raw comparison would fail analysis.
+    if _mvds and re.search(r"(?is)\bWHERE\b", out):
+        _segs = []
+        for _wm in re.finditer(r"(?i)\bWHERE\b", out):
+            _i, _d = _wm.end(), 0
+            _kw = re.compile(r"(?is)\b(GROUP|HAVING|ORDER|WINDOW|LIMIT"
+                             r"|OFFSET|UNION|INTERSECT|EXCEPT)\b")
+            while _i < len(out):
+                ch = out[_i]
+                if ch in "'\"":
+                    _i = _skip_string(out, _i)
+                elif ch in "([":
+                    _d += 1
+                elif ch in ")]":
+                    _d -= 1
+                    if _d < 0:
+                        break
+                elif _d == 0 and ch.isalpha():
+                    _m2 = _kw.match(out, _i)
+                    if _m2:
+                        break
+                    while _i + 1 < len(out) and (out[_i + 1].isalnum()
+                                                 or out[_i + 1] == "_"):
+                        _i += 1
+                _i += 1
+            _segs.append((_wm.end(), _i))
+        for _s, _e in reversed(_segs):
+            _w = out[_s:_e]
+            for _c in sorted(_mvds):
+                if re.search(rf"(?i)(?<![\w.]){re.escape(_c)}\b", _w):
+                    _w = _mvd_any_element_predicates(_w, _c)
+            out = out[:_s] + _w + out[_e:]
     # Calcite dedupes duplicate SELECT * output names with a 0 suffix
     # (test_unnest.s_int + u(s_int) -> second column "s_int0",
     # qaUnnest array_sql_col_general A1_B9); rename the unnest alias
@@ -4061,6 +4145,82 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     ucols |= (_SCALAR_COLS.get()
               - set(re.findall(r"(?i)\bAS\s+(\w+)", out)))
     if ucols:
+        # MVD-PUBLISHING functions over a scalar input return the
+        # scalar itself, not a 1-element array: the reference's
+        # ARRAY_TO_MV / MV_FILTER_* publish VARCHAR (an MVD), so a
+        # scalar input round-trips as a scalar and downstream scalar
+        # comparisons type-check (qaUnnest mv_sql_array_funcs
+        # A1_B15: array_to_mv(c) IN ('1','2') — and a NON-string
+        # scalar has no MVD form at all, so it maps to NULL:
+        # array_to_mv(c_long) <> 'ABCD' matches 0 rows).
+        def _scalar_mv_direct(fn):
+            def b(args):
+                c = args[0].strip()
+                if c not in ucols:
+                    return None
+                st = _SCALAR_TYPES.get().get(c, "string").split(
+                    "(")[0].lower()
+                stringy = st in ("string", "varchar", "char", "text")
+                # '' has no MVD element form (empty strings normalize
+                # to null at the MVD layer — multi-value-dimensions
+                # docs; mv_sql_array_funcs A1_B15_C1 pins
+                # array_to_mv('') excluded from IN ('', ...))
+                if fn == "ARRAY_TO_MV":
+                    if len(args) != 1:
+                        return None
+                    return (f"NULLIF(CAST({c} AS STRING), '')"
+                            if stringy else "CAST(NULL AS STRING)")
+                if len(args) != 2 or not stringy:
+                    return None
+                probe = f"ARRAY_CONTAINS({args[1]}, {c})"
+                if fn == "MV_FILTER_ONLY":
+                    return f"(CASE WHEN {probe} THEN NULLIF({c}, '') END)"
+                return f"(CASE WHEN NOT {probe} THEN NULLIF({c}, '') END)"
+            return b
+        for _mvfn in ("ARRAY_TO_MV", "MV_FILTER_ONLY", "MV_FILTER_NONE"):
+            out = _rewrite_call(out, _mvfn, _scalar_mv_direct(_mvfn))
+
+        # GREATEST/LEAST over mixed string/numeric operands: Calcite
+        # resolves leastRestrictive(VARCHAR, BIGINT) = VARCHAR and
+        # compares lexicographically (qaUnnest
+        # mv_sql_scalar_reduction_funcs greatest(c, c_long, '1'));
+        # Spark requires one type, so cast the numeric operands.
+        def _mixed_minmax(fname):
+            def b(args):
+                if len(args) < 2:
+                    return None
+                kinds = []
+                for x in args:
+                    x = x.strip()
+                    if re.fullmatch(r"'(?:[^']|'')*'", x):
+                        kinds.append("string")
+                    elif re.fullmatch(r"[-+]?\d+(\.\d+)?", x):
+                        kinds.append("num")
+                    else:
+                        base = re.sub(r"^[A-Za-z_]\w*\.", "", x)
+                        t = _SCALAR_TYPES.get().get(base, "").split(
+                            "(")[0].lower()
+                        if not t and base in ucols:
+                            t = "string"  # unnest element
+                        if t in ("string", "varchar", "char", "text"):
+                            kinds.append("string")
+                        elif t in ("bigint", "int", "integer",
+                                   "smallint", "tinyint", "long",
+                                   "double", "float", "real",
+                                   "decimal"):
+                            kinds.append("num")
+                        else:
+                            return None
+                if "string" in kinds and "num" in kinds:
+                    na = [x if k == "string"
+                          else f"CAST({x} AS STRING)"
+                          for x, k in zip(args, kinds)]
+                    return f"{fname}({', '.join(na)})"
+                return None
+            return b
+        for _mm in ("GREATEST", "LEAST"):
+            out = _rewrite_call(out, _mm, _mixed_minmax(_mm))
+
         def _scalar_unnest_wrap(idx):
             def b(args):
                 if idx < len(args) and args[idx].strip() in ucols:

@@ -680,12 +680,18 @@ def _default_frames(spark):
         (ts("2000-01-01"), "друид", "ru", 12, 1, 1, None),
     ]
     foo2_rows = [r + (_hllc_single(r[1]),) for r in foo2_rows]
+    # dim3 is the TestDataBuilder multi-value dimension — tagging it
+    # MVD drives the engine's any-element filter semantics and MVD
+    # render conventions (foo2.dim3 is a scalar LONG and stays
+    # untagged)
+    _mvd3 = {"dim3": "MVD"}
     out = {
-        "foo": (spark.createDataFrame(foo_rows, foo_schema).cache(), {}),
+        "foo": (spark.createDataFrame(foo_rows, foo_schema).cache(),
+                dict(_mvd3)),
         "numfoo": (spark.createDataFrame(
-            numfoo_rows, numfoo_schema).cache(), {}),
+            numfoo_rows, numfoo_schema).cache(), dict(_mvd3)),
         "broadcast": (spark.createDataFrame(
-            numfoo_rows, numfoo_schema).cache(), {}),
+            numfoo_rows, numfoo_schema).cache(), dict(_mvd3)),
         "foo2": (spark.createDataFrame(foo2_rows, foo2_schema).cache(),
                  {}),
     }
