@@ -645,6 +645,13 @@ class DruidSparkEngine:
                 t: [n for n, _ty in cols]
                 for t, cols in self._col_kind_cache[1].items()
                 if not ref_tables or t in ref_tables},
+            # typed per-table map for the UNION branch alignment
+            # (MVD tags override the storage type)
+            table_col_types={
+                t: {n: ("MVD" if _jc_by_table.get(t, {}).get(n)
+                        == "MVD" else ty) for n, ty in cols}
+                for t, cols in self._col_kind_cache[1].items()
+                if not ref_tables or t in ref_tables},
             # DECLARED COMPLEX<json> dims reject LIKE (Calcite); a
             # discovery-stored json TEXT column ("JSON_TEXT" hint)
             # stays LIKE-able (qaJsonCols ingest_schmless I14-I17)

@@ -60,6 +60,12 @@ _VARRAYS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_variant_array_cols", default=set())
 _SCALAR_TYPES: contextvars.ContextVar[dict] = contextvars.ContextVar(
     "druid_spark_scalar_types", default={})
+# per-table column type map {table: {col: "MVD" | spark simpleString}}
+# for the UNION branch alignment (the reference's table-level union
+# maps same-named columns leniently; a pass-through MVD vs scalar
+# conflict coerces to the MVD's published VARCHAR form)
+_TABLE_COL_TYPES: contextvars.ContextVar[dict] = contextvars.ContextVar(
+    "druid_spark_table_col_types", default={})
 
 
 def _skip_string(s: str, i: int) -> int:
@@ -376,6 +382,136 @@ def _mvd_any_element_predicates(w: str, c: str) -> str:
         rf"(?is)(?<![\w.]){cpat}\s+LIKE\s+({_PH})",
         lambda m: f"EXISTS({c}, __e -> __e LIKE {m.group(1)})", w)
     return w
+
+
+def _union_mvd_alignment(out: str) -> str:
+    """Table-level UNION ALL with a same-named column that is an MVD
+    in one branch and a scalar in another: the reference's union
+    datasource maps columns leniently and publishes the MVD as
+    VARCHAR, so a PASS-THROUGH conflict plans fine
+    (CalciteUnionQueryTest union_datasource cases 3/10: foo.dim3
+    MVD vs foo2.dim3 LONG); Spark's UNION rejects array-vs-scalar.
+    Coerce the conflicted pass-through columns to the MVD's published
+    string form in every branch — but ONLY when the column is never
+    referenced outside the union subquery (a referenced conflict IS
+    an error in the reference too: case 9 MAX(dim3))."""
+    tct = _TABLE_COL_TYPES.get()
+    if not tct or not re.search(r"(?is)\bUNION\s+ALL\b", out):
+        return out
+    if not any(k == "MVD" for cols in tct.values()
+               for k in cols.values()):
+        return out
+
+    def classify(t: str, c: str) -> str | None:
+        ty = tct.get(t, {}).get(c)
+        if ty is None:
+            return None
+        if ty == "MVD":
+            return "mvd"
+        ty = ty.split("(")[0].lower()
+        if ty in ("string", "varchar", "char"):
+            return "string"
+        if ty in ("tinyint", "smallint", "int", "bigint", "float",
+                  "double", "decimal", "long", "integer"):
+            return "num"
+        return None
+
+    def mvd_render(c: str) -> str:
+        # the MVD's Druid-published VARCHAR: single element bare,
+        # multi Java-toString
+        return (f"CASE WHEN {c} IS NULL THEN NULL "
+                f"WHEN SIZE({c}) = 1 THEN ELEMENT_AT({c}, 1) "
+                f"ELSE CONCAT('[', ARRAY_JOIN(TRANSFORM({c}, "
+                f"__ue -> COALESCE(__ue, 'null')), ', '), ']') END")
+
+    # parenthesized groups whose depth-0 content carries UNION ALL
+    spans = []
+    i = 0
+    while i < len(out):
+        ch = out[i]
+        if ch in "'\"":
+            i = _skip_string(out, i)
+        elif ch == "(":
+            j = _find_spec_end(out, i + 1)
+            if re.search(r"(?is)\bUNION\s+ALL\b", out[i + 1:j]):
+                spans.append((i + 1, j))
+        i += 1
+    for gs, ge in reversed(spans):
+        content = out[gs:ge]
+        # depth-0 UNION ALL split
+        parts, cuts, d, k = [], [], 0, 0
+        while k < len(content):
+            ch = content[k]
+            if ch in "'\"":
+                k = _skip_string(content, k)
+            elif ch in "([":
+                d += 1
+            elif ch in ")]":
+                d -= 1
+            elif d == 0 and content[k:k + 5].upper() == "UNION":
+                m = re.match(r"(?is)UNION\s+ALL", content[k:])
+                if m:
+                    cuts.append((k, k + m.end()))
+                    k += m.end()
+                    continue
+            k += 1
+        if not cuts:
+            continue
+        prev = 0
+        for cs, ce in cuts:
+            parts.append(content[prev:cs])
+            prev = ce
+        parts.append(content[prev:])
+        branches = []
+        for p in parts:
+            m = re.fullmatch(
+                r"(?is)\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s*", p)
+            if not m or m.group(2) not in tct:
+                branches = None
+                break
+            proj = [x.strip() for x in m.group(1).split(",")]
+            if any(not re.fullmatch(r"[A-Za-z_]\w*|\*", x)
+                   for x in proj):
+                branches = None
+                break
+            t = m.group(2)
+            cols = []
+            for x in proj:
+                cols.extend(tct[t].keys() if x == "*" else [x])
+            branches.append((t, cols))
+        if not branches:
+            continue
+        width = len(branches[0][1])
+        if any(len(c) != width for _t, c in branches):
+            continue
+        outside = out[:gs] + out[ge:]
+        coerce_pos = set()
+        for pos in range(width):
+            kinds = {classify(t, c[pos]) for t, c in branches}
+            if None in kinds or "mvd" not in kinds or len(kinds) < 2:
+                continue
+            if any(re.search(rf"(?i)(?<![\w.]){re.escape(c[pos])}\b",
+                             outside) for _t, c in branches):
+                continue  # referenced conflict: reference errors too
+            coerce_pos.add(pos)
+        if not coerce_pos:
+            continue
+        new_parts = []
+        for t, cols in branches:
+            items = []
+            for pos, c in enumerate(cols):
+                if pos in coerce_pos:
+                    cls = classify(t, c)
+                    expr = (mvd_render(c) if cls == "mvd"
+                            else f"CAST({c} AS STRING)"
+                            if cls == "num" else c)
+                    items.append(f"{expr} AS {c}")
+                else:
+                    items.append(c)
+            new_parts.append(
+                f" SELECT {', '.join(items)} FROM {t} ")
+        out = (out[:gs] + " UNION ALL ".join(new_parts) + out[ge:])
+    return out
 
 
 def _rewrite_call(sql: str, fname: str, builder) -> str:
@@ -1999,7 +2135,8 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       hllc_parity: bool = False,
                       table_columns: dict | None = None,
                       declared_json_cols: set | None = None,
-                      filtered_sum_rewrite: bool = True) -> str:
+                      filtered_sum_rewrite: bool = True,
+                      table_col_types: dict | None = None) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -2020,9 +2157,11 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok_fsr = _FILTERED_SUM.set(filtered_sum_rewrite)
     tok10 = _TABLE_COLS.set(table_columns or {})
     tok11 = _DECLARED_JSON.set(declared_json_cols or set())
+    tok12 = _TABLE_COL_TYPES.set(table_col_types or {})
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
+        _TABLE_COL_TYPES.reset(tok12)
         _DECLARED_JSON.reset(tok11)
         _TABLE_COLS.reset(tok10)
         _HLLC_PARITY.reset(tok9)
@@ -2366,7 +2505,9 @@ def _coerce_array_comparisons(sql: str) -> str:
             first = m.group(1).split(",")[0].strip()
             if not first:
                 return None
-            if first.startswith("\x00"):
+            # masked placeholder or raw quoted literal (builders see
+            # unmasked args)
+            if first.startswith("\x00") or first.startswith("'"):
                 return "string"
             if re.fullmatch(r"(?i)TRUE|FALSE", first):
                 return "boolean"
@@ -2412,7 +2553,46 @@ def _coerce_array_comparisons(sql: str) -> str:
         target = "string" if "string" in (lc, rc) else "numeric"
         return f"{wrap(l, lc, target)} {op} {wrap(r, rc, target)}"
 
-    return _unmask_local(pat.sub(sub, masked), lits)
+    masked = pat.sub(sub, masked)
+
+    # CASE-simple over an array column (CASE a_empty WHEN
+    # ARRAY['FILLER'] THEN ...) — Spark expands to the same strict
+    # equality; coerce through the searched form (qaArray
+    # ops_funcs_scalar_funcs A9_B2_C16). Single-WHEN shape only.
+    def sub_case(m):
+        subj, val = m.group(1), m.group(2)
+        if subj.strip().rsplit(".", 1)[-1] not in elems:
+            return m.group(0)
+        sc, vc = cls_of(subj), cls_of(val)
+        if sc is None or vc is None or sc == vc:
+            return m.group(0)
+        target = "string" if "string" in (sc, vc) else "numeric"
+        return (f"CASE WHEN {wrap(subj, sc, target)} = "
+                f"{wrap(val, vc, target)} THEN")
+
+    masked = re.sub(
+        r"(?is)\bCASE\s+((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s+WHEN\s+"
+        r"(ARRAY\[[^\]]*\])\s+THEN", sub_case, masked)
+
+    # NULLIF over mismatched array types keeps the FIRST argument's
+    # type while comparing through the coerced form (qaArray
+    # ops_funcs_scalar_funcs A9_B4_C16: nullif(a_empty,
+    # ARRAY['FILLER']) = [])
+    def _nullif_arrays(a):
+        if len(a) != 2:
+            return None
+        lc, rc = cls_of(a[0]), cls_of(a[1])
+        if lc is None or rc is None or lc == rc:
+            return None
+        if (a[0].strip().rsplit(".", 1)[-1] not in elems
+                and a[1].strip().rsplit(".", 1)[-1] not in elems):
+            return None
+        target = "string" if "string" in (lc, rc) else "numeric"
+        return (f"IF({wrap(a[0], lc, target)} = "
+                f"{wrap(a[1], rc, target)}, NULL, {a[0]})")
+
+    masked = _rewrite_call(masked, "NULLIF", _nullif_arrays)
+    return _unmask_local(masked, lits)
 
 
 def _windowed_order_by(sql: str) -> str:
@@ -2792,6 +2972,30 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # reject on those; the corpus aliases outputs as "col", so a
     # same-name alias genuinely marks a derived scalar
     _shadowed = _statement_aliases(out)
+    # `'lit' || STRING_TO_MV(lit, sep)` maps the concat over each MVD
+    # element (Druid expressions apply scalar functions element-wise
+    # over multi-values — docs/querying/multi-value-dimensions.md;
+    # qaSql mv.all A15 batteries compare the resulting MVDs with the
+    # full scalar-operator matrix). Spark has no array||scalar form,
+    # so lift to TRANSFORM; LIKE over the result maps to the
+    # any-element filter form. Literal-args-only: a constant MVD.
+    if re.search(rf"(?is)\|\|\s*STRING_TO_MV\s*\(\s*{_PH}\s*,", out):
+        _stm = (rf"STRING_TO_MV\s*\(\s*{_PH}\s*,\s*{_PH}\s*\)")
+        _opnd = rf"({_PH})\s*\|\|\s*({_stm})"
+        out = re.sub(
+            rf"(?is){_opnd}\s+NOT\s+LIKE\s+({_PH})",
+            lambda m: (f"EXISTS(TRANSFORM({m.group(2)}, __mve -> "
+                       f"CONCAT({m.group(1)}, __mve)), __mvl -> "
+                       f"__mvl NOT LIKE {m.group(3)})"), out)
+        out = re.sub(
+            rf"(?is){_opnd}\s+LIKE\s+({_PH})",
+            lambda m: (f"EXISTS(TRANSFORM({m.group(2)}, __mve -> "
+                       f"CONCAT({m.group(1)}, __mve)), __mvl -> "
+                       f"__mvl LIKE {m.group(3)})"), out)
+        out = re.sub(
+            rf"(?is){_opnd}",
+            lambda m: (f"TRANSFORM({m.group(2)}, __mve -> "
+                       f"CONCAT({m.group(1)}, __mve))"), out)
     if re.search(r"(?is)\bIS\s+(?:NOT\s+)?NULL", out) \
             and re.search(r"(?is)\bARRAY_AGG\s*\(", out):
         out = _fold_notnull_is_null(out)
@@ -3360,6 +3564,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
 
     if re.search(r"(?i)\)\s*IS\s+(NOT\s+)?(TRUE|FALSE)\b", out):
         out = _parenthesize_in_is(out)
+    out = _union_mvd_alignment(out)
     out = _coerce_array_comparisons(out)
     if re.search(r"(?is)\bORDER\s+BY\b", out) \
             and re.search(r"(?i)\bOVER\b", out):
@@ -4144,6 +4349,21 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # re-binds as an alias (it may name an array-valued expression)
     ucols |= (_SCALAR_COLS.get()
               - set(re.findall(r"(?i)\bAS\s+(\w+)", out)))
+    # aliases DEFINED by a string-producing array render are scalar
+    # strings in the enclosing scope, so the array family auto-wraps
+    # them like any other scalar (qaAggFuncs array_agg_long_test004
+    # A18: array_to_string(col, '|') over col = array_to_string(...))
+    _a2s = re.compile(r"(?i)\b(?:ARRAY_TO_STRING|MV_TO_STRING)\s*\(")
+    _p0 = 0
+    while True:
+        _am = _a2s.search(out, _p0)
+        if not _am:
+            break
+        _j = _find_spec_end(out, _am.end())
+        _asm = re.match(r"(?is)\s+AS\s+(\w+)", out[_j + 1:])
+        if _asm:
+            ucols.add(_asm.group(1))
+        _p0 = _am.end()
     if ucols:
         # MVD-PUBLISHING functions over a scalar input return the
         # scalar itself, not a 1-element array: the reference's
@@ -4611,7 +4831,15 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             # variant round-trip re-parses the stored text. Placeholder
             # name: the PARSE_JSON text-render pass must not re-wrap
             # this internal variant (resolved at end of rewrite).
-            if (v.strip() in _JSON_COLS.get()
+            if ((v.strip() in _JSON_COLS.get()
+                    # variant ARRAY columns share the _JSON_COLS hint
+                    # store but are REAL arrays — they embed natively
+                    # as JSON arrays, not via text re-parse (qaArray
+                    # ops_funcs_json_funcs json_object(KEY 'k' VALUE
+                    # a_mixed) = {"k":["true","1",...]})
+                    and v.strip() not in _VARRAYS.get()
+                    and v.strip() not in _REAL_ARRAYS.get()
+                    and v.strip() not in _ARRAY_ELEM.get())
                     or re.match(r"(?is)^(JSON_QUERY|PARSE_JSON|"
                                 r"TRY_PARSE_JSON|TO_JSON_STRING)\s*\("
                                 r".*\)$", v.strip())):
