@@ -357,15 +357,17 @@ _FUNCS: list[tuple[str, str, str, str]] = [
       CASE WHEN p IN ('$', '$.') AND j IS NOT NULL AND j <> ''
              AND get_json_object(j, '$') IS NULL THEN j
            WHEN p RLIKE '\\\\[-[0-9]+\\\\].' THEN NULL
-           -- NOTE (round 11): an empty-array target stays NULL like
-           -- any non-scalar. The reference is internally
-           -- inconsistent here — c1's $.a_empty_array reads as a
-           -- non-null leaf (func_json_value A086/A088/A091 pin
-           -- IS NULL = 2 of 4) while the IDENTICAL data through the
-           -- dedicated c_empty_* columns reads null (A045/A051/A052/
-           -- A061/A062 pin one DISTINCT blank row); returning '[]'
-           -- here fixes 3 goldens and breaks 5, so the NULL side
-           -- wins and the 3 stay ledgered (json_path_empty_semantics)
+           -- NOTE (round 12, supersedes the round-11 NULL-side
+           -- adjudication): an EMPTY container leaf is the empty
+           -- string — NON-null for IS [NOT] NULL (func_json_value
+           -- A046/A047/A053/A054/A063/A064 + A086/A088/A091 pin the
+           -- 2-of-4 splits) while rendering blank. The DISTINCT
+           -- goldens (A045/A051/A052/A061/A062, one blank row) hold
+           -- because a STRING grouping dimension normalizes '' to
+           -- null (same normalization as MVD elements), which the
+           -- sqlshim DISTINCT wrap applies. Non-empty containers
+           -- stay NULL (json_value returns scalars only).
+           WHEN {_JGET} = '[]' OR {_JGET} = '{{}}' THEN ''
            WHEN json_object_keys({_JGET}) IS NOT NULL
              OR json_array_length({_JGET}) IS NOT NULL
            THEN NULL

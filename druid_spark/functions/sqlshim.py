@@ -4400,6 +4400,27 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         for _mvfn in ("ARRAY_TO_MV", "MV_FILTER_ONLY", "MV_FILTER_NONE"):
             out = _rewrite_call(out, _mvfn, _scalar_mv_direct(_mvfn))
 
+        # TO_JSON_STRING over a KNOWN scalar STRING jackson-serializes
+        # the VALUE — always quoted, never re-parsed as JSON text
+        # (ToJsonStringExpr; qaUnnest mv_sql_json_funcs A1_B8_C1 pins
+        # to_json_string('1') = '"1"' and '""' for the empty string).
+        # The generic string UDF can't see the input TYPE, so only
+        # catalog/unnest-typed scalars take this path.
+        def _tjs_scalar(args):
+            if len(args) != 1:
+                return None
+            c = args[0].strip()
+            if c not in ucols:
+                return None
+            st = _SCALAR_TYPES.get().get(c, "string").split(
+                "(")[0].lower()
+            if st not in ("string", "varchar", "char", "text"):
+                return None
+            return (f"IF({c} IS NULL, NULL, "
+                    f"SUBSTRING(TO_JSON(ARRAY({c})), 2, "
+                    f"LENGTH(TO_JSON(ARRAY({c}))) - 2))")
+        out = _rewrite_call(out, "TO_JSON_STRING", _tjs_scalar)
+
         # GREATEST/LEAST over mixed string/numeric operands: Calcite
         # resolves leastRestrictive(VARCHAR, BIGINT) = VARCHAR and
         # compares lexicographically (qaUnnest
@@ -4621,6 +4642,10 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     for fname, builder in (
         ("ARRAY_CONCAT",
          lambda a: f"CONCAT({a[0]}, {a[1]})" if len(a) == 2 else None),
+        # an EMPTY concat result keeps its empty-array value — the
+        # interactive engine renders it '[]', dart/msq render blank
+        # (qaArray ops_funcs_mv_funcs.06 std-vs-dart/msq goldens; the
+        # harness accepts both renders of an empty MVD)
         ("MV_CONCAT",
          lambda a: f"CONCAT(CAST({a[0]} AS ARRAY<STRING>), "
          f"CAST({a[1]} AS ARRAY<STRING>))" if len(a) == 2 else None),
@@ -4638,11 +4663,12 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         ("MV_SLICE", _array_slice_call),
         ("MV_TO_ARRAY",
          lambda a: f"({a[0]})" if len(a) == 1 else None),
-        # an EMPTY array converts to a NULL MVD (MV columns have no
-        # empty form — qaArray array_to_mv(a_empty) renders blank)
+        # ARRAY_TO_MV is a pure type-cast marker — the value passes
+        # through, and an empty ARRAY renders '[]'
+        # (MultiValueStringOperatorConversions; qaArray
+        # ops_funcs_array_funcs.07 array_to_mv(a_empty) = '[]')
         ("ARRAY_TO_MV",
-         lambda a: (f"(CASE WHEN SIZE({a[0]}) = 0 THEN NULL "
-                    f"ELSE {a[0]} END)") if len(a) == 1 else None),
+         lambda a: f"({a[0]})" if len(a) == 1 else None),
         # regex separator + Java trailing-empty trim (see register.py
         # STRING_TO_ARRAY note)
         ("STRING_TO_ARRAY",
@@ -4986,6 +5012,33 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             return "'1'"
         if re.fullmatch(r"(?i)FALSE", s):
             return "'0'"
+        # a parenthesized COMPARISON serializes through the same long
+        # form (to_json_string((1=2)) = '0' — qaJsonCols
+        # func_to_json_string A017/A019), and a timestamp serializes
+        # as native-layer millis (A023)
+        if re.fullmatch(r"\(.*\)", s, re.DOTALL):
+            inner, d, k = s[1:-1], 0, 0
+            has_cmp = False
+            while k < len(inner):
+                ch = inner[k]
+                if ch in "([":
+                    d += 1
+                elif ch in ")]":
+                    d -= 1
+                elif d == 0 and ch in "=<>":
+                    has_cmp = True
+                    break
+                k += 1
+            if has_cmp:
+                return f"CAST(CAST({s} AS INT) AS STRING)"
+        # a BOOLEAN-typed expression (json_value ... RETURNING boolean
+        # expansion carries the cast) serializes as the long form too
+        # (A019: to_json_string(json_value(s_bool, '$' RETURNING
+        # boolean)) = 1)
+        if re.search(r"(?is)\bAS\s+BOOLEAN\s*\)", s):
+            return f"CAST(CAST({s} AS INT) AS STRING)"
+        if _is_ts_expr(s):
+            return f"CAST(UNIX_MILLIS({s}) AS STRING)"
         m = re.fullmatch(r"'((?:[^']|'')*)'", s)
         if not m:
             return None
@@ -4999,6 +5052,35 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 + "'")
 
     out = _rewrite_call(out, "TO_JSON_STRING", _to_json_string_lit)
+    # JSON_VALUE as a DISTINCT grouping key: a STRING grouping
+    # dimension normalizes '' to null (the same normalization MVD
+    # elements get — string dims have no '' form), so the empty-
+    # container leaf ('' per register.py JSON_VALUE) collapses into
+    # the null group (qaJsonCols func_json_value A045/A051/A052/
+    # A061/A062: one blank DISTINCT row over ''+missing rows).
+    if re.search(r"(?is)\bSELECT\s+DISTINCT\b.*\bJSON_VALUE\s*\(",
+                 out):
+        _jvp = re.compile(r"(?is)\bJSON_VALUE\s*\(")
+        _dm = re.search(r"(?is)\bSELECT\s+DISTINCT\s+", out)
+        if _dm:
+            _fm = re.search(r"(?is)\bFROM\b", out[_dm.end():])
+            _lo, _hi = _dm.end(), (_dm.end() + _fm.start()
+                                   if _fm else len(out))
+            _seg = out[_lo:_hi]
+            _new, _pos = [], 0
+            while True:
+                _m = _jvp.search(_seg, _pos)
+                if not _m:
+                    _new.append(_seg[_pos:])
+                    break
+                _j = _find_spec_end(_seg, _m.end())
+                _new.append(_seg[_pos:_m.start()])
+                _new.append(
+                    f"NULLIF({_seg[_m.start():_j + 1]}, '')")
+                _pos = _j + 1
+            out = out[:_lo] + "".join(_new) + out[_hi:]
+            # absorb the raw '' literal into the shared mask store
+            out = _mask_local(out)[0]
     # Calcite/Druid CAST type names Spark doesn't accept bare: Druid SQL
     # writes CAST(x AS VARCHAR) (sql/calcite/planner/Calcites.java type
     # mappings); Spark needs STRING (VARCHAR only with a length). Scoped

@@ -181,6 +181,13 @@ def _java_str(v) -> str:
         return "true" if v else "false"
     if isinstance(v, list):
         return "[" + ", ".join(_java_str(x) for x in v) + "]"
+    if isinstance(v, dict):
+        # Java Map toString (LinkedHashMap insertion order) — how
+        # classic-schemaless ingestion coerces a nested OBJECT into a
+        # string dim (ingest_schmless_json I07/I09:
+        # '{o1={}, o2=[], o3=null}')
+        return ("{" + ", ".join(f"{k}={_java_str(x)}"
+                                for k, x in v.items()) + "}")
     if isinstance(v, float):
         return _java_double(v)
     return str(v)
@@ -664,7 +671,9 @@ def _default_frames(spark):
          0.0, 0.0, 0.0, 0.0, 0, 0, 1, 3.0, 3.0),
         (ts("2001-01-01"), "1", "a", [""], "b", "ad", "4",
          None, None, None, None, None, None, 1, 4.0, 4.0),
-        (ts("2001-01-02"), "def", "abc", [], "b", "aa", "5",
+        # dim3 raw [] ingests as NULL (empty MVDs have no stored
+        # form — SqlQuidemTest mv_filter renders the row blank)
+        (ts("2001-01-02"), "def", "abc", None, "b", "aa", "5",
          None, None, None, None, None, None, 1, 5.0, 5.0),
         (ts("2001-01-03"), "abc", None, None, "b", "ab", "6",
          None, None, None, None, None, None, 1, 6.0, 6.0),
@@ -1008,7 +1017,42 @@ def _spec_frames(spark, inners):
                     _mv_elem(e) for e in (v if isinstance(v, list) else [v])])
             elif typ == "auto":
                 kind, st = _auto_type(values)
-                if kind == "scalar":
+                _vals = [v for v in values if v is not None]
+                if d.get("_discovered") and _vals and \
+                        all(isinstance(v, bool) for v in _vals):
+                    # classic schemaless (no discovery): booleans land
+                    # in STRING dims as 'true'/'false'
+                    # (ingest_schmless_json I05); discovery mode keeps
+                    # the long typing below
+                    fields.append(T.StructField(name, T.StringType()))
+                    coercers.append(
+                        lambda v: _coerce_scalar(v, "string"))
+                elif d.get("_discovered") and kind == "json" and \
+                        _vals and all(isinstance(v, list)
+                                      for v in _vals):
+                    # classic schemaless LIST with nested elements: a
+                    # MULTI-VALUE string dim, each element Java-
+                    # toString'd, null elements kept, row values
+                    # SORTED nulls-first (string dims sort+dedupe the
+                    # row's values at ingestion — StringDimensionIndexer;
+                    # ingest_schmless_json I11-I13 pin [null,'[]','{}']
+                    # from raw [{},[],null])
+                    fields.append(T.StructField(
+                        name, T.ArrayType(T.StringType())))
+                    json_cols.append((name, "MVD"))
+                    coercers.append(
+                        lambda v: None if v is None else sorted(
+                            {None if e is None else _java_str(e)
+                             for e in v},
+                            key=lambda e: (e is not None, e or "")))
+                elif d.get("_discovered") and kind == "json":
+                    # classic schemaless OBJECT: single-value Java
+                    # toString string (I07/I09); stays LIKE-able
+                    fields.append(T.StructField(name, T.StringType()))
+                    json_cols.append((name, "JSON_TEXT"))
+                    coercers.append(
+                        lambda v: None if v is None else _java_str(v))
+                elif kind == "scalar":
                     fields.append(T.StructField(
                         name, {"long": T.LongType(), "double": T.DoubleType(),
                                "string": T.StringType()}[st]))
@@ -1192,6 +1236,11 @@ def cell_eq(a, e: str) -> bool:
             dt.datetime(a.year, a.month, a.day))
     if isinstance(a, (list, tuple)):
         a = list(a)
+        if not a and e == "":
+            # empty-MVD render variance: the interactive engine
+            # prints '[]', dart/msq print blank for the same value
+            # (ops_funcs_{array,mv}_funcs .std vs .dart/.msq goldens)
+            return True
         if len(a) == 1 and not e.startswith("["):
             # a single-element MVD prints BARE in the reference's
             # table render (dim3 'd' not '["d"]' — SqlQuidemTest
