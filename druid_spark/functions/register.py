@@ -634,6 +634,201 @@ def _json_paths_series(s):
     return s.apply(one)
 
 
+def _smile_encode(value) -> bytes:
+    """Jackson SMILE serialization of a JSON value, matching the
+    reference's ColumnSerializerUtils.SMILE_MAPPER output
+    (SmileFactory with ENCODE_BINARY_AS_7BIT disabled, WRITE_HEADER
+    on, shared property names on, ORDER_MAP_ENTRIES_BY_KEYS): header
+    3A 29 0A 05, zigzag big-endian vints with a 6-bit 0x80-marked
+    last byte, 10-byte 7-bit doubles, tiny/short ASCII and Unicode
+    strings, sorted object keys with short-name back-references.
+    Format: github.com/FasterXML/smile-format-specification."""
+    out = bytearray(b":)\n\x05")
+    shared_names: dict[str, int] = {}
+
+    def vint(n: int):
+        # zigzag, then big-endian 7-bit groups; last byte holds the
+        # SIX least-significant bits with the high bit set
+        z = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
+        last = 0x80 | (z & 0x3F)
+        z >>= 6
+        groups = []
+        while z:
+            groups.append(z & 0x7F)
+            z >>= 7
+        out.extend(reversed(groups))
+        out.append(last)
+
+    def enc(v):
+        if v is None:
+            out.append(0x21)
+        elif v is True:
+            out.append(0x23)
+        elif v is False:
+            out.append(0x22)
+        elif isinstance(v, int):
+            if -16 <= v <= 15:
+                z = (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+                out.append(0xC0 + z)
+            elif -(1 << 31) <= v < (1 << 31):
+                out.append(0x24)
+                vint(v)
+            else:
+                out.append(0x25)
+                vint(v)
+        elif isinstance(v, float):
+            out.append(0x29)
+            import struct as _struct
+            bits = _struct.unpack(">Q", _struct.pack(">d", v))[0]
+            out.append((bits >> 63) & 0x7F)
+            for sh in range(56, -1, -7):
+                out.append((bits >> sh) & 0x7F)
+        elif isinstance(v, str):
+            b = v.encode("utf-8")
+            if not b:
+                out.append(0x20)
+            elif len(b) == len(v):  # pure ASCII
+                if len(b) <= 32:
+                    out.append(0x40 + len(b) - 1)
+                    out.extend(b)
+                elif len(b) <= 64:
+                    out.append(0x60 + len(b) - 33)
+                    out.extend(b)
+                else:
+                    out.append(0xE0)
+                    out.extend(b)
+                    out.append(0xFC)
+            else:
+                if 2 <= len(b) <= 33:
+                    out.append(0x80 + len(b) - 2)
+                    out.extend(b)
+                elif 34 <= len(b) <= 65:
+                    out.append(0xA0 + len(b) - 34)
+                    out.extend(b)
+                else:
+                    out.append(0xE4)
+                    out.extend(b)
+                    out.append(0xFC)
+        elif isinstance(v, list):
+            out.append(0xF8)
+            for x in v:
+                enc(x)
+            out.append(0xF9)
+        elif isinstance(v, dict):
+            out.append(0xFA)
+            for k in sorted(v.keys()):
+                key(k)
+                enc(v[k])
+            out.append(0xFB)
+        else:
+            enc(str(v))
+
+    def key(k: str):
+        if k in shared_names and shared_names[k] < 64:
+            out.append(0x40 + shared_names[k])
+            return
+        b = k.encode("utf-8")
+        if not b:
+            out.append(0x20)
+            return
+        if len(b) == len(k) and len(b) <= 64:
+            out.append(0x80 + len(b) - 1)
+            out.extend(b)
+        elif len(b) != len(k) and 2 <= len(b) <= 57:
+            out.append(0xC0 + len(b) - 2)
+            out.extend(b)
+        else:
+            out.append(0x34)
+            out.extend(b)
+            out.append(0xFC)
+        if len(shared_names) < 1024:
+            shared_names[k] = len(shared_names)
+
+    enc(value)
+    return bytes(out)
+
+
+_XXP1, _XXP2, _XXP3 = (11400714785074694791, 14029467366897019727,
+                       1609587929392839161)
+_XXP4, _XXP5 = 9650029242287828579, 2870177450012600261
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """Pure-Python XXH64 (public spec github.com/Cyan4973/xxHash;
+    validated against the published vectors in tests)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            lane = int.from_bytes(data[i:i + 8], "little")
+            v1 = (_rotl((v1 + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+            lane = int.from_bytes(data[i + 8:i + 16], "little")
+            v2 = (_rotl((v2 + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+            lane = int.from_bytes(data[i + 16:i + 24], "little")
+            v3 = (_rotl((v3 + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+            lane = int.from_bytes(data[i + 24:i + 32], "little")
+            v4 = (_rotl((v4 + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _XXP2) & _M64, 31) * _XXP1)
+                       & _M64)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        h = ((_rotl(h ^ ((_rotl((lane * _XXP2) & _M64, 31) * _XXP1)
+                         & _M64), 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h = ((_rotl(h ^ ((lane * _XXP1) & _M64), 23) * _XXP2)
+             + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ ((data[i] * _XXP5) & _M64), 11)) * _XXP1) \
+            & _M64
+        i += 1
+    h = ((h ^ (h >> 33)) * _XXP2) & _M64
+    h = ((h ^ (h >> 29)) * _XXP3) & _M64
+    return h ^ (h >> 32)
+
+
+def _json_complex_hash_series(s):
+    """JSON_COMPLEX_HASH64(jsonText) — the reference's COMPLEX<json>
+    ordering key for non-null/non-string/non-number values:
+    StructuredData.compareTo falls through to
+    Long.compare(XXH64(SMILE(value), seed 0x9747b28c), ...)
+    (StructuredData.java:42-99,151-188). Arrow-batched; returns the
+    SIGNED long Java compares."""
+    import json as _json
+
+    def one(j):
+        if j is None:
+            return None
+        try:
+            v = _json.loads(j)
+        except (ValueError, TypeError):
+            v = j
+        # StructuredData.SEED is the Java int 0x9747b28c — NEGATIVE,
+        # so it sign-extends into the long-seed hash call
+        h = _xxh64(_smile_encode(v), 0xFFFFFFFF9747B28C)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    return s.apply(one)
+
+
 def register_druid_functions(spark: SparkSession) -> int:
     """Idempotently register the surface; returns count registered."""
     n = 0
@@ -645,4 +840,6 @@ def register_druid_functions(spark: SparkSession) -> int:
     from pyspark.sql.functions import pandas_udf
     spark.udf.register("json_paths",
                        pandas_udf(_json_paths_series, "array<string>"))
-    return n + 1
+    spark.udf.register("json_complex_hash64",
+                       pandas_udf(_json_complex_hash_series, "long"))
+    return n + 2

@@ -3688,6 +3688,79 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                   + f"(TO_JSON({a[0]})"
                   + ("".join(", " + x for x in a[1:])) + ")")
                  if a and _is_arrayish_json_arg(a[0]) else None))
+    # ORDER BY over a COMPLEX<json> result (JSON_QUERY expression, its
+    # alias, or its select ordinal) sorts through the reference's
+    # StructuredData.compareTo (StructuredData.java:151-188): nulls
+    # first, then strings (by value), then numbers (as doubles), then
+    # everything else by Long.compare of XXH64(SMILE(value), seed
+    # 0x9747b28c) — an arbitrary-but-stable container order the
+    # qaArray sql_order_by.03 A24/A25 goldens pin in BOTH directions.
+    # The sort key is a struct (rank, string, double, hash) with the
+    # hash from the registered json_complex_hash64 reproduction.
+    if re.search(r"(?is)\bORDER\s+BY\b", out) and \
+            re.search(r"(?is)\bJSON_QUERY\s*\(", out):
+        _okw = _scan_top_kw(out, ["SELECT", "FROM", "ORDER BY",
+                                  "LIMIT", "OFFSET"])
+        if "ORDER BY" in _okw and "SELECT" in _okw and "FROM" in _okw:
+            _ob_end = min((_okw[k] for k in ("LIMIT", "OFFSET")
+                           if k in _okw), default=len(out))
+            _obseg = out[_okw["ORDER BY"] + 8:_ob_end]
+            _sel = out[_okw["SELECT"] + 6:_okw["FROM"]]
+            _items = _split_top_commas(_sel)
+            # select position / expression text / alias → the OUTPUT
+            # alias (Spark refuses SQL UDFs inside Sort and resolves
+            # post-aggregate ORDER BY against the output, so the sort
+            # key must reference the aliased column)
+            _jq_pos_alias, _jq_expr_alias, _jq_aliases = {}, {}, set()
+            for _i, _it in enumerate(_items):
+                _im = re.match(
+                    r"(?is)^\s*(JSON_QUERY\s*\(.*\))\s*"
+                    r"(?:AS\s+)?(\w+)\s*$", _it)
+                if _im:
+                    _jq_pos_alias[_i + 1] = _im.group(2)
+                    _jq_expr_alias[re.sub(r"\s+", "",
+                                          _im.group(1)).lower()] = \
+                        _im.group(2)
+                    _jq_aliases.add(_im.group(2).lower())
+
+            def _ob_item(m2):
+                tok = m2.group(1).strip()
+                tail = m2.group(2) or ""
+                alias = None
+                if re.fullmatch(r"\d+", tok):
+                    alias = _jq_pos_alias.get(int(tok))
+                elif re.match(r"(?is)^JSON_QUERY\s*\(", tok):
+                    alias = _jq_expr_alias.get(
+                        re.sub(r"\s+", "", tok).lower())
+                elif tok.lower() in _jq_aliases:
+                    alias = tok
+                if alias is None:
+                    return m2.group(0)
+                a = alias
+                return (
+                    f" NAMED_STRUCT("
+                    f"'r', CASE WHEN {a} IS NULL THEN 0"
+                    f" WHEN {a} LIKE '\"%' THEN 1"
+                    f" WHEN {a} RLIKE '^[-0-9]' THEN 2"
+                    f" ELSE 3 END, "
+                    f"'s', CASE WHEN {a} LIKE '\"%' THEN"
+                    f" SUBSTRING({a}, 2, LENGTH({a}) - 2) END, "
+                    f"'d', CASE WHEN {a} RLIKE '^[-0-9]' THEN"
+                    f" CAST({a} AS DOUBLE) END, "
+                    f"'h', CASE WHEN {a} IS NOT NULL"
+                    f" AND NOT {a} LIKE '\"%'"
+                    f" AND NOT {a} RLIKE '^[-0-9]' THEN"
+                    f" JSON_COMPLEX_HASH64({a}) END)"
+                    f"{tail}")
+
+            _new_ob = ", ".join(
+                re.sub(r"(?is)^\s*(.+?)(\s+(?:ASC|DESC)\s*"
+                       r"(?:NULLS\s+(?:FIRST|LAST)\s*)?)?$",
+                       _ob_item, x, count=1)
+                for x in _split_top_commas(_obseg))
+            out = (out[:_okw["ORDER BY"] + 8] + " " + _new_ob + " "
+                   + out[_ob_end:])
+            out = _mask_local(out)[0]
     out = _rewrite_json_returning(out)
     # BIT_AND folds bitwiseAnd from an initial accumulator of ZERO in
     # the reference (BitwiseSqlAggregator.java:142-151 init "0";
@@ -4953,11 +5026,14 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
 
     out = _rewrite_call(out, "JSON_QUERY", _json_query_ts)
 
-    # COMPLEX-vs-COMPLEX comparison: two JSON_QUERY results are
-    # COMPLEX<json> in the reference and its binary comparators treat
-    # them as incomparable → NULL (qaJsonCols func_json_query
-    # json_query(c1,p) = json_query(c2,p) counts 0). Our JSON-text
-    # convention WOULD compare them — mask the comparison to NULL.
+    # COMPLEX-vs-COMPLEX comparison: two JSON_QUERY results compare
+    # through the reference's structured-data comparator, which only
+    # orders NUMBERS by value — strings and containers are
+    # incomparable → NULL (qaJsonCols func_json_query A165 object
+    # path = 0, A166 string leaf 'A'='A' = 0, but A167 number leaf
+    # 1 = 1 counts 2). A DOUBLE cast of the rendered leaf reproduces
+    # that exactly: numeric leaves compare, everything else casts
+    # NULL and the comparison stays NULL.
     pat_jqcmp = re.compile(r"(?is)\bJSON_QUERY\s*\(", re.IGNORECASE)
     pos_jq = 0
     while True:
@@ -4971,9 +5047,12 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             pos_jq = m.end()
             continue
         end2 = _find_spec_end(out, end1 + 1 + m2.end())
-        out = (out[:m.start()] + "CAST(NULL AS BOOLEAN)"
-               + out[end2 + 1:])
-        pos_jq = m.start() + 1
+        lhs = out[m.start():end1 + 1]
+        rhs = out[end1 + 1 + m2.start(2):end2 + 1]
+        rep = (f"(CAST({lhs} AS DOUBLE) {m2.group(1)} "
+               f"CAST({rhs} AS DOUBLE))")
+        out = out[:m.start()] + rep + out[end2 + 1:]
+        pos_jq = m.start() + len(rep)
 
     # PARSE_JSON / TRY_PARSE_JSON return COMPLEX<json>, which this
     # engine represents as canonical JSON TEXT (the same convention its
