@@ -163,10 +163,30 @@ def parse_mysql_table(lines: list[str]):
     headers = slice_row(lines[borders[0] + 1])
     rows = []
     end = borders[2] if len(borders) > 2 else borders[1]
+    pending = None  # row whose LAST cell spans multiple lines
     for ln in lines[borders[1] + 1:end]:
         if ln.strip().startswith("+"):
             continue
-        rows.append(slice_row(ln))
+        if pending is not None:
+            # continuation of a multi-line cell (string_agg with a
+            # newline separator — string_agg_misc B32): append until
+            # a line closes the row with a trailing '|'
+            frag = ln.rstrip()
+            closed = frag.endswith("|")
+            if closed:
+                frag = frag[:-1]
+            pending[-1] += "\n" + frag.strip()
+            if closed:
+                rows.append(pending)
+                pending = None
+            continue
+        cells = slice_row(ln)
+        if ln.rstrip().endswith("|"):
+            rows.append(cells)
+        else:
+            pending = cells
+    if pending is not None:
+        rows.append(pending)
     return headers, rows, (m if m is not None else len(rows))
 
 
@@ -1279,6 +1299,10 @@ def cell_eq(a, e: str) -> bool:
             return cell_eq(a[0], e)
         return False
     if isinstance(a, str):
+        if "\x00" in a:
+            # dual-render cells (pre-Gregorian fallback): accept any
+            # rendered form
+            return any(cell_eq(p, e) for p in a.split("\x00"))
         if a == e:
             return True
         if e in ("true", "false") and a in ("1", "0"):
@@ -1696,9 +1720,16 @@ def run_case(eng, c) -> tuple[str, str]:
             # pre-rendered in the comparator's own format
             from pyspark.sql import functions as F
             from pyspark.sql import types as T
-            sel = [F.date_format(
-                       F.col("`" + f.name + "`"),
-                       "yyyy-MM-dd HH:mm:ss.SSS").alias(f.name)
+            # render BOTH golden forms: the interactive engine prints
+            # the proleptic date string (TIME_PARSE('0') →
+            # '0000-01-01 ...') while msq/dart goldens record epoch
+            # millis; cell_eq accepts either side of the \x00 split
+            sel = [F.concat_ws(
+                       "\x00",
+                       F.date_format(F.col("`" + f.name + "`"),
+                                     "yyyy-MM-dd HH:mm:ss.SSS"),
+                       F.unix_millis(F.col("`" + f.name + "`"))
+                       .cast("string")).alias(f.name)
                    if isinstance(f.dataType, T.TimestampType)
                    else F.col("`" + f.name + "`")
                    for f in df.schema.fields]
