@@ -4401,6 +4401,12 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # = 1). The unnest aliases are known statically from the rewrites.
     ucols = set(re.findall(
         r"(?i)LATERAL VIEW EXPLODE(?:_OUTER)?\(.*?\) \w+ AS (\w+)", out))
+    # unnest alias → its SOURCE array expression, for aggregations
+    # whose tie-breaks depend on element order (see the MIN_BY/MAX_BY
+    # rewrite below)
+    usrc = {m.group(2): m.group(1) for m in re.finditer(
+        r"(?i)LATERAL VIEW EXPLODE(?:_OUTER)?\((.*?)\) \w+ AS (\w+)",
+        out)}
     # TIMESTAMP probe args of the array search family millisify: the
     # arrays collect native-layer millis (ARRAY_AGG(__time) → longs),
     # so a TIMESTAMP literal/`__time` probe must compare as millis too
@@ -4438,6 +4444,40 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             ucols.add(_asm.group(1))
         _p0 = _am.end()
     if ucols:
+        # EARLIEST/LATEST (rewritten to MIN_BY/MAX_BY(x, ts) upstream)
+        # over an UNNEST element: every exploded element of a row
+        # shares the row's __time, so the reference's first/last-
+        # scanned tie-break resolves to the FIRST/LAST ELEMENT of the
+        # extremal row's array (StringFirstAggregator scan order over
+        # the unnest datasource — qaUnnest mv_sql_agg_funcs B18/B20
+        # C8 pin EARLIEST(c) = the leading null). Spark's min_by has
+        # no deterministic tie-break, so aggregate the ARRAY by time
+        # and index into it.
+        # ...but NOT when the element itself is a grouping key (GROUP
+        # BY c: every row in the group IS that element — B18/B22 C7
+        # pin the per-element earliest)
+        _gb_aliases = set()
+        for _gbm in re.finditer(r"(?is)\bGROUP\s+BY\s+([^()]*?)"
+                                r"(?=\bHAVING\b|\bORDER\b|\bLIMIT\b"
+                                r"|\bWINDOW\b|\)|$)", out):
+            for _gi in _gbm.group(1).split(","):
+                _gb_aliases.add(_gi.strip().lower())
+
+        def _by_elem(mf, idx):
+            def b(args):
+                if len(args) != 2:
+                    return None
+                c = args[0].strip()
+                src = usrc.get(c)
+                if (src is None or c.lower() in _gb_aliases
+                        or re.search(rf"(?i)(?<![\w.]){re.escape(c)}\b",
+                                     args[1])):
+                    return None
+                return (f"ELEMENT_AT({mf}({src}, {args[1]}), {idx})")
+            return b
+        out = _rewrite_call(out, "MIN_BY", _by_elem("MIN_BY", 1))
+        out = _rewrite_call(out, "MAX_BY", _by_elem("MAX_BY", -1))
+
         # MVD-PUBLISHING functions over a scalar input return the
         # scalar itself, not a 1-element array: the reference's
         # ARRAY_TO_MV / MV_FILTER_* publish VARCHAR (an MVD), so a
