@@ -509,16 +509,17 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     ("BITWISE_SHIFT_LEFT", "a BIGINT, n INT", "BIGINT", "shiftleft(a, n)"),
     ("BITWISE_SHIFT_RIGHT", "a BIGINT, n INT", "BIGINT", "shiftright(a, n)"),
     # IEEE-754 bit reinterpretation (Function.java
-    # BitwiseConvertDoubleToLongBits / BitwiseConvertLongBitsToDouble),
-    # NOT numeric conversion. reflect() runs JVM-side (no Python in the
-    # data path) but outside codegen — acceptable: these are rare,
-    # bit-twiddling scalars, not aggregation hot paths.
+    # BitwiseConvertDoubleToLongBits / BitwiseConvertLongBitsToDouble)
+    # delegates to Arrow-batched pandas UDFs (registered below) —
+    # Spark's reflect() is NONDETERMINISTIC, so planners pull it out
+    # of its null guard and crash on null inputs in join/subquery
+    # shapes (qaSql scalar_numeric A27/A28 IN-subquery batteries).
+    # The CASE guard stays here: pandas batches merge SQL NULL into
+    # NaN, so the SQL layer decides nullness.
     ("BITWISE_CONVERT_DOUBLE_TO_LONG_BITS", "a DOUBLE", "BIGINT",
-     "CASE WHEN a IS NOT NULL THEN cast(reflect("
-     "'java.lang.Double', 'doubleToLongBits', a) AS BIGINT) END"),
+     "CASE WHEN a IS NOT NULL THEN __ds_d2l_bits(a) END"),
     ("BITWISE_CONVERT_LONG_BITS_TO_DOUBLE", "a BIGINT", "DOUBLE",
-     "CASE WHEN a IS NOT NULL THEN cast(reflect("
-     "'java.lang.Double', 'longBitsToDouble', a) AS DOUBLE) END"),
+     "CASE WHEN a IS NOT NULL THEN __ds_l2d_bits(a) END"),
     # ipv4
     ("IPV4_PARSE", "s STRING", "BIGINT", """
       cast(split_part(s, '.', 1) AS BIGINT) * 16777216 +
@@ -610,7 +611,13 @@ def _json_paths_series(s):
             for k, val in v.items():
                 walk(val, f"{prefix}.{k}", out)
         elif isinstance(v, list):
-            if not v:
+            # a list with NO container elements is its own leaf: the
+            # nested column format stores primitive arrays as ARRAY
+            # leaves (qaArray ops_funcs_json_funcs C22:
+            # json_paths(a_nested) lists $[0], not $[0][0..2]); only
+            # lists holding objects/lists recurse (and the empty list
+            # is a leaf both ways)
+            if not any(isinstance(x, (dict, list)) for x in v):
                 out.append(prefix)
                 return
             for i, val in enumerate(v):
@@ -832,6 +839,25 @@ def _json_complex_hash_series(s):
 def register_druid_functions(spark: SparkSession) -> int:
     """Idempotently register the surface; returns count registered."""
     n = 0
+    # python-backed helpers FIRST: SQL temporary-function bodies that
+    # delegate to them resolve the reference at creation
+    from pyspark.sql.functions import pandas_udf
+    import struct as _struct
+
+    def _d2l(s):
+        # SQL NULLs arrive as NaN; the SQL-layer CASE guard discards
+        # those rows, and true-NaN inputs canonicalize like
+        # doubleToLongBits (0x7FF8000000000000)
+        return s.apply(lambda x: None if x is None else _struct.unpack(
+            ">q", _struct.pack(">d", x))[0])
+
+    def _l2d(s):
+        return s.apply(
+            lambda x: None if x is None or x != x else _struct.unpack(
+                ">d", _struct.pack(">q", int(x)))[0])
+
+    spark.udf.register("__ds_d2l_bits", pandas_udf(_d2l, "long"))
+    spark.udf.register("__ds_l2d_bits", pandas_udf(_l2d, "double"))
     for name, args, ret, body in _FUNCS:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
@@ -842,4 +868,8 @@ def register_druid_functions(spark: SparkSession) -> int:
                        pandas_udf(_json_paths_series, "array<string>"))
     spark.udf.register("json_complex_hash64",
                        pandas_udf(_json_complex_hash_series, "long"))
-    return n + 2
+    # exact IEEE-754 bit reinterpretation (doubleToLongBits
+    # canonicalizes NaN to 0x7FF8000000000000 — struct.pack matches)
+    import struct as _struct
+
+    return n + 4

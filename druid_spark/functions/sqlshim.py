@@ -4523,7 +4523,11 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
             if len(args) != 1:
                 return None
             c = args[0].strip()
-            if c not in ucols:
+            # JSON-text columns are stored as strings but serialize
+            # as STRUCTURE through the generic UDF, not as quoted
+            # values (to_json_string(a_nested) = the canonical text)
+            if c not in ucols or c in _JSON_COLS.get() \
+                    or c in _DECLARED_JSON.get():
                 return None
             st = _SCALAR_TYPES.get().get(c, "string").split(
                 "(")[0].lower()
