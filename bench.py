@@ -331,6 +331,24 @@ def main():
                          F.col("c_custkey") + F.col("rep") * cmax)
              .drop("rep").repartition(8)
              .write.mode("overwrite").parquet(tpch20_dir + "/customer"))
+        # sf1-equivalent TPC-H facts (10x the sf0.1 base = 6M-row
+        # lineitem): one more MEASURED decade between the base and
+        # 20x scale-sweep points, same key-remap discipline
+        tpch10_dir = f"/tmp/druid_spark_bench_cache/tpch10_{_sf_tag}"
+        if not os.path.exists(tpch10_dir):
+            rep10 = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+            orders = engine.catalog.table("orders")
+            kmax = orders.agg(F.max("o_orderkey")).first()[0] + 1
+            (li.select("*", rep10)
+             .withColumn("l_orderkey",
+                         F.col("l_orderkey") + F.col("rep") * kmax)
+             .drop("rep").repartition(CPUS)
+             .write.mode("overwrite").parquet(tpch10_dir + "/lineitem"))
+            (orders.select("*", rep10)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + F.col("rep") * kmax)
+             .drop("rep").repartition(CPUS)
+             .write.mode("overwrite").parquet(tpch10_dir + "/orders"))
         if not os.path.exists(cache600):
             base = li.select("l_extendedprice")
             factor = max(1, -(-600_000_000 // base.count()))
@@ -720,6 +738,9 @@ def main():
         li_20 = spark.read.parquet(cache20)
         tpch20_dir = f"/tmp/druid_spark_bench_cache/tpch20_{_sf_tag}"
         ord_20 = spark.read.parquet(tpch20_dir + "/orders")
+        tpch10_dir = f"/tmp/druid_spark_bench_cache/tpch10_{_sf_tag}"
+        li_10 = spark.read.parquet(tpch10_dir + "/lineitem")
+        ord_10 = spark.read.parquet(tpch10_dir + "/orders")
 
         def filtered_agg(li, _o):
             li.where(F.col("l_discount") > 0.05) \
@@ -747,6 +768,10 @@ def main():
             sizes.append(("sf0.01", eng_small.catalog.table("lineitem"),
                           eng_small.catalog.table("orders")))
         sizes.append(("base", li_b, ord_b))
+        # "sf1" = 10x the sf0.1 base (6M-row lineitem): a real decade
+        # between base and 20x (round-12 ask — slopes refit over the
+        # widest span still, with the interior point recorded)
+        sizes.append(("sf1_10x", li_10, ord_10))
         sizes.append(("20x", li_20, ord_20))
         import math
         for qname, fn in cells.items():
