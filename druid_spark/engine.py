@@ -609,9 +609,15 @@ class DruidSparkEngine:
             _jc_by_table = {t: cols for t, cols in _jc_by_table.items()
                             if t in ref_tables}
         json_cols = {c for cols in _jc_by_table.values()
-                     for c, ty in cols.items() if ty != "MVD"}
+                     for c, ty in cols.items()
+                     if ty not in ("MVD", "AUTO")}
         mvd_cols = {c for cols in _jc_by_table.values()
                     for c, ty in cols.items() if ty == "MVD"}
+        # schema-discovered ("auto") scalar columns: variant-capable,
+        # so MV functions stringify them instead of nulling like a
+        # DECLARED numeric dim
+        auto_scalars = {c for cols in _jc_by_table.values()
+                        for c, ty in cols.items() if ty == "AUTO"}
         # REAL typed arrays (not MVDs): numeric/bool element types can
         # never be MVDs (MVDs are VARCHAR), plus variant arrays the
         # catalog marked "ARRAY". Scalar string functions and IN over
@@ -639,6 +645,7 @@ class DruidSparkEngine:
                 c for cols in _jc_by_table.values()
                 for c, ty in cols.items() if ty == "ARRAY"},
             hllc_parity=self.hyperunique_parity,
+            auto_scalar_cols=auto_scalars,
             # ordered per-table column lists for the self-join star
             # expansion (Calcite's 0-suffix duplicate naming)
             table_columns={

@@ -60,6 +60,11 @@ _VARRAYS: contextvars.ContextVar[set] = contextvars.ContextVar(
     "druid_spark_variant_array_cols", default=set())
 _SCALAR_TYPES: contextvars.ContextVar[dict] = contextvars.ContextVar(
     "druid_spark_scalar_types", default={})
+# schema-discovered ("auto") scalar columns: variant-capable, so the
+# MV family stringifies them where a DECLARED numeric dim yields NULL
+# (qaUnnest array_sql vs mv_sql array_to_mv goldens)
+_AUTO_SCALARS: contextvars.ContextVar[set] = contextvars.ContextVar(
+    "druid_spark_auto_scalar_cols", default=set())
 # per-table column type map {table: {col: "MVD" | spark simpleString}}
 # for the UNION branch alignment (the reference's table-level union
 # maps same-named columns leniently; a pass-through MVD vs scalar
@@ -2136,7 +2141,8 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       table_columns: dict | None = None,
                       declared_json_cols: set | None = None,
                       filtered_sum_rewrite: bool = True,
-                      table_col_types: dict | None = None) -> str:
+                      table_col_types: dict | None = None,
+                      auto_scalar_cols: set | None = None) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -2158,9 +2164,11 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok10 = _TABLE_COLS.set(table_columns or {})
     tok11 = _DECLARED_JSON.set(declared_json_cols or set())
     tok12 = _TABLE_COL_TYPES.set(table_col_types or {})
+    tok13 = _AUTO_SCALARS.set(auto_scalar_cols or set())
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
+        _AUTO_SCALARS.reset(tok13)
         _TABLE_COL_TYPES.reset(tok12)
         _DECLARED_JSON.reset(tok11)
         _TABLE_COLS.reset(tok10)
@@ -4522,7 +4530,10 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                     return None
                 st = _SCALAR_TYPES.get().get(c, "string").split(
                     "(")[0].lower()
-                stringy = st in ("string", "varchar", "char", "text")
+                # schema-discovered ("auto") numerics stringify like
+                # strings; only DECLARED numeric dims null out
+                stringy = (st in ("string", "varchar", "char", "text")
+                           or c in _AUTO_SCALARS.get())
                 # '' has no MVD element form (empty strings normalize
                 # to null at the MVD layer — multi-value-dimensions
                 # docs; mv_sql_array_funcs A1_B15_C1 pins
@@ -4534,7 +4545,8 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                             if stringy else "CAST(NULL AS STRING)")
                 if len(args) != 2 or not stringy:
                     return None
-                probe = f"ARRAY_CONTAINS({args[1]}, {c})"
+                probe = (f"ARRAY_CONTAINS({args[1]}, "
+                         f"CAST({c} AS STRING))")
                 if fn == "MV_FILTER_ONLY":
                     return f"(CASE WHEN {probe} THEN NULLIF({c}, '') END)"
                 return f"(CASE WHEN NOT {probe} THEN NULLIF({c}, '') END)"
@@ -4580,15 +4592,45 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                 for x in args:
                     x = x.strip()
                     if re.fullmatch(r"'(?:[^']|'')*'", x):
-                        kinds.append("string")
+                        # literal strings coerce toward numeric
+                        # operands (Calcite character-literal
+                        # coercion) — only COLUMN strings force the
+                        # VARCHAR comparison
+                        kinds.append("strlit")
                     elif re.fullmatch(r"[-+]?\d+(\.\d+)?", x):
                         kinds.append("num")
                     else:
                         base = re.sub(r"^[A-Za-z_]\w*\.", "", x)
                         t = _SCALAR_TYPES.get().get(base, "").split(
                             "(")[0].lower()
-                        if not t and base in ucols:
-                            t = "string"  # unnest element
+                        if not t and base in usrc:
+                            # unnest element: type from its SOURCE
+                            # array (mv_to_array/string arrays →
+                            # string; typed arrays keep their
+                            # numeric element type)
+                            src = usrc[base].strip()
+                            et = _ARRAY_ELEM.get().get(
+                                src, "").split("(")[0].lower()
+                            if not et:
+                                jt = {w.lower() for w in re.findall(
+                                    r"(?i)'array<(\w+)[^']*'", src)} \
+                                    - {"string"}
+                                if len(jt) == 1:
+                                    et = jt.pop()
+                                elif re.search(
+                                        r"(?i)\bSPLIT\s*\(|\bSTRING_TO_"
+                                        r"|ARRAY<STRING>", src):
+                                    et = "string"
+                            # MVD sources explode through a null-row
+                            # IF wrapper — match the column by name
+                            if not et and any(
+                                    re.search(rf"(?<![\w.])"
+                                              rf"{re.escape(mc)}\b", src)
+                                    for mc in _MVD_COLS.get()):
+                                et = "string"
+                            t = et
+                        elif not t and base in ucols:
+                            t = "string"  # bare scalar string col
                         if t in ("string", "varchar", "char", "text"):
                             kinds.append("string")
                         elif t in ("bigint", "int", "integer",
@@ -4599,7 +4641,7 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                         else:
                             return None
                 if "string" in kinds and "num" in kinds:
-                    na = [x if k == "string"
+                    na = [x if k in ("string", "strlit")
                           else f"CAST({x} AS STRING)"
                           for x, k in zip(args, kinds)]
                     return f"{fname}({', '.join(na)})"

@@ -1076,6 +1076,13 @@ def _spec_frames(spark, inners):
                     fields.append(T.StructField(
                         name, {"long": T.LongType(), "double": T.DoubleType(),
                                "string": T.StringType()}[st]))
+                    if st in ("long", "double"):
+                        # schema-DISCOVERED numeric scalars are
+                        # variant-capable "auto" columns: the MV
+                        # family stringifies them where a DECLARED
+                        # long yields NULL (array_sql vs mv_sql
+                        # array_to_mv(s_int/c_long) goldens)
+                        json_cols.append((name, "AUTO"))
                     coercers.append(
                         lambda v, st=st: _coerce_scalar(v, st))
                 elif kind == "array":
