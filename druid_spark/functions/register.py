@@ -358,16 +358,17 @@ _FUNCS: list[tuple[str, str, str, str]] = [
              AND get_json_object(j, '$') IS NULL THEN j
            WHEN p RLIKE '\\\\[-[0-9]+\\\\].' THEN NULL
            -- NOTE (round 12, supersedes the round-11 NULL-side
-           -- adjudication): an EMPTY container leaf is the empty
-           -- string — NON-null for IS [NOT] NULL (func_json_value
-           -- A046/A047/A053/A054/A063/A064 + A086/A088/A091 pin the
-           -- 2-of-4 splits) while rendering blank. The DISTINCT
-           -- goldens (A045/A051/A052/A061/A062, one blank row) hold
-           -- because a STRING grouping dimension normalizes '' to
-           -- null (same normalization as MVD elements), which the
-           -- sqlshim DISTINCT wrap applies. Non-empty containers
-           -- stay NULL (json_value returns scalars only).
-           WHEN {_JGET} = '[]' OR {_JGET} = '{{}}' THEN ''
+           -- adjudication): an EMPTY ARRAY leaf is the empty string
+           -- — NON-null for IS [NOT] NULL (func_json_value A046/A047
+           -- /A053/A054/A063/A064 + A086/A088/A091 pin the 2-of-4
+           -- splits) while rendering blank; an EMPTY OBJECT leaf
+           -- stays NULL (A043/A044/A049/A050/A085/A087 pin 4-of-4
+           -- IS NULL). The DISTINCT goldens (A045/A051/A052/A061/
+           -- A062, one blank row) hold because a STRING grouping
+           -- dimension normalizes '' to null (same normalization as
+           -- MVD elements), which the sqlshim DISTINCT wrap applies.
+           -- Non-empty containers stay NULL (scalars only).
+           WHEN {_JGET} = '[]' THEN ''
            WHEN json_object_keys({_JGET}) IS NOT NULL
              OR json_array_length({_JGET}) IS NOT NULL
            THEN NULL
