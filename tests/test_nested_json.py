@@ -185,10 +185,17 @@ def test_json_value_scalar_only_survives_bracey_strings(nested_eng):
 
 
 def test_json_paths_array_input(nested_eng):
-    """Top-level arrays report per-index paths."""
+    """A list with no container elements is its own LEAF — the
+    reference's JSON_PATHS(nester) = ['$.array', '$.n.x'] golden pins
+    $.array (an ["a","b"] primitive array) as one path, not
+    $.array[0..1] (CalciteNestedDataQueryTest; round 12 supersedes
+    the per-index extrapolation this test previously pinned). Only
+    lists holding objects/lists recurse."""
     rows = nested_eng.sql("""
-        SELECT JSON_PATHS('[10, 20, 30]') AS p""").collect()
-    assert list(rows[0]["p"]) == ["$[0]", "$[1]", "$[2]"]
+        SELECT JSON_PATHS('[10, 20, 30]') AS p,
+               JSON_PATHS('[{"a": 1}, [2], 3]') AS q""").collect()
+    assert list(rows[0]["p"]) == ["$"]
+    assert sorted(rows[0]["q"]) == ["$[0].a", "$[1]", "$[2]"]
 
 
 def test_json_value_non_json_root_is_raw_scalar(nested_eng):
