@@ -10577,10 +10577,16 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                JSON_VALUE('[7, 8]', '$[-1]') AS root_last""", """
         SELECT '30' AS last, '10' AS first,
                CAST(NULL AS VARCHAR) AS oob, '8' AS root_last"""),
+    # a primitive array is its own LEAF path (round 12 — the
+    # reference's JSON_PATHS(nester) = ['$.array', '$.n.x'] golden,
+    # CalciteNestedDataQueryTest; only container-holding lists
+    # recurse per index)
     "sqlc_json_paths_scalar_and_array": ("""
         SELECT ARRAY_TO_STRING(JSON_PATHS('1234'), ',') AS ps,
-               ARRAY_TO_STRING(JSON_PATHS('[5, 6]'), ',') AS pa""", """
-        SELECT '$' AS ps, '$[0],$[1]' AS pa"""),
+               ARRAY_TO_STRING(JSON_PATHS('[5, 6]'), ',') AS pa,
+               ARRAY_TO_STRING(
+                 ARRAY_SORT(JSON_PATHS('[[7], 8]')), ',') AS pn""", """
+        SELECT '$' AS ps, '$' AS pa, '$[0],$[1]' AS pn"""),
     "sqlc_json_value_on_empty_options": ("""
         SELECT CAST(SUM(JSON_VALUE(props, '$.k'
                  RETURNING BIGINT NULL ON EMPTY NULL ON ERROR))
