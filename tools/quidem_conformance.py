@@ -948,11 +948,57 @@ def build_dataset_frames(spark, dataset_rel: str):
         return frames, lookups
     if dataset_rel == "__KttmNestedComponentSupplier__":
         return _kttm_frames(spark)
+    if dataset_rel == "__NestedComponentSupplier__":
+        # CalciteNestedDataQueryTest.NestedComponentSupplier: the
+        # `nested` datasource — RAW_ROWS (7 rows, auto dims string/
+        # nest/nester/long/string_sparse + cnt count metric, rollup
+        # false); CalciteNestedDataQueryTest.java:111-151
+        nrows = [
+            {"t": "2000-01-01", "string": "aaa", "string_sparse": "zzz",
+             "nest": {"mixed": 1, "mixed2": "1", "x": 100, "y": 2.02,
+                      "z": "300"},
+             "nester": {"array": ["a", "b"], "n": {"x": "hello"}},
+             "long": 5},
+            {"t": "2000-01-01", "string": "bbb", "long": 4,
+             "nester": "hello"},
+            {"t": "2000-01-01", "string": "ccc", "string_sparse": "10",
+             "nest": {"mixed": 1.1, "mixed2": 1, "x": 200, "y": 3.03,
+                      "z": "abcdef"}, "long": 3},
+            {"t": "2000-01-01", "string": "ddd", "string_sparse": "yyy",
+             "long": 2},
+            {"t": "2000-01-01", "string": "eee", "long": 1},
+            {"t": "2000-01-02", "string": "aaa",
+             "nest": {"mixed2": 1.1, "x": 100, "y": 2.02, "z": "400"},
+             "nester": {"array": ["a", "b"], "n": {"x": 1}}, "long": 5},
+            {"t": "2000-01-02", "string": "ddd", "long": 2,
+             "nester": 2},
+        ]
+        return _spec_frames(spark, [{
+            "dataSchema": {
+                "dataSource": "nested",
+                "timestampSpec": {"column": "t", "format": "iso"},
+                "dimensionsSpec": {"dimensions": [
+                    {"type": "auto", "name": n} for n in
+                    ("string", "nest", "nester", "long",
+                     "string_sparse")]},
+                "metricsSpec": [{"type": "count", "name": "cnt"}],
+                "granularitySpec": {"rollup": False},
+            },
+            "ioConfig": {
+                "inputSource": {
+                    "type": "inline",
+                    "data": "\n".join(json.dumps(r) for r in nrows)},
+                "inputFormat": {"type": "json"},
+            },
+        }])
     if dataset_rel.startswith("__"):
         raise FileNotFoundError(
             f"dataset for supplier {dataset_rel} not available locally")
     ddir = REF / dataset_rel
-    specs = sorted(ddir.glob("ingest*.json"))
+    # dataset dirs name their specs freely (sampledataset
+    # rollup-index.json, druidjoinrule-fullouter-dataset *-index.json)
+    specs = (sorted(ddir.glob("ingest*.json"))
+             or sorted(ddir.glob("*.json")))
     if not specs:
         raise FileNotFoundError(f"no ingest spec under {ddir}")
     inners = [json.loads(sp.read_text()) for sp in specs]
@@ -1153,14 +1199,43 @@ def _spec_frames(spark, inners):
         gran = schema.get("granularitySpec") or {}
         metrics = schema.get("metricsSpec") or []
         if gran.get("rollup"):
-            # ingest-time rollup (all qa specs: count metric, NONE
-            # queryGranularity) — identical (ts, dims) rows merge
+            # ingest-time rollup: identical (queryGranularity-
+            # truncated ts, dims) rows merge; count metrics take row
+            # counts, longSum/doubleSum sum their source fields
+            # (sampledataset rollup-tutorial: minute granularity +
+            # packets/bytes longSums)
+            qg = (gran.get("queryGranularity") or "none")
+            if isinstance(qg, dict):
+                qg = qg.get("type", "none")
+            qg = str(qg).lower()
+
+            def _trunc(ts):
+                if ts is None or qg in ("none", "all"):
+                    return ts
+                if qg == "minute":
+                    return ts.replace(second=0, microsecond=0)
+                if qg == "hour":
+                    return ts.replace(minute=0, second=0, microsecond=0)
+                if qg == "day":
+                    return ts.replace(hour=0, minute=0, second=0,
+                                      microsecond=0)
+                return ts
             groups: dict[str, list] = {}
-            for row in rows:
+            for row, r in zip(rows, raw):
+                row = tuple([_trunc(row[0])] + list(row[1:]))
                 groups.setdefault(
-                    json.dumps(row, default=str), [row, 0])[1] += 1
-            rows = [tuple(list(row) + [n for m in metrics])
-                    for row, n in groups.values()]
+                    json.dumps(row, default=str), [row, []])[1].append(r)
+            def _mval(m, rs):
+                if m.get("type") == "count":
+                    return len(rs)
+                if m.get("type") in ("longSum", "doubleSum",
+                                     "floatSum"):
+                    s = sum(r.get(m.get("fieldName"), 0) or 0
+                            for r in rs)
+                    return int(s) if m["type"] == "longSum" else s
+                return len(rs)
+            rows = [tuple(list(row) + [_mval(m, rs) for m in metrics])
+                    for row, rs in groups.values()]
         else:
             rows = [tuple(list(row) + [1 for m in metrics])
                     for row in rows]
