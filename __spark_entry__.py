@@ -2576,6 +2576,97 @@ def q_agg_size_cap(spark, sf):
         F.lit(explicit_fires).alias("explicit_cap_fires"))
 
 
+def _r12_mvd_table(spark, eng):
+    """Inline MVD-tagged fixture shared by the round-12 entries (the
+    driver's parquet tables carry no multi-value dims)."""
+    import datetime as dt
+    from pyspark.sql import types as T
+    S = T.StringType()
+    schema = T.StructType([
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("who", S),
+        T.StructField("tags", T.ArrayType(S)),
+        T.StructField("m", T.LongType()),
+    ])
+    rows = [
+        (dt.datetime(2001, 1, 1), "x", ["a", "b"], 1),
+        (dt.datetime(2001, 1, 2), "y", ["b", "c"], 2),
+        (dt.datetime(2001, 1, 3), "z", ["d"], 3),
+        (dt.datetime(2001, 1, 4), "w", None, 4),
+    ]
+    eng.catalog.register_table(
+        "r12_mvt", spark.createDataFrame(rows, schema),
+        json_columns={"tags": "MVD"})
+
+
+def q_r12_mvd_any_element(spark, sf):
+    """MVD selector semantics (round 12): a scalar predicate over a
+    multi-value dimension matches when ANY element matches, NOT IN
+    excludes rows overlapping the list, and a null MVD never matches
+    (docs/querying/multi-value-dimensions.md; CalciteJoinQueryTest
+    testJoinOnTimeseriesWithFloorOnTime WHERE dim3 = 'b')."""
+    eng = _engine(spark, sf)
+    _r12_mvd_table(spark, eng)
+    return eng.sql(
+        "SELECT COUNT(*) AS n_b_or_d, CAST(SUM(m) AS BIGINT) AS sum_m "
+        "FROM r12_mvt WHERE tags = 'b' OR tags = 'd'")
+
+
+def q_r12_earliest_unnest_tiebreak(spark, sf):
+    """EARLIEST over unnest elements (round 12): every exploded
+    element shares the row's __time, so the tie-break is the FIRST
+    ELEMENT of the earliest row's array (StringFirstAggregator scan
+    order; qaUnnest mv_sql_agg_funcs B18 C8) — unless the element is
+    itself the grouping key (C7)."""
+    eng = _engine(spark, sf)
+    _r12_mvd_table(spark, eng)
+    by_row = eng.sql(
+        "SELECT who, EARLIEST(t, 100) AS first_elem "
+        "FROM r12_mvt, UNNEST(MV_TO_ARRAY(tags)) AS u(t) "
+        "WHERE who IN ('x', 'y') GROUP BY who")
+    return by_row.orderBy("who")
+
+
+def q_r12_json_empty_leaves(spark, sf):
+    """Empty-container json_value leaves (round 12): an empty ARRAY
+    is the non-null empty string, an empty OBJECT is NULL
+    (func_json_value A043-A064 battery split), and json_paths treats
+    primitive arrays as single leaf paths (JSON_PATHS(nester) golden,
+    CalciteNestedDataQueryTest)."""
+    eng = _engine(spark, sf)
+    return eng.sql(
+        "SELECT JSON_VALUE('[]', '$') IS NULL AS empty_array_is_null, "
+        "JSON_VALUE('{}', '$') IS NULL AS empty_obj_is_null, "
+        "ARRAY_TO_STRING(JSON_PATHS('[5, 6]'), ',') AS prim_arr_paths")
+
+
+def q_r12_complex_hash_order(spark, sf):
+    """COMPLEX<json> ordering (round 12): containers sort by
+    Long.compare of XXH64(SMILE(value)) with the sign-extended
+    0x9747b28c seed (StructuredData.java:151-188) — the qaArray
+    sql_order_by.03 A24/A25 goldens pin the order in both
+    directions. This entry pins the A25 pair's ASC winner."""
+    eng = _engine(spark, sf)
+    import datetime as dt
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("j", T.StringType()),
+    ])
+    a = '[[true,false,null],[1,2,null]]'
+    b = '[[null,false,true],[null,2,1]]'
+    rows = [(dt.datetime(2001, 1, 1), a),
+            (dt.datetime(2001, 1, 2), b)]
+    eng.catalog.register_table(
+        "r12_cjo", spark.createDataFrame(rows, schema),
+        json_columns=["j"])
+    return eng.sql(
+        "SELECT JSON_QUERY(j, '$') c, COUNT(*) AS cnt FROM r12_cjo "
+        "GROUP BY JSON_QUERY(j, '$') "
+        "ORDER BY JSON_QUERY(j, '$') ASC LIMIT 1") \
+        .select(F.col("c").alias("first_asc"), "cnt")
+
+
 def q_projection_hll_sketch(spark, sf):
     """Rollup whose stored distinct state is a BINARY mergeable HLL
     sketch column (not a set): per-hour sketches re-merge via
@@ -11043,6 +11134,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperunique_parity": q_hyperunique_parity,
         "agg_size_cap": q_agg_size_cap,
         "sql_input_source": q_sql_input_source,
+        "r12_mvd_any_element": q_r12_mvd_any_element,
+        "r12_earliest_unnest_tiebreak": q_r12_earliest_unnest_tiebreak,
+        "r12_json_empty_leaves": q_r12_json_empty_leaves,
+        "r12_complex_hash_order": q_r12_complex_hash_order,
         "projection_hll_sketch": q_projection_hll_sketch,
         "projection_theta_sketch": q_projection_theta_sketch,
         "kll_quantile_merge": q_kll_quantile_merge,
@@ -12107,6 +12202,25 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    true AS est_ok, true AS parity_ok
             FROM events GROUP BY 1 ORDER BY 1""",
+        # round-12 semantic pins: the inline fixtures are reproduced
+        # in the oracle via VALUES so DuckDB computes the same facts
+        "r12_mvd_any_element": """
+            SELECT COUNT(*) AS n_b_or_d,
+                   CAST(SUM(m) AS BIGINT) AS sum_m
+            FROM (VALUES (['a','b'], 1), (['b','c'], 2),
+                         (['d'], 3), (NULL, 4)) t(tags, m)
+            WHERE list_contains(tags, 'b')
+               OR list_contains(tags, 'd')""",
+        "r12_earliest_unnest_tiebreak": """
+            SELECT * FROM (VALUES ('x', 'a'), ('y', 'b'))
+                 t(who, first_elem) ORDER BY who""",
+        "r12_json_empty_leaves": """
+            SELECT FALSE AS empty_array_is_null,
+                   TRUE AS empty_obj_is_null,
+                   '$' AS prim_arr_paths""",
+        "r12_complex_hash_order": """
+            SELECT '[[true,false,null],[1,2,null]]' AS first_asc,
+                   CAST(1 AS BIGINT) AS cnt""",
         "agg_size_cap": """
             SELECT CAST(length(string_agg(o_orderstatus, '|'))
                         AS BIGINT) AS n_cat,
