@@ -133,10 +133,15 @@ CLASSES = {
         "(contradiction pair array_sql_ops vs scalar_numeric "
         "batteries)",
     "unnest_filter_pushdown_rows":
-        "multi-UNNEST chains with filters on all unnest outputs: the "
-        "reference pushes filters into the unnest datasource and "
-        "drops rows the engine keeps (its own CalciteArrays goldens "
-        "pin 0 rows where the data contains matches)",
+        "repeated UNNESTs of the SAME source with ANDed equality "
+        "filters on every unnest output: the reference's pushed "
+        "filters collapse onto one shared unnest virtual column, so "
+        "contradictory values AND to 0 rows even though the data "
+        "matches — its own pinned LOGICAL plan (independent "
+        "per-unnest filters) and its OR-combination sibling golden "
+        "(10 independent-element rows) both contradict the 0-row "
+        "result; the engine answers the SQL-correct product (2/1 "
+        "rows). Replicating the collapse would regress the sibling",
 }
 
 
