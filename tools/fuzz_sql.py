@@ -234,7 +234,13 @@ def _gen_unnest_join(r: random.Random):
         duk = dru.replace(f"UNNEST(ARRAY[{arr}]) AS u(c)",
                           f"(SELECT UNNEST([{arr}]) AS c) u")
         return dru, duk
-    # correlated: split a string column, count non-empty pieces
+    # correlated: split a string column, count non-empty pieces.
+    # STRING_TO_ARRAY follows Java String.split — TRAILING empty
+    # pieces are trimmed (golden-pinned; register.py) — so the
+    # DuckDB oracle strips trailing separators before splitting and
+    # maps an all-separator value to the empty list (round 12: fuzz
+    # seeds 101616/101743 caught the untrimmed oracle, not the
+    # engine)
     col = r.choice(g.t["str"])
     delim = r.choice(["_", "-", "A", "e"])
     lit = r.choice(["''", "'x'"])
@@ -242,9 +248,12 @@ def _gen_unnest_join(r: random.Random):
            f"FROM {table} "
            f"JOIN UNNEST(STRING_TO_ARRAY({col}, '{delim}')) AS u(c) "
            f"ON u.c <> {lit}")
+    stripped = (f"regexp_replace({col}, '(?:{delim})+$', '')")
+    jsplit = (f"(CASE WHEN {stripped} = '' AND {col} <> '' THEN [] "
+              f"ELSE string_split({stripped}, '{delim}') END)")
     duk = (f"SELECT CAST(COUNT(*) AS BIGINT) AS n "
            f"FROM {table}, "
-           f"UNNEST(string_split({col}, '{delim}')) AS u(c) "
+           f"UNNEST({jsplit}) AS u(c) "
            f"WHERE u.c <> {lit}")
     return dru, duk
 
