@@ -519,8 +519,11 @@ _FUNCS: list[tuple[str, str, str, str]] = [
     # NaN, so the SQL layer decides nullness.
     ("BITWISE_CONVERT_DOUBLE_TO_LONG_BITS", "a DOUBLE", "BIGINT",
      "CASE WHEN a IS NOT NULL THEN __ds_d2l_bits(a) END"),
+    # the long bit pattern travels as STRING: an int64 Arrow batch
+    # containing any NULL is converted to float64 pandas, silently
+    # rounding patterns beyond 2^53 before the UDF ever sees them
     ("BITWISE_CONVERT_LONG_BITS_TO_DOUBLE", "a BIGINT", "DOUBLE",
-     "CASE WHEN a IS NOT NULL THEN __ds_l2d_bits(a) END"),
+     "CASE WHEN a IS NOT NULL THEN __ds_l2d_bits(CAST(a AS STRING)) END"),
     # ipv4
     ("IPV4_PARSE", "s STRING", "BIGINT", """
       cast(split_part(s, '.', 1) AS BIGINT) * 16777216 +
@@ -732,8 +735,15 @@ def _smile_encode(value) -> bytes:
             enc(str(v))
 
     def key(k: str):
-        if k in shared_names and shared_names[k] < 64:
-            out.append(0x40 + shared_names[k])
+        idx = shared_names.get(k)
+        if idx is not None:
+            if idx < 64:
+                out.append(0x40 + idx)
+            else:
+                # long shared-name reference: 2 bytes, 0x30-0x33
+                # carry the index's high bits (indices 64-1023)
+                out.append(0x30 + (idx >> 8))
+                out.append(idx & 0xFF)
             return
         b = k.encode("utf-8")
         if not b:
@@ -749,7 +759,12 @@ def _smile_encode(value) -> bytes:
             out.append(0x34)
             out.extend(b)
             out.append(0xFC)
-        if len(shared_names) < 1024:
+        # first encode only, and only names <= 64 encoded bytes are
+        # shared (Jackson SmileGenerator._addSeenName); a full table
+        # is cleared and restarted per the SMILE spec
+        if len(b) <= 64:
+            if len(shared_names) >= 1024:
+                shared_names.clear()
             shared_names[k] = len(shared_names)
 
     enc(value)
@@ -853,8 +868,10 @@ def register_druid_functions(spark: SparkSession) -> int:
             ">q", _struct.pack(">d", x))[0])
 
     def _l2d(s):
+        # input is the decimal STRING render of the long (see the SQL
+        # body) so nullable batches never round through float64
         return s.apply(
-            lambda x: None if x is None or x != x else _struct.unpack(
+            lambda x: None if x is None else _struct.unpack(
                 ">d", _struct.pack(">q", int(x)))[0])
 
     spark.udf.register("__ds_d2l_bits", pandas_udf(_d2l, "long"))
@@ -869,8 +886,5 @@ def register_druid_functions(spark: SparkSession) -> int:
                        pandas_udf(_json_paths_series, "array<string>"))
     spark.udf.register("json_complex_hash64",
                        pandas_udf(_json_complex_hash_series, "long"))
-    # exact IEEE-754 bit reinterpretation (doubleToLongBits
-    # canonicalizes NaN to 0x7FF8000000000000 — struct.pack matches)
-    import struct as _struct
 
     return n + 4

@@ -441,7 +441,8 @@ def _union_mvd_alignment(out: str) -> str:
             if re.search(r"(?is)\bUNION\s+ALL\b", out[i + 1:j]):
                 spans.append((i + 1, j))
         i += 1
-    for gs, ge in reversed(spans):
+    for si in range(len(spans) - 1, -1, -1):
+        gs, ge = spans[si]
         content = out[gs:ge]
         # depth-0 UNION ALL split
         parts, cuts, d, k = [], [], 0, 0
@@ -515,7 +516,17 @@ def _union_mvd_alignment(out: str) -> str:
                     items.append(c)
             new_parts.append(
                 f" SELECT {', '.join(items)} FROM {t} ")
-        out = (out[:gs] + " UNION ALL ".join(new_parts) + out[ge:])
+        repl = " UNION ALL ".join(new_parts)
+        out = out[:gs] + repl + out[ge:]
+        # a span recorded EARLIER in scan order that contains this one
+        # (nested UNION groups) now has a stale end offset — shift it
+        # by the rewrite's length delta before it is processed
+        delta = len(repl) - (ge - gs)
+        if delta:
+            for j in range(si):
+                s2, e2 = spans[j]
+                if s2 <= gs and e2 >= ge:
+                    spans[j] = (s2, e2 + delta)
     return out
 
 

@@ -95,6 +95,15 @@ def test_json_bitwise_ip(engine):
                "BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(4611686018427387904)") == 2.0
     assert one(engine, "BITWISE_CONVERT_DOUBLE_TO_LONG_BITS("
                "CAST(NULL AS DOUBLE))") is None
+    # regression (r13): a NULL sibling row used to push the int64 Arrow
+    # batch through float64 pandas, rounding low-order bits of patterns
+    # beyond 2^53 — 4608218246714312622 is doubleToLongBits(1.23)
+    rows = engine.sql("""
+        SELECT BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(b) AS d
+        FROM (SELECT 4608218246714312622 AS b
+              UNION ALL SELECT CAST(NULL AS BIGINT)) t ORDER BY d
+    """).collect()
+    assert [r["d"] for r in rows] == [None, 1.23]
     assert one(engine, "IPV4_PARSE('192.168.0.1')") == 3232235521
     assert one(engine, "IPV4_STRINGIFY(3232235521)") == "192.168.0.1"
 

@@ -79,3 +79,31 @@ def test_container_order_matches_goldens():
     a24_null = flip + [flip]
     assert key(a24_true) < key(a24_null)   # A24 ASC: true-first
     assert key(base) > key(flip)           # A25 ASC: null-first
+
+
+def test_smile_long_shared_name_refs():
+    """Objects with >64 distinct keys use the 2-byte 0x30-0x33 long
+    shared-name back-reference on repeat (r13, ADVICE), and a key's
+    table index is assigned once — re-encoding must not renumber."""
+    keys = [f"key{i:03d}" for i in range(100)]  # sorted lexicographic
+    obj = {k: 1 for k in keys}
+    enc = _smile_encode([obj, obj, obj])[4:]
+    # second object: keys 0-63 short refs 0x40+i, 64-99 long refs
+    # 0x30 + (idx>>8), idx&0xFF.  key064 has index 64 -> b"\x30\x40"
+    assert b"\x30\x40" in enc
+    assert enc.count(b"\x30\x40") == 2       # once per repeat object
+    # short back-ref for index 0 appears exactly twice as a key slot:
+    # objects 2 and 3 both reference key000 as 0x40
+    first_obj_end = enc.index(b"\xfb")
+    rest = enc[first_obj_end:]
+    # literal spellings never reappear after the first object
+    assert b"key064" not in rest and b"key000" not in rest
+    # determinism: three identical objects -> objects 2 and 3 encode
+    # byte-identically (no index drift on re-encode)
+    bodies = enc[1:-1].split(b"\xfb")        # strip array F8/F9
+    assert bodies[1] == bodies[2]
+    # names longer than 64 encoded bytes are never shared: the second
+    # occurrence still spells the name out
+    longk = "k" * 70
+    enc2 = _smile_encode([{longk: 1}, {longk: 1}])[4:]
+    assert enc2.count(longk.encode()) == 2

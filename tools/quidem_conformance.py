@@ -1212,14 +1212,32 @@ def _spec_frames(spark, inners):
             def _trunc(ts):
                 if ts is None or qg in ("none", "all"):
                     return ts
+                if qg == "second":
+                    return ts.replace(microsecond=0)
                 if qg == "minute":
                     return ts.replace(second=0, microsecond=0)
+                if qg == "fifteen_minute":
+                    return ts.replace(minute=ts.minute - ts.minute % 15,
+                                      second=0, microsecond=0)
+                if qg == "thirty_minute":
+                    return ts.replace(minute=ts.minute - ts.minute % 30,
+                                      second=0, microsecond=0)
                 if qg == "hour":
                     return ts.replace(minute=0, second=0, microsecond=0)
                 if qg == "day":
                     return ts.replace(hour=0, minute=0, second=0,
                                       microsecond=0)
-                return ts
+                if qg == "month":
+                    return ts.replace(day=1, hour=0, minute=0,
+                                      second=0, microsecond=0)
+                if qg == "year":
+                    return ts.replace(month=1, day=1, hour=0,
+                                      minute=0, second=0, microsecond=0)
+                # loud failure: an unmodeled granularity must surface
+                # as a harness error, not an under-rolled-up dataset
+                raise ValueError(
+                    f"quidem harness: unhandled rollup "
+                    f"queryGranularity {qg!r} — extend _trunc")
             groups: dict[str, list] = {}
             for row, r in zip(rows, raw):
                 row = tuple([_trunc(row[0])] + list(row[1:]))
