@@ -646,6 +646,12 @@ class DruidSparkEngine:
                 for c, ty in cols.items() if ty == "ARRAY"},
             hllc_parity=self.hyperunique_parity,
             auto_scalar_cols=auto_scalars,
+            # context.decoupledUnnestFilterCollapse (default off):
+            # opt-in reproduction of the reference's decoupled-planner
+            # unnest virtual-column naming collision (see
+            # sqlshim._decoupled_unnest_filter_collapse)
+            unnest_filter_collapse=set_ctx.get(
+                "decoupledUnnestFilterCollapse", "").lower() == "true",
             # ordered per-table column lists for the self-join star
             # expansion (Calcite's 0-suffix duplicate naming)
             table_columns={

@@ -128,6 +128,8 @@ def _unmask_strings(sql: str, lits: dict[int, str]) -> str:
 
 _FILTERED_SUM: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "druid_spark_filtered_sum_rewrite", default=True)
+_UNNEST_COLLAPSE: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "druid_spark_unnest_filter_collapse", default=False)
 _MASK = contextvars.ContextVar("druid_spark_mask_ctx", default=None)
 
 # a placeholder token, for patterns that must match where a user
@@ -2153,7 +2155,8 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       declared_json_cols: set | None = None,
                       filtered_sum_rewrite: bool = True,
                       table_col_types: dict | None = None,
-                      auto_scalar_cols: set | None = None) -> str:
+                      auto_scalar_cols: set | None = None,
+                      unnest_filter_collapse: bool = False) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -2176,9 +2179,11 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok11 = _DECLARED_JSON.set(declared_json_cols or set())
     tok12 = _TABLE_COL_TYPES.set(table_col_types or {})
     tok13 = _AUTO_SCALARS.set(auto_scalar_cols or set())
+    tok14 = _UNNEST_COLLAPSE.set(unnest_filter_collapse)
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
+        _UNNEST_COLLAPSE.reset(tok14)
         _AUTO_SCALARS.reset(tok13)
         _TABLE_COL_TYPES.reset(tok12)
         _DECLARED_JSON.reset(tok11)
@@ -2966,6 +2971,107 @@ def _statement_aliases(out: str) -> set[str]:
             if m.start() not in cast_as}
 
 
+def _decoupled_unnest_filter_collapse(out: str) -> str:
+    """Opt-in reproduction of the reference's decoupled-planner unnest
+    naming collision (context.decoupledUnnestFilterCollapse, default
+    off; pinned by DecoupledPlanningCalciteArraysQueryTest
+    testUnnestThriceWithFiltersOnDimAndAllUnnestColumns[ArrayColumns]).
+
+    For a CHAIN of 3+ nested FROM-comma UNNESTs whose WHERE carries a
+    top-level equality conjunct on EVERY unnest output column, the
+    reference's planner names every non-outermost unnest's virtual
+    column "j0.unnest" (DruidUnnestRule.java prefix derivation;
+    proc/query/UnnestDataSource.java:44 — only the outermost gets
+    "_j0.unnest"), so each middle unnest's pushed-down equality lands
+    on the FIRST unnest's same-named output: contradictory constants
+    AND to zero rows even though the data matches. Model the collision
+    by injecting `first_col = middle_value` for each middle unnest.
+    OR-combined filters stay a LogicalFilter ABOVE the unnests in the
+    reference (the ...OrFilters sibling golden, 5 rows) and do not
+    match this shape, so they are untouched."""
+    # FROM-position unnest output columns with their paren depth
+    unnests: list[tuple[int, str]] = []
+    depth = i = 0
+    pat = re.compile(r"(?is)UNNEST\s*\(")
+    while i < len(out):
+        m = pat.match(out, i)
+        if m and (i == 0 or not (out[i - 1].isalnum()
+                                 or out[i - 1] in "_.")):
+            close = _find_spec_end(out, m.end())
+            am = re.match(r"(?is)\s*AS\s+\w+\s*\(\s*(\w+)\s*\)",
+                          out[close + 1:])
+            if am:
+                unnests.append((depth, am.group(1)))
+            i = close + 1
+            continue
+        ch = out[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        i += 1
+    if len(unnests) < 3:
+        return out
+    # strictly-nested chain: textual innermost->outermost
+    if not all(unnests[k][0] > unnests[k + 1][0]
+               for k in range(len(unnests) - 1)):
+        return out
+    cols = [c for _d, c in unnests]
+    # exactly one WHERE in the statement (the outer query's)
+    wms = list(re.finditer(r"(?is)\bWHERE\b", out))
+    if len(wms) != 1:
+        return out
+    body_start = wms[0].end()
+    d, j, end = 0, body_start, len(out)
+    while j < len(out):
+        ch = out[j]
+        if ch in "([":
+            d += 1
+        elif ch in ")]":
+            if d == 0:
+                end = j
+                break
+            d -= 1
+        elif d == 0 and ch.isalpha() and not (
+                out[j - 1].isalnum() or out[j - 1] in "_."):
+            if re.match(r"(?i)(?:GROUP|ORDER|LIMIT|HAVING|WINDOW|"
+                        r"OFFSET|UNION|INTERSECT|EXCEPT)\b", out[j:]):
+                end = j
+                break
+        j += 1
+    body = out[body_start:end]
+    # depth-0 AND conjuncts
+    conjs, d, k, seg = [], 0, 0, 0
+    while k < len(body):
+        ch = body[k]
+        if ch in "([":
+            d += 1
+        elif ch in ")]":
+            d -= 1
+        elif (d == 0 and ch in "Aa" and k > 0
+              and not (body[k - 1].isalnum() or body[k - 1] in "_.")
+              and re.match(r"(?i)AND\b", body[k:])):
+            conjs.append(body[seg:k])
+            seg = k + 3
+            k += 3
+            continue
+        k += 1
+    conjs.append(body[seg:])
+    lit = rf"(?:{_PH}|[+-]?\d+(?:\.\d+)?|ARRAY\s*\[[^\]]*\])"
+    vals: dict[str, str] = {}
+    for c in cols:
+        for cj in conjs:
+            m = re.fullmatch(
+                rf"(?is)\s*{re.escape(c)}\s*=\s*({lit})\s*", cj)
+            if m:
+                vals[c] = m.group(1)
+                break
+        else:
+            return out  # some unnest output lacks an equality conjunct
+    extra = "".join(f" AND {cols[0]} = {vals[c]}" for c in cols[1:-1])
+    return out[:end] + extra + out[end:]
+
+
 def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     """The rewrite pipeline body. `out` arrives with user string
     literals already masked (see _rewrite_druid_sql); every pass
@@ -2976,6 +3082,9 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # content is the bug class the mask exists to kill)
     assert "'" not in out, \
         "unmasked string literal reached the rewrite pipeline body"
+    # quirk flag: must see the pre-rewrite UNNEST spellings
+    if _UNNEST_COLLAPSE.get() and re.search(r"(?is)\bUNNEST\s*\(", out):
+        out = _decoupled_unnest_filter_collapse(out)
     # Scalar string/IP/parse functions over a REAL ARRAY argument are
     # Calcite validation errors in the reference ("Cannot apply 'FN'
     # to arguments of type ..."); over MVDs (VARCHAR) they map

@@ -497,3 +497,46 @@ def test_period_form_intervals(spark):
                   "TIME_IN_INTERVAL(__time, '2024-01-02/P1D')") \
         .collect()[0]["n"]
     assert {n_sql} == full
+
+
+def test_decoupled_unnest_filter_collapse_flag(engine):
+    """context.decoupledUnnestFilterCollapse (r13): opt-in reproduction
+    of the reference's decoupled-planner unnest naming collision —
+    both inner unnests of a thrice-nested chain share the virtual
+    column name "j0.unnest", so their pushed equality filters AND on
+    one column and contradictory constants give 0 rows
+    (DecoupledPlanningCalciteArraysQueryTest
+    testUnnestThriceWithFiltersOnDimAndAllUnnestColumns[ArrayColumns];
+    reference sql/calcite/rule/DruidUnnestRule.java +
+    proc/query/UnnestDataSource.java:44)."""
+    engine.spark.sql(
+        "SELECT 1 AS id, array('a', 'b', 'c') AS arr"
+    ).createOrReplaceTempView("unnest_quirk_t")
+    body = """
+        SELECT id, u1, u2, u3 FROM
+          ( SELECT * FROM
+               ( SELECT * FROM unnest_quirk_t, UNNEST(arr) as ut(u1) )
+               , UNNEST(arr) as ut(u2)
+          ), UNNEST(arr) as ut(u3)
+        WHERE id = 1 AND u1 = 'a' AND u2 = 'b' AND u3 = 'c'
+    """
+    # default: SQL-correct product — one row ('a','b','c')
+    assert len(engine.sql(body).collect()) == 1
+    # flag on: the collision collapses u1/u2 filters onto one shared
+    # column; 'a' AND 'b' contradict -> 0 rows
+    flagged = "SET decoupledUnnestFilterCollapse = true;\n" + body
+    assert len(engine.sql(flagged).collect()) == 0
+    # compatible constants survive the collapse
+    ok = ("SET decoupledUnnestFilterCollapse = true;\n"
+          + body.replace("u2 = 'b'", "u2 = 'a'"))
+    assert len(engine.sql(ok).collect()) == 1
+    # OR-combined filters are NOT pushed into the unnests in the
+    # reference (the ...OrFilters sibling) — the flag must not touch
+    # that shape
+    or_body = body.replace("u1 = 'a' AND u2 = 'b'",
+                           "(u1 = 'a' OR u2 = 'b')")
+    n_default = len(engine.sql(or_body).collect())
+    n_flagged = len(engine.sql(
+        "SET decoupledUnnestFilterCollapse = true;\n" + or_body
+    ).collect())
+    assert n_default == n_flagged > 0

@@ -141,7 +141,11 @@ CLASSES = {
         "per-unnest filters) and its OR-combination sibling golden "
         "(10 independent-element rows) both contradict the 0-row "
         "result; the engine answers the SQL-correct product (2/1 "
-        "rows). Replicating the collapse would regress the sibling",
+        "rows). DRAINED r13: the opt-in "
+        "context.decoupledUnnestFilterCollapse quirk flag reproduces "
+        "the naming collision for exactly this shape (sqlshim."
+        "_decoupled_unnest_filter_collapse); the harness sets it for "
+        "the two goldens only, the OR-sibling stays flag-off",
 }
 
 
