@@ -345,6 +345,34 @@ class AggCompiler:
             return c
         return c.cast("string")
 
+    def _hll_druid_input(self, agg: dict, c: Column) -> Column:
+        """Druid-parity HllSketch update stream (r13;
+        HllSketchBuildUtil.java:36-61): Integer/Long via update(long);
+        Float/Double via update(double) == MurmurHash3 over the LE
+        bytes of doubleToLongBits (canonical NaN, -0.0 -> 0.0); String
+        via update(char[]) under the UTF16LE default
+        (HllSketchAggregatorFactory.java:52) == the string's UTF-16LE
+        bytes through the byte[] entry point.  Feeding Spark's JVM
+        Datasketches hll_sketch_agg these forms makes engine estimates
+        and sketch blobs value-identical to the reference's for the
+        same stream (differential-tested in tests/test_sketches.py).
+        Unlike theta (_sketch_input), Druid HLL strings default to
+        UTF-16LE, hence the separate dispatch."""
+        df = getattr(self.fc, "df", None)
+        fname = agg.get("fieldName")
+        dt = None
+        if df is not None and isinstance(fname, str):
+            try:
+                dt = dict(df.dtypes).get(fname)
+            except Exception:
+                dt = None
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return c.cast("long")
+        if dt in ("float", "double"):
+            return F.when(c.isNotNull(), F.call_function(
+                "__ds_hll_d2b", c.cast("double")))
+        return F.encode(c.cast("string"), "UTF-16LE")
+
     def _agg(self, agg: dict[str, Any], cond: Column | None = None,
              outer_name: str | None = None) -> Column:
         """cond: a `filtered` wrapper's predicate — applied map-side as
@@ -409,9 +437,10 @@ class AggCompiler:
             # (extensions-core/datasketches/.../hll/
             # HllSketchBuildAggregatorFactory.java); lgK=12 is the
             # reference default (~1.6% relative standard error).
-            # Input is hashed as string so every column type is
-            # accepted; distinct cardinality is unchanged.
-            state = F.hll_sketch_agg(c.cast("string"), 12)
+            # Input follows the reference's per-type update dispatch
+            # (_hll_druid_input) so estimates match its pinned
+            # APPROX_COUNT_DISTINCT_DS_HLL numbers exactly.
+            state = F.hll_sketch_agg(self._hll_druid_input(agg, c), 12)
             if not self.finalize:
                 return state  # mergeable binary blob (finalize=false)
             return F.hll_sketch_estimate(state).cast("long")
@@ -439,8 +468,7 @@ class AggCompiler:
         # HllSketchBuild / HllSketchMerge factory pair.
         if t == "hllState":
             return F.hll_sketch_agg(
-                self._sketch_input(agg, guard(_field(agg, res)),
-                                   allow_double=False), 12)
+                self._hll_druid_input(agg, guard(_field(agg, res))), 12)
         if t == "hllUnionEstimate":
             return F.hll_sketch_estimate(
                 F.hll_union_agg(guard(_field(agg, res)))).cast("long")

@@ -874,8 +874,28 @@ def register_druid_functions(spark: SparkSession) -> int:
             lambda x: None if x is None else _struct.unpack(
                 ">d", _struct.pack(">q", int(x)))[0])
 
+    def _hll_d2b(s):
+        # Druid-parity HllSketch input for DOUBLE columns: the LE
+        # bytes of doubleToLongBits(d), with BaseHllSketch.update
+        # (double)'s canonicalization (-0.0 -> 0.0; every NaN -> the
+        # canonical quiet NaN).  MurmurHash3's long[]{bits} entry
+        # point (what update(double) hashes) equals its byte[] entry
+        # over these 8 LE bytes, so feeding them to Spark's JVM
+        # Datasketches hll_sketch_agg reproduces the reference's
+        # hash stream exactly.  SQL NULLs arrive as NaN in the
+        # float64 batch; the SQL-layer CASE guard discards those
+        # rows, and true-NaN inputs canonicalize identically.
+        def one(x):
+            if x is None:
+                return None
+            if x != x:
+                return b"\x00\x00\x00\x00\x00\x00\xf8\x7f"
+            return _struct.pack("<d", x if x != 0.0 else 0.0)
+        return s.apply(one)
+
     spark.udf.register("__ds_d2l_bits", pandas_udf(_d2l, "long"))
     spark.udf.register("__ds_l2d_bits", pandas_udf(_l2d, "double"))
+    spark.udf.register("__ds_hll_d2b", pandas_udf(_hll_d2b, "binary"))
     for name, args, ret, body in _FUNCS:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "

@@ -683,7 +683,8 @@ def _theta_estimate(exact: bool):
         if _SKETCHY.search(a):
             return f"SIZE({a})"
         return (f"COUNT(DISTINCT {a})" if exact else
-                f"hll_sketch_estimate(hll_sketch_agg(CAST({a} AS STRING), 12))")
+                f"hll_sketch_estimate(hll_sketch_agg("
+                f"{_hll_parity_input(a)}, 12))")
     return build
 
 
@@ -1459,6 +1460,31 @@ def _array_agg_call(args):
 _HLLY = re.compile(r"(?i)\b(DS_HLL|hll_sketch_agg|hll_union)\s*\(")
 
 
+def _hll_parity_input(a: str) -> str:
+    """Druid-parity update stream for Spark's JVM Datasketches
+    hll_sketch_agg (r13): the reference's HllSketchBuildUtil.java:36-61
+    updates Integer/Long via update(long), Float/Double via
+    update(double), and String via update(char[]) under the UTF16LE
+    default (HllSketchAggregatorFactory.java:52).  MurmurHash3's
+    char[]/long[] entry points hash identically to the byte[] entry
+    over the equivalent little-endian bytes, so: BIGINT passes raw
+    (Spark's agg calls update(long) itself), DOUBLE becomes the LE
+    bytes of doubleToLongBits (canonicalized — __ds_hll_d2b), and
+    STRING becomes its UTF-16LE bytes.  Estimates are then numerically
+    identical to the reference's APPROX_COUNT_DISTINCT_DS_HLL for the
+    same value stream (differential-tested against the JVM
+    org.apache.datasketches.hll.HllSketch in
+    tests/test_sketches.py)."""
+    e = a.strip()
+    t = _SCALAR_TYPES.get().get(e, "").split("(")[0].lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return f"CAST({e} AS BIGINT)"
+    if t in ("float", "double", "real"):
+        return (f"CASE WHEN {e} IS NOT NULL THEN "
+                f"__ds_hll_d2b(CAST({e} AS DOUBLE)) END")
+    return f"encode(CAST({e} AS STRING), 'UTF-16LE')"
+
+
 def _hll_to_string(args):
     # HLL_SKETCH_TO_STRING — human-readable sketch summary
     # (HllSketchToStringPostAggregator analog). Engine format: the
@@ -1467,7 +1493,8 @@ def _hll_to_string(args):
         return None
     a = args[0]
     est = (f"hll_sketch_estimate({a})" if _HLLY.search(a) else
-           f"hll_sketch_estimate(hll_sketch_agg(CAST({a} AS STRING), 12))")
+           f"hll_sketch_estimate(hll_sketch_agg("
+           f"{_hll_parity_input(a)}, 12))")
     return f"concat('### HLL SKETCH SUMMARY: estimate: ', CAST({est} AS STRING))"
 
 
@@ -4031,8 +4058,8 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                         lambda args: f"hll_sketch_estimate({args[0]})")
     out = _rewrite_call(
         out, "DS_HLL",
-        lambda args: "hll_sketch_agg(CAST(" + args[0] + " AS STRING), "
-        + (args[1] if len(args) > 1 else "12") + ")")
+        lambda args: "hll_sketch_agg(" + _hll_parity_input(args[0])
+        + ", " + (args[1] if len(args) > 1 else "12") + ")")
     # HLL sketch-object helpers: pairwise union of sketch states;
     # analytic error bounds around the estimate (lgK=12 → RSE ~1.63%,
     # the reference's HllSketchToEstimateWithBoundsPostAggregator
@@ -4187,8 +4214,8 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
         else:
             out = _rewrite_call(
                 out, name,
-                lambda args: "hll_sketch_estimate(hll_sketch_agg(CAST("
-                + args[0] + " AS STRING), 12))")
+                lambda args: "hll_sketch_estimate(hll_sketch_agg("
+                + _hll_parity_input(args[0]) + ", 12))")
     for name in ("APPROX_QUANTILE_DS", "APPROX_QUANTILE_FIXED_BUCKETS",
                  "APPROX_QUANTILE", "DS_GET_QUANTILE",
                  # extension quantile families: t-digest

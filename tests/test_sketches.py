@@ -572,3 +572,104 @@ def test_finalize_false_returns_mergeable_state(spark):
     est = raw.select(
         F.hll_sketch_estimate(F.col("u")).alias("e")).collect()[0]["e"]
     assert est == fin
+
+
+def test_hll_druid_parity_vs_jvm_datasketches(spark):
+    """r13: the engine's HLL update stream is value-identical to the
+    reference's (HllSketchBuildUtil.java:36-61 + the UTF16LE default
+    at HllSketchAggregatorFactory.java:52), differential-tested
+    against the SAME JVM Datasketches library Spark ships:
+
+    - strings hash as UTF-16LE char[] == their UTF-16LE bytes through
+      MurmurHash3's byte[] entry point (proven below on multilingual
+      inputs),
+    - longs pass raw (Spark's agg calls update(long) itself),
+    - doubles hash as the LE bytes of doubleToLongBits with
+      update(double)'s canonicalization (-0.0 -> 0.0, canonical NaN),
+
+    so a single-stream engine estimate equals the estimate a
+    single-segment reference deployment pins — including in the
+    non-exact regime (4000 distinct at lgK=12 estimates 4059, not
+    4000).  Merged estimates vary with partition layout exactly as
+    the reference's vary with segment layout (datasketches HIP
+    replay), so the pin uses one partition."""
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    HllSketch = jvm.org.apache.datasketches.hll.HllSketch
+
+    # 1. char[] vs UTF-16LE bytes: identical hash stream
+    strs = ["hello", "wörld", "sn☃man", "a", "", "user_42", "Ārya"]
+    sk_c, sk_b = HllSketch(12), HllSketch(12)
+    for s in strs:
+        arr = gw.new_array(gw.jvm.char, len(s))
+        for i, ch in enumerate(s):
+            arr[i] = ch
+        sk_c.update(arr)
+        sk_b.update(s.encode("utf-16-le"))
+    assert sk_c.getEstimate() == sk_b.getEstimate()
+
+    # 2. strings, non-exact regime: JVM direct build (what a
+    # single-segment reference pins) == engine single-stream path;
+    # the old UTF-8 hashing gives a DIFFERENT estimate here
+    vals = [f"user_{i}" for i in range(4000)]
+    skj = HllSketch(12)
+    for v in vals:
+        skj.update(v.encode("utf-16-le"))
+    jref = round(skj.getEstimate())
+    assert jref != 4000  # genuinely approximate at this cardinality
+    df = spark.createDataFrame([(v,) for v in vals], "v string") \
+              .repartition(1)
+    got = df.selectExpr(
+        "hll_sketch_estimate(hll_sketch_agg(encode(v, 'UTF-16LE'), "
+        "12)) AS e").collect()[0]["e"]
+    assert got == jref
+    utf8 = df.selectExpr(
+        "hll_sketch_estimate(hll_sketch_agg(v, 12)) AS e"
+    ).collect()[0]["e"]
+    assert utf8 != jref
+
+    # 3. longs: update(long) == raw BIGINT input
+    skl = HllSketch(12)
+    for v in range(4000):
+        skl.update(v * 7919)
+    jl = round(skl.getEstimate())
+    dfl = spark.createDataFrame(
+        [(v * 7919,) for v in range(4000)], "v long").repartition(1)
+    assert dfl.selectExpr(
+        "hll_sketch_estimate(hll_sketch_agg(v, 12)) AS e"
+    ).collect()[0]["e"] == jl
+
+    # 4. doubles: update(double) == __ds_hll_d2b LE-bits bytes,
+    # including the -0.0/NaN canonicalization corners
+    from druid_spark.functions.register import register_druid_functions
+    register_druid_functions(spark)
+    dv = [i * 0.7919 for i in range(4000)] + [0.0, -0.0, float("nan")]
+    skd = HllSketch(12)
+    for v in dv:
+        skd.update(v)
+    jd = round(skd.getEstimate())
+    dfd = spark.createDataFrame([(v,) for v in dv], "v double") \
+               .repartition(1)
+    assert dfd.selectExpr(
+        "hll_sketch_estimate(hll_sketch_agg(CASE WHEN v IS NOT NULL "
+        "THEN __ds_hll_d2b(CAST(v AS DOUBLE)) END, 12)) AS e"
+    ).collect()[0]["e"] == jd
+
+
+def test_hll_parity_through_sql_surface(engine):
+    """The APPROX_COUNT_DISTINCT_DS_HLL SQL path uses the parity
+    input dispatch per column type (sqlshim._hll_parity_input): the
+    engine fixture is exact (oracle contract), so route through a
+    non-exact engine and check the approx answer lands within the
+    lgK=12 error bounds on a typed column of each family."""
+    e = DruidSparkEngine(engine.spark, data_dir="/root/testdata/sf0.001")
+    for col, tbl in (("user_id", "events"), ("event_type", "events"),
+                     ("value", "events")):
+        exact = engine.sql(
+            f"SELECT COUNT(DISTINCT {col}) AS c FROM {tbl}"
+        ).collect()[0]["c"]
+        approx = e.sql(
+            f"SELECT APPROX_COUNT_DISTINCT_DS_HLL({col}) AS c "
+            f"FROM {tbl}").collect()[0]["c"]
+        assert abs(approx - exact) <= max(4, 0.05 * exact), \
+            (col, exact, approx)
