@@ -906,5 +906,42 @@ def register_druid_functions(spark: SparkSession) -> int:
                        pandas_udf(_json_paths_series, "array<string>"))
     spark.udf.register("json_complex_hash64",
                        pandas_udf(_json_complex_hash_series, "long"))
+    # readers for the two Datasketches binary formats Spark lacks a
+    # function for (classic quantiles DoublesSketch, tuple
+    # ArrayOfDoubles) — lets re-ingested reference sketch-metric blob
+    # columns be queried directly (druid_spark.functions.sketch_interop)
+    from druid_spark.functions.sketch_interop import (
+        decode_tuple_aod, quantiles_doubles_quantile,
+        tuple_aod_estimate)
 
-    return n + 4
+    def _qq(blobs, qs):
+        import pandas as _pd
+        return _pd.Series([
+            None if b is None else quantiles_doubles_quantile(bytes(b),
+                                                              float(q))
+            for b, q in zip(blobs, qs)])
+
+    def _aod_est(blobs):
+        return blobs.apply(
+            lambda b: None if b is None else float(
+                tuple_aod_estimate(bytes(b))))
+
+    def _aod_means(blobs):
+        def one(b):
+            if b is None:
+                return None
+            d = decode_tuple_aod(bytes(b))
+            if not d["keys"]:
+                return []
+            cols = list(zip(*d["values"]))
+            return [sum(c) / len(c) for c in cols]
+        return blobs.apply(one)
+
+    spark.udf.register("ds_quantiles_sketch_quantile",
+                       pandas_udf(_qq, "double"))
+    spark.udf.register("ds_tuple_aod_estimate",
+                       pandas_udf(_aod_est, "double"))
+    spark.udf.register("ds_tuple_aod_means",
+                       pandas_udf(_aod_means, "array<double>"))
+
+    return n + 7
