@@ -652,6 +652,12 @@ class DruidSparkEngine:
             # sqlshim._decoupled_unnest_filter_collapse)
             unnest_filter_collapse=set_ctx.get(
                 "decoupledUnnestFilterCollapse", "").lower() == "true",
+            # context.strictWindowFrames (default off): refuse the
+            # window-frame shapes the reference refuses
+            # (DruidSqlValidator.java:138-170) instead of answering
+            # them as a capability superset
+            strict_window_frames=set_ctx.get(
+                "strictWindowFrames", "").lower() == "true",
             # ordered per-table column lists for the self-join star
             # expansion (Calcite's 0-suffix duplicate naming)
             table_columns={

@@ -130,6 +130,8 @@ _FILTERED_SUM: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "druid_spark_filtered_sum_rewrite", default=True)
 _UNNEST_COLLAPSE: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "druid_spark_unnest_filter_collapse", default=False)
+_STRICT_WINDOW: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "druid_spark_strict_window_frames", default=False)
 _MASK = contextvars.ContextVar("druid_spark_mask_ctx", default=None)
 
 # a placeholder token, for patterns that must match where a user
@@ -2183,7 +2185,8 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
                       filtered_sum_rewrite: bool = True,
                       table_col_types: dict | None = None,
                       auto_scalar_cols: set | None = None,
-                      unnest_filter_collapse: bool = False) -> str:
+                      unnest_filter_collapse: bool = False,
+                      strict_window_frames: bool = False) -> str:
     """default_nominal_entries: session default bound for sketch state
     when a query omits nominalEntries (the reference's default bounds;
     ArrayOfDoublesSketchAggregatorFactory.java). None = exact unbounded
@@ -2207,9 +2210,11 @@ def rewrite_druid_sql(sql: str, exact: bool = True,
     tok12 = _TABLE_COL_TYPES.set(table_col_types or {})
     tok13 = _AUTO_SCALARS.set(auto_scalar_cols or set())
     tok14 = _UNNEST_COLLAPSE.set(unnest_filter_collapse)
+    tok15 = _STRICT_WINDOW.set(strict_window_frames)
     try:
         return _rewrite_druid_sql(sql, exact, tz)
     finally:
+        _STRICT_WINDOW.reset(tok15)
         _UNNEST_COLLAPSE.reset(tok14)
         _AUTO_SCALARS.reset(tok13)
         _TABLE_COL_TYPES.reset(tok12)
@@ -3099,6 +3104,103 @@ def _decoupled_unnest_filter_collapse(out: str) -> str:
     return out[:end] + extra + out[end:]
 
 
+def _strict_window_frames_check(out: str) -> None:
+    """context.strictWindowFrames (r13, default off): raise the
+    reference's window-frame refusals instead of answering as a
+    capability superset.  Spellings and rules are the reference's
+    DruidSqlValidator.validateWindow (sql/calcite/planner/
+    DruidSqlValidator.java:138-170):
+
+    - RANGE (or GROUPS) frames with a non-UNBOUNDED/CURRENT bound,
+    - FIRST_VALUE/LAST_VALUE over any frame with an offset bound,
+    - NTILE with any explicit frame,
+    - expression-based (non-literal) offset bounds.
+
+    The engine evaluates all of these correctly by default (Spark
+    frames are fully general); the flag exists so a drop-in
+    replacement can refuse exactly where the reference refuses."""
+
+    def bounds_of(spec: str):
+        """(lower, upper, frame_kind) token texts of the spec's frame
+        clause, or None when the spec has no explicit frame."""
+        fm = re.search(r"(?is)\b(ROWS|RANGE|GROUPS)\b(.*)$", spec)
+        if not fm:
+            return None
+        kind, rest = fm.group(1).upper(), fm.group(2).strip()
+        bm = re.match(r"(?is)^BETWEEN\s+(.+?)\s+AND\s+(.+)$", rest)
+        if bm:
+            return bm.group(1).strip(), bm.group(2).strip(), kind
+        return rest, "CURRENT ROW", kind
+
+    def is_unb_or_cur(b: str) -> bool:
+        return re.fullmatch(
+            r"(?is)UNBOUNDED\s+(PRECEDING|FOLLOWING)|CURRENT\s+ROW",
+            b.strip()) is not None
+
+    def check_frame(spec: str, fn: str | None):
+        bo = bounds_of(spec)
+        if bo is None:
+            return
+        lo, hi, kind = bo
+        if fn == "NTILE":
+            raise ValueError("Framing of NTILE is not supported.")
+        offs = [b for b in (lo, hi) if not is_unb_or_cur(b)]
+        for b in offs:
+            if not re.fullmatch(r"(?is)[\d.]+\s+(PRECEDING|FOLLOWING)",
+                                b.strip()):
+                raise ValueError(
+                    "Window frames with expression based lower/upper "
+                    "bounds are not supported.")
+        if fn in ("FIRST_VALUE", "LAST_VALUE") and offs:
+            raise ValueError(
+                "Framing of FIRST_VALUE/LAST_VALUE is only allowed "
+                "with UNBOUNDED or CURRENT ROW.")
+        if kind in ("RANGE", "GROUPS") and offs:
+            raise ValueError(
+                "Order By with RANGE clause currently supports only "
+                "UNBOUNDED or CURRENT ROW. Use ROWS clause instead.")
+
+    # named WINDOW definitions: name -> spec text
+    named: dict[str, str] = {}
+    for wm in re.finditer(r"(?is)\bWINDOW\s+(\w+)\s+AS\s*\(", out):
+        end = _find_spec_end(out, wm.end())
+        named[wm.group(1).lower()] = out[wm.end():end]
+        # comma-continued definitions in the same WINDOW clause
+        pos = end + 1
+        while True:
+            cm = re.match(r"(?is)\s*,\s*(\w+)\s+AS\s*\(", out[pos:])
+            if not cm:
+                break
+            s2 = pos + cm.end()
+            e2 = _find_spec_end(out, s2)
+            named[cm.group(1).lower()] = out[s2:e2]
+            pos = e2 + 1
+    # every named window is checked frame-wise (a bad frame is
+    # refused even if only aggregates reference it)
+    for spec in named.values():
+        check_frame(spec, None)
+    # function calls with OVER: attribute the spec to the function
+    for fm in re.finditer(r"(?is)\b(\w+)\s*\(", out):
+        fn = fm.group(1).upper()
+        close = _find_spec_end(out, fm.end())
+        om = re.match(r"(?is)\s*(?:IGNORE\s+NULLS\s+|RESPECT\s+NULLS"
+                      r"\s+)?OVER\s*(\(|\w+)", out[close + 1:])
+        if not om:
+            continue
+        if om.group(1) == "(":
+            ss = close + 1 + om.end()
+            spec = out[ss:_find_spec_end(out, ss)]
+            # a bare name inside parens is a named-window reference
+            nm = spec.strip().lower()
+            if nm in named:
+                spec = named[nm]
+        else:
+            spec = named.get(om.group(1).lower(), "")
+        check_frame(spec, fn)
+    # inline OVER specs not attached to a recognized call shape were
+    # all covered above (Druid SQL window functions are always calls)
+
+
 def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     """The rewrite pipeline body. `out` arrives with user string
     literals already masked (see _rewrite_druid_sql); every pass
@@ -3112,6 +3214,9 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
     # quirk flag: must see the pre-rewrite UNNEST spellings
     if _UNNEST_COLLAPSE.get() and re.search(r"(?is)\bUNNEST\s*\(", out):
         out = _decoupled_unnest_filter_collapse(out)
+    # strict-refusal compat mode: must see the pre-rewrite frames
+    if _STRICT_WINDOW.get() and re.search(r"(?is)\bOVER\b", out):
+        _strict_window_frames_check(out)
     # Scalar string/IP/parse functions over a REAL ARRAY argument are
     # Calcite validation errors in the reference ("Cannot apply 'FN'
     # to arguments of type ..."); over MVDs (VARCHAR) they map

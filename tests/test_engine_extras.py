@@ -540,3 +540,57 @@ def test_decoupled_unnest_filter_collapse_flag(engine):
         "SET decoupledUnnestFilterCollapse = true;\n" + or_body
     ).collect())
     assert n_default == n_flagged > 0
+
+
+def test_strict_window_frames_flag(engine):
+    """context.strictWindowFrames (r13): opt-in reproduction of the
+    reference's window-frame refusals (DruidSqlValidator.java:138-170)
+    — by default the engine answers these shapes correctly (Spark
+    frames are fully general); under the flag it refuses with the
+    reference's spellings so a drop-in replacement can match its
+    error surface."""
+    import pytest
+
+    on = "SET strictWindowFrames = true;\n"
+    # default: RANGE offset frames answer fine (capability superset)
+    q_range = ("SELECT o_custkey, SUM(o_totalprice) OVER ("
+               "ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND "
+               "CURRENT ROW) AS s FROM orders LIMIT 5")
+    assert len(engine.sql(q_range).collect()) == 5
+    with pytest.raises(Exception, match="RANGE clause currently "
+                       "supports only UNBOUNDED or CURRENT ROW"):
+        engine.sql(on + q_range)
+    # FIRST_VALUE / LAST_VALUE with an offset frame (both BETWEEN and
+    # the single-bound spelling)
+    q_fv = ("SELECT FIRST_VALUE(o_totalprice) OVER (ORDER BY "
+            "o_orderkey ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) "
+            "AS f FROM orders LIMIT 5")
+    assert len(engine.sql(q_fv).collect()) == 5
+    with pytest.raises(Exception,
+                       match="Framing of FIRST_VALUE/LAST_VALUE"):
+        engine.sql(on + q_fv)
+    q_lv1 = ("SELECT LAST_VALUE(o_totalprice) OVER (ORDER BY "
+             "o_orderkey ROWS 0 FOLLOWING) AS f FROM orders LIMIT 5")
+    with pytest.raises(Exception,
+                       match="Framing of FIRST_VALUE/LAST_VALUE"):
+        engine.sql(on + q_lv1)
+    # named WINDOW definitions are validated too
+    q_named = ("SELECT SUM(o_totalprice) OVER w AS s FROM orders "
+               "WINDOW w AS (ORDER BY o_orderkey RANGE 2 PRECEDING) "
+               "LIMIT 5")
+    with pytest.raises(Exception, match="RANGE clause"):
+        engine.sql(on + q_named)
+    # NTILE with an explicit frame
+    with pytest.raises(Exception, match="Framing of NTILE"):
+        engine.sql(on + "SELECT NTILE(4) OVER (ORDER BY o_orderkey "
+                   "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS n "
+                   "FROM orders LIMIT 5")
+    # legal frames still pass under the flag
+    ok = ("SELECT SUM(o_totalprice) OVER (ORDER BY o_orderkey "
+          "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s, "
+          "FIRST_VALUE(o_totalprice) OVER (ORDER BY o_orderkey "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f, "
+          "AVG(o_totalprice) OVER (ORDER BY o_orderkey RANGE BETWEEN "
+          "UNBOUNDED PRECEDING AND CURRENT ROW) AS a "
+          "FROM orders LIMIT 5")
+    assert len(engine.sql(on + ok).collect()) == 5
