@@ -1323,9 +1323,11 @@ def q_shard_pack(spark, sf):
 def q_split_assign(spark, sf):
     """Leakage-safe train/val/test assignment: split chosen by hashing
     the doc's dedup-cluster id (connected components over exact-dup
-    fingerprints), so duplicates always share a split. Hash-specific →
-    rows-only; tests/test_datapipe.py asserts the one-split-per-cluster
-    invariant."""
+    fingerprints), so duplicates always share a split. The bucket is
+    the first 60 bits of md5(seed|key) (r13) — portable, so the
+    DuckDB oracle pins the assignment value-for-value;
+    tests/test_datapipe.py additionally asserts the
+    one-split-per-cluster invariant."""
     from druid_spark.datapipe.dedup import normalize
     from druid_spark.datapipe.sample import assign_splits
     docs = _engine(spark, sf).catalog.table("documents")
@@ -11649,6 +11651,27 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id,
                    count(*) AS group_size
             FROM documents GROUP BY 1""",
+        # r13: the split bucket is the first 60 bits of md5('0|'||key)
+        # (druid_spark/datapipe/sample.py assign_splits) — portable,
+        # so the assignment is pinned value-for-value, not rows-only
+        "split_assign": f"""
+            WITH keyed AS (
+              SELECT md5({_NORM}) AS cluster_key FROM documents),
+            b AS (
+              SELECT cluster_key,
+                     CAST(('0x' || substring(md5('0|' || cluster_key),
+                                             1, 15)) AS BIGINT)
+                       % 1000000 AS bucket
+              FROM keyed),
+            s AS (
+              SELECT cluster_key,
+                     CASE WHEN bucket < 980000 THEN 'train'
+                          WHEN bucket < 990000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM b)
+            SELECT split, count(*) AS docs,
+                   count(DISTINCT cluster_key) AS clusters
+            FROM s GROUP BY split ORDER BY split""",
         "repetition_profile": """
             WITH t AS (SELECT doc_id,
                               string_split(regexp_replace(trim(text),

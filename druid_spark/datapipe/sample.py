@@ -48,9 +48,21 @@ def assign_splits(df: DataFrame, key: str,
     """Add a `split` column (train/val/test by default) assigned by
     hashing `key`. Hash the dedup cluster id (connected_components)
     rather than the doc id and near-duplicates land in the same split —
-    the leakage-safe construction. Pure expression, no shuffle."""
+    the leakage-safe construction. Pure expression, no shuffle.
+
+    The bucket is the first 60 bits of md5(seed|key) (r13) — a
+    PORTABLE derivation any engine reproduces exactly (DuckDB:
+    CAST('0x'||substring(md5(...),1,15) AS BIGINT); the bank's
+    split_assign oracle pins it value-for-value), so a split
+    membership decided here can be re-derived outside Spark.  The
+    sampling paths (hash_sample/temperature) keep the cheaper
+    xxhash64 — membership there is engine-internal."""
     splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
-    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(key)), F.lit(1_000_000))
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key))),
+            1, 15), 16, 10).cast("long"),
+        F.lit(1_000_000))
     expr, acc = None, 0.0
     for name, frac in splits.items():
         acc += frac
