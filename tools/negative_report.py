@@ -66,7 +66,11 @@ def classify(sql: str, expected: str, case_id: str = "") -> tuple[str, bool]:
     if "framing of first_value/last_value" in e:
         # Calcite refuses offset frames on FIRST/LAST_VALUE
         # (qaWin orderby_* _first_last !error families); Spark
-        # evaluates them with standard framed semantics
+        # evaluates them with standard framed semantics.  r13: the
+        # opt-in `SET strictWindowFrames = true` raises the
+        # reference's refusal spelling for drop-in compatibility
+        # (sqlshim._strict_window_frames_check) — the default stays
+        # the capability superset
         return ("first_last_offset_frame", True)
     if e.strip() in ("size", "['size']") or "exceeds" in e \
             or (e.strip().lower().startswith("not enough")
@@ -79,6 +83,8 @@ def classify(sql: str, expected: str, case_id: str = "") -> tuple[str, bool]:
         return ("reference_size_limit", True)
     if re.search(r"RANGE\s+BETWEEN\s+\d+|RANGE\s+\d+\s+"
                  r"(PRECEDING|FOLLOWING)", s):
+        # r13: `SET strictWindowFrames = true` opts in to the
+        # reference's refusal for these too (default: superset)
         return ("range_offset_frame", True)
     if "window frame" in e or "incorrect results" in e \
             or "frame" in e:
