@@ -124,12 +124,21 @@ def staged_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     treated as empty (0 tokens, ratios 0, lang 'und') — without the
     guard, size(split(NULL)) is -1 and every ratio goes septic."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    stage1 = df.withColumns({
-        "__toks": F.transform(tokens(t), lambda x: F.lower(x)),
+    # __toks: lower the WHOLE string once then split once — identical
+    # token list to transform(tokens(t), lower) (no lowercase mapping
+    # introduces whitespace, so token boundaries are unchanged) without
+    # the second split the old n_tokens expression paid (r13: the two
+    # expressions inlined `split` twice per row; HOF projections are
+    # interpreted, no CSE). n_tokens then reuses the staged array —
+    # size(__toks) == size(tokens(t)) for the same reason.
+    stage0 = df.withColumns({
+        "__toks": F.split(F.lower(F.trim(t)), r"\s+"),
+    })
+    stage1 = stage0.withColumns({
         "__len": F.length(t),
         "__len_nopunct": F.length(F.regexp_replace(t, r"[^\w\s]", "")),
         "n_tokens": F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-            F.size(tokens(t))).cast("long"),
+            F.size(F.col("__toks"))).cast("long"),
     })
     def _hits(sw):
         return F.size(F.filter(F.col("__toks"),
