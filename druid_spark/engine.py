@@ -208,6 +208,13 @@ class DruidSparkEngine:
         self.tasks: list[dict[str, Any]] = []
         if data_dir:
             self.catalog.register_dir(data_dir)
+        # Overlap the one-time per-session SQL-function DDL pass (~80
+        # CREATE FUNCTION statements, seconds on a cold JVM) with
+        # engine warm-up instead of serializing it into the first
+        # interactive sql() call; the session-scoped stamp makes this a
+        # no-op for every later engine on the same session.
+        from druid_spark.functions.register import prewarm_druid_functions
+        prewarm_druid_functions(self.spark)
 
     # -------------------------------------------------------- public API
     def query(self, q: dict[str, Any]) -> DataFrame:

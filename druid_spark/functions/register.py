@@ -852,8 +852,44 @@ def _json_complex_hash_series(s):
     return s.apply(one)
 
 
+# Session-scoped registration stamp: the temp-function surface lives on
+# the SparkSession, so several engines sharing one session must not each
+# re-run the ~80 CREATE FUNCTION round-trips (measured seconds per pass,
+# dominated by per-statement parse). Weakly keyed by the session object
+# (same rationale as engine._SQL_VIEWS_STAMP); the lock serializes the
+# background prewarm thread against a foreground sql() racing it.
+import threading as _threading
+import weakref as _weakref
+
+_REG_LOCK = _threading.Lock()
+_REG_STAMP: "_weakref.WeakKeyDictionary[SparkSession, int]" = \
+    _weakref.WeakKeyDictionary()
+
+
 def register_druid_functions(spark: SparkSession) -> int:
-    """Idempotently register the surface; returns count registered."""
+    """Idempotently register the surface (once per SparkSession);
+    returns the session's registered-function count either way."""
+    with _REG_LOCK:
+        if _REG_STAMP.get(spark):
+            return _REG_STAMP[spark]
+        n = _register_druid_functions_impl(spark)
+        _REG_STAMP[spark] = n
+        return n
+
+
+def prewarm_druid_functions(spark: SparkSession) -> "_threading.Thread":
+    """Kick off function registration on a daemon thread so the one-time
+    ~80-statement DDL pass overlaps engine warm-up instead of landing on
+    the first interactive sql() call. Callers needing the surface just
+    call register_druid_functions() — the stamp + lock make the join
+    implicit and idempotent."""
+    t = _threading.Thread(target=lambda: register_druid_functions(spark),
+                          name="druid-fn-prewarm", daemon=True)
+    t.start()
+    return t
+
+
+def _register_druid_functions_impl(spark: SparkSession) -> int:
     n = 0
     # python-backed helpers FIRST: SQL temporary-function bodies that
     # delegate to them resolve the reference at creation
