@@ -43,9 +43,14 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition a narrow input to full parallelism before CPU-heavy
     per-row compute. Small tables often arrive as a single parquet file
     (1 scan partition); the shuffle moves only (id, text) and unlocks
-    every core. At real scale inputs are already many-partitioned and
-    this is a cheap round-robin rebalance."""
+    every core. When the input already has at least target partitions
+    (the normal case at real scale), skip the repartition outright —
+    a keyless repartition is a full shuffle of every byte plus the
+    sort-before-repartition pass, pure waste on an already-parallel
+    input (guide §2.4: remove shuffles outright)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 
