@@ -123,6 +123,12 @@ def staged_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     lang_pred, fingerprint (+ drops its __ intermediates). NULL text is
     treated as empty (0 tokens, ratios 0, lang 'und') — without the
     guard, size(split(NULL)) is -1 and every ratio goes septic."""
+    # NOTE (r13): a parallelizing repartition here (as the dedup
+    # operators do) was tried and REVERTED — it reorders rows, which
+    # reorders downstream float sums, and text_quality_by_source's
+    # round(sum(quality), 3) measurably flipped a half-way case at
+    # sf0.1 (175.653 vs the oracle's 175.652). Callers that aggregate
+    # order-insensitively can repartition the input themselves.
     t = F.coalesce(F.col(text_col), F.lit(""))
     # __toks: lower the WHOLE string once then split once — identical
     # token list to transform(tokens(t), lower) (no lowercase mapping
