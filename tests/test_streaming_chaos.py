@@ -53,18 +53,36 @@ def _run_until(spark, start_supervisor, spec, whdir, n):
     return ingest
 
 
+def _rm_log_entry(logdir, name):
+    os.remove(os.path.join(logdir, name))
+    crc = os.path.join(logdir, f".{name}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
 def _kill(ingest, kill_point: str) -> None:
     """Mutate checkpoint + sink to the state a crash at `kill_point`
-    of the NEWEST batch would leave behind."""
+    of the NEWEST COMMITTED batch would leave behind."""
     if kill_point == "post_commit":
         return
     commits = os.path.join(ingest.checkpoint, "commits")
     newest = max((f for f in os.listdir(commits)
                   if not f.startswith(".")), key=int)
-    os.remove(os.path.join(commits, newest))
-    crc = os.path.join(commits, f".{newest}.crc")
-    if os.path.exists(crc):
-        os.remove(crc)
+    _rm_log_entry(commits, newest)
+    # A crash INSIDE batch `newest` happens before offsets for any
+    # later batch exist, but at q.stop() the offsets WAL may have raced
+    # one batch ahead (an in-flight empty batch). Leaving those offsets
+    # fabricates a state no real crash produces — Spark's restart
+    # replays only the single latest uncommitted batch, so it would
+    # silently skip `newest` and never rewrite its killed part files.
+    # Truncate offsets (and any later batch dirs) to the killed batch.
+    offsets = os.path.join(ingest.checkpoint, "offsets")
+    for f in os.listdir(offsets):
+        if not f.startswith(".") and int(f) > int(newest):
+            _rm_log_entry(offsets, f)
+    for fn in os.listdir(ingest.tail):
+        if fn.startswith("batch=") and int(fn.split("=")[1]) > int(newest):
+            shutil.rmtree(os.path.join(ingest.tail, fn))
     if kill_point == "post_write_pre_commit":
         return
     bdir = os.path.join(ingest.tail, f"batch={newest}")
