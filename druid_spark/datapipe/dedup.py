@@ -164,6 +164,67 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
         F.transform(pairs, lambda p: p.h1 + i * p.h2)))
 
 
+def _km_fold_udf(num_hashes: int):
+    """Arrow-batched Kirsch-Mitzenmacher min fold:
+    sig[i] = min over shingles of (h1 + i*h2), int64 wraparound.
+
+    The per-shingle (h1, h2) xxhash64 pairs stay JVM-side (bit-exact
+    Spark hashes); only the 64-way min fold moves to numpy, whose int64
+    arithmetic wraps exactly like Java long — signatures are
+    bit-identical to minhash_signature (pinned by
+    test_minhash_np_fold_matches_column_fold and verified with
+    exceptAll at 50k docs). The interpreted HOF fold evaluates
+    64 x n_shingles expression nodes per row; one reduceat per hash
+    index over the concatenated batch measured 2.1x faster on the
+    signature stage (2.73 s -> 1.32 s at 50k docs) — the same
+    documented vectorized-UDF exception to no-Python-in-the-data-path
+    as _band_signature_udf."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fold(h1s, h2s):
+        n = len(h1s)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(a) for a in h1s), dtype=np.int64, count=n)
+        out = np.empty((n, num_hashes), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            H1 = np.concatenate([np.asarray(a, dtype=np.int64)
+                                 for a in h1s[nz]])
+            H2 = np.concatenate([np.asarray(a, dtype=np.int64)
+                                 for a in h2s[nz]])
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            col = H1.copy()
+            sub = np.empty((int(nz.sum()), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                sub[:, i] = np.minimum.reduceat(col, starts)
+                col += H2
+            out[nz] = sub
+        res = pd.Series(list(out))
+        if (~nz).any():
+            # minhash_signature: array_min over an empty array is NULL
+            res[~nz] = pd.Series([[None] * num_hashes] * int((~nz).sum()),
+                                 index=np.nonzero(~nz)[0])
+        return res
+
+    # module uses `from __future__ import annotations` (string hints),
+    # which pandas_udf's inference can't evaluate — attach real classes
+    fold.__annotations__ = {"h1s": pd.Series, "h2s": pd.Series,
+                            "return": pd.Series}
+    return pandas_udf("array<bigint>")(fold)
+
+
+def minhash_signature_fast(shingles: Column, num_hashes: int = 64) -> Column:
+    """minhash_signature with the min fold in an Arrow batch (see
+    _km_fold_udf) — bit-identical output, ~2x faster per scanned row."""
+    h1 = F.transform(shingles, lambda s: F.xxhash64(s))
+    h2 = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(1)))
+    return _km_fold_udf(num_hashes)(h1, h2)
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       num_hashes: int = 64, bands: int = 16,
@@ -191,7 +252,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select("id", word_tokens(F.col(text_col)).alias("__toks"))
             .select("id", shingles_of(F.col("__toks"), k).alias("sh"))
             .select("id", "sh",
-                    minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+                    minhash_signature_fast(F.col("sh"),
+                                           num_hashes).alias("sig"))
             .persist())
     # one higher-order transform over the band indices instead of
     # `bands` Python-built struct copies — ~10x smaller expression tree,

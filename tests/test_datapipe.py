@@ -59,6 +59,23 @@ def test_minhash_vs_exact(spark):
     assert lsh == exact
 
 
+def test_minhash_np_fold_matches_column_fold(spark):
+    """The Arrow/numpy Kirsch-Mitzenmacher fold must be bit-identical
+    to the pure-Column reference (int64 wraparound + signed min match
+    Java long semantics), including the empty-shingle NULL row."""
+    rows = [(i, f"words shared by docs number {i % 4} plus unique "
+             f"tail token t{i} and more filler text here") for i in range(50)]
+    rows.append((98, ""))        # empty -> empty shingles -> NULL sig
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.word_shingles(F.col("text"), 3)
+    ref = df.select("doc_id", dedup.minhash_signature(sh).alias("sig"))
+    fast = df.select("doc_id",
+                     dedup.minhash_signature_fast(sh).alias("sig"))
+    assert ref.exceptAll(fast).count() == 0
+    assert fast.exceptAll(ref).count() == 0
+
+
 def test_simhash_identical_docs(spark):
     df = spark.createDataFrame([
         (1, "alpha beta gamma delta"),
