@@ -49,15 +49,18 @@ def char_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    nopunct = F.regexp_replace(text, r"[^\w\s]", "")
+    # regexp_count == length(t) - length(regexp_replace(t, pat, ''))
+    # for single-char patterns, without materializing the replaced
+    # string (r13: one regex pass instead of replace + two lengths)
+    npunct = F.regexp_count(text, F.lit(r"[^\w\s]"))
     return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
-        (F.length(text) - F.length(nopunct)).cast("double") / F.length(text))
+        npunct.cast("double") / F.length(text))
 
 
 def upper_ratio(text: Column) -> Column:
-    noupper = F.regexp_replace(text, r"[A-Z]", "")
+    nupper = F.regexp_count(text, F.lit(r"[A-Z]"))
     return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
-        (F.length(text) - F.length(noupper)).cast("double") / F.length(text))
+        nupper.cast("double") / F.length(text))
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
@@ -142,7 +145,9 @@ def staged_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
     stage1 = stage0.withColumns({
         "__len": F.length(t),
-        "__len_nopunct": F.length(F.regexp_replace(t, r"[^\w\s]", "")),
+        # one regex pass; each [^\w\s] match is exactly one char, so
+        # this equals len - len(regexp_replace(t, pat, '')) bit-for-bit
+        "__npunct": F.regexp_count(t, F.lit(r"[^\w\s]")),
         "n_tokens": F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
             F.size(F.col("__toks"))).cast("long"),
     })
@@ -155,8 +160,7 @@ def staged_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stage2 = stage1.withColumns({
         **hit_cols,
         "__pr_raw": F.when(F.col("__len") == 0, F.lit(0.0)).otherwise(
-            (F.col("__len") - F.col("__len_nopunct")).cast("double")
-            / F.col("__len")),
+            F.col("__npunct").cast("double") / F.col("__len")),
     })
     n = F.col("n_tokens")
     swr = F.when(n == 0, F.lit(0.0)).otherwise(
@@ -175,7 +179,7 @@ def staged_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                       .when(f_ == m, F.lit("fr")).otherwise(F.lit("es"))),
         "fingerprint": fingerprint(t),
     })
-    return stage3.drop("__toks", "__len", "__len_nopunct", "__pr_raw",
+    return stage3.drop("__toks", "__len", "__npunct", "__pr_raw",
                        *[f"__hits_{x}" for x in STOPWORDS])
 
 
