@@ -529,19 +529,31 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                     .alias("cos"))
             .where(F.col("cos") >= threshold), "id_a", "id_b")
     sig = _band_signature_udf(bands, band_width)
+    # the vector NORM is a per-vector quantity: fold it once here and
+    # attach it to both verify sides, so each candidate pair pays ONE
+    # fold (the dot) instead of three — same sqrt(fold) doubles, so
+    # cos = dot / (na * nb) is bit-identical to cosine(va, vb)
+    # (proven: unrounded exceptAll = 0 over all candidate pairs)
     sigs = (_spread(df.select(F.col(id_col).alias("id"),
                               F.col(vec_col).cast("array<double>").alias("v")))
             .select("id", "v", sig(F.col("v")).alias("bv"))
+            .selectExpr("id", "v", "bv",
+                        "sqrt(aggregate(transform(v, x -> x * x), 0.0D, "
+                        "(acc, x) -> acc + x)) AS nrm")
             .persist())
     banded = sigs.select("id", F.posexplode("bv").alias("band", "bh"))
     cand = _bucket_pairs(banded)
-    va = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    va = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, "
+                 "(acc, x) -> acc + x)")
     # same narrow-build shuffled-hash shape as the minhash verify join
     return _ordered_pairs(
         cand.hint("shuffle_hash").join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+                F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos"))
         .where(F.col("cos") >= threshold), "id_a", "id_b")
 
 
