@@ -519,13 +519,24 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     a_ids = F.col(id_col).alias("id_a")
     b_ids = F.col(id_col).alias("id_b")
     if exact:
-        a = df.select(a_ids, F.col(vec_col).cast("array<double>").alias("va"))
-        b = df.select(b_ids, F.col(vec_col).cast("array<double>").alias("vb"))
+        # per-vector norms folded once per side (see the LSH arm below;
+        # bit-identical to cosine(va, vb)) — on the O(n^2) pair volume
+        # this saves two of the three folds per pair
+        nrm = ("sqrt(aggregate(transform({v}, x -> x * x), 0.0D, "
+               "(acc, x) -> acc + x))")
+        a = (df.select(a_ids,
+                       F.col(vec_col).cast("array<double>").alias("va"))
+             .selectExpr("id_a", "va", nrm.format(v="va") + " AS na"))
+        b = (df.select(b_ids,
+                       F.col(vec_col).cast("array<double>").alias("vb"))
+             .selectExpr("id_b", "vb", nrm.format(v="vb") + " AS nb"))
+        dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+                     "0.0D, (acc, x) -> acc + x)")
         return _ordered_pairs(
             a.crossJoin(b)
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 4)
+                    F.round(dot / (F.col("na") * F.col("nb")), 4)
                     .alias("cos"))
             .where(F.col("cos") >= threshold), "id_a", "id_b")
     sig = _band_signature_udf(bands, band_width)
