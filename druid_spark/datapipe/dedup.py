@@ -597,13 +597,16 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         neigh = (edges.join(lab.withColumnRenamed("id", "a"), "a")
                  .groupBy(F.col("b").alias("id"))
                  .agg(F.min("lab").alias("nlab")))
+        # checkpoint FIRST: the changed-count and the next round then
+        # both read the materialized rows — counting before the
+        # checkpoint executed the whole round's join+aggregate twice
         merged = (lab.join(neigh, "id", "left")
                   .select("id", "lab",
                           F.least("lab", F.coalesce("nlab", "lab"))
-                          .alias("new_lab")))
+                          .alias("new_lab"))
+                  .localCheckpoint())
         changed = merged.where(F.col("new_lab") != F.col("lab")).count()
-        lab = merged.select("id", F.col("new_lab").alias("lab")) \
-                    .localCheckpoint()
+        lab = merged.select("id", F.col("new_lab").alias("lab"))
         if changed == 0:
             break
     edges.unpersist()
