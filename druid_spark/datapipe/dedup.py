@@ -344,7 +344,16 @@ def _bucket_pairs(banded: DataFrame) -> DataFrame:
     there is no join build side — measured -16% on the candidate stage
     at 50k docs. A hot bucket is quadratic in either formulation (the
     join multiplies the same key group in the same partition), so this
-    changes constants, not the skew story."""
+    changes constants, not the skew story.
+
+    The repartition("id_a") BEFORE the dedup aggregate fuses two
+    exchanges into one (guide §2.4 "two operations keyed the same way
+    can often share one exchange"): HashPartitioning(id_a) satisfies
+    ClusteredDistribution(id_a, id_b) for dropDuplicates (subset rule)
+    AND ClusteredDistribution(id_a) for the verify join that every
+    caller performs next — the pair list is shuffled once instead of
+    twice. Interleaved A/B at 50k docs: candidate+verify section
+    med 4.36 -> 3.70 s (-15%), exceptAll = 0 both directions."""
     buckets = (banded.groupBy("band", "bh")
                .agg(F.collect_list("id").alias("ids"))
                .where(F.size("ids") >= 2))
@@ -353,6 +362,7 @@ def _bucket_pairs(banded: DataFrame) -> DataFrame:
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
         "y -> struct(least(x, y) as id_a, greatest(x, y) as id_b))))"))
     return (buckets.select(p.alias("p")).select("p.id_a", "p.id_b")
+            .repartition("id_a")
             .dropDuplicates(["id_a", "id_b"]))
 
 
