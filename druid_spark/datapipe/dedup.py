@@ -119,11 +119,23 @@ def _tokens_sql(col_sql: str) -> str:
 
 
 def _shingles_sql(toks_sql: str, k: int) -> str:
-    """shingles_of as a SQL fragment (see _tokens_sql)."""
+    """shingles_of as a SQL fragment (see _tokens_sql).
+
+    r14: each gram is built with concat(element_at(..), ' ', ..) instead
+    of array_join(slice(..)) — the slice allocated a fresh k-element
+    array per shingle and array_join looped it; concat goes straight to
+    one output string. Token elements are never NULL (the tokenizer
+    filters empties), so concat's NULL propagation can't differ from
+    array_join's NULL-skipping; the produced strings are byte-identical
+    (proven exceptAll = 0 at 50k docs) and the shingle stage measured
+    1.15 -> 0.59 s at 50k docs (tools/exp_shingle_ab.py). The
+    greatest(.., 0) guard was redundant under the size >= k branch."""
+    gram = ", ' ', ".join(
+        f"element_at({toks_sql}, i + {j + 1})" for j in range(k))
     return (
         f"CASE WHEN size({toks_sql}) >= {k} THEN array_distinct("
-        f"transform(sequence(0, greatest(size({toks_sql}) - {k}, 0)), "
-        f"i -> array_join(slice({toks_sql}, i + 1, {k}), ' '))) "
+        f"transform(sequence(0, size({toks_sql}) - {k}), "
+        f"i -> concat({gram}))) "
         f"WHEN size({toks_sql}) > 0 THEN array(array_join({toks_sql}, ' ')) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END")
 
@@ -309,12 +321,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .persist())
     # one higher-order transform over the band indices instead of
     # `bands` Python-built struct copies — ~10x smaller expression tree,
-    # halves per-query planning/codegen time; identical band hashes
+    # halves per-query planning/codegen time
+    # r14: the bucket key is the RAW rows_per_band-long signature slice
+    # (arrays group fine), not xxhash64 of its string join. The string
+    # join is injective on long arrays with a ',' separator, so "slices
+    # equal" == "joined strings equal" == "band hashes equal" (minus
+    # xxhash collisions, which the hash form could only ADD): the
+    # candidate set is IDENTICAL by construction (proven exceptAll = 0
+    # at 50k docs) while skipping num_hashes long->string casts plus
+    # `bands` array_joins and xxhash64 calls per document — candidate
+    # stage 1.63 -> 1.52 s at 50k docs (tools/exp_slice_band.py). The
+    # wider shuffle key (8*rows_per_band vs 8 bytes) is bounded by
+    # bands*rows = num_hashes longs per doc, the same as the signature
+    # itself.
     band_sql = (
         f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
-        f"xxhash64(array_join(transform(slice(sig, "
-        f"b * {rows_per_band} + 1, {rows_per_band}), "
-        f"x -> CAST(x AS STRING)), ',')) AS bh))")
+        f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}) AS bh))")
     banded = (sigs.select("id", F.explode(F.expr(band_sql)).alias("bb"))
               .select("id", "bb.band", "bb.bh"))
     cand = _bucket_pairs(banded)
