@@ -27,6 +27,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def host_noise_verdict(sentinel_start, sentinel_end, loadavg_1m, cpus,
+                       prev_floor=None):
+    """The noisy-host decision, factored out for unit testing.
+
+    Three trips: (a) END sentinel >25% slower than START — the host
+    lost capacity mid-run; (b) loadavg before start >2 runnable tasks
+    per core — shared machine from the first timed second; (c) r14:
+    START sentinel >1.5x the historical quiet-host floor for this core
+    count — a host that starts slow and recovers reads as benign JIT
+    warm-up to (a) (the r13 blind spot: every floor inflated ~1.6x
+    under noisy_host=false). Returns (noisy, slow_start, new_floor)."""
+    sentinel_spread = round(
+        (sentinel_end - sentinel_start) / max(sentinel_start, 1e-9), 3)
+    slow_start = bool(prev_floor is not None
+                      and sentinel_start > 1.5 * prev_floor)
+    new_floor = round(
+        min(prev_floor if prev_floor is not None else float("inf"),
+            sentinel_start, sentinel_end), 4)
+    noisy = bool(sentinel_spread > 0.25 or loadavg_1m > 2 * cpus
+                 or slow_start)
+    return noisy, slow_start, new_floor, sentinel_spread
+
+
 def build_queries(engine):
     """name -> zero-arg callable returning a DataFrame (collected by
     the timer)."""
@@ -286,19 +309,29 @@ def main():
     for t in ("lineitem", "orders", "events"):
         engine.catalog.table(t).count()
 
-    # Build BOTH scale caches now, BEFORE any timed section: writing
-    # 4.8 GB mid-run evicts page cache and contaminates whatever is
-    # timed next (round-2 lesson: the driver-recorded asymptotic sum
-    # read 0.285x baseline while an uncontaminated re-run showed 1.34x).
-    # cache paths are keyed by SF: a dev run at sf0.01 must not leave
-    # a 10x-smaller 20x fact for the driver's sf0.1 run to reuse (the
-    # fixed job cost then dominates and the recorded rates collapse —
-    # seen round 9: rollup 348k -> 85k rows/s/core from a poisoned
-    # cache)
     _sf_tag = os.path.basename(os.path.normpath(SF_DIR))
     cache20 = f"/tmp/druid_spark_bench_cache/li20_{_sf_tag}.parquet"
     cache600 = f"/tmp/druid_spark_bench_cache/li_col_600m_{_sf_tag}.parquet"
-    try:
+
+    def _build_caches():
+        """Build BOTH scale caches BEFORE any section that reads them:
+        writing 4.8 GB mid-run evicts page cache and contaminates
+        whatever is timed next (round-2 lesson: the driver-recorded
+        asymptotic sum read 0.285x baseline while an uncontaminated
+        re-run showed 1.34x). cache paths are keyed by SF: a dev run at
+        sf0.01 must not leave a 10x-smaller 20x fact for the driver's
+        sf0.1 run to reuse (the fixed job cost then dominates and the
+        recorded rates collapse — seen round 9: rollup 348k -> 85k
+        rows/s/core from a poisoned cache).
+
+        r14 (VERDICT r13 harness gap): called AFTER the sf0.1 headline
+        suite instead of before it — on a FIRST run the multi-GB
+        dataset writes used to precede the timed headline queries,
+        inflating every per-query floor ~1.6x while the signed-drift
+        sentinel (slow start that recovers looks like JIT warm-up)
+        self-certified the record clean. The per-query timing method
+        (warm + best-of-3 collect) is unchanged; only the section
+        order moved. Sections that read the caches all run after."""
         import functools
         li = engine.catalog.table("lineitem")
         if not os.path.exists(cache20):
@@ -393,19 +426,6 @@ def main():
                                     factor)).alias("v"))
                  .write.mode("overwrite").parquet(cache600))
         os.sync()
-    except Exception as e:
-        # a silently failed prebuild would degrade the asymptotic
-        # section into the contaminated regime (round-2 lesson) with no
-        # trace — make it attributable
-        print(f"WARN: bench cache prebuild failed "
-              f"({type(e).__name__}: {e}); amortized/asymptotic "
-              f"sections will run cold or be empty", file=sys.stderr)
-
-    # the 4.8 GB cache write above evicts page cache for the base
-    # tables — re-warm them (cheap) so the first timed cold numbers
-    # aren't inflated on a first run vs cached-rerun rounds
-    for t in ("lineitem", "orders", "events"):
-        engine.catalog.table(t).count()
 
     lineitem_rows = engine.catalog.table("lineitem").count()
 
@@ -414,6 +434,24 @@ def main():
     # by >25%, the host's capacity CHANGED during the run and the
     # record is not a valid round-over-round comparator — stamp
     # noisy_host rather than refuse, so the driver still gets a line.
+    # r14 (slow-START blind spot, VERDICT r13): the signed-drift rule
+    # can't see a host that STARTS slow and recovers (it reads as JIT
+    # warm-up) — exactly the r13 failure where every floor inflated
+    # ~1.6x under noisy_host=false. Additions-only fix: carry the
+    # historical quiet-host sentinel floor in bench_out.json (keyed by
+    # core count) and stamp noisy_host when the start sentinel exceeds
+    # 1.5x that floor.
+    _out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_out.json")
+    try:
+        with open(_out_path) as fh:
+            _prev_floors = (json.load(fh).get("host_noise", {})
+                            .get("sentinel_floor_sec") or {})
+        _prev_floors = {k: float(v) for k, v in _prev_floors.items()}
+    except Exception:
+        _prev_floors = {}
+    _prev_floor = _prev_floors.get(str(CPUS))
+
     def _sentinel_time():
         fn = queries["count_star"]
         len(fn().collect())
@@ -476,6 +514,23 @@ def main():
     except Exception as e:
         tpch["error"] = str(e)[:200]
 
+    # cache prebuild for every section below — AFTER the sf0.1 timed
+    # suites (see _build_caches docstring for why the order matters)
+    try:
+        _build_caches()
+    except Exception as e:
+        # a silently failed prebuild would degrade the asymptotic
+        # section into the contaminated regime (round-2 lesson) with no
+        # trace — make it attributable
+        print(f"WARN: bench cache prebuild failed "
+              f"({type(e).__name__}: {e}); amortized/asymptotic "
+              f"sections will run cold or be empty", file=sys.stderr)
+    # the 4.8 GB cache write above evicts page cache for the base
+    # tables — re-warm them (cheap) so later base-table sections aren't
+    # inflated on a first run vs cached-rerun rounds
+    for t in ("lineitem", "orders", "events"):
+        engine.catalog.table(t).count()
+
     # TPC-H at 20x (12M-row lineitem, remapped keys): the sf0.1 suite
     # above is fixed-job-cost dominated, so round-over-round perf
     # tracking for the heavy join queries happens HERE, in the
@@ -495,16 +550,40 @@ def main():
         texts20["q18"] = entrymod._SQL_CASES["sqlc_tpch_q18"][0]
         n20 = eng20.catalog.table("lineitem").count()
         per20 = {}
+        spread20 = {}
+        warms20 = {}
         for qn in sorted(texts20):
-            len(eng20.sql(texts20[qn]).collect())  # warm
-            best = float("inf")
+            # r14 measurement fix (documented in OPTIMIZATION_r14.md):
+            # warm until steady instead of exactly once. By this point
+            # the JVM has planned/codegen'd ~150 queries and the C2
+            # compile queue can be seconds deep; a single warm left
+            # q18's hot SMJ/agg loops running INTERPRETED through the
+            # timed iterations (observed 0.95 -> 12.7 s spread on
+            # identical code/data; totalCompilationTime 125-139 s).
+            # JMH-style: warm up to 5x until two consecutive warm runs
+            # agree within 20%, then the same best-of-2 timing as
+            # before. n_warms/spread are recorded so a backlog that
+            # persists is visible instead of silently folded in.
+            warm_runs = []
+            for _ in range(5):
+                t0 = time.time()
+                len(eng20.sql(texts20[qn]).collect())
+                warm_runs.append(time.time() - t0)
+                if (len(warm_runs) >= 2 and warm_runs[-1]
+                        <= 1.2 * min(warm_runs) and warm_runs[-2]
+                        <= 1.2 * min(warm_runs)):
+                    break
+            warms20[qn] = len(warm_runs)
+            runs = []
             for _ in range(2):
                 t0 = time.time()
                 len(eng20.sql(texts20[qn]).collect())
-                best = min(best, time.time() - t0)
-            per20[qn] = round(best, 4)
+                runs.append(time.time() - t0)
+            per20[qn] = round(min(runs), 4)
+            spread20[qn] = round(max(runs) - min(runs), 4)
         tpch20 = {
             "lineitem_rows": n20, "queries": per20,
+            "spread": spread20, "n_warms": warms20,
             "suite_sec": round(sum(per20.values()), 4),
             "q1_rows_per_sec_per_core": round(
                 n20 / max(per20["q1"], 1e-9) / CPUS),
@@ -860,18 +939,21 @@ def main():
             eng1.catalog.register_table(t, spark.read.parquet(p))
         q1s = build_queries(eng1)
         per1 = {}
+        spread1 = {}
         for name, fn in q1s.items():
             len(fn().collect())          # warm (codegen + page cache)
-            best = float("inf")
+            runs = []
             for _ in range(2):
                 t0 = time.time()
                 len(fn().collect())
-                best = min(best, time.time() - t0)
-            per1[name] = round(best, 4)
+                runs.append(time.time() - t0)
+            per1[name] = round(min(runs), 4)
+            spread1[name] = round(max(runs) - min(runs), 4)
         sf1_suite = {
             "sf": 1,
             "lineitem_rows": eng1.catalog.table("lineitem").count(),
             "queries": per1,
+            "spread": spread1,
             "total_sec": round(sum(per1.values()), 4),
         }
     except Exception as e:
@@ -885,16 +967,21 @@ def main():
     sentinel_spread = round(
         (sentinel_end - sentinel_start)
         / max(sentinel_start, 1e-9), 3)
+    # slow-START detection (r14): see host_noise_verdict — the floor
+    # ratchets down monotonically and rides along in bench_out.json.
+    noisy, slow_start, new_floor, _ = host_noise_verdict(
+        sentinel_start, sentinel_end, loadavg_start[0], CPUS,
+        _prev_floor)
+    _prev_floors[str(CPUS)] = new_floor
     host_noise = {
         "loadavg_before_start": loadavg_start,
         "sentinel_query": "count_star",
         "sentinel_start_sec": sentinel_start,
         "sentinel_end_sec": sentinel_end,
         "sentinel_spread": sentinel_spread,
-        # loadavg gate: >2 runnable tasks per core before we started
-        # means we shared the machine from the first timed second
-        "noisy_host": bool(sentinel_spread > 0.25
-                           or loadavg_start[0] > 2 * CPUS),
+        "sentinel_floor_sec": _prev_floors,
+        "slow_start_vs_floor": slow_start,
+        "noisy_host": noisy,
     }
     if host_noise["noisy_host"]:
         print(f"WARN: noisy host detected (sentinel spread "

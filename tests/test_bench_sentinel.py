@@ -1,0 +1,64 @@
+"""r14 bench-harness guard: the noisy-host verdict must catch a host
+that STARTS slow and recovers (the r13 blind spot — every per-query
+floor inflated ~1.6x while the signed-drift sentinel self-certified
+the record clean), while keeping the two r12-era trips (end-slower
+drift, pre-start loadavg) and the benign JIT-warm-up case intact.
+
+Pure-python: imports bench for host_noise_verdict only (no Spark)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import host_noise_verdict
+
+
+def test_quiet_host_with_jit_warmup_is_benign():
+    # start 0.050 -> end 0.023 on a quiet host: faster end is JIT
+    # warm-up, floor 0.03 not exceeded by >1.5x
+    noisy, slow_start, floor, spread = host_noise_verdict(
+        0.050, 0.023, loadavg_1m=0.1, cpus=32, prev_floor=0.040)
+    assert not noisy and not slow_start
+    assert floor == 0.023  # ratchets down to the new best
+    assert spread < 0
+
+
+def test_slow_start_that_recovers_is_flagged():
+    # the r13 failure mode: start sentinel 0.058 decaying to 0.020 with
+    # a historical quiet floor of 0.020 — signed drift is negative
+    # (looks like warm-up) but the start is 2.9x the floor
+    noisy, slow_start, floor, _ = host_noise_verdict(
+        0.058, 0.020, loadavg_1m=0.1, cpus=32, prev_floor=0.020)
+    assert noisy and slow_start
+    assert floor == 0.020
+
+
+def test_no_history_means_no_slow_start_verdict():
+    # first run ever: no floor to compare against; only the two
+    # original trips apply
+    noisy, slow_start, floor, _ = host_noise_verdict(
+        0.058, 0.020, loadavg_1m=0.1, cpus=32, prev_floor=None)
+    assert not noisy and not slow_start
+    assert floor == 0.020  # seeds the history
+
+
+def test_end_slower_drift_still_trips():
+    noisy, slow_start, _, spread = host_noise_verdict(
+        0.030, 0.060, loadavg_1m=0.1, cpus=32, prev_floor=0.030)
+    assert noisy and not slow_start and spread > 0.25
+
+
+def test_loadavg_gate_still_trips():
+    noisy, _, _, _ = host_noise_verdict(
+        0.030, 0.030, loadavg_1m=80.0, cpus=32, prev_floor=0.030)
+    assert noisy
+
+
+def test_floor_never_rises():
+    # a noisy run must not poison the floor upward
+    _, _, floor, _ = host_noise_verdict(
+        0.090, 0.080, loadavg_1m=0.1, cpus=32, prev_floor=0.020)
+    assert floor == 0.020

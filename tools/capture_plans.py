@@ -1,5 +1,6 @@
 """Capture .explain("formatted") for every bench headline query into
-plans/r13/<query>_<tag>.txt (tag = before/after).
+plans/<round>/<query>_<tag>.txt (tag = before/after; round from
+$PLANS_ROUND, default r14).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
 Driver-side only (planning, no execution) — safe to run beside a bench.
@@ -16,8 +17,9 @@ from druid_spark import DruidSparkEngine
 from druid_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r13")
+OUT = os.environ.get("PLANS_OUT") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans", os.environ.get("PLANS_ROUND", "r14"))
 
 
 def formatted(df) -> str:
