@@ -111,6 +111,33 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def _single_partition_scan(df: DataFrame) -> bool:
+    """True iff df scans as ONE partition we can prove cheaply: a
+    single local file no bigger than maxPartitionBytes (the ~16 ms
+    inputFiles probe, same trick as dedup._spread). Anything uncertain
+    returns False — the caller then leaves the plan exactly as r13."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if target <= 1:
+        return False
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    if len(files) != 1 or not files[0].startswith("file:"):
+        return False
+    import os
+    from urllib.parse import unquote, urlparse
+    from .dedup import _parse_bytes
+    try:
+        size = os.path.getsize(unquote(urlparse(files[0]).path))
+        mpb = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"),
+            128 * 1024 * 1024)
+    except Exception:
+        return False
+    return size <= mpb
+
+
 def staged_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Text features computed in STAGES: the token array, lengths and
     per-language stopword hits are projected once as named columns, and
@@ -126,18 +153,36 @@ def staged_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     lang_pred, fingerprint (+ drops its __ intermediates). NULL text is
     treated as empty (0 tokens, ratios 0, lang 'und') — without the
     guard, size(split(NULL)) is -1 and every ratio goes septic."""
-    # NOTE (r13): a parallelizing repartition here (as the dedup
-    # operators do) was tried and REVERTED — it reorders rows, which
-    # reorders downstream float sums, and text_quality_by_source's
-    # round(sum(quality), 3) measurably flipped a half-way case at
-    # sf0.1 (175.653 vs the oracle's 175.652). Callers that aggregate
-    # order-insensitively can repartition the input themselves.
+    # Parallelism (r14, VERDICT r13 #8): a plain parallelizing
+    # repartition was tried in r13 and REVERTED — it reorders rows,
+    # which reorders downstream float sums, and
+    # text_quality_by_source's round(sum(quality), 3) measurably
+    # flipped a half-way case at sf0.1 (175.653 vs the oracle's
+    # 175.652). The r14 form parallelizes WITHOUT changing any
+    # accumulation order: when the scan is provably a single partition
+    # (one local file under maxPartitionBytes — the case where the
+    # regex-heavy feature stage ran single-core), the row position is
+    # captured first (monotonically_increasing_id over one partition =
+    # 0..n-1 in row order), the rows spread across every core for the
+    # per-row compute, and the result funnels back to one partition
+    # sorted by that position — downstream aggregates then accumulate
+    # in EXACTLY the original row order, so float sums are
+    # byte-identical by construction (verified against the trap case
+    # explicitly + full oracle). Multi-partition inputs are left
+    # untouched: they already run parallel, and re-ordering their
+    # nondeterministic partial-merge order would CHANGE results.
     # All stages are emitted as parsed SQL fragments (one py4j round
     # trip per selectExpr instead of one per Column call): the Column-
     # built tree cost ~0.25 s of driver time per query — more than a
     # third of the warm wall time at bench scale. Same staged
     # structure, same expressions, output proven byte-identical
     # (ordered collect equality at 5k and 50k docs, oracle green).
+    spread = _single_partition_scan(df)
+    if spread:
+        df = df.selectExpr(
+            "*", "monotonically_increasing_id() AS __pos")
+        df = df.repartition(df.sparkSession.sparkContext
+                            .defaultParallelism)
     tc = f"coalesce(`{text_col}`, '')"
     # __toks: lower the WHOLE string once then split once — identical
     # token list to transform(tokens(t), lower) (no lowercase mapping
@@ -183,8 +228,16 @@ def staged_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"md5(lower(regexp_replace(trim({tc}), '\\\\s+', ' ')))"
         f" AS fingerprint",
     )
-    return stage3.drop("__toks", "__len", "__npunct", "__pr_raw",
-                       *[f"__hits_{x}" for x in STOPWORDS])
+    out = stage3.drop("__toks", "__len", "__npunct", "__pr_raw",
+                      *[f"__hits_{x}" for x in STOPWORDS])
+    if spread:
+        # funnel back to one partition in the ORIGINAL row order (see
+        # the parallelism note above): only the computed feature rows
+        # move, and every downstream accumulation sees the same
+        # sequence it saw when the scan itself was the one partition
+        out = (out.repartition(1).sortWithinPartitions("__pos")
+               .drop("__pos"))
+    return out
 
 
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
