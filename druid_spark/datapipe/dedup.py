@@ -309,6 +309,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     the index (they generate quadratic candidates but only ever connect
     boilerplate); the verification step keeps results exact w.r.t. the
     remaining shingle space.
+
+    Output is totally ordered by (id_a, id_b); small pair lists arrive
+    as ONE partition (inputs > 256 MB switch to a distributed range
+    sort — see _ordered_pairs).
     """
     docs = (_spread(df.select(F.col(id_col).alias("id"), F.col(text_col))
                     .where(_nonblank(text_col)))
@@ -434,6 +438,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     self-join would otherwise recompute them per side); the band join
     carries only (id, band, bh) — shingle arrays are re-attached only to
     the few surviving candidate pairs for verification.
+
+    Output is totally ordered by (id_a, id_b); small pair lists arrive
+    as ONE partition (inputs > 256 MB switch to a distributed range
+    sort — see _ordered_pairs).
     """
     rows_per_band = num_hashes // bands
     # cheap scan-pushable nonblank filter + staged token column (r13):
@@ -634,7 +642,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """Near-dup pairs with hamming(simhash) <= max_hamming. Pigeonhole
     banding: split 64 bits into (max_hamming+1) chunks; any pair within
     distance k shares at least one exact chunk → equi-join on
-    (chunk_id, chunk_value), verify with bit_count(xor)."""
+    (chunk_id, chunk_value), verify with bit_count(xor). Output is
+    totally ordered by (id_a, id_b); small pair lists arrive as ONE
+    partition (see _ordered_pairs)."""
     chunks = max_hamming + 1
     width = 64 // chunks
     tok_sql = (f"split(lower(regexp_replace(trim(`{text_col}`), "
@@ -730,7 +740,11 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     and ~7e-7 at t=0.98. Low thresholds (< ~0.7) sit too close to the
     random-pair angle for any LSH family to separate sub-quadratically —
     pass exact=True there (documented O(n^2) fallback, correct at any
-    threshold)."""
+    threshold).
+
+    Output is totally ordered by (id_a, id_b); small pair lists arrive
+    as ONE partition (inputs > 256 MB switch to a distributed range
+    sort — see _ordered_pairs)."""
     a_ids = F.col(id_col).alias("id_a")
     b_ids = F.col(id_col).alias("id_b")
     if exact:
@@ -895,9 +909,9 @@ def prewarm_datapipe(spark) -> None:
         _PREWARM_LOCK = _threading.Lock()
         _PREWARM_STAMP = _weakref.WeakKeyDictionary()
     with _PREWARM_LOCK:
-        if _PREWARM_STAMP.get(spark):
+        if _PREWARM_STAMP.get(spark) is not None:
             return
-        _PREWARM_STAMP[spark] = 1
+        _PREWARM_STAMP[spark] = False  # reserved; thread set below
 
     def _warm():
         try:
@@ -909,8 +923,24 @@ def prewarm_datapipe(spark) -> None:
         except Exception:
             pass  # warm-up is best-effort; real queries are unaffected
 
-    _threading.Thread(target=_warm, name="druid-datapipe-prewarm",
-                      daemon=True).start()
+    t = _threading.Thread(target=_warm, name="druid-datapipe-prewarm",
+                          daemon=True)
+    with _PREWARM_LOCK:
+        _PREWARM_STAMP[spark] = t
+    t.start()
+
+
+def join_datapipe_prewarm(spark, timeout: float | None = 60.0) -> None:
+    """Block until the background datapipe prewarm (if any) finishes.
+    Benchmarks call this before their first timed section so the
+    prewarm's task load cannot contend with measured queries; regular
+    engines never need to."""
+    if _PREWARM_STAMP is None:
+        return
+    with _PREWARM_LOCK:
+        t = _PREWARM_STAMP.get(spark)
+    if t not in (None, False):
+        t.join(timeout)
 
 
 def canonicalize(df: DataFrame, cluster_col: str, quality_col: str,

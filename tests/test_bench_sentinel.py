@@ -18,22 +18,25 @@ from bench import host_noise_verdict
 
 def test_quiet_host_with_jit_warmup_is_benign():
     # start 0.050 -> end 0.023 on a quiet host: faster end is JIT
-    # warm-up, floor 0.03 not exceeded by >1.5x
+    # warm-up, floor 0.04 not exceeded by >1.5x
     noisy, slow_start, floor, spread = host_noise_verdict(
         0.050, 0.023, loadavg_1m=0.1, cpus=32, prev_floor=0.040)
     assert not noisy and not slow_start
-    assert floor == 0.023  # ratchets down to the new best
+    # the floor ratchets on START sentinels only — the JIT-warm end
+    # (structurally ~2x faster) must never poison it, or every later
+    # honest start would read as >1.5x the floor
+    assert floor == 0.040
     assert spread < 0
 
 
 def test_slow_start_that_recovers_is_flagged():
-    # the r13 failure mode: start sentinel 0.058 decaying to 0.020 with
-    # a historical quiet floor of 0.020 — signed drift is negative
-    # (looks like warm-up) but the start is 2.9x the floor
+    # the r13 failure mode: start sentinel 0.080 decaying to 0.025 with
+    # a historical quiet-start floor of 0.040 — signed drift is
+    # negative (looks like warm-up) but the start is 2x the floor
     noisy, slow_start, floor, _ = host_noise_verdict(
-        0.058, 0.020, loadavg_1m=0.1, cpus=32, prev_floor=0.020)
+        0.080, 0.025, loadavg_1m=0.1, cpus=32, prev_floor=0.040)
     assert noisy and slow_start
-    assert floor == 0.020
+    assert floor == 0.040
 
 
 def test_no_history_means_no_slow_start_verdict():
@@ -42,7 +45,7 @@ def test_no_history_means_no_slow_start_verdict():
     noisy, slow_start, floor, _ = host_noise_verdict(
         0.058, 0.020, loadavg_1m=0.1, cpus=32, prev_floor=None)
     assert not noisy and not slow_start
-    assert floor == 0.020  # seeds the history
+    assert floor == 0.058  # seeds the history with the START value
 
 
 def test_end_slower_drift_still_trips():
