@@ -319,6 +319,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .selectExpr("id", _tokens_sql(f"`{text_col}`") + " AS __toks")
             .selectExpr("id", _shingles_sql("__toks", k) + " AS sh")
             .select("id", "sh", F.size("sh").alias("n_sh")))
+    # both inverted-index join sides derive from this frame — without
+    # the persist the tokenize+shingle chain executes once PER SIDE
+    # (the same reason minhash and simhash persist their signatures)
+    docs = _persist_scoped(docs, "ngram_docs")
     inv = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
     if max_shingle_freq:
         freq = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
@@ -637,6 +641,56 @@ def _bits_to_long_sql(bs_sql: str, bits: int = 64) -> str:
     return "(" + " | ".join(pieces) + ")"
 
 
+def _simhash_fold_udf(bits: int = 64):
+    """Arrow-batched simhash bit fold: the packed signature long from a
+    row's per-token xxhash64 array.
+
+    The per-token hashes stay JVM-side (bit-exact Spark xxhash64); the
+    UDF only counts, per bit j, the tokens whose bit j is set — one
+    add.reduceat over the concatenated batch per bit — and packs the
+    majority bits. Integer math only, so the output is bit-identical to
+    the _simhash_bitsums_sql + _bits_to_long_sql reference:
+    bitsum[j] = sum(+-1) = 2*ones[j] - n_tokens, and "bitsum > 0" is
+    exactly "2*ones > n_tokens"; numpy's int64 >> is arithmetic like
+    Spark's shiftright; a NULL/empty token array folds to 0L the same
+    way the CASE tree does (get(NULL, j) > 0 and 0 > 0 are both
+    non-true for every bit). Pinned by
+    test_simhash_np_fold_matches_column_fold; the interpreted HOF
+    reference evaluates bits x n_tokens CASE nodes per row — the same
+    documented vectorized-UDF exception to no-Python-in-the-data-path
+    as _km_fold_udf."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fold(hs):
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        lens = np.fromiter((len(a) if a is not None else 0 for a in hs),
+                           dtype=np.int64, count=n)
+        out = np.zeros(n, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            H = np.concatenate([np.asarray(a, dtype=np.int64)
+                                for a in hs[nz]])
+            m = int(nz.sum())
+            starts = np.zeros(m, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            ln = lens[nz]
+            sims = np.zeros(m, dtype=np.int64)
+            for j in range(bits):
+                ones = np.add.reduceat((H >> j) & np.int64(1), starts)
+                pos = (ones * 2) > ln
+                sims[pos] |= np.int64(-(1 << 63)) if j == 63 \
+                    else np.int64(1 << j)
+            out[nz] = sims
+        return pd.Series(out)
+
+    fold.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return pandas_udf("bigint")(fold)
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Pigeonhole
@@ -649,11 +703,18 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     width = 64 // chunks
     tok_sql = (f"split(lower(regexp_replace(trim(`{text_col}`), "
                f"'\\\\s+', ' ')), ' ')")
-    # two projections so the bit-sum aggregate is computed once, not
-    # once per signature bit
+    # r14: per-token xxhash64 JVM-side, majority fold + bit packing in
+    # one Arrow batch (see _simhash_fold_udf) — bit-identical to the
+    # _simhash_bitsums_sql + _bits_to_long_sql reference, which spent
+    # bits x n_tokens interpreted CASE nodes per row
     docs = (_spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-            .selectExpr("id", _simhash_bitsums_sql(tok_sql) + " AS bs")
-            .selectExpr("id", _bits_to_long_sql("bs") + " AS sim"))
+            .selectExpr("id",
+                        f"transform({tok_sql}, t -> xxhash64(t)) AS __h")
+            .select("id", _simhash_fold_udf(64)(F.col("__h")).alias("sim")))
+    # both join sides derive from this frame — without the persist the
+    # whole tokenize+hash+fold chain executes once PER SIDE (the same
+    # reason minhash persists its signatures); 16 bytes/row
+    docs = _persist_scoped(docs, "simhash_docs")
     chunk_structs = ",".join(
         f"struct({c} AS chunk, shiftright(sim, {c * width}) & "
         f"{(1 << width) - 1} AS cv)" for c in range(chunks))

@@ -76,6 +76,31 @@ def test_minhash_np_fold_matches_column_fold(spark):
     assert fast.exceptAll(ref).count() == 0
 
 
+def test_simhash_np_fold_matches_column_fold(spark):
+    """The Arrow/numpy simhash fold must be bit-identical to the
+    pure-Column reference (majority test 2*ones > n_tokens == bitsum
+    > 0 in exact integer math; numpy's int64 >> is arithmetic like
+    Spark's shiftright), including NULL text (NULL token array -> 0L)
+    and empty text (one ''-token)."""
+    rows = [(i, f"words shared by docs number {i % 4} plus unique "
+             f"tail token t{i} and more filler text here")
+            for i in range(50)]
+    rows.append((97, "  tabs\tand   runs  of\nspace  "))
+    rows.append((98, ""))        # split('') -> [''] -> one-token doc
+    rows.append((99, None))      # NULL toks -> sim 0L both paths
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tok_sql = ("split(lower(regexp_replace(trim(`text`), "
+               "'\\\\s+', ' ')), ' ')")
+    toks = F.expr(tok_sql)
+    ref = df.select("doc_id", dedup.simhash64(toks).alias("sim"))
+    fast = df.select(
+        "doc_id",
+        dedup._simhash_fold_udf(64)(
+            F.transform(toks, lambda t: F.xxhash64(t))).alias("sim"))
+    assert ref.exceptAll(fast).count() == 0
+    assert fast.exceptAll(ref).count() == 0
+
+
 def test_simhash_identical_docs(spark):
     df = spark.createDataFrame([
         (1, "alpha beta gamma delta"),
