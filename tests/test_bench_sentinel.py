@@ -65,3 +65,27 @@ def test_floor_never_rises():
     _, _, floor, _ = host_noise_verdict(
         0.090, 0.080, loadavg_1m=0.1, cpus=32, prev_floor=0.020)
     assert floor == 0.020
+
+
+def test_seed_floor_used_when_no_local_history():
+    # fresh checkout: bench_out.json gone, committed seed present —
+    # the cold first run (start 0.277 observed on a rebooted box) must
+    # flag instead of self-certifying clean
+    from bench import merged_sentinel_floors
+    floors = merged_sentinel_floors({}, {"32": 0.0414})
+    noisy, slow_start, _, _ = host_noise_verdict(
+        0.277, 0.020, loadavg_1m=0.1, cpus=32, prev_floor=floors["32"])
+    assert noisy and slow_start
+
+
+def test_local_floor_wins_when_faster_and_seed_caps_polluted_local():
+    from bench import merged_sentinel_floors
+    # faster local measurement is authoritative
+    assert merged_sentinel_floors({"32": 0.030}, {"32": 0.0414}) == {
+        "32": 0.030}
+    # a local floor ratcheted from a cold first run cannot mask history
+    assert merged_sentinel_floors({"32": 0.2772}, {"32": 0.0414}) == {
+        "32": 0.0414}
+    # core counts without a seed pass through unchanged
+    assert merged_sentinel_floors({"8": 0.033}, {"32": 0.0414}) == {
+        "8": 0.033, "32": 0.0414}
