@@ -600,12 +600,16 @@ def main():
             # q18's hot SMJ/agg loops running INTERPRETED through the
             # timed iterations (observed 0.95 -> 12.7 s spread on
             # identical code/data; totalCompilationTime 125-139 s).
-            # JMH-style: warm up to 5x until two consecutive warm runs
-            # agree within 20%, then the same best-of-2 timing as
-            # before. n_warms/spread are recorded so a backlog that
-            # persists is visible instead of silently folded in.
+            # JMH-style: warm until two consecutive warm runs agree
+            # within 20%, then the same best-of-2 timing as before.
+            # n_warms/spread are recorded so a backlog that persists is
+            # visible instead of silently folded in. Cap raised 5 -> 10
+            # (session 4): a quiet run still hit the 5-warm cap with
+            # q18 at 5.48 s / spread 1.22 (n_warms=5 in the artifact)
+            # while two sibling runs converged to 0.88-1.0 s — the C2
+            # queue can need a few more drains on unlucky runs.
             warm_runs = []
-            for _ in range(5):
+            for _ in range(10):
                 t0 = time.time()
                 len(eng20.sql(texts20[qn]).collect())
                 warm_runs.append(time.time() - t0)
